@@ -1,0 +1,114 @@
+"""End-to-end LDA training tests (SURVEY.md §5.2-3/4)."""
+
+import numpy as np
+import pytest
+
+from plda_spark.lda import kernel
+from plda_spark.lda.train import TrainConfig, TrainResult, train
+
+
+def synthetic_corpus(spark, n_docs=60, doc_len=40, k_true=3, vocab_per_topic=10, seed=5):
+    """Docs drawn from K disjoint-vocab topics — recoverable by Gibbs."""
+    rng = kernel.make_rng(seed)
+    rows = []
+    for d in range(n_docs):
+        t = d % k_true
+        words = rng.integers(0, vocab_per_topic, size=doc_len) + t * vocab_per_topic
+        uniq, cnt = np.unique(words, return_counts=True)
+        for w, c in zip(uniq, cnt):
+            rows.append((d, f"w{w:03d}", int(c)))
+    return spark.createDataFrame(rows, "doc_id long, word string, count int")
+
+
+@pytest.fixture(scope="module")
+def tiny_result(spark) -> TrainResult:
+    corpus = synthetic_corpus(spark)
+    cfg = TrainConfig(
+        num_topics=3, total_iterations=25, burn_in_iterations=15,
+        compute_likelihood=True, seed=7, num_partitions=2,
+    )
+    return train(corpus, cfg)
+
+
+def test_counts_conserved(tiny_result):
+    m = tiny_result.raw_model
+    assert m.nwk.sum() == 60 * 40  # every occurrence assigned exactly one topic
+    assert np.array_equal(m.nk, m.nwk.sum(axis=0))
+
+
+def test_vocab_sorted(tiny_result):
+    assert tiny_result.model.words == sorted(tiny_result.model.words)
+
+
+def test_likelihood_increases(tiny_result):
+    lls = tiny_result.log_likelihood
+    assert len(lls) == 25
+    # The de-facto correctness oracle of the reference (--compute_likelihood):
+    # LL must improve substantially from random init and be stable late.
+    assert lls[-1] > lls[0]
+    assert np.mean(lls[-5:]) > np.mean(lls[:5])
+
+
+def test_topics_recovered(tiny_result):
+    """Disjoint-vocab topics: each true block concentrates on one topic."""
+    nwk = tiny_result.raw_model.nwk
+    owners = set()
+    for t in range(3):
+        block = nwk[t * 10 : (t + 1) * 10].sum(axis=0)
+        assert block.max() / block.sum() > 0.85
+        owners.add(int(block.argmax()))
+    assert len(owners) == 3
+
+
+def test_averaged_vs_raw(tiny_result):
+    avg = tiny_result.model
+    assert avg.nwk.dtype == np.float64
+    # Averaged totals equal the mean per-iteration total token count.
+    assert avg.nwk.sum() == pytest.approx(60 * 40)
+
+
+def test_determinism(spark):
+    corpus = synthetic_corpus(spark, n_docs=20, doc_len=15)
+    cfg = TrainConfig(
+        num_topics=3, total_iterations=5, burn_in_iterations=2,
+        seed=123, num_partitions=2,
+    )
+    m1 = train(corpus, cfg).raw_model
+    m2 = train(corpus, cfg).raw_model
+    assert np.array_equal(m1.nwk, m2.nwk)
+    assert m1.words == m2.words
+
+
+def test_infer_and_oov(spark, tiny_result):
+    from plda_spark.lda import infer
+
+    model = tiny_result.raw_model
+    # Doc 0: pure topic-0 vocab plus an OOV word that must be dropped.
+    new_docs = spark.createDataFrame(
+        [(0, "w001", 5), (0, "w002", 5), (0, "zzz_oov", 99), (1, "w025", 10)],
+        "doc_id long, word string, count int",
+    )
+    res = infer.transform(model, new_docs, total_iterations=12, burn_in_iterations=6, seed=3)
+    rows = {r["doc_id"]: np.array(r["topic_weights"]) for r in res.collect()}
+    # OOV dropped: doc 0 weights sum to 10 occurrences, not 109.
+    assert rows[0].sum() == pytest.approx(10.0)
+    assert rows[1].sum() == pytest.approx(10.0)
+    # Each doc's mass lands on the topic owning its vocab block.
+    block0_owner = int(tiny_result.raw_model.nwk[0:10].sum(axis=0).argmax())
+    block2_owner = int(tiny_result.raw_model.nwk[20:30].sum(axis=0).argmax())
+    assert int(rows[0].argmax()) == block0_owner
+    assert int(rows[1].argmax()) == block2_owner
+
+
+def test_describe_topics(spark, tiny_result):
+    df = tiny_result.raw_model.describe_topics(spark, top_n=5)
+    rows = df.collect()
+    assert {r["topic"] for r in rows} == {0, 1, 2}
+    for r in rows:
+        assert 1 <= r["rank"] <= 5
+    # Top word of each topic belongs to the vocab block that topic owns.
+    top1 = {r["topic"]: r["word"] for r in rows if r["rank"] == 1}
+    for t, w in top1.items():
+        block = int(w[1:]) // 10
+        owner = int(tiny_result.raw_model.nwk[block * 10 : block * 10 + 10].sum(axis=0).argmax())
+        assert owner == t

@@ -1,0 +1,283 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine near-dup.
+
+Design for 100 TB:
+
+- **Exact** — one hash-groupBy on ``md5(text)``; map-side partial agg
+  bounds the shuffle at one row per distinct digest per partition.
+- **Jaccard pairs** — shingle-explode → self-join *on shingle* (never a
+  cross join): candidate generation cost is Σ_s df(s)², so callers
+  should cap shingle document-frequency at scale (``max_shingle_df``).
+- **MinHash+LSH** — per-doc signatures via ``groupBy(doc).agg(min(h_i))``
+  (map-side combine), banding, join on band-bucket only.  Hash family is
+  md5-derived (``conv(substr(md5(shingle || seed),1,15),16,10)``) so the
+  DuckDB oracle can reproduce it bit-for-bit.
+- **SimHash** — 64-bit signature from md5 bits of tokens; hamming-ball
+  candidate search via 4-way band exact-match (any near pair within
+  hamming distance ≤ 3 shares at least one of 4 16-bit bands).
+- **Embedding near-dup** — cosine over an LSH bucket (see similarity.py)
+  or brute pairs at small scale.
+
+Every operator keeps ``doc_id`` ordering deterministic (min doc_id is
+the retained representative).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+__all__ = [
+    "exact_duplicates",
+    "exact_dedup",
+    "shingles",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "simhash_pairs",
+]
+
+
+def _md5_long(col: Column) -> Column:
+    """First 60 bits of md5 as a non-negative bigint (oracle-reproducible:
+    DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Digest groups with >1 member: ``(digest, n_dups, keep_doc_id)``."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("digest"))
+        .groupBy("digest")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-doc_id representative of every exact-text group."""
+    w_digest = docs.withColumn("__digest", F.md5(F.col(text_col)))
+    keep = w_digest.groupBy("__digest").agg(F.min(id_col).alias(id_col))
+    return w_digest.join(keep, ["__digest", id_col], "left_semi").drop("__digest")
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per doc: ``(doc_id, shingle)``.
+
+    Built with JVM higher-order functions: slide an index window over the
+    token array and ``concat_ws`` each n-token slice.
+    """
+    t = tokens_col(text_col)
+    docs = docs.select(F.col(id_col).alias("doc_id"), t.alias("toks"))
+    idx = F.sequence(F.lit(0), F.size("toks") - n)
+    sh = F.transform(idx, lambda i: F.array_join(F.slice("toks", i + 1, n), " "))
+    return (
+        docs.where(F.size("toks") >= n)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+
+    ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.  Candidate pairs come
+    from a self-equi-join on shingle (Catalyst shuffles on the shingle
+    key; no cross join).  ``max_shingle_df`` drops ubiquitous shingles —
+    the standard guard against quadratic hot keys at scale.
+    """
+    sh = shingles(docs, n, text_col, id_col)
+    if max_shingle_df is not None:
+        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(
+            F.broadcast(df_counts.where(F.col("df") <= max_shingle_df).select("shingle")),
+            "shingle",
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """``(doc_id, shingle)`` → ``(doc_id, sig: array<bigint>)``.
+
+    Hash i of a shingle is the md5-derived bigint of ``shingle || '#' || i``;
+    the signature component is the per-doc min — a single groupBy with
+    map-side combine (no Python).
+    """
+    mins = [
+        F.min(_md5_long(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy("doc_id").agg(*mins)
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    threshold: float | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs ``(doc_a, doc_b, est_jaccard)``.
+
+    Banding: signature split into ``bands`` rows of ``num_hashes/bands``;
+    docs sharing any identical band become candidates (join on the band
+    digest — the classic O(candidates) LSH plan, no quadratic step).
+    ``est_jaccard`` = fraction of matching signature components; filter
+    with ``threshold`` if given.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(shingles(docs, n, text_col, id_col), num_hashes)
+    band_rows = sig.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)])
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.arrays_zip("sig_a", "sig_b"), lambda p: p["sig_a"] == p["sig_b"]))
+        / F.lit(num_hashes),
+        6,
+    ).alias("est_jaccard")
+    out = cand.select("doc_a", "doc_b", est)
+    if threshold is not None:
+        out = out.where(F.col("est_jaccard") >= threshold)
+    return out
+
+
+def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64) -> DataFrame:
+    """64-bit SimHash per doc from md5-derived token hashes.
+
+    For each bit b: sign = Σ_tokens (bit_b(h(token)) ? +w : −w) with
+    w = token count; signature bit b = sign > 0.  Implemented as
+    explode → per-(doc,bit) aggregation → bit-pack; all JVM-side.
+    """
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok"))
+    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
+    h = _md5_long(F.col("tok"))  # 60 usable bits
+    bits = min(bits, 60)
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok_counts.groupBy("doc_id").agg(*bit_cols)
+    sig = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = term if sig is None else sig + F.shiftleft(term, b)
+    return sums.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Candidates via 4-way 15-bit band blocking (pigeonhole: distance ≤ 3
+    ⇒ at least one of 4 bands identical), then exact popcount filter via
+    ``bit_count(a XOR b)``.
+    """
+    sig = simhash(docs, text_col, id_col)
+    bands = 4
+    width = 15
+    band_rows = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.shiftright("simhash", bi * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.bucket")
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

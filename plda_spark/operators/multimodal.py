@@ -1,0 +1,131 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are ``binary`` columns with a metadata struct;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+``mapInPandas`` stages.  The actual codecs are NOT available in this
+environment, so the decode step is a clearly-marked deterministic fake
+(seeded from the payload digest) behind ``decode_backend='fake'``;
+``decode_backend='real'`` raises ``NotImplementedError`` until a codec
+library (Pillow/torchaudio/ffmpeg) is provisioned.  Everything
+Spark-side — schema, batch iteration, partitioning, UDF signatures — is
+real and tested.
+
+Scale notes: payloads never pass through the driver; ``mapInPandas``
+streams Arrow batches, and ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds batch memory.  Feature outputs are fixed-width arrays, so the
+downstream similarity operators apply unchanged.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "attach_fake_media",
+    "decode_image_features",
+    "sample_video_frames",
+]
+
+# Canonical multimodal schema: payload + typed metadata.
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, media_type string, "
+    "width int, height int, n_frames int, sample_rate int"
+)
+
+
+def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic fake media table from a documents table —
+    payload = utf-8 text bytes, metadata from hash — to exercise the
+    plumbing without codec libraries."""
+    h = F.abs(F.hash(F.col("text")))
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")), (h % 3 + 1).cast("int")
+        ).alias("media_type"),
+        (h % 1920 + 1).cast("int").alias("width"),
+        (h % 1080 + 1).cast("int").alias("height"),
+        (h % 300 + 1).cast("int").alias("n_frames"),
+        F.lit(16000).alias("sample_rate"),
+    )
+
+
+def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: features seeded from the
+    payload digest.  Replace with a real codec when available."""
+    digest = hashlib.sha256(payload).digest()
+    seed = int.from_bytes(digest[:8], "big")
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return rng.standard_normal(out_dim).astype(np.float32)
+
+
+def decode_image_features(
+    media: DataFrame, out_dim: int = 64, decode_backend: str = "fake"
+) -> DataFrame:
+    """``(media_id, payload, …)`` → ``(media_id, features: array<float>)``.
+
+    Arrow-batched; one numpy pass per batch.  ``decode_backend='real'``
+    is the integration point for an actual image library.
+    """
+    if decode_backend not in ("fake", "real"):
+        raise ValueError("decode_backend must be 'fake' or 'real'")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "real":
+                raise NotImplementedError(
+                    "real image decode requires a codec library (e.g. Pillow); "
+                    "not available in this environment — use decode_backend='fake'"
+                )
+            feats = [_fake_decode(bytes(p), out_dim) for p in pdf["payload"]]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.mapInPandas(fn, schema="media_id long, features array<float>")
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 30, decode_backend: str = "fake"
+) -> DataFrame:
+    """Frame sampling plan: one output row per sampled frame index.
+
+    Frame *indices* are exact JVM-side math (``sequence`` + explode);
+    frame *pixels* come from the decode backend (fake here).
+    """
+    frames = media.where(F.col("media_type") == "video").select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "real":
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg bindings — use decode_backend='fake'"
+                )
+            feats = [
+                _fake_decode(bytes(p) + int(i).to_bytes(4, "big"), 16)
+                for p, i in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"],
+                    "frame_features": feats,
+                }
+            )
+
+    return frames.mapInPandas(
+        fn, schema="media_id long, frame_idx int, frame_features array<float>"
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two paths:
+
+- **Brute-force cosine top-k** — the exactness baseline.  Dot products
+  via ``F.zip_with`` + ``F.aggregate`` (JVM codegen, no Python); top-k by
+  a per-query window.  Cost O(|Q|·|C|) — fine when the query set is
+  small or as the verification oracle.
+- **LSH-bucketed ANN (random hyperplanes)** — the scale path: sign-bit
+  signatures from seeded hyperplanes (driver-generated numpy, inlined as
+  literals), candidates = bucket collisions in any band, exact cosine
+  re-rank inside buckets only.  Candidate generation is an equi-join on
+  (band, bucket) — never a cross join.
+
+Cosine values are rounded (1e-6) so the DuckDB oracle
+(``list_cosine_similarity``) hashes identically.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "brute_force_topk", "hyperplane_signatures", "lsh_topk", "embedding_near_dup_pairs"]
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float-array columns, JVM-side."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, v: s + v * v))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors for each query: ``(query_id, vec_id, sim, rank)``.
+
+    ``queries`` is broadcast (a query batch is small by construction);
+    the corpus is scanned once.  Self-matches (same id) are excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
+        .crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def _planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence(seed)))
+    return rng.standard_normal((num_planes, dim))
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-bit LSH signature per vector: ``(vec_id, embedding, sig: array<int>)``.
+
+    Hyperplanes are generated driver-side from the seed and inlined as
+    array literals (≤ a few KB) — the broadcast-free equivalent of
+    shipping the planes to executors.
+    """
+    planes = _planes(dim, num_planes, seed)
+    sig = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.array(*[F.lit(float(v)) for v in planes[p]]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda s, v: s + v,
+                )
+                > 0
+            )
+            .cast("int")
+            .alias(f"b{p}")
+            for p in range(num_planes)
+        ]
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), sig.alias("sig")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: hyperplane-LSH candidates, exact cosine re-rank.
+
+    Recall rises with bands (OR-amplification).  Per band the bucket key
+    is the band's bit-slice; candidates join on (band, bucket) so the
+    plan is scan + two shuffles regardless of corpus size.
+    """
+    assert num_planes % bands == 0
+    r = num_planes // bands
+    c_sig = hyperplane_signatures(embeddings, dim, num_planes, seed, id_col, vec_col)
+    q_sig = hyperplane_signatures(queries, dim, num_planes, seed, query_id_col, vec_col)
+
+    def band_rows(sig_df: DataFrame, who: str) -> DataFrame:
+        return sig_df.select(
+            F.col("vec_id").alias(who),
+            F.col("embedding").alias(f"__{who}_vec"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.concat_ws(
+                                "", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)]
+                            ).alias("bucket"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(who, f"__{who}_vec", "bb.band", "bb.bucket")
+
+    cand = (
+        band_rows(q_sig, "query_id")
+        .join(band_rows(c_sig, "vec_id"), ["band", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("__query_id_vec"), F.col("__vec_id_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold: ``(id_a, id_b, sim)``, a < b.
+
+    Brute implementation (the sf-scale oracle); at scale route through
+    ``lsh_topk`` candidates instead.
+    """
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")
+        )
+        .where(F.col("sim") >= threshold)
+    )

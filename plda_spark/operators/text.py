@@ -1,0 +1,136 @@
+"""Text-analysis operators for training-data pipelines.
+
+All JVM-side (whole-stage codegen; no Python UDFs): tokenization,
+token/char statistics, quality scoring, n-gram-free language ID via
+stopword-lexicon hits, and document fingerprinting.  Every operator has
+an exact ANSI-SQL equivalent so the DuckDB oracle can replay it.
+
+Scale: each operator is a narrow projection over ``documents`` — no
+shuffle except where a groupBy is the semantics (lang-ID is pure
+per-row).  Filters/projections push down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from plda_spark.lda.corpus import MIN_TOKEN_LEN, TOKEN_RE
+
+__all__ = [
+    "tokens_col",
+    "token_stats",
+    "quality_score",
+    "language_id",
+    "fingerprint",
+    "STOPWORDS",
+]
+
+# Tiny per-language stopword lexicons (public common function words).
+# Deliberately ASCII-only where possible so Spark and RE2/DuckDB tokenize
+# identically; zh uses romanized/common tokens as a heuristic stand-in.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
+    "fr": ["le", "la", "les", "de", "des", "et", "est", "une", "un", "dans"],
+    "es": ["el", "la", "los", "de", "que", "es", "en", "un", "una", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "mit", "von", "zu"],
+    "zh": ["de", "shi", "le", "bu", "wo", "ni", "ta", "men", "zai", "you"],
+}
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Array of tokens under the engine-wide rule (corpus.TOKEN_RE)."""
+    toks = F.split(F.lower(F.col(text_col)), TOKEN_RE)
+    return F.filter(toks, lambda x: F.length(x) >= MIN_TOKEN_LEN)
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc token counting: total tokens, unique tokens, mean token length.
+
+    ``n_tokens`` uses the whitespace+regex rule; ``n_unique`` is the
+    distinct-token count; ``avg_token_len`` rounds to 4 decimals for
+    oracle-stable hashing.
+    """
+    t = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique"),
+        F.round(
+            F.aggregate(t, F.lit(0.0), lambda acc, x: acc + F.length(x))
+            / F.greatest(F.size(t), F.lit(1)),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, alpha ratio, punct ratio,
+    stopword ratio (en), and a composite score in [0,1].
+
+    The composite mirrors common pretraining-data filters (Gopher-style
+    length/symbol heuristics) using only deterministic arithmetic.
+    """
+    t = tokens_col(text_col)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    punct_chars = F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", ""))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_tokens = F.size(t)
+    stop_hits = F.size(F.filter(t, lambda x: F.array_contains(en_stop, x)))
+    alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
+    punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
+    len_ok = (n_tokens >= 10) & (n_tokens <= 1000)
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * alpha_ratio
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars_measured"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-lexicon language ID: argmax of per-language hit counts.
+
+    Pure per-row JVM expression (one ``size(filter(...))`` per language,
+    argmax via ``array_position(array_max)``); ties broken by language
+    order en,fr,es,de,zh then 'und' when no lexicon hits at all.
+    """
+    t = tokens_col(text_col)
+    langs = list(STOPWORDS)
+
+    def hits(words: list[str]) -> Column:
+        lex = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(t, lambda x: F.array_contains(lex, x)))
+
+    hit_cols = [hits(STOPWORDS[lang]).alias(f"hits_{lang}") for lang in langs]
+    scored = docs.select(F.col(id_col).alias("doc_id"), *hit_cols)
+    hits = F.array(*[F.col(f"hits_{lang}") for lang in langs])
+    best = F.array_position(hits, F.array_max(hits))  # 1-based first max
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return scored.select(
+        "doc_id",
+        F.when(F.array_max(hits) == 0, F.lit("und"))
+        .otherwise(F.element_at(lang_arr, best.cast("int")))
+        .alias("pred_lang"),
+        F.array_max(hits).alias("best_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic content fingerprint: md5 over the sorted distinct
+    token set — robust to token order and duplication, ideal for
+    clustering near-identical documents after normalization."""
+    t = tokens_col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " ")).alias("fingerprint"),
+    )

@@ -1,0 +1,149 @@
+"""Structured Streaming windowed aggregations over event streams.
+
+The reference is strictly batch-iterative (SURVEY.md §2.2: streaming
+absent), so this module is the engine's streaming extension: tumbling /
+sliding window counts+sums with event-time watermarks, plus a stateful
+per-user sessionization built on ``applyInPandasWithState``.
+
+Each streaming query has a batch twin (same expressions on a static
+DataFrame) used by the DuckDB oracle and by tests: run the stream from a
+file source to completion with ``availableNow`` and compare to the twin.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+__all__ = [
+    "tumbling_counts",
+    "sliding_value_sums",
+    "tumbling_counts_batch",
+    "sliding_value_sums_batch",
+    "sessionize",
+]
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """Per-(window, event_type) counts with a late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sliding_value_sums(
+    events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Sliding-window value sums per event type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
+    )
+
+
+def tumbling_counts_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`tumbling_counts` (hourly tumble)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def sliding_value_sums_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of :func:`sliding_value_sums`: each event lands in the
+    two half-hour-aligned 1h windows that contain it."""
+    half_hours = F.array(
+        F.date_trunc("hour", "ts"),
+        F.to_timestamp(
+            F.from_unixtime((F.unix_timestamp("ts") - F.unix_timestamp("ts") % 1800) - 1800)
+        ),
+    )
+    # Window starts: floor(ts, 30min) and floor(ts, 30min) - 30min.
+    floor30 = F.to_timestamp(F.from_unixtime(F.unix_timestamp("ts") - F.unix_timestamp("ts") % 1800))
+    starts = F.array(floor30, F.to_timestamp(F.from_unixtime(F.unix_timestamp(floor30) - 1800)))
+    return (
+        events.select(
+            F.explode(starts).alias("window_start"), "event_type", "value"
+        )
+        .groupBy("window_start", "event_type")
+        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+_SESSION_SCHEMA = "user_id long, session_start timestamp, session_end timestamp, n_events int"
+_STATE_SCHEMA = "start long, last long, n int"
+
+
+def _session_fn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Gap-based sessionization: a session closes after 30 min idle."""
+    gap_ms = 30 * 60 * 1000
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "session_start": [pd.Timestamp(start, unit="ms")],
+                "session_end": [pd.Timestamp(last, unit="ms")],
+                "n_events": [n],
+            }
+        )
+        return
+    rows = pd.concat(list(pdfs))
+    ts = rows["ts"].astype("int64") // 10**6  # ms
+    ts = ts.sort_values()
+    out = []
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start = last = int(ts.iloc[0])
+        n = 0
+    for t in ts:
+        t = int(t)
+        if t - last > gap_ms:
+            out.append((start, last, n))
+            start, n = t, 0
+        last = max(last, t)
+        n += 1
+    state.update((start, last, n))
+    state.setTimeoutDuration(gap_ms)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out),
+                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in out],
+                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in out],
+                "n_events": [n for _, _, n in out],
+            }
+        )
+
+
+def sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator: 30-minute-gap user sessions via
+    ``applyInPandasWithState`` (processing-time timeout closes idle
+    sessions)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,0 +1,144 @@
+"""Operator tests: text analysis, dedup, similarity, multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from plda_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat and the dog sat too", "en"),
+        (1, "the cat sat on the mat and the dog sat too", "en"),     # exact dup of 0
+        (2, "the cat sat on the mat and the dog stood too", "en"),   # near dup of 0
+        (3, "le chat est sur le tapis et le chien est la", "fr"),
+        (4, "completely different words about spark query engines", "en"),
+        (5, "el gato es un animal que vive en la casa", "es"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_stats(spark, docs):
+    rows = {r["doc_id"]: r for r in text.token_stats(docs).collect()}
+    # doc 0: 11 tokens, len-1 tokens dropped? all >= 2 chars except none; 'on' kept
+    assert rows[0]["n_tokens"] == 11
+    assert rows[0]["n_unique"] == 8
+    assert rows[4]["n_tokens"] == 7
+
+
+def test_quality_score_bounds(spark, docs):
+    for r in text.quality_score(docs).collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+    scores = {r["doc_id"]: r["stopword_ratio"] for r in text.quality_score(docs).collect()}
+    assert scores[0] > scores[3]  # English stopwords only hit the English doc
+
+
+def test_language_id(spark, docs):
+    pred = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs).collect()}
+    assert pred[0] == "en"
+    assert pred[3] == "fr"
+    assert pred[5] == "es"
+
+
+def test_fingerprint_order_invariant(spark):
+    d = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "gamma beta alpha alpha")],
+        "doc_id long, text string",
+    )
+    fps = [r["fingerprint"] for r in text.fingerprint(d).collect()]
+    assert fps[0] == fps[1]  # same token set => same fingerprint
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_dups"] == 2
+    assert groups[0]["keep_doc_id"] == 0
+    kept = dedup.exact_dedup(docs)
+    assert kept.count() == 5
+    assert 1 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dedup.jaccard_pairs(docs, threshold=0.3, n=3).collect()}
+    assert pairs[(0, 1)] == 1.0          # exact dup
+    assert (0, 2) in pairs               # near dup shares most shingles
+    assert all(a < b for a, b in pairs)  # canonical ordering
+    assert (0, 4) not in pairs           # unrelated docs
+
+
+def test_minhash_lsh_finds_dups(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
+             dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, n=2).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (0, 4) not in pairs
+
+
+def test_simhash_near_dup(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    assert sigs[0] == sigs[1]
+    ham02 = bin(sigs[0] ^ sigs[2]).count("1")
+    ham04 = bin(sigs[0] ^ sigs[4]).count("1")
+    assert ham02 < ham04  # near dup closer in hamming space than unrelated
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    assert (0, 1) in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.Generator(np.random.PCG64(1))
+    base = rng.standard_normal((10, 8))
+    base[1] = base[0] + 0.01 * rng.standard_normal(8)  # near dup of 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(10)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    res = similarity.brute_force_topk(embeddings, q, k=3).collect()
+    assert len(res) == 3
+    assert res[0]["vec_id"] == 1 and res[0]["rank"] == 1  # the near-dup wins
+    sims = [r["sim"] for r in sorted(res, key=lambda r: r["rank"])]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_topk_recalls_near_dup(spark, embeddings):
+    q = embeddings.where(F.col("vec_id") == 0).withColumnRenamed("vec_id", "query_id")
+    res = similarity.lsh_topk(embeddings, q, dim=8, k=3, num_planes=16, bands=8).collect()
+    assert any(r["vec_id"] == 1 and r["rank"] == 1 for r in res)
+
+
+def test_embedding_near_dup_pairs(spark, embeddings):
+    pairs = dedup_pairs = similarity.embedding_near_dup_pairs(embeddings, threshold=0.99).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = multimodal.attach_fake_media(docs)
+    assert media.schema.simpleString().startswith(
+        "struct<media_id:bigint,payload:binary,media_type:string"
+    )
+    feats = multimodal.decode_image_features(media, out_dim=16).collect()
+    assert len(feats) == 6
+    assert all(len(r["features"]) == 16 for r in feats)
+    # Determinism: same payload -> same features (docs 0 and 1 share text).
+    by_id = {r["media_id"]: list(r["features"]) for r in feats}
+    assert by_id[0] == by_id[1]
+    # Real backend is gated, not silently fake.
+    with pytest.raises(Exception, match="NotImplementedError|codec|Pillow"):
+        multimodal.decode_image_features(media, decode_backend="real").collect()
+
+
+def test_video_frame_sampling(spark, docs):
+    media = multimodal.attach_fake_media(docs)
+    vids = media.where(F.col("media_type") == "video")
+    if vids.count() == 0:
+        pytest.skip("no fake videos in this hash draw")
+    frames = multimodal.sample_video_frames(media, every_n=50).collect()
+    assert all(r["frame_idx"] % 50 == 0 for r in frames)
+    assert all(len(r["frame_features"]) == 16 for r in frames)

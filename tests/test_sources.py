@@ -1,0 +1,96 @@
+"""Source/sink format tests (SURVEY.md §5.2-2, FIXTURES.md F1/F4/F5)."""
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from plda_spark.lda.model import LDAModel
+from plda_spark.sources import read_plda_corpus, read_uci_docword, write_plda_corpus
+
+
+@pytest.fixture()
+def plda_file(tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text(
+        "# a comment line to be skipped\n"
+        "apple 2 banana 1 cherry 3\n"
+        "\n"
+        "banana 4\n"
+        "date 1 apple 1\n"
+    )
+    return str(p)
+
+
+def test_read_plda_corpus(spark, plda_file):
+    rows = read_plda_corpus(spark, plda_file).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["word"]] = r["count"]
+    # Comment + blank skipped; doc ids are line order of kept lines.
+    assert by_doc == {
+        0: {"apple": 2, "banana": 1, "cherry": 3},
+        1: {"banana": 4},
+        2: {"date": 1, "apple": 1},
+    }
+
+
+def test_plda_roundtrip(spark, plda_file, tmp_path):
+    corpus = read_plda_corpus(spark, plda_file)
+    out = str(tmp_path / "out")
+    write_plda_corpus(corpus, out)
+    again = read_plda_corpus(spark, out)
+    a = {(r["doc_id"], r["word"], r["count"]) for r in corpus.collect()}
+    b = {(r["doc_id"], r["word"], r["count"]) for r in again.collect()}
+    assert a == b
+
+
+def test_model_text_serde_parity(tmp_path):
+    # Reader semantics of model.cc:113-153: line-order ids, float->int64
+    # truncation, skip blank/# lines.
+    p = tmp_path / "model.txt"
+    p.write_text(
+        "zebra\t3.7 2 1.2\n"
+        "# comment\n"
+        "\n"
+        "apple\t0 5 4\n"
+    )
+    m = LDAModel.load_text(str(p))
+    assert m.words == ["zebra", "apple"]  # file order, NOT sorted
+    assert m.nwk.tolist() == [[3, 2, 1], [0, 5, 4]]  # 3.7 truncated to 3
+    assert m.nk.tolist() == [3, 7, 5]  # recomputed by summation
+    # Round trip: int counts written without decimals, tab after word.
+    out = tmp_path / "out.txt"
+    m.save_text(str(out))
+    assert out.read_text() == "zebra\t3 2 1\napple\t0 5 4\n"
+
+
+def test_model_parquet_roundtrip(spark, tmp_path):
+    nwk = np.array([[1.5, 2.0], [3.0, 4.25]])
+    m = LDAModel(nwk, ["aa", "bb"], alpha=0.2, beta=0.05)
+    path = str(tmp_path / "model_pq")
+    m.save(spark, path)
+    m2 = LDAModel.load(spark, path)
+    assert np.allclose(m2.nwk, nwk)
+    assert m2.words == ["aa", "bb"]
+    assert (m2.alpha, m2.beta) == (0.2, 0.05)
+
+
+def test_uci_reader(spark, tmp_path):
+    (tmp_path / "docword.txt").write_text(
+        "3\n4\n5\n1 1 2\n1 3 1\n2 2 4\n3 1 1\n3 4 2\n"
+    )
+    (tmp_path / "vocab.txt").write_text("alpha\nbeta\ngamma\ndelta\n")
+    rows = read_uci_docword(
+        spark, str(tmp_path / "docword.txt"), str(tmp_path / "vocab.txt")
+    ).collect()
+    got = {(r["doc_id"], r["word"], r["count"]) for r in rows}
+    # 1-based -> 0-based; first and last docs NOT dropped (reference bug not kept).
+    assert got == {
+        (0, "alpha", 2),
+        (0, "gamma", 1),
+        (1, "beta", 4),
+        (2, "alpha", 1),
+        (2, "delta", 2),
+    }

@@ -1,38 +1,867 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query (SURVEY.md §7 phase 1): train LDA K=5
+on sf0.001 ``documents`` and return the top words per topic.
+
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2 (LDA dataflow ops re-expressed on DataFrames, the
+relational surface of §2.2, and the training-data-pipeline extensions:
+dedup, similarity search, text analysis, streaming twins, multimodal).
+
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every
+SQL-expressible query.  Conventions keeping the value-hash stable
+across engines:
+
+- money/value sums run over ``decimal(18,6)`` (exact, order-independent
+  — double sums are not associative);
+- averages are ``cast(exact_decimal_sum as double) / exact_count`` so
+  both engines divide identical operands;
+- md5-derived hashes use the same construction on both sides
+  (``conv(substr(md5(x),1,15),16,10)`` ≙ ``CAST('0x'||… AS BIGINT)``);
+- every computed column is aliased identically in Spark and SQL;
+- no array-typed output columns in oracle-checked queries (flattened).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from plda_spark.lda.corpus import MIN_TOKEN_LEN, TOKEN_RE, doc_term_counts, tokenize
+from plda_spark.lda.train import TrainConfig, train_documents
+from plda_spark.lda import infer as lda_infer
+from plda_spark.lda.vocab import build_vocab
+from plda_spark.operators import dedup, multimodal, similarity, text
+from plda_spark.sources.tables import load_table
+from plda_spark.streaming import windows
+
+# ---------------------------------------------------------------------------
+# shared fragments
+# ---------------------------------------------------------------------------
+
+# DuckDB twin of plda_spark.lda.corpus tokenization (FIXTURES.md F6).
+_SQL_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+    f"x -> length(x) >= {MIN_TOKEN_LEN})"
+)
+
+# Documents with planted duplicates, used by the near-dup operators so the
+# pair queries return non-trivial matches on the synthetic corpus:
+#   +100000: exact copies of every 10th doc;
+#   +200000: first-80%-of-tokens copies of docs ≡ 5 (mod 10).
+# Both constructions are exactly reproducible in SQL (integer slicing only).
+_SQL_DOCS_DUP = f"""
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(t[1:GREATEST((len(t)*4)//5, 1)], ' ') AS text
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) WHERE doc_id % 10 = 5
+)
+"""
+
+# Distinct 3-gram shingles per planted-dup doc (twin of operators.dedup.shingles).
+_SQL_SHINGLES = f"""
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM docs) WHERE len(toks) >= 3
+)
+"""
+
+_SQL_MD5_LONG = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+
+def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark side of ``_SQL_DOCS_DUP`` — same planted duplicates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    toks = text.tokens_col("text")
+    # F.floor(size*4/5) matches DuckDB's integer (len*4)//5 for positive sizes
+    prefix = (
+        docs.where(F.col("doc_id") % 10 == 5)
+        .select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(toks, 1, F.greatest(F.floor(F.size(toks) * 4 / 5), F.lit(1)).cast("int")),
+                " ",
+            ).alias("text"),
+        )
+    )
+    return docs.unionAll(exact).unionAll(prefix)
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (doc_id, word, count) triples from documents."""
+    return doc_term_counts(tokenize(load_table(spark, sf_dir, "documents")))
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast("decimal(18,6)")
+
+
+# ---------------------------------------------------------------------------
+# entry — flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Train LDA (K=5) on sf0.001 documents; return top-10 words/topic.
+
+    Exercises scan → tokenize (explode/filter) → vocab (distinct +
+    window) → broadcast remap join → Gibbs kernel (Arrow pandas UDF) →
+    per-iteration partial/final agg (≙ the reference's AllReduce,
+    mpi_lda.cc:58-110) → top-k window (view_model.py parity).
+    """
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    cfg = TrainConfig(
+        num_topics=5, alpha=0.1, beta=0.01, total_iterations=15,
+        burn_in_iterations=10, seed=42, num_partitions=8,
+    )
+    result = train_documents(docs, cfg)
+    return result.model.describe_topics(spark, top_n=10)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- LDA dataflow (SQL-expressible stages) ----------------------------
+    q["lda_doc_term_counts"] = lambda spark, sf: _corpus(spark, sf)
+
+    q["lda_vocab"] = lambda spark, sf: build_vocab(_corpus(spark, sf))
+
+    q["lda_word_totals"] = lambda spark, sf: (
+        _corpus(spark, sf)
+        .groupBy("word")
+        .agg(
+            F.sum("count").alias("total_occurrences"),
+            F.count(F.lit(1)).alias("doc_freq"),
+        )
+    )
+
+    def lda_top_words_by_lang(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        tok = tokenize(docs).join(docs.select("doc_id", "lang"), "doc_id")
+        df = tok.groupBy("lang", "word").agg(
+            F.countDistinct("doc_id").alias("doc_freq")
+        )
+        w = Window.partitionBy("lang").orderBy(F.desc("doc_freq"), F.asc("word"))
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 10)
+            .select("lang", "rank", "word", "doc_freq")
+        )
+
+    q["lda_top_words_by_lang"] = lda_top_words_by_lang
+
+    # ---- LDA training / inference (non-SQL: iterative Gibbs) --------------
+    def lda_train_topics(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        cfg = TrainConfig(
+            num_topics=5, total_iterations=6, burn_in_iterations=3,
+            seed=42, num_partitions=8,
+        )
+        return train_documents(docs, cfg).model.describe_topics(spark, top_n=10)
+
+    q["lda_train_topics"] = lda_train_topics
+
+    def lda_infer_theta(spark, sf):
+        docs = load_table(spark, sf, "documents")
+        cfg = TrainConfig(
+            num_topics=5, total_iterations=6, burn_in_iterations=3,
+            seed=42, num_partitions=8,
+        )
+        model = train_documents(docs, cfg).model
+        triples = doc_term_counts(tokenize(docs.limit(50)))
+        theta = lda_infer.transform(
+            model, triples, total_iterations=5, burn_in_iterations=2, seed=7
+        )
+        return theta.select(
+            "doc_id", F.posexplode("topic_weights").alias("topic", "weight")
+        )
+
+    q["lda_infer_theta"] = lda_infer_theta
+
+    # ---- relational surface (SURVEY §2.2) over TPC-H-ish tables -----------
+    def q1_pricing_summary(spark, sf):
+        li = load_table(spark, sf, "lineitem").where(
+            F.col("l_shipdate") <= F.lit("1998-09-02")
+        )
+        disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        )
+        charge = (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).cast("decimal(18,6)")
+        # Sums run exact over decimal(18,6) (order-independent), then cast
+        # to double for the output so both engines emit identical floats.
+        g = li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(_dec("l_quantity")).alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        return g.select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+            F.col("sum_base_price").cast("double").alias("sum_base_price"),
+            F.col("sum_disc_price").cast("double").alias("sum_disc_price"),
+            F.col("sum_charge").cast("double").alias("sum_charge"),
+            (F.col("sum_qty").cast("double") / F.col("count_order")).alias("avg_qty"),
+            (F.col("sum_base_price").cast("double") / F.col("count_order")).alias("avg_price"),
+            "count_order",
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_top_revenue_orders(spark, sf):
+        cust = load_table(spark, sf, "customer").where(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.sum(rev).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+            .limit(10)
+            .withColumn("revenue", F.col("revenue").cast("double"))
+        )
+
+    q["q3_top_revenue_orders"] = q3_top_revenue_orders
+
+    def q5_nation_revenue(spark, sf):
+        region = load_table(spark, sf, "region")
+        nation = load_table(spark, sf, "nation")
+        cust = load_table(spark, sf, "customer")
+        orders = load_table(spark, sf, "orders")
+        li = load_table(spark, sf, "lineitem")
+        supp = load_table(spark, sf, "supplier")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .where(F.col("c_nationkey") == F.col("s_nationkey"))
+            .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+            .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+            .groupBy("r_name", "n_name")
+            .agg(
+                F.sum(rev).cast("double").alias("revenue"),
+                F.count(F.lit(1)).alias("n_lineitems"),
+            )
+        )
+
+    q["q5_nation_revenue"] = q5_nation_revenue
+
+    def join_anti_customers_no_urgent(spark, sf):
+        cust = load_table(spark, sf, "customer")
+        urgent = load_table(spark, sf, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+            .select("c_custkey", "c_name", "c_mktsegment")
+        )
+
+    q["join_anti_customers_no_urgent"] = join_anti_customers_no_urgent
+
+    def join_semi_big_spenders(spark, sf):
+        cust = load_table(spark, sf, "customer")
+        big = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 400000)
+        return (
+            cust.join(big, cust["c_custkey"] == big["o_custkey"], "left_semi")
+            .select("c_custkey", "c_name")
+        )
+
+    q["join_semi_big_spenders"] = join_semi_big_spenders
+
+    def window_top_orders_per_customer(spark, sf):
+        orders = load_table(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderkey")
+        )
+        return (
+            orders.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("o_custkey", "rank", "o_orderkey", "o_totalprice")
+        )
+
+    q["window_top_orders_per_customer"] = window_top_orders_per_customer
+
+    def rollup_region_nation_revenue(spark, sf):
+        nation = load_table(spark, sf, "nation")
+        region = load_table(spark, sf, "region")
+        cust = load_table(spark, sf, "customer")
+        orders = load_table(spark, sf, "orders")
+        j = (
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+            .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        )
+        return j.rollup("r_name", "n_name").agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    q["rollup_region_nation_revenue"] = rollup_region_nation_revenue
+
+    def setop_purchasers_except_error(spark, sf):
+        ev = load_table(spark, sf, "events").where(
+            F.col("ts") < F.lit("2024-01-08")
+        )
+        a = ev.where(F.col("event_type") == "purchase").select("user_id")
+        b = ev.where(F.col("event_type") == "error").select("user_id")
+        return a.subtract(b)
+
+    q["setop_purchasers_except_error"] = setop_purchasers_except_error
+
+    def setop_purchasers_intersect_signup(spark, sf):
+        ev = load_table(spark, sf, "events")
+        a = ev.where(F.col("event_type") == "purchase").select("user_id")
+        b = ev.where(F.col("event_type") == "signup").select("user_id")
+        return a.intersect(b)
+
+    q["setop_purchasers_intersect_signup"] = setop_purchasers_intersect_signup
+
+    def distinct_daily_active_users(spark, sf):
+        ev = load_table(spark, sf, "events")
+        return (
+            ev.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+            .agg(F.countDistinct("user_id").alias("n_users"))
+        )
+
+    q["distinct_daily_active_users"] = distinct_daily_active_users
+
+    def orders_monthly_summary(spark, sf):
+        orders = load_table(spark, sf, "orders")
+        return (
+            orders.groupBy(
+                F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            )
+        )
+
+    q["orders_monthly_summary"] = orders_monthly_summary
+
+    def events_json_props(spark, sf):
+        ev = load_table(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("long")
+        return ev.groupBy("event_type").agg(
+            F.sum(k).alias("sum_k"), F.count(k).alias("n_k")
+        )
+
+    q["events_json_props"] = events_json_props
+
+    # ---- deduplication -----------------------------------------------------
+    q["dedup_exact"] = lambda spark, sf: dedup.exact_duplicates(
+        _docs_with_dupes(spark, sf)
+    )
+
+    q["dedup_jaccard_pairs"] = lambda spark, sf: dedup.jaccard_pairs(
+        _docs_with_dupes(spark, sf), threshold=0.5, n=3
+    )
+
+    def dedup_minhash_sigs(spark, sf):
+        sig = dedup.minhash_signatures(
+            dedup.shingles(_docs_with_dupes(spark, sf), n=3), num_hashes=16
+        )
+        return sig.select("doc_id", F.posexplode("sig").alias("i", "min_hash"))
+
+    q["dedup_minhash_sigs"] = dedup_minhash_sigs
+
+    q["dedup_minhash_pairs"] = lambda spark, sf: dedup.minhash_lsh_pairs(
+        _docs_with_dupes(spark, sf), num_hashes=16, bands=4, n=3, threshold=0.5
+    )
+
+    q["dedup_simhash"] = lambda spark, sf: dedup.simhash(_docs_with_dupes(spark, sf))
+
+    q["dedup_simhash_pairs"] = lambda spark, sf: dedup.simhash_pairs(
+        _docs_with_dupes(spark, sf), max_hamming=3
+    )
+
+    # ---- similarity search -------------------------------------------------
+    def sim_brute_topk(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.brute_force_topk(emb, qs, k=5)
+
+    q["sim_brute_topk"] = sim_brute_topk
+
+    q["sim_near_dup_pairs"] = lambda spark, sf: similarity.embedding_near_dup_pairs(
+        load_table(spark, sf, "embeddings"), threshold=0.4
+    )
+
+    def sim_lsh_topk(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.lsh_topk(emb, qs, dim=64, k=5, num_planes=16, bands=4)
+
+    q["sim_lsh_topk"] = sim_lsh_topk
+
+    # ---- text analysis -----------------------------------------------------
+    q["text_token_stats"] = lambda spark, sf: text.token_stats(
+        load_table(spark, sf, "documents")
+    )
+    q["text_quality"] = lambda spark, sf: text.quality_score(
+        load_table(spark, sf, "documents")
+    )
+    q["text_langid"] = lambda spark, sf: text.language_id(
+        load_table(spark, sf, "documents")
+    )
+    q["text_fingerprint"] = lambda spark, sf: text.fingerprint(
+        load_table(spark, sf, "documents")
+    )
+
+    # ---- streaming twins (batch mode; streaming parity in tests) ----------
+    q["stream_tumbling_counts"] = lambda spark, sf: windows.tumbling_counts_batch(
+        load_table(spark, sf, "events")
+    )
+    q["stream_sliding_sums"] = lambda spark, sf: windows.sliding_value_sums_batch(
+        load_table(spark, sf, "events")
+    )
+    q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
+        load_table(spark, sf, "events")
+    )
+
+    # ---- multimodal plumbing (rows-only: fake decode is Spark-side) -------
+    def multimodal_features(spark, sf):
+        media = multimodal.attach_fake_media(load_table(spark, sf, "documents"))
+        feats = multimodal.decode_image_features(media, out_dim=8)
+        return feats.select("media_id", F.posexplode("features").alias("dim", "value"))
+
+    q["multimodal_features"] = multimodal_features
+
+    def multimodal_frames(spark, sf):
+        media = multimodal.attach_fake_media(load_table(spark, sf, "documents"))
+        frames = multimodal.sample_video_frames(media, every_n=30)
+        return frames.select("media_id", "frame_idx")
+
+    q["multimodal_frames"] = multimodal_frames
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    o: dict[str, str] = {}
+
+    o["lda_doc_term_counts"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+)
+SELECT doc_id, word, CAST(count(*) AS INTEGER) AS count
+FROM tok GROUP BY doc_id, word
+"""
+
+    o["lda_vocab"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+)
+SELECT word, CAST(row_number() OVER (ORDER BY word) - 1 AS BIGINT) AS word_id
+FROM (SELECT DISTINCT word FROM tok)
+"""
+
+    o["lda_word_totals"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+),
+dtc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word)
+SELECT word, CAST(sum(c) AS BIGINT) AS total_occurrences,
+       CAST(count(*) AS BIGINT) AS doc_freq
+FROM dtc GROUP BY word
+"""
+
+    o["lda_top_words_by_lang"] = f"""
+WITH tok AS (
+  SELECT d.lang, t.doc_id, t.word
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents) t
+  JOIN documents d ON d.doc_id = t.doc_id
+),
+df AS (SELECT lang, word, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY lang, word),
+r AS (
+  SELECT lang, word, CAST(doc_freq AS BIGINT) AS doc_freq,
+         CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_freq DESC, word ASC) AS INTEGER) AS rank
+  FROM df
+)
+SELECT lang, rank, word, doc_freq FROM r WHERE rank <= 10
+"""
+
+    o["q1_pricing_summary"] = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+         sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS sum_disc_price,
+         sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS sum_charge,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(sum_qty AS DOUBLE) AS sum_qty,
+       CAST(sum_base_price AS DOUBLE) AS sum_base_price,
+       CAST(sum_disc_price AS DOUBLE) AS sum_disc_price,
+       CAST(sum_charge AS DOUBLE) AS sum_charge,
+       CAST(sum_qty AS DOUBLE) / count_order AS avg_qty,
+       CAST(sum_base_price AS DOUBLE) / count_order AS avg_price,
+       CAST(count_order AS BIGINT) AS count_order
+FROM g
+"""
+
+    o["q3_top_revenue_orders"] = """
+WITH g AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+  ORDER BY revenue DESC, o_orderkey ASC
+  LIMIT 10
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, CAST(revenue AS DOUBLE) AS revenue FROM g
+"""
+
+    o["q5_nation_revenue"] = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY r_name, n_name
+"""
+
+    o["join_anti_customers_no_urgent"] = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+    o["join_semi_big_spenders"] = """
+SELECT c_custkey, c_name
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+    o["window_top_orders_per_customer"] = """
+WITH r AS (
+  SELECT o_custkey,
+         CAST(row_number() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rank,
+         o_orderkey, o_totalprice
+  FROM orders
+)
+SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r WHERE rank <= 3
+"""
+
+    o["rollup_region_nation_revenue"] = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+    o["setop_purchasers_except_error"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error' AND ts < TIMESTAMP '2024-01-08'
+"""
+
+    o["setop_purchasers_intersect_signup"] = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+    o["distinct_daily_active_users"] = """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1, 2
+"""
+
+    o["orders_monthly_summary"] = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+    o["events_json_props"] = """
+SELECT event_type,
+       CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(count(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS n_k
+FROM events GROUP BY event_type
+"""
+
+    o["dedup_exact"] = f"""
+WITH {_SQL_DOCS_DUP}
+SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_doc_id
+FROM docs GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+    o["dedup_jaccard_pairs"] = f"""
+WITH {_SQL_DOCS_DUP}, {_SQL_SHINGLES},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, jaccard FROM (
+  SELECT doc_a, doc_b, round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE jaccard >= 0.5
+"""
+
+    _minhash_flat = f"""
+flat AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         min({_SQL_MD5_LONG.format(x="shingle || '#' || CAST(i AS VARCHAR)")}) AS min_hash
+  FROM sh, unnest(range(16)) AS t(i)
+  GROUP BY doc_id, i
+)
+"""
+
+    o["dedup_minhash_sigs"] = f"""
+WITH {_SQL_DOCS_DUP}, {_SQL_SHINGLES}, {_minhash_flat}
+SELECT doc_id, i, min_hash FROM flat
+"""
+
+    o["dedup_minhash_pairs"] = f"""
+WITH {_SQL_DOCS_DUP}, {_SQL_SHINGLES}, {_minhash_flat},
+bands AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list(CAST(min_hash AS VARCHAR) ORDER BY i), ',')) AS bucket
+  FROM flat GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, est_jaccard FROM (
+  SELECT c.doc_a, c.doc_b,
+         round(sum(CASE WHEN fa.min_hash = fb.min_hash THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+  FROM cand c
+  JOIN flat fa ON fa.doc_id = c.doc_a
+  JOIN flat fb ON fb.doc_id = c.doc_b AND fa.i = fb.i
+  GROUP BY 1, 2
+) WHERE est_jaccard >= 0.5
+"""
+
+    _simhash_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN w ELSE -w END) AS s{b}" for b in range(60)
+    )
+    _simhash_pack = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END << {b})"
+        for b in range(60)
+    )
+    _simhash_cte = f"""
+tc AS (
+  SELECT doc_id, tok, count(*) AS w, {_SQL_MD5_LONG.format(x='tok')} AS h
+  FROM (SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM docs)
+  GROUP BY doc_id, tok
+),
+sums AS (SELECT doc_id, {_simhash_sums} FROM tc GROUP BY doc_id),
+sig AS (SELECT doc_id, ({_simhash_pack}) AS simhash FROM sums)
+"""
+
+    o["dedup_simhash"] = f"""
+WITH {_SQL_DOCS_DUP}, {_simhash_cte}
+SELECT doc_id, simhash FROM sig
+"""
+
+    o["dedup_simhash_pairs"] = f"""
+WITH {_SQL_DOCS_DUP}, {_simhash_cte},
+bands AS (
+  SELECT doc_id, simhash, band, (simhash >> (band * 15)) & 32767 AS bucket
+  FROM sig, unnest(range(4)) AS t(band)
+)
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+) WHERE hamming <= 3
+"""
+
+    _cos = (
+        "round(list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+
+    o["sim_brute_topk"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id < 10),
+s AS (
+  SELECT a.query_id, b.vec_id,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM q a, e b WHERE b.vec_id != a.query_id
+),
+r AS (
+  SELECT query_id, vec_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS INTEGER) AS rank
+  FROM s
+)
+SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= 5
+"""
+
+    o["sim_near_dup_pairs"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE {_cos} >= 0.4
+"""
+
+    o["text_token_stats"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
+       round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+             / GREATEST(len(toks), 1), 4) AS avg_token_len
+FROM t
+"""
+
+    _stop_en = "['the','and','of','to','in','is','it','that','for','with']"
+    o["text_quality"] = f"""
+WITH t AS (
+  SELECT doc_id, text, {_SQL_TOKS} AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct_chars
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_chars, toks,
+         CAST(alpha_chars AS DOUBLE) / GREATEST(n_chars, 1) AS alpha_ratio,
+         CAST(punct_chars AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
+         CAST(len(list_filter(toks, x -> list_contains({_stop_en}, x))) AS DOUBLE)
+           / GREATEST(len(toks), 1) AS stop_ratio
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_chars AS INTEGER) AS n_chars_measured,
+       round(alpha_ratio, 4) AS alpha_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(stop_ratio, 4) AS stopword_ratio,
+       round(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+             + 0.3 * alpha_ratio
+             + 0.3 * LEAST(stop_ratio * 5, 1.0), 4) AS quality_score
+FROM s
+"""
+
+    _lex = {
+        "en": "['the','and','of','to','in','is','it','that','for','with']",
+        "fr": "['le','la','les','de','des','et','est','une','un','dans']",
+        "es": "['el','la','los','de','que','es','en','un','una','por']",
+        "de": "['der','die','das','und','ist','ein','eine','mit','von','zu']",
+        "zh": "['de','shi','le','bu','wo','ni','ta','men','zai','you']",
+    }
+    _hits = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({lex}, x))) AS hits_{lang}"
+        for lang, lex in _lex.items()
+    )
+    _hits_arr = "[" + ", ".join(f"hits_{lang}" for lang in _lex) + "]"
+    _langs_arr = "[" + ", ".join(f"'{lang}'" for lang in _lex) + "]"
+    o["text_langid"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, {_hits} FROM t)
+SELECT doc_id,
+       CASE WHEN list_max({_hits_arr}) = 0 THEN 'und'
+            ELSE {_langs_arr}[list_position({_hits_arr}, list_max({_hits_arr}))] END AS pred_lang,
+       CAST(list_max({_hits_arr}) AS INTEGER) AS best_hits
+FROM h
+"""
+
+    o["text_fingerprint"] = f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
+FROM documents
+"""
+
+    o["stream_tumbling_counts"] = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+    o["stream_sliding_sums"] = """
+WITH f AS (
+  SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS floor30, event_type, value
+  FROM events
+),
+x AS (
+  SELECT unnest([floor30, floor30 - INTERVAL 30 MINUTE]) AS window_start,
+         event_type, value
+  FROM f
+)
+SELECT window_start, event_type,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+FROM x GROUP BY 1, 2
+"""
+
+    o["stream_sessionize"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+    return o

@@ -1,0 +1,96 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": "total_wall_sec", "value": N, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": 0.1}``
+
+Each query is forced end-to-end with the noop sink (full execution, no
+driver collect).  The set covers every operator family: relational
+agg/join/window, dedup (shingle + minhash + simhash), similarity
+search, text analysis, streaming twins, and LDA training (5 Gibbs
+iterations, the per-iteration cost the reference's README benchmarks).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from plda_spark.lda.train import TrainConfig, train_documents
+from plda_spark.session import get_spark
+from plda_spark.sources.tables import load_table
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "window_top_orders_per_customer",
+    "rollup_region_nation_revenue",
+    "distinct_daily_active_users",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "sim_brute_topk",
+    "sim_lsh_topk",
+    "text_token_stats",
+    "text_langid",
+    "text_fingerprint",
+    "stream_tumbling_counts",
+    "stream_sliding_sums",
+    "stream_sessionize",
+    "lda_doc_term_counts",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("plda-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + parquet footer caches outside the timed region.
+    load_table(spark, sf_dir, "lineitem").count()
+    load_table(spark, sf_dir, "documents").count()
+
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    # LDA training: 5 Gibbs iterations over the documents table
+    # (per-iteration sweep + model re-aggregation, mirroring the
+    # reference's per-iteration AllReduce cost model, README.md:132).
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = time.time()
+    cfg = TrainConfig(
+        num_topics=10, total_iterations=5, burn_in_iterations=0,
+        average_model=False, seed=42,
+    )
+    train_documents(docs, cfg)
+    timings["lda_train_5it"] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

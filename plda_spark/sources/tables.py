@@ -46,7 +46,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         else:
             spark.conf.set(_NANOS_CONF, prev)
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # Integer div, not /1000.0: ns epochs (~1.7e18) exceed double's 53-bit
+        # mantissa, so float division silently corrupts the microseconds.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "tumbling_counts_batch",
     "sliding_value_sums_batch",
     "sessionize",
+    "sessionize_batch",
 ]
 
 
@@ -43,11 +44,16 @@ def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = 
 def sliding_value_sums(
     events: DataFrame, window: str = "1 hour", slide: str = "30 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:
-    """Sliding-window value sums per event type."""
+    """Sliding-window value sums per event type.
+
+    Sums run over ``decimal(18,6)`` so results are exact and independent
+    of partitioning / aggregation order (bit-stable vs the batch twin and
+    the DuckDB oracle; double sums are order-dependent).
+    """
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
     )
 
@@ -65,12 +71,6 @@ def tumbling_counts_batch(events: DataFrame) -> DataFrame:
 def sliding_value_sums_batch(events: DataFrame) -> DataFrame:
     """Batch twin of :func:`sliding_value_sums`: each event lands in the
     two half-hour-aligned 1h windows that contain it."""
-    half_hours = F.array(
-        F.date_trunc("hour", "ts"),
-        F.to_timestamp(
-            F.from_unixtime((F.unix_timestamp("ts") - F.unix_timestamp("ts") % 1800) - 1800)
-        ),
-    )
     # Window starts: floor(ts, 30min) and floor(ts, 30min) - 30min.
     floor30 = F.to_timestamp(F.from_unixtime(F.unix_timestamp("ts") - F.unix_timestamp("ts") % 1800))
     starts = F.array(floor30, F.to_timestamp(F.from_unixtime(F.unix_timestamp(floor30) - 1800)))
@@ -79,7 +79,39 @@ def sliding_value_sums_batch(events: DataFrame) -> DataFrame:
             F.explode(starts).alias("window_start"), "event_type", "value"
         )
         .groupBy("window_start", "event_type")
-        .agg(F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"))
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Batch gap-based sessionization (SQL-expressible twin of
+    :func:`sessionize`): a new session starts whenever the gap to the
+    previous event of the same user exceeds ``gap_minutes``.
+
+    Classic lag + cumulative-sum sessionization: one shuffle on
+    ``user_id`` shared by both window passes and the final groupBy (the
+    partitioning is reused, so at scale this is a single exchange).
+    Gaps compare exact microsecond integers — no float time math.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    flagged = events.select(
+        "user_id",
+        "ts",
+        F.when(F.unix_micros(F.col("ts")) - prev_us > gap_us, 1).otherwise(0).alias("new_sess"),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        flagged.withColumn("session_id", F.sum("new_sess").over(cum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )
 
 

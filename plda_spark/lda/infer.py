@@ -95,23 +95,28 @@ def transform(
     )
 
 
-def write_inference_result(result: DataFrame, path: str) -> None:
+def write_inference_result(result: DataFrame, path: str, single_file: bool = False) -> None:
     """Text-format parity with ``infer.cc:94-98``: one line per doc, K
-    space-separated averaged topic counts, in doc order."""
-    (
-        result.orderBy("doc_id")
-        .select(
-            F.array_join(
-                F.transform(
-                    "topic_weights",
-                    lambda v: F.when(
-                        v == F.floor(v), v.cast("long").cast("string")
-                    ).otherwise(F.format_number(v, 6)),
-                ),
-                " ",
-            ).alias("value")
-        )
-        .coalesce(1)
-        .write.mode("overwrite")
-        .text(path)
+    space-separated averaged topic counts, in doc order.
+
+    ``single_file=True`` streams lines through the driver into one plain
+    file (the reference's single-process writer shape — used by the
+    CLI); the default writes a Spark text directory (the scale path).
+    """
+    lines = result.orderBy("doc_id").select(
+        F.array_join(
+            F.transform(
+                "topic_weights",
+                lambda v: F.when(
+                    v == F.floor(v), v.cast("long").cast("string")
+                ).otherwise(F.format_number(v, 6)),
+            ),
+            " ",
+        ).alias("value")
     )
+    if single_file:
+        with open(path, "w", encoding="utf-8") as f:
+            for row in lines.toLocalIterator():
+                f.write(row["value"] + "\n")
+    else:
+        lines.coalesce(1).write.mode("overwrite").text(path)

@@ -34,6 +34,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import _ckernel
+
 __all__ = [
     "make_rng",
     "init_assignments",
@@ -130,6 +132,14 @@ def sweep_docs(
     n_docs = doc_offsets.shape[0] - 1
     # Draw all uniforms for the sweep up front (cheaper than per-occurrence).
     uniforms = rng.random(word_occ.shape[0])
+
+    # Hot path: the compiled C sweep (same algorithm, same uniforms, same
+    # double-precision evaluation order — bit-identical to the loop below;
+    # see _ckernel.py).  Falls through to numpy when no compiler exists.
+    csweep = _ckernel.get_sweep_fn()
+    if csweep is not None and nwk.dtype == nk.dtype and nwk.dtype in (np.int64, np.float64):
+        csweep(word_occ, z, doc_offsets, nwk, nk, alpha, beta, uniforms, update_model)
+        return
     for d in range(n_docs):
         s = doc_offsets[d]
         e = doc_offsets[d + 1]

@@ -95,6 +95,8 @@ def jaccard_pairs(
     key; no cross join).  ``max_shingle_df`` drops ubiquitous shingles —
     the standard guard against quadratic hot keys at scale.
     """
+    from pyspark.sql import Window
+
     sh = shingles(docs, n, text_col, id_col)
     if max_shingle_df is not None:
         df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -102,20 +104,24 @@ def jaccard_pairs(
             F.broadcast(df_counts.where(F.col("df") <= max_shingle_df).select("shingle")),
             "shingle",
         )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # Attach each doc's shingle count via a window so the sizes ride along
+    # with the self-join rows: the shingle pipeline is evaluated exactly
+    # twice (the two join sides) instead of four times (sides + two size
+    # joins), and no extra join stages appear in the plan.
+    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first(F.col("a.n_sh")).alias("n_a"),
+            F.first(F.col("b.n_sh")).alias("n_b"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        inter.select(
             "doc_a",
             "doc_b",
             F.round(
@@ -165,6 +171,10 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(shingles(docs, n, text_col, id_col), num_hashes)
+    # One row per doc — tiny relative to the shingle explosion feeding it.
+    # Persisting it keeps the expensive shingle+min aggregation from being
+    # recomputed for both sides of the band self-join below.
+    sig = sig.persist()
     band_rows = sig.select(
         "doc_id",
         "sig",
@@ -244,7 +254,7 @@ def simhash_pairs(
     ⇒ at least one of 4 bands identical), then exact popcount filter via
     ``bit_count(a XOR b)``.
     """
-    sig = simhash(docs, text_col, id_col)
+    sig = simhash(docs, text_col, id_col).persist()  # one row per doc
     bands = 4
     width = 15
     band_rows = sig.select(

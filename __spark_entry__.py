@@ -364,6 +364,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_monthly_summary"] = orders_monthly_summary
 
+    def cube_status_priority(spark, sf):
+        orders = load_table(spark, sf, "orders")
+        return orders.cube("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+        )
+
+    q["cube_status_priority"] = cube_status_priority
+
+    def string_part_stats(spark, sf):
+        part = load_table(spark, sf, "part")
+        return (
+            part.where(F.col("p_type").like("%OM%"))
+            .select(
+                "p_partkey",
+                F.concat_ws("/", "p_brand", F.upper("p_type")).alias("brand_type"),
+                F.substring("p_name", 1, 8).alias("name_prefix"),
+                F.length("p_name").alias("name_len"),
+                (F.col("p_size") % 10).alias("size_mod"),
+            )
+        )
+
+    q["string_part_stats"] = string_part_stats
+
+    def having_loyal_customers(spark, sf):
+        orders = load_table(spark, sf, "orders")
+        return (
+            orders.groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.max(_dec("o_totalprice")).cast("double").alias("max_price"),
+            )
+            .where(F.col("n_orders") >= 15)
+        )
+
+    q["having_loyal_customers"] = having_loyal_customers
+
     def events_json_props(spark, sf):
         ev = load_table(spark, sf, "events")
         k = F.get_json_object("props", "$.k").cast("long")
@@ -447,6 +484,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
         load_table(spark, sf, "events")
     )
+
+    def stream_sessionize_stateful(spark, sf):
+        """Real Structured Streaming run (availableNow) of the custom
+        stateful sessionization operator; rows-only check."""
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="plda_stream_")
+        events = load_table(spark, sf, "events")
+        src = f"{tmp}/in"
+        events.write.mode("overwrite").parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = f"{tmp}/out"
+        windows.run_stream_available_now(
+            windows.sessionize(stream), out, f"{tmp}/ckpt"
+        )
+        return spark.read.parquet(out)
+
+    q["stream_sessionize_stateful"] = stream_sessionize_stateful
 
     # ---- multimodal plumbing (rows-only: fake decode is Spark-side) -------
     def multimodal_features(spark, sf):
@@ -626,6 +682,30 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
 FROM orders GROUP BY 1, 2
+"""
+
+    o["cube_status_priority"] = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+    o["string_part_stats"] = """
+SELECT p_partkey,
+       concat_ws('/', p_brand, upper(p_type)) AS brand_type,
+       substr(p_name, 1, 8) AS name_prefix,
+       CAST(length(p_name) AS INTEGER) AS name_len,
+       CAST(p_size % 10 AS INTEGER) AS size_mod
+FROM part WHERE p_type LIKE '%OM%'
+"""
+
+    o["having_loyal_customers"] = """
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS max_price
+FROM orders GROUP BY o_custkey HAVING count(*) >= 15
 """
 
     o["events_json_props"] = """

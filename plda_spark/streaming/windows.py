@@ -28,6 +28,7 @@ __all__ = [
     "sliding_value_sums_batch",
     "sessionize",
     "sessionize_batch",
+    "run_stream_available_now",
 ]
 
 
@@ -163,6 +164,51 @@ def _session_fn(
                 "n_events": [n for _, _, n in out],
             }
         )
+
+
+def run_stream_available_now(
+    df: DataFrame, out_path: str, checkpoint_path: str, timeout_s: float = 300.0
+) -> None:
+    """Run a streaming DataFrame to a parquet sink with availableNow and
+    return once all available data is processed.
+
+    Plain windowed queries self-terminate, but a stateful query with
+    ``ProcessingTimeTimeout`` keeps running cleanup batches until every
+    state entry times out (wall-clock!), so ``awaitTermination`` alone
+    would block for the full timeout duration.  We poll the query status
+    and stop as soon as it reports only state cleanup remains.
+    """
+    import time
+
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    t0 = time.time()
+    grace_deadline = None
+    while q.isActive and time.time() - t0 < timeout_s:
+        # "No new data but cleaning up state" is shown both by the final
+        # watermark-emission batch of a windowed query (which then
+        # self-terminates — must NOT be stopped mid-flight) and by the
+        # ProcessingTimeTimeout cleanup loop of a stateful query (which
+        # would spin until every timeout fires, i.e. wall-clock gap
+        # time).  So on first sighting, grant a grace period for
+        # self-termination and only stop a query that is still spinning.
+        if q.lastProgress is not None and q.status.get("message", "").startswith(
+            "No new data but cleaning up state"
+        ):
+            if grace_deadline is None:
+                grace_deadline = time.time() + 10.0
+            elif time.time() > grace_deadline:
+                break
+        q.awaitTermination(1)
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(int(timeout_s))
 
 
 def sessionize(events: DataFrame) -> DataFrame:

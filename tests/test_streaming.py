@@ -19,15 +19,7 @@ def stream_dir(spark, tmp_path_factory):
 def _run_stream(spark, df, tmp_path, name):
     out = str(tmp_path / f"out_{name}")
     ckpt = str(tmp_path / f"ckpt_{name}")
-    q = (
-        df.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    windows.run_stream_available_now(df, out, ckpt)
     return spark.read.parquet(out)
 
 

@@ -159,20 +159,50 @@ def _sweep_fn(bc_nwk, bc_nk, alpha: float, beta: float, seed: int, iteration: in
     return fn
 
 
+def _partial_counts_fn(vocab_size: int, num_topics: int):
+    """Per-partition dense bincount of (word, topic) pairs, emitted as
+    pre-combined sparse triples — the Arrow analog of the reference's
+    per-rank local count rebuild (mpi_lda.cc:99-110).  One numpy pass
+    replaces a JVM explode of one row per token (~10× cheaper: the
+    explode materializes N_tokens rows; this emits ≤ nnz(V×K))."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = vocab_size * num_topics
+        acc = np.zeros(size, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            occ = np.concatenate(list(pdf["word_occ"])).astype(np.int64)
+            zz = np.concatenate(list(pdf["z"])).astype(np.int64)
+            acc += np.bincount(occ * num_topics + zz, minlength=size)
+        nz = np.flatnonzero(acc)
+        yield pd.DataFrame(
+            {
+                "word_id": nz // num_topics,
+                "topic": (nz % num_topics).astype(np.int32),
+                "c": acc[nz],
+            }
+        )
+
+    return fn
+
+
 def _aggregate_model(df_z: DataFrame, vocab_size: int, num_topics: int) -> np.ndarray:
     """Rebuild n_wk from assignments — Spark partial+final agg ≙ AllReduce
-    (mpi_lda.cc:58-110).  Collects ≤ V·K (word_id, topic, count) rows."""
-    rows = (
-        df_z.select(F.explode(F.arrays_zip("word_occ", "z")).alias("p"))
-        .groupBy(
-            F.col("p.word_occ").alias("word_id"), F.col("p.z").alias("topic")
+    (mpi_lda.cc:58-110).  Per-partition numpy partials, then a shuffle of
+    ≤ P·nnz(V×K) pre-combined triples, then an Arrow collect of ≤ V·K
+    rows with a vectorized scatter."""
+    pdf = (
+        df_z.mapInPandas(
+            _partial_counts_fn(vocab_size, num_topics),
+            schema="word_id long, topic int, c long",
         )
-        .agg(F.count(F.lit(1)).alias("c"))
-        .collect()
+        .groupBy("word_id", "topic")
+        .agg(F.sum("c").alias("c"))
+        .toPandas()
     )
     nwk = np.zeros((vocab_size, num_topics), dtype=np.int64)
-    for r in rows:
-        nwk[r["word_id"], r["topic"]] = r["c"]
+    nwk[pdf["word_id"].to_numpy(), pdf["topic"].to_numpy()] = pdf["c"].to_numpy()
     return nwk
 
 

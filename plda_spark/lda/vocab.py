@@ -12,7 +12,7 @@ so the corpus itself never shuffles for id assignment.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["build_vocab", "remap_words"]
@@ -21,15 +21,19 @@ __all__ = ["build_vocab", "remap_words"]
 def build_vocab(corpus: DataFrame, word_col: str = "word") -> DataFrame:
     """``DataFrame[word, word_id]`` with dense 0-based lexicographic ids.
 
-    Mirrors the sort + position-id of ``mpi_lda.cc:197-207``.  The
-    single-partition window is acceptable: it runs over the distinct word
-    set, not the corpus (NYTimes scale: ~100k rows).
+    Mirrors the sort + position-id of ``mpi_lda.cc:197-207``.  Ids come
+    from ``zipWithIndex`` over the range-partitioned (sorted) distinct
+    word set — deterministic dense ids with NO single-partition window
+    (a global ``row_number`` window would funnel the whole vocabulary
+    through one task; ``zipWithIndex`` instead takes per-partition
+    counts and offsets them, staying parallel at any vocabulary size).
     """
-    distinct = corpus.select(F.col(word_col).alias("word")).distinct()
-    w = Window.orderBy("word")
-    return distinct.select(
-        "word", (F.row_number().over(w) - F.lit(1)).cast("long").alias("word_id")
+    spark = corpus.sparkSession
+    distinct_sorted = (
+        corpus.select(F.col(word_col).alias("word")).distinct().orderBy("word")
     )
+    indexed = distinct_sorted.rdd.map(lambda r: r["word"]).zipWithIndex()
+    return spark.createDataFrame(indexed, "word string, word_id long")
 
 
 def remap_words(corpus: DataFrame, vocab: DataFrame, word_col: str = "word", how: str = "inner") -> DataFrame:

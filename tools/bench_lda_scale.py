@@ -1,0 +1,96 @@
+"""Per-iteration LDA training cost at NYTimes scale (README.md:102: 300k
+docs, ~100k vocab, ~100M tokens, K=10).
+
+Generates a synthetic packed corpus distributed (no driver data pass),
+then times the real per-iteration pipeline: broadcast model → C-kernel
+Gibbs sweep (mapInPandas) → localCheckpoint → partial/final count
+aggregation → collect.  This is the cost model the reference's speedup
+chart describes (one AllReduce per iteration, mpi_lda.cc:213-235).
+
+Usage: python tools/bench_lda_scale.py [n_docs] [avg_len] [vocab] [k] [iters]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark import TaskContext
+from pyspark.sql import functions as F
+
+from plda_spark.lda import train as T
+from plda_spark.session import get_spark
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    avg_len = int(sys.argv[2]) if len(sys.argv) > 2 else 333
+    V = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
+    K = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    iters = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+
+    spark = get_spark("lda-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+    P = sc.defaultParallelism
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        rng = np.random.Generator(np.random.PCG64(1234 + pid))
+        for pdf in batches:
+            n = len(pdf)
+            lens = rng.poisson(avg_len, n).clip(min=1)
+            # Zipf-ish word frequencies via squared uniform (hot head).
+            occ = [
+                (rng.random(l) ** 2 * V).astype(np.int32).clip(max=V - 1)
+                for l in lens
+            ]
+            yield pd.DataFrame({"doc_id": pdf["id"], "word_occ": occ})
+
+    packed = (
+        spark.range(n_docs, numPartitions=P)
+        .mapInPandas(gen, schema="doc_id long, word_occ array<int>")
+    )
+    t0 = time.time()
+    df_z = packed.mapInPandas(T._zinit_fn(K, 42), schema=T._SWEEP_SCHEMA)
+    df_z = df_z.localCheckpoint(eager=True)
+    n_tokens = df_z.select(F.sum(F.size("word_occ"))).collect()[0][0]
+    t_init = time.time() - t0
+    t0 = time.time()
+    nwk = T._aggregate_model(df_z, V, K)
+    t_agg0 = time.time() - t0
+
+    iter_times = []
+    for it in range(iters):
+        t0 = time.time()
+        bn = sc.broadcast(nwk)
+        bk = sc.broadcast(nwk.sum(axis=0))
+        swept = df_z.mapInPandas(
+            T._sweep_fn(bn, bk, 0.1, 0.01, 42, it, False), schema=T._SWEEP_SCHEMA
+        )
+        new_z = swept.localCheckpoint(eager=True)
+        df_z.unpersist()
+        df_z = new_z
+        nwk = T._aggregate_model(df_z, V, K)
+        bn.destroy()
+        bk.destroy()
+        iter_times.append(round(time.time() - t0, 2))
+
+    print(json.dumps({
+        "n_docs": n_docs, "vocab": V, "k": K, "n_tokens": int(n_tokens),
+        "cores": P, "init_s": round(t_init, 2), "first_agg_s": round(t_agg0, 2),
+        "iteration_s": iter_times,
+        "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

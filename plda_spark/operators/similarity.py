@@ -85,33 +85,36 @@ def hyperplane_signatures(
 ) -> DataFrame:
     """Sign-bit LSH signature per vector: ``(vec_id, embedding, sig: array<int>)``.
 
-    Hyperplanes are generated driver-side from the seed and inlined as
-    array literals (≤ a few KB) — the broadcast-free equivalent of
-    shipping the planes to executors.
+    Hyperplanes are regenerated from the seed inside each worker (a few
+    KB of numpy, cheaper than a broadcast); signatures come from one
+    Arrow-batched matmul ``X @ planes.T`` per batch — the vectorized
+    form of num_planes dot products per row, ~an order of magnitude
+    faster than per-row fold expressions at scale.
     """
-    planes = _planes(dim, num_planes, seed)
-    sig = F.array(
-        *[
-            (
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        F.array(*[F.lit(float(v)) for v in planes[p]]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda s, v: s + v,
-                )
-                > 0
+    import pandas as pd
+    from collections.abc import Iterator
+
+    schema = f"vec_id long, embedding array<float>, sig array<int>"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes = _planes(dim, num_planes, seed)  # deterministic per seed
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            bits = (X @ planes.T > 0).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vid"],
+                    "embedding": pdf["emb"],
+                    "sig": list(bits),
+                }
             )
-            .cast("int")
-            .alias(f"b{p}")
-            for p in range(num_planes)
-        ]
+
+    src = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("emb")
     )
-    return embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding"), sig.alias("sig")
-    )
+    return src.mapInPandas(fn, schema=schema)
 
 
 def lsh_topk(

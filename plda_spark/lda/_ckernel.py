@@ -160,8 +160,11 @@ def _sweep(
     beta: float,
     uniforms: np.ndarray,
     update_model: bool,
+    vocab_size: int | None = None,
 ) -> None:
     K = nk.shape[0]
+    if vocab_size is None:
+        vocab_size = nwk.shape[0]
     p = np.empty(K, dtype=np.float64)
     ndk = np.empty(K, dtype=np.float64)
     if nwk.dtype == np.int64 and nk.dtype == np.int64:
@@ -175,7 +178,7 @@ def _sweep(
     fn(
         word_occ.ctypes.data, z.ctypes.data, doc_offsets.ctypes.data,
         doc_offsets.shape[0] - 1,
-        nwk.ctypes.data, nk.ctypes.data, nwk.shape[0], K,
+        nwk.ctypes.data, nk.ctypes.data, int(vocab_size), K,
         float(alpha), float(beta), uniforms.ctypes.data,
         1 if update_model else 0, p.ctypes.data, ndk.ctypes.data,
     )

@@ -24,7 +24,7 @@ from .corpus import pack_docs
 from .model import LDAModel
 from .vocab import remap_words
 
-__all__ = ["transform", "write_inference_result"]
+__all__ = ["transform", "transform_model_df", "write_inference_result"]
 
 _OUT_SCHEMA = "doc_id long, topic_weights array<double>"
 
@@ -89,6 +89,106 @@ def transform(
     return packed.mapInPandas(
         _infer_fn(
             bc_nwk, bc_nk, model.alpha, model.beta,
+            total_iterations, burn_in_iterations, seed,
+        ),
+        schema=_OUT_SCHEMA,
+    )
+
+
+def _infer_submodel_fn(nk: np.ndarray, alpha: float, beta: float, vocab_size: int,
+                       total_iterations: int, burn_in_iterations: int, seed: int):
+    """Per-doc inference against a doc-local sub-model (model-as-DataFrame
+    path): each input row carries the doc's occurrence list *in local word
+    indices* plus the matching rows of the model (one counts-array per
+    distinct word).  Only the tiny global n_k is shared."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        rng = kernel.make_rng(seed, pid, 0)
+        K = nk.shape[0]
+        n_avg = total_iterations - burn_in_iterations
+        for pdf in batches:
+            out = []
+            for occ_local, rows in zip(pdf["occ_local"], pdf["sub_counts"]):
+                occ = np.asarray(occ_local, dtype=np.int32)
+                sub_nwk = np.asarray([np.asarray(r) for r in rows], dtype=np.float64)
+                z = kernel.init_assignments(len(occ), K, rng)
+                offsets = np.array([0, len(occ)], dtype=np.int64)
+                acc = np.zeros(K, dtype=np.float64)
+                for it in range(total_iterations):
+                    # sub_nwk rows are this doc's words; the conditional
+                    # only ever reads rows for words in the doc, and the
+                    # frozen-model denominator uses the true global n_k —
+                    # identical math to the broadcast path (sampler.cc:99).
+                    kernel.sweep_docs(
+                        occ, z, offsets, sub_nwk, nk, alpha, beta, rng,
+                        update_model=False, vocab_size=vocab_size,
+                    )
+                    if it >= burn_in_iterations:
+                        acc += np.bincount(z, minlength=K)
+                out.append(acc / n_avg)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "topic_weights": out})
+
+    return fn
+
+
+def transform_model_df(
+    model_df: DataFrame,
+    nk: np.ndarray,
+    corpus: DataFrame,
+    alpha: float = 0.1,
+    beta: float = 0.01,
+    total_iterations: int = 15,
+    burn_in_iterations: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Inference with the model as a DataFrame — the cutover path for
+    V·K beyond the broadcast ceiling (SURVEY.md §4.2: the reference
+    replicates the model per machine and tells users to shrink V or K
+    when it does not fit, README.md:125; this path removes that limit).
+
+    ``model_df``: ``(word_id, topic_counts: array<double>)`` (e.g. from
+    :meth:`LDAModel.to_dataframe` or a parquet model table).  ``nk``:
+    the global K-vector (tiny, passed through the closure).  ``corpus``:
+    ``(doc_id, word_id, count)`` triples, already vocab-mapped (OOV
+    rows simply find no model row and are dropped by the join —
+    ``infer.cc:77-80`` semantics).
+
+    Plan: corpus ⋈ model on ``word_id`` (Catalyst picks shuffle-hash /
+    SMJ at scale — no broadcast of the model anywhere), groupBy doc
+    assembling the doc's sub-model, then embarrassingly-parallel per-doc
+    Gibbs exactly like the broadcast path but against doc-local rows.
+    Each doc ships only the model rows for its own distinct words.
+    """
+    if not (0 <= burn_in_iterations < total_iterations):
+        raise ValueError("need 0 <= burn_in_iterations < total_iterations")
+    vocab_size = model_df.count()
+
+    joined = corpus.join(model_df, "word_id").select(
+        "doc_id", "word_id", "count", "topic_counts"
+    )
+    # Per doc: distinct words sorted by word_id; local index = position.
+    pairs = F.array_sort(
+        F.collect_list(F.struct("word_id", "count", "topic_counts"))
+    )
+    packed = (
+        joined.groupBy("doc_id")
+        .agg(pairs.alias("pairs"))
+        .select(
+            "doc_id",
+            F.flatten(
+                F.transform(
+                    "pairs",
+                    lambda p, i: F.array_repeat(i.cast("int"), p["count"]),
+                )
+            ).alias("occ_local"),
+            F.transform("pairs", lambda p: p["topic_counts"]).alias("sub_counts"),
+        )
+        .where(F.size("occ_local") > 0)
+    )
+    return packed.mapInPandas(
+        _infer_submodel_fn(
+            nk.astype(np.float64), alpha, beta, vocab_size,
             total_iterations, burn_in_iterations, seed,
         ),
         schema=_OUT_SCHEMA,

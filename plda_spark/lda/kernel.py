@@ -113,8 +113,13 @@ def sweep_docs(
     beta: float,
     rng: np.random.Generator,
     update_model: bool = True,
+    vocab_size: int | None = None,
 ) -> None:
     """One Gibbs sweep over a block of documents, in place.
+
+    ``vocab_size`` overrides the V used in the Vβ smoothing denominator —
+    required when ``nwk`` is a doc-local sub-model (model-as-DataFrame
+    inference) whose row count is smaller than the true vocabulary.
 
     ``z`` is always updated; ``nwk``/``nk`` are updated only when
     ``update_model`` (training).  Equivalent to calling the reference's
@@ -127,7 +132,8 @@ def sweep_docs(
     per-doc histogram still tracks reassignments (document.cc:58-67).
     """
     num_topics = nk.shape[0]
-    vocab_size = nwk.shape[0]
+    if vocab_size is None:
+        vocab_size = nwk.shape[0]
     vbeta = vocab_size * beta
     n_docs = doc_offsets.shape[0] - 1
     # Draw all uniforms for the sweep up front (cheaper than per-occurrence).
@@ -138,7 +144,10 @@ def sweep_docs(
     # see _ckernel.py).  Falls through to numpy when no compiler exists.
     csweep = _ckernel.get_sweep_fn()
     if csweep is not None and nwk.dtype == nk.dtype and nwk.dtype in (np.int64, np.float64):
-        csweep(word_occ, z, doc_offsets, nwk, nk, alpha, beta, uniforms, update_model)
+        csweep(
+            word_occ, z, doc_offsets, nwk, nk, alpha, beta, uniforms,
+            update_model, vocab_size,
+        )
         return
     for d in range(n_docs):
         s = doc_offsets[d]

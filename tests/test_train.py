@@ -100,6 +100,38 @@ def test_infer_and_oov(spark, tiny_result):
     assert int(rows[1].argmax()) == block2_owner
 
 
+def test_infer_model_df_matches_broadcast(spark, tiny_result):
+    """Model-as-DataFrame inference (the beyond-broadcast cutover) agrees
+    with the broadcast path on where each doc's topic mass lands."""
+    from plda_spark.lda import infer
+    from plda_spark.lda.vocab import build_vocab, remap_words
+
+    model = tiny_result.raw_model
+    new_docs = spark.createDataFrame(
+        [(0, "w001", 5), (0, "w002", 5), (0, "zzz_oov", 99), (1, "w025", 10)],
+        "doc_id long, word string, count int",
+    )
+    bc = infer.transform(model, new_docs, total_iterations=12, burn_in_iterations=6, seed=3)
+    bc_rows = {r["doc_id"]: np.array(r["topic_weights"]) for r in bc.collect()}
+
+    vocab = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(model.words)], "word string, word_id long"
+    )
+    triples = remap_words(new_docs, vocab).select("doc_id", "word_id", "count")
+    model_df = model.to_dataframe(spark).select("word_id", "topic_counts")
+    df = infer.transform_model_df(
+        model_df, model.nk, triples, alpha=model.alpha, beta=model.beta,
+        total_iterations=12, burn_in_iterations=6, seed=3,
+    )
+    df_rows = {r["doc_id"]: np.array(r["topic_weights"]) for r in df.collect()}
+
+    assert set(df_rows) == set(bc_rows)
+    for d in df_rows:
+        # Same total mass (OOV dropped identically) and same argmax topic.
+        assert df_rows[d].sum() == pytest.approx(bc_rows[d].sum())
+        assert int(df_rows[d].argmax()) == int(bc_rows[d].argmax())
+
+
 def test_describe_topics(spark, tiny_result):
     df = tiny_result.raw_model.describe_topics(spark, top_n=5)
     rows = df.collect()

@@ -47,7 +47,12 @@ from .vocab import build_vocab, remap_words
 
 __all__ = ["TrainConfig", "TrainResult", "train", "train_documents"]
 
-_SWEEP_SCHEMA = "doc_id long, word_occ array<int>, z array<int>, ll double"
+# word_occ / z travel as raw little-endian int32 bytes, not array<int>:
+# binary columns cross the Arrow boundary as one buffer per row
+# (np.frombuffer decode, ~zero-copy) instead of a Python list/ndarray
+# materialization per row — a large constant-factor win when the corpus
+# round-trips the JVM<->Python boundary every Gibbs iteration.
+_SWEEP_SCHEMA = "doc_id long, word_occ binary, z binary, ll double"
 
 
 @dataclass
@@ -82,23 +87,62 @@ class TrainResult:
     log_likelihood: list[float] = field(default_factory=list)  # one per iteration if computed
 
 
-def _zinit_fn(num_topics: int, seed: int):
+def _count_payload_row(pid: int, acc_flat: np.ndarray) -> pd.DataFrame:
+    """Encode a partition's sparse (word,topic) counts as one synthetic
+    row: ``doc_id = -(pid+1)``, ``z`` = interleaved [flat_idx, count, …].
+
+    This rides the sweep's own output schema, so the per-iteration model
+    rebuild reads P tiny payload rows from the checkpoint instead of
+    re-decoding every token array in a second Arrow pass — the shuffle-
+    free end of the reference's local-count-then-AllReduce
+    (mpi_lda.cc:99-110).
+    """
+    nz = np.flatnonzero(acc_flat)
+    assert acc_flat.shape[0] < 2**31, "V*K exceeds int32 payload indexing"
+    assert nz.shape[0] == 0 or acc_flat[nz].max() < 2**31
+    packed = np.empty(2 * nz.shape[0], dtype=np.int32)
+    packed[0::2] = nz
+    packed[1::2] = acc_flat[nz]
+    return pd.DataFrame(
+        {
+            "doc_id": np.array([-(pid + 1)], dtype=np.int64),
+            "word_occ": [b""],
+            "z": [packed.tobytes()],
+            "ll": np.zeros(1),
+        }
+    )
+
+
+def _zinit_fn(num_topics: int, vocab_size: int, seed: int):
+    """Consumes packed ``(doc_id, word_occ: array<int>)``; emits the
+    binary-column sweep layout plus this partition's count payload."""
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
         rng = kernel.make_rng(seed, pid, 0)
+        acc = np.zeros(vocab_size * num_topics, dtype=np.int64)
         for pdf in batches:
-            z = [
-                kernel.init_assignments(len(occ), num_topics, rng)
-                for occ in pdf["word_occ"]
-            ]
+            occs = [np.asarray(o, dtype=np.int32) for o in pdf["word_occ"]]
+            zs = [kernel.init_assignments(len(o), num_topics, rng) for o in occs]
+            if occs:
+                occ_all = (
+                    np.concatenate(occs).astype(np.int64)
+                    if occs else np.empty(0, np.int64)
+                )
+                z_all = np.concatenate(zs) if zs else np.empty(0, np.int64)
+                if occ_all.shape[0]:
+                    acc += np.bincount(
+                        occ_all * num_topics + z_all, minlength=acc.shape[0]
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "word_occ": pdf["word_occ"],
-                    "z": z,
+                    "word_occ": [o.tobytes() for o in occs],
+                    "z": [zz.tobytes() for zz in zs],
                     "ll": np.zeros(len(pdf)),
                 }
             )
+        yield _count_payload_row(pid, acc)
 
     return fn
 
@@ -118,21 +162,23 @@ def _sweep_fn(bc_nwk, bc_nk, alpha: float, beta: float, seed: int, iteration: in
         rng = kernel.make_rng(seed, pid, iteration + 1)
         local_nwk = None
         local_nk = None
+        acc = None
         for pdf in batches:
             if local_nwk is None:
                 local_nwk = bc_nwk.value.copy()
                 local_nk = bc_nk.value.copy()
-            lens = pdf["word_occ"].map(len).to_numpy()
+                acc = np.zeros(local_nwk.size, dtype=np.int64)
+            # Binary columns: one frombuffer over the batch-concatenated
+            # bytes (no per-row ndarray materialization).
+            lens = (pdf["word_occ"].map(len).to_numpy() // 4).astype(np.int64)
             offsets = np.zeros(len(pdf) + 1, dtype=np.int64)
             np.cumsum(lens, out=offsets[1:])
-            word_occ = (
-                np.concatenate(list(pdf["word_occ"])).astype(np.int32)
-                if len(pdf) else np.empty(0, np.int32)
-            )
-            z = (
-                np.concatenate(list(pdf["z"])).astype(np.int32)
-                if len(pdf) else np.empty(0, np.int32)
-            )
+            word_occ = np.frombuffer(
+                b"".join(pdf["word_occ"]), dtype=np.int32
+            ).copy() if len(pdf) else np.empty(0, np.int32)
+            z = np.frombuffer(
+                b"".join(pdf["z"]), dtype=np.int32
+            ).copy() if len(pdf) else np.empty(0, np.int32)
             lls = np.zeros(len(pdf))
             if compute_likelihood:
                 K = local_nk.shape[0]
@@ -147,63 +193,42 @@ def _sweep_fn(bc_nwk, bc_nk, alpha: float, beta: float, seed: int, iteration: in
                 word_occ, z, offsets, local_nwk, local_nk, alpha, beta, rng,
                 update_model=True,
             )
+            if word_occ.shape[0]:
+                K = local_nk.shape[0]
+                acc += np.bincount(
+                    word_occ.astype(np.int64) * K + z, minlength=acc.shape[0]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "word_occ": pdf["word_occ"],
-                    "z": list(np.split(z, offsets[1:-1])) if len(pdf) else [],
+                    "z": [
+                        z[offsets[d]:offsets[d + 1]].tobytes()
+                        for d in range(len(pdf))
+                    ],
                     "ll": lls,
                 }
             )
-
-    return fn
-
-
-def _partial_counts_fn(vocab_size: int, num_topics: int):
-    """Per-partition dense bincount of (word, topic) pairs, emitted as
-    pre-combined sparse triples — the Arrow analog of the reference's
-    per-rank local count rebuild (mpi_lda.cc:99-110).  One numpy pass
-    replaces a JVM explode of one row per token (~10× cheaper: the
-    explode materializes N_tokens rows; this emits ≤ nnz(V×K))."""
-
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        size = vocab_size * num_topics
-        acc = np.zeros(size, dtype=np.int64)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            occ = np.concatenate(list(pdf["word_occ"])).astype(np.int64)
-            zz = np.concatenate(list(pdf["z"])).astype(np.int64)
-            acc += np.bincount(occ * num_topics + zz, minlength=size)
-        nz = np.flatnonzero(acc)
-        yield pd.DataFrame(
-            {
-                "word_id": nz // num_topics,
-                "topic": (nz % num_topics).astype(np.int32),
-                "c": acc[nz],
-            }
-        )
+        if acc is None:  # empty partition still reports (zero) counts
+            acc = np.zeros(bc_nwk.value.size, dtype=np.int64)
+        yield _count_payload_row(pid, acc)
 
     return fn
 
 
 def _aggregate_model(df_z: DataFrame, vocab_size: int, num_topics: int) -> np.ndarray:
-    """Rebuild n_wk from assignments — Spark partial+final agg ≙ AllReduce
-    (mpi_lda.cc:58-110).  Per-partition numpy partials, then a shuffle of
-    ≤ P·nnz(V×K) pre-combined triples, then an Arrow collect of ≤ V·K
-    rows with a vectorized scatter."""
-    pdf = (
-        df_z.mapInPandas(
-            _partial_counts_fn(vocab_size, num_topics),
-            schema="word_id long, topic int, c long",
-        )
-        .groupBy("word_id", "topic")
-        .agg(F.sum("c").alias("c"))
-        .toPandas()
-    )
-    nwk = np.zeros((vocab_size, num_topics), dtype=np.int64)
-    nwk[pdf["word_id"].to_numpy(), pdf["topic"].to_numpy()] = pdf["c"].to_numpy()
-    return nwk
+    """Rebuild n_wk from the per-partition count payloads emitted by the
+    z-init / sweep passes — the reduce end of the reference's AllReduce
+    (mpi_lda.cc:58-110).  Reads P payload rows from the checkpoint (no
+    token-array re-decode, no shuffle) and sums the sparse partials
+    driver-side; driver traffic is ≤ P·nnz(V×K) ints, the same volume
+    the reference's rank-0 receives per AllReduce."""
+    pdf = df_z.where(F.col("doc_id") < 0).select("z").toPandas()
+    flat = np.zeros(vocab_size * num_topics, dtype=np.int64)
+    for buf in pdf["z"]:
+        a = np.frombuffer(buf, dtype=np.int32).astype(np.int64)
+        flat[a[0::2]] += a[1::2]
+    return flat.reshape(vocab_size, num_topics)
 
 
 def train(corpus: DataFrame, config: TrainConfig) -> TrainResult:
@@ -224,7 +249,7 @@ def train(corpus: DataFrame, config: TrainConfig) -> TrainResult:
 
     # z-init (O1's random init, distributed) then initial model (O4).
     df_z = packed.select("doc_id", "word_occ").mapInPandas(
-        _zinit_fn(K, config.seed), schema=_SWEEP_SCHEMA
+        _zinit_fn(K, V, config.seed), schema=_SWEEP_SCHEMA
     )
     df_z = df_z.localCheckpoint(eager=True)
     nwk = _aggregate_model(df_z, V, K)
@@ -236,7 +261,9 @@ def train(corpus: DataFrame, config: TrainConfig) -> TrainResult:
     for it in range(config.total_iterations):
         bc_nwk = sc.broadcast(nwk)
         bc_nk = sc.broadcast(nwk.sum(axis=0))
-        swept = df_z.mapInPandas(
+        # Payload rows (doc_id < 0) carry the previous pass's counts and
+        # must not enter the sweep; the filter is narrow (no shuffle).
+        swept = df_z.where(F.col("doc_id") >= 0).mapInPandas(
             _sweep_fn(
                 bc_nwk, bc_nk, config.alpha, config.beta, config.seed, it,
                 config.compute_likelihood,

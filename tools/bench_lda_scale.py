@@ -59,9 +59,13 @@ def main() -> None:
         .mapInPandas(gen, schema="doc_id long, word_occ array<int>")
     )
     t0 = time.time()
-    df_z = packed.mapInPandas(T._zinit_fn(K, 42), schema=T._SWEEP_SCHEMA)
+    df_z = packed.mapInPandas(T._zinit_fn(K, V, 42), schema=T._SWEEP_SCHEMA)
     df_z = df_z.localCheckpoint(eager=True)
-    n_tokens = df_z.select(F.sum(F.size("word_occ"))).collect()[0][0]
+    n_tokens = (
+        df_z.where(F.col("doc_id") >= 0)
+        .select(F.sum(F.length("word_occ") / 4))
+        .collect()[0][0]
+    )
     t_init = time.time() - t0
     t0 = time.time()
     nwk = T._aggregate_model(df_z, V, K)
@@ -72,7 +76,7 @@ def main() -> None:
         t0 = time.time()
         bn = sc.broadcast(nwk)
         bk = sc.broadcast(nwk.sum(axis=0))
-        swept = df_z.mapInPandas(
+        swept = df_z.where(F.col("doc_id") >= 0).mapInPandas(
             T._sweep_fn(bn, bk, 0.1, 0.01, 42, it, False), schema=T._SWEEP_SCHEMA
         )
         new_z = swept.localCheckpoint(eager=True)

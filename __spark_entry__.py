@@ -271,6 +271,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q5_nation_revenue"] = q5_nation_revenue
 
+    def join_salted_skew(spark, sf):
+        """Salted join (skew tool) — result must equal the plain join."""
+        from plda_spark.operators.joins import salted_join
+
+        li = load_table(spark, sf, "lineitem")
+        part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+        j = salted_join(li.select("l_orderkey", "l_partkey", "l_quantity"),
+                        part.withColumnRenamed("p_partkey", "l_partkey"),
+                        on="l_partkey", salt=8)
+        return j.groupBy("p_brand").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+        )
+
+    q["join_salted_skew"] = join_salted_skew
+
+    def grouping_sets_revenue(spark, sf):
+        load_table(spark, sf, "orders").createOrReplaceTempView("v_orders")
+        load_table(spark, sf, "customer").createOrReplaceTempView("v_customer")
+        load_table(spark, sf, "nation").createOrReplaceTempView("v_nation")
+        load_table(spark, sf, "region").createOrReplaceTempView("v_region")
+        return spark.sql("""
+            SELECT r_name, n_name,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+                   count(*) AS n_orders
+            FROM v_orders
+            JOIN v_customer ON o_custkey = c_custkey
+            JOIN v_nation ON c_nationkey = n_nationkey
+            JOIN v_region ON n_regionkey = r_regionkey
+            GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """)
+
+    q["grouping_sets_revenue"] = grouping_sets_revenue
+
     def join_anti_customers_no_urgent(spark, sf):
         cust = load_table(spark, sf, "customer")
         urgent = load_table(spark, sf, "orders").where(
@@ -621,6 +655,25 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 WHERE c_nationkey = s_nationkey
 GROUP BY r_name, n_name
+"""
+
+    o["join_salted_skew"] = """
+SELECT p_brand,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+    o["grouping_sets_revenue"] = """
+SELECT r_name, n_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
 """
 
     o["join_anti_customers_no_urgent"] = """

@@ -142,3 +142,20 @@ def test_video_frame_sampling(spark, docs):
     frames = multimodal.sample_video_frames(media, every_n=50).collect()
     assert all(r["frame_idx"] % 50 == 0 for r in frames)
     assert all(len(r["frame_features"]) == 16 for r in frames)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from plda_spark.operators.joins import salted_join
+    from plda_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, "/root/testdata/sf0.001", "part").select(
+        "p_partkey", "p_brand"
+    ).withColumnRenamed("p_partkey", "l_partkey")
+    plain = li.join(part, "l_partkey")
+    salted = salted_join(li, part, on="l_partkey", salt=4)
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

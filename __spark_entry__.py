@@ -317,6 +317,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_anti_customers_no_urgent"] = join_anti_customers_no_urgent
 
+    def join_left_customer_orders(spark, sf):
+        cust = load_table(spark, sf, "customer")
+        big = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 450000)
+        j = cust.join(big, cust["c_custkey"] == big["o_custkey"], "left")
+        return j.groupBy("c_custkey", "c_mktsegment").agg(
+            F.count("o_orderkey").alias("n_big_orders"),
+            F.coalesce(F.max(_dec("o_totalprice")).cast("double"), F.lit(0.0)).alias(
+                "max_big_price"
+            ),
+        )
+
+    q["join_left_customer_orders"] = join_left_customer_orders
+
     def join_semi_big_spenders(spark, sf):
         cust = load_table(spark, sf, "customer")
         big = load_table(spark, sf, "orders").where(F.col("o_totalprice") > 400000)
@@ -681,6 +694,15 @@ SELECT c_custkey, c_name, c_mktsegment
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+    o["join_left_customer_orders"] = """
+SELECT c_custkey, c_mktsegment,
+       CAST(count(o_orderkey) AS BIGINT) AS n_big_orders,
+       coalesce(CAST(max(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS max_big_price
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
 """
 
     o["join_semi_big_spenders"] = """

@@ -1,0 +1,120 @@
+"""Property-based tests (hypothesis) for the Spark-free core.
+
+Invariants checked on arbitrary inputs:
+- a Gibbs sweep conserves token counts (Σ n_wk = Σ n_k = N) and keeps
+  every count non-negative (the reference CHECKs this, model.cc:87);
+- the inverse-CDF sampler always returns a valid index and respects
+  zero-probability bins at the extremes;
+- the C kernel (when available) agrees bit-for-bit with the numpy loop;
+- model text serde round-trips arbitrary word/count tables.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from plda_spark.lda import kernel
+from plda_spark.lda.model import LDAModel
+
+
+@st.composite
+def corpus_arrays(draw):
+    V = draw(st.integers(2, 30))
+    K = draw(st.integers(2, 8))
+    n = draw(st.integers(1, 400))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    word_occ = rng.integers(0, V, n).astype(np.int32)
+    cuts = np.sort(rng.integers(0, n + 1, draw(st.integers(0, 5))))
+    offsets = np.unique(np.concatenate([[0], cuts, [n]])).astype(np.int64)
+    return V, K, word_occ, offsets, seed
+
+
+@given(corpus_arrays())
+@settings(max_examples=40, deadline=None)
+def test_sweep_conserves_counts_and_nonnegative(data):
+    V, K, word_occ, offsets, seed = data
+    rng = kernel.make_rng(seed)
+    z = kernel.init_assignments(word_occ.shape[0], K, rng)
+    nwk = kernel.count_nwk(word_occ, z, V, K)
+    nk = nwk.sum(axis=0)
+    n = word_occ.shape[0]
+    kernel.sweep_docs(word_occ, z, offsets, nwk, nk, 0.1, 0.01, rng, True)
+    assert nwk.sum() == n and nk.sum() == n
+    assert (nwk >= 0).all() and (nk >= 0).all()
+    np.testing.assert_array_equal(nwk.sum(axis=0), nk)
+    np.testing.assert_array_equal(nwk, kernel.count_nwk(word_occ, z, V, K))
+    assert ((z >= 0) & (z < K)).all()
+
+
+@given(corpus_arrays())
+@settings(max_examples=25, deadline=None)
+def test_c_and_numpy_paths_agree(data):
+    import os
+
+    from plda_spark.lda import _ckernel
+
+    if _ckernel.get_sweep_fn() is None:
+        pytest.skip("no C compiler")
+    V, K, word_occ, offsets, seed = data
+
+    outs = []
+    for disable in (True, False):
+        if disable:
+            os.environ["PLDA_SPARK_NO_CKERNEL"] = "1"
+        else:
+            os.environ.pop("PLDA_SPARK_NO_CKERNEL", None)
+        _ckernel._tried = False
+        rng = kernel.make_rng(seed)
+        z = kernel.init_assignments(word_occ.shape[0], K, rng)
+        nwk = kernel.count_nwk(word_occ, z, V, K)
+        nk = nwk.sum(axis=0)
+        kernel.sweep_docs(word_occ, z, offsets, nwk, nk, 0.1, 0.01, rng, True)
+        outs.append((z.copy(), nwk.copy(), nk.copy()))
+    os.environ.pop("PLDA_SPARK_NO_CKERNEL", None)
+    _ckernel._tried = False
+    for a, b in zip(outs[0], outs[1]):
+        np.testing.assert_array_equal(a, b)
+
+
+@given(
+    p=st.lists(st.floats(0.0, 100.0), min_size=1, max_size=20),
+    u=st.floats(0.0, 1.0, exclude_max=True),
+)
+@settings(max_examples=100, deadline=None)
+def test_inverse_cdf_sample_valid_index(p, u):
+    arr = np.asarray(p, dtype=np.float64)
+    if arr.sum() == 0:
+        arr[0] = 1.0
+    k = kernel.inverse_cdf_sample(arr, u)
+    assert 0 <= k < arr.shape[0]
+    # A zero-mass leading bin is only chosen when the scan target
+    # u * sum(p) is exactly 0 — including float underflow, the same
+    # behavior as the reference's GetAccumulativeSample (common.cc:31-50).
+    if arr[0] == 0.0 and u * arr.sum() > 0.0:
+        assert k > 0
+
+
+_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(
+    words=st.lists(_word, min_size=1, max_size=20, unique=True),
+    k=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=30, deadline=None)
+def test_model_text_roundtrip(tmp_path_factory, words, k, seed):
+    rng = np.random.Generator(np.random.PCG64(seed))
+    nwk = rng.integers(0, 10_000, (len(words), k)).astype(np.int64)
+    m = LDAModel(nwk, words, 0.1, 0.01)
+    path = str(tmp_path_factory.mktemp("prop") / "model.txt")
+    m.save_text(path)
+    m2 = LDAModel.load_text(path)
+    assert m2.words == m.words
+    np.testing.assert_array_equal(m2.nwk, m.nwk)
+    np.testing.assert_array_equal(m2.nk, m.nk)

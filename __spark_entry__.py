@@ -507,6 +507,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_lsh_topk"] = sim_lsh_topk
 
+    def sim_ivf_topk(spark, sf):
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_topk(emb, qs, dim=64, k=5, n_cells=16, n_probe=16)
+
+    # n_probe == n_cells scans every cell → identical to the brute-force
+    # oracle (the approximate path is exercised with n_probe < n_cells in
+    # tests; here the gate checks the IVF plan end-to-end for exactness).
+    q["sim_ivf_topk"] = sim_ivf_topk
+
     # ---- text analysis -----------------------------------------------------
     q["text_token_stats"] = lambda spark, sf: text.token_stats(
         load_table(spark, sf, "documents")
@@ -904,6 +916,8 @@ r AS (
 )
 SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= 5
 """
+
+    o["sim_ivf_topk"] = o["sim_brute_topk"]
 
     o["sim_near_dup_pairs"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

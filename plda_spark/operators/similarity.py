@@ -23,7 +23,15 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "hyperplane_signatures", "lsh_topk", "embedding_near_dup_pairs"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "hyperplane_signatures",
+    "lsh_topk",
+    "ivf_assign",
+    "ivf_topk",
+    "embedding_near_dup_pairs",
+]
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -169,6 +177,113 @@ def lsh_topk(
         "query_id",
         "vec_id",
         F.round(cosine(F.col("__query_id_vec"), F.col("__vec_id_vec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+def _kmeans(sample: np.ndarray, n_cells: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Plain seeded Lloyd's k-means on a driver-side sample (the standard
+    way an IVF coarse quantizer is trained: sample → centroids)."""
+    rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence(seed)))
+    cents = sample[rng.choice(sample.shape[0], n_cells, replace=sample.shape[0] < n_cells)]
+    for _ in range(iters):
+        d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return cents
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest IVF cells:
+    ``(vec_id, embedding, cell)``, one row per probed cell.  One Arrow
+    matmul per batch; centroids travel in the closure (n_cells×dim
+    floats — a few hundred KB at most)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c = centroids
+        c2 = (c**2).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            d2 = (X**2).sum(axis=1)[:, None] - 2 * (X @ c.T) + c2[None, :]
+            cells = np.argsort(d2, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(pdf["vid"].to_numpy(), n_probe),
+                    "embedding": [e for e in pdf["emb"] for _ in range(n_probe)],
+                    "cell": cells.reshape(-1).astype(np.int32),
+                }
+            )
+
+    src = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
+    return src.mapInPandas(fn, schema="vec_id long, embedding array<float>, cell int")
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    max_train_sample: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer → cell-equi-join
+    candidates → exact cosine re-rank.
+
+    The corpus is indexed with 1 cell per vector; each query probes its
+    ``n_probe`` nearest cells, so the scanned fraction is ~n_probe /
+    n_cells of the corpus (vs the LSH path's band-collision candidates).
+    ``n_probe == n_cells`` degenerates to exact brute force.  Centroids
+    are trained on a deterministic driver-side sample.
+    """
+    sample = np.stack(
+        [
+            np.asarray(r["emb"], dtype=np.float64)
+            for r in embeddings.select(F.col(vec_col).alias("emb"))
+            .orderBy(F.col(id_col))
+            .limit(max_train_sample)
+            .collect()
+        ]
+    )
+    cents = _kmeans(sample, n_cells, seed)
+    corpus_cells = ivf_assign(embeddings, cents, 1, id_col, vec_col)
+    query_cells = ivf_assign(queries, cents, n_probe, query_id_col, vec_col).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qvec"),
+        "cell",
+    )
+    cand = (
+        query_cells.join(corpus_cells, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("__qvec"), F.col("embedding")), 6).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (

@@ -159,3 +159,34 @@ def test_salted_join_equals_plain_join(spark):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_ivf_topk_exhaustive_equals_brute(spark, embeddings):
+    """n_probe == n_cells scans every cell, so IVF must equal brute force."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import similarity
+
+    qs = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_topk(embeddings, qs, k=3)
+    ivf = similarity.ivf_topk(embeddings, qs, dim=8, k=3, n_cells=4, n_probe=4)
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in brute.collect()}
+    i = {(r["query_id"], r["rank"]): r["vec_id"] for r in ivf.collect()}
+    assert b == i
+
+
+def test_ivf_topk_probe_subset_recall(spark, embeddings):
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import similarity
+
+    qs = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_topk(embeddings, qs, k=3)
+    ivf = similarity.ivf_topk(embeddings, qs, dim=8, k=3, n_cells=4, n_probe=2)
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    i = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
+    assert len(b & i) / len(b) >= 0.3  # partial probe keeps useful recall

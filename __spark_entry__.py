@@ -498,6 +498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "embeddings"), threshold=0.4
     )
 
+    # Exhaustive probing (n_probe == n_cells) makes the blocked scale path
+    # exact, so the brute-force oracle applies to the whole IVF-blocked plan.
+    q["sim_near_dup_blocked"] = lambda spark, sf: similarity.embedding_near_dup_pairs_blocked(
+        load_table(spark, sf, "embeddings"), dim=64, threshold=0.4,
+        n_cells=8, n_probe=8,
+    )
+
     def sim_lsh_topk(spark, sf):
         emb = load_table(spark, sf, "embeddings")
         qs = emb.where(F.col("vec_id") < 10).select(
@@ -925,6 +932,7 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_cos} >= 0.4
 """
+    o["sim_near_dup_blocked"] = o["sim_near_dup_pairs"]
 
     o["text_token_stats"] = f"""
 WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)

@@ -31,6 +31,7 @@ __all__ = [
     "ivf_assign",
     "ivf_topk",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_blocked",
 ]
 
 
@@ -308,6 +309,49 @@ def embedding_near_dup_pairs(
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")
+        )
+        .where(F.col("sim") >= threshold)
+    )
+
+
+def embedding_near_dup_pairs_blocked(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_cells: int = 64,
+    n_probe: int = 2,
+    seed: int = 42,
+    max_train_sample: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs at scale: IVF-cell blocking instead of the O(n²)
+    cross pair join.  Each vector lands in its ``n_probe`` nearest cells;
+    candidate pairs are same-cell collisions (an equi-join on ``cell``),
+    then the exact cosine filter runs on candidates only.  Near-dup
+    vectors are near-identical points, so multi-probe assignment makes a
+    shared cell overwhelmingly likely; recall rises with ``n_probe``.
+    """
+    sample = np.stack(
+        [
+            np.asarray(r["emb"], dtype=np.float64)
+            for r in embeddings.select(F.col(vec_col).alias("emb"))
+            .orderBy(F.col(id_col))
+            .limit(max_train_sample)
+            .collect()
+        ]
+    )
+    cells = ivf_assign(
+        embeddings, _kmeans(sample, n_cells, seed), n_probe, id_col, vec_col
+    )
+    a = cells.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), "cell")
+    b = cells.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), "cell")
+    return (
+        a.join(b, ["cell"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
         .select(
             "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")
         )

@@ -190,3 +190,15 @@ def test_ivf_topk_probe_subset_recall(spark, embeddings):
     b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
     i = {(r["query_id"], r["vec_id"]) for r in ivf.collect()}
     assert len(b & i) / len(b) >= 0.3  # partial probe keeps useful recall
+
+
+def test_embedding_near_dup_blocked_finds_planted_pair(spark, embeddings):
+    from plda_spark.operators import similarity
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.embedding_near_dup_pairs_blocked(
+            embeddings, dim=8, threshold=0.95, n_cells=3, n_probe=2
+        ).collect()
+    }
+    assert (0, 1) in pairs  # the planted near-duplicate

@@ -832,11 +832,17 @@ SELECT doc_a, doc_b, jaccard FROM (
 ) WHERE jaccard >= 0.5
 """
 
+    from plda_spark.operators.dedup import MINHASH_P, minhash_params
+
+    _mh = minhash_params(16)
+    _a_arr = "[" + ",".join(str(a) for a, _ in _mh) + "]"
+    _b_arr = "[" + ",".join(str(b) for _, b in _mh) + "]"
     _minhash_flat = f"""
 flat AS (
   SELECT doc_id, CAST(i AS INTEGER) AS i,
-         min({_SQL_MD5_LONG.format(x="shingle || '#' || CAST(i AS VARCHAR)")}) AS min_hash
-  FROM sh, unnest(range(16)) AS t(i)
+         min(({_a_arr}[i+1] * (h % {MINHASH_P}) + {_b_arr}[i+1]) % {MINHASH_P}) AS min_hash
+  FROM (SELECT doc_id, {_SQL_MD5_LONG.format(x='shingle')} AS h FROM sh),
+       unnest(range(16)) AS t(i)
   GROUP BY doc_id, i
 )
 """

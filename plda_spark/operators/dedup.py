@@ -24,6 +24,8 @@ the retained representative).
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -132,18 +134,35 @@ def jaccard_pairs(
     )
 
 
+# Universal-hash family for MinHash: hash_i(s) = (a_i * (md5long(s) % P) + b_i) % P.
+# One md5 per shingle (not one per hash function), then integer transforms
+# whose products stay under 2^62 — exactly reproducible in ANSI SQL.
+MINHASH_P = 2_147_483_647  # Mersenne prime 2^31 - 1
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs, a_i != 0, derived from a fixed seed."""
+    rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence(20240813)))
+    return [
+        (int(rng.integers(1, MINHASH_P)), int(rng.integers(0, MINHASH_P)))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     sh: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
     """``(doc_id, shingle)`` → ``(doc_id, sig: array<bigint>)``.
 
-    Hash i of a shingle is the md5-derived bigint of ``shingle || '#' || i``;
-    the signature component is the per-doc min — a single groupBy with
-    map-side combine (no Python).
+    The shingle is md5-hashed once; component i applies the universal
+    hash ``(a_i * h + b_i) mod P`` and the signature is the per-doc min —
+    a single groupBy with map-side combine, all JVM-side.
     """
+    params = minhash_params(num_hashes)
+    h = _md5_long(F.col("shingle")) % F.lit(MINHASH_P)
     mins = [
-        F.min(_md5_long(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(f"h{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+        for i, (a, b) in enumerate(params)
     ]
     agg = sh.groupBy("doc_id").agg(*mins)
     return agg.select(

@@ -388,6 +388,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["setop_purchasers_intersect_signup"] = setop_purchasers_intersect_signup
 
+    def join_full_outer_daily(spark, sf):
+        ev = load_table(spark, sf, "events")
+        day = F.date_trunc("day", "ts").alias("day")
+        p = (
+            ev.where(F.col("event_type") == "purchase")
+            .groupBy(day).agg(F.count(F.lit(1)).alias("n_purchases"))
+        )
+        err = (
+            ev.where(F.col("event_type") == "error")
+            .groupBy(day).agg(F.count(F.lit(1)).alias("n_errors"))
+        )
+        return (
+            p.join(err, "day", "full_outer")
+            .select(
+                "day",
+                F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+                F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+            )
+        )
+
+    q["join_full_outer_daily"] = join_full_outer_daily
+
+    def agg_approx_distinct(spark, sf):
+        """HLL sketch op — rows-only (sketch estimates are engine-specific);
+        exact countDistinct rides along as the sanity anchor."""
+        ev = load_table(spark, sf, "events")
+        return ev.groupBy("event_type").agg(
+            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+
+    q["agg_approx_distinct"] = agg_approx_distinct
+
     def distinct_daily_active_users(spark, sf):
         ev = load_table(spark, sf, "events")
         return (
@@ -569,6 +602,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return spark.read.parquet(out)
 
     q["stream_sessionize_stateful"] = stream_sessionize_stateful
+
+    def stream_dedup_batch(spark, sf):
+        ev = load_table(spark, sf, "events")
+        dup = ev.unionAll(ev)  # planted duplicates, reproducible in SQL
+        return windows.stream_dedup_batch(dup, keys=["event_id"]).select(
+            "event_id", "user_id", "event_type"
+        )
+
+    q["stream_dedup"] = stream_dedup_batch
 
     # ---- multimodal plumbing (rows-only: fake decode is Spark-side) -------
     def multimodal_features(spark, sf):
@@ -762,6 +804,33 @@ SELECT user_id FROM events WHERE event_type = 'error' AND ts < TIMESTAMP '2024-0
 SELECT user_id FROM events WHERE event_type = 'purchase'
 INTERSECT
 SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+    o["stream_dedup"] = """
+WITH dup AS (
+  SELECT * FROM events UNION ALL SELECT * FROM events
+),
+r AS (
+  SELECT event_id, user_id, event_type,
+         row_number() OVER (PARTITION BY event_id ORDER BY ts, event_id) AS rn
+  FROM dup
+)
+SELECT event_id, user_id, event_type FROM r WHERE rn = 1
+"""
+
+    o["join_full_outer_daily"] = """
+WITH p AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+e AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n_errors
+  FROM events WHERE event_type = 'error' GROUP BY 1
+)
+SELECT coalesce(p.day, e.day) AS day,
+       CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce(n_errors, 0) AS BIGINT) AS n_errors
+FROM p FULL OUTER JOIN e ON p.day = e.day
 """
 
     o["distinct_daily_active_users"] = """

@@ -28,6 +28,8 @@ __all__ = [
     "sliding_value_sums_batch",
     "sessionize",
     "sessionize_batch",
+    "stream_dedup",
+    "stream_dedup_batch",
     "run_stream_available_now",
 ]
 
@@ -164,6 +166,28 @@ def _session_fn(
                 "n_events": [n for _, _, n in out],
             }
         )
+
+
+def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact deduplication: keep the first event per key within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` bounds the
+    dedup state by event time, so state size tracks the horizon, not the
+    stream length — the streaming twin of the batch ``exact_dedup``)."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def stream_dedup_batch(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Batch twin: one row per key (first by timestamp, ties by event_id)."""
+    from pyspark.sql import Window
+
+    keys = keys or ["event_id"]
+    w = Window.partitionBy(*keys).orderBy("ts", "event_id")
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
 
 def run_stream_available_now(

@@ -68,3 +68,20 @@ def test_sessionize_stateful(spark, stream_dir, tmp_path):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+
+
+def test_stream_dedup(spark, stream_dir, tmp_path):
+    """Duplicated stream input → streaming dedup keeps one row per key."""
+    import pyspark.sql.functions as F
+
+    dup_dir = str(tmp_path / "dup_in")
+    src = spark.read.parquet(stream_dir)
+    src.unionAll(src).write.mode("overwrite").parquet(dup_dir)
+    schema = src.schema
+    stream = spark.readStream.schema(schema).parquet(dup_dir)
+    res = _run_stream(
+        spark, windows.stream_dedup(stream, keys=["event_id"]), tmp_path, "dedup"
+    )
+    n_unique = src.select("event_id").distinct().count()
+    assert res.count() == n_unique
+    assert res.select("event_id").distinct().count() == n_unique

@@ -107,10 +107,12 @@ def jaccard_pairs(
             "shingle",
         )
     # Attach each doc's shingle count via a window so the sizes ride along
-    # with the self-join rows: the shingle pipeline is evaluated exactly
-    # twice (the two join sides) instead of four times (sides + two size
-    # joins), and no extra join stages appear in the plan.
-    sh = sh.withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    # with the self-join rows (no separate size-join stages), and persist
+    # the shingle set so the tokenize→shingle pipeline runs once for both
+    # self-join sides.
+    sh = sh.withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    ).persist()
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

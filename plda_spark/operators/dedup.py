@@ -245,25 +245,48 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     """64-bit SimHash per doc from md5-derived token hashes.
 
     For each bit b: sign = Σ_tokens (bit_b(h(token)) ? +w : −w) with
-    w = token count; signature bit b = sign > 0.  Implemented as
-    explode → per-(doc,bit) aggregation → bit-pack; all JVM-side.
+    w = token count; signature bit b = sign > 0.  Token hashing (md5 →
+    bigint, identical to the SQL oracle) and the (doc, token) weight
+    aggregation run JVM-side; the 60-bit signed accumulation + packing
+    runs as one vectorized numpy bit-matrix pass per Arrow batch after a
+    repartition on doc_id (one narrow-ish shuffle replacing 60
+    interpreted conditional-sum aggregates).
     """
-    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok"))
-    tok_counts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("w"))
-    h = _md5_long(F.col("tok"))  # 60 usable bits
+    import pandas as pd
+    from collections.abc import Iterator
+
     bits = min(bits, 60)
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.col("w")).otherwise(-F.col("w"))
-        ).alias(f"s{b}")
-        for b in range(bits)
-    ]
-    sums = tok_counts.groupBy("doc_id").agg(*bit_cols)
-    sig = None
-    for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        sig = term if sig is None else sig + F.shiftleft(term, b)
-    return sums.select("doc_id", sig.alias("simhash"))
+    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok"))
+    tok_counts = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .select("doc_id", F.col("w").cast("long"), _md5_long(F.col("tok")).alias("h"))
+        .repartition("doc_id")
+    )
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # A doc's rows are co-located in this partition but may be split
+        # across Arrow batches — accumulate per-doc bit sums across ALL
+        # batches, emit once at the end.
+        bit_idx = np.arange(bits, dtype=np.int64)
+        acc: pd.DataFrame | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            h = pdf["h"].to_numpy(dtype=np.int64)
+            w = pdf["w"].to_numpy(dtype=np.int64)
+            signed = np.where(
+                ((h[:, None] >> bit_idx) & 1).astype(bool), w[:, None], -w[:, None]
+            )
+            g = pd.DataFrame(signed, index=pdf["doc_id"].to_numpy()).groupby(level=0).sum()
+            acc = g if acc is None else acc.add(g, fill_value=0)
+        if acc is not None:
+            packed = ((acc.to_numpy() > 0).astype(np.int64) << bit_idx).sum(axis=1)
+            yield pd.DataFrame(
+                {"doc_id": acc.index.to_numpy().astype(np.int64), "simhash": packed}
+            )
+
+    return tok_counts.mapInPandas(pack, schema="doc_id long, simhash long")
 
 
 def simhash_pairs(

@@ -194,6 +194,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lda_infer_theta"] = lda_infer_theta
 
+    def source_plda_roundtrip(spark, sf):
+        """plda text-format writer → reader round-trip (O1/O16 surface):
+        the recovered triples must equal the direct tokenization, so the
+        lda_doc_term_counts oracle applies verbatim (doc ids are dense
+        0..N-1 and every doc has ≥1 token, so line order preserves ids)."""
+        import tempfile
+
+        from plda_spark.sources.plda_text import read_plda_corpus, write_plda_corpus
+
+        tmp = tempfile.mkdtemp(prefix="plda_fmt_") + "/corpus"
+        write_plda_corpus(_corpus(spark, sf), tmp)
+        return read_plda_corpus(spark, tmp)
+
+    q["source_plda_roundtrip"] = source_plda_roundtrip
+
     # ---- relational surface (SURVEY §2.2) over TPC-H-ish tables -----------
     def q1_pricing_summary(spark, sf):
         li = load_table(spark, sf, "lineitem").where(
@@ -645,6 +660,8 @@ WITH tok AS (
 SELECT doc_id, word, CAST(count(*) AS INTEGER) AS count
 FROM tok GROUP BY doc_id, word
 """
+
+    o["source_plda_roundtrip"] = o["lda_doc_term_counts"]
 
     o["lda_vocab"] = f"""
 WITH tok AS (

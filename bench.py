@@ -58,9 +58,11 @@ def main() -> None:
     spark = get_spark("plda-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + parquet footer caches outside the timed region.
+    # Warm the JVM, parquet footer caches, and the Python worker pool
+    # outside the timed region (steady-state numbers, standard practice).
     load_table(spark, sf_dir, "lineitem").count()
-    load_table(spark, sf_dir, "documents").count()
+    docs = load_table(spark, sf_dir, "documents")
+    docs.limit(64).mapInPandas(lambda it: it, schema=docs.schema).count()
 
     qs = entrymod.queries()
     timings: dict[str, float] = {}

@@ -588,6 +588,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents")
     )
 
+    # ---- sampling / splitting / packing (training-data pipeline) ----------
+    def sample_hash_mod(spark, sf):
+        from plda_spark.operators.sampling import hash_mod_sample
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
+        return hash_mod_sample(docs, keep_pct=20)
+
+    q["sample_hash_mod"] = sample_hash_mod
+
+    def sample_train_val_test(spark, sf):
+        from plda_spark.operators.sampling import train_val_test_split
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        return train_val_test_split(docs).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n_docs")
+        )
+
+    q["sample_train_val_test"] = sample_train_val_test
+
+    def sample_pack_sequences(spark, sf):
+        from plda_spark.operators.sampling import pack_sequences
+
+        stats = text.token_stats(load_table(spark, sf, "documents")).select(
+            "doc_id", "n_tokens"
+        )
+        return pack_sequences(stats, max_tokens=2048)
+
+    q["sample_pack_sequences"] = sample_pack_sequences
+
     # ---- streaming twins (batch mode; streaming parity in tests) ----------
     q["stream_tumbling_counts"] = lambda spark, sf: windows.tumbling_counts_batch(
         load_table(spark, sf, "events")
@@ -1091,6 +1120,31 @@ FROM h
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
 FROM documents
+"""
+
+    _bucket = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    o["sample_hash_mod"] = f"""
+SELECT doc_id, lang, n_chars FROM documents WHERE {_bucket} < 20
+"""
+
+    o["sample_train_val_test"] = f"""
+WITH s AS (
+  SELECT CASE WHEN {_bucket} < 10 THEN 'test'
+              WHEN {_bucket} < 20 THEN 'val'
+              ELSE 'train' END AS split
+  FROM documents
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY split
+"""
+
+    o["sample_pack_sequences"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS INTEGER) AS n_tokens FROM documents
+)
+SELECT doc_id, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                   - n_tokens) / 2048.0) AS BIGINT) AS bin_id
+FROM t
 """
 
     o["stream_tumbling_counts"] = """

@@ -1,0 +1,81 @@
+"""Deterministic sampling, splitting, and sequence packing for
+training-data pipelines.
+
+All three primitives are hash- or prefix-sum-based rather than
+RNG-based, so they are exactly reproducible across engines, runs, and
+cluster sizes — the property a 100 TB pipeline needs for resumable /
+auditable dataset construction:
+
+- ``hash_mod_sample`` — keep a row iff ``md5(key) mod N < k``: a stable
+  pseudo-random sample that never changes when the data is repartitioned
+  or re-read (vs ``df.sample``, whose output depends on partitioning).
+- ``train_val_test_split`` — the same hash routed into named buckets.
+- ``pack_sequences`` — assign documents to ~``max_tokens`` bins by
+  cumulative token count in a deterministic order (the distributed
+  analog of sequence packing for LLM pretraining batches; a running-sum
+  window, no driver loop).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["hash_bucket", "hash_mod_sample", "train_val_test_split", "pack_sequences"]
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Stable bucket in [0, buckets) from the md5 of the key's string form."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 15), 16, 10).cast("long")
+    return h % buckets
+
+
+def hash_mod_sample(
+    df: DataFrame, keep_pct: int, key_col: str = "doc_id", buckets: int = 100
+) -> DataFrame:
+    """Keep rows whose hash bucket < ``keep_pct`` (of ``buckets``)."""
+    return df.where(hash_bucket(F.col(key_col), buckets) < keep_pct)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """Adds a ``split`` column: 'test' | 'val' | 'train' by hash bucket."""
+    b = hash_bucket(F.col(key_col), buckets)
+    return df.withColumn(
+        "split",
+        F.when(b < test_pct, F.lit("test"))
+        .when(b < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def pack_sequences(
+    docs_with_len: DataFrame,
+    max_tokens: int,
+    len_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``(doc_id, n_tokens, …)`` → ``(doc_id, n_tokens, bin_id)``.
+
+    Documents are laid out in ``id_col`` order and cut into bins of at
+    most ``max_tokens`` by running token count: ``bin_id =
+    floor((cumsum - n) / max_tokens)`` — deterministic, one window pass.
+    Oversized documents (> max_tokens) occupy bins alone.
+
+    Scale note: a single unpartitioned running sum would bottleneck on
+    one task; shard the window by a coarse hash prefix for truly huge
+    corpora (each shard packs independently — bins never needed to be
+    globally contiguous).
+    """
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum(F.col(len_col)).over(w)
+    return docs_with_len.select(
+        id_col,
+        len_col,
+        F.floor((cum - F.col(len_col)) / max_tokens).cast("long").alias("bin_id"),
+    )

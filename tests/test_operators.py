@@ -202,3 +202,32 @@ def test_embedding_near_dup_blocked_finds_planted_pair(spark, embeddings):
         ).collect()
     }
     assert (0, 1) in pairs  # the planted near-duplicate
+
+
+def test_sampling_primitives(spark, docs):
+    from plda_spark.operators.sampling import (
+        hash_mod_sample,
+        pack_sequences,
+        train_val_test_split,
+    )
+    from plda_spark.operators.text import token_stats
+
+    # Hash sampling is stable under repartitioning.
+    s1 = {r["doc_id"] for r in hash_mod_sample(docs, 50).collect()}
+    s2 = {r["doc_id"] for r in hash_mod_sample(docs.repartition(7), 50).collect()}
+    assert s1 == s2
+
+    # Splits are disjoint and exhaustive.
+    split = train_val_test_split(docs)
+    assert split.count() == docs.count()
+    assert set(r["split"] for r in split.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+
+    # Packing: every bin except possibly per-oversized-doc bins fits.
+    stats = token_stats(docs).select("doc_id", "n_tokens")
+    packed = pack_sequences(stats, max_tokens=30)
+    bins = packed.groupBy("bin_id").sum("n_tokens").collect()
+    per_doc_max = max(r["n_tokens"] for r in stats.collect())
+    for r in bins:
+        assert r["sum(n_tokens)"] <= 30 + per_doc_max  # greedy cut bound

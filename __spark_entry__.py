@@ -587,6 +587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_fingerprint"] = lambda spark, sf: text.fingerprint(
         load_table(spark, sf, "documents")
     )
+    q["text_tfidf"] = lambda spark, sf: text.tf_idf(load_table(spark, sf, "documents"))
+    q["text_collocations"] = lambda spark, sf: text.collocations(
+        load_table(spark, sf, "documents"), min_count=5
+    )
 
     # ---- sampling / splitting / packing (training-data pipeline) ----------
     def sample_hash_mod(spark, sf):
@@ -1120,6 +1124,39 @@ FROM h
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
 FROM documents
+"""
+
+    o["text_tfidf"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+),
+tc AS (SELECT doc_id, word, count(*) AS tc FROM tok GROUP BY doc_id, word),
+dl AS (SELECT doc_id, sum(tc) AS doc_len FROM tc GROUP BY doc_id),
+dfc AS (SELECT word, count(*) AS df FROM tc GROUP BY word),
+n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT tc.doc_id, tc.word,
+       round((tc / CAST(doc_len AS DOUBLE)) * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1), 6) AS tfidf
+FROM tc JOIN dl ON tc.doc_id = dl.doc_id JOIN dfc ON tc.word = dfc.word, n
+"""
+
+    o["text_collocations"] = f"""
+WITH base AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+uni AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(toks) AS w FROM base) GROUP BY w
+),
+bg AS (
+  SELECT bgs['a'] AS a, bgs['b'] AS b, count(*) AS c_ab FROM (
+    SELECT unnest(list_transform(range(1, len(toks)),
+                  i -> struct_pack(a := toks[i], b := toks[i+1]))) AS bgs
+    FROM base WHERE len(toks) >= 2
+  ) GROUP BY 1, 2 HAVING count(*) >= 5
+),
+tot AS (SELECT sum(c_ab) AS t_total FROM bg)
+SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
+       round(ln(c_ab * CAST(t_total AS DOUBLE) / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
+FROM bg, tot
+JOIN uni ua ON ua.w = a
+JOIN uni ub ON ub.w = b
 """
 
     _bucket = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"

@@ -22,6 +22,8 @@ __all__ = [
     "token_stats",
     "quality_score",
     "language_id",
+    "tf_idf",
+    "collocations",
     "fingerprint",
     "STOPWORDS",
 ]
@@ -122,6 +124,91 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         .otherwise(F.element_at(lang_arr, best.cast("int")))
         .alias("pred_lang"),
         F.array_max(hits).alias("best_hits"),
+    )
+
+
+def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, word) TF-IDF: ``tf = count / doc_len``, ``idf =
+    ln((N + 1) / (df + 1)) + 1`` (smoothed, scikit-learn convention).
+
+    Two aggregations (term counts, document frequencies) + one broadcast
+    scalar (N); everything else is per-row arithmetic.  ``tfidf`` rounds
+    to 6 decimals: the value is a product/log of exact integer ratios,
+    so both engines compute identical doubles.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("word")
+    )
+    tc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tc"))
+    doc_len = tc.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
+    df_counts = tc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col)).collect()[0][0]
+    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    return (
+        tc.join(doc_len, "doc_id")
+        .join(F.broadcast(df_counts), "word")
+        .select(
+            "doc_id",
+            "word",
+            F.round((F.col("tc") / F.col("doc_len")) * idf, 6).alias("tfidf"),
+        )
+    )
+
+
+def collocations(
+    docs: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus bigram collocations scored by PMI:
+    ``pmi = ln(c(a,b) * T / (c(a) * c(b)))`` over adjacent token pairs
+    (T = total bigram count).  One explode for unigrams, one
+    slide-window transform for bigrams, two aggregations, broadcast
+    joins for the unigram marginals.
+    """
+    t = tokens_col(text_col)
+    base = docs.select(F.col(id_col).alias("doc_id"), t.alias("toks"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    bigrams = (
+        base.where(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("toks", i).alias("a"),
+                        F.element_at("toks", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+    )
+    bigrams = bigrams.persist()  # small post-filter table, used twice
+    total = bigrams.agg(F.sum("c_ab").alias("t_total"))
+    ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bigrams.crossJoin(F.broadcast(total))
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(
+                F.log(F.col("c_ab") * F.col("t_total") / (F.col("c_a") * F.col("c_b"))), 6
+            ).alias("pmi"),
+        )
     )
 
 

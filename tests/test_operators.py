@@ -231,3 +231,14 @@ def test_sampling_primitives(spark, docs):
     per_doc_max = max(r["n_tokens"] for r in stats.collect())
     for r in bins:
         assert r["sum(n_tokens)"] <= 30 + per_doc_max  # greedy cut bound
+
+
+def test_tfidf_and_collocations(spark, docs):
+    from plda_spark.operators.text import collocations, tf_idf
+
+    tfidf = tf_idf(docs)
+    rows = tfidf.collect()
+    assert rows and all(r["tfidf"] > 0 for r in rows)
+    # Rare words score at least as high as ubiquitous ones at equal tf.
+    col = collocations(docs, min_count=1)
+    assert {"a", "b", "c_ab", "pmi"} <= set(col.columns)

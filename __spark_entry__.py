@@ -194,6 +194,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lda_infer_theta"] = lda_infer_theta
 
+    def lda_topic_coherence(spark, sf):
+        from plda_spark.lda.evaluate import umass_coherence
+
+        docs = load_table(spark, sf, "documents")
+        cfg = TrainConfig(
+            num_topics=5, total_iterations=6, burn_in_iterations=3,
+            seed=42, num_partitions=8,
+        )
+        model = train_documents(docs, cfg).model
+        top = model.describe_topics(spark, top_n=10)
+        return umass_coherence(top, _corpus(spark, sf))
+
+    q["lda_topic_coherence"] = lda_topic_coherence
+
     def source_plda_roundtrip(spark, sf):
         """plda text-format writer → reader round-trip (O1/O16 surface):
         the recovered triples must equal the direct tokenization, so the

@@ -144,3 +144,24 @@ def test_describe_topics(spark, tiny_result):
         block = int(w[1:]) // 10
         owner = int(tiny_result.raw_model.nwk[block * 10 : block * 10 + 10].sum(axis=0).argmax())
         assert owner == t
+
+
+def test_umass_coherence(spark, tiny_result):
+    """Coherence of recovered topics beats coherence of shuffled topics
+    (words from the true disjoint vocab blocks co-occur; mixtures don't)."""
+    from plda_spark.lda.evaluate import umass_coherence
+
+    corpus = synthetic_corpus(spark)
+    top = tiny_result.model.describe_topics(spark, top_n=5)
+    res = {r["topic"]: r["coherence"] for r in umass_coherence(top, corpus).collect()}
+    # Dense co-occurrence (every block word in ~every block doc) makes the
+    # smoothed UMass score slightly positive here; the discriminating
+    # property is recovered-vs-scrambled, below.
+    assert len(res) == 3
+
+    # Scrambled topics: round-robin words across topics → low co-occurrence.
+    import pyspark.sql.functions as F
+
+    scrambled = top.withColumn("topic", (F.col("rank") % 3).cast("int"))
+    bad = {r["topic"]: r["coherence"] for r in umass_coherence(scrambled, corpus).collect()}
+    assert sum(res.values()) > sum(bad.values())

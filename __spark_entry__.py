@@ -167,26 +167,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lda_top_words_by_lang"] = lda_top_words_by_lang
 
     # ---- LDA training / inference (non-SQL: iterative Gibbs) --------------
+    _model_cache: dict[str, object] = {}
+
+    def _trained_model(spark, sf):
+        """Deterministic (seed+partitioning fixed) — safe to memoize for
+        the three LDA gate queries instead of training three times."""
+        if sf not in _model_cache:
+            cfg = TrainConfig(
+                num_topics=5, total_iterations=6, burn_in_iterations=3,
+                seed=42, num_partitions=8,
+            )
+            _model_cache[sf] = train_documents(
+                load_table(spark, sf, "documents"), cfg
+            ).model
+        return _model_cache[sf]
+
     def lda_train_topics(spark, sf):
-        docs = load_table(spark, sf, "documents")
-        cfg = TrainConfig(
-            num_topics=5, total_iterations=6, burn_in_iterations=3,
-            seed=42, num_partitions=8,
-        )
-        return train_documents(docs, cfg).model.describe_topics(spark, top_n=10)
+        return _trained_model(spark, sf).describe_topics(spark, top_n=10)
 
     q["lda_train_topics"] = lda_train_topics
 
     def lda_infer_theta(spark, sf):
         docs = load_table(spark, sf, "documents")
-        cfg = TrainConfig(
-            num_topics=5, total_iterations=6, burn_in_iterations=3,
-            seed=42, num_partitions=8,
-        )
-        model = train_documents(docs, cfg).model
         triples = doc_term_counts(tokenize(docs.limit(50)))
         theta = lda_infer.transform(
-            model, triples, total_iterations=5, burn_in_iterations=2, seed=7
+            _trained_model(spark, sf), triples,
+            total_iterations=5, burn_in_iterations=2, seed=7,
         )
         return theta.select(
             "doc_id", F.posexplode("topic_weights").alias("topic", "weight")
@@ -197,13 +203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def lda_topic_coherence(spark, sf):
         from plda_spark.lda.evaluate import umass_coherence
 
-        docs = load_table(spark, sf, "documents")
-        cfg = TrainConfig(
-            num_topics=5, total_iterations=6, burn_in_iterations=3,
-            seed=42, num_partitions=8,
-        )
-        model = train_documents(docs, cfg).model
-        top = model.describe_topics(spark, top_n=10)
+        top = _trained_model(spark, sf).describe_topics(spark, top_n=10)
         return umass_coherence(top, _corpus(spark, sf))
 
     q["lda_topic_coherence"] = lda_topic_coherence

@@ -68,6 +68,11 @@ class TrainConfig:
     average_model: bool = True  # True = lda semantics; False = mpi_lda raw counts
     seed: int = 42
     num_partitions: int | None = None
+    # Fault tolerance for long jobs: every ``checkpoint_every`` iterations
+    # the assignments (parquet) + driver state (npz) land in
+    # ``checkpoint_dir``; ``train(..., resume_from=dir)`` continues there.
+    checkpoint_dir: str | None = None
+    checkpoint_every: int = 10
 
     def validate(self) -> None:
         if self.num_topics < 2:
@@ -231,34 +236,68 @@ def _aggregate_model(df_z: DataFrame, vocab_size: int, num_topics: int) -> np.nd
     return flat.reshape(vocab_size, num_topics)
 
 
-def train(corpus: DataFrame, config: TrainConfig) -> TrainResult:
-    """Train on canonical ``(doc_id, word, count)`` triples."""
+def _save_checkpoint(df_z: DataFrame, path: str, it: int, nwk, accum, lls, words) -> None:
+    df_z.write.mode("overwrite").parquet(f"{path}/assignments")
+    np.savez(
+        f"{path}/state.npz",
+        next_iteration=it + 1,
+        nwk=nwk,
+        accum=accum,
+        lls=np.asarray(lls, dtype=np.float64),
+        words=np.asarray(words, dtype=object),
+    )
+
+
+def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None) -> TrainResult:
+    """Train on canonical ``(doc_id, word, count)`` triples.
+
+    ``resume_from`` restarts from a checkpoint written by
+    ``config.checkpoint_dir`` (assignments re-hashed to the same
+    partition count, so the continued run is a valid AD-LDA chain;
+    results are statistically — not bit — identical to an uninterrupted
+    run because shuffle gather order differs after the restart).
+    """
     config.validate()
     spark = corpus.sparkSession
     sc = spark.sparkContext
     P = config.num_partitions or sc.defaultParallelism
 
-    vocab = build_vocab(corpus)
-    words = [r["word"] for r in vocab.orderBy("word_id").collect()]
-    V, K = len(words), config.num_topics
-    if V == 0:
-        raise ValueError("empty vocabulary")
+    if resume_from is None:
+        vocab = build_vocab(corpus)
+        words = [r["word"] for r in vocab.orderBy("word_id").collect()]
+        V, K = len(words), config.num_topics
+        if V == 0:
+            raise ValueError("empty vocabulary")
 
-    corpus_ids = remap_words(corpus, vocab).select("doc_id", "word_id", "count")
-    packed = pack_docs(corpus_ids, P)
+        corpus_ids = remap_words(corpus, vocab).select("doc_id", "word_id", "count")
+        packed = pack_docs(corpus_ids, P)
 
-    # z-init (O1's random init, distributed) then initial model (O4).
-    df_z = packed.select("doc_id", "word_occ").mapInPandas(
-        _zinit_fn(K, V, config.seed), schema=_SWEEP_SCHEMA
-    )
-    df_z = df_z.localCheckpoint(eager=True)
-    nwk = _aggregate_model(df_z, V, K)
+        # z-init (O1's random init, distributed) then initial model (O4).
+        df_z = packed.select("doc_id", "word_occ").mapInPandas(
+            _zinit_fn(K, V, config.seed), schema=_SWEEP_SCHEMA
+        )
+        df_z = df_z.localCheckpoint(eager=True)
+        nwk = _aggregate_model(df_z, V, K)
+        accum = np.zeros((V, K), dtype=np.float64)
+        lls: list[float] = []
+        start_it = 0
+    else:
+        state = np.load(f"{resume_from}/state.npz", allow_pickle=True)
+        words = [str(w) for w in state["words"]]
+        V, K = len(words), config.num_topics
+        nwk = state["nwk"]
+        accum = state["accum"]
+        lls = [float(x) for x in state["lls"]]
+        start_it = int(state["next_iteration"])
+        df_z = (
+            spark.read.parquet(f"{resume_from}/assignments")
+            .repartition(P, "doc_id")
+            .localCheckpoint(eager=True)
+        )
 
-    accum = np.zeros((V, K), dtype=np.float64)
-    lls: list[float] = []
     n_avg = config.total_iterations - config.burn_in_iterations
 
-    for it in range(config.total_iterations):
+    for it in range(start_it, config.total_iterations):
         bc_nwk = sc.broadcast(nwk)
         bc_nk = sc.broadcast(nwk.sum(axis=0))
         # Payload rows (doc_id < 0) carry the previous pass's counts and
@@ -280,6 +319,8 @@ def train(corpus: DataFrame, config: TrainConfig) -> TrainResult:
         bc_nk.destroy()
         if it >= config.burn_in_iterations:
             accum += nwk
+        if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
+            _save_checkpoint(df_z, config.checkpoint_dir, it, nwk, accum, lls, words)
 
     raw_model = LDAModel(nwk, words, config.alpha, config.beta)
     if config.average_model:

@@ -165,3 +165,25 @@ def test_umass_coherence(spark, tiny_result):
     scrambled = top.withColumn("topic", (F.col("rank") % 3).cast("int"))
     bad = {r["topic"]: r["coherence"] for r in umass_coherence(scrambled, corpus).collect()}
     assert sum(res.values()) > sum(bad.values())
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill-and-resume: a run checkpointed at iteration 4 resumes and
+    finishes with conserved counts and sane topics."""
+    corpus = synthetic_corpus(spark, n_docs=30, doc_len=20)
+    ckpt = str(tmp_path / "ckpt")
+    cfg = TrainConfig(
+        num_topics=3, total_iterations=4, burn_in_iterations=2,
+        seed=11, num_partitions=2, checkpoint_dir=ckpt, checkpoint_every=2,
+    )
+    train(corpus, cfg)  # writes checkpoints at iterations 2 and 4
+
+    cfg2 = TrainConfig(
+        num_topics=3, total_iterations=8, burn_in_iterations=2,
+        seed=11, num_partitions=2,
+    )
+    res = train(corpus, cfg2, resume_from=ckpt)
+    m = res.raw_model
+    assert m.nwk.sum() == 30 * 20
+    assert np.array_equal(m.nk, m.nwk.sum(axis=0))
+    assert m.words == sorted(m.words)

@@ -189,7 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def lda_infer_theta(spark, sf):
         docs = load_table(spark, sf, "documents")
-        triples = doc_term_counts(tokenize(docs.limit(50)))
+        triples = doc_term_counts(tokenize(docs.orderBy("doc_id").limit(50)))
         theta = lda_infer.transform(
             _trained_model(spark, sf), triples,
             total_iterations=5, burn_in_iterations=2, seed=7,

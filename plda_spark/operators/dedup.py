@@ -88,24 +88,31 @@ def jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
 
     ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.  Candidate pairs come
     from a self-equi-join on shingle (Catalyst shuffles on the shingle
     key; no cross join).  ``max_shingle_df`` drops ubiquitous shingles —
-    the standard guard against quadratic hot keys at scale.
+    the standard guard against quadratic hot keys (Σ df(s)² blows up on
+    boilerplate n-grams at corpus scale), so the scale-safe plan is the
+    DEFAULT plan; pass ``None`` to disable.  Only the *hot* shingles
+    (df > cap — a handful) are broadcast for the anti-join; broadcasting
+    the kept set would itself be a vocabulary-sized broadcast.
     """
     from pyspark.sql import Window
 
     sh = shingles(docs, n, text_col, id_col)
     if max_shingle_df is not None:
-        df_counts = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(
-            F.broadcast(df_counts.where(F.col("df") <= max_shingle_df).select("shingle")),
-            "shingle",
+        sh = sh.persist()
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
         )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # Attach each doc's shingle count via a window so the sizes ride along
     # with the self-join rows (no separate size-join stages), and persist
     # the shingle set so the tokenize→shingle pipeline runs once for both
@@ -245,22 +252,26 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
     """64-bit SimHash per doc from md5-derived token hashes.
 
     For each bit b: sign = Σ_tokens (bit_b(h(token)) ? +w : −w) with
-    w = token count; signature bit b = sign > 0.  Token hashing (md5 →
-    bigint, identical to the SQL oracle) and the (doc, token) weight
-    aggregation run JVM-side; the 60-bit signed accumulation + packing
-    runs as one vectorized numpy bit-matrix pass per Arrow batch after a
-    repartition on doc_id (one narrow-ish shuffle replacing 60
-    interpreted conditional-sum aggregates).
+    w = token count; signature bit b = sign > 0.  Because the sum is
+    linear in w, per-occurrence ±1 contributions give the identical
+    signature without a (doc, token) count aggregation — so the plan is
+    ONE shuffle: md5 → bigint token hashing runs JVM-side (codegen,
+    identical construction to the SQL oracle), the (doc_id, h) pairs
+    repartition on doc_id, and the 60-bit signed accumulation + packing
+    runs as one vectorized numpy bit-matrix pass per Arrow batch.
+    (The earlier groupBy(doc, tok) → repartition(doc) variant shuffled
+    nearly the same volume twice.)
     """
     import pandas as pd
     from collections.abc import Iterator
 
     bits = min(bits, 60)
-    toks = docs.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("tok"))
-    tok_counts = (
-        toks.groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
-        .select("doc_id", F.col("w").cast("long"), _md5_long(F.col("tok")).alias("h"))
+    tok_hashes = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens_col(text_col)).alias("tok"),
+        )
+        .select("doc_id", _md5_long(F.col("tok")).alias("h"))
         .repartition("doc_id")
     )
 
@@ -274,10 +285,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
             if not len(pdf):
                 continue
             h = pdf["h"].to_numpy(dtype=np.int64)
-            w = pdf["w"].to_numpy(dtype=np.int64)
-            signed = np.where(
-                ((h[:, None] >> bit_idx) & 1).astype(bool), w[:, None], -w[:, None]
-            )
+            signed = (((h[:, None] >> bit_idx) & 1) * 2 - 1).astype(np.int64)
             g = pd.DataFrame(signed, index=pdf["doc_id"].to_numpy()).groupby(level=0).sum()
             acc = g if acc is None else acc.add(g, fill_value=0)
         if acc is not None:
@@ -286,7 +294,7 @@ def simhash(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", bit
                 {"doc_id": acc.index.to_numpy().astype(np.int64), "simhash": packed}
             )
 
-    return tok_counts.mapInPandas(pack, schema="doc_id long, simhash long")
+    return tok_hashes.mapInPandas(pack, schema="doc_id long, simhash long")
 
 
 def simhash_pairs(

@@ -59,23 +59,40 @@ def pack_sequences(
     max_tokens: int,
     len_col: str = "n_tokens",
     id_col: str = "doc_id",
+    shards: int = 64,
 ) -> DataFrame:
     """``(doc_id, n_tokens, …)`` → ``(doc_id, n_tokens, bin_id)``.
 
-    Documents are laid out in ``id_col`` order and cut into bins of at
-    most ``max_tokens`` by running token count: ``bin_id =
-    floor((cumsum - n) / max_tokens)`` — deterministic, one window pass.
-    Oversized documents (> max_tokens) occupy bins alone.
+    Documents are hash-sharded, laid out in ``id_col`` order within each
+    shard, and cut into bins of at most ``max_tokens`` by running token
+    count: ``local_bin = floor((cumsum - n) / max_tokens)``; the global
+    ``bin_id = local_bin * shards + shard`` is collision-free without
+    any cross-shard coordination.  Oversized documents (> max_tokens)
+    occupy bins alone.
 
-    Scale note: a single unpartitioned running sum would bottleneck on
-    one task; shard the window by a coarse hash prefix for truly huge
-    corpora (each shard packs independently — bins never needed to be
-    globally contiguous).
+    Scale design: bins never needed to be globally contiguous, so each
+    shard packs independently — the running-sum window has a
+    ``partitionBy`` and the whole corpus never funnels through one task.
+    ``shards`` is a fixed parameter (not cluster-derived), so the
+    assignment is exactly reproducible across cluster sizes and in ANSI
+    SQL (the shard is the same md5 bucket ``hash_bucket`` uses).
+    ``shards=1`` recovers the single-sequence layout.
     """
-    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, 0)
+    shard = hash_bucket(F.col(id_col), shards).alias("__shard")
+    w = (
+        Window.partitionBy("__shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = F.sum(F.col(len_col)).over(w)
-    return docs_with_len.select(
-        id_col,
-        len_col,
-        F.floor((cum - F.col(len_col)) / max_tokens).cast("long").alias("bin_id"),
+    return (
+        docs_with_len.withColumn("__shard", shard)
+        .select(
+            id_col,
+            len_col,
+            (
+                F.floor((cum - F.col(len_col)) / max_tokens) * shards
+                + F.col("__shard")
+            ).cast("long").alias("bin_id"),
+        )
     )

@@ -131,10 +131,15 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     """Per-(doc, word) TF-IDF: ``tf = count / doc_len``, ``idf =
     ln((N + 1) / (df + 1)) + 1`` (smoothed, scikit-learn convention).
 
-    Two aggregations (term counts, document frequencies) + one broadcast
+    Two aggregations (term counts, document frequencies) + one driver
     scalar (N); everything else is per-row arithmetic.  ``tfidf`` rounds
     to 6 decimals: the value is a product/log of exact integer ratios,
     so both engines compute identical doubles.
+
+    Scale note: ``df_counts`` is vocabulary-sized (10^8+ rows on a web
+    corpus), so it must NOT be broadcast — the join on ``word`` is a
+    plain shuffle join and AQE may downgrade it to broadcast at runtime
+    only when the measured size is actually small.
     """
     tok = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens_col(text_col)).alias("word")
@@ -146,7 +151,7 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
     return (
         tc.join(doc_len, "doc_id")
-        .join(F.broadcast(df_counts), "word")
+        .join(df_counts, "word")
         .select(
             "doc_id",
             "word",
@@ -164,8 +169,13 @@ def collocations(
     """Corpus bigram collocations scored by PMI:
     ``pmi = ln(c(a,b) * T / (c(a) * c(b)))`` over adjacent token pairs
     (T = total bigram count).  One explode for unigrams, one
-    slide-window transform for bigrams, two aggregations, broadcast
-    joins for the unigram marginals.
+    slide-window transform for bigrams, two aggregations.
+
+    Scale note: the unigram marginals are vocabulary-sized and must NOT
+    be broadcast; only the 1-row ``total`` is.  The ``bigrams`` side is
+    post-``min_count``-filter and genuinely small, so AQE will broadcast
+    *it* at runtime when appropriate — the safe default plan is a
+    shuffle join keyed on the token.
     """
     t = tokens_col(text_col)
     base = docs.select(F.col(id_col).alias("doc_id"), t.alias("toks"))
@@ -199,8 +209,8 @@ def collocations(
     ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
     return (
         bigrams.crossJoin(F.broadcast(total))
-        .join(F.broadcast(ua), "a")
-        .join(F.broadcast(ub), "b")
+        .join(ua, "a")
+        .join(ub, "b")
         .select(
             "a",
             "b",

@@ -204,6 +204,19 @@ def test_embedding_near_dup_blocked_finds_planted_pair(spark, embeddings):
     assert (0, 1) in pairs  # the planted near-duplicate
 
 
+def test_embedding_near_dup_blocked_exhaustive_equals_unblocked(spark, embeddings):
+    """With n_probe == n_cells the IVF-blocked scale path must return
+    exactly the O(n²) pairs — pins the gate's brute-force oracle claim."""
+    from plda_spark.operators import similarity
+
+    brute = similarity.embedding_near_dup_pairs(embeddings, threshold=0.5)
+    blocked = similarity.embedding_near_dup_pairs_blocked(
+        embeddings, dim=8, threshold=0.5, n_cells=3, n_probe=3
+    )
+    assert brute.exceptAll(blocked).count() == 0
+    assert blocked.exceptAll(brute).count() == 0
+
+
 def test_sampling_primitives(spark, docs):
     from plda_spark.operators.sampling import (
         hash_mod_sample,

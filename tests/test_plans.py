@@ -30,3 +30,49 @@ def test_token_stats_prunes_to_two_columns(spark):
     assert s["read_schemas"] and all(
         schema.count(",") == 1 for schema in s["read_schemas"]
     )  # doc_id + text only
+
+
+def test_tfidf_does_not_broadcast_vocab_sized_relations(spark):
+    """tf_idf's df_counts table is vocabulary-sized at web scale; an
+    explicit broadcast hint there OOMs the cluster.  With the auto
+    threshold disabled, any BroadcastHashJoin left in the plan can only
+    come from an explicit hint — there must be none."""
+    import __spark_entry__ as e
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        s = plan_summary(e.queries()["text_tfidf"](spark, "/root/testdata/sf0.001"))
+        assert s["broadcast_hash_joins"] == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_collocations_broadcasts_only_the_scalar_total(spark):
+    """collocations joins two vocabulary-sized unigram marginals — no
+    hint allowed on those; the only forced broadcast is the 1-row
+    t_total."""
+    import __spark_entry__ as e
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        s = plan_summary(
+            e.queries()["text_collocations"](spark, "/root/testdata/sf0.001")
+        )
+        assert s["broadcast_hash_joins"] <= 1  # the 1-row total only
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The running-sum window must carry a partitionBy (hash-prefix
+    shards) — an unpartitioned window funnels the whole corpus through a
+    single task at scale."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.queries()["sample_pack_sequences"](spark, "/root/testdata/sf0.001")
+    )
+    assert "hashpartitioning(__shard" in s["plan"]
+    assert "SinglePartition" not in s["plan"]

@@ -309,6 +309,13 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
             ),
             schema=_SWEEP_SCHEMA,
         )
+        # localCheckpoint (not persist): it truncates lineage, which is
+        # REQUIRED here — the sweep closure captures this iteration's
+        # broadcasts, which are destroyed below, so any retained lineage
+        # would reference dead broadcasts and fail on recompute.  Measured
+        # cost at sf0.1/K=10: 0.46 s/iteration steady-state on local[32]
+        # (persist(MEMORY_AND_DISK) crashes by iteration 2 for the reason
+        # above).
         new_df_z = swept.localCheckpoint(eager=True)
         if config.compute_likelihood:
             lls.append(new_df_z.agg(F.sum("ll")).collect()[0][0])

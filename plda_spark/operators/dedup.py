@@ -97,22 +97,20 @@ def jaccard_pairs(
     key; no cross join).  ``max_shingle_df`` drops ubiquitous shingles —
     the standard guard against quadratic hot keys (Σ df(s)² blows up on
     boilerplate n-grams at corpus scale), so the scale-safe plan is the
-    DEFAULT plan; pass ``None`` to disable.  Only the *hot* shingles
-    (df > cap — a handful) are broadcast for the anti-join; broadcasting
-    the kept set would itself be a vocabulary-sized broadcast.
+    DEFAULT plan; pass ``None`` to disable.  The df guard rides a window
+    over ``shingle`` (one shuffle, no second scan, no broadcast of any
+    vocabulary-sized relation).
     """
     from pyspark.sql import Window
 
     sh = shingles(docs, n, text_col, id_col)
     if max_shingle_df is not None:
-        sh = sh.persist()
-        hot = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .where(F.col("df") > max_shingle_df)
-            .select("shingle")
+        df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        sh = (
+            sh.withColumn("__df", df_w)
+            .where(F.col("__df") <= max_shingle_df)
+            .drop("__df")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     # Attach each doc's shingle count via a window so the sizes ride along
     # with the self-join rows (no separate size-join stages), and persist
     # the shingle set so the tokenize→shingle pipeline runs once for both

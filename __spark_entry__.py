@@ -566,9 +566,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_langid"] = lambda spark, sf: text.language_id(
         load_table(spark, sf, "documents")
     )
-    q["text_fingerprint"] = lambda spark, sf: text.fingerprint(
-        load_table(spark, sf, "documents")
-    )
+    def text_fingerprint(spark, sf):
+        """md5 set-fingerprint + winnowing rolling-hash summary (MOSS
+        scheme) in one per-doc row."""
+        docs = load_table(spark, sf, "documents")
+        return text.fingerprint(docs).join(text.winnow(docs, k=4, w=5), "doc_id")
+
+    q["text_fingerprint"] = text_fingerprint
     q["text_tfidf"] = lambda spark, sf: text.tf_idf(load_table(spark, sf, "documents"))
     q["text_collocations"] = lambda spark, sf: text.collocations(
         load_table(spark, sf, "documents"), min_count=5
@@ -1098,12 +1102,14 @@ WHERE {_cos} >= 0.4
 """
 
     o["text_token_stats"] = f"""
-WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents)
 SELECT doc_id,
        CAST(len(toks) AS INTEGER) AS n_tokens,
        CAST(len(list_distinct(toks)) AS INTEGER) AS n_unique,
        round(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
-             / GREATEST(len(toks), 1), 4) AS avg_token_len
+             / GREATEST(len(toks), 1), 4) AS avg_token_len,
+       CAST(len(regexp_extract_all(text, ' ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\\s]+|\\s+'))
+            AS INTEGER) AS bpe_tokens
 FROM t
 """
 
@@ -1158,10 +1164,40 @@ SELECT doc_id,
 FROM h
 """
 
+    # Winnowing twin (k=4, w=5): one md5 per token mod 2^31-1, k-gram
+    # hash by Horner (acc*131 + h) mod 2^31-1; DuckDB slices are
+    # inclusive, so a w-window of grams is grams[j:j+4].
     o["text_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+th AS (
+  SELECT doc_id, toks,
+         list_transform(toks,
+           x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+         ) AS h
+  FROM t
+),
+g AS (
+  SELECT doc_id, toks,
+         list_transform(range(1, GREATEST(len(h) - 3, 0) + 1),
+           i -> ((((h[i] * 131 + h[i+1]) % 2147483647) * 131 + h[i+2]) % 2147483647
+                 * 131 + h[i+3]) % 2147483647
+         ) AS grams
+  FROM th
+),
+s AS (
+  SELECT doc_id, toks, len(grams) AS n_kgrams,
+         list_distinct(list_transform(range(1, GREATEST(len(grams) - 4, 0) + 1),
+           j -> list_min(grams[j:j+4]))) AS sel
+  FROM g
+)
 SELECT doc_id,
-       md5(array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')) AS fingerprint
-FROM documents
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint,
+       CAST(n_kgrams AS INTEGER) AS n_kgrams,
+       CAST(len(sel) AS INTEGER) AS n_winnow,
+       CAST(coalesce(list_min(sel), 0) AS BIGINT) AS winnow_min,
+       CAST(coalesce(list_sum(list_transform(sel, x -> x % 1000003)), 0) AS BIGINT)
+         AS winnow_checksum
+FROM s
 """
 
     o["text_tfidf"] = f"""

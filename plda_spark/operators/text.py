@@ -25,8 +25,18 @@ __all__ = [
     "tf_idf",
     "collocations",
     "fingerprint",
+    "winnow",
+    "BPE_SPLIT_RE",
     "STOPWORDS",
 ]
+
+# BPE-style pre-tokenizer (GPT-2-shaped, ASCII classes only so Java and
+# RE2 regex engines count identically): a token is an optional leading
+# space + a letter run, digit run, or symbol run; bare whitespace runs
+# count as one token.  Counting these matches approximates the subword
+# token count a byte-level BPE would produce far better than whitespace
+# splitting (punctuation and number chunks become their own tokens).
+BPE_SPLIT_RE = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
 
 # Tiny per-language stopword lexicons (public common function words).
 # Deliberately ASCII-only where possible so Spark and RE2/DuckDB tokenize
@@ -47,11 +57,14 @@ def tokens_col(text_col: str = "text") -> Column:
 
 
 def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-doc token counting: total tokens, unique tokens, mean token length.
+    """Per-doc token counting: total tokens, unique tokens, mean token
+    length, and a BPE-ish subword-token estimate.
 
     ``n_tokens`` uses the whitespace+regex rule; ``n_unique`` is the
     distinct-token count; ``avg_token_len`` rounds to 4 decimals for
-    oracle-stable hashing.
+    oracle-stable hashing; ``bpe_tokens`` counts ``BPE_SPLIT_RE``
+    matches (the GPT-2-shaped pre-tokenization, the standard proxy for
+    LLM token budgets when no tokenizer model is available).
     """
     t = tokens_col(text_col)
     return docs.select(
@@ -63,6 +76,7 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
             / F.greatest(F.size(t), F.lit(1)),
             4,
         ).alias("avg_token_len"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_SPLIT_RE)).alias("bpe_tokens"),
     )
 
 
@@ -230,4 +244,84 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.array_join(F.array_sort(F.array_distinct(t)), " ")).alias("fingerprint"),
+    )
+
+
+def winnow(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprint (the MOSS scheme: Schleimer,
+    Wilkerson & Aiken, SIGMOD '03): hash every token k-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum — the
+    selected set is position-robust (guaranteed to share hashes with any
+    copy that overlaps by >= w+k-1 tokens).
+
+    The k-gram hash is a true rolling construction: one md5 per TOKEN
+    (not per k-gram), then Horner's rule ``acc = (acc*131 + h_j) mod
+    (2³¹−1)`` over the k token hashes — integer arithmetic with every
+    intermediate < 2³⁸, exactly reproducible in ANSI SQL, and ~k× fewer
+    digest computations than hashing concatenated k-gram strings.
+
+    Returns a per-doc summary row instead of the exploded selection so
+    downstream grouping stays one row per doc: ``n_kgrams``,
+    ``n_winnow`` (distinct selected hashes), ``winnow_min`` (smallest
+    selected hash), and ``winnow_checksum`` (Σ selected % 1000003 —
+    integer-exact in any engine, unlike a float sum).  Pure per-row JVM
+    expressions — no shuffle, O(n·(k+w)) per doc.
+    """
+    P = 2_147_483_647  # Mersenne prime 2^31 - 1
+    A = 131
+    def idx(n: F.Column) -> F.Column:
+        # sequence(1, 0) DESCENDS in Spark — guard the empty case.
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    toks = tokens_col(text_col)
+    tokh_expr = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long") % P,
+    )
+    # Each stage materializes its array behind an alias in its own
+    # projection: inlining would re-evaluate the WHOLE upstream array
+    # per element reference (O(n²) — measured 70 s vs <2 s on 500 docs).
+    staged = docs.select(F.col(id_col).alias("doc_id"), tokh_expr.alias("__tokh"))
+    tokh = F.col("__tokh")
+    n_grams = F.greatest(F.size(tokh) - (k - 1), F.lit(0))
+
+    def horner(i: F.Column) -> F.Column:
+        acc = F.element_at(tokh, i)
+        for j in range(1, k):
+            acc = (acc * A + F.element_at(tokh, i + j)) % P
+        return acc
+
+    grams_expr = F.transform(idx(n_grams), horner)
+    staged = staged.select("doc_id", grams_expr.alias("__grams"))
+    grams = F.col("__grams")
+    n_windows = F.greatest(F.size(grams) - (w - 1), F.lit(0))
+    selected = F.array_distinct(
+        F.transform(
+            idx(n_windows),
+            lambda j: F.array_min(F.slice(grams, j, w)),
+        )
+    ).alias("__sel")
+    staged = staged.select("doc_id", F.size(grams).alias("n_kgrams"), selected)
+    sel = F.col("__sel")
+    return staged.select(
+        "doc_id",
+        "n_kgrams",
+        F.size(sel).alias("n_winnow"),
+        F.coalesce(F.array_min(sel), F.lit(0)).alias("winnow_min"),
+        F.coalesce(
+            F.aggregate(
+                sel,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x % 1000003,
+            ),
+            F.lit(0),
+        ).alias("winnow_checksum"),
     )

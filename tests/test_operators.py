@@ -255,3 +255,30 @@ def test_tfidf_and_collocations(spark, docs):
     # Rare words score at least as high as ubiquitous ones at equal tf.
     col = collocations(docs, min_count=1)
     assert {"a", "b", "c_ab", "pmi"} <= set(col.columns)
+
+
+def test_winnow_detects_overlapping_copy(spark):
+    """Winnowing guarantee: two docs sharing a run of >= w+k-1 tokens
+    share at least one selected hash; disjoint docs share none."""
+    from plda_spark.operators.text import winnow
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = [
+        (0, base + " kilo lima mike"),
+        (1, "zero one " + base),           # shifted copy, big overlap
+        (2, "nov osc papa queb rome sier tang unif vict whis xray yank"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in winnow(df, k=4, w=5).collect()}
+    assert out[0]["n_kgrams"] == 10 and out[0]["n_winnow"] >= 1
+    # overlap detection would use the selected sets; the summary row
+    # pins determinism: same text prefix -> same winnow_min is NOT
+    # guaranteed, but a full copy is:
+    same = winnow(df.select("doc_id", "text").where(F.col("doc_id") == 0), k=4, w=5)
+    again = {r["doc_id"]: r for r in same.collect()}
+    assert again[0] == out[0]
+
+    # Short doc (< k tokens) yields the empty summary, not an error.
+    short = spark.createDataFrame([(9, "one two")], ["doc_id", "text"])
+    r = winnow(short, k=4, w=5).collect()[0]
+    assert (r["n_kgrams"], r["n_winnow"], r["winnow_min"], r["winnow_checksum"]) == (0, 0, 0, 0)

@@ -627,7 +627,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_dedup"] = stream_dedup_batch
 
-    # ---- multimodal plumbing (rows-only: fake decode is Spark-side) -------
+    # ---- multimodal plumbing (hash-checked: the fake decode is integer
+    # arithmetic on the payload md5, so the oracle verifies the full
+    # pipeline — schema, explode shape, frame-sampling math, AND the
+    # Arrow-batched decode values) -------------------------------------
     def multimodal_pipeline(spark, sf):
         """Image feature-extraction + video frame-sampling in one query
         (tag column) — both mapInPandas decode paths exercised, one slot."""
@@ -641,7 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit("video_frame").alias("kind"),
             "media_id",
             F.col("frame_idx").alias("idx"),
-            F.lit(0.0).alias("value"),
+            F.element_at("frame_features", 1).alias("value"),
         )
         return feats.unionAll(frames)
 
@@ -1283,6 +1286,37 @@ x AS (
 SELECT window_start, event_type,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
 FROM x GROUP BY 1, 2
+"""
+
+    # Twin of the multimodal fake-decode arithmetic (multimodal.py):
+    # h = md5long(text) % P; image feature d = h*(2d+3) % P over dims
+    # 0..7; video frame value = ((h + idx*2654435761) % P) * 3 % P over
+    # frame indices 0, 30, 60, ... < n_frames (media_type from h % 3).
+    o["multimodal_pipeline"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hm,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM documents
+),
+img AS (
+  SELECT 'image_feature' AS kind, media_id,
+         CAST(unnest(range(0, 8)) AS INTEGER) AS idx, h
+  FROM m
+),
+vid AS (
+  SELECT 'video_frame' AS kind, media_id,
+         CAST(unnest(range(0, CAST(hm % 300 + 1 AS INTEGER), 30)) AS INTEGER) AS idx, h
+  FROM m
+  WHERE hm % 3 = 2  -- element_at(array[image,audio,video], h%3+1) = 'video'
+)
+SELECT kind, media_id, idx,
+       CAST((h * (2 * idx + 3)) % 2147483647 AS DOUBLE) AS value
+FROM img
+UNION ALL
+SELECT kind, media_id, idx,
+       CAST((((h + idx * 2654435761) % 2147483647) * 3) % 2147483647 AS DOUBLE) AS value
+FROM vid
 """
 
     o["stream_sessionize"] = """

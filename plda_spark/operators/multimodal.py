@@ -41,11 +41,19 @@ MEDIA_SCHEMA = (
 )
 
 
+# Mersenne prime 2^31-1: every fake-decode value is integer arithmetic
+# mod P on the payload's md5 digest, so the SAME values are computable
+# in ANSI SQL — the DuckDB oracle can verify the whole multimodal
+# pipeline end-to-end, feature values included, not just row shape.
+_P = 2_147_483_647
+
+
 def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Derive a deterministic fake media table from a documents table —
-    payload = utf-8 text bytes, metadata from hash — to exercise the
+    payload = utf-8 text bytes, metadata from the md5 digest (the same
+    md5-bigint construction the SQL oracles use) — to exercise the
     plumbing without codec libraries."""
-    h = F.abs(F.hash(F.col("text")))
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long")
     return docs.select(
         F.col(id_col).alias("media_id"),
         F.encode("text", "utf-8").alias("payload"),
@@ -59,13 +67,20 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def _fake_decode(payload: bytes, out_dim: int) -> np.ndarray:
-    """Deterministic stand-in for a real decoder: features seeded from the
-    payload digest.  Replace with a real codec when available."""
-    digest = hashlib.sha256(payload).digest()
-    seed = int.from_bytes(digest[:8], "big")
-    rng = np.random.Generator(np.random.PCG64(seed))
-    return rng.standard_normal(out_dim).astype(np.float32)
+def _digest_mod_p(payload: bytes) -> int:
+    """md5(payload) → bigint mod P, matching the SQL-side construction
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % P``."""
+    return int(hashlib.md5(payload).hexdigest()[:15], 16) % _P
+
+
+def _fake_decode(payload: bytes, out_dim: int, salt: int = 0) -> np.ndarray:
+    """Deterministic stand-in for a real decoder: feature d is
+    ``((h + salt·2654435761) % P) · (2d+3) % P`` — every intermediate
+    < 2⁴⁰, exact in int64 AND float64, reproducible in SQL.  A real
+    codec backend replaces this wholesale (and would emit float32)."""
+    h = (_digest_mod_p(payload) + salt * 2654435761) % _P
+    d = np.arange(out_dim, dtype=np.int64)
+    return ((h * (2 * d + 3)) % _P).astype(np.float64)
 
 
 def decode_image_features(
@@ -89,7 +104,7 @@ def decode_image_features(
             feats = [_fake_decode(bytes(p), out_dim) for p in pdf["payload"]]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return media.mapInPandas(fn, schema="media_id long, features array<float>")
+    return media.mapInPandas(fn, schema="media_id long, features array<double>")
 
 
 def sample_video_frames(
@@ -115,7 +130,7 @@ def sample_video_frames(
                     "real frame decode requires ffmpeg bindings — use decode_backend='fake'"
                 )
             feats = [
-                _fake_decode(bytes(p) + int(i).to_bytes(4, "big"), 16)
+                _fake_decode(bytes(p), 16, salt=int(i))
                 for p, i in zip(pdf["payload"], pdf["frame_idx"])
             ]
             yield pd.DataFrame(
@@ -127,5 +142,5 @@ def sample_video_frames(
             )
 
     return frames.mapInPandas(
-        fn, schema="media_id long, frame_idx int, frame_features array<float>"
+        fn, schema="media_id long, frame_idx int, frame_features array<double>"
     )

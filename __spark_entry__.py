@@ -348,6 +348,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["window_top_orders_per_customer"] = window_top_orders_per_customer
 
     def rollup_region_nation_revenue(spark, sf):
+        """ROLLUP and CUBE in one query (tag column) — both multi-level
+        grouping operators exercised, one contract slot."""
         nation = load_table(spark, sf, "nation")
         region = load_table(spark, sf, "region")
         cust = load_table(spark, sf, "customer")
@@ -357,10 +359,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
             .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         )
-        return j.rollup("r_name", "n_name").agg(
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_revenue"),
+        roll = j.rollup("r_name", "n_name").agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
             F.count(F.lit(1)).alias("n_orders"),
+        ).select(
+            F.lit("rollup").alias("op"),
+            F.col("r_name").alias("key1"),
+            F.col("n_name").alias("key2"),
+            "total_value",
+            "n_orders",
         )
+        cube = orders.cube("o_orderstatus", "o_orderpriority").agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_orders"),
+        ).select(
+            F.lit("cube").alias("op"),
+            F.col("o_orderstatus").alias("key1"),
+            F.col("o_orderpriority").alias("key2"),
+            "total_value",
+            "n_orders",
+        )
+        return roll.unionAll(cube)
 
     q["rollup_region_nation_revenue"] = rollup_region_nation_revenue
 
@@ -445,15 +464,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["orders_monthly_summary"] = orders_monthly_summary
 
-    def cube_status_priority(spark, sf):
-        orders = load_table(spark, sf, "orders")
-        return orders.cube("o_orderstatus", "o_orderpriority").agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
-        )
-
-    q["cube_status_priority"] = cube_status_priority
-
     def string_part_stats(spark, sf):
         part = load_table(spark, sf, "part")
         return (
@@ -506,6 +516,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_pairs"] = lambda spark, sf: dedup.minhash_lsh_pairs(
         _docs_with_dupes(spark, sf), num_hashes=16, bands=4, n=3, threshold=0.5
     )
+
+    def dedup_clusters(spark, sf):
+        """Pairs → clusters: MinHash-LSH candidate pairs fed through
+        distributed connected components; output is each doc's
+        canonical representative (min reachable doc_id) — the final
+        stage of a real dedup pipeline."""
+        prs = dedup.minhash_lsh_pairs(
+            _docs_with_dupes(spark, sf), num_hashes=16, bands=4, n=3, threshold=0.5
+        )
+        return dedup.connected_components(prs)
+
+    q["dedup_clusters"] = dedup_clusters
 
     q["dedup_simhash_pairs"] = lambda spark, sf: dedup.simhash_pairs(
         _docs_with_dupes(spark, sf), max_hamming=3
@@ -872,14 +894,20 @@ SELECT o_custkey, rank, o_orderkey, o_totalprice FROM r WHERE rank <= 3
 """
 
     o["rollup_region_nation_revenue"] = """
-SELECT r_name, n_name,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue,
+SELECT 'rollup' AS op, r_name AS key1, n_name AS key2,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
        CAST(count(*) AS BIGINT) AS n_orders
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
+UNION ALL
+SELECT 'cube' AS op, o_orderstatus AS key1, o_orderpriority AS key2,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
     o["setop_purchasers"] = """
@@ -940,14 +968,6 @@ SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
        CAST(count(*) AS BIGINT) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
 FROM orders GROUP BY 1, 2
-"""
-
-    o["cube_status_priority"] = """
-SELECT o_orderstatus, o_orderpriority,
-       CAST(count(*) AS BIGINT) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_price
-FROM orders
-GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
     o["string_part_stats"] = """
@@ -1019,8 +1039,7 @@ flat AS (
 )
 """
 
-    o["dedup_minhash_pairs"] = f"""
-WITH {_SQL_DOCS_DUP}, {_SQL_SHINGLES}, {_minhash_flat},
+    _minhash_pairs_body = f"""{_SQL_DOCS_DUP}, {_SQL_SHINGLES}, {_minhash_flat},
 bands AS (
   SELECT doc_id, i // 4 AS band,
          md5(array_to_string(list(CAST(min_hash AS VARCHAR) ORDER BY i), ',')) AS bucket
@@ -1029,15 +1048,40 @@ bands AS (
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT doc_a, doc_b, est_jaccard FROM (
+    SELECT c.doc_a, c.doc_b,
+           round(sum(CASE WHEN fa.min_hash = fb.min_hash THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+    FROM cand c
+    JOIN flat fa ON fa.doc_id = c.doc_a
+    JOIN flat fb ON fb.doc_id = c.doc_b AND fa.i = fb.i
+    GROUP BY 1, 2
+  ) WHERE est_jaccard >= 0.5
+)"""
+
+    o["dedup_minhash_pairs"] = f"""
+WITH {_minhash_pairs_body}
+SELECT doc_a, doc_b, est_jaccard FROM pairs
+"""
+
+    # Clusters = transitive closure over the minhash pairs (tiny at
+    # sf0.01, so plain recursive reachability is the oracle; the Spark
+    # operator is the scale path — min-label propagation + pointer
+    # jumping, one (node, label) row per vertex, never the closure).
+    o["dedup_clusters"] = f"""
+WITH RECURSIVE {_minhash_pairs_body},
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
-SELECT doc_a, doc_b, est_jaccard FROM (
-  SELECT c.doc_a, c.doc_b,
-         round(sum(CASE WHEN fa.min_hash = fb.min_hash THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
-  FROM cand c
-  JOIN flat fa ON fa.doc_id = c.doc_a
-  JOIN flat fb ON fb.doc_id = c.doc_b AND fa.i = fb.i
-  GROUP BY 1, 2
-) WHERE est_jaccard >= 0.5
+SELECT node AS doc_id, min(dst) AS component FROM reach GROUP BY node
 """
 
     _simhash_sums = ", ".join(
@@ -1130,18 +1174,32 @@ s AS (
          CAST(alpha_chars AS DOUBLE) / GREATEST(n_chars, 1) AS alpha_ratio,
          CAST(punct_chars AS DOUBLE) / GREATEST(n_chars, 1) AS punct_ratio,
          CAST(len(list_filter(toks, x -> list_contains({_stop_en}, x))) AS DOUBLE)
-           / GREATEST(len(toks), 1) AS stop_ratio
+           / GREATEST(len(toks), 1) AS stop_ratio,
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1)
+           AS dup_ratio,
+         list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1]))
+           AS bg
   FROM t
+),
+b AS (
+  SELECT *, CAST(coalesce(
+           len(list_filter(bg, x -> x = list_aggregate(bg, 'mode'))), 0) AS DOUBLE)
+           / GREATEST(len(bg), 1) AS top_bigram_ratio
+  FROM s
 )
 SELECT doc_id,
        CAST(n_chars AS INTEGER) AS n_chars_measured,
        round(alpha_ratio, 4) AS alpha_ratio,
        round(punct_ratio, 4) AS punct_ratio,
        round(stop_ratio, 4) AS stopword_ratio,
-       round(CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
-             + 0.3 * alpha_ratio
-             + 0.3 * LEAST(stop_ratio * 5, 1.0), 4) AS quality_score
-FROM s
+       round(dup_ratio, 4) AS dup_token_ratio,
+       round(top_bigram_ratio, 4) AS top_bigram_ratio,
+       round((CASE WHEN len(toks) BETWEEN 10 AND 1000 THEN 0.4 ELSE 0.0 END
+              + 0.3 * alpha_ratio
+              + 0.3 * LEAST(stop_ratio * 5, 1.0))
+             * (1.0 - LEAST(GREATEST(dup_ratio * 2 - 1, 0.0), 1.0)), 4)
+         AS quality_score
+FROM b
 """
 
     _lex = {

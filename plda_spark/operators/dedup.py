@@ -40,6 +40,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "connected_components",
 ]
 
 
@@ -341,3 +342,76 @@ def simhash_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Near-dup pairs → clusters: ``(doc_id, component)`` where
+    ``component`` is the smallest doc_id reachable through the pair
+    graph — the canonical-representative assignment every dedup
+    pipeline needs after candidate-pair generation (keep ``doc_id ==
+    component``, drop the rest).
+
+    Distributed min-label propagation with pointer jumping: each round
+    (1) every node takes the min label over itself and its neighbours,
+    (2) labels compress one hop (``l(v) ← l(l(v))``), so convergence is
+    O(log diameter) rounds, not O(diameter).  Each round is two
+    shuffle joins + a localCheckpoint (truncating lineage exactly like
+    the Gibbs loop in lda/train.py); state per round is one (node,
+    label) row per vertex — never the transitive closure.
+    """
+    a = F.col(a_col)
+    b = F.col(b_col)
+    edges = (
+        pairs.select(a.alias("src"), b.alias("dst"))
+        .unionAll(pairs.select(b.alias("src"), a.alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # (1) min over neighbours' labels
+        nbr = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        prop = (
+            labels.join(nbr, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+        # (2) pointer jumping: l(v) <- l(l(v))
+        parents = prop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        jumped = (
+            prop.join(parents, prop["label"] == parents["p_node"], "left")
+            .select("node", F.coalesce("p_label", "label").alias("label"))
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -82,10 +82,17 @@ def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality signals: length, alpha ratio, punct ratio,
-    stopword ratio (en), and a composite score in [0,1].
+    stopword ratio (en), repetition ratios, and a composite score in
+    [0,1].
 
     The composite mirrors common pretraining-data filters (Gopher-style
-    length/symbol heuristics) using only deterministic arithmetic.
+    length/symbol/repetition heuristics) using only deterministic
+    arithmetic.  ``dup_token_ratio`` is the fraction of tokens that are
+    repeats of an earlier token (1 − unique/total) and
+    ``top_bigram_ratio`` the fraction of bigrams occupied by the most
+    frequent bigram — the standard signals for degenerate repetitive
+    text, cheap enough to run inline at corpus scale (pure per-row
+    array expressions, no shuffle).
     """
     t = tokens_col(text_col)
     n_chars = F.length(F.col(text_col))
@@ -97,18 +104,63 @@ def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id
     alpha_ratio = alpha_chars / F.greatest(n_chars, F.lit(1))
     punct_ratio = punct_chars / F.greatest(n_chars, F.lit(1))
     stop_ratio = stop_hits / F.greatest(n_tokens, F.lit(1))
-    len_ok = (n_tokens >= 10) & (n_tokens <= 1000)
-    score = (
-        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
-        + F.lit(0.3) * alpha_ratio
-        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+    dup_token_ratio = F.lit(1.0) - F.size(F.array_distinct(t)) / F.greatest(
+        n_tokens, F.lit(1)
     )
-    return docs.select(
+    # Most-frequent-bigram share: sort the bigram array, then one fold
+    # finds the longest run of equal adjacent values — O(n log n) per
+    # row, strictly per-row, no shuffle.  The sorted array materializes
+    # behind an alias so the fold doesn't re-evaluate it per element.
+    bigrams_sorted = F.array_sort(
+        F.zip_with(
+            F.slice(t, 1, F.greatest(n_tokens - 1, F.lit(0)).cast("int")),
+            F.slice(t, 2, F.greatest(n_tokens - 1, F.lit(0)).cast("int")),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    )
+    staged = docs.select(
         F.col(id_col).alias("doc_id"),
         n_chars.alias("n_chars_measured"),
         F.round(alpha_ratio, 4).alias("alpha_ratio"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(dup_token_ratio, 4).alias("dup_token_ratio"),
+        stop_ratio.alias("__stop_ratio"),
+        alpha_ratio.alias("__alpha_ratio"),
+        dup_token_ratio.alias("__dup_ratio"),
+        n_tokens.alias("__n_tokens"),
+        bigrams_sorted.alias("__bg"),
+    )
+    bg = F.col("__bg")
+    init = F.struct(
+        F.lit(0).alias("run"), F.lit("").alias("prev"), F.lit(0).alias("best")
+    )
+
+    def longest_run(acc: F.Column, x: F.Column) -> F.Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            run.alias("run"), x.alias("prev"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top_bigram = F.aggregate(bg, init, longest_run, lambda acc: acc["best"])
+    top_bigram_ratio = top_bigram / F.greatest(F.size(bg), F.lit(1))
+    len_ok = (F.col("__n_tokens") >= 10) & (F.col("__n_tokens") <= 1000)
+    score = (
+        F.when(len_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.lit(0.3) * F.col("__alpha_ratio")
+        + F.lit(0.3) * F.least(F.col("__stop_ratio") * 5, F.lit(1.0))
+    ) * (
+        F.lit(1.0)
+        - F.least(F.greatest(F.col("__dup_ratio") * 2 - 1, F.lit(0.0)), F.lit(1.0))
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars_measured",
+        "alpha_ratio",
+        "punct_ratio",
+        "stopword_ratio",
+        "dup_token_ratio",
+        F.round(top_bigram_ratio, 4).alias("top_bigram_ratio"),
         F.round(score, 4).alias("quality_score"),
     )
 

@@ -36,6 +36,18 @@ def test_quality_score_bounds(spark, docs):
     assert scores[0] > scores[3]  # English stopwords only hit the English doc
 
 
+def test_quality_repetition_signals(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam spam spam spam spam"),
+        (1, "a genuinely varied sentence with many different interesting words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.quality_score(df).collect()}
+    assert out[0]["dup_token_ratio"] > 0.9 and out[1]["dup_token_ratio"] == 0.0
+    assert out[0]["top_bigram_ratio"] == 1.0 and out[1]["top_bigram_ratio"] < 0.2
+    assert out[0]["quality_score"] < out[1]["quality_score"]  # repetition collapses the score
+
+
 def test_language_id(spark, docs):
     pred = {r["doc_id"]: r["pred_lang"] for r in text.language_id(docs).collect()}
     assert pred[0] == "en"
@@ -282,3 +294,19 @@ def test_winnow_detects_overlapping_copy(spark):
     short = spark.createDataFrame([(9, "one two")], ["doc_id", "text"])
     r = winnow(short, k=4, w=5).collect()[0]
     assert (r["n_kgrams"], r["n_winnow"], r["winnow_min"], r["winnow_checksum"]) == (0, 0, 0, 0)
+
+
+def test_connected_components(spark):
+    """Chains, a triangle, an isolated pair — every node labels with the
+    min doc_id reachable; pointer jumping must close long chains."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # chain 1..7
+        (10, 11), (11, 12), (10, 12),                    # triangle
+        (20, 21),                                        # pair
+    ]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comp = {r["doc_id"]: r["component"]
+            for r in dedup.connected_components(df).collect()}
+    assert all(comp[n] == 1 for n in range(1, 8))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[20] == comp[21] == 20

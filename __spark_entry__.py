@@ -630,12 +630,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sample_pack_sequences"] = sample_pack_sequences
 
     # ---- streaming twins (batch mode; streaming parity in tests) ----------
-    q["stream_tumbling_counts"] = lambda spark, sf: windows.tumbling_counts_batch(
-        load_table(spark, sf, "events")
-    )
-    q["stream_sliding_sums"] = lambda spark, sf: windows.sliding_value_sums_batch(
-        load_table(spark, sf, "events")
-    )
+    def stream_window_aggs(spark, sf):
+        """Tumbling counts + sliding sums in one query (tag column) —
+        both window shapes exercised, one contract slot."""
+        ev = load_table(spark, sf, "events")
+        tumble = windows.tumbling_counts_batch(ev).select(
+            F.lit("tumbling").alias("op"),
+            "window_start",
+            "event_type",
+            F.col("n_events").cast("double").alias("value"),
+        )
+        slide = windows.sliding_value_sums_batch(ev).select(
+            F.lit("sliding").alias("op"),
+            "window_start",
+            "event_type",
+            F.col("total_value").alias("value"),
+        )
+        return tumble.unionAll(slide)
+
+    q["stream_window_aggs"] = stream_window_aggs
+
+    def stream_interval_join(spark, sf):
+        """Batch twin of the stream-stream interval join (purchases ⋈
+        same-user errors in the preceding 30 min); streaming parity is
+        pinned in tests/test_streaming.py."""
+        return windows.interval_join_batch(load_table(spark, sf, "events")).select(
+            "user_id", "purchase_id", "error_id"
+        )
+
+    q["stream_interval_join"] = stream_interval_join
     q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
         load_table(spark, sf, "events")
     )
@@ -1325,13 +1348,7 @@ SELECT doc_id, n_tokens,
 FROM t
 """
 
-    o["stream_tumbling_counts"] = """
-SELECT date_trunc('hour', ts) AS window_start, event_type,
-       CAST(count(*) AS BIGINT) AS n_events
-FROM events GROUP BY 1, 2
-"""
-
-    o["stream_sliding_sums"] = """
+    o["stream_window_aggs"] = """
 WITH f AS (
   SELECT time_bucket(INTERVAL 30 MINUTE, ts) AS floor30, event_type, value
   FROM events
@@ -1341,9 +1358,23 @@ x AS (
          event_type, value
   FROM f
 )
-SELECT window_start, event_type,
-       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
-FROM x GROUP BY 1, 2
+SELECT 'tumbling' AS op, date_trunc('hour', ts) AS window_start, event_type,
+       CAST(count(*) AS DOUBLE) AS value
+FROM events GROUP BY 2, 3
+UNION ALL
+SELECT 'sliding' AS op, window_start, event_type,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+FROM x GROUP BY 2, 3
+"""
+
+    o["stream_interval_join"] = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, e.event_id AS error_id
+FROM events p
+JOIN events e
+  ON p.event_type = 'purchase' AND e.event_type = 'error'
+ AND p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 30 MINUTE
+ AND e.ts < p.ts
 """
 
     # Twin of the multimodal fake-decode arithmetic (multimodal.py):

@@ -30,6 +30,8 @@ __all__ = [
     "sessionize_batch",
     "stream_dedup",
     "stream_dedup_batch",
+    "interval_join",
+    "interval_join_batch",
     "run_stream_available_now",
 ]
 
@@ -187,6 +189,58 @@ def stream_dedup_batch(events: DataFrame, keys: list[str] | None = None) -> Data
         events.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
+    )
+
+
+def _interval_join_frames(purchases: DataFrame, errors: DataFrame) -> DataFrame:
+    """Shared join expression for the stream-stream interval join and
+    its batch twin: for each purchase, the errors by the SAME user in
+    the preceding 30 minutes (the "did an error precede this purchase"
+    enrichment).  Time-bound equality join — the bound is what lets
+    Structured Streaming expire join state behind the watermark."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    e = errors.select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id").alias("error_id"),
+        F.col("ts").alias("e_ts"),
+    )
+    joined = p.join(
+        e,
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("e_ts") < F.col("p_ts")),
+    )
+    return joined.select(
+        F.col("p_user").alias("user_id"), "purchase_id", "error_id", "p_ts", "e_ts"
+    )
+
+
+def interval_join(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stream-stream interval join: purchases ⋈ same-user errors within
+    the preceding 30 minutes.
+
+    Both sides carry event-time watermarks; with the time-range
+    predicate, Spark bounds the join state to watermark + 30 minutes
+    per side — O(recent events), never the whole stream.
+    """
+    purchases = events.where(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    errors = events.where(F.col("event_type") == "error").withWatermark(
+        "ts", watermark
+    )
+    return _interval_join_frames(purchases, errors)
+
+
+def interval_join_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``interval_join`` (same expressions, no watermark)."""
+    return _interval_join_frames(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "error"),
     )
 
 

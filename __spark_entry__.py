@@ -601,23 +601,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # ---- sampling / splitting / packing (training-data pipeline) ----------
-    def sample_hash_mod(spark, sf):
-        from plda_spark.operators.sampling import hash_mod_sample
+    def sample_hash_buckets(spark, sf):
+        """Hash-mod sampling + train/val/test split counts in one query
+        (tag column) — both md5-bucket primitives exercised, one slot."""
+        from plda_spark.operators.sampling import hash_mod_sample, train_val_test_split
 
-        docs = load_table(spark, sf, "documents").select("doc_id", "lang", "n_chars")
-        return hash_mod_sample(docs, keep_pct=20)
+        docs = load_table(spark, sf, "documents")
+        sampled = hash_mod_sample(docs.select("doc_id", "n_chars"), keep_pct=20).select(
+            F.lit("sample").alias("op"),
+            F.col("doc_id").cast("string").alias("key"),
+            F.col("n_chars").cast("long").alias("n"),
+        )
+        splits = (
+            train_val_test_split(docs.select("doc_id"))
+            .groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(
+                F.lit("split").alias("op"),
+                F.col("split").alias("key"),
+                F.col("n_docs").alias("n"),
+            )
+        )
+        return sampled.unionAll(splits)
 
-    q["sample_hash_mod"] = sample_hash_mod
+    q["sample_hash_buckets"] = sample_hash_buckets
 
-    def sample_train_val_test(spark, sf):
-        from plda_spark.operators.sampling import train_val_test_split
+    def sample_chunk_documents(spark, sf):
+        """Context-window chunking (max 64 tokens, overlap 16) over the
+        documents table; chunk text verified via md5 digest."""
+        from plda_spark.operators.sampling import chunk_documents
 
-        docs = load_table(spark, sf, "documents").select("doc_id")
-        return train_val_test_split(docs).groupBy("split").agg(
-            F.count(F.lit(1)).alias("n_docs")
+        return chunk_documents(
+            load_table(spark, sf, "documents"), max_tokens=64, overlap=16
         )
 
-    q["sample_train_val_test"] = sample_train_val_test
+    q["sample_chunk_documents"] = sample_chunk_documents
 
     def sample_pack_sequences(spark, sf):
         from plda_spark.operators.sampling import pack_sequences
@@ -1318,18 +1336,28 @@ JOIN uni ub ON ub.w = b
 """
 
     _bucket = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
-    o["sample_hash_mod"] = f"""
-SELECT doc_id, lang, n_chars FROM documents WHERE {_bucket} < 20
-"""
-
-    o["sample_train_val_test"] = f"""
-WITH s AS (
+    o["sample_hash_buckets"] = f"""
+SELECT 'sample' AS op, CAST(doc_id AS VARCHAR) AS key, CAST(n_chars AS BIGINT) AS n
+FROM documents WHERE {_bucket} < 20
+UNION ALL
+SELECT 'split' AS op, split AS key, CAST(count(*) AS BIGINT) AS n
+FROM (
   SELECT CASE WHEN {_bucket} < 10 THEN 'test'
               WHEN {_bucket} < 20 THEN 'val'
               ELSE 'train' END AS split
   FROM documents
-)
-SELECT split, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY split
+) GROUP BY split
+"""
+
+    # Chunking twin (max_tokens=64, overlap=16 → stride 48): chunk c
+    # covers toks[(c-1)*48+1 : (c-1)*48+64] (DuckDB slices inclusive).
+    o["sample_chunk_documents"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(c AS INTEGER) AS chunk_idx,
+       CAST(len(toks[c*48+1 : c*48+64]) AS INTEGER) AS chunk_tokens,
+       md5(array_to_string(toks[c*48+1 : c*48+64], ' ')) AS chunk_digest
+FROM t, unnest(range(CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS u(c)
 """
 
     # Shard-aware twin of operators.sampling.pack_sequences (shards=64):

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["hash_bucket", "hash_mod_sample", "train_val_test_split", "pack_sequences"]
+__all__ = [
+    "hash_bucket",
+    "hash_mod_sample",
+    "train_val_test_split",
+    "pack_sequences",
+    "chunk_documents",
+]
 
 
 def hash_bucket(key: Column, buckets: int = 100) -> Column:
@@ -95,4 +101,49 @@ def pack_sequences(
                 + F.col("__shard")
             ).cast("long").alias("bin_id"),
         )
+    )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping token chunks — the
+    context-window preparation step for embedding / RAG pipelines (the
+    complement of ``pack_sequences``, which packs SHORT docs together).
+
+    Chunk c covers tokens ``[c·stride, c·stride + max_tokens)`` with
+    ``stride = max_tokens − overlap``; chunks = ⌈n/stride⌉ so every
+    token is covered and consecutive chunks share ``overlap`` tokens.
+    Output: ``(doc_id, chunk_idx, chunk_tokens, chunk_digest)`` — the
+    digest (md5 of the space-joined chunk) stands in for the chunk text
+    so downstream exact-dedup of chunks needs no second tokenize pass.
+    Pure per-row JVM expressions + one explode; no shuffle.
+    """
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("require 0 <= overlap < max_tokens")
+    from plda_spark.operators.text import tokens_col
+
+    stride = max_tokens - overlap
+    toks = tokens_col(text_col)
+    staged = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    t = F.col("__toks")
+    n = F.size(t)
+    n_chunks = F.floor((n + stride - 1) / stride).cast("int")
+    chunks = F.transform(
+        F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
+            F.array().cast("array<int>")
+        ),
+        lambda c: F.slice(t, (c - 1) * stride + 1, max_tokens),
+    )
+    return staged.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "__chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.size("__chunk").alias("chunk_tokens"),
+        F.md5(F.array_join("__chunk", " ")).alias("chunk_digest"),
     )

@@ -310,3 +310,28 @@ def test_connected_components(spark):
     assert all(comp[n] == 1 for n in range(1, 8))
     assert all(comp[n] == 10 for n in (10, 11, 12))
     assert comp[20] == comp[21] == 20
+
+
+def test_chunk_documents(spark):
+    from plda_spark.operators.sampling import chunk_documents
+
+    import pytest as _pt
+
+    words = " ".join(f"tok{i:03d}" for i in range(100))
+    df = spark.createDataFrame([(0, words), (1, "just three tokens")],
+                               "doc_id long, text string")
+    rows = chunk_documents(df, max_tokens=40, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 100 tokens, stride 30 -> ceil(100/30) = 4 chunks; all full except the tail.
+    c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
+    assert [r["chunk_tokens"] for r in c0] == [40, 40, 40, 10]
+    assert [r["chunk_idx"] for r in c0] == [0, 1, 2, 3]
+    # Short doc -> one whole-doc chunk.
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_tokens"] == 3
+    # Identical chunk content -> identical digest (dedup-able).
+    dup = chunk_documents(df.where(F.col("doc_id") == 0), max_tokens=40, overlap=10)
+    assert {r["chunk_digest"] for r in dup.collect()} == {r["chunk_digest"] for r in c0}
+    with _pt.raises(ValueError):
+        chunk_documents(df, max_tokens=10, overlap=10)

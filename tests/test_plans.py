@@ -76,3 +76,39 @@ def test_pack_sequences_window_is_sharded(spark):
     )
     assert "hashpartitioning(__shard" in s["plan"]
     assert "SinglePartition" not in s["plan"]
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed on the join key must join with NO Exchange on
+    either side — the shuffle is paid once at write time (the durable
+    co-location story for repeated fact-to-fact joins at scale)."""
+    from plda_spark.sources.bucketed import read_bucketed, write_bucketed
+    from plda_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    write_bucketed(orders, "t_orders_b", "o_orderkey", n_buckets=8, sort_col="o_orderkey")
+    write_bucketed(li, "t_lineitem_b", "l_orderkey", n_buckets=8, sort_col="l_orderkey")
+    try:
+        a = read_bucketed(spark, "t_orders_b")
+        b = read_bucketed(spark, "t_lineitem_b")
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.join(b, a["o_orderkey"] == b["l_orderkey"])
+            s = plan_summary(j)
+            assert s["exchanges"] == 0
+            assert "Bucketed: true" in s["plan"]
+            assert s["sort_merge_joins"] >= 1  # formatted plan names the node twice
+            # Same rows as the plain (shuffled) join.
+            plain = orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            assert j.count() == plain.count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

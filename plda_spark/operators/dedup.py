@@ -113,12 +113,14 @@ def jaccard_pairs(
             .drop("__df")
         )
     # Attach each doc's shingle count via a window so the sizes ride along
-    # with the self-join rows (no separate size-join stages), and persist
-    # the shingle set so the tokenize→shingle pipeline runs once for both
-    # self-join sides.
+    # with the self-join rows (no separate size-join stages).  The two
+    # self-join sides are identical subplans, so Catalyst plans a
+    # ReusedExchange — the tokenize→shingle→window pipeline executes once
+    # and both sides read its shuffle files (cheaper than persist: no
+    # block-store pinning of the shingle set, measured faster at sf0.1).
     sh = sh.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
-    ).persist()
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -197,11 +199,12 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
+    # One row per doc — tiny relative to the shingle explosion feeding
+    # it.  The band self-join's two sides are identical subplans, so the
+    # shingle+min aggregation runs once and AQE reuses its exchange (no
+    # persist: measured faster than block-store pinning at sf0.1, and no
+    # executor memory held across the query).
     sig = minhash_signatures(shingles(docs, n, text_col, id_col), num_hashes)
-    # One row per doc — tiny relative to the shingle explosion feeding it.
-    # Persisting it keeps the expensive shingle+min aggregation from being
-    # recomputed for both sides of the band self-join below.
-    sig = sig.persist()
     band_rows = sig.select(
         "doc_id",
         "sig",
@@ -305,7 +308,9 @@ def simhash_pairs(
     ⇒ at least one of 4 bands identical), then exact popcount filter via
     ``bit_count(a XOR b)``.
     """
-    sig = simhash(docs, text_col, id_col).persist()  # one row per doc
+    # One row per doc; the band self-join reuses the signature stage's
+    # exchange at runtime (see minhash_lsh_pairs — persist measured slower).
+    sig = simhash(docs, text_col, id_col)
     bands = 4
     width = 15
     band_rows = sig.select(

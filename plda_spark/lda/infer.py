@@ -76,7 +76,13 @@ def transform(
         raise ValueError("need 0 <= burn_in_iterations < total_iterations")
     spark = corpus.sparkSession
     sc = spark.sparkContext
-    P = num_partitions or sc.defaultParallelism
+    if num_partitions:
+        P = num_partitions
+    else:
+        from .train import _auto_partitions
+
+        total_tokens = int(corpus.agg(F.sum("count")).collect()[0][0] or 0)
+        P = _auto_partitions(total_tokens, sc.defaultParallelism)
 
     vocab = spark.createDataFrame(
         [(w, i) for i, w in enumerate(model.words)], "word string, word_id long"

@@ -85,6 +85,26 @@ class TrainConfig:
             raise ValueError("need 0 <= burn_in_iterations < total_iterations")
 
 
+# Auto-partitioning targets (used when TrainConfig.num_partitions is None).
+# Each Gibbs iteration is one job whose per-task fixed cost (scheduling,
+# Arrow round-trip, Python worker dispatch) is amortized over the tokens in
+# the partition — so partitions are sized by token volume, not row count:
+#   P = min(parallelism, ceil(tokens / _TOKENS_PER_PARTITION))   # small corpora
+#   P = max(P, ceil(tokens / _MAX_TOKENS_PER_PARTITION), 1)      # memory floor
+# A sf0.1-sized corpus (~1M tokens) gets 4 partitions instead of 32 (8x less
+# fixed overhead per iteration); a 100M-token corpus saturates the cluster;
+# the floor bounds per-task occ+z memory (~8 bytes/token) regardless of
+# parallelism.  More partitions than cores is never useful here: AD-LDA
+# staleness and payload volume both grow with P (lda_paper.pdf §4.1).
+_TOKENS_PER_PARTITION = 250_000
+_MAX_TOKENS_PER_PARTITION = 64_000_000
+
+
+def _auto_partitions(total_tokens: int, parallelism: int) -> int:
+    p = min(parallelism, -(-total_tokens // _TOKENS_PER_PARTITION) or 1)
+    return max(p, -(-total_tokens // _MAX_TOKENS_PER_PARTITION), 1)
+
+
 @dataclass
 class TrainResult:
     model: LDAModel                      # averaged or raw per config.average_model
@@ -260,7 +280,13 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
     config.validate()
     spark = corpus.sparkSession
     sc = spark.sparkContext
-    P = config.num_partitions or sc.defaultParallelism
+    if config.num_partitions:
+        P = config.num_partitions
+    else:
+        total_tokens = int(
+            corpus.agg(F.sum("count")).collect()[0][0] or 0
+        )
+        P = _auto_partitions(total_tokens, sc.defaultParallelism)
 
     if resume_from is None:
         vocab = build_vocab(corpus)

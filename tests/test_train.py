@@ -67,6 +67,21 @@ def test_averaged_vs_raw(tiny_result):
     assert avg.nwk.sum() == pytest.approx(60 * 40)
 
 
+def test_auto_partitions():
+    from plda_spark.lda.train import (
+        _MAX_TOKENS_PER_PARTITION, _TOKENS_PER_PARTITION, _auto_partitions,
+    )
+
+    assert _auto_partitions(0, 32) == 1                     # empty corpus
+    assert _auto_partitions(1, 32) == 1                     # tiny corpus: one task
+    assert _auto_partitions(_TOKENS_PER_PARTITION, 32) == 1
+    assert _auto_partitions(_TOKENS_PER_PARTITION + 1, 32) == 2
+    assert _auto_partitions(10**8, 32) == 32                # saturates the cluster
+    # memory floor: more partitions than cores when a partition would exceed cap
+    big = 3 * _MAX_TOKENS_PER_PARTITION
+    assert _auto_partitions(big, 2) == 3
+
+
 def test_determinism(spark):
     corpus = synthetic_corpus(spark, n_docs=20, doc_len=15)
     cfg = TrainConfig(

@@ -758,7 +758,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def stream_sessionize_stateful(spark, sf):
         """Real Structured Streaming run (availableNow) of the custom
-        stateful sessionization operator; rows-only check."""
+        stateful sessionization operator, plus the state-store drain of
+        still-open trailing sessions — together value-identical to the
+        batch twin, so the DuckDB oracle hash-checks the whole stateful
+        pipeline (applyInPandasWithState + state-store data source)."""
         import tempfile
 
         tmp = tempfile.mkdtemp(prefix="plda_stream_")
@@ -768,10 +771,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         schema = spark.read.parquet(src).schema
         stream = spark.readStream.schema(schema).parquet(src)
         out = f"{tmp}/out"
-        windows.run_stream_available_now(
-            windows.sessionize(stream), out, f"{tmp}/ckpt"
-        )
-        return spark.read.parquet(out)
+        ckpt = f"{tmp}/ckpt"
+        windows.run_stream_available_now(windows.sessionize(stream), out, ckpt)
+        emitted = spark.read.parquet(out)
+        return emitted.unionByName(windows.open_sessions(spark, ckpt))
 
     q["stream_sessionize_stateful"] = stream_sessionize_stateful
 
@@ -1452,6 +1455,28 @@ s AS (
 )
 SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+    # Same sessionization, minus the session ordinal (the stateful
+    # operator's output schema carries no session_id; n_events is INT32
+    # to match _SESSION_SCHEMA).
+    o["stream_sessionize_stateful"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       CAST(count(*) AS INT) AS n_events
 FROM s GROUP BY user_id, session_id
 """
 

@@ -17,7 +17,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -127,22 +127,28 @@ _STATE_SCHEMA = "start long, last long, n int"
 def _session_fn(
     key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """Gap-based sessionization: a session closes after 30 min idle."""
-    gap_ms = 30 * 60 * 1000
+    """Gap-based sessionization: a session closes after 30 min idle.
+
+    State timestamps are kept at full microsecond precision so a drained
+    run (emitted sessions + :func:`open_sessions`) is value-identical to
+    :func:`sessionize_batch` — no truncation gap between the streaming
+    and batch twins.
+    """
+    gap_us = 30 * 60 * 1_000_000
     if state.hasTimedOut:
         start, last, n = state.get
         state.remove()
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
-                "session_start": [pd.Timestamp(start, unit="ms")],
-                "session_end": [pd.Timestamp(last, unit="ms")],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
                 "n_events": [n],
             }
         )
         return
     rows = pd.concat(list(pdfs))
-    ts = rows["ts"].astype("int64") // 10**6  # ms
+    ts = rows["ts"].astype("int64") // 10**3  # ns → us
     ts = ts.sort_values()
     out = []
     if state.exists:
@@ -152,19 +158,19 @@ def _session_fn(
         n = 0
     for t in ts:
         t = int(t)
-        if t - last > gap_ms:
+        if t - last > gap_us:
             out.append((start, last, n))
             start, n = t, 0
         last = max(last, t)
         n += 1
     state.update((start, last, n))
-    state.setTimeoutDuration(gap_ms)
+    state.setTimeoutDuration(30 * 60 * 1000)  # processing-time ms
     if out:
         yield pd.DataFrame(
             {
                 "user_id": [key[0]] * len(out),
-                "session_start": [pd.Timestamp(s, unit="ms") for s, _, _ in out],
-                "session_end": [pd.Timestamp(e, unit="ms") for _, e, _ in out],
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out],
                 "n_events": [n for _, _, n in out],
             }
         )
@@ -302,4 +308,29 @@ def sessionize(events: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
+    )
+
+
+def open_sessions(spark: SparkSession, checkpoint_path: str) -> DataFrame:
+    """Drain still-open sessions from a :func:`sessionize` checkpoint.
+
+    In append mode a session only emits when its gap timeout fires, so
+    after an ``availableNow`` run the trailing session of every active
+    user is still sitting in operator state.  Spark's state-store data
+    source reads the last committed state version straight from the
+    checkpoint — distributed, no driver collect — so
+
+    ``emitted ∪ open_sessions(ckpt)  ≡  sessionize_batch(events)``
+
+    exactly (pinned in tests/test_streaming.py).  This is the streaming
+    operator's "end of stream" flush, done Spark-side instead of with a
+    custom sentinel event.
+    """
+    st = spark.read.format("statestore").load(checkpoint_path)
+    g = F.col("value.groupState")
+    return st.select(
+        F.col("key.user_id").alias("user_id"),
+        F.timestamp_micros(g["start"]).alias("session_start"),
+        F.timestamp_micros(g["last"]).alias("session_end"),
+        g["n"].alias("n_events"),
     )

@@ -68,6 +68,22 @@ def test_sessionize_stateful(spark, stream_dir, tmp_path):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_events"] >= 1
+    # Emitted sessions + the state-store drain of still-open trailing
+    # sessions must be VALUE-identical to the batch twin (full
+    # microsecond precision, no truncation).
+    drained = res.unionByName(
+        windows.open_sessions(spark, str(tmp_path / "ckpt_sess"))
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in drained.collect()
+    }
+    batch = windows.sessionize_batch(spark.read.parquet(stream_dir))
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in batch.collect()
+    }
+    assert got == want
 
 
 def test_stream_dedup(spark, stream_dir, tmp_path):

@@ -105,22 +105,28 @@ def jaccard_pairs(
     from pyspark.sql import Window
 
     sh = shingles(docs, n, text_col, id_col)
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+    sh = sh.withColumn("__df", df_w)
     if max_shingle_df is not None:
-        df_w = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
-        sh = (
-            sh.withColumn("__df", df_w)
-            .where(F.col("__df") <= max_shingle_df)
-            .drop("__df")
-        )
+        sh = sh.where(F.col("__df") <= max_shingle_df)
     # Attach each doc's shingle count via a window so the sizes ride along
     # with the self-join rows (no separate size-join stages).  The two
     # self-join sides are identical subplans, so Catalyst plans a
     # ReusedExchange — the tokenize→shingle→window pipeline executes once
     # and both sides read its shuffle files (cheaper than persist: no
     # block-store pinning of the shingle set, measured faster at sf0.1).
+    #
+    # n_sh (the Jaccard denominator) must count every surviving shingle,
+    # so it is computed BEFORE the df >= 2 prune below.
     sh = sh.withColumn(
         "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
     )
+    # A shingle held by a single document cannot contribute an
+    # intersection (the a.doc_id < b.doc_id join discards self-matches),
+    # so pruning df = 1 rows — typically the vast majority of shingles —
+    # shrinks both self-join inputs and the pair-grouping shuffle without
+    # changing any result row.
+    sh = sh.where(F.col("__df") >= 2).drop("__df")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (

@@ -41,6 +41,8 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "connected_components",
+    "contamination",
+    "decontaminate",
 ]
 
 
@@ -426,3 +428,58 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+def contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark-overlap report: ``(doc_id, n_contaminated_ngrams)`` for
+    every training doc sharing at least one word n-gram with the
+    benchmark corpus (test-set decontamination, the standard n-gram
+    membership check run before LLM training).
+
+    Scale shape: the benchmark's distinct shingle set is eval-suite
+    sized — bounded by the benchmark, not the corpus — so it is safe to
+    broadcast and the 100 TB side streams through a broadcast-hash
+    semi-join with NO shuffle of the corpus.  Pass
+    ``broadcast_benchmark=False`` for unusually large benchmark sets and
+    the plan degrades to a shuffle equi-join on shingle.
+
+    ``n_contaminated_ngrams`` counts the doc's distinct overlapping
+    n-grams (shingles are per-doc distinct).
+    """
+    doc_sh = shingles(docs, n, text_col, id_col)
+    bench_sh = shingles(benchmark, n, text_col, id_col).select("shingle").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    return (
+        doc_sh.join(bench_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Drop training docs that overlap the benchmark in ``min_hits`` or
+    more n-grams; returns the clean subset of ``docs`` unchanged in
+    schema.  Anti-join on the :func:`contamination` hit list — the hit
+    list is at most |contaminated docs| rows, far below the corpus."""
+    hits = contamination(
+        docs, benchmark, n, text_col, id_col, broadcast_benchmark
+    ).where(F.col("n_contaminated_ngrams") >= min_hits)
+    return docs.join(
+        hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )

@@ -15,10 +15,10 @@ genuinely skewed keys only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["salted_join", "as_of_join"]
 
 
 def salted_join(
@@ -38,3 +38,78 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     )
     return big_s.join(small_s, [on, "__salt"]).drop("__salt")
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    tolerance: Column | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: each left row picks the latest right row with
+    ``right_ts <= left_ts`` for the same ``on`` key (time-series
+    point-in-time lookup — the operator Spark's join zoo lacks).
+
+    Implementation is the union-window ("piggyback") plan, not a range
+    join: tag both inputs, union them, and carry the last-seen right
+    payload forward with ``last(..., ignorenulls=True)`` over a window
+    partitioned by the key and ordered by time.  Cost is ONE shuffle of
+    |L|+|R| rows on the key — no range explode, no per-row probe, no
+    broadcast — so it scales to arbitrarily large fact/quote tables as
+    long as single keys fit a task (the same per-key-ordering contract
+    every windowed operator has; salt hot keys first if not).
+
+    Left rows with no prior right row keep NULL right columns (left-join
+    semantics).  Ties at equal timestamps match (``<=``); among right
+    rows sharing one timestamp the winner is the last by ``tiebreak``
+    (pass a column name for determinism).  ``tolerance`` (a Column
+    interval or double, compared against ``left_ts - right_ts``) voids
+    matches older than the bound, like pandas ``merge_asof``.
+
+    Right columns are emitted with a ``right_`` prefix (except the key).
+    """
+    r_payload = [c for c in right.columns if c != on]
+    order = [F.col("__ts"), F.col("__side")] + (
+        [F.col(tiebreak).asc_nulls_first()] if tiebreak else []
+    )
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.struct(*[F.col(c) for c in r_payload]).alias("__r"),
+        *([F.col(tiebreak)] if tiebreak and tiebreak not in (on,) else []),
+    )
+    l_cols = [F.col(c) for c in left.columns]
+    lt = left.select(
+        *l_cols,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__r"].dataType).alias("__r"),
+        *([F.lit(None).cast(right.schema[tiebreak].dataType).alias(tiebreak)]
+          if tiebreak and tiebreak not in left.columns else []),
+    )
+    u = lt.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
+        F.col("__side") == 1
+    )
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "__m",
+            F.when(
+                F.col("__m").isNotNull()
+                & ((F.col("__ts") - F.col(f"__m.{right_ts}")) <= tolerance),
+                F.col("__m"),
+            ),
+        )
+    out = [F.col(c) for c in left.columns] + [
+        F.col(f"__m.{c}").alias(f"right_{c}") for c in r_payload
+    ]
+    return matched.select(*out)

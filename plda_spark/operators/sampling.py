@@ -25,6 +25,7 @@ __all__ = [
     "hash_bucket",
     "hash_mod_sample",
     "train_val_test_split",
+    "stratified_hash_sample",
     "pack_sequences",
     "chunk_documents",
 ]
@@ -58,6 +59,32 @@ def train_val_test_split(
         .when(b < test_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("train")),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, int],
+    key_col: str = "doc_id",
+    buckets: int = 100,
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its hash bucket
+    is below the stratum's percentage (``fractions`` maps stratum value →
+    kept buckets out of ``buckets``; unlisted strata get ``default_pct``).
+
+    The up/down-sampling primitive for domain mixing in training-data
+    pipelines ("keep 100% of wiki, 10% of crawl").  Unlike
+    ``df.sampleBy`` the decision is a pure function of the row key, so
+    the sample is identical across runs, partitionings, and engines, and
+    a row's fate never changes when other strata's rates do.  Pure
+    per-row expressions — no shuffle, fully pushdown-friendly.
+    """
+    b = hash_bucket(F.col(key_col), buckets)
+    thresh = F.lit(default_pct)
+    for value, pct in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == value, F.lit(pct)).otherwise(thresh)
+    return df.where(b < thresh)
 
 
 def pack_sequences(

@@ -335,3 +335,118 @@ def test_chunk_documents(spark):
     assert {r["chunk_digest"] for r in dup.collect()} == {r["chunk_digest"] for r in c0}
     with _pt.raises(ValueError):
         chunk_documents(df, max_tokens=10, overlap=10)
+
+
+def test_as_of_join_matches_pandas_merge_asof(spark):
+    from plda_spark.operators import joins
+
+    # quotes (right) and trades (left) — the canonical as-of shape
+    quotes = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 1.1), (1, 20, 1.2), (1, 40, 1.3),
+         (2, 15, 9.0)],
+        "sym long, ts long, px double",
+    )
+    trades = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 20), (1, 35), (1, 50), (2, 14), (3, 99)],
+        "sym long, ts long",
+    )
+    got = {
+        (r["sym"], r["ts"]): r["right_px"]
+        for r in joins.as_of_join(
+            trades, quotes, on="sym", tiebreak="px"
+        ).collect()
+    }
+    assert got[(1, 5)] is None          # no quote yet
+    assert got[(1, 10)] == 1.0          # equal ts matches (<=)
+    assert got[(1, 20)] == 1.2          # tie at ts=20 → last by tiebreak
+    assert got[(1, 35)] == 1.2          # latest prior
+    assert got[(1, 50)] == 1.3
+    assert got[(2, 14)] is None
+    assert got[(3, 99)] is None         # key absent from right
+
+    # tolerance voids stale matches
+    tol = joins.as_of_join(
+        trades, quotes, on="sym", tiebreak="px", tolerance=F.lit(10)
+    )
+    got_tol = {(r["sym"], r["ts"]): r["right_px"] for r in tol.collect()}
+    assert got_tol[(1, 50)] == 1.3      # 50-40 = 10 <= 10 kept
+    assert got_tol[(1, 35)] is None     # 35-20 = 15 > 10 voided
+
+
+def test_decontamination(spark):
+    from plda_spark.operators.dedup import contamination, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "what is the capital of france paris is correct")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "trivia dump what is the capital of france paris and more text"),
+            (1, "a clean training document about cooking pasta at home"),
+            (2, "another clean one regarding linear algebra and matrices"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r["doc_id"]: r["n_contaminated_ngrams"]
+            for r in contamination(docs, bench, n=5).collect()}
+    assert 0 in hits and 1 not in hits and 2 not in hits
+    assert hits[0] >= 1
+    clean = decontaminate(docs, bench, n=5)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert clean.columns == docs.columns
+
+
+def test_stratified_hash_sample(spark):
+    from plda_spark.operators.sampling import hash_bucket, stratified_hash_sample
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "wiki").otherwise("crawl").alias("source"),
+    )
+    out = stratified_hash_sample(
+        df, "source", {"wiki": 100, "crawl": 10}, key_col="doc_id"
+    )
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["wiki"] == 1000                 # 100% kept
+    assert 40 <= counts["crawl"] <= 200           # ~10% of 1000
+    # deterministic: same rows both runs, and a row's fate is independent
+    # of the other stratum's rate
+    again = stratified_hash_sample(
+        df, "source", {"wiki": 50, "crawl": 10}, key_col="doc_id"
+    )
+    crawl_a = {r["doc_id"] for r in out.where("source='crawl'").collect()}
+    crawl_b = {r["doc_id"] for r in again.where("source='crawl'").collect()}
+    assert crawl_a == crawl_b
+    # unlisted strata fall back to default_pct
+    assert stratified_hash_sample(df, "source", {"wiki": 100}).where(
+        "source='crawl'"
+    ).count() == 0
+
+
+def test_stats_quantiles_and_frequent_items(spark):
+    from plda_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)] + [("b", 5.0), ("b", 15.0)],
+        "g string, v double",
+    )
+    ex = {r["g"]: r for r in
+          stats.group_quantiles(df, ["g"], "v", qs=(0.5,)).collect()}
+    assert ex["a"]["q0_5"] == pytest.approx(50.5)   # interpolated median
+    assert ex["b"]["q0_5"] == pytest.approx(10.0)
+    ap = {r["g"]: r for r in
+          stats.approx_group_quantiles(df, ["g"], "v", qs=(0.5,)).collect()}
+    assert abs(ap["a"]["q0_5"] - 50.5) <= 1.0       # sketch within rank error
+
+    ev = spark.createDataFrame(
+        [("x", "u1")] * 5 + [("x", "u2")] * 3 + [("x", "u3")] * 3 + [("y", "u9")],
+        "g string, u string",
+    )
+    top = stats.frequent_items(ev, ["g"], "u", k=2).collect()
+    by_g = {}
+    for r in top:
+        by_g.setdefault(r["g"], []).append((r["rank"], r["value"], r["cnt"]))
+    assert sorted(by_g["x"]) == [(1, "u1", 5), (2, "u2", 3)]  # tie u2<u3
+    assert sorted(by_g["y"]) == [(1, "u9", 1)]

@@ -112,3 +112,52 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_as_of_join_is_one_shuffle_no_join(spark):
+    """The as-of operator must keep the union-window shape: ONE exchange
+    on the key, no join operator at all (a range/theta join here would
+    explode at scale)."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import joins
+
+    q = spark.range(10).select(
+        F.col("id").alias("sym"), F.col("id").alias("ts"), F.lit(1.0).alias("px")
+    )
+    t = spark.range(10).select(F.col("id").alias("sym"), F.col("id").alias("ts"))
+    s = plan_summary(joins.as_of_join(t, q, on="sym"))
+    # formatted explain names each node twice (tree + details), so one
+    # physical Exchange == 2 matches.
+    assert s["exchanges"] == 2
+    assert s["broadcast_hash_joins"] == 0 and s["sort_merge_joins"] == 0
+
+
+def test_contamination_broadcasts_benchmark_not_corpus(spark):
+    """The benchmark shingle set rides a broadcast semi-join so the
+    corpus side never shuffles; the corpus-side aggregation is the only
+    exchange."""
+    import __spark_entry__ as e
+    from plda_spark.operators.dedup import contamination
+
+    docs = e.load_table(spark, "/root/testdata/sf0.001", "documents")
+    bench = docs.where("doc_id % 97 = 0")
+    s = plan_summary(contamination(docs, bench, n=5))
+    # one physical BroadcastHashJoin (tree + details = 2 matches)
+    assert s["broadcast_hash_joins"] == 2
+    assert s["sort_merge_joins"] == 0
+
+
+def test_stratified_sample_is_scan_plus_filter(spark):
+    """Pure per-row predicate: no exchange, and column pruning reaches
+    the scan."""
+    import __spark_entry__ as e
+    from plda_spark.operators.sampling import stratified_hash_sample
+
+    docs = e.load_table(spark, "/root/testdata/sf0.001", "documents")
+    s = plan_summary(
+        stratified_hash_sample(docs.select("doc_id", "source"), "source",
+                               {"wiki": 100, "web": 10})
+    )
+    assert s["exchanges"] == 0
+    assert all(schema.count(",") <= 1 for schema in s["read_schemas"])

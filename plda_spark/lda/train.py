@@ -112,15 +112,20 @@ class TrainResult:
     log_likelihood: list[float] = field(default_factory=list)  # one per iteration if computed
 
 
-def _count_payload_row(pid: int, acc_flat: np.ndarray) -> pd.DataFrame:
+def _count_payload_row(
+    pid: int, acc_flat: np.ndarray, ll_total: float = 0.0
+) -> pd.DataFrame:
     """Encode a partition's sparse (word,topic) counts as one synthetic
-    row: ``doc_id = -(pid+1)``, ``z`` = interleaved [flat_idx, count, …].
+    row: ``doc_id = -(pid+1)``, ``z`` = interleaved [flat_idx, count, …],
+    ``ll`` = the partition's summed pre-sweep log-likelihood.
 
     This rides the sweep's own output schema, so the per-iteration model
     rebuild reads P tiny payload rows from the checkpoint instead of
     re-decoding every token array in a second Arrow pass — the shuffle-
     free end of the reference's local-count-then-AllReduce
-    (mpi_lda.cc:99-110).
+    (mpi_lda.cc:99-110).  Piggybacking the LL partial on the same row
+    means a likelihood-enabled iteration still launches exactly ONE
+    post-sweep job (the payload read), not a second full-scan agg.
     """
     nz = np.flatnonzero(acc_flat)
     assert acc_flat.shape[0] < 2**31, "V*K exceeds int32 payload indexing"
@@ -133,7 +138,7 @@ def _count_payload_row(pid: int, acc_flat: np.ndarray) -> pd.DataFrame:
             "doc_id": np.array([-(pid + 1)], dtype=np.int64),
             "word_occ": [b""],
             "z": [packed.tobytes()],
-            "ll": np.zeros(1),
+            "ll": np.array([ll_total], dtype=np.float64),
         }
     )
 
@@ -188,6 +193,7 @@ def _sweep_fn(bc_nwk, bc_nk, alpha: float, beta: float, seed: int, iteration: in
         local_nwk = None
         local_nk = None
         acc = None
+        ll_total = 0.0
         for pdf in batches:
             if local_nwk is None:
                 local_nwk = bc_nwk.value.copy()
@@ -214,6 +220,7 @@ def _sweep_fn(bc_nwk, bc_nk, alpha: float, beta: float, seed: int, iteration: in
                     lls[d] = kernel.doc_log_likelihood(
                         uw, cnt.astype(np.float64), ndk, local_nwk, local_nk, alpha, beta
                     )
+                ll_total += float(lls.sum())
             kernel.sweep_docs(
                 word_occ, z, offsets, local_nwk, local_nk, alpha, beta, rng,
                 update_model=True,
@@ -236,24 +243,34 @@ def _sweep_fn(bc_nwk, bc_nk, alpha: float, beta: float, seed: int, iteration: in
             )
         if acc is None:  # empty partition still reports (zero) counts
             acc = np.zeros(bc_nwk.value.size, dtype=np.int64)
-        yield _count_payload_row(pid, acc)
+        yield _count_payload_row(pid, acc, ll_total)
 
     return fn
 
 
-def _aggregate_model(df_z: DataFrame, vocab_size: int, num_topics: int) -> np.ndarray:
+def _aggregate_model(
+    df_z: DataFrame, vocab_size: int, num_topics: int
+) -> tuple[np.ndarray, float]:
     """Rebuild n_wk from the per-partition count payloads emitted by the
     z-init / sweep passes — the reduce end of the reference's AllReduce
     (mpi_lda.cc:58-110).  Reads P payload rows from the checkpoint (no
     token-array re-decode, no shuffle) and sums the sparse partials
     driver-side; driver traffic is ≤ P·nnz(V×K) ints, the same volume
-    the reference's rank-0 receives per AllReduce."""
-    pdf = df_z.where(F.col("doc_id") < 0).select("z").toPandas()
+    the reference's rank-0 receives per AllReduce.  Returns
+    ``(n_wk, corpus_ll)`` — the LL partial rides the same rows, so the
+    whole reduce is one job.  Payloads are summed in pid order for a
+    deterministic float result."""
+    pdf = (
+        df_z.where(F.col("doc_id") < 0)
+        .select("doc_id", "z", "ll")
+        .toPandas()
+        .sort_values("doc_id", ascending=False)
+    )
     flat = np.zeros(vocab_size * num_topics, dtype=np.int64)
     for buf in pdf["z"]:
         a = np.frombuffer(buf, dtype=np.int32).astype(np.int64)
         flat[a[0::2]] += a[1::2]
-    return flat.reshape(vocab_size, num_topics)
+    return flat.reshape(vocab_size, num_topics), float(pdf["ll"].sum())
 
 
 def _save_checkpoint(df_z: DataFrame, path: str, it: int, nwk, accum, lls, words) -> None:
@@ -303,7 +320,7 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
             _zinit_fn(K, V, config.seed), schema=_SWEEP_SCHEMA
         )
         df_z = df_z.localCheckpoint(eager=True)
-        nwk = _aggregate_model(df_z, V, K)
+        nwk, _ = _aggregate_model(df_z, V, K)
         accum = np.zeros((V, K), dtype=np.float64)
         lls: list[float] = []
         start_it = 0
@@ -343,11 +360,11 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
         # (persist(MEMORY_AND_DISK) crashes by iteration 2 for the reason
         # above).
         new_df_z = swept.localCheckpoint(eager=True)
-        if config.compute_likelihood:
-            lls.append(new_df_z.agg(F.sum("ll")).collect()[0][0])
         df_z.unpersist()
         df_z = new_df_z
-        nwk = _aggregate_model(df_z, V, K)
+        nwk, ll = _aggregate_model(df_z, V, K)
+        if config.compute_likelihood:
+            lls.append(ll)
         bc_nwk.destroy()
         bc_nk.destroy()
         if it >= config.burn_in_iterations:

@@ -68,7 +68,7 @@ def main() -> None:
     )
     t_init = time.time() - t0
     t0 = time.time()
-    nwk = T._aggregate_model(df_z, V, K)
+    nwk, _ = T._aggregate_model(df_z, V, K)
     t_agg0 = time.time() - t0
 
     iter_times = []
@@ -82,7 +82,7 @@ def main() -> None:
         new_z = swept.localCheckpoint(eager=True)
         df_z.unpersist()
         df_z = new_z
-        nwk = T._aggregate_model(df_z, V, K)
+        nwk, _ = T._aggregate_model(df_z, V, K)
         bn.destroy()
         bk.destroy()
         iter_times.append(round(time.time() - t0, 2))

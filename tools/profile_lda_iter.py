@@ -58,7 +58,7 @@ def main() -> None:
     df_z = packed.mapInPandas(T._zinit_fn(K, V, 42), schema=T._SWEEP_SCHEMA)
     df_z = df_z.localCheckpoint(eager=True)
     t_init = time.time() - t0
-    nwk = T._aggregate_model(df_z, V, K)
+    nwk, _ = T._aggregate_model(df_z, V, K)
 
     rows = []
     for it in range(iters):

@@ -24,7 +24,12 @@ from .corpus import pack_docs
 from .model import LDAModel
 from .vocab import remap_words
 
-__all__ = ["transform", "transform_model_df", "write_inference_result"]
+__all__ = [
+    "transform",
+    "transform_stream",
+    "transform_model_df",
+    "write_inference_result",
+]
 
 _OUT_SCHEMA = "doc_id long, topic_weights array<double>"
 
@@ -99,6 +104,69 @@ def transform(
         ),
         schema=_OUT_SCHEMA,
     )
+
+
+def transform_stream(
+    model: LDAModel,
+    docs: DataFrame,
+    total_iterations: int = 15,
+    burn_in_iterations: int = 10,
+    seed: int = 42,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of :func:`transform` over raw ``documents`` rows —
+    score an unbounded document stream against a frozen model.
+
+    Scoring is per-document and the model is frozen, so the whole
+    pipeline is STATELESS: tokenization is a per-row JVM expression
+    (same ``TOKEN_RE``/``MIN_TOKEN_LEN`` as ``corpus.tokenize``) and the
+    word→id remap happens against the broadcast vocabulary inside the
+    same Arrow UDF that sweeps — no groupBy, no watermark, no state
+    store.  Works identically on a batch DataFrame (useful as the
+    one-pass scorer that skips the corpus-triples shuffle entirely).
+
+    OOV words are dropped in the UDF (``infer.cc:77-80``); occurrences
+    are sorted by word id to match ``pack_docs``'s layout.  Docs with no
+    in-vocab words emit all-zero weights (reference behavior: an
+    all-OOV doc still writes a line).
+    """
+    if not (0 <= burn_in_iterations < total_iterations):
+        raise ValueError("need 0 <= burn_in_iterations < total_iterations")
+    from .corpus import MIN_TOKEN_LEN, TOKEN_RE
+
+    sc = docs.sparkSession.sparkContext
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_RE),
+        lambda w: F.length(w) >= MIN_TOKEN_LEN,
+    )
+    staged = docs.select(F.col(id_col).alias("doc_id"), toks.alias("toks"))
+
+    bc_vocab = sc.broadcast({w: i for i, w in enumerate(model.words)})
+    bc_nwk = sc.broadcast(model.nwk.astype(np.float64))
+    bc_nk = sc.broadcast(model.nk.astype(np.float64))
+    inner = _infer_fn(
+        bc_nwk, bc_nk, model.alpha, model.beta,
+        total_iterations, burn_in_iterations, seed,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        vocab = bc_vocab.value
+
+        def remap(batch: pd.DataFrame) -> pd.DataFrame:
+            occs = [
+                np.sort(
+                    np.fromiter(
+                        (vocab[w] for w in ws if w in vocab), dtype=np.int32
+                    )
+                )
+                for ws in batch["toks"]
+            ]
+            return pd.DataFrame({"doc_id": batch["doc_id"], "word_occ": occs})
+
+        yield from inner(remap(b) for b in batches)
+
+    return staged.mapInPandas(fn, schema=_OUT_SCHEMA)
 
 
 def _infer_submodel_fn(nk: np.ndarray, alpha: float, beta: float, vocab_size: int,

@@ -117,3 +117,55 @@ def test_interval_join_matches_batch(spark, stream_dir, tmp_path):
     # Inner stream-stream joins may hold back pairs near the final
     # watermark; everything emitted must be correct and near-complete.
     assert len(want - got) <= max(2, len(want) // 10)
+
+
+def test_transform_stream_scores_documents(spark, tmp_path):
+    """Streaming LDA scoring: stateless mapInPandas pipeline, exact
+    per-doc invariant (weights sum to the in-vocab occurrence count),
+    identical operator usable on batch and stream."""
+    import numpy as np
+
+    from plda_spark.lda.infer import transform_stream
+    from plda_spark.lda.model import LDAModel
+
+    d = str(tmp_path / "docs_in")
+    load_table(spark, "/root/testdata/sf0.001", "documents").limit(40).write.parquet(d)
+
+    words = ["data", "spark", "query", "join", "table", "line", "value"]
+    rng = np.random.default_rng(7)
+    model = LDAModel(rng.integers(1, 50, (len(words), 3)).astype(np.int64),
+                     words, alpha=0.1, beta=0.01)
+
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    scored = transform_stream(model, stream, total_iterations=4,
+                              burn_in_iterations=2, seed=11)
+    assert scored.isStreaming
+    out = str(tmp_path / "scored_out")
+    (scored.writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", str(tmp_path / "scored_ckpt"))
+        .trigger(availableNow=True).start().awaitTermination())
+    res = spark.read.parquet(out).collect()
+    assert len(res) == 40
+
+    # exact invariant: averaged histogram sums = # in-vocab occurrences
+    batch_docs = spark.read.parquet(d)
+    from pyspark.sql import functions as F
+    from plda_spark.lda.corpus import doc_term_counts, tokenize
+
+    vocab_counts = {
+        r["doc_id"]: r["n"]
+        for r in doc_term_counts(tokenize(batch_docs))
+        .where(F.col("word").isin(words))
+        .groupBy("doc_id").agg(F.sum("count").alias("n")).collect()
+    }
+    for r in res:
+        assert len(r["topic_weights"]) == 3
+        assert sum(r["topic_weights"]) == pytest.approx(
+            vocab_counts.get(r["doc_id"], 0)
+        )
+
+    # the same operator runs on a plain DataFrame (one-pass batch scorer)
+    b = transform_stream(model, batch_docs, total_iterations=4,
+                         burn_in_iterations=2, seed=11)
+    assert not b.isStreaming and b.count() == 40

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from plda_spark.lda.model import LDAModel
+from pyspark.sql import functions as F
 from plda_spark.sources import read_plda_corpus, read_uci_docword, write_plda_corpus
 
 
@@ -94,3 +95,48 @@ def test_uci_reader(spark, tmp_path):
         (2, "alpha", 1),
         (2, "delta", 2),
     }
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    from plda_spark.sources import jsonl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web"}\n'
+        '{"doc_id": 2, "text": "bonjour", "lang": "fr", "source": "wiki"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 3, "text": null, "lang": "en", "source": "web"}\n'
+    )
+    clean, corrupt = jsonl.read_jsonl_with_errors(spark, str(p))
+    rows = {r["doc_id"]: r for r in clean.collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2]["lang"] == "fr" and rows[3]["text"] is None
+    bad = corrupt.collect()
+    assert len(bad) == 1 and "not json" in bad[0]["raw_line"]
+    assert jsonl.read_jsonl(spark, str(p)).count() == 3
+
+
+def test_write_dataset_deterministic_shards(spark, tmp_path):
+    from plda_spark.sources import jsonl
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    jsonl.write_dataset(df, out_a, shards=4)
+    # different input partitioning, same bytes-level layout
+    jsonl.write_dataset(df.repartition(13), out_b, shards=4)
+
+    import glob
+    import hashlib
+
+    def digests(d):
+        out = {}
+        for f in sorted(glob.glob(f"{d}/part-*.parquet")):
+            rows = spark.read.parquet(f).collect()
+            h = hashlib.md5(str([tuple(r) for r in rows]).encode()).hexdigest()
+            out[f.split("/")[-1].split("-")[1]] = h  # shard ordinal
+        return out
+
+    assert digests(out_a) == digests(out_b)

@@ -450,3 +450,34 @@ def test_stats_quantiles_and_frequent_items(spark):
         by_g.setdefault(r["g"], []).append((r["rank"], r["value"], r["cnt"]))
     assert sorted(by_g["x"]) == [(1, "u1", 5), (2, "u2", 3)]  # tie u2<u3
     assert sorted(by_g["y"]) == [(1, "u9", 1)]
+
+
+def test_operators_handle_empty_input(spark):
+    """Engine hardening: every operator family must return an empty
+    (not crashed) result on an empty input relation — the behavior a
+    pipeline hits when an upstream filter matches nothing."""
+    from plda_spark.operators import joins, sampling, stats
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string, source string")
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+
+    assert dedup.exact_duplicates(empty_docs).count() == 0
+    assert dedup.jaccard_pairs(empty_docs).count() == 0
+    assert dedup.minhash_lsh_pairs(empty_docs).count() == 0
+    assert dedup.simhash_pairs(empty_docs).count() == 0
+    assert dedup.contamination(empty_docs, empty_docs).count() == 0
+    assert text.token_stats(empty_docs).count() == 0
+    assert text.tf_idf(empty_docs).count() == 0
+    assert sampling.stratified_hash_sample(empty_docs, "source", {"a": 50}).count() == 0
+    assert sampling.pack_sequences(
+        spark.createDataFrame([], "doc_id long, n_tokens long"), 128
+    ).count() == 0
+    assert stats.group_quantiles(
+        spark.createDataFrame([], "g string, v double"), ["g"], "v"
+    ).count() == 0
+    assert joins.as_of_join(
+        spark.createDataFrame([], "k long, ts long"),
+        spark.createDataFrame([], "k long, ts long, v double"),
+        on="k",
+    ).count() == 0
+    assert similarity.embedding_near_dup_pairs(empty_emb, threshold=0.9).count() == 0

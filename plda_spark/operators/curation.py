@@ -1,0 +1,85 @@
+"""Filter-pipeline curation with an audit trail.
+
+Corpus curation applies a stack of quality rules (length bounds,
+repetition caps, language allowlists, contamination flags) and must
+report how many documents each rule rejected — both for tuning
+thresholds and for the dataset datasheet.  Naively that is one count
+job per rule; ``apply_filters`` instead evaluates every rule as a
+boolean column and gets all reject counts plus the survivor count in a
+SINGLE aggregation pass (map-side combined, one scan), then returns the
+survivors as a lazily-filtered view of the input (second scan only when
+the survivors are consumed; at 100 TB both passes are embarrassingly
+parallel scans with full pushdown).
+
+Rules are plain Column predicates (True = keep), so any engine
+expression — including outputs of :mod:`plda_spark.operators.text`
+signals — composes without UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["apply_filters"]
+
+
+def apply_filters(
+    docs: DataFrame, rules: Sequence[tuple[str, Column]]
+) -> tuple[DataFrame, DataFrame]:
+    """``(survivors, audit)`` for an AND-composed rule stack.
+
+    ``audit`` has one row per rule — ``(rule, n_rejected, n_rejected_solely)``:
+
+    - ``n_rejected`` — docs failing this rule (regardless of others),
+      the signal for threshold tuning;
+    - ``n_rejected_solely`` — docs ONLY this rule rejects, the rule's
+      marginal contribution (what you'd regain by dropping it);
+
+    plus a final ``__kept__`` row carrying the survivor count.
+    """
+    if not rules:
+        raise ValueError("apply_filters needs at least one rule")
+    flags = [p.cast("boolean").alias(f"__f{i}") for i, (_, p) in enumerate(rules)]
+    flagged = docs.select("*", *flags)
+    fcols = [F.col(f"__f{i}") for i in range(len(rules))]
+    # coalesce(False): a NULL predicate (e.g. comparison against NULL
+    # text) must count as a reject, not vanish from both tallies.
+    keeps = [F.coalesce(c, F.lit(False)) for c in fcols]
+    n_fail = [F.sum(F.when(~k, 1).otherwise(0)) for k in keeps]
+    all_others = [
+        F.aggregate(
+            F.array(*[o for j, o in enumerate(keeps) if j != i]),
+            F.lit(True),
+            lambda acc, x: acc & x,
+        )
+        if len(rules) > 1
+        else F.lit(True)
+        for i in range(len(rules))
+    ]
+    n_sole = [
+        F.sum(F.when(~k & oth, 1).otherwise(0))
+        for k, oth in zip(keeps, all_others)
+    ]
+    kept_all = F.aggregate(F.array(*keeps), F.lit(True), lambda a, x: a & x)
+    row = flagged.agg(
+        *[c.alias(f"nf{i}") for i, c in enumerate(n_fail)],
+        *[c.alias(f"ns{i}") for i, c in enumerate(n_sole)],
+        F.sum(F.when(kept_all, 1).otherwise(0)).alias("nkept"),
+    ).collect()[0]
+    spark = docs.sparkSession
+    audit = spark.createDataFrame(
+        [
+            (name, int(row[f"nf{i}"] or 0), int(row[f"ns{i}"] or 0))
+            for i, (name, _) in enumerate(rules)
+        ]
+        + [("__kept__", int(row["nkept"] or 0), 0)],
+        "rule string, n_rejected long, n_rejected_solely long",
+    )
+    survivor_pred = rules[0][1].cast("boolean")
+    for _, p in rules[1:]:
+        survivor_pred = survivor_pred & p.cast("boolean")
+    survivors = docs.where(F.coalesce(survivor_pred, F.lit(False)))
+    return survivors, audit

@@ -481,3 +481,33 @@ def test_operators_handle_empty_input(spark):
         on="k",
     ).count() == 0
     assert similarity.embedding_near_dup_pairs(empty_emb, threshold=0.9).count() == 0
+
+
+def test_apply_filters_audit_trail(spark):
+    from plda_spark.operators.curation import apply_filters
+
+    df = spark.createDataFrame(
+        [
+            (0, "good doc with plenty of words here", "en"),
+            (1, "short", "en"),                      # fails length only
+            (2, "ceci est un texte francais assez long", "fr"),  # fails lang only
+            (3, "x", "de"),                          # fails both
+            (4, None, "en"),                         # NULL text → reject
+        ],
+        "doc_id long, text string, lang string",
+    )
+    survivors, audit = apply_filters(
+        df,
+        [
+            ("min_len", F.length("text") >= 20),
+            ("lang_en", F.col("lang") == "en"),
+        ],
+    )
+    assert [r["doc_id"] for r in survivors.collect()] == [0]
+    a = {r["rule"]: (r["n_rejected"], r["n_rejected_solely"]) for r in audit.collect()}
+    assert a["min_len"] == (3, 2)   # docs 1,3,4 fail; 1,4 fail solely
+    assert a["lang_en"] == (2, 1)   # docs 2,3 fail; 2 fails solely
+    assert a["__kept__"][0] == 1
+
+    with pytest.raises(ValueError):
+        apply_filters(df, [])

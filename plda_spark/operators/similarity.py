@@ -32,6 +32,8 @@ __all__ = [
     "ivf_topk",
     "embedding_near_dup_pairs",
     "embedding_near_dup_pairs_blocked",
+    "normalize_embeddings",
+    "pca_project",
 ]
 
 
@@ -357,3 +359,82 @@ def embedding_near_dup_pairs_blocked(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def normalize_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """L2-normalize the embedding column (pure JVM higher-order
+    functions — no UDF, no shuffle).  Unit-norm vectors turn cosine
+    into a plain dot product, the precondition most ANN index math
+    assumes; zero vectors pass through unchanged."""
+    v = F.col(vec_col)
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    unit = F.transform(v, lambda x: (x / norm).cast("float"))
+    return embeddings.withColumn(
+        vec_col, F.when(norm > 0, unit).otherwise(v)
+    )
+
+
+def pca_project(
+    embeddings: DataFrame,
+    dim: int,
+    out_dim: int,
+    seed: int = 42,
+    max_train_sample: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project embeddings onto their top ``out_dim`` principal
+    components — the standard dimensionality-reduction step before ANN
+    indexing (shorter vectors: cheaper distance math, smaller index).
+
+    Same scale shape as the IVF quantizer: the component basis is
+    learned driver-side from a bounded deterministic sample (top-k
+    eigenvectors of the sample covariance via SVD), then applied
+    distributed as one Arrow-batch matmul per partition — the corpus
+    itself never concentrates anywhere.  Output: ``(id_col, <vec_col>:
+    array<float>[out_dim])`` with the mean removed (centering plus
+    rotation preserve relative geometry; cosine consumers should
+    re-normalize after projection).
+    """
+    if not 0 < out_dim <= dim:
+        raise ValueError("need 0 < out_dim <= dim")
+    import pandas as pd
+    from collections.abc import Iterator
+
+    sample = np.stack(
+        [
+            np.asarray(r["emb"], dtype=np.float64)
+            for r in embeddings.select(F.col(vec_col).alias("emb"))
+            .orderBy(F.col(id_col))
+            .limit(max_train_sample)
+            .collect()
+        ]
+    )
+    mean = sample.mean(axis=0)
+    # SVD of the centered sample: rows of Vt are principal directions.
+    _, _, vt = np.linalg.svd(sample - mean, full_matrices=False)
+    basis = vt[:out_dim].T.copy()  # (dim, out_dim)
+
+    sc = embeddings.sparkSession.sparkContext
+    bc_mean = sc.broadcast(mean)
+    bc_basis = sc.broadcast(basis)
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb")
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m, b = bc_mean.value, bc_basis.value
+        for pdf in batches:
+            if len(pdf):
+                x = np.stack([np.asarray(e, dtype=np.float64) for e in pdf["emb"]])
+                proj = (x - m) @ b
+                out = [row.astype(np.float32) for row in proj]
+            else:
+                out = []
+            yield pd.DataFrame({"vec_id": pdf["vec_id"], "emb": out})
+
+    return staged.mapInPandas(
+        fn, schema="vec_id long, emb array<float>"
+    ).select(F.col("vec_id").alias(id_col), F.col("emb").alias(vec_col))

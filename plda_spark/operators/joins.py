@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "as_of_join"]
+__all__ = ["salted_join", "as_of_join", "range_join"]
 
 
 def salted_join(
@@ -113,3 +113,58 @@ def as_of_join(
         F.col(f"__m.{c}").alias(f"right_{c}") for c in r_payload
     ]
     return matched.select(*out)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bin_width: int,
+    on: str | None = None,
+) -> DataFrame:
+    """Point-in-interval join: each ``points`` row matches every
+    ``intervals`` row with ``start <= point < end`` (optionally also
+    equi-keyed on ``on``) — IP→range lookups, time-validity joins,
+    genomic overlap.
+
+    A naive theta join is a (possibly keyed) nested-loop — O(|P|·|I|)
+    per key.  This plan BINS the domain instead: each interval explodes
+    onto the fixed-width bins it covers (``sequence`` over
+    ``floor(start/w)..floor((end-1)/w)``), each point hashes to exactly
+    one bin, and the join becomes an EQUI-join on (bin [, on]) with the
+    precise range predicate as a post-filter.  Cost: shuffle of
+    |P| + Σ_i ceil(len_i/w) rows and per-bin candidate products — linear
+    in data for bounded interval length.  Pick ``bin_width`` near the
+    typical interval length: wider bins = fewer interval replicas but
+    more false candidates; narrower = the reverse.  Intervals spanning
+    many bins replicate accordingly (cost is explicit, never quadratic).
+
+    Output: all ``points`` columns plus the matching interval's columns
+    (overlapping names prefixed ``right_``).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    p_bin = F.floor(F.col(point_col) / bin_width)
+    i_bins = F.sequence(
+        F.floor(F.col(start_col) / bin_width),
+        F.floor((F.col(end_col) - 1) / bin_width),
+    )
+    taken = set(points.columns)
+    rename = {c: (f"right_{c}" if c in taken and c != on else c)
+              for c in intervals.columns}
+    iv = intervals.select(
+        *[F.col(c).alias(rename[c]) for c in intervals.columns],
+        F.explode(i_bins).alias("__bin"),
+    )
+    pt = points.withColumn("__bin", p_bin)
+    keys = ["__bin"] + ([on] if on else [])
+    return (
+        pt.join(iv, keys)
+        .where(
+            (F.col(rename[start_col]) <= F.col(point_col))
+            & (F.col(point_col) < F.col(rename[end_col]))
+        )
+        .drop("__bin")
+    )

@@ -554,3 +554,43 @@ def test_normalize_and_pca_project(spark, embeddings):
 
     with pytest.raises(ValueError):
         pca_project(embeddings, dim=dim, out_dim=dim + 1)
+
+
+def test_range_join_matches_theta_join(spark):
+    from plda_spark.operators.joins import range_join
+
+    import random
+
+    rng = random.Random(5)
+    pts = [(i, rng.randint(0, 1000), rng.choice("ab")) for i in range(300)]
+    ivs = []
+    for j in range(60):
+        s = rng.randint(0, 950)
+        ivs.append((j, s, s + rng.randint(1, 80), rng.choice("ab")))
+    points = spark.createDataFrame(pts, "pid long, point long, k string")
+    intervals = spark.createDataFrame(ivs, "iid long, start long, end long, k string")
+
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(
+            points, intervals, "point", "start", "end", bin_width=64, on="k"
+        ).collect()
+    }
+    want = {
+        (r["pid"], r["iid"])
+        for r in points.join(
+            intervals,
+            (points["k"] == intervals["k"])
+            & (intervals["start"] <= points["point"])
+            & (points["point"] < intervals["end"]),
+        ).collect()
+    }
+    assert got == want and len(want) > 50
+
+    # un-keyed variant and column collision handling
+    p2 = points.drop("k")
+    i2 = intervals.withColumnRenamed("k", "point")  # collides with points col
+    out = range_join(p2, i2, "point", "start", "end", bin_width=32)
+    assert "right_point" in out.columns
+    with pytest.raises(ValueError):
+        range_join(p2, i2, "point", "start", "end", bin_width=0)

@@ -6,8 +6,25 @@ whole-stage codegen, no Python in the hot path — and each has an exact
 ANSI-SQL twin used by the DuckDB correctness oracle.
 """
 
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
 from plda_spark.operators.dedup import _md5_long as md5_long
+from plda_spark.operators.sampling import hash_bucket
 from plda_spark.operators.similarity import cosine
 from plda_spark.operators.text import tokens_col
 
-__all__ = ["cosine", "md5_long", "tokens_col"]
+__all__ = ["cosine", "md5_long", "tokens_col", "hash_bucket", "ngrams"]
+
+
+def ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams of a token-array column as an array of space-joined
+    strings (the expression inside ``dedup.shingles``); arrays shorter
+    than ``n`` yield an empty array."""
+    idx = F.sequence(F.lit(0), F.size(tokens) - n)
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))

@@ -594,3 +594,18 @@ def test_range_join_matches_theta_join(spark):
     assert "right_point" in out.columns
     with pytest.raises(ValueError):
         range_join(p2, i2, "point", "start", "end", bin_width=0)
+
+
+def test_functions_expression_library(spark):
+    import plda_spark.functions as pf
+
+    df = spark.createDataFrame([("the quick brown fox",)], "text string")
+    out = df.select(
+        pf.md5_long(F.col("text")).alias("h"),
+        pf.hash_bucket(F.col("text"), 100).alias("b"),
+        pf.ngrams(pf.tokens_col("text"), 2).alias("g"),
+    ).first()
+    assert out["h"] >= 0 and 0 <= out["b"] < 100
+    assert out["g"] == ["the quick", "quick brown", "brown fox"]
+    emb = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<float>, b array<float>")
+    assert emb.select(pf.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"] == 0.0

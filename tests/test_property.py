@@ -118,3 +118,59 @@ def test_model_text_roundtrip(tmp_path_factory, words, k, seed):
     assert m2.words == m.words
     np.testing.assert_array_equal(m2.nwk, m.nwk)
     np.testing.assert_array_equal(m2.nk, m.nk)
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=1, max_size=25
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+)
+def test_as_of_join_matches_pandas_merge_asof(spark, lefts, rights):
+    """as_of_join ≡ pandas merge_asof (backward, exact matches allowed)
+    on arbitrary small inputs, including duplicate timestamps on the
+    left and absent keys."""
+    import pandas as pd
+
+    from plda_spark.operators.joins import as_of_join
+
+
+    # dedupe right on (key, ts): merge_asof picks the LAST among equal
+    # ts rows; our tiebreak column makes that deterministic too, but
+    # keeping one row per (key, ts) sidesteps ordering ambiguity.
+    rd = {}
+    for k, t, v in rights:
+        rd[(k, t)] = v
+    rrows = [(k, t, v) for (k, t), v in rd.items()]
+
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(rrows or [], "k long, ts long, v long")
+    got = {
+        r["lid"]: r["right_v"]
+        for r in as_of_join(ldf, rdf, on="k").collect()
+    }
+
+    lp = pd.DataFrame(
+        {"k": [k for k, _ in lefts], "ts": [t for _, t in lefts],
+         "lid": range(len(lefts))}
+    ).sort_values("ts", kind="mergesort")
+    rp = pd.DataFrame(
+        {"k": [k for k, _, _ in rrows], "ts": [t for _, t, _ in rrows],
+         "v": [v for _, _, v in rrows]}
+    ).sort_values("ts", kind="mergesort")
+    if len(rp):
+        want_df = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+        want = {
+            int(r.lid): (None if pd.isna(r.v) else int(r.v))
+            for r in want_df.itertuples()
+        }
+    else:
+        want = {int(r.lid): None for r in lp.itertuples()}
+    assert got == want

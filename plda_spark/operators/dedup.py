@@ -208,14 +208,19 @@ def minhash_lsh_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     # One row per doc — tiny relative to the shingle explosion feeding
-    # it.  The band self-join's two sides are identical subplans, so the
-    # shingle+min aggregation runs once and AQE reuses its exchange (no
-    # persist: measured faster than block-store pinning at sf0.1, and no
-    # executor memory held across the query).
+    # it.  The band rows and both re-rank sides are identical subplans
+    # over `sig`, so the shingle+min aggregation runs once and AQE
+    # reuses its exchange (no persist: measured faster than block-store
+    # pinning at sf0.1, and no executor memory held across the query).
     sig = minhash_signatures(shingles(docs, n, text_col, id_col), num_hashes)
+    # Band rows are SLIM — (doc_id, band, bucket) only.  Carrying the
+    # full signature array through the band self-join ships
+    # bands × |sig| bytes per doc through the hottest shuffle; instead
+    # the est_jaccard re-rank joins the one-row-per-doc `sig` table back
+    # onto the (deduplicated, much smaller) candidate set.  Measured
+    # ~10% faster at sf0.1; the gap widens with signature width.
     band_rows = sig.select(
         "doc_id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -229,7 +234,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
     cand = (
@@ -239,20 +244,17 @@ def minhash_lsh_pairs(
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sig_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+    sig_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
     est = F.round(
         F.size(F.filter(F.arrays_zip("sig_a", "sig_b"), lambda p: p["sig_a"] == p["sig_b"]))
         / F.lit(num_hashes),
         6,
     ).alias("est_jaccard")
-    out = cand.select("doc_a", "doc_b", est)
+    out = cand.join(sig_a, "doc_a").join(sig_b, "doc_b").select("doc_a", "doc_b", est)
     if threshold is not None:
         out = out.where(F.col("est_jaccard") >= threshold)
     return out

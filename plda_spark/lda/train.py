@@ -73,6 +73,15 @@ class TrainConfig:
     # ``checkpoint_dir``; ``train(..., resume_from=dir)`` continues there.
     checkpoint_dir: str | None = None
     checkpoint_every: int = 10
+    # Model-rebuild reduce strategy.  "driver": read the P sparse payload
+    # rows straight to the driver and sum there (one job, no shuffle —
+    # best while P·nnz fits driver bandwidth).  "shuffle": pre-combine
+    # payloads with a groupBy(flat_idx).sum so the driver receives at
+    # most nnz(V×K) rows no matter how many partitions exist — the
+    # tree-reduce analog of the reference's recursive AllReduce
+    # (mpi_lda.cc:58-92), one extra shuffle per iteration.  "auto" cuts
+    # over at _SHUFFLE_AGG_MIN_PARTITIONS.
+    aggregate_mode: str = "auto"
 
     def validate(self) -> None:
         if self.num_topics < 2:
@@ -83,6 +92,8 @@ class TrainConfig:
             raise ValueError("total_iterations must be > 0")
         if not (0 <= self.burn_in_iterations < self.total_iterations):
             raise ValueError("need 0 <= burn_in_iterations < total_iterations")
+        if self.aggregate_mode not in ("auto", "driver", "shuffle"):
+            raise ValueError("aggregate_mode must be auto|driver|shuffle")
 
 
 # Auto-partitioning targets (used when TrainConfig.num_partitions is None).
@@ -248,6 +259,42 @@ def _sweep_fn(bc_nwk, bc_nk, alpha: float, beta: float, seed: int, iteration: in
     return fn
 
 
+# "auto" aggregate_mode switches from driver-side payload summing to the
+# shuffle pre-combine at this partition count: below it, one collect of
+# P sparse rows beats an extra shuffle; above it, driver bandwidth
+# (P·nnz ints) becomes the bottleneck the pre-combine removes.
+_SHUFFLE_AGG_MIN_PARTITIONS = 256
+
+
+def _aggregate_model_shuffle(
+    df_z: DataFrame, vocab_size: int, num_topics: int
+) -> tuple[np.ndarray, float]:
+    """Shuffle-combined model rebuild: decode each payload row into
+    (flat_idx, count) pairs executor-side, groupBy(flat_idx).sum (map-side
+    combined), and collect at most nnz(V×K) summed rows — driver traffic
+    independent of partition count, the tree end of the reference's
+    chunked AllReduce (mpi_lda.cc:58-92)."""
+    import pandas as pd
+
+    payload = df_z.where(F.col("doc_id") < 0).select("z", "ll")
+
+    def decode(batches):
+        for pdf in batches:
+            for buf in pdf["z"]:
+                a = np.frombuffer(buf, dtype=np.int32)
+                yield pd.DataFrame(
+                    {"idx": a[0::2].astype(np.int64), "cnt": a[1::2].astype(np.int64)}
+                )
+
+    pairs = payload.select("z").mapInPandas(decode, schema="idx long, cnt long")
+    summed = pairs.groupBy("idx").agg(F.sum("cnt").alias("cnt")).toPandas()
+    flat = np.zeros(vocab_size * num_topics, dtype=np.int64)
+    if len(summed):
+        flat[summed["idx"].to_numpy()] = summed["cnt"].to_numpy()
+    ll = payload.agg(F.sum("ll")).collect()[0][0] or 0.0
+    return flat.reshape(vocab_size, num_topics), float(ll)
+
+
 def _aggregate_model(
     df_z: DataFrame, vocab_size: int, num_topics: int
 ) -> tuple[np.ndarray, float]:
@@ -304,6 +351,12 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
             corpus.agg(F.sum("count")).collect()[0][0] or 0
         )
         P = _auto_partitions(total_tokens, sc.defaultParallelism)
+    if config.aggregate_mode == "shuffle" or (
+        config.aggregate_mode == "auto" and P >= _SHUFFLE_AGG_MIN_PARTITIONS
+    ):
+        agg_model = _aggregate_model_shuffle
+    else:
+        agg_model = _aggregate_model
 
     if resume_from is None:
         vocab = build_vocab(corpus)
@@ -320,7 +373,7 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
             _zinit_fn(K, V, config.seed), schema=_SWEEP_SCHEMA
         )
         df_z = df_z.localCheckpoint(eager=True)
-        nwk, _ = _aggregate_model(df_z, V, K)
+        nwk, _ = agg_model(df_z, V, K)
         accum = np.zeros((V, K), dtype=np.float64)
         lls: list[float] = []
         start_it = 0
@@ -362,7 +415,7 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
         new_df_z = swept.localCheckpoint(eager=True)
         df_z.unpersist()
         df_z = new_df_z
-        nwk, ll = _aggregate_model(df_z, V, K)
+        nwk, ll = agg_model(df_z, V, K)
         if config.compute_likelihood:
             lls.append(ll)
         bc_nwk.destroy()

@@ -202,3 +202,23 @@ def test_checkpoint_resume(spark, tmp_path):
     assert m.nwk.sum() == 30 * 20
     assert np.array_equal(m.nk, m.nwk.sum(axis=0))
     assert m.words == sorted(m.words)
+
+
+def test_shuffle_aggregate_mode_identical(spark):
+    """The shuffle pre-combine rebuild (large-P mode) must produce the
+    same model bit-for-bit as the driver-side payload sum, and an
+    invalid mode must be rejected."""
+    from plda_spark.lda.train import TrainConfig, train
+
+    import numpy as np
+
+    triples = synthetic_corpus(spark, n_docs=30)
+    base = dict(num_topics=4, total_iterations=3, burn_in_iterations=1,
+                seed=9, num_partitions=3, compute_likelihood=True)
+    a = train(triples, TrainConfig(**base, aggregate_mode="driver"))
+    b = train(triples, TrainConfig(**base, aggregate_mode="shuffle"))
+    assert np.array_equal(a.raw_model.nwk, b.raw_model.nwk)
+    assert a.log_likelihood == pytest.approx(b.log_likelihood)
+
+    with pytest.raises(ValueError):
+        TrainConfig(num_topics=4, aggregate_mode="bogus").validate()

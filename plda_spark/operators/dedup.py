@@ -95,14 +95,21 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
 
-    ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.  Candidate pairs come
-    from a self-equi-join on shingle (Catalyst shuffles on the shingle
-    key; no cross join).  ``max_shingle_df`` drops ubiquitous shingles —
-    the standard guard against quadratic hot keys (Σ df(s)² blows up on
-    boilerplate n-grams at corpus scale), so the scale-safe plan is the
-    DEFAULT plan; pass ``None`` to disable.  The df guard rides a window
-    over ``shingle`` (one shuffle, no second scan, no broadcast of any
-    vocabulary-sized relation).
+    ``(doc_a, doc_b, jaccard)`` with doc_a < doc_b.  Exact result via
+    PPJoin-style prefix filtering (Bayardo et al., WWW'07; Xiao et al.,
+    WWW'08): order each doc's shingles globally by ascending document
+    frequency, keep only the first ``|S| − ⌈t·|S|⌉ + 1`` (the *prefix*)
+    as join keys — any pair with Jaccard ≥ t must collide on at least
+    one prefix shingle, so the self-equi-join runs over the RAREST
+    shingles only and the quadratic Σ df(s)² cost concentrates where df
+    is smallest.  Candidates are then verified exactly with
+    ``array_intersect`` over the full shingle sets.
+
+    ``max_shingle_df`` additionally drops ubiquitous shingles outright —
+    the guard against boilerplate n-grams at corpus scale — and is the
+    DEFAULT plan; pass ``None`` to disable.  The df ranking rides a
+    window over ``shingle`` (one shuffle, no second scan, no broadcast
+    of any vocabulary-sized relation).
     """
     from pyspark.sql import Window
 
@@ -111,45 +118,108 @@ def jaccard_pairs(
     sh = sh.withColumn("__df", df_w)
     if max_shingle_df is not None:
         sh = sh.where(F.col("__df") <= max_shingle_df)
-    # Attach each doc's shingle count via a window so the sizes ride along
-    # with the self-join rows (no separate size-join stages).  The two
-    # self-join sides are identical subplans, so Catalyst plans a
-    # ReusedExchange — the tokenize→shingle→window pipeline executes once
-    # and both sides read its shuffle files (cheaper than persist: no
-    # block-store pinning of the shingle set, measured faster at sf0.1).
+    # ONE doc_id shuffle builds everything per-doc: the df-sorted shingle
+    # array (rarest first, shingle string as the deterministic
+    # tie-break), the true denominator n_sh (counted BEFORE the df = 1
+    # filter below), and the prefix.  A shingle held by a single
+    # document cannot contribute an intersection (the a.doc_id <
+    # b.doc_id join discards self-matches), so df = 1 rows — typically
+    # the vast majority of shingles — are dropped from the arrays
+    # without changing any result row.
     #
-    # n_sh (the Jaccard denominator) must count every surviving shingle,
-    # so it is computed BEFORE the df >= 2 prune below.
-    sh = sh.withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    # Prefix length p = n_sh − ⌈t·n_sh⌉ + 1.  The −1e-9 nudge inside
+    # ceil errs toward a LONGER prefix when t·n_sh lands on a float
+    # boundary — spurious candidates are verified away below; a short
+    # prefix would silently drop true pairs.  (p is computed from the
+    # pre-filter n_sh but applied to the filtered ordering, which only
+    # widens coverage.)
+    from pyspark import StorageLevel
+
+    by_rarity = F.sort_array(
+        F.collect_list(F.struct(F.col("__df").alias("df"), F.col("shingle").alias("s")))
     )
-    # A shingle held by a single document cannot contribute an
-    # intersection (the a.doc_id < b.doc_id join discards self-matches),
-    # so pruning df = 1 rows — typically the vast majority of shingles —
-    # shrinks both self-join inputs and the pair-grouping shuffle without
-    # changing any result row.
-    sh = sh.where(F.col("__df") >= 2).drop("__df")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(by_rarity.alias("ss"), F.count(F.lit(1)).alias("n_sh"))
+        .select(
+            "doc_id",
+            F.transform(
+                F.filter("ss", lambda x: x["df"] >= 2), lambda x: x["s"]
+            ).alias("sset"),
+            "n_sh",
+        )
+        .select(
+            "doc_id",
+            "sset",
+            "n_sh",
+            F.slice(
+                "sset",
+                F.lit(1),
+                F.greatest(
+                    F.lit(0),
+                    F.least(
+                        F.size("sset"),
+                        (
+                            F.col("n_sh")
+                            - F.ceil(F.lit(threshold) * F.col("n_sh") - 1e-9)
+                            + 1
+                        ).cast("int"),
+                    ),
+                ),
+            ).alias("pref"),
         )
     )
-    return (
-        inter.select(
+    # `sets` feeds three consumers (prefix join + both verify lookups)
+    # whose exchanges AQE replaces with broadcasts of the tiny candidate
+    # side, defeating exchange reuse — so the aggregation would run
+    # three times.  Persist it for the duration of this call (disk-
+    # spillable; same volume as one shuffle of the shingle table), run
+    # the query eagerly, then release the blocks.  The returned frame is
+    # the localCheckpoint of the RESULT — near-dup pairs, tiny relative
+    # to the corpus — so nothing corpus-sized stays pinned.
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    prefix = sets.select("doc_id", F.explode("pref").alias("shingle"))
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    # Exact verification: the per-doc sets (df≥2 members only, true
+    # denominator n_sh riding along) joined onto the deduplicated
+    # candidate pairs.  Both verify joins consume the IDENTICAL `sets`
+    # subplan (columns renamed only after the join) so its aggregation
+    # exchange is planned once and reused at runtime rather than
+    # recomputed per side.
+    lookup = sets.select("doc_id", F.col("sset").alias("vs"), F.col("n_sh").alias("vn"))
+    va = cand.join(lookup, cand["doc_a"] == lookup["doc_id"]).select(
+        "doc_a", "doc_b", F.col("vs").alias("set_a"), F.col("vn").alias("n_a")
+    )
+    vab = va.join(lookup, va["doc_b"] == lookup["doc_id"]).select(
+        "doc_a",
+        "doc_b",
+        "set_a",
+        "n_a",
+        F.col("vs").alias("set_b"),
+        F.col("vn").alias("n_b"),
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    out = (
+        vab.select(
             "doc_a",
             "doc_b",
-            F.round(
-                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
-            ).alias("jaccard"),
+            F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
     )
+    sets.unpersist()
+    return out
 
 
 # Universal-hash family for MinHash: hash_i(s) = (a_i * (md5long(s) % P) + b_i) % P.

@@ -83,6 +83,37 @@ def test_jaccard_pairs(spark, docs):
     assert (0, 4) not in pairs           # unrelated docs
 
 
+@pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
+def test_jaccard_pairs_equals_brute_force(spark, sf_dir, threshold):
+    """Prefix filtering (PPJoin candidate generation) must be EXACT:
+    compare against an all-pairs driver-side computation over the same
+    shingle sets on real documents."""
+    import itertools
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in dedup.shingles(docs, n=3)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .collect()
+    }
+    expect = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= threshold:
+                expect[(a, b)] = j
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            docs, threshold=threshold, n=3, max_shingle_df=None
+        ).collect()
+    }
+    assert got == expect
+
+
 def test_minhash_lsh_finds_dups(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
              dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, n=2).collect()}

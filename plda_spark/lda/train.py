@@ -372,7 +372,11 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
         df_z = packed.select("doc_id", "word_occ").mapInPandas(
             _zinit_fn(K, V, config.seed), schema=_SWEEP_SCHEMA
         )
-        df_z = df_z.localCheckpoint(eager=True)
+        # LAZY checkpoint: the payload collect inside agg_model is the
+        # first action, so one job computes the init pass, persists the
+        # blocks (truncating lineage), and returns the payload rows —
+        # no separate materialization job.
+        df_z = df_z.localCheckpoint(eager=False)
         nwk, _ = agg_model(df_z, V, K)
         accum = np.zeros((V, K), dtype=np.float64)
         lls: list[float] = []
@@ -408,14 +412,19 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
         # localCheckpoint (not persist): it truncates lineage, which is
         # REQUIRED here — the sweep closure captures this iteration's
         # broadcasts, which are destroyed below, so any retained lineage
-        # would reference dead broadcasts and fail on recompute.  Measured
-        # cost at sf0.1/K=10: 0.46 s/iteration steady-state on local[32]
-        # (persist(MEMORY_AND_DISK) crashes by iteration 2 for the reason
-        # above).
-        new_df_z = swept.localCheckpoint(eager=True)
+        # would reference dead broadcasts and fail on recompute
+        # (persist(MEMORY_AND_DISK) crashes by iteration 2 for that
+        # reason).  The checkpoint is LAZY: agg_model's payload collect
+        # is the first action, so ONE job runs the sweep, persists the
+        # blocks, and returns the payload rows — fusing what were a
+        # materialization job and a payload-scan job (~25% of steady
+        # iteration wall at sf0.1).  The old generation is unpersisted
+        # only AFTER that job: its blocks are the checkpoint data the
+        # sweep reads, and its truncated lineage cannot recompute them.
+        new_df_z = swept.localCheckpoint(eager=False)
+        nwk, ll = agg_model(new_df_z, V, K)
         df_z.unpersist()
         df_z = new_df_z
-        nwk, ll = agg_model(df_z, V, K)
         if config.compute_likelihood:
             lls.append(ll)
         bc_nwk.destroy()

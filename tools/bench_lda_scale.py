@@ -60,16 +60,19 @@ def main() -> None:
     )
     t0 = time.time()
     df_z = packed.mapInPandas(T._zinit_fn(K, V, 42), schema=T._SWEEP_SCHEMA)
-    df_z = df_z.localCheckpoint(eager=True)
+    # Mirrors train.py: LAZY checkpoint, materialized by the first
+    # aggregation's payload collect — init + persist + collect fuse
+    # into one job.
+    df_z = df_z.localCheckpoint(eager=False)
+    t_init = time.time() - t0
+    t0 = time.time()
+    nwk, _ = T._aggregate_model(df_z, V, K)
+    t_agg0 = time.time() - t0
     n_tokens = (
         df_z.where(F.col("doc_id") >= 0)
         .select(F.sum(F.length("word_occ") / 4))
         .collect()[0][0]
     )
-    t_init = time.time() - t0
-    t0 = time.time()
-    nwk, _ = T._aggregate_model(df_z, V, K)
-    t_agg0 = time.time() - t0
 
     iter_times = []
     for it in range(iters):
@@ -79,10 +82,10 @@ def main() -> None:
         swept = df_z.where(F.col("doc_id") >= 0).mapInPandas(
             T._sweep_fn(bn, bk, 0.1, 0.01, 42, it, False), schema=T._SWEEP_SCHEMA
         )
-        new_z = swept.localCheckpoint(eager=True)
+        new_z = swept.localCheckpoint(eager=False)
+        nwk, _ = T._aggregate_model(new_z, V, K)
         df_z.unpersist()
         df_z = new_z
-        nwk, _ = T._aggregate_model(df_z, V, K)
         bn.destroy()
         bk.destroy()
         iter_times.append(round(time.time() - t0, 2))

@@ -34,6 +34,9 @@ __all__ = [
     "embedding_near_dup_pairs_blocked",
     "normalize_embeddings",
     "pca_project",
+    "kmeans_fit",
+    "kmeans_assign",
+    "cluster_embeddings",
 ]
 
 
@@ -438,3 +441,150 @@ def pca_project(
     return staged.mapInPandas(
         fn, schema="vec_id long, emb array<float>"
     ).select(F.col("vec_id").alias(id_col), F.col("emb").alias(vec_col))
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iterations: int = 20,
+    tol: float = 1e-6,
+    seed: int = 13,
+    init_sample: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means over the FULL corpus (unlike the
+    driver-sampled ``_kmeans`` quantizer used by IVF) — corpus clustering
+    for data curation: domain bucketing, diversity-balanced sampling,
+    per-cluster quality audits.
+
+    Scale shape (the classic MLlib plan): centroids (k×dim floats) ride
+    the task closure; each iteration is ONE job that computes per-
+    partition partial sums — an Arrow matmul per batch, one
+    ``(cluster, count, vec_sum)`` row per nonempty cluster per partition
+    — and the driver reduces ≤ P·k tiny rows and recenters.  No shuffle
+    of the corpus, ever; traffic is P·k·dim floats per iteration, the
+    same volume an MPI AllReduce would move.
+
+    Initial centroids come from a deterministic driver-side sample.
+    Empty clusters keep their previous centroid.  Partials are summed in
+    (cluster, partition) order so the result is bit-deterministic for a
+    fixed partitioning.  Returns the (k, dim) centroid matrix.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    from pyspark import TaskContext
+
+    sample = np.stack(
+        [
+            np.asarray(r["emb"], dtype=np.float64)
+            for r in embeddings.select(F.col(vec_col).alias("emb"))
+            .orderBy(F.col(id_col))
+            .limit(init_sample)
+            .collect()
+        ]
+    )
+    rng = np.random.Generator(np.random.PCG64(np.random.SeedSequence(seed)))
+    cents = sample[
+        rng.choice(sample.shape[0], k, replace=sample.shape[0] < k)
+    ].copy()
+    dim = cents.shape[1]
+    src = embeddings.select(F.col(vec_col).alias("emb"))
+
+    for _ in range(max_iterations):
+        c = cents  # rebind for closure capture of THIS iteration's value
+
+        def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            pid = TaskContext.get().partitionId()
+            c2 = (c**2).sum(axis=1)
+            cnt = np.zeros(k, dtype=np.int64)
+            acc = np.zeros((k, dim), dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+                assign = ((X**2).sum(axis=1)[:, None] - 2 * (X @ c.T) + c2[None, :]).argmin(axis=1)
+                np.add.at(cnt, assign, 1)
+                np.add.at(acc, assign, X)
+            nz = np.nonzero(cnt)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {
+                        "pid": pid,
+                        "cluster": nz.astype(np.int32),
+                        "cnt": cnt[nz],
+                        "vec_sum": [acc[i] for i in nz],
+                    }
+                )
+
+        pdf = (
+            src.mapInPandas(
+                partials, schema="pid int, cluster int, cnt long, vec_sum array<double>"
+            )
+            .toPandas()
+            .sort_values(["cluster", "pid"])
+        )
+        new_cents = cents.copy()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for cl, cn, vs in zip(pdf["cluster"], pdf["cnt"], pdf["vec_sum"]):
+            counts[cl] += cn
+            sums[cl] += np.asarray(vs, dtype=np.float64)
+        nz = counts > 0
+        new_cents[nz] = sums[nz] / counts[nz, None]
+        shift = float(np.abs(new_cents - cents).max())
+        cents = new_cents
+        if shift <= tol:
+            break
+    return cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid assignment: ``(vec_id, cluster, dist)`` with
+    ``dist`` the Euclidean distance (rounded 1e-6).  One Arrow matmul
+    per batch, centroids in the closure — no shuffle, no join."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    c = np.asarray(centroids, dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c2 = (c**2).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            d2 = (X**2).sum(axis=1)[:, None] - 2 * (X @ c.T) + c2[None, :]
+            a = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vid"],
+                    "cluster": a.astype(np.int32),
+                    "dist": np.sqrt(np.maximum(d2[np.arange(len(a)), a], 0.0)).round(6),
+                }
+            )
+
+    src = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
+    return src.mapInPandas(fn, schema="vec_id long, cluster int, dist double")
+
+
+def cluster_embeddings(
+    embeddings: DataFrame,
+    k: int = 8,
+    max_iterations: int = 20,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit + assign in one call: ``(vec_id, cluster, dist)`` for every
+    vector, trained by :func:`kmeans_fit` on the full corpus."""
+    cents = kmeans_fit(
+        embeddings, k, max_iterations, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    return kmeans_assign(embeddings, cents, id_col, vec_col)

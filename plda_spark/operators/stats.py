@@ -24,7 +24,12 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["group_quantiles", "approx_group_quantiles", "frequent_items"]
+__all__ = [
+    "group_quantiles",
+    "approx_group_quantiles",
+    "frequent_items",
+    "correlation_matrix",
+]
 
 
 def _quantile_agg(fn, value_col: str, qs: Sequence[float]) -> list:
@@ -85,4 +90,30 @@ def frequent_items(
         counts.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .withColumnRenamed(value_col, "value")
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation of numeric columns, long format:
+    ``(col_a, col_b, corr)`` for every a < b pair (lexicographic).
+
+    ONE aggregation job computes all d·(d−1)/2 coefficients (each an
+    `F.corr` partial — map-side combined, constant state per pair), then
+    the 1-row result unpivots driver-free via stack.  Never collects or
+    shuffles the data itself, so it holds at any corpus size; cost is
+    O(d²) aggregation state, the inherent size of the answer.
+    """
+    pairs = [
+        (a, b) for i, a in enumerate(sorted(cols)) for b in sorted(cols)[i + 1 :]
+    ]
+    if not pairs:
+        raise ValueError("need at least two columns")
+    agg = df.agg(
+        *[F.corr(a, b).alias(f"__c_{i}") for i, (a, b) in enumerate(pairs)]
+    )
+    stack_expr = ", ".join(
+        f"'{a}', '{b}', round(__c_{i}, 6)" for i, (a, b) in enumerate(pairs)
+    )
+    return agg.selectExpr(
+        f"stack({len(pairs)}, {stack_expr}) as (col_a, col_b, corr)"
     )

@@ -24,6 +24,8 @@ __all__ = [
     "language_id",
     "tf_idf",
     "collocations",
+    "lm_score",
+    "dedup_paragraphs",
     "fingerprint",
     "winnow",
     "BPE_SPLIT_RE",
@@ -285,6 +287,113 @@ def collocations(
                 F.log(F.col("c_ab") * F.col("t_total") / (F.col("c_a") * F.col("c_b"))), 6
             ).alias("pmi"),
         )
+    )
+
+
+def lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc bigram language-model score — the classic perplexity-based
+    quality filter (docs whose perplexity under a corpus-trained LM is an
+    outlier are boilerplate, gibberish, or the wrong language).
+
+    Trains an add-k-smoothed bigram model on ``lm_docs`` (default: the
+    corpus itself) and scores every doc:
+
+        P(b | a) = (c(a,b) + k) / (c(a) + k·V)        V = unigram vocab
+        avg_logp = mean over the doc's bigrams of ln P(b | a)
+        perplexity = exp(−avg_logp)
+
+    Returns ``(doc_id, n_bigrams, avg_logp, perplexity)`` (docs with <2
+    tokens are absent — they have no bigram evidence).
+
+    Scale shape: two aggregations build the count tables (map-side
+    combined), then the doc-bigram stream left-joins them on their keys —
+    both tables are vocabulary-sized at web scale so neither is
+    broadcast; AQE may downgrade to broadcast when actually small.  The
+    only driver scalar is V.  Entirely JVM-side and SQL-expressible.
+    """
+    lm_docs = docs if lm_docs is None else lm_docs
+    t = tokens_col(text_col)
+
+    def bigram_rows(src: DataFrame, with_doc: bool) -> DataFrame:
+        base = src.select(F.col(id_col).alias("doc_id"), t.alias("toks"))
+        idx = F.sequence(F.lit(1), F.size("toks") - 1)
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("a"),
+                F.element_at("toks", i + 1).alias("b"),
+            ),
+        )
+        cols = (["doc_id"] if with_doc else []) + [F.explode(pairs).alias("bg")]
+        out = base.where(F.size("toks") >= 2).select(*cols)
+        keep = (["doc_id"] if with_doc else []) + [
+            F.col("bg.a").alias("a"),
+            F.col("bg.b").alias("b"),
+        ]
+        return out.select(*keep)
+
+    uni = (
+        lm_docs.select(F.explode(t).alias("a"))
+        .groupBy("a")
+        .agg(F.count(F.lit(1)).alias("c_a"))
+    )
+    bi = bigram_rows(lm_docs, with_doc=False).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    vocab_size = uni.count()
+    logp = F.log(
+        (F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(k_smooth))
+        / (F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(k_smooth) * F.lit(float(vocab_size)))
+    )
+    scored = (
+        bigram_rows(docs, with_doc=True)
+        .join(bi, ["a", "b"], "left")
+        .join(uni, ["a"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(logp).alias("__avg_logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("__avg_logp", 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("__avg_logp")), 6).alias("perplexity"),
+    )
+
+
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Within-document repetition removal: drop repeated paragraphs,
+    keeping the FIRST occurrence in order (the RefinedWeb/C4-style
+    in-document dedup pass that strips templated boilerplate blocks).
+
+    Returns ``(doc_id, text, n_paragraphs, n_dropped)`` where ``text``
+    has exact-duplicate paragraphs removed.  Pure per-row JVM array ops
+    (``array_distinct`` preserves first-occurrence order) — no shuffle,
+    trivially partition-parallel at any scale.
+    """
+    # `sep` is treated as a literal separator: regex-escape it for split.
+    import re as _re
+
+    paras = F.split(F.col(text_col), _re.escape(sep))
+    kept = F.array_distinct(paras)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept, sep).alias("text"),
+        F.size(paras).alias("n_paragraphs"),
+        (F.size(paras) - F.size(kept)).alias("n_dropped"),
     )
 
 

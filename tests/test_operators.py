@@ -64,6 +64,71 @@ def test_fingerprint_order_invariant(spark):
     assert fps[0] == fps[1]  # same token set => same fingerprint
 
 
+def test_lm_score_matches_brute_force(spark, sf_dir):
+    """Add-k bigram LM scores must equal a driver-side computation over
+    the same token streams (self-trained model)."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = {
+        r["doc_id"]: r["t"]
+        for r in docs.select("doc_id", text.tokens_col("text").alias("t")).collect()
+    }
+    uni, bi = Counter(), Counter()
+    for t in toks.values():
+        uni.update(t)
+        bi.update(zip(t, t[1:]))
+    V, k = len(uni), 0.5
+    expect = {}
+    for d, t in toks.items():
+        if len(t) < 2:
+            continue
+        lps = [
+            math.log((bi[(a, b)] + k) / (uni[a] + k * V)) for a, b in zip(t, t[1:])
+        ]
+        avg = sum(lps) / len(lps)
+        expect[d] = (len(lps), round(avg, 6), round(math.exp(-avg), 6))
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logp"], r["perplexity"])
+        for r in text.lm_score(docs).collect()
+    }
+    assert set(got) == set(expect)
+    for d in expect:
+        assert got[d][0] == expect[d][0]
+        assert got[d][1] == pytest.approx(expect[d][1], abs=1e-5)
+        assert got[d][2] == pytest.approx(expect[d][2], rel=1e-5)
+
+
+def test_lm_score_external_model_oov(spark):
+    """Scoring docs against a separately-trained LM must handle unseen
+    unigrams/bigrams via add-k smoothing (no nulls, finite logp)."""
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "purple elephants dance wildly")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.lm_score(score, lm_docs=train).collect()}
+    assert rows[1]["avg_logp"] > rows[2]["avg_logp"]  # in-domain scores higher
+    assert all(np.isfinite(r["avg_logp"]) for r in rows.values())
+
+
+def test_dedup_paragraphs(spark):
+    d = spark.createDataFrame(
+        [
+            (0, "intro\n\nbody\n\nintro\n\noutro"),
+            (1, "a\n\nb"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.dedup_paragraphs(d).collect()}
+    assert rows[0]["text"] == "intro\n\nbody\n\noutro"
+    assert rows[0]["n_paragraphs"] == 4 and rows[0]["n_dropped"] == 1
+    assert rows[1]["text"] == "a\n\nb" and rows[1]["n_dropped"] == 0
+
+
 def test_exact_dedup(spark, docs):
     groups = dedup.exact_duplicates(docs).collect()
     assert len(groups) == 1
@@ -81,6 +146,57 @@ def test_jaccard_pairs(spark, docs):
     assert (0, 2) in pairs               # near dup shares most shingles
     assert all(a < b for a, b in pairs)  # canonical ordering
     assert (0, 4) not in pairs           # unrelated docs
+
+
+def test_kmeans_recovers_separated_clusters(spark, sf_dir):
+    """Distributed Lloyd's on well-separated synthetic blobs must
+    recover them perfectly, and the fit on the real embeddings fixture
+    must be bit-deterministic across runs."""
+    rng = np.random.default_rng(5)
+    centers = np.eye(4) * 10.0  # 4 far-apart blob centers in R^4
+    X = np.concatenate([centers[i] + rng.normal(0, 0.1, (50, 4)) for i in range(4)])
+    truth = np.repeat(np.arange(4), 50)
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(len(X))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned = similarity.cluster_embeddings(df, k=4, seed=7)
+    got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    # perfect clustering = each learned cluster maps 1:1 to one blob
+    from collections import defaultdict
+
+    members = defaultdict(set)
+    for i, c in got.items():
+        members[c].add(truth[i])
+    assert len(members) == 4
+    assert all(len(blobs) == 1 for blobs in members.values())
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents1 = similarity.kmeans_fit(emb, k=8, seed=7)
+    cents2 = similarity.kmeans_fit(emb, k=8, seed=7)
+    assert np.array_equal(cents1, cents2)  # bit-deterministic
+
+
+def test_kmeans_partials_match_driver_lloyd(spark):
+    """One distributed iteration must equal a numpy Lloyd step on the
+    same data and init (driver reduce is exact, empty clusters kept)."""
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(200, 8))
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # X32 is what Spark stores (float32) — the reference step must see
+    # the same values the executors see.
+    X32 = X.astype(np.float32).astype(np.float64)
+    cents = similarity.kmeans_fit(df, k=4, max_iterations=1, seed=11, init_sample=200)
+    # reproduce init exactly
+    sample = X32  # orderBy(vec_id).limit(200) is the whole set, in order
+    r2 = np.random.Generator(np.random.PCG64(np.random.SeedSequence(11)))
+    init = sample[r2.choice(200, 4, replace=False)].copy()
+    d2 = ((sample[:, None, :] - init[None, :, :]) ** 2).sum(axis=2)
+    a = d2.argmin(axis=1)
+    expect = init.copy()
+    for c in range(4):
+        if (a == c).any():
+            expect[c] = sample[a == c].mean(axis=0)
+    assert np.allclose(cents, expect, atol=1e-9)
 
 
 @pytest.mark.parametrize("threshold", [0.2, 0.5, 0.8])
@@ -481,6 +597,27 @@ def test_stats_quantiles_and_frequent_items(spark):
         by_g.setdefault(r["g"], []).append((r["rank"], r["value"], r["cnt"]))
     assert sorted(by_g["x"]) == [(1, "u1", 5), (2, "u2", 3)]  # tie u2<u3
     assert sorted(by_g["y"]) == [(1, "u9", 1)]
+
+
+def test_correlation_matrix_matches_numpy(spark, sf_dir):
+    from plda_spark.operators import stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    got = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in stats.correlation_matrix(li, cols).collect()
+    }
+    pdf = li.select(*[F.col(c).cast("double") for c in cols]).toPandas()
+    m = np.corrcoef(pdf.to_numpy().T)
+    idx = {c: i for i, c in enumerate(pdf.columns)}
+    assert len(got) == 6
+    for (a, b), v in got.items():
+        assert a < b
+        assert v == pytest.approx(m[idx[a], idx[b]], abs=1e-6)
+
+    with pytest.raises(ValueError):
+        stats.correlation_matrix(li, ["l_quantity"])
 
 
 def test_operators_handle_empty_input(spark):

@@ -636,6 +636,9 @@ def test_operators_handle_empty_input(spark):
     assert dedup.contamination(empty_docs, empty_docs).count() == 0
     assert text.token_stats(empty_docs).count() == 0
     assert text.tf_idf(empty_docs).count() == 0
+    assert text.lm_score(empty_docs).count() == 0
+    assert text.dedup_paragraphs(empty_docs).count() == 0
+    assert similarity.kmeans_assign(empty_emb, np.zeros((2, 4))).count() == 0
     assert sampling.stratified_hash_sample(empty_docs, "source", {"a": 50}).count() == 0
     assert sampling.pack_sequences(
         spark.createDataFrame([], "doc_id long, n_tokens long"), 128
@@ -777,3 +780,70 @@ def test_functions_expression_library(spark):
     assert out["g"] == ["the quick", "quick brown", "brown fox"]
     emb = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a array<float>, b array<float>")
     assert emb.select(pf.cosine(F.col("a"), F.col("b")).alias("c")).first()["c"] == 0.0
+
+
+def test_logreg_separates_and_matches_numpy(spark):
+    """Distributed full-batch GD must (a) separate a separable synthetic
+    set with high accuracy, (b) be bit-deterministic, and (c) match a
+    driver-side numpy twin running the identical standardized updates."""
+    from plda_spark.operators import classify
+
+    rng = np.random.default_rng(17)
+    n = 400
+    X = rng.normal(size=(n, 3)) * [1.0, 5.0, 0.2] + [2.0, -1.0, 0.0]
+    true_w = np.array([1.5, -0.4, 3.0])
+    y = (X @ true_w + 0.25 * rng.normal(size=n) > 1.0).astype(float)
+    rows = [
+        (float(X[i, 0]), float(X[i, 1]), float(X[i, 2]), float(y[i]))
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, f3 double, y double")
+
+    w1 = classify.logreg_fit(df, ["f1", "f2", "f3"], "y", iterations=60)
+    w2 = classify.logreg_fit(df, ["f1", "f2", "f3"], "y", iterations=60)
+    assert np.array_equal(w1, w2)  # deterministic
+
+    scored = classify.logreg_score(df, w1, ["f1", "f2", "f3"])
+    acc = scored.where(
+        ((F.col("score") > 0.5).cast("int") == F.col("y").cast("int"))
+    ).count() / n
+    assert acc >= 0.95
+
+    # numpy twin: identical standardized GD (single-sum floats => allclose)
+    mean, std = X.mean(axis=0), X.std(axis=0)
+    Xs = (X - mean) / std
+    w = np.zeros(4)
+    for _ in range(60):
+        p = 1.0 / (1.0 + np.exp(-(Xs @ w[1:] + w[0])))
+        err = p - y
+        g = np.concatenate([[err.sum()], Xs.T @ err])
+        w = w - 1.0 * (g / n + np.concatenate([[0.0], 1e-6 * w[1:]]))
+    expect = np.empty(4)
+    expect[1:] = w[1:] / std
+    expect[0] = w[0] - float((w[1:] * mean / std).sum())
+    assert np.allclose(w1, expect, rtol=1e-8, atol=1e-10)
+
+
+def test_logreg_quality_pipeline(spark, sf_dir):
+    """End-to-end curation shape: quality features -> fit on a labeled
+    subset -> score the whole corpus JVM-side."""
+    from plda_spark.operators import classify
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feats = text.quality_score(docs).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    # teachable label: long docs (the classifier sees n_chars, so this
+    # is learnable — the point is exercising the distributed plumbing)
+    median = feats.agg(F.percentile("n_chars", F.lit(0.5))).collect()[0][0]
+    labeled = feats.withColumn("y", (F.col("n_chars") > median).cast("double"))
+    fcols = ["alpha_ratio", "stopword_ratio", "n_chars"]
+    w = classify.logreg_fit(labeled, fcols, "y", iterations=40)
+    scored = classify.logreg_score(labeled, w, fcols)
+    acc = scored.where(
+        ((F.col("score") > 0.5).cast("int") == F.col("y").cast("int"))
+    ).count() / labeled.count()
+    assert acc >= 0.9
+    # scoring plan stays Python-free (pure codegen projection)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan or "mapInPandas" not in plan

@@ -169,3 +169,42 @@ def test_transform_stream_scores_documents(spark, tmp_path):
     b = transform_stream(model, batch_docs, total_iterations=4,
                          burn_in_iterations=2, seed=11)
     assert not b.isStreaming and b.count() == 40
+
+
+def test_incremental_exact_dedup_two_increments(spark, tmp_path):
+    """Crawl-increment dedup: the second increment's duplicates of
+    ALREADY-INGESTED docs must be dropped (cross-batch history), new docs
+    admitted, and every output digest unique."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        windows.incremental_exact_dedup(stream, out, state, ckpt)
+
+    # increment 1: an internal dup (1 ≡ 0)
+    spark.createDataFrame(
+        [(0, "aaa"), (1, "aaa"), (2, "bbb")], schema
+    ).write.mode("append").parquet(in_dir)
+    run()
+    got1 = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got1) == ["aaa", "bbb"]
+    assert {r["doc_id"] for r in got1} == {0, 2}  # min-id representative
+
+    # increment 2: historical dups (aaa, bbb) + a new doc + internal dup
+    spark.createDataFrame(
+        [(10, "aaa"), (11, "bbb"), (12, "ccc"), (13, "ccc")], schema
+    ).write.mode("append").parquet(in_dir)
+    run()
+    got2 = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got2) == ["aaa", "bbb", "ccc"]
+    assert {r["doc_id"] for r in got2} == {0, 2, 12}
+    # ledger has exactly one digest per admitted doc
+    ledger = spark.read.parquet(state)
+    assert ledger.count() == 3
+    assert ledger.select("digest").distinct().count() == 3

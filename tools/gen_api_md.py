@@ -24,6 +24,7 @@ MODULES = [
     ("plda_spark.operators.sampling", "Sampling and sequence layout"),
     ("plda_spark.operators.stats", "Distribution profiling"),
     ("plda_spark.operators.curation", "Filter-pipeline curation"),
+    ("plda_spark.operators.classify", "Linear quality classifier"),
     ("plda_spark.operators.joins", "Join strategies"),
     ("plda_spark.operators.multimodal", "Multimodal binary columns"),
     ("plda_spark.streaming.windows", "Structured Streaming operators"),

@@ -774,7 +774,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ckpt = f"{tmp}/ckpt"
         windows.run_stream_available_now(windows.sessionize(stream), out, ckpt)
         emitted = spark.read.parquet(out)
-        return emitted.unionByName(windows.open_sessions(spark, ckpt))
+        ntz = str(events.schema["ts"].dataType).startswith("TimestampNTZ")
+        return emitted.unionByName(windows.open_sessions(spark, ckpt, ntz=ntz))
 
     q["stream_sessionize_stateful"] = stream_sessionize_stateful
 

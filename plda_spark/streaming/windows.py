@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import TimestampNTZType
 
 __all__ = [
     "tumbling_counts",
@@ -37,14 +38,42 @@ __all__ = [
 ]
 
 
+def _is_ntz(df: DataFrame, col: str = "ts") -> bool:
+    return isinstance(df.schema[col].dataType, TimestampNTZType)
+
+
+def _for_watermark(events: DataFrame, col: str = "ts") -> tuple[DataFrame, bool]:
+    """Watermarks require TIMESTAMP; parquet written without a timezone
+    reads as TIMESTAMP_NTZ under Spark 4's NTZ inference.  Cast the
+    event-time column up for the watermark and remember the original type
+    so outputs can be cast back (wall-clock preserving in-session, and it
+    keeps the streaming result's schema identical to the batch twin's)."""
+    if _is_ntz(events, col):
+        return events.withColumn(col, F.col(col).cast("timestamp")), True
+    return events, False
+
+
+def _restore_ntz(df: DataFrame, cols: list[str], was_ntz: bool) -> DataFrame:
+    if not was_ntz:
+        return df
+    return df.select(
+        *[
+            F.col(c).cast("timestamp_ntz").alias(c) if c in cols else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
     """Per-(window, event_type) counts with a late-data watermark."""
-    return (
+    events, ntz = _for_watermark(events)
+    out = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
     )
+    return _restore_ntz(out, ["window_start"], ntz)
 
 
 def sliding_value_sums(
@@ -56,12 +85,14 @@ def sliding_value_sums(
     of partitioning / aggregation order (bit-stable vs the batch twin and
     the DuckDB oracle; double sums are order-dependent).
     """
-    return (
+    events, ntz = _for_watermark(events)
+    out = (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
     )
+    return _restore_ntz(out, ["window_start"], ntz)
 
 
 def tumbling_counts_batch(events: DataFrame) -> DataFrame:
@@ -78,8 +109,15 @@ def sliding_value_sums_batch(events: DataFrame) -> DataFrame:
     """Batch twin of :func:`sliding_value_sums`: each event lands in the
     two half-hour-aligned 1h windows that contain it."""
     # Window starts: floor(ts, 30min) and floor(ts, 30min) - 30min.
-    floor30 = F.to_timestamp(F.from_unixtime(F.unix_timestamp("ts") - F.unix_timestamp("ts") % 1800))
-    starts = F.array(floor30, F.to_timestamp(F.from_unixtime(F.unix_timestamp(floor30) - 1800)))
+    # timestampadd/date_trunc-style integer math on unix_micros keeps the
+    # result in the SAME timestamp family as the input (to_timestamp /
+    # from_unixtime would force TIMESTAMP and diverge from an NTZ source).
+    ntz = _is_ntz(events)
+    mk = F.timestamp_micros if not ntz else (lambda c: F.timestamp_micros(c).cast("timestamp_ntz"))
+    us = F.unix_micros(F.col("ts").cast("timestamp")) if ntz else F.unix_micros(F.col("ts"))
+    step = 1800 * 1_000_000
+    floor30 = us - us % step
+    starts = F.array(mk(floor30), mk(floor30 - step))
     return (
         events.select(
             F.explode(starts).alias("window_start"), "event_type", "value"
@@ -103,11 +141,12 @@ def sessionize_batch(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy("ts")
     gap_us = gap_minutes * 60 * 1_000_000
-    prev_us = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp")) if _is_ntz(events) else F.unix_micros(F.col("ts"))
+    prev_us = F.lag(ts_us).over(w)
     flagged = events.select(
         "user_id",
         "ts",
-        F.when(F.unix_micros(F.col("ts")) - prev_us > gap_us, 1).otherwise(0).alias("new_sess"),
+        F.when(ts_us - prev_us > gap_us, 1).otherwise(0).alias("new_sess"),
     )
     cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
     return (
@@ -183,7 +222,9 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None, watermark: st
     dedup state by event time, so state size tracks the horizon, not the
     stream length — the streaming twin of the batch ``exact_dedup``)."""
     keys = keys or ["event_id"]
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    events, ntz = _for_watermark(events)
+    out = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+    return _restore_ntz(out, ["ts"], ntz)
 
 
 def stream_dedup_batch(events: DataFrame, keys: list[str] | None = None) -> DataFrame:
@@ -234,13 +275,14 @@ def interval_join(events: DataFrame, watermark: str = "10 minutes") -> DataFrame
     predicate, Spark bounds the join state to watermark + 30 minutes
     per side — O(recent events), never the whole stream.
     """
+    events, ntz = _for_watermark(events)
     purchases = events.where(F.col("event_type") == "purchase").withWatermark(
         "ts", watermark
     )
     errors = events.where(F.col("event_type") == "error").withWatermark(
         "ts", watermark
     )
-    return _interval_join_frames(purchases, errors)
+    return _restore_ntz(_interval_join_frames(purchases, errors), ["p_ts", "e_ts"], ntz)
 
 
 def interval_join_batch(events: DataFrame) -> DataFrame:
@@ -300,7 +342,8 @@ def sessionize(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator: 30-minute-gap user sessions via
     ``applyInPandasWithState`` (processing-time timeout closes idle
     sessions)."""
-    return (
+    events, ntz = _for_watermark(events)
+    out = (
         events.groupBy("user_id")
         .applyInPandasWithState(
             _session_fn,
@@ -310,9 +353,10 @@ def sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+    return _restore_ntz(out, ["session_start", "session_end"], ntz)
 
 
-def open_sessions(spark: SparkSession, checkpoint_path: str) -> DataFrame:
+def open_sessions(spark: SparkSession, checkpoint_path: str, ntz: bool = False) -> DataFrame:
     """Drain still-open sessions from a :func:`sessionize` checkpoint.
 
     In append mode a session only emits when its gap timeout fires, so
@@ -329,12 +373,15 @@ def open_sessions(spark: SparkSession, checkpoint_path: str) -> DataFrame:
     """
     st = spark.read.format("statestore").load(checkpoint_path)
     g = F.col("value.groupState")
-    return st.select(
+    out = st.select(
         F.col("key.user_id").alias("user_id"),
         F.timestamp_micros(g["start"]).alias("session_start"),
         F.timestamp_micros(g["last"]).alias("session_end"),
         g["n"].alias("n_events"),
     )
+    # Pass ntz=True when the source event stream was TIMESTAMP_NTZ so the
+    # drained rows union cleanly with sessionize()'s output.
+    return _restore_ntz(out, ["session_start", "session_end"], ntz)
 
 
 def incremental_exact_dedup(

@@ -72,7 +72,11 @@ def test_sessionize_stateful(spark, stream_dir, tmp_path):
     # sessions must be VALUE-identical to the batch twin (full
     # microsecond precision, no truncation).
     drained = res.unionByName(
-        windows.open_sessions(spark, str(tmp_path / "ckpt_sess"))
+        windows.open_sessions(
+            spark,
+            str(tmp_path / "ckpt_sess"),
+            ntz=windows._is_ntz(spark.read.parquet(stream_dir)),
+        )
     )
     got = {
         (r["user_id"], r["session_start"], r["session_end"], r["n_events"])

@@ -779,6 +779,189 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sessionize_stateful"] = stream_sessionize_stateful
 
+    # ---- engine extensions: specialized joins ------------------------------
+
+    def join_asof_purchase_view(spark, sf):
+        """Backward as-of join (operators.joins.as_of_join): each purchase
+        event picks the same user's latest view event at-or-before it.
+        The right side is pre-deduped to one row per (user, ts) so the
+        match is deterministic on both engines."""
+        from plda_spark.operators import joins
+
+        ev = load_table(spark, sf, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("view_id"))
+        )
+        return joins.as_of_join(purchases, views, on="user_id")
+
+    q["join_asof"] = join_asof_purchase_view
+
+    def join_range_buckets(spark, sf):
+        """Binned point-in-interval join (operators.joins.range_join):
+        order keys (mod 10000) land in overlapping supplier-derived
+        intervals [s*100, s*100+150) — every point matches 1-2 intervals."""
+        from plda_spark.operators import joins
+
+        points = load_table(spark, sf, "orders").select(
+            "o_orderkey", (F.col("o_orderkey") % 10000).alias("p")
+        )
+        intervals = load_table(spark, sf, "supplier").select(
+            "s_suppkey",
+            (F.col("s_suppkey") * 100).alias("lo"),
+            (F.col("s_suppkey") * 100 + 150).alias("hi"),
+        )
+        return joins.range_join(points, intervals, "p", "lo", "hi", bin_width=128)
+
+    q["join_range"] = join_range_buckets
+
+    # ---- engine extensions: group statistics -------------------------------
+
+    def stats_group_quantiles(spark, sf):
+        from plda_spark.operators import stats
+
+        qdf = stats.group_quantiles(
+            load_table(spark, sf, "orders"), ["o_orderpriority"], "o_totalprice"
+        )
+        return qdf.select(
+            "o_orderpriority",
+            *[F.round(c, 2).alias(c) for c in ("q0_25", "q0_5", "q0_75")],
+        )
+
+    q["stats_group_quantiles"] = stats_group_quantiles
+
+    def stats_corr_matrix(spark, sf):
+        from plda_spark.operators import stats
+
+        return stats.correlation_matrix(
+            load_table(spark, sf, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+
+    q["stats_corr_matrix"] = stats_corr_matrix
+
+    def stats_frequent_items(spark, sf):
+        from plda_spark.operators import stats
+
+        return stats.frequent_items(
+            load_table(spark, sf, "events"), ["event_type"], "user_id", k=5
+        )
+
+    q["stats_frequent_items"] = stats_frequent_items
+
+    # ---- engine extensions: curation ---------------------------------------
+
+    def sample_stratified(spark, sf):
+        """Per-stratum deterministic hash sampling (domain mixing)."""
+        from plda_spark.operators.sampling import stratified_hash_sample
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang", "source")
+        return stratified_hash_sample(
+            docs, "source", {"src1": 100, "src2": 50, "src3": 10}, default_pct=25
+        )
+
+    q["sample_stratified"] = sample_stratified
+
+    def dedup_contamination(spark, sf):
+        """Benchmark n-gram overlap counts (test-set contamination scan);
+        benchmark = every 97th doc (mod 97 == 3) as a stand-in eval set."""
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        bench = docs.where(F.col("doc_id") % 97 == 3)
+        return dedup.contamination(docs, bench, n=5)
+
+    q["dedup_contamination"] = dedup_contamination
+
+    def dedup_decontaminate(spark, sf):
+        """Training-corpus decontamination: drop docs sharing any 5-gram
+        with the benchmark subset."""
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        bench = docs.where(F.col("doc_id") % 97 == 3)
+        return dedup.decontaminate(docs, bench, n=5)
+
+    q["dedup_decontaminate"] = dedup_decontaminate
+
+    def curation_filters(spark, sf):
+        """Filter-stack audit (operators.curation.apply_filters): per-rule
+        rejection counts + marginal (sole-reject) counts + survivor row."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents")
+        rules = [
+            ("min_chars", F.col("n_chars") >= 200),
+            ("english", F.col("lang") == "en"),
+            ("has_alpha", F.col("text").rlike("[a-z]")),
+        ]
+        _, audit = curation.apply_filters(docs, rules)
+        return audit
+
+    q["curation_filters"] = curation_filters
+
+    def classify_score(spark, sf):
+        """Quality-classifier scoring path (operators.classify): sigmoid
+        of a fixed linear model over per-doc features — the pure-JVM
+        100 TB scoring pass (training is pytest-verified; weights here
+        are pinned literals so both engines score identically)."""
+        import numpy as np
+        from plda_spark.operators import classify
+
+        docs = load_table(spark, sf, "documents")
+        w = np.array([-3.0, 0.01])
+        return classify.logreg_score(
+            docs.select("doc_id", "n_chars"), w, ["n_chars"]
+        ).select("doc_id", "score")
+
+    q["classify_score"] = classify_score
+
+    # ---- engine extensions: text quality -----------------------------------
+
+    q["text_lm_score"] = lambda spark, sf: text.lm_score(
+        load_table(spark, sf, "documents")
+    )
+
+    def text_dedup_paragraphs(spark, sf):
+        """In-document repeated-paragraph removal on a corpus with planted
+        boilerplate (doc_id % 3 == 0 repeats its body three times)."""
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat_ws("\n\n", "text", "text", "text"),
+            )
+            .otherwise(F.concat_ws("\n\n", "text", F.lit("unique tail")))
+            .alias("text"),
+        )
+        return text.dedup_paragraphs(docs)
+
+    q["text_dedup_paragraphs"] = text_dedup_paragraphs
+
+    q["text_winnow"] = lambda spark, sf: text.winnow(
+        load_table(spark, sf, "documents"), k=4, w=5
+    )
+
+    # ---- engine extensions: embedding clustering ---------------------------
+
+    def ml_kmeans_assign(spark, sf):
+        """Nearest-centroid assignment (operators.similarity.kmeans_assign)
+        against pinned centroids (the embeddings of vec_id 0..7), so the
+        Arrow-matmul scoring path is hash-checked; the iterative fit is
+        pytest-verified (test_similarity)."""
+        import numpy as np
+
+        emb = load_table(spark, sf, "embeddings")
+        cents = np.stack(
+            [
+                np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.where(F.col("vec_id") < 8).orderBy("vec_id").collect()
+            ]
+        )
+        return similarity.kmeans_assign(emb, cents)
+
+    q["ml_kmeans_assign"] = ml_kmeans_assign
+
     return q
 
 
@@ -1479,6 +1662,241 @@ s AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS INT) AS n_events
 FROM s GROUP BY user_id, session_id
+"""
+
+    # Backward as-of join: DuckDB's native ASOF LEFT JOIN (right side
+    # deduped to one row per (user, ts), matching the Spark query).
+    o["join_asof"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, p.ts, v.ts AS right_ts, v.view_id AS right_view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+"""
+
+    # Point-in-interval join: the binned equi-join must equal the naive
+    # theta join.
+    o["join_range"] = """
+SELECT o.o_orderkey, o.o_orderkey % 10000 AS p, s.s_suppkey,
+       s.s_suppkey * 100 AS lo, s.s_suppkey * 100 + 150 AS hi
+FROM orders o
+JOIN supplier s
+  ON s.s_suppkey * 100 <= o.o_orderkey % 10000
+ AND o.o_orderkey % 10000 < s.s_suppkey * 100 + 150
+"""
+
+    # Spark F.percentile and DuckDB quantile_cont share the standard
+    # rank = q*(n-1) linear interpolation; round 1e-2 on both sides.
+    o["stats_group_quantiles"] = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 2) AS q0_25,
+       ROUND(quantile_cont(o_totalprice, 0.5),  2) AS q0_5,
+       ROUND(quantile_cont(o_totalprice, 0.75), 2) AS q0_75
+FROM orders GROUP BY o_orderpriority
+"""
+
+    # Long-format Pearson matrix, pairs in lexicographic a < b order.
+    o["stats_corr_matrix"] = """
+SELECT col_a, col_b, ROUND(c, 6) AS corr FROM (
+  SELECT 'l_discount' AS col_a, 'l_extendedprice' AS col_b,
+         corr(l_discount, l_extendedprice) AS c FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_quantity', corr(l_discount, l_quantity) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax', corr(l_discount, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_quantity', corr(l_extendedprice, l_quantity) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', corr(l_extendedprice, l_tax) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax', corr(l_quantity, l_tax) FROM lineitem
+)
+"""
+
+    o["stats_frequent_items"] = """
+WITH c AS (
+  SELECT event_type, user_id AS value, CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, value, cnt,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, value) AS rn
+  FROM c
+)
+SELECT event_type, value, cnt, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5
+"""
+
+    _bucket_src = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+    o["sample_stratified"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {_bucket_src} < CASE source WHEN 'src1' THEN 100 WHEN 'src2' THEN 50
+                                  WHEN 'src3' THEN 10 ELSE 25 END
+"""
+
+    # Distinct 5-gram shingles of every doc; benchmark = docs with
+    # doc_id % 97 == 3 (twin of operators.dedup.shingles at n=5).
+    _sql_sh5 = f"""
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 3),
+                               i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 5
+),
+bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 3)
+"""
+
+    o["dedup_contamination"] = f"""
+WITH {_sql_sh5}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_contaminated_ngrams
+FROM sh WHERE shingle IN (SELECT shingle FROM bsh)
+GROUP BY doc_id
+"""
+
+    o["dedup_decontaminate"] = f"""
+WITH {_sql_sh5},
+hits AS (SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM bsh))
+SELECT doc_id, text FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+"""
+
+    # Filter-stack audit twin: per-rule rejects, sole rejects, survivors.
+    o["curation_filters"] = """
+WITH f AS (
+  SELECT coalesce(n_chars >= 200, false) AS f0,
+         coalesce(lang = 'en', false) AS f1,
+         coalesce(regexp_matches(text, '[a-z]'), false) AS f2
+  FROM documents
+)
+SELECT 'min_chars' AS rule,
+       CAST(sum(CASE WHEN NOT f0 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+       CAST(sum(CASE WHEN NOT f0 AND f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected_solely
+FROM f
+UNION ALL
+SELECT 'english',
+       CAST(sum(CASE WHEN NOT f1 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN NOT f1 AND f0 AND f2 THEN 1 ELSE 0 END) AS BIGINT)
+FROM f
+UNION ALL
+SELECT 'has_alpha',
+       CAST(sum(CASE WHEN NOT f2 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN NOT f2 AND f0 AND f1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM f
+UNION ALL
+SELECT '__kept__',
+       CAST(sum(CASE WHEN f0 AND f1 AND f2 THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(0 AS BIGINT)
+FROM f
+"""
+
+    # Fixed-weight sigmoid scoring (w = [-3.0, 0.01] over n_chars).
+    o["classify_score"] = """
+SELECT doc_id, ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.01 * n_chars))), 6) AS score
+FROM documents
+"""
+
+    # Add-0.5-smoothed bigram LM perplexity, trained on the corpus itself.
+    o["text_lm_score"] = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+uni AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS c_a
+  FROM (SELECT unnest(t) AS a FROM toks) GROUP BY a
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+bg AS (
+  SELECT doc_id, s.a AS a, s.b AS b FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(a := t[i], b := t[i+1]))) AS s
+    FROM toks WHERE len(t) >= 2
+  )
+),
+bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(avg(ln((coalesce(c_ab, 0) + 0.5) / (coalesce(c_a, 0) + 0.5 * vocab))), 6) AS avg_logp,
+       ROUND(exp(-avg(ln((coalesce(c_ab, 0) + 0.5) / (coalesce(c_a, 0) + 0.5 * vocab)))), 6) AS perplexity
+FROM bg
+LEFT JOIN bi USING (a, b)
+LEFT JOIN uni USING (a)
+CROSS JOIN v
+GROUP BY bg.doc_id
+"""
+
+    # Planted-boilerplate paragraph dedup: split on blank line, keep first
+    # occurrence in order, rejoin.
+    o["text_dedup_paragraphs"] = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || chr(10)||chr(10) || text || chr(10)||chr(10) || text
+              ELSE text || chr(10)||chr(10) || 'unique tail' END AS text
+  FROM documents
+),
+rows_ AS (
+  SELECT doc_id, s.i AS i, s.p AS p FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l) + 1),
+                                 i -> struct_pack(i := i, p := l[i]))) AS s
+    FROM (SELECT doc_id, string_split(text, chr(10)||chr(10)) AS l FROM src)
+  )
+),
+firsts AS (SELECT doc_id, p, min(i) AS fi FROM rows_ GROUP BY doc_id, p),
+agg AS (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_paragraphs,
+         CAST(count(*) - count(DISTINCT p) AS INT) AS n_dropped
+  FROM rows_ GROUP BY doc_id
+),
+ded AS (
+  SELECT doc_id, string_agg(p, chr(10)||chr(10) ORDER BY fi) AS text
+  FROM firsts GROUP BY doc_id
+)
+SELECT a.doc_id, d.text, a.n_paragraphs, a.n_dropped
+FROM agg a JOIN ded d USING (doc_id)
+"""
+
+    # Winnowing (k=4, w=5): same per-token md5 rolling hash, Horner mod
+    # 2^31-1, window minima — selected SET is order-independent, so the
+    # distinct/min/checksum summary hash-matches exactly.
+    _P = 2_147_483_647
+    _tok_h = f"CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {_P}"
+    o["text_winnow"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+h AS (
+  SELECT doc_id, list_transform(toks, s -> {_tok_h}) AS th FROM t
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(len(th) - 3, 0) + 1),
+             i -> ((((th[i] * 131 + th[i+1]) % {_P}) * 131 + th[i+2]) % {_P} * 131 + th[i+3]) % {_P}) AS grams
+  FROM h
+),
+sel AS (
+  SELECT doc_id, CAST(len(grams) AS INT) AS n_kgrams,
+         list_distinct(list_transform(range(1, GREATEST(len(grams) - 4, 0) + 1),
+             j -> list_min(grams[j:j+4]))) AS s
+  FROM g
+)
+SELECT doc_id, n_kgrams, CAST(len(s) AS INT) AS n_winnow,
+       CAST(coalesce(list_min(s), 0) AS BIGINT) AS winnow_min,
+       CAST(coalesce(list_sum(list_transform(s, x -> x % 1000003)), 0) AS BIGINT) AS winnow_checksum
+FROM sel
+"""
+
+    # Nearest pinned centroid (embeddings of vec_id 0..7), L2 distance.
+    o["ml_kmeans_assign"] = """
+WITH c AS (SELECT vec_id AS cl, embedding AS ce FROM embeddings WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cl,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.ce[i] AS DOUBLE)) ^ 2)) AS d2
+  FROM embeddings e CROSS JOIN c
+),
+r AS (
+  SELECT vec_id, cl, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+  FROM d
+)
+SELECT vec_id, CAST(cl AS INT) AS cluster, ROUND(sqrt(d2), 6) AS dist
+FROM r WHERE rn = 1
 """
 
     return o

@@ -136,16 +136,22 @@ def jaccard_pairs(
     from pyspark import StorageLevel
 
     by_rarity = F.sort_array(
-        F.collect_list(F.struct(F.col("__df").alias("df"), F.col("shingle").alias("s")))
+        # collect_list skips NULLs, so the df = 1 rows (typically the
+        # vast majority) never enter the per-doc arrays or their sort —
+        # n_sh still counts them via the separate count(*).
+        F.collect_list(
+            F.when(
+                F.col("__df") >= 2,
+                F.struct(F.col("__df").alias("df"), F.col("shingle").alias("s")),
+            )
+        )
     )
     sets = (
         sh.groupBy("doc_id")
         .agg(by_rarity.alias("ss"), F.count(F.lit(1)).alias("n_sh"))
         .select(
             "doc_id",
-            F.transform(
-                F.filter("ss", lambda x: x["df"] >= 2), lambda x: x["s"]
-            ).alias("sset"),
+            F.transform("ss", lambda x: x["s"]).alias("sset"),
             "n_sh",
         )
         .select(

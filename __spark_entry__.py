@@ -779,6 +779,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sessionize_stateful"] = stream_sessionize_stateful
 
+    # ---- relational surface: pivot / analytic windows / subqueries ---------
+
+    def rel_pivot_daily_events(spark, sf):
+        """Pivot (crosstab): events per day × type, one column per type.
+        Pivot values are pinned literals so the plan is a single
+        map-side-combinable aggregation (no distinct-values pre-scan)."""
+        ev = load_table(spark, sf, "events")
+        return (
+            ev.groupBy(F.to_date("ts").alias("day"))
+            .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+            .agg(F.count(F.lit(1)))
+            .select(
+                F.col("day").cast("string").alias("day"),
+                *[
+                    F.coalesce(F.col(c), F.lit(0)).alias(f"n_{c}")
+                    for c in ["click", "error", "purchase", "signup", "view"]
+                ],
+            )
+        )
+
+    q["rel_pivot_daily_events"] = rel_pivot_daily_events
+
+    def rel_window_analytics(spark, sf):
+        """Analytic window pack over per-customer order history: lag,
+        lead, ntile, percent_rank, and a running decimal sum share ONE
+        (custkey, orderdate) sort — one shuffle for all five."""
+        orders = load_table(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        wr = w.rowsBetween(Window.unboundedPreceding, 0)
+        price = F.col("o_totalprice").cast("decimal(18,6)")
+        return orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.coalesce(F.lag(price).over(w), F.lit(0)).cast("double"), 2).alias("prev_price"),
+            F.round(F.coalesce(F.lead(price).over(w), F.lit(0)).cast("double"), 2).alias("next_price"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.sum(price).over(wr).cast("double"), 2).alias("running_spend"),
+        )
+
+    q["rel_window_analytics"] = rel_window_analytics
+
+    def rel_correlated_subquery(spark, sf):
+        """Correlated scalar subquery: each customer's most expensive
+        order (Catalyst rewrites the subquery to an aggregate + join)."""
+        load_table(spark, sf, "orders").createOrReplaceTempView("__orders_v")
+        load_table(spark, sf, "customer").createOrReplaceTempView("__customer_v")
+        return spark.sql(
+            """
+            SELECT c.c_custkey, c.c_name,
+                   (SELECT ROUND(MAX(o.o_totalprice), 2) FROM __orders_v o
+                    WHERE o.o_custkey = c.c_custkey) AS max_order_price
+            FROM __customer_v c
+            WHERE (SELECT COUNT(*) FROM __orders_v o
+                   WHERE o.o_custkey = c.c_custkey) >= 20
+            """
+        )
+
+    q["rel_correlated_subquery"] = rel_correlated_subquery
+
     # ---- engine extensions: specialized joins ------------------------------
 
     def join_asof_purchase_view(spark, sf):
@@ -1662,6 +1722,40 @@ s AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS INT) AS n_events
 FROM s GROUP BY user_id, session_id
+"""
+
+    o["rel_pivot_daily_events"] = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1
+"""
+
+    o["rel_window_analytics"] = """
+SELECT o_custkey, o_orderkey,
+       ROUND(CAST(coalesce(lag(CAST(o_totalprice AS DECIMAL(18,6)))
+             OVER w, 0) AS DOUBLE), 2) AS prev_price,
+       ROUND(CAST(coalesce(lead(CAST(o_totalprice AS DECIMAL(18,6)))
+             OVER w, 0) AS DOUBLE), 2) AS next_price,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pct_rank,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING) AS DOUBLE), 2) AS running_spend
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+    o["rel_correlated_subquery"] = """
+SELECT c.c_custkey, c.c_name,
+       (SELECT ROUND(MAX(o.o_totalprice), 2) FROM orders o
+        WHERE o.o_custkey = c.c_custkey) AS max_order_price
+FROM customer c
+WHERE (SELECT COUNT(*) FROM orders o
+       WHERE o.o_custkey = c.c_custkey) >= 20
 """
 
     # Backward as-of join: DuckDB's native ASOF LEFT JOIN (right side

@@ -161,3 +161,43 @@ def test_stratified_sample_is_scan_plus_filter(spark):
     )
     assert s["exchanges"] == 0
     assert all(schema.count(",") <= 1 for schema in s["read_schemas"])
+
+
+def test_range_join_is_equi_join_not_nested_loop(spark):
+    """The binned range join must plan as an equi-join on the bin key
+    (+ post-filter) — never a nested-loop/cartesian theta join, which is
+    O(|P|*|I|) per key at scale."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import joins
+
+    pts = spark.range(1000).select(F.col("id").alias("p"))
+    iv = spark.range(100).select(
+        (F.col("id") * 10).alias("lo"), (F.col("id") * 10 + 15).alias("hi")
+    )
+    s = plan_summary(joins.range_join(pts, iv, "p", "lo", "hi", bin_width=16))
+    assert "NestedLoop" not in s["plan"] and "Cartesian" not in s["plan"]
+    assert s["broadcast_hash_joins"] + s["sort_merge_joins"] >= 1
+
+
+def test_pivot_pinned_values_is_single_scan(spark):
+    """With pivot values pinned, the plan is one scan + one aggregation
+    pass — no second job/scan to discover distinct pivot values."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.queries()["rel_pivot_daily_events"](spark, "/root/testdata/sf0.001")
+    )
+    assert s["plan"].count("Scan parquet") <= 2  # one scan (tree + details)
+
+
+def test_window_analytics_single_sort_exchange(spark):
+    """All five analytic functions share one (custkey, orderdate) sort:
+    exactly one exchange in the plan."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.queries()["rel_window_analytics"](spark, "/root/testdata/sf0.001")
+    )
+    # formatted explain names each node twice (tree + details).
+    assert s["exchanges"] == 2

@@ -1002,6 +1002,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents"), k=4, w=5
     )
 
+    def text_redact_pii(spark, sf):
+        """PII redaction over a corpus with planted emails/IPs/phones
+        (doc_id % 7 == 0): tag replacement + per-doc scrub counts."""
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact u"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.org or 10.1.2.3 tel +1 555-000-1234"),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return text.redact_pii(docs)
+
+    q["text_redact_pii"] = text_redact_pii
+
+    def dedup_keep_best_q(spark, sf):
+        """Priority-aware exact dedup: keep the HIGHEST doc_id copy of
+        each exact-text group (proves the resolution is the ordering,
+        not min-id) via the map-side-combined struct-min plan."""
+        docs = _docs_with_dupes(spark, sf)
+        return dedup.keep_best(docs, [-F.col("doc_id")])
+
+    q["dedup_keep_best"] = dedup_keep_best_q
+
     # ---- engine extensions: embedding clustering ---------------------------
 
     def ml_kmeans_assign(spark, sf):
@@ -1973,6 +2003,43 @@ SELECT doc_id, n_kgrams, CAST(len(s) AS INT) AS n_winnow,
        CAST(coalesce(list_min(s), 0) AS BIGINT) AS winnow_min,
        CAST(coalesce(list_sum(list_transform(s, x -> x % 1000003)), 0) AS BIGINT) AS winnow_checksum
 FROM sel
+"""
+
+    # PII redaction twin: counts on the ORIGINAL text, replacements
+    # applied in EMAIL → IPV4 → PHONE order (same as PII_PATTERNS).
+    _re_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    _re_ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+    _re_phone = "\\+[0-9][0-9()\\-. ]{6,}[0-9]"
+    o["text_redact_pii"] = f"""
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN text || ' contact u' || CAST(doc_id AS VARCHAR)
+                   || '@example.org or 10.1.2.3 tel +1 555-000-1234'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{_re_email}', '<EMAIL>', 'g'),
+           '{_re_ipv4}', '<IPV4>', 'g'),
+         '{_re_phone}', '<PHONE>', 'g') AS text,
+       CAST(len(regexp_extract_all(text, '{_re_email}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(text, '{_re_ipv4}')) AS INT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '{_re_phone}')) AS INT) AS n_phone
+FROM src
+"""
+
+    # Priority-aware exact dedup: highest doc_id per exact-text group.
+    o["dedup_keep_best"] = f"""
+WITH {_SQL_DOCS_DUP},
+r AS (
+  SELECT doc_id, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id DESC) AS rn
+  FROM docs
+)
+SELECT doc_id, text FROM r WHERE rn = 1
 """
 
     # Nearest pinned centroid (embeddings of vec_id 0..7), L2 distance.

@@ -43,6 +43,7 @@ __all__ = [
     "connected_components",
     "contamination",
     "decontaminate",
+    "keep_best",
 ]
 
 
@@ -560,4 +561,38 @@ def decontaminate(
     ).where(F.col("n_contaminated_ngrams") >= min_hits)
     return docs.join(
         hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def keep_best(
+    docs: DataFrame,
+    order_cols: list,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact dedup that keeps the BEST copy of each duplicate group —
+    the cross-source resolution step ("prefer the wiki copy over the
+    crawl copy") run after exact hashing.  ``order_cols`` are ascending
+    sort keys (columns or expressions); the kept row is the struct-
+    lexicographic minimum over ``(order_cols..., all columns)``, so ties
+    resolve deterministically on the full row.
+
+    Scale shape: groupBy on the md5 digest with a ``min`` over a packed
+    struct — map-side combined (each partition reduces to one candidate
+    per digest before the shuffle), so hot duplicate groups cost one row
+    per partition, not a per-group sort of every copy the way a
+    row_number window would.
+    """
+    cols = list(docs.columns)
+    ordered = F.struct(
+        *[
+            (F.col(c) if isinstance(c, str) else c).alias(f"__k{i}")
+            for i, c in enumerate(order_cols)
+        ],
+        F.struct(*[F.col(c) for c in cols]).alias("__row"),
+    )
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("__digest"), ordered.alias("__o"))
+        .groupBy("__digest")
+        .agg(F.min("__o").alias("__b"))
+        .select("__b.__row.*")
     )

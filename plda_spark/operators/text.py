@@ -28,6 +28,8 @@ __all__ = [
     "dedup_paragraphs",
     "fingerprint",
     "winnow",
+    "redact_pii",
+    "PII_PATTERNS",
     "BPE_SPLIT_RE",
     "STOPWORDS",
 ]
@@ -485,4 +487,43 @@ def winnow(
             ),
             F.lit(0),
         ).alias("winnow_checksum"),
+    )
+
+
+# PII patterns (replacement tag, regex).  ASCII classes only so the Java
+# (Spark) and RE2 (DuckDB) engines match identical spans; the phone rule
+# requires a leading + and separator-ish body so plain integers and
+# dotted version strings never match.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IPV4", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("PHONE", r"\+[0-9][0-9()\-. ]{6,}[0-9]"),
+]
+
+
+def redact_pii(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing — the standard pre-training redaction pass: replace
+    emails, IPv4 addresses, and international-format phone numbers with
+    ``<EMAIL>`` / ``<IPV4>`` / ``<PHONE>`` tags, reporting per-doc match
+    counts (the audit signal for scrub-rate monitoring).
+
+    Returns ``(doc_id, text, n_email, n_ipv4, n_phone)``.  Counts are
+    taken on the ORIGINAL text (patterns are mutually exclusive on real
+    spans); replacements apply in PII_PATTERNS order.  Pure per-row JVM
+    regex expressions — whole-stage codegen, no shuffle, no Python —
+    and RE2-compatible so the DuckDB oracle replays them exactly.
+    """
+    text = F.col(text_col)
+    redacted = text
+    for tag, pat in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, f"<{tag}>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        redacted.alias("text"),
+        *[
+            F.regexp_count(text, F.lit(pat)).alias(f"n_{tag.lower()}")
+            for tag, pat in PII_PATTERNS
+        ],
     )

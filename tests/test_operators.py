@@ -847,3 +847,56 @@ def test_logreg_quality_pipeline(spark, sf_dir):
     # scoring plan stays Python-free (pure codegen projection)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan or "mapInPandas" not in plan
+
+
+def test_redact_pii(spark):
+    rows = [
+        (0, "write to alice.smith+x@mail-host.org today"),
+        (1, "server at 10.0.255.7 rebooted, call +1 (415) 555-0100 now"),
+        (2, "version v1.2 and price 3.50 stay untouched"),
+        (3, "no pii here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.redact_pii(docs).collect()}
+    assert got[0]["text"] == "write to <EMAIL> today"
+    assert got[0]["n_email"] == 1 and got[0]["n_ipv4"] == 0
+    assert got[1]["text"] == "server at <IPV4> rebooted, call <PHONE> now"
+    assert got[1]["n_ipv4"] == 1 and got[1]["n_phone"] == 1
+    # dotted version strings and decimals are NOT IPv4/phone matches
+    assert got[2]["n_ipv4"] == 0 and got[2]["n_phone"] == 0
+    assert got[2]["text"] == rows[2][1]
+    assert got[3]["text"] == "no pii here"
+
+
+def test_keep_best_prefers_order_cols_then_row(spark):
+    from plda_spark.operators import dedup as dd
+
+    rows = [
+        (0, "same body", "crawl"),
+        (1, "same body", "wiki"),
+        (2, "same body", "wiki"),   # tie on source -> min doc_id wins
+        (3, "other body", "crawl"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # prefer wiki over crawl: order by a rank expression
+    pref = F.when(F.col("source") == "wiki", 0).otherwise(1)
+    kept = {r["doc_id"] for r in dd.keep_best(docs, [pref]).collect()}
+    assert kept == {1, 3}
+    # plain ascending doc_id keeps the first copy
+    kept2 = {r["doc_id"] for r in dd.keep_best(docs, ["doc_id"]).collect()}
+    assert kept2 == {0, 3}
+
+
+def test_keep_best_is_map_side_combined(spark):
+    """The plan must be a partial/final aggregate on the digest (struct
+    min plans as SortAggregate with a partial_min before the exchange) —
+    no window sort of every duplicate copy."""
+    from plda_spark.operators import dedup as dd
+    from plda_spark.plans import plan_summary
+
+    docs = spark.createDataFrame(
+        [(0, "a", "x")], "doc_id long, text string, source string"
+    )
+    s = plan_summary(dd.keep_best(docs, ["doc_id"]))
+    assert "Window" not in s["plan"]
+    assert "partial_min" in s["plan"]  # map-side combine before the shuffle

@@ -731,11 +731,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _model_cache[sf]
 
     def lda_train_topics(spark, sf):
+        """Rows-only: Gibbs training is stochastic (seeded but not
+        SQL-expressible); statistical oracles — likelihood ascent, topic
+        recovery, count conservation — run in tests/test_train.py."""
         return _trained_model(spark, sf).describe_topics(spark, top_n=10)
 
     q["lda_train_topics"] = lda_train_topics
 
     def lda_infer_theta(spark, sf):
+        """Rows-only: inference resamples topic assignments (stochastic
+        Gibbs chain over a frozen model); OOV handling and model-DF
+        equivalence are pytest-verified instead."""
         docs = load_table(spark, sf, "documents")
         triples = doc_term_counts(tokenize(docs.orderBy("doc_id").limit(50)))
         theta = lda_infer.transform(
@@ -749,6 +755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["lda_infer_theta"] = lda_infer_theta
 
     def lda_topic_coherence(spark, sf):
+        """Rows-only: UMass coherence is computed over the stochastic
+        trained model's top words, so the values inherit the Gibbs
+        chain's randomness; the metric itself is pytest-verified against
+        a hand-computed fixture."""
         from plda_spark.lda.evaluate import umass_coherence
 
         top = _trained_model(spark, sf).describe_topics(spark, top_n=10)

@@ -1012,6 +1012,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents"), k=4, w=5
     )
 
+    q["text_winnow_pairs"] = lambda spark, sf: text.winnow_pairs(
+        _docs_with_dupes(spark, sf), k=4, w=5, min_shared=2
+    )
+
     def text_redact_pii(spark, sf):
         """PII redaction over a corpus with planted emails/IPs/phones
         (doc_id % 7 == 0): tag replacement + per-doc scrub counts."""
@@ -2013,6 +2017,35 @@ SELECT doc_id, n_kgrams, CAST(len(s) AS INT) AS n_winnow,
        CAST(coalesce(list_min(s), 0) AS BIGINT) AS winnow_min,
        CAST(coalesce(list_sum(list_transform(s, x -> x % 1000003)), 0) AS BIGINT) AS winnow_checksum
 FROM sel
+"""
+
+    # MOSS copy-detection pairs over the same winnow selection, on the
+    # planted-duplicate corpus (df guard 1000, min 2 shared hashes).
+    o["text_winnow_pairs"] = f"""
+WITH {_SQL_DOCS_DUP},
+t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM docs),
+h AS (
+  SELECT doc_id, list_transform(toks, s -> {_tok_h}) AS th FROM t
+),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, GREATEST(len(th) - 3, 0) + 1),
+             i -> ((((th[i] * 131 + th[i+1]) % {_P}) * 131 + th[i+2]) % {_P} * 131 + th[i+3]) % {_P}) AS grams
+  FROM h
+),
+sel AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, GREATEST(len(grams) - 4, 0) + 1),
+             j -> list_min(grams[j:j+4]))) AS s
+  FROM g
+),
+h2 AS (SELECT doc_id, unnest(s) AS wh FROM sel),
+hdf AS (SELECT wh, count(*) AS c FROM h2 GROUP BY wh),
+hf AS (SELECT doc_id, wh FROM h2 JOIN hdf USING (wh) WHERE c BETWEEN 2 AND 1000)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM hf a JOIN hf b ON a.wh = b.wh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
     # PII redaction twin: counts on the ORIGINAL text, replacements

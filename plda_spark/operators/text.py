@@ -28,6 +28,7 @@ __all__ = [
     "dedup_paragraphs",
     "fingerprint",
     "winnow",
+    "winnow_pairs",
     "redact_pii",
     "PII_PATTERNS",
     "BPE_SPLIT_RE",
@@ -410,34 +411,15 @@ def fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def winnow(
-    docs: DataFrame,
-    k: int = 4,
-    w: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _winnow_staged(
+    docs: DataFrame, k: int, w: int, text_col: str, id_col: str
 ) -> DataFrame:
-    """Winnowing rolling-hash fingerprint (the MOSS scheme: Schleimer,
-    Wilkerson & Aiken, SIGMOD '03): hash every token k-gram, slide a
-    window of ``w`` consecutive hashes, keep each window's minimum — the
-    selected set is position-robust (guaranteed to share hashes with any
-    copy that overlaps by >= w+k-1 tokens).
-
-    The k-gram hash is a true rolling construction: one md5 per TOKEN
-    (not per k-gram), then Horner's rule ``acc = (acc*131 + h_j) mod
-    (2³¹−1)`` over the k token hashes — integer arithmetic with every
-    intermediate < 2³⁸, exactly reproducible in ANSI SQL, and ~k× fewer
-    digest computations than hashing concatenated k-gram strings.
-
-    Returns a per-doc summary row instead of the exploded selection so
-    downstream grouping stays one row per doc: ``n_kgrams``,
-    ``n_winnow`` (distinct selected hashes), ``winnow_min`` (smallest
-    selected hash), and ``winnow_checksum`` (Σ selected % 1000003 —
-    integer-exact in any engine, unlike a float sum).  Pure per-row JVM
-    expressions — no shuffle, O(n·(k+w)) per doc.
-    """
+    """``(doc_id, n_kgrams, __sel)`` with ``__sel`` the distinct
+    winnow-selected k-gram hashes (shared by :func:`winnow` and
+    :func:`winnow_pairs`)."""
     P = 2_147_483_647  # Mersenne prime 2^31 - 1
     A = 131
+
     def idx(n: F.Column) -> F.Column:
         # sequence(1, 0) DESCENDS in Spark — guard the empty case.
         return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
@@ -472,7 +454,36 @@ def winnow(
             lambda j: F.array_min(F.slice(grams, j, w)),
         )
     ).alias("__sel")
-    staged = staged.select("doc_id", F.size(grams).alias("n_kgrams"), selected)
+    return staged.select("doc_id", F.size(grams).alias("n_kgrams"), selected)
+
+
+def winnow(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing rolling-hash fingerprint (the MOSS scheme: Schleimer,
+    Wilkerson & Aiken, SIGMOD '03): hash every token k-gram, slide a
+    window of ``w`` consecutive hashes, keep each window's minimum — the
+    selected set is position-robust (guaranteed to share hashes with any
+    copy that overlaps by >= w+k-1 tokens).
+
+    The k-gram hash is a true rolling construction: one md5 per TOKEN
+    (not per k-gram), then Horner's rule ``acc = (acc*131 + h_j) mod
+    (2³¹−1)`` over the k token hashes — integer arithmetic with every
+    intermediate < 2³⁸, exactly reproducible in ANSI SQL, and ~k× fewer
+    digest computations than hashing concatenated k-gram strings.
+
+    Returns a per-doc summary row instead of the exploded selection so
+    downstream grouping stays one row per doc: ``n_kgrams``,
+    ``n_winnow`` (distinct selected hashes), ``winnow_min`` (smallest
+    selected hash), and ``winnow_checksum`` (Σ selected % 1000003 —
+    integer-exact in any engine, unlike a float sum).  Pure per-row JVM
+    expressions — no shuffle, O(n·(k+w)) per doc.
+    """
+    staged = _winnow_staged(docs, k, w, text_col, id_col)
     sel = F.col("__sel")
     return staged.select(
         "doc_id",
@@ -487,6 +498,62 @@ def winnow(
             ),
             F.lit(0),
         ).alias("winnow_checksum"),
+    )
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+    max_hash_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MOSS-style copy detection: ``(doc_a, doc_b, n_shared)`` for doc
+    pairs sharing at least ``min_shared`` winnow-selected fingerprints —
+    positionally robust overlap (any shared run of ≥ w+k−1 tokens
+    guarantees a shared fingerprint, wherever it sits in either doc),
+    which n-gram Jaccard's global set ratio dilutes away for a small
+    copied block inside a large document.
+
+    Plan shape (same family as the other pair operators): explode the
+    per-doc selected set, drop hashes held by more than ``max_hash_df``
+    docs (boilerplate guard — candidate cost is Σ_h df(h)², so ubiquity
+    is the scale killer), self-equi-join on the hash with doc_a < doc_b,
+    then count distinct shared hashes per pair.  One shuffle on the
+    hash + one on the pair; never O(D²).
+    """
+    from pyspark.sql import Window
+
+    # The checkpoint is a deliberate optimizer BARRIER: the Generate
+    # (explode) path inlines the staged Horner chain — the plan carries
+    # ~60 copies of the md5-transform expression and re-evaluates the
+    # upstream arrays per element, measured >100× slower.  Truncating
+    # lineage materializes the per-doc selection ONCE (one slim
+    # (doc_id, sel) row per doc — sketch-sized, far below the corpus)
+    # and both sides of the self-join read the same blocks.
+    staged = _winnow_staged(docs, k, w, text_col, id_col).localCheckpoint(
+        eager=False
+    )
+    hashes = staged.select("doc_id", F.explode("__sel").alias("wh"))
+    if max_hash_df is not None:
+        df_w = F.count(F.lit(1)).over(Window.partitionBy("wh"))
+        hashes = hashes.withColumn("__df", df_w).where(
+            (F.col("__df") <= max_hash_df) & (F.col("__df") >= 2)
+        ).drop("__df")
+    a, b = hashes.alias("a"), hashes.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.wh") == F.col("b.wh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
     )
 
 

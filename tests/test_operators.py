@@ -900,3 +900,37 @@ def test_keep_best_is_map_side_combined(spark):
     s = plan_summary(dd.keep_best(docs, ["doc_id"]))
     assert "Window" not in s["plan"]
     assert "partial_min" in s["plan"]  # map-side combine before the shuffle
+
+
+def test_winnow_pairs_detects_embedded_copy(spark):
+    """A block copied into the middle of an unrelated doc must surface
+    as a pair (position-robust), and unrelated docs must not."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i:03d}" for i in range(400)]
+    block = " ".join(rng.sample(words, 40))
+    base = lambda seed: " ".join(random.Random(seed).choices(words, k=120))
+    rows = [
+        (0, base(1) + " " + block + " " + base(2)),
+        (1, base(3) + " " + block),     # shares the block with 0
+        (2, base(4)),                    # unrelated
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["n_shared"]
+        for r in text.winnow_pairs(docs, min_shared=3).collect()
+    }
+    assert (0, 1) in got and got[(0, 1)] >= 3
+    assert all(p == (0, 1) for p in got), got
+
+
+def test_winnow_summary_unchanged_by_refactor(spark, sf_dir):
+    """winnow() over the shared staged helper must keep its checksum
+    behavior (regression pin for the _winnow_staged split)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    out = text.winnow(docs).collect()
+    assert len(out) == 50
+    for r in out:
+        assert r["n_winnow"] <= max(r["n_kgrams"], 0) or r["n_kgrams"] == 0
+        assert r["winnow_checksum"] >= 0

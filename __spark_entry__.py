@@ -789,6 +789,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_sessionize_stateful"] = stream_sessionize_stateful
 
+    def source_jsonl_roundtrip(spark, sf):
+        """JSONL sink → declared-schema PERMISSIVE reader round-trip (the
+        LLM-corpus interchange connector), with one corrupt line planted
+        to prove the quarantine path drops (and only drops) bad rows."""
+        import tempfile
+
+        from plda_spark.sources import jsonl
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_jsonl_")
+        lines = docs.select(
+            F.to_json(F.struct("doc_id", "text", "lang", "source")).alias("value")
+        )
+        bad = spark.createDataFrame(
+            [("{this is not json",)], "value string"
+        )
+        lines.unionAll(bad).coalesce(4).write.mode("overwrite").text(f"{tmp}/corpus")
+        return jsonl.read_jsonl(spark, f"{tmp}/corpus")
+
+    q["source_jsonl_roundtrip"] = source_jsonl_roundtrip
+
     # ---- relational surface: pivot / analytic windows / subqueries ---------
 
     def rel_pivot_daily_events(spark, sf):
@@ -1766,6 +1789,12 @@ s AS (
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        CAST(count(*) AS INT) AS n_events
 FROM s GROUP BY user_id, session_id
+"""
+
+    # JSONL round-trip must recover the documents table exactly (the
+    # planted corrupt line is quarantined, not silently absorbed).
+    o["source_jsonl_roundtrip"] = """
+SELECT doc_id, text, lang, source FROM documents
 """
 
     o["rel_pivot_daily_events"] = """

@@ -19,6 +19,7 @@ SF = "/root/testdata/sf0.001"
 # streaming runs, driver-sampled model fits) — analyzed implicitly by
 # their own dedicated tests, too slow for a sanity sweep.
 EXECUTES_ON_BUILD = {
+    "source_jsonl_roundtrip",
     "lda_train_topics",
     "lda_infer_theta",
     "lda_topic_coherence",

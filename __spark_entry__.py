@@ -134,15 +134,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Every implemented query, keyed by name (contract + extras).
 
-    # NOTE on count + order: the driver records at most the first 50
-    # queries, so the contract is exactly 50 entries with near-duplicate
-    # views merged (round-1 declared 55 and the last 5 were silently
-    # dropped from CORRECTNESS_r01.json).  Expensive stochastic queries
-    # (LDA train/infer, the real streaming run) are declared LAST so a
-    # wall-clock-budgeted run still records every hash-checked query.
+    ``queries()`` selects the 50 driver-recorded CONTRACT_QUERIES from
+    this registry; ``extra_queries()`` selects the EXTRA_QUERIES that the
+    pytest hash gate (tests/test_extra_oracle.py) verifies with the same
+    DuckDB comparison.  Definition order here is irrelevant — the
+    ordered contract lives in CONTRACT_QUERIES below.
+    """
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- LDA dataflow (SQL-expressible stages) ----------------------------
     # (doc_term_counts itself is verified through source_plda_roundtrip,
@@ -420,16 +421,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_full_outer_daily"] = join_full_outer_daily
 
-    def agg_approx_distinct(spark, sf):
-        """HLL sketch op — rows-only (sketch estimates are engine-specific);
-        exact countDistinct rides along as the sanity anchor."""
+    def agg_distinct(spark, sf):
+        """Exact countDistinct (hash-checked) + the HLL++ sketch gated as
+        an error-bound boolean: |approx - exact| <= 5% of exact (the rsd
+        0.02 sketch lands well inside; measured <=0.4% on sf0.001-0.1).
+        The oracle asserts the bound as a literal TRUE, so a sketch
+        regression past 5% fails the hash without pinning the
+        engine-specific estimate itself."""
         ev = load_table(spark, sf, "events")
-        return ev.groupBy("event_type").agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        g = ev.groupBy("event_type").agg(
             F.countDistinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.02).alias("_approx"),
+        )
+        return g.select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
         )
 
-    q["agg_approx_distinct"] = agg_approx_distinct
+    q["agg_distinct"] = agg_distinct
 
     def agg_distinct_exact(spark, sf):
         """The exact half of the distinct-count family, hash-checked
@@ -1089,6 +1102,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_kmeans_assign"] = ml_kmeans_assign
 
+    # ---- contract composites (one slot, several operators; the full
+    # row-level outputs of each constituent stay verified standalone in
+    # the extras registry) -------------------------------------------------
+
+    def join_shapes(spark, sf):
+        """Left / left-semi / left-anti / salted joins in one tagged
+        query over a shared (op, key, n, val) schema — four join
+        strategies, one driver-recorded slot.  Row-level outputs of each
+        constituent are hash-checked in extras (join_left_customer_orders,
+        join_semi_big_spenders, join_anti_customers_no_urgent,
+        join_salted_skew)."""
+        from plda_spark.operators.joins import salted_join
+
+        cust = load_table(spark, sf, "customer")
+        orders = load_table(spark, sf, "orders")
+        big450 = orders.where(F.col("o_totalprice") > 450000)
+        left = (
+            cust.join(big450, cust["c_custkey"] == big450["o_custkey"], "left")
+            .groupBy("c_custkey")
+            .agg(
+                F.count("o_orderkey").alias("n"),
+                F.coalesce(
+                    F.max(_dec("o_totalprice")).cast("double"), F.lit(0.0)
+                ).alias("val"),
+            )
+            .select(
+                F.lit("left").alias("op"),
+                F.col("c_custkey").cast("string").alias("key"),
+                "n",
+                "val",
+            )
+        )
+        big400 = orders.where(F.col("o_totalprice") > 400000)
+        semi = (
+            cust.join(big400, cust["c_custkey"] == big400["o_custkey"], "left_semi")
+            .select(
+                F.lit("semi").alias("op"),
+                F.col("c_custkey").cast("string").alias("key"),
+                F.lit(1).cast("long").alias("n"),
+                F.lit(0.0).alias("val"),
+            )
+        )
+        urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+        anti = (
+            cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_anti")
+            .select(
+                F.lit("anti").alias("op"),
+                F.col("c_custkey").cast("string").alias("key"),
+                F.lit(1).cast("long").alias("n"),
+                F.lit(0.0).alias("val"),
+            )
+        )
+        li = load_table(spark, sf, "lineitem")
+        part = load_table(spark, sf, "part").select("p_partkey", "p_brand")
+        salted = (
+            salted_join(
+                li.select("l_orderkey", "l_partkey", "l_quantity"),
+                part.withColumnRenamed("p_partkey", "l_partkey"),
+                on="l_partkey",
+                salt=8,
+            )
+            .groupBy("p_brand")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(_dec("l_quantity")).cast("double").alias("val"),
+            )
+            .select(
+                F.lit("salted").alias("op"),
+                F.col("p_brand").alias("key"),
+                "n",
+                "val",
+            )
+        )
+        return left.unionAll(semi).unionAll(anti).unionAll(salted)
+
+    q["join_shapes"] = join_shapes
+
+    def grouping_sets_rollup_cube(spark, sf):
+        """GROUPING SETS + ROLLUP + CUBE in one tagged query — all three
+        multi-level grouping operators, one driver-recorded slot (the
+        standalone grouping_sets_revenue / rollup_region_nation_revenue
+        stay hash-checked in extras)."""
+        gsets = grouping_sets_revenue(spark, sf).select(
+            F.lit("gsets").alias("op"),
+            F.col("r_name").alias("key1"),
+            F.col("n_name").alias("key2"),
+            F.col("total_revenue").alias("total_value"),
+            "n_orders",
+        )
+        return rollup_region_nation_revenue(spark, sf).unionAll(gsets)
+
+    q["grouping_sets_rollup_cube"] = grouping_sets_rollup_cube
+
+    def text_quality_langid(spark, sf):
+        """Per-document quality metrics + n-gram language ID in one row
+        per doc (shared grain, one contract slot; standalone outputs stay
+        hash-checked in extras)."""
+        docs = load_table(spark, sf, "documents")
+        return text.quality_score(docs).join(text.language_id(docs), "doc_id")
+
+    q["text_quality_langid"] = text_quality_langid
+
+    def text_corpus_stats(spark, sf):
+        """TF-IDF + PMI collocations in one tagged query over a shared
+        (kind, key_a, key_b, cnt, score) schema — both corpus-statistic
+        joins, one contract slot."""
+        docs = load_table(spark, sf, "documents")
+        tfidf = text.tf_idf(docs).select(
+            F.lit("tfidf").alias("kind"),
+            F.col("doc_id").cast("string").alias("key_a"),
+            F.col("word").alias("key_b"),
+            F.lit(0).cast("long").alias("cnt"),
+            F.col("tfidf").alias("score"),
+        )
+        coll = text.collocations(docs, min_count=5).select(
+            F.lit("pmi").alias("kind"),
+            F.col("a").alias("key_a"),
+            F.col("b").alias("key_b"),
+            F.col("c_ab").cast("long").alias("cnt"),
+            F.col("pmi").alias("score"),
+        )
+        return tfidf.unionAll(coll)
+
+    q["text_corpus_stats"] = text_corpus_stats
+
     return q
 
 
@@ -1097,7 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
-def oracle_sql() -> dict[str, str]:
+def _all_oracle_sql() -> dict[str, str]:
+    """DuckDB oracle for every SQL-expressible query (contract + extras)."""
     o: dict[str, str] = {}
 
     # The writer→reader round-trip must recover exactly the direct
@@ -1308,6 +1447,15 @@ FROM p FULL OUTER JOIN e ON p.day = e.day
 
     o["agg_distinct_exact"] = """
 SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+FROM events GROUP BY event_type
+"""
+
+    # The sketch column is gated as an error-bound boolean: the oracle
+    # asserts TRUE, so Spark's HLL++ estimate drifting past 5% of the
+    # exact count hash-fails (the estimate itself is engine-specific).
+    o["agg_distinct"] = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS approx_ok
 FROM events GROUP BY event_type
 """
 
@@ -2077,8 +2225,9 @@ FROM hf a JOIN hf b ON a.wh = b.wh AND a.doc_id < b.doc_id
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
 
-    # PII redaction twin: counts on the ORIGINAL text, replacements
-    # applied in EMAIL → IPV4 → PHONE order (same as PII_PATTERNS).
+    # PII redaction twin: each class counted on the text AFTER the
+    # previous classes' replacements (EMAIL → IPV4 → PHONE, same as
+    # PII_PATTERNS), so counts equal the tags actually inserted.
     _re_email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     _re_ipv4 = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
     _re_phone = "\\+[0-9][0-9()\\-. ]{6,}[0-9]"
@@ -2090,17 +2239,24 @@ WITH src AS (
                    || '@example.org or 10.1.2.3 tel +1 555-000-1234'
               ELSE text END AS text
   FROM documents
+),
+e AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{_re_email}')) AS INT) AS n_email,
+         regexp_replace(text, '{_re_email}', '<EMAIL>', 'g') AS t
+  FROM src
+),
+i AS (
+  SELECT doc_id, n_email,
+         CAST(len(regexp_extract_all(t, '{_re_ipv4}')) AS INT) AS n_ipv4,
+         regexp_replace(t, '{_re_ipv4}', '<IPV4>', 'g') AS t
+  FROM e
 )
 SELECT doc_id,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(text, '{_re_email}', '<EMAIL>', 'g'),
-           '{_re_ipv4}', '<IPV4>', 'g'),
-         '{_re_phone}', '<PHONE>', 'g') AS text,
-       CAST(len(regexp_extract_all(text, '{_re_email}')) AS INT) AS n_email,
-       CAST(len(regexp_extract_all(text, '{_re_ipv4}')) AS INT) AS n_ipv4,
-       CAST(len(regexp_extract_all(text, '{_re_phone}')) AS INT) AS n_phone
-FROM src
+       regexp_replace(t, '{_re_phone}', '<PHONE>', 'g') AS text,
+       n_email, n_ipv4,
+       CAST(len(regexp_extract_all(t, '{_re_phone}')) AS INT) AS n_phone
+FROM i
 """
 
     # Priority-aware exact dedup: highest doc_id per exact-text group.
@@ -2132,4 +2288,196 @@ SELECT vec_id, CAST(cl AS INT) AS cluster, ROUND(sqrt(d2), 6) AS dist
 FROM r WHERE rn = 1
 """
 
+    # ---- contract-composite oracles (built from the standalone bodies
+    # above so both registries verify the identical semantics) -----------
+
+    o["join_shapes"] = """
+SELECT 'left' AS op, CAST(c_custkey AS VARCHAR) AS key,
+       CAST(count(o_orderkey) AS BIGINT) AS n,
+       coalesce(CAST(max(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS val
+FROM customer
+LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o ON o_custkey = c_custkey
+GROUP BY c_custkey
+UNION ALL
+SELECT 'semi', CAST(c_custkey AS VARCHAR), CAST(1 AS BIGINT), 0.0
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+UNION ALL
+SELECT 'anti', CAST(c_custkey AS VARCHAR), CAST(1 AS BIGINT), 0.0
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT 'salted', p_brand, CAST(count(*) AS BIGINT),
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+    o["grouping_sets_rollup_cube"] = (
+        o["rollup_region_nation_revenue"]
+        + """
+UNION ALL
+SELECT 'gsets' AS op, r_name AS key1, n_name AS key2,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+"""
+    )
+
+    o["text_quality_langid"] = f"""
+SELECT * FROM ({o['text_quality']}) q JOIN ({o['text_langid']}) l USING (doc_id)
+"""
+
+    o["text_corpus_stats"] = f"""
+SELECT 'tfidf' AS kind, CAST(doc_id AS VARCHAR) AS key_a, word AS key_b,
+       CAST(0 AS BIGINT) AS cnt, tfidf AS score
+FROM ({o['text_tfidf']})
+UNION ALL
+SELECT 'pmi' AS kind, a AS key_a, b AS key_b, c_ab AS cnt, pmi AS score
+FROM ({o['text_collocations']})
+"""
+
     return o
+
+
+# ---------------------------------------------------------------------------
+# contract / extras split
+# ---------------------------------------------------------------------------
+
+# The driver records at most the FIRST 50 ``queries()`` entries, so the
+# contract is exactly 50 names spanning every operator family in
+# SURVEY.md §2 (round 2 declared 71 and positions 51-71 went unrecorded).
+# Hash-checked queries come first; the four expensive/stochastic runs
+# (LDA train/infer/coherence, the real stateful streaming job) are LAST
+# so a wall-clock-budgeted driver run truncates at rows-only checks,
+# never at hash-checked ones.  Everything displaced by the cap lives in
+# EXTRA_QUERIES, hash-verified by the identical DuckDB comparison in
+# tests/test_extra_oracle.py (and by tools/check_oracle.py).
+CONTRACT_QUERIES: list[str] = [
+    # LDA dataflow (SQL-expressible stages)
+    "lda_vocab",
+    "source_plda_roundtrip",
+    # relational: scans / aggregation / sorts
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    # relational: joins
+    "join_shapes",
+    "join_full_outer_daily",
+    "join_asof",
+    "join_range",
+    # relational: multi-level grouping / windows / pivot / subqueries
+    "grouping_sets_rollup_cube",
+    "window_top_orders_per_customer",
+    "rel_window_analytics",
+    "rel_pivot_daily_events",
+    "rel_correlated_subquery",
+    # relational: set ops / distinct / date / string / JSON
+    "setop_purchasers",
+    "agg_distinct",
+    "orders_monthly_summary",
+    "string_part_stats",
+    "events_json_props",
+    # sources
+    "source_jsonl_roundtrip",
+    # deduplication
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_pairs",
+    "dedup_simhash_pairs",
+    "dedup_clusters",
+    "dedup_keep_best",
+    "dedup_decontaminate",
+    # similarity search / embedding clustering
+    "sim_lsh_topk",
+    "sim_ivf_topk",
+    "sim_near_dup_blocked",
+    "ml_kmeans_assign",
+    # text analysis
+    "text_quality_langid",
+    "text_corpus_stats",
+    "text_lm_score",
+    "text_winnow_pairs",
+    "text_redact_pii",
+    # group statistics
+    "stats_group_quantiles",
+    "stats_corr_matrix",
+    # sampling / packing
+    "sample_pack_sequences",
+    "sample_stratified",
+    # curation / classification
+    "curation_filters",
+    "classify_score",
+    # streaming (batch twins; parity pinned in tests/test_streaming.py)
+    "stream_window_aggs",
+    "stream_interval_join",
+    "stream_dedup",
+    # multimodal
+    "multimodal_pipeline",
+    # expensive/stochastic LAST (rows-only or long-running)
+    "lda_train_topics",
+    "lda_infer_theta",
+    "lda_topic_coherence",
+    "stream_sessionize_stateful",
+]
+
+EXTRA_QUERIES: list[str] = [
+    "lda_word_totals",
+    "lda_top_words_by_lang",
+    "join_left_customer_orders",
+    "join_semi_big_spenders",
+    "join_anti_customers_no_urgent",
+    "join_salted_skew",
+    "grouping_sets_revenue",
+    "rollup_region_nation_revenue",
+    "agg_distinct_exact",
+    "distinct_daily_active_users",
+    "having_loyal_customers",
+    "sim_brute_topk",
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_collocations",
+    "text_winnow",
+    "text_dedup_paragraphs",
+    "dedup_contamination",
+    "stats_frequent_items",
+    "sample_hash_buckets",
+    "sample_chunk_documents",
+    "stream_sessionize",
+]
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The 50 driver-recorded contract queries, in recording order."""
+    defs = _all_query_defs()
+    return {n: defs[n] for n in CONTRACT_QUERIES}
+
+
+def extra_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Beyond-the-cap queries, hash-verified by the pytest oracle gate."""
+    defs = _all_query_defs()
+    return {n: defs[n] for n in EXTRA_QUERIES}
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    defs = _all_query_defs()
+    return {n: defs[n] for n in CONTRACT_QUERIES + EXTRA_QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    """DuckDB oracles for the contract queries (driver-consumed)."""
+    sqls = _all_oracle_sql()
+    return {n: sqls[n] for n in CONTRACT_QUERIES if n in sqls}
+
+
+def extra_oracle_sql() -> dict[str, str]:
+    sqls = _all_oracle_sql()
+    return {n: sqls[n] for n in EXTRA_QUERIES if n in sqls}

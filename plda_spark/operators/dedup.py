@@ -574,7 +574,11 @@ def keep_best(
     crawl copy") run after exact hashing.  ``order_cols`` are ascending
     sort keys (columns or expressions); the kept row is the struct-
     lexicographic minimum over ``(order_cols..., all columns)``, so ties
-    resolve deterministically on the full row.
+    resolve deterministically on the full row.  NULL order values sort
+    LAST (a null-keyed copy never beats a real key — matching the SQL
+    ``row_number ... NULLS LAST`` default): each key is packed as
+    ``(is_null, value)`` so the boolean decides before the engine's
+    native null ordering can.
 
     Scale shape: groupBy on the md5 digest with a ``min`` over a packed
     struct — map-side combined (each partition reduces to one candidate
@@ -583,11 +587,13 @@ def keep_best(
     row_number window would.
     """
     cols = list(docs.columns)
+    keyed = []
+    for i, c in enumerate(order_cols):
+        key = F.col(c) if isinstance(c, str) else c
+        keyed.append(key.isNull().alias(f"__n{i}"))  # false < true: non-null wins
+        keyed.append(key.alias(f"__k{i}"))
     ordered = F.struct(
-        *[
-            (F.col(c) if isinstance(c, str) else c).alias(f"__k{i}")
-            for i, c in enumerate(order_cols)
-        ],
+        *keyed,
         F.struct(*[F.col(c) for c in cols]).alias("__row"),
     )
     return (

@@ -576,21 +576,22 @@ def redact_pii(
     ``<EMAIL>`` / ``<IPV4>`` / ``<PHONE>`` tags, reporting per-doc match
     counts (the audit signal for scrub-rate monitoring).
 
-    Returns ``(doc_id, text, n_email, n_ipv4, n_phone)``.  Counts are
-    taken on the ORIGINAL text (patterns are mutually exclusive on real
-    spans); replacements apply in PII_PATTERNS order.  Pure per-row JVM
-    regex expressions — whole-stage codegen, no shuffle, no Python —
-    and RE2-compatible so the DuckDB oracle replays them exactly.
+    Returns ``(doc_id, text, n_email, n_ipv4, n_phone)``.  Each class is
+    counted on the text AFTER the previous classes' replacements (EMAIL
+    on the original, IPV4 on the email-redacted text, PHONE after both),
+    so every count equals the number of tags that replacement actually
+    inserted — a greedy PHONE match can no longer double-count a span an
+    earlier class already consumed.  Pure per-row JVM regex expressions
+    — whole-stage codegen, no shuffle, no Python — and RE2-compatible
+    so the DuckDB oracle replays them exactly.
     """
-    text = F.col(text_col)
-    redacted = text
+    cur = F.col(text_col)
+    counts = []
     for tag, pat in PII_PATTERNS:
-        redacted = F.regexp_replace(redacted, pat, f"<{tag}>")
+        counts.append(F.regexp_count(cur, F.lit(pat)).alias(f"n_{tag.lower()}"))
+        cur = F.regexp_replace(cur, pat, f"<{tag}>")
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        redacted.alias("text"),
-        *[
-            F.regexp_count(text, F.lit(pat)).alias(f"n_{tag.lower()}")
-            for tag, pat in PII_PATTERNS
-        ],
+        cur.alias("text"),
+        *counts,
     )

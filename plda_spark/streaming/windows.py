@@ -424,8 +424,19 @@ def incremental_exact_dedup(
             .join(digested, ["__digest", id_col], "left_semi")
         )
         fresh = digested.join(w_min, ["__digest", id_col], "left_semi")
+        # Only a MISSING ledger means "first batch".  Any other failure
+        # (corrupt files, bad schema, permissions) must raise: silently
+        # skipping the anti-join would re-admit every duplicate in
+        # history as if it were new.
+        from pyspark.errors import AnalysisException
+
         try:
             ledger = spark.read.parquet(state_path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            ledger = None  # first batch: no ledger yet
+        if ledger is not None:
             if ledger.where(F.col("batch_id") == batch_id).limit(1).count() > 0:
                 return  # replayed batch — already fully committed
             fresh = fresh.join(
@@ -433,8 +444,6 @@ def incremental_exact_dedup(
                 "__digest",
                 "left_anti",
             )
-        except Exception:
-            pass  # first batch: no ledger yet
         fresh = fresh.localCheckpoint(eager=True)  # stabilize before double write
         fresh.drop("__digest").write.mode("append").parquet(out_path)
         fresh.select(

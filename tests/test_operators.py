@@ -887,6 +887,23 @@ def test_keep_best_prefers_order_cols_then_row(spark):
     assert kept2 == {0, 3}
 
 
+def test_keep_best_null_order_values_sort_last(spark):
+    """A NULL order value must never beat a real one (SQL row_number
+    NULLS LAST parity) — Spark's native struct-min would otherwise let
+    the NULL-keyed copy win the group."""
+    from plda_spark.operators import dedup as dd
+
+    rows = [
+        (0, "same body", None),
+        (1, "same body", 5),
+        (2, "same body", 9),
+        (3, "null-only body", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, rank int")
+    kept = {r["doc_id"] for r in dd.keep_best(docs, ["rank"]).collect()}
+    assert kept == {1, 3}  # rank=5 beats NULL; all-NULL group falls to row tiebreak
+
+
 def test_keep_best_is_map_side_combined(spark):
     """The plan must be a partial/final aggregate on the digest (struct
     min plans as SortAggregate with a partial_min before the exchange) —

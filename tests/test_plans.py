@@ -8,7 +8,7 @@ from plda_spark.plans import plan_summary
 def test_q1_pushes_filter_and_prunes_columns(spark):
     import __spark_entry__ as e
 
-    s = plan_summary(e.queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
+    s = plan_summary(e.all_queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001"))
     assert any("l_shipdate" in f for f in s["pushed_filters"])
     # 17-column table pruned to the 7 columns the query touches.
     assert all(schema.count(",") <= 6 for schema in s["read_schemas"])
@@ -17,7 +17,7 @@ def test_q1_pushes_filter_and_prunes_columns(spark):
 def test_q3_broadcasts_dimensions(spark):
     import __spark_entry__ as e
 
-    s = plan_summary(e.queries()["q3_top_revenue_orders"](spark, "/root/testdata/sf0.001"))
+    s = plan_summary(e.all_queries()["q3_top_revenue_orders"](spark, "/root/testdata/sf0.001"))
     assert any("c_mktsegment" in f for f in s["pushed_filters"])
     assert s["broadcast_hash_joins"] >= 2
     assert s["sort_merge_joins"] == 0
@@ -26,7 +26,7 @@ def test_q3_broadcasts_dimensions(spark):
 def test_token_stats_prunes_to_two_columns(spark):
     import __spark_entry__ as e
 
-    s = plan_summary(e.queries()["text_token_stats"](spark, "/root/testdata/sf0.001"))
+    s = plan_summary(e.all_queries()["text_token_stats"](spark, "/root/testdata/sf0.001"))
     assert s["read_schemas"] and all(
         schema.count(",") == 1 for schema in s["read_schemas"]
     )  # doc_id + text only
@@ -42,7 +42,7 @@ def test_tfidf_does_not_broadcast_vocab_sized_relations(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        s = plan_summary(e.queries()["text_tfidf"](spark, "/root/testdata/sf0.001"))
+        s = plan_summary(e.all_queries()["text_tfidf"](spark, "/root/testdata/sf0.001"))
         assert s["broadcast_hash_joins"] == 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
@@ -58,7 +58,7 @@ def test_collocations_broadcasts_only_the_scalar_total(spark):
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         s = plan_summary(
-            e.queries()["text_collocations"](spark, "/root/testdata/sf0.001")
+            e.all_queries()["text_collocations"](spark, "/root/testdata/sf0.001")
         )
         assert s["broadcast_hash_joins"] <= 1  # the 1-row total only
     finally:
@@ -72,7 +72,7 @@ def test_pack_sequences_window_is_sharded(spark):
     import __spark_entry__ as e
 
     s = plan_summary(
-        e.queries()["sample_pack_sequences"](spark, "/root/testdata/sf0.001")
+        e.all_queries()["sample_pack_sequences"](spark, "/root/testdata/sf0.001")
     )
     assert "hashpartitioning(__shard" in s["plan"]
     assert "SinglePartition" not in s["plan"]
@@ -186,7 +186,7 @@ def test_pivot_pinned_values_is_single_scan(spark):
     import __spark_entry__ as e
 
     s = plan_summary(
-        e.queries()["rel_pivot_daily_events"](spark, "/root/testdata/sf0.001")
+        e.all_queries()["rel_pivot_daily_events"](spark, "/root/testdata/sf0.001")
     )
     assert s["plan"].count("Scan parquet") <= 2  # one scan (tree + details)
 
@@ -197,7 +197,7 @@ def test_window_analytics_single_sort_exchange(spark):
     import __spark_entry__ as e
 
     s = plan_summary(
-        e.queries()["rel_window_analytics"](spark, "/root/testdata/sf0.001")
+        e.all_queries()["rel_window_analytics"](spark, "/root/testdata/sf0.001")
     )
     # formatted explain names each node twice (tree + details).
     assert s["exchanges"] == 2

@@ -212,3 +212,28 @@ def test_incremental_exact_dedup_two_increments(spark, tmp_path):
     ledger = spark.read.parquet(state)
     assert ledger.count() == 3
     assert ledger.select("digest").distinct().count() == 3
+
+
+def test_incremental_exact_dedup_corrupt_ledger_raises(spark, tmp_path):
+    """A ledger that EXISTS but cannot be read must fail the batch, not
+    be treated as 'first batch' (which would silently re-admit every
+    duplicate in history)."""
+    import pyspark.errors
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    spark.createDataFrame([(0, "aaa")], schema).write.mode("append").parquet(in_dir)
+    # plant a corrupt ledger: a non-parquet file at the state path
+    import os
+
+    os.makedirs(state, exist_ok=True)
+    with open(os.path.join(state, "part-00000.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+
+    with pytest.raises(pyspark.errors.PySparkException):
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        windows.incremental_exact_dedup(
+            stream, str(tmp_path / "out"), state, str(tmp_path / "ckpt")
+        )

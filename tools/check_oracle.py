@@ -1,9 +1,9 @@
 """Local approximation of the driver's correctness gate.
 
-Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()``
-entry exists, the oracle on DuckDB over the same parquet tables; then
-compares row count + column names + order-insensitive canonicalized
-values.  Usage::
+Runs every query — the 50 driver-recorded contract entries AND the
+extras registry — on Spark and, where an oracle exists, the oracle on
+DuckDB over the same parquet tables; then compares row count + column
+names + order-insensitive canonicalized values.  Usage::
 
     python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -14,32 +14,11 @@ import sys
 import time
 import traceback
 
-import duckdb
-import pandas as pd
-
 sys.path.insert(0, "/root/repo")
 
 import __spark_entry__ as entrymod
+from plda_spark.oracle import compare_frames, duckdb_connection
 from plda_spark.session import get_spark
-from plda_spark.sources.tables import TABLES
-
-
-def canon(df: pd.DataFrame) -> pd.DataFrame:
-    df = df.reindex(sorted(df.columns), axis=1)
-    out = {}
-    for c in df.columns:
-        s = df[c]
-        def conv(v):
-            if v is None or (isinstance(v, float) and pd.isna(v)):
-                return "NULL"
-            if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
-                return "NULL"
-            if isinstance(v, float):
-                return repr(v)
-            return str(v)
-        out[c] = s.map(conv)
-    cdf = pd.DataFrame(out)
-    return cdf.sort_values(by=list(cdf.columns), kind="mergesort").reset_index(drop=True)
 
 
 def main() -> None:
@@ -47,12 +26,10 @@ def main() -> None:
     only = set(sys.argv[2:])
 
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con = duckdb_connection(sf_dir)
 
-    qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    qs = entrymod.all_queries()
+    oracles = {**entrymod.oracle_sql(), **entrymod.extra_oracle_sql()}
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -78,22 +55,12 @@ def main() -> None:
             traceback.print_exc()
             failures.append(name)
             continue
-        a, b = canon(sdf), canon(ddf)
-        if list(a.columns) != list(b.columns):
-            print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+        diff = compare_frames(sdf, ddf)
+        if diff is not None:
+            print(f"FAIL  {name}: {diff}")
             failures.append(name)
             continue
-        if len(a) != len(b):
-            print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
-            failures.append(name)
-            continue
-        if not a.equals(b):
-            neq = (a != b).any(axis=1)
-            print(f"FAIL  {name}: {int(neq.sum())}/{len(a)} rows differ; first diffs:")
-            print(pd.concat([a[neq].head(3), b[neq].head(3)], keys=["spark", "duckdb"]))
-            failures.append(name)
-            continue
-        print(f"OK    {name}: {len(a)} rows match ({el:.1f}s)")
+        print(f"OK    {name}: {len(sdf)} rows match ({el:.1f}s)")
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()

@@ -1102,6 +1102,62 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_kmeans_assign"] = ml_kmeans_assign
 
+    # ---- engine extensions round 3: retrieval / profiling / graph ----------
+
+    def text_bm25(spark, sf):
+        """Okapi BM25 of a fixed 4-term query against the corpus
+        (operators.text.bm25_score): per-term tf as pure array
+        expressions, corpus stats via one broadcast 1-row aggregate."""
+        return text.bm25_score(
+            load_table(spark, sf, "documents"), ["join", "table", "group", "vector"]
+        )
+
+    q["text_bm25"] = text_bm25
+
+    def stats_profile_columns(spark, sf):
+        """Numeric column profiling (operators.stats.profile_columns)
+        over lineitem's measures — one agg job, stack unpivot."""
+        from plda_spark.operators import stats
+
+        return stats.profile_columns(
+            load_table(spark, sf, "lineitem"),
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+
+    q["stats_profile_columns"] = stats_profile_columns
+
+    def stats_rolling_daily(spark, sf):
+        """Trailing-7-day per-user activity (RANGE-frame rolling window
+        over pre-aggregated key-days)."""
+        from plda_spark.operators import stats
+
+        return stats.rolling_daily_counts(
+            load_table(spark, sf, "events"), "user_id", "ts", days=7
+        )
+
+    q["stats_rolling_daily"] = stats_rolling_daily
+
+    def graph_pagerank(spark, sf):
+        """PageRank, 3 power iterations at d=0.85
+        (operators.graph.pagerank), over a deterministic synthetic link
+        graph derived from orders (custkey%100 → orderkey%100); the
+        DuckDB oracle unrolls the identical iterations as chained CTEs."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = (
+            orders.select(
+                (F.col("o_custkey") % 100).alias("src"),
+                (F.col("o_orderkey") % 100).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        r = graph.pagerank(e, n_iter=3, damping=0.85)
+        return r.select("node", F.round("rank", 6).alias("rank"))
+
+    q["graph_pagerank"] = graph_pagerank
+
     # ---- contract composites (one slot, several operators; the full
     # row-level outputs of each constituent stay verified standalone in
     # the extras registry) -------------------------------------------------
@@ -2288,6 +2344,101 @@ SELECT vec_id, CAST(cl AS INT) AS cluster, ROUND(sqrt(d2), 6) AS dist
 FROM r WHERE rn = 1
 """
 
+    # ---- round-3 extension oracles -------------------------------------
+
+    # BM25 twin: constants are interpolated via repr() from the SAME
+    # python floats the Spark expressions use, and every corpus stat
+    # (N, avgdl, df) comes from exact integer sums — both engines run
+    # identical double arithmetic, so round(6) hash-matches.
+    _bm_terms = ["join", "table", "group", "vector"]
+    _bm_k1, _bm_b = 1.2, 0.75
+    _bm_k1p1, _bm_omb = repr(_bm_k1 + 1.0), repr(1.0 - _bm_b)
+    _bm_tf = ",\n       ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+        for i, t in enumerate(_bm_terms)
+    )
+    _bm_df = ", ".join(
+        f"CAST(sum(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_{i}"
+        for i in range(len(_bm_terms))
+    )
+    _bm_score = " + ".join(
+        f"ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5)) * CAST(tf_{i} AS DOUBLE)"
+        f" * {_bm_k1p1} / (CAST(tf_{i} AS DOUBLE) + {_bm_k1!r} * ({_bm_omb}"
+        f" + {_bm_b!r} * dl / avgdl))"
+        for i in range(len(_bm_terms))
+    )
+    _bm_hits = " + ".join(
+        f"(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END)"
+        for i in range(len(_bm_terms))
+    )
+    o["text_bm25"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+       {_bm_tf}
+  FROM t
+),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {_bm_df} FROM base)
+SELECT doc_id, ROUND({_bm_score}, 6) AS bm25,
+       CAST({_bm_hits} AS INT) AS n_matched
+FROM base CROSS JOIN s
+"""
+
+    _prof_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    o["stats_profile_columns"] = "\nUNION ALL\n".join(
+        f"""
+SELECT '{c}' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       ROUND(CAST(min({c}) AS DOUBLE), 6) AS min_val,
+       ROUND(CAST(max({c}) AS DOUBLE), 6) AS max_val,
+       ROUND(CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE)
+             / (count(*) - sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)), 6)
+         AS mean_val
+FROM lineitem"""
+        for c in _prof_cols
+    )
+
+    o["stats_rolling_daily"] = """
+WITH d AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_day
+  FROM events GROUP BY 1, 2
+)
+SELECT key, CAST(day AS VARCHAR) AS day, n_day,
+       CAST(sum(n_day) OVER (PARTITION BY key
+                             ORDER BY datediff('day', DATE '1970-01-01', day)
+                             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_trailing
+FROM d
+"""
+
+    # PageRank twin: the 3 power iterations unrolled as chained CTEs;
+    # damping constants interpolated via repr() from the same python
+    # floats the Spark operator computes with.
+    _pr_d, _pr_num = repr(0.85), repr(1.0 - 0.85)
+    _pr = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+  FROM orders WHERE o_custkey % 100 != o_orderkey % 100
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes CROSS JOIN n)"""
+    for _it in range(1, 4):
+        _pr += f""",
+r{_it} AS (
+  SELECT nd.node,
+         {_pr_num} / n.n + {_pr_d} * coalesce(c.s, 0.0) AS rank
+  FROM nodes nd CROSS JOIN n
+  LEFT JOIN (SELECT e.dst, sum(r{_it - 1}.rank / o.outdeg) AS s
+             FROM e JOIN r{_it - 1} ON r{_it - 1}.node = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst) c ON c.dst = nd.node
+)"""
+    _pr += "\nSELECT node, ROUND(rank, 6) AS rank FROM r3"
+    o["graph_pagerank"] = _pr
+
     # ---- contract-composite oracles (built from the standalone bodies
     # above so both registries verify the identical semantics) -----------
 
@@ -2452,6 +2603,11 @@ EXTRA_QUERIES: list[str] = [
     "sample_hash_buckets",
     "sample_chunk_documents",
     "stream_sessionize",
+    # round-3 extensions (retrieval / profiling / time-series / graph)
+    "text_bm25",
+    "stats_profile_columns",
+    "stats_rolling_daily",
+    "graph_pagerank",
 ]
 
 

@@ -29,6 +29,8 @@ __all__ = [
     "approx_group_quantiles",
     "frequent_items",
     "correlation_matrix",
+    "profile_columns",
+    "rolling_daily_counts",
 ]
 
 
@@ -116,4 +118,84 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     )
     return agg.selectExpr(
         f"stack({len(pairs)}, {stack_expr}) as (col_a, col_b, corr)"
+    )
+
+
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Numeric column profiling, long format: one row per column with
+    ``(col_name, n_rows, n_nulls, n_distinct, min_val, max_val,
+    mean_val)`` — the data-quality audit pass run before choosing
+    curation thresholds.
+
+    ONE aggregation job computes every statistic (null counts, exact
+    distinct counts, min/max, and mean as an exact ``decimal(28,6)``
+    sum divided by the count so both engines emit identical doubles),
+    then the 1-row result unpivots driver-free via ``stack``.  Never
+    collects or re-shuffles the data; cost is O(d) aggregate state plus
+    the distinct-count expand, the inherent size of the answer.
+    """
+    cols = list(cols)
+    if not cols:
+        raise ValueError("need at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs += [
+            F.sum(col.isNull().cast("long")).alias(f"__nn_{i}"),
+            F.countDistinct(col).alias(f"__nd_{i}"),
+            F.min(col.cast("double")).alias(f"__mn_{i}"),
+            F.max(col.cast("double")).alias(f"__mx_{i}"),
+            F.sum(col.cast("decimal(28,6)")).cast("double").alias(f"__sm_{i}"),
+        ]
+    one = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', __n, __nn_{i}, __nd_{i}, round(__mn_{i}, 6), "
+        f"round(__mx_{i}, 6), round(__sm_{i} / (__n - __nn_{i}), 6)"
+        for i, c in enumerate(cols)
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_expr}) as "
+        "(col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val)"
+    )
+
+
+def rolling_daily_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    days: int = 7,
+) -> DataFrame:
+    """Trailing-``days`` activity per key per active day — the rolling
+    engagement/time-series aggregate (``n_trailing`` = events in the
+    window ending on ``day``, counting only days the key was active plus
+    the range frame's reach back).
+
+    Returns ``(key, day, n_day, n_trailing)`` with ``day`` as a string
+    date (cross-engine hash stability).
+
+    Scale shape: a ``(key, day)`` pre-aggregation shrinks the stream to
+    one row per active key-day BEFORE the window (map-side combined), so
+    the range-frame sort handles at most |keys|·|days| rows, never raw
+    events; the window's RANGE frame runs over integer epoch-days —
+    no per-row interval arithmetic.
+    """
+    if days < 1:
+        raise ValueError(f"days must be >= 1, got {days}")
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n_day"))
+        .withColumn("__epoch_day", F.datediff("day", F.lit("1970-01-01")))
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("__epoch_day")
+        .rangeBetween(-(days - 1), 0)
+    )
+    return daily.select(
+        "key",
+        F.col("day").cast("string").alias("day"),
+        "n_day",
+        F.sum("n_day").over(w).alias("n_trailing"),
     )

@@ -24,6 +24,7 @@ __all__ = [
     "language_id",
     "tf_idf",
     "collocations",
+    "bm25_score",
     "lm_score",
     "dedup_paragraphs",
     "fingerprint",
@@ -290,6 +291,79 @@ def collocations(
                 F.log(F.col("c_ab") * F.col("t_total") / (F.col("c_a") * F.col("c_b"))), 6
             ).alias("pmi"),
         )
+    )
+
+
+def bm25_score(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 of a fixed query-term list against every document —
+    the standard lexical retrieval/relevance scorer (Robertson &
+    Zaragoza 2009), used in curation to rank corpus docs against a
+    topic description.
+
+        idf(t) = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score  = Σ_t idf(t) · tf_t·(k1+1) / (tf_t + k1·(1 - b + b·dl/avgdl))
+
+    Returns ``(doc_id, bm25, n_matched)`` with ``bm25`` rounded to 6
+    decimals (cross-engine hash stability) and ``n_matched`` = how many
+    query terms appear at least once.
+
+    Scale shape: per-term tf columns are pure per-row JVM expressions
+    over the token array (no explode, no shuffle of the corpus); the
+    corpus statistics (N, avgdl, per-term df) reduce to ONE 1-row
+    aggregate that broadcasts back — so the whole scorer is a scan, a
+    scalar aggregate, and a codegen'd projection.  ``avgdl`` and the
+    dfs come from exact integer sums, so both engines compute identical
+    doubles.
+    """
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    toks = tokens_col(text_col)
+
+    def _tf(term: str):
+        # one-arg lambda: F.filter treats a 2-arg callable as (elem, idx)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("__dl"),
+        *[_tf(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    k1p1 = k1 + 1.0
+    one_minus_b = 1.0 - b
+    score = None
+    matched = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}").cast("double")
+        df = F.col(f"__df_{i}")
+        idf = F.log(F.lit(1.0) + (F.col("__n") - df + 0.5) / (df + 0.5))
+        denom = tf + F.lit(k1) * (
+            F.lit(one_minus_b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+        )
+        part = idf * tf * F.lit(k1p1) / denom
+        hit = (F.col(f"__tf_{i}") > 0).cast("int")
+        score = part if score is None else score + part
+        matched = hit if matched is None else matched + hit
+    return base.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.round(score, 6).alias("bm25"),
+        matched.alias("n_matched"),
     )
 
 

@@ -951,3 +951,109 @@ def test_winnow_summary_unchanged_by_refactor(spark, sf_dir):
     for r in out:
         assert r["n_winnow"] <= max(r["n_kgrams"], 0) or r["n_kgrams"] == 0
         assert r["winnow_checksum"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# round-3 extensions: BM25 / profiling / rolling window / PageRank
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_hand_computed(spark):
+    import math
+
+    from plda_spark.operators import text as tx
+
+    rows = [
+        (0, "spark engine runs the query engine"),
+        (1, "query planner"),
+        (2, "nothing relevant here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in tx.bm25_score(docs, ["engine", "query"]).collect()}
+
+    # hand oracle (tokenizer: lowercase alnum runs, len>=2 — all qualify)
+    dls = [6, 2, 5]
+    n, avgdl = 3.0, sum(dls) / 3.0
+    k1, b = 1.2, 0.75
+
+    def score(tf, dl, df):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    exp0 = score(2, 6, 1) + score(1, 6, 2)   # engine df=1, query df=2
+    exp1 = score(0, 2, 1) + score(1, 2, 2)
+    assert got[0]["bm25"] == pytest.approx(exp0, abs=1e-6)
+    assert got[0]["n_matched"] == 2
+    assert got[1]["bm25"] == pytest.approx(exp1, abs=1e-6)
+    assert got[1]["n_matched"] == 1
+    assert got[2]["bm25"] == 0.0 and got[2]["n_matched"] == 0
+
+
+def test_profile_columns_counts_nulls_and_distincts(spark):
+    from plda_spark.operators import stats
+
+    rows = [(1.0, 10), (2.0, None), (2.0, 30), (None, 40)]
+    df = spark.createDataFrame(rows, "a double, b int")
+    got = {r["col_name"]: r for r in stats.profile_columns(df, ["a", "b"]).collect()}
+    assert got["a"]["n_rows"] == 4 and got["a"]["n_nulls"] == 1
+    assert got["a"]["n_distinct"] == 2
+    assert got["a"]["min_val"] == 1.0 and got["a"]["max_val"] == 2.0
+    assert got["a"]["mean_val"] == pytest.approx(5.0 / 3, abs=1e-6)
+    assert got["b"]["n_nulls"] == 1 and got["b"]["n_distinct"] == 3
+    assert got["b"]["mean_val"] == pytest.approx(80 / 3, abs=1e-6)
+
+    with pytest.raises(ValueError):
+        stats.profile_columns(df, [])
+
+
+def test_rolling_daily_counts_window_semantics(spark):
+    from plda_spark.operators import stats
+
+    rows = [
+        ("u1", "2024-01-01 10:00:00"), ("u1", "2024-01-01 11:00:00"),
+        ("u1", "2024-01-05 10:00:00"),
+        ("u1", "2024-01-09 10:00:00"),   # day 1 falls OUT of its 7-day window
+        ("u2", "2024-01-03 10:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {
+        (r["key"], r["day"]): (r["n_day"], r["n_trailing"])
+        for r in stats.rolling_daily_counts(df, "user_id", "ts", days=7).collect()
+    }
+    assert got[("u1", "2024-01-01")] == (2, 2)
+    assert got[("u1", "2024-01-05")] == (1, 3)   # includes Jan 1 (within 7 days)
+    assert got[("u1", "2024-01-09")] == (1, 2)   # Jan 1 aged out, Jan 5 still in
+    assert got[("u2", "2024-01-03")] == (1, 1)
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from plda_spark.operators import graph
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]  # node 3: no in-links
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(df, n_iter=12, damping=0.85).collect()
+    }
+
+    n, d = 4, 0.85
+    out = {0: 2, 1: 1, 2: 1, 3: 1}
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        nxt = np.full(n, (1.0 - d) / n)
+        for s, t in edges:
+            nxt[t] += d * r[s] / out[s]
+        r = nxt
+    for v in range(n):
+        assert got[v] == pytest.approx(r[v], abs=1e-12), v
+    # node 2 has the most in-links -> highest rank; 3 has none -> lowest
+    assert max(got, key=got.get) == 2 and min(got, key=got.get) == 3
+
+    with pytest.raises(ValueError):
+        graph.pagerank(df, n_iter=0)
+    with pytest.raises(ValueError):
+        graph.pagerank(df, damping=1.5)

@@ -1158,6 +1158,132 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_pagerank"] = graph_pagerank
 
+    def source_csv_roundtrip(spark, sf):
+        """CSV sink → declared-schema PERMISSIVE reader round-trip with
+        one malformed row planted (wrong arity + bad cast) to prove the
+        quarantine drops (and only drops) bad rows.  Quoted fields
+        exercise RFC-4180 escaping through the writer→reader seam."""
+        import tempfile
+
+        from plda_spark.sources import csv as csv_src
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "text", "lang", "source"
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_csv_")
+        csv_src.write_csv(docs, f"{tmp}/corpus")
+        bad = spark.createDataFrame(
+            [("not_a_long,oops", ), ], "value string"
+        )
+        bad.write.mode("append").text(f"{tmp}/corpus")
+        return csv_src.read_csv(spark, f"{tmp}/corpus")
+
+    q["source_csv_roundtrip"] = source_csv_roundtrip
+
+    def stats_key_skew(spark, sf):
+        """Hot-key skew report over the events stream (top-10 users)."""
+        from plda_spark.operators import stats
+
+        return stats.key_skew(load_table(spark, sf, "events"), "user_id", k=10)
+
+    q["stats_key_skew"] = stats_key_skew
+
+    # ---- relational breadth: TPC-H-style q7 / q10 / q18 --------------------
+
+    def q7_volume_shipping(spark, sf):
+        """TPC-H Q7 shape: revenue between two nation pairs by ship
+        year (two broadcast nation joins + OR'd pair filter)."""
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") <= "1997-12-31")
+        )
+        orders = load_table(spark, sf, "orders")
+        cust = load_table(spark, sf, "customer")
+        supp = load_table(spark, sf, "supplier")
+        nation = load_table(spark, sf, "nation")
+        n1 = nation.select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        )
+        n2 = nation.select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        )
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        )
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .where(
+                (
+                    (F.col("supp_nation") == "NATION_18")
+                    & (F.col("cust_nation") == "NATION_19")
+                )
+                | (
+                    (F.col("supp_nation") == "NATION_19")
+                    & (F.col("cust_nation") == "NATION_18")
+                )
+            )
+        )
+        return j.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        ).agg(F.sum(rev).cast("double").alias("revenue"))
+
+    q["q7_volume_shipping"] = q7_volume_shipping
+
+    def q10_returned_items(spark, sf):
+        """TPC-H Q10 shape: top-20 customers by revenue lost to
+        returned items in one quarter."""
+        li = load_table(spark, sf, "lineitem").where(F.col("l_returnflag") == "R")
+        orders = load_table(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        cust = load_table(spark, sf, "customer")
+        nation = load_table(spark, sf, "nation")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+            "decimal(18,6)"
+        )
+        return (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.sum(rev).alias("revenue"))
+            .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .limit(20)
+            .withColumn("revenue", F.col("revenue").cast("double"))
+            .withColumn("c_acctbal", F.round(F.col("c_acctbal").cast("double"), 2))
+        )
+
+    q["q10_returned_items"] = q10_returned_items
+
+    def q18_large_orders(spark, sf):
+        """TPC-H Q18 shape: orders whose total quantity exceeds 200
+        (aggregate-derived semi-join on the fact table itself)."""
+        li = load_table(spark, sf, "lineitem")
+        orders = load_table(spark, sf, "orders")
+        cust = load_table(spark, sf, "customer")
+        big = (
+            li.groupBy("l_orderkey")
+            .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+            .where(F.col("sum_qty") > 200)
+        )
+        return (
+            orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .select(
+                "c_custkey",
+                "c_name",
+                "o_orderkey",
+                "o_orderdate",
+                "o_totalprice",
+                F.col("sum_qty").cast("double").alias("sum_qty"),
+            )
+        )
+
+    q["q18_large_orders"] = q18_large_orders
+
     # ---- contract composites (one slot, several operators; the full
     # row-level outputs of each constituent stay verified standalone in
     # the extras registry) -------------------------------------------------
@@ -2439,6 +2565,73 @@ r{_it} AS (
     _pr += "\nSELECT node, ROUND(rank, 6) AS rank FROM r3"
     o["graph_pagerank"] = _pr
 
+    # CSV round-trip must recover the documents table exactly (the
+    # planted malformed row is quarantined, not silently absorbed).
+    o["source_csv_roundtrip"] = """
+SELECT doc_id, text, lang, source FROM documents
+"""
+
+    o["stats_key_skew"] = """
+WITH c AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt FROM events GROUP BY 1
+),
+t AS (SELECT sum(cnt) AS total FROM c),
+r AS (
+  SELECT key, CAST(cnt AS BIGINT) AS cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, key) AS INTEGER) AS rank
+  FROM c
+)
+SELECT key, cnt, ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share, rank
+FROM r CROSS JOIN t WHERE rank <= 10
+"""
+
+    o["q7_volume_shipping"] = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+GROUP BY 1, 2, 3
+"""
+
+    o["q10_returned_items"] = """
+WITH g AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  GROUP BY 1, 2, 3, 4
+  ORDER BY revenue DESC, c_custkey ASC
+  LIMIT 20
+)
+SELECT c_custkey, c_name, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal,
+       n_name, CAST(revenue AS DOUBLE) AS revenue
+FROM g
+"""
+
+    o["q18_large_orders"] = """
+WITH big AS (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 200
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       o_totalprice, CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
     # ---- contract-composite oracles (built from the standalone bodies
     # above so both registries verify the identical semantics) -----------
 
@@ -2603,11 +2796,17 @@ EXTRA_QUERIES: list[str] = [
     "sample_hash_buckets",
     "sample_chunk_documents",
     "stream_sessionize",
-    # round-3 extensions (retrieval / profiling / time-series / graph)
+    # round-3 extensions (retrieval / profiling / time-series / graph /
+    # sources / skew / relational breadth)
     "text_bm25",
     "stats_profile_columns",
     "stats_rolling_daily",
     "graph_pagerank",
+    "source_csv_roundtrip",
+    "stats_key_skew",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q18_large_orders",
 ]
 
 

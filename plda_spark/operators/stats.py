@@ -31,6 +31,7 @@ __all__ = [
     "correlation_matrix",
     "profile_columns",
     "rolling_daily_counts",
+    "key_skew",
 ]
 
 
@@ -198,4 +199,38 @@ def rolling_daily_counts(
         F.col("day").cast("string").alias("day"),
         "n_day",
         F.sum("n_day").over(w).alias("n_trailing"),
+    )
+
+
+def key_skew(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """Shuffle-skew diagnostic: the ``k`` heaviest values of ``key_col``
+    with their share of all rows — the report you read before choosing
+    a salting factor for a join/groupBy on that key (``share · P``
+    estimates how many partitions the hottest key would occupy).
+
+    Returns ``(key, cnt, share, rank)``; ``key`` stringified, ties
+    broken by key for determinism.
+
+    Scale shape: ONE map-side-combined count per distinct key, then a
+    ``TakeOrdered`` top-k (never a global sort of the key histogram)
+    plus a broadcast 1-row total for the share; the rank window runs
+    over the k surviving rows only.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = counts.agg(F.sum("cnt").alias("__total"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
+    w = Window.orderBy(F.desc("cnt"), F.asc("key"))  # k rows only
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "cnt",
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            "rank",
+        )
     )

@@ -22,6 +22,7 @@ SF = "/root/testdata/sf0.001"
 # their own dedicated tests, too slow for a sanity sweep.
 EXECUTES_ON_BUILD = {
     "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
     "lda_train_topics",
     "lda_infer_theta",
     "lda_topic_coherence",

@@ -1057,3 +1057,16 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         graph.pagerank(df, n_iter=0)
     with pytest.raises(ValueError):
         graph.pagerank(df, damping=1.5)
+
+
+def test_key_skew_report(spark):
+    from plda_spark.operators import stats
+
+    rows = [("hot",)] * 6 + [("warm",)] * 3 + [("cold",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {r["rank"]: r for r in stats.key_skew(df, "k", k=2).collect()}
+    assert len(got) == 2
+    assert got[1]["key"] == "hot" and got[1]["cnt"] == 6 and got[1]["share"] == 0.6
+    assert got[2]["key"] == "warm" and got[2]["share"] == 0.3
+    with pytest.raises(ValueError):
+        stats.key_skew(df, "k", k=0)

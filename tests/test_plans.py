@@ -201,3 +201,56 @@ def test_window_analytics_single_sort_exchange(spark):
     )
     # formatted explain names each node twice (tree + details).
     assert s["exchanges"] == 2
+
+
+def test_bm25_stays_scan_plus_scalar_agg(spark):
+    """BM25 must be a corpus scan + ONE 1-row stats aggregate broadcast
+    back — no explode of the token stream, no shuffle of the corpus, no
+    sort-merge join."""
+    import __spark_entry__ as e
+
+    s = plan_summary(e.all_queries()["text_bm25"](spark, "/root/testdata/sf0.001"))
+    assert "Generate" not in s["plan"]          # no explode
+    assert s["sort_merge_joins"] == 0
+    assert s["broadcast_hash_joins"] == 0       # cross-join of a 1-row stats frame
+    assert "BroadcastNestedLoopJoin" in s["plan"]
+    assert s["read_schemas"] and all(
+        schema.count(",") <= 1 for schema in s["read_schemas"]
+    )  # doc_id + text at most (the stats branch prunes to text alone)
+
+
+def test_pagerank_iteration_has_no_cartesian(spark):
+    """Each PageRank iteration must stay an equi-join + partial agg —
+    never a nested-loop/cartesian over edges x ranks."""
+    from plda_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src long, dst long"
+    )
+    s = plan_summary(graph.pagerank(edges, n_iter=2))
+    assert "Cartesian" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert "partial_sum" in s["plan"] or "partial_count" in s["plan"]
+
+
+def test_key_skew_uses_take_ordered_not_global_sort(spark):
+    """Top-k over the key histogram must plan as TakeOrdered, never a
+    full Sort of all distinct keys."""
+    from plda_spark.operators import stats
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    s = plan_summary(stats.key_skew(df, "k", k=5))
+    assert "TakeOrderedAndProject" in s["plan"]
+
+
+def test_rolling_daily_preaggregates_before_window(spark):
+    """The RANGE-frame window must consume the (key, day) pre-aggregate,
+    not raw events (partial_count before the exchange proves map-side
+    combine)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_rolling_daily"](spark, "/root/testdata/sf0.001")
+    )
+    assert "partial_count" in s["plan"]
+    assert "Window" in s["plan"]

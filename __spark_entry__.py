@@ -1180,6 +1180,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_csv_roundtrip"] = source_csv_roundtrip
 
+    def stream_top_users(spark, sf):
+        """Batch twin of the streaming windowed heavy-hitters pipeline
+        (hourly tumble, top-3 users per window); streaming parity is
+        pinned in tests/test_streaming.py."""
+        return windows.windowed_top_users_batch(
+            load_table(spark, sf, "events"), k=3
+        )
+
+    q["stream_top_users"] = stream_top_users
+
     def stats_key_skew(spark, sf):
         """Hot-key skew report over the events stream (top-10 users)."""
         from plda_spark.operators import stats
@@ -2571,6 +2581,21 @@ r{_it} AS (
 SELECT doc_id, text, lang, source FROM documents
 """
 
+    o["stream_top_users"] = """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, user_id,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT window_start, user_id, n_events,
+         CAST(row_number() OVER (PARTITION BY window_start
+                                 ORDER BY n_events DESC, user_id ASC) AS INTEGER) AS rank
+  FROM c
+)
+SELECT window_start, user_id, n_events, rank FROM r WHERE rank <= 3
+"""
+
     o["stats_key_skew"] = """
 WITH c AS (
   SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS cnt FROM events GROUP BY 1
@@ -2803,6 +2828,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_rolling_daily",
     "graph_pagerank",
     "source_csv_roundtrip",
+    "stream_top_users",
     "stats_key_skew",
     "q7_volume_shipping",
     "q10_returned_items",

@@ -17,7 +17,7 @@ from typing import Any
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import TimestampNTZType
@@ -31,6 +31,9 @@ __all__ = [
     "sessionize_batch",
     "stream_dedup",
     "stream_dedup_batch",
+    "windowed_top_users",
+    "windowed_top_users_batch",
+    "top_k_per_window",
     "interval_join",
     "interval_join_batch",
     "run_stream_available_now",
@@ -93,6 +96,52 @@ def sliding_value_sums(
         .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
     )
     return _restore_ntz(out, ["window_start"], ntz)
+
+
+def windowed_top_users(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming heavy hitters, stage 1: watermarked per-(window, user)
+    counts — bounded state (rows expire when the watermark passes their
+    window), map-side combined, append-mode so each window's counts emit
+    exactly once, when it closes.
+
+    Streaming aggregations cannot host a rank window function (ranking
+    is a global statement about a window's FINAL contents), so the
+    top-k cut runs on the closed windows this stream emits — apply
+    :func:`top_k_per_window` in ``foreachBatch`` (or on the sink table).
+    That split is the standard recipe: the unbounded part is a plain
+    watermarked aggregate, the rank touches only finalized rows.
+    """
+    events, ntz = _for_watermark(events)
+    out = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "n_events")
+    )
+    return _restore_ntz(out, ["window_start"], ntz)
+
+
+def top_k_per_window(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank ``(window_start, user_id, n_events)`` rows to the top-``k``
+    per window (ties broken by user for determinism).  Partitioned rank
+    — each window sorts only its own users."""
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def windowed_top_users_batch(events: DataFrame, k: int = 3) -> DataFrame:
+    """Batch twin of the streaming top-k pipeline (hourly tumble)."""
+    counts = events.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return top_k_per_window(counts, k)
 
 
 def tumbling_counts_batch(events: DataFrame) -> DataFrame:

@@ -1070,3 +1070,58 @@ def test_key_skew_report(spark):
     assert got[2]["key"] == "warm" and got[2]["share"] == 0.3
     with pytest.raises(ValueError):
         stats.key_skew(df, "k", k=0)
+
+
+def test_pagerank_random_graphs_match_numpy(spark):
+    """Randomized (seeded) graphs: the distributed power iteration must
+    track the dense numpy iteration to float precision, including
+    dangling nodes and multi-component graphs."""
+    from plda_spark.operators import graph
+
+    for seed in (0, 1, 2):
+        rng = np.random.default_rng(seed)
+        n = int(rng.integers(5, 16))
+        m = int(rng.integers(n, 3 * n))
+        edges = list({(int(a), int(b)) for a, b in rng.integers(0, n, (m, 2)) if a != b})
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["rank"]
+            for r in graph.pagerank(df, n_iter=6, damping=0.85).collect()
+        }
+        nodes = sorted({v for e in edges for v in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        nn, d = len(nodes), 0.85
+        out = {v: sum(1 for s, _ in edges if s == v) for v in nodes}
+        r = np.full(nn, 1.0 / nn)
+        for _ in range(6):
+            nxt = np.full(nn, (1.0 - d) / nn)
+            for s, t in edges:
+                nxt[idx[t]] += d * r[idx[s]] / out[s]
+            r = nxt
+        assert set(got) == set(nodes)
+        for v in nodes:
+            assert got[v] == pytest.approx(r[idx[v]], abs=1e-10), (seed, v)
+
+
+def test_keep_best_matches_pandas_reference(spark):
+    """Randomized (seeded) corpora with planted duplicate groups and a
+    sometimes-NULL order column: keep_best must equal a pandas
+    row_number(ORDER BY rank NULLS LAST, full row) reference."""
+    from plda_spark.operators import dedup as dd
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(60):
+        text = f"body {int(rng.integers(0, 12))}"       # ~5 copies per group
+        rank = None if rng.random() < 0.3 else int(rng.integers(0, 4))
+        rows.append((i, text, rank))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, rank int")
+    got = sorted(r["doc_id"] for r in dd.keep_best(docs, ["rank"]).collect())
+
+    best = {}
+    for doc_id, text, rank in rows:
+        key = (rank is None, rank if rank is not None else 0, doc_id, text)
+        if text not in best or key < best[text][0]:
+            best[text] = (key, doc_id)
+    expect = sorted(doc_id for _, doc_id in best.values())
+    assert got == expect

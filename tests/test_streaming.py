@@ -237,3 +237,24 @@ def test_incremental_exact_dedup_corrupt_ledger_raises(spark, tmp_path):
         windows.incremental_exact_dedup(
             stream, str(tmp_path / "out"), state, str(tmp_path / "ckpt")
         )
+
+
+def test_windowed_top_users_matches_batch(spark, stream_dir, tmp_path):
+    """Streaming (window, user) counts + top_k_per_window on the closed
+    windows must equal the batch twin for every window the watermark
+    passed (the standard streaming-heavy-hitters split)."""
+    schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    counts = _run_stream(spark, windows.windowed_top_users(stream), tmp_path, "topk")
+    res = windows.top_k_per_window(counts, k=3)
+    batch = windows.windowed_top_users_batch(spark.read.parquet(stream_dir), k=3)
+    got = {(r["window_start"], r["rank"]): (r["user_id"], r["n_events"])
+           for r in res.collect()}
+    want = {(r["window_start"], r["rank"]): (r["user_id"], r["n_events"])
+            for r in batch.collect()}
+    for key, v in got.items():
+        assert want[key] == v
+    # only the final (possibly still-open) window may be withheld
+    missing = set(want) - set(got)
+    max_start = max(ws for ws, _ in want)
+    assert all(ws == max_start for ws, _ in missing)

@@ -1190,6 +1190,19 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_top_users"] = stream_top_users
 
+    def dedup_semantic(spark, sf):
+        """End-to-end semantic dedup (operators.dedup.semantic_dedup):
+        blocked cosine near-dup pairs → connected components → keep the
+        min-id representative per cluster.  Exhaustive probing
+        (n_probe == n_cells) makes the blocked stage exact, so the
+        brute-force + recursive-CTE oracle applies to the whole plan."""
+        emb = load_table(spark, sf, "embeddings")
+        return dedup.semantic_dedup(
+            emb, dim=64, threshold=0.4, n_cells=8, n_probe=8
+        ).select("vec_id")
+
+    q["dedup_semantic"] = dedup_semantic
+
     def stats_key_skew(spark, sf):
         """Hot-key skew report over the events stream (top-10 users)."""
         from plda_spark.operators import stats
@@ -1841,6 +1854,30 @@ WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_cos} AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE {_cos} >= 0.4
+"""
+
+    # Semantic dedup = the near-dup pairs above → transitive closure →
+    # survivors (everything except non-min cluster members).
+    o["dedup_semantic"] = f"""
+WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE {_cos} >= 0.4
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM p
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM p
+),
+reach(node, dst) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.node, e2.dst FROM reach r JOIN edges e2 ON r.dst = e2.src
+),
+comp AS (SELECT node, min(dst) AS component FROM reach GROUP BY node)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT node FROM comp WHERE node != component)
 """
 
     o["text_token_stats"] = f"""
@@ -2829,6 +2866,7 @@ EXTRA_QUERIES: list[str] = [
     "graph_pagerank",
     "source_csv_roundtrip",
     "stream_top_users",
+    "dedup_semantic",
     "stats_key_skew",
     "q7_volume_shipping",
     "q10_returned_items",

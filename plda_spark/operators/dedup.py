@@ -41,6 +41,7 @@ __all__ = [
     "simhash",
     "simhash_pairs",
     "connected_components",
+    "semantic_dedup",
     "contamination",
     "decontaminate",
     "keep_best",
@@ -562,6 +563,42 @@ def decontaminate(
     return docs.join(
         hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_cells: int = 64,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-level near-duplicate removal, end-to-end: blocked
+    cosine near-dup pairs → distributed connected components → keep the
+    min-id representative of every duplicate cluster (transitive: A≈B,
+    B≈C drops both B and C even when A·C is below threshold — the
+    semantics SemDeDup-style pipelines use).
+
+    Returns the surviving rows of ``embeddings``.
+
+    Scale shape: composes three already-scale-safe stages — IVF-cell
+    blocking (never the O(n²) cross join), min-label propagation with
+    pointer jumping (O(log diameter) rounds over (node, label) rows),
+    and a left-anti join on the loser set, which is bounded by the
+    number of near-dup members, not the corpus.
+    """
+    from plda_spark.operators import similarity
+
+    pairs = similarity.embedding_near_dup_pairs_blocked(
+        embeddings, dim=dim, threshold=threshold, n_cells=n_cells,
+        n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return embeddings.join(losers, id_col, "left_anti")
 
 
 def keep_best(

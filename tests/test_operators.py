@@ -1125,3 +1125,36 @@ def test_keep_best_matches_pandas_reference(spark):
             best[text] = (key, doc_id)
     expect = sorted(doc_id for _, doc_id in best.values())
     assert got == expect
+
+
+def test_semantic_dedup_transitive_clusters(spark):
+    """A≈B and B≈C (but A·C below threshold) must still collapse to one
+    survivor — the transitive semantics that distinguish cluster dedup
+    from pair filtering."""
+    from plda_spark.operators import dedup as dd
+
+    # chain at 18° steps: adjacent cosine ~0.951 (>= 0.9), ends ~0.809
+    import math
+
+    def ang(deg):
+        return [math.cos(math.radians(deg)), math.sin(math.radians(deg)), 0.0, 0.0]
+
+    rows = [
+        (0, ang(0)),
+        (1, ang(18)),
+        (2, ang(36)),
+        (3, [0.0, 0.0, 1.0, 0.0]),  # isolated
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kept = sorted(
+        r["vec_id"]
+        for r in dd.semantic_dedup(
+            df, dim=4, threshold=0.9, n_cells=2, n_probe=2
+        ).collect()
+    )
+    import numpy as np
+
+    v = {i: np.array(e) / np.linalg.norm(e) for i, e in rows}
+    assert v[0] @ v[1] >= 0.9 and v[1] @ v[2] >= 0.9   # chain links
+    assert v[0] @ v[2] < 0.9                            # ends below threshold
+    assert kept == [0, 3]

@@ -172,3 +172,23 @@ def test_csv_roundtrip_and_quarantine(spark, tmp_path):
     bad = corrupt.collect()
     assert len(bad) == 1 and "oops" in bad[0]["raw_line"]
     assert csv_src.read_csv(spark, path, multiLine=True).count() == 3
+
+
+def test_write_dataset_orc_roundtrip(spark, tmp_path):
+    """The deterministic sharded writer must round-trip through ORC as
+    well as parquet (fmt is pluggable; Spark's ORC datasource carries
+    identical schemas for these types)."""
+    from plda_spark.sources import jsonl
+    from plda_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "orc_out")
+    jsonl.write_dataset(docs, out, key_col="doc_id", shards=4, fmt="orc")
+    back = spark.read.orc(out)
+    assert back.count() == docs.count()
+    assert back.schema == docs.schema
+    a = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
+    b = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
+    assert a == b

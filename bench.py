@@ -72,13 +72,15 @@ def main() -> None:
     # Round-2 recorded cold-JIT outliers for exactly these two
     # (lda_train_5it 5.20 s, dedup_jaccard_pairs 4.66 s vs ~3 s warm);
     # the bench measures the per-iteration cost a long run would pay.
-    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir  # warm on the bench data itself if no tiny SF exists
     qs_warm = entrymod.all_queries()
     qs_warm["dedup_jaccard_pairs"](spark, warm_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     train_documents(
-        load_table(spark, warm_dir, "documents"),
+        load_table(spark, warm_dir, "documents").limit(2000),
         TrainConfig(num_topics=10, total_iterations=2, burn_in_iterations=0,
                     average_model=False, seed=1),
     )

@@ -35,12 +35,12 @@ def pagerank(
     Scale shape (Pregel-style, holds at any |E|): per iteration exactly
     ONE shuffle join of edges with the |V|-row rank vector on ``src``
     plus one ``groupBy(dst)`` partial-aggregated sum — the edge set
-    itself is the only big operand and it is never collected; callers
-    running many iterations should ``persist()`` ``edges`` so each
-    iteration rereads a cached copy instead of the source scan.  Only
-    the scalar |V| touches the driver.  Lineage is cut with a lazy
-    ``localCheckpoint`` every 5 iterations so long runs do not accrete
-    a deep plan.
+    (with outdegrees) is the only big operand: it is persisted for the
+    run and released before returning, exactly the
+    ``connected_components`` discipline, so no iteration re-executes
+    the edge scan or the outdeg aggregation.  Only the scalar |V|
+    touches the driver.  The loop runs eagerly (the result is a
+    materialized localCheckpoint) with lineage cut every 5 iterations.
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
@@ -52,29 +52,44 @@ def pagerank(
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    # (src, dst, outdeg) — the per-iteration join operand, persisted once.
+    # (src, dst, outdeg) — the per-iteration join operand, persisted for
+    # the run and released before returning (connected_components
+    # discipline: cached once, no per-iteration re-aggregation).
     ew = e.join(
         e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
     ).persist()
+    nodes = nodes.localCheckpoint(eager=True)
     n = nodes.count()  # scalar |V| only — never the rows
+    if n == 0:
+        ew.unpersist()
+        raise ValueError("pagerank: empty edge set (no nodes)")
     base = (1.0 - damping) / n
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    for i in range(n_iter):
-        contribs = (
-            ew.join(ranks, ew["src"] == ranks["node"])
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("__c"))
-            .groupBy("dst")
-            .agg(F.sum("__c").alias("__s"))
-        )
-        ranks = nodes.join(
-            contribs, nodes["node"] == contribs["dst"], "left"
-        ).select(
-            "node",
-            (
-                F.lit(base)
-                + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
-            ).alias("rank"),
-        )
-        if (i + 1) % 5 == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+    try:
+        for i in range(n_iter):
+            ranks = _pagerank_step(nodes, ew, ranks, base, damping)
+            if (i + 1) % 5 == 0 and i + 1 < n_iter:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        ew.unpersist()
+
+
+def _pagerank_step(
+    nodes: DataFrame, ew: DataFrame, ranks: DataFrame, base: float, damping: float
+) -> DataFrame:
+    """One power-iteration update (separate so plan-shape tests can pin
+    the per-iteration plan: equi-join + partial-aggregated sum, never a
+    nested loop)."""
+    contribs = (
+        ew.join(ranks, ew["src"] == ranks["node"])
+        .select("dst", (F.col("rank") / F.col("outdeg")).alias("__c"))
+        .groupBy("dst")
+        .agg(F.sum("__c").alias("__s"))
+    )
+    return nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+        "node",
+        (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))).alias(
+            "rank"
+        ),
+    )

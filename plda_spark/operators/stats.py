@@ -211,26 +211,29 @@ def key_skew(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     Returns ``(key, cnt, share, rank)``; ``key`` stringified, ties
     broken by key for determinism.
 
-    Scale shape: ONE map-side-combined count per distinct key, then a
-    ``TakeOrdered`` top-k (never a global sort of the key histogram)
-    plus a broadcast 1-row total for the share; the rank window runs
-    over the k surviving rows only.
+    Scale shape: ONE map-side-combined count per distinct key feeding a
+    ``TakeOrdered`` top-k (never a global sort of the key histogram);
+    the share denominator is the input row count (≡ Σ cnt), taken as a
+    metadata-cheap ``df.count()`` scalar rather than a second pass over
+    the key histogram.  The rank window runs over the k surviving rows
+    only.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    total = df.count()
+    if total == 0:
+        raise ValueError("key_skew: empty input")
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    total = counts.agg(F.sum("cnt").alias("__total"))
     top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc("key"))  # k rows only
     return (
         top.withColumn("rank", F.row_number().over(w))
-        .crossJoin(F.broadcast(total))
         .select(
             "key",
             "cnt",
-            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
+            F.round(F.col("cnt") / F.lit(total), 6).alias("share"),
             "rank",
         )
     )

@@ -47,20 +47,26 @@ def _read(
     spark: SparkSession, path: str, schema: T.StructType, options: dict
 ) -> DataFrame:
     opts = {**_CSV_OPTS, **{k: str(v) for k, v in options.items()}}
+    opts.setdefault("header", "true")
     with_err = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
     if opts.get("multiLine", "false").lower() == "true":
-        df = spark.read.options(**opts, header="true").schema(with_err).csv(path)
+        df = spark.read.options(**opts).schema(with_err).csv(path)
         # The CSV datasource disallows referencing only its corrupt
         # column; Spark's documented recipe is to cache the parsed frame
         # before splitting it into clean/corrupt views.  Only this
         # non-splittable path pays the cache.
         return df.cache()
-    header_line = ",".join(f.name for f in schema.fields)
-    lines = spark.read.text(path).where(
-        (F.length(F.trim("value")) > 0) & (F.col("value") != header_line)
-    )
+    # Header removal honors the effective delimiter (from_csv uses the
+    # same opts); only applies when headers are on.
+    sep = opts.get("sep", opts.get("delimiter", ","))
+    header_line = sep.join(f.name for f in schema.fields)
+    if opts["header"].lower() != "true":
+        header_line = None
+    lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    if header_line is not None:
+        lines = lines.where(F.col("value") != header_line)
     ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in with_err.fields
     )

@@ -30,6 +30,8 @@ EXECUTES_ON_BUILD = {
     "sim_ivf_topk",
     "ml_kmeans_assign",
     "curation_filters",
+    "dedup_semantic",   # driver-sampled k-means fit + eager CC loop
+    "graph_pagerank",   # eager power iteration (|V| scalar + checkpoints)
 }
 
 STOCHASTIC_NO_ORACLE = {

@@ -1158,3 +1158,11 @@ def test_semantic_dedup_transitive_clusters(spark):
     assert v[0] @ v[1] >= 0.9 and v[1] @ v[2] >= 0.9   # chain links
     assert v[0] @ v[2] < 0.9                            # ends below threshold
     assert kept == [0, 3]
+
+
+def test_pagerank_empty_edges_raises(spark):
+    from plda_spark.operators import graph
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    with pytest.raises(ValueError, match="empty edge set"):
+        graph.pagerank(empty, n_iter=2)

@@ -221,13 +221,23 @@ def test_bm25_stays_scan_plus_scalar_agg(spark):
 
 def test_pagerank_iteration_has_no_cartesian(spark):
     """Each PageRank iteration must stay an equi-join + partial agg —
-    never a nested-loop/cartesian over edges x ranks."""
+    never a nested-loop/cartesian over edges x ranks.  (pagerank()
+    itself returns a materialized checkpoint, so the pin targets the
+    per-iteration step plan.)"""
+    from pyspark.sql import functions as F
     from plda_spark.operators import graph
 
     edges = spark.createDataFrame(
         [(0, 1), (1, 2), (2, 0)], "src long, dst long"
     )
-    s = plan_summary(graph.pagerank(edges, n_iter=2))
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    ew = edges.join(
+        edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+    )
+    ranks = nodes.select("node", F.lit(1.0 / 3).alias("rank"))
+    s = plan_summary(graph._pagerank_step(nodes, ew, ranks, 0.05, 0.85))
     assert "Cartesian" not in s["plan"]
     assert "BroadcastNestedLoopJoin" not in s["plan"]
     assert "partial_sum" in s["plan"] or "partial_count" in s["plan"]

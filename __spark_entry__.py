@@ -1211,6 +1211,51 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_key_skew"] = stats_key_skew
 
+    def stats_zscore_outliers(spark, sf):
+        """Per-type z-score anomaly scan over events with planted
+        extremes (event_id % 997: value*50 + 1000) so |z| > 3 rows
+        exist at every SF."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").select(
+            "event_id",
+            "event_type",
+            F.when(
+                F.col("event_id") % 997 == 0, F.col("value") * 50 + 1000
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        return stats.zscore_outliers(
+            ev, ["event_type"], "value", "event_id", threshold=3.0
+        )
+
+    q["stats_zscore_outliers"] = stats_zscore_outliers
+
+    def stats_fill_gaps(spark, sf):
+        """Per-user dense daily grid (gap filling / resampling)."""
+        from plda_spark.operators import stats
+
+        return stats.fill_daily_gaps(load_table(spark, sf, "events"), "user_id", "ts")
+
+    q["stats_fill_gaps"] = stats_fill_gaps
+
+    def curation_mixture(spark, sf):
+        """Domain-mixture planning over documents (n_chars as the token
+        proxy): target 50/25/25 across src1/src2/src3, other sources
+        dropped; weights chosen binary-exact so both engines normalize
+        identically."""
+        from plda_spark.operators import curation
+
+        return curation.mixture_rates(
+            load_table(spark, sf, "documents"),
+            "source",
+            {"src1": 0.5, "src2": 0.25, "src3": 0.25},
+            token_count_col="n_chars",
+        )
+
+    q["curation_mixture"] = curation_mixture
+
     # ---- relational breadth: TPC-H-style q7 / q10 / q18 --------------------
 
     def q7_volume_shipping(spark, sf):
@@ -2682,6 +2727,60 @@ SELECT c_custkey, c_name, ROUND(CAST(c_acctbal AS DOUBLE), 2) AS c_acctbal,
 FROM g
 """
 
+    o["stats_zscore_outliers"] = """
+WITH src AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 997 = 0 THEN value * 50 + 1000 ELSE value END AS value
+  FROM events
+),
+s AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM src GROUP BY event_type
+)
+SELECT src.event_type, event_id AS id, CAST(value AS DOUBLE) AS value,
+       ROUND((value - mu) / sd, 6) AS z
+FROM src JOIN s USING (event_type)
+WHERE sd > 0 AND abs((value - mu) / sd) > 3.0
+"""
+
+    o["stats_fill_gaps"] = """
+WITH d AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_day
+  FROM events GROUP BY 1, 2
+),
+sp AS (SELECT key, min(day) AS d0, max(day) AS d1 FROM d GROUP BY key),
+grid AS (
+  SELECT key,
+         CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS day
+  FROM sp
+)
+SELECT g.key, CAST(g.day AS VARCHAR) AS day, coalesce(d.n_day, 0) AS n_day
+FROM grid g LEFT JOIN d ON d.key = g.key AND d.day = g.day
+"""
+
+    # Mixture twin: weights are binary-exact (0.5/0.25/0.25, sum exactly
+    # 1.0) so python-side normalization is the identity on both engines.
+    o["curation_mixture"] = """
+WITH ps AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_tokens) AS total FROM ps),
+sh AS (
+  SELECT source, n_tokens,
+         n_tokens / t.total AS share,
+         CASE source WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+                     WHEN 'src3' THEN 0.25 ELSE 0.0 END AS target
+  FROM ps CROSS JOIN t
+),
+r AS (SELECT *, target / share AS raw FROM sh),
+m AS (SELECT max(raw) AS mx FROM r)
+SELECT source, n_tokens, ROUND(share, 6) AS share, ROUND(target, 6) AS target,
+       ROUND(CASE WHEN m.mx > 0 THEN raw / m.mx ELSE 0.0 END, 6) AS rate
+FROM r CROSS JOIN m
+"""
+
     o["q18_large_orders"] = """
 WITH big AS (
   SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
@@ -2868,6 +2967,9 @@ EXTRA_QUERIES: list[str] = [
     "stream_top_users",
     "dedup_semantic",
     "stats_key_skew",
+    "stats_zscore_outliers",
+    "stats_fill_gaps",
+    "curation_mixture",
     "q7_volume_shipping",
     "q10_returned_items",
     "q18_large_orders",

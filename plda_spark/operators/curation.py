@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_filters"]
+__all__ = ["apply_filters", "mixture_rates"]
 
 
 def apply_filters(
@@ -83,3 +83,75 @@ def apply_filters(
         survivor_pred = survivor_pred & p.cast("boolean")
     survivors = docs.where(F.coalesce(survivor_pred, F.lit(False)))
     return survivors, audit
+
+
+def mixture_rates(
+    docs: DataFrame,
+    source_col: str,
+    target_weights: dict[str, float],
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Domain-mixture planning: given target mixture weights per source
+    (the "30% web, 30% code, 40% books" recipe every pretraining corpus
+    is built from), compute each source's current token share and the
+    deterministic DOWN-sampling rate that realizes the target mixture
+    without upsampling any source.
+
+    ``rate_s ∝ target_s / share_s``, normalized so the largest rate is
+    exactly 1 (that source is taken whole; everything else downsamples
+    proportionally).  Sources absent from ``target_weights`` get weight
+    0 (rate 0 — dropped).  Weights are normalized to sum to 1.
+
+    Returns ``(source, n_tokens, share, target, rate)``, all rounded to
+    6 decimals for cross-engine hash stability.  Feed ``rate`` into
+    ``sampling.stratified_hash_sample`` (as per-source percentages) for
+    the deterministic realization pass.
+
+    Scale shape: ONE map-side-combined aggregation over the corpus
+    (token sums per source — |sources| rows), then pure arithmetic on
+    that tiny frame; the rate normalization is a 1-row max broadcast
+    back.  The corpus itself is never shuffled or collected.
+    """
+    if not target_weights:
+        raise ValueError("target_weights must be non-empty")
+    wsum = float(sum(target_weights.values()))
+    if wsum <= 0:
+        raise ValueError("target_weights must sum to a positive value")
+    norm = {k: v / wsum for k, v in target_weights.items()}
+    tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else F.size(F.split(F.col("text"), r"\s+"))
+    )
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tokens).alias("n_tokens")
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("__total"))
+    target = F.coalesce(
+        *[
+            F.when(F.col("source") == s, F.lit(w))
+            for s, w in sorted(norm.items())
+        ],
+        F.lit(0.0),
+    ) if norm else F.lit(0.0)
+    shared = (
+        per_source.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_tokens") / F.col("__total"))
+        .withColumn("target", target)
+        .withColumn("__raw", F.col("target") / F.col("share"))
+    )
+    mx = shared.agg(F.max("__raw").alias("__mx"))
+    return (
+        shared.crossJoin(F.broadcast(mx))
+        .select(
+            "source",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round("target", 6).alias("target"),
+            F.round(
+                F.when(F.col("__mx") > 0, F.col("__raw") / F.col("__mx"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("rate"),
+        )
+    )

@@ -32,6 +32,8 @@ __all__ = [
     "profile_columns",
     "rolling_daily_counts",
     "key_skew",
+    "zscore_outliers",
+    "fill_daily_gaps",
 ]
 
 
@@ -235,5 +237,88 @@ def key_skew(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
             "cnt",
             F.round(F.col("cnt") / F.lit(total), 6).alias("share"),
             "rank",
+        )
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    id_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: rows whose value deviates
+    more than ``threshold`` sample standard deviations from their
+    group's mean — the standard first-pass outlier filter on quality
+    signals (doc length, event value, score drift).
+
+    Returns ``(*group_cols, id, value, z)`` with ``z`` rounded to 6
+    decimals; single-member or zero-variance groups emit nothing (no
+    meaningful deviation exists).
+
+    Scale shape: ONE map-side-combined aggregation computes each
+    group's (mean, stddev); the per-group stats rejoin the rows on the
+    group key — a shuffle equi-join that AQE broadcasts when the group
+    table is small.  No window over raw rows, no driver collection.
+    """
+    gcols = list(group_cols)
+    stats = df.groupBy(*gcols).agg(
+        F.avg(F.col(value_col).cast("double")).alias("__mu"),
+        F.stddev_samp(F.col(value_col).cast("double")).alias("__sd"),
+    )
+    z = (F.col(value_col).cast("double") - F.col("__mu")) / F.col("__sd")
+    return (
+        df.join(stats, gcols)
+        .where(F.col("__sd") > 0)
+        .where(F.abs(z) > threshold)
+        .select(
+            *gcols,
+            F.col(id_col).alias("id"),
+            F.col(value_col).cast("double").alias("value"),
+            F.round(z, 6).alias("z"),
+        )
+    )
+
+
+def fill_daily_gaps(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-series resampling: per key, the continuous daily grid from
+    the key's first to last active day with ``n_day = 0`` on inactive
+    days — the gap-filling step before any rolling/metric computation
+    that assumes a dense calendar.
+
+    Returns ``(key, day, n_day)`` with ``day`` as a string date.
+
+    Scale shape: one (key, day) pre-aggregation (map-side combined),
+    one per-key min/max aggregation, then ``sequence() + explode`` of
+    each key's day span joined back to the observed counts — the grid
+    is |keys|·|span-days| rows, generated executor-side, never on the
+    driver.  Spans are bounded by the data's date range, not row count.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.select(F.col(key_col).alias("key"), day.alias("day"))
+        .groupBy("key", "day")
+        .agg(F.count(F.lit(1)).alias("n_day"))
+    )
+    spans = daily.groupBy("key").agg(
+        F.min("day").alias("__d0"), F.max("day").alias("__d1")
+    )
+    grid = spans.select(
+        "key",
+        F.explode(
+            F.sequence("__d0", "__d1", F.expr("interval 1 day"))
+        ).alias("day"),
+    )
+    return (
+        grid.join(daily, ["key", "day"], "left")
+        .select(
+            "key",
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n_day", F.lit(0)).alias("n_day"),
         )
     )

@@ -1166,3 +1166,67 @@ def test_pagerank_empty_edges_raises(spark):
     empty = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="empty edge set"):
         graph.pagerank(empty, n_iter=2)
+
+
+def test_zscore_outliers_hand_computed(spark):
+    from plda_spark.operators import stats
+
+    vals = [10.0] * 9 + [10.0 + 1.0]  # tight cluster + one mild bump
+    rows = [(i, "a", v) for i, v in enumerate(vals)]
+    rows += [(100, "a", 1000.0)]                      # extreme outlier
+    rows += [(200, "b", 5.0), (201, "b", 5.0)]        # zero-variance group
+    rows += [(300, "c", 7.0)]                         # singleton group
+    df = spark.createDataFrame(rows, "event_id long, grp string, value double")
+    got = stats.zscore_outliers(df, ["grp"], "value", "event_id", 3.0).collect()
+    assert [r["id"] for r in got] == [100]
+    import statistics
+
+    xs = vals + [1000.0]
+    z = (1000.0 - statistics.mean(xs)) / statistics.stdev(xs)
+    assert got[0]["z"] == pytest.approx(z, abs=1e-6)
+
+
+def test_fill_daily_gaps_dense_grid(spark):
+    from plda_spark.operators import stats
+
+    rows = [
+        ("u1", "2024-01-01 09:00:00"), ("u1", "2024-01-01 10:00:00"),
+        ("u1", "2024-01-04 09:00:00"),
+        ("u2", "2024-02-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id string, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    got = {(r["key"], r["day"]): r["n_day"]
+           for r in stats.fill_daily_gaps(df, "user_id", "ts").collect()}
+    assert got == {
+        ("u1", "2024-01-01"): 2,
+        ("u1", "2024-01-02"): 0,
+        ("u1", "2024-01-03"): 0,
+        ("u1", "2024-01-04"): 1,
+        ("u2", "2024-02-01"): 1,
+    }
+
+
+def test_mixture_rates_downsamples_to_target(spark):
+    from plda_spark.operators import curation
+
+    rows = [
+        (0, "web", 800), (1, "web", 200),   # web: 1000 tokens (dominant)
+        (2, "code", 250),                    # code: 250
+        (3, "books", 250),                   # books: 250
+        (4, "junk", 500),                    # not in targets -> dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+    got = {r["source"]: r for r in curation.mixture_rates(
+        df, "source", {"web": 0.5, "code": 0.25, "books": 0.25},
+        token_count_col="n_tok").collect()}
+    assert got["junk"]["rate"] == 0.0 and got["junk"]["target"] == 0.0
+    # shares: web .5, code .125, books .125 of 2000 total
+    assert got["web"]["share"] == 0.5 and got["code"]["share"] == 0.125
+    # raw = target/share: web 1.0, code 2.0, books 2.0 -> max=2 -> rates .5, 1, 1
+    assert got["code"]["rate"] == 1.0 and got["books"]["rate"] == 1.0
+    assert got["web"]["rate"] == 0.5
+    # realized mixture: web 1000*.5=500, code 250, books 250 => 50/25/25
+    with pytest.raises(ValueError):
+        curation.mixture_rates(df, "source", {})

@@ -708,8 +708,9 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pipeline — schema, explode shape, frame-sampling math, AND the
     # Arrow-batched decode values) -------------------------------------
     def multimodal_pipeline(spark, sf):
-        """Image feature-extraction + video frame-sampling in one query
-        (tag column) — both mapInPandas decode paths exercised, one slot."""
+        """Image feature-extraction + video frame-sampling + audio
+        analysis-windowing in one query (tag column) — all three
+        mapInPandas decode paths exercised, one slot."""
         media = multimodal.attach_fake_media(load_table(spark, sf, "documents"))
         feats = multimodal.decode_image_features(media, out_dim=8).select(
             F.lit("image_feature").alias("kind"),
@@ -722,7 +723,13 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("frame_idx").alias("idx"),
             F.element_at("frame_features", 1).alias("value"),
         )
-        return feats.unionAll(frames)
+        auds = multimodal.extract_audio_windows(media).select(
+            F.lit("audio_window").alias("kind"),
+            "media_id",
+            F.col("window_idx").alias("idx"),
+            F.element_at("window_features", 1).alias("value"),
+        )
+        return feats.unionAll(frames).unionAll(auds)
 
     q["multimodal_pipeline"] = multimodal_pipeline
 
@@ -2162,6 +2169,17 @@ vid AS (
          CAST(unnest(range(0, CAST(hm % 300 + 1 AS INTEGER), 30)) AS INTEGER) AS idx, h
   FROM m
   WHERE hm % 3 = 2  -- element_at(array[image,audio,video], h%3+1) = 'video'
+),
+aud AS (
+  -- audio windows: total = n_frames*160 samples, win 400 / hop 160;
+  -- n_win = (total-400)//160 + 1 when total >= 400 (range() is empty
+  -- for n_win <= 0, matching the Spark-side n_win > 0 filter)
+  SELECT 'audio_window' AS kind, media_id,
+         CAST(unnest(range(0,
+           CAST(((hm % 300 + 1) * 160 - 400) // 160 + 1 AS INTEGER))) AS INTEGER) AS idx,
+         h
+  FROM m
+  WHERE hm % 3 = 1 AND (hm % 300 + 1) * 160 >= 400
 )
 SELECT kind, media_id, idx,
        CAST((h * (2 * idx + 3)) % 2147483647 AS DOUBLE) AS value
@@ -2170,6 +2188,10 @@ UNION ALL
 SELECT kind, media_id, idx,
        CAST((((h + idx * 2654435761) % 2147483647) * 3) % 2147483647 AS DOUBLE) AS value
 FROM vid
+UNION ALL
+SELECT kind, media_id, idx,
+       CAST((((h + idx * 2654435761) % 2147483647) * 3) % 2147483647 AS DOUBLE) AS value
+FROM aud
 """
 
     o["stream_sessionize"] = """

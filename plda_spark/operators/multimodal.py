@@ -32,6 +32,7 @@ __all__ = [
     "attach_fake_media",
     "decode_image_features",
     "sample_video_frames",
+    "extract_audio_windows",
 ]
 
 # Canonical multimodal schema: payload + typed metadata.
@@ -143,4 +144,66 @@ def sample_video_frames(
 
     return frames.mapInPandas(
         fn, schema="media_id long, frame_idx int, frame_features array<double>"
+    )
+
+
+def extract_audio_windows(
+    media: DataFrame,
+    win: int = 400,
+    hop: int = 160,
+    out_dim: int = 16,
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Speech-pipeline windowing: one output row per analysis window
+    (25 ms window / 10 ms hop at 16 kHz with the defaults) over each
+    audio payload — the framing stage every MFCC/fbank front-end runs.
+
+    The fake duration is ``n_frames · 160`` samples (SQL-reproducible
+    from the metadata the fake media table carries); window *indices*
+    are exact JVM-side math (``sequence`` + explode, n_win =
+    ⌊(total − win)/hop⌋ + 1, zero when the clip is shorter than one
+    window), window *features* come from the decode backend.
+    """
+    if decode_backend not in ("fake", "real"):
+        raise ValueError("decode_backend must be 'fake' or 'real'")
+    total = F.col("n_frames").cast("long") * 160
+    n_win = (
+        F.when(total >= win, F.floor((total - win) / hop) + 1)
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    wins = (
+        media.where(F.col("media_type") == "audio")
+        .withColumn("__nw", n_win)
+        .where(F.col("__nw") > 0)
+        .select(
+            "media_id",
+            "payload",
+            F.explode(
+                F.sequence(F.lit(0), F.col("__nw") - 1)
+            ).alias("window_idx"),
+        )
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "real":
+                raise NotImplementedError(
+                    "real audio decode requires an audio library (e.g. "
+                    "torchaudio/soundfile) — use decode_backend='fake'"
+                )
+            feats = [
+                _fake_decode(bytes(p), out_dim, salt=int(i))
+                for p, i in zip(pdf["payload"], pdf["window_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "window_idx": pdf["window_idx"],
+                    "window_features": feats,
+                }
+            )
+
+    return wins.mapInPandas(
+        fn, schema="media_id long, window_idx int, window_features array<double>"
     )

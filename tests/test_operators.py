@@ -1230,3 +1230,34 @@ def test_mixture_rates_downsamples_to_target(spark):
     # realized mixture: web 1000*.5=500, code 250, books 250 => 50/25/25
     with pytest.raises(ValueError):
         curation.mixture_rates(df, "source", {})
+
+
+def test_audio_windowing_math(spark):
+    """Window counts must follow n_win = floor((total-400)/160)+1 with
+    total = n_frames*160; clips shorter than one window emit nothing;
+    features are the digest arithmetic at the window's salt."""
+    rows = [
+        (0, b"abc", "audio", 1, 1, 10, 16000),   # total 1600 -> 8 windows
+        (1, b"def", "audio", 1, 1, 2, 16000),    # total 320 < 400 -> none
+        (2, b"ghi", "video", 1, 1, 90, 16000),   # wrong modality -> none
+        (3, b"jkl", "audio", 1, 1, 3, 16000),    # total 480 -> 1 window
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = multimodal.extract_audio_windows(media).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert sorted(by_id) == [0, 3]
+    assert sorted(r["window_idx"] for r in by_id[0]) == list(range(8))
+    assert [r["window_idx"] for r in by_id[3]] == [0]
+    # feature check vs the digest formula
+    import hashlib
+
+    P = 2_147_483_647
+    h = int(hashlib.md5(b"abc").hexdigest()[:15], 16) % P
+    w3 = next(r for r in by_id[0] if r["window_idx"] == 3)
+    expect = [((h + 3 * 2654435761) % P) * (2 * d + 3) % P for d in range(16)]
+    assert [int(v) for v in w3["window_features"]] == expect
+
+    with pytest.raises(ValueError):
+        multimodal.extract_audio_windows(media, decode_backend="nope")

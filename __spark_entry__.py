@@ -1359,6 +1359,190 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q18_large_orders"] = q18_large_orders
 
+    def q6_forecast_revenue(spark, sf):
+        """TPC-H Q6 shape: pure scan-side predicate aggregation — the
+        filter must reach the parquet scan (no join, no shuffle past
+        the one-row final agg)."""
+        li = load_table(spark, sf, "lineitem")
+        return (
+            li.where(
+                (F.col("l_shipdate") >= "1996-01-01")
+                & (F.col("l_shipdate") < "1997-01-01")
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg(
+                F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(18,6)"))
+                .cast("double")
+                .alias("revenue"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["q6_forecast_revenue"] = q6_forecast_revenue
+
+    def q14_promo_revenue(spark, sf):
+        """TPC-H Q14 shape: promo revenue share for one ship month —
+        fact scan + broadcast dim join + conditional aggregate ratio."""
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        part = load_table(spark, sf, "part")
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        zero = F.lit(0).cast("decimal(18,6)")
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .agg(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                .cast("double")
+                .alias("promo_rev"),
+                F.sum(rev).cast("double").alias("total_rev"),
+            )
+            .select(
+                F.round(F.lit(100.0) * F.col("promo_rev") / F.col("total_rev"), 6).alias(
+                    "promo_pct"
+                ),
+                F.round("promo_rev", 2).alias("promo_rev"),
+                F.round("total_rev", 2).alias("total_rev"),
+            )
+        )
+
+    q["q14_promo_revenue"] = q14_promo_revenue
+
+    def q8_market_share(spark, sf):
+        """TPC-H Q8 shape: one nation's supplier share of ECONOMY-part
+        revenue sold into ASIA, by order year — five-table star join
+        with both dims broadcast and one conditional-ratio aggregate."""
+        li = load_table(spark, sf, "lineitem")
+        orders = load_table(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") <= "1997-12-31")
+        )
+        part = load_table(spark, sf, "part").where(F.col("p_type") == "ECONOMY")
+        supp = load_table(spark, sf, "supplier")
+        cust = load_table(spark, sf, "customer")
+        nation = load_table(spark, sf, "nation")
+        region = load_table(spark, sf, "region").where(F.col("r_name") == "ASIA")
+        n_cust = nation.join(
+            F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+        ).select(F.col("n_nationkey").alias("cn_key"))
+        n_supp = nation.select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+        rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+        zero = F.lit(0).cast("decimal(18,6)")
+        j = (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(cust, orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(n_cust), F.col("c_nationkey") == F.col("cn_key"))
+            .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(F.broadcast(n_supp), F.col("s_nationkey") == F.col("sn_key"))
+        )
+        return (
+            j.groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(zero))
+                .cast("double")
+                .alias("nation_rev"),
+                F.sum(rev).cast("double").alias("total_rev"),
+            )
+            .select(
+                "o_year",
+                F.round(F.col("nation_rev") / F.col("total_rev"), 6).alias("mkt_share"),
+                F.round("total_rev", 2).alias("total_rev"),
+            )
+        )
+
+    q["q8_market_share"] = q8_market_share
+
+    def q17_small_qty_revenue(spark, sf):
+        """TPC-H Q17 shape: revenue from lineitems whose quantity is
+        under 20% of their part's average — the aggregate-derived
+        per-key threshold joined back to the fact table (no correlated
+        re-scan: one groupBy + one equi-join)."""
+        li = load_table(spark, sf, "lineitem")
+        part = load_table(spark, sf, "part").where(F.col("p_brand") == "Brand#1")
+        avg_q = (
+            li.groupBy(F.col("l_partkey").alias("ak"))
+            .agg(
+                (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+                    "avg_qty"
+                )
+            )
+        )
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(avg_q, li["l_partkey"] == F.col("ak"))
+            .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg(
+                F.round(
+                    F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 2
+                ).alias("avg_yearly"),
+                F.count(F.lit(1)).alias("n_items"),
+            )
+        )
+
+    q["q17_small_qty_revenue"] = q17_small_qty_revenue
+
+    def join_fuzzy_pairs(spark, sf):
+        """Approximate string self-join: supplier-name pairs within
+        Levenshtein distance 1, blocked by SymSpell deletion
+        neighborhoods (complete — equals the brute-force oracle) so the
+        plan is an equi-join, never an all-pairs theta join."""
+        from plda_spark.operators import joins
+
+        supp = load_table(spark, sf, "supplier").select("s_suppkey", "s_name")
+        return joins.fuzzy_pairs(supp, col="s_name", id_col="s_suppkey", max_dist=1)
+
+    q["join_fuzzy_pairs"] = join_fuzzy_pairs
+
+    def stats_histogram(spark, sf):
+        """Equi-width histogram of order totals (25 bins over [0, 500k)),
+        empty bins included — one map-side-combined aggregation plus a
+        broadcast bin spine."""
+        from plda_spark.operators import stats
+
+        return stats.histogram(
+            load_table(spark, sf, "orders"), "o_totalprice", lo=0.0, hi=500000.0, nbins=25
+        )
+
+    q["stats_histogram"] = stats_histogram
+
+    def web_url_dedup(spark, sf):
+        """URL canonicalization + crawl dedup: two spellings of every
+        document URL (tracking params, mixed-case host, default port,
+        fragment vs. bare) collapse to one canonical key; the dedup
+        report returns each key with its dup count and first-crawled id.
+        Canonicalization is per-row codegen'd regex; dedup is one hash
+        aggregation on the canonical key."""
+        from plda_spark.operators import web
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "source")
+        raw = docs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.concat(
+                        F.lit("HTTP://"),
+                        F.upper("source"),
+                        F.lit(".Example.COM:80/docs/"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("?utm_source=feed&utm_campaign=x#sec"),
+                    ),
+                    F.concat(
+                        F.lit("http://"),
+                        F.lower("source"),
+                        F.lit(".example.com/docs/"),
+                        F.col("doc_id").cast("string"),
+                    ),
+                )
+            ).alias("url"),
+        )
+        return web.url_dedup(raw, url_col="url", id_col="doc_id")
+
+    q["web_url_dedup"] = web_url_dedup
+
     # ---- contract composites (one slot, several operators; the full
     # row-level outputs of each constituent stay verified standalone in
     # the extras registry) -------------------------------------------------
@@ -2815,6 +2999,126 @@ JOIN big ON o_orderkey = l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
 
+    o["q6_forecast_revenue"] = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+    o["q14_promo_revenue"] = """
+WITH g AS (
+  SELECT
+    CAST(sum(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS promo_rev,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+)
+SELECT ROUND(100.0 * promo_rev / total_rev, 6) AS promo_pct,
+       ROUND(promo_rev, 2) AS promo_rev, ROUND(total_rev, 2) AS total_rev
+FROM g
+"""
+
+    o["q8_market_share"] = """
+WITH g AS (
+  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    CAST(sum(CASE WHEN sn.n_name = 'NATION_3'
+             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS nation_rev,
+    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS total_rev
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+  GROUP BY 1
+)
+SELECT o_year, ROUND(nation_rev / total_rev, 6) AS mkt_share,
+       ROUND(total_rev, 2) AS total_rev
+FROM g
+"""
+
+    o["q17_small_qty_revenue"] = """
+WITH avg_q AS (
+  SELECT l_partkey AS ak,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT ROUND(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_q ON l_partkey = ak
+WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+"""
+
+    o["join_fuzzy_pairs"] = """
+SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+       a.s_name AS name_a, b.s_name AS name_b,
+       CAST(levenshtein(a.s_name, b.s_name) AS INTEGER) AS dist
+FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+WHERE levenshtein(a.s_name, b.s_name) <= 1
+"""
+
+    o["stats_histogram"] = """
+WITH c AS (
+  SELECT CAST(floor((o_totalprice - 0.0) / 20000.0) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice >= 0.0 AND o_totalprice < 500000.0
+  GROUP BY 1
+),
+spine AS (SELECT unnest(range(25)) AS bin)
+SELECT CAST(spine.bin AS INTEGER) AS bin,
+       0.0 + spine.bin * 20000.0 AS bin_lo,
+       0.0 + (spine.bin + 1) * 20000.0 AS bin_hi,
+       coalesce(c.n, 0) AS n
+FROM spine LEFT JOIN c ON c.bin = spine.bin
+"""
+
+    # URL canonicalization twin: the oracle replays the exact rule chain
+    # of plda_spark.operators.web.normalize_url_col (RE2-compatible
+    # patterns, 'g' where Spark's regexp_replace is global).
+    o["web_url_dedup"] = r"""
+WITH raw AS (
+  SELECT doc_id,
+         unnest([
+           'HTTP://' || upper(source) || '.Example.COM:80/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?utm_source=feed&utm_campaign=x#sec',
+           'http://' || lower(source) || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR)
+         ]) AS url
+  FROM documents
+),
+s1 AS (  -- lowercase scheme://authority
+  SELECT doc_id,
+         lower(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0))
+           || substr(trim(url),
+                     length(regexp_extract(trim(url), '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0)) + 1)
+           AS u
+  FROM raw
+),
+s2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM s1),
+s3 AS (SELECT doc_id, regexp_replace(u, '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2') AS u FROM s2),
+s4 AS (SELECT doc_id, regexp_replace(u, '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS u FROM s3),
+s5 AS (SELECT doc_id, regexp_replace(u, '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM s4),
+s6 AS (SELECT doc_id, regexp_replace(u, '\?&', '?') AS u FROM s5),
+s7 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '') AS u FROM s6),
+s8 AS (SELECT doc_id, regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\1') AS u FROM s7)
+SELECT u AS url_norm, CAST(count(*) AS BIGINT) AS n_dups,
+       min(doc_id) AS keep_id
+FROM s8 GROUP BY u HAVING count(*) > 1
+"""
+
     # ---- contract-composite oracles (built from the standalone bodies
     # above so both registries verify the identical semantics) -----------
 
@@ -2995,6 +3299,13 @@ EXTRA_QUERIES: list[str] = [
     "q7_volume_shipping",
     "q10_returned_items",
     "q18_large_orders",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
+    "q8_market_share",
+    "q17_small_qty_revenue",
+    "join_fuzzy_pairs",
+    "stats_histogram",
+    "web_url_dedup",
 ]
 
 

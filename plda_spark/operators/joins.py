@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "as_of_join", "range_join"]
+__all__ = ["salted_join", "as_of_join", "range_join", "fuzzy_pairs", "fuzzy_join"]
 
 
 def salted_join(
@@ -167,4 +167,116 @@ def range_join(
             & (F.col(point_col) < F.col(rename[end_col]))
         )
         .drop("__bin")
+    )
+
+
+def _deletion_variants(col: Column, max_dist: int) -> Column:
+    """Array of every string reachable from ``col`` by deleting at most
+    ``max_dist`` characters (the string itself included).
+
+    SymSpell's symmetric-delete lemma: ``lev(s, t) <= d`` implies the
+    d-deletion neighborhoods of ``s`` and ``t`` intersect, so an
+    equi-join on these keys is a COMPLETE candidate filter for edit
+    distance ``d`` — no pair within distance d is ever missed.  Built by
+    composing the 1-deletion transform d times; pure JVM expressions
+    (``transform``/``flatten``), no Python.  Key count is
+    O(len^d) per string, which is the scheme's documented cost — it fits
+    short entity strings (names, titles, SKUs), not page-length text.
+    """
+    out = F.array(col)
+    for _ in range(max_dist):
+        one_del = F.flatten(
+            F.transform(
+                out,
+                lambda v: F.filter(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.length(v), F.lit(1))),
+                        lambda j: F.concat(
+                            F.substring(v, F.lit(1), j - 1),
+                            F.substring(v, j + 1, F.length(v)),
+                        ),
+                    ),
+                    lambda _x: F.length(v) > 0,
+                ),
+            )
+        )
+        out = F.array_distinct(F.concat(out, one_del))
+    return out
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    col: str,
+    id_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """All pairs of rows whose ``col`` strings are within Levenshtein
+    distance ``max_dist`` (typo-pair / entity-duplicate detection).
+
+    The naive plan is an all-pairs theta join — O(n²) levenshtein calls.
+    This plan blocks with SymSpell deletion-neighborhood keys
+    (:func:`_deletion_variants`): explode each string's ≤d-deletion set,
+    self-equi-join on the variant, then verify candidates with the exact
+    ``levenshtein`` post-filter.  One shuffle of n·O(len^d) slim
+    (variant, id, string) rows; candidate groups are bounded by variant
+    frequency, never by n — linear scan behavior at 100 TB for
+    bounded-length keys.  Completeness is the lemma above, so results
+    equal the brute-force oracle row-for-row.
+
+    Returns ``(id_a, id_b, name_a, name_b, dist)`` with ``id_a < id_b``.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(col).alias("__s"),
+        F.explode(_deletion_variants(F.col(col), max_dist)).alias("__v"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.__v") == F.col("b.__v")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__s").alias("name_a"),
+            F.col("b.__s").alias("name_b"),
+            F.levenshtein("a.__s", "b.__s").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .distinct()
+    )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    max_dist: int = 1,
+) -> DataFrame:
+    """Inner join matching rows whose key strings are within Levenshtein
+    distance ``max_dist`` — approximate record linkage across two tables
+    (e.g. crawl titles vs. catalog names).
+
+    Same deletion-neighborhood blocking as :func:`fuzzy_pairs`; each
+    side explodes its ≤d-deletion keys, candidates meet in an equi-join,
+    and the exact distance predicate verifies.  Right columns that
+    collide with left names are prefixed ``right_``; a ``dist`` column
+    is appended.
+    """
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    lk = left.withColumn("__v", F.explode(_deletion_variants(F.col(left_col), max_dist)))
+    taken = set(left.columns)
+    rename = {c: (f"right_{c}" if c in taken else c) for c in right.columns}
+    rk = right.select(
+        *[F.col(c).alias(rename[c]) for c in right.columns],
+        F.explode(_deletion_variants(F.col(right_col), max_dist)).alias("__v"),
+    )
+    return (
+        lk.join(rk, "__v")
+        .drop("__v")
+        .distinct()
+        .withColumn("dist", F.levenshtein(F.col(left_col), F.col(rename[right_col])))
+        .where(F.col("dist") <= max_dist)
     )

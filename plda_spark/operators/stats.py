@@ -34,6 +34,7 @@ __all__ = [
     "key_skew",
     "zscore_outliers",
     "fill_daily_gaps",
+    "histogram",
 ]
 
 
@@ -320,5 +321,53 @@ def fill_daily_gaps(
             "key",
             F.col("day").cast("string").alias("day"),
             F.coalesce("n_day", F.lit(0)).alias("n_day"),
+        )
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> DataFrame:
+    """Equi-width histogram of ``value_col`` over ``[lo, hi)`` — the
+    distribution-shape profile behind every curation threshold choice
+    (doc length, price, score cutoffs).
+
+    Returns one row per bin, EMPTY BINS INCLUDED:
+    ``(bin, bin_lo, bin_hi, n)`` with ``bin_lo = lo + bin·w`` for width
+    ``w = (hi−lo)/nbins``.  Values outside ``[lo, hi)`` are dropped (a
+    deliberate range filter, so callers see out-of-range mass as
+    ``sum(n) < count(*)``).
+
+    Scale shape: ONE map-side-combined aggregation of at most ``nbins``
+    partial rows per partition — the classic partial+final histogram; the
+    dense bin spine is a ``sequence()`` of ``nbins`` rows broadcast-left-
+    joined to the counts, so no shuffle grows with data volume.  Bin
+    arithmetic is plain IEEE double ops (same expression any engine
+    computes identically).
+    """
+    if nbins <= 0:
+        raise ValueError("nbins must be positive")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    w = (hi - lo) / nbins
+    x = F.col(value_col).cast("double")
+    counts = (
+        df.where((x >= lo) & (x < hi))
+        .select(F.floor((x - lo) / w).cast("int").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = df.sparkSession.range(nbins).select(F.col("id").cast("int").alias("bin"))
+    return (
+        spine.join(F.broadcast(counts), "bin", "left")
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
+            F.coalesce("n", F.lit(0)).alias("n"),
         )
     )

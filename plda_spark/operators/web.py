@@ -1,0 +1,94 @@
+"""Web-crawl curation: URL normalization and URL-level dedup.
+
+Crawl corpora arrive with the same page under many spellings — mixed-case
+hosts, tracking params, fragments, default ports, root slashes.  URL
+canonicalization is the first dedup stage of every crawl pipeline
+(cheaper than any content hash: it needs only the key column), and the
+canonical form is also the join key for domain-level mixing/blocklists.
+
+Everything is per-row JVM regex/string expressions — whole-stage
+codegen, no shuffle in :func:`normalize_url` itself; :func:`url_dedup`
+adds the one hash aggregation any exact dedup needs.  The rules are
+plain regexes (no ``parse_url``) so any engine — including the DuckDB
+oracle — can replay them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_url_col", "normalize_url", "url_dedup"]
+
+# Authority prefix: scheme://host[:port] — everything before the first
+# '/', '?' or '#' past the scheme separator.
+_AUTH = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def normalize_url_col(url: Column) -> Column:
+    """Canonical form of a URL column.
+
+    Rules (the conservative, loss-free subset every canonicalizer
+    agrees on):
+
+    1. trim surrounding whitespace;
+    2. lowercase the scheme and authority (host names are
+       case-insensitive; paths are NOT touched);
+    3. drop the fragment (``#…`` never reaches the server);
+    4. drop explicit default ports (``http://h:80``, ``https://h:443``);
+    5. drop tracking params (``utm_*``, ``fbclid``, ``gclid``) and mend
+       the separators they leave behind (``?&`` → ``?``, ``&&`` → ``&``,
+       trailing ``?``/``&``);
+    6. collapse a bare root path: ``scheme://host/`` → ``scheme://host``.
+    """
+    u = F.trim(url)
+    # 2. lowercase scheme://authority, keep the rest as-is
+    auth = F.regexp_extract(u, _AUTH, 0)
+    rest = F.substring(u, F.length(auth) + 1, F.length(u))
+    u = F.concat(F.lower(auth), rest)
+    # 3. fragment
+    u = F.regexp_replace(u, r"#.*$", "")
+    # 4. default ports (no lookahead — RE2/oracle-compatible)
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+    # 5. tracking params + separator repair
+    u = F.regexp_replace(u, r"(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
+    u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"[?&]$", "")
+    # 6. bare root slash
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]*)/$", "$1")
+    return u
+
+
+def normalize_url(
+    df: DataFrame, url_col: str = "url", out_col: str = "url_norm"
+) -> DataFrame:
+    """Append ``out_col`` = canonical form of ``url_col``."""
+    return df.withColumn(out_col, normalize_url_col(F.col(url_col)))
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact URL-level dedup report: one row per canonical URL seen more
+    than once — ``(url_norm, n_dups, keep_id)`` where ``keep_id`` is the
+    smallest id (first-crawled wins, the standard recrawl policy).
+
+    One map-side-combined aggregation on the canonical key; the payload
+    never moves, only (key, id) pairs — at 100 TB this is the cheapest
+    dedup pass available and runs before any content hashing.
+    """
+    return (
+        df.select(
+            normalize_url_col(F.col(url_col)).alias("url_norm"),
+            F.col(id_col).alias("__id"),
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("__id").alias("keep_id"),
+        )
+        .where(F.col("n_dups") > 1)
+    )

@@ -1261,3 +1261,133 @@ def test_audio_windowing_math(spark):
 
     with pytest.raises(ValueError):
         multimodal.extract_audio_windows(media, decode_backend="nope")
+
+
+def test_fuzzy_pairs_matches_brute_force(spark):
+    """SymSpell deletion-neighborhood blocking must be COMPLETE: the
+    blocked plan equals the all-pairs levenshtein filter on a set built
+    to cover every edit kind (substitution, insertion, deletion,
+    transposition > 1, equal strings under distinct ids) at d=1 and 2."""
+    from plda_spark.operators import joins
+
+    names = [
+        "alpha", "alphq",      # substitution (d1)
+        "alpah",               # transposition (d2 from alpha)
+        "alphax", "alph",      # insertion / deletion vs alpha (d1)
+        "beta", "beta",        # exact dup under two ids (d0)
+        "gamma", "delta",      # unrelated
+        "", "a",               # empty-string edges
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id bigint, s string"
+    )
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in joins.fuzzy_pairs(df, "s", "id", max_dist=d).collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+            if lev(a, b) <= d
+        }
+        assert got == want, f"d={d}"
+
+
+def test_fuzzy_join_two_tables(spark):
+    from plda_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, "acme corp"), (2, "zzzz")], "lid bigint, name string"
+    )
+    right = spark.createDataFrame(
+        [(10, "acme c0rp"), (11, "acme corp"), (12, "other")],
+        "rid bigint, name string",
+    )
+    got = joins.fuzzy_join(left, right, "name", "name", max_dist=1).collect()
+    matches = {(r["lid"], r["rid"], r["dist"]) for r in got}
+    assert matches == {(1, 10, 1), (1, 11, 0)}
+    # right's colliding column is prefixed
+    assert "right_name" in joins.fuzzy_join(left, right, "name", "name").columns
+
+
+def test_fuzzy_pairs_plan_is_equi_join(spark):
+    """The blocked plan must contain no cartesian/broadcast-nested-loop
+    node — blocking turns the theta join into a hash equi-join."""
+    from plda_spark.operators import joins
+
+    df = spark.createDataFrame([(1, "ab"), (2, "ac")], "id bigint, s string")
+    plan = joins.fuzzy_pairs(df, "s", "id")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    with pytest.raises(ValueError):
+        joins.fuzzy_pairs(df, "s", "id", max_dist=0)
+
+
+def test_histogram_bins_and_spine(spark):
+    from plda_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [(v,) for v in [0.0, 5.0, 9.99, 10.0, 25.0, 39.9, -1.0, 40.0, 100.0]],
+        "x double",
+    )
+    got = {r["bin"]: r for r in stats.histogram(df, "x", 0.0, 40.0, 4).collect()}
+    assert sorted(got) == [0, 1, 2, 3]           # empty bins present
+    assert got[0]["n"] == 3 and got[1]["n"] == 1 # [0,10): 0,5,9.99; [10,20): 10
+    assert got[2]["n"] == 1 and got[3]["n"] == 1 # 25; 39.9
+    assert got[1]["bin_lo"] == 10.0 and got[1]["bin_hi"] == 20.0
+    # -1, 40 (== hi), 100 dropped: total in-range mass is 6
+    assert sum(r["n"] for r in got.values()) == 6
+    with pytest.raises(ValueError):
+        stats.histogram(df, "x", 0.0, 40.0, 0)
+    with pytest.raises(ValueError):
+        stats.histogram(df, "x", 4.0, 4.0, 2)
+
+
+def test_normalize_url_rules(spark):
+    from plda_spark.operators import web
+
+    cases = {
+        "HTTP://WWW.Example.COM:80/A/B#frag": "http://www.example.com/A/B",
+        "https://Host.com:443/": "https://host.com",
+        "https://host.com:8443/x": "https://host.com:8443/x",  # non-default kept
+        "http://h.com/p?utm_source=a&q=1&utm_medium=b": "http://h.com/p?q=1",
+        "http://h.com/p?utm_source=a": "http://h.com/p",
+        "http://h.com/p?fbclid=xyz&gclid=2": "http://h.com/p",
+        "  http://h.com  ": "http://h.com",
+        "http://h.com/": "http://h.com",
+        "http://h.com/deep/": "http://h.com/deep/",  # only root slash collapses
+        "not a url": "not a url",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r["url"]: r["url_norm"] for r in web.normalize_url(df).collect()}
+    for raw, want in cases.items():
+        assert got[raw] == want, (raw, got[raw], want)
+
+
+def test_url_dedup_keeps_first_crawled(spark):
+    from plda_spark.operators import web
+
+    rows = [
+        (5, "http://A.com/x?utm_source=1"),
+        (3, "http://a.com/x"),
+        (9, "HTTP://a.com/x#top"),
+        (1, "http://b.com/only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = web.url_dedup(df).collect()
+    assert len(got) == 1
+    assert got[0]["url_norm"] == "http://a.com/x"
+    assert got[0]["n_dups"] == 3 and got[0]["keep_id"] == 3

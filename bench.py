@@ -10,6 +10,13 @@ driver collect).  The set covers every operator family: relational
 agg/join/window, dedup (shingle + minhash + simhash), similarity
 search, text analysis, streaming twins, and LDA training (5 Gibbs
 iterations, the per-iteration cost the reference's README benchmarks).
+
+Every timing is the MIN OF TWO runs (standard steady-state practice):
+single cold runs mix one-time JIT/page-cache/codegen cost into
+whichever query happens to run first — round 2 recorded
+dedup_jaccard_pairs at 4.66 s cold vs ~3 s steady-state, and the
+per-query noise made real regressions indistinguishable from scheduling
+jitter.  The min is the per-query cost a long production run pays.
 """
 
 from __future__ import annotations
@@ -52,6 +59,16 @@ BENCH_QUERIES = [
 ]
 
 
+
+def best_of_two(run) -> float:
+    """Run ``run`` twice, return the faster wall time (see module doc)."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -88,9 +105,9 @@ def main() -> None:
     qs = entrymod.all_queries()
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        t0 = time.time()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = best_of_two(
+            lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        )
 
     # Streaming window twins keep their round-1 names (the contract now
     # verifies them through one merged tagged query).
@@ -101,9 +118,9 @@ def main() -> None:
         ("stream_tumbling_counts", stream_windows.tumbling_counts_batch(ev)),
         ("stream_sliding_sums", stream_windows.sliding_value_sums_batch(ev)),
     ]:
-        t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        timings[name] = best_of_two(
+            lambda: df.write.format("noop").mode("overwrite").save()
+        )
 
     # text_fingerprint keeps its round-1 meaning (md5 set-fingerprint
     # alone) for cross-round comparability; the winnowing rolling-hash
@@ -111,12 +128,12 @@ def main() -> None:
     from plda_spark.operators import text as text_ops
 
     docs_t = load_table(spark, sf_dir, "documents")
-    t0 = time.time()
-    text_ops.fingerprint(docs_t).write.format("noop").mode("overwrite").save()
-    timings["text_fingerprint"] = round(time.time() - t0, 3)
-    t0 = time.time()
-    text_ops.winnow(docs_t, k=4, w=5).write.format("noop").mode("overwrite").save()
-    timings["text_winnow"] = round(time.time() - t0, 3)
+    timings["text_fingerprint"] = best_of_two(
+        lambda: text_ops.fingerprint(docs_t).write.format("noop").mode("overwrite").save()
+    )
+    timings["text_winnow"] = best_of_two(
+        lambda: text_ops.winnow(docs_t, k=4, w=5).write.format("noop").mode("overwrite").save()
+    )
 
     # LSH top-k at its *approximate* scale config (bands < planes) — the
     # contract query pins correctness at the full-recall config; the bench
@@ -128,30 +145,28 @@ def main() -> None:
     qvecs = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    t0 = time.time()
-    similarity.lsh_topk(emb, qvecs, dim=64, k=5, num_planes=16, bands=4).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    timings["sim_lsh_topk"] = round(time.time() - t0, 3)
+    timings["sim_lsh_topk"] = best_of_two(
+        lambda: similarity.lsh_topk(
+            emb, qvecs, dim=64, k=5, num_planes=16, bands=4
+        ).write.format("noop").mode("overwrite").save()
+    )
 
     # Tokenize → (doc, word, count) triples — the corpus-build stage every
     # LDA run pays (kept under its round-1 bench name; the contract query
     # now verifies the same triples through the writer→reader round-trip).
-    t0 = time.time()
-    entrymod._corpus(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    timings["lda_doc_term_counts"] = round(time.time() - t0, 3)
+    timings["lda_doc_term_counts"] = best_of_two(
+        lambda: entrymod._corpus(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    )
 
     # LDA training: 5 Gibbs iterations over the documents table
     # (per-iteration sweep + model re-aggregation, mirroring the
     # reference's per-iteration AllReduce cost model, README.md:132).
     docs = load_table(spark, sf_dir, "documents")
-    t0 = time.time()
     cfg = TrainConfig(
         num_topics=10, total_iterations=5, burn_in_iterations=0,
         average_model=False, seed=42,
     )
-    train_documents(docs, cfg)
-    timings["lda_train_5it"] = round(time.time() - t0, 3)
+    timings["lda_train_5it"] = best_of_two(lambda: train_documents(docs, cfg))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -1543,6 +1543,67 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_url_dedup"] = web_url_dedup
 
+    def events_funnel(spark, sf):
+        """Conversion funnel view→click→purchase with strict first-touch
+        ordering: per-user state-machine fold over ONE shuffle of slim
+        (user, ts, step) triples, then a |steps|-row summary."""
+        from plda_spark.operators import events as ev
+
+        return ev.funnel(
+            load_table(spark, sf, "events"), ["view", "click", "purchase"]
+        )
+
+    q["events_funnel"] = events_funnel
+
+    def events_retention(spark, sf):
+        """Weekly retention triangle: cohort by first-active week, count
+        actives per (cohort, weeks-since) — the event log collapses to
+        distinct (user, week) rows before any window or join."""
+        from plda_spark.operators import events as ev
+
+        return ev.retention_cohorts(load_table(spark, sf, "events"))
+
+    q["events_retention"] = events_retention
+
+    def stats_ewma(spark, sf):
+        """EWMA (α=0.5) over each user's daily event counts — the
+        sequential recurrence packed per key and folded with JVM
+        ``aggregate``; α=0.5 on integer counts keeps every smoothed
+        value an exact dyadic rational, so the closed-form oracle sum
+        is bit-identical."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        daily = (
+            ev.select(
+                F.col("user_id"),
+                F.to_date("ts").cast("string").alias("day"),
+            )
+            .groupBy("user_id", "day")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        out = stats.ewma(daily, "user_id", "day", "n", alpha=0.5)
+        return out.select(
+            "key", "ts", "value", F.round("ewma", 6).alias("ewma")
+        )
+
+    q["stats_ewma"] = stats_ewma
+
+    def curation_calibrate(spark, sf):
+        """Cross-domain score calibration: length score → within-source
+        percentile rank, so one global threshold selects the same
+        fraction from every source."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "source", F.col("n_chars").cast("double").alias("score")
+        )
+        return curation.calibrate_scores(docs, "score", "source").select(
+            "doc_id", "source", "score", F.round("calibrated", 6).alias("calibrated")
+        )
+
+    q["curation_calibrate"] = curation_calibrate
+
     # ---- contract composites (one slot, several operators; the full
     # row-level outputs of each constituent stay verified standalone in
     # the extras registry) -------------------------------------------------
@@ -3119,6 +3180,68 @@ SELECT u AS url_norm, CAST(count(*) AS BIGINT) AS n_dups,
 FROM s8 GROUP BY u HAVING count(*) > 1
 """
 
+    # First-touch funnel twin: t_{k+1} = min ts of step k+1 STRICTLY
+    # after t_k (the fold's exact semantic).
+    o["events_funnel"] = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1
+)
+SELECT * FROM (VALUES
+  (CAST(0 AS INTEGER), 'view',     (SELECT CAST(count(*) AS BIGINT) FROM t1)),
+  (CAST(1 AS INTEGER), 'click',    (SELECT CAST(count(*) AS BIGINT) FROM t2)),
+  (CAST(2 AS INTEGER), 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM t3))
+) AS v(step_idx, step, n_users)
+"""
+
+    o["events_retention"] = """
+WITH uw AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+c AS (SELECT u, week, min(week) OVER (PARTITION BY u) AS cohort FROM uw)
+SELECT CAST(cohort AS VARCHAR) AS cohort_week,
+       CAST((week - cohort) / 7 AS INTEGER) AS weeks_since,
+       CAST(count(*) AS BIGINT) AS n_active
+FROM c GROUP BY 1, 2
+"""
+
+    # EWMA twin: closed form y_i = sum_j w_ij x_j with dyadic weights
+    # (alpha = 0.5 over integer counts) — exactly equals the fold.
+    o["stats_ewma"] = """
+WITH d AS (
+  SELECT user_id AS key, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+r AS (
+  SELECT key, day, v,
+         row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+  FROM d
+)
+SELECT a.key, a.day AS ts, a.v AS value,
+       ROUND(sum(CASE WHEN b.rn = 1 THEN power(0.5, a.rn - 1)
+                      ELSE 0.5 * power(0.5, a.rn - b.rn) END * b.v), 6) AS ewma
+FROM r a JOIN r b ON a.key = b.key AND b.rn <= a.rn
+GROUP BY a.key, a.day, a.v
+"""
+
+    o["curation_calibrate"] = """
+SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+       ROUND(percent_rank() OVER (PARTITION BY source ORDER BY CAST(n_chars AS DOUBLE)), 6)
+         AS calibrated
+FROM documents
+"""
+
     # ---- contract-composite oracles (built from the standalone bodies
     # above so both registries verify the identical semantics) -----------
 
@@ -3306,6 +3429,10 @@ EXTRA_QUERIES: list[str] = [
     "join_fuzzy_pairs",
     "stats_histogram",
     "web_url_dedup",
+    "events_funnel",
+    "events_retention",
+    "stats_ewma",
+    "curation_calibrate",
 ]
 
 

@@ -23,7 +23,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_filters", "mixture_rates"]
+__all__ = ["apply_filters", "mixture_rates", "calibrate_scores"]
 
 
 def apply_filters(
@@ -155,3 +155,33 @@ def mixture_rates(
             ).alias("rate"),
         )
     )
+
+
+def calibrate_scores(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str,
+    out_col: str = "calibrated",
+) -> DataFrame:
+    """Cross-domain score calibration: replace each document's raw score
+    with its percentile rank WITHIN its domain (``percent_rank``, ties
+    share a rank; 0 = domain minimum, 1 = domain maximum).
+
+    Quality scores are not comparable across domains — a length-based
+    or classifier score that means "good" for web text means something
+    else for code — so a single global threshold over raw scores skews
+    the mixture.  Calibrating to within-domain percentiles makes ONE
+    threshold select the same fraction everywhere (the common fix before
+    a global quality cutoff).
+
+    Appends ``out_col`` (double in [0, 1]); all input columns pass
+    through.  Scale shape: one shuffle on the domain key and a per-key
+    sort — the standard windowed-operator contract (domains are few and
+    large: this is the one operator family where a genuinely monstrous
+    single domain should be range-partitioned by score first; the
+    percentile is then a prefix-count, same math, two aggregations).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(F.col(score_col))
+    return docs.withColumn(out_col, F.percent_rank().over(w))

@@ -1,0 +1,152 @@
+"""Event-stream analytics: conversion funnels and retention cohorts.
+
+The product-analytics twins of the curation operators: both reduce a
+large event log to a small per-user intermediate (one shuffle on the
+user key, map-side combined where possible) and aggregate that — the
+event table itself is never shuffled twice or joined to itself.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["funnel_progress", "funnel", "retention_cohorts"]
+
+
+def funnel_progress(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user funnel progression: how many of ``steps`` the user
+    completed **in order**, where step *k+1* must occur STRICTLY after
+    the first qualifying occurrence of step *k* (the standard
+    first-touch funnel semantic: ``t1 = min ts of step1``,
+    ``t2 = min ts of step2 with ts > t1``, …).
+
+    Returns ``(user, steps_completed)`` — 0 if the user never did
+    step 1.
+
+    A sequential scan per user cannot be a window aggregate, so the
+    plan packs each user's relevant events into one row (events not in
+    ``steps`` are filtered BEFORE the shuffle), sorts, and folds a
+    (step-pointer, last-ts) state machine with ``aggregate`` — pure JVM
+    expressions.  ONE shuffle of (user, ts, step-index) triples;
+    per-user event lists must fit a task (the usual per-key contract).
+    """
+    steps = list(steps)
+    if not steps or len(set(steps)) != len(steps):
+        raise ValueError("steps must be a non-empty list of distinct types")
+    idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    ts_type = events.schema[ts_col].dataType
+    packed = (
+        events.where(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                idx[F.col(type_col)].alias("step"),
+            ).alias("e"),
+        )
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+    )
+    # state: (next step index to match, ts of the last matched step).
+    # last_ts starts NULL (any timestamp type); the ptr == 0 disjunct
+    # guarantees it is never compared before first assignment.
+    init = F.struct(
+        F.lit(0).alias("ptr"), F.lit(None).cast(ts_type).alias("last_ts")
+    )
+    step_fold = F.aggregate(
+        "es",
+        init,
+        lambda acc, e: F.when(
+            (e["step"] == acc["ptr"])
+            & ((acc["ptr"] == 0) | (e["ts"] > acc["last_ts"])),
+            F.struct((acc["ptr"] + 1).alias("ptr"), e["ts"].alias("last_ts")),
+        ).otherwise(acc),
+    )
+    return packed.select("user", step_fold["ptr"].alias("steps_completed"))
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel summary: for each step, how many users reached it (in
+    order, first-touch semantics — see :func:`funnel_progress`).
+
+    Returns ``(step_idx, step, n_users)`` — ``n_users`` is
+    monotonically non-increasing by construction.
+
+    The per-user reduction is |users| rows; the summary is a broadcast
+    spine of |steps| rows joined to a ≤|steps|-row count — nothing past
+    the first shuffle scales with event volume.
+    """
+    prog = funnel_progress(events, steps, user_col, ts_col, type_col)
+    reached = (
+        prog.groupBy("steps_completed").agg(F.count(F.lit(1)).alias("n"))
+    )
+    spine = events.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    # users who completed >= k steps reached step k
+    return (
+        spine.join(
+            F.broadcast(reached),
+            F.col("steps_completed") > F.col("step_idx"),
+            "left",
+        )
+        .groupBy("step_idx", "step")
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_users"))
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly retention triangle: users cohorted by first-active week;
+    for each (cohort_week, weeks_since) the count of cohort members
+    active that week — the standard growth-analytics view.
+
+    Returns ``(cohort_week, weeks_since, n_active)`` with
+    ``cohort_week`` a string date (Monday) and ``weeks_since >= 0``.
+
+    Scale shape: distinct (user, week) pairs first (map-side combined —
+    the event log collapses to at most |users|·|weeks| rows), then a
+    per-user min-week window to attach the cohort WITHOUT a second
+    shuffle (week rows are already hash-partitioned by user), then one
+    aggregation on the (cohort, offset) pair.  No self-join of the
+    event table.
+    """
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    uw = (
+        events.select(F.col(user_col).alias("user"), week.alias("week"))
+        .groupBy("user", "week")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .drop("__n")
+    )
+    from pyspark.sql import Window
+
+    cohort = F.min("week").over(Window.partitionBy("user"))
+    return (
+        uw.withColumn("cohort", cohort)
+        .select(
+            F.col("cohort").cast("string").alias("cohort_week"),
+            (F.datediff("week", "cohort") / 7).cast("int").alias("weeks_since"),
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

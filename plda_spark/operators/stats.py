@@ -35,6 +35,7 @@ __all__ = [
     "zscore_outliers",
     "fill_daily_gaps",
     "histogram",
+    "ewma",
 ]
 
 
@@ -369,5 +370,64 @@ def histogram(
             (F.lit(lo) + F.col("bin") * F.lit(w)).alias("bin_lo"),
             (F.lit(lo) + (F.col("bin") + 1) * F.lit(w)).alias("bin_hi"),
             F.coalesce("n", F.lit(0)).alias("n"),
+        )
+    )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Exponentially weighted moving average per key, ordered by time:
+    ``y_1 = x_1``, ``y_i = α·x_i + (1−α)·y_{i−1}`` — the standard
+    smoothing pass over per-entity metric series (request rates, score
+    drift) before alerting/trending.
+
+    Returns ``(key, ts, value, ewma)`` with one row per input row.
+
+    EWMA is a sequential recurrence, so it cannot be a plain window
+    aggregate.  The plan packs each key's series into one row
+    (``collect_list`` of (ts, value) structs + ``array_sort``), folds the
+    recurrence with ``aggregate`` — pure JVM expressions, no Python —
+    and explodes back.  ONE shuffle on the key; the per-key series must
+    fit a task (the same contract as every key-windowed operator here;
+    pre-aggregate or split series that don't).  Across keys the fold is
+    embarrassingly parallel, so 100 TB of many-entity telemetry scales
+    linearly; a single billion-point series would not (that shape needs
+    the Blelloch-scan formulation, deliberately out of scope).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    packed = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.struct(F.col(ts_col).alias("ts"), F.col(value_col).cast("double").alias("v")).alias("e"),
+        )
+        .groupBy("key")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+    )
+    # fold: acc is the running array of smoothed values
+    smoothed = F.aggregate(
+        "es",
+        F.expr("CAST(array() AS ARRAY<DOUBLE>)"),
+        lambda acc, e: F.when(
+            F.size(acc) == 0, F.array(e["v"])
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(alpha * e["v"] + (1.0 - alpha) * F.element_at(acc, -1)),
+            )
+        ),
+    )
+    return (
+        packed.select("key", F.posexplode(F.arrays_zip("es", smoothed.alias("y"))))
+        .select(
+            "key",
+            F.col("col.es.ts").alias("ts"),
+            F.col("col.es.v").alias("value"),
+            F.col("col.y").alias("ewma"),
         )
     )

@@ -1391,3 +1391,84 @@ def test_url_dedup_keeps_first_crawled(spark):
     assert len(got) == 1
     assert got[0]["url_norm"] == "http://a.com/x"
     assert got[0]["n_dups"] == 3 and got[0]["keep_id"] == 3
+
+
+def test_ewma_recurrence_hand_computed(spark):
+    from plda_spark.operators import stats
+
+    rows = [("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 0.0), ("b", 1, 4.0)]
+    df = spark.createDataFrame(rows, "k string, t int, v double")
+    got = {(r["key"], r["ts"]): r["ewma"]
+           for r in stats.ewma(df, "k", "t", "v", alpha=0.5).collect()}
+    assert got[("a", 1)] == 10.0
+    assert got[("a", 2)] == 15.0          # .5*20 + .5*10
+    assert got[("a", 3)] == 7.5           # .5*0 + .5*15
+    assert got[("b", 1)] == 4.0           # series of one
+    with pytest.raises(ValueError):
+        stats.ewma(df, "k", "t", "v", alpha=0.0)
+
+
+def test_funnel_first_touch_ordering(spark):
+    from plda_spark.operators import events as ev
+
+    rows = [
+        # u1 completes A -> B -> C in order
+        (1, 1.0, "A"), (1, 2.0, "B"), (1, 3.0, "C"),
+        # u2 does B before A: only A counts after its first touch
+        (2, 1.0, "B"), (2, 2.0, "A"),
+        # u3 same-timestamp B is NOT strictly after A
+        (3, 1.0, "A"), (3, 1.0, "B"),
+        # u4 never does A but does B/C
+        (4, 1.0, "B"), (4, 2.0, "C"),
+        # u5 A then C then B then C: B must follow A, C must follow B
+        (5, 1.0, "A"), (5, 2.0, "C"), (5, 3.0, "B"), (5, 4.0, "C"),
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts double, event_type string")
+    prog = {r["user"]: r["steps_completed"]
+            for r in ev.funnel_progress(df, ["A", "B", "C"]).collect()}
+    assert prog == {1: 3, 2: 1, 3: 1, 4: 0, 5: 3}
+    summary = {r["step"]: r["n_users"]
+               for r in ev.funnel(df, ["A", "B", "C"]).collect()}
+    assert summary == {"A": 4, "B": 2, "C": 2}
+    with pytest.raises(ValueError):
+        ev.funnel_progress(df, ["A", "A"])
+
+
+def test_retention_cohorts_triangle(spark):
+    from plda_spark.operators import events as ev
+    import datetime as dt
+
+    # two cohorts: week of 2024-01-01 (Mon) and week of 2024-01-08
+    rows = [
+        (1, dt.datetime(2024, 1, 2)),   # cohort w0
+        (1, dt.datetime(2024, 1, 10)),  # active w1
+        (1, dt.datetime(2024, 1, 16)),  # active w2
+        (2, dt.datetime(2024, 1, 3)),   # cohort w0, never returns
+        (3, dt.datetime(2024, 1, 9)),   # cohort w1
+        (3, dt.datetime(2024, 1, 17)),  # active +1
+    ]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = {(r["cohort_week"], r["weeks_since"]): r["n_active"]
+           for r in ev.retention_cohorts(df).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,
+    }
+
+
+def test_calibrate_scores_percentiles(spark):
+    from plda_spark.operators import curation
+
+    rows = [("w", 1.0), ("w", 2.0), ("w", 3.0), ("c", 100.0), ("c", 200.0)]
+    df = spark.createDataFrame(rows, "src string, score double")
+    got = sorted(
+        (r["src"], r["score"], r["calibrated"])
+        for r in curation.calibrate_scores(df, "score", "src").collect()
+    )
+    assert got == [
+        ("c", 100.0, 0.0), ("c", 200.0, 1.0),
+        ("w", 1.0, 0.0), ("w", 2.0, 0.5), ("w", 3.0, 1.0),
+    ]

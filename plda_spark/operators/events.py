@@ -124,25 +124,23 @@ def retention_cohorts(
     Returns ``(cohort_week, weeks_since, n_active)`` with
     ``cohort_week`` a string date (Monday) and ``weeks_since >= 0``.
 
-    Scale shape: distinct (user, week) pairs first (map-side combined —
-    the event log collapses to at most |users|·|weeks| rows), then a
-    per-user min-week window to attach the cohort WITHOUT a second
-    shuffle (week rows are already hash-partitioned by user), then one
-    aggregation on the (cohort, offset) pair.  No self-join of the
-    event table.
+    Scale shape: TWO shuffles total.  The event log collapses to one
+    ``collect_set(week)`` row per user (map-side combined partials, each
+    bounded by the calendar — weeks, not events), the cohort is
+    ``array_min`` on that row (no window, no extra exchange), and the
+    exploded (cohort, offset) pairs feed one final aggregation.  No
+    self-join of the event table, no per-user window sort.
     """
     week = F.date_trunc("week", F.col(ts_col)).cast("date")
-    uw = (
+    per_user = (
         events.select(F.col(user_col).alias("user"), week.alias("week"))
-        .groupBy("user", "week")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .drop("__n")
+        .groupBy("user")
+        .agg(F.collect_set("week").alias("weeks"))
     )
-    from pyspark.sql import Window
-
-    cohort = F.min("week").over(Window.partitionBy("user"))
     return (
-        uw.withColumn("cohort", cohort)
+        per_user.select(
+            F.array_min("weeks").alias("cohort"), F.explode("weeks").alias("week")
+        )
         .select(
             F.col("cohort").cast("string").alias("cohort_week"),
             (F.datediff("week", "cohort") / 7).cast("int").alias("weeks_since"),

@@ -264,3 +264,40 @@ def test_rolling_daily_preaggregates_before_window(spark):
     )
     assert "partial_count" in s["plan"]
     assert "Window" in s["plan"]
+
+
+def test_retention_cohorts_is_two_shuffles(spark):
+    """The retention triangle must shuffle exactly twice (per-user week
+    sets, then the (cohort, offset) aggregation) — a min-week window
+    after a (user, week) distinct would add a third exchange that
+    re-sorts every user row at 100 TB."""
+    import __spark_entry__ as e
+
+    s = plan_summary(e.all_queries()["events_retention"](spark, "/root/testdata/sf0.001"))
+    # formatted plans list each Exchange twice (tree + detail section)
+    assert s["exchanges"] == 4, s["plan"]
+    # only user_id + ts leave the scan
+    assert all(schema.count(",") <= 1 for schema in s["read_schemas"])
+
+
+def test_funnel_filters_before_the_shuffle(spark):
+    """The funnel fold must shuffle only (user, ts, step) triples for
+    the step types — the event-type filter has to reach the parquet
+    scan, and there is exactly ONE exchange over event data (the
+    summary join is a broadcast over <= |steps| rows)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(e.all_queries()["events_funnel"](spark, "/root/testdata/sf0.001"))
+    assert any("event_type" in f for f in s["pushed_filters"]), s["pushed_filters"]
+    assert s["sort_merge_joins"] == 0
+
+
+def test_ewma_is_one_shuffle(spark):
+    from plda_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0)], "k string, t int, v double"
+    )
+    s = plan_summary(stats.ewma(df, "k", "t", "v"))
+    # one physical Exchange (tree + detail section = 2 matches)
+    assert s["exchanges"] == 2, s["plan"]

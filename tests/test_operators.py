@@ -1472,3 +1472,107 @@ def test_calibrate_scores_percentiles(spark):
         ("c", 100.0, 0.0), ("c", 200.0, 1.0),
         ("w", 1.0, 0.0), ("w", 2.0, 0.5), ("w", 3.0, 1.0),
     ]
+
+
+def _ref_bpe(word_counts, num_merges, min_count=2):
+    """Pure-Python reference of the published word-level BPE trainer
+    (count adjacent pairs over the word-frequency dict, merge argmax,
+    repeat) with the operator's deterministic tie-break."""
+    vocab = {tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(num_merges):
+        stats = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + n
+        if not stats:
+            break
+        (a, b), cnt = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((a, b))
+        new = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + n
+        vocab = new
+    return merges
+
+
+def _ref_encode(text, merges):
+    import re as _re
+
+    toks = []
+    for w in _re.split(r"[^a-z0-9]+", text.lower()):
+        if not w:
+            continue
+        syms = list(w) + ["</w>"]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_train_matches_reference(spark):
+    from collections import Counter
+    import re as _re
+
+    from plda_spark.operators import bpe
+
+    texts = [
+        "low lower lowest newer newest",
+        "the new widow saw the widest low wall",
+        "newer lower slower widest",
+        "aaa aaaa abab low low low",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id bigint, text string")
+    wc = Counter(
+        w for t in texts for w in _re.split(r"[^a-z0-9]+", t.lower()) if w
+    )
+    for n_merges in (1, 5, 12):
+        got = bpe.bpe_train(df, n_merges, checkpoint_every=3)
+        want = _ref_bpe(wc, n_merges)
+        assert got == want, (n_merges, got, want)
+
+    merges = bpe.bpe_train(df, 8)
+    enc = {r["doc_id"]: (r["tokens"], r["n_tokens"])
+           for r in bpe.bpe_encode(df, merges).collect()}
+    for i, t in enumerate(texts):
+        want_toks = _ref_encode(t, merges)
+        assert enc[i] == (want_toks, len(want_toks)), (i, enc[i], want_toks)
+
+
+def test_bpe_early_stop_and_validation(spark):
+    from plda_spark.operators import bpe
+
+    df = spark.createDataFrame([(0, "x y z")], "doc_id bigint, text string")
+    # every word is a single char + </w>: pairs occur once each -> with
+    # min_count=2 nothing merges
+    assert bpe.bpe_train(df, 10, min_count=2) == []
+    # min_count=1 merges exist and terminate before num_merges
+    m = bpe.bpe_train(df, 50, min_count=1)
+    assert 0 < len(m) <= 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bpe.bpe_train(df, 0)
+    with _pytest.raises(ValueError):
+        bpe.bpe_train(df, 1, min_count=0)

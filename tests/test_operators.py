@@ -1576,3 +1576,35 @@ def test_bpe_early_stop_and_validation(spark):
         bpe.bpe_train(df, 0)
     with _pytest.raises(ValueError):
         bpe.bpe_train(df, 1, min_count=0)
+
+
+def test_reservoir_per_group_exact_k_and_stability(spark):
+    from plda_spark.operators.sampling import reservoir_per_group
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = reservoir_per_group(df, "source", k=5, key_col="doc_id").collect()
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["source"], set()).add(r["doc_id"])
+    assert all(len(v) == 5 for v in by_g.values()) and len(by_g) == 3
+    # deterministic across invocations
+    again = reservoir_per_group(df, "source", k=5, key_col="doc_id").collect()
+    assert {(r["doc_id"], r["sample_rank"]) for r in got} == {
+        (r["doc_id"], r["sample_rank"]) for r in again
+    }
+    # adding rows only displaces the boundary: old members stay unless
+    # a new row hash-ranks ahead of them
+    bigger = spark.createDataFrame(
+        rows + [(i, "g%d" % (i % 3)) for i in range(60, 90)],
+        "doc_id bigint, source string",
+    )
+    got2 = {r["doc_id"] for r in
+            reservoir_per_group(bigger, "source", k=5, key_col="doc_id").collect()}
+    kept = {r["doc_id"] for r in got}
+    # at least the hash-smallest survivors remain members
+    assert len(kept & got2) >= 5
+    # k smaller than the group never errors; k <= 0 does
+    import pytest as _p
+    with _p.raises(ValueError):
+        reservoir_per_group(df, "source", k=0)

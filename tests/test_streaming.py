@@ -258,3 +258,24 @@ def test_windowed_top_users_matches_batch(spark, stream_dir, tmp_path):
     missing = set(want) - set(got)
     max_start = max(ws for ws, _ in want)
     assert all(ws == max_start for ws, _ in missing)
+
+
+def test_stream_static_enrich_matches_batch(spark, stream_dir, tmp_path):
+    """Stream-static broadcast enrich must emit exactly the batch twin's
+    rows: stateless, no watermark, dimension attributes attached to
+    every event (left join keeps dimension-less events)."""
+    import pyspark.sql.functions as F
+
+    src = spark.read.parquet(stream_dir)
+    # user dimension covering only even user ids -> odd ids keep NULLs
+    dim = (
+        src.select("user_id").distinct()
+        .where(F.col("user_id") % 2 == 0)
+        .withColumn("tier", F.when(F.col("user_id") % 4 == 0, "gold").otherwise("basic"))
+    )
+    stream = spark.readStream.schema(src.schema).parquet(stream_dir)
+    res = _run_stream(spark, windows.enrich(stream, dim, "user_id"), tmp_path, "enr")
+    got = {(r["event_id"], r["tier"]) for r in res.collect()}
+    want = {(r["event_id"], r["tier"]) for r in windows.enrich(src, dim, "user_id").collect()}
+    assert got == want
+    assert any(t is None for _, t in got) and any(t == "gold" for _, t in got)

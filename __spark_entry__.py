@@ -3367,14 +3367,12 @@ CONTRACT_QUERIES: list[str] = [
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
     "dedup_clusters",
     "dedup_keep_best",
     "dedup_decontaminate",
     # similarity search / embedding clustering
     "sim_lsh_topk",
     "sim_ivf_topk",
-    "sim_near_dup_blocked",
     "ml_kmeans_assign",
     # text analysis
     "text_quality_langid",
@@ -3391,6 +3389,9 @@ CONTRACT_QUERIES: list[str] = [
     # curation / classification
     "curation_filters",
     "classify_score",
+    # web curation / event analytics
+    "web_url_dedup",
+    "events_funnel",
     # streaming (batch twins; parity pinned in tests/test_streaming.py)
     "stream_window_aggs",
     "stream_interval_join",
@@ -3452,8 +3453,8 @@ EXTRA_QUERIES: list[str] = [
     "q17_small_qty_revenue",
     "join_fuzzy_pairs",
     "stats_histogram",
-    "web_url_dedup",
-    "events_funnel",
+    "dedup_simhash_pairs",
+    "sim_near_dup_blocked",
     "events_retention",
     "stats_ewma",
     "curation_calibrate",

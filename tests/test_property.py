@@ -174,3 +174,42 @@ def test_as_of_join_matches_pandas_merge_asof(spark, lefts, rights):
     else:
         want = {int(r.lid): None for r in lp.itertuples()}
     assert got == want
+
+
+def test_fuzzy_pairs_random_strings_match_brute_force(spark):
+    """Deletion-neighborhood blocking vs brute force on a dense random
+    set: short strings over a 2-letter alphabet maximize shared variants
+    and edge cases (empties, duplicates, chains of distance-1 strings)."""
+    import itertools
+    import random
+
+    from plda_spark.operators import joins
+
+    rng = random.Random(7)
+    names = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(0, 5)))
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(names)], "id bigint, s string"
+    )
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    for d in (1, 2):
+        got = {
+            (r["id_a"], r["id_b"], r["dist"])
+            for r in joins.fuzzy_pairs(df, "s", "id", max_dist=d).collect()
+        }
+        want = {
+            (i, j, lev(a, b))
+            for (i, a), (j, b) in itertools.combinations(enumerate(names), 2)
+            if lev(a, b) <= d
+        }
+        assert got == want, f"d={d}: missing={want-got} extra={got-want}"

@@ -1615,6 +1615,51 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_reservoir"] = sample_reservoir
 
+    def graph_triangles(spark, sf):
+        """Global triangle count of the co-purchase graph (parts sharing
+        an order) — degree-ordered wedge/closure equi-joins, each
+        triangle counted once, hub fan-out bounded by oriented degree."""
+        from plda_spark.operators import graph
+
+        li = (
+            load_table(spark, sf, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        a = li.alias("a")
+        b = li.alias("b")
+        edges = (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .select(
+                F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+            )
+            .distinct()
+        )
+        return graph.triangles(edges)
+
+    q["graph_triangles"] = graph_triangles
+
+    def stats_mad_outliers(spark, sf):
+        """Robust (modified z-score) per-type outlier scan over the same
+        planted extremes as the zscore twin — median/MAD instead of
+        mean/stddev, so the extremes cannot mask each other."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").select(
+            "event_id",
+            "event_type",
+            F.when(F.col("event_id") % 997 == 0, F.col("value") * 50 + 1000)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        return stats.mad_outliers(ev, "event_type", "value", "event_id", k=3.5)
+
+    q["stats_mad_outliers"] = stats_mad_outliers
+
     # ---- contract composites (one slot, several operators; the full
     # row-level outputs of each constituent stay verified standalone in
     # the extras registry) -------------------------------------------------
@@ -3266,6 +3311,45 @@ WITH r AS (
 SELECT doc_id, source, sample_rank FROM r WHERE sample_rank <= 7
 """
 
+    # Canonical-order closure count: triangle (x<y<z) found exactly once
+    # via edges (x,y),(x,z),(y,z) — equals the degree-ordered plan's
+    # count (ordering scheme changes cost, never the result).
+    o["graph_triangles"] = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+e AS (
+  SELECT DISTINCT a.p AS a, b.p AS b
+  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""
+
+    o["stats_mad_outliers"] = """
+WITH src AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 997 = 0 THEN value * 50 + 1000 ELSE value END AS value
+  FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM src GROUP BY 1
+),
+dev AS (
+  SELECT src.event_type, event_id, value, med, abs(value - med) AS d
+  FROM src JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(d, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.event_type, event_id AS id, CAST(value AS DOUBLE) AS value,
+       ROUND(0.6745 * (value - med) / mad, 6) AS mad_z
+FROM dev JOIN mad USING (event_type)
+WHERE mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
+"""
+
     # ---- contract-composite oracles (built from the standalone bodies
     # above so both registries verify the identical semantics) -----------
 
@@ -3459,6 +3543,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_ewma",
     "curation_calibrate",
     "sample_reservoir",
+    "graph_triangles",
+    "stats_mad_outliers",
 ]
 
 

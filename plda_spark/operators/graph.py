@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangles"]
 
 
 def pagerank(
@@ -92,4 +92,67 @@ def _pagerank_step(
         (F.lit(base) + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))).alias(
             "rank"
         ),
+    )
+
+
+def triangles(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global triangle count of the undirected simple graph given by
+    ``edges`` (direction, self-loops, and duplicate edges are
+    normalized away) — the clustering/cohesion metric for co-occurrence
+    and link graphs.
+
+    Returns one row: ``(n_triangles)``.
+
+    The naive closure join counts each triangle six ways and explodes
+    on hubs.  This is the standard DEGREE-ORDERED formulation (the
+    MapReduce/GraphX recipe): totally order nodes by (degree, id) —
+    compared directly as a struct, NO global rank sort — orient every
+    edge low→high, build wedges by self-joining oriented edges on their
+    low endpoint, and probe each wedge against the oriented edge set.
+    Each triangle is counted exactly once, and a node's wedge fan-out
+    is its ORIENTED out-degree — O(√m) for any graph — so hub nodes
+    (the killer at 100 TB link graphs) cannot dominate a task.  Two
+    degree joins + the wedge/closure equi-joins; no theta join, no
+    single-task stage anywhere.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ka = F.struct(F.col("da"), F.col("a"))   # (degree, id): a total order
+    kb = F.struct(F.col("db"), F.col("b"))
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(ka < kb, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+    )
+    w1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
+    w2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
+    wedges = (
+        w1.join(w2, "u")
+        .where(F.struct("d1", "v1") < F.struct("d2", "v2"))
+        .select("v1", "v2")
+    )
+    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
+    return wedges.join(closing, ["v1", "v2"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
     )

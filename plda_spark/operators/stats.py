@@ -33,6 +33,7 @@ __all__ = [
     "rolling_daily_counts",
     "key_skew",
     "zscore_outliers",
+    "mad_outliers",
     "fill_daily_gaps",
     "histogram",
     "ewma",
@@ -429,5 +430,51 @@ def ewma(
             F.col("col.es.ts").alias("ts"),
             F.col("col.es.v").alias("value"),
             F.col("col.y").alias("ewma"),
+        )
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier detection by modified z-score
+    (Iglewicz–Hoaglin): ``0.6745 · (x − median) / MAD`` with
+    ``MAD = median(|x − median|)`` — the robust twin of
+    :func:`zscore_outliers` for heavy-tailed quality signals, where a
+    few extreme values inflate the stddev and hide each other (masking).
+
+    Returns ``(group, id, value, mad_z)`` for rows with
+    ``|mad_z| > k``; groups with ``MAD = 0`` (over half the values
+    identical) emit nothing, like the zscore twin's ``sd > 0`` guard.
+
+    Scale shape: two small aggregations (exact interpolated medians —
+    per-group state only) each joined back on the group key; the data
+    itself shuffles at most twice on that key and nothing vocabulary- or
+    corpus-sized is broadcast.  For sketch-sized state at extreme group
+    cardinality swap ``percentile`` for ``percentile_approx`` — same
+    shape.
+    """
+    g = F.col("__g")
+    src = df.select(
+        F.col(group_col).alias("__g"),
+        F.col(id_col).alias("id"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    med = src.groupBy("__g").agg(F.percentile("value", F.lit(0.5)).alias("__med"))
+    dev = src.join(med, "__g").withColumn("__dev", F.abs(F.col("value") - F.col("__med")))
+    mad = dev.groupBy("__g").agg(F.percentile("__dev", F.lit(0.5)).alias("__mad"))
+    score = 0.6745 * (F.col("value") - F.col("__med")) / F.col("__mad")
+    return (
+        dev.join(mad, "__g")
+        .where((F.col("__mad") > 0) & (F.abs(score) > k))
+        .select(
+            g.alias(group_col),
+            "id",
+            "value",
+            F.round(score, 6).alias("mad_z"),
         )
     )

@@ -1608,3 +1608,58 @@ def test_reservoir_per_group_exact_k_and_stability(spark):
     import pytest as _p
     with _p.raises(ValueError):
         reservoir_per_group(df, "source", k=0)
+
+
+def test_triangles_hand_computed_and_normalized(spark):
+    from plda_spark.operators import graph
+
+    # K4 on {1,2,3,4} = 4 triangles; plus pendant 5 and a separate
+    # triangle {6,7,8}; noisy input: duplicates, reversed, self-loop
+    edges = [
+        (1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+        (4, 5),
+        (6, 7), (7, 8), (8, 6),
+        (2, 1), (3, 1), (1, 1), (6, 7),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    assert graph.triangles(df).collect()[0]["n_triangles"] == 5
+    # triangle-free graph
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src bigint, dst bigint")
+    assert graph.triangles(star).collect()[0]["n_triangles"] == 0
+
+
+def test_triangles_random_graph_matches_networkx_free_count(spark):
+    import itertools
+    import random
+
+    from plda_spark.operators import graph
+
+    rng = random.Random(11)
+    nodes = list(range(20))
+    edges = [(a, b) for a, b in itertools.combinations(nodes, 2) if rng.random() < 0.3]
+    adj = {n: set() for n in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = sum(
+        1 for a, b, c in itertools.combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    assert graph.triangles(df).collect()[0]["n_triangles"] == want
+
+
+def test_mad_outliers_hand_computed(spark):
+    from plda_spark.operators import stats
+
+    # group g: values 1..9 plus outlier 100 -> median 5.5, MAD 2.5
+    # mad_z(100) = .6745*(100-5.5)/2.5 = 25.49...; inliers all < 3.5
+    rows = [("g", i, float(v)) for i, v in enumerate([1,2,3,4,5,6,7,8,9,100])]
+    # constant group emits nothing (MAD = 0)
+    rows += [("c", 100 + i, 7.0) for i in range(5)]
+    df = spark.createDataFrame(rows, "grp string, id bigint, v double")
+    got = stats.mad_outliers(df, "grp", "v", "id")
+    out = got.collect()
+    assert len(out) == 1 and out[0]["id"] == 9
+    assert abs(out[0]["mad_z"] - 0.6745 * (100 - 5.5) / 2.5) < 1e-6
+    assert out[0]["grp"] == "g" and out[0]["value"] == 100.0

@@ -37,6 +37,10 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "cluster_embeddings",
+    "pq_train",
+    "pq_encode",
+    "pq_topk",
+    "pq_topk_refined",
 ]
 
 
@@ -588,3 +592,198 @@ def cluster_embeddings(
         embeddings, k, max_iterations, seed=seed, id_col=id_col, vec_col=vec_col
     )
     return kmeans_assign(embeddings, cents, id_col, vec_col)
+
+
+def pq_train(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 29,
+    train_sample: int = 20000,
+    iters: int = 15,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    ``dim`` dimensions into ``m`` contiguous subspaces and run k-means
+    with ``k`` centroids in each.
+
+    Returns the ``(m, k, dim//m)`` codebook tensor — ``m·k·dsub`` floats,
+    kilobytes; it travels in task closures from then on.  Training runs
+    on a bounded deterministic driver-side sample (the standard PQ
+    recipe — codebooks need distribution shape, not the full corpus;
+    same bound as the IVF coarse quantizer and `pca_project`).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = np.stack(
+        [
+            np.asarray(r["emb"], dtype=np.float64)
+            for r in embeddings.select(F.col(vec_col).alias("emb"))
+            .orderBy(F.col(id_col))
+            .limit(train_sample)
+            .collect()
+        ]
+    )
+    books = np.empty((m, k, dsub), dtype=np.float64)
+    for j in range(m):
+        # train on UNIQUE subvectors: duplicate-heavy samples otherwise
+        # seed identical initial centroids and Lloyd's can never split
+        # them (it also makes k >= #distinct points exactly lossless).
+        sub = np.unique(sample[:, j * dsub : (j + 1) * dsub], axis=0)
+        books[j] = _kmeans(sub, k, seed + j, iters)
+    return books
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantize each vector to ``m`` codebook indices:
+    ``(vec_id, code array<int>)`` — dim·4 bytes shrink to m bytes-ish,
+    the compression that lets a 100 TB embedding store fit a scan
+    budget.  One Arrow matmul per subspace per batch; codebooks ride
+    the closure."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    m, k, dsub = codebooks.shape
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c2 = (codebooks**2).sum(axis=2)  # (m, k)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Xj = X[:, j * dsub : (j + 1) * dsub]
+                d2 = (Xj**2).sum(axis=1)[:, None] - 2 * (Xj @ codebooks[j].T) + c2[j][None, :]
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vid"], "code": list(codes)})
+
+    src = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
+    return src.mapInPandas(fn, schema="vec_id long, code array<int>")
+
+
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC): each
+    query precomputes its (m, k_codes) distance table; a code's
+    approximate squared L2 distance is ``m`` table lookups summed —
+    no vector is ever decompressed.
+
+    ``(query_id, vec_id, adist, rank)``, ascending ``adist``.
+
+    Scale shape: queries are collected once (a query batch is small by
+    construction — same contract as ``brute_force_topk``); the code
+    table is scanned ONCE for all queries with per-batch numpy table
+    lookups, each task emitting only its per-query top-k partials, and
+    a final window ranks P·|Q|·k candidate rows — never |corpus|·|Q|.
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    m, kc, dsub = codebooks.shape
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    # distance tables: (|Q|, m, kc)
+    tables = np.empty((len(qids), m, kc), dtype=np.float64)
+    for j in range(m):
+        Qj = Q[:, j * dsub : (j + 1) * dsub]
+        c = codebooks[j]
+        tables[:, j, :] = (
+            (Qj**2).sum(axis=1)[:, None] - 2 * (Qj @ c.T) + (c**2).sum(axis=1)[None, :]
+        )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            n = len(pdf)
+            # adist[q, i] = sum_j tables[q, j, C[i, j]]
+            ad = np.zeros((len(qids), n), dtype=np.float64)
+            for j in range(m):
+                ad += tables[:, j, :][:, C[:, j]]
+            vids = pdf["vec_id"].to_numpy()
+            keep = min(k, n)
+            part = np.argpartition(ad, keep - 1, axis=1)[:, :keep]
+            out_q = np.repeat(qids, keep)
+            out_v = vids[part.reshape(-1)]
+            out_d = np.take_along_axis(ad, part, axis=1).reshape(-1)
+            yield pd.DataFrame({"query_id": out_q, "vec_id": out_v, "adist": out_d})
+
+    cands = codes.mapInPandas(fn, schema="query_id long, vec_id long, adist double")
+    w = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    return (
+        cands.where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("adist", F.round("adist", 6))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def pq_topk_refined(
+    embeddings: DataFrame,
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: np.ndarray,
+    k: int = 5,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """The standard two-stage PQ pipeline: ADC shortlist of
+    ``k·oversample`` candidates from the compressed codes, then EXACT
+    cosine re-rank of just those — compression pays for the scan, exact
+    math pays only for |Q|·k·oversample rows.
+
+    ``(query_id, vec_id, sim, rank)`` — same shape as the other top-k
+    operators, so it swaps in wherever ``ivf_topk``/``lsh_topk`` do.
+
+    The re-rank join hits the full-precision table on its ID (pushdown-
+    friendly point lookups via the broadcast shortlist); nothing
+    corpus-sized shuffles.
+    """
+    shortlist = pq_topk(
+        codes, queries, codebooks, k=k * oversample,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+    ).select("query_id", "vec_id")
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    full = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        F.broadcast(shortlist)
+        .join(full, "vec_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

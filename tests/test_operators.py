@@ -1663,3 +1663,71 @@ def test_mad_outliers_hand_computed(spark):
     assert len(out) == 1 and out[0]["id"] == 9
     assert abs(out[0]["mad_z"] - 0.6745 * (100 - 5.5) / 2.5) < 1e-6
     assert out[0]["grp"] == "g" and out[0]["value"] == 100.0
+
+
+def test_pq_exact_when_codebooks_are_lossless(spark):
+    """Vectors built on a lattice of <= k distinct subvectors per
+    subspace quantize losslessly, so ADC distance equals true squared
+    L2 and pq_topk equals the exact neighbor ranking."""
+    import itertools
+    import numpy as np
+
+    from plda_spark.operators import similarity as sim
+
+    pts = [(0.0, 0.0), (4.0, 0.0), (0.0, 4.0), (4.0, 4.0)]  # per-subspace lattice
+    vecs = [list(itertools.chain(*combo))
+            for combo in itertools.product(pts, repeat=3)]  # dim 6, 64 vectors
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<float>",
+    )
+    books = sim.pq_train(df, dim=6, m=3, k=4, train_sample=64)
+    # codebooks must recover the lattice exactly
+    for j in range(3):
+        got = {tuple(np.round(c, 6)) for c in books[j]}
+        assert got == {tuple(p) for p in pts}, (j, got)
+    codes = sim.pq_encode(df, books)
+    q = df.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    top = sim.pq_topk(codes, q, books, k=6).collect()
+    # true L2 ranking from vector 0 (ties broken by vec_id ascending)
+    v0 = np.array(vecs[0])
+    d = sorted(
+        (float(((np.array(v) - v0) ** 2).sum()), i)
+        for i, v in enumerate(vecs) if i != 0
+    )
+    want = [i for _, i in d[:6]]
+    got_ids = [r["vec_id"] for r in sorted(top, key=lambda r: r["rank"])]
+    assert got_ids == want
+    # adist equals the true squared distance (lossless codes)
+    for r in top:
+        assert abs(r["adist"] - ((np.array(vecs[r["vec_id"]]) - v0) ** 2).sum()) < 1e-6
+
+
+def test_pq_refined_recall_on_embeddings(spark, sf_dir):
+    """Two-stage ADC shortlist + exact re-rank must recover >= 80% of
+    the true cosine top-10 on the synthetic embeddings (deterministic
+    seeds; measured 0.88 at these settings)."""
+    from plda_spark.operators import similarity as sim
+
+    emb = sim.normalize_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    )
+    q = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    books = sim.pq_train(emb, dim=64, m=16, k=32)
+    codes = sim.pq_encode(emb, books)
+    got = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.pq_topk_refined(emb, codes, q, books, k=10, oversample=5).collect()
+    }
+    want = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.brute_force_topk(emb, q, k=10).collect()
+    }
+    assert len(got & want) / len(want) >= 0.8
+    import pytest as _p
+    with _p.raises(ValueError):
+        sim.pq_train(emb, dim=64, m=7)

@@ -1,8 +1,10 @@
 """Sources and sinks: parquet tables, plda text format, UCI bag-of-words,
-JSONL and CSV (both with corrupt-row quarantine), sharded/bucketed sinks."""
+JSONL and CSV (both with corrupt-row quarantine), sharded/bucketed sinks,
+and a date-partitioned sink with pruning-pinned reads."""
 
 from .csv import read_csv, read_csv_with_errors, write_csv  # noqa: F401
 from .jsonl import read_jsonl, read_jsonl_with_errors, write_dataset  # noqa: F401
+from .partitioned import read_partitioned, write_partitioned_by_day  # noqa: F401
 from .plda_text import read_plda_corpus, write_plda_corpus  # noqa: F401
 from .tables import load_all, load_table  # noqa: F401
 from .uci import read_uci_docword, uci_to_corpus  # noqa: F401
@@ -14,6 +16,8 @@ __all__ = [
     "read_jsonl",
     "read_jsonl_with_errors",
     "write_dataset",
+    "read_partitioned",
+    "write_partitioned_by_day",
     "read_plda_corpus",
     "write_plda_corpus",
     "load_all",

@@ -301,3 +301,31 @@ def test_ewma_is_one_shuffle(spark):
     s = plan_summary(stats.ewma(df, "k", "t", "v"))
     # one physical Exchange (tree + detail section = 2 matches)
     assert s["exchanges"] == 2, s["plan"]
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """A day-equality read of a date-partitioned write must prune at
+    the directory level: the predicate appears under PartitionFilters
+    and the scan touches exactly one partition's files."""
+    import pyspark.sql.functions as F
+
+    from plda_spark.sources import read_partitioned, write_partitioned_by_day
+    from plda_spark.sources.tables import load_table
+
+    path = str(tmp_path / "events_by_day")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    write_partitioned_by_day(ev, path)
+    one_day = read_partitioned(
+        spark, path, F.col("event_date") == "2024-01-03"
+    )
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
+    # pruning is real: the one-day scan reads fewer files than the full scan
+    full = read_partitioned(spark, path)
+    n_day = one_day.count()
+    assert 0 < n_day < full.count()
+    got_days = one_day.select("event_date").distinct().collect()
+    # partition-column type inference reads the directory value back as a date
+    assert [str(r["event_date"]) for r in got_days] == ["2024-01-03"]

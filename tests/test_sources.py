@@ -192,3 +192,21 @@ def test_write_dataset_orc_roundtrip(spark, tmp_path):
     a = {r["doc_id"]: (r["text"], r["lang"]) for r in back.collect()}
     b = {r["doc_id"]: (r["text"], r["lang"]) for r in docs.collect()}
     assert a == b
+
+
+def test_run_sql_over_registered_tables(spark):
+    from plda_spark.sql import register_tables, run_sql
+
+    names = register_tables(spark, "/root/testdata/sf0.001")
+    assert "lineitem" in names and "documents" in names
+    df = run_sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """
+        SELECT n_name, count(*) AS n
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n DESC, n_name LIMIT 3
+        """,
+    )
+    rows = df.collect()
+    assert len(rows) == 3 and all(r["n"] > 0 for r in rows)

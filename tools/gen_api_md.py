@@ -33,6 +33,7 @@ MODULES = [
     ("plda_spark.operators.multimodal", "Multimodal binary columns"),
     ("plda_spark.streaming.windows", "Structured Streaming operators"),
     ("plda_spark.sources", "Sources and sinks"),
+    ("plda_spark.sql", "SQL entry point"),
     ("plda_spark.plans.audit", "Plan-shape auditing"),
 ]
 

@@ -37,6 +37,8 @@ __all__ = [
     "fill_daily_gaps",
     "histogram",
     "ewma",
+    "hll_daily_sketches",
+    "hll_estimate_range",
 ]
 
 
@@ -477,4 +479,51 @@ def mad_outliers(
             "value",
             F.round(score, 6).alias("mad_z"),
         )
+    )
+
+
+def hll_daily_sketches(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-day mergeable HyperLogLog sketches of distinct ``key_col``:
+    ``(day, sketch)`` — the materialize-once answer to "distinct users
+    over ANY date range".
+
+    An exact distinct over an arbitrary window re-scans the raw log
+    every time; COUNT sketches don't compose (distincts overlap across
+    days).  Datasketches HLL sketches DO: union(day sketches) is
+    bit-identical to sketching the span in one pass, so a 100 TB log is
+    scanned once and every future range query touches only |days|
+    kilobyte-sized sketch rows.  One map-side-combined aggregation
+    (sketch partials merge associatively); store the output as the
+    rollup table.
+    """
+    day = F.to_date(F.col(ts_col)).cast("string")
+    return (
+        df.select(day.alias("day"), F.col(key_col).alias("__k"))
+        .groupBy("day")
+        .agg(F.hll_sketch_agg("__k", F.lit(lg_k)).alias("sketch"))
+    )
+
+
+def hll_estimate_range(
+    sketches: DataFrame,
+    start_day: str | None = None,
+    end_day: str | None = None,
+) -> DataFrame:
+    """Distinct-count estimate over a day range from a
+    :func:`hll_daily_sketches` rollup: filter the (tiny) sketch table,
+    union, estimate — ``(n_distinct)``, one row.  Never touches the raw
+    log; the range filter prunes sketch rows, and the union is a
+    single-row aggregation."""
+    src = sketches
+    if start_day is not None:
+        src = src.where(F.col("day") >= start_day)
+    if end_day is not None:
+        src = src.where(F.col("day") <= end_day)
+    return src.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_distinct")
     )

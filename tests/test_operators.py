@@ -1731,3 +1731,32 @@ def test_pq_refined_recall_on_embeddings(spark, sf_dir):
     import pytest as _p
     with _p.raises(ValueError):
         sim.pq_train(emb, dim=64, m=7)
+
+
+def test_hll_rollup_merges_exactly_and_estimates_closely(spark, sf_dir):
+    from plda_spark.operators import stats
+    from plda_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = stats.hll_daily_sketches(ev).cache()
+    # mergeability: union of per-day sketches == one-shot sketch (same
+    # algorithm, associative merge -> identical estimate, not just close)
+    whole = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    merged = stats.hll_estimate_range(daily).collect()[0]["n_distinct"]
+    assert merged == whole
+    # accuracy: within 5% of the exact distinct count
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05
+    # range query: subrange estimate equals sketching just that span
+    sub = stats.hll_estimate_range(daily, "2024-01-05", "2024-01-10").collect()[0]["n_distinct"]
+    span = ev.where(
+        (F.to_date("ts").cast("string") >= "2024-01-05")
+        & (F.to_date("ts").cast("string") <= "2024-01-10")
+    )
+    span_direct = span.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12))).alias("e")
+    ).collect()[0]["e"]
+    assert sub == span_direct
+    daily.unpersist()

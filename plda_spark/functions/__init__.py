@@ -15,8 +15,9 @@ from plda_spark.operators.dedup import _md5_long as md5_long
 from plda_spark.operators.sampling import hash_bucket
 from plda_spark.operators.similarity import cosine
 from plda_spark.operators.text import tokens_col
+from plda_spark.operators.web import normalize_url_col
 
-__all__ = ["cosine", "md5_long", "tokens_col", "hash_bucket", "ngrams"]
+__all__ = ["cosine", "md5_long", "tokens_col", "hash_bucket", "ngrams", "normalize_url_col"]
 
 
 def ngrams(tokens: Column, n: int) -> Column:

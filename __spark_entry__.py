@@ -1660,6 +1660,36 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_mad_outliers"] = stats_mad_outliers
 
+    def curation_pipeline(spark, sf):
+        """The END-TO-END curation pipeline in one verified composition:
+        quality filter stack → exact dedup (keep first) → benchmark
+        decontamination (5-gram overlap) → per-source mixture
+        downsampling — each stage an already-verified operator; this
+        query pins that they COMPOSE (lazy DataFrame views chain into
+        one Catalyst plan, filters pushed through every stage)."""
+        from plda_spark.operators import curation, dedup
+        from plda_spark.operators.sampling import stratified_hash_sample
+
+        docs = load_table(spark, sf, "documents")
+        rules = [
+            ("min_chars", F.col("n_chars") >= 200),
+            ("has_alpha", F.col("text").rlike("[a-z]")),
+        ]
+        survivors, _ = curation.apply_filters(docs, rules)
+        deduped = dedup.keep_best(survivors, ["doc_id"])
+        bench = docs.where(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+        clean = dedup.decontaminate(
+            deduped.select("doc_id", "text", "lang", "source", "n_chars"),
+            bench,
+            n=5,
+        )
+        final = stratified_hash_sample(
+            clean, "source", {"src1": 100, "src5": 50}, default_pct=25
+        )
+        return final.select("doc_id", "source", "lang", "n_chars")
+
+    q["curation_pipeline"] = curation_pipeline
+
     # ---- contract composites (one slot, several operators; the full
     # row-level outputs of each constituent stay verified standalone in
     # the extras registry) -------------------------------------------------
@@ -3350,6 +3380,40 @@ FROM dev JOIN mad USING (event_type)
 WHERE mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
 """
 
+    # End-to-end pipeline twin: filters → md5 keep-first dedup → 5-gram
+    # decontamination (benchmark = raw docs ≡ 3 mod 97) → per-source
+    # hash-bucket mixture.  Each stage replays its standalone oracle.
+    o["curation_pipeline"] = f"""
+WITH base AS (
+  SELECT doc_id, text, lang, source, n_chars FROM documents
+  WHERE coalesce(n_chars >= 200, false)
+    AND coalesce(regexp_matches(text, '[a-z]'), false)
+),
+dd AS (
+  SELECT doc_id, text, lang, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM base
+  ) WHERE rn = 1
+),
+toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM dd),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t) - 3),
+                               i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  FROM toks WHERE len(t) >= 5
+),
+btoks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents WHERE doc_id % 97 = 3),
+bsh AS (
+  SELECT DISTINCT unnest(list_transform(range(1, len(t) - 3),
+                                        i -> array_to_string(t[i:i+4], ' '))) AS shingle
+  FROM btoks WHERE len(t) >= 5
+),
+hits AS (SELECT DISTINCT doc_id FROM sh WHERE shingle IN (SELECT shingle FROM bsh)),
+clean AS (SELECT * FROM dd WHERE doc_id NOT IN (SELECT doc_id FROM hits))
+SELECT doc_id, source, lang, n_chars FROM clean
+WHERE {_bucket} < CASE source WHEN 'src1' THEN 100 WHEN 'src5' THEN 50 ELSE 25 END
+"""
+
     # ---- contract-composite oracles (built from the standalone bodies
     # above so both registries verify the identical semantics) -----------
 
@@ -3545,6 +3609,7 @@ EXTRA_QUERIES: list[str] = [
     "sample_reservoir",
     "graph_triangles",
     "stats_mad_outliers",
+    "curation_pipeline",
 ]
 
 

@@ -1263,6 +1263,19 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_mixture"] = curation_mixture
 
+    def curation_dsir(spark, sf):
+        """DSIR importance log-weights (hashed-unigram likelihood ratio,
+        Xie et al. 2023): target = the English subset, raw = the whole
+        corpus, 1000 md5 buckets, Laplace smoothing 1.0."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents")
+        return curation.dsir_weights(
+            docs, docs.where(F.col("lang") == "en"), num_buckets=1000
+        )
+
+    q["curation_dsir"] = curation_dsir
+
     # ---- relational breadth: TPC-H-style q7 / q10 / q18 --------------------
 
     def q7_volume_shipping(spark, sf):
@@ -3134,6 +3147,35 @@ SELECT source, n_tokens, ROUND(share, 6) AS share, ROUND(target, 6) AS target,
 FROM r CROSS JOIN m
 """
 
+    o["curation_dsir"] = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) % 1000 AS bucket
+  FROM tok
+),
+qr AS (SELECT bucket, count(*) AS c_raw FROM b GROUP BY bucket),
+pt AS (
+  SELECT bucket, count(*) AS c_tgt
+  FROM b JOIN documents d USING (doc_id) WHERE d.lang = 'en'
+  GROUP BY bucket
+),
+nr AS (SELECT sum(c_raw) AS n_raw FROM qr),
+nt AS (SELECT sum(c_tgt) AS n_tgt FROM pt),
+w AS (
+  SELECT qr.bucket,
+         ln((coalesce(c_tgt, 0) + 1.0) / (n_tgt + 1000.0))
+           - ln((c_raw + 1.0) / (n_raw + 1000.0)) AS lw
+  FROM qr LEFT JOIN pt USING (bucket), nr, nt
+),
+pd AS (SELECT doc_id, bucket, count(*) AS c FROM b GROUP BY 1, 2)
+SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+       round(sum(c * lw), 6) AS dsir_logweight
+FROM pd JOIN w USING (bucket) GROUP BY doc_id
+"""
+
     o["q18_large_orders"] = """
 WITH big AS (
   SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
@@ -3610,6 +3652,7 @@ EXTRA_QUERIES: list[str] = [
     "graph_triangles",
     "stats_mad_outliers",
     "curation_pipeline",
+    "curation_dsir",
 ]
 
 

@@ -23,7 +23,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["apply_filters", "mixture_rates", "calibrate_scores"]
+__all__ = [
+    "apply_filters",
+    "mixture_rates",
+    "calibrate_scores",
+    "dsir_weights",
+    "dsir_select",
+]
 
 
 def apply_filters(
@@ -185,3 +191,120 @@ def calibrate_scores(
 
     w = Window.partitionBy(group_col).orderBy(F.col(score_col))
     return docs.withColumn(out_col, F.percent_rank().over(w))
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    num_buckets: int = 10_000,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DSIR importance log-weights (Xie et al., "Data
+    Selection for Language Models via Importance Resampling", NeurIPS
+    2023 — public paper; no reference-repo counterpart, the reference is
+    an LDA trainer).
+
+    Both the raw corpus and the (much smaller) ``target`` exemplar set
+    are reduced to hashed-unigram bag-of-words distributions over
+    ``num_buckets`` md5 buckets with add-``smoothing`` Laplace
+    estimates; each raw document's weight is the log-likelihood ratio
+
+        ``log w(d) = sum_b c_d(b) * (log p_target(b) - log q_raw(b))``
+
+    Resampling raw data proportionally to ``w`` approximates sampling
+    from the target distribution.  ``dsir_select`` applies the
+    deterministic top-quota variant.
+
+    Returns ``(doc_id, n_toks, dsir_logweight)`` with the weight rounded
+    to 6 decimals for cross-engine hash stability.
+
+    Scale shape: tokenization is a per-row projection; the two
+    distribution estimates are map-side-combined aggregations producing
+    at most ``num_buckets`` rows each, joined into one tiny weight table
+    that is **broadcast** to the per-doc bucket counts (the corpus
+    shuffles once, on ``(doc_id, bucket)``, for the per-doc counts —
+    partial-aggregated before the exchange).  Nothing is ever collected
+    to the driver and no corpus-sized table is ever on the build side.
+    """
+    from plda_spark.lda.corpus import tokenize
+    from plda_spark.operators.sampling import hash_bucket
+
+    if num_buckets <= 0:
+        raise ValueError("num_buckets must be positive")
+    if smoothing <= 0:
+        raise ValueError("smoothing must be positive (Laplace estimate)")
+
+    def bucketed(src: DataFrame) -> DataFrame:
+        return tokenize(src, text_col=text_col, id_col=id_col).select(
+            F.col("doc_id"),
+            hash_bucket(F.col("word"), num_buckets).alias("bucket"),
+        )
+
+    # Distribution estimates: |buckets|-row tables (bounded, tiny).
+    q_raw = bucketed(docs).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    p_tgt = bucketed(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
+    n_raw = q_raw.agg(F.sum("c_raw").alias("n_raw"))
+    n_tgt = p_tgt.agg(F.sum("c_tgt").alias("n_tgt"))
+    b = float(num_buckets)
+    weights = (
+        q_raw.join(p_tgt, "bucket", "full_outer")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("c_tgt"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("n_tgt") + F.lit(smoothing * b))
+                )
+                - F.log(
+                    (F.coalesce(F.col("c_raw"), F.lit(0)) + F.lit(smoothing))
+                    / (F.col("n_raw") + F.lit(smoothing * b))
+                )
+            ).alias("lw"),
+        )
+    )
+
+    per_doc = bucketed(docs).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_doc.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_toks"),
+            F.round(F.sum(F.col("c") * F.col("lw")), 6).alias("dsir_logweight"),
+        )
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: DataFrame,
+    quota: int,
+    num_buckets: int = 10_000,
+    smoothing: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic DSIR selection: the ``quota`` raw documents with the
+    highest importance log-weight (ties broken by ``doc_id`` so the
+    output is partition-invariant).  The paper's Gumbel-top-k resampling
+    variant is one extra seeded-noise column on top of this; the
+    deterministic form is the hash-stable one.
+
+    Scale shape: ``dsir_weights`` plus a TakeOrdered top-k (per-partition
+    heaps, no global sort materialization) and one broadcast semi-join
+    back to the full rows.
+    """
+    w = dsir_weights(docs, target, num_buckets, smoothing, text_col, id_col)
+    chosen = (
+        w.orderBy(F.desc("dsir_logweight"), F.asc("doc_id"))
+        .limit(int(quota))
+        .select("doc_id", "dsir_logweight")
+    )
+    return docs.join(
+        F.broadcast(chosen.withColumnRenamed("doc_id", id_col)), id_col, "inner"
+    )

@@ -53,7 +53,14 @@ def read_plda_corpus(spark: SparkSession, path: str) -> DataFrame:
             F.explode(
                 F.arrays_zip(
                     F.transform(pairs, lambda s: s["tok"]).alias("word"),
-                    F.transform(counts, lambda s: s["tok"].cast("int")).alias("count"),
+                    # try_cast: a malformed count (or a dangling word with no
+                    # count) yields NULL and the pair is dropped below —
+                    # the reference's atoi() returns 0 for garbage and the
+                    # occurrence loop then adds nothing (lda.cc:61-79), so
+                    # silent-skip is parity; ANSI cast would abort the job.
+                    F.transform(counts, lambda s: s["tok"].try_cast("int")).alias(
+                        "count"
+                    ),
                 )
             ).alias("p"),
         )

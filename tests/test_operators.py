@@ -1760,3 +1760,51 @@ def test_hll_rollup_merges_exactly_and_estimates_closely(spark, sf_dir):
     ).collect()[0]["e"]
     assert sub == span_direct
     daily.unpersist()
+
+
+def test_dsir_weights_favor_target_distribution(spark):
+    """Docs written in the target's vocabulary must out-score docs written
+    in the off-target vocabulary, and weights must be finite for tokens
+    unseen in the target (Laplace smoothing)."""
+    from plda_spark.operators import curation
+
+    target_words = "alpha beta gamma delta epsilon"
+    offtarget_words = "zork quux blarg wibble frotz"
+    rows = [
+        (0, target_words, "t"),
+        (1, target_words + " alpha beta", "t"),
+        (2, offtarget_words, "o"),
+        (3, offtarget_words + " zork quux", "o"),
+        (4, "alpha beta zork", "mixed"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, kind string")
+    target = docs.where(docs.kind == "t")
+    w = {
+        r["doc_id"]: r["dsir_logweight"]
+        for r in curation.dsir_weights(docs, target, num_buckets=64).collect()
+    }
+    assert len(w) == 5 and all(v == v for v in w.values())  # finite, no NaN
+    assert min(w[0], w[1]) > w[4] > max(w[2], w[3])
+
+    sel = curation.dsir_select(docs, target, quota=2, num_buckets=64)
+    assert {r["doc_id"] for r in sel.select("doc_id").collect()} == {0, 1}
+    assert set(sel.columns) == set(docs.columns) | {"dsir_logweight"}
+
+    with pytest.raises(ValueError):
+        curation.dsir_weights(docs, target, num_buckets=0)
+    with pytest.raises(ValueError):
+        curation.dsir_weights(docs, target, smoothing=0.0)
+
+
+def test_dsir_weight_table_is_broadcast(spark):
+    """The bucket-weight table must reach the per-doc counts via a
+    broadcast join — the corpus must never be the build side."""
+    from plda_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(10)], "doc_id long, text string"
+    )
+    plan = curation.dsir_weights(
+        docs, docs.limit(5), num_buckets=32
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

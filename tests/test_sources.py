@@ -210,3 +210,24 @@ def test_run_sql_over_registered_tables(spark):
     )
     rows = df.collect()
     assert len(rows) == 3 and all(r["n"] > 0 for r in rows)
+
+
+def test_plda_reader_tolerates_malformed_counts(spark, tmp_path):
+    """A garbage count token must drop that pair (reference atoi()->0
+    semantics, lda.cc:61-79), never abort the job under ANSI cast; a
+    line with an odd token count loses only its dangling pair."""
+    p = tmp_path / "corpus.txt"
+    p.write_text(
+        "# header\n"
+        "good 2 fine 1\n"
+        "concert music 2 ticket 1\n"   # every pair misaligned -> all drop
+        "word NaNish 3\n"              # (word,NaNish)->drop, dangling 3
+        "ok 1 bad x tail 4\n"          # good pairs survive around a bad one
+    )
+    from plda_spark.sources.plda_text import read_plda_corpus
+
+    got = {
+        (r["doc_id"], r["word"]): r["count"]
+        for r in read_plda_corpus(spark, str(p)).collect()
+    }
+    assert got == {(0, "good"): 2, (0, "fine"): 1, (3, "ok"): 1, (3, "tail"): 4}

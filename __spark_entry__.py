@@ -1089,6 +1089,14 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_keep_best"] = dedup_keep_best_q
 
+    def dedup_spans_q(spark, sf):
+        """Sub-document exact span dedup (Lee et al. 2022 granularity):
+        10-token spans over the planted-dup corpus — full copies lose
+        every span, 80%-prefix copies lose their shared leading spans."""
+        return dedup.dedup_spans(_docs_with_dupes(spark, sf), span_tokens=10)
+
+    q["dedup_spans"] = dedup_spans_q
+
     # ---- engine extensions: embedding clustering ---------------------------
 
     def ml_kmeans_assign(spark, sf):
@@ -2910,6 +2918,40 @@ r AS (
 SELECT doc_id, text FROM r WHERE rn = 1
 """
 
+    # Sub-document exact span dedup: first occurrence of each 10-token span.
+    o["dedup_spans"] = f"""
+WITH {_SQL_DOCS_DUP},
+base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM docs
+  WHERE len({_SQL_TOKS}) >= 1
+),
+sp AS (
+  SELECT doc_id, i - 1 AS span_idx,
+         array_to_string(toks[(i-1)*10+1 : (i-1)*10+10], ' ') AS span
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, CAST(ceil(len(toks) / 10.0) AS INT) + 1)) AS i
+    FROM base
+  )
+),
+d AS (
+  SELECT doc_id, span_idx, span,
+         row_number() OVER (PARTITION BY md5(span)
+                            ORDER BY doc_id, span_idx) AS rn
+  FROM sp
+),
+tot AS (SELECT doc_id, count(*) AS n_spans FROM d GROUP BY doc_id),
+kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         md5(string_agg(span, ' ' ORDER BY span_idx)) AS dedup_digest
+  FROM d WHERE rn = 1 GROUP BY doc_id
+)
+SELECT tot.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+       coalesce(dedup_digest, md5('')) AS dedup_digest
+FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+"""
+
     # Nearest pinned centroid (embeddings of vec_id 0..7), L2 distance.
     o["ml_kmeans_assign"] = """
 WITH c AS (SELECT vec_id AS cl, embedding AS ce FROM embeddings WHERE vec_id < 8),
@@ -3653,6 +3695,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_mad_outliers",
     "curation_pipeline",
     "curation_dsir",
+    "dedup_spans",
 ]
 
 

@@ -1808,3 +1808,33 @@ def test_dsir_weight_table_is_broadcast(spark):
         docs, docs.limit(5), num_buckets=32
     )._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_spans_first_occurrence_semantics(spark):
+    from plda_spark.operators import dedup
+
+    rows = [
+        (0, "aa bb cc dd"),        # spans (k=2): "aa bb", "cc dd"
+        (1, "aa bb cc dd"),        # exact copy: keeps nothing
+        (2, "cc dd ee ff"),        # shares "cc dd" with doc 0 -> keeps "ee ff"
+        (3, "gg hh gg hh"),        # within-doc repeat: keeps first only
+        (4, "!!"),                 # tokenizes to nothing -> excluded
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"], r["dedup_digest"])
+        for r in dedup.dedup_spans(docs, span_tokens=2).collect()
+    }
+    assert set(got) == {0, 1, 2, 3}
+    assert got[0][:2] == (2, 2)
+    assert got[1][:2] == (2, 0)
+    assert got[2][:2] == (2, 1)
+    assert got[3][:2] == (2, 1)
+    import hashlib
+
+    assert got[2][2] == hashlib.md5(b"ee ff").hexdigest()
+    assert got[1][2] == hashlib.md5(b"").hexdigest()
+    assert got[3][2] == hashlib.md5(b"gg hh").hexdigest()
+
+    with pytest.raises(ValueError):
+        dedup.dedup_spans(docs, span_tokens=0)

@@ -914,6 +914,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_asof"] = join_asof_purchase_view
 
+    def join_asof_forward(spark, sf):
+        """Forward as-of join: each purchase picks the same user's
+        EARLIEST view at-or-after it (next-touch attribution)."""
+        from plda_spark.operators import joins
+
+        ev = load_table(spark, sf, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("view_id"))
+        )
+        return joins.as_of_join(purchases, views, on="user_id", direction="forward")
+
+    q["join_asof_forward"] = join_asof_forward
+
     def join_range_buckets(spark, sf):
         """Binned point-in-interval join (operators.joins.range_join):
         order keys (mod 10000) land in overlapping supplier-derived
@@ -2641,6 +2659,18 @@ SELECT p.purchase_id, p.user_id, p.ts, v.ts AS right_ts, v.view_id AS right_view
 FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
+    o["join_asof_forward"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT p.purchase_id, p.user_id, p.ts, v.ts AS right_ts, v.view_id AS right_view_id
+FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+"""
+
     # Point-in-interval join: the binned equi-join must equal the naive
     # theta join.
     o["join_range"] = """
@@ -3696,6 +3726,7 @@ EXTRA_QUERIES: list[str] = [
     "curation_pipeline",
     "curation_dsir",
     "dedup_spans",
+    "join_asof_forward",
 ]
 
 

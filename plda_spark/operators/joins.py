@@ -48,10 +48,15 @@ def as_of_join(
     right_ts: str = "ts",
     tolerance: Column | None = None,
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: each left row picks the latest right row with
-    ``right_ts <= left_ts`` for the same ``on`` key (time-series
-    point-in-time lookup — the operator Spark's join zoo lacks).
+    """As-of join: each left row picks, for the same ``on`` key, the
+    latest right row with ``right_ts <= left_ts`` (``direction=
+    "backward"``, the default), the earliest right row with ``right_ts
+    >= left_ts`` (``"forward"``), or whichever of the two is closer in
+    time with backward winning exact ties (``"nearest"``) — the
+    time-series point-in-time lookup Spark's join zoo lacks, with the
+    same three directions as pandas ``merge_asof``.
 
     Implementation is the union-window ("piggyback") plan, not a range
     join: tag both inputs, union them, and carry the last-seen right
@@ -70,11 +75,18 @@ def as_of_join(
     matches older than the bound, like pandas ``merge_asof``.
 
     Right columns are emitted with a ``right_`` prefix (except the key).
+
+    ``forward`` is the same union-window plan scanned in descending time
+    order; ``nearest`` runs both scans — two sorts but ONE shuffle, the
+    second window reuses the key partitioning — and keeps the closer
+    match per row.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be 'backward', 'forward', or 'nearest'")
     r_payload = [c for c in right.columns if c != on]
-    order = [F.col("__ts"), F.col("__side")] + (
-        [F.col(tiebreak).asc_nulls_first()] if tiebreak else []
-    )
+    tb = [F.col(tiebreak).asc_nulls_first()] if tiebreak else []
+    order_b = [F.col("__ts").asc(), F.col("__side").asc(), *tb]
+    order_f = [F.col("__ts").desc(), F.col("__side").asc(), *tb]
     r = right.select(
         F.col(on),
         F.col(right_ts).alias("__ts"),
@@ -92,22 +104,45 @@ def as_of_join(
           if tiebreak and tiebreak not in left.columns else []),
     )
     u = lt.unionByName(r, allowMissingColumns=True)
-    w = (
-        Window.partitionBy(on)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = u.withColumn("__m", F.last("__r", ignorenulls=True).over(w)).where(
-        F.col("__side") == 1
-    )
-    if tolerance is not None:
+
+    def scan(order: list[Column], name: str) -> Column:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last("__r", ignorenulls=True).over(w).alias(name)
+
+    def gate(m: Column, backward: bool) -> Column:
+        """NULL out matches beyond the tolerance bound."""
+        if tolerance is None:
+            return m
+        delta = (
+            (F.col("__ts") - m[right_ts]) if backward else (m[right_ts] - F.col("__ts"))
+        )
+        return F.when(m.isNotNull() & (delta <= tolerance), m)
+
+    if direction == "backward":
+        matched = u.select("*", scan(order_b, "__m")).where(F.col("__side") == 1)
+        matched = matched.withColumn("__m", gate(F.col("__m"), backward=True))
+    elif direction == "forward":
+        matched = u.select("*", scan(order_f, "__m")).where(F.col("__side") == 1)
+        matched = matched.withColumn("__m", gate(F.col("__m"), backward=False))
+    else:  # nearest
+        matched = u.select("*", scan(order_b, "__mb"), scan(order_f, "__mf")).where(
+            F.col("__side") == 1
+        )
+        mb = gate(F.col("__mb"), backward=True)
+        mf = gate(F.col("__mf"), backward=False)
+        # Closer match wins; exact ties go backward (pandas semantics).
         matched = matched.withColumn(
             "__m",
-            F.when(
-                F.col("__m").isNotNull()
-                & ((F.col("__ts") - F.col(f"__m.{right_ts}")) <= tolerance),
-                F.col("__m"),
-            ),
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(
+                (F.col("__ts") - mb[right_ts]) <= (mf[right_ts] - F.col("__ts")), mb
+            )
+            .otherwise(mf),
         )
     out = [F.col(c) for c in left.columns] + [
         F.col(f"__m.{c}").alias(f"right_{c}") for c in r_payload

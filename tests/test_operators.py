@@ -1838,3 +1838,41 @@ def test_dedup_spans_first_occurrence_semantics(spark):
 
     with pytest.raises(ValueError):
         dedup.dedup_spans(docs, span_tokens=0)
+
+
+def test_asof_join_forward_and_nearest(spark):
+    """Forward picks the earliest right row at-or-after; nearest picks the
+    closer side with backward winning exact ties; tolerance gates both."""
+    from plda_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 100), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 8, "a"), (1, 20, "b"), (1, 30, "c"), (2, 50, "z")],
+        "k long, ts long, v string",
+    )
+
+    fwd = {
+        (r["k"], r["ts"]): r["right_v"]
+        for r in joins.as_of_join(left, right, on="k", direction="forward").collect()
+    }
+    assert fwd == {(1, 10): "b", (1, 25): "c", (1, 100): None, (2, 5): "z"}
+
+    near = {
+        (r["k"], r["ts"]): r["right_v"]
+        for r in joins.as_of_join(left, right, on="k", direction="nearest").collect()
+    }
+    # ts=25: backward b at 20 (d=5) beats forward c at 30 (d=5) on the tie
+    assert near == {(1, 10): "a", (1, 25): "b", (1, 100): "c", (2, 5): "z"}
+
+    tol = {
+        (r["k"], r["ts"]): r["right_v"]
+        for r in joins.as_of_join(
+            left, right, on="k", direction="nearest", tolerance=F.lit(10)
+        ).collect()
+    }
+    assert tol == {(1, 10): "a", (1, 25): "b", (1, 100): None, (2, 5): None}
+
+    with pytest.raises(ValueError):
+        joins.as_of_join(left, right, on="k", direction="sideways")

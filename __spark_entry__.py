@@ -1548,6 +1548,22 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_histogram"] = stats_histogram
 
+    def stats_cms_range(spark, sf):
+        """Count-Min rollup: per-day sketches of user activity (depth 4,
+        width 256) merged over Jan 8-22, probed for every distinct user
+        — estimates are upper bounds on true counts, identical across
+        engines because the hash family is md5-derived."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        sk = stats.cms_daily_sketches(ev, "user_id", "ts", depth=4, width=256)
+        users = ev.select(F.col("user_id").alias("key")).distinct()
+        return stats.cms_estimate(
+            sk, users, width=256, start_day="2024-01-08", end_day="2024-01-22"
+        )
+
+    q["stats_cms_range"] = stats_cms_range
+
     def web_url_dedup(spark, sf):
         """URL canonicalization + crawl dedup: two spellings of every
         document URL (tracking params, mixed-case host, default port,
@@ -2982,6 +2998,30 @@ SELECT tot.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
 FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
 """
 
+    # Count-Min rollup merged over a day range, probed per distinct user.
+    o["stats_cms_range"] = """
+WITH days AS (SELECT unnest(range(0, 4)) AS d),
+sk AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, days.d AS d,
+         CAST(('0x' || substr(md5(CAST(days.d AS VARCHAR) || ':' ||
+               CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket,
+         count(*) AS c
+  FROM events, days GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT d, bucket, sum(c) AS c FROM sk
+  WHERE day >= '2024-01-08' AND day <= '2024-01-22' GROUP BY d, bucket
+),
+probes AS (
+  SELECT u.key, days.d AS d,
+         CAST(('0x' || substr(md5(CAST(days.d AS VARCHAR) || ':' ||
+               CAST(u.key AS VARCHAR)), 1, 15)) AS BIGINT) % 256 AS bucket
+  FROM (SELECT DISTINCT user_id AS key FROM events) u, days
+)
+SELECT key, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+FROM probes LEFT JOIN merged USING (d, bucket) GROUP BY key
+"""
+
     # Nearest pinned centroid (embeddings of vec_id 0..7), L2 distance.
     o["ml_kmeans_assign"] = """
 WITH c AS (SELECT vec_id AS cl, embedding AS ce FROM embeddings WHERE vec_id < 8),
@@ -3727,6 +3767,7 @@ EXTRA_QUERIES: list[str] = [
     "curation_dsir",
     "dedup_spans",
     "join_asof_forward",
+    "stats_cms_range",
 ]
 
 

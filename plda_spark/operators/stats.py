@@ -39,6 +39,8 @@ __all__ = [
     "ewma",
     "hll_daily_sketches",
     "hll_estimate_range",
+    "cms_daily_sketches",
+    "cms_estimate",
 ]
 
 
@@ -526,4 +528,119 @@ def hll_estimate_range(
         src = src.where(F.col("day") <= end_day)
     return src.agg(
         F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("n_distinct")
+    )
+
+
+def _cms_bucket(key, row: int, width: int):
+    """Row-``row`` CMS bucket of ``key``: md5-derived, so the DuckDB twin
+    is ``CAST('0x' || substr(md5(row || ':' || key), 1, 15) AS BIGINT) %
+    width`` — bit-identical across engines."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{row}:"), key.cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % width
+
+
+def cms_daily_sketches(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Per-day mergeable Count-Min sketches (Cormode & Muthukrishnan
+    2005) of ``key_col`` frequencies, in sparse row form:
+    ``(day, d, bucket, c)`` — the materialize-once answer to "how often
+    did key X occur over ANY date range".
+
+    Counts (unlike distincts) ARE additive, but re-scanning a 100 TB
+    log for every ad-hoc key/range probe is the cost being removed: the
+    rollup is at most ``|days| * depth * width`` rows regardless of
+    input size, and a range estimate touches only the rollup.  Merging
+    = summing ``c`` by ``(d, bucket)`` — associative, so day sketches
+    compose into arbitrary spans exactly like the HLL rollup.
+
+    Estimates from :func:`cms_estimate` are upper bounds:
+    ``true <= est <= true + 2N/width`` with probability ``1 - 2^-depth``
+    (N = total events in range).  One map-side-combined aggregation
+    builds the rollup; the hash family is md5-derived so the DuckDB
+    oracle reproduces it bit-for-bit.
+    """
+    if depth < 1 or width < 1:
+        raise ValueError("depth and width must be >= 1")
+    day = F.to_date(F.col(ts_col)).cast("string")
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                _cms_bucket(F.col(key_col), d, width).alias("bucket"),
+            )
+            for d in range(depth)
+        ]
+    )
+    return (
+        df.select(day.alias("day"), F.explode(rows).alias("r"))
+        .groupBy("day", F.col("r.d").alias("d"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    sketches: DataFrame,
+    keys: DataFrame,
+    key_col: str = "key",
+    width: int = 1024,
+    start_day: str | None = None,
+    end_day: str | None = None,
+) -> DataFrame:
+    """Frequency estimates for ``keys`` over a day range of a
+    :func:`cms_daily_sketches` rollup: ``(key, est)``.
+
+    Filters the rollup to the range, sums counts by ``(d, bucket)``
+    (the sketch merge), joins each query key's ``depth`` buckets
+    against the merged sketch, and takes the min across rows — never
+    touching the raw log.  The merged sketch is at most
+    ``depth * width`` rows, so the join is a broadcast; a bucket with
+    no row is a zero count (min wins immediately).
+
+    ``width`` must match the rollup's.  ``depth`` is inferred from the
+    rollup rows.
+    """
+    src = sketches
+    if start_day is not None:
+        src = src.where(F.col("day") >= start_day)
+    if end_day is not None:
+        src = src.where(F.col("day") <= end_day)
+    merged = src.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
+    depth_df = merged.agg((F.max("d") + 1).alias("__depth"))
+    probes = (
+        keys.crossJoin(F.broadcast(depth_df))
+        .select(
+            F.col(key_col).alias("key"),
+            F.explode(F.sequence(F.lit(0), F.col("__depth") - 1)).alias("d"),
+        )
+    )
+    # One md5 per (key, d) — same family as the sketch builder; width is
+    # a caller-supplied constant so the expression stays codegen'd.
+    probes = probes.withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("key").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % width,
+    )
+    return (
+        probes.join(F.broadcast(merged), ["d", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("c", F.lit(0))).alias("est"))
     )

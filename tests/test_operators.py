@@ -1876,3 +1876,46 @@ def test_asof_join_forward_and_nearest(spark):
 
     with pytest.raises(ValueError):
         joins.as_of_join(left, right, on="k", direction="sideways")
+
+
+def test_cms_upper_bound_and_mergeability(spark):
+    """CMS estimates are >= true counts; merging day sketches over a span
+    equals sketching the span directly; sane validation errors."""
+    from plda_spark.operators import stats
+
+    rows = []
+    for day, uid, n in [(1, 7, 5), (1, 8, 2), (2, 7, 3), (3, 9, 4)]:
+        rows += [(f"2024-02-0{day} 00:00:0{i}", uid) for i in range(n)]
+    ev = spark.createDataFrame(rows, "ts string, user_id long").select(
+        F.col("ts").cast("timestamp").alias("ts"), "user_id"
+    )
+    sk = stats.cms_daily_sketches(ev, "user_id", "ts", depth=3, width=16)
+    users = ev.select(F.col("user_id").alias("key")).distinct()
+
+    est = {
+        r["key"]: r["est"]
+        for r in stats.cms_estimate(sk, users, width=16).collect()
+    }
+    true = {7: 8, 8: 2, 9: 4}
+    assert all(est[k] >= v for k, v in true.items())
+
+    # merge(day1..day2) == sketching only those days directly
+    est_span = {
+        r["key"]: r["est"]
+        for r in stats.cms_estimate(
+            sk, users, width=16, start_day="2024-02-01", end_day="2024-02-02"
+        ).collect()
+    }
+    direct = stats.cms_daily_sketches(
+        ev.where(F.to_date("ts") <= "2024-02-02"), "user_id", "ts",
+        depth=3, width=16,
+    )
+    est_direct = {
+        r["key"]: r["est"]
+        for r in stats.cms_estimate(direct, users, width=16).collect()
+    }
+    assert est_span == est_direct
+    assert est_span[7] >= 8 and est_span[9] >= 0
+
+    with pytest.raises(ValueError):
+        stats.cms_daily_sketches(ev, depth=0)

@@ -1524,6 +1524,306 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q17_small_qty_revenue"] = q17_small_qty_revenue
 
+    # ---- TPC-H breadth: the remaining query shapes, adapted to the
+    # synthetic schema (no partsupp / commitdate / shipmode columns; each
+    # docstring names the substitution) --------------------------------------
+
+    def q4_order_priority(spark, sf):
+        """TPC-H Q4 shape (EXISTS semi-join + priority rollup): orders
+        placed in 1996 having at least one lineitem shipped more than 60
+        days after the order date (stand-in for commit<receipt)."""
+        ords = load_table(spark, sf, "orders").where(
+            (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        li = load_table(spark, sf, "lineitem")
+        late = ords.join(
+            li,
+            (ords["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > F.date_add(ords["o_orderdate"], 60)),
+            "left_semi",
+        )
+        return late.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("order_count")
+        )
+
+    q["q4_order_priority"] = q4_order_priority
+
+    def q9_product_profit(spark, sf):
+        """TPC-H Q9 shape (nation/year profit over a 4-table join):
+        profit = revenue − 0.5·p_retailprice·qty (retailprice stands in
+        for the missing ps_supplycost) for widget parts, by supplier
+        nation and order year."""
+        li = load_table(spark, sf, "lineitem")
+        part = load_table(spark, sf, "part").where(F.col("p_name").contains("widget"))
+        sup = load_table(spark, sf, "supplier")
+        nat = load_table(spark, sf, "nation")
+        ords = load_table(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+        amount = _dec("l_extendedprice") * (1 - _dec("l_discount")) - _dec(
+            "p_retailprice"
+        ) * _dec("l_quantity") * F.lit(0.5).cast("decimal(18,6)")
+        return (
+            li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+            .join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+            .join(ords, li["l_orderkey"] == ords["o_orderkey"])
+            .groupBy(
+                F.col("n_name").alias("nation"),
+                F.year("o_orderdate").alias("o_year"),
+            )
+            .agg(
+                F.round(F.sum(amount.cast("decimal(28,6)")).cast("double"), 2).alias(
+                    "sum_profit"
+                )
+            )
+        )
+
+    q["q9_product_profit"] = q9_product_profit
+
+    def q11_important_parts(spark, sf):
+        """TPC-H Q11 shape (HAVING against a scalar-subquery threshold):
+        parts whose revenue exceeds 0.05% of TOTAL revenue (lineitem
+        stands in for partsupp).  The threshold compare is exact-decimal
+        (val·10000 > total·5) so the boundary is engine-independent."""
+        li = load_table(spark, sf, "lineitem")
+        rev = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
+            F.sum((_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
+                "decimal(28,6)"
+            )).alias("val")
+        )
+        total = rev.agg(F.sum("val").alias("total"))
+        return (
+            rev.crossJoin(F.broadcast(total))
+            .where(F.col("val") * 10000 > F.col("total") * 5)
+            .select("p_key", F.round(F.col("val").cast("double"), 2).alias("value"))
+        )
+
+    q["q11_important_parts"] = q11_important_parts
+
+    def q12_priority_by_status(spark, sf):
+        """TPC-H Q12 shape (CASE-conditional counts after a fact join):
+        for lineitems shipped in 1996, high- vs low-priority order counts
+        by returnflag (returnflag stands in for shipmode)."""
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        ords = load_table(spark, sf, "orders").select("o_orderkey", "o_orderpriority")
+        hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+        return (
+            li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(hi).alias("high_line_count"),
+                F.sum(1 - hi).alias("low_line_count"),
+            )
+        )
+
+    q["q12_priority_by_status"] = q12_priority_by_status
+
+    def q13_customer_distribution(spark, sf):
+        """TPC-H Q13 shape (left-join count distribution): how many
+        customers placed exactly N non-LOW-priority orders, including
+        the zero-order bucket (the LEFT join is the point)."""
+        cust = load_table(spark, sf, "customer").select("c_custkey")
+        ords = load_table(spark, sf, "orders").where(
+            F.col("o_orderpriority") != "5-LOW"
+        )
+        per_cust = (
+            cust.join(ords, cust["c_custkey"] == ords["o_custkey"], "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+        )
+        return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+    q["q13_customer_distribution"] = q13_customer_distribution
+
+    def q15_top_supplier(spark, sf):
+        """TPC-H Q15 shape (max-revenue equality against an aggregate
+        view): supplier(s) with the maximum lineitem revenue over
+        1996Q1.  Revenue stays exact decimal through the max-equality so
+        ties resolve identically on both engines."""
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+            F.sum((_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
+                "decimal(28,6)"
+            )).alias("total_rev")
+        )
+        mx = rev.agg(F.max("total_rev").alias("mx"))
+        sup = load_table(spark, sf, "supplier")
+        return (
+            rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_rev") == F.col("mx"))
+            .join(F.broadcast(sup), F.col("sk") == sup["s_suppkey"])
+            .select(
+                "s_suppkey",
+                "s_name",
+                F.round(F.col("total_rev").cast("double"), 2).alias("total_revenue"),
+            )
+        )
+
+    q["q15_top_supplier"] = q15_top_supplier
+
+    def q16_supplier_counts(spark, sf):
+        """TPC-H Q16 shape (NOT-IN anti-join + distinct supplier count):
+        distinct suppliers per (brand, type, size) for mid-size non-PROMO
+        parts outside Brand#1, excluding negative-balance suppliers
+        (stand-in for the complaints NOT IN)."""
+        li = load_table(spark, sf, "lineitem").select("l_partkey", "l_suppkey")
+        part = load_table(spark, sf, "part").where(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").startswith("PROMO"))
+            & (F.col("p_size").isin(5, 10, 15, 20, 25, 30))
+        )
+        bad = load_table(spark, sf, "supplier").where(F.col("s_acctbal") < 0).select(
+            "s_suppkey"
+        )
+        return (
+            li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+            .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        )
+
+    q["q16_supplier_counts"] = q16_supplier_counts
+
+    def q19_bracket_revenue(spark, sf):
+        """TPC-H Q19 shape (OR of bracketed predicates pushed into one
+        scan): revenue from three disjunct brand/size/quantity windows
+        (p_size stands in for container classes)."""
+        li = load_table(spark, sf, "lineitem")
+        part = load_table(spark, sf, "part")
+        j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        b = (
+            (
+                (F.col("p_brand") == "Brand#1")
+                & F.col("p_size").between(1, 10)
+                & F.col("l_quantity").between(1, 15)
+            )
+            | (
+                (F.col("p_brand") == "Brand#2")
+                & F.col("p_size").between(5, 20)
+                & F.col("l_quantity").between(10, 25)
+            )
+            | (
+                (F.col("p_brand") == "Brand#3")
+                & F.col("p_size").between(10, 30)
+                & F.col("l_quantity").between(20, 35)
+            )
+        )
+        return j.where(b).agg(
+            F.round(
+                F.sum(
+                    (_dec("l_extendedprice") * (1 - _dec("l_discount"))).cast(
+                        "decimal(28,6)"
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+
+    q["q19_bracket_revenue"] = q19_bracket_revenue
+
+    def q20_excess_shippers(spark, sf):
+        """TPC-H Q20 shape (nested-IN via aggregate-threshold join):
+        suppliers who shipped more than 30% of a widget part's total 1996
+        volume (shipped qty stands in for partsupp availqty); exact-
+        decimal threshold (qty·10 > total·3)."""
+        li = load_table(spark, sf, "lineitem").where(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        widget = load_table(spark, sf, "part").where(
+            F.col("p_name").contains("widget")
+        ).select("p_partkey")
+        lw = li.join(F.broadcast(widget), li["l_partkey"] == F.col("p_partkey"))
+        per_ps = lw.groupBy("l_partkey", "l_suppkey").agg(
+            F.sum(_dec("l_quantity")).alias("qty")
+        )
+        per_p = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+            F.sum("qty").alias("total_qty")
+        )
+        sup = load_table(spark, sf, "supplier")
+        return (
+            per_ps.join(per_p, per_ps["l_partkey"] == F.col("pk"))
+            .where(F.col("qty") * 10 > F.col("total_qty") * 3)
+            .groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+            .select("s_suppkey", "s_name", "n_parts")
+        )
+
+    q["q20_excess_shippers"] = q20_excess_shippers
+
+    def q21_waiting_suppliers(spark, sf):
+        """TPC-H Q21 shape (EXISTS + NOT-EXISTS over sibling lineitems):
+        suppliers who were the ONLY late shipper (>90 days after order
+        date) on a finished multi-supplier order.  The oracle states it
+        with literal EXISTS/NOT EXISTS; this plan is the aggregation
+        rewrite (per-order supplier and late-supplier distinct counts)
+        — the cross-check proves the rewrite."""
+        li = load_table(spark, sf, "lineitem")
+        ords = load_table(spark, sf, "orders").where(
+            F.col("o_orderstatus") == "F"
+        ).select("o_orderkey", "o_orderdate")
+        late = (
+            li.join(ords, li["l_orderkey"] == ords["o_orderkey"])
+            .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+            .select("l_orderkey", "l_suppkey")
+            .distinct()
+        )
+        n_sup = (
+            li.join(ords, li["l_orderkey"] == ords["o_orderkey"], "left_semi")
+            .groupBy(F.col("l_orderkey").alias("ok"))
+            .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+        )
+        n_late = late.groupBy(F.col("l_orderkey").alias("lk")).agg(
+            F.count(F.lit(1)).alias("n_late")
+        )
+        sup = load_table(spark, sf, "supplier")
+        return (
+            late.join(n_sup, late["l_orderkey"] == F.col("ok"))
+            .join(n_late, late["l_orderkey"] == F.col("lk"))
+            .where((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+            .groupBy("l_suppkey")
+            .agg(F.countDistinct("l_orderkey").alias("numwait"))
+            .join(F.broadcast(sup), F.col("l_suppkey") == sup["s_suppkey"])
+            .select("s_suppkey", "s_name", "numwait")
+        )
+
+    q["q21_waiting_suppliers"] = q21_waiting_suppliers
+
+    def q22_dormant_customers(spark, sf):
+        """TPC-H Q22 shape (scalar-subquery threshold + NOT-EXISTS anti
+        join): above-average-balance customers with no orders at all,
+        bucketed by nation-derived country code.  "No orders" is scoped
+        to the 2000s (every synthetic customer has SOME order); the
+        average is an exact-decimal sum divided as double so the strict
+        > boundary is engine-independent."""
+        cust = load_table(spark, sf, "customer")
+        pos = cust.where(F.col("c_acctbal") > 0).agg(
+            (
+                F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+        ords = (
+            load_table(spark, sf, "orders")
+            .where(F.col("o_orderdate") >= "2000-01-01")
+            .select("o_custkey")
+        )
+        return (
+            cust.crossJoin(F.broadcast(pos))
+            .where(F.col("c_acctbal") > F.col("avg_bal"))
+            .join(ords, cust["c_custkey"] == ords["o_custkey"], "left_anti")
+            .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+            .agg(
+                F.count(F.lit(1)).alias("numcust"),
+                F.round(F.sum(_dec("c_acctbal")).cast("double"), 2).alias("totacctbal"),
+            )
+        )
+
+    q["q22_dormant_customers"] = q22_dormant_customers
+
     def join_fuzzy_pairs(spark, sf):
         """Approximate string self-join: supplier-name pairs within
         Levenshtein distance 1, blocked by SymSpell deletion
@@ -3259,6 +3559,159 @@ SELECT source, n_tokens, ROUND(share, 6) AS share, ROUND(target, 6) AS target,
 FROM r CROSS JOIN m
 """
 
+    o["q4_order_priority"] = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+    o["q9_product_profit"] = """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       ROUND(CAST(sum(
+         CAST(l_extendedprice AS DECIMAL(18,6)) * (1 - CAST(l_discount AS DECIMAL(18,6)))
+         - CAST(p_retailprice AS DECIMAL(18,6)) * CAST(l_quantity AS DECIMAL(18,6))
+           * CAST(0.5 AS DECIMAL(18,6))
+       ) AS DOUBLE), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+    o["q11_important_parts"] = """
+WITH rev AS (
+  SELECT l_partkey AS p_key,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6))) AS val
+  FROM lineitem GROUP BY l_partkey
+),
+t AS (SELECT sum(val) AS total FROM rev)
+SELECT p_key, ROUND(CAST(val AS DOUBLE), 2) AS value
+FROM rev, t WHERE val * 10000 > total * 5
+"""
+
+    o["q12_priority_by_status"] = """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY l_returnflag
+"""
+
+    o["q13_customer_distribution"] = """
+WITH per_cust AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count
+"""
+
+    o["q15_top_supplier"] = """
+WITH rev AS (
+  SELECT l_suppkey AS sk,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+             * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 2) AS total_revenue
+FROM rev JOIN supplier ON sk = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+    o["q16_supplier_counts"] = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (5, 10, 15, 20, 25, 30)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+    o["q19_bracket_revenue"] = """
+SELECT ROUND(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,6))
+         * (1 - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,6))) AS DOUBLE), 2)
+         AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 20 AND 35)
+"""
+
+    o["q20_excess_shippers"] = """
+WITH lw AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,6)) AS q
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    AND p_name LIKE '%widget%'
+),
+per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(q) AS qty FROM lw GROUP BY 1, 2
+),
+per_p AS (SELECT l_partkey AS pk, sum(qty) AS total_qty FROM per_ps GROUP BY 1)
+SELECT s_suppkey, s_name, n_parts FROM (
+  SELECT l_suppkey, count(*) AS n_parts
+  FROM per_ps JOIN per_p ON l_partkey = pk
+  WHERE qty * 10 > total_qty * 3
+  GROUP BY l_suppkey
+) JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+    o["q21_waiting_suppliers"] = """
+WITH l1 AS (
+  SELECT DISTINCT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY
+)
+SELECT s_suppkey, s_name, numwait FROM (
+  SELECT l1.l_suppkey, count(DISTINCT l1.l_orderkey) AS numwait
+  FROM l1
+  WHERE EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM l1 l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+    )
+  GROUP BY l1.l_suppkey
+) JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+    o["q22_dormant_customers"] = """
+WITH a AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey % 5 AS cntrycode, count(*) AS numcust,
+       ROUND(CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE), 2) AS totacctbal
+FROM customer, a
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderdate >= '2000-01-01')
+GROUP BY 1
+"""
+
     o["curation_dsir"] = f"""
 WITH tok AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
@@ -3768,6 +4221,17 @@ EXTRA_QUERIES: list[str] = [
     "dedup_spans",
     "join_asof_forward",
     "stats_cms_range",
+    "q4_order_priority",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q19_bracket_revenue",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 ]
 
 

@@ -1302,6 +1302,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_dsir"] = curation_dsir
 
+    def curation_temperature(spark, sf):
+        """Temperature-scaled mixture planning (T=2): targets derived
+        from current shares as share^(1/T), the standard low-resource
+        up-weighting recipe; n_chars as the token proxy."""
+        from plda_spark.operators import curation
+
+        return curation.temperature_mixture(
+            load_table(spark, sf, "documents"),
+            "source",
+            temperature=2.0,
+            token_count_col="n_chars",
+        )
+
+    q["curation_temperature"] = curation_temperature
+
     # ---- relational breadth: TPC-H-style q7 / q10 / q18 --------------------
 
     def q7_volume_shipping(spark, sf):
@@ -3559,6 +3574,29 @@ SELECT source, n_tokens, ROUND(share, 6) AS share, ROUND(target, 6) AS target,
 FROM r CROSS JOIN m
 """
 
+    o["curation_temperature"] = """
+WITH ps AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+t AS (SELECT sum(n_tokens) AS total FROM ps),
+s AS (
+  SELECT source, n_tokens, n_tokens / t.total AS share,
+         power(n_tokens / t.total, 0.5) AS p
+  FROM ps CROSS JOIN t
+),
+z AS (SELECT sum(p) AS z FROM s),
+r AS (
+  SELECT source, n_tokens, share, p / z.z AS target,
+         (p / z.z) / share AS raw
+  FROM s CROSS JOIN z
+),
+m AS (SELECT max(raw) AS mx FROM r)
+SELECT source, n_tokens, ROUND(share, 6) AS share, ROUND(target, 6) AS target,
+       ROUND(raw / m.mx, 6) AS rate
+FROM r CROSS JOIN m
+"""
+
     o["q4_order_priority"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
@@ -4232,6 +4270,7 @@ EXTRA_QUERIES: list[str] = [
     "q20_excess_shippers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "curation_temperature",
 ]
 
 

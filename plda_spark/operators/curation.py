@@ -29,6 +29,7 @@ __all__ = [
     "calibrate_scores",
     "dsir_weights",
     "dsir_select",
+    "temperature_mixture",
 ]
 
 
@@ -307,4 +308,60 @@ def dsir_select(
     )
     return docs.join(
         F.broadcast(chosen.withColumnRenamed("doc_id", id_col)), id_col, "inner"
+    )
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    source_col: str,
+    temperature: float = 2.0,
+    token_count_col: str | None = None,
+) -> DataFrame:
+    """Temperature-scaled mixture planning: derive target mixture
+    weights from the CURRENT token shares as ``target_s ∝
+    share_s^(1/T)`` and return the same ``(source, n_tokens, share,
+    target, rate)`` frame as :func:`mixture_rates`.
+
+    ``T = 1`` reproduces the natural distribution; ``T → ∞`` approaches
+    uniform.  This is the standard recipe for up-weighting low-resource
+    domains/languages without hand-picking weights (used for the
+    multilingual sampling in the XLM-R and mT5 papers — public work; no
+    reference-repo counterpart).  ``rate`` is the deterministic
+    down-sampling realization with the largest rate pinned to 1, as in
+    :func:`mixture_rates`.
+
+    Scale shape: identical to :func:`mixture_rates` — ONE map-side-
+    combined aggregation to |sources| rows, then arithmetic on that tiny
+    frame (the exponent and both normalizations are 1-row broadcasts).
+    The corpus is never shuffled or collected.
+    """
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
+    tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else F.size(F.split(F.col("text"), r"\s+"))
+    )
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tokens).alias("n_tokens")
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("__total"))
+    scaled = (
+        per_source.crossJoin(F.broadcast(total))
+        .withColumn("share", F.col("n_tokens") / F.col("__total"))
+        .withColumn("__p", F.pow(F.col("share"), F.lit(1.0 / temperature)))
+    )
+    z = scaled.agg(F.sum("__p").alias("__z"))
+    shared = (
+        scaled.crossJoin(F.broadcast(z))
+        .withColumn("target", F.col("__p") / F.col("__z"))
+        .withColumn("__raw", F.col("target") / F.col("share"))
+    )
+    mx = shared.agg(F.max("__raw").alias("__mx"))
+    return shared.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round("target", 6).alias("target"),
+        F.round(F.col("__raw") / F.col("__mx"), 6).alias("rate"),
     )

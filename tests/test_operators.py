@@ -1919,3 +1919,26 @@ def test_cms_upper_bound_and_mergeability(spark):
 
     with pytest.raises(ValueError):
         stats.cms_daily_sketches(ev, depth=0)
+
+
+def test_temperature_mixture_limits(spark):
+    """T=1 reproduces natural shares (rate 1 everywhere); higher T pulls
+    targets toward uniform, up-weighting the small source."""
+    from plda_spark.operators import curation
+
+    rows = [(0, "big", 900), (1, "small", 100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tok long")
+
+    t1 = {r["source"]: r for r in curation.temperature_mixture(
+        df, "source", temperature=1.0, token_count_col="n_tok").collect()}
+    assert t1["big"]["target"] == t1["big"]["share"] == 0.9
+    assert t1["big"]["rate"] == 1.0 and t1["small"]["rate"] == 1.0
+
+    t4 = {r["source"]: r for r in curation.temperature_mixture(
+        df, "source", temperature=4.0, token_count_col="n_tok").collect()}
+    assert t4["small"]["target"] > 0.1 and t4["big"]["target"] < 0.9
+    # big source is the one downsampled to realize the flatter mixture
+    assert t4["big"]["rate"] < 1.0 and t4["small"]["rate"] == 1.0
+
+    with pytest.raises(ValueError):
+        curation.temperature_mixture(df, "source", temperature=0.0)

@@ -62,6 +62,14 @@ BENCH_QUERIES = [
     "events_funnel",
     "events_retention",
     "stream_sessionize",
+    # round-3 additions: span dedup, DSIR, CMS rollup, the two heaviest
+    # new TPC-H shapes, temperature planning
+    "dedup_spans",
+    "curation_dsir",
+    "stats_cms_range",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "curation_temperature",
 ]
 
 

@@ -38,6 +38,7 @@ __all__ = [
     "interval_join_batch",
     "run_stream_available_now",
     "incremental_exact_dedup",
+    "incremental_minhash_dedup",
     "enrich",
 ]
 
@@ -531,3 +532,138 @@ def enrich(events: DataFrame, dim: DataFrame, on: str, broadcast_dim: bool = Tru
     """
     d = F.broadcast(dim) if broadcast_dim else dim
     return events.join(d, on, "left")
+
+
+def minhash_band_rows(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc LSH band buckets ``(doc_id, band, bucket)`` — the md5
+    minhash family from :mod:`plda_spark.operators.dedup`, exposed for
+    ledger-based incremental dedup."""
+    from plda_spark.operators.dedup import minhash_signatures, shingles
+
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(shingles(docs, n, text_col, id_col), num_hashes)
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * r + j].cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def incremental_minhash_dedup(
+    stream_docs: DataFrame,
+    out_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    timeout_s: float = 300.0,
+) -> None:
+    """NEAR-duplicate twin of :func:`incremental_exact_dedup`:
+    continuously ingest documents, dropping any doc whose MinHash-LSH
+    band bucket collides with an already-admitted doc — within the
+    micro-batch (a doc sharing a bucket with a smaller-``id_col`` batch
+    doc is dropped) or against the accumulated parquet bucket ledger.
+
+    This is the crawl-scale approximate gate (bucket collision ⇒ assumed
+    near-dup, no verification pass): false positives at the LSH
+    collision rate are the accepted trade for never re-scanning or
+    re-shingling history.  Tune ``bands``/``num_hashes`` for the
+    precision/recall point; use the batch ``minhash_lsh_pairs`` +
+    verification for audits.
+
+    Ledger rows are ``(band, bucket, batch_id)`` per admitted doc — slim
+    and append-only; replayed batches are skipped by ``batch_id`` (same
+    exactly-once recipe as the exact ledger).  Scale shape per batch:
+    shingle+sign the INCREMENT only, one left-anti equi-join on
+    ``(band, bucket)`` against the ledger (AQE broadcasts the increment
+    side), two appends.  No state store, no unbounded executor state.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        bb = minhash_band_rows(batch, num_hashes, bands, n, text_col, id_col)
+        # Within-batch rule: drop any doc sharing a bucket with a
+        # smaller-id doc (deterministic, partition-invariant; stricter
+        # than sequential greedy admission on collision chains).
+        bucket_min = bb.groupBy("band", "bucket").agg(
+            F.min("doc_id").alias("__min_id")
+        )
+        losers = (
+            bb.join(bucket_min, ["band", "bucket"])
+            .where(F.col("doc_id") > F.col("__min_id"))
+            .select("doc_id")
+            .distinct()
+        )
+        from pyspark.errors import AnalysisException
+
+        try:
+            ledger = spark.read.parquet(state_path)
+        except AnalysisException as exc:
+            if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+                raise
+            ledger = None
+        if ledger is not None:
+            if ledger.where(F.col("batch_id") == batch_id).limit(1).count() > 0:
+                return  # replayed batch — already committed
+            hit = bb.join(
+                ledger.select("band", "bucket").dropDuplicates(),
+                ["band", "bucket"],
+                "left_semi",
+            ).select("doc_id").distinct()
+            losers = losers.union(hit).distinct()
+        admitted_ids = (
+            bb.select("doc_id").distinct().join(losers, "doc_id", "left_anti")
+        )
+        # Docs with no shingles (too short) have no buckets: admit them
+        # (nothing to collide on), like the exact ledger admits uniques.
+        no_sh = batch.select(F.col(id_col).alias("doc_id")).join(
+            bb.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+        keep = admitted_ids.union(no_sh).localCheckpoint(eager=True)
+        fresh = batch.join(
+            keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+        ).localCheckpoint(eager=True)
+        fresh.write.mode("append").parquet(out_path)
+        bb.join(keep, "doc_id", "left_semi").select(
+            "band", "bucket", F.lit(batch_id).alias("batch_id")
+        ).write.mode("append").parquet(state_path)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(int(timeout_s))
+    if q.isActive:
+        q.stop()

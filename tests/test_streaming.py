@@ -279,3 +279,46 @@ def test_stream_static_enrich_matches_batch(spark, stream_dir, tmp_path):
     want = {(r["event_id"], r["tier"]) for r in windows.enrich(src, dim, "user_id").collect()}
     assert got == want
     assert any(t is None for _, t in got) and any(t == "gold" for _, t in got)
+
+
+def test_incremental_minhash_dedup_two_increments(spark, tmp_path):
+    """Near-dup crawl ingest: an edited copy of an already-admitted doc
+    (sharing LSH buckets) is dropped across batches; genuinely new docs
+    and too-short (bucketless) docs are admitted."""
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different words about stock market trading and price discovery"
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        windows.incremental_minhash_dedup(
+            stream, out, state, ckpt, num_hashes=16, bands=8, n=3
+        )
+
+    # batch 1: base doc + an exact in-batch copy + a distinct doc + a short doc
+    spark.createDataFrame(
+        [(0, base), (1, base), (2, other), (3, "hi")], schema
+    ).write.mode("append").parquet(in_dir)
+    run()
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {0, 2, 3}  # 1 dropped in-batch; short doc 3 admitted
+
+    # batch 2: a lightly edited near-copy of base + a genuinely new doc
+    near = base.replace("today", "tomorrow")
+    fresh = "seven entirely novel tokens about gardening tulips soil and sunshine"
+    spark.createDataFrame(
+        [(10, near), (11, fresh)], schema
+    ).write.mode("append").parquet(in_dir)
+    run()
+    got2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert 11 in got2 and 10 not in got2 and got2 >= {0, 2, 3}
+
+    # replay idempotence: rerunning with no new input changes nothing
+    n_before = spark.read.parquet(out).count()
+    run()
+    assert spark.read.parquet(out).count() == n_before

@@ -185,6 +185,16 @@ def main() -> None:
     )
     timings["lda_train_5it"] = best_of_two(lambda: train_documents(docs, cfg))
 
+    # Join-mode training (model-as-DataFrame, no V*K broadcast): the
+    # beyond-broadcast-ceiling path.  Slower than broadcast at sf0.1
+    # (the model rows ride a per-iteration shuffle instead of a
+    # broadcast) — tracked so the scale path's cost stays visible.
+    cfg_join = TrainConfig(
+        num_topics=10, total_iterations=5, burn_in_iterations=0,
+        average_model=False, seed=42, model_mode="join",
+    )
+    timings["lda_train_5it_join"] = best_of_two(lambda: train_documents(docs, cfg_join))
+
     # BPE training: 5 merges over the documents word-frequency table
     # (per-merge pair-count aggregation + argmax — the per-iteration
     # cost of tokenizer learning; corpus-scan cost is in the first

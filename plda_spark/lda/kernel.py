@@ -188,10 +188,16 @@ def doc_log_likelihood(
     nk: np.ndarray,
     alpha: float,
     beta: float,
+    vocab_size: int | None = None,
 ) -> float:
-    """log P(d) = Σ_w count_w · log Σ_k φ̂_wk θ̂_dk  (sampler.cc:116-166)."""
+    """log P(d) = Σ_w count_w · log Σ_k φ̂_wk θ̂_dk  (sampler.cc:116-166).
+
+    ``vocab_size`` overrides the V in the Vβ smoothing denominator when
+    ``nwk`` is a partition-local sub-model (model-as-DataFrame training)
+    whose row count is smaller than the true vocabulary."""
     num_topics = nk.shape[0]
-    vocab_size = nwk.shape[0]
+    if vocab_size is None:
+        vocab_size = nwk.shape[0]
     doc_len = float(ndk.sum())
     theta = (ndk + alpha) / (doc_len + alpha * num_topics)
     phi = (nwk[unique_word_ids] + beta) / (nk + vocab_size * beta)

@@ -73,6 +73,16 @@ class TrainConfig:
     # ``checkpoint_dir``; ``train(..., resume_from=dir)`` continues there.
     checkpoint_dir: str | None = None
     checkpoint_every: int = 10
+    # Model distribution strategy.  "broadcast": driver-held numpy V×K
+    # re-broadcast each iteration (the reference's per-rank replica,
+    # README.md:125 — right while V·K·8B fits one machine).  "join": the
+    # model lives as a DataFrame (word_id, cnts) and each iteration
+    # ships ONLY the rows a partition's words need via a word_id
+    # equi-join + cogroup — no driver copy, no V×K broadcast, no
+    # ceiling (see _train_join).  Join mode implies mpi_lda output
+    # semantics (raw final counts, average_model=False — the MPI path
+    # does no averaging either, mpi_lda.cc:234-241).
+    model_mode: str = "broadcast"
     # Model-rebuild reduce strategy.  "driver": read the P sparse payload
     # rows straight to the driver and sum there (one job, no shuffle —
     # best while P·nnz fits driver bandwidth).  "shuffle": pre-combine
@@ -94,6 +104,15 @@ class TrainConfig:
             raise ValueError("need 0 <= burn_in_iterations < total_iterations")
         if self.aggregate_mode not in ("auto", "driver", "shuffle"):
             raise ValueError("aggregate_mode must be auto|driver|shuffle")
+        if self.model_mode not in ("broadcast", "join"):
+            raise ValueError("model_mode must be broadcast|join")
+        if self.model_mode == "join" and self.average_model:
+            raise ValueError(
+                "model_mode='join' keeps the model distributed and emits "
+                "raw final counts (mpi_lda semantics); set average_model=False"
+            )
+        if self.model_mode == "join" and self.checkpoint_dir:
+            raise ValueError("model_mode='join' does not support checkpointing yet")
 
 
 # Auto-partitioning targets (used when TrainConfig.num_partitions is None).
@@ -121,6 +140,10 @@ class TrainResult:
     model: LDAModel                      # averaged or raw per config.average_model
     raw_model: LDAModel                  # final-iteration raw counts (mpi_lda output)
     log_likelihood: list[float] = field(default_factory=list)  # one per iteration if computed
+    # model_mode='join' only: the final model as a (word_id, cnts) DataFrame —
+    # at true scale feed THIS to model-as-DataFrame inference instead of the
+    # driver-side `model` (which is still materialized for API parity).
+    model_table: DataFrame | None = None
 
 
 def _count_payload_row(
@@ -332,6 +355,327 @@ def _save_checkpoint(df_z: DataFrame, path: str, it: int, nwk, accum, lls, words
     )
 
 
+# ---------------------------------------------------------------------------
+# model_mode="join": model-as-DataFrame AD-LDA (no V·K broadcast, no driver
+# copy).  The broadcast path is the reference's design (model replicated per
+# rank, README.md:125) and its ceiling is the reference's own documented
+# ceiling; this path removes it for vocabularies/topic-counts whose V·K·8B
+# exceeds a single machine:
+#
+#   - the model is a DataFrame ``(word_id, cnts: array<long>)`` (V rows);
+#   - per iteration each logical partition receives ONLY the model rows for
+#     words its documents contain — a word_id equi-join of the (static)
+#     ``(pid, word_id)`` membership table with the model, cogrouped with the
+#     assignments by ``pid``; shipped volume is Σ_w K·|partitions(w)| ≤ P·V·K
+#     but concentrated near nnz for the rare-word mass, and it flows through
+#     a SHUFFLE (scales with the cluster), not a driver broadcast;
+#   - the sweep remaps the partition's word ids into a dense local sub-model
+#     (searchsorted), runs the identical kernel with the true-V smoothing
+#     override, and emits sparse global (word,topic) deltas as payload rows;
+#   - the rebuild is a distributed groupBy(word,topic) + pivot back to the
+#     (word_id, cnts) table — the driver never holds or ships V·K numbers;
+#     only the K-vector n_k (the reference's global vector) is collected.
+#
+# Partition identity is the LOGICAL pid = pmod(hash(doc_id), P) carried as a
+# column, so RNG streams (seed, pid, iteration) are independent of physical
+# scheduling.  Output is mpi_lda semantics (raw final counts, no averaging).
+# ---------------------------------------------------------------------------
+
+_JOIN_SWEEP_SCHEMA = "pid int, doc_id long, word_occ binary, z binary, ll double"
+
+
+def _fresh_stats(df: DataFrame) -> DataFrame:
+    """Re-wrap a (lazily) localCheckpointed frame as a fresh scan of the
+    same RDD with DEFAULT leaf statistics.
+
+    Spark 4's ``Dataset.checkpoint`` copies the child plan's *estimated*
+    statistics onto the checkpoint's LogicalRDD
+    (``LogicalRDD.rewriteStatsAndConstraints``).  Join-mode's
+    per-iteration plan MULTIPLIES child sizes (cogroup × equi-join both
+    use the product-of-children default estimator), so the inherited
+    ``sizeInBytes`` compounds double-exponentially across iterations —
+    by ~iteration 10 every plan-stats query is multiplying million-digit
+    BigIntegers and the driver spins forever in
+    ``BigInteger.multiplyToomCook3`` (observed via jstack).  The
+    broadcast path never hits this because its per-iteration plan is a
+    unary chain.  Scanning the same checkpointed RDD through
+    ``internalCreateDataFrame`` resets the leaf to
+    ``defaultSizeInBytes``, keeping every iteration's stats O(1); the
+    returned frame shares the checkpoint blocks (unpersist the ORIGINAL
+    handle, not this one)."""
+    spark = df.sparkSession
+    jdf = df._jdf
+    jrdd = jdf.queryExecution().toRdd()
+    new_jdf = spark._jsparkSession.internalCreateDataFrame(jrdd, jdf.schema(), False)
+    return DataFrame(new_jdf, spark)
+
+
+def _join_payload_row(pid: int, local_words: np.ndarray, acc_local: np.ndarray,
+                      K: int, ll_total: float = 0.0) -> pd.DataFrame:
+    """Sparse LOCAL counts → one payload row of global flat (word·K+topic)
+    pairs (same wire format as the broadcast path's payload rows)."""
+    nz = np.flatnonzero(acc_local)
+    gword = local_words[nz // K].astype(np.int64)
+    gidx = gword * K + (nz % K)
+    packed = np.empty(2 * nz.shape[0], dtype=np.int64)
+    packed[0::2] = gidx
+    packed[1::2] = acc_local[nz]
+    return pd.DataFrame(
+        {
+            "pid": np.array([pid], dtype=np.int32),
+            "doc_id": np.array([-(pid + 1)], dtype=np.int64),
+            "word_occ": [b""],
+            "z": [packed.astype(np.int64).tobytes()],
+            "ll": np.array([ll_total], dtype=np.float64),
+        }
+    )
+
+
+def _join_zinit_fn(num_topics: int, seed: int):
+    """applyInPandas per-pid z-init: packed arrays → binary layout +
+    payload row of this pid's initial counts (global indices)."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pid"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        rng = kernel.make_rng(seed, pid, 0)
+        occs = [np.asarray(o, dtype=np.int32) for o in pdf["word_occ"]]
+        zs = [kernel.init_assignments(len(o), num_topics, rng) for o in occs]
+        occ_all = np.concatenate(occs) if occs else np.empty(0, np.int32)
+        z_all = np.concatenate(zs) if zs else np.empty(0, np.int32)
+        local_words = np.unique(occ_all.astype(np.int64))
+        acc = np.zeros(local_words.shape[0] * num_topics, dtype=np.int64)
+        if occ_all.shape[0]:
+            loc = np.searchsorted(local_words, occ_all.astype(np.int64))
+            np.add.at(acc, loc * num_topics + z_all, 1)
+        out = pd.DataFrame(
+            {
+                "pid": np.full(len(pdf), pid, dtype=np.int32),
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "word_occ": [o.tobytes() for o in occs],
+                "z": [zz.tobytes() for zz in zs],
+                "ll": np.zeros(len(pdf)),
+            }
+        )
+        return pd.concat(
+            [out, _join_payload_row(pid, local_words, acc, num_topics)],
+            ignore_index=True,
+        )
+
+    return fn
+
+
+def _join_sweep_fn(nk_global: list[int], vocab_size: int, alpha: float, beta: float,
+                   seed: int, iteration: int, compute_likelihood: bool):
+    """Cogrouped sweep: (docs for pid) × (model rows for pid's words)."""
+    K = len(nk_global)
+
+    def fn(key, docs: pd.DataFrame, model: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        rng = kernel.make_rng(seed, pid, iteration + 1)
+        docs = docs.sort_values("doc_id")
+        order = np.argsort(model["word_id"].to_numpy())
+        local_words = model["word_id"].to_numpy()[order].astype(np.int64)
+        local_nwk = (
+            np.stack([np.asarray(c, dtype=np.int64) for c in model["cnts"].to_numpy()[order]])
+            if len(model)
+            else np.zeros((0, K), dtype=np.int64)
+        )
+        nk = np.asarray(nk_global, dtype=np.int64)
+
+        lens = (docs["word_occ"].map(len).to_numpy() // 4).astype(np.int64)
+        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        word_occ = (
+            np.frombuffer(b"".join(docs["word_occ"]), dtype=np.int32).copy()
+            if len(docs) else np.empty(0, np.int32)
+        )
+        z = (
+            np.frombuffer(b"".join(docs["z"]), dtype=np.int32).copy()
+            if len(docs) else np.empty(0, np.int32)
+        )
+        loc_occ = np.searchsorted(local_words, word_occ.astype(np.int64)).astype(np.int32)
+        assert loc_occ.shape[0] == 0 or bool(
+            (local_words[loc_occ] == word_occ).all()
+        ), "partition word missing from model slice"
+
+        lls = np.zeros(len(docs))
+        ll_total = 0.0
+        if compute_likelihood:
+            for d in range(len(docs)):
+                s, e = offsets[d], offsets[d + 1]
+                ndk = np.bincount(z[s:e], minlength=K).astype(np.float64)
+                uw, cnt = np.unique(loc_occ[s:e], return_counts=True)
+                lls[d] = kernel.doc_log_likelihood(
+                    uw, cnt.astype(np.float64), ndk, local_nwk, nk, alpha, beta,
+                    vocab_size=vocab_size,
+                )
+            ll_total = float(lls.sum())
+
+        kernel.sweep_docs(
+            loc_occ, z, offsets, local_nwk, nk, alpha, beta, rng,
+            update_model=True, vocab_size=vocab_size,
+        )
+        acc = np.zeros(local_words.shape[0] * K, dtype=np.int64)
+        if loc_occ.shape[0]:
+            np.add.at(acc, loc_occ.astype(np.int64) * K + z, 1)
+        out = pd.DataFrame(
+            {
+                "pid": np.full(len(docs), pid, dtype=np.int32),
+                "doc_id": docs["doc_id"].to_numpy(),
+                "word_occ": docs["word_occ"],
+                "z": [z[offsets[d]:offsets[d + 1]].tobytes() for d in range(len(docs))],
+                "ll": lls,
+            }
+        )
+        return pd.concat(
+            [out, _join_payload_row(pid, local_words, acc, K, ll_total)],
+            ignore_index=True,
+        )
+
+    return fn
+
+
+def _join_model_df(df_z: DataFrame, num_topics: int) -> DataFrame:
+    """Payload rows → the ``(word_id, cnts: array<long>)`` model table.
+
+    Distributed end-to-end: decode each payload's int64 (idx, cnt) pairs
+    executor-side, sum by (word, topic) (map-side combined), pivot the K
+    known topics into a dense array.  The driver touches nothing."""
+    K = num_topics
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for buf in pdf["z"]:
+                a = np.frombuffer(buf, dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "word_id": a[0::2] // K,
+                        "topic": (a[0::2] % K).astype(np.int32),
+                        "cnt": a[1::2],
+                    }
+                )
+
+    pairs = (
+        df_z.where(F.col("doc_id") < 0)
+        .select("z")
+        .mapInPandas(decode, schema="word_id long, topic int, cnt long")
+    )
+    pivoted = (
+        pairs.groupBy("word_id")
+        .pivot("topic", list(range(K)))
+        .agg(F.sum("cnt"))
+    )
+    return pivoted.select(
+        "word_id",
+        F.array(
+            *[F.coalesce(F.col(str(t)), F.lit(0)).cast("long") for t in range(K)]
+        ).alias("cnts"),
+    )
+
+
+def _train_join(corpus: DataFrame, config: TrainConfig) -> TrainResult:
+    """model_mode='join' driver loop — see the block comment above."""
+    spark = corpus.sparkSession
+    sc = spark.sparkContext
+    if config.num_partitions:
+        P = config.num_partitions
+    else:
+        total_tokens = int(corpus.agg(F.sum("count")).collect()[0][0] or 0)
+        P = _auto_partitions(total_tokens, sc.defaultParallelism)
+
+    vocab = build_vocab(corpus)
+    words = [r["word"] for r in vocab.orderBy("word_id").collect()]
+    V, K = len(words), config.num_topics
+    if V == 0:
+        raise ValueError("empty vocabulary")
+
+    pid = F.pmod(F.hash("doc_id"), F.lit(P)).cast("int")
+    corpus_ids = remap_words(corpus, vocab).select("doc_id", "word_id", "count")
+    packed = pack_docs(corpus_ids, P).withColumn("pid", pid)
+    # Static word-membership table: which partitions contain which words.
+    # Docs never move between pids, so this is built once and reused every
+    # iteration (≤ P·V slim rows; in practice near the corpus's distinct
+    # (doc-hash, word) mass).
+    word_pid = (
+        corpus_ids.select(pid.alias("pid"), "word_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    z_ckpt = (
+        packed.select("pid", "doc_id", "word_occ")
+        .groupBy("pid")
+        .applyInPandas(_join_zinit_fn(K, config.seed), schema=_JOIN_SWEEP_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    df_z = _fresh_stats(z_ckpt)
+    m_ckpt = _join_model_df(df_z, K).localCheckpoint(eager=True)
+    model_df = _fresh_stats(m_ckpt)
+
+    lls: list[float] = []
+    for it in range(config.total_iterations):
+        # n_k (the reference's global K-vector, model.cc:147-151): K numbers
+        # — the ONLY model state that touches the driver per iteration.
+        nk_rows = (
+            model_df.select(F.posexplode("cnts").alias("t", "c"))
+            .groupBy("t")
+            .agg(F.sum("c").alias("c"))
+            .collect()
+        )
+        nk_global = [0] * K
+        for r in nk_rows:
+            nk_global[r["t"]] = int(r["c"])
+
+        slices = word_pid.join(model_df, "word_id").select("pid", "word_id", "cnts")
+        swept = (
+            df_z.where(F.col("doc_id") >= 0)
+            .groupby("pid")
+            .cogroup(slices.groupby("pid"))
+            .applyInPandas(
+                _join_sweep_fn(
+                    nk_global, V, config.alpha, config.beta, config.seed, it,
+                    config.compute_likelihood,
+                ),
+                schema=_JOIN_SWEEP_SCHEMA,
+            )
+        )
+        new_z_ckpt = swept.localCheckpoint(eager=False)
+        new_df_z = _fresh_stats(new_z_ckpt)
+        # Eager model build: ONE job runs the sweep, persists its blocks,
+        # and materializes the next model table (old blocks still alive
+        # while it runs; unpersist only after).
+        new_m_ckpt = _join_model_df(new_df_z, K).localCheckpoint(eager=True)
+        new_model_df = _fresh_stats(new_m_ckpt)
+        if config.compute_likelihood:
+            ll = (
+                new_df_z.where(F.col("doc_id") < 0).agg(F.sum("ll")).collect()[0][0]
+                or 0.0
+            )
+            lls.append(float(ll))
+        z_ckpt.unpersist()
+        m_ckpt.unpersist()
+        z_ckpt, m_ckpt = new_z_ckpt, new_m_ckpt
+        df_z, model_df = new_df_z, new_model_df
+
+    # Driver materialization for API parity (tests, describe_topics, serde).
+    # At true scale, use `model_table` + model-as-DataFrame inference and
+    # skip this collect.
+    mpdf = model_df.toPandas()
+    nwk = np.zeros((V, K), dtype=np.int64)
+    if len(mpdf):
+        nwk[mpdf["word_id"].to_numpy().astype(np.int64)] = np.stack(
+            [np.asarray(c, dtype=np.int64) for c in mpdf["cnts"]]
+        )
+    word_pid.unpersist()
+    z_ckpt.unpersist()
+    raw_model = LDAModel(nwk, words, config.alpha, config.beta)
+    return TrainResult(
+        model=raw_model, raw_model=raw_model, log_likelihood=lls,
+        model_table=model_df,
+    )
+
+
 def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None) -> TrainResult:
     """Train on canonical ``(doc_id, word, count)`` triples.
 
@@ -342,6 +686,10 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
     run because shuffle gather order differs after the restart).
     """
     config.validate()
+    if config.model_mode == "join":
+        if resume_from is not None:
+            raise ValueError("model_mode='join' does not support resume yet")
+        return _train_join(corpus, config)
     spark = corpus.sparkSession
     sc = spark.sparkContext
     if config.num_partitions:

@@ -222,3 +222,94 @@ def test_shuffle_aggregate_mode_identical(spark):
 
     with pytest.raises(ValueError):
         TrainConfig(num_topics=4, aggregate_mode="bogus").validate()
+
+
+def test_join_mode_trains_and_recovers_topics(spark):
+    """model_mode='join' (model-as-DataFrame, no V*K broadcast) must be a
+    valid AD-LDA chain: counts conserved, LL improving, disjoint-vocab
+    topics recovered, model_table consistent with the driver model."""
+    corpus = synthetic_corpus(spark)
+    cfg = TrainConfig(
+        num_topics=3, total_iterations=25, burn_in_iterations=0,
+        average_model=False, compute_likelihood=True, seed=7,
+        num_partitions=3, model_mode="join",
+    )
+    res = train(corpus, cfg)
+    m = res.raw_model
+    assert m.nwk.sum() == 60 * 40
+    assert np.array_equal(m.nk, m.nwk.sum(axis=0))
+    lls = res.log_likelihood
+    assert len(lls) == 25 and lls[-1] > lls[0]
+    assert np.mean(lls[-5:]) > np.mean(lls[:5])
+    owners = set()
+    for t in range(3):
+        block = m.nwk[t * 10 : (t + 1) * 10].sum(axis=0)
+        assert block.max() / block.sum() > 0.85
+        owners.add(int(block.argmax()))
+    assert len(owners) == 3
+    # model_table is the same model, distributed
+    mt = {r["word_id"]: list(r["cnts"]) for r in res.model_table.collect()}
+    for wid, row in enumerate(m.nwk):
+        assert mt.get(wid, [0] * 3) == list(row)
+
+
+def test_join_mode_deterministic_and_validated(spark):
+    corpus = synthetic_corpus(spark, n_docs=20, doc_len=15)
+    cfg = dict(num_topics=3, total_iterations=4, burn_in_iterations=0,
+               average_model=False, seed=123, num_partitions=2,
+               model_mode="join")
+    m1 = train(corpus, TrainConfig(**cfg)).raw_model
+    m2 = train(corpus, TrainConfig(**cfg)).raw_model
+    assert np.array_equal(m1.nwk, m2.nwk)
+
+    with pytest.raises(ValueError):
+        TrainConfig(num_topics=3, model_mode="bogus").validate()
+    with pytest.raises(ValueError):
+        # join mode is mpi_lda semantics: averaging must be rejected
+        TrainConfig(num_topics=3, model_mode="join", average_model=True).validate()
+
+
+def test_join_mode_model_feeds_dataframe_inference(spark):
+    """The 100 TB path end-to-end: join-trained model_table drives
+    model-as-DataFrame inference without ever materializing V*K on the
+    driver, and matches inference from the collected model."""
+    from plda_spark.lda import infer
+
+    corpus = synthetic_corpus(spark, n_docs=30)
+    cfg = TrainConfig(
+        num_topics=3, total_iterations=10, burn_in_iterations=0,
+        average_model=False, seed=11, num_partitions=2, model_mode="join",
+    )
+    import pyspark.sql.functions as F
+
+    res = train(corpus, cfg)
+    model = res.raw_model
+    new_docs = spark.createDataFrame(
+        [(0, "w001", 5), (0, "w002", 5), (1, "w015", 10)],
+        "doc_id long, word string, count int",
+    )
+    vocab = spark.createDataFrame(
+        [(w, i) for i, w in enumerate(model.words)], "word string, word_id long"
+    )
+    from plda_spark.lda.vocab import remap_words
+
+    triples = remap_words(new_docs, vocab).select("doc_id", "word_id", "count")
+    # model_table (word_id, cnts bigint[]) -> the inference model frame,
+    # never touching a driver-side V*K array
+    model_df = res.model_table.select(
+        "word_id",
+        F.transform("cnts", lambda c: c.cast("double")).alias("topic_counts"),
+    )
+    df = infer.transform_model_df(
+        model_df, model.nk, triples, alpha=cfg.alpha, beta=cfg.beta,
+        total_iterations=12, burn_in_iterations=6, seed=3,
+    )
+    bc = infer.transform(
+        model, new_docs, total_iterations=12, burn_in_iterations=6, seed=3
+    )
+    a = {r["doc_id"]: np.array(r["topic_weights"]) for r in df.collect()}
+    b = {r["doc_id"]: np.array(r["topic_weights"]) for r in bc.collect()}
+    assert set(a) == set(b) == {0, 1}
+    for d in a:
+        assert a[d].sum() == pytest.approx(b[d].sum())
+        assert int(a[d].argmax()) == int(b[d].argmax())

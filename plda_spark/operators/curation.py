@@ -92,6 +92,47 @@ def apply_filters(
     return survivors, audit
 
 
+def _source_shares(
+    docs: DataFrame, source_col: str, token_count_col: str | None
+) -> DataFrame:
+    """``(source, n_tokens, share)`` — ONE map-side-combined aggregation
+    to |sources| rows plus a 1-row total broadcast (shared by both
+    mixture planners)."""
+    tokens = (
+        F.col(token_count_col).cast("long")
+        if token_count_col
+        else F.size(F.split(F.col("text"), r"\s+"))
+    )
+    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(tokens).alias("n_tokens")
+    )
+    total = per_source.agg(F.sum("n_tokens").alias("__total"))
+    return per_source.crossJoin(F.broadcast(total)).withColumn(
+        "share", F.col("n_tokens") / F.col("__total")
+    )
+
+
+def _realize_rates(shared: DataFrame) -> DataFrame:
+    """``(…, share, target)`` → the planner output frame: rate ∝
+    target/share normalized so the largest rate is exactly 1 (guarding
+    the all-zero-targets case), everything rounded for cross-engine
+    hash stability."""
+    shared = shared.withColumn("__raw", F.col("target") / F.col("share"))
+    mx = shared.agg(F.max("__raw").alias("__mx"))
+    return shared.crossJoin(F.broadcast(mx)).select(
+        "source",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round("target", 6).alias("target"),
+        F.round(
+            F.when(F.col("__mx") > 0, F.col("__raw") / F.col("__mx")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("rate"),
+    )
+
+
 def mixture_rates(
     docs: DataFrame,
     source_col: str,
@@ -125,43 +166,17 @@ def mixture_rates(
     if wsum <= 0:
         raise ValueError("target_weights must sum to a positive value")
     norm = {k: v / wsum for k, v in target_weights.items()}
-    tokens = (
-        F.col(token_count_col).cast("long")
-        if token_count_col
-        else F.size(F.split(F.col("text"), r"\s+"))
-    )
-    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(tokens).alias("n_tokens")
-    )
-    total = per_source.agg(F.sum("n_tokens").alias("__total"))
     target = F.coalesce(
         *[
             F.when(F.col("source") == s, F.lit(w))
             for s, w in sorted(norm.items())
         ],
         F.lit(0.0),
-    ) if norm else F.lit(0.0)
-    shared = (
-        per_source.crossJoin(F.broadcast(total))
-        .withColumn("share", F.col("n_tokens") / F.col("__total"))
-        .withColumn("target", target)
-        .withColumn("__raw", F.col("target") / F.col("share"))
     )
-    mx = shared.agg(F.max("__raw").alias("__mx"))
-    return (
-        shared.crossJoin(F.broadcast(mx))
-        .select(
-            "source",
-            "n_tokens",
-            F.round("share", 6).alias("share"),
-            F.round("target", 6).alias("target"),
-            F.round(
-                F.when(F.col("__mx") > 0, F.col("__raw") / F.col("__mx"))
-                .otherwise(F.lit(0.0)),
-                6,
-            ).alias("rate"),
-        )
+    shared = _source_shares(docs, source_col, token_count_col).withColumn(
+        "target", target
     )
+    return _realize_rates(shared)
 
 
 def calibrate_scores(
@@ -243,8 +258,14 @@ def dsir_weights(
             hash_bucket(F.col("word"), num_buckets).alias("bucket"),
         )
 
-    # Distribution estimates: |buckets|-row tables (bounded, tiny).
-    q_raw = bucketed(docs).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    # Per-doc bucket counts first: the raw-corpus distribution estimate
+    # is then derived FROM this aggregate (sum of c by bucket), so the
+    # raw corpus is tokenized and md5-hashed exactly once — only the
+    # (much smaller) target set gets its own scan.
+    per_doc = bucketed(docs).groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    q_raw = per_doc.groupBy("bucket").agg(F.sum("c").alias("c_raw"))
     p_tgt = bucketed(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_tgt"))
     n_raw = q_raw.agg(F.sum("c_raw").alias("n_raw"))
     n_tgt = p_tgt.agg(F.sum("c_tgt").alias("n_tgt"))
@@ -268,9 +289,6 @@ def dsir_weights(
         )
     )
 
-    per_doc = bucketed(docs).groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("c")
-    )
     return (
         per_doc.join(F.broadcast(weights), "bucket")
         .groupBy("doc_id")
@@ -337,31 +355,11 @@ def temperature_mixture(
     """
     if temperature <= 0:
         raise ValueError("temperature must be positive")
-    tokens = (
-        F.col(token_count_col).cast("long")
-        if token_count_col
-        else F.size(F.split(F.col("text"), r"\s+"))
-    )
-    per_source = docs.groupBy(F.col(source_col).alias("source")).agg(
-        F.sum(tokens).alias("n_tokens")
-    )
-    total = per_source.agg(F.sum("n_tokens").alias("__total"))
-    scaled = (
-        per_source.crossJoin(F.broadcast(total))
-        .withColumn("share", F.col("n_tokens") / F.col("__total"))
-        .withColumn("__p", F.pow(F.col("share"), F.lit(1.0 / temperature)))
+    scaled = _source_shares(docs, source_col, token_count_col).withColumn(
+        "__p", F.pow(F.col("share"), F.lit(1.0 / temperature))
     )
     z = scaled.agg(F.sum("__p").alias("__z"))
-    shared = (
-        scaled.crossJoin(F.broadcast(z))
-        .withColumn("target", F.col("__p") / F.col("__z"))
-        .withColumn("__raw", F.col("target") / F.col("share"))
+    shared = scaled.crossJoin(F.broadcast(z)).withColumn(
+        "target", F.col("__p") / F.col("__z")
     )
-    mx = shared.agg(F.max("__raw").alias("__mx"))
-    return shared.crossJoin(F.broadcast(mx)).select(
-        "source",
-        "n_tokens",
-        F.round("share", 6).alias("share"),
-        F.round("target", 6).alias("target"),
-        F.round(F.col("__raw") / F.col("__mx"), 6).alias("rate"),
-    )
+    return _realize_rates(shared)

@@ -267,6 +267,40 @@ def minhash_signatures(
     )
 
 
+def band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """``(doc_id, sig)`` → slim LSH band buckets ``(doc_id, band,
+    bucket)``: the signature split into ``bands`` rows of
+    ``num_hashes/bands`` components, each md5-digested.  THE canonical
+    bucket formula — both the batch pair search and the incremental
+    crawl ledger derive buckets here, so they can never drift apart."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("sig")[bi * r + j].cast("string")
+                                    for j in range(r)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     num_hashes: int = 16,
@@ -285,7 +319,6 @@ def minhash_lsh_pairs(
     with ``threshold`` if given.
     """
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     # One row per doc — tiny relative to the shingle explosion feeding
     # it.  The band rows and both re-rank sides are identical subplans
     # over `sig`, so the shingle+min aggregation runs once and AQE
@@ -298,24 +331,9 @@ def minhash_lsh_pairs(
     # the est_jaccard re-rank joins the one-row-per-doc `sig` table back
     # onto the (deduplicated, much smaller) candidate set.  Measured
     # ~10% faster at sf0.1; the gap widens with signature width.
-    band_rows = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(",", *[F.col("sig")[bi * r + j].cast("string") for j in range(r)])
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = band_rows.alias("a")
-    b = band_rows.alias("b")
+    bb = band_rows(sig, num_hashes, bands)
+    a = bb.alias("a")
+    b = bb.alias("b")
     cand = (
         a.join(
             b,
@@ -694,33 +712,36 @@ def dedup_spans(
     first = spans.groupBy("__digest").agg(
         F.min(F.struct("doc_id", "span_idx")).alias("__first")
     )
-    kept = spans.join(first, "__digest").where(
-        (F.col("doc_id") == F.col("__first.doc_id"))
-        & (F.col("span_idx") == F.col("__first.span_idx"))
+    # ONE pass over the joined spans: flag each span as kept/lost and
+    # aggregate counts + the kept-text digest per doc together (no
+    # second span scan, no left join, no null-patch columns — a doc
+    # whose every span is owned elsewhere yields an empty kept list,
+    # which array_join/md5 turn into md5('') naturally).
+    is_kept = (F.col("doc_id") == F.col("__first.doc_id")) & (
+        F.col("span_idx") == F.col("__first.span_idx")
     )
     return (
-        spans.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_spans"))
-        .join(
-            kept.groupBy("doc_id").agg(
-                F.count(F.lit(1)).alias("n_kept"),
-                F.md5(
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("span_idx", "span"))),
-                            lambda s: s["span"],
+        spans.join(first, "__digest")
+        .select("doc_id", "span_idx", "span", is_kept.alias("__kept"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__kept"),
+                                    F.struct("span_idx", "span"),
+                                )
+                            )
                         ),
-                        " ",
-                    )
-                ).alias("dedup_digest"),
-            ),
-            "doc_id",
-            "left",
-        )
-        .select(
-            "doc_id",
-            "n_spans",
-            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-            F.coalesce("dedup_digest", F.md5(F.lit(""))).alias("dedup_digest"),
+                        lambda s: s["span"],
+                    ),
+                    " ",
+                )
+            ).alias("dedup_digest"),
         )
     )

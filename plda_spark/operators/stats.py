@@ -608,7 +608,9 @@ def cms_estimate(
     no row is a zero count (min wins immediately).
 
     ``width`` must match the rollup's.  ``depth`` is inferred from the
-    rollup rows.
+    FULL rollup (it is a property of the sketch family, not of the day
+    range), so a range with no sketch rows still yields one ``est = 0``
+    row per query key instead of an empty frame.
     """
     src = sketches
     if start_day is not None:
@@ -616,7 +618,7 @@ def cms_estimate(
     if end_day is not None:
         src = src.where(F.col("day") <= end_day)
     merged = src.groupBy("d", "bucket").agg(F.sum("c").alias("c"))
-    depth_df = merged.agg((F.max("d") + 1).alias("__depth"))
+    depth_df = sketches.agg((F.max("d") + 1).alias("__depth"))
     probes = (
         keys.crossJoin(F.broadcast(depth_df))
         .select(

@@ -542,38 +542,14 @@ def minhash_band_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc LSH band buckets ``(doc_id, band, bucket)`` — the md5
-    minhash family from :mod:`plda_spark.operators.dedup`, exposed for
-    ledger-based incremental dedup."""
-    from plda_spark.operators.dedup import minhash_signatures, shingles
+    """Per-doc LSH band buckets ``(doc_id, band, bucket)`` — the
+    canonical bucket formula from :func:`plda_spark.operators.dedup.
+    band_rows`, so the incremental ledger and the batch
+    ``minhash_lsh_pairs`` audits can never drift apart."""
+    from plda_spark.operators.dedup import band_rows, minhash_signatures, shingles
 
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = minhash_signatures(shingles(docs, n, text_col, id_col), num_hashes)
-    return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("sig")[bi * r + j].cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    return band_rows(sig, num_hashes, bands)
 
 
 def incremental_minhash_dedup(
@@ -654,9 +630,18 @@ def incremental_minhash_dedup(
             keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         ).localCheckpoint(eager=True)
         fresh.write.mode("append").parquet(out_path)
+        # Always append a sentinel marker row (band = -1) alongside the
+        # admitted buckets: a batch whose admitted docs are ALL
+        # bucketless (too short to shingle) would otherwise write zero
+        # ledger rows, so a crash-replay of it would not find its
+        # batch_id and would append those docs to out_path a second
+        # time.  The sentinel can never collide (bb bands are >= 0).
+        marker = spark.createDataFrame(
+            [(-1, "__batch__", batch_id)], "band int, bucket string, batch_id long"
+        )
         bb.join(keep, "doc_id", "left_semi").select(
-            "band", "bucket", F.lit(batch_id).alias("batch_id")
-        ).write.mode("append").parquet(state_path)
+            "band", "bucket", F.lit(batch_id).cast("long").alias("batch_id")
+        ).unionByName(marker).write.mode("append").parquet(state_path)
 
     q = (
         stream_docs.writeStream.foreachBatch(process)

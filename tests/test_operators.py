@@ -1917,6 +1917,15 @@ def test_cms_upper_bound_and_mergeability(spark):
     assert est_span == est_direct
     assert est_span[7] >= 8 and est_span[9] >= 0
 
+    # a day range with NO sketch rows still answers est=0 for every key
+    est_empty = {
+        r["key"]: r["est"]
+        for r in stats.cms_estimate(
+            sk, users, width=16, start_day="2030-01-01", end_day="2030-12-31"
+        ).collect()
+    }
+    assert est_empty == {7: 0, 8: 0, 9: 0}
+
     with pytest.raises(ValueError):
         stats.cms_daily_sketches(ev, depth=0)
 

@@ -322,3 +322,21 @@ def test_incremental_minhash_dedup_two_increments(spark, tmp_path):
     n_before = spark.read.parquet(out).count()
     run()
     assert spark.read.parquet(out).count() == n_before
+
+    # batch 3: ONLY bucketless (too-short) docs — the ledger must still
+    # record the batch (sentinel band=-1 marker row), otherwise a
+    # crash-replay of this batch would re-append its docs to out_path
+    spark.createDataFrame([(20, "yo"), (21, "ok")], schema).write.mode(
+        "append"
+    ).parquet(in_dir)
+    run()
+    from pyspark.sql import functions as F
+
+    got3 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert {20, 21} <= got3
+    ledger = spark.read.parquet(state)
+    batch3 = ledger.agg(F.max("batch_id")).collect()[0][0]
+    marker_rows = ledger.where(
+        (F.col("batch_id") == batch3) & (F.col("band") == -1)
+    ).count()
+    assert marker_rows == 1

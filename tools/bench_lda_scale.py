@@ -7,7 +7,12 @@ Gibbs sweep (mapInPandas) → localCheckpoint → partial/final count
 aggregation → collect.  This is the cost model the reference's speedup
 chart describes (one AllReduce per iteration, mpi_lda.cc:213-235).
 
-Usage: python tools/bench_lda_scale.py [n_docs] [avg_len] [vocab] [k] [iters]
+Usage: python tools/bench_lda_scale.py [n_docs] [avg_len] [vocab] [k] [iters] [mode]
+
+``mode`` is ``broadcast`` (default — the reference's replicated-model
+design) or ``join`` (model-as-DataFrame: no V·K broadcast or driver
+copy; the corpus and model-slice rows ride shuffles instead — the
+beyond-broadcast-ceiling path, costed here so the trade is recorded).
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ def main() -> None:
     V = int(sys.argv[3]) if len(sys.argv) > 3 else 100_000
     K = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     iters = int(sys.argv[5]) if len(sys.argv) > 5 else 3
+    mode = sys.argv[6] if len(sys.argv) > 6 else "broadcast"
 
     spark = get_spark("lda-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,6 +64,10 @@ def main() -> None:
         spark.range(n_docs, numPartitions=P)
         .mapInPandas(gen, schema="doc_id long, word_occ array<int>")
     )
+    if mode == "join":
+        _run_join(spark, packed, V, K, iters, n_docs)
+        return
+
     t0 = time.time()
     df_z = packed.mapInPandas(T._zinit_fn(K, V, 42), schema=T._SWEEP_SCHEMA)
     # Mirrors train.py: LAZY checkpoint, materialized by the first
@@ -93,6 +103,74 @@ def main() -> None:
     print(json.dumps({
         "n_docs": n_docs, "vocab": V, "k": K, "n_tokens": int(n_tokens),
         "cores": P, "init_s": round(t_init, 2), "first_agg_s": round(t_agg0, 2),
+        "iteration_s": iter_times,
+        "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
+    }))
+    spark.stop()
+
+
+def _run_join(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
+    """Join-mode per-iteration cost at the same scale: cogroup sweep +
+    distributed model rebuild, no broadcast, no driver model copy."""
+    sc = spark.sparkContext
+    P = sc.defaultParallelism
+
+    t0 = time.time()
+    pid = F.pmod(F.hash("doc_id"), F.lit(P)).cast("int")
+    with_pid = packed.withColumn("pid", pid)
+    word_pid = (
+        with_pid.select("pid", F.explode(F.array_distinct("word_occ")).alias("word_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    z_ckpt = (
+        with_pid.select("pid", "doc_id", "word_occ")
+        .groupBy("pid")
+        .applyInPandas(T._join_zinit_fn(K, 42), schema=T._JOIN_SWEEP_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    df_z = z_ckpt
+    m_ckpt = T._join_model_df(df_z, K).localCheckpoint(eager=True)
+    model_df = T._fresh_stats(m_ckpt)
+    t_init = time.time() - t0
+
+    n_tokens = (
+        df_z.where(F.col("doc_id") >= 0)
+        .select(F.sum(F.length("word_occ") / 4))
+        .collect()[0][0]
+    )
+
+    iter_times = []
+    for it in range(iters):
+        t0 = time.time()
+        nk_rows = (
+            model_df.select(F.posexplode("cnts").alias("t", "c"))
+            .groupBy("t").agg(F.sum("c").alias("c")).collect()
+        )
+        nk = [0] * K
+        for r in nk_rows:
+            nk[r["t"]] = int(r["c"])
+        slices = word_pid.join(model_df, "word_id").select("pid", "word_id", "cnts")
+        swept = (
+            df_z.where(F.col("doc_id") >= 0)
+            .groupby("pid")
+            .cogroup(slices.groupby("pid"))
+            .applyInPandas(
+                T._join_sweep_fn(nk, V, 0.1, 0.01, 42, it, False),
+                schema=T._JOIN_SWEEP_SCHEMA,
+            )
+        )
+        new_z = swept.localCheckpoint(eager=False)
+        new_m_ckpt = T._join_model_df(new_z, K).localCheckpoint(eager=True)
+        z_ckpt.unpersist()
+        m_ckpt.unpersist()
+        df_z, z_ckpt, m_ckpt = new_z, new_z, new_m_ckpt
+        model_df = T._fresh_stats(new_m_ckpt)
+        iter_times.append(round(time.time() - t0, 2))
+
+    print(json.dumps({
+        "mode": "join", "n_docs": n_docs, "vocab": V, "k": K,
+        "n_tokens": int(n_tokens), "cores": P, "init_s": round(t_init, 2),
         "iteration_s": iter_times,
         "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
     }))

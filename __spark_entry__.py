@@ -1115,6 +1115,29 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_spans"] = dedup_spans_q
 
+    def dedup_cross(spark, sf):
+        """Cross-corpus near-dup dedup (operators.dedup.cross_dedup):
+        the planted 80%-prefix copies are the "new crawl", the original
+        documents the reference corpus — survivors are the prefix docs
+        whose LSH band buckets miss every original."""
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        toks = text.tokens_col("text")
+        new_docs = docs.where(F.col("doc_id") % 10 == 5).select(
+            (F.col("doc_id") + 200000).alias("doc_id"),
+            F.array_join(
+                F.slice(
+                    toks,
+                    1,
+                    F.greatest(F.floor(F.size(toks) * 4 / 5), F.lit(1)).cast("int"),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        out = dedup.cross_dedup(new_docs, docs)
+        return out.select("doc_id", F.md5("text").alias("text_digest"))
+
+    q["dedup_cross"] = dedup_cross
+
     # ---- engine extensions: embedding clustering ---------------------------
 
     def ml_kmeans_assign(spark, sf):
@@ -2543,6 +2566,47 @@ reach(node, dst) AS (
   SELECT r.node, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
 SELECT node AS doc_id, min(dst) AS component FROM reach GROUP BY node
+"""
+
+    def _mh_bands(src: str, tag: str) -> str:
+        """Shingle → minhash → band-bucket fragment over CTE ``src``
+        (same formulas as _SQL_SHINGLES/_minhash_flat, parametrized so
+        two corpora can be banded in one query)."""
+        return f"""
+sh_{tag} AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                               i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+  FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM {src}) WHERE len(toks) >= 3
+),
+flat_{tag} AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS i,
+         min(({_a_arr}[i+1] * (h % {MINHASH_P}) + {_b_arr}[i+1]) % {MINHASH_P}) AS min_hash
+  FROM (SELECT doc_id, {_SQL_MD5_LONG.format(x='shingle')} AS h FROM sh_{tag}),
+       unnest(range(16)) AS t(i)
+  GROUP BY doc_id, i
+),
+bands_{tag} AS (
+  SELECT doc_id, i // 4 AS band,
+         md5(array_to_string(list(CAST(min_hash AS VARCHAR) ORDER BY i), ',')) AS bucket
+  FROM flat_{tag} GROUP BY doc_id, i // 4
+)"""
+
+    o["dedup_cross"] = f"""
+WITH newd AS (
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(t[1:GREATEST((len(t)*4)//5, 1)], ' ') AS text
+  FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents) WHERE doc_id % 10 = 5
+),
+refd AS (SELECT doc_id, text FROM documents),
+{_mh_bands('newd', 'new')},
+{_mh_bands('refd', 'ref')},
+hits AS (
+  SELECT DISTINCT n.doc_id FROM bands_new n
+  JOIN bands_ref r ON n.band = r.band AND n.bucket = r.bucket
+)
+SELECT doc_id, md5(text) AS text_digest
+FROM newd WHERE doc_id NOT IN (SELECT doc_id FROM hits)
 """
 
     _simhash_sums = ", ".join(
@@ -4271,6 +4335,7 @@ EXTRA_QUERIES: list[str] = [
     "q21_waiting_suppliers",
     "q22_dormant_customers",
     "curation_temperature",
+    "dedup_cross",
 ]
 
 

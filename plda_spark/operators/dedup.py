@@ -46,6 +46,8 @@ __all__ = [
     "decontaminate",
     "keep_best",
     "dedup_spans",
+    "band_rows",
+    "cross_dedup",
 ]
 
 
@@ -581,6 +583,51 @@ def decontaminate(
     ).where(F.col("n_contaminated_ngrams") >= min_hits)
     return docs.join(
         hits.select(F.col("doc_id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def cross_dedup(
+    new_docs: DataFrame,
+    reference: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus near-dup dedup: drop every ``new_docs`` row whose
+    MinHash-LSH band bucket collides with ANY ``reference`` doc — the
+    batch form of "dedupe this crawl increment against the existing
+    corpus" (the streaming ledger in
+    ``streaming.incremental_minhash_dedup`` is the continuous twin and
+    shares the same bucket formula via :func:`band_rows`).
+
+    Bucket collision ⇒ assumed near-dup, no verification pass: false
+    positives at the LSH collision rate are the accepted trade at crawl
+    scale; for an audited drop-list run ``minhash_lsh_pairs`` over the
+    union instead.  Returns the surviving ``new_docs`` rows unchanged in
+    schema.
+
+    Scale shape: both corpora are shingled+signed once (map-side
+    combined groupBys); the collision test is ONE left-anti equi-join on
+    the slim ``(band, bucket)`` rows — never a doc-pair join, never a
+    broadcast of either corpus.  Docs too short to shingle have no
+    buckets and survive (nothing to collide on).
+    """
+    sig_new = minhash_signatures(shingles(new_docs, n, text_col, id_col), num_hashes)
+    sig_ref = minhash_signatures(shingles(reference, n, text_col, id_col), num_hashes)
+    hit_ids = (
+        band_rows(sig_new, num_hashes, bands)
+        .join(
+            band_rows(sig_ref, num_hashes, bands).select("band", "bucket"),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    return new_docs.join(
+        hit_ids.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
 
 

@@ -1951,3 +1951,25 @@ def test_temperature_mixture_limits(spark):
 
     with pytest.raises(ValueError):
         curation.temperature_mixture(df, "source", temperature=0.0)
+
+
+def test_cross_dedup_drops_near_copies_keeps_novel(spark):
+    from plda_spark.operators import dedup
+
+    ref_text = "the quick brown fox jumps over the lazy dog again and again today"
+    novel = "completely different words about stock market trading and price discovery"
+    ref = spark.createDataFrame([(0, ref_text)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (10, ref_text),                                  # exact copy -> dropped
+            (11, ref_text.replace("today", "tomorrow")),     # near copy -> dropped
+            (12, novel),                                     # novel -> kept
+            (13, "hi"),                                      # bucketless -> kept
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]
+        for r in dedup.cross_dedup(new, ref, num_hashes=16, bands=8).collect()
+    }
+    assert got == {12, 13}

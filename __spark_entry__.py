@@ -1138,6 +1138,23 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cross"] = dedup_cross
 
+    def layout_zorder(spark, sf):
+        """Morton z-values for a two-column layout key (sources.zorder):
+        the interleave the z-ordered writer clusters files by, verified
+        bit-for-bit against integer arithmetic in SQL."""
+        from plda_spark.sources.zorder import zvalue_col
+
+        o = load_table(spark, sf, "orders").select(
+            "o_orderkey",
+            (F.col("o_custkey") % 256).alias("x"),
+            (F.col("o_orderkey") % 256).alias("y"),
+        )
+        return o.select(
+            "o_orderkey", "x", "y", zvalue_col(["x", "y"], bits=8).alias("zvalue")
+        )
+
+    q["layout_zorder"] = layout_zorder
+
     # ---- engine extensions: embedding clustering ---------------------------
 
     def ml_kmeans_assign(spark, sf):
@@ -3661,6 +3678,17 @@ SELECT source, n_tokens, ROUND(share, 6) AS share, ROUND(target, 6) AS target,
 FROM r CROSS JOIN m
 """
 
+    _z_terms = " | ".join(
+        f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
+        for b in range(8)
+    )
+    o["layout_zorder"] = f"""
+SELECT o_orderkey, x, y, CAST({_z_terms} AS BIGINT) AS zvalue
+FROM (
+  SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y FROM orders
+)
+"""
+
     o["q4_order_priority"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
@@ -4336,6 +4364,7 @@ EXTRA_QUERIES: list[str] = [
     "q22_dormant_customers",
     "curation_temperature",
     "dedup_cross",
+    "layout_zorder",
 ]
 
 

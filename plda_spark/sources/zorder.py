@@ -1,0 +1,79 @@
+"""Z-order (Morton-curve) data layout for multi-column pruning.
+
+Sorting a table by ONE column gives perfect file-level min/max pruning
+on that column and none on any other; interleaving the bits of several
+columns into a Morton code and range-partitioning + sorting by it gives
+GOOD pruning on every participating column at once (each output file
+covers a small hyper-rectangle of the key space).  This is the layout
+behind `OPTIMIZE ZORDER BY` in the public Delta Lake design — here as a
+plain write-path operator over parquet, expressed entirely in JVM
+bit-arithmetic expressions (codegen'd, no UDF).
+
+The reference repo has no storage layout surface (it is an LDA
+trainer); this extends the engine's sink family (sharded / bucketed /
+date-partitioned) with the multi-dimensional clustering option.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zvalue_col", "write_zordered"]
+
+
+def zvalue_col(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Morton code of ``cols``: the low ``bits`` bits of each column
+    interleaved round-robin (column 0's bit b lands at position
+    ``b * n_cols``).  Inputs are treated as non-negative integers and
+    masked to ``bits`` bits — quantize / rank-encode wider or skewed
+    domains first (`F.ntile` or `(col % 2**bits)`), exactly as Delta's
+    implementation rank-encodes before interleaving.
+
+    Pure bit arithmetic — one codegen'd expression, no shuffle of its
+    own; ``bits * n_cols`` must fit a signed 64-bit value.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in cols]
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zvalue_col needs at least one column")
+    if bits < 1 or bits * n > 63:
+        raise ValueError("bits * n_cols must be in [1, 63]")
+    z = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = c.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(v, b).bitwiseAND(F.lit(1)), b * n + j)
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    cols: Sequence[str],
+    path: str,
+    num_files: int = 8,
+    bits: int = 16,
+) -> None:
+    """Write ``df`` as parquet clustered on the Morton code of ``cols``:
+    range-partition into ``num_files`` z-ranges (one sampling pass picks
+    the range bounds — Spark's built-in range partitioner), sort each
+    file by z, drop the helper column.
+
+    Every participating column then has tight per-file min/max bounds,
+    so a reader filtering on ANY of them skips most files (file- and
+    row-group-level parquet stats pruning).  Scale shape: one range
+    shuffle + per-partition sort — the same cost as a plain global sort.
+    """
+    z = zvalue_col(list(cols), bits)
+    (
+        df.withColumn("__z", z)
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

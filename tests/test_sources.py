@@ -231,3 +231,55 @@ def test_plda_reader_tolerates_malformed_counts(spark, tmp_path):
         for r in read_plda_corpus(spark, str(p)).collect()
     }
     assert got == {(0, "good"): 2, (0, "fine"): 1, (3, "ok"): 1, (3, "tail"): 4}
+
+
+def test_zorder_value_interleaves_bits(spark):
+    from plda_spark.operators import dedup  # noqa: F401  (session warm)
+    from plda_spark.sources.zorder import zvalue_col
+
+    df = spark.createDataFrame([(3, 5)], "a long, b long")
+    # a=0b011, b=0b101 interleaved (a at even positions): 0b100111 = 39
+    got = df.select(zvalue_col(["a", "b"], bits=3).alias("z")).collect()[0]["z"]
+    assert got == 0b100111
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        zvalue_col([], bits=3)
+    with pytest.raises(ValueError):
+        zvalue_col(["a", "b"], bits=32)
+
+
+def test_zorder_write_clusters_both_columns(spark, tmp_path):
+    """Each z-ordered output file must cover a small hyper-rectangle:
+    the mean per-file value range on EACH key column is far below the
+    global range (the property min/max pruning exploits)."""
+    import pyspark.sql.functions as F
+    from plda_spark.sources.zorder import write_zordered
+
+    n = 1 << 12
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 64).alias("x"),
+            (F.col("id") / 64).cast("long").alias("y"),
+            F.col("id").alias("payload"),
+        )
+    )
+    out = str(tmp_path / "zordered")
+    write_zordered(df, ["x", "y"], out, num_files=16, bits=6)
+
+    back = spark.read.parquet(out)
+    assert back.count() == n and set(back.columns) == {"x", "y", "payload"}
+    per_file = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("rx"),
+            (F.max("y") - F.min("y")).alias("ry"),
+        )
+        .agg(F.avg("rx").alias("rx"), F.avg("ry").alias("ry"), F.count(F.lit(1)).alias("nf"))
+        .collect()[0]
+    )
+    assert per_file["nf"] >= 8
+    # global range is 63 on both axes; clustered files must be much tighter
+    assert per_file["rx"] < 32 and per_file["ry"] < 32

@@ -1053,6 +1053,10 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(spark, sf, "documents")
     )
 
+    q["text_lm_score_kn"] = lambda spark, sf: text.lm_score_kn(
+        load_table(spark, sf, "documents")
+    )
+
     def text_dedup_paragraphs(spark, sf):
         """In-document repeated-paragraph removal on a corpus with planted
         boilerplate (doc_id % 3 == 0 repeats its body three times)."""
@@ -3678,6 +3682,48 @@ SELECT source, n_tokens, ROUND(share, 6) AS share, ROUND(target, 6) AS target,
 FROM r CROSS JOIN m
 """
 
+    o["text_lm_score_kn"] = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+v AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+  FROM (SELECT unnest(t) AS w FROM toks)
+),
+bg AS (
+  SELECT doc_id, s.a AS a, s.b AS b FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(a := t[i], b := t[i+1]))) AS s
+    FROM toks WHERE len(t) >= 2
+  )
+),
+bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+ctx AS (
+  SELECT a, CAST(sum(c_ab) AS BIGINT) AS ctx_a,
+         CAST(count(*) AS BIGINT) AS n1p_a
+  FROM bi GROUP BY a
+),
+cont AS (SELECT b, CAST(count(*) AS BIGINT) AS n1p_b FROM bi GROUP BY b),
+nbb AS (SELECT CAST(count(*) AS BIGINT) AS n_bb FROM bi),
+p AS (
+  SELECT bg.doc_id,
+         CASE WHEN coalesce(ctx_a, 0) > 0 THEN
+           (GREATEST(coalesce(c_ab, 0) - 0.75, 0.0)
+            + 0.75 * n1p_a * ((coalesce(n1p_b, 0) + 1)
+                              / CAST(n_bb + vocab AS DOUBLE))) / ctx_a
+         ELSE (coalesce(n1p_b, 0) + 1) / CAST(n_bb + vocab AS DOUBLE)
+         END AS p_kn
+  FROM bg
+  LEFT JOIN bi USING (a, b)
+  LEFT JOIN ctx USING (a)
+  LEFT JOIN cont USING (b)
+  CROSS JOIN nbb CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       ROUND(avg(ln(p_kn)), 6) AS avg_logp,
+       ROUND(exp(-avg(ln(p_kn))), 6) AS perplexity
+FROM p GROUP BY doc_id
+"""
+
     _z_terms = " | ".join(
         f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
         for b in range(8)
@@ -4365,6 +4411,7 @@ EXTRA_QUERIES: list[str] = [
     "curation_temperature",
     "dedup_cross",
     "layout_zorder",
+    "text_lm_score_kn",
 ]
 
 

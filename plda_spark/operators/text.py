@@ -26,6 +26,7 @@ __all__ = [
     "collocations",
     "bm25_score",
     "lm_score",
+    "lm_score_kn",
     "dedup_paragraphs",
     "fingerprint",
     "winnow",
@@ -436,6 +437,99 @@ def lm_score(
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.avg(logp).alias("__avg_logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("__avg_logp", 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("__avg_logp")), 6).alias("perplexity"),
+    )
+
+
+def lm_score_kn(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc INTERPOLATED KNESER-NEY bigram LM score — the stronger
+    sibling of :func:`lm_score` (absolute discounting + continuation
+    probabilities is the smoothing the classic CCNet/KenLM perplexity
+    filter uses; Kneser & Ney 1995, Chen & Goodman 1998 — public work).
+
+        P(b|a) = max(c(a,b)−D, 0)/ctx(a) + D·N1+(a,·)/ctx(a) · Pc(b)
+        Pc(b)  = (N1+(·,b) + 1) / (N_bb + V)      (add-one floor so OOV
+                                                   continuations stay
+                                                   finite)
+        contexts with ctx(a) = 0 back off to Pc(b) directly
+
+    where ctx(a) = Σ_b c(a,b), N1+(a,·) = distinct continuations of a,
+    N1+(·,b) = distinct contexts of b, N_bb = total distinct bigram
+    types, V = unigram vocabulary size.
+
+    Returns ``(doc_id, n_bigrams, avg_logp, perplexity)`` (docs with <2
+    tokens absent), rounded for cross-engine hash stability.
+
+    Scale shape: identical to :func:`lm_score` — three map-side-combined
+    count tables (bigram counts, per-context stats, per-continuation
+    stats) joined onto the doc-bigram stream on their natural keys; only
+    the two scalars N_bb and V touch the driver.  Entirely JVM-side and
+    SQL-expressible.
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    lm_docs = docs if lm_docs is None else lm_docs
+    t = tokens_col(text_col)
+
+    def bigram_rows(src: DataFrame, with_doc: bool) -> DataFrame:
+        base = src.select(F.col(id_col).alias("doc_id"), t.alias("toks"))
+        idx = F.sequence(F.lit(1), F.size("toks") - 1)
+        pairs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("a"),
+                F.element_at("toks", i + 1).alias("b"),
+            ),
+        )
+        cols = (["doc_id"] if with_doc else []) + [F.explode(pairs).alias("bg")]
+        out = base.where(F.size("toks") >= 2).select(*cols)
+        keep = (["doc_id"] if with_doc else []) + [
+            F.col("bg.a").alias("a"),
+            F.col("bg.b").alias("b"),
+        ]
+        return out.select(*keep)
+
+    bi = bigram_rows(lm_docs, with_doc=False).groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("c_ab")
+    )
+    ctx = bi.groupBy("a").agg(
+        F.sum("c_ab").alias("ctx_a"), F.count(F.lit(1)).alias("n1p_a")
+    )
+    cont = bi.groupBy("b").agg(F.count(F.lit(1)).alias("n1p_b"))
+    n_bb = bi.count()
+    vocab_size = lm_docs.select(F.explode(t).alias("w")).distinct().count()
+
+    pc = (F.coalesce(F.col("n1p_b"), F.lit(0)) + 1) / F.lit(float(n_bb + vocab_size))
+    d = F.lit(discount)
+    p_kn = F.when(
+        F.coalesce(F.col("ctx_a"), F.lit(0)) > 0,
+        (
+            F.greatest(F.coalesce(F.col("c_ab"), F.lit(0)) - d, F.lit(0.0))
+            + d * F.col("n1p_a") * pc
+        )
+        / F.col("ctx_a"),
+    ).otherwise(pc)
+    scored = (
+        bigram_rows(docs, with_doc=True)
+        .join(bi, ["a", "b"], "left")
+        .join(ctx, ["a"], "left")
+        .join(cont, ["b"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(F.log(p_kn)).alias("__avg_logp"),
         )
     )
     return scored.select(

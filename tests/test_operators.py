@@ -1973,3 +1973,36 @@ def test_cross_dedup_drops_near_copies_keeps_novel(spark):
         for r in dedup.cross_dedup(new, ref, num_hashes=16, bands=8).collect()
     }
     assert got == {12, 13}
+
+
+def test_lm_score_kn_hand_computed(spark):
+    """Interpolated KN against hand-computed probabilities on a corpus
+    small enough to enumerate."""
+    import math
+
+    from plda_spark.operators import text as text_ops
+
+    # training corpus: "aa bb", "aa bb", "aa cc" -> bigrams: (aa,bb)x2, (aa,cc)
+    lm = spark.createDataFrame(
+        [(0, "aa bb"), (1, "aa bb"), (2, "aa cc")], "doc_id long, text string"
+    )
+    # V=3 (aa,bb,cc), N_bb=2 types, ctx(aa)=3, N1+(aa,.)=2
+    # Pc(bb)=(1+1)/(2+3)=0.4, Pc(cc)=0.4, Pc(unseen)=1/5=0.2
+    # P(bb|aa) = (2-.75)/3 + .75*2/3*.4 = 0.41666667 + 0.2 = 0.6166667
+    # P(cc|aa) = (1-.75)/3 + .2 = 0.2833333
+    # unseen context ("zz ww"): P = Pc(ww) = 0.2
+    score_docs = spark.createDataFrame(
+        [(10, "aa bb"), (11, "aa cc"), (12, "zz ww")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in text_ops.lm_score_kn(score_docs, lm_docs=lm).collect()
+    }
+    assert got[10]["avg_logp"] == pytest.approx(math.log(1.25 / 3 + 0.2), abs=1e-5)
+    assert got[11]["avg_logp"] == pytest.approx(math.log(0.25 / 3 + 0.2), abs=1e-5)
+    assert got[12]["avg_logp"] == pytest.approx(math.log(0.2), abs=1e-5)
+    # better-modeled doc scores higher
+    assert got[10]["perplexity"] < got[11]["perplexity"] < got[12]["perplexity"]
+
+    with pytest.raises(ValueError):
+        text_ops.lm_score_kn(score_docs, discount=1.5)

@@ -329,3 +329,38 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     got_days = one_day.select("event_date").distinct().collect()
     # partition-column type inference reads the directory value back as a date
     assert [str(r["event_date"]) for r in got_days] == ["2024-01-03"]
+
+
+def test_dedup_spans_single_span_scan_no_cartesian(spark):
+    """Span dedup must never degrade to a nested-loop join, and the
+    span-construction subplan must appear at most twice (once feeding
+    the first-occurrence agg, once as the join probe — NOT a third time
+    for the per-doc totals, which ride the same flagged aggregation)."""
+    import __spark_entry__ as e
+
+    df = e.all_queries()["dedup_spans"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # posexplode of the span array is the span-construction fingerprint
+    assert plan.count("Generate posexplode") <= 2
+
+
+def test_cross_dedup_is_anti_join_no_corpus_broadcast(spark):
+    """Cross-corpus dedup must be an anti equi-join on slim band rows —
+    never a pair join and never a broadcast of a corpus-sized relation
+    (band/signature tables may broadcast only under AQE size evidence at
+    tiny SF; the pinned invariant is the join TYPE)."""
+    import __spark_entry__ as e
+
+    df = e.all_queries()["dedup_cross"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lm_kn_count_tables_never_nested_loop(spark):
+    import __spark_entry__ as e
+
+    df = e.all_queries()["text_lm_score_kn"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

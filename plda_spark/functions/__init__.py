@@ -16,8 +16,17 @@ from plda_spark.operators.sampling import hash_bucket
 from plda_spark.operators.similarity import cosine
 from plda_spark.operators.text import tokens_col
 from plda_spark.operators.web import normalize_url_col
+from plda_spark.sources.zorder import zvalue_col
 
-__all__ = ["cosine", "md5_long", "tokens_col", "hash_bucket", "ngrams", "normalize_url_col"]
+__all__ = [
+    "cosine",
+    "md5_long",
+    "tokens_col",
+    "hash_bucket",
+    "ngrams",
+    "normalize_url_col",
+    "zvalue_col",
+]
 
 
 def ngrams(tokens: Column, n: int) -> Column:

@@ -111,8 +111,6 @@ class TrainConfig:
                 "model_mode='join' keeps the model distributed and emits "
                 "raw final counts (mpi_lda semantics); set average_model=False"
             )
-        if self.model_mode == "join" and self.checkpoint_dir:
-            raise ValueError("model_mode='join' does not support checkpointing yet")
 
 
 # Auto-partitioning targets (used when TrainConfig.num_partitions is None).
@@ -574,7 +572,26 @@ def _join_model_df(df_z: DataFrame, num_topics: int) -> DataFrame:
     )
 
 
-def _train_join(corpus: DataFrame, config: TrainConfig) -> TrainResult:
+def _save_join_checkpoint(
+    path: str, df_z: DataFrame, word_pid: DataFrame, it: int, lls, words
+) -> None:
+    """Join-mode fault-tolerance state: the assignments (parquet), the
+    static word-membership table (parquet), and driver metadata (npz).
+    The model table is NOT saved — it is a pure function of the
+    assignment payload rows and is rebuilt on resume."""
+    df_z.write.mode("overwrite").parquet(f"{path}/assignments")
+    word_pid.write.mode("overwrite").parquet(f"{path}/word_pid")
+    np.savez(
+        f"{path}/join_state.npz",
+        next_iteration=it + 1,
+        lls=np.asarray(lls, dtype=np.float64),
+        words=np.asarray(words, dtype=object),
+    )
+
+
+def _train_join(
+    corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
+) -> TrainResult:
     """model_mode='join' driver loop — see the block comment above."""
     spark = corpus.sparkSession
     sc = spark.sparkContext
@@ -584,37 +601,52 @@ def _train_join(corpus: DataFrame, config: TrainConfig) -> TrainResult:
         total_tokens = int(corpus.agg(F.sum("count")).collect()[0][0] or 0)
         P = _auto_partitions(total_tokens, sc.defaultParallelism)
 
-    vocab = build_vocab(corpus)
-    words = [r["word"] for r in vocab.orderBy("word_id").collect()]
-    V, K = len(words), config.num_topics
-    if V == 0:
-        raise ValueError("empty vocabulary")
+    if resume_from is None:
+        vocab = build_vocab(corpus)
+        words = [r["word"] for r in vocab.orderBy("word_id").collect()]
+        V, K = len(words), config.num_topics
+        if V == 0:
+            raise ValueError("empty vocabulary")
 
-    pid = F.pmod(F.hash("doc_id"), F.lit(P)).cast("int")
-    corpus_ids = remap_words(corpus, vocab).select("doc_id", "word_id", "count")
-    packed = pack_docs(corpus_ids, P).withColumn("pid", pid)
-    # Static word-membership table: which partitions contain which words.
-    # Docs never move between pids, so this is built once and reused every
-    # iteration (≤ P·V slim rows; in practice near the corpus's distinct
-    # (doc-hash, word) mass).
-    word_pid = (
-        corpus_ids.select(pid.alias("pid"), "word_id")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+        pid = F.pmod(F.hash("doc_id"), F.lit(P)).cast("int")
+        corpus_ids = remap_words(corpus, vocab).select("doc_id", "word_id", "count")
+        packed = pack_docs(corpus_ids, P).withColumn("pid", pid)
+        # Static word-membership table: which partitions contain which words.
+        # Docs never move between pids, so this is built once and reused every
+        # iteration (≤ P·V slim rows; in practice near the corpus's distinct
+        # (doc-hash, word) mass).
+        word_pid = (
+            corpus_ids.select(pid.alias("pid"), "word_id")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
 
-    z_ckpt = (
-        packed.select("pid", "doc_id", "word_occ")
-        .groupBy("pid")
-        .applyInPandas(_join_zinit_fn(K, config.seed), schema=_JOIN_SWEEP_SCHEMA)
-        .localCheckpoint(eager=False)
-    )
-    df_z = _fresh_stats(z_ckpt)
+        z_ckpt = (
+            packed.select("pid", "doc_id", "word_occ")
+            .groupBy("pid")
+            .applyInPandas(_join_zinit_fn(K, config.seed), schema=_JOIN_SWEEP_SCHEMA)
+            .localCheckpoint(eager=False)
+        )
+        df_z = _fresh_stats(z_ckpt)
+        lls: list[float] = []
+        start_it = 0
+    else:
+        state = np.load(f"{resume_from}/join_state.npz", allow_pickle=True)
+        words = [str(w) for w in state["words"]]
+        V, K = len(words), config.num_topics
+        lls = [float(x) for x in state["lls"]]
+        start_it = int(state["next_iteration"])
+        word_pid = spark.read.parquet(f"{resume_from}/word_pid").localCheckpoint(
+            eager=True
+        )
+        z_ckpt = spark.read.parquet(f"{resume_from}/assignments").localCheckpoint(
+            eager=True
+        )
+        df_z = z_ckpt
     m_ckpt = _join_model_df(df_z, K).localCheckpoint(eager=True)
     model_df = _fresh_stats(m_ckpt)
 
-    lls: list[float] = []
-    for it in range(config.total_iterations):
+    for it in range(start_it, config.total_iterations):
         # n_k (the reference's global K-vector, model.cc:147-151): K numbers
         # — the ONLY model state that touches the driver per iteration.
         nk_rows = (
@@ -666,6 +698,10 @@ def _train_join(corpus: DataFrame, config: TrainConfig) -> TrainResult:
         m_ckpt.unpersist()
         z_ckpt, m_ckpt = new_z_ckpt, new_m_ckpt
         df_z, model_df = new_df_z, new_model_df
+        if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
+            _save_join_checkpoint(
+                config.checkpoint_dir, df_z, word_pid, it, lls, words
+            )
 
     # Driver materialization for API parity (tests, describe_topics, serde).
     # At true scale, use `model_table` + model-as-DataFrame inference and
@@ -696,9 +732,7 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
     """
     config.validate()
     if config.model_mode == "join":
-        if resume_from is not None:
-            raise ValueError("model_mode='join' does not support resume yet")
-        return _train_join(corpus, config)
+        return _train_join(corpus, config, resume_from)
     spark = corpus.sparkSession
     sc = spark.sparkContext
     if config.num_partitions:

@@ -313,3 +313,25 @@ def test_join_mode_model_feeds_dataframe_inference(spark):
     for d in a:
         assert a[d].sum() == pytest.approx(b[d].sum())
         assert int(a[d].argmax()) == int(b[d].argmax())
+
+
+def test_join_mode_checkpoint_resume_bit_identical(spark, tmp_path):
+    """Join-mode resume is BIT-identical to an uninterrupted run: the
+    sweep depends only on (assignments, model, iteration, pid) — all of
+    which the checkpoint reproduces exactly (RNG streams are keyed by
+    (seed, pid, iteration), not wall-clock or scheduling)."""
+    corpus = synthetic_corpus(spark, n_docs=30, doc_len=20)
+    ckpt = str(tmp_path / "join_ckpt")
+    base = dict(num_topics=3, burn_in_iterations=0, average_model=False,
+                seed=31, num_partitions=2, model_mode="join")
+
+    straight = train(corpus, TrainConfig(**base, total_iterations=4)).raw_model
+
+    train(corpus, TrainConfig(**base, total_iterations=2,
+                              checkpoint_dir=ckpt, checkpoint_every=2))
+    resumed = train(
+        corpus, TrainConfig(**base, total_iterations=4), resume_from=ckpt
+    ).raw_model
+
+    assert np.array_equal(straight.nwk, resumed.nwk)
+    assert straight.words == resumed.words

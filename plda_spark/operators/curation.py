@@ -251,6 +251,11 @@ def dsir_weights(
         raise ValueError("num_buckets must be positive")
     if smoothing <= 0:
         raise ValueError("smoothing must be positive (Laplace estimate)")
+    # An empty exemplar set would silently yield NULL weights (the
+    # n_tgt scalar goes NULL); fail loudly instead.  One 1-row probe job
+    # — negligible next to the corpus pass.
+    if target.limit(1).count() == 0:
+        raise ValueError("target exemplar set is empty")
 
     def bucketed(src: DataFrame) -> DataFrame:
         return tokenize(src, text_col=text_col, id_col=id_col).select(

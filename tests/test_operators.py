@@ -2006,3 +2006,11 @@ def test_lm_score_kn_hand_computed(spark):
 
     with pytest.raises(ValueError):
         text_ops.lm_score_kn(score_docs, discount=1.5)
+
+
+def test_dsir_empty_target_raises(spark):
+    from plda_spark.operators import curation
+
+    docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="empty"):
+        curation.dsir_weights(docs, docs.where("doc_id < 0"), num_buckets=8)

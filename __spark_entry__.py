@@ -4002,7 +4002,7 @@ WHERE levenshtein(a.s_name, b.s_name) <= 1
 
     o["stats_histogram"] = """
 WITH c AS (
-  SELECT CAST(floor((o_totalprice - 0.0) / 20000.0) AS INTEGER) AS bin,
+  SELECT CAST(LEAST(floor((o_totalprice - 0.0) / 20000.0), 24) AS INTEGER) AS bin,
          CAST(count(*) AS BIGINT) AS n
   FROM orders WHERE o_totalprice >= 0.0 AND o_totalprice < 500000.0
   GROUP BY 1
@@ -4040,9 +4040,10 @@ s1 AS (  -- lowercase scheme://authority
 s2 AS (SELECT doc_id, regexp_replace(u, '#.*$', '') AS u FROM s1),
 s3 AS (SELECT doc_id, regexp_replace(u, '^(http://[^/?#:]*):80([/?#].*)?$', '\1\2') AS u FROM s2),
 s4 AS (SELECT doc_id, regexp_replace(u, '^(https://[^/?#:]*):443([/?#].*)?$', '\1\2') AS u FROM s3),
-s5 AS (SELECT doc_id, regexp_replace(u, '(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?', '', 'g') AS u FROM s4),
+s5 AS (SELECT doc_id, regexp_replace(u, '([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*', '\1', 'g') AS u FROM s4),
 s6 AS (SELECT doc_id, regexp_replace(u, '\?&', '?') AS u FROM s5),
-s7 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '') AS u FROM s6),
+s6b AS (SELECT doc_id, regexp_replace(u, '&&+', '&', 'g') AS u FROM s6),
+s7 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '') AS u FROM s6b),
 s8 AS (SELECT doc_id, regexp_replace(u, '^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\1') AS u FROM s7)
 SELECT u AS url_norm, CAST(count(*) AS BIGINT) AS n_dups,
        min(doc_id) AS keep_id

@@ -722,7 +722,12 @@ def pq_topk(
             for j in range(m):
                 ad += tables[:, j, :][:, C[:, j]]
             vids = pdf["vec_id"].to_numpy()
-            keep = min(k, n)
+            # keep k+1 per batch: a query drawn from the corpus occupies
+            # one slot with its own ~0-distance code row, and the final
+            # self-filter runs AFTER this truncation — keeping only k
+            # would silently drop the true k-th neighbor (or return k-1
+            # rows when the corpus fits one Arrow batch).
+            keep = min(k + 1, n)
             part = np.argpartition(ad, keep - 1, axis=1)[:, :keep]
             out_q = np.repeat(qids, keep)
             out_v = vids[part.reshape(-1)]

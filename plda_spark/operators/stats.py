@@ -218,31 +218,30 @@ def key_skew(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
     estimates how many partitions the hottest key would occupy).
 
     Returns ``(key, cnt, share, rank)``; ``key`` stringified, ties
-    broken by key for determinism.
+    broken by key for determinism.  Empty input yields an empty report.
 
     Scale shape: ONE map-side-combined count per distinct key feeding a
     ``TakeOrdered`` top-k (never a global sort of the key histogram);
-    the share denominator is the input row count (≡ Σ cnt), taken as a
-    metadata-cheap ``df.count()`` scalar rather than a second pass over
-    the key histogram.  The rank window runs over the k surviving rows
-    only.
+    the share denominator is Σ cnt over the SAME key histogram (a 1-row
+    aggregate broadcast back), so the raw input is scanned exactly once
+    and the whole report stays lazy — no job runs until the caller acts.
+    The rank window runs over the k surviving rows only.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    total = df.count()
-    if total == 0:
-        raise ValueError("key_skew: empty input")
     counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
+    total = counts.agg(F.sum("cnt").alias("__total"))
     top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(k)
     w = Window.orderBy(F.desc("cnt"), F.asc("key"))  # k rows only
     return (
-        top.withColumn("rank", F.row_number().over(w))
+        top.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
         .select(
             "key",
             "cnt",
-            F.round(F.col("cnt") / F.lit(total), 6).alias("share"),
+            F.round(F.col("cnt") / F.col("__total"), 6).alias("share"),
             "rank",
         )
     )
@@ -361,9 +360,15 @@ def histogram(
         raise ValueError("hi must exceed lo")
     w = (hi - lo) / nbins
     x = F.col(value_col).cast("double")
+    # least(…, nbins-1): when w is not exactly representable, a value
+    # just below hi can floor to nbins (e.g. lo=0, hi=0.21, nbins=3),
+    # which the bin spine would silently drop — clamp it into the last
+    # bin so sum(n) counts every in-range value, as documented.
     counts = (
         df.where((x >= lo) & (x < hi))
-        .select(F.floor((x - lo) / w).cast("int").alias("bin"))
+        .select(
+            F.least(F.floor((x - lo) / w), F.lit(nbins - 1)).cast("int").alias("bin")
+        )
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n"))
     )

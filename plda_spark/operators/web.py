@@ -51,9 +51,13 @@ def normalize_url_col(url: Column) -> Column:
     # 4. default ports (no lookahead — RE2/oracle-compatible)
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
     u = F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
-    # 5. tracking params + separator repair
-    u = F.regexp_replace(u, r"(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*&?", "")
+    # 5. tracking params + separator repair.  The param name is anchored
+    # to a ?/& boundary so 'xfbclid=…' or a 'gclid=' substring inside
+    # the path never matches (an unanchored pattern would merge DISTINCT
+    # urls and make crawl dedup drop non-duplicates).
+    u = F.regexp_replace(u, r"([?&])(utm_[A-Za-z]+|fbclid|gclid)=[^&#]*", "$1")
     u = F.regexp_replace(u, r"\?&", "?")
+    u = F.regexp_replace(u, r"&&+", "&")
     u = F.regexp_replace(u, r"[?&]$", "")
     # 6. bare root slash
     u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]*)/$", "$1")

@@ -21,9 +21,20 @@ Two physical paths:
   dropped by literal match.  Fields may embed quoted commas/quotes but
   NOT newlines.
 - ``multiLine=True``: the CSV datasource parses whole files
-  (non-splittable — keep off at scale unless fields embed newlines);
-  the parsed frame is cached per Spark's documented recipe because the
-  datasource forbids corrupt-only projections.
+  (non-splittable — keep off at scale unless fields embed newlines).
+  The datasource forbids projecting ONLY its corrupt column; the
+  quarantine view therefore references a data column alongside it
+  (no session-lifetime cache — a cached parse here would leak
+  executor storage on every read).
+
+Header ambiguity: the line-scan path drops lines byte-identical to the
+header.  For an ALL-string schema a data row equal to the header is
+indistinguishable from a header — CSV's inherent ambiguity — so
+``write_csv`` quotes every field (RFC-4180 permits it); quoted data
+rows can never collide with the bare header, making the round trip
+loss-free even for all-string schemas.  Externally-produced unquoted
+CSVs keep the ambiguity; use ``multiLine=True`` (real header handling)
+if it matters.
 """
 
 from __future__ import annotations
@@ -52,12 +63,7 @@ def _read(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
     if opts.get("multiLine", "false").lower() == "true":
-        df = spark.read.options(**opts).schema(with_err).csv(path)
-        # The CSV datasource disallows referencing only its corrupt
-        # column; Spark's documented recipe is to cache the parsed frame
-        # before splitting it into clean/corrupt views.  Only this
-        # non-splittable path pays the cache.
-        return df.cache()
+        return spark.read.options(**opts).schema(with_err).csv(path)
     # Header removal honors the effective delimiter (from_csv uses the
     # same opts); only applies when headers are on.
     sep = opts.get("sep", opts.get("delimiter", ","))
@@ -82,6 +88,31 @@ def _read(
     )
 
 
+def _split_multiline(
+    df: DataFrame, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """Scoped materialization for the multiLine datasource: referencing
+    its corrupt column makes any downstream query that prunes the data
+    columns (``.count()``!) trip the corrupt-only-projection
+    restriction, and Spark's documented workaround — ``.cache()`` —
+    lives in the CacheManager for the whole session if never released.
+    So: cache, materialize both views into their own (GC-cleaned)
+    checkpoint blocks, release the cache before returning.  multiLine
+    is by contract the non-splittable small-data path (module
+    docstring), so the materialization is bounded by design."""
+    clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    df.cache()
+    try:
+        clean = clean.localCheckpoint(eager=True)
+        corrupt = corrupt.localCheckpoint(eager=True)
+    finally:
+        df.unpersist()
+    return clean, corrupt
+
+
 def read_csv(
     spark: SparkSession, path: str, schema: T.StructType | None = None, **options
 ) -> DataFrame:
@@ -92,7 +123,11 @@ def read_csv(
     when fields embed newlines (non-splittable whole-file parsing —
     keep off at scale unless the data needs it).
     """
-    df = _read(spark, path, schema or DOC_SCHEMA, options)
+    sch = schema or DOC_SCHEMA
+    df = _read(spark, path, sch, options)
+    if str(options.get("multiLine", "false")).lower() == "true":
+        clean, _ = _split_multiline(df, sch)
+        return clean
     return df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
 
@@ -100,7 +135,10 @@ def read_csv_with_errors(
     spark: SparkSession, path: str, schema: T.StructType | None = None, **options
 ) -> tuple[DataFrame, DataFrame]:
     """``(clean, corrupt)`` — corrupt carries the raw offending line."""
-    df = _read(spark, path, schema or DOC_SCHEMA, options)
+    sch = schema or DOC_SCHEMA
+    df = _read(spark, path, sch, options)
+    if str(options.get("multiLine", "false")).lower() == "true":
+        return _split_multiline(df, sch)
     clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
@@ -109,6 +147,8 @@ def read_csv_with_errors(
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Header'd, RFC-4180-quoted CSV write (quoting on so embedded
-    delimiters/quotes round-trip through the PERMISSIVE reader)."""
-    df.write.options(header="true", escape='"').mode(mode).csv(path)
+    """Header'd, RFC-4180-quoted CSV write.  ``quoteAll`` so every data
+    field is quoted: embedded delimiters/quotes round-trip, AND no data
+    row can be byte-identical to the (unquoted) header line — which the
+    line-scan reader drops by literal match (see module docstring)."""
+    df.write.options(header="true", escape='"', quoteAll="true").mode(mode).csv(path)

@@ -2014,3 +2014,40 @@ def test_dsir_empty_target_raises(spark):
     docs = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
     with pytest.raises(ValueError, match="empty"):
         curation.dsir_weights(docs, docs.where("doc_id < 0"), num_buckets=8)
+
+
+def test_normalize_url_anchored_tracking_params(spark):
+    """Tracking-param stripping must match only at a ?/& boundary —
+    embedded substrings and path occurrences are NOT tracking params."""
+    from plda_spark.operators.web import normalize_url_col
+
+    rows = [
+        (0, "https://shop.com/a?xfbclid=A"),       # not fbclid: keep
+        (1, "https://shop.com/a?my_utm_source=1"), # not utm_*: keep
+        (2, "https://shop.com/gclid=x/page"),      # path text: keep
+        (3, "https://shop.com/a?utm_a=1&q=2&utm_b=3"),
+        (4, "https://shop.com/a?utm_a=1&utm_b=2"),
+    ]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_url_col(F.col("url")).alias("n")).collect()
+    }
+    assert got[0] == "https://shop.com/a?xfbclid=A"
+    assert got[1] == "https://shop.com/a?my_utm_source=1"
+    assert got[2] == "https://shop.com/gclid=x/page"
+    assert got[3] == "https://shop.com/a?q=2"
+    assert got[4] == "https://shop.com/a"
+
+
+def test_histogram_fp_boundary_clamps_to_last_bin(spark):
+    """w=(0.21-0)/3 is not exactly representable; a value just below hi
+    must land in the LAST bin, not float to bin==nbins and vanish."""
+    import numpy as np
+
+    from plda_spark.operators import stats
+
+    x = np.nextafter(0.21, 0)  # largest double < hi: passes x < hi
+    df = spark.createDataFrame([(float(x),)], "v double")
+    rows = {r["bin"]: r["n"] for r in stats.histogram(df, "v", 0.0, 0.21, 3).collect()}
+    assert rows == {0: 0, 1: 0, 2: 1}

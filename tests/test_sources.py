@@ -283,3 +283,32 @@ def test_zorder_write_clusters_both_columns(spark, tmp_path):
     assert per_file["nf"] >= 8
     # global range is 63 on both axes; clustered files must be much tighter
     assert per_file["rx"] < 32 and per_file["ry"] < 32
+
+
+def test_csv_no_cache_leak_and_header_identical_data_row(spark, tmp_path):
+    """(a) the multiLine quarantine path must not pin a session-lifetime
+    cache; (b) an all-string data row byte-identical to the header must
+    survive the write->read round trip (quoteAll write)."""
+    from pyspark.sql import types as T
+    from plda_spark.sources import csv as csv_src
+
+    spark.catalog.clearCache()
+    sch = T.StructType(
+        [T.StructField("name", T.StringType()), T.StructField("value", T.StringType())]
+    )
+    rows = [("name", "value"), ("a", "b")]  # first row EQUALS the header text
+    df = spark.createDataFrame(rows, sch)
+    path = str(tmp_path / "tricky")
+    csv_src.write_csv(df, path)
+
+    got = {(r["name"], r["value"]) for r in csv_src.read_csv(spark, path, schema=sch).collect()}
+    assert got == set(rows)
+
+    clean, corrupt = csv_src.read_csv_with_errors(
+        spark, path, schema=sch, multiLine=True
+    )
+    assert clean.count() == 2 and corrupt.count() == 0
+    # the parse cache must not outlive the call: the session-level
+    # CacheManager (which GC never cleans) stays empty; the returned
+    # frames live in their own GC-cleaned checkpoint blocks instead
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -301,17 +301,29 @@ def fuzzy_join(
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
-    lk = left.withColumn("__v", F.explode(_deletion_variants(F.col(left_col), max_dist)))
+    # Internal per-ROW ids so the candidate dedup collapses only the
+    # multi-variant collisions of the SAME row pair — a whole-row
+    # distinct would also merge genuinely duplicate input rows,
+    # silently changing inner-join multiplicity.  The ids are assigned
+    # before the variant explosion, used once, and dropped.
+    lk = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
+        "__v", F.explode(_deletion_variants(F.col(left_col), max_dist))
+    )
     taken = set(left.columns)
     rename = {c: (f"right_{c}" if c in taken else c) for c in right.columns}
-    rk = right.select(
+    rk = right.withColumn("__rid", F.monotonically_increasing_id()).select(
         *[F.col(c).alias(rename[c]) for c in right.columns],
+        "__rid",
         F.explode(_deletion_variants(F.col(right_col), max_dist)).alias("__v"),
     )
     return (
         lk.join(rk, "__v")
         .drop("__v")
-        .distinct()
+        # verify BEFORE deduplicating: the exact-distance filter is a
+        # cheap per-row predicate, so the dedup shuffle carries only
+        # true matches instead of every unverified candidate
         .withColumn("dist", F.levenshtein(F.col(left_col), F.col(rename[right_col])))
         .where(F.col("dist") <= max_dist)
+        .dropDuplicates(["__lid", "__rid"])
+        .drop("__lid", "__rid")
     )

@@ -2051,3 +2051,15 @@ def test_histogram_fp_boundary_clamps_to_last_bin(spark):
     df = spark.createDataFrame([(float(x),)], "v double")
     rows = {r["bin"]: r["n"] for r in stats.histogram(df, "v", 0.0, 0.21, 3).collect()}
     assert rows == {0: 0, 1: 0, 2: 1}
+
+
+def test_fuzzy_join_preserves_duplicate_row_multiplicity(spark):
+    """Two identical right rows must each match (inner-join semantics);
+    only multi-variant collisions of the SAME row pair deduplicate."""
+    from plda_spark.operators import joins
+
+    left = spark.createDataFrame([("abc",)], "name string")
+    right = spark.createDataFrame([("abd",), ("abd",)], "name string")
+    got = joins.fuzzy_join(left, right, "name", "name", max_dist=1).collect()
+    assert len(got) == 2
+    assert all(r["dist"] == 1 and r["right_name"] == "abd" for r in got)

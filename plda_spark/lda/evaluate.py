@@ -91,11 +91,13 @@ def umass_coherence(
         words = [w for _, w in sorted(ranked)]
         score, n_pairs = 0.0, 0
         for wi, wj in combinations(words, 2):
-            dj = dfreq.get(wj, 0)
-            if dj == 0:
+            # Mimno et al. 2011: the denominator is D(v_l) — the doc
+            # frequency of the EARLIER (higher-ranked) word of the pair.
+            di = dfreq.get(wi, 0)
+            if di == 0:
                 continue
             key = (wi, wj) if wi <= wj else (wj, wi)
-            score += math.log((cofreq.get(key, 0) + 1) / dj)
+            score += math.log((cofreq.get(key, 0) + 1) / di)
             n_pairs += 1
         rows.append((t, n_pairs, round(score, 6)))
     return spark.createDataFrame(rows, "topic int, n_pairs int, coherence double")

@@ -160,6 +160,11 @@ def transform_stream(
                         (vocab[w] for w in ws if w in vocab), dtype=np.int32
                     )
                 )
+                # NULL text tokenizes to a NULL array (None here) — treat
+                # as an empty doc, matching the batch twin's explode
+                # semantics, instead of crashing the streaming query.
+                if ws is not None
+                else np.empty(0, dtype=np.int32)
                 for ws in batch["toks"]
             ]
             return pd.DataFrame({"doc_id": batch["doc_id"], "word_occ": occs})
@@ -281,9 +286,12 @@ def write_inference_result(result: DataFrame, path: str, single_file: bool = Fal
         F.array_join(
             F.transform(
                 "topic_weights",
+                # format_string, NOT format_number: the latter inserts
+                # thousands separators ("1,234.5") that break the
+                # space-separated parity format for any weight >= 1000.
                 lambda v: F.when(
                     v == F.floor(v), v.cast("long").cast("string")
-                ).otherwise(F.format_number(v, 6)),
+                ).otherwise(F.format_string("%.6f", v)),
             ),
             " ",
         ).alias("value")

@@ -138,9 +138,11 @@ class TrainResult:
     model: LDAModel                      # averaged or raw per config.average_model
     raw_model: LDAModel                  # final-iteration raw counts (mpi_lda output)
     log_likelihood: list[float] = field(default_factory=list)  # one per iteration if computed
-    # model_mode='join' only: the final model as a (word_id, cnts) DataFrame —
-    # at true scale feed THIS to model-as-DataFrame inference instead of the
-    # driver-side `model` (which is still materialized for API parity).
+    # model_mode='join' only: the final model as a ``(word_id,
+    # topic_counts: array<double>)`` DataFrame — exactly the frame
+    # ``infer.transform_model_df`` consumes, so at true scale feed THIS to
+    # model-as-DataFrame inference instead of the driver-side `model`
+    # (which is still materialized for API parity).
     model_table: DataFrame | None = None
 
 
@@ -301,19 +303,35 @@ def _aggregate_model_shuffle(
 
     def decode(batches):
         for pdf in batches:
-            for buf in pdf["z"]:
+            for buf, ll_part in zip(pdf["z"], pdf["ll"]):
                 a = np.frombuffer(buf, dtype=np.int32)
+                n = a.shape[0] // 2
                 yield pd.DataFrame(
-                    {"idx": a[0::2].astype(np.int64), "cnt": a[1::2].astype(np.int64)}
+                    {
+                        "idx": a[0::2].astype(np.int64),
+                        "cnt": a[1::2].astype(np.int64),
+                        # the LL partial rides the FIRST pair row of its
+                        # payload (zero elsewhere), so one aggregation
+                        # job returns counts AND likelihood — no second
+                        # per-iteration job when likelihood is on, and
+                        # none at all when it is off.
+                        "ll": np.concatenate(
+                            ([float(ll_part)], np.zeros(max(n - 1, 0)))
+                        )
+                        if n
+                        else np.empty(0),
+                    }
                 )
 
-    pairs = payload.select("z").mapInPandas(decode, schema="idx long, cnt long")
-    summed = pairs.groupBy("idx").agg(F.sum("cnt").alias("cnt")).toPandas()
+    pairs = payload.mapInPandas(decode, schema="idx long, cnt long, ll double")
+    summed = pairs.groupBy("idx").agg(
+        F.sum("cnt").alias("cnt"), F.sum("ll").alias("ll")
+    ).toPandas()
     flat = np.zeros(vocab_size * num_topics, dtype=np.int64)
     if len(summed):
         flat[summed["idx"].to_numpy()] = summed["cnt"].to_numpy()
-    ll = payload.agg(F.sum("ll")).collect()[0][0] or 0.0
-    return flat.reshape(vocab_size, num_topics), float(ll)
+    ll = float(summed["ll"].sum()) if len(summed) else 0.0
+    return flat.reshape(vocab_size, num_topics), ll
 
 
 def _aggregate_model(
@@ -715,9 +733,15 @@ def _train_join(
     word_pid.unpersist()
     z_ckpt.unpersist()
     raw_model = LDAModel(nwk, words, config.alpha, config.beta)
+    # model_table in the exact shape transform_model_df consumes
+    # ((word_id, topic_counts: array<double>)) so the documented
+    # at-scale hand-off needs no rename or cast.
     return TrainResult(
         model=raw_model, raw_model=raw_model, log_likelihood=lls,
-        model_table=model_df,
+        model_table=model_df.select(
+            "word_id",
+            F.transform("cnts", lambda c: c.cast("double")).alias("topic_counts"),
+        ),
     )
 
 
@@ -731,6 +755,17 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
     run because shuffle gather order differs after the restart).
     """
     config.validate()
+    if resume_from is None:
+        # doc_id < 0 is the internal payload-row sentinel: a negative
+        # user doc_id would be excluded from every sweep AND decoded as
+        # count-payload garbage into the model.  One cheap columnar agg
+        # up front rejects it loudly.
+        min_id = corpus.agg(F.min("doc_id")).collect()[0][0]
+        if min_id is not None and min_id < 0:
+            raise ValueError(
+                f"doc_id must be >= 0 (got {min_id}); negative ids are "
+                "reserved for internal payload rows"
+            )
     if config.model_mode == "join":
         return _train_join(corpus, config, resume_from)
     spark = corpus.sparkSession

@@ -252,6 +252,11 @@ def _session_fn(
         if t - last > gap_us:
             out.append((start, last, n))
             start, n = t, 0
+        else:
+            # a cross-microbatch late event that still merges into the
+            # open session must be able to LOWER its start, or the
+            # emitted session diverges from the batch twin's
+            start = min(start, t)
         last = max(last, t)
         n += 1
     state.update((start, last, n))
@@ -435,6 +440,34 @@ def open_sessions(spark: SparkSession, checkpoint_path: str, ntz: bool = False) 
     return _restore_ntz(out, ["session_start", "session_end"], ntz)
 
 
+def _query_token(spark: SparkSession, checkpoint_path: str) -> str:
+    """This checkpoint generation's persistent streaming-query id (from
+    the checkpoint's ``metadata`` file, written at query start — i.e.
+    before any ``foreachBatch`` call).  Replay markers are keyed on it
+    so a wiped/recreated checkpoint — whose batch ids restart at 0 —
+    can never be mistaken for a replay of an old run's batch 0 (which
+    would silently drop the new increment)."""
+    import json as _json
+
+    txt = "".join(
+        r["value"] for r in spark.read.text(f"{checkpoint_path}/metadata").collect()
+    )
+    return str(_json.loads(txt)["id"])
+
+
+def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+    """Idempotent per-batch write: dynamic partition overwrite of ONLY
+    this batch's ``batch_id=`` partition — a replayed batch rewrites the
+    identical content instead of appending a duplicate copy."""
+    (
+        df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.partitionBy("batch_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 def incremental_exact_dedup(
     stream_docs: DataFrame,
     out_path: str,
@@ -449,14 +482,19 @@ def incremental_exact_dedup(
     — the standard crawl-increment pattern (each new dump is deduped
     against the accumulated corpus, not just itself).
 
-    ``foreachBatch`` keeps the history as an append-only parquet digest
-    ledger at ``state_path`` (one ``(digest, batch_id)`` row per admitted
-    doc).  Per batch: min-``id_col`` representative per digest within the
-    batch, then a left-anti join against the ledger, then append the
-    survivors to ``out_path`` and their digests to the ledger.  Batch
-    replays after a failure are idempotent: a batch whose ``batch_id``
-    already appears in the ledger is skipped (the documented
-    ``foreachBatch`` at-least-once → exactly-once recipe).
+    ``foreachBatch`` keeps the history as a parquet digest ledger at
+    ``state_path`` (one ``(digest, batch_id)`` row per admitted doc,
+    partitioned by batch).  Per batch: min-``id_col`` representative per
+    digest within the batch, then a left-anti join against the ledger,
+    then the survivors land in ``out_path`` and their digests in the
+    ledger.  Exactly-once under any crash point: both writes are
+    per-batch dynamic partition OVERWRITES (a replay rewrites the same
+    ``batch_id=`` partition with identical content, never appends
+    twice), and a fully-committed batch is skipped via a marker row
+    keyed on (batch_id, streaming-query id) — the query id comes from
+    the CHECKPOINT metadata, so a wiped/new checkpoint (batch ids
+    restarting at 0) can never be mistaken for a replay of an old run.
+    Outputs carry a ``batch_id`` partition column.
 
     Scale shape: the anti-join is a shuffle equi-join on digest — the
     ledger is one slim row per distinct document ever admitted, far
@@ -468,13 +506,17 @@ def incremental_exact_dedup(
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        # Marker digest "run:<query-id>" — prefixed so it can never
+        # collide with a real 32-hex md5; the query id is this
+        # CHECKPOINT's persistent identity.
+        marker = f"run:{_query_token(spark, checkpoint_path)}"
         digested = batch.withColumn("__digest", F.md5(F.col(text_col)))
-        w_min = (
-            digested.groupBy("__digest")
-            .agg(F.min(id_col).alias(id_col))
-            .join(digested, ["__digest", id_col], "left_semi")
+        fresh = digested.join(
+            # min-id representative per digest within the batch
+            digested.groupBy("__digest").agg(F.min(id_col).alias(id_col)),
+            ["__digest", id_col],
+            "left_semi",
         )
-        fresh = digested.join(w_min, ["__digest", id_col], "left_semi")
         # Only a MISSING ledger means "first batch".  Any other failure
         # (corrupt files, bad schema, permissions) must raise: silently
         # skipping the anti-join would re-admit every duplicate in
@@ -488,18 +530,34 @@ def incremental_exact_dedup(
                 raise
             ledger = None  # first batch: no ledger yet
         if ledger is not None:
-            if ledger.where(F.col("batch_id") == batch_id).limit(1).count() > 0:
-                return  # replayed batch — already fully committed
+            done = ledger.where(
+                (F.col("batch_id") == batch_id) & (F.col("digest") == marker)
+            )
+            if done.limit(1).count() > 0:
+                return  # this run already fully committed this batch
             fresh = fresh.join(
+                # marker digests can never equal a real md5, so they are
+                # inert in the anti-join
                 ledger.select(F.col("digest").alias("__digest")),
                 "__digest",
                 "left_anti",
             )
         fresh = fresh.localCheckpoint(eager=True)  # stabilize before double write
-        fresh.drop("__digest").write.mode("append").parquet(out_path)
-        fresh.select(
-            F.col("__digest").alias("digest"), F.lit(batch_id).alias("batch_id")
-        ).write.mode("append").parquet(state_path)
+        # Output FIRST, ledger (with the commit marker) LAST, both as
+        # dynamic per-batch partition overwrites: a crash between them
+        # replays the batch, recomputes the identical survivors (the
+        # ledger still lacks this batch), and OVERWRITES the same
+        # batch_id partition — never appending duplicates.
+        _overwrite_batch_partition(
+            fresh.drop("__digest"), out_path, batch_id
+        )
+        _overwrite_batch_partition(
+            fresh.select(F.col("__digest").alias("digest")).unionByName(
+                spark.createDataFrame([(marker,)], "digest string")
+            ),
+            state_path,
+            batch_id,
+        )
 
     q = (
         stream_docs.writeStream.foreachBatch(process)
@@ -577,16 +635,20 @@ def incremental_minhash_dedup(
     precision/recall point; use the batch ``minhash_lsh_pairs`` +
     verification for audits.
 
-    Ledger rows are ``(band, bucket, batch_id)`` per admitted doc — slim
-    and append-only; replayed batches are skipped by ``batch_id`` (same
-    exactly-once recipe as the exact ledger).  Scale shape per batch:
-    shingle+sign the INCREMENT only, one left-anti equi-join on
-    ``(band, bucket)`` against the ledger (AQE broadcasts the increment
-    side), two appends.  No state store, no unbounded executor state.
+    Ledger rows are ``(band, bucket, batch_id)`` per admitted doc —
+    slim, partitioned by batch; exactly-once uses the same recipe as the
+    exact ledger (per-batch dynamic partition overwrites + a
+    ``band = -1`` marker row whose bucket is this checkpoint's
+    streaming-query id).  Outputs carry a ``batch_id`` partition
+    column.  Scale shape per batch: shingle+sign the INCREMENT only,
+    one left-anti equi-join on ``(band, bucket)`` against the ledger
+    (AQE broadcasts the increment side), two partition writes.  No
+    state store, no unbounded executor state.
     """
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
+        token = _query_token(spark, checkpoint_path)
         bb = minhash_band_rows(batch, num_hashes, bands, n, text_col, id_col)
         # Within-batch rule: drop any doc sharing a bucket with a
         # smaller-id doc (deterministic, partition-invariant; stricter
@@ -609,9 +671,15 @@ def incremental_minhash_dedup(
                 raise
             ledger = None
         if ledger is not None:
-            if ledger.where(F.col("batch_id") == batch_id).limit(1).count() > 0:
-                return  # replayed batch — already committed
+            done = ledger.where(
+                (F.col("batch_id") == batch_id)
+                & (F.col("band") == -1)
+                & (F.col("bucket") == token)
+            )
+            if done.limit(1).count() > 0:
+                return  # this run already fully committed this batch
             hit = bb.join(
+                # marker rows (band = -1) can never match bb (bands >= 0)
                 ledger.select("band", "bucket").dropDuplicates(),
                 ["band", "bucket"],
                 "left_semi",
@@ -629,19 +697,23 @@ def incremental_minhash_dedup(
         fresh = batch.join(
             keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         ).localCheckpoint(eager=True)
-        fresh.write.mode("append").parquet(out_path)
-        # Always append a sentinel marker row (band = -1) alongside the
-        # admitted buckets: a batch whose admitted docs are ALL
-        # bucketless (too short to shingle) would otherwise write zero
-        # ledger rows, so a crash-replay of it would not find its
-        # batch_id and would append those docs to out_path a second
-        # time.  The sentinel can never collide (bb bands are >= 0).
+        # Output FIRST, ledger (with the commit marker) LAST, both as
+        # dynamic per-batch partition overwrites — a crash between them
+        # replays to identical content in the same batch_id partition.
+        _overwrite_batch_partition(fresh, out_path, batch_id)
+        # The marker row (band = -1, bucket = query id) doubles as the
+        # commit record AND covers batches whose admitted docs are all
+        # bucketless (which write zero bucket rows).
         marker = spark.createDataFrame(
-            [(-1, "__batch__", batch_id)], "band int, bucket string, batch_id long"
+            [(-1, token)], "band int, bucket string"
         )
-        bb.join(keep, "doc_id", "left_semi").select(
-            "band", "bucket", F.lit(batch_id).cast("long").alias("batch_id")
-        ).unionByName(marker).write.mode("append").parquet(state_path)
+        _overwrite_batch_partition(
+            bb.join(keep, "doc_id", "left_semi")
+            .select("band", "bucket")
+            .unionByName(marker),
+            state_path,
+            batch_id,
+        )
 
     q = (
         stream_docs.writeStream.foreachBatch(process)

@@ -208,10 +208,12 @@ def test_incremental_exact_dedup_two_increments(spark, tmp_path):
     got2 = spark.read.parquet(out).collect()
     assert sorted(r["text"] for r in got2) == ["aaa", "bbb", "ccc"]
     assert {r["doc_id"] for r in got2} == {0, 2, 12}
-    # ledger has exactly one digest per admitted doc
+    # ledger: one digest row per admitted doc + one commit marker per batch
     ledger = spark.read.parquet(state)
-    assert ledger.count() == 3
-    assert ledger.select("digest").distinct().count() == 3
+    reals = ledger.where(~ledger.digest.startswith("run:"))
+    assert reals.count() == 3
+    assert reals.select("digest").distinct().count() == 3
+    assert ledger.where(ledger.digest.startswith("run:")).count() == 2
 
 
 def test_incremental_exact_dedup_corrupt_ledger_raises(spark, tmp_path):
@@ -336,7 +338,13 @@ def test_incremental_minhash_dedup_two_increments(spark, tmp_path):
     assert {20, 21} <= got3
     ledger = spark.read.parquet(state)
     batch3 = ledger.agg(F.max("batch_id")).collect()[0][0]
-    marker_rows = ledger.where(
+    markers = ledger.where(
         (F.col("batch_id") == batch3) & (F.col("band") == -1)
-    ).count()
-    assert marker_rows == 1
+    ).collect()
+    # exactly one commit marker, keyed on this checkpoint's query id so a
+    # NEW checkpoint generation can never mistake its batch 0 for a replay
+    assert len(markers) == 1
+    import json
+    with open(f"{ckpt}/metadata") as fh:
+        qid = json.load(fh)["id"]
+    assert markers[0]["bucket"] == qid

@@ -248,7 +248,10 @@ def test_join_mode_trains_and_recovers_topics(spark):
         owners.add(int(block.argmax()))
     assert len(owners) == 3
     # model_table is the same model, distributed
-    mt = {r["word_id"]: list(r["cnts"]) for r in res.model_table.collect()}
+    mt = {
+        r["word_id"]: [int(c) for c in r["topic_counts"]]
+        for r in res.model_table.collect()
+    }
     for wid, row in enumerate(m.nwk):
         assert mt.get(wid, [0] * 3) == list(row)
 
@@ -294,12 +297,9 @@ def test_join_mode_model_feeds_dataframe_inference(spark):
     from plda_spark.lda.vocab import remap_words
 
     triples = remap_words(new_docs, vocab).select("doc_id", "word_id", "count")
-    # model_table (word_id, cnts bigint[]) -> the inference model frame,
-    # never touching a driver-side V*K array
-    model_df = res.model_table.select(
-        "word_id",
-        F.transform("cnts", lambda c: c.cast("double")).alias("topic_counts"),
-    )
+    # model_table is already (word_id, topic_counts double[]) — the
+    # exact frame transform_model_df consumes, no rename or cast
+    model_df = res.model_table
     df = infer.transform_model_df(
         model_df, model.nk, triples, alpha=cfg.alpha, beta=cfg.beta,
         total_iterations=12, burn_in_iterations=6, seed=3,

@@ -2856,7 +2856,7 @@ bg AS (
     FROM base WHERE len(toks) >= 2
   ) GROUP BY 1, 2 HAVING count(*) >= 5
 ),
-tot AS (SELECT sum(c_ab) AS t_total FROM bg)
+tot AS (SELECT sum(GREATEST(len(toks) - 1, 0)) AS t_total FROM base)
 SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab,
        round(ln(c_ab * CAST(t_total AS DOUBLE) / (CAST(ua.c AS DOUBLE) * ub.c)), 6) AS pmi
 FROM bg, tot
@@ -2886,7 +2886,10 @@ SELECT doc_id,
        CAST(c AS INTEGER) AS chunk_idx,
        CAST(len(toks[c*48+1 : c*48+64]) AS INTEGER) AS chunk_tokens,
        md5(array_to_string(toks[c*48+1 : c*48+64], ' ')) AS chunk_digest
-FROM t, unnest(range(CAST(ceil(len(toks) / 48.0) AS BIGINT))) AS u(c)
+FROM t, unnest(range(
+  CASE WHEN len(toks) = 0 THEN 0
+       ELSE 1 + CAST(ceil(GREATEST(len(toks) - 64, 0) / 48.0) AS BIGINT) END
+)) AS u(c)
 """
 
     # Shard-aware twin of operators.sampling.pack_sequences (shards=64):

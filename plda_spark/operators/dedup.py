@@ -12,9 +12,9 @@ Design for 100 TB:
   (map-side combine), banding, join on band-bucket only.  Hash family is
   md5-derived (``conv(substr(md5(shingle || seed),1,15),16,10)``) so the
   DuckDB oracle can reproduce it bit-for-bit.
-- **SimHash** — 64-bit signature from md5 bits of tokens; hamming-ball
-  candidate search via 4-way band exact-match (any near pair within
-  hamming distance ≤ 3 shares at least one of 4 16-bit bands).
+- **SimHash** — 60-bit signature from md5 bits of tokens; hamming-ball
+  candidate search via ``max_hamming + 1``-way band exact-match (any
+  pair within distance d must agree on at least one of d + 1 bands).
 - **Embedding near-dup** — cosine over an LSH bucket (see similarity.py)
   or brute pairs at small scale.
 
@@ -413,15 +413,23 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
-    Candidates via 4-way 15-bit band blocking (pigeonhole: distance ≤ 3
-    ⇒ at least one of 4 bands identical), then exact popcount filter via
-    ``bit_count(a XOR b)``.
+    Candidates via ``max_hamming + 1``-way band blocking over the 60
+    signature bits (pigeonhole: ≤ ``max_hamming`` differing bits cannot
+    touch every one of ``max_hamming + 1`` bands, so some band matches
+    exactly — hardcoding 4 bands would silently LOSE pairs for any
+    ``max_hamming > 3``), then exact popcount filter via
+    ``bit_count(a XOR b)``.  More bands = more candidates: keep
+    ``max_hamming`` small at scale (the default 3 uses 15-bit bands).
     """
+    if not 1 <= max_hamming <= 59:
+        raise ValueError("max_hamming must be in [1, 59] (60-bit signatures)")
     # One row per doc; the band self-join reuses the signature stage's
     # exchange at runtime (see minhash_lsh_pairs — persist measured slower).
     sig = simhash(docs, text_col, id_col)
-    bands = 4
-    width = 15
+    bands = max_hamming + 1
+    base, rem = divmod(60, bands)
+    widths = [base + 1 if bi < rem else base for bi in range(bands)]
+    offsets = [sum(widths[:bi]) for bi in range(bands)]
     band_rows = sig.select(
         "doc_id",
         "simhash",
@@ -430,8 +438,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(bi).alias("band"),
-                        F.shiftright("simhash", bi * width)
-                        .bitwiseAND(F.lit((1 << width) - 1))
+                        F.shiftright("simhash", offsets[bi])
+                        .bitwiseAND(F.lit((1 << widths[bi]) - 1))
                         .alias("bucket"),
                     )
                     for bi in range(bands)
@@ -523,7 +531,12 @@ def connected_components(
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
+        # NOTE: unpersist is a CacheManager call and a no-op for
+        # localCheckpoint blocks; the old generation's blocks are freed
+        # by the ContextCleaner once this reference drops (the same
+        # reference-driven cleanup the training loop relies on).  Label
+        # rows are slim (node, label), so at most a few transient
+        # generations of a |V|-row table ride the block store.
         labels = new_labels
         if changed == 0:
             break
@@ -712,6 +725,7 @@ def dedup_spans(
     span_tokens: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    return_text: bool = False,
 ) -> DataFrame:
     """Exact span-level (sub-document) deduplication: split every
     document into consecutive ``span_tokens``-token spans, keep only the
@@ -767,28 +781,27 @@ def dedup_spans(
     is_kept = (F.col("doc_id") == F.col("__first.doc_id")) & (
         F.col("span_idx") == F.col("__first.span_idx")
     )
+    joined_text = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__kept"), F.struct("span_idx", "span"))
+                )
+            ),
+            lambda s: s["span"],
+        ),
+        " ",
+    )
+    out_cols = [
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.col("__kept").cast("long")).alias("n_kept"),
+        F.md5(joined_text).alias("dedup_digest"),
+    ]
+    if return_text:
+        out_cols.append(joined_text.alias("dedup_text"))
     return (
         spans.join(first, "__digest")
         .select("doc_id", "span_idx", "span", is_kept.alias("__kept"))
         .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.col("__kept").cast("long")).alias("n_kept"),
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(
-                                F.when(
-                                    F.col("__kept"),
-                                    F.struct("span_idx", "span"),
-                                )
-                            )
-                        ),
-                        lambda s: s["span"],
-                    ),
-                    " ",
-                )
-            ).alias("dedup_digest"),
-        )
+        .agg(*out_cols)
     )

@@ -98,11 +98,14 @@ def pack_sequences(
     """``(doc_id, n_tokens, …)`` → ``(doc_id, n_tokens, bin_id)``.
 
     Documents are hash-sharded, laid out in ``id_col`` order within each
-    shard, and cut into bins of at most ``max_tokens`` by running token
+    shard, and cut into bins by START OFFSET in the running token
     count: ``local_bin = floor((cumsum - n) / max_tokens)``; the global
     ``bin_id = local_bin * shards + shard`` is collision-free without
-    any cross-shard coordination.  Oversized documents (> max_tokens)
-    occupy bins alone.
+    any cross-shard coordination.  A bin holds every doc that STARTS in
+    its ``max_tokens`` window, so a bin can total up to ``max_tokens +
+    (largest member) - 1`` tokens (the greedy-cut bound the tests pin) —
+    size the training window with that slack, or pre-chunk oversized
+    docs with :func:`chunk_documents` first.
 
     Scale design: bins never needed to be globally contiguous, so each
     shard packs independently — the running-sum window has a
@@ -144,8 +147,11 @@ def chunk_documents(
     complement of ``pack_sequences``, which packs SHORT docs together).
 
     Chunk c covers tokens ``[c·stride, c·stride + max_tokens)`` with
-    ``stride = max_tokens − overlap``; chunks = ⌈n/stride⌉ so every
-    token is covered and consecutive chunks share ``overlap`` tokens.
+    ``stride = max_tokens − overlap``; chunks = ``1 + ⌈max(n −
+    max_tokens, 0)/stride⌉`` so every token is covered, consecutive
+    chunks share ``overlap`` tokens, and the final chunk always carries
+    at least one NEW token (a naive ⌈n/stride⌉ emits a fully redundant
+    tail chunk whenever ``n mod stride`` lands in ``[1, overlap]``).
     Output: ``(doc_id, chunk_idx, chunk_tokens, chunk_digest)`` — the
     digest (md5 of the space-joined chunk) stands in for the chunk text
     so downstream exact-dedup of chunks needs no second tokenize pass.
@@ -160,7 +166,9 @@ def chunk_documents(
     staged = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
     t = F.col("__toks")
     n = F.size(t)
-    n_chunks = F.floor((n + stride - 1) / stride).cast("int")
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        (1 + F.ceil(F.greatest(n - max_tokens, F.lit(0)) / F.lit(stride))).cast("int")
+    )
     chunks = F.transform(
         F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
             F.array().cast("array<int>")

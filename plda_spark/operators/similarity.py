@@ -221,9 +221,15 @@ def ivf_assign(
     """Assign each vector to its ``n_probe`` nearest IVF cells:
     ``(vec_id, embedding, cell)``, one row per probed cell.  One Arrow
     matmul per batch; centroids travel in the closure (n_cells×dim
-    floats — a few hundred KB at most)."""
+    floats — a few hundred KB at most).  ``n_probe`` is clamped to the
+    cell count (asking for more probes than cells would otherwise
+    surface as an opaque executor-side length-mismatch)."""
     import pandas as pd
     from collections.abc import Iterator
+
+    if n_probe < 1:
+        raise ValueError("n_probe must be >= 1")
+    n_probe = min(int(n_probe), int(centroids.shape[0]))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c = centroids
@@ -374,13 +380,20 @@ def normalize_embeddings(
     """L2-normalize the embedding column (pure JVM higher-order
     functions — no UDF, no shuffle).  Unit-norm vectors turn cosine
     into a plain dot product, the precondition most ANN index math
-    assumes; zero vectors pass through unchanged."""
+    assumes; zero vectors pass through unchanged.
+
+    The norm is staged behind its own projection: inlining the O(dim)
+    aggregate inside the per-element transform lambda re-evaluates it
+    per element — O(dim²) per row (the Generate-inlining pathology
+    measured elsewhere in this codebase as 70 s vs <2 s)."""
     v = F.col(vec_col)
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
-    unit = F.transform(v, lambda x: (x / norm).cast("float"))
-    return embeddings.withColumn(
-        vec_col, F.when(norm > 0, unit).otherwise(v)
+    staged = embeddings.withColumn(
+        "__norm", F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
     )
+    unit = F.transform(v, lambda x: (x / F.col("__norm")).cast("float"))
+    return staged.withColumn(
+        vec_col, F.when(F.col("__norm") > 0, unit).otherwise(v)
+    ).drop("__norm")
 
 
 def pca_project(

@@ -536,13 +536,22 @@ def hll_estimate_range(
     )
 
 
-def _cms_bucket(key, row: int, width: int):
-    """Row-``row`` CMS bucket of ``key``: md5-derived, so the DuckDB twin
-    is ``CAST('0x' || substr(md5(row || ':' || key), 1, 15) AS BIGINT) %
-    width`` — bit-identical across engines."""
+def _cms_bucket(key, row, width: int):
+    """Row-``row`` CMS bucket of ``key`` (``row`` may be an int or a
+    Column): md5-derived, so the DuckDB twin is ``CAST('0x' ||
+    substr(md5(row || ':' || key), 1, 15) AS BIGINT) % width`` —
+    bit-identical across engines.  THE canonical formula: both the
+    sketch builder and the probe side call this, so they can never
+    drift (a desynchronized hash would silently min over mismatched
+    buckets)."""
+    row_col = F.lit(row) if isinstance(row, int) else row
     h = F.conv(
         F.substring(
-            F.md5(F.concat(F.lit(f"{row}:"), key.cast("string"))), 1, 15
+            F.md5(
+                F.concat(row_col.cast("string"), F.lit(":"), key.cast("string"))
+            ),
+            1,
+            15,
         ),
         16,
         10,
@@ -631,20 +640,10 @@ def cms_estimate(
             F.explode(F.sequence(F.lit(0), F.col("__depth") - 1)).alias("d"),
         )
     )
-    # One md5 per (key, d) — same family as the sketch builder; width is
-    # a caller-supplied constant so the expression stays codegen'd.
+    # One md5 per (key, d) — the SAME _cms_bucket formula the builder
+    # uses, so builder and probe can never desynchronize.
     probes = probes.withColumn(
-        "bucket",
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("key").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % width,
+        "bucket", _cms_bucket(F.col("key"), F.col("d"), width)
     )
     return (
         probes.join(F.broadcast(merged), ["d", "bucket"], "left")

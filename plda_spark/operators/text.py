@@ -276,8 +276,14 @@ def collocations(
         .agg(F.count(F.lit(1)).alias("c_ab"))
         .where(F.col("c_ab") >= min_count)
     )
-    bigrams = bigrams.persist()  # small post-filter table, used twice
-    total = bigrams.agg(F.sum("c_ab").alias("t_total"))
+    # T = TOTAL bigram occurrences (Σ max(len-1, 0)), computed directly
+    # from the token lengths: summing only the min_count-filtered types
+    # would understate every PMI by a constant ln(T_all/T_kept) — and
+    # make the reported value depend on min_count, which a PMI must not.
+    # (Also removes the bigram-table persist this used to need.)
+    total = base.select(
+        F.greatest(F.size("toks") - 1, F.lit(0)).alias("nb")
+    ).agg(F.sum("nb").alias("t_total"))
     ua = uni.select(F.col("w").alias("a"), F.col("c").alias("c_a"))
     ub = uni.select(F.col("w").alias("b"), F.col("c").alias("c_b"))
     return (

@@ -471,12 +471,20 @@ def test_chunk_documents(spark):
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
-    # 100 tokens, stride 30 -> ceil(100/30) = 4 chunks; all full except the tail.
+    # 100 tokens, stride 30 -> 1 + ceil(60/30) = 3 chunks covering
+    # 1-40, 31-70, 61-100 (a 4th chunk of tokens 91-100 would be fully
+    # contained in chunk 2 — the redundant-tail bug).
     c0 = sorted(by_doc[0], key=lambda r: r["chunk_idx"])
-    assert [r["chunk_tokens"] for r in c0] == [40, 40, 40, 10]
-    assert [r["chunk_idx"] for r in c0] == [0, 1, 2, 3]
+    assert [r["chunk_tokens"] for r in c0] == [40, 40, 40]
+    assert [r["chunk_idx"] for r in c0] == [0, 1, 2]
     # Short doc -> one whole-doc chunk.
     assert len(by_doc[1]) == 1 and by_doc[1][0]["chunk_tokens"] == 3
+    # n mod stride in [1, overlap]: tail must carry NEW tokens or not exist
+    small = spark.createDataFrame(
+        [(2, " ".join(f"w{i}" for i in range(31)))], "doc_id long, text string"
+    )
+    tail = chunk_documents(small, max_tokens=40, overlap=10).collect()
+    assert len(tail) == 1 and tail[0]["chunk_tokens"] == 31
     # Identical chunk content -> identical digest (dedup-able).
     dup = chunk_documents(df.where(F.col("doc_id") == 0), max_tokens=40, overlap=10)
     assert {r["chunk_digest"] for r in dup.collect()} == {r["chunk_digest"] for r in c0}
@@ -1836,6 +1844,13 @@ def test_dedup_spans_first_occurrence_semantics(spark):
     assert got[1][2] == hashlib.md5(b"").hexdigest()
     assert got[3][2] == hashlib.md5(b"gg hh").hexdigest()
 
+    # return_text=True adds the rebuilt text itself
+    wt = {
+        r["doc_id"]: r["dedup_text"]
+        for r in dedup.dedup_spans(docs, span_tokens=2, return_text=True).collect()
+    }
+    assert wt[2] == "ee ff" and wt[1] == "" and wt[3] == "gg hh"
+
     with pytest.raises(ValueError):
         dedup.dedup_spans(docs, span_tokens=0)
 
@@ -2063,3 +2078,44 @@ def test_fuzzy_join_preserves_duplicate_row_multiplicity(spark):
     got = joins.fuzzy_join(left, right, "name", "name", max_dist=1).collect()
     assert len(got) == 2
     assert all(r["dist"] == 1 and r["right_name"] == "abd" for r in got)
+
+
+def test_simhash_pairs_larger_hamming_complete(spark):
+    """max_hamming > 3 must still find all pairs (bands derive from the
+    radius; the old fixed-4-band blocking lost distance-4+ pairs)."""
+    import numpy as np
+
+    from plda_spark.operators import dedup
+
+    base = " ".join(f"tok{i:02d}" for i in range(30))
+    # flip ~a few tokens to push hamming distance past 3 but within 8
+    variant = base.replace("tok03", "aaa").replace("tok17", "bbb")
+    docs = spark.createDataFrame(
+        [(0, base), (1, variant)], "doc_id long, text string"
+    )
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    d = int(bin(sig[0] ^ sig[1]).count("1"))
+    assert d >= 1
+    got = dedup.simhash_pairs(docs, max_hamming=max(d, 4)).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in got} == {(0, 1)}
+
+    with pytest.raises(ValueError):
+        dedup.simhash_pairs(docs, max_hamming=0)
+
+
+def test_collocations_pmi_normalizer_is_total_bigram_count(spark):
+    """T in the PMI is ALL bigram occurrences, independent of min_count
+    — a filtered T would shift every score by a constant."""
+    import math
+
+    from plda_spark.operators.text import collocations
+
+    # "xx yy" twice, plus 8 other distinct bigrams -> T = 10
+    docs = spark.createDataFrame(
+        [(0, "xx yy aa bb cc dd ee"), (1, "xx yy ff gg hh")],
+        "doc_id long, text string",
+    )
+    got = {(r["a"], r["b"]): r["pmi"] for r in collocations(docs, min_count=2).collect()}
+    assert set(got) == {("xx", "yy")}
+    # c_ab=2, T=10, c_a=c_b=2 -> pmi = ln(2*10/4)
+    assert got[("xx", "yy")] == pytest.approx(math.log(5.0), abs=1e-6)

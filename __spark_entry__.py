@@ -77,25 +77,33 @@ sh AS (
 _SQL_MD5_LONG = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
 
 
+def _prefix_copies(docs: DataFrame) -> DataFrame:
+    """The planted 80%-prefix copies (doc_id + 200000) — ONE Spark twin
+    of the corresponding ``_SQL_DOCS_DUP`` branch, shared by every query
+    that plants them so the construction can never drift from its
+    oracle.  ``F.floor(size*4/5)`` matches DuckDB's integer
+    ``(len*4)//5`` for positive sizes."""
+    toks = text.tokens_col("text")
+    return docs.where(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.array_join(
+            F.slice(
+                toks,
+                1,
+                F.greatest(F.floor(F.size(toks) * 4 / 5), F.lit(1)).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+
+
 def _docs_with_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark side of ``_SQL_DOCS_DUP`` — same planted duplicates."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = docs.where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
-    toks = text.tokens_col("text")
-    # F.floor(size*4/5) matches DuckDB's integer (len*4)//5 for positive sizes
-    prefix = (
-        docs.where(F.col("doc_id") % 10 == 5)
-        .select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.array_join(
-                F.slice(toks, 1, F.greatest(F.floor(F.size(toks) * 4 / 5), F.lit(1)).cast("int")),
-                " ",
-            ).alias("text"),
-        )
-    )
-    return docs.unionAll(exact).unionAll(prefix)
+    return docs.unionAll(exact).unionAll(_prefix_copies(docs))
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1125,19 +1133,7 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         documents the reference corpus — survivors are the prefix docs
         whose LSH band buckets miss every original."""
         docs = load_table(spark, sf, "documents").select("doc_id", "text")
-        toks = text.tokens_col("text")
-        new_docs = docs.where(F.col("doc_id") % 10 == 5).select(
-            (F.col("doc_id") + 200000).alias("doc_id"),
-            F.array_join(
-                F.slice(
-                    toks,
-                    1,
-                    F.greatest(F.floor(F.size(toks) * 4 / 5), F.lit(1)).cast("int"),
-                ),
-                " ",
-            ).alias("text"),
-        )
-        out = dedup.cross_dedup(new_docs, docs)
+        out = dedup.cross_dedup(_prefix_copies(docs), docs)
         return out.select("doc_id", F.md5("text").alias("text_digest"))
 
     q["dedup_cross"] = dedup_cross

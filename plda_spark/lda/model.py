@@ -15,26 +15,22 @@ executors each iteration (the reference replicates it per MPI rank,
 
 from __future__ import annotations
 
-import math
-import os
-from typing import TYPE_CHECKING
-
 import numpy as np
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-if TYPE_CHECKING:
-    pass
-
 __all__ = ["LDAModel"]
 
 
-def _format_count(v: float) -> str:
-    """C++ ``operator<<(double)`` default formatting (6 significant digits)."""
-    if float(v).is_integer() and abs(v) < 1e15:
+def _format_count(v, as_float: bool) -> str:
+    """C++ stream formatting parity: an int64 count streams as an
+    integer; a double streams via ``operator<<(double)`` — 6 significant
+    digits INCLUDING for integral values (``2500000.0`` prints as
+    ``2.5e+06``, not ``2500000``), which ``%g`` reproduces."""
+    if not as_float:
         return str(int(v))
-    return f"{v:.6g}"
+    return f"{float(v):g}"
 
 
 class LDAModel:
@@ -70,9 +66,10 @@ class LDAModel:
     # -- text serde (format parity) -------------------------------------------
     def save_text(self, path: str) -> None:
         """``word \\t c1 c2 … cK`` one line per word (model.cc:98-111)."""
+        as_float = self.nwk.dtype.kind == "f"
         with open(path, "w", encoding="utf-8") as f:
             for i, w in enumerate(self.words):
-                counts = " ".join(_format_count(v) for v in self.nwk[i])
+                counts = " ".join(_format_count(v, as_float) for v in self.nwk[i])
                 f.write(f"{w}\t{counts}\n")
 
     @classmethod
@@ -89,6 +86,14 @@ class LDAModel:
                 parts = line.split()
                 words.append(parts[0])
                 rows.append([int(float(x)) for x in parts[1:]])
+        if not rows:
+            raise ValueError(f"{path}: no model lines (empty or all comments)")
+        widths = {len(r) for r in rows}
+        if len(widths) != 1 or 0 in widths:
+            raise ValueError(
+                f"{path}: ragged model file — per-line count columns {sorted(widths)} "
+                "(truncated write?); every line must carry the same K counts"
+            )
         nwk = np.asarray(rows, dtype=np.int64)
         return cls(nwk, words, alpha, beta)
 
@@ -112,6 +117,8 @@ class LDAModel:
     def load(cls, spark: SparkSession, path: str) -> "LDAModel":
         df = spark.read.parquet(path)
         rows = df.orderBy("word_id").collect()
+        if not rows:
+            raise ValueError(f"{path}: empty model table")
         words = [r["word"] for r in rows]
         nwk = np.asarray([r["topic_counts"] for r in rows], dtype=np.float64)
         alpha = float(rows[0]["_meta_alpha"])

@@ -1,15 +1,22 @@
 """Sources and sinks: parquet tables, plda text format, UCI bag-of-words,
 JSONL and CSV (both with corrupt-row quarantine), sharded/bucketed sinks,
-and a date-partitioned sink with pruning-pinned reads."""
+a date-partitioned sink with pruning-pinned reads, and Z-order (Morton)
+clustered writes."""
 
+from .bucketed import read_bucketed, write_bucketed  # noqa: F401
 from .csv import read_csv, read_csv_with_errors, write_csv  # noqa: F401
 from .jsonl import read_jsonl, read_jsonl_with_errors, write_dataset  # noqa: F401
 from .partitioned import read_partitioned, write_partitioned_by_day  # noqa: F401
 from .plda_text import read_plda_corpus, write_plda_corpus  # noqa: F401
 from .tables import load_all, load_table  # noqa: F401
 from .uci import read_uci_docword, uci_to_corpus  # noqa: F401
+from .zorder import write_zordered, zvalue_col  # noqa: F401
 
 __all__ = [
+    "read_bucketed",
+    "write_bucketed",
+    "write_zordered",
+    "zvalue_col",
     "read_csv",
     "read_csv_with_errors",
     "write_csv",

@@ -22,10 +22,10 @@ Two physical paths:
   NOT newlines.
 - ``multiLine=True``: the CSV datasource parses whole files
   (non-splittable — keep off at scale unless fields embed newlines).
-  The datasource forbids projecting ONLY its corrupt column; the
-  quarantine view therefore references a data column alongside it
-  (no session-lifetime cache — a cached parse here would leak
-  executor storage on every read).
+  The datasource forbids projecting ONLY its corrupt column; both
+  views are materialized through a call-scoped cache that is released
+  before returning (a bare .cache() would live in the session
+  CacheManager forever).
 
 Header ambiguity: the line-scan path drops lines byte-identical to the
 header.  For an ALL-string schema a data row equal to the header is
@@ -54,6 +54,18 @@ _CSV_OPTS = {
 }
 
 
+def _is_multiline(options: dict) -> bool:
+    """Spark CSV option keys are case-insensitive ('multiline' works on
+    spark.read.csv); honoring only the exact 'multiLine' spelling would
+    silently route such calls down the line-scan path, where
+    embedded-newline records fragment and are quarantined instead of
+    parsed."""
+    for k, v in options.items():
+        if k.lower() == "multiline":
+            return str(v).lower() == "true"
+    return False
+
+
 def _read(
     spark: SparkSession, path: str, schema: T.StructType, options: dict
 ) -> DataFrame:
@@ -62,7 +74,7 @@ def _read(
     with_err = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
-    if opts.get("multiLine", "false").lower() == "true":
+    if _is_multiline(opts):
         return spark.read.options(**opts).schema(with_err).csv(path)
     # Header removal honors the effective delimiter (from_csv uses the
     # same opts); only applies when headers are on.
@@ -125,7 +137,7 @@ def read_csv(
     """
     sch = schema or DOC_SCHEMA
     df = _read(spark, path, sch, options)
-    if str(options.get("multiLine", "false")).lower() == "true":
+    if _is_multiline(options):
         clean, _ = _split_multiline(df, sch)
         return clean
     return df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
@@ -137,7 +149,7 @@ def read_csv_with_errors(
     """``(clean, corrupt)`` — corrupt carries the raw offending line."""
     sch = schema or DOC_SCHEMA
     df = _read(spark, path, sch, options)
-    if str(options.get("multiLine", "false")).lower() == "true":
+    if _is_multiline(options):
         return _split_multiline(df, sch)
     clean = df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     corrupt = df.where(F.col("_corrupt_record").isNotNull()).select(

@@ -95,10 +95,19 @@ def write_dataset(
     ``shards``, sort each shard by the key, bound file sizes.  Output
     bytes are a pure function of (rows, shards) — independent of input
     partitioning — so re-runs produce identical shard layouts (the
-    auditability contract training-data pipelines need)."""
+    auditability contract training-data pipelines need).
+
+    The per-shard sort tiebreaks on a full-row digest: with a NON-unique
+    ``key_col`` (e.g. sharding by language), equal-key rows would
+    otherwise land in shuffle-fetch order, which varies run to run and
+    silently breaks the byte-determinism contract.  Byte-identical
+    duplicate rows remain interchangeable, which preserves it."""
+    row_digest = F.md5(
+        F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns])
+    )
     (
         df.repartition(shards, F.col(key_col))
-        .sortWithinPartitions(key_col)
+        .sortWithinPartitions(F.col(key_col), row_digest)
         .write.option("maxRecordsPerFile", max_records_per_file)
         .format(fmt)
         .mode(mode)

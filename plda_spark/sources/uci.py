@@ -28,7 +28,6 @@ def read_uci_docword(spark: SparkSession, docword_path: str, vocab_path: str) ->
     vocab = (
         vocab_lines.rdd.map(lambda r: r["value"].strip())
         .zipWithIndex()
-        .map(lambda t: (t[0], t[1]))
         .toDF(["word", "word_id"])
     )
     return (

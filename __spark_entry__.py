@@ -1879,6 +1879,81 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["q22_dormant_customers"] = q22_dormant_customers
 
+    def q2_min_cost_supplier(spark, sf):
+        """TPC-H Q2 shape (min-cost supplier per part): lineitem
+        aggregated to (part, supplier, MIN extendedprice) stands in for
+        partsupp/ps_supplycost.  ECONOMY parts of size < 15, suppliers
+        in EUROPE; each part keeps only its minimum-cost EU supplier(s).
+        The reference Q2's correlated-min subquery is expressed the
+        Spark-idiomatic way — a per-part window MIN (one shuffle, no
+        re-join of the candidate set against itself); the DuckDB oracle
+        keeps the literal correlated subquery.  Top 100 by
+        (s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey) — a
+        fully unique sort so the LIMIT boundary is engine-independent."""
+        li = load_table(spark, sf, "lineitem")
+        part = load_table(spark, sf, "part").where(
+            (F.col("p_type") == "ECONOMY") & (F.col("p_size") < 15)
+        )
+        sup = load_table(spark, sf, "supplier")
+        nat = load_table(spark, sf, "nation")
+        reg = load_table(spark, sf, "region").where(F.col("r_name") == "EUROPE")
+        ps = li.groupBy("l_partkey", "l_suppkey").agg(
+            F.min(_dec("l_extendedprice")).alias("ps_cost")
+        )
+        eu = (
+            sup.join(
+                F.broadcast(
+                    nat.join(
+                        F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"]
+                    ).select("n_nationkey", "n_name")
+                ),
+                sup["s_nationkey"] == F.col("n_nationkey"),
+            )
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+        )
+        cand = ps.join(F.broadcast(part), ps["l_partkey"] == part["p_partkey"]).join(
+            F.broadcast(eu), ps["l_suppkey"] == F.col("s_suppkey")
+        )
+        w = Window.partitionBy("p_partkey")
+        return (
+            cand.withColumn("min_cost", F.min("ps_cost").over(w))
+            .where(F.col("ps_cost") == F.col("min_cost"))
+            .select(
+                "s_acctbal",
+                "s_name",
+                "n_name",
+                "p_partkey",
+                "p_name",
+                "s_suppkey",
+                F.round(F.col("ps_cost").cast("double"), 2).alias("supply_cost"),
+            )
+            .orderBy(
+                F.desc("s_acctbal"), "n_name", "s_name", "p_partkey", "s_suppkey"
+            )
+            .limit(100)
+        )
+
+    q["q2_min_cost_supplier"] = q2_min_cost_supplier
+
+    def join_fuzzy_tables(spark, sf):
+        """Two-table fuzzy join (operators.joins.fuzzy_join): customer
+        names linked to a reference subset within Levenshtein distance 1
+        — SymSpell deletion-neighborhood blocking meets in an equi-join
+        with an exact-distance verify, never an all-pairs theta join,
+        and candidate dedup is keyed on md5-of-full-row (retry-proof)."""
+        from plda_spark.operators import joins
+
+        cust = load_table(spark, sf, "customer")
+        left = cust.where(F.col("c_custkey") < 40).select("c_custkey", "c_name")
+        right = cust.where(
+            (F.col("c_custkey") < 40) & (F.col("c_custkey") % 10 < 2)
+        ).select(
+            F.col("c_custkey").alias("ref_key"), F.col("c_name").alias("ref_name")
+        )
+        return joins.fuzzy_join(left, right, "c_name", "ref_name", max_dist=1)
+
+    q["join_fuzzy_tables"] = join_fuzzy_tables
+
     def join_fuzzy_pairs(spark, sf):
         """Approximate string self-join: supplier-name pairs within
         Levenshtein distance 1, blocked by SymSpell deletion
@@ -3991,6 +4066,40 @@ JOIN avg_q ON l_partkey = ak
 WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
 """
 
+    o["q2_min_cost_supplier"] = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS ps_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+)
+SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name, eu.s_suppkey,
+       ROUND(ps.ps_cost, 2) AS supply_cost
+FROM ps
+JOIN part p ON ps.l_partkey = p.p_partkey
+JOIN eu ON ps.l_suppkey = eu.s_suppkey
+WHERE p.p_type = 'ECONOMY' AND p.p_size < 15
+  AND ps.ps_cost = (SELECT MIN(ps2.ps_cost)
+                    FROM ps ps2 JOIN eu eu2 ON ps2.l_suppkey = eu2.s_suppkey
+                    WHERE ps2.l_partkey = p.p_partkey)
+ORDER BY eu.s_acctbal DESC, eu.n_name, eu.s_name, p.p_partkey, eu.s_suppkey
+LIMIT 100
+"""
+
+    o["join_fuzzy_tables"] = """
+SELECT l.c_custkey, l.c_name, r.ref_key, r.ref_name,
+       CAST(levenshtein(l.c_name, r.ref_name) AS INTEGER) AS dist
+FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey < 40) l
+JOIN (SELECT c_custkey AS ref_key, c_name AS ref_name FROM customer
+      WHERE c_custkey < 40 AND c_custkey % 10 < 2) r
+  ON levenshtein(l.c_name, r.ref_name) <= 1
+"""
+
     o["join_fuzzy_pairs"] = """
 SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
        a.s_name AS name_a, b.s_name AS name_b,
@@ -4412,6 +4521,10 @@ EXTRA_QUERIES: list[str] = [
     "dedup_cross",
     "layout_zorder",
     "text_lm_score_kn",
+    # round-4 extensions: the last TPC-H shape (22/22) + the two-table
+    # fuzzy-join variant
+    "q2_min_cost_supplier",
+    "join_fuzzy_tables",
 ]
 
 

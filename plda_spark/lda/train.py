@@ -511,9 +511,21 @@ def _join_sweep_fn(nk_global: list[int], vocab_size: int, alpha: float, beta: fl
             if len(docs) else np.empty(0, np.int32)
         )
         loc_occ = np.searchsorted(local_words, word_occ.astype(np.int64)).astype(np.int32)
-        assert loc_occ.shape[0] == 0 or bool(
-            (local_words[loc_occ] == word_occ).all()
-        ), "partition word missing from model slice"
+        # Invariant: every word occurring in this partition has a model
+        # row in the slice.  Checked with a real raise (not assert — that
+        # vanishes under ``python -O``), and searchsorted can return
+        # len(local_words) for past-the-end words, so bounds-check before
+        # fancy-indexing or the error surfaces as an opaque IndexError.
+        if loc_occ.shape[0]:
+            in_range = loc_occ < len(local_words)
+            ok = in_range.copy()
+            ok[in_range] = local_words[loc_occ[in_range]] == word_occ[in_range]
+            if not ok.all():
+                missing = np.unique(word_occ[~ok])[:20]
+                raise RuntimeError(
+                    "partition word(s) missing from model slice: "
+                    f"{missing.tolist()}"
+                )
 
         lls = np.zeros(len(docs))
         ll_total = 0.0

@@ -320,18 +320,22 @@ def dsir_select(
     deterministic form is the hash-stable one.
 
     Scale shape: ``dsir_weights`` plus a TakeOrdered top-k (per-partition
-    heaps, no global sort materialization) and one broadcast semi-join
-    back to the full rows.
+    heaps, no global sort materialization) and one semi-join back to the
+    full rows.  The ``chosen`` side is quota-sized — production quotas
+    run to millions of rows, past the broadcast limit — so the join is
+    only force-broadcast below a conservative row threshold; above it
+    AQE picks the strategy (and will still broadcast when the id table
+    fits).
     """
     w = dsir_weights(docs, target, num_buckets, smoothing, text_col, id_col)
     chosen = (
         w.orderBy(F.desc("dsir_logweight"), F.asc("doc_id"))
         .limit(int(quota))
         .select("doc_id", "dsir_logweight")
-    )
-    return docs.join(
-        F.broadcast(chosen.withColumnRenamed("doc_id", id_col)), id_col, "inner"
-    )
+    ).withColumnRenamed("doc_id", id_col)
+    if int(quota) <= 1_000_000:  # ~24 MB of (id, double) rows — safely broadcastable
+        chosen = F.broadcast(chosen)
+    return docs.join(chosen, id_col, "inner")
 
 
 def temperature_mixture(

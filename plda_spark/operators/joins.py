@@ -301,20 +301,38 @@ def fuzzy_join(
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
-    # Internal per-ROW ids so the candidate dedup collapses only the
-    # multi-variant collisions of the SAME row pair — a whole-row
-    # distinct would also merge genuinely duplicate input rows,
-    # silently changing inner-join multiplicity.  The ids are assigned
-    # before the variant explosion, used once, and dropped.
-    lk = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
+    # Determinism contract: candidate dedup is keyed on md5-of-full-row,
+    # never on monotonically_increasing_id — a cached/retried upstream
+    # with nondeterministic row order could re-assign positional ids
+    # mid-query, but a content hash is stable under any recomputation.
+    # Duplicate input rows (same hash) are collapsed BEFORE the variant
+    # explosion with their multiplicity recorded, and the inner-join
+    # multiplicity (n_left · n_right copies per matched pair) is
+    # restored at the end — identical results to joining the raw rows,
+    # and cheaper: duplicates explode their deletion variants once.
+    # (Requires group-able column types; map-typed columns would need a
+    # projection first.)
+    lcols = left.columns
+    la = (
+        left.groupBy(*lcols)
+        .agg(F.count(F.lit(1)).alias("__ln"))
+        .withColumn("__lid", F.md5(F.to_json(F.struct(*lcols))))
+    )
+    taken = set(lcols)
+    rename = {c: (f"right_{c}" if c in taken else c) for c in right.columns}
+    ra = (
+        right.groupBy(*right.columns)
+        .agg(F.count(F.lit(1)).alias("__rn"))
+        .withColumn("__rid", F.md5(F.to_json(F.struct(*right.columns))))
+        .select(
+            *[F.col(c).alias(rename[c]) for c in right.columns], "__rn", "__rid"
+        )
+    )
+    lk = la.withColumn(
         "__v", F.explode(_deletion_variants(F.col(left_col), max_dist))
     )
-    taken = set(left.columns)
-    rename = {c: (f"right_{c}" if c in taken else c) for c in right.columns}
-    rk = right.withColumn("__rid", F.monotonically_increasing_id()).select(
-        *[F.col(c).alias(rename[c]) for c in right.columns],
-        "__rid",
-        F.explode(_deletion_variants(F.col(right_col), max_dist)).alias("__v"),
+    rk = ra.withColumn(
+        "__v", F.explode(_deletion_variants(F.col(rename[right_col]), max_dist))
     )
     return (
         lk.join(rk, "__v")
@@ -325,5 +343,9 @@ def fuzzy_join(
         .withColumn("dist", F.levenshtein(F.col(left_col), F.col(rename[right_col])))
         .where(F.col("dist") <= max_dist)
         .dropDuplicates(["__lid", "__rid"])
-        .drop("__lid", "__rid")
+        # restore the multiplicity of duplicate input rows
+        .withColumn(
+            "__m", F.explode(F.sequence(F.lit(1), F.col("__ln") * F.col("__rn")))
+        )
+        .drop("__lid", "__rid", "__ln", "__rn", "__m")
     )

@@ -455,13 +455,20 @@ def _query_token(spark: SparkSession, checkpoint_path: str) -> str:
     return str(_json.loads(txt)["id"])
 
 
-def _overwrite_batch_partition(df: DataFrame, path: str, batch_id: int) -> None:
+def _overwrite_batch_partition(
+    df: DataFrame, path: str, run_id: str, batch_id: int
+) -> None:
     """Idempotent per-batch write: dynamic partition overwrite of ONLY
-    this batch's ``batch_id=`` partition — a replayed batch rewrites the
-    identical content instead of appending a duplicate copy."""
+    this run's ``run_id=<query-id>/batch_id=<n>`` partition — a replayed
+    batch rewrites the identical content instead of appending a
+    duplicate copy.  ``run_id`` is the checkpoint generation's streaming
+    query id: a wiped/recreated checkpoint restarts batch ids at 0, and
+    without the run dimension its batch 0 would OVERWRITE (destroy) the
+    old generation's batch 0 in both the output and the ledger."""
     (
-        df.withColumn("batch_id", F.lit(batch_id).cast("long"))
-        .write.partitionBy("batch_id")
+        df.withColumn("run_id", F.lit(run_id))
+        .withColumn("batch_id", F.lit(batch_id).cast("long"))
+        .write.partitionBy("run_id", "batch_id")
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite")
         .parquet(path)
@@ -483,18 +490,22 @@ def incremental_exact_dedup(
     against the accumulated corpus, not just itself).
 
     ``foreachBatch`` keeps the history as a parquet digest ledger at
-    ``state_path`` (one ``(digest, batch_id)`` row per admitted doc,
-    partitioned by batch).  Per batch: min-``id_col`` representative per
-    digest within the batch, then a left-anti join against the ledger,
-    then the survivors land in ``out_path`` and their digests in the
-    ledger.  Exactly-once under any crash point: both writes are
-    per-batch dynamic partition OVERWRITES (a replay rewrites the same
-    ``batch_id=`` partition with identical content, never appends
-    twice), and a fully-committed batch is skipped via a marker row
-    keyed on (batch_id, streaming-query id) — the query id comes from
-    the CHECKPOINT metadata, so a wiped/new checkpoint (batch ids
-    restarting at 0) can never be mistaken for a replay of an old run.
-    Outputs carry a ``batch_id`` partition column.
+    ``state_path`` (one ``(digest, run_id, batch_id)`` row per admitted
+    doc, partitioned by run and batch).  Per batch: min-``id_col``
+    representative per digest within the batch, then a left-anti join
+    against the ledger (ALL runs — history survives checkpoint
+    generations), then the survivors land in ``out_path`` and their
+    digests in the ledger.  Exactly-once under any crash point: both
+    writes are dynamic partition OVERWRITES of this run's
+    ``run_id=<query-id>/batch_id=<n>`` partition (a replay rewrites the
+    same partition with identical content, never appends twice), and a
+    fully-committed batch is skipped via a marker row keyed on
+    (run_id, batch_id).  The run id comes from the CHECKPOINT metadata,
+    so a wiped/new checkpoint — whose batch ids restart at 0 — writes
+    to fresh ``run_id=`` partitions and can neither be mistaken for a
+    replay of an old run NOR destroy the old run's batch-0 output and
+    ledger partitions.  Outputs carry ``run_id``/``batch_id`` partition
+    columns.
 
     Scale shape: the anti-join is a shuffle equi-join on digest — the
     ledger is one slim row per distinct document ever admitted, far
@@ -509,7 +520,8 @@ def incremental_exact_dedup(
         # Marker digest "run:<query-id>" — prefixed so it can never
         # collide with a real 32-hex md5; the query id is this
         # CHECKPOINT's persistent identity.
-        marker = f"run:{_query_token(spark, checkpoint_path)}"
+        token = _query_token(spark, checkpoint_path)
+        marker = f"run:{token}"
         digested = batch.withColumn("__digest", F.md5(F.col(text_col)))
         fresh = digested.join(
             # min-id representative per digest within the batch
@@ -531,31 +543,35 @@ def incremental_exact_dedup(
             ledger = None  # first batch: no ledger yet
         if ledger is not None:
             done = ledger.where(
-                (F.col("batch_id") == batch_id) & (F.col("digest") == marker)
+                (F.col("run_id") == token)
+                & (F.col("batch_id") == batch_id)
+                & (F.col("digest") == marker)
             )
             if done.limit(1).count() > 0:
                 return  # this run already fully committed this batch
             fresh = fresh.join(
                 # marker digests can never equal a real md5, so they are
-                # inert in the anti-join
+                # inert in the anti-join; digests from ALL runs reject —
+                # history survives checkpoint generations
                 ledger.select(F.col("digest").alias("__digest")),
                 "__digest",
                 "left_anti",
             )
         fresh = fresh.localCheckpoint(eager=True)  # stabilize before double write
         # Output FIRST, ledger (with the commit marker) LAST, both as
-        # dynamic per-batch partition overwrites: a crash between them
-        # replays the batch, recomputes the identical survivors (the
-        # ledger still lacks this batch), and OVERWRITES the same
-        # batch_id partition — never appending duplicates.
+        # dynamic per-(run, batch) partition overwrites: a crash between
+        # them replays the batch, recomputes the identical survivors
+        # (the ledger still lacks this batch), and OVERWRITES the same
+        # run_id/batch_id partition — never appending duplicates.
         _overwrite_batch_partition(
-            fresh.drop("__digest"), out_path, batch_id
+            fresh.drop("__digest"), out_path, token, batch_id
         )
         _overwrite_batch_partition(
             fresh.select(F.col("__digest").alias("digest")).unionByName(
                 spark.createDataFrame([(marker,)], "digest string")
             ),
             state_path,
+            token,
             batch_id,
         )
 
@@ -635,12 +651,14 @@ def incremental_minhash_dedup(
     precision/recall point; use the batch ``minhash_lsh_pairs`` +
     verification for audits.
 
-    Ledger rows are ``(band, bucket, batch_id)`` per admitted doc —
-    slim, partitioned by batch; exactly-once uses the same recipe as the
-    exact ledger (per-batch dynamic partition overwrites + a
-    ``band = -1`` marker row whose bucket is this checkpoint's
-    streaming-query id).  Outputs carry a ``batch_id`` partition
-    column.  Scale shape per batch: shingle+sign the INCREMENT only,
+    Ledger rows are ``(band, bucket, run_id, batch_id)`` per admitted
+    doc — slim, partitioned by run and batch; exactly-once uses the same
+    recipe as the exact ledger (per-(run, batch) dynamic partition
+    overwrites + a ``band = -1`` marker row whose bucket is this
+    checkpoint's streaming-query id — a wiped/new checkpoint writes to
+    fresh ``run_id=`` partitions instead of destroying the old
+    generation's).  Outputs carry ``run_id``/``batch_id`` partition
+    columns.  Scale shape per batch: shingle+sign the INCREMENT only,
     one left-anti equi-join on ``(band, bucket)`` against the ledger
     (AQE broadcasts the increment side), two partition writes.  No
     state store, no unbounded executor state.
@@ -672,7 +690,8 @@ def incremental_minhash_dedup(
             ledger = None
         if ledger is not None:
             done = ledger.where(
-                (F.col("batch_id") == batch_id)
+                (F.col("run_id") == token)
+                & (F.col("batch_id") == batch_id)
                 & (F.col("band") == -1)
                 & (F.col("bucket") == token)
             )
@@ -698,9 +717,9 @@ def incremental_minhash_dedup(
             keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
         ).localCheckpoint(eager=True)
         # Output FIRST, ledger (with the commit marker) LAST, both as
-        # dynamic per-batch partition overwrites — a crash between them
-        # replays to identical content in the same batch_id partition.
-        _overwrite_batch_partition(fresh, out_path, batch_id)
+        # dynamic per-(run, batch) partition overwrites — a crash between
+        # them replays to identical content in the same partition.
+        _overwrite_batch_partition(fresh, out_path, token, batch_id)
         # The marker row (band = -1, bucket = query id) doubles as the
         # commit record AND covers batches whose admitted docs are all
         # bucketless (which write zero bucket rows).
@@ -712,6 +731,7 @@ def incremental_minhash_dedup(
             .select("band", "bucket")
             .unionByName(marker),
             state_path,
+            token,
             batch_id,
         )
 

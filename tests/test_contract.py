@@ -66,6 +66,30 @@ def test_expensive_queries_declared_last():
     assert entrymod.CONTRACT_QUERIES[-len(EXPENSIVE_TAIL):] == EXPENSIVE_TAIL
 
 
+def test_documented_counts_match_registry():
+    """README.md / SURVEY.md quote '125 queries … 75 extras … 122 with
+    DuckDB oracles'.  Pin those numbers to the live registry so the
+    docs can never silently drift from the code again (this drifted in
+    rounds 2 AND 3).  If you add or remove a query, update BOTH the
+    registry and the documented counts — this test names the files."""
+    n_total = len(entrymod.all_queries())
+    n_extras = len(entrymod.EXTRA_QUERIES)
+    n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
+    documented = (125, 75, 122)  # keep in sync with README.md + SURVEY.md §2.3
+    assert (n_total, n_extras, n_oracles) == documented, (
+        f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
+        f"SURVEY.md document {documented} — update the docs and this pin"
+    )
+    # the documented numbers must actually appear in the docs
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent
+    for doc in ("README.md", "SURVEY.md"):
+        text = (root / doc).read_text()
+        for token in (str(n_total), str(n_extras), str(n_oracles)):
+            assert token in text, f"{doc} does not mention the count {token}"
+
+
 def test_every_query_analyzes(spark):
     qs = entrymod.all_queries()
     failures = []

@@ -216,6 +216,49 @@ def test_incremental_exact_dedup_two_increments(spark, tmp_path):
     assert ledger.where(ledger.digest.startswith("run:")).count() == 2
 
 
+def test_incremental_exact_dedup_survives_checkpoint_generations(spark, tmp_path):
+    """A NEW checkpoint generation restarts batch ids at 0.  Its batch 0
+    must land in its own ``run_id=`` partition — NOT overwrite the old
+    generation's batch-0 output/ledger partitions — and the old
+    generation's digests must still reject historical duplicates."""
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    # generation 1: checkpoint A over input dir A
+    in1 = str(tmp_path / "in1")
+    spark.createDataFrame(
+        [(0, "aaa"), (1, "bbb")], schema
+    ).write.mode("append").parquet(in1)
+    windows.incremental_exact_dedup(
+        spark.readStream.schema(schema).parquet(in1),
+        out, state, str(tmp_path / "ckptA"),
+    )
+    assert sorted(
+        r["text"] for r in spark.read.parquet(out).collect()
+    ) == ["aaa", "bbb"]
+
+    # generation 2: checkpoint WIPED (fresh dir) + fresh input — its
+    # batch ids restart at 0.  'aaa' is a historical dup, 'ccc' is new.
+    in2 = str(tmp_path / "in2")
+    spark.createDataFrame(
+        [(30, "ccc"), (31, "aaa")], schema
+    ).write.mode("append").parquet(in2)
+    windows.incremental_exact_dedup(
+        spark.readStream.schema(schema).parquet(in2),
+        out, state, str(tmp_path / "ckptB"),
+    )
+    got = spark.read.parquet(out).collect()
+    # old output preserved, new doc admitted, historical dup rejected
+    assert sorted(r["text"] for r in got) == ["aaa", "bbb", "ccc"]
+    assert {r["doc_id"] for r in got} == {0, 1, 30}
+    # ledger holds both generations' digests under distinct run_ids
+    ledger = spark.read.parquet(state)
+    reals = ledger.where(~ledger.digest.startswith("run:"))
+    assert reals.count() == 3
+    assert ledger.select("run_id").distinct().count() == 2
+
+
 def test_incremental_exact_dedup_corrupt_ledger_raises(spark, tmp_path):
     """A ledger that EXISTS but cannot be read must fail the batch, not
     be treated as 'first batch' (which would silently re-admit every

@@ -609,6 +609,34 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["text_langid"] = lambda spark, sf: text.language_id(
         load_table(spark, sf, "documents")
     )
+
+    def text_gopher_filters(spark, sf):
+        """The published Gopher page-quality rules (Rae et al. 2021)
+        rule-by-rule (operators.text.gopher_filters); verdict flags cast
+        to int for engine-stable hashing."""
+        out = text.gopher_filters(load_table(spark, sf, "documents"))
+        flag_cols = [c for c in out.columns if c.startswith("ok_")] + ["gopher_pass"]
+        keep = [c for c in out.columns if c not in flag_cols]
+        return out.select(
+            *keep, *[F.col(c).cast("int").alias(c) for c in flag_cols]
+        )
+
+    q["text_gopher_filters"] = text_gopher_filters
+
+    def text_c4_clean(spark, sf):
+        """C4-style line-level cleaning (operators.text.c4_clean):
+        kept-line counts, cleaned text, and the page verdict."""
+        out = text.c4_clean(load_table(spark, sf, "documents"))
+        return out.select(
+            "doc_id",
+            "n_lines",
+            "n_kept_lines",
+            F.md5("text").alias("text_digest"),
+            F.col("c4_keep").cast("int").alias("c4_keep"),
+        )
+
+    q["text_c4_clean"] = text_c4_clean
+
     def text_fingerprint(spark, sf):
         """md5 set-fingerprint + winnowing rolling-hash summary (MOSS
         scheme) in one per-doc row."""
@@ -2866,6 +2894,76 @@ SELECT doc_id,
 FROM h
 """
 
+    # Gopher rules twin: words = whitespace runs, lines = non-empty
+    # newline splits; COALESCE handles empty docs (list_sum of an empty
+    # list is NULL in DuckDB where Spark's fold yields 0).
+    o["text_gopher_filters"] = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w,
+         list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS l,
+         length(text) - length(replace(text, '#', '')) AS nhash
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+    len(w) AS n_words,
+    ROUND(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)::DOUBLE
+          / greatest(len(w), 1), 4) AS mean_word_len,
+    ROUND(nhash::DOUBLE / greatest(len(w), 1), 4) AS hash_ratio,
+    ROUND(len(list_filter(l, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))::DOUBLE
+          / greatest(len(l), 1), 4) AS ellipsis_line_frac,
+    ROUND(len(list_filter(l, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'
+                                  OR ltrim(x) LIKE '•%'))::DOUBLE
+          / greatest(len(l), 1), 4) AS bullet_line_frac,
+    ROUND(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          / greatest(len(w), 1), 4) AS alpha_word_frac,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        t -> list_contains(list_transform(w, x -> lower(x)), t))) AS n_required_hits
+  FROM s
+)
+SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_line_frac,
+       bullet_line_frac, alpha_word_frac, n_required_hits,
+       CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS ok_n_words,
+       CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS ok_word_len,
+       CAST(hash_ratio <= 0.1 AS INTEGER) AS ok_hash,
+       CAST(ellipsis_line_frac <= 0.3 AS INTEGER) AS ok_ellipsis,
+       CAST(bullet_line_frac < 0.9 AS INTEGER) AS ok_bullets,
+       CAST(alpha_word_frac >= 0.8 AS INTEGER) AS ok_alpha,
+       CAST(n_required_hits >= 2 AS INTEGER) AS ok_required,
+       CAST(n_words BETWEEN 50 AND 100000
+            AND mean_word_len BETWEEN 3.0 AND 10.0
+            AND hash_ratio <= 0.1
+            AND ellipsis_line_frac <= 0.3
+            AND bullet_line_frac < 0.9
+            AND alpha_word_frac >= 0.8
+            AND n_required_hits >= 2 AS INTEGER) AS gopher_pass
+FROM m
+"""
+
+    # C4 cleaning twin: kept = lines ending in terminal punctuation with
+    # >= 3 words and no "javascript"; the cleaned text is md5'd so long
+    # strings never ride the compare (COALESCE: empty kept lists join to
+    # NULL in DuckDB where Spark yields '').
+    o["text_c4_clean"] = """
+WITH k AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)),
+      x -> regexp_matches(rtrim(x), '[.!?"]$')
+           AND len(list_filter(string_split_regex(x, '\\s+'), t -> length(t) > 0)) >= 3
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM documents
+)
+SELECT doc_id,
+  len(list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0)) AS n_lines,
+  len(kept) AS n_kept_lines,
+  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS text_digest,
+  CAST(NOT contains(lower(text), 'lorem ipsum')
+       AND NOT contains(lower(text), '{')
+       AND len(kept) >= 1 AS INTEGER) AS c4_keep
+FROM k
+"""
+
     # Winnowing twin (k=4, w=5): one md5 per token mod 2^31-1, k-gram
     # hash by Horner (acc*131 + h) mod 2^31-1; DuckDB slices are
     # inclusive, so a w-window of grams is grams[j:j+4].
@@ -4521,10 +4619,12 @@ EXTRA_QUERIES: list[str] = [
     "dedup_cross",
     "layout_zorder",
     "text_lm_score_kn",
-    # round-4 extensions: the last TPC-H shape (22/22) + the two-table
-    # fuzzy-join variant
+    # round-4 extensions: the last TPC-H shape (22/22), the two-table
+    # fuzzy-join variant, and the published Gopher/C4 curation rules
     "q2_min_cost_supplier",
     "join_fuzzy_tables",
+    "text_gopher_filters",
+    "text_c4_clean",
 ]
 
 

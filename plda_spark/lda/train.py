@@ -645,11 +645,20 @@ def _train_join(
         # Docs never move between pids, so this is built once and reused every
         # iteration (≤ P·V slim rows; in practice near the corpus's distinct
         # (doc-hash, word) mass).
+        # Pre-partitioned by word_id and PERSISTED (not localCheckpoint:
+        # a checkpoint's Scan ExistingRDD reports UnknownPartitioning,
+        # so the per-iteration slice join would re-exchange this table —
+        # the LARGEST relation in that join — every iteration; an
+        # InMemoryRelation keeps the hash partitioning, so the join
+        # reuses it, plan-verified).  At local bench scale AQE simply
+        # broadcasts the cached table instead — also exchange-free.
         word_pid = (
             corpus_ids.select(pid.alias("pid"), "word_id")
             .distinct()
-            .localCheckpoint(eager=True)
+            .repartition("word_id")
+            .persist()
         )
+        word_pid.count()  # materialize once, before the iteration loop
 
         z_ckpt = (
             packed.select("pid", "doc_id", "word_occ")
@@ -666,9 +675,12 @@ def _train_join(
         V, K = len(words), config.num_topics
         lls = [float(x) for x in state["lls"]]
         start_it = int(state["next_iteration"])
-        word_pid = spark.read.parquet(f"{resume_from}/word_pid").localCheckpoint(
-            eager=True
+        word_pid = (
+            spark.read.parquet(f"{resume_from}/word_pid")
+            .repartition("word_id")  # same join-side partitioning as a fresh run
+            .persist()
         )
+        word_pid.count()
         z_ckpt = spark.read.parquet(f"{resume_from}/assignments").localCheckpoint(
             eager=True
         )

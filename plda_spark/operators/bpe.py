@@ -13,11 +13,26 @@ Scale shape:
 - the corpus is scanned ONCE (``doc_term_counts``-style tokenize +
   groupBy) into a vocabulary-sized ``(word, n)`` table — every later
   stage is corpus-size-independent;
-- each merge iteration is one map-side-combined pair-count aggregation
-  over the V-row table plus a 1-row ``TakeOrdered`` argmax (count desc,
-  pair asc — deterministic ties) collected to the driver; the merge
-  itself is a per-row JVM ``aggregate`` fold.  Driver state is the
-  merge list only (num_merges pairs);
+- merges are learned in BATCHED sweeps: one map-side-combined
+  pair-count aggregation over the V-row table plus a top-``k``
+  ``TakeOrdered`` (count desc, pair asc — deterministic ties) collected
+  to the driver, from which a provably-safe PREFIX is accepted and
+  applied in one fold pass.  This cuts driver round-trips up to ~m×
+  versus one job per merge (a production 30k-merge vocabulary becomes
+  thousands of sweeps instead of 30k sequential jobs) while producing
+  the EXACT sequential merge list.  Why the prefix rule is sound:
+  merging pair p only changes counts of pairs sharing a symbol with p —
+  disjoint pairs keep their counts exactly, and every NEW pair p
+  creates inherits a count ≤ some symbol-sharing progenitor's.  The
+  sweep therefore accepts sorted pairs while (a) the candidate shares
+  no symbol with an already-accepted pair (its count is then unchanged
+  at its sequential turn) and (b) no symbol-sharing pair TIES the
+  candidate's count (a new pair can inherit a tied count and, under the
+  lexicographic tie-break, sort ahead of the candidate — e.g. merging
+  ``(e,r)`` turns ``(r,</w>)`` into ``(er,</w>)``, which outranks a
+  tied ``(low,</w>)``); it stops at the first violation, so every
+  accepted pair is still the true argmax at its turn.  Driver state is
+  the merge list only (num_merges pairs);
 - lineage is cut with a lazy ``localCheckpoint`` every few merges so
   N-merge plans don't nest N folds.
 
@@ -92,18 +107,28 @@ def bpe_train(
     text_col: str = "text",
     min_count: int = 2,
     checkpoint_every: int = 8,
+    batch_merges: int = 8,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges from ``docs[text_col]``.
 
-    Returns the merge list in learned order; stops early when no pair
-    reaches ``min_count`` occurrences.  Tokenization is the engine's
-    standard lowercase word split (:mod:`plda_spark.lda.corpus`
-    convention: runs of ``[a-z0-9]``).
+    Returns the merge list in learned order — bit-identical to the
+    sequential published algorithm regardless of ``batch_merges``; stops
+    early when no pair reaches ``min_count`` occurrences.  Tokenization
+    is the engine's standard lowercase word split
+    (:mod:`plda_spark.lda.corpus` convention: runs of ``[a-z0-9]``).
+
+    ``batch_merges`` is the per-sweep driver round-trip batch: each
+    sweep collects the top ``m`` pairs and accepts the longest
+    symbol-disjoint prefix (see module doc for why this preserves exact
+    sequential parity — the pytest gate checks it).  ``1`` recovers the
+    classic one-job-per-merge loop.
     """
     if num_merges < 1:
         raise ValueError("num_merges must be >= 1")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    if batch_merges < 1:
+        raise ValueError("batch_merges must be >= 1")
     toks = F.explode(
         F.filter(
             F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
@@ -118,20 +143,57 @@ def bpe_train(
     )
     words = words.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
-    for it in range(num_merges):
+    since_ckpt = 0
+    while len(merges) < num_merges:
+        want = min(batch_merges, num_merges - len(merges))
+        # Collect a lookahead window past `want` so each candidate's
+        # full tie group is visible for the safety check below.
+        lookahead = want * 2 + 8
         top = (
             _pair_counts(words)
+            .where(F.col("cnt") >= min_count)
             .orderBy(F.desc("cnt"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(lookahead)
             .collect()
         )
-        if not top or top[0]["cnt"] < min_count:
-            break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        words = words.select(_merge_col(F.col("syms"), a, b).alias("syms"), "n")
-        if (it + 1) % checkpoint_every == 0:
+        if not top:
+            break  # no pair reaches min_count — sequential stop point
+        # Accept a prefix of the sorted list; stop the sweep at the
+        # first candidate that (a) shares a symbol with an accepted
+        # merge (its count may shift once the earlier merges apply) or
+        # (b) has a symbol-sharing pair in its TIE group (a new pair
+        # can inherit that tied count and sort ahead of the candidate).
+        # The first pair never violates either, so every sweep makes
+        # progress; see the module doc for the parity proof.
+        used: set[str] = set()
+        batch: list[tuple[str, str]] = []
+        for i, r in enumerate(top):
+            if len(batch) >= want:
+                break
+            a, b, cnt = r["a"], r["b"], r["cnt"]
+            if a in used or b in used:
+                break
+            if batch:
+                tail = top[i + 1 :]
+                if any(
+                    s["cnt"] == cnt and (s["a"] in used or s["b"] in used)
+                    for s in tail
+                ):
+                    break
+                if len(top) == lookahead and top[-1]["cnt"] == cnt:
+                    break  # tie group may extend past the window
+            batch.append((a, b))
+            used.add(a)
+            used.add(b)
+        merges.extend(batch)
+        col = F.col("syms")
+        for a, b in batch:
+            col = _merge_col(col, a, b)
+        words = words.select(col.alias("syms"), "n")
+        since_ckpt += len(batch)
+        if since_ckpt >= checkpoint_every:
             words = words.localCheckpoint(eager=False)
+            since_ckpt = 0
     return merges
 
 

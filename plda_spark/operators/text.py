@@ -32,10 +32,17 @@ __all__ = [
     "winnow",
     "winnow_pairs",
     "redact_pii",
+    "gopher_filters",
+    "c4_clean",
     "PII_PATTERNS",
     "BPE_SPLIT_RE",
     "STOPWORDS",
+    "GOPHER_REQUIRED_WORDS",
 ]
+
+# The Gopher rules' required-word check (Rae et al. 2021, "Scaling
+# Language Models", §A.1.1): a page must contain at least 2 of these.
+GOPHER_REQUIRED_WORDS: list[str] = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 # BPE-style pre-tokenizer (GPT-2-shaped, ASCII classes only so Java and
 # RE2 regex engines count identically): a token is an optional leading
@@ -768,4 +775,137 @@ def redact_pii(
         F.col(id_col).alias("doc_id"),
         cur.alias("text"),
         *counts,
+    )
+
+
+def gopher_filters(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    §A.1.1) as explicit per-rule signals + verdicts — the standard
+    pretraining page filter, kept rule-by-rule so curation audits can
+    see WHICH rule rejected a page (the same reporting shape as
+    ``curation.apply_filters``).
+
+    Signals (words = whitespace runs, the paper's convention):
+    ``n_words``, ``mean_word_len``, ``hash_ratio`` (# chars per word),
+    ``ellipsis_line_frac`` / ``bullet_line_frac`` (of non-empty lines),
+    ``alpha_word_frac`` (words containing a letter), ``n_required_hits``
+    (of :data:`GOPHER_REQUIRED_WORDS`).  Verdict columns apply the
+    paper's thresholds: 50 <= words <= 100k, 3 <= mean len <= 10,
+    hash ratio <= 0.1, <= 30% ellipsis lines, < 90% bullet lines,
+    >= 80% alphabetic words, >= 2 required words.  ``gopher_pass`` is
+    their AND.
+
+    Pure per-row JVM expressions (splits, filters, one fold) — no
+    shuffle, no Python; ratios round to 4 decimals for oracle-stable
+    hashing.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), r"\n"), lambda x: F.length(F.trim(x)) > 0
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("__w"),
+        lines.alias("__l"),
+        F.length(F.col(text_col)).alias("__nc"),
+        F.length(F.regexp_replace(F.col(text_col), "[^#]", "")).alias("__hash"),
+    )
+    w, l = F.col("__w"), F.col("__l")
+    n_words = F.size(w)
+    n_lines = F.size(l)
+    mean_word_len = F.aggregate(
+        w, F.lit(0.0), lambda acc, x: acc + F.length(x)
+    ) / F.greatest(n_words, F.lit(1))
+    hash_ratio = F.col("__hash") / F.greatest(n_words, F.lit(1))
+    ellipsis_lines = F.size(
+        F.filter(l, lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"))
+    )
+    bullet_lines = F.size(
+        F.filter(
+            l,
+            lambda x: F.ltrim(x).startswith("-")
+            | F.ltrim(x).startswith("*")
+            | F.ltrim(x).startswith("•"),
+        )
+    )
+    alpha_words = F.size(F.filter(w, lambda x: x.rlike("[A-Za-z]")))
+    req = F.array([F.lit(t) for t in GOPHER_REQUIRED_WORDS])
+    lw = F.transform(w, lambda x: F.lower(x))
+    req_hits = F.size(
+        F.filter(req, lambda t: F.array_contains(lw, t))
+    )
+    ellipsis_frac = ellipsis_lines / F.greatest(n_lines, F.lit(1))
+    bullet_frac = bullet_lines / F.greatest(n_lines, F.lit(1))
+    alpha_frac = alpha_words / F.greatest(n_words, F.lit(1))
+    checks = {
+        "ok_n_words": (n_words >= 50) & (n_words <= 100_000),
+        "ok_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
+        "ok_hash": hash_ratio <= 0.1,
+        "ok_ellipsis": ellipsis_frac <= 0.3,
+        "ok_bullets": bullet_frac < 0.9,
+        "ok_alpha": alpha_frac >= 0.8,
+        "ok_required": req_hits >= 2,
+    }
+    passed = None
+    for c in checks.values():
+        passed = c if passed is None else (passed & c)
+    return staged.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(hash_ratio, 4).alias("hash_ratio"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        req_hits.alias("n_required_hits"),
+        *[v.alias(k) for k, v in checks.items()],
+        passed.alias("gopher_pass"),
+    )
+
+
+def c4_clean(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep
+    only lines that end in terminal punctuation (``. ! ? "``) and have
+    at least ``min_line_words`` words and do not mention "javascript";
+    drop whole pages that contain "lorem ipsum" or a curly brace, or
+    whose kept-line count falls below ``min_kept_lines``.
+
+    Returns every input doc with the audit columns ``n_lines``,
+    ``n_kept_lines``, the cleaned ``text`` (kept lines re-joined), and
+    ``c4_keep`` — filter on it to materialize the cleaned corpus (kept
+    separate so rejected pages stay visible to curation audits, the
+    same convention as ``curation.apply_filters``).
+
+    Pure per-row JVM expressions (split + filter + array_join), no
+    shuffle, no Python.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    keep_line = lambda x: (  # noqa: E731
+        F.rtrim(x).rlike('[.!?"]$')
+        & (F.size(F.filter(F.split(x, r"\s+"), lambda t: F.length(t) > 0)) >= min_line_words)
+        & ~F.lower(x).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    lowered = F.lower(F.col(text_col))
+    page_ok = (
+        ~lowered.contains("lorem ipsum")
+        & ~lowered.contains("{")
+        & (F.size(kept) >= min_kept_lines)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.filter(lines, lambda x: F.length(F.trim(x)) > 0)).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.array_join(kept, "\n").alias("text"),
+        page_ok.alias("c4_keep"),
     )

@@ -288,8 +288,9 @@ def test_multimodal_plumbing(spark, docs):
     # Determinism: same payload -> same features (docs 0 and 1 share text).
     by_id = {r["media_id"]: list(r["features"]) for r in feats}
     assert by_id[0] == by_id[1]
-    # Real backend is gated, not silently fake.
-    with pytest.raises(Exception, match="NotImplementedError|codec|Pillow"):
+    # Real backend actually decodes — a non-PNG payload (these are
+    # utf-8 text bytes) fails loudly instead of silently faking.
+    with pytest.raises(Exception, match="not a PNG"):
         multimodal.decode_image_features(media, decode_backend="real").collect()
 
 
@@ -1560,6 +1561,42 @@ def test_bpe_train_matches_reference(spark):
         got = bpe.bpe_train(df, n_merges, checkpoint_every=3)
         want = _ref_bpe(wc, n_merges)
         assert got == want, (n_merges, got, want)
+
+    # batched sweeps must reproduce the sequential merge list exactly,
+    # for every batch size — including the conflict-heavy case where
+    # consecutive top pairs share symbols (the sweep must stop at the
+    # first conflict, not skip past it)
+    for m in (1, 2, 4, 16):
+        got = bpe.bpe_train(df, 12, checkpoint_every=3, batch_merges=m)
+        assert got == _ref_bpe(wc, 12), (m, got)
+    adv = spark.createDataFrame(
+        [(0, "aaaa aaab aaba abaa baaa aabb abab")],
+        "doc_id bigint, text string",
+    )
+    adv_wc = {"aaaa": 1, "aaab": 1, "aaba": 1, "abaa": 1, "baaa": 1,
+              "aabb": 1, "abab": 1}
+    for m in (1, 3, 8):
+        got = bpe.bpe_train(adv, 10, min_count=1, batch_merges=m)
+        assert got == _ref_bpe(adv_wc, 10, min_count=1), (m, got)
+
+    # seeded-random tie-heavy corpus (3-letter alphabet => constant
+    # count collisions, the exact regime where a naive batch rule
+    # diverges from the sequential algorithm)
+    import random as _random
+
+    rng = _random.Random(7)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(2, 6)))
+        for _ in range(60)
+    ]
+    rnd_wc = Counter(words)
+    rnd_df = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id bigint, text string"
+    )
+    want = _ref_bpe(rnd_wc, 20, min_count=1)
+    for m in (1, 4, 16):
+        got = bpe.bpe_train(rnd_df, 20, min_count=1, batch_merges=m)
+        assert got == want, (m, got, want)
 
     merges = bpe.bpe_train(df, 8)
     enc = {r["doc_id"]: (r["tokens"], r["n_tokens"])

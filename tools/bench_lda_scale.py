@@ -118,11 +118,16 @@ def _run_join(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
     t0 = time.time()
     pid = F.pmod(F.hash("doc_id"), F.lit(P)).cast("int")
     with_pid = packed.withColumn("pid", pid)
+    # Mirrors train.py: word_id-partitioned + persisted so the
+    # per-iteration slice join reuses the cached partitioning instead of
+    # re-exchanging the membership table every iteration.
     word_pid = (
         with_pid.select("pid", F.explode(F.array_distinct("word_occ")).alias("word_id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .repartition("word_id")
+        .persist()
     )
+    word_pid.count()
     z_ckpt = (
         with_pid.select("pid", "doc_id", "word_occ")
         .groupBy("pid")

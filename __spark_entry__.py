@@ -599,6 +599,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tests; here the gate checks the IVF plan end-to-end for exactness).
     q["sim_ivf_topk"] = sim_ivf_topk
 
+    def sim_ivfpq_topk(spark, sf):
+        """IVF-PQ (operators.similarity.ivf_pq_topk, the faiss-standard
+        composition: coarse cells → residual PQ codes → ADC shortlist →
+        exact re-rank) at its exactness config — exhaustive probe + a
+        shortlist ≥ |corpus|, so the exact re-rank recovers brute-force
+        cosine top-k and the brute oracle applies while EVERY stage
+        (cell assign, residual encode, per-cell ADC tables, re-rank)
+        executes end-to-end.  Approximate configs are recall-tested in
+        tests/test_operators.py."""
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.ivf_pq_topk(
+            emb, qs, dim=64, k=5, n_cells=8, n_probe=8, m=8, k_codes=16,
+            oversample=100,
+        )
+
+    q["sim_ivfpq_topk"] = sim_ivfpq_topk
+
     # ---- text analysis -----------------------------------------------------
     q["text_token_stats"] = lambda spark, sf: text.token_stats(
         load_table(spark, sf, "documents")
@@ -729,6 +749,15 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
         load_table(spark, sf, "events")
     )
+
+    def stream_session_window(spark, sf):
+        """Spark's NATIVE session_window aggregation (streaming.windows.
+        session_window_counts) — the declarative Catalyst-managed twin
+        of the applyInPandasWithState sessionizer; same function runs on
+        the stream (watermark-bounded state) and on this batch frame."""
+        return windows.session_window_counts(load_table(spark, sf, "events"))
+
+    q["stream_session_window"] = stream_session_window
 
     def stream_dedup_batch(spark, sf):
         ev = load_table(spark, sf, "events")
@@ -1384,6 +1413,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["curation_temperature"] = curation_temperature
+
+    def curation_ppl_buckets(spark, sf):
+        """CCNet-style perplexity deciles (operators.curation.
+        ppl_buckets): add-k bigram LM score + broadcast quantile cut
+        points — no global sort, scan + 1-row agg + per-row compare."""
+        from plda_spark.operators import curation
+
+        return curation.ppl_buckets(load_table(spark, sf, "documents"))
+
+    q["curation_ppl_buckets"] = curation_ppl_buckets
 
     # ---- relational breadth: TPC-H-style q7 / q10 / q18 --------------------
 
@@ -2785,6 +2824,9 @@ SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= 5
     # bands == num_planes at the gate config reaches full recall (verified
     # ≡ brute force), so the exact oracle applies to the LSH plan too.
     o["sim_lsh_topk"] = o["sim_brute_topk"]
+    # IVF-PQ at exhaustive probe + corpus-wide shortlist: the exact
+    # re-rank recovers brute-force top-k, so the same oracle applies.
+    o["sim_ivfpq_topk"] = o["sim_brute_topk"]
 
     o["sim_near_dup_blocked"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -3171,6 +3213,30 @@ SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
 FROM s GROUP BY user_id, session_id
 """
 
+    # Native-session-window twin: same gap-islands construction, but a
+    # break requires diff STRICTLY > gap (Spark merges adjacent session
+    # windows — an event exactly gap later still merges) and session_end
+    # is last event + gap (the native window's end bound).
+    o["stream_session_window"] = """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
     # Same sessionization, minus the session ordinal (the stateful
     # operator's output schema carries no session_id; n_events is INT32
     # to match _SESSION_SCHEMA).
@@ -3400,6 +3466,45 @@ LEFT JOIN bi USING (a, b)
 LEFT JOIN uni USING (a)
 CROSS JOIN v
 GROUP BY bg.doc_id
+"""
+
+    # CCNet-style perplexity bucketing: the lm_score CTEs + exact
+    # interpolated decile cut points (quantile_cont == Spark percentile;
+    # cuts round to 4 decimals so boundaries are engine-exact).
+    o["curation_ppl_buckets"] = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+uni AS (
+  SELECT a, CAST(count(*) AS BIGINT) AS c_a
+  FROM (SELECT unnest(t) AS a FROM toks) GROUP BY a
+),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni),
+bg AS (
+  SELECT doc_id, s.a AS a, s.b AS b FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(a := t[i], b := t[i+1]))) AS s
+    FROM toks WHERE len(t) >= 2
+  )
+),
+bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b),
+scored AS (
+  SELECT bg.doc_id,
+         ROUND(exp(-avg(ln((coalesce(c_ab, 0) + 0.5) / (coalesce(c_a, 0) + 0.5 * vocab)))), 6) AS perplexity
+  FROM bg
+  LEFT JOIN bi USING (a, b)
+  LEFT JOIN uni USING (a)
+  CROSS JOIN v
+  GROUP BY bg.doc_id
+),
+cuts AS (
+  SELECT list_transform(
+           quantile_cont(perplexity, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+           x -> round(x, 4)) AS cs
+  FROM scored
+)
+SELECT doc_id, perplexity,
+       CAST(1 + len(list_filter(cs, c -> perplexity > c)) AS INTEGER) AS ppl_bucket
+FROM scored, cuts
 """
 
     # Planted-boilerplate paragraph dedup: split on blank line, keep first
@@ -4625,6 +4730,9 @@ EXTRA_QUERIES: list[str] = [
     "join_fuzzy_tables",
     "text_gopher_filters",
     "text_c4_clean",
+    "stream_session_window",
+    "curation_ppl_buckets",
+    "sim_ivfpq_topk",
 ]
 
 

@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "join_fuzzy_tables",
     "layout_zorder",
     "q2_min_cost_supplier",
+    "text_gopher_filters",
+    "text_c4_clean",
+    "stream_session_window",
+    "curation_ppl_buckets",
+    "sim_ivfpq_topk",
 ]
 
 

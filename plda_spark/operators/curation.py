@@ -30,6 +30,7 @@ __all__ = [
     "dsir_weights",
     "dsir_select",
     "temperature_mixture",
+    "ppl_buckets",
 ]
 
 
@@ -372,3 +373,58 @@ def temperature_mixture(
         "target", F.col("__p") / F.col("__z")
     )
     return _realize_rates(shared)
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    n_buckets: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): score
+    every doc with the add-k bigram LM (:func:`plda_spark.operators.
+    text.lm_score`), then bucket by exact perplexity quantiles —
+    the standard stratification for perplexity-based sampling (keep the
+    low-perplexity head, downsample the tail).
+
+    Scale shape: deliberately NOT an ``ntile`` global window (a global
+    sort single-partitions 100 TB).  Instead ONE aggregation computes
+    the ``n_buckets - 1`` exact interpolated cut points, they broadcast
+    as a single row, and the bucket id is a per-row comparison count —
+    scan + 1-row agg + codegen'd compare.  Cut points round to 4
+    decimals so the bucket boundaries are engine-exact (the DuckDB twin
+    computes the same ``quantile_cont`` values; rounding removes
+    last-ulp interpolation drift).
+
+    Returns ``(doc_id, perplexity, ppl_bucket)`` with buckets 1..n
+    (1 = lowest perplexity).  Docs with no bigrams are absent, like
+    ``lm_score``.
+    """
+    from plda_spark.operators.text import lm_score
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    scored = lm_score(docs, text_col=text_col, id_col=id_col).select(
+        id_col if id_col == "doc_id" else F.col(id_col).alias("doc_id"),
+        "perplexity",
+    )
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.agg(
+        F.transform(
+            F.percentile("perplexity", F.array([F.lit(q) for q in qs])),
+            lambda x: F.round(x, 4),
+        ).alias("__cuts")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .select(
+            "doc_id",
+            "perplexity",
+            (
+                F.lit(1)
+                + F.size(
+                    F.filter(F.col("__cuts"), lambda c: F.col("perplexity") > c)
+                )
+            ).cast("int").alias("ppl_bucket"),
+        )
+    )

@@ -41,6 +41,7 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "pq_topk_refined",
+    "ivf_pq_topk",
 ]
 
 
@@ -784,6 +785,195 @@ def pq_topk_refined(
         codes, queries, codebooks, k=k * oversample,
         id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
     ).select("query_id", "vec_id")
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+    )
+    full = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    scored = (
+        F.broadcast(shortlist)
+        .join(full, "vec_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    oversample: int = 5,
+    seed: int = 42,
+    max_train_sample: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-PQ — the faiss-standard billion-scale ANN composition (Jégou
+    et al. 2011 §V): a k-means coarse quantizer partitions the corpus
+    into ``n_cells`` inverted lists, PQ codebooks trained on RESIDUALS
+    (x − centroid, the part the coarse quantizer can't explain)
+    compress each vector to ``m`` code indices, and a query probes its
+    ``n_probe`` nearest cells, ADC-scans ONLY those cells' codes with a
+    per-(query, cell) residual distance table, shortlists
+    ``k·oversample`` candidates, then exact-cosine re-ranks just the
+    shortlist.
+
+    ``(query_id, vec_id, sim, rank)`` — swaps in wherever the other
+    top-k operators do.  With ``n_probe == n_cells`` and
+    ``k·oversample ≥ |corpus|`` the shortlist is the whole corpus and
+    the output EQUALS brute-force cosine top-k (the registry gate's
+    exactness config); recall at real approximate configs is measured
+    in tests.
+
+    Scale shape: one scan encodes (cell + code per vector, Arrow
+    batches); the search scans ~``n_probe/n_cells`` of the code table —
+    each task emits per-query top-shortlist partials, never
+    |corpus|·|Q| rows; the re-rank joins the full-precision table only
+    on the broadcast shortlist ids.  Codebooks and centroids travel in
+    closures (kilobytes).
+    """
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    # Coarse quantizer + residual codebooks from one driver-side sample
+    # (the standard recipe: quantizers need distribution shape only).
+    sample = np.stack(
+        [
+            np.asarray(r["emb"], dtype=np.float64)
+            for r in embeddings.select(F.col(vec_col).alias("emb"))
+            .orderBy(F.col(id_col))
+            .limit(max_train_sample)
+            .collect()
+        ]
+    )
+    cents = _kmeans(sample, n_cells, seed)
+    d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = sample - cents[np.argmin(d2, axis=1)]
+    books = np.empty((m, k_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = np.unique(resid[:, j * dsub : (j + 1) * dsub], axis=0)
+        books[j] = _kmeans(sub, k_codes, seed + 7 * j + 1)
+
+    # Encode: nearest cell + residual PQ code per corpus vector.
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c2 = (cents**2).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            cd = (X**2).sum(axis=1)[:, None] - 2 * (X @ cents.T) + c2[None, :]
+            cell = np.argmin(cd, axis=1)
+            R = X - cents[cell]
+            code = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                Rj = R[:, j * dsub : (j + 1) * dsub]
+                b = books[j]
+                bd = (
+                    (Rj**2).sum(axis=1)[:, None]
+                    - 2 * (Rj @ b.T)
+                    + (b**2).sum(axis=1)[None, :]
+                )
+                code[:, j] = np.argmin(bd, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vid"],
+                    "cell": cell.astype(np.int32),
+                    "code": list(code),
+                }
+            )
+
+    codes = embeddings.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("emb")
+    ).mapInPandas(encode, schema="vec_id long, cell int, code array<int>")
+
+    # Query prep (driver-side — query batches are small by construction,
+    # same contract as brute_force_topk/pq_topk): per-(query, probed
+    # cell) residual ADC tables.
+    qrows = queries.select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qcd = (Q**2).sum(axis=1)[:, None] - 2 * (Q @ cents.T) + (cents**2).sum(axis=1)[None, :]
+    n_probe_eff = min(int(n_probe), int(n_cells))
+    probes = np.argsort(qcd, axis=1)[:, :n_probe_eff]  # (|Q|, n_probe)
+    # tables[qi, pi, j, :] = distances of (q - cell_centroid) subvector j
+    # to codebook j's entries
+    tables = np.empty((len(qids), n_probe_eff, m, k_codes), dtype=np.float64)
+    for qi in range(len(qids)):
+        for pi in range(n_probe_eff):
+            qr = Q[qi] - cents[probes[qi, pi]]
+            for j in range(m):
+                qj = qr[j * dsub : (j + 1) * dsub]
+                b = books[j]
+                tables[qi, pi, j, :] = ((b - qj[None, :]) ** 2).sum(axis=1)
+    shortlist_k = k * oversample
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # probe lookup: cell -> list of (query_index, probe_index)
+        probe_of: dict[int, list[tuple[int, int]]] = {}
+        for qi in range(len(qids)):
+            for pi in range(n_probe_eff):
+                probe_of.setdefault(int(probes[qi, pi]), []).append((qi, pi))
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cells = pdf["cell"].to_numpy()
+            C = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["code"]])
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_d = [], [], []
+            for cell in np.unique(cells):
+                hits = probe_of.get(int(cell))
+                if not hits:
+                    continue
+                rows = np.flatnonzero(cells == cell)
+                Cc = C[rows]
+                for qi, pi in hits:
+                    t = tables[qi, pi]  # (m, k_codes)
+                    ad = np.zeros(rows.shape[0], dtype=np.float64)
+                    for j in range(m):
+                        ad += t[j, Cc[:, j]]
+                    keep = min(shortlist_k + 1, rows.shape[0])
+                    part = np.argpartition(ad, keep - 1)[:keep]
+                    out_q.append(np.full(keep, qids[qi]))
+                    out_v.append(vids[rows[part]])
+                    out_d.append(ad[part])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "adist": np.concatenate(out_d),
+                    }
+                )
+
+    cands = codes.mapInPandas(scan, schema="query_id long, vec_id long, adist double")
+    ws = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("vec_id"))
+    shortlist = (
+        cands.where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("__r", F.row_number().over(ws))
+        .where(F.col("__r") <= shortlist_k)
+        .select("query_id", "vec_id")
+    )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")

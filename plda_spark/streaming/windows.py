@@ -29,6 +29,7 @@ __all__ = [
     "sliding_value_sums_batch",
     "sessionize",
     "sessionize_batch",
+    "session_window_counts",
     "stream_dedup",
     "stream_dedup_batch",
     "windowed_top_users",
@@ -98,6 +99,40 @@ def sliding_value_sums(
         .select(F.col("w.start").alias("window_start"), "event_type", "total_value")
     )
     return _restore_ntz(out, ["window_start"], ntz)
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Per-user session aggregation with Spark's NATIVE
+    ``session_window`` — the declarative twin of the
+    ``applyInPandasWithState`` sessionizer (:func:`sessionize`):
+    Catalyst's session-window state store does the merging, no Python
+    state code, and the SAME function runs on a streaming frame (with
+    the watermark bounding state) or a batch frame (one shuffle + sort
+    per key).  Semantics: a session extends while the next event falls
+    AT or before ``last + gap`` — Spark merges adjacent session windows,
+    so an event exactly ``gap`` later still merges (probe-verified;
+    equivalently, a break requires ``diff > gap``); ``session_end`` is
+    the last event time plus the gap, matching the stateful
+    sessionizer's timeout convention.
+
+    Returns ``(user_id, session_start, session_end, n_events)``.
+    """
+    ev, ntz = _for_watermark(events)
+    if ev.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    out = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _restore_ntz(out, ["session_start", "session_end"], ntz)
 
 
 def windowed_top_users(

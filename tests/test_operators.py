@@ -352,6 +352,42 @@ def test_ivf_topk_probe_subset_recall(spark, embeddings):
     assert len(b & i) / len(b) >= 0.3  # partial probe keeps useful recall
 
 
+def test_ivf_pq_topk_exhaustive_oversampled_equals_brute(spark, embeddings):
+    """IVF-PQ at its exactness config (exhaustive probe + shortlist ≥
+    corpus): the exact re-rank must recover brute-force cosine top-k —
+    every stage (cells, residual encode, ADC tables, re-rank) runs."""
+    qs = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_topk(embeddings, qs, k=3)
+    ivfpq = similarity.ivf_pq_topk(
+        embeddings, qs, dim=8, k=3, n_cells=4, n_probe=4, m=4, k_codes=8,
+        oversample=10,
+    )
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in brute.collect()}
+    i = {(r["query_id"], r["rank"]): r["vec_id"] for r in ivfpq.collect()}
+    assert b == i
+
+
+def test_ivf_pq_topk_approximate_recall(spark, embeddings):
+    """Genuinely approximate config (partial probe, tight shortlist, few
+    codes): recall against brute force stays useful, and the planted
+    near-dup of vector 0 survives compression as its top neighbor."""
+    qs = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_topk(embeddings, qs, k=3)
+    ivfpq = similarity.ivf_pq_topk(
+        embeddings, qs, dim=8, k=3, n_cells=4, n_probe=2, m=4, k_codes=4,
+        oversample=2,
+    )
+    b = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    i = {(r["query_id"], r["vec_id"]) for r in ivfpq.collect()}
+    assert len(b & i) / len(b) >= 0.3
+    top0 = {r["vec_id"]: r["rank"] for r in ivfpq.collect() if r["query_id"] == 0}
+    assert top0.get(1) == 1  # near-dup of 0 found despite residual PQ
+
+
 def test_embedding_near_dup_blocked_finds_planted_pair(spark, embeddings):
     from plda_spark.operators import similarity
 

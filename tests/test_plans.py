@@ -364,3 +364,19 @@ def test_lm_kn_count_tables_never_nested_loop(spark):
     df = e.all_queries()["text_lm_score_kn"](spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_and_c4_are_pruned_scans(spark):
+    """Both page-rule operators are pure per-row projections: the scan
+    must read ONLY (doc_id, text) — 2 of documents' 5 columns — and the
+    plan must contain no exchange at all."""
+    import __spark_entry__ as e
+
+    for name in ("text_gopher_filters", "text_c4_clean"):
+        df = e.all_queries()[name](spark, "/root/testdata/sf0.001")
+        s = plan_summary(df)
+        assert s["read_schemas"] and all(
+            schema.count(",") == 1 for schema in s["read_schemas"]
+        ), (name, s["read_schemas"])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, name

@@ -175,6 +175,47 @@ def test_transform_stream_scores_documents(spark, tmp_path):
     assert not b.isStreaming and b.count() == 40
 
 
+def test_session_window_counts_matches_batch(spark, stream_dir, tmp_path):
+    """Native session_window: the streaming run (append mode, watermark
+    bounding state) must emit exactly the batch twin's sessions for
+    every user whose sessions the watermark closed; only trailing
+    still-open sessions may be withheld."""
+    schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    res = _run_stream(
+        spark, windows.session_window_counts(stream), tmp_path, "sesswin"
+    )
+    batch = windows.session_window_counts(spark.read.parquet(stream_dir))
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    got = {key(r): (r["session_end"], r["n_events"]) for r in res.collect()}
+    want = {key(r): (r["session_end"], r["n_events"]) for r in batch.collect()}
+    assert want  # sanity: sessions exist
+    for k, v in got.items():
+        assert want[k] == v, k
+    # anything withheld must be among the latest-starting sessions
+    missing = set(want) - set(got)
+    if missing:
+        max_emitted = max(s for _, s in got) if got else None
+        assert all(s >= max_emitted for _, s in missing)
+
+
+def test_session_window_exact_gap_merges(spark):
+    """Spark merges ADJACENT session windows: an event exactly `gap`
+    after the previous one extends the session (probe-pinned semantics
+    the DuckDB oracle's strict `> gap` break mirrors)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base), (1, base + dt.timedelta(minutes=30)),   # exactly gap -> merge
+        (2, base), (2, base + dt.timedelta(minutes=30, seconds=1)),  # > gap -> split
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = windows.session_window_counts(df)
+    got = {r["user_id"]: r["count"] for r in out.groupBy("user_id").count().collect()}
+    assert got == {1: 1, 2: 2}
+
+
 def test_incremental_exact_dedup_two_increments(spark, tmp_path):
     """Crawl-increment dedup: the second increment's duplicates of
     ALREADY-INGESTED docs must be dropped (cross-batch history), new docs

@@ -643,6 +643,14 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_gopher_filters"] = text_gopher_filters
 
+    def text_gopher_repetition(spark, sf):
+        """The Gopher repetition filters (operators.text.
+        gopher_repetition): duplicate line/paragraph fractions and
+        top/duplicate n-gram character fractions, per-row folds only."""
+        return text.gopher_repetition(load_table(spark, sf, "documents"))
+
+    q["text_gopher_repetition"] = text_gopher_repetition
+
     def text_c4_clean(spark, sf):
         """C4-style line-level cleaning (operators.text.c4_clean):
         kept-line counts, cleaned text, and the page verdict."""
@@ -2983,6 +2991,67 @@ SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_line_frac,
 FROM m
 """
 
+    # Gopher repetition twin: the per-row sorted-array folds equal plain
+    # unnest + GROUP BY counting — duplicate mass = all occurrences of
+    # any value with count >= 2, top mass = max(count · length),
+    # denominators = Σ count · length at the same granularity.
+    def _rep_pieces() -> tuple[str, str]:
+        ctes, sels = [], []
+        for label, expr in (
+            ("line", "list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> length(x) > 0)"),
+            ("para", r"list_filter(list_transform(string_split_regex(text, '\n\s*\n'), x -> trim(x)), x -> length(x) > 0)"),
+        ):
+            ctes.append(f"""{label}v AS (
+  SELECT doc_id, unnest({expr}) AS v FROM documents
+),
+{label}c AS (SELECT doc_id, v, count(*) AS c FROM {label}v GROUP BY doc_id, v),
+{label}a AS (
+  SELECT doc_id, sum(c) AS n, sum(c * length(v)) AS chars,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_n,
+         sum(CASE WHEN c > 1 THEN c * length(v) ELSE 0 END) AS dup_chars
+  FROM {label}c GROUP BY doc_id
+)""")
+            sels.append(
+                f"ROUND(COALESCE({label}a.dup_n, 0)::DOUBLE / GREATEST(COALESCE({label}a.n, 0), 1), 4) AS dup_{label}_frac,\n"
+                f"  ROUND(COALESCE({label}a.dup_chars, 0)::DOUBLE / GREATEST(COALESCE({label}a.chars, 0), 1), 4) AS dup_{label}_char_frac"
+            )
+        for n in (2, 3, 4, 5, 6, 7, 8, 9, 10):
+            ctes.append(f"""g{n}v AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, GREATEST(len(w) - {n - 1}, 0) + 1),
+                i -> array_to_string(w[i:i+{n - 1}], ' '))) AS v
+  FROM ws
+),
+g{n}c AS (SELECT doc_id, v, count(*) AS c FROM g{n}v GROUP BY doc_id, v),
+g{n}a AS (
+  SELECT doc_id, sum(c * length(v)) AS chars,
+         max(c * length(v)) AS top_mass,
+         sum(CASE WHEN c > 1 THEN c * length(v) ELSE 0 END) AS dup_chars
+  FROM g{n}c GROUP BY doc_id
+)""")
+            if n in (2, 3, 4):
+                sels.append(
+                    f"ROUND(COALESCE(g{n}a.top_mass, 0)::DOUBLE / GREATEST(COALESCE(g{n}a.chars, 0), 1), 4) AS top_{n}gram_char_frac"
+                )
+            else:
+                sels.append(
+                    f"ROUND(COALESCE(g{n}a.dup_chars, 0)::DOUBLE / GREATEST(COALESCE(g{n}a.chars, 0), 1), 4) AS dup_{n}gram_char_frac"
+                )
+        joins = "\n".join(
+            f"LEFT JOIN {t}a ON {t}a.doc_id = documents.doc_id"
+            for t in ["line", "para"] + [f"g{n}" for n in (2, 3, 4, 5, 6, 7, 8, 9, 10)]
+        )
+        return (
+            "WITH ws AS (\n"
+            r"  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> length(x) > 0) AS w"
+            "\n  FROM documents\n),\n" + ",\n".join(ctes),
+            "SELECT documents.doc_id,\n  " + ",\n  ".join(sels)
+            + f"\nFROM documents\n{joins}",
+        )
+
+    _rep_cte, _rep_sel = _rep_pieces()
+    o["text_gopher_repetition"] = f"{_rep_cte}\n{_rep_sel}"
+
     # C4 cleaning twin: kept = lines ending in terminal punctuation with
     # >= 3 words and no "javascript"; the cleaned text is md5'd so long
     # strings never ride the compare (COALESCE: empty kept lists join to
@@ -4733,6 +4802,7 @@ EXTRA_QUERIES: list[str] = [
     "stream_session_window",
     "curation_ppl_buckets",
     "sim_ivfpq_topk",
+    "text_gopher_repetition",
 ]
 
 

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "stream_session_window",
     "curation_ppl_buckets",
     "sim_ivfpq_topk",
+    "text_gopher_repetition",
 ]
 
 

@@ -33,6 +33,7 @@ __all__ = [
     "winnow_pairs",
     "redact_pii",
     "gopher_filters",
+    "gopher_repetition",
     "c4_clean",
     "PII_PATTERNS",
     "BPE_SPLIT_RE",
@@ -909,3 +910,142 @@ def c4_clean(
         F.array_join(kept, "\n").alias("text"),
         page_ok.alias("c4_keep"),
     )
+
+
+def _dup_fold(sorted_arr: Column) -> Column:
+    """Fold a SORTED string array into ``struct(items, chars)`` of
+    duplicate mass: every occurrence of a value appearing >= 2 times
+    counts (the run's second element retro-counts the first)."""
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("items"),
+        F.lit(0).alias("chars"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        add = F.when(run == 2, F.lit(2)).when(run > 2, F.lit(1)).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["items"] + add).alias("items"),
+            (acc["chars"] + add * F.length(x)).alias("chars"),
+        )
+
+    return F.aggregate(
+        sorted_arr,
+        init,
+        step,
+        lambda acc: F.struct(acc["items"].alias("items"), acc["chars"].alias("chars")),
+    )
+
+
+def _top_mass(sorted_arr: Column) -> Column:
+    """Fold a SORTED string array to the best ``count · length`` mass of
+    any single value — the 'characters in the most frequent n-gram'
+    numerator."""
+    init = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run * F.length(x)).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def _ngrams(words: Column, n: int) -> Column:
+    """Space-joined word ``n``-grams (empty array when too short —
+    guarded explicitly: ``sequence(1, 0)`` DESCENDS in Spark, so the
+    unguarded form would slice from start 0 and throw)."""
+    cnt = F.size(words) - (n - 1)
+    return F.when(
+        cnt >= 1,
+        F.transform(
+            F.sequence(F.lit(1), cnt),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+
+
+def gopher_repetition(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The Gopher REPETITION filters (Rae et al. 2021 §A.1.1, the half
+    :func:`gopher_filters` doesn't cover): duplicate line / paragraph
+    fractions (by occurrence and by character mass), the top-{2,3,4}-gram
+    character fractions, and the duplicate-{5..10}-gram character
+    fractions — the published thresholds reject pages where e.g. the top
+    2-gram exceeds 20% of characters or duplicate 5-grams exceed 15%.
+
+    Conventions (documented because the paper leaves them loose, and the
+    DuckDB oracle mirrors them exactly): words are whitespace runs;
+    n-grams are space-joined; character mass of an occurrence is the
+    length of its line/paragraph/gram string; ALL occurrences of a
+    duplicated value count as duplicate mass; denominators are total
+    occurrence mass at the same granularity (Σ count·length), so every
+    fraction is in [0, 1].  All fractions round to 4 decimals.
+
+    Pure per-row sorts + folds — no shuffle, no Python; the same
+    counting the oracle does with unnest + GROUP BY, expressed per-row
+    so 100 TB stays an embarrassingly parallel scan.
+    """
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    paras = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n\s*\n"), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        words.alias("__w"),
+        lines.alias("__l"),
+        paras.alias("__p"),
+    )
+    w = F.col("__w")
+
+    def occ_chars(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0), lambda a, x: a + F.length(x))
+
+    cols = ["doc_id"]
+    out = staged
+    for label, arr in (("line", F.col("__l")), ("para", F.col("__p"))):
+        d = _dup_fold(F.array_sort(arr))
+        out = out.withColumn(
+            f"dup_{label}_frac",
+            F.round(d["items"] / F.greatest(F.size(arr), F.lit(1)), 4),
+        ).withColumn(
+            f"dup_{label}_char_frac",
+            F.round(d["chars"] / F.greatest(occ_chars(arr), F.lit(1)), 4),
+        )
+        cols += [f"dup_{label}_frac", f"dup_{label}_char_frac"]
+    for n in (2, 3, 4):
+        g = _ngrams(w, n)
+        out = out.withColumn(
+            f"top_{n}gram_char_frac",
+            F.round(_top_mass(F.array_sort(g)) / F.greatest(occ_chars(g), F.lit(1)), 4),
+        )
+        cols.append(f"top_{n}gram_char_frac")
+    for n in (5, 6, 7, 8, 9, 10):
+        g = _ngrams(w, n)
+        out = out.withColumn(
+            f"dup_{n}gram_char_frac",
+            F.round(
+                _dup_fold(F.array_sort(g))["chars"]
+                / F.greatest(occ_chars(g), F.lit(1)),
+                4,
+            ),
+        )
+        cols.append(f"dup_{n}gram_char_frac")
+    return out.select(*cols)

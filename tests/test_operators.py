@@ -1659,6 +1659,35 @@ def test_bpe_early_stop_and_validation(spark):
         bpe.bpe_train(df, 1, min_count=0)
 
 
+def test_gopher_repetition_hand_computed(spark):
+    """Crafted docs with known repetition structure: a fully duplicated
+    line pair, a dominant 2-gram, and a repeated 5-gram — each fraction
+    checked against hand arithmetic."""
+    rows = [
+        # two identical lines + one unique: dup_line_frac = 2/3;
+        # chars: 2*5 / (5+5+6)
+        (0, "aaaaa\naaaaa\nbbbbbb"),
+        # 'x y' repeated: tokens x y x y x -> 2-grams: 'x y','y x','x y','y x'
+        # top mass = 2*len('x y')=6; total = 4*3=12 -> 0.5
+        (1, "x y x y x"),
+        # 12 tokens, period 5 -> 8 5-grams; 'a b c d e' (1,6),
+        # 'b c d e a' (2,7), 'c d e a b' (3,8) each duplicated ->
+        # 6 of 8 occurrences are duplicate mass
+        (2, "a b c d e a b c d e a b"),
+        (3, ""),  # empty: every fraction 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.gopher_repetition(df).collect()}
+    assert got[0]["dup_line_frac"] == round(2 / 3, 4)
+    assert got[0]["dup_line_char_frac"] == round(10 / 16, 4)
+    assert got[1]["top_2gram_char_frac"] == 0.5
+    assert got[2]["dup_5gram_char_frac"] == round(6 * 9 / (8 * 9), 4)
+    r3 = got[3]
+    assert all(
+        r3[c] == 0.0 for c in r3.asDict() if c != "doc_id"
+    )
+
+
 def test_reservoir_per_group_exact_k_and_stability(spark):
     from plda_spark.operators.sampling import reservoir_per_group
 

@@ -606,15 +606,20 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         shortlist ≥ |corpus|, so the exact re-rank recovers brute-force
         cosine top-k and the brute oracle applies while EVERY stage
         (cell assign, residual encode, per-cell ADC tables, re-rank)
-        executes end-to-end.  Approximate configs are recall-tested in
+        executes end-to-end.  oversample is computed FROM the corpus
+        count so the k·oversample ≥ |corpus| precondition holds at
+        every scale factor (2000 vectors at sf0.1, not just the 500 at
+        sf0.01).  Approximate configs are recall-tested in
         tests/test_operators.py."""
         emb = load_table(spark, sf, "embeddings")
         qs = emb.where(F.col("vec_id") < 10).select(
             F.col("vec_id").alias("query_id"), "embedding"
         )
+        k = 5
+        oversample = -(-emb.count() // k)  # ceil(n/k): shortlist >= corpus
         return similarity.ivf_pq_topk(
-            emb, qs, dim=64, k=5, n_cells=8, n_probe=8, m=8, k_codes=16,
-            oversample=100,
+            emb, qs, dim=64, k=k, n_cells=8, n_probe=8, m=8, k_codes=16,
+            oversample=oversample,
         )
 
     q["sim_ivfpq_topk"] = sim_ivfpq_topk

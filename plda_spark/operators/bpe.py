@@ -30,9 +30,16 @@ Scale shape:
   candidate's count (a new pair can inherit a tied count and, under the
   lexicographic tie-break, sort ahead of the candidate — e.g. merging
   ``(e,r)`` turns ``(r,</w>)`` into ``(er,</w>)``, which outranks a
-  tied ``(low,</w>)``); it stops at the first violation, so every
-  accepted pair is still the true argmax at its turn.  Driver state is
-  the merge list only (num_merges pairs);
+  tied ``(low,</w>)``), and (c) a sweep ends right after accepting a
+  merge whose concatenated string COLLIDES with an already-existing
+  symbol (``a+bc`` and ``ab+c`` both spell ``abc``) — the one case
+  where applying a merge can INCREASE an existing pair's count, since
+  the new occurrences pour into pairs already carrying that symbol;
+  the multi-char symbol universe is exactly ``{END_OF_WORD} ∪ {past
+  merge concats}``, so a driver-side set detects every collision.  It
+  stops at the first violation, so every accepted pair is still the
+  true argmax at its turn.  Driver state is the merge list + concat
+  set only;
 - lineage is cut with a lazy ``localCheckpoint`` every few merges so
   N-merge plans don't nest N folds.
 
@@ -144,6 +151,10 @@ def bpe_train(
     words = words.localCheckpoint(eager=False)
     merges: list[tuple[str, str]] = []
     since_ckpt = 0
+    # Every multi-char symbol that can exist: END_OF_WORD plus the
+    # concatenation of each accepted merge (single chars can never
+    # collide with a >= 2-char concat).  Used by sweep-stop rule (c).
+    known: set[str] = {END_OF_WORD}
     while len(merges) < num_merges:
         want = min(batch_merges, num_merges - len(merges))
         # Collect a lookahead window past `want` so each candidate's
@@ -162,8 +173,15 @@ def bpe_train(
         # first candidate that (a) shares a symbol with an accepted
         # merge (its count may shift once the earlier merges apply) or
         # (b) has a symbol-sharing pair in its TIE group (a new pair
-        # can inherit that tied count and sort ahead of the candidate).
-        # The first pair never violates either, so every sweep makes
+        # can inherit that tied count and sort ahead of the candidate);
+        # and (c) stop AFTER accepting a merge whose concatenated
+        # string collides with an ALREADY-EXISTING symbol — e.g. both
+        # a+bc and ab+c spell "abc" — because applying it merges mass
+        # INTO existing pairs carrying that symbol, the one way a
+        # pair's count can INCREASE mid-sweep (the multi-char symbol
+        # set is exactly {END_OF_WORD} ∪ {past merge concats}, so the
+        # driver-side `known` set detects every such collision).
+        # The first pair never violates (a)/(b), so every sweep makes
         # progress; see the module doc for the parity proof.
         used: set[str] = set()
         batch: list[tuple[str, str]] = []
@@ -185,6 +203,13 @@ def bpe_train(
             batch.append((a, b))
             used.add(a)
             used.add(b)
+            if a + b in known:
+                # Collision with an existing symbol: see (c).  Never
+                # observed in a 4000-corpus search (count dynamics make
+                # dual parses of one string rare) — kept as a zero-cost
+                # safety guard so parity is unconditional.
+                break
+            known.add(a + b)
         merges.extend(batch)
         col = F.col("syms")
         for a, b in batch:

@@ -404,9 +404,15 @@ def ppl_buckets(
 
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
-    scored = lm_score(docs, text_col=text_col, id_col=id_col).select(
-        id_col if id_col == "doc_id" else F.col(id_col).alias("doc_id"),
-        "perplexity",
+    # lm_score already aliases its id column to doc_id, whatever id_col
+    # the source used.  The scored frame feeds BOTH the cut-point
+    # aggregate and the bucket-assignment scan, so persist it — without
+    # a cache the whole bigram-LM pipeline (the dominant cost) would run
+    # twice per action; callers may .unpersist() once consumed.
+    scored = (
+        lm_score(docs, text_col=text_col, id_col=id_col)
+        .select("doc_id", "perplexity")
+        .persist()
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = scored.agg(

@@ -298,9 +298,23 @@ def fuzzy_join(
     and the exact distance predicate verifies.  Right columns that
     collide with left names are prefixed ``right_``; a ``dist`` column
     is appended.
+
+    Inputs must have group-able column types (the retry-proof candidate
+    dedup groups whole rows): map-typed columns — directly or inside a
+    struct — are rejected with a clear error; project them away or to
+    ``map_entries`` arrays first.
     """
     if max_dist < 1:
         raise ValueError("max_dist must be >= 1")
+    for side, df in (("left", left), ("right", right)):
+        for fld in df.schema.fields:
+            if "map<" in fld.dataType.simpleString():
+                raise TypeError(
+                    f"fuzzy_join {side} column {fld.name!r} contains a map "
+                    "type, which cannot be grouped for the content-hash "
+                    "candidate dedup; drop it or convert with map_entries() "
+                    "before joining"
+                )
     # Determinism contract: candidate dedup is keyed on md5-of-full-row,
     # never on monotonically_increasing_id — a cached/retried upstream
     # with nondeterministic row order could re-assign positional ids

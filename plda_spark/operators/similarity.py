@@ -642,14 +642,40 @@ def pq_train(
             .collect()
         ]
     )
+    return _fit_codebooks(sample, m, k, [seed + j for j in range(m)], iters)
+
+
+def _fit_codebooks(
+    sample: np.ndarray, m: int, k: int, seeds: list[int], iters: int = 15
+) -> np.ndarray:
+    """Per-subspace k-means over a driver-side sample matrix — shared by
+    ``pq_train`` (raw vectors) and ``ivf_pq_topk`` (residuals).  Trains
+    on UNIQUE subvectors: duplicate-heavy samples otherwise seed
+    identical initial centroids and Lloyd's can never split them (it
+    also makes k >= #distinct points exactly lossless)."""
+    dsub = sample.shape[1] // m
     books = np.empty((m, k, dsub), dtype=np.float64)
     for j in range(m):
-        # train on UNIQUE subvectors: duplicate-heavy samples otherwise
-        # seed identical initial centroids and Lloyd's can never split
-        # them (it also makes k >= #distinct points exactly lossless).
         sub = np.unique(sample[:, j * dsub : (j + 1) * dsub], axis=0)
-        books[j] = _kmeans(sub, k, seed + j, iters)
+        books[j] = _kmeans(sub, k, seeds[j], iters)
     return books
+
+
+def _nearest_codes(R: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Row-wise nearest-codebook-entry indices per subspace:
+    ``(n, m)`` int32 — the encode step both PQ variants share."""
+    m, _, dsub = books.shape
+    code = np.empty((R.shape[0], m), dtype=np.int32)
+    for j in range(m):
+        Rj = R[:, j * dsub : (j + 1) * dsub]
+        b = books[j]
+        bd = (
+            (Rj**2).sum(axis=1)[:, None]
+            - 2 * (Rj @ b.T)
+            + (b**2).sum(axis=1)[None, :]
+        )
+        code[:, j] = np.argmin(bd, axis=1)
+    return code
 
 
 def pq_encode(
@@ -669,16 +695,11 @@ def pq_encode(
     m, k, dsub = codebooks.shape
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c2 = (codebooks**2).sum(axis=2)  # (m, k)
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for j in range(m):
-                Xj = X[:, j * dsub : (j + 1) * dsub]
-                d2 = (Xj**2).sum(axis=1)[:, None] - 2 * (Xj @ codebooks[j].T) + c2[j][None, :]
-                codes[:, j] = d2.argmin(axis=1)
+            codes = _nearest_codes(X, codebooks)
             yield pd.DataFrame({"vec_id": pdf["vid"], "code": list(codes)})
 
     src = embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
@@ -854,24 +875,24 @@ def ivf_pq_topk(
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     dsub = dim // m
+    empty_schema = "query_id long, vec_id long, sim double, rank int"
     # Coarse quantizer + residual codebooks from one driver-side sample
     # (the standard recipe: quantizers need distribution shape only).
-    sample = np.stack(
-        [
-            np.asarray(r["emb"], dtype=np.float64)
-            for r in embeddings.select(F.col(vec_col).alias("emb"))
-            .orderBy(F.col(id_col))
-            .limit(max_train_sample)
-            .collect()
-        ]
+    srows = (
+        embeddings.select(F.col(vec_col).alias("emb"))
+        .orderBy(F.col(id_col))
+        .limit(max_train_sample)
+        .collect()
     )
+    if not srows:  # empty corpus: no neighbors to return
+        return embeddings.sparkSession.createDataFrame([], empty_schema)
+    sample = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in srows])
     cents = _kmeans(sample, n_cells, seed)
     d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     resid = sample - cents[np.argmin(d2, axis=1)]
-    books = np.empty((m, k_codes, dsub), dtype=np.float64)
-    for j in range(m):
-        sub = np.unique(resid[:, j * dsub : (j + 1) * dsub], axis=0)
-        books[j] = _kmeans(sub, k_codes, seed + 7 * j + 1)
+    books = _fit_codebooks(
+        resid, m, k_codes, [seed + 7 * j + 1 for j in range(m)]
+    )
 
     # Encode: nearest cell + residual PQ code per corpus vector.
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -882,17 +903,7 @@ def ivf_pq_topk(
             X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
             cd = (X**2).sum(axis=1)[:, None] - 2 * (X @ cents.T) + c2[None, :]
             cell = np.argmin(cd, axis=1)
-            R = X - cents[cell]
-            code = np.empty((len(pdf), m), dtype=np.int32)
-            for j in range(m):
-                Rj = R[:, j * dsub : (j + 1) * dsub]
-                b = books[j]
-                bd = (
-                    (Rj**2).sum(axis=1)[:, None]
-                    - 2 * (Rj @ b.T)
-                    + (b**2).sum(axis=1)[None, :]
-                )
-                code[:, j] = np.argmin(bd, axis=1)
+            code = _nearest_codes(X - cents[cell], books)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vid"],
@@ -911,6 +922,8 @@ def ivf_pq_topk(
     qrows = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
+    if not qrows:  # empty query batch: empty result, not an np.stack crash
+        return embeddings.sparkSession.createDataFrame([], empty_schema)
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
     qcd = (Q**2).sum(axis=1)[:, None] - 2 * (Q @ cents.T) + (cents**2).sum(axis=1)[None, :]

@@ -812,7 +812,6 @@ def gopher_filters(
         F.col(id_col).alias("doc_id"),
         words.alias("__w"),
         lines.alias("__l"),
-        F.length(F.col(text_col)).alias("__nc"),
         F.length(F.regexp_replace(F.col(text_col), "[^#]", "")).alias("__hash"),
     )
     w, l = F.col("__w"), F.col("__l")

@@ -510,6 +510,22 @@ def _overwrite_batch_partition(
     )
 
 
+def _require_run_id_layout(ledger: DataFrame, state_path: str) -> None:
+    """Fail loudly on a ledger written by the pre-``run_id`` layout
+    (partitioned by ``batch_id`` only).  Proceeding would crash later
+    with an opaque unresolved-column error — or worse, mix the two
+    partition layouts under one root so the NEXT read fails partition
+    discovery.  Migration: rewrite the old ledger/output once with a
+    constant ``run_id`` directory (e.g. ``run_id=migrated``), or start
+    fresh state/output paths."""
+    if "run_id" not in ledger.columns:
+        raise RuntimeError(
+            f"ledger at {state_path} uses the old batch_id-only layout "
+            "(no run_id partition column); rewrite it under a run_id= "
+            "directory or point state_path/out_path at fresh locations"
+        )
+
+
 def incremental_exact_dedup(
     stream_docs: DataFrame,
     out_path: str,
@@ -577,6 +593,7 @@ def incremental_exact_dedup(
                 raise
             ledger = None  # first batch: no ledger yet
         if ledger is not None:
+            _require_run_id_layout(ledger, state_path)
             done = ledger.where(
                 (F.col("run_id") == token)
                 & (F.col("batch_id") == batch_id)
@@ -724,6 +741,7 @@ def incremental_minhash_dedup(
                 raise
             ledger = None
         if ledger is not None:
+            _require_run_id_layout(ledger, state_path)
             done = ledger.where(
                 (F.col("run_id") == token)
                 & (F.col("batch_id") == batch_id)

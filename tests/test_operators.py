@@ -1634,6 +1634,24 @@ def test_bpe_train_matches_reference(spark):
         got = bpe.bpe_train(rnd_df, 20, min_count=1, batch_merges=m)
         assert got == want, (m, got, want)
 
+    # symbol-collision regime: a 2-letter alphabet with long words makes
+    # distinct merge paths spell the same string (a+ba vs ab+a -> "aba"),
+    # the one case where applying a merge INCREASES an existing pair's
+    # count — sweep-stop rule (c) must keep exact sequential parity
+    rng2 = _random.Random(23)
+    words2 = [
+        "".join(rng2.choice("ab") for _ in range(rng2.randint(3, 10)))
+        for _ in range(80)
+    ]
+    col_wc = Counter(words2)
+    col_df = spark.createDataFrame(
+        [(0, " ".join(words2))], "doc_id bigint, text string"
+    )
+    want2 = _ref_bpe(col_wc, 30, min_count=1)
+    for m in (4, 16):
+        got = bpe.bpe_train(col_df, 30, min_count=1, batch_merges=m)
+        assert got == want2, (m, got, want2)
+
     merges = bpe.bpe_train(df, 8)
     enc = {r["doc_id"]: (r["tokens"], r["n_tokens"])
            for r in bpe.bpe_encode(df, merges).collect()}

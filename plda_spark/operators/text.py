@@ -933,23 +933,30 @@ def gopher_repetition(
     occurrence mass at the same granularity (Σ count·length), so every
     fraction is in [0, 1].  All fractions round to 4 decimals.
 
-    One Arrow ``mapInPandas`` pass — no shuffle; the per-doc gram
-    counting is vectorized numpy (word-id arrays + sliding-window
-    ``np.unique``), chosen over JVM higher-order-function folds after
-    measuring: Spark's lambda expressions are interpreted per element,
-    and the 9 sorted folds per row benched ~13× slower than this
-    implementation at sf0.1 (12.5 s vs under 1 s) for identical,
-    oracle-hash-checked output.  At 100 TB both are embarrassingly
-    parallel scans; this one just has the smaller constant.
+    One Arrow ``mapInPandas`` pass; the per-doc gram counting is
+    vectorized numpy (word-id arrays + sliding-window ``np.unique``),
+    chosen over JVM higher-order-function folds after measuring: Spark's
+    lambda expressions are interpreted per element, and the 9 sorted
+    folds per row benched ~13× slower than this implementation at sf0.1
+    (12.5 s vs under 1 s) for identical, oracle-hash-checked output.  At
+    100 TB both are embarrassingly parallel scans; this one just has the
+    smaller constant.  A shuffle appears ONLY when the input is a bare
+    scan with fewer partitions than cores (a handful of small files that
+    would otherwise serialize through one Python worker) — a
+    well-partitioned source passes through exchange-free.
     """
     import re as _re
     from collections.abc import Iterator
+    import math
 
     import numpy as np
     import pandas as pd
 
-    ws_re = _re.compile(r"\s+")
-    para_re = _re.compile(r"\n\s*\n")
+    # ASCII \s to match both the JVM regex this replaced and the DuckDB
+    # (RE2) oracle — Python's default \s is Unicode-aware and would
+    # split on NBSP etc. where the oracle does not.
+    ws_re = _re.compile(r"\s+", _re.ASCII)
+    para_re = _re.compile(r"\n\s*\n", _re.ASCII)
     tops, dups = (2, 3, 4), (5, 6, 7, 8, 9, 10)
     out_cols = (
         ["doc_id", "dup_line_frac", "dup_line_char_frac",
@@ -957,14 +964,18 @@ def gopher_repetition(
         + [f"top_{n}gram_char_frac" for n in tops]
         + [f"dup_{n}gram_char_frac" for n in dups]
     )
-    schema = "doc_id long, " + ", ".join(f"{c} double" for c in out_cols[1:])
+    # Pass the id column through with its source type (string/int ids
+    # both valid) instead of hardcoding bigint.
+    id_ddl = docs.schema[id_col].dataType.simpleString()
+    schema = f"doc_id {id_ddl}, " + ", ".join(f"{c} double" for c in out_cols[1:])
 
     def _round4(x: float) -> float:
-        # DuckDB/Spark ROUND is round-half-AWAY-from-zero; Python's
-        # built-in round is banker's — they disagree on exact .5 ties,
-        # so mirror the SQL behavior explicitly (all inputs are >= 0).
-        import math
-
+        # Round half-away-from-zero on the binary double, exactly what
+        # the DuckDB oracle's ROUND(x, 4) computes (inputs are >= 0).
+        # Python's built-in round is banker's, and Spark's F.round goes
+        # through the shortest-decimal string (HALF_UP on that), so
+        # both can differ on representation-boundary ties; the oracle
+        # is DuckDB, so this is the convention the whole column obeys.
         return math.floor(x * 10000.0 + 0.5) / 10000.0
 
     def _dup_value_stats(values: list[str]) -> tuple[float, float]:
@@ -1028,7 +1039,15 @@ def gopher_repetition(
     # Python worker.  Repartition ONLY in that case — the data is by
     # definition small relative to the cluster, so the shuffle is cheap;
     # a well-partitioned 100 TB source passes through shuffle-free.
+    # The partition probe (`.rdd`) is gated on the plan being
+    # exchange-free: under AQE, `.rdd` on a plan WITH exchanges
+    # materializes the upstream shuffle stages as real jobs at
+    # construction time (and they re-run on the later action).  For a
+    # bare scan+project there are no stages to run, so the probe is
+    # free; anything with an upstream shuffle already fanned out to
+    # spark.sql.shuffle.partitions and needs no help.
     par = docs.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < par:
+    plan = src._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" not in plan and src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
     return src.mapInPandas(fn, schema=schema)

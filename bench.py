@@ -200,9 +200,11 @@ def main() -> None:
     timings["lda_train_5it"] = best_of_two(lambda: train_documents(docs, cfg))
 
     # Join-mode training (model-as-DataFrame, no V*K broadcast): the
-    # beyond-broadcast-ceiling path.  Slower than broadcast at sf0.1
-    # (the model rows ride a per-iteration shuffle instead of a
-    # broadcast) — tracked so the scale path's cost stays visible.
+    # beyond-broadcast-ceiling path.  join_exchange='auto' resolves to
+    # the dense-chunk wire format here (token-rich partitions).  Slower
+    # than broadcast at sf0.1 (model state rides a per-iteration
+    # shuffle instead of a broadcast) — tracked so the scale path's
+    # cost stays visible.
     cfg_join = TrainConfig(
         num_topics=10, total_iterations=5, burn_in_iterations=0,
         average_model=False, seed=42, model_mode="join",

@@ -92,6 +92,26 @@ class TrainConfig:
     # (mpi_lda.cc:58-92), one extra shuffle per iteration.  "auto" cuts
     # over at _SHUFFLE_AGG_MIN_PARTITIONS.
     aggregate_mode: str = "auto"
+    # model_mode='join' only: HOW model state rides the per-iteration
+    # shuffle.  "words": each partition receives only the (word_id,
+    # cnts) rows for words its documents contain — a word_id equi-join
+    # with the static (pid, word_id) membership table.  Fully general,
+    # but when every partition contains (nearly) the whole vocabulary —
+    # the common case, since a partition with ≥V tokens of Zipfian text
+    # sees almost every word — it degenerates into shipping P full
+    # model copies as P·V tiny array rows (measured: the row/sort/Arrow
+    # overhead, not the kernel, dominated the iteration).  "chunks":
+    # the model is C dense binary chunk rows (chunk c = words
+    # [c·W, (c+1)·W) as a flat int64 count block); each partition
+    # receives all C chunks via a pid×chunk cross join — the same bytes
+    # as "words" in the dense case but ~P·C rows instead of P·V, no
+    # join, no pivot, and the rebuild is a per-chunk buffer sum (the
+    # closest Spark shape to the reference's chunked AllReduce,
+    # mpi_lda.cc:58-92).  "auto" picks chunks when the dense model fits
+    # the per-task budget AND partitions are token-rich enough to see
+    # most of the vocabulary; words otherwise (giant V·K, where dense
+    # per-task state is unaffordable and slicing genuinely prunes).
+    join_exchange: str = "auto"
 
     def validate(self) -> None:
         if self.num_topics < 2:
@@ -106,6 +126,8 @@ class TrainConfig:
             raise ValueError("aggregate_mode must be auto|driver|shuffle")
         if self.model_mode not in ("broadcast", "join"):
             raise ValueError("model_mode must be broadcast|join")
+        if self.join_exchange not in ("auto", "words", "chunks"):
+            raise ValueError("join_exchange must be auto|words|chunks")
         if self.model_mode == "join" and self.average_model:
             raise ValueError(
                 "model_mode='join' keeps the model distributed and emits "
@@ -392,6 +414,18 @@ def _save_checkpoint(df_z: DataFrame, path: str, it: int, nwk, accum, lls, words
 #     (word_id, cnts) table — the driver never holds or ships V·K numbers;
 #     only the K-vector n_k (the reference's global vector) is collected.
 #
+# That word-sliced wire format (join_exchange='words') is the general
+# case.  When every partition contains (nearly) the whole vocabulary —
+# which a partition holding ≥V tokens of Zipfian text almost always does
+# — the slice join ships P near-full model copies as P·V tiny array
+# rows, and profiling showed the row/sort/Arrow machinery (not the
+# kernel, ~0.2 s of a ~10 s iteration) dominating.  join_exchange=
+# 'chunks' (the 'auto' pick in that regime) moves the same bytes as C
+# dense binary chunk rows via a pid×chunk cross join and reduces the
+# rebuild to a per-chunk buffer sum — measured ~2× faster per iteration
+# at NYTimes scale with bit-identical output (see TrainConfig and
+# BENCH_LDA_SCALE.json).
+#
 # Partition identity is the LOGICAL pid = pmod(hash(doc_id), P) carried as a
 # column, so RNG streams (seed, pid, iteration) are independent of physical
 # scheduling.  Output is mpi_lda semantics (raw final counts, no averaging).
@@ -602,21 +636,253 @@ def _join_model_df(df_z: DataFrame, num_topics: int) -> DataFrame:
     )
 
 
+# --- join_exchange='chunks': dense binary chunk model exchange ----------
+# The model is C rows (chunk_id, cnts: binary), chunk c = the flat int64
+# count block for words [c·W, min(V,(c+1)·W)).  Per iteration each pid
+# receives all C chunks (pid×chunk cross join, the broadcast side being
+# the P-row pid table — the model itself NEVER rides a driver broadcast),
+# and emits its local counts back as per-chunk binary delta rows that a
+# per-chunk buffer sum reduces into the next model.  Identical kernel,
+# identical RNG streams — bit-identical output to join_exchange='words'
+# (pinned in tests).
+
+_CHUNK_TARGET_BYTES = 4 << 20     # aim ~4 MB per chunk row
+_CHUNK_DENSE_MAX_BYTES = 128 << 20  # per-task dense V·K budget for 'auto'
+
+
+def _chunk_grid(vocab_size: int, num_topics: int, parallelism: int) -> tuple[int, int]:
+    """(C, W): chunk count and width.  C ≥ parallelism so the rebuild's
+    per-chunk sum saturates the cluster; chunks shrink toward
+    _CHUNK_TARGET_BYTES as V·K grows."""
+    nbytes = vocab_size * num_topics * 8
+    c = max(parallelism, -(-nbytes // _CHUNK_TARGET_BYTES), 1)
+    c = min(c, vocab_size)
+    w = -(-vocab_size // c)
+    return -(-vocab_size // w), w
+
+
+def _chunk_delta_rows(pid: int, acc_flat: np.ndarray, num_topics: int,
+                      chunk_width: int, ll_total: float = 0.0) -> pd.DataFrame:
+    """Dense local counts → one binary row per NONZERO chunk:
+    ``doc_id = -(chunk_id+1)``, ``z`` = the chunk's flat int64 block.
+    The partition's LL partial rides the first emitted row."""
+    K, W = num_topics, chunk_width
+    acc2 = acc_flat.reshape(-1, K)
+    V = acc2.shape[0]
+    chunks, bufs = [], []
+    for c in range(-(-V // W)):
+        block = acc2[c * W : (c + 1) * W]
+        if block.any():
+            chunks.append(c)
+            bufs.append(np.ascontiguousarray(block, dtype=np.int64).tobytes())
+    lls = np.zeros(len(chunks))
+    if len(lls):
+        lls[0] = ll_total
+    return pd.DataFrame(
+        {
+            "pid": np.full(len(chunks), pid, dtype=np.int32),
+            "doc_id": np.array([-(c + 1) for c in chunks], dtype=np.int64),
+            "word_occ": [b""] * len(chunks),
+            "z": bufs,
+            "ll": lls,
+        }
+    )
+
+
+def _chunk_zinit_fn(num_topics: int, seed: int, vocab_size: int, chunk_width: int):
+    """applyInPandas per-pid z-init, chunk wire format."""
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["pid"].iloc[0])
+        pdf = pdf.sort_values("doc_id")
+        rng = kernel.make_rng(seed, pid, 0)
+        occs = [np.asarray(o, dtype=np.int32) for o in pdf["word_occ"]]
+        zs = [kernel.init_assignments(len(o), num_topics, rng) for o in occs]
+        occ_all = np.concatenate(occs) if occs else np.empty(0, np.int32)
+        z_all = np.concatenate(zs) if zs else np.empty(0, np.int32)
+        acc = np.zeros(vocab_size * num_topics, dtype=np.int64)
+        if occ_all.shape[0]:
+            np.add.at(acc, occ_all.astype(np.int64) * num_topics + z_all, 1)
+        out = pd.DataFrame(
+            {
+                "pid": np.full(len(pdf), pid, dtype=np.int32),
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "word_occ": [o.tobytes() for o in occs],
+                "z": [zz.tobytes() for zz in zs],
+                "ll": np.zeros(len(pdf)),
+            }
+        )
+        return pd.concat(
+            [out, _chunk_delta_rows(pid, acc, num_topics, chunk_width)],
+            ignore_index=True,
+        )
+
+    return fn
+
+
+def _chunk_sweep_fn(nk_global: list[int], vocab_size: int, alpha: float, beta: float,
+                    seed: int, iteration: int, compute_likelihood: bool,
+                    chunk_width: int):
+    """Cogrouped sweep, chunk wire format: (docs for pid) × (all model
+    chunks).  The kernel input is the FULL dense n_wk, so word ids need
+    no local remap (loc = global id) — everything else is identical to
+    the words-mode sweep, which makes the two modes bit-identical."""
+    K, W = len(nk_global), chunk_width
+
+    def fn(key, docs: pd.DataFrame, model: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        rng = kernel.make_rng(seed, pid, iteration + 1)
+        docs = docs.sort_values("doc_id")
+        nwk = np.zeros((vocab_size, K), dtype=np.int64)
+        for cid, buf in zip(model["chunk_id"], model["cnts"]):
+            block = np.frombuffer(buf, dtype=np.int64).reshape(-1, K)
+            nwk[cid * W : cid * W + block.shape[0]] = block
+        nk = np.asarray(nk_global, dtype=np.int64)
+
+        lens = (docs["word_occ"].map(len).to_numpy() // 4).astype(np.int64)
+        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        word_occ = (
+            np.frombuffer(b"".join(docs["word_occ"]), dtype=np.int32).copy()
+            if len(docs) else np.empty(0, np.int32)
+        )
+        z = (
+            np.frombuffer(b"".join(docs["z"]), dtype=np.int32).copy()
+            if len(docs) else np.empty(0, np.int32)
+        )
+
+        lls = np.zeros(len(docs))
+        ll_total = 0.0
+        if compute_likelihood:
+            for d in range(len(docs)):
+                s, e = offsets[d], offsets[d + 1]
+                ndk = np.bincount(z[s:e], minlength=K).astype(np.float64)
+                uw, cnt = np.unique(word_occ[s:e], return_counts=True)
+                lls[d] = kernel.doc_log_likelihood(
+                    uw, cnt.astype(np.float64), ndk, nwk, nk, alpha, beta,
+                    vocab_size=vocab_size,
+                )
+            ll_total = float(lls.sum())
+
+        kernel.sweep_docs(
+            word_occ, z, offsets, nwk, nk, alpha, beta, rng,
+            update_model=True, vocab_size=vocab_size,
+        )
+        acc = np.zeros(vocab_size * K, dtype=np.int64)
+        if word_occ.shape[0]:
+            np.add.at(acc, word_occ.astype(np.int64) * K + z, 1)
+        out = pd.DataFrame(
+            {
+                "pid": np.full(len(docs), pid, dtype=np.int32),
+                "doc_id": docs["doc_id"].to_numpy(),
+                "word_occ": docs["word_occ"],
+                "z": [z[offsets[d]:offsets[d + 1]].tobytes() for d in range(len(docs))],
+                "ll": lls,
+            }
+        )
+        return pd.concat(
+            [out, _chunk_delta_rows(pid, acc, K, W, ll_total)],
+            ignore_index=True,
+        )
+
+    return fn
+
+
+def _chunk_model_df(df_z: DataFrame, num_topics: int) -> DataFrame:
+    """Per-pid chunk delta rows → the (chunk_id, cnts) model table: one
+    buffer sum per chunk (groups are ≤P rows of one chunk's block)."""
+
+    def sum_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        cid = -int(key[0]) - 1
+        bufs = [np.frombuffer(b, dtype=np.int64) for b in pdf["z"]]
+        width = max(b.shape[0] for b in bufs)
+        total = np.zeros(width, dtype=np.int64)
+        for b in bufs:
+            total[: b.shape[0]] += b
+        return pd.DataFrame({"chunk_id": [cid], "cnts": [total.tobytes()]})
+
+    return (
+        df_z.where(F.col("doc_id") < 0)
+        .select("doc_id", "z")
+        .groupBy("doc_id")
+        .applyInPandas(sum_fn, schema="chunk_id int, cnts binary")
+    )
+
+
+def _chunk_nk(model_chunks: DataFrame, num_topics: int) -> list[int]:
+    """The global K-vector from the chunk table: per-chunk K partials
+    (C tiny rows) summed on the driver."""
+    K = num_topics
+
+    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for buf in pdf["cnts"]:
+                s = np.frombuffer(buf, dtype=np.int64).reshape(-1, K).sum(axis=0)
+                yield pd.DataFrame({"t": np.arange(K, dtype=np.int32), "c": s})
+
+    rows = (
+        model_chunks.mapInPandas(part, schema="t int, c long")
+        .groupBy("t").agg(F.sum("c").alias("c")).collect()
+    )
+    nk = [0] * K
+    for r in rows:
+        nk[r["t"]] = int(r["c"])
+    return nk
+
+
+def _chunk_rows_df(model_chunks: DataFrame, num_topics: int, chunk_width: int) -> DataFrame:
+    """Chunk table → (word_id, cnts: array<long>) rows (the words-mode /
+    model_table shape), decoded executor-side."""
+    K, W = num_topics, chunk_width
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for cid, buf in zip(pdf["chunk_id"], pdf["cnts"]):
+                block = np.frombuffer(buf, dtype=np.int64).reshape(-1, K)
+                yield pd.DataFrame(
+                    {
+                        "word_id": cid * W + np.arange(block.shape[0], dtype=np.int64),
+                        "cnts": list(block),
+                    }
+                )
+
+    return model_chunks.mapInPandas(decode, schema="word_id long, cnts array<long>")
+
+
 def _save_join_checkpoint(
-    path: str, df_z: DataFrame, word_pid: DataFrame, it: int, lls, words
+    path: str, df_z: DataFrame, word_pid: DataFrame | None, it: int, lls, words,
+    exchange: str, chunk_width: int,
 ) -> None:
     """Join-mode fault-tolerance state: the assignments (parquet), the
-    static word-membership table (parquet), and driver metadata (npz).
+    static word-membership table (parquet; words exchange only), and
+    driver metadata (npz — including the exchange mode and chunk grid,
+    so a resumed run always continues in the geometry it started with).
     The model table is NOT saved — it is a pure function of the
     assignment payload rows and is rebuilt on resume."""
     df_z.write.mode("overwrite").parquet(f"{path}/assignments")
-    word_pid.write.mode("overwrite").parquet(f"{path}/word_pid")
+    if word_pid is not None:
+        word_pid.write.mode("overwrite").parquet(f"{path}/word_pid")
     np.savez(
         f"{path}/join_state.npz",
         next_iteration=it + 1,
         lls=np.asarray(lls, dtype=np.float64),
         words=np.asarray(words, dtype=object),
+        exchange=exchange,
+        chunk_width=chunk_width,
     )
+
+
+def _resolve_join_exchange(config: TrainConfig, vocab_size: int,
+                           total_tokens: int, num_partitions: int) -> str:
+    """'auto' picks chunks when (a) the dense V·K block fits the
+    per-task budget and (b) partitions average ≥V tokens — the regime
+    where word-slicing degenerates into shipping near-full model copies
+    row by row (see TrainConfig.join_exchange)."""
+    if config.join_exchange != "auto":
+        return config.join_exchange
+    dense_ok = vocab_size * config.num_topics * 8 <= _CHUNK_DENSE_MAX_BYTES
+    token_rich = total_tokens >= vocab_size * num_partitions
+    return "chunks" if (dense_ok and token_rich) else "words"
 
 
 def _train_join(
@@ -625,45 +891,56 @@ def _train_join(
     """model_mode='join' driver loop — see the block comment above."""
     spark = corpus.sparkSession
     sc = spark.sparkContext
+    total_tokens: int | None = None
     if config.num_partitions:
         P = config.num_partitions
     else:
         total_tokens = int(corpus.agg(F.sum("count")).collect()[0][0] or 0)
         P = _auto_partitions(total_tokens, sc.defaultParallelism)
 
+    chunk_w = 0  # chunks exchange only; saved in checkpoints
     if resume_from is None:
         vocab = build_vocab(corpus)
         words = [r["word"] for r in vocab.orderBy("word_id").collect()]
         V, K = len(words), config.num_topics
         if V == 0:
             raise ValueError("empty vocabulary")
+        if total_tokens is None and config.join_exchange == "auto":
+            total_tokens = int(corpus.agg(F.sum("count")).collect()[0][0] or 0)
+        exch = _resolve_join_exchange(config, V, total_tokens or 0, P)
 
         pid = F.pmod(F.hash("doc_id"), F.lit(P)).cast("int")
         corpus_ids = remap_words(corpus, vocab).select("doc_id", "word_id", "count")
         packed = pack_docs(corpus_ids, P).withColumn("pid", pid)
-        # Static word-membership table: which partitions contain which words.
-        # Docs never move between pids, so this is built once and reused every
-        # iteration (≤ P·V slim rows; in practice near the corpus's distinct
-        # (doc-hash, word) mass).
-        # Pre-partitioned by word_id and PERSISTED (not localCheckpoint:
-        # a checkpoint's Scan ExistingRDD reports UnknownPartitioning,
-        # so the per-iteration slice join would re-exchange this table —
-        # the LARGEST relation in that join — every iteration; an
-        # InMemoryRelation keeps the hash partitioning, so the join
-        # reuses it, plan-verified).  At local bench scale AQE simply
-        # broadcasts the cached table instead — also exchange-free.
-        word_pid = (
-            corpus_ids.select(pid.alias("pid"), "word_id")
-            .distinct()
-            .repartition("word_id")
-            .persist()
-        )
-        word_pid.count()  # materialize once, before the iteration loop
+        if exch == "words":
+            # Static word-membership table: which partitions contain which words.
+            # Docs never move between pids, so this is built once and reused every
+            # iteration (≤ P·V slim rows; in practice near the corpus's distinct
+            # (doc-hash, word) mass).
+            # Pre-partitioned by word_id and PERSISTED (not localCheckpoint:
+            # a checkpoint's Scan ExistingRDD reports UnknownPartitioning,
+            # so the per-iteration slice join would re-exchange this table —
+            # the LARGEST relation in that join — every iteration; an
+            # InMemoryRelation keeps the hash partitioning, so the join
+            # reuses it, plan-verified).  At local bench scale AQE simply
+            # broadcasts the cached table instead — also exchange-free.
+            word_pid = (
+                corpus_ids.select(pid.alias("pid"), "word_id")
+                .distinct()
+                .repartition("word_id")
+                .persist()
+            )
+            word_pid.count()  # materialize once, before the iteration loop
+            zinit = _join_zinit_fn(K, config.seed)
+        else:
+            word_pid = None
+            _, chunk_w = _chunk_grid(V, K, sc.defaultParallelism)
+            zinit = _chunk_zinit_fn(K, config.seed, V, chunk_w)
 
         z_ckpt = (
             packed.select("pid", "doc_id", "word_occ")
             .groupBy("pid")
-            .applyInPandas(_join_zinit_fn(K, config.seed), schema=_JOIN_SWEEP_SCHEMA)
+            .applyInPandas(zinit, schema=_JOIN_SWEEP_SCHEMA)
             .localCheckpoint(eager=False)
         )
         df_z = _fresh_stats(z_ckpt)
@@ -675,44 +952,62 @@ def _train_join(
         V, K = len(words), config.num_topics
         lls = [float(x) for x in state["lls"]]
         start_it = int(state["next_iteration"])
-        word_pid = (
-            spark.read.parquet(f"{resume_from}/word_pid")
-            .repartition("word_id")  # same join-side partitioning as a fresh run
-            .persist()
-        )
-        word_pid.count()
+        # The checkpoint's exchange geometry wins over config — a chain
+        # must continue in the wire format it started with (older
+        # checkpoints predate the field and are words-exchange).
+        exch = str(state["exchange"]) if "exchange" in state.files else "words"
+        if exch == "words":
+            word_pid = (
+                spark.read.parquet(f"{resume_from}/word_pid")
+                .repartition("word_id")  # same join-side partitioning as a fresh run
+                .persist()
+            )
+            word_pid.count()
+        else:
+            word_pid = None
+            chunk_w = int(state["chunk_width"])
         z_ckpt = spark.read.parquet(f"{resume_from}/assignments").localCheckpoint(
             eager=True
         )
         df_z = z_ckpt
-    m_ckpt = _join_model_df(df_z, K).localCheckpoint(eager=True)
+    _model_of = _join_model_df if exch == "words" else _chunk_model_df
+    m_ckpt = _model_of(df_z, K).localCheckpoint(eager=True)
     model_df = _fresh_stats(m_ckpt)
+    # chunks exchange: every pid receives every chunk — a cross join
+    # whose BROADCAST side is the P-row pid table, so the model itself
+    # only ever rides the shuffle.
+    pids_df = spark.range(P).select(F.col("id").cast("int").alias("pid"))
 
     for it in range(start_it, config.total_iterations):
         # n_k (the reference's global K-vector, model.cc:147-151): K numbers
         # — the ONLY model state that touches the driver per iteration.
-        nk_rows = (
-            model_df.select(F.posexplode("cnts").alias("t", "c"))
-            .groupBy("t")
-            .agg(F.sum("c").alias("c"))
-            .collect()
-        )
-        nk_global = [0] * K
-        for r in nk_rows:
-            nk_global[r["t"]] = int(r["c"])
-
-        slices = word_pid.join(model_df, "word_id").select("pid", "word_id", "cnts")
+        if exch == "words":
+            nk_rows = (
+                model_df.select(F.posexplode("cnts").alias("t", "c"))
+                .groupBy("t")
+                .agg(F.sum("c").alias("c"))
+                .collect()
+            )
+            nk_global = [0] * K
+            for r in nk_rows:
+                nk_global[r["t"]] = int(r["c"])
+            slices = word_pid.join(model_df, "word_id").select("pid", "word_id", "cnts")
+            sweep_fn = _join_sweep_fn(
+                nk_global, V, config.alpha, config.beta, config.seed, it,
+                config.compute_likelihood,
+            )
+        else:
+            nk_global = _chunk_nk(model_df, K)
+            slices = F.broadcast(pids_df).crossJoin(model_df)
+            sweep_fn = _chunk_sweep_fn(
+                nk_global, V, config.alpha, config.beta, config.seed, it,
+                config.compute_likelihood, chunk_w,
+            )
         swept = (
             df_z.where(F.col("doc_id") >= 0)
             .groupby("pid")
             .cogroup(slices.groupby("pid"))
-            .applyInPandas(
-                _join_sweep_fn(
-                    nk_global, V, config.alpha, config.beta, config.seed, it,
-                    config.compute_likelihood,
-                ),
-                schema=_JOIN_SWEEP_SCHEMA,
-            )
+            .applyInPandas(sweep_fn, schema=_JOIN_SWEEP_SCHEMA)
         )
         new_z_ckpt = swept.localCheckpoint(eager=False)
         # No _fresh_stats on df_z: keeping the checkpoint's own plan
@@ -728,7 +1023,7 @@ def _train_join(
         # Eager model build: ONE job runs the sweep, persists its blocks,
         # and materializes the next model table (old blocks still alive
         # while it runs; unpersist only after).
-        new_m_ckpt = _join_model_df(new_df_z, K).localCheckpoint(eager=True)
+        new_m_ckpt = _model_of(new_df_z, K).localCheckpoint(eager=True)
         new_model_df = _fresh_stats(new_m_ckpt)
         if config.compute_likelihood:
             ll = (
@@ -742,19 +1037,24 @@ def _train_join(
         df_z, model_df = new_df_z, new_model_df
         if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
             _save_join_checkpoint(
-                config.checkpoint_dir, df_z, word_pid, it, lls, words
+                config.checkpoint_dir, df_z, word_pid, it, lls, words,
+                exch, chunk_w,
             )
 
     # Driver materialization for API parity (tests, describe_topics, serde).
     # At true scale, use `model_table` + model-as-DataFrame inference and
     # skip this collect.
-    mpdf = model_df.toPandas()
+    model_rows = (
+        model_df if exch == "words" else _chunk_rows_df(model_df, K, chunk_w)
+    )
+    mpdf = model_rows.toPandas()
     nwk = np.zeros((V, K), dtype=np.int64)
     if len(mpdf):
         nwk[mpdf["word_id"].to_numpy().astype(np.int64)] = np.stack(
             [np.asarray(c, dtype=np.int64) for c in mpdf["cnts"]]
         )
-    word_pid.unpersist()
+    if word_pid is not None:
+        word_pid.unpersist()
     z_ckpt.unpersist()
     raw_model = LDAModel(nwk, words, config.alpha, config.beta)
     # model_table in the exact shape transform_model_df consumes
@@ -762,7 +1062,7 @@ def _train_join(
     # at-scale hand-off needs no rename or cast.
     return TrainResult(
         model=raw_model, raw_model=raw_model, log_likelihood=lls,
-        model_table=model_df.select(
+        model_table=model_rows.select(
             "word_id",
             F.transform("cnts", lambda c: c.cast("double")).alias("topic_counts"),
         ),

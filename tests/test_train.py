@@ -335,3 +335,96 @@ def test_join_mode_checkpoint_resume_bit_identical(spark, tmp_path):
 
     assert np.array_equal(straight.nwk, resumed.nwk)
     assert straight.words == resumed.words
+
+
+def test_join_exchange_parity_words_vs_chunks(spark):
+    """The two join-mode wire formats are BIT-identical: same RNG
+    streams, same kernel inputs (chunk mode's dense n_wk holds the same
+    values the words-mode slice holds for every word that occurs), so z
+    evolution — and therefore model, LLs, and model_table — match
+    exactly."""
+    corpus = synthetic_corpus(spark, n_docs=30)
+    base = dict(num_topics=3, total_iterations=4, burn_in_iterations=0,
+                average_model=False, compute_likelihood=True, seed=7,
+                num_partitions=3, model_mode="join")
+    a = train(corpus, TrainConfig(**base, join_exchange="words"))
+    b = train(corpus, TrainConfig(**base, join_exchange="chunks"))
+    assert np.array_equal(a.raw_model.nwk, b.raw_model.nwk)
+    assert a.log_likelihood == b.log_likelihood
+    mt_a = sorted((r["word_id"], list(r["topic_counts"])) for r in a.model_table.collect())
+    mt_b = sorted((r["word_id"], list(r["topic_counts"])) for r in b.model_table.collect())
+    assert mt_a == mt_b
+
+
+def test_join_exchange_words_checkpoint_resume(spark, tmp_path):
+    """Explicit words-exchange resume stays bit-identical (the auto
+    default on tiny corpora is chunks, so the words path needs its own
+    resume pin)."""
+    corpus = synthetic_corpus(spark, n_docs=30, doc_len=20)
+    ckpt = str(tmp_path / "join_ckpt_words")
+    base = dict(num_topics=3, burn_in_iterations=0, average_model=False,
+                seed=31, num_partitions=2, model_mode="join",
+                join_exchange="words")
+    straight = train(corpus, TrainConfig(**base, total_iterations=4)).raw_model
+    train(corpus, TrainConfig(**base, total_iterations=2,
+                              checkpoint_dir=ckpt, checkpoint_every=2))
+    resumed = train(
+        corpus, TrainConfig(**base, total_iterations=4), resume_from=ckpt
+    ).raw_model
+    assert np.array_equal(straight.nwk, resumed.nwk)
+
+
+def test_join_exchange_checkpoint_geometry_wins(spark, tmp_path):
+    """A checkpoint written under one exchange is resumed in that
+    exchange even when the resuming config asks for the other — a chain
+    must continue in the wire format it started with."""
+    corpus = synthetic_corpus(spark, n_docs=30, doc_len=20)
+    ckpt = str(tmp_path / "join_ckpt_geom")
+    base = dict(num_topics=3, burn_in_iterations=0, average_model=False,
+                seed=31, num_partitions=2, model_mode="join")
+    straight = train(
+        corpus, TrainConfig(**base, total_iterations=4, join_exchange="chunks")
+    ).raw_model
+    train(corpus, TrainConfig(**base, total_iterations=2, join_exchange="chunks",
+                              checkpoint_dir=ckpt, checkpoint_every=2))
+    resumed = train(
+        corpus,
+        TrainConfig(**base, total_iterations=4, join_exchange="words"),
+        resume_from=ckpt,
+    ).raw_model
+    assert np.array_equal(straight.nwk, resumed.nwk)
+
+
+def test_join_exchange_auto_resolution():
+    from plda_spark.lda.train import _CHUNK_DENSE_MAX_BYTES, _resolve_join_exchange
+
+    cfg = TrainConfig(num_topics=10, average_model=False, model_mode="join")
+    # token-rich + dense-affordable -> chunks
+    assert _resolve_join_exchange(cfg, 1000, 1000 * 8, 4) == "chunks"
+    # token-poor partitions -> words (slicing genuinely prunes)
+    assert _resolve_join_exchange(cfg, 1000, 1000, 4) == "words"
+    # dense block past the per-task budget -> words
+    big_v = _CHUNK_DENSE_MAX_BYTES // (10 * 8) + 1
+    assert _resolve_join_exchange(cfg, big_v, big_v * 100, 4) == "words"
+    # explicit settings win over the heuristic
+    for forced in ("words", "chunks"):
+        f = TrainConfig(num_topics=10, average_model=False, model_mode="join",
+                        join_exchange=forced)
+        assert _resolve_join_exchange(f, 1000, 0, 4) == forced
+    with pytest.raises(ValueError):
+        TrainConfig(num_topics=3, model_mode="join", average_model=False,
+                    join_exchange="bogus").validate()
+
+
+def test_chunk_grid_geometry():
+    from plda_spark.lda.train import _chunk_grid
+
+    # chunk count >= parallelism (rebuild parallelism), covers V exactly
+    c, w = _chunk_grid(100_000, 10, 32)
+    assert c >= 32 and (c - 1) * w < 100_000 <= c * w
+    # tiny vocab: never more chunks than words
+    c, w = _chunk_grid(5, 10, 32)
+    assert c <= 5 and c * w >= 5
+    # huge V*K: chunks shrink toward the target byte size
+    c, w = _chunk_grid(10_000_000, 100, 32)
+    assert w * 100 * 8 <= 8 << 20

@@ -10,9 +10,12 @@ chart describes (one AllReduce per iteration, mpi_lda.cc:213-235).
 Usage: python tools/bench_lda_scale.py [n_docs] [avg_len] [vocab] [k] [iters] [mode]
 
 ``mode`` is ``broadcast`` (default — the reference's replicated-model
-design) or ``join`` (model-as-DataFrame: no V·K broadcast or driver
-copy; the corpus and model-slice rows ride shuffles instead — the
-beyond-broadcast-ceiling path, costed here so the trade is recorded).
+design), ``join`` (model-as-DataFrame with the word-sliced exchange,
+``join_exchange='words'``: no V·K broadcast or driver copy; model-slice
+rows ride shuffles — the beyond-broadcast-ceiling path), or ``chunks``
+(``join_exchange='chunks'``: the model rides the shuffle as dense
+binary chunk rows — the 'auto' pick in token-rich regimes, ~2× faster
+than the words exchange with bit-identical output).
 """
 
 from __future__ import annotations
@@ -32,6 +35,15 @@ from pyspark.sql import functions as F
 
 from plda_spark.lda import train as T
 from plda_spark.session import get_spark
+
+
+def _driver_mem() -> str:
+    """Heap actually used (local mode = ONE JVM for driver+executors, so
+    this bounds executor memory too; size it like a real executor —
+    join/chunks modes keep two checkpoint generations + a model exchange
+    live, and an 8g heap GC-thrashes at NYTimes scale)."""
+    import os
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
 def main() -> None:
@@ -66,6 +78,9 @@ def main() -> None:
     )
     if mode == "join":
         _run_join(spark, packed, V, K, iters, n_docs)
+        return
+    if mode == "chunks":
+        _run_chunks(spark, packed, V, K, iters, n_docs)
         return
 
     t0 = time.time()
@@ -102,7 +117,7 @@ def main() -> None:
 
     print(json.dumps({
         "n_docs": n_docs, "vocab": V, "k": K, "n_tokens": int(n_tokens),
-        "cores": P, "init_s": round(t_init, 2), "first_agg_s": round(t_agg0, 2),
+        "cores": P, "driver_mem": _driver_mem(), "init_s": round(t_init, 2), "first_agg_s": round(t_agg0, 2),
         "iteration_s": iter_times,
         "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
     }))
@@ -175,7 +190,68 @@ def _run_join(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
 
     print(json.dumps({
         "mode": "join", "n_docs": n_docs, "vocab": V, "k": K,
-        "n_tokens": int(n_tokens), "cores": P, "init_s": round(t_init, 2),
+        "n_tokens": int(n_tokens), "cores": P, "driver_mem": _driver_mem(), "init_s": round(t_init, 2),
+        "iteration_s": iter_times,
+        "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
+    }))
+    spark.stop()
+
+
+def _run_chunks(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
+    """join_exchange='chunks' per-iteration cost at the same scale: the
+    model rides the shuffle as C dense binary chunk rows (pid×chunk
+    cross join), the rebuild is a per-chunk buffer sum — same bytes as
+    the words exchange in the dense regime, ~P·C rows instead of P·V."""
+    sc = spark.sparkContext
+    P = sc.defaultParallelism
+
+    t0 = time.time()
+    _, W = T._chunk_grid(V, K, P)
+    pid = F.pmod(F.hash("doc_id"), F.lit(P)).cast("int")
+    with_pid = packed.withColumn("pid", pid)
+    z_ckpt = (
+        with_pid.select("pid", "doc_id", "word_occ")
+        .groupBy("pid")
+        .applyInPandas(T._chunk_zinit_fn(K, 42, V, W), schema=T._JOIN_SWEEP_SCHEMA)
+        .localCheckpoint(eager=False)
+    )
+    df_z = z_ckpt
+    m_ckpt = T._chunk_model_df(df_z, K).localCheckpoint(eager=True)
+    model_df = T._fresh_stats(m_ckpt)
+    pids_df = spark.range(P).select(F.col("id").cast("int").alias("pid"))
+    t_init = time.time() - t0
+
+    n_tokens = (
+        df_z.where(F.col("doc_id") >= 0)
+        .select(F.sum(F.length("word_occ") / 4))
+        .collect()[0][0]
+    )
+
+    iter_times = []
+    for it in range(iters):
+        t0 = time.time()
+        nk = T._chunk_nk(model_df, K)
+        slices = F.broadcast(pids_df).crossJoin(model_df)
+        swept = (
+            df_z.where(F.col("doc_id") >= 0)
+            .groupby("pid")
+            .cogroup(slices.groupby("pid"))
+            .applyInPandas(
+                T._chunk_sweep_fn(nk, V, 0.1, 0.01, 42, it, False, W),
+                schema=T._JOIN_SWEEP_SCHEMA,
+            )
+        )
+        new_z = swept.localCheckpoint(eager=False)
+        new_m_ckpt = T._chunk_model_df(new_z, K).localCheckpoint(eager=True)
+        z_ckpt.unpersist()
+        m_ckpt.unpersist()
+        df_z, z_ckpt, m_ckpt = new_z, new_z, new_m_ckpt
+        model_df = T._fresh_stats(new_m_ckpt)
+        iter_times.append(round(time.time() - t0, 2))
+
+    print(json.dumps({
+        "mode": "chunks", "n_docs": n_docs, "vocab": V, "k": K,
+        "n_tokens": int(n_tokens), "cores": P, "driver_mem": _driver_mem(), "init_s": round(t_init, 2),
         "iteration_s": iter_times,
         "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
     }))

@@ -481,32 +481,99 @@ def _join_payload_row(pid: int, local_words: np.ndarray, acc_local: np.ndarray,
     )
 
 
+# Shared doc-side mechanics for BOTH join-mode wire formats.  The two
+# exchanges are bit-identical precisely because these blocks are the
+# SAME code: same doc sort, same RNG consumption order, same unpack
+# math, same LL loop, same kernel call.  Only the model representation
+# (sparse local slice vs dense global block) differs, and each sweep fn
+# contributes exactly that part.
+
+
+def _zinit_docs(pdf: pd.DataFrame, num_topics: int, seed: int):
+    """Sorted docs + per-occurrence initial assignments + the doc output
+    frame.  Returns (pid, occ_all, z_all, out_frame)."""
+    pid = int(pdf["pid"].iloc[0])
+    pdf = pdf.sort_values("doc_id")
+    rng = kernel.make_rng(seed, pid, 0)
+    occs = [np.asarray(o, dtype=np.int32) for o in pdf["word_occ"]]
+    zs = [kernel.init_assignments(len(o), num_topics, rng) for o in occs]
+    occ_all = np.concatenate(occs) if occs else np.empty(0, np.int32)
+    z_all = np.concatenate(zs) if zs else np.empty(0, np.int32)
+    out = pd.DataFrame(
+        {
+            "pid": np.full(len(pdf), pid, dtype=np.int32),
+            "doc_id": pdf["doc_id"].to_numpy(),
+            "word_occ": [o.tobytes() for o in occs],
+            "z": [zz.tobytes() for zz in zs],
+            "ll": np.zeros(len(pdf)),
+        }
+    )
+    return pid, occ_all, z_all, out
+
+
+def _unpack_docs(docs: pd.DataFrame):
+    """Binary doc rows → (offsets, word_occ, z) flat int32 arrays."""
+    lens = (docs["word_occ"].map(len).to_numpy() // 4).astype(np.int64)
+    offsets = np.zeros(len(docs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    word_occ = (
+        np.frombuffer(b"".join(docs["word_occ"]), dtype=np.int32).copy()
+        if len(docs) else np.empty(0, np.int32)
+    )
+    z = (
+        np.frombuffer(b"".join(docs["z"]), dtype=np.int32).copy()
+        if len(docs) else np.empty(0, np.int32)
+    )
+    return offsets, word_occ, z
+
+
+def _ll_sweep_docs(pid, docs, offsets, occ_idx, z, nwk, nk, alpha, beta, rng,
+                   vocab_size, compute_likelihood):
+    """Pre-sweep LL loop + the Gibbs sweep + the doc output frame.
+    ``occ_idx`` indexes ``nwk`` rows — partition-local ids in the words
+    exchange, global word ids in the chunks exchange; the sampled values
+    are identical either way.  Returns (out_frame, ll_total)."""
+    K = nk.shape[0]
+    lls = np.zeros(len(docs))
+    ll_total = 0.0
+    if compute_likelihood:
+        for d in range(len(docs)):
+            s, e = offsets[d], offsets[d + 1]
+            ndk = np.bincount(z[s:e], minlength=K).astype(np.float64)
+            uw, cnt = np.unique(occ_idx[s:e], return_counts=True)
+            lls[d] = kernel.doc_log_likelihood(
+                uw, cnt.astype(np.float64), ndk, nwk, nk, alpha, beta,
+                vocab_size=vocab_size,
+            )
+        ll_total = float(lls.sum())
+
+    kernel.sweep_docs(
+        occ_idx, z, offsets, nwk, nk, alpha, beta, rng,
+        update_model=True, vocab_size=vocab_size,
+    )
+    out = pd.DataFrame(
+        {
+            "pid": np.full(len(docs), pid, dtype=np.int32),
+            "doc_id": docs["doc_id"].to_numpy(),
+            "word_occ": docs["word_occ"],
+            "z": [z[offsets[d]:offsets[d + 1]].tobytes() for d in range(len(docs))],
+            "ll": lls,
+        }
+    )
+    return out, ll_total
+
+
 def _join_zinit_fn(num_topics: int, seed: int):
     """applyInPandas per-pid z-init: packed arrays → binary layout +
     payload row of this pid's initial counts (global indices)."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["pid"].iloc[0])
-        pdf = pdf.sort_values("doc_id")
-        rng = kernel.make_rng(seed, pid, 0)
-        occs = [np.asarray(o, dtype=np.int32) for o in pdf["word_occ"]]
-        zs = [kernel.init_assignments(len(o), num_topics, rng) for o in occs]
-        occ_all = np.concatenate(occs) if occs else np.empty(0, np.int32)
-        z_all = np.concatenate(zs) if zs else np.empty(0, np.int32)
+        pid, occ_all, z_all, out = _zinit_docs(pdf, num_topics, seed)
         local_words = np.unique(occ_all.astype(np.int64))
         acc = np.zeros(local_words.shape[0] * num_topics, dtype=np.int64)
         if occ_all.shape[0]:
             loc = np.searchsorted(local_words, occ_all.astype(np.int64))
             np.add.at(acc, loc * num_topics + z_all, 1)
-        out = pd.DataFrame(
-            {
-                "pid": np.full(len(pdf), pid, dtype=np.int32),
-                "doc_id": pdf["doc_id"].to_numpy(),
-                "word_occ": [o.tobytes() for o in occs],
-                "z": [zz.tobytes() for zz in zs],
-                "ll": np.zeros(len(pdf)),
-            }
-        )
         return pd.concat(
             [out, _join_payload_row(pid, local_words, acc, num_topics)],
             ignore_index=True,
@@ -533,17 +600,7 @@ def _join_sweep_fn(nk_global: list[int], vocab_size: int, alpha: float, beta: fl
         )
         nk = np.asarray(nk_global, dtype=np.int64)
 
-        lens = (docs["word_occ"].map(len).to_numpy() // 4).astype(np.int64)
-        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        word_occ = (
-            np.frombuffer(b"".join(docs["word_occ"]), dtype=np.int32).copy()
-            if len(docs) else np.empty(0, np.int32)
-        )
-        z = (
-            np.frombuffer(b"".join(docs["z"]), dtype=np.int32).copy()
-            if len(docs) else np.empty(0, np.int32)
-        )
+        offsets, word_occ, z = _unpack_docs(docs)
         loc_occ = np.searchsorted(local_words, word_occ.astype(np.int64)).astype(np.int32)
         # Invariant: every word occurring in this partition has a model
         # row in the slice.  Checked with a real raise (not assert — that
@@ -561,35 +618,13 @@ def _join_sweep_fn(nk_global: list[int], vocab_size: int, alpha: float, beta: fl
                     f"{missing.tolist()}"
                 )
 
-        lls = np.zeros(len(docs))
-        ll_total = 0.0
-        if compute_likelihood:
-            for d in range(len(docs)):
-                s, e = offsets[d], offsets[d + 1]
-                ndk = np.bincount(z[s:e], minlength=K).astype(np.float64)
-                uw, cnt = np.unique(loc_occ[s:e], return_counts=True)
-                lls[d] = kernel.doc_log_likelihood(
-                    uw, cnt.astype(np.float64), ndk, local_nwk, nk, alpha, beta,
-                    vocab_size=vocab_size,
-                )
-            ll_total = float(lls.sum())
-
-        kernel.sweep_docs(
-            loc_occ, z, offsets, local_nwk, nk, alpha, beta, rng,
-            update_model=True, vocab_size=vocab_size,
+        out, ll_total = _ll_sweep_docs(
+            pid, docs, offsets, loc_occ, z, local_nwk, nk, alpha, beta, rng,
+            vocab_size, compute_likelihood,
         )
         acc = np.zeros(local_words.shape[0] * K, dtype=np.int64)
         if loc_occ.shape[0]:
             np.add.at(acc, loc_occ.astype(np.int64) * K + z, 1)
-        out = pd.DataFrame(
-            {
-                "pid": np.full(len(docs), pid, dtype=np.int32),
-                "doc_id": docs["doc_id"].to_numpy(),
-                "word_occ": docs["word_occ"],
-                "z": [z[offsets[d]:offsets[d + 1]].tobytes() for d in range(len(docs))],
-                "ll": lls,
-            }
-        )
         return pd.concat(
             [out, _join_payload_row(pid, local_words, acc, K, ll_total)],
             ignore_index=True,
@@ -647,7 +682,13 @@ def _join_model_df(df_z: DataFrame, num_topics: int) -> DataFrame:
 # (pinned in tests).
 
 _CHUNK_TARGET_BYTES = 4 << 20     # aim ~4 MB per chunk row
-_CHUNK_DENSE_MAX_BYTES = 128 << 20  # per-task dense V·K budget for 'auto'
+# 'auto' per-task memory budget for the chunks exchange.  A chunk-mode
+# task holds ~3 dense V·K copies at peak (the assembled nwk, the local
+# acc, and the received chunk / emitted delta byte buffers), so the
+# V·K·8 block itself is budgeted at a third of the allowance
+# (384 MB/task → dense blocks up to 128 MB qualify).
+_CHUNK_TASK_BUDGET_BYTES = 384 << 20
+_CHUNK_DENSE_COPIES = 3
 
 
 def _chunk_grid(vocab_size: int, num_topics: int, parallelism: int) -> tuple[int, int]:
@@ -693,25 +734,10 @@ def _chunk_zinit_fn(num_topics: int, seed: int, vocab_size: int, chunk_width: in
     """applyInPandas per-pid z-init, chunk wire format."""
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["pid"].iloc[0])
-        pdf = pdf.sort_values("doc_id")
-        rng = kernel.make_rng(seed, pid, 0)
-        occs = [np.asarray(o, dtype=np.int32) for o in pdf["word_occ"]]
-        zs = [kernel.init_assignments(len(o), num_topics, rng) for o in occs]
-        occ_all = np.concatenate(occs) if occs else np.empty(0, np.int32)
-        z_all = np.concatenate(zs) if zs else np.empty(0, np.int32)
+        pid, occ_all, z_all, out = _zinit_docs(pdf, num_topics, seed)
         acc = np.zeros(vocab_size * num_topics, dtype=np.int64)
         if occ_all.shape[0]:
             np.add.at(acc, occ_all.astype(np.int64) * num_topics + z_all, 1)
-        out = pd.DataFrame(
-            {
-                "pid": np.full(len(pdf), pid, dtype=np.int32),
-                "doc_id": pdf["doc_id"].to_numpy(),
-                "word_occ": [o.tobytes() for o in occs],
-                "z": [zz.tobytes() for zz in zs],
-                "ll": np.zeros(len(pdf)),
-            }
-        )
         return pd.concat(
             [out, _chunk_delta_rows(pid, acc, num_topics, chunk_width)],
             ignore_index=True,
@@ -725,8 +751,9 @@ def _chunk_sweep_fn(nk_global: list[int], vocab_size: int, alpha: float, beta: f
                     chunk_width: int):
     """Cogrouped sweep, chunk wire format: (docs for pid) × (all model
     chunks).  The kernel input is the FULL dense n_wk, so word ids need
-    no local remap (loc = global id) — everything else is identical to
-    the words-mode sweep, which makes the two modes bit-identical."""
+    no local remap (occ_idx = global id) — everything else is the SAME
+    code as the words-mode sweep (shared helpers), which makes the two
+    modes bit-identical."""
     K, W = len(nk_global), chunk_width
 
     def fn(key, docs: pd.DataFrame, model: pd.DataFrame) -> pd.DataFrame:
@@ -739,47 +766,30 @@ def _chunk_sweep_fn(nk_global: list[int], vocab_size: int, alpha: float, beta: f
             nwk[cid * W : cid * W + block.shape[0]] = block
         nk = np.asarray(nk_global, dtype=np.int64)
 
-        lens = (docs["word_occ"].map(len).to_numpy() // 4).astype(np.int64)
-        offsets = np.zeros(len(docs) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offsets[1:])
-        word_occ = (
-            np.frombuffer(b"".join(docs["word_occ"]), dtype=np.int32).copy()
-            if len(docs) else np.empty(0, np.int32)
-        )
-        z = (
-            np.frombuffer(b"".join(docs["z"]), dtype=np.int32).copy()
-            if len(docs) else np.empty(0, np.int32)
-        )
-
-        lls = np.zeros(len(docs))
-        ll_total = 0.0
-        if compute_likelihood:
-            for d in range(len(docs)):
-                s, e = offsets[d], offsets[d + 1]
-                ndk = np.bincount(z[s:e], minlength=K).astype(np.float64)
-                uw, cnt = np.unique(word_occ[s:e], return_counts=True)
-                lls[d] = kernel.doc_log_likelihood(
-                    uw, cnt.astype(np.float64), ndk, nwk, nk, alpha, beta,
-                    vocab_size=vocab_size,
+        offsets, word_occ, z = _unpack_docs(docs)
+        # Invariant (the chunks counterpart of the words-mode slice
+        # guard): every word occurring here was counted at init, so its
+        # model row must be nonzero.  A zero row means a chunk went
+        # missing (lost/partial checkpoint, pid-geometry mismatch) and
+        # sweeping against it would drive counts negative and corrupt
+        # the model SILENTLY — raise instead (a real raise, not assert).
+        if word_occ.shape[0]:
+            present = np.unique(word_occ.astype(np.int64))
+            covered = nwk[present].sum(axis=1) > 0
+            if not covered.all():
+                missing = present[~covered][:20]
+                raise RuntimeError(
+                    "partition word(s) have empty model chunks: "
+                    f"{missing.tolist()}"
                 )
-            ll_total = float(lls.sum())
 
-        kernel.sweep_docs(
-            word_occ, z, offsets, nwk, nk, alpha, beta, rng,
-            update_model=True, vocab_size=vocab_size,
+        out, ll_total = _ll_sweep_docs(
+            pid, docs, offsets, word_occ, z, nwk, nk, alpha, beta, rng,
+            vocab_size, compute_likelihood,
         )
         acc = np.zeros(vocab_size * K, dtype=np.int64)
         if word_occ.shape[0]:
             np.add.at(acc, word_occ.astype(np.int64) * K + z, 1)
-        out = pd.DataFrame(
-            {
-                "pid": np.full(len(docs), pid, dtype=np.int32),
-                "doc_id": docs["doc_id"].to_numpy(),
-                "word_occ": docs["word_occ"],
-                "z": [z[offsets[d]:offsets[d + 1]].tobytes() for d in range(len(docs))],
-                "ll": lls,
-            }
-        )
         return pd.concat(
             [out, _chunk_delta_rows(pid, acc, K, W, ll_total)],
             ignore_index=True,
@@ -851,14 +861,17 @@ def _chunk_rows_df(model_chunks: DataFrame, num_topics: int, chunk_width: int) -
 
 def _save_join_checkpoint(
     path: str, df_z: DataFrame, word_pid: DataFrame | None, it: int, lls, words,
-    exchange: str, chunk_width: int,
+    exchange: str, chunk_width: int, num_partitions: int,
 ) -> None:
     """Join-mode fault-tolerance state: the assignments (parquet), the
     static word-membership table (parquet; words exchange only), and
-    driver metadata (npz — including the exchange mode and chunk grid,
-    so a resumed run always continues in the geometry it started with).
-    The model table is NOT saved — it is a pure function of the
-    assignment payload rows and is rebuilt on resume."""
+    driver metadata (npz — including the exchange mode, chunk grid, and
+    partition count, so a resumed run always continues in the geometry
+    it started with: assignment rows carry pids baked from the original
+    P, and a resume-time P from a different machine/config would
+    otherwise leave pids ≥ P without model chunks).  The model table is
+    NOT saved — it is a pure function of the assignment payload rows
+    and is rebuilt on resume."""
     df_z.write.mode("overwrite").parquet(f"{path}/assignments")
     if word_pid is not None:
         word_pid.write.mode("overwrite").parquet(f"{path}/word_pid")
@@ -869,6 +882,7 @@ def _save_join_checkpoint(
         words=np.asarray(words, dtype=object),
         exchange=exchange,
         chunk_width=chunk_width,
+        num_partitions=num_partitions,
     )
 
 
@@ -880,7 +894,10 @@ def _resolve_join_exchange(config: TrainConfig, vocab_size: int,
     row by row (see TrainConfig.join_exchange)."""
     if config.join_exchange != "auto":
         return config.join_exchange
-    dense_ok = vocab_size * config.num_topics * 8 <= _CHUNK_DENSE_MAX_BYTES
+    dense_ok = (
+        vocab_size * config.num_topics * 8 * _CHUNK_DENSE_COPIES
+        <= _CHUNK_TASK_BUDGET_BYTES
+    )
     token_rich = total_tokens >= vocab_size * num_partitions
     return "chunks" if (dense_ok and token_rich) else "words"
 
@@ -953,9 +970,15 @@ def _train_join(
         lls = [float(x) for x in state["lls"]]
         start_it = int(state["next_iteration"])
         # The checkpoint's exchange geometry wins over config — a chain
-        # must continue in the wire format it started with (older
-        # checkpoints predate the field and are words-exchange).
+        # must continue in the wire format AND partition count it
+        # started with: assignment rows carry pids baked from the
+        # original P, so a resume-time P (different machine, changed
+        # num_partitions) would leave pids ≥ P without model chunks.
+        # (Older checkpoints predate these fields and are
+        # words-exchange; their pid geometry rides in word_pid.)
         exch = str(state["exchange"]) if "exchange" in state.files else "words"
+        if "num_partitions" in state.files:
+            P = int(state["num_partitions"])
         if exch == "words":
             word_pid = (
                 spark.read.parquet(f"{resume_from}/word_pid")
@@ -1038,7 +1061,7 @@ def _train_join(
         if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
             _save_join_checkpoint(
                 config.checkpoint_dir, df_z, word_pid, it, lls, words,
-                exch, chunk_w,
+                exch, chunk_w, P,
             )
 
     # Driver materialization for API parity (tests, describe_topics, serde).

@@ -396,7 +396,9 @@ def test_join_exchange_checkpoint_geometry_wins(spark, tmp_path):
 
 
 def test_join_exchange_auto_resolution():
-    from plda_spark.lda.train import _CHUNK_DENSE_MAX_BYTES, _resolve_join_exchange
+    from plda_spark.lda.train import (
+        _CHUNK_DENSE_COPIES, _CHUNK_TASK_BUDGET_BYTES, _resolve_join_exchange,
+    )
 
     cfg = TrainConfig(num_topics=10, average_model=False, model_mode="join")
     # token-rich + dense-affordable -> chunks
@@ -404,7 +406,7 @@ def test_join_exchange_auto_resolution():
     # token-poor partitions -> words (slicing genuinely prunes)
     assert _resolve_join_exchange(cfg, 1000, 1000, 4) == "words"
     # dense block past the per-task budget -> words
-    big_v = _CHUNK_DENSE_MAX_BYTES // (10 * 8) + 1
+    big_v = _CHUNK_TASK_BUDGET_BYTES // (_CHUNK_DENSE_COPIES * 10 * 8) + 1
     assert _resolve_join_exchange(cfg, big_v, big_v * 100, 4) == "words"
     # explicit settings win over the heuristic
     for forced in ("words", "chunks"):
@@ -428,3 +430,25 @@ def test_chunk_grid_geometry():
     # huge V*K: chunks shrink toward the target byte size
     c, w = _chunk_grid(10_000_000, 100, 32)
     assert w * 100 * 8 <= 8 << 20
+
+
+def test_join_resume_uses_checkpointed_partition_count(spark, tmp_path):
+    """Assignment rows carry pids baked from the original P; a resume
+    with a different num_partitions (new machine, changed config) must
+    continue in the CHECKPOINTED geometry, not the new one — otherwise
+    pids >= new-P would get empty model groups and corrupt silently."""
+    corpus = synthetic_corpus(spark, n_docs=30, doc_len=20)
+    ckpt = str(tmp_path / "join_ckpt_p")
+    base = dict(num_topics=3, burn_in_iterations=0, average_model=False,
+                seed=31, model_mode="join", join_exchange="chunks")
+    straight = train(
+        corpus, TrainConfig(**base, total_iterations=4, num_partitions=3)
+    ).raw_model
+    train(corpus, TrainConfig(**base, total_iterations=2, num_partitions=3,
+                              checkpoint_dir=ckpt, checkpoint_every=2))
+    resumed = train(
+        corpus,
+        TrainConfig(**base, total_iterations=4, num_partitions=2),
+        resume_from=ckpt,
+    ).raw_model
+    assert np.array_equal(straight.nwk, resumed.nwk)

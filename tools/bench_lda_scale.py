@@ -37,13 +37,12 @@ from plda_spark.lda import train as T
 from plda_spark.session import get_spark
 
 
-def _driver_mem() -> str:
-    """Heap actually used (local mode = ONE JVM for driver+executors, so
-    this bounds executor memory too; size it like a real executor —
-    join/chunks modes keep two checkpoint generations + a model exchange
-    live, and an 8g heap GC-thrashes at NYTimes scale)."""
-    import os
-    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+def _driver_mem(spark) -> str:
+    """Heap actually used, read from the LIVE conf (local mode = ONE JVM
+    for driver+executors, so this bounds executor memory too; join/chunks
+    modes keep two checkpoint generations + a model exchange live, and an
+    undersized heap GC-thrashes at NYTimes scale)."""
+    return spark.sparkContext.getConf().get("spark.driver.memory", "default")
 
 
 def main() -> None:
@@ -117,7 +116,7 @@ def main() -> None:
 
     print(json.dumps({
         "n_docs": n_docs, "vocab": V, "k": K, "n_tokens": int(n_tokens),
-        "cores": P, "driver_mem": _driver_mem(), "init_s": round(t_init, 2), "first_agg_s": round(t_agg0, 2),
+        "cores": P, "driver_mem": _driver_mem(spark), "init_s": round(t_init, 2), "first_agg_s": round(t_agg0, 2),
         "iteration_s": iter_times,
         "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
     }))
@@ -190,7 +189,7 @@ def _run_join(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
 
     print(json.dumps({
         "mode": "join", "n_docs": n_docs, "vocab": V, "k": K,
-        "n_tokens": int(n_tokens), "cores": P, "driver_mem": _driver_mem(), "init_s": round(t_init, 2),
+        "n_tokens": int(n_tokens), "cores": P, "driver_mem": _driver_mem(spark), "init_s": round(t_init, 2),
         "iteration_s": iter_times,
         "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
     }))
@@ -251,7 +250,7 @@ def _run_chunks(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
 
     print(json.dumps({
         "mode": "chunks", "n_docs": n_docs, "vocab": V, "k": K,
-        "n_tokens": int(n_tokens), "cores": P, "driver_mem": _driver_mem(), "init_s": round(t_init, 2),
+        "n_tokens": int(n_tokens), "cores": P, "driver_mem": _driver_mem(spark), "init_s": round(t_init, 2),
         "iteration_s": iter_times,
         "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
     }))

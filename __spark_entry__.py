@@ -1323,6 +1323,28 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_csv_roundtrip"] = source_csv_roundtrip
 
+    def source_wet_roundtrip(spark, sf):
+        """Common Crawl WARC/WET connector round-trip: render the
+        documents table as gzip WET shards (Content-Length = UTF-8
+        octets), read them back with the Content-Length-exact record
+        walker (one task per shard — the Common Crawl parallelism
+        model), and recover every document byte-for-byte."""
+        import tempfile
+
+        from plda_spark.sources import wet
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        tmp = tempfile.mkdtemp(prefix="plda_wet_")
+        wet.write_wet(docs, f"{tmp}/shards", compress=True)
+        back = wet.read_wet(spark, f"{tmp}/shards")
+        return back.select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.col("content_length"),
+            "text",
+        )
+
+    q["source_wet_roundtrip"] = source_wet_roundtrip
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3339,6 +3361,14 @@ FROM s GROUP BY user_id, session_id
 SELECT doc_id, text, lang, source FROM documents
 """
 
+    # WET round-trip recovers every document byte-for-byte; the declared
+    # Content-Length is UTF-8 octets (DuckDB strlen = bytes, length =
+    # characters).
+    o["source_wet_roundtrip"] = """
+SELECT doc_id, CAST(strlen(text) AS BIGINT) AS content_length, text
+FROM documents
+"""
+
     o["rel_pivot_daily_events"] = """
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -4755,6 +4785,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_rolling_daily",
     "graph_pagerank",
     "source_csv_roundtrip",
+    "source_wet_roundtrip",
     "stream_top_users",
     "dedup_semantic",
     "stats_key_skew",

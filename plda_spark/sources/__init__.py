@@ -1,7 +1,8 @@
 """Sources and sinks: parquet tables, plda text format, UCI bag-of-words,
 JSONL and CSV (both with corrupt-row quarantine), sharded/bucketed sinks,
-a date-partitioned sink with pruning-pinned reads, and Z-order (Morton)
-clustered writes."""
+a date-partitioned sink with pruning-pinned reads, Z-order (Morton)
+clustered writes, and Common Crawl WARC/WET shards (Content-Length-exact
+record walking, file-granular parallelism)."""
 
 from .bucketed import read_bucketed, write_bucketed  # noqa: F401
 from .csv import read_csv, read_csv_with_errors, write_csv  # noqa: F401
@@ -10,6 +11,7 @@ from .partitioned import read_partitioned, write_partitioned_by_day  # noqa: F40
 from .plda_text import read_plda_corpus, write_plda_corpus  # noqa: F401
 from .tables import load_all, load_table  # noqa: F401
 from .uci import read_uci_docword, uci_to_corpus  # noqa: F401
+from .wet import read_wet, write_wet  # noqa: F401
 from .zorder import write_zordered, zvalue_col  # noqa: F401
 
 __all__ = [
@@ -31,4 +33,6 @@ __all__ = [
     "load_table",
     "read_uci_docword",
     "uci_to_corpus",
+    "read_wet",
+    "write_wet",
 ]

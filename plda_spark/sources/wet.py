@@ -1,0 +1,155 @@
+"""WARC/WET source — the Common Crawl wire format, i.e. what a 100 TB
+pretraining ingest actually reads.
+
+A WET file is a sequence of WARC records: a version line (``WARC/1.0``),
+``Name: value`` headers, a blank line (``\\r\\n\\r\\n``), then EXACTLY
+``Content-Length`` bytes of extracted-text payload.  Parsing MUST walk
+records by Content-Length — payloads are arbitrary text and can embed
+``WARC/1.0`` or blank lines, so any split-on-marker reader silently
+corrupts; this one never searches inside a declared payload.
+
+Scale shape (``read_wet``): one task per file via the ``binaryFile``
+datasource — exactly the Common Crawl parallelism model (a dump is
+~100k independent ~150 MB ``.warc.wet.gz`` shards; gzip members aren't
+block-splittable anyway, so file-granular is the natural unit).  Each
+task inflates (pure ``gzip`` stdlib, magic-sniffed — not extension-
+trusted) and walks its shard once, emitting (url, date, length, text)
+rows; peak per-task memory is one decompressed shard.  Nothing touches
+the driver; downstream pruning/filtering is ordinary Catalyst over the
+emitted columns.  Corrupt shards fail LOUDLY with file + byte offset —
+a truncated record means upstream transfer loss, and skipping it
+silently would make corpus counts irreproducible (same policy as the
+CSV/JSONL quarantine rationale, sources/csv.py).
+
+``write_wet`` renders records as single string rows (headers +
+``Content-Length``-exact payload) through the ordinary text sink with
+``\\r\\n`` separators, so shard writing distributes like any Spark
+write (optionally gzip per part-file).  Byte lengths use
+``F.octet_length`` (UTF-8 bytes), NOT ``F.length`` (characters) — the
+reader trusts Content-Length, so a character count would truncate every
+non-ASCII document.
+"""
+
+from __future__ import annotations
+
+import gzip
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["read_wet", "write_wet"]
+
+_WET_SCHEMA = (
+    "wet_file string, url string, warc_date string, "
+    "content_length long, text string"
+)
+
+
+def _parse_wet_bytes(data: bytes, src: str) -> Iterator[tuple]:
+    """Walk one (decompressed) WET shard by Content-Length.  Yields
+    (url, warc_date, content_length, text) for conversion records;
+    warcinfo/metadata records are skipped.  Raises on truncation or a
+    missing Content-Length — never guesses record boundaries."""
+    pos, n = 0, len(data)
+    while True:
+        idx = data.find(b"WARC/", pos)
+        if idx < 0:
+            return
+        hend = data.find(b"\r\n\r\n", idx)
+        if hend < 0:
+            raise ValueError(f"{src}: truncated WARC header at byte {idx}")
+        headers: dict[str, str] = {}
+        header_lines = data[idx:hend].decode("utf-8", "replace").split("\r\n")
+        for line in header_lines[1:]:
+            key, _, val = line.partition(":")
+            headers[key.strip().lower()] = val.strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise ValueError(
+                f"{src}: missing/invalid Content-Length at byte {idx}"
+            ) from None
+        body_start = hend + 4
+        body_end = body_start + clen
+        if body_end > n:
+            raise ValueError(f"{src}: truncated record payload at byte {idx}")
+        # WET conversion records carry the source URI; warcinfo doesn't.
+        if headers.get("warc-type", "conversion") == "conversion" and (
+            "warc-target-uri" in headers
+        ):
+            yield (
+                headers["warc-target-uri"],
+                headers.get("warc-date", ""),
+                clen,
+                data[body_start:body_end].decode("utf-8", "replace"),
+            )
+        pos = body_end
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET shards → ``(wet_file, url, warc_date, content_length, text)``.
+
+    One task per shard (``binaryFile``), gzip sniffed per file by magic
+    bytes.  See the module docstring for the scale rationale."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for fpath, blob in zip(pdf["path"], pdf["content"]):
+                data = bytes(blob)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                rows = list(_parse_wet_bytes(data, str(fpath)))
+                yield pd.DataFrame(
+                    {
+                        "wet_file": [str(fpath)] * len(rows),
+                        "url": [r[0] for r in rows],
+                        "warc_date": [r[1] for r in rows],
+                        "content_length": pd.array(
+                            [r[2] for r in rows], dtype="int64"
+                        ),
+                        "text": [r[3] for r in rows],
+                    }
+                )
+
+    return files.select("path", "content").mapInPandas(parse, schema=_WET_SCHEMA)
+
+
+def write_wet(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_prefix: str = "http://corpus.local/",
+    warc_date: str = "2024-01-01T00:00:00Z",
+    compress: bool = False,
+) -> None:
+    """Render docs as WET conversion records through the distributed
+    text sink (one record string per row, ``\\r\\n`` line separator so
+    each record ends with the spec's blank line).  ``Content-Length``
+    is ``octet_length`` — UTF-8 BYTES, the only length the reader
+    trusts.  ``compress=True`` gzips each part-file (the Common Crawl
+    layout; gzip is per-file, preserving file-granular read
+    parallelism)."""
+    record = F.concat(
+        F.lit("WARC/1.0\r\n"),
+        F.lit("WARC-Type: conversion\r\n"),
+        F.lit("WARC-Target-URI: "),
+        F.lit(url_prefix),
+        F.col(id_col).cast("string"),
+        F.lit("\r\n"),
+        F.lit("WARC-Date: "),
+        F.lit(warc_date),
+        F.lit("\r\n"),
+        F.lit("Content-Length: "),
+        F.octet_length(F.col(text_col)).cast("string"),
+        F.lit("\r\n\r\n"),
+        F.col(text_col),
+        F.lit("\r\n"),
+    )
+    writer = docs.select(record.alias("value")).write.option("lineSep", "\r\n")
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.mode("overwrite").text(path)

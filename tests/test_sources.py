@@ -312,3 +312,61 @@ def test_csv_no_cache_leak_and_header_identical_data_row(spark, tmp_path):
     # CacheManager (which GC never cleans) stays empty; the returned
     # frames live in their own GC-cleaned checkpoint blocks instead
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_wet_roundtrip_tricky_payloads(spark, tmp_path):
+    """WET records must round-trip byte-for-byte: Content-Length is
+    UTF-8 OCTETS, and payloads embedding 'WARC/1.0' or blank lines must
+    not confuse the reader (it walks by Content-Length, never by
+    marker search)."""
+    from plda_spark.sources import wet
+
+    rows = [
+        (0, "plain ascii"),
+        (1, "unicode: café 中文 \U0001f600"),
+        (2, "embedded marker WARC/1.0\r\n\r\nWARC-Type: fake\r\n"),
+        (3, ""),
+        (4, "line1\nline2\r\nline3"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for gz in (False, True):
+        path = str(tmp_path / f"wet_{gz}")
+        wet.write_wet(docs, path, compress=gz)
+        back = wet.read_wet(spark, path)
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): (r["text"], r["content_length"])
+            for r in back.collect()
+        }
+        assert got == {
+            d: (t, len(t.encode("utf-8"))) for d, t in rows
+        }, f"compress={gz}"
+
+
+def test_wet_skips_warcinfo_and_fails_loudly_on_truncation(spark, tmp_path):
+    from plda_spark.sources import wet
+
+    good = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"info body"
+        b"\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://x/7\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    d = tmp_path / "wet_ok"
+    d.mkdir()
+    (d / "a.warc.wet").write_bytes(good)
+    rows = wet.read_wet(spark, str(d)).collect()
+    # warcinfo (no target URI) skipped; the conversion record survives
+    assert [(r["url"], r["text"]) for r in rows] == [("http://x/7", "hello")]
+
+    # a record whose declared payload runs past EOF must raise with the
+    # file and offset, not silently emit a short document
+    bad = good[:-9]  # chop into the final payload
+    d2 = tmp_path / "wet_bad"
+    d2.mkdir()
+    (d2 / "b.warc.wet").write_bytes(bad)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="truncated"):
+        wet.read_wet(spark, str(d2)).collect()

@@ -380,3 +380,26 @@ def test_gopher_and_c4_are_pruned_scans(spark):
         ), (name, s["read_schemas"])
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, name
+
+
+def test_gopher_repetition_fanout_contract(spark):
+    """The Arrow repetition pass injects a repartition ONLY when the
+    input is an exchange-free scan with fewer partitions than cores
+    (tiny-file case); an input that already fills the cluster — or has
+    any upstream exchange — passes through with no added shuffle."""
+    import pyspark.sql.functions as F
+
+    from plda_spark.operators import text
+
+    par = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000, numPartitions=par).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = text.gopher_repetition(wide)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    narrow = spark.range(1000, numPartitions=1).select(
+        F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
+    )
+    plan = text.gopher_repetition(narrow)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # exactly the fan-out repartition

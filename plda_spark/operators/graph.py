@@ -108,16 +108,29 @@ def triangles(
     Returns one row: ``(n_triangles)``.
 
     The naive closure join counts each triangle six ways and explodes
-    on hubs.  This is the standard DEGREE-ORDERED formulation (the
-    MapReduce/GraphX recipe): totally order nodes by (degree, id) —
-    compared directly as a struct, NO global rank sort — orient every
-    edge low→high, build wedges by self-joining oriented edges on their
-    low endpoint, and probe each wedge against the oriented edge set.
-    Each triangle is counted exactly once, and a node's wedge fan-out
-    is its ORIENTED out-degree — O(√m) for any graph — so hub nodes
-    (the killer at 100 TB link graphs) cannot dominate a task.  Two
-    degree joins + the wedge/closure equi-joins; no theta join, no
-    single-task stage anywhere.
+    on hubs.  This is the DEGREE-ORDERED adjacency-intersection
+    formulation: totally order nodes by (degree, id) — compared
+    directly as a struct, NO global rank sort — orient every edge
+    low→high, build each node's oriented out-neighbor list, and count
+    per oriented edge (u,v) the intersection |N⁺(u) ∩ N⁺(v)| (JVM
+    ``array_intersect``, hash-based).  Each triangle is counted exactly
+    once at its lowest-ordered vertex pair.  Orientation bounds every
+    out-neighbor list at O(√m) REGARDLESS of hub degree (the killer at
+    100 TB link graphs), so adjacency rows stay small and no task can
+    be dominated by one node.  Total intersection work is the same
+    Σ d⁺² the classic wedge enumeration does, but entirely inside
+    whole-stage codegen with NO wedge materialization: the earlier
+    wedge/closure-join version shuffled+sorted the full wedge set (41 M
+    rows at the benchmark's 1.2 M-edge co-purchase graph) and benched
+    2× slower for identical counts.
+
+    The normalized edge list and the oriented edge list are LAZILY
+    localCheckpointed: SQL plans are trees, so the self-references
+    otherwise duplicate the entire upstream (edge construction +
+    distinct + both degree joins) once per branch.  Both tables are
+    O(m) rows of ids (far smaller than whatever built the edges), the
+    blocks are GC-cleaned with the returned frame's lineage, and
+    laziness keeps operator construction job-free.
     """
     e = (
         edges.select(
@@ -126,6 +139,7 @@ def triangles(
         )
         .where(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
@@ -142,17 +156,20 @@ def triangles(
         .select(
             F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
-            F.when(ka < kb, F.col("db")).otherwise(F.col("da")).alias("dv"),
         )
+        .localCheckpoint(eager=False)
     )
-    w1 = o.select("u", F.col("v").alias("v1"), F.col("dv").alias("d1"))
-    w2 = o.select("u", F.col("v").alias("v2"), F.col("dv").alias("d2"))
-    wedges = (
-        w1.join(w2, "u")
-        .where(F.struct("d1", "v1") < F.struct("d2", "v2"))
-        .select("v1", "v2")
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    au = adj.select("u", F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
+    # Inner joins are exact: u always has an out-list (the edge itself
+    # is in it); an edge whose v has NO out-list closes zero triangles
+    # and contributes nothing to the sum either way.
+    per_edge = (
+        o.join(au, "u")
+        .join(av, "v")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("c"))
     )
-    closing = o.select(F.col("u").alias("v1"), F.col("v").alias("v2"))
-    return wedges.join(closing, ["v1", "v2"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    return per_edge.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
     )

@@ -624,6 +624,32 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_ivfpq_topk"] = sim_ivfpq_topk
 
+    def sim_ivfpq_index(spark, sf):
+        """Persisted IVF-PQ index (operators.similarity.ivf_pq_build /
+        ivf_pq_search): quantizers trained + corpus encoded ONCE to a
+        cell-partitioned parquet layout, then searched with parquet
+        partition pruning over the probed cells (plan-pinned in
+        tests/test_plans.py).  Exactness config (exhaustive probe +
+        shortlist ≥ |corpus|) so the brute-force oracle applies while
+        the whole build→persist→prune→ADC→re-rank path executes."""
+        import tempfile
+
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        k = 5
+        oversample = -(-emb.count() // k)
+        tmp = tempfile.mkdtemp(prefix="plda_ivfpq_")
+        similarity.ivf_pq_build(
+            emb, dim=64, path=tmp, n_cells=8, m=8, k_codes=16
+        )
+        return similarity.ivf_pq_search(
+            qs, tmp, emb, k=k, n_probe=8, oversample=oversample
+        )
+
+    q["sim_ivfpq_index"] = sim_ivfpq_index
+
     # ---- text analysis -----------------------------------------------------
     q["text_token_stats"] = lambda spark, sf: text.token_stats(
         load_table(spark, sf, "documents")
@@ -2862,6 +2888,7 @@ SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= 5
     # IVF-PQ at exhaustive probe + corpus-wide shortlist: the exact
     # re-rank recovers brute-force top-k, so the same oracle applies.
     o["sim_ivfpq_topk"] = o["sim_brute_topk"]
+    o["sim_ivfpq_index"] = o["sim_brute_topk"]
 
     o["sim_near_dup_blocked"] = f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
@@ -4838,6 +4865,7 @@ EXTRA_QUERIES: list[str] = [
     "stream_session_window",
     "curation_ppl_buckets",
     "sim_ivfpq_topk",
+    "sim_ivfpq_index",
     "text_gopher_repetition",
 ]
 

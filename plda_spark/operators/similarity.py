@@ -42,6 +42,8 @@ __all__ = [
     "pq_topk",
     "pq_topk_refined",
     "ivf_pq_topk",
+    "ivf_pq_build",
+    "ivf_pq_search",
 ]
 
 
@@ -916,18 +918,30 @@ def ivf_pq_topk(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("emb")
     ).mapInPandas(encode, schema="vec_id long, cell int, code array<int>")
 
-    # Query prep (driver-side — query batches are small by construction,
-    # same contract as brute_force_topk/pq_topk): per-(query, probed
-    # cell) residual ADC tables.
+    prep = _query_probe_tables(queries, cents, books, n_probe, query_id_col, vec_col)
+    if prep is None:  # empty query batch: empty result, not an np.stack crash
+        return embeddings.sparkSession.createDataFrame([], empty_schema)
+    return _ivf_pq_search(
+        codes, queries, embeddings, books, prep, k, oversample,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _query_probe_tables(queries, cents, books, n_probe, query_id_col, vec_col):
+    """Driver-side query prep (query batches are small by construction,
+    same contract as brute_force_topk/pq_topk): nearest probed cells per
+    query + per-(query, probed cell) residual ADC tables.  Returns
+    ``(qids, probes, tables)`` or None for an empty query batch."""
+    m, k_codes, dsub = books.shape
     qrows = queries.select(
         F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qv")
     ).collect()
-    if not qrows:  # empty query batch: empty result, not an np.stack crash
-        return embeddings.sparkSession.createDataFrame([], empty_schema)
+    if not qrows:
+        return None
     qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
     Q = np.stack([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
     qcd = (Q**2).sum(axis=1)[:, None] - 2 * (Q @ cents.T) + (cents**2).sum(axis=1)[None, :]
-    n_probe_eff = min(int(n_probe), int(n_cells))
+    n_probe_eff = min(int(n_probe), cents.shape[0])
     probes = np.argsort(qcd, axis=1)[:, :n_probe_eff]  # (|Q|, n_probe)
     # tables[qi, pi, j, :] = distances of (q - cell_centroid) subvector j
     # to codebook j's entries
@@ -939,6 +953,31 @@ def ivf_pq_topk(
                 qj = qr[j * dsub : (j + 1) * dsub]
                 b = books[j]
                 tables[qi, pi, j, :] = ((b - qj[None, :]) ** 2).sum(axis=1)
+    return qids, probes, tables
+
+
+def _ivf_pq_search(
+    codes: DataFrame,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    books: np.ndarray,
+    prep: tuple,
+    k: int,
+    oversample: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+) -> DataFrame:
+    """ADC scan over (vec_id, cell, code) rows + shortlist + exact
+    re-rank — the search half shared by ``ivf_pq_topk`` (codes built
+    inline) and ``ivf_pq_search`` (codes read from a persisted,
+    cell-pruned index)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    m = books.shape[0]
+    qids, probes, tables = prep
+    n_probe_eff = probes.shape[1]
     shortlist_k = k * oversample
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1007,4 +1046,109 @@ def ivf_pq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+    )
+
+
+def ivf_pq_build(
+    embeddings: DataFrame,
+    dim: int,
+    path: str,
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    seed: int = 42,
+    max_train_sample: int = 20000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Build and PERSIST an IVF-PQ index: quantizers trained once, the
+    corpus encoded once, and every later query batch pays only a
+    pruned ADC scan (``ivf_pq_search``) instead of re-training and
+    re-encoding per call (what ``ivf_pq_topk`` does inline).
+
+    Layout: ``{path}/codes/`` is the ``(vec_id, code)`` table written
+    ``partitionBy("cell")`` — searching with ``n_probe`` of ``n_cells``
+    then reads ONLY the probed cells' files via parquet partition
+    pruning, which is the inverted-list file-skipping story at 100 TB
+    (cost ∝ probed fraction, not corpus size).  ``{path}/quantizer.npz``
+    holds the coarse centroids + residual codebooks (kilobytes, driver-
+    side).  Determinism: same (corpus, seed) → identical index."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    import pandas as pd
+    from collections.abc import Iterator
+
+    srows = (
+        embeddings.select(F.col(vec_col).alias("emb"))
+        .orderBy(F.col(id_col))
+        .limit(max_train_sample)
+        .collect()
+    )
+    if not srows:
+        raise ValueError("cannot build an IVF-PQ index over an empty corpus")
+    sample = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in srows])
+    cents = _kmeans(sample, n_cells, seed)
+    d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    resid = sample - cents[np.argmin(d2, axis=1)]
+    books = _fit_codebooks(resid, m, k_codes, [seed + 7 * j + 1 for j in range(m)])
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        c2 = (cents**2).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+            cd = (X**2).sum(axis=1)[:, None] - 2 * (X @ cents.T) + c2[None, :]
+            cell = np.argmin(cd, axis=1)
+            code = _nearest_codes(X - cents[cell], books)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vid"],
+                    "cell": cell.astype(np.int32),
+                    "code": list(code),
+                }
+            )
+
+    (
+        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
+        .mapInPandas(encode, schema="vec_id long, cell int, code array<int>")
+        .write.partitionBy("cell")
+        .mode("overwrite")
+        .parquet(f"{path}/codes")
+    )
+    np.savez(f"{path}/quantizer.npz", centroids=cents, codebooks=books)
+
+
+def ivf_pq_search(
+    queries: DataFrame,
+    path: str,
+    embeddings: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    oversample: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Search a persisted ``ivf_pq_build`` index: load the kB quantizer,
+    pick each query's ``n_probe`` nearest cells, and read ONLY those
+    cells' code files (``cell IN (…)`` on the partition column →
+    parquet partition pruning skips every unprobed inverted list), then
+    the shared ADC scan + shortlist + exact re-rank against
+    ``embeddings``.  Same output contract as ``ivf_pq_topk``; with
+    ``n_probe >= n_cells`` and ``k·oversample ≥ |corpus|`` it equals
+    brute-force cosine top-k."""
+    spark = queries.sparkSession
+    qz = np.load(f"{path}/quantizer.npz")
+    cents, books = qz["centroids"], qz["codebooks"]
+    prep = _query_probe_tables(queries, cents, books, n_probe, query_id_col, vec_col)
+    if prep is None:
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, sim double, rank int"
+        )
+    probed = sorted({int(c) for c in prep[1].ravel()})
+    codes = spark.read.parquet(f"{path}/codes").where(F.col("cell").isin(probed))
+    return _ivf_pq_search(
+        codes, queries, embeddings, books, prep, k, oversample,
+        id_col, vec_col, query_id_col,
     )

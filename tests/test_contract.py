@@ -28,6 +28,9 @@ EXECUTES_ON_BUILD = {
     "lda_topic_coherence",
     "stream_sessionize_stateful",
     "sim_ivf_topk",
+    "sim_ivfpq_topk",   # corpus count for the oversample precondition
+    "sim_ivfpq_index",  # builds + persists the index before searching
+    "source_wet_roundtrip",  # writes the WET shards it reads back
     "ml_kmeans_assign",
     "curation_filters",
     "dedup_semantic",   # driver-sampled k-means fit + eager CC loop
@@ -67,7 +70,7 @@ def test_expensive_queries_declared_last():
 
 
 def test_documented_counts_match_registry():
-    """README.md / SURVEY.md quote '132 queries … 82 extras … 129 with
+    """README.md / SURVEY.md quote '133 queries … 83 extras … 130 with
     DuckDB oracles'.  Pin those numbers to the live registry so the
     docs can never silently drift from the code again (this drifted in
     rounds 2 AND 3).  If you add or remove a query, update BOTH the
@@ -75,7 +78,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (132, 82, 129)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (133, 83, 130)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"

@@ -388,6 +388,44 @@ def test_ivf_pq_topk_approximate_recall(spark, embeddings):
     assert top0.get(1) == 1  # near-dup of 0 found despite residual PQ
 
 
+def test_ivf_pq_index_persist_prune_and_exactness(spark, embeddings, tmp_path):
+    """ivf_pq_build + ivf_pq_search: the persisted index (a) reproduces
+    brute-force at the exactness config, (b) reads ONLY the probed
+    cells' files — the parquet PartitionFilters must name the cell
+    partition column — and (c) is deterministic (same corpus+seed =>
+    identical quantizer bytes)."""
+    import numpy as np
+
+    qs = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    idx = str(tmp_path / "idx")
+    similarity.ivf_pq_build(embeddings, dim=8, path=idx, n_cells=4, m=4,
+                            k_codes=8, seed=11)
+    brute = similarity.brute_force_topk(embeddings, qs, k=3)
+    got = similarity.ivf_pq_search(qs, idx, embeddings, k=3, n_probe=4,
+                                   oversample=10)
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in brute.collect()}
+    g = {(r["query_id"], r["rank"]): r["vec_id"] for r in got.collect()}
+    assert b == g
+
+    appr = similarity.ivf_pq_search(qs, idx, embeddings, k=3, n_probe=1,
+                                    oversample=2)
+    plan = appr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    assert appr.count() > 0
+
+    idx2 = str(tmp_path / "idx2")
+    similarity.ivf_pq_build(embeddings, dim=8, path=idx2, n_cells=4, m=4,
+                            k_codes=8, seed=11)
+    a = np.load(f"{idx}/quantizer.npz")
+    c = np.load(f"{idx2}/quantizer.npz")
+    assert np.array_equal(a["centroids"], c["centroids"])
+    assert np.array_equal(a["codebooks"], c["codebooks"])
+
+
 def test_embedding_near_dup_blocked_finds_planted_pair(spark, embeddings):
     from plda_spark.operators import similarity
 

@@ -239,6 +239,24 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Persisted IVF-PQ index: build cost (train + encode + partitioned
+    # write, the amortized one-time cost) and search cost (the recurring
+    # number — quantizer load + cell-pruned ADC scan + re-rank) timed
+    # separately against the same index.
+    import tempfile as _tf
+
+    idx_dir = _tf.mkdtemp(prefix="bench_ivfpq_")
+    timings["sim_ivfpq_index_build"] = best_of_two(
+        lambda: similarity.ivf_pq_build(
+            emb, dim=64, path=idx_dir, n_cells=16, m=8, k_codes=16
+        )
+    )
+    timings["sim_ivfpq_index_search"] = best_of_two(
+        lambda: similarity.ivf_pq_search(
+            qvecs, idx_dir, emb, k=5, n_probe=4, oversample=5
+        ).write.format("noop").mode("overwrite").save()
+    )
+
     # HLL rollup: build cost (one scan of the raw log) and probe cost
     # (range estimate touching only |days| sketch rows — the point of
     # the rollup) measured separately.

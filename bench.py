@@ -243,6 +243,7 @@ def main() -> None:
     # write, the amortized one-time cost) and search cost (the recurring
     # number — quantizer load + cell-pruned ADC scan + re-rank) timed
     # separately against the same index.
+    import shutil
     import tempfile as _tf
 
     idx_dir = _tf.mkdtemp(prefix="bench_ivfpq_")
@@ -256,6 +257,7 @@ def main() -> None:
             qvecs, idx_dir, emb, k=5, n_probe=4, oversample=5
         ).write.format("noop").mode("overwrite").save()
     )
+    shutil.rmtree(idx_dir, ignore_errors=True)
 
     # HLL rollup: build cost (one scan of the raw log) and probe cost
     # (range estimate touching only |days| sketch rows — the point of

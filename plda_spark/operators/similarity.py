@@ -872,31 +872,56 @@ def ivf_pq_topk(
     closures (kilobytes).
     """
     import pandas as pd
-    from collections.abc import Iterator
-
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    dsub = dim // m
     empty_schema = "query_id long, vec_id long, sim double, rank int"
-    # Coarse quantizer + residual codebooks from one driver-side sample
-    # (the standard recipe: quantizers need distribution shape only).
+    trained = _train_ivfpq_quantizers(
+        embeddings, n_cells, m, k_codes, seed, max_train_sample, id_col, vec_col
+    )
+    if trained is None:  # empty corpus: no neighbors to return
+        return embeddings.sparkSession.createDataFrame([], empty_schema)
+    cents, books = trained
+    codes = _encode_ivfpq(embeddings, cents, books, id_col, vec_col)
+
+    prep = _query_probe_tables(queries, cents, books, n_probe, query_id_col, vec_col)
+    if prep is None:  # empty query batch: empty result, not an np.stack crash
+        return embeddings.sparkSession.createDataFrame([], empty_schema)
+    return _ivf_pq_search(
+        codes, queries, embeddings, books, prep, k, oversample,
+        id_col, vec_col, query_id_col,
+    )
+
+
+def _train_ivfpq_quantizers(
+    embeddings, n_cells, m, k_codes, seed, max_train_sample, id_col, vec_col
+):
+    """Coarse quantizer + residual codebooks from one driver-side sample
+    (the standard recipe: quantizers need distribution shape only) —
+    shared by ``ivf_pq_topk`` (inline) and ``ivf_pq_build`` (persisted),
+    so the two can never drift in sampling rule or seed derivation.
+    Returns ``(centroids, codebooks)`` or None for an empty corpus."""
     srows = (
         embeddings.select(F.col(vec_col).alias("emb"))
         .orderBy(F.col(id_col))
         .limit(max_train_sample)
         .collect()
     )
-    if not srows:  # empty corpus: no neighbors to return
-        return embeddings.sparkSession.createDataFrame([], empty_schema)
+    if not srows:
+        return None
     sample = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in srows])
     cents = _kmeans(sample, n_cells, seed)
     d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
     resid = sample - cents[np.argmin(d2, axis=1)]
-    books = _fit_codebooks(
-        resid, m, k_codes, [seed + 7 * j + 1 for j in range(m)]
-    )
+    books = _fit_codebooks(resid, m, k_codes, [seed + 7 * j + 1 for j in range(m)])
+    return cents, books
 
-    # Encode: nearest cell + residual PQ code per corpus vector.
+
+def _encode_ivfpq(embeddings, cents, books, id_col, vec_col) -> DataFrame:
+    """Nearest cell + residual PQ code per corpus vector (one Arrow
+    matmul pass; quantizers ride the closure)."""
+    import pandas as pd
+    from collections.abc import Iterator
+
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         c2 = (cents**2).sum(axis=1)
         for pdf in batches:
@@ -914,17 +939,9 @@ def ivf_pq_topk(
                 }
             )
 
-    codes = embeddings.select(
+    return embeddings.select(
         F.col(id_col).alias("vid"), F.col(vec_col).alias("emb")
     ).mapInPandas(encode, schema="vec_id long, cell int, code array<int>")
-
-    prep = _query_probe_tables(queries, cents, books, n_probe, query_id_col, vec_col)
-    if prep is None:  # empty query batch: empty result, not an np.stack crash
-        return embeddings.sparkSession.createDataFrame([], empty_schema)
-    return _ivf_pq_search(
-        codes, queries, embeddings, books, prep, k, oversample,
-        id_col, vec_col, query_id_col,
-    )
 
 
 def _query_probe_tables(queries, cents, books, n_probe, query_id_col, vec_col):
@@ -1075,43 +1092,14 @@ def ivf_pq_build(
     side).  Determinism: same (corpus, seed) → identical index."""
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
-    import pandas as pd
-    from collections.abc import Iterator
-
-    srows = (
-        embeddings.select(F.col(vec_col).alias("emb"))
-        .orderBy(F.col(id_col))
-        .limit(max_train_sample)
-        .collect()
+    trained = _train_ivfpq_quantizers(
+        embeddings, n_cells, m, k_codes, seed, max_train_sample, id_col, vec_col
     )
-    if not srows:
+    if trained is None:
         raise ValueError("cannot build an IVF-PQ index over an empty corpus")
-    sample = np.stack([np.asarray(r["emb"], dtype=np.float64) for r in srows])
-    cents = _kmeans(sample, n_cells, seed)
-    d2 = ((sample[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
-    resid = sample - cents[np.argmin(d2, axis=1)]
-    books = _fit_codebooks(resid, m, k_codes, [seed + 7 * j + 1 for j in range(m)])
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c2 = (cents**2).sum(axis=1)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
-            cd = (X**2).sum(axis=1)[:, None] - 2 * (X @ cents.T) + c2[None, :]
-            cell = np.argmin(cd, axis=1)
-            code = _nearest_codes(X - cents[cell], books)
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vid"],
-                    "cell": cell.astype(np.int32),
-                    "code": list(code),
-                }
-            )
-
+    cents, books = trained
     (
-        embeddings.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("emb"))
-        .mapInPandas(encode, schema="vec_id long, cell int, code array<int>")
+        _encode_ivfpq(embeddings, cents, books, id_col, vec_col)
         .write.partitionBy("cell")
         .mode("overwrite")
         .parquet(f"{path}/codes")

@@ -132,7 +132,24 @@ def write_wet(
     is ``octet_length`` — UTF-8 BYTES, the only length the reader
     trusts.  ``compress=True`` gzips each part-file (the Common Crawl
     layout; gzip is per-file, preserving file-granular read
-    parallelism)."""
+    parallelism).  Rows with a NULL id or text raise (executor-side)
+    rather than silently vanishing from the output — WET cannot
+    represent a missing document, and a silent drop would make corpus
+    counts irreproducible."""
+    # NULL text or id would make F.concat yield a NULL record and the
+    # text sink would silently write nothing — a dropped document with
+    # no signal, exactly the irreproducibility this module refuses.
+    # Executor-side raise (no extra validation scan).
+    poison = F.raise_error(
+        F.concat(
+            F.lit("write_wet: NULL "),
+            F.when(F.col(text_col).isNull(), F.lit(text_col)).otherwise(F.lit(id_col)),
+            F.lit(" for doc_id="),
+            F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
+            F.lit(" — WET records cannot represent missing documents; "
+                  "filter or fill upstream"),
+        )
+    )
     record = F.concat(
         F.lit("WARC/1.0\r\n"),
         F.lit("WARC-Type: conversion\r\n"),
@@ -149,7 +166,10 @@ def write_wet(
         F.col(text_col),
         F.lit("\r\n"),
     )
-    writer = docs.select(record.alias("value")).write.option("lineSep", "\r\n")
+    guarded = F.when(
+        F.col(text_col).isNull() | F.col(id_col).isNull(), poison
+    ).otherwise(record)
+    writer = docs.select(guarded.alias("value")).write.option("lineSep", "\r\n")
     if compress:
         writer = writer.option("compression", "gzip")
     writer.mode("overwrite").text(path)

@@ -389,9 +389,13 @@ def test_gopher_repetition_fanout_contract(spark):
     any upstream exchange — passes through with no added shuffle."""
     import pyspark.sql.functions as F
 
+    import pytest
+
     from plda_spark.operators import text
 
     par = spark.sparkContext.defaultParallelism
+    if par < 2:
+        pytest.skip("fan-out contract is vacuous on a 1-core runner")
     wide = spark.range(1000, numPartitions=par).select(
         F.col("id").alias("doc_id"), F.lit("a b c").alias("text")
     )

@@ -370,3 +370,18 @@ def test_wet_skips_warcinfo_and_fails_loudly_on_truncation(spark, tmp_path):
 
     with _pytest.raises(Exception, match="truncated"):
         wet.read_wet(spark, str(d2)).collect()
+
+
+def test_wet_write_rejects_null_documents(spark, tmp_path):
+    """A NULL text/id would make the record expression NULL and the
+    text sink would silently write nothing — write_wet must raise
+    (executor-side) instead of dropping documents."""
+    import pytest as _pytest
+
+    from plda_spark.sources import wet
+
+    bad = spark.createDataFrame(
+        [(0, "fine"), (1, None)], "doc_id long, text string"
+    )
+    with _pytest.raises(Exception, match="NULL"):
+        wet.write_wet(bad, str(tmp_path / "w"))

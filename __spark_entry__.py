@@ -1371,6 +1371,35 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_wet_roundtrip"] = source_wet_roundtrip
 
+    def stream_wet_ingest(spark, sf):
+        """Batch twin of the streaming crawl-ingest pipeline
+        (sources.wet.read_wet_stream → incremental_exact_dedup, tested
+        end-to-end with checkpointed exactly-once semantics in
+        tests/test_streaming.py): two WET dumps — the second a full
+        duplicate crawl of the first under new URLs — parsed and
+        exact-deduped down to one record per distinct text, keeping the
+        lowest-doc-id URL."""
+        import tempfile
+
+        from plda_spark.sources import wet
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        tmp = tempfile.mkdtemp(prefix="plda_wetstream_")
+        wet.write_wet(docs, f"{tmp}/dump1", compress=True)
+        wet.write_wet(
+            docs.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+            f"{tmp}/dump2",
+            compress=True,
+        )
+        back = wet.read_wet(spark, f"{tmp}/dump*")
+        ids = back.select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            "text",
+        )
+        return ids.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+    q["stream_wet_ingest"] = stream_wet_ingest
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3396,6 +3425,12 @@ SELECT doc_id, CAST(strlen(text) AS BIGINT) AS content_length, text
 FROM documents
 """
 
+    # Two WET dumps (the second a duplicate crawl under +1e6 ids) deduped
+    # back down to one record per distinct text, lowest id wins.
+    o["stream_wet_ingest"] = """
+SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
     o["rel_pivot_daily_events"] = """
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -4813,6 +4848,7 @@ EXTRA_QUERIES: list[str] = [
     "graph_pagerank",
     "source_csv_roundtrip",
     "source_wet_roundtrip",
+    "stream_wet_ingest",
     "stream_top_users",
     "dedup_semantic",
     "stats_key_skew",

@@ -11,7 +11,7 @@ from .partitioned import read_partitioned, write_partitioned_by_day  # noqa: F40
 from .plda_text import read_plda_corpus, write_plda_corpus  # noqa: F401
 from .tables import load_all, load_table  # noqa: F401
 from .uci import read_uci_docword, uci_to_corpus  # noqa: F401
-from .wet import read_wet, write_wet  # noqa: F401
+from .wet import read_wet, read_wet_stream, write_wet  # noqa: F401
 from .zorder import write_zordered, zvalue_col  # noqa: F401
 
 __all__ = [
@@ -34,5 +34,6 @@ __all__ = [
     "read_uci_docword",
     "uci_to_corpus",
     "read_wet",
+    "read_wet_stream",
     "write_wet",
 ]

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_wet", "write_wet"]
+__all__ = ["read_wet", "read_wet_stream", "write_wet"]
 
 _WET_SCHEMA = (
     "wet_file string, url string, warc_date string, "
@@ -88,12 +88,9 @@ def _parse_wet_bytes(data: bytes, src: str) -> Iterator[tuple]:
         pos = body_end
 
 
-def read_wet(spark: SparkSession, path: str) -> DataFrame:
-    """WET shards → ``(wet_file, url, warc_date, content_length, text)``.
-
-    One task per shard (``binaryFile``), gzip sniffed per file by magic
-    bytes.  See the module docstring for the scale rationale."""
-    files = spark.read.format("binaryFile").load(path)
+def _parse_shards(files: DataFrame) -> DataFrame:
+    """(path, content) binary rows → parsed WET records (shared by the
+    batch and streaming readers — one parser, no drift)."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,6 +112,35 @@ def read_wet(spark: SparkSession, path: str) -> DataFrame:
                 )
 
     return files.select("path", "content").mapInPandas(parse, schema=_WET_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """WET shards → ``(wet_file, url, warc_date, content_length, text)``.
+
+    One task per shard (``binaryFile``), gzip sniffed per file by magic
+    bytes.  See the module docstring for the scale rationale."""
+    return _parse_shards(spark.read.format("binaryFile").load(path))
+
+
+def read_wet_stream(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING WET reader: watch a directory for newly-landed shards
+    (the crawl-dump arrival pattern — each Common Crawl release drops
+    ~100k new files) and emit parsed records incrementally.  Identical
+    parser and output schema to :func:`read_wet` (shared code path);
+    the ``binaryFile`` streaming source tracks processed files in the
+    checkpoint, so each shard is parsed exactly once per query.  Feed
+    the result straight into ``streaming.windows.incremental_exact_dedup``
+    / ``incremental_minhash_dedup`` (with ``id_col='url'``) for the
+    exactly-once crawl-ingest pipeline."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+    )
+    return _parse_shards(files)
 
 
 def write_wet(

@@ -31,6 +31,7 @@ EXECUTES_ON_BUILD = {
     "sim_ivfpq_topk",   # corpus count for the oversample precondition
     "sim_ivfpq_index",  # builds + persists the index before searching
     "source_wet_roundtrip",  # writes the WET shards it reads back
+    "stream_wet_ingest",     # writes the two WET dumps it ingests
     "ml_kmeans_assign",
     "curation_filters",
     "dedup_semantic",   # driver-sampled k-means fit + eager CC loop
@@ -70,7 +71,7 @@ def test_expensive_queries_declared_last():
 
 
 def test_documented_counts_match_registry():
-    """README.md / SURVEY.md quote '133 queries … 83 extras … 130 with
+    """README.md / SURVEY.md quote '134 queries … 84 extras … 131 with
     DuckDB oracles'.  Pin those numbers to the live registry so the
     docs can never silently drift from the code again (this drifted in
     rounds 2 AND 3).  If you add or remove a query, update BOTH the
@@ -78,7 +79,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (133, 83, 130)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (134, 84, 131)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"

@@ -432,3 +432,44 @@ def test_incremental_minhash_dedup_two_increments(spark, tmp_path):
     with open(f"{ckpt}/metadata") as fh:
         qid = json.load(fh)["id"]
     assert markers[0]["bucket"] == qid
+
+
+def test_wet_stream_ingest_exactly_once_dedup(spark, tmp_path):
+    """The crawl pipeline end-to-end: WET shards land in a directory,
+    the streaming reader parses each shard exactly once, and
+    incremental_exact_dedup drops duplicates WITHIN and ACROSS dumps
+    (with url ids).  Two availableNow passes over two dump drops."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.sources import wet
+
+    in_dir = str(tmp_path / "dumps")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_dump(rows, sub):
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        wet.write_wet(docs, f"{in_dir}/{sub}", compress=True)
+
+    def run():
+        stream = wet.read_wet_stream(spark, f"{in_dir}/*").select("url", "text")
+        windows.incremental_exact_dedup(
+            stream, out, state, ckpt, id_col="url"
+        )
+
+    # dump 1: one internal duplicate (1 ≡ 0)
+    drop_dump([(0, "aaa"), (1, "aaa"), (2, "bbb")], "dump1")
+    run()
+    got1 = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got1) == ["aaa", "bbb"]
+
+    # dump 2: historical dups + one new doc
+    drop_dump([(3, "aaa"), (4, "ccc"), (5, "bbb")], "dump2")
+    run()
+    got2 = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got2) == ["aaa", "bbb", "ccc"]
+    assert len({r["url"] for r in got2}) == 3
+    # the new doc's record came from dump2's shard
+    new = [r for r in got2 if r["text"] == "ccc"]
+    assert new and new[0]["url"].endswith("/4")

@@ -213,3 +213,50 @@ def test_fuzzy_pairs_random_strings_match_brute_force(spark):
             if lev(a, b) <= d
         }
         assert got == want, f"d={d}: missing={want-got} extra={got-want}"
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", exclude_categories=("Cs",)
+            ),
+            max_size=200,
+        ),
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_wet_parser_roundtrip_arbitrary_payloads(texts, gz):
+    """Spark-free WET parser property: records rendered the way
+    write_wet renders them (Content-Length = UTF-8 octets) round-trip
+    byte-for-byte through _parse_wet_bytes for ARBITRARY payloads —
+    including ones embedding 'WARC/1.0', header-like lines, \\r\\n\\r\\n
+    blank lines, and any unicode — because the parser walks by declared
+    length, never by marker search."""
+    import gzip as _gzip
+
+    from plda_spark.sources.wet import _parse_wet_bytes
+
+    parts = []
+    for i, t in enumerate(texts):
+        body = t.encode("utf-8")
+        parts.append(
+            (
+                f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+                f"WARC-Target-URI: http://x/{i}\r\n"
+                f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(body)}\r\n\r\n"
+            ).encode("utf-8")
+            + body
+            + b"\r\n\r\n"
+        )
+    data = b"".join(parts)
+    if gz:
+        data = _gzip.decompress(_gzip.compress(data))
+    rows = list(_parse_wet_bytes(data, "mem"))
+    assert [(r[0], r[3]) for r in rows] == [
+        (f"http://x/{i}", t) for i, t in enumerate(texts)
+    ]
+    assert all(r[2] == len(t.encode("utf-8")) for r, t in zip(rows, texts))

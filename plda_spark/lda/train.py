@@ -799,8 +799,13 @@ def _chunk_sweep_fn(nk_global: list[int], vocab_size: int, alpha: float, beta: f
 
 
 def _chunk_model_df(df_z: DataFrame, num_topics: int) -> DataFrame:
-    """Per-pid chunk delta rows → the (chunk_id, cnts) model table: one
-    buffer sum per chunk (groups are ≤P rows of one chunk's block)."""
+    """Per-pid chunk delta rows → the (chunk_id, cnts, tsum) model
+    table: one buffer sum per chunk (groups are ≤P rows of one chunk's
+    block).  ``tsum`` is the chunk's K-vector of per-topic totals,
+    computed here while the summed block is already in hand, so the
+    per-iteration n_k read (:func:`_chunk_nk`) is a narrow C-row
+    collect instead of a re-decode + shuffle of the count blocks."""
+    K = num_topics
 
     def sum_fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         cid = -int(key[0]) - 1
@@ -809,35 +814,31 @@ def _chunk_model_df(df_z: DataFrame, num_topics: int) -> DataFrame:
         total = np.zeros(width, dtype=np.int64)
         for b in bufs:
             total[: b.shape[0]] += b
-        return pd.DataFrame({"chunk_id": [cid], "cnts": [total.tobytes()]})
+        tsum = total.reshape(-1, K).sum(axis=0)
+        return pd.DataFrame(
+            {
+                "chunk_id": [cid],
+                "cnts": [total.tobytes()],
+                "tsum": [tsum.tobytes()],
+            }
+        )
 
     return (
         df_z.where(F.col("doc_id") < 0)
         .select("doc_id", "z")
         .groupBy("doc_id")
-        .applyInPandas(sum_fn, schema="chunk_id int, cnts binary")
+        .applyInPandas(sum_fn, schema="chunk_id int, cnts binary, tsum binary")
     )
 
 
 def _chunk_nk(model_chunks: DataFrame, num_topics: int) -> list[int]:
-    """The global K-vector from the chunk table: per-chunk K partials
-    (C tiny rows) summed on the driver."""
-    K = num_topics
-
-    def part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for buf in pdf["cnts"]:
-                s = np.frombuffer(buf, dtype=np.int64).reshape(-1, K).sum(axis=0)
-                yield pd.DataFrame({"t": np.arange(K, dtype=np.int32), "c": s})
-
-    rows = (
-        model_chunks.mapInPandas(part, schema="t int, c long")
-        .groupBy("t").agg(F.sum("c").alias("c")).collect()
-    )
-    nk = [0] * K
-    for r in rows:
-        nk[r["t"]] = int(r["c"])
-    return nk
+    """The global K-vector: the C pre-summed ``tsum`` rows (K longs
+    each) collected and added on the driver — one narrow job over the
+    checkpointed chunk table, no shuffle."""
+    nk = np.zeros(num_topics, dtype=np.int64)
+    for r in model_chunks.select("tsum").collect():
+        nk += np.frombuffer(r["tsum"], dtype=np.int64)
+    return [int(x) for x in nk]
 
 
 def _chunk_rows_df(model_chunks: DataFrame, num_topics: int, chunk_width: int) -> DataFrame:
@@ -1021,7 +1022,7 @@ def _train_join(
             )
         else:
             nk_global = _chunk_nk(model_df, K)
-            slices = F.broadcast(pids_df).crossJoin(model_df)
+            slices = F.broadcast(pids_df).crossJoin(model_df.select("chunk_id", "cnts"))
             sweep_fn = _chunk_sweep_fn(
                 nk_global, V, config.alpha, config.beta, config.seed, it,
                 config.compute_likelihood, chunk_w,

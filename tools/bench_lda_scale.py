@@ -230,7 +230,7 @@ def _run_chunks(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
     for it in range(iters):
         t0 = time.time()
         nk = T._chunk_nk(model_df, K)
-        slices = F.broadcast(pids_df).crossJoin(model_df)
+        slices = F.broadcast(pids_df).crossJoin(model_df.select("chunk_id", "cnts"))
         swept = (
             df_z.where(F.col("doc_id") >= 0)
             .groupby("pid")

@@ -473,3 +473,39 @@ def test_wet_stream_ingest_exactly_once_dedup(spark, tmp_path):
     # the new doc's record came from dump2's shard
     new = [r for r in got2 if r["text"] == "ccc"]
     assert new and new[0]["url"].endswith("/4")
+
+
+def test_wet_stream_minhash_ingest_drops_edited_recrawl(spark, tmp_path):
+    """WET shards → streaming reader → MinHash-LSH ledger: a lightly
+    EDITED recrawl of an admitted page (new URL, same shingle buckets)
+    is dropped across dumps — the near-dup twin of the exact pipeline."""
+    from plda_spark.sources import wet
+
+    in_dir = str(tmp_path / "dumps")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    edited = base.replace("today", "tomorrow")
+    other = "completely different words about stock market trading and price discovery"
+
+    def run():
+        stream = wet.read_wet_stream(spark, f"{in_dir}/*").select("url", "text")
+        windows.incremental_minhash_dedup(
+            stream, out, state, ckpt, num_hashes=16, bands=8, n=3,
+            id_col="url",
+        )
+
+    docs1 = spark.createDataFrame([(0, base)], "doc_id long, text string")
+    wet.write_wet(docs1, f"{in_dir}/dump1", compress=True)
+    run()
+    assert spark.read.parquet(out).count() == 1
+
+    docs2 = spark.createDataFrame(
+        [(10, edited), (11, other)], "doc_id long, text string"
+    )
+    wet.write_wet(docs2, f"{in_dir}/dump2", compress=True)
+    run()
+    got = {r["url"].rsplit("/", 1)[1]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert set(got) == {"0", "11"}  # edited recrawl 10 dropped cross-dump

@@ -452,3 +452,29 @@ def test_join_resume_uses_checkpointed_partition_count(spark, tmp_path):
         resume_from=ckpt,
     ).raw_model
     assert np.array_equal(straight.nwk, resumed.nwk)
+
+
+def test_join_resume_from_legacy_checkpoint_format(spark, tmp_path):
+    """A round-3-era join checkpoint (npz without exchange /
+    chunk_width / num_partitions fields) must resume on the words
+    exchange with the word_pid table — the pre-field layout."""
+    import os
+
+    corpus = synthetic_corpus(spark, n_docs=30, doc_len=20)
+    ckpt = str(tmp_path / "legacy_ckpt")
+    base = dict(num_topics=3, burn_in_iterations=0, average_model=False,
+                seed=31, num_partitions=2, model_mode="join",
+                join_exchange="words")
+    straight = train(corpus, TrainConfig(**base, total_iterations=4)).raw_model
+    train(corpus, TrainConfig(**base, total_iterations=2,
+                              checkpoint_dir=ckpt, checkpoint_every=2))
+    # strip the round-4 fields to simulate the legacy npz layout
+    p = os.path.join(ckpt, "join_state.npz")
+    state = dict(np.load(p, allow_pickle=True))
+    for k in ("exchange", "chunk_width", "num_partitions"):
+        state.pop(k)
+    np.savez(p, **state)
+    resumed = train(
+        corpus, TrainConfig(**base, total_iterations=4), resume_from=ckpt
+    ).raw_model
+    assert np.array_equal(straight.nwk, resumed.nwk)

@@ -1372,13 +1372,17 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_wet_roundtrip"] = source_wet_roundtrip
 
     def stream_wet_ingest(spark, sf):
-        """Batch twin of the streaming crawl-ingest pipeline
+        """Batch demonstration of the streaming crawl-ingest pipeline
         (sources.wet.read_wet_stream → incremental_exact_dedup, tested
         end-to-end with checkpointed exactly-once semantics in
         tests/test_streaming.py): two WET dumps — the second a full
         duplicate crawl of the first under new URLs — parsed and
         exact-deduped down to one record per distinct text, keeping the
-        lowest-doc-id URL."""
+        lowest NUMERIC doc id here so the oracle is engine-exact.  (The
+        streaming ledger's representative is the MIN over its id column
+        — lexicographic for string URLs — so the kept-row tiebreak can
+        differ when both dumps share one micro-batch; the dedup set is
+        identical either way.)"""
         import tempfile
 
         from plda_spark.sources import wet

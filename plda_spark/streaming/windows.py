@@ -579,7 +579,13 @@ def incremental_exact_dedup(
             digested.groupBy("__digest").agg(F.min(id_col).alias(id_col)),
             ["__digest", id_col],
             "left_semi",
-        )
+        ).dropDuplicates(["__digest"])
+        # ^ the semi-join admits EVERY row tying on (digest, min-id) —
+        # e.g. the same URL crawled twice in one dump with identical
+        # text — so collapse to one.  Byte-identical ties make any pick
+        # identical; rows differing only in auxiliary columns keep an
+        # arbitrary single representative (the digest/ledger semantics
+        # are unaffected either way).
         # Only a MISSING ledger means "first batch".  Any other failure
         # (corrupt files, bad schema, permissions) must raise: silently
         # skipping the anti-join would re-admit every duplicate in
@@ -766,9 +772,16 @@ def incremental_minhash_dedup(
             bb.select("doc_id").distinct(), "doc_id", "left_anti"
         )
         keep = admitted_ids.union(no_sh).localCheckpoint(eager=True)
-        fresh = batch.join(
-            keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
-        ).localCheckpoint(eager=True)
+        fresh = (
+            batch.join(
+                keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            )
+            # the semi-join admits every row carrying an admitted id —
+            # the same id twice in one dump would land twice; collapse
+            # to one row per id (same rationale as the exact ledger)
+            .dropDuplicates([id_col])
+            .localCheckpoint(eager=True)
+        )
         # Output FIRST, ledger (with the commit marker) LAST, both as
         # dynamic per-(run, batch) partition overwrites — a crash between
         # them replays to identical content in the same partition.

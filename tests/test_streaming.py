@@ -458,8 +458,9 @@ def test_wet_stream_ingest_exactly_once_dedup(spark, tmp_path):
             stream, out, state, ckpt, id_col="url"
         )
 
-    # dump 1: one internal duplicate (1 ≡ 0)
-    drop_dump([(0, "aaa"), (1, "aaa"), (2, "bbb")], "dump1")
+    # dump 1: one internal duplicate (1 ≡ 0) AND the same URL crawled
+    # twice with identical text (0 twice) — exactly one row may survive
+    drop_dump([(0, "aaa"), (0, "aaa"), (1, "aaa"), (2, "bbb")], "dump1")
     run()
     got1 = spark.read.parquet(out).collect()
     assert sorted(r["text"] for r in got1) == ["aaa", "bbb"]

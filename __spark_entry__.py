@@ -3039,7 +3039,9 @@ WITH s AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> length(x) > 0) AS w,
          list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS l,
-         length(text) - length(replace(text, '#', '')) AS nhash
+         length(text) - length(replace(text, '#', '')) AS nhash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0
+           + (length(text) - length(replace(text, '…', ''))) AS nell
   FROM documents
 ),
 m AS (
@@ -3048,6 +3050,7 @@ m AS (
     ROUND(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)::DOUBLE
           / greatest(len(w), 1), 4) AS mean_word_len,
     ROUND(nhash::DOUBLE / greatest(len(w), 1), 4) AS hash_ratio,
+    ROUND(nell::DOUBLE / greatest(len(w), 1), 4) AS ellipsis_symbol_ratio,
     ROUND(len(list_filter(l, x -> rtrim(x) LIKE '%...' OR rtrim(x) LIKE '%…'))::DOUBLE
           / greatest(len(l), 1), 4) AS ellipsis_line_frac,
     ROUND(len(list_filter(l, x -> ltrim(x) LIKE '-%' OR ltrim(x) LIKE '*%'
@@ -3059,11 +3062,12 @@ m AS (
         t -> list_contains(list_transform(w, x -> lower(x)), t))) AS n_required_hits
   FROM s
 )
-SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_line_frac,
-       bullet_line_frac, alpha_word_frac, n_required_hits,
+SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_symbol_ratio,
+       ellipsis_line_frac, bullet_line_frac, alpha_word_frac, n_required_hits,
        CAST(n_words BETWEEN 50 AND 100000 AS INTEGER) AS ok_n_words,
        CAST(mean_word_len BETWEEN 3.0 AND 10.0 AS INTEGER) AS ok_word_len,
        CAST(hash_ratio <= 0.1 AS INTEGER) AS ok_hash,
+       CAST(ellipsis_symbol_ratio <= 0.1 AS INTEGER) AS ok_ellipsis_symbol,
        CAST(ellipsis_line_frac <= 0.3 AS INTEGER) AS ok_ellipsis,
        CAST(bullet_line_frac < 0.9 AS INTEGER) AS ok_bullets,
        CAST(alpha_word_frac >= 0.8 AS INTEGER) AS ok_alpha,
@@ -3071,6 +3075,7 @@ SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_line_frac,
        CAST(n_words BETWEEN 50 AND 100000
             AND mean_word_len BETWEEN 3.0 AND 10.0
             AND hash_ratio <= 0.1
+            AND ellipsis_symbol_ratio <= 0.1
             AND ellipsis_line_frac <= 0.3
             AND bullet_line_frac < 0.9
             AND alpha_word_frac >= 0.8

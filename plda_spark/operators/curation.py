@@ -406,13 +406,17 @@ def ppl_buckets(
         raise ValueError("n_buckets must be >= 2")
     # lm_score already aliases its id column to doc_id, whatever id_col
     # the source used.  The scored frame feeds BOTH the cut-point
-    # aggregate and the bucket-assignment scan, so persist it — without
-    # a cache the whole bigram-LM pipeline (the dominant cost) would run
-    # twice per action; callers may .unpersist() once consumed.
+    # aggregate and the bucket-assignment scan, so materialize it once —
+    # without that the whole bigram-LM pipeline (the dominant cost)
+    # would run twice per action.  An eager localCheckpoint (not
+    # .persist()) so the blocks are released when the returned plan is
+    # garbage-collected instead of pinning the cache manager for the
+    # session lifetime; the (standard) tradeoff is that an executor
+    # loss fails the query instead of recomputing lineage.
     scored = (
         lm_score(docs, text_col=text_col, id_col=id_col)
         .select("doc_id", "perplexity")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     qs = [i / n_buckets for i in range(1, n_buckets)]
     cuts = scored.agg(

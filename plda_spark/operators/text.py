@@ -794,12 +794,16 @@ def gopher_filters(
 
     Signals (words = whitespace runs, the paper's convention):
     ``n_words``, ``mean_word_len``, ``hash_ratio`` (# chars per word),
-    ``ellipsis_line_frac`` / ``bullet_line_frac`` (of non-empty lines),
-    ``alpha_word_frac`` (words containing a letter), ``n_required_hits``
-    (of :data:`GOPHER_REQUIRED_WORDS`).  Verdict columns apply the
-    paper's thresholds: 50 <= words <= 100k, 3 <= mean len <= 10,
-    hash ratio <= 0.1, <= 30% ellipsis lines, < 90% bullet lines,
-    >= 80% alphabetic words, >= 2 required words.  ``gopher_pass`` is
+    ``ellipsis_symbol_ratio`` (non-overlapping ``...``/``…``
+    occurrences per word — the paper applies the same 0.1
+    symbol-to-word threshold to the hash symbol AND the ellipsis, as
+    two separate checks), ``ellipsis_line_frac`` / ``bullet_line_frac``
+    (of non-empty lines), ``alpha_word_frac`` (words containing a
+    letter), ``n_required_hits`` (of :data:`GOPHER_REQUIRED_WORDS`).
+    Verdict columns apply the paper's thresholds: 50 <= words <= 100k,
+    3 <= mean len <= 10, hash ratio <= 0.1, ellipsis symbol ratio
+    <= 0.1, <= 30% ellipsis lines, < 90% bullet lines, >= 80%
+    alphabetic words, >= 2 required words.  ``gopher_pass`` is
     their AND.
 
     Pure per-row JVM expressions (splits, filters, one fold) — no
@@ -812,11 +816,19 @@ def gopher_filters(
     lines = F.filter(
         F.split(F.col(text_col), r"\n"), lambda x: F.length(F.trim(x)) > 0
     )
+    text = F.col(text_col)
+    # Non-overlapping occurrence counts (str.count semantics — replace
+    # consumes left-to-right, so "...." counts one "...").
+    ell_occ = (
+        (F.length(text) - F.length(F.replace(text, F.lit("...")))) / 3
+        + (F.length(text) - F.length(F.replace(text, F.lit("…"))))
+    )
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         words.alias("__w"),
         lines.alias("__l"),
         F.length(F.regexp_replace(F.col(text_col), "[^#]", "")).alias("__hash"),
+        ell_occ.alias("__ell"),
     )
     w, l = F.col("__w"), F.col("__l")
     n_words = F.size(w)
@@ -825,6 +837,7 @@ def gopher_filters(
         w, F.lit(0.0), lambda acc, x: acc + F.length(x)
     ) / F.greatest(n_words, F.lit(1))
     hash_ratio = F.col("__hash") / F.greatest(n_words, F.lit(1))
+    ellipsis_symbol_ratio = F.col("__ell") / F.greatest(n_words, F.lit(1))
     ellipsis_lines = F.size(
         F.filter(l, lambda x: F.rtrim(x).endswith("...") | F.rtrim(x).endswith("…"))
     )
@@ -849,6 +862,7 @@ def gopher_filters(
         "ok_n_words": (n_words >= 50) & (n_words <= 100_000),
         "ok_word_len": (mean_word_len >= 3.0) & (mean_word_len <= 10.0),
         "ok_hash": hash_ratio <= 0.1,
+        "ok_ellipsis_symbol": ellipsis_symbol_ratio <= 0.1,
         "ok_ellipsis": ellipsis_frac <= 0.3,
         "ok_bullets": bullet_frac < 0.9,
         "ok_alpha": alpha_frac >= 0.8,
@@ -862,6 +876,7 @@ def gopher_filters(
         n_words.alias("n_words"),
         F.round(mean_word_len, 4).alias("mean_word_len"),
         F.round(hash_ratio, 4).alias("hash_ratio"),
+        F.round(ellipsis_symbol_ratio, 4).alias("ellipsis_symbol_ratio"),
         F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
         F.round(bullet_frac, 4).alias("bullet_line_frac"),
         F.round(alpha_frac, 4).alias("alpha_word_frac"),

@@ -510,6 +510,49 @@ def _overwrite_batch_partition(
     )
 
 
+def _one_row_per(df: DataFrame, key_cols: list, order_col: str) -> DataFrame:
+    """Collapse to exactly ONE row per ``key_cols``, fully
+    deterministically: the surviving row minimizes ``(order_col,
+    md5(to_json(all columns)))``.  Plain ``dropDuplicates`` picks an
+    arbitrary row among ties that differ only in auxiliary columns, so
+    a crash-replay could rewrite a batch partition with different
+    auxiliary content than the first attempt; the row-hash tie-break
+    makes replay content bit-stable.  One map-side-combinable aggregate
+    (no join), so it is also cheaper than the semi-join + drop shape it
+    replaces."""
+    row = F.struct(*[F.col(c) for c in df.columns])
+    tie = F.struct(F.col(order_col).alias("o"), F.md5(F.to_json(row)).alias("h"))
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.min_by(row, tie).alias("__row"))
+        .select("__row.*")
+    )
+
+
+def _require_out_run_id_layout(spark: SparkSession, path: str) -> None:
+    """Output-side twin of :func:`_require_run_id_layout`: a fresh
+    ``state_path`` pointed at an ``out_path`` still holding pre-run_id
+    output (``batch_id=``-only partitions) would write ``run_id=``
+    directories into the same root, mixing partition layouts so later
+    reads of ``out_path`` fail partition discovery.  A missing path is
+    fine (first run); an existing one must already carry ``run_id``."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        existing = spark.read.parquet(path)
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return
+        raise
+    if "run_id" not in existing.columns:
+        raise RuntimeError(
+            f"output at {path} uses the old batch_id-only layout (no "
+            "run_id partition column); rewrite it under a run_id= "
+            "directory or point out_path at a fresh location — "
+            "state_path and out_path must be migrated together"
+        )
+
+
 def _require_run_id_layout(ledger: DataFrame, state_path: str) -> None:
     """Fail loudly on a ledger written by the pre-``run_id`` layout
     (partitioned by ``batch_id`` only).  Proceeding would crash later
@@ -543,7 +586,9 @@ def incremental_exact_dedup(
     ``foreachBatch`` keeps the history as a parquet digest ledger at
     ``state_path`` (one ``(digest, run_id, batch_id)`` row per admitted
     doc, partitioned by run and batch).  Per batch: min-``id_col``
-    representative per digest within the batch, then a left-anti join
+    representative per digest within the batch (ties on the id broken
+    by a full-row hash, so the representative — auxiliary columns
+    included — is deterministic under replay), then a left-anti join
     against the ledger (ALL runs — history survives checkpoint
     generations), then the survivors land in ``out_path`` and their
     digests in the ledger.  Exactly-once under any crash point: both
@@ -565,6 +610,7 @@ def incremental_exact_dedup(
     in the parquet ledger, not the state store, so a year of increments
     costs the same per batch as day one.
     """
+    validated: set = set()
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -573,19 +619,15 @@ def incremental_exact_dedup(
         # CHECKPOINT's persistent identity.
         token = _query_token(spark, checkpoint_path)
         marker = f"run:{token}"
+        if out_path not in validated:
+            _require_out_run_id_layout(spark, out_path)
+            validated.add(out_path)
         digested = batch.withColumn("__digest", F.md5(F.col(text_col)))
-        fresh = digested.join(
-            # min-id representative per digest within the batch
-            digested.groupBy("__digest").agg(F.min(id_col).alias(id_col)),
-            ["__digest", id_col],
-            "left_semi",
-        ).dropDuplicates(["__digest"])
-        # ^ the semi-join admits EVERY row tying on (digest, min-id) —
-        # e.g. the same URL crawled twice in one dump with identical
-        # text — so collapse to one.  Byte-identical ties make any pick
-        # identical; rows differing only in auxiliary columns keep an
-        # arbitrary single representative (the digest/ledger semantics
-        # are unaffected either way).
+        # One row per digest: min-id representative, ties (the same URL
+        # crawled twice in one dump, or rows differing only in auxiliary
+        # columns) broken by a full-row hash so a crash-replay rewrites
+        # the batch partition with BIT-IDENTICAL content.
+        fresh = _one_row_per(digested, ["__digest"], id_col)
         # Only a MISSING ledger means "first batch".  Any other failure
         # (corrupt files, bad schema, permissions) must raise: silently
         # skipping the anti-join would re-admit every duplicate in
@@ -721,10 +763,14 @@ def incremental_minhash_dedup(
     (AQE broadcasts the increment side), two partition writes.  No
     state store, no unbounded executor state.
     """
+    validated: set = set()
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         token = _query_token(spark, checkpoint_path)
+        if out_path not in validated:
+            _require_out_run_id_layout(spark, out_path)
+            validated.add(out_path)
         bb = minhash_band_rows(batch, num_hashes, bands, n, text_col, id_col)
         # Within-batch rule: drop any doc sharing a bucket with a
         # smaller-id doc (deterministic, partition-invariant; stricter
@@ -772,16 +818,17 @@ def incremental_minhash_dedup(
             bb.select("doc_id").distinct(), "doc_id", "left_anti"
         )
         keep = admitted_ids.union(no_sh).localCheckpoint(eager=True)
-        fresh = (
-            batch.join(
-                keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
-            )
+        fresh = _one_row_per(
             # the semi-join admits every row carrying an admitted id —
             # the same id twice in one dump would land twice; collapse
-            # to one row per id (same rationale as the exact ledger)
-            .dropDuplicates([id_col])
-            .localCheckpoint(eager=True)
-        )
+            # to one row per id, row-hash tie-broken so replays rewrite
+            # bit-identical content (same rationale as the exact ledger)
+            batch.join(
+                keep.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
+            ),
+            [id_col],
+            id_col,
+        ).localCheckpoint(eager=True)
         # Output FIRST, ledger (with the commit marker) LAST, both as
         # dynamic per-(run, batch) partition overwrites — a crash between
         # them replays to identical content in the same partition.

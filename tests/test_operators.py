@@ -1744,6 +1744,32 @@ def test_gopher_repetition_hand_computed(spark):
     )
 
 
+def test_gopher_ellipsis_symbol_ratio(spark):
+    """The paper's 0.1 symbol-to-word threshold applies to the ellipsis
+    too (Rae et al. 2021 §A.1.1), counted as non-overlapping ``...``/
+    ``…`` occurrences per word — ``....`` is ONE occurrence (str.count
+    semantics), and the unicode ellipsis counts like the ASCII one."""
+    rows = [
+        # 10 words, two "..." -> ratio 0.2 -> fails the symbol rule
+        (0, "a... b... c d e f g h i j"),
+        # 10 words, "...." is one occurrence + one "…" -> ratio 0.2
+        (1, "a.... b… c d e f g h i j"),
+        # 20 words, one "..." -> ratio 0.05 -> passes the symbol rule
+        (2, "a... " + " ".join("w%d" % i for i in range(19))),
+        (3, "no ellipsis here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.gopher_filters(df).collect()}
+    assert got[0]["ellipsis_symbol_ratio"] == 0.2
+    assert not got[0]["ok_ellipsis_symbol"] and not got[0]["gopher_pass"]
+    assert got[1]["ellipsis_symbol_ratio"] == 0.2
+    assert not got[1]["ok_ellipsis_symbol"]
+    assert got[2]["ellipsis_symbol_ratio"] == 0.05
+    assert got[2]["ok_ellipsis_symbol"]
+    assert got[3]["ellipsis_symbol_ratio"] == 0.0
+    assert got[3]["ok_ellipsis_symbol"]
+
+
 def test_reservoir_per_group_exact_k_and_stability(spark):
     from plda_spark.operators.sampling import reservoir_per_group
 

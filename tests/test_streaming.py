@@ -325,6 +325,84 @@ def test_incremental_exact_dedup_corrupt_ledger_raises(spark, tmp_path):
         )
 
 
+def test_incremental_exact_dedup_legacy_out_path_raises(spark, tmp_path):
+    """A fresh state_path pointed at an out_path still holding
+    pre-run_id output (batch_id-only partitions) must fail loudly BEFORE
+    the first write — otherwise run_id= dirs land in the same root and
+    later reads of out_path fail partition discovery."""
+    import pyspark.errors
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    spark.createDataFrame([(0, "aaa")], schema).write.parquet(in_dir)
+    # plant legacy output: batch_id-only partitioning, no run_id
+    spark.createDataFrame(
+        [(9, "old", 0)], "doc_id long, text string, batch_id long"
+    ).write.partitionBy("batch_id").parquet(out)
+
+    with pytest.raises(pyspark.errors.PySparkException, match="batch_id-only"):
+        windows.incremental_exact_dedup(
+            spark.readStream.schema(schema).parquet(in_dir),
+            out, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        )
+    # nothing was written into the legacy root
+    assert "run_id" not in spark.read.parquet(out).columns
+
+
+def test_incremental_minhash_dedup_legacy_out_path_raises(spark, tmp_path):
+    """Same out_path layout guard on the near-dup ledger variant."""
+    import pyspark.errors
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string"
+    spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")], schema
+    ).write.parquet(in_dir)
+    spark.createDataFrame(
+        [(9, "old", 0)], "doc_id long, text string, batch_id long"
+    ).write.partitionBy("batch_id").parquet(out)
+
+    with pytest.raises(pyspark.errors.PySparkException, match="batch_id-only"):
+        windows.incremental_minhash_dedup(
+            spark.readStream.schema(schema).parquet(in_dir),
+            out, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+        )
+    assert "run_id" not in spark.read.parquet(out).columns
+
+
+def test_incremental_exact_dedup_tie_break_deterministic(spark, tmp_path):
+    """Rows tying on (digest, min-id) but differing in auxiliary columns
+    must collapse to a SPEC-DEFINED representative — the row minimizing
+    (id, md5(to_json(full row))) — so a crash-replay rewrites the batch
+    partition with bit-identical auxiliary content."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    schema = "doc_id long, text string, source string"
+    rows = [(0, "aaa", "crawl-B"), (0, "aaa", "crawl-A"), (1, "bbb", "x")]
+    spark.createDataFrame(rows, schema).write.parquet(in_dir)
+    windows.incremental_exact_dedup(
+        spark.readStream.schema(schema).parquet(in_dir),
+        out, str(tmp_path / "state"), str(tmp_path / "ckpt"),
+    )
+    got = spark.read.parquet(out).where("text = 'aaa'").collect()
+    assert len(got) == 1
+    # recompute the spec: the tie candidates hashed over the SAME row
+    # shape the operator hashes (batch columns + __digest)
+    cand = spark.createDataFrame(
+        [r for r in rows if r[1] == "aaa"], schema
+    ).withColumn("__digest", F.md5(F.col("text")))
+    hashed = cand.select(
+        "source",
+        F.md5(F.to_json(F.struct(*[F.col(c) for c in cand.columns]))).alias("h"),
+    ).collect()
+    expected = min(hashed, key=lambda r: r["h"])["source"]
+    assert got[0]["source"] == expected
+
+
 def test_windowed_top_users_matches_batch(spark, stream_dir, tmp_path):
     """Streaming (window, user) counts + top_k_per_window on the closed
     windows must equal the batch twin for every window the watermark

@@ -1404,6 +1404,82 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_wet_ingest"] = stream_wet_ingest
 
+    def source_warc_roundtrip(spark, sf):
+        """Raw WARC (HTML) connector round-trip: render each document
+        as an HTML page (entity-escaped body, a script subtree the
+        extractor must drop) inside gzip WARC ``response`` records
+        (sources/warc.py — the step BEFORE WET in a Common Crawl
+        pipeline), read them back with the shared Content-Length-exact
+        record walker, and recover every document's text exactly via
+        the dependency-free HTML→text extractor."""
+        import tempfile
+
+        from plda_spark.sources import warc
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        esc = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"), F.lit("&lt;"),
+            ),
+            F.lit(">"), F.lit("&gt;"),
+        )
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head><script>var x = 1 < 2;</script></head>"
+                      "<body><p>"),
+                esc,
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_warc_")
+        warc.write_warc(pages, f"{tmp}/shards", compress=True)
+        back = warc.read_warc(spark, f"{tmp}/shards")
+        return warc.extract_html_text(back).select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            F.col("http_status"),
+            "text",
+        )
+
+    q["source_warc_roundtrip"] = source_warc_roundtrip
+
+    def stream_warc_ingest(spark, sf):
+        """Batch demonstration of the raw-HTML crawl-ingest pipeline
+        (sources.warc.read_warc_stream → extract_html_text →
+        incremental_exact_dedup, tested end-to-end with checkpointed
+        exactly-once semantics in tests/test_streaming.py): two WARC
+        dumps — the second a full duplicate crawl of the first under
+        new URLs — parsed, text-extracted, and exact-deduped down to
+        one record per distinct text, keeping the lowest numeric id."""
+        import tempfile
+
+        from plda_spark.sources import warc
+
+        pages = load_table(spark, sf, "documents").select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><body><p>"),
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("</p></body></html>"),
+            ).alias("html"),
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_warcstream_")
+        warc.write_warc(pages, f"{tmp}/dump1", compress=True)
+        warc.write_warc(
+            pages.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+            f"{tmp}/dump2",
+            compress=True,
+        )
+        back = warc.extract_html_text(warc.read_warc(spark, f"{tmp}/dump*"))
+        ids = back.select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            "text",
+        )
+        return ids.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+
+    q["stream_warc_ingest"] = stream_warc_ingest
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3440,6 +3516,18 @@ FROM documents
 SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
 """
 
+    # Raw-WARC round-trip: escape-on-write + entity-decode-on-read is an
+    # identity, the script subtree is dropped, and the documents table
+    # has no markup/multi-space/newline content — so extraction recovers
+    # the text byte-for-byte and the oracle is the table itself.
+    o["source_warc_roundtrip"] = """
+SELECT doc_id, CAST(200 AS INTEGER) AS http_status, text FROM documents
+"""
+
+    o["stream_warc_ingest"] = """
+SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
     o["rel_pivot_daily_events"] = """
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -4912,6 +5000,10 @@ EXTRA_QUERIES: list[str] = [
     "sim_ivfpq_topk",
     "sim_ivfpq_index",
     "text_gopher_repetition",
+    # round-5 extensions: raw WARC (HTML) ingest — the step before WET
+    # in a Common Crawl pipeline
+    "source_warc_roundtrip",
+    "stream_warc_ingest",
 ]
 
 

@@ -17,6 +17,24 @@ whichever query happens to run first — round 2 recorded
 dedup_jaccard_pairs at 4.66 s cold vs ~3 s steady-state, and the
 per-query noise made real regressions indistinguishable from scheduling
 jitter.  The min is the per-query cost a long production run pays.
+
+Environment calibration (round 5): the host VM shows intermittent 2-4x
+slowdown windows (documented in BENCH_LDA_SCALE.json) which min-of-two
+cannot mask when a window spans both runs — round 4 recorded 26/42
+untouched queries 20-56% slower with zero code change.  So the bench
+now times ONE fixed calibration query (q1) at the start, midpoint, and
+end of the run and stamps the JSON:
+
+- ``calibration``: the three q1 wall times (min-of-two each),
+- ``calibration_spread``: (max - min) / min across the three,
+- ``env_unstable``: true when the spread exceeds 20% AND the absolute
+  delta exceeds 0.25 s (the floor keeps tiny-SF probes from flagging
+  scheduler jitter) — the recorded numbers were taken inside a
+  slowdown window and MUST NOT be used as a regression baseline,
+- ``queries_minmax``: per-query [min, max] of the two runs, so a
+  window that spans one run but not the other is visible per query.
+
+``queries`` stays the flat name->min-seconds map (the driver contract).
 """
 
 from __future__ import annotations
@@ -84,18 +102,26 @@ BENCH_QUERIES = [
     "curation_ppl_buckets",
     "sim_ivfpq_topk",
     "text_gopher_repetition",
+    # round-5 additions: raw WARC (HTML) ingest round-trip (gzip WARC
+    # write + Content-Length walk + HTML→text extraction)
+    "source_warc_roundtrip",
 ]
 
 
 
-def best_of_two(run) -> float:
-    """Run ``run`` twice, return the faster wall time (see module doc)."""
-    best = float("inf")
+def min_max_of_two(run) -> tuple[float, float]:
+    """Run ``run`` twice, return (faster, slower) wall times."""
+    times = []
     for _ in range(2):
         t0 = time.time()
         run()
-        best = min(best, time.time() - t0)
-    return round(best, 3)
+        times.append(time.time() - t0)
+    return round(min(times), 3), round(max(times), 3)
+
+
+def best_of_two(run) -> float:
+    """Run ``run`` twice, return the faster wall time (see module doc)."""
+    return min_max_of_two(run)[0]
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -135,10 +161,38 @@ def main() -> None:
 
     qs = entrymod.all_queries()
     timings: dict[str, float] = {}
+    minmax: dict[str, list[float]] = {}
+
+    def record(name: str, run) -> None:
+        lo, hi = min_max_of_two(run)
+        timings[name] = lo
+        minmax[name] = [lo, hi]
+
+    # Fixed calibration probe: the same single-shuffle aggregate (q1),
+    # min-of-two, sampled at the start / midpoint / end of the run.  A
+    # host slowdown window anywhere in the bench shows up as spread
+    # between the three probes; the probe is NOT part of the totals.
+    calibration: dict[str, float] = {}
+
+    def run_q1() -> None:
+        qs["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    def calibrate(tag: str) -> None:
+        calibration[tag], _ = min_max_of_two(run_q1)
+
+    # One untimed pass first: the start probe must not pay q1's one-time
+    # codegen + lineitem page-cache fill (only footers were warmed) —
+    # that cold cost would read as a fake start-of-run slowdown.
+    run_q1()
+    calibrate("start")
     for name in BENCH_QUERIES:
-        timings[name] = best_of_two(
-            lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        record(
+            name,
+            lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save(),
         )
+    calibrate("mid")
 
     # Streaming window twins keep their round-1 names (the contract now
     # verifies them through one merged tagged query).
@@ -149,7 +203,7 @@ def main() -> None:
         ("stream_tumbling_counts", stream_windows.tumbling_counts_batch(ev)),
         ("stream_sliding_sums", stream_windows.sliding_value_sums_batch(ev)),
     ]:
-        timings[name] = best_of_two(
+        record(name, 
             lambda: df.write.format("noop").mode("overwrite").save()
         )
 
@@ -159,10 +213,10 @@ def main() -> None:
     from plda_spark.operators import text as text_ops
 
     docs_t = load_table(spark, sf_dir, "documents")
-    timings["text_fingerprint"] = best_of_two(
+    record("text_fingerprint", 
         lambda: text_ops.fingerprint(docs_t).write.format("noop").mode("overwrite").save()
     )
-    timings["text_winnow"] = best_of_two(
+    record("text_winnow", 
         lambda: text_ops.winnow(docs_t, k=4, w=5).write.format("noop").mode("overwrite").save()
     )
 
@@ -176,7 +230,7 @@ def main() -> None:
     qvecs = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    timings["sim_lsh_topk"] = best_of_two(
+    record("sim_lsh_topk", 
         lambda: similarity.lsh_topk(
             emb, qvecs, dim=64, k=5, num_planes=16, bands=4
         ).write.format("noop").mode("overwrite").save()
@@ -185,7 +239,7 @@ def main() -> None:
     # Tokenize → (doc, word, count) triples — the corpus-build stage every
     # LDA run pays (kept under its round-1 bench name; the contract query
     # now verifies the same triples through the writer→reader round-trip).
-    timings["lda_doc_term_counts"] = best_of_two(
+    record("lda_doc_term_counts", 
         lambda: entrymod._corpus(spark, sf_dir).write.format("noop").mode("overwrite").save()
     )
 
@@ -197,7 +251,7 @@ def main() -> None:
         num_topics=10, total_iterations=5, burn_in_iterations=0,
         average_model=False, seed=42,
     )
-    timings["lda_train_5it"] = best_of_two(lambda: train_documents(docs, cfg))
+    record("lda_train_5it", lambda: train_documents(docs, cfg))
 
     # Join-mode training (model-as-DataFrame, no V*K broadcast): the
     # beyond-broadcast-ceiling path.  join_exchange='auto' resolves to
@@ -209,7 +263,7 @@ def main() -> None:
         num_topics=10, total_iterations=5, burn_in_iterations=0,
         average_model=False, seed=42, model_mode="join",
     )
-    timings["lda_train_5it_join"] = best_of_two(lambda: train_documents(docs, cfg_join))
+    record("lda_train_5it_join", lambda: train_documents(docs, cfg_join))
 
     # BPE training: 5 merges over the documents word-frequency table
     # (per-merge pair-count aggregation + argmax — the per-iteration
@@ -217,7 +271,7 @@ def main() -> None:
     # iteration only).
     from plda_spark.operators import bpe
 
-    timings["bpe_train_5m"] = best_of_two(lambda: bpe.bpe_train(docs, 5))
+    record("bpe_train_5m", lambda: bpe.bpe_train(docs, 5))
 
     # Product quantization: one-time codebook training stays untimed
     # (driver-side sample, amortized over the corpus lifetime); encode,
@@ -226,15 +280,15 @@ def main() -> None:
     # search, not re-encoding.
     codebooks = similarity.pq_train(emb, dim=64, m=8, k=16)
     codes = similarity.pq_encode(emb, codebooks).localCheckpoint(eager=True)
-    timings["pq_encode"] = best_of_two(
+    record("pq_encode", 
         lambda: similarity.pq_encode(emb, codebooks)
         .write.format("noop").mode("overwrite").save()
     )
-    timings["pq_topk"] = best_of_two(
+    record("pq_topk", 
         lambda: similarity.pq_topk(codes, qvecs, codebooks, k=5)
         .write.format("noop").mode("overwrite").save()
     )
-    timings["pq_topk_refined"] = best_of_two(
+    record("pq_topk_refined", 
         lambda: similarity.pq_topk_refined(emb, codes, qvecs, codebooks, k=5)
         .write.format("noop").mode("overwrite").save()
     )
@@ -247,12 +301,12 @@ def main() -> None:
     import tempfile as _tf
 
     idx_dir = _tf.mkdtemp(prefix="bench_ivfpq_")
-    timings["sim_ivfpq_index_build"] = best_of_two(
+    record("sim_ivfpq_index_build", 
         lambda: similarity.ivf_pq_build(
             emb, dim=64, path=idx_dir, n_cells=16, m=8, k_codes=16
         )
     )
-    timings["sim_ivfpq_index_search"] = best_of_two(
+    record("sim_ivfpq_index_search", 
         lambda: similarity.ivf_pq_search(
             qvecs, idx_dir, emb, k=5, n_probe=4, oversample=5
         ).write.format("noop").mode("overwrite").save()
@@ -269,14 +323,14 @@ def main() -> None:
 
     tmp = tempfile.mkdtemp(prefix="plda_bench_r4_")
     hll_path = os.path.join(tmp, "hll")
-    timings["stats_hll_build"] = best_of_two(
+    record("stats_hll_build", 
         lambda: stats_ops.hll_daily_sketches(ev)
         .write.mode("overwrite").parquet(hll_path)
     )
     rollup = spark.read.parquet(hll_path)
     days = sorted(r["day"] for r in rollup.select("day").collect())
     lo, hi = days[len(days) // 4], days[(3 * len(days)) // 4]
-    timings["stats_hll_range"] = best_of_two(
+    record("stats_hll_range", 
         lambda: stats_ops.hll_estimate_range(rollup, lo, hi)
         .write.format("noop").mode("overwrite").save()
     )
@@ -289,16 +343,25 @@ def main() -> None:
     zsrc = load_table(spark, sf_dir, "orders").withColumn(
         "zx", F.col("o_custkey") % 65536
     ).withColumn("zy", F.col("o_orderkey") % 65536)
-    timings["layout_zorder_write"] = best_of_two(
+    record("layout_zorder_write", 
         lambda: write_zordered(zsrc, ["zx", "zy"], zpath, num_files=16)
     )
     zread = spark.read.parquet(zpath)
-    timings["layout_zorder_pruned_read"] = best_of_two(
+    record("layout_zorder_pruned_read", 
         lambda: zread.where((F.col("zx") >= 1000) & (F.col("zx") < 2000))
         .write.format("noop").mode("overwrite").save()
     )
     shutil.rmtree(tmp, ignore_errors=True)
 
+    calibrate("end")
+    probes = list(calibration.values())
+    spread = round((max(probes) - min(probes)) / max(min(probes), 1e-9), 4)
+    # Unstable = a REAL slowdown window: >20% relative spread AND >0.25 s
+    # absolute delta.  The absolute floor keeps sub-second probes (tiny
+    # SFs) from flagging ordinary scheduler jitter as instability; the
+    # documented 2-4x host windows clear both bars at the driver's sf0.1
+    # (q1 ~1.2 s) by an order of magnitude.
+    unstable = spread > 0.20 and (max(probes) - min(probes)) > 0.25
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "total_wall_sec",
@@ -306,6 +369,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calibration": {k: round(v, 3) for k, v in calibration.items()},
+        "calibration_spread": spread,
+        "env_unstable": unstable,
+        "queries_minmax": minmax,
     }))
     spark.stop()
 

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["read_wet", "read_wet_stream", "write_wet"]
+__all__ = ["read_wet", "read_wet_stream", "write_wet", "walk_warc_records"]
 
 _WET_SCHEMA = (
     "wet_file string, url string, warc_date string, "
@@ -47,11 +47,13 @@ _WET_SCHEMA = (
 )
 
 
-def _parse_wet_bytes(data: bytes, src: str) -> Iterator[tuple]:
-    """Walk one (decompressed) WET shard by Content-Length.  Yields
-    (url, warc_date, content_length, text) for conversion records;
-    warcinfo/metadata records are skipped.  Raises on truncation or a
-    missing Content-Length — never guesses record boundaries."""
+def walk_warc_records(data: bytes, src: str) -> Iterator[tuple[dict, bytes]]:
+    """Walk one (decompressed) WARC-family shard by Content-Length,
+    yielding ``(headers, payload_bytes)`` per record — the shared core
+    of the WET reader here and the raw-HTML WARC reader
+    (:mod:`plda_spark.sources.warc`).  Header keys are lower-cased.
+    Raises on truncation or a missing Content-Length — never guesses
+    record boundaries (payloads legally embed ``WARC/1.0`` lines)."""
     pos, n = 0, len(data)
     while True:
         idx = data.find(b"WARC/", pos)
@@ -75,6 +77,16 @@ def _parse_wet_bytes(data: bytes, src: str) -> Iterator[tuple]:
         body_end = body_start + clen
         if body_end > n:
             raise ValueError(f"{src}: truncated record payload at byte {idx}")
+        yield headers, data[body_start:body_end]
+        pos = body_end
+
+
+def _parse_wet_bytes(data: bytes, src: str) -> Iterator[tuple]:
+    """Walk one (decompressed) WET shard by Content-Length.  Yields
+    (url, warc_date, content_length, text) for conversion records;
+    warcinfo/metadata records are skipped.  Raises on truncation or a
+    missing Content-Length — never guesses record boundaries."""
+    for headers, body in walk_warc_records(data, src):
         # WET conversion records carry the source URI; warcinfo doesn't.
         if headers.get("warc-type", "conversion") == "conversion" and (
             "warc-target-uri" in headers
@@ -82,10 +94,9 @@ def _parse_wet_bytes(data: bytes, src: str) -> Iterator[tuple]:
             yield (
                 headers["warc-target-uri"],
                 headers.get("warc-date", ""),
-                clen,
-                data[body_start:body_end].decode("utf-8", "replace"),
+                len(body),
+                body.decode("utf-8", "replace"),
             )
-        pos = body_end
 
 
 def _parse_shards(files: DataFrame) -> DataFrame:

@@ -385,3 +385,129 @@ def test_wet_write_rejects_null_documents(spark, tmp_path):
     )
     with _pytest.raises(Exception, match="NULL"):
         wet.write_wet(bad, str(tmp_path / "w"))
+
+
+def test_warc_roundtrip_html_payloads(spark, tmp_path):
+    """Raw WARC response records must round-trip: both Content-Lengths
+    are UTF-8 octets, payloads embedding 'WARC/1.0' or blank lines must
+    not confuse the Content-Length walker, and extract_html_text must
+    recover entity-escaped text exactly."""
+    from plda_spark.sources import warc
+
+    rows = [
+        (0, "<html><body><p>plain ascii</p></body></html>"),
+        (1, "<p>unicode: café 中文 \U0001f600</p>"),
+        (2, "<p>embedded marker WARC/1.0\r\n\r\nWARC-Type: fake</p>"),
+        (3, "<p>entities: &lt;b&gt;not bold&lt;/b&gt; &amp; fine</p>"),
+        (4, "<script>skip me</script><h1>kept</h1>"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    for gz in (False, True):
+        path = str(tmp_path / f"warc_{gz}")
+        warc.write_warc(docs, path, compress=gz)
+        back = warc.read_warc(spark, path)
+        got = {
+            int(r["url"].rsplit("/", 1)[1]): r for r in back.collect()
+        }
+        assert set(got) == {0, 1, 2, 3, 4}, f"compress={gz}"
+        for d, h in rows:
+            r = got[d]
+            assert r["html"] == h
+            assert r["http_status"] == 200
+            assert r["content_type"] == "text/html; charset=utf-8"
+        ext = {
+            int(r["url"].rsplit("/", 1)[1]): r["text"]
+            for r in warc.extract_html_text(back).collect()
+        }
+        assert ext[0] == "plain ascii"
+        assert ext[3] == "entities: <b>not bold</b> & fine"
+        assert ext[4] == "kept"
+
+
+def test_warc_skips_non_response_and_fails_loudly_on_truncation(spark, tmp_path):
+    from plda_spark.sources import warc
+
+    http = b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\n\r\n<p>gone</p>"
+    good = (
+        b"WARC/1.0\r\nWARC-Type: warcinfo\r\nContent-Length: 9\r\n\r\n"
+        b"info body\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: request\r\n"
+        b"WARC-Target-URI: http://x/7\r\nContent-Length: 4\r\n\r\nGET /\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/7\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    d = tmp_path / "warc_ok"
+    d.mkdir()
+    (d / "a.warc").write_bytes(good)
+    rows = warc.read_warc(spark, str(d)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["url"], r["http_status"], r["html"]) == ("http://x/7", 404, "<p>gone</p>")
+    assert r["content_type"] == "text/html"
+
+    bad = good[:-9]  # chop into the final payload
+    d2 = tmp_path / "warc_bad"
+    d2.mkdir()
+    (d2 / "b.warc").write_bytes(bad)
+    with pytest.raises(Exception, match="truncated"):
+        warc.read_warc(spark, str(d2)).collect()
+
+
+def test_warc_http_oddities_degrade_not_kill(spark, tmp_path):
+    """WARC STRUCTURE errors raise; HTTP-level oddities inside a valid
+    record must degrade (NULL status / raw body), because one bad
+    origin server must not kill a 100k-shard job."""
+    from plda_spark.sources import warc
+
+    chunked_http = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n"
+        b"Content-Type: text/html\r\n\r\n"
+        b"5\r\nhello\r\n6\r\n world\r\n0\r\n\r\n"
+    )
+    weird = b"no http header block at all"
+    badcharset = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=not-a-codec\r\n\r\n"
+        b"<p>ok</p>"
+    )
+
+    def rec(uri: bytes, payload: bytes) -> bytes:
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + uri
+            + b"\r\nContent-Length: " + str(len(payload)).encode()
+            + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+
+    d = tmp_path / "warc_odd"
+    d.mkdir()
+    (d / "a.warc").write_bytes(
+        rec(b"http://x/1", chunked_http) + rec(b"http://x/2", weird)
+        + rec(b"http://x/3", badcharset)
+    )
+    got = {r["url"]: r for r in warc.read_warc(spark, str(d)).collect()}
+    assert got["http://x/1"]["html"] == "hello world"  # de-chunked
+    assert got["http://x/2"]["http_status"] is None
+    assert got["http://x/2"]["html"] == "no http header block at all"
+    assert got["http://x/3"]["html"] == "<p>ok</p>"  # charset fallback
+
+
+def test_warc_write_rejects_null_documents(spark, tmp_path):
+    from plda_spark.sources import warc
+
+    bad = spark.createDataFrame(
+        [(0, "<p>fine</p>"), (1, None)], "doc_id long, html string"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        warc.write_warc(bad, str(tmp_path / "w"))
+
+
+def test_extract_html_text_null_and_passthrough(spark):
+    from plda_spark.sources import warc
+
+    df = spark.createDataFrame(
+        [(0, "<p>a</p>", "k0"), (1, None, "k1")],
+        "doc_id long, html string, extra string",
+    )
+    got = {r["doc_id"]: r for r in warc.extract_html_text(df).collect()}
+    assert got[0]["text"] == "a" and got[0]["extra"] == "k0"
+    assert got[1]["text"] is None and got[1]["extra"] == "k1"

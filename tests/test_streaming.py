@@ -588,3 +588,53 @@ def test_wet_stream_minhash_ingest_drops_edited_recrawl(spark, tmp_path):
     run()
     got = {r["url"].rsplit("/", 1)[1]: r["text"] for r in spark.read.parquet(out).collect()}
     assert set(got) == {"0", "11"}  # edited recrawl 10 dropped cross-dump
+
+
+def test_warc_stream_ingest_extract_and_dedup(spark, tmp_path):
+    """Raw-WARC shards → streaming reader → HTML→text extraction →
+    exact-dedup ledger, end-to-end with checkpointed exactly-once
+    semantics: the full raw-crawl twin of the WET pipeline.  Two
+    availableNow passes over two dump drops; markup must be stripped
+    BEFORE the digest so restyled recrawls of identical text dedup."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.sources import warc
+
+    in_dir = str(tmp_path / "dumps")
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_dump(rows, sub):
+        docs = spark.createDataFrame(rows, "doc_id long, html string")
+        warc.write_warc(docs, f"{in_dir}/{sub}", compress=True)
+
+    def run():
+        stream = warc.extract_html_text(
+            warc.read_warc_stream(spark, f"{in_dir}/*")
+        ).select("url", "text")
+        windows.incremental_exact_dedup(stream, out, state, ckpt, id_col="url")
+
+    # dump 1: different markup, same extracted text (0 ≡ 1 after
+    # extraction) + one distinct page
+    drop_dump(
+        [
+            (0, "<html><body><p>aaa</p></body></html>"),
+            (1, "<div><b>aaa</b></div>"),
+            (2, "<p>bbb</p>"),
+        ],
+        "dump1",
+    )
+    run()
+    got1 = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got1) == ["aaa", "bbb"]
+
+    # dump 2: a restyled recrawl of 'aaa' (historical dup) + a new page
+    drop_dump(
+        [(10, "<article>aaa</article>"), (11, "<p>ccc</p>")], "dump2"
+    )
+    run()
+    got2 = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got2) == ["aaa", "bbb", "ccc"]
+    new = [r for r in got2 if r["text"] == "ccc"]
+    assert new and new[0]["url"].endswith("/11")

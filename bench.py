@@ -306,10 +306,22 @@ def main() -> None:
             emb, dim=64, path=idx_dir, n_cells=16, m=8, k_codes=16
         )
     )
-    record("sim_ivfpq_index_search", 
+    record("sim_ivfpq_index_search",
         lambda: similarity.ivf_pq_search(
             qvecs, idx_dir, emb, k=5, n_probe=4, oversample=5
         ).write.format("noop").mode("overwrite").save()
+    )
+    # Append cost (AFTER the search rows, so they measure the pristine
+    # index): encode an increment with the frozen quantizer and land it
+    # in the existing cell partitions — the crawl-refresh shape; the
+    # alternative is paying index_build per increment.  Both timed runs
+    # append to the same index (identical work; the second just adds
+    # more part-files).
+    increment = emb.limit(2000).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    record("sim_ivfpq_index_append",
+        lambda: similarity.ivf_pq_append(increment, idx_dir)
     )
     shutil.rmtree(idx_dir, ignore_errors=True)
 

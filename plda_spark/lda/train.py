@@ -112,6 +112,17 @@ class TrainConfig:
     # most of the vocabulary; words otherwise (giant V·K, where dense
     # per-task state is unaffordable and slicing genuinely prunes).
     join_exchange: str = "auto"
+    # 'auto' only: per-iteration WIRE-VOLUME cap for the chunks
+    # exchange.  Chunks replicate the dense V·K block to every
+    # partition — P·V·K·8 bytes on the shuffle per iteration — while
+    # words route each partition only its own word slices; a block that
+    # comfortably fits one task (the dense_ok test) can still be a
+    # multi-TB per-iteration exchange at P=1000.  'auto' falls back to
+    # words once P·V·K·8 exceeds this budget.  8 GiB default: at the
+    # single-digit-GiB level a 1000-executor shuffle absorbs the
+    # replication cheaply, beyond it the words format's slice routing
+    # wins.  Ignored unless join_exchange='auto'.
+    join_exchange_budget_bytes: int = 8 << 30
 
     def validate(self) -> None:
         if self.num_topics < 2:
@@ -128,6 +139,8 @@ class TrainConfig:
             raise ValueError("model_mode must be broadcast|join")
         if self.join_exchange not in ("auto", "words", "chunks"):
             raise ValueError("join_exchange must be auto|words|chunks")
+        if self.join_exchange_budget_bytes <= 0:
+            raise ValueError("join_exchange_budget_bytes must be > 0")
         if self.model_mode == "join" and self.average_model:
             raise ValueError(
                 "model_mode='join' keeps the model distributed and emits "
@@ -890,17 +903,20 @@ def _save_join_checkpoint(
 def _resolve_join_exchange(config: TrainConfig, vocab_size: int,
                            total_tokens: int, num_partitions: int) -> str:
     """'auto' picks chunks when (a) the dense V·K block fits the
-    per-task budget and (b) partitions average ≥V tokens — the regime
+    per-task budget, (b) partitions average ≥V tokens — the regime
     where word-slicing degenerates into shipping near-full model copies
-    row by row (see TrainConfig.join_exchange)."""
+    row by row — and (c) the per-iteration replication volume P·V·K·8
+    stays inside ``config.join_exchange_budget_bytes`` (chunks ship the
+    whole model to EVERY partition each iteration; a block that fits
+    one task is still a multi-TB exchange at P=1000).  Words otherwise
+    (see TrainConfig.join_exchange)."""
     if config.join_exchange != "auto":
         return config.join_exchange
-    dense_ok = (
-        vocab_size * config.num_topics * 8 * _CHUNK_DENSE_COPIES
-        <= _CHUNK_TASK_BUDGET_BYTES
-    )
+    nbytes = vocab_size * config.num_topics * 8
+    dense_ok = nbytes * _CHUNK_DENSE_COPIES <= _CHUNK_TASK_BUDGET_BYTES
     token_rich = total_tokens >= vocab_size * num_partitions
-    return "chunks" if (dense_ok and token_rich) else "words"
+    volume_ok = nbytes * num_partitions <= config.join_exchange_budget_bytes
+    return "chunks" if (dense_ok and token_rich and volume_ok) else "words"
 
 
 def _train_join(

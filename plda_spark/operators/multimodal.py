@@ -265,9 +265,23 @@ def sample_video_frames(
         for pdf in batches:
             if decode_backend == "real":
                 # The one modality still codec-gated: container demux +
-                # frame decode genuinely needs ffmpeg (no stdlib path).
+                # frame decode genuinely needs ffmpeg (no stdlib path —
+                # PNG/WAV decode for real via pure stdlib above, video
+                # cannot).  Probed at RUNTIME on the executor so the
+                # error states the actual environment, not a guess;
+                # wire a subprocess demuxer here once a build ships
+                # with ffmpeg (probe verified round 5: absent in this
+                # container).
+                import shutil as _sh
+
+                found = _sh.which("ffmpeg")
                 raise NotImplementedError(
-                    "real frame decode requires ffmpeg bindings — use decode_backend='fake'"
+                    "real frame decode requires the ffmpeg binary on every "
+                    f"executor (PATH probe on this executor: "
+                    f"{found or 'NOT FOUND'}) — no stdlib demux path exists; "
+                    "use decode_backend='fake' (deterministic, oracle-"
+                    "verified plumbing) until the image/video toolchain is "
+                    "installed"
                 )
             feats = [
                 _fake_decode(bytes(p), 16, salt=int(i))

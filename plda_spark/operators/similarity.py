@@ -1107,6 +1107,39 @@ def ivf_pq_build(
     np.savez(f"{path}/quantizer.npz", centroids=cents, codebooks=books)
 
 
+def ivf_pq_append(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append new vectors to a persisted ``ivf_pq_build`` index WITHOUT
+    rebuilding — the crawl-refresh shape (each new dump adds vectors;
+    re-training + re-encoding the whole corpus per increment would cost
+    the full build every time).  The FROZEN quantizer from
+    ``{path}/quantizer.npz`` encodes the increment (same coarse cells,
+    same residual codebooks — an appended vector is searched through
+    the identical ADC tables as a built one), and the codes land as an
+    APPEND into the existing cell partitions, preserving the partition-
+    pruned read.  Same policy as faiss ``IndexIVF.add``: quantizers do
+    not drift with the data; rebuild deliberately (``ivf_pq_build``)
+    when the distribution has — recall degrades gracefully, never
+    correctness (the exact re-rank stage scores true vectors).
+
+    Callers own ``id_col`` uniqueness across increments (also the faiss
+    contract): an id appended twice appears twice in search output.
+    The exactly-once streaming ledgers (`streaming.windows`) are the
+    repo's dedup gate for that."""
+    qz = np.load(f"{path}/quantizer.npz")
+    cents, books = qz["centroids"], qz["codebooks"]
+    (
+        _encode_ivfpq(new_vectors, cents, books, id_col, vec_col)
+        .write.partitionBy("cell")
+        .mode("append")
+        .parquet(f"{path}/codes")
+    )
+
+
 def ivf_pq_search(
     queries: DataFrame,
     path: str,

@@ -426,6 +426,54 @@ def test_ivf_pq_index_persist_prune_and_exactness(spark, embeddings, tmp_path):
     assert np.array_equal(a["codebooks"], c["codebooks"])
 
 
+def test_ivf_pq_append_equals_build_on_union(spark, embeddings, tmp_path):
+    """ivf_pq_append: build on half the corpus, append the other half
+    with the FROZEN quantizer — at the exactness config (exhaustive
+    probe, shortlist >= corpus) search must equal a fresh build over
+    the union (both reduce to brute-force cosine top-k through the
+    exact re-rank), and the appended codes must land inside the
+    existing cell partition layout (still partition-pruned)."""
+    import numpy as np
+
+    half_a = embeddings.where(F.col("vec_id") % 2 == 0)
+    half_b = embeddings.where(F.col("vec_id") % 2 == 1)
+    qs = embeddings.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+    idx = str(tmp_path / "idx")
+    similarity.ivf_pq_build(half_a, dim=8, path=idx, n_cells=4, m=4,
+                            k_codes=8, seed=11)
+    qz_before = np.load(f"{idx}/quantizer.npz")
+    similarity.ivf_pq_append(half_b, idx)
+    qz_after = np.load(f"{idx}/quantizer.npz")
+    # append never touches the quantizer
+    assert np.array_equal(qz_before["centroids"], qz_after["centroids"])
+    assert np.array_equal(qz_before["codebooks"], qz_after["codebooks"])
+
+    idx_full = str(tmp_path / "idx_full")
+    similarity.ivf_pq_build(embeddings, dim=8, path=idx_full, n_cells=4,
+                            m=4, k_codes=8, seed=11)
+    got_inc = similarity.ivf_pq_search(qs, idx, embeddings, k=3,
+                                       n_probe=4, oversample=10)
+    got_full = similarity.ivf_pq_search(qs, idx_full, embeddings, k=3,
+                                        n_probe=4, oversample=10)
+    a = {(r["query_id"], r["rank"]): r["vec_id"] for r in got_inc.collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in got_full.collect()}
+    assert a == b
+    # every corpus vector is in the incremental index exactly once
+    codes = spark.read.parquet(f"{idx}/codes")
+    assert codes.count() == embeddings.count()
+    assert codes.select("vec_id").distinct().count() == embeddings.count()
+    # and a partial probe on the appended index still partition-prunes
+    appr = similarity.ivf_pq_search(qs, idx, embeddings, k=3, n_probe=1,
+                                    oversample=2)
+    plan = appr._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+
+
 def test_embedding_near_dup_blocked_finds_planted_pair(spark, embeddings):
     from plda_spark.operators import similarity
 

@@ -407,3 +407,28 @@ def test_gopher_repetition_fanout_contract(spark):
     )
     plan = text.gopher_repetition(narrow)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # exactly the fan-out repartition
+
+
+def test_triangles_bounded_exchanges_no_cartesian(spark):
+    """The degree-ordered adjacency-intersection triangle count (the
+    bench's slowest row) must keep its rewrite honest: exactly 4
+    equi-joins (edge x degree twice, oriented-edge x adjacency twice),
+    at most 5 physical exchanges (degree agg, the join exchanges,
+    adjacency build, final agg — formatted plans list each twice), the
+    per-edge intersection inside codegen (array_intersect), a map-side
+    partial_sum, and NEVER a cartesian/nested-loop or wedge
+    materialization (explode)."""
+    from plda_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (0, 3)], "src long, dst long"
+    )
+    s = plan_summary(graph.triangles(edges))
+    plan = s["plan"]
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Explode" not in plan  # no wedge set is ever materialized
+    assert s["sort_merge_joins"] + s["broadcast_hash_joins"] == 4
+    assert s["exchanges"] <= 10  # 5 physical, each listed twice
+    assert "array_intersect" in plan
+    assert "partial_sum" in plan

@@ -589,6 +589,32 @@ def test_wet_stream_minhash_ingest_drops_edited_recrawl(spark, tmp_path):
     got = {r["url"].rsplit("/", 1)[1]: r["text"] for r in spark.read.parquet(out).collect()}
     assert set(got) == {"0", "11"}  # edited recrawl 10 dropped cross-dump
 
+    # cross-generation replay: a WIPED checkpoint (fresh dir, batch ids
+    # restart at 0) over a fresh dump dir must keep rejecting against
+    # the accumulated bucket ledger and must not clobber the old
+    # generation's output partitions
+    edited2 = base.replace("today", "yesterday")
+    third = "yet more unrelated content regarding weather forecasts and storm tracking"
+    docs3 = spark.createDataFrame(
+        [(20, edited2), (21, third)], "doc_id long, text string"
+    )
+    in_dir2 = str(tmp_path / "dumps_gen2")
+    wet.write_wet(docs3, f"{in_dir2}/dump3", compress=True)
+    windows.incremental_minhash_dedup(
+        wet.read_wet_stream(spark, f"{in_dir2}/*").select("url", "text"),
+        out, state, str(tmp_path / "ckpt_gen2"),
+        num_hashes=16, bands=8, n=3, id_col="url",
+    )
+    got2 = {
+        r["url"].rsplit("/", 1)[1]: r["text"]
+        for r in spark.read.parquet(out).collect()
+    }
+    # old survivors intact, edited2 rejected by generation-1 history,
+    # the genuinely new page admitted under the new run_id
+    assert set(got2) == {"0", "11", "21"}
+    ledger = spark.read.parquet(state)
+    assert ledger.select("run_id").distinct().count() == 2
+
 
 def test_warc_stream_ingest_extract_and_dedup(spark, tmp_path):
     """Raw-WARC shards → streaming reader → HTML→text extraction →

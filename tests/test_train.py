@@ -408,6 +408,20 @@ def test_join_exchange_auto_resolution():
     # dense block past the per-task budget -> words
     big_v = _CHUNK_TASK_BUDGET_BYTES // (_CHUNK_DENSE_COPIES * 10 * 8) + 1
     assert _resolve_join_exchange(cfg, big_v, big_v * 100, 4) == "words"
+    # bytes-based replication-volume cutover: chunks ship P full model
+    # copies per iteration (P·V·K·8 wire bytes); past the budget 'auto'
+    # must fall back to words even though the block fits one task.
+    # V=100k, K=10: dense 8 MB (dense_ok), token-rich.  P=1000 ->
+    # 8 GB volume, inside the 8 GiB default -> still chunks; V=200k at
+    # P=1000 -> 16 GB -> words.
+    assert _resolve_join_exchange(cfg, 100_000, 100_000 * 1000, 1000) == "chunks"
+    assert _resolve_join_exchange(cfg, 200_000, 200_000 * 1000, 1000) == "words"
+    # and the budget is configurable: shrink it and the same geometry
+    # that picked chunks cuts over to words
+    tight = TrainConfig(num_topics=10, average_model=False, model_mode="join",
+                        join_exchange_budget_bytes=1 << 30)
+    assert _resolve_join_exchange(tight, 100_000, 100_000 * 1000, 1000) == "words"
+    assert _resolve_join_exchange(tight, 100_000, 100_000 * 4, 4) == "chunks"
     # explicit settings win over the heuristic
     for forced in ("words", "chunks"):
         f = TrainConfig(num_topics=10, average_model=False, model_mode="join",
@@ -416,6 +430,9 @@ def test_join_exchange_auto_resolution():
     with pytest.raises(ValueError):
         TrainConfig(num_topics=3, model_mode="join", average_model=False,
                     join_exchange="bogus").validate()
+    with pytest.raises(ValueError):
+        TrainConfig(num_topics=3, model_mode="join", average_model=False,
+                    join_exchange_budget_bytes=0).validate()
 
 
 def test_chunk_grid_geometry():

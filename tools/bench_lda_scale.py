@@ -7,15 +7,18 @@ Gibbs sweep (mapInPandas) → localCheckpoint → partial/final count
 aggregation → collect.  This is the cost model the reference's speedup
 chart describes (one AllReduce per iteration, mpi_lda.cc:213-235).
 
-Usage: python tools/bench_lda_scale.py [n_docs] [avg_len] [vocab] [k] [iters] [mode]
+Usage: python tools/bench_lda_scale.py [n_docs] [avg_len] [vocab] [k] [iters] [mode] [budget_bytes]
 
 ``mode`` is ``broadcast`` (default — the reference's replicated-model
 design), ``join`` (model-as-DataFrame with the word-sliced exchange,
 ``join_exchange='words'``: no V·K broadcast or driver copy; model-slice
-rows ride shuffles — the beyond-broadcast-ceiling path), or ``chunks``
+rows ride shuffles — the beyond-broadcast-ceiling path), ``chunks``
 (``join_exchange='chunks'``: the model rides the shuffle as dense
 binary chunk rows — the 'auto' pick in token-rich regimes, ~2× faster
-than the words exchange with bit-identical output).
+than the words exchange with bit-identical output), or ``auto`` (let
+``_resolve_join_exchange`` pick — the pick lands in the output JSON;
+``budget_bytes`` overrides ``join_exchange_budget_bytes`` to probe the
+replication-volume cutover a P=1000 cluster would hit).
 """
 
 from __future__ import annotations
@@ -75,11 +78,28 @@ def main() -> None:
         spark.range(n_docs, numPartitions=P)
         .mapInPandas(gen, schema="doc_id long, word_occ array<int>")
     )
+    auto_pick = None
+    if mode == "auto":
+        from plda_spark.lda.train import TrainConfig, _resolve_join_exchange
+
+        kw = {}
+        if len(sys.argv) > 7:
+            kw["join_exchange_budget_bytes"] = int(sys.argv[7])
+        cfg = TrainConfig(num_topics=K, model_mode="join",
+                          average_model=False, **kw)
+        tok = packed.select(F.sum(F.size("word_occ"))).collect()[0][0]
+        auto_pick = _resolve_join_exchange(cfg, V, int(tok), P)
+        mode = "join" if auto_pick == "words" else "chunks"
+        print(json.dumps({"auto_pick": auto_pick, "vocab": V, "k": K,
+                          "cores": P, "n_tokens": int(tok),
+                          "budget_bytes": kw.get(
+                              "join_exchange_budget_bytes",
+                              cfg.join_exchange_budget_bytes)}))
     if mode == "join":
-        _run_join(spark, packed, V, K, iters, n_docs)
+        _run_join(spark, packed, V, K, iters, n_docs, auto_pick)
         return
     if mode == "chunks":
-        _run_chunks(spark, packed, V, K, iters, n_docs)
+        _run_chunks(spark, packed, V, K, iters, n_docs, auto_pick)
         return
 
     t0 = time.time()
@@ -123,7 +143,8 @@ def main() -> None:
     spark.stop()
 
 
-def _run_join(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
+def _run_join(spark, packed, V: int, K: int, iters: int, n_docs: int,
+              auto_pick: str | None = None) -> None:
     """Join-mode per-iteration cost at the same scale: cogroup sweep +
     distributed model rebuild, no broadcast, no driver model copy."""
     sc = spark.sparkContext
@@ -188,7 +209,7 @@ def _run_join(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
         iter_times.append(round(time.time() - t0, 2))
 
     print(json.dumps({
-        "mode": "join", "n_docs": n_docs, "vocab": V, "k": K,
+        "mode": "join", "auto_pick": auto_pick, "n_docs": n_docs, "vocab": V, "k": K,
         "n_tokens": int(n_tokens), "cores": P, "driver_mem": _driver_mem(spark), "init_s": round(t_init, 2),
         "iteration_s": iter_times,
         "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),
@@ -196,7 +217,8 @@ def _run_join(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
     spark.stop()
 
 
-def _run_chunks(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
+def _run_chunks(spark, packed, V: int, K: int, iters: int, n_docs: int,
+                auto_pick: str | None = None) -> None:
     """join_exchange='chunks' per-iteration cost at the same scale: the
     model rides the shuffle as C dense binary chunk rows (pid×chunk
     cross join), the rebuild is a per-chunk buffer sum — same bytes as
@@ -249,7 +271,7 @@ def _run_chunks(spark, packed, V: int, K: int, iters: int, n_docs: int) -> None:
         iter_times.append(round(time.time() - t0, 2))
 
     print(json.dumps({
-        "mode": "chunks", "n_docs": n_docs, "vocab": V, "k": K,
+        "mode": "chunks", "auto_pick": auto_pick, "n_docs": n_docs, "vocab": V, "k": K,
         "n_tokens": int(n_tokens), "cores": P, "driver_mem": _driver_mem(spark), "init_s": round(t_init, 2),
         "iteration_s": iter_times,
         "tokens_per_sec_per_iter": int(n_tokens / (sum(iter_times) / len(iter_times))),

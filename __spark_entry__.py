@@ -1251,6 +1251,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["layout_zorder"] = layout_zorder
 
+    def layout_compact(spark, sf):
+        """Small-file compaction round-trip (sources.compact): the
+        documents table scattered across 64 tiny files, bin-packed back
+        to ~one target-size file in ONE listing pass + ONE round-robin
+        shuffle, content recovered row-for-row (the lake-maintenance
+        operation every streaming ingest eventually needs)."""
+        import tempfile
+
+        from plda_spark.sources import compact
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        tmp = tempfile.mkdtemp(prefix="plda_compact_")
+        docs.repartition(64).write.mode("overwrite").parquet(f"{tmp}/small")
+        compact.compact_parquet(
+            spark, f"{tmp}/small", f"{tmp}/packed", target_file_bytes=1 << 40
+        )
+        return spark.read.parquet(f"{tmp}/packed")
+
+    q["layout_compact"] = layout_compact
+
     # ---- engine extensions: embedding clustering ---------------------------
 
     def ml_kmeans_assign(spark, sf):
@@ -4275,6 +4295,10 @@ FROM (
 )
 """
 
+    o["layout_compact"] = """
+SELECT doc_id, text FROM documents
+"""
+
     o["q4_order_priority"] = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
@@ -5004,6 +5028,7 @@ EXTRA_QUERIES: list[str] = [
     # in a Common Crawl pipeline
     "source_warc_roundtrip",
     "stream_warc_ingest",
+    "layout_compact",
 ]
 
 

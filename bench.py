@@ -103,8 +103,10 @@ BENCH_QUERIES = [
     "sim_ivfpq_topk",
     "text_gopher_repetition",
     # round-5 additions: raw WARC (HTML) ingest round-trip (gzip WARC
-    # write + Content-Length walk + HTML→text extraction)
+    # write + Content-Length walk + HTML→text extraction) and the
+    # small-file compaction round-trip (listing + bin-pack shuffle)
     "source_warc_roundtrip",
+    "layout_compact",
 ]
 
 

@@ -43,6 +43,7 @@ __all__ = [
     "pq_topk_refined",
     "ivf_pq_topk",
     "ivf_pq_build",
+    "ivf_pq_append",
     "ivf_pq_search",
 ]
 

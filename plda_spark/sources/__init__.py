@@ -1,16 +1,24 @@
 """Sources and sinks: parquet tables, plda text format, UCI bag-of-words,
 JSONL and CSV (both with corrupt-row quarantine), sharded/bucketed sinks,
 a date-partitioned sink with pruning-pinned reads, Z-order (Morton)
-clustered writes, and Common Crawl WARC/WET shards (Content-Length-exact
-record walking, file-granular parallelism)."""
+clustered writes, and Common Crawl WARC/WET shards — extracted-text WET and raw-HTML
+WARC response records (Content-Length-exact record walking,
+file-granular parallelism, dependency-free HTML→text extraction)."""
 
 from .bucketed import read_bucketed, write_bucketed  # noqa: F401
+from .compact import compact_parquet, dataset_file_stats  # noqa: F401
 from .csv import read_csv, read_csv_with_errors, write_csv  # noqa: F401
 from .jsonl import read_jsonl, read_jsonl_with_errors, write_dataset  # noqa: F401
 from .partitioned import read_partitioned, write_partitioned_by_day  # noqa: F401
 from .plda_text import read_plda_corpus, write_plda_corpus  # noqa: F401
 from .tables import load_all, load_table  # noqa: F401
 from .uci import read_uci_docword, uci_to_corpus  # noqa: F401
+from .warc import (  # noqa: F401
+    extract_html_text,
+    read_warc,
+    read_warc_stream,
+    write_warc,
+)
 from .wet import read_wet, read_wet_stream, write_wet  # noqa: F401
 from .zorder import write_zordered, zvalue_col  # noqa: F401
 
@@ -36,4 +44,10 @@ __all__ = [
     "read_wet",
     "read_wet_stream",
     "write_wet",
+    "read_warc",
+    "read_warc_stream",
+    "write_warc",
+    "extract_html_text",
+    "compact_parquet",
+    "dataset_file_stats",
 ]

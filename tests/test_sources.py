@@ -511,3 +511,75 @@ def test_extract_html_text_null_and_passthrough(spark):
     got = {r["doc_id"]: r for r in warc.extract_html_text(df).collect()}
     assert got[0]["text"] == "a" and got[0]["extra"] == "k0"
     assert got[1]["text"] is None and got[1]["extra"] == "k1"
+
+
+def test_compact_parquet_unpartitioned_preserves_content(spark, tmp_path):
+    """Compacting a many-small-files dataset must preserve content
+    row-for-row, hit ~the planned file count, and refuse in-place."""
+    from plda_spark.sources import compact
+    from plda_spark.sources.tables import load_table
+
+    src = str(tmp_path / "small")
+    out = str(tmp_path / "compacted")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    orders.repartition(64).write.parquet(src)
+    before = compact.dataset_file_stats(spark, src)
+    assert before["n_files"] == 64
+
+    target = max(1, before["total_bytes"] // 4)
+    report = compact.compact_parquet(spark, src, out, target_file_bytes=target)
+    assert report["files_before"] == 64
+    assert report["files_after"] == report["n_output_files"] <= 6
+    # content identical row-for-row (multiset equality both ways)
+    a, b = spark.read.parquet(src), spark.read.parquet(out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    with pytest.raises(ValueError, match="in-place"):
+        compact.compact_parquet(spark, src, src + "/")
+    with pytest.raises(ValueError, match="target_file_bytes"):
+        compact.compact_parquet(spark, src, out, target_file_bytes=0)
+
+
+def test_compact_parquet_partitioned_bin_packs_per_dir(spark, tmp_path):
+    """Partitioned compaction must keep the directory layout, bin-pack
+    WITHIN each partition (skewed partitions get more files), and fail
+    loudly when partition_cols doesn't match the layout."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.sources import compact
+    from plda_spark.sources.tables import load_table
+
+    src = str(tmp_path / "part_small")
+    out = str(tmp_path / "part_compacted")
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    # 3-way skewed partition column + many files per partition
+    part = orders.withColumn(
+        "bucket", (F.col("o_orderkey") % 3 == 0).cast("int") * F.lit(2)
+    )
+    part.repartition(16).write.partitionBy("bucket").parquet(src)
+    before = compact.dataset_file_stats(spark, src)
+    assert before["n_files"] > 16
+
+    report = compact.compact_parquet(
+        spark, src, out, target_file_bytes=1 << 40, partition_cols=["bucket"]
+    )
+    # one file per partition at a huge target
+    assert report["n_output_files"] == 2
+    assert report["files_after"] == 2
+    a, b = spark.read.parquet(src), spark.read.parquet(out)
+    assert sorted(a.columns) == sorted(b.columns)
+    ax = a.select(*sorted(a.columns))
+    bx = b.select(*sorted(a.columns))
+    assert ax.exceptAll(bx).count() == 0 and bx.exceptAll(ax).count() == 0
+    # partition directories preserved
+    import glob as _glob
+
+    assert sorted(
+        p.rsplit("=", 1)[1] for p in _glob.glob(f"{out}/bucket=*")
+    ) == ["0", "2"]
+
+    with pytest.raises(ValueError, match="partition"):
+        compact.compact_parquet(
+            spark, src, str(tmp_path / "x"),
+            partition_cols=["not_a_partition"],
+        )

@@ -1500,6 +1500,40 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_warc_ingest"] = stream_warc_ingest
 
+    def web_boilerplate_extract(spark, sf):
+        """Main-content extraction from raw HTML (sources.warc.
+        drop_boilerplate): each document wrapped in a realistic page —
+        link-dense navigation, the body paragraph, a link-dense footer
+        — then decomposed into blocks (one Arrow pass), chrome dropped
+        by link density (the jusText signal), and the survivors
+        reassembled in document order.  Recovering exactly the body
+        text proves the block decomposition, the per-block link
+        counting, and the order-preserving reassembly end-to-end."""
+        from plda_spark.sources import warc
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        esc = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"), F.lit("&lt;"),
+            ),
+            F.lit(">"), F.lit("&gt;"),
+        )
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit('<html><head><script>nav()</script></head><body>'
+                      '<ul><li><a href="/">Home</a></li>'
+                      '<li><a href="/about">About us</a></li></ul><p>'),
+                esc,
+                F.lit('</p><div><a href="/p">Privacy</a> '
+                      '<a href="/t">Terms</a></div></body></html>'),
+            ).alias("html"),
+        )
+        return warc.drop_boilerplate(pages, id_col="doc_id")
+
+    q["web_boilerplate_extract"] = web_boilerplate_extract
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3548,6 +3582,12 @@ SELECT doc_id, CAST(200 AS INTEGER) AS http_status, text FROM documents
 SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
 """
 
+    # Boilerplate chrome (nav/footer, all link-dense) dropped; the one
+    # zero-link body block survives and reassembles to the exact text.
+    o["web_boilerplate_extract"] = """
+SELECT doc_id, text FROM documents
+"""
+
     o["rel_pivot_daily_events"] = """
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -5029,6 +5069,7 @@ EXTRA_QUERIES: list[str] = [
     "source_warc_roundtrip",
     "stream_warc_ingest",
     "layout_compact",
+    "web_boilerplate_extract",
 ]
 
 

@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     # small-file compaction round-trip (listing + bin-pack shuffle)
     "source_warc_roundtrip",
     "layout_compact",
+    "web_boilerplate_extract",
 ]
 
 

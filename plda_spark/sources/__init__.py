@@ -14,6 +14,8 @@ from .plda_text import read_plda_corpus, write_plda_corpus  # noqa: F401
 from .tables import load_all, load_table  # noqa: F401
 from .uci import read_uci_docword, uci_to_corpus  # noqa: F401
 from .warc import (  # noqa: F401
+    drop_boilerplate,
+    extract_html_blocks,
     extract_html_text,
     read_warc,
     read_warc_stream,
@@ -48,6 +50,8 @@ __all__ = [
     "read_warc_stream",
     "write_warc",
     "extract_html_text",
+    "extract_html_blocks",
+    "drop_boilerplate",
     "compact_parquet",
     "dataset_file_stats",
 ]

@@ -583,3 +583,54 @@ def test_compact_parquet_partitioned_bin_packs_per_dir(spark, tmp_path):
             spark, src, str(tmp_path / "x"),
             partition_cols=["not_a_partition"],
         )
+
+
+def test_html_blocks_and_boilerplate_filter(spark):
+    """Block decomposition must count anchors per block before
+    stripping, stay consistent with extract_html_text (one
+    decomposition, two views), and drop_boilerplate must remove
+    link-dense chrome while preserving body order."""
+    from plda_spark.sources import warc
+
+    page = (
+        '<html><head><script>var x=1;</script></head><body>'
+        '<ul><li><a href="/">Home</a></li>'
+        '<li><a href="/a">About us</a></li></ul>'
+        "<p>First real paragraph with a good number of plain words.</p>"
+        '<p>Second paragraph, one <a href="/ref">reference link</a> inside '
+        "plenty of ordinary prose around it to keep density low.</p>"
+        '<div><a href="/p">Privacy</a> <a href="/t">Terms</a></div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([("u1", page)], "url string, html string")
+    blocks = {r["block_idx"]: r for r in warc.extract_html_blocks(df).collect()}
+    assert [blocks[i]["text"] for i in sorted(blocks)] == [
+        "Home",
+        "About us",
+        "First real paragraph with a good number of plain words.",
+        "Second paragraph, one reference link inside plenty of ordinary "
+        "prose around it to keep density low.",
+        "Privacy Terms",
+    ]
+    assert blocks[0]["n_links"] == 1 and blocks[0]["link_density"] == 1.0
+    assert blocks[2]["n_links"] == 0
+    assert blocks[3]["n_links"] == 1 and blocks[3]["link_density"] < 0.1
+    assert blocks[4]["n_links"] == 2 and blocks[4]["link_density"] == 1.0
+    # blocks reassemble to exactly extract_html_text's view
+    joined = "\n".join(blocks[i]["text"] for i in sorted(blocks))
+    full = warc.extract_html_text(df).collect()[0]["text"]
+    assert joined == full
+
+    main = warc.drop_boilerplate(df).collect()
+    assert len(main) == 1
+    assert main[0]["text"] == (
+        "First real paragraph with a good number of plain words.\n"
+        "Second paragraph, one reference link inside plenty of ordinary "
+        "prose around it to keep density low."
+    )
+    # a page that is ALL chrome keeps no content -> no output row
+    chrome = '<body><a href="/">x</a></body>'
+    df2 = spark.createDataFrame(
+        [("u1", page), ("u2", chrome)], "url string, html string"
+    )
+    assert {r["url"] for r in warc.drop_boilerplate(df2).collect()} == {"u1"}

@@ -1534,6 +1534,30 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_boilerplate_extract"] = web_boilerplate_extract
 
+    def web_domain_filter(spark, sf):
+        """UT1-style domain blocklist gate (operators.web.domain_filter):
+        every 5th document lands under a (subdomain of a) blocked
+        domain; the filter must drop exactly those via the suffix-chain
+        equi-join against the broadcast list — one entry covers every
+        subdomain, and label boundaries are respected (nottracker.net
+        never matches tracker.net)."""
+        from plda_spark.operators import web
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "source")
+        url = F.concat(
+            F.lit("https://"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(F.lit("ads."), F.col("source"), F.lit(".tracker.net")),
+            ).otherwise(F.concat(F.col("source"), F.lit(".example.com"))),
+            F.lit("/docs/"),
+            F.col("doc_id").cast("string"),
+        )
+        pages = docs.select("doc_id", url.alias("url"))
+        return web.domain_filter(pages, ["tracker.net"]).select("doc_id", "url")
+
+    q["web_domain_filter"] = web_domain_filter
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3588,6 +3612,14 @@ SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
 SELECT doc_id, text FROM documents
 """
 
+    # Every doc_id % 5 == 0 url sits under the blocked domain; the rest
+    # survive with their synthesized example.com urls.
+    o["web_domain_filter"] = """
+SELECT doc_id,
+       'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS url
+FROM documents WHERE doc_id % 5 <> 0
+"""
+
     o["rel_pivot_daily_events"] = """
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -5070,6 +5102,7 @@ EXTRA_QUERIES: list[str] = [
     "stream_warc_ingest",
     "layout_compact",
     "web_boilerplate_extract",
+    "web_domain_filter",
 ]
 
 

@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "source_warc_roundtrip",
     "layout_compact",
     "web_boilerplate_extract",
+    "web_domain_filter",
 ]
 
 

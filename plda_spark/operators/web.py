@@ -18,7 +18,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_url_col", "normalize_url", "url_dedup"]
+__all__ = [
+    "normalize_url_col",
+    "normalize_url",
+    "url_dedup",
+    "host_col",
+    "domain_filter",
+]
 
 # Authority prefix: scheme://host[:port] — everything before the first
 # '/', '?' or '#' past the scheme separator.
@@ -96,3 +102,64 @@ def url_dedup(
         )
         .where(F.col("n_dups") > 1)
     )
+
+
+def host_col(url: Column) -> Column:
+    """Lowercased host of a URL column: the authority minus scheme,
+    userinfo, and port.  Plain regexes (no ``parse_url``) so the DuckDB
+    oracle replays it exactly; NULL-free (a scheme-less string yields
+    an empty host rather than a NULL that would silently pass
+    filters)."""
+    auth = F.regexp_extract(F.lower(F.trim(url)), _AUTH, 0)
+    host = F.regexp_replace(auth, r"^[a-z][a-z0-9+.-]*://", "")
+    host = F.regexp_replace(host, r"^[^@]*@", "")   # userinfo
+    return F.regexp_replace(host, r":[0-9]+$", "")  # port
+
+
+def domain_filter(
+    df: DataFrame,
+    blocklist: DataFrame | list,
+    url_col: str = "url",
+    mode: str = "block",
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-level curation gate — the UT1-blocklist/allowlist stage
+    every crawl pipeline runs before spending content-hash or model
+    compute on a page.  A row matches when its URL's host equals a
+    listed domain OR sits under it (``a.b.example.com`` matches
+    ``example.com`` — the standard blocklist semantic, so one entry
+    covers every subdomain).  ``mode='block'`` keeps non-matching rows;
+    ``mode='allow'`` keeps matching rows.
+
+    Scale shape: the host explodes into its SUFFIX CHAIN (at most
+    #labels slim rows, ~4-6 in practice) and matching is ONE equi-join
+    against the broadcast list — never a per-row regex scan over the
+    list (UT1 is millions of entries; list-length-times-corpus regex
+    work is the naive killer).  Rows ride through untouched; only
+    (url, suffix) pairs shuffle — and with the list broadcast, nothing
+    shuffles at all.
+    """
+    if mode not in ("block", "allow"):
+        raise ValueError("mode must be block|allow")
+    spark = df.sparkSession
+    if not isinstance(blocklist, DataFrame):
+        blocklist = spark.createDataFrame(
+            [(d,) for d in blocklist], f"{domain_col} string"
+        )
+    entries = F.broadcast(
+        blocklist.select(F.lower(F.col(domain_col)).alias("__sfx")).distinct()
+    )
+    labels = F.split(host_col(F.col("__u")), r"\.")
+    suffix_chain = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(F.slice(labels, i, F.size(labels)), "."),
+    )
+    hits = (
+        df.select(F.col(url_col).alias("__u"))
+        .withColumn("__sfx", F.explode(suffix_chain))
+        .join(entries, "__sfx", "left_semi")
+        .select(F.col("__u"))
+        .distinct()
+    )
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(hits.withColumnRenamed("__u", url_col), url_col, how)

@@ -2351,3 +2351,34 @@ def test_collocations_pmi_normalizer_is_total_bigram_count(spark):
     assert set(got) == {("xx", "yy")}
     # c_ab=2, T=10, c_a=c_b=2 -> pmi = ln(2*10/4)
     assert got[("xx", "yy")] == pytest.approx(math.log(5.0), abs=1e-6)
+
+
+def test_domain_filter_suffix_semantics(spark):
+    """Blocklist matching is by host-label suffix: one entry covers all
+    subdomains, label boundaries are respected (nottracker.net never
+    matches tracker.net), and userinfo/port/case never defeat it."""
+    from plda_spark.operators import web
+
+    rows = [
+        (0, "https://ads.tracker.net/x?a=1"),
+        (1, "http://www.example.com/page"),
+        (2, "https://deep.sub.tracker.net:443/y"),
+        (3, "https://nottracker.net/z"),
+        (4, "http://user:pw@Example.COM:80/q"),
+        (5, "https://good.org/a"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = {r["doc_id"] for r in
+            web.domain_filter(df, ["tracker.net", "example.com"]).collect()}
+    assert kept == {3, 5}
+    allowed = {r["doc_id"] for r in
+               web.domain_filter(df, ["tracker.net"], mode="allow").collect()}
+    assert allowed == {0, 2}
+    # blocklist as a DataFrame works identically and the list side is
+    # broadcast (no shuffle of the corpus for matching)
+    bl = spark.createDataFrame([("TRACKER.NET",)], "domain string")
+    assert {r["doc_id"] for r in
+            web.domain_filter(df, bl, mode="allow").collect()} == {0, 2}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mode"):
+        web.domain_filter(df, ["x.com"], mode="bogus")

@@ -1558,6 +1558,23 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_domain_filter"] = web_domain_filter
 
+    def text_split_sentences(spark, sf):
+        """Sentence segmentation (operators.text.split_sentences) over
+        documents given deterministic synthetic boundaries (every
+        ' the ' becomes '. The ', a literal replace both engines share):
+        one row per sentence with its in-document index — the unit
+        sentence-level dedup and packing consume.  Replace-then-split
+        on an injected record separator because RE2-family engines
+        (the oracle included) have no lookbehind."""
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        marked = docs.select(
+            "doc_id",
+            F.replace(F.col("text"), F.lit(" the "), F.lit(". The ")).alias("text"),
+        )
+        return text.split_sentences(marked)
+
+    q["text_split_sentences"] = text_split_sentences
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3620,6 +3637,23 @@ SELECT doc_id,
 FROM documents WHERE doc_id % 5 <> 0
 """
 
+    # Replace-then-split sentence rule replayed verbatim; parallel
+    # unnest(range(len)) numbers the parts like posexplode (no empties
+    # arise from this construction: no leading/trailing/adjacent
+    # separators exist after the literal replace).
+    o["text_split_sentences"] = """
+WITH s AS (
+  SELECT doc_id,
+         string_split(regexp_replace(replace(text, ' the ', '. The '),
+                      '([.!?]+)\\s+', '\\1' || chr(30), 'g'), chr(30)) AS parts
+  FROM documents
+)
+SELECT doc_id,
+       CAST(unnest(range(len(parts))) AS INT) AS sent_idx,
+       unnest(list_transform(parts, x -> trim(x))) AS sentence
+FROM s
+"""
+
     o["rel_pivot_daily_events"] = """
 SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
@@ -5103,6 +5137,7 @@ EXTRA_QUERIES: list[str] = [
     "layout_compact",
     "web_boilerplate_extract",
     "web_domain_filter",
+    "text_split_sentences",
 ]
 
 

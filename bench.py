@@ -109,6 +109,7 @@ BENCH_QUERIES = [
     "layout_compact",
     "web_boilerplate_extract",
     "web_domain_filter",
+    "text_split_sentences",
 ]
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "lm_score",
     "lm_score_kn",
     "dedup_paragraphs",
+    "split_sentences",
     "fingerprint",
     "winnow",
     "winnow_pairs",
@@ -1066,3 +1067,34 @@ def gopher_repetition(
     if "Exchange" not in plan and src.rdd.getNumPartitions() < par:
         src = src.repartition(par)
     return src.mapInPandas(fn, schema=schema)
+
+
+def split_sentences(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Rule-based sentence segmentation: one output row per sentence —
+    ``(doc_id, sent_idx, sentence)`` — the unit sentence-level dedup,
+    sequence packing, and parallel-corpus alignment all consume.
+
+    The rule is deliberately simple and ENGINE-PORTABLE: a sentence
+    boundary is a ``[.!?]`` run followed by whitespace.  Implemented as
+    replace-then-split (the terminator run stays with its sentence; an
+    ASCII record separator U+001E is injected after it) because
+    RE2-family engines — including the DuckDB oracle — have no
+    lookbehind.  Abbreviation/initialism handling is a model problem,
+    not a regex problem; pipelines needing it should classify
+    downstream, where the decision is auditable (same policy as
+    ``drop_boilerplate``).
+
+    Pure per-row JVM expressions (regexp_replace + split + posexplode)
+    — embarrassingly parallel, no shuffle, no Python."""
+    rs = "\x1e"
+    marked = F.regexp_replace(F.col(text_col), r"([.!?]+)\s+", "$1" + rs)
+    parts = F.filter(
+        F.transform(F.split(marked, rs), lambda x: F.trim(x)),
+        lambda x: F.length(x) > 0,
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(parts).alias("sent_idx", "sentence"),
+    )

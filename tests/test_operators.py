@@ -2382,3 +2382,29 @@ def test_domain_filter_suffix_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mode"):
         web.domain_filter(df, ["x.com"], mode="bogus")
+
+
+def test_split_sentences_rule(spark):
+    """Terminator runs stay with their sentence, multi-space boundaries
+    split once, unterminated text is one sentence, empty text yields no
+    rows, indices are per-document."""
+    rows = [
+        (0, "First sentence. Second one! Third?? Yes.  Spaced."),
+        (1, "No terminator at all"),
+        (2, "Trailing dot."),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["doc_id"], r["sent_idx"], r["sentence"])
+        for r in text.split_sentences(df).collect()
+    )
+    assert got == [
+        (0, 0, "First sentence."),
+        (0, 1, "Second one!"),
+        (0, 2, "Third??"),
+        (0, 3, "Yes."),
+        (0, 4, "Spaced."),
+        (1, 0, "No terminator at all"),
+        (2, 0, "Trailing dot."),
+    ]

@@ -432,3 +432,36 @@ def test_triangles_bounded_exchanges_no_cartesian(spark):
     assert s["exchanges"] <= 10  # 5 physical, each listed twice
     assert "array_intersect" in plan
     assert "partial_sum" in plan
+
+
+def test_domain_filter_broadcasts_list_never_regex_scans(spark):
+    """The blocklist side must be a broadcast equi-join (semi for the
+    hit set, anti for the survivors) — never a nested-loop or a
+    list-sized shuffle; the corpus scans once per join branch."""
+    from plda_spark.operators import web
+
+    df = spark.createDataFrame(
+        [(0, "https://a.example.com/x"), (1, "https://b.org/y")],
+        "doc_id long, url string",
+    )
+    s = plan_summary(web.domain_filter(df, ["example.com", "bad.net"]))
+    plan = s["plan"]
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert s["broadcast_hash_joins"] >= 1  # list side broadcast
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_drop_boilerplate_is_scan_plus_one_aggregation(spark):
+    """Block scoring rides the Arrow scan pass; the only shuffle is the
+    per-page reassembly aggregation (no window, no global sort)."""
+    from plda_spark.sources import warc
+
+    df = spark.createDataFrame(
+        [("u1", "<p>hello world</p>")], "url string, html string"
+    )
+    s = plan_summary(warc.drop_boilerplate(df))
+    plan = s["plan"]
+    assert "Window" not in plan
+    assert s["exchanges"] <= 2  # ONE physical exchange (tree + detail)
+    assert "partial_" in plan  # map-side combine before it

@@ -260,3 +260,66 @@ def test_wet_parser_roundtrip_arbitrary_payloads(texts, gz):
         (f"http://x/{i}", t) for i, t in enumerate(texts)
     ]
     assert all(r[2] == len(t.encode("utf-8")) for r, t in zip(rows, texts))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            max_size=200,
+        ),
+        max_size=6,
+    ),
+)
+def test_warc_parser_roundtrip_arbitrary_html(htmls):
+    """Spark-free raw-WARC parser property: response records rendered
+    the way write_warc renders them (HTTP head + body, both
+    Content-Lengths UTF-8 octets) round-trip byte-for-byte through
+    _parse_warc_bytes for ARBITRARY payloads — including ones embedding
+    'WARC/1.0', 'HTTP/1.1' lines, \\r\\n\\r\\n blank lines (only the
+    FIRST blank line in the payload delimits the HTTP head), and any
+    unicode."""
+    from plda_spark.sources.warc import _parse_warc_bytes
+
+    parts = []
+    for i, h in enumerate(htmls):
+        body = h.encode("utf-8")
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        parts.append(
+            (
+                f"WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: http://x/{i}\r\n"
+                f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode("utf-8")
+            + http
+            + b"\r\n\r\n"
+        )
+    rows = list(_parse_warc_bytes(b"".join(parts), "mem"))
+    assert [(r[0], r[2], r[5]) for r in rows] == [
+        (f"http://x/{i}", 200, h) for i, h in enumerate(htmls)
+    ]
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+        max_size=400,
+    )
+)
+def test_html_extraction_never_raises_and_is_consistent(html):
+    """Total-function property on ARBITRARY (often malformed) 'HTML':
+    html_to_text never raises, and joining html_to_blocks' texts with
+    newlines always equals html_to_text — one decomposition, two views,
+    for any input including unbalanced tags and stray '<'."""
+    from plda_spark.sources.warc import html_to_blocks, html_to_text
+
+    full = html_to_text(html)
+    blocks = html_to_blocks(html)
+    assert "\n".join(t for t, _, _ in blocks) == full
+    assert all(nw == len(t.split()) and nl >= 0 for t, nw, nl in blocks)

@@ -1575,6 +1575,25 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_split_sentences"] = text_split_sentences
 
+    def dedup_sentences_global(spark, sf):
+        """CCNet-style cross-corpus sentence dedup (operators.dedup.
+        dedup_sentences) over documents with synthesized sentence
+        boundaries: every sentence keeps only its first global
+        occurrence (min (doc_id, sent_idx) — the boilerplate killer for
+        banners/footers repeating verbatim across pages), survivors
+        reassembled in document order.  One digest-keyed arg-min
+        aggregation + one equi-join; no windows."""
+        from plda_spark.operators import dedup as dd
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        marked = docs.select(
+            "doc_id",
+            F.replace(F.col("text"), F.lit(" the "), F.lit(". The ")).alias("text"),
+        )
+        return dd.dedup_sentences(marked)
+
+    q["dedup_sentences_global"] = dedup_sentences_global
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3641,6 +3660,26 @@ FROM documents WHERE doc_id % 5 <> 0
     # unnest(range(len)) numbers the parts like posexplode (no empties
     # arise from this construction: no leading/trailing/adjacent
     # separators exist after the literal replace).
+    o["dedup_sentences_global"] = """
+WITH s AS (
+  SELECT doc_id,
+         string_split(regexp_replace(replace(text, ' the ', '. The '),
+                      '([.!?]+)\\s+', '\\1' || chr(30), 'g'), chr(30)) AS parts
+  FROM documents
+), e AS (
+  SELECT doc_id,
+         CAST(unnest(range(len(parts))) AS INT) AS sent_idx,
+         unnest(list_transform(parts, x -> trim(x))) AS sentence
+  FROM s
+), r AS (
+  SELECT doc_id, sent_idx, sentence,
+         row_number() OVER (PARTITION BY sentence ORDER BY doc_id, sent_idx) AS rn
+  FROM e
+)
+SELECT doc_id, string_agg(sentence, chr(10) ORDER BY sent_idx) AS text
+FROM r WHERE rn = 1 GROUP BY doc_id
+"""
+
     o["text_split_sentences"] = """
 WITH s AS (
   SELECT doc_id,
@@ -5138,6 +5177,7 @@ EXTRA_QUERIES: list[str] = [
     "web_boilerplate_extract",
     "web_domain_filter",
     "text_split_sentences",
+    "dedup_sentences_global",
 ]
 
 

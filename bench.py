@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "web_boilerplate_extract",
     "web_domain_filter",
     "text_split_sentences",
+    "dedup_sentences_global",
 ]
 
 

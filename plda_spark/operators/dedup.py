@@ -48,6 +48,7 @@ __all__ = [
     "dedup_spans",
     "band_rows",
     "cross_dedup",
+    "dedup_sentences",
 ]
 
 
@@ -804,4 +805,61 @@ def dedup_spans(
         .select("doc_id", "span_idx", "span", is_kept.alias("__kept"))
         .groupBy("doc_id")
         .agg(*out_cols)
+    )
+
+
+def dedup_sentences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style cross-corpus SENTENCE dedup (Wenzek et al. 2020 run
+    paragraph-hash dedup across shards; the sentence-granular variant is
+    the standard boilerplate killer — cookie banners, legal footers, and
+    share-bar text repeat verbatim across millions of pages and survive
+    document-level dedup because the surrounding pages differ):
+
+    every sentence keeps its FIRST global occurrence (the minimum
+    ``(doc_id, sent_idx)`` — deterministic, partition-invariant) and
+    later copies are dropped, including within-document repeats; the
+    survivors reassemble per document in original sentence order.
+    Returns ``(doc_id, text)``, one row per document that kept at least
+    one sentence.
+
+    Scale shape: sentence split is per-row JVM work
+    (:func:`plda_spark.operators.text.split_sentences`); the dedup is
+    ONE aggregation keyed on the md5 digest (map-side combined arg-min —
+    the full sentence text never rides the dedup shuffle) + one
+    digest-equi-join back; reassembly is the same sort_array
+    aggregation every span/boilerplate operator here uses.  No windows,
+    no global sort.
+    """
+    from plda_spark.operators.text import split_sentences
+
+    sents = split_sentences(docs, text_col=text_col, id_col=id_col)
+    first = (
+        sents.select(F.md5(F.col("sentence")).alias("__digest"),
+                     F.struct("doc_id", "sent_idx").alias("__pos"))
+        .groupBy("__digest")
+        .agg(F.min("__pos").alias("__first"))
+    )
+    kept = (
+        sents.withColumn("__digest", F.md5(F.col("sentence")))
+        .join(first, "__digest")
+        .where(
+            (F.col("doc_id") == F.col("__first.doc_id"))
+            & (F.col("sent_idx") == F.col("__first.sent_idx"))
+        )
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("sent_idx", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
     )

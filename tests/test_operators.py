@@ -2408,3 +2408,24 @@ def test_split_sentences_rule(spark):
         (1, 0, "No terminator at all"),
         (2, 0, "Trailing dot."),
     ]
+
+
+def test_dedup_sentences_first_global_occurrence(spark):
+    """Every sentence keeps only its minimum-(doc_id, sent_idx)
+    occurrence — later cross-doc AND within-doc copies drop, survivors
+    reassemble in order, and a doc losing every sentence vanishes."""
+    from plda_spark.operators import dedup as dd
+
+    df = spark.createDataFrame(
+        [
+            (0, "Unique alpha. Shared cookie banner! Unique beta."),
+            (1, "Shared cookie banner! Own content here. Own content here."),
+            (2, "Shared cookie banner!"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["text"] for r in dd.dedup_sentences(df).collect()}
+    assert got == {
+        0: "Unique alpha.\nShared cookie banner!\nUnique beta.",
+        1: "Own content here.",
+    }

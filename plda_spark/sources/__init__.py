@@ -19,6 +19,7 @@ from .warc import (  # noqa: F401
     extract_html_text,
     read_warc,
     read_warc_stream,
+    wet_from_warc,
     write_warc,
 )
 from .wet import read_wet, read_wet_stream, write_wet  # noqa: F401
@@ -52,6 +53,7 @@ __all__ = [
     "extract_html_text",
     "extract_html_blocks",
     "drop_boilerplate",
+    "wet_from_warc",
     "compact_parquet",
     "dataset_file_stats",
 ]

@@ -48,6 +48,7 @@ __all__ = [
     "extract_html_text",
     "extract_html_blocks",
     "drop_boilerplate",
+    "wet_from_warc",
 ]
 
 _WARC_SCHEMA = (
@@ -408,3 +409,41 @@ def write_warc(
     if compress:
         writer = writer.option("compression", "gzip")
     writer.mode("overwrite").text(path)
+
+
+def wet_from_warc(
+    spark: SparkSession,
+    warc_path: str,
+    wet_path: str,
+    boilerplate: bool = True,
+    min_status: int = 200,
+    max_status: int = 299,
+    compress: bool = True,
+) -> None:
+    """The Common Crawl derivation job itself: raw ``.warc.gz``
+    response shards → extracted-text WET shards.  Reads with
+    :func:`read_warc`, keeps 2xx HTML-ish responses (NULL status — a
+    payload with no parseable HTTP head — is kept: at crawl scale that
+    is usually a stripped-header capture, and dropping silently would
+    make corpus counts irreproducible; filter on ``http_status`` first
+    if stricter), extracts text (:func:`drop_boilerplate` by default,
+    plain :func:`extract_html_text` with ``boilerplate=False``), and
+    renders WET conversion records via
+    :func:`plda_spark.sources.wet.write_wet` keyed by the original
+    URL.  End to end this is scan → per-row extraction → distributed
+    text write; the only shuffle is drop_boilerplate's reassembly
+    aggregation."""
+    from plda_spark.sources.wet import write_wet
+
+    recs = read_warc(spark, warc_path)
+    ok = recs.where(
+        F.col("http_status").isNull()
+        | F.col("http_status").between(min_status, max_status)
+    )
+    if boilerplate:
+        texts = drop_boilerplate(ok, id_col="url")
+    else:
+        texts = extract_html_text(ok).select("url", "text").where(
+            F.length("text") > 0
+        )
+    write_wet(texts, wet_path, id_col="url", url_prefix="", compress=compress)

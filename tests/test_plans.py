@@ -465,3 +465,19 @@ def test_drop_boilerplate_is_scan_plus_one_aggregation(spark):
     assert "Window" not in plan
     assert s["exchanges"] <= 2  # ONE physical exchange (tree + detail)
     assert "partial_" in plan  # map-side combine before it
+
+
+def test_compact_unpartitioned_is_single_roundrobin_no_sort(spark, tmp_path):
+    """Unpartitioned compaction must plan as scan + ONE round-robin
+    exchange — no sort, no aggregation (content-neutral bin-packing)."""
+    from plda_spark.sources.tables import load_table
+
+    src = str(tmp_path / "small")
+    load_table(spark, "/root/testdata/sf0.001", "orders").repartition(
+        8
+    ).write.parquet(src)
+    df = spark.read.parquet(src).repartition(2)  # the compaction rewrite plan
+    s = plan_summary(df)
+    assert s["exchanges"] <= 2  # one physical (tree + detail)
+    assert "RoundRobinPartitioning" in s["plan"] or "ROUND_ROBIN" in s["plan"]
+    assert "Sort" not in s["plan"].replace("SortMergeJoin", "")

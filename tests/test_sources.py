@@ -634,3 +634,41 @@ def test_html_blocks_and_boilerplate_filter(spark):
         [("u1", page), ("u2", chrome)], "url string, html string"
     )
     assert {r["url"] for r in warc.drop_boilerplate(df2).collect()} == {"u1"}
+
+
+def test_wet_from_warc_conversion(spark, tmp_path):
+    """Raw WARC response shards convert to WET conversion records the
+    WET reader round-trips: 2xx pages keep their main content under
+    their ORIGINAL urls, error responses drop, all-chrome pages vanish."""
+    from plda_spark.sources import warc, wet
+
+    def rec(uri, payload):
+        return (
+            b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + uri
+            + b"\r\nContent-Length: " + str(len(payload)).encode()
+            + b"\r\n\r\n" + payload + b"\r\n\r\n"
+        )
+
+    def http(status, body):
+        return (
+            b"HTTP/1.1 " + status + b"\r\nContent-Type: text/html\r\n\r\n" + body
+        )
+
+    shard = (
+        rec(b"http://a/1", http(b"200 OK",
+            b"<ul><li><a href='/'>Home</a></li></ul><p>Real content one.</p>"))
+        + rec(b"http://a/2", http(b"404 Not Found", b"<p>gone</p>"))
+        + rec(b"http://a/3", http(b"200 OK", b"<a href='/'>only chrome</a>"))
+        + rec(b"http://a/4", http(b"200 OK", b"<p>Second real page.</p>"))
+    )
+    d = tmp_path / "warc_in"
+    d.mkdir()
+    (d / "a.warc").write_bytes(shard)
+
+    out = str(tmp_path / "wet_out")
+    warc.wet_from_warc(spark, str(d), out)
+    back = {r["url"]: r["text"] for r in wet.read_wet(spark, out).collect()}
+    assert back == {
+        "http://a/1": "Real content one.",
+        "http://a/4": "Second real page.",
+    }

@@ -40,6 +40,7 @@ __all__ = [
     "run_stream_available_now",
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
+    "compact_dedup_ledger",
     "enrich",
 ]
 
@@ -857,3 +858,62 @@ def incremental_minhash_dedup(
     q.awaitTermination(int(timeout_s))
     if q.isActive:
         q.stop()
+
+
+def compact_dedup_ledger(
+    spark: SparkSession, state_path: str, out_path: str
+) -> dict:
+    """Compact an incremental-dedup ledger (exact or MinHash — schema is
+    sniffed) that has accreted one ``run_id=…/batch_id=…`` partition per
+    micro-batch: after months of increments the per-batch anti-join pays
+    listing + footer cost for thousands of tiny partitions that each
+    hold a handful of digest rows.
+
+    All REAL rows (digests / band-buckets) rewrite into a single
+    ``run_id=compacted/batch_id=0`` partition — the anti-join semantics
+    only need the SET of historical keys, not their batch lineage —
+    while every COMMIT-MARKER row keeps its original ``(run_id,
+    batch_id)`` partition untouched, because replay detection looks
+    markers up under the live checkpoint's own run id (a streaming
+    query id is a UUID, so the literal ``compacted`` run id can never
+    collide with one).  Rewrites to ``out_path`` and refuses in-place
+    (same rationale as :func:`plda_spark.sources.compact.
+    compact_parquet`); swap paths after the report comes back clean.
+    Returns ``{real_rows, marker_rows, runs_before}``.
+    """
+    if state_path.rstrip("/") == out_path.rstrip("/"):
+        raise ValueError(
+            "compact_dedup_ledger refuses in-place compaction; write to "
+            "a sibling path and swap afterwards"
+        )
+    ledger = spark.read.parquet(state_path)
+    _require_run_id_layout(ledger, state_path)
+    if "digest" in ledger.columns:
+        is_marker = F.col("digest").startswith("run:")
+    elif "band" in ledger.columns:
+        is_marker = F.col("band") == -1
+    else:
+        raise ValueError(
+            f"ledger at {state_path} has neither a digest nor a band "
+            "column — not an incremental-dedup ledger"
+        )
+    runs_before = ledger.select("run_id").distinct().count()
+    markers = ledger.where(is_marker)
+    reals = (
+        ledger.where(~is_marker)
+        .drop("run_id", "batch_id")
+        .dropDuplicates()
+        .withColumn("run_id", F.lit("compacted"))
+        .withColumn("batch_id", F.lit(0).cast("long"))
+    )
+    out = reals.unionByName(markers)
+    out.write.partitionBy("run_id", "batch_id").mode("overwrite").parquet(
+        out_path
+    )
+    compacted = spark.read.parquet(out_path)
+    n_markers = compacted.where(is_marker).count()
+    return {
+        "real_rows": compacted.count() - n_markers,
+        "marker_rows": n_markers,
+        "runs_before": runs_before,
+    }

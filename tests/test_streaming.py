@@ -664,3 +664,60 @@ def test_warc_stream_ingest_extract_and_dedup(spark, tmp_path):
     assert sorted(r["text"] for r in got2) == ["aaa", "bbb", "ccc"]
     new = [r for r in got2 if r["text"] == "ccc"]
     assert new and new[0]["url"].endswith("/11")
+
+
+def test_compact_dedup_ledger_preserves_semantics(spark, tmp_path):
+    """Compacting a multi-generation exact ledger must (a) collapse all
+    real digests into ONE run_id=compacted partition, (b) keep every
+    commit marker under its original (run_id, batch_id) so replay
+    detection still works, and (c) leave the dedup behavior identical:
+    historical dups still reject after the swap."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    schema = "doc_id long, text string"
+
+    # two checkpoint generations accrete two run_id partitions
+    for gen, rows in [("A", [(0, "aaa"), (1, "bbb")]), ("B", [(2, "ccc")])]:
+        in_dir = str(tmp_path / f"in{gen}")
+        spark.createDataFrame(rows, schema).write.parquet(in_dir)
+        windows.incremental_exact_dedup(
+            spark.readStream.schema(schema).parquet(in_dir),
+            out, state, str(tmp_path / f"ckpt{gen}"),
+        )
+    ledger = spark.read.parquet(state)
+    assert ledger.select("run_id").distinct().count() == 2
+
+    state2 = str(tmp_path / "state_compacted")
+    report = windows.compact_dedup_ledger(spark, state, state2)
+    assert report == {"real_rows": 3, "marker_rows": 2, "runs_before": 2}
+    compacted = spark.read.parquet(state2)
+    reals = compacted.where(~compacted.digest.startswith("run:"))
+    assert reals.select("run_id").distinct().collect()[0][0] == "compacted"
+    # markers keep their original run partitions
+    assert compacted.where(compacted.digest.startswith("run:")) \
+        .select("run_id").distinct().count() == 2
+
+    # swap in the compacted ledger: history still rejects, new admits
+    in3 = str(tmp_path / "in3")
+    spark.createDataFrame(
+        [(10, "aaa"), (11, "ddd")], schema
+    ).write.parquet(in3)
+    windows.incremental_exact_dedup(
+        spark.readStream.schema(schema).parquet(in3),
+        out, state2, str(tmp_path / "ckptC"),
+    )
+    got = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert got == ["aaa", "bbb", "ccc", "ddd"]  # 'aaa' rejected once
+
+    with pytest.raises(ValueError, match="in-place"):
+        windows.compact_dedup_ledger(spark, state2, state2 + "/")
+    with pytest.raises(ValueError, match="ledger"):
+        bogus = str(tmp_path / "bogus")
+        spark.createDataFrame([(1,)], "x long").withColumn(
+            "run_id", F.lit("r")
+        ).withColumn("batch_id", F.lit(0)).write.partitionBy(
+            "run_id", "batch_id"
+        ).parquet(bogus)
+        windows.compact_dedup_ledger(spark, bogus, str(tmp_path / "b2"))

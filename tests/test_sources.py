@@ -672,3 +672,31 @@ def test_wet_from_warc_conversion(spark, tmp_path):
         "http://a/1": "Real content one.",
         "http://a/4": "Second real page.",
     }
+
+
+def test_compact_parquet_null_partition_values(spark, tmp_path):
+    """NULL partition values (the __HIVE_DEFAULT_PARTITION__ directory)
+    must compact gracefully: content preserved, nulls intact, one file
+    per partition at a huge target (greatest(NULL, 1) -> one output
+    file for the unmatched null-dir rows)."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.sources import compact
+
+    src, out = str(tmp_path / "src"), str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else "g%d" % (i % 2)) for i in range(100)],
+        "id long, grp string",
+    )
+    df.repartition(8).write.partitionBy("grp").parquet(src)
+    report = compact.compact_parquet(
+        spark, src, out, target_file_bytes=1 << 40, partition_cols=["grp"]
+    )
+    assert report["files_after"] == 3  # g0, g1, null-dir
+    a, b = spark.read.parquet(src), spark.read.parquet(out)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert (
+        b.where(F.col("grp").isNull()).count()
+        == a.where(F.col("grp").isNull()).count()
+        == 34
+    )

@@ -323,3 +323,32 @@ def test_html_extraction_never_raises_and_is_consistent(html):
     blocks = html_to_blocks(html)
     assert "\n".join(t for t, _, _ in blocks) == full
     assert all(nw == len(t.split()) and nl >= 0 for t, nw, nl in blocks)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.from_regex(r"https?://[a-z]{1,3}(\.[a-z]{1,3}){0,3}/[a-z0-9]{0,4}", fullmatch=True),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.from_regex(r"[a-z]{1,3}(\.[a-z]{1,3}){0,2}", fullmatch=True),
+        max_size=4,
+    ),
+)
+def test_domain_filter_block_allow_partition(spark, urls, domains):
+    """For ANY urls and ANY list, mode='block' and mode='allow' must
+    exactly partition the input rows — no row dropped from both sides,
+    none kept by both."""
+    from plda_spark.operators import web
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "doc_id long, url string"
+    )
+    blocked = {r["doc_id"] for r in
+               web.domain_filter(df, domains, mode="allow").collect()}
+    kept = {r["doc_id"] for r in
+            web.domain_filter(df, domains, mode="block").collect()}
+    assert blocked | kept == set(range(len(urls)))
+    assert blocked & kept == set()

@@ -1594,6 +1594,56 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_sentences_global"] = dedup_sentences_global
 
+    def pipeline_crawl_to_corpus(spark, sf):
+        """The whole raw-crawl ingest pipeline END TO END, hash-verified:
+        documents wrapped in chrome-laden HTML pages, crawled TWICE (the
+        second dump under new URLs — the recrawl pattern), written as
+        gzip WARC response shards, read back with the Content-Length
+        walker, boilerplate-stripped by link density, exact-deduped down
+        to the first-crawled copy, and token-profiled.  Because every
+        stage is exact (escape/unescape identity, chrome fully link-
+        dense, dup texts byte-identical), the end-to-end oracle is just
+        token stats over the original table — the strongest composition
+        guarantee the registry offers."""
+        import tempfile
+
+        from plda_spark.operators import dedup as dd
+        from plda_spark.sources import warc
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        esc = F.replace(
+            F.replace(
+                F.replace(F.col("text"), F.lit("&"), F.lit("&amp;")),
+                F.lit("<"), F.lit("&lt;"),
+            ),
+            F.lit(">"), F.lit("&gt;"),
+        )
+        pages = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit('<html><body><ul><li><a href="/">Home</a></li></ul><p>'),
+                esc,
+                F.lit('</p><div><a href="/p">Privacy</a> '
+                      '<a href="/t">Terms</a></div></body></html>'),
+            ).alias("html"),
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_crawlpipe_")
+        warc.write_warc(pages, f"{tmp}/dump1", compress=True)
+        warc.write_warc(
+            pages.withColumn("doc_id", F.col("doc_id") + 1_000_000),
+            f"{tmp}/dump2",
+            compress=True,
+        )
+        back = warc.read_warc(spark, f"{tmp}/dump*")
+        main = warc.drop_boilerplate(back).select(
+            F.regexp_extract("url", r"(\d+)$", 1).cast("long").alias("doc_id"),
+            "text",
+        )
+        deduped = dd.exact_dedup(main)
+        return text.token_stats(deduped)
+
+    q["pipeline_crawl_to_corpus"] = pipeline_crawl_to_corpus
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3155,6 +3205,10 @@ SELECT doc_id,
             AS INTEGER) AS bpe_tokens
 FROM t
 """
+
+    # The crawl pipeline's stages are all exact, so its end-to-end
+    # oracle IS the plain token-stats oracle over the source table.
+    o["pipeline_crawl_to_corpus"] = o["text_token_stats"]
 
     _stop_en = "['the','and','of','to','in','is','it','that','for','with']"
     o["text_quality"] = f"""
@@ -5178,6 +5232,7 @@ EXTRA_QUERIES: list[str] = [
     "web_domain_filter",
     "text_split_sentences",
     "dedup_sentences_global",
+    "pipeline_crawl_to_corpus",
 ]
 
 

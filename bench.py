@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "web_domain_filter",
     "text_split_sentences",
     "dedup_sentences_global",
+    "pipeline_crawl_to_corpus",
 ]
 
 

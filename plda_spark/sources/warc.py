@@ -56,7 +56,7 @@ _WARC_SCHEMA = (
     "content_type string, content_length long, html string"
 )
 
-_CHARSET_RE = re.compile(r"charset=([\w.\-]+)", re.I)
+_CHARSET_RE = re.compile(r"charset=\"?'?([\w.\-]+)", re.I)
 
 
 def _dechunk(body: bytes) -> bytes:

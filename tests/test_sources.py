@@ -470,6 +470,10 @@ def test_warc_http_oddities_degrade_not_kill(spark, tmp_path):
         b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=not-a-codec\r\n\r\n"
         b"<p>ok</p>"
     )
+    quoted = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"iso-8859-1\"\r\n\r\n"
+        b"<p>caf\xe9</p>"
+    )
 
     def rec(uri: bytes, payload: bytes) -> bytes:
         return (
@@ -482,13 +486,14 @@ def test_warc_http_oddities_degrade_not_kill(spark, tmp_path):
     d.mkdir()
     (d / "a.warc").write_bytes(
         rec(b"http://x/1", chunked_http) + rec(b"http://x/2", weird)
-        + rec(b"http://x/3", badcharset)
+        + rec(b"http://x/3", badcharset) + rec(b"http://x/4", quoted)
     )
     got = {r["url"]: r for r in warc.read_warc(spark, str(d)).collect()}
     assert got["http://x/1"]["html"] == "hello world"  # de-chunked
     assert got["http://x/2"]["http_status"] is None
     assert got["http://x/2"]["html"] == "no http header block at all"
     assert got["http://x/3"]["html"] == "<p>ok</p>"  # charset fallback
+    assert "café" in got["http://x/4"]["html"]  # quoted charset labels decode
 
 
 def test_warc_write_rejects_null_documents(spark, tmp_path):

@@ -1644,6 +1644,23 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_crawl_to_corpus"] = pipeline_crawl_to_corpus
 
+    def text_normalize_nfc(spark, sf):
+        """Unicode NFC normalization (operators.text.normalize_unicode)
+        over documents with synthesized decomposed sequences: every 'a'
+        gains a combining acute (U+0301) — the canonicalization stage
+        multilingual dedup needs, since decomposed and precomposed forms
+        hash differently.  Verified against DuckDB's nfc_normalize."""
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        marked = docs.select(
+            "doc_id",
+            F.replace(
+                F.col("text"), F.lit("a"), F.concat(F.lit("a"), F.lit("\u0301"))
+            ).alias("text"),
+        )
+        return text.normalize_unicode(marked, form="NFC")
+
+    q["text_normalize_nfc"] = text_normalize_nfc
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3209,6 +3226,11 @@ FROM t
     # The crawl pipeline's stages are all exact, so its end-to-end
     # oracle IS the plain token-stats oracle over the source table.
     o["pipeline_crawl_to_corpus"] = o["text_token_stats"]
+
+    o["text_normalize_nfc"] = """
+SELECT doc_id, nfc_normalize(replace(text, 'a', 'a' || chr(769))) AS text
+FROM documents
+"""
 
     _stop_en = "['the','and','of','to','in','is','it','that','for','with']"
     o["text_quality"] = f"""
@@ -5233,6 +5255,7 @@ EXTRA_QUERIES: list[str] = [
     "text_split_sentences",
     "dedup_sentences_global",
     "pipeline_crawl_to_corpus",
+    "text_normalize_nfc",
 ]
 
 

@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "text_split_sentences",
     "dedup_sentences_global",
     "pipeline_crawl_to_corpus",
+    "text_normalize_nfc",
 ]
 
 

@@ -33,6 +33,8 @@ __all__ = [
     "lm_score_kn",
     "dedup_paragraphs",
     "split_sentences",
+    "normalize_unicode",
+    "fix_double_encoding",
     "fingerprint",
     "winnow",
     "winnow_pairs",
@@ -1098,3 +1100,102 @@ def split_sentences(
         F.col(id_col).alias("doc_id"),
         F.posexplode(parts).alias("sent_idx", "sentence"),
     )
+
+
+def _fix_double_encoded(s: str) -> str:
+    """Repair the classic mojibake: UTF-8 bytes mis-decoded as
+    cp1252/latin-1 and re-saved ("caf\u00c3\u00a9" for "caf\u00e9").
+    The rule is the standard conservative one (what ftfy's core check
+    does): re-encode via cp1252 (latin-1 for the 0x80-0x9f gap bytes),
+    try a STRICT utf-8 decode, and accept only when it succeeds AND
+    shortens the text (real double-encoding always does; plain text is
+    a fixed point because its cp1252 bytes are not valid multi-byte
+    utf-8).  Applied repeatedly, handles double- and triple-encoded
+    text; anything else returns unchanged."""
+    cur = s
+    for _ in range(3):
+        try:
+            raw = cur.encode("cp1252", errors="strict")
+        except UnicodeEncodeError:
+            try:
+                raw = cur.encode("latin-1", errors="strict")
+            except UnicodeEncodeError:
+                return cur
+        try:
+            dec = raw.decode("utf-8", errors="strict")
+        except UnicodeDecodeError:
+            return cur
+        if len(dec) >= len(cur):
+            return cur
+        cur = dec
+    return cur
+
+
+def fix_double_encoding(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mojibake repair over a corpus: ``(doc_id, text)`` with
+    double-/triple-encoded UTF-8 restored (see
+    :func:`_fix_double_encoded` for the conservative acceptance rule —
+    clean text is a provable fixed point, so running this on an already
+    clean corpus is a no-op).  One Arrow ``mapInPandas`` pass; crawl
+    text is full of this and no SQL engine expresses the byte-level
+    check, so the gate is golden pytest pairs rather than a DuckDB
+    oracle."""
+    import pandas as pd
+    from collections.abc import Iterator
+
+    def fix(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["i"],
+                    "text": pdf["t"].map(
+                        lambda x: None if x is None else _fix_double_encoded(x)
+                    ),
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias("i"), F.col(text_col).alias("t")
+    ).mapInPandas(fix, schema="doc_id long, text string")
+
+
+def normalize_unicode(
+    docs: DataFrame,
+    form: str = "NFC",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Unicode normalization of a text column — the canonicalization
+    stage every multilingual pipeline runs before hashing/dedup
+    (the SAME visible string has many byte encodings: decomposed
+    combining marks, compatibility ligatures, width variants; exact
+    dedup and shingle hashing silently miss duplicates across them).
+    ``form`` is NFC/NFD/NFKC/NFKD (stdlib ``unicodedata``).  One Arrow
+    ``mapInPandas`` pass, embarrassingly parallel; the NFC path is
+    oracle-checked against DuckDB's ``nfc_normalize``."""
+    import unicodedata
+
+    import pandas as pd
+    from collections.abc import Iterator
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError("form must be NFC|NFD|NFKC|NFKD")
+
+    def norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["i"],
+                    "text": pdf["t"].map(
+                        lambda x: None
+                        if x is None
+                        else unicodedata.normalize(form, x)
+                    ),
+                }
+            )
+
+    return docs.select(
+        F.col(id_col).alias("i"), F.col(text_col).alias("t")
+    ).mapInPandas(norm, schema="doc_id long, text string")

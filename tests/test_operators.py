@@ -2429,3 +2429,38 @@ def test_dedup_sentences_first_global_occurrence(spark):
         0: "Unique alpha.\nShared cookie banner!\nUnique beta.",
         1: "Own content here.",
     }
+
+
+def test_unicode_normalize_and_mojibake_repair(spark):
+    """Golden pairs: decomposed -> NFC, ligature folding under NFKC,
+    double- and triple-encoded UTF-8 restored, clean text a fixed
+    point, NULL passthrough, bad form rejected."""
+    from plda_spark.operators.text import (
+        fix_double_encoding,
+        normalize_unicode,
+    )
+
+    double = "café".encode("utf-8").decode("cp1252")
+    triple = double.encode("utf-8").decode("cp1252")
+    rows = [
+        (0, "café decomposed"),
+        (1, "ﬁne ligature"),
+        (2, double),
+        (3, triple),
+        (4, "plain ascii"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {r["doc_id"]: r["text"] for r in normalize_unicode(df).collect()}
+    assert nfc[0] == "caf\u00e9 decomposed"  # precomposed é after NFC
+    assert len(nfc[0]) == len("cafe decomposed")
+    assert nfc[1] == "ﬁne ligature"  # NFC keeps compatibility chars
+    nfkc = {r["doc_id"]: r["text"]
+            for r in normalize_unicode(df, form="NFKC").collect()}
+    assert nfkc[1] == "fine ligature"
+    fixed = {r["doc_id"]: r["text"] for r in fix_double_encoding(df).collect()}
+    assert fixed[2] == "café" and fixed[3] == "café"
+    assert fixed[4] == "plain ascii" and fixed[5] is None
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="form"):
+        normalize_unicode(df, form="NFZ")

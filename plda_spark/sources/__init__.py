@@ -8,7 +8,12 @@ file-granular parallelism, dependency-free HTML→text extraction)."""
 from .bucketed import read_bucketed, write_bucketed  # noqa: F401
 from .compact import compact_parquet, dataset_file_stats  # noqa: F401
 from .csv import read_csv, read_csv_with_errors, write_csv  # noqa: F401
-from .jsonl import read_jsonl, read_jsonl_with_errors, write_dataset  # noqa: F401
+from .jsonl import (  # noqa: F401
+    read_jsonl,
+    read_jsonl_stream,
+    read_jsonl_with_errors,
+    write_dataset,
+)
 from .partitioned import read_partitioned, write_partitioned_by_day  # noqa: F401
 from .plda_text import read_plda_corpus, write_plda_corpus  # noqa: F401
 from .tables import load_all, load_table  # noqa: F401
@@ -34,6 +39,7 @@ __all__ = [
     "read_csv_with_errors",
     "write_csv",
     "read_jsonl",
+    "read_jsonl_stream",
     "read_jsonl_with_errors",
     "write_dataset",
     "read_partitioned",

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["DOC_SCHEMA", "read_jsonl", "read_jsonl_with_errors", "write_dataset"]
+__all__ = ["DOC_SCHEMA", "read_jsonl", "read_jsonl_stream", "read_jsonl_with_errors", "write_dataset"]
 
 # The documents-table shape; pass a custom schema for other layouts.
 DOC_SCHEMA = T.StructType(
@@ -68,6 +68,43 @@ def read_jsonl(
     corrupt — use :func:`read_jsonl_with_errors` to keep them)."""
     df = _read(spark, path, schema or DOC_SCHEMA)
     return df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """STREAMING JSONL reader: watch a directory for newly-landed
+    ``.jsonl``/``.jsonl.gz`` dump files and emit parsed rows
+    incrementally — the same declared-schema + PERMISSIVE contract as
+    :func:`read_jsonl` (shared ``from_json`` expression, no drift), the
+    same arrival pattern as the WET/WARC streaming twins, and the same
+    downstream: pipe into ``streaming.windows.incremental_exact_dedup``
+    / ``incremental_minhash_dedup`` for the exactly-once crawl-ingest
+    pipeline.  File tracking lives in the checkpoint, so each dump file
+    is parsed exactly once per query.
+
+    ``keep_corrupt=True`` keeps the ``_corrupt_record`` marker column
+    (NULL for clean rows) so a ``foreachBatch`` sink can quarantine bad
+    lines; the default drops malformed lines AFTER capture, mirroring
+    ``read_jsonl``."""
+    sch = schema or DOC_SCHEMA
+    with_err = T.StructType(
+        list(sch.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    lines = spark.readStream.text(path).where(F.length(F.trim("value")) > 0)
+    parsed = lines.select(
+        F.from_json(
+            "value",
+            with_err,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j")
+    ).select("j.*")
+    if keep_corrupt:
+        return parsed
+    return parsed.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
 
 def read_jsonl_with_errors(

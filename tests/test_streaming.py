@@ -721,3 +721,53 @@ def test_compact_dedup_ledger_preserves_semantics(spark, tmp_path):
             "run_id", "batch_id"
         ).parquet(bogus)
         windows.compact_dedup_ledger(spark, bogus, str(tmp_path / "b2"))
+
+
+def test_jsonl_stream_ingest_dedup(spark, tmp_path):
+    """JSONL dump files → streaming reader → exact-dedup ledger: the
+    third streaming ingest twin (WET and raw WARC are the others).
+    Malformed lines drop after capture instead of failing the query."""
+    import json as _json
+
+    from plda_spark.sources.jsonl import read_jsonl_stream
+
+    in_dir = tmp_path / "dumps"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_dump(rows, name, garbage=False):
+        lines = [_json.dumps(r) for r in rows]
+        if garbage:
+            lines.insert(1, "{not valid json!!")
+        (in_dir / name).write_text("\n".join(lines) + "\n")
+
+    def run():
+        stream = read_jsonl_stream(spark, str(in_dir)).select("doc_id", "text")
+        windows.incremental_exact_dedup(stream, out, state, ckpt)
+
+    drop_dump(
+        [
+            {"doc_id": 0, "text": "aaa", "lang": "en", "source": "w"},
+            {"doc_id": 1, "text": "aaa", "lang": "en", "source": "w"},
+            {"doc_id": 2, "text": "bbb", "lang": "en", "source": "w"},
+        ],
+        "d1.jsonl",
+        garbage=True,
+    )
+    run()
+    got1 = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got1) == ["aaa", "bbb"]
+
+    drop_dump(
+        [
+            {"doc_id": 10, "text": "bbb", "lang": "en", "source": "w"},
+            {"doc_id": 11, "text": "ccc", "lang": "en", "source": "w"},
+        ],
+        "d2.jsonl",
+    )
+    run()
+    got2 = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got2) == ["aaa", "bbb", "ccc"]
+    assert {r["doc_id"] for r in got2} == {0, 2, 11}

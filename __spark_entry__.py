@@ -1661,6 +1661,23 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_normalize_nfc"] = text_normalize_nfc
 
+    def stats_hist_range(spark, sf):
+        """Histogram-rollup range quantiles (stats.hist_daily_sketches +
+        hist_quantile_range): per-day equi-width arrays materialized
+        once, then p10/p50/p90 of events.value over a mid-month span
+        read from the MERGED arrays (histogram merging is lossless, so
+        the only error is bin discretization — replayed exactly by the
+        oracle's direct binning of the same span)."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        roll = stats.hist_daily_sketches(ev, "value", 0.0, 500.0, 100)
+        return stats.hist_quantile_range(
+            roll, [0.1, 0.5, 0.9], 0.0, 500.0, "2024-01-08", "2024-01-21"
+        )
+
+    q["stats_hist_range"] = stats_hist_range
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3230,6 +3247,29 @@ FROM t
     o["text_normalize_nfc"] = """
 SELECT doc_id, nfc_normalize(replace(text, 'a', 'a' || chr(769))) AS text
 FROM documents
+"""
+
+    # Direct binning of the probed span replays the merged rollup
+    # exactly (histogram merge is lossless); same in-bin interpolation.
+    o["stats_hist_range"] = """
+WITH b AS (
+  SELECT CAST(least(floor(value / 5.0), 99) AS INT) AS bin,
+         count(*) AS n
+  FROM events
+  WHERE value >= 0 AND value < 500
+    AND CAST(CAST(ts AS DATE) AS VARCHAR) BETWEEN '2024-01-08' AND '2024-01-21'
+  GROUP BY 1
+), c AS (
+  SELECT bin, n,
+         sum(n) OVER (ORDER BY bin) AS cum,
+         sum(n) OVER () AS total
+  FROM b
+), q AS (SELECT unnest([0.1, 0.5, 0.9]) AS q)
+SELECT q,
+       min(round(bin * 5.0 + 5.0 * (q * total - (cum - n)) / n, 6)) AS estimate
+FROM q JOIN c
+  ON cum >= q * total AND (cum - n) < q * total AND n > 0
+GROUP BY q
 """
 
     _stop_en = "['the','and','of','to','in','is','it','that','for','with']"
@@ -5256,6 +5296,7 @@ EXTRA_QUERIES: list[str] = [
     "dedup_sentences_global",
     "pipeline_crawl_to_corpus",
     "text_normalize_nfc",
+    "stats_hist_range",
 ]
 
 

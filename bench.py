@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "dedup_sentences_global",
     "pipeline_crawl_to_corpus",
     "text_normalize_nfc",
+    "stats_hist_range",
 ]
 
 

@@ -2464,3 +2464,52 @@ def test_unicode_normalize_and_mojibake_repair(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="form"):
         normalize_unicode(df, form="NFZ")
+
+
+def test_hist_rollup_range_quantiles(spark):
+    """Merged day arrays must equal one-pass binning (lossless merge),
+    quantile estimates land within one bin width of exact, the day
+    filter probes sub-ranges, and validators reject bad grids."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import stats
+
+    rows = [(i % 10, float(i % 1000)) for i in range(10000)]
+    df = spark.createDataFrame(rows, "d int, value double").select(
+        F.expr(
+            "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,d)"
+        ).alias("ts"),
+        "value",
+    )
+    roll = stats.hist_daily_sketches(df, "value", 0.0, 1000.0, 50)
+    assert roll.count() == 10
+    merged = roll.agg(
+        F.aggregate(
+            F.collect_list("bin_counts"),
+            F.array_repeat(F.lit(0).cast("long"), F.lit(50)),
+            lambda a, b: F.zip_with(a, b, lambda x, y: x + y),
+        ).alias("bins")
+    ).first()["bins"]
+    assert sum(merged) == 10000 and all(c == 200 for c in merged)
+    got = {
+        r["q"]: r["estimate"]
+        for r in stats.hist_quantile_range(
+            roll, [0.1, 0.5, 0.9], 0.0, 1000.0
+        ).collect()
+    }
+    import numpy as np
+
+    vals = np.array([v for _, v in rows])
+    for q in (0.1, 0.5, 0.9):
+        assert abs(got[q] - np.quantile(vals, q)) <= 20 + 1e-6
+    # sub-range probe uses only the filtered days' arrays
+    sub = stats.hist_quantile_range(
+        roll, [0.5], 0.0, 1000.0, "2024-01-01", "2024-01-05"
+    ).first()["estimate"]
+    assert abs(sub - 500.0) <= 20 + 1e-6
+    with pytest.raises(ValueError):
+        stats.hist_daily_sketches(df, "value", 0.0, 1000.0, 0)
+    with pytest.raises(ValueError):
+        stats.hist_quantile_range(roll, [], 0.0, 1000.0)
+    with pytest.raises(ValueError):
+        stats.hist_quantile_range(roll, [1.5], 0.0, 1000.0)

@@ -7,7 +7,12 @@ file-granular parallelism, dependency-free HTML→text extraction)."""
 
 from .bucketed import read_bucketed, write_bucketed  # noqa: F401
 from .compact import compact_parquet, dataset_file_stats  # noqa: F401
-from .csv import read_csv, read_csv_with_errors, write_csv  # noqa: F401
+from .csv import (  # noqa: F401
+    read_csv,
+    read_csv_stream,
+    read_csv_with_errors,
+    write_csv,
+)
 from .jsonl import (  # noqa: F401
     read_jsonl,
     read_jsonl_stream,
@@ -36,6 +41,7 @@ __all__ = [
     "write_zordered",
     "zvalue_col",
     "read_csv",
+    "read_csv_stream",
     "read_csv_with_errors",
     "write_csv",
     "read_jsonl",

@@ -45,7 +45,7 @@ from pyspark.sql import types as T
 
 from plda_spark.sources.jsonl import DOC_SCHEMA
 
-__all__ = ["DOC_SCHEMA", "read_csv", "read_csv_with_errors", "write_csv"]
+__all__ = ["DOC_SCHEMA", "read_csv", "read_csv_stream", "read_csv_with_errors", "write_csv"]
 
 _CSV_OPTS = {
     "mode": "PERMISSIVE",
@@ -66,23 +66,21 @@ def _is_multiline(options: dict) -> bool:
     return False
 
 
-def _read(
-    spark: SparkSession, path: str, schema: T.StructType, options: dict
+def _parse_lines(
+    lines: DataFrame, schema: T.StructType, opts: dict
 ) -> DataFrame:
-    opts = {**_CSV_OPTS, **{k: str(v) for k, v in options.items()}}
-    opts.setdefault("header", "true")
+    """Line rows → parsed rows + quarantine marker (shared by the batch
+    and STREAMING line-scan paths — one parse expression, no drift)."""
     with_err = T.StructType(
         list(schema.fields) + [T.StructField("_corrupt_record", T.StringType())]
     )
-    if _is_multiline(opts):
-        return spark.read.options(**opts).schema(with_err).csv(path)
     # Header removal honors the effective delimiter (from_csv uses the
     # same opts); only applies when headers are on.
     sep = opts.get("sep", opts.get("delimiter", ","))
     header_line = sep.join(f.name for f in schema.fields)
     if opts["header"].lower() != "true":
         header_line = None
-    lines = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    lines = lines.where(F.length(F.trim("value")) > 0)
     if header_line is not None:
         lines = lines.where(F.col("value") != header_line)
     ddl = ", ".join(
@@ -98,6 +96,50 @@ def _read(
         F.when(F.col("r._corrupt_record").isNotNull(), F.col("value"))
         .alias("_corrupt_record"),
     )
+
+
+def _read(
+    spark: SparkSession, path: str, schema: T.StructType, options: dict
+) -> DataFrame:
+    opts = {**_CSV_OPTS, **{k: str(v) for k, v in options.items()}}
+    opts.setdefault("header", "true")
+    if _is_multiline(opts):
+        with_err = T.StructType(
+            list(schema.fields)
+            + [T.StructField("_corrupt_record", T.StringType())]
+        )
+        return spark.read.options(**opts).schema(with_err).csv(path)
+    return _parse_lines(spark.read.text(path), schema, opts)
+
+
+def read_csv_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    keep_corrupt: bool = False,
+    **options,
+) -> DataFrame:
+    """STREAMING CSV reader (line-scan path only): watch a directory
+    for newly-landed ``.csv``/``.csv.gz`` files and emit parsed rows
+    incrementally — the same declared-schema + PERMISSIVE quarantine
+    contract as :func:`read_csv` via the SAME parse expression, the
+    fourth crawl-ingest streaming twin (JSONL / WET / raw WARC are the
+    others).  ``multiLine`` is a whole-file batch path by contract and
+    is rejected here.  ``keep_corrupt=True`` keeps the
+    ``_corrupt_record`` marker column for foreachBatch quarantine."""
+    opts = {**_CSV_OPTS, **{k: str(v) for k, v in options.items()}}
+    opts.setdefault("header", "true")
+    if _is_multiline(opts):
+        raise ValueError(
+            "read_csv_stream supports only the splittable line-scan "
+            "path; multiLine CSVs are whole-file batch reads"
+        )
+    parsed = _parse_lines(
+        spark.readStream.text(path), schema or DOC_SCHEMA, opts
+    )
+    if keep_corrupt:
+        return parsed
+    return parsed.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
 
 def _split_multiline(

@@ -771,3 +771,45 @@ def test_jsonl_stream_ingest_dedup(spark, tmp_path):
     got2 = spark.read.parquet(out).collect()
     assert sorted(r["text"] for r in got2) == ["aaa", "bbb", "ccc"]
     assert {r["doc_id"] for r in got2} == {0, 2, 11}
+
+
+def test_csv_stream_ingest_dedup(spark, tmp_path):
+    """CSV dump files → streaming reader → exact-dedup ledger (the
+    fourth streaming ingest twin).  Header lines and malformed rows
+    drop after capture; the shared parse expression keeps batch and
+    stream in lockstep."""
+    from plda_spark.sources.csv import read_csv_stream
+
+    in_dir = tmp_path / "dumps"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    header = "doc_id,text,lang,source"
+
+    def drop_dump(rows, name, garbage=False):
+        lines = [header] + [",".join(map(str, r)) for r in rows]
+        if garbage:
+            lines.insert(2, "not,enough")  # wrong arity -> quarantined
+        (in_dir / name).write_text("\n".join(lines) + "\n")
+
+    def run():
+        stream = read_csv_stream(spark, str(in_dir)).select("doc_id", "text")
+        windows.incremental_exact_dedup(stream, out, state, ckpt)
+
+    drop_dump([(0, "aaa", "en", "w"), (1, "aaa", "en", "w"),
+               (2, "bbb", "en", "w")], "d1.csv", garbage=True)
+    run()
+    assert sorted(
+        r["text"] for r in spark.read.parquet(out).collect()
+    ) == ["aaa", "bbb"]
+
+    drop_dump([(10, "bbb", "en", "w"), (11, "ccc", "en", "w")], "d2.csv")
+    run()
+    got = spark.read.parquet(out).collect()
+    assert sorted(r["text"] for r in got) == ["aaa", "bbb", "ccc"]
+    assert {r["doc_id"] for r in got} == {0, 2, 11}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="multiLine"):
+        read_csv_stream(spark, str(in_dir), multiLine=True)

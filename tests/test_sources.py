@@ -705,3 +705,42 @@ def test_compact_parquet_null_partition_values(spark, tmp_path):
         == a.where(F.col("grp").isNull()).count()
         == 34
     )
+
+
+def test_wet_and_warc_read_multi_member_gzip(spark, tmp_path):
+    """Common Crawl writes MULTI-MEMBER gzip (each record its own gzip
+    member, enabling per-record random access); the readers must
+    decompress every member, not just the first."""
+    import gzip as _gzip
+
+    from plda_spark.sources import warc, wet
+
+    def wet_rec(i, body):
+        return (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: http://x/{i}\r\n"
+            f"Content-Length: {len(body.encode())}\r\n\r\n"
+        ).encode() + body.encode() + b"\r\n\r\n"
+
+    d = tmp_path / "wet_mm"
+    d.mkdir()
+    (d / "a.warc.wet.gz").write_bytes(
+        b"".join(_gzip.compress(wet_rec(i, f"doc {i}")) for i in range(3))
+    )
+    got = {r["url"]: r["text"] for r in wet.read_wet(spark, str(d)).collect()}
+    assert got == {f"http://x/{i}": f"doc {i}" for i in range(3)}
+
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<p>hi</p>"
+    wrec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://y/1\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n"
+        + http + b"\r\n\r\n"
+    )
+    d2 = tmp_path / "warc_mm"
+    d2.mkdir()
+    (d2 / "a.warc.gz").write_bytes(
+        _gzip.compress(wrec) + _gzip.compress(wrec.replace(b"y/1", b"y/2"))
+    )
+    rows = warc.read_warc(spark, str(d2)).collect()
+    assert {r["url"] for r in rows} == {"http://y/1", "http://y/2"}
+    assert all(r["html"] == "<p>hi</p>" for r in rows)

@@ -1678,6 +1678,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_hist_range"] = stats_hist_range
 
+    def sample_weighted(spark, sf):
+        """Efraimidis-Spirakis weighted sampling without replacement
+        (operators.sampling.weighted_sample_per_group): exactly 50 docs
+        per source with inclusion probability tracking document length
+        — the quality-weighted subsampling primitive.  The ln(u)/w key
+        is a pure function of (seed, doc_id, weight), so the oracle
+        replays the identical sample row-for-row."""
+        from plda_spark.operators.sampling import weighted_sample_per_group
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        return weighted_sample_per_group(docs, "source", 50, "n_chars").select(
+            "doc_id", "source", "sample_rank"
+        )
+
+    q["sample_weighted"] = sample_weighted
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3251,6 +3269,23 @@ FROM documents
 
     # Direct binning of the probed span replays the merged rollup
     # exactly (histogram merge is lossless); same in-bin interpolation.
+    o["sample_weighted"] = """
+WITH s AS (
+  SELECT doc_id, source,
+         round(ln((CAST('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) + 1.0) / 1152921504606846976.0)
+               / n_chars, 12) AS es_key
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+), r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id ASC) AS sample_rank
+  FROM s
+)
+SELECT doc_id, source, CAST(sample_rank AS INT) AS sample_rank
+FROM r WHERE sample_rank <= 50
+"""
+
     o["stats_hist_range"] = """
 WITH b AS (
   SELECT CAST(least(floor(value / 5.0), 99) AS INT) AS bin,
@@ -5297,6 +5332,7 @@ EXTRA_QUERIES: list[str] = [
     "pipeline_crawl_to_corpus",
     "text_normalize_nfc",
     "stats_hist_range",
+    "sample_weighted",
 ]
 
 

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "pipeline_crawl_to_corpus",
     "text_normalize_nfc",
     "stats_hist_range",
+    "sample_weighted",
 ]
 
 

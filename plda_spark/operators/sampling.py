@@ -29,6 +29,7 @@ __all__ = [
     "reservoir_per_group",
     "pack_sequences",
     "chunk_documents",
+    "weighted_sample_per_group",
 ]
 
 
@@ -225,5 +226,65 @@ def reservoir_per_group(
     w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
     return (
         df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, exact-``k`` per group,
+    deterministic — the quality-weighted subsampling primitive ("keep
+    2k docs per source, preferring high quality-score/long documents"):
+    inclusion probability tracks ``weight_col`` per Efraimidis-Spirakis
+    A-ES (2006): each row gets the key ``ln(u) / w`` for a uniform
+    ``u`` derived from ``md5(seed, key_col)`` (u = (h+1)/2^60 over the
+    first 60 md5 bits), and the k LARGEST keys win — one pass, no
+    acceptance loops, provably the weighted-without-replacement
+    distribution.
+
+    Same determinism contract as :func:`reservoir_per_group`: the key
+    is a pure function of (seed, row key, weight) — identical across
+    runs, partitionings, and engines (the arithmetic is plain md5 +
+    ln + divide, replayable in any SQL dialect; the sort key rounds to
+    12 decimals so engine last-ulp ln differences can never flip a rank
+    boundary, with ties broken by ``key_col``).  Rows with NULL or
+    non-positive weight are excluded (zero weight = zero inclusion
+    probability; A-ES is undefined for them).
+
+    Appends ``sample_rank`` (1..k).  Scale shape: one shuffle on the
+    group key + a per-group TOP-K window (WindowGroupLimit — no full
+    group sort)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(str(seed)), F.lit(":"), F.col(key_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(1.0)) / F.lit(float(1 << 60))
+    w = F.col(weight_col).cast("double")
+    es_key = F.round(F.ln(u) / w, 12)
+    win = Window.partitionBy(group_col).orderBy(
+        es_key.desc(), F.col(key_col).asc()
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("sample_rank", F.row_number().over(win))
         .where(F.col("sample_rank") <= k)
     )

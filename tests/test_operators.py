@@ -2513,3 +2513,32 @@ def test_hist_rollup_range_quantiles(spark):
         stats.hist_quantile_range(roll, [], 0.0, 1000.0)
     with pytest.raises(ValueError):
         stats.hist_quantile_range(roll, [1.5], 0.0, 1000.0)
+
+
+def test_weighted_sample_per_group(spark):
+    """A-ES weighted sampling: heavy-weight rows dominate the kept set,
+    the sample is deterministic across invocations, zero/NULL weights
+    are excluded, and exactly k rows survive per group."""
+    from plda_spark.operators.sampling import weighted_sample_per_group
+
+    rows = [(i, "g", 10.0 if i < 50 else 1.0) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, wt double")
+    got = weighted_sample_per_group(df, "grp", 100, "wt").collect()
+    assert len(got) == 100
+    heavy = sum(1 for r in got if r["doc_id"] < 50)
+    # E[kept heavy] ~ 40+ of 50 at 10x weight; uniform would give ~10
+    assert heavy >= 30
+    again = weighted_sample_per_group(df, "grp", 100, "wt").collect()
+    assert {(r["doc_id"], r["sample_rank"]) for r in got} == {
+        (r["doc_id"], r["sample_rank"]) for r in again
+    }
+    df2 = spark.createDataFrame(
+        [(0, "g", 0.0), (1, "g", None), (2, "g", 1.0)],
+        "doc_id long, grp string, wt double",
+    )
+    assert [
+        r["doc_id"]
+        for r in weighted_sample_per_group(df2, "grp", 5, "wt").collect()
+    ] == [2]
+    with pytest.raises(ValueError):
+        weighted_sample_per_group(df, "grp", 0, "wt")

@@ -1696,6 +1696,35 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_weighted"] = sample_weighted
 
+    def join_interval_overlap(spark, sf):
+        """Interval-overlap join (operators.joins.interval_overlap_join)
+        over intervals synthesized from orders: bin-exploded candidates
+        joined on the bin key, each pair emitted only in its canonical
+        (overlap-start) bin — duplicate-free with NO distinct, never a
+        nested-loop.  Overlap length reported per pair."""
+        from plda_spark.operators import joins
+
+        o = load_table(spark, sf, "orders")
+        lft = o.where(F.col("o_orderkey") % 7 == 0).select(
+            F.col("o_orderkey").alias("lid"),
+            (F.col("o_custkey") % 2000).alias("ls"),
+            (F.col("o_custkey") % 2000 + F.col("o_orderkey") % 25 + 1).alias("le"),
+        )
+        rgt = o.where(F.col("o_orderkey") % 11 == 0).select(
+            F.col("o_orderkey").alias("rid"),
+            (F.col("o_custkey") % 2000 + 5).alias("rs"),
+            (F.col("o_custkey") % 2000 + F.col("o_orderkey") % 40 + 6).alias("re"),
+        )
+        out = joins.interval_overlap_join(lft, rgt, "ls", "le", "rs", "re", 16)
+        return out.select(
+            "lid",
+            "rid",
+            (F.least(F.col("le"), F.col("re"))
+             - F.greatest(F.col("ls"), F.col("rs"))).alias("overlap"),
+        )
+
+    q["join_interval_overlap"] = join_interval_overlap
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3269,6 +3298,21 @@ FROM documents
 
     # Direct binning of the probed span replays the merged rollup
     # exactly (histogram merge is lossless); same in-bin interpolation.
+    o["join_interval_overlap"] = """
+WITH l AS (
+  SELECT o_orderkey AS lid, o_custkey % 2000 AS ls,
+         o_custkey % 2000 + o_orderkey % 25 + 1 AS le
+  FROM orders WHERE o_orderkey % 7 = 0
+), r AS (
+  SELECT o_orderkey AS rid, o_custkey % 2000 + 5 AS rs,
+         o_custkey % 2000 + o_orderkey % 40 + 6 AS re
+  FROM orders WHERE o_orderkey % 11 = 0
+)
+SELECT lid, rid,
+       least(le, re) - greatest(ls, rs) AS overlap
+FROM l JOIN r ON ls < re AND rs < le
+"""
+
     o["sample_weighted"] = """
 WITH s AS (
   SELECT doc_id, source,
@@ -5333,6 +5377,7 @@ EXTRA_QUERIES: list[str] = [
     "text_normalize_nfc",
     "stats_hist_range",
     "sample_weighted",
+    "join_interval_overlap",
 ]
 
 

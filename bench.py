@@ -115,6 +115,7 @@ BENCH_QUERIES = [
     "text_normalize_nfc",
     "stats_hist_range",
     "sample_weighted",
+    "join_interval_overlap",
 ]
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["salted_join", "as_of_join", "range_join", "fuzzy_pairs", "fuzzy_join"]
+__all__ = ["salted_join", "as_of_join", "range_join", "interval_overlap_join", "fuzzy_pairs", "fuzzy_join"]
 
 
 def salted_join(
@@ -362,4 +362,68 @@ def fuzzy_join(
             "__m", F.explode(F.sequence(F.lit(1), F.col("__ln") * F.col("__rn")))
         )
         .drop("__lid", "__rid", "__ln", "__rn", "__m")
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    on: str | None = None,
+) -> DataFrame:
+    """Interval-OVERLAP join (range x range, the two-sided sibling of
+    :func:`range_join`): each ``left`` interval matches every ``right``
+    interval it overlaps — half-open semantics, ``l_start < r_end AND
+    r_start < l_end`` — optionally also equi-keyed on ``on``.  The
+    time-range/genomic-overlap workhorse a point-in-interval join
+    cannot express.
+
+    Plan: BOTH sides explode onto fixed-width bins; candidates meet by
+    bin equi-join.  An overlapping pair would meet once per SHARED bin,
+    so each pair is emitted only in its canonical bin — the bin of
+    ``greatest(l_start, r_start)`` (the overlap's first instant), which
+    both sides provably cover — making the join duplicate-free WITHOUT
+    a distinct (no wide dedup shuffle).  Cost: shuffle of
+    Σ ceil(len/w) replicas per side + per-bin candidate products —
+    linear for bounded interval length, never the O(|L|·|R|)
+    nested-loop a theta join plans.  Pick ``bin_width`` near the
+    typical interval length (same trade as ``range_join``).
+
+    Output: all ``left`` columns plus the matching right interval's
+    columns (overlapping names prefixed ``right_``).
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+
+    def bins(start: str, end: str):
+        return F.sequence(
+            F.floor(F.col(start) / bin_width),
+            F.floor((F.col(end) - 1) / bin_width),
+        )
+
+    taken = set(left.columns)
+    rename = {c: (f"right_{c}" if c in taken and c != on else c)
+              for c in right.columns}
+    lv = left.select("*", F.explode(bins(left_start, left_end)).alias("__bin"))
+    rv = right.select(
+        *[F.col(c).alias(rename[c]) for c in right.columns],
+        F.explode(bins(right_start, right_end)).alias("__bin"),
+    )
+    keys = ["__bin"] + ([on] if on else [])
+    rs, re_ = rename[right_start], rename[right_end]
+    canonical = F.floor(
+        F.greatest(F.col(left_start), F.col(rs)) / bin_width
+    )
+    return (
+        lv.join(rv, keys)
+        .where(
+            (F.col(left_start) < F.col(re_))
+            & (F.col(rs) < F.col(left_end))
+            & (F.col("__bin") == canonical)
+        )
+        .drop("__bin")
     )

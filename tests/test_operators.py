@@ -2542,3 +2542,49 @@ def test_weighted_sample_per_group(spark):
     ] == [2]
     with pytest.raises(ValueError):
         weighted_sample_per_group(df, "grp", 0, "wt")
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    """Binned overlap join must equal the brute-force theta join
+    exactly — duplicate-free via canonical-bin emission — across bin
+    widths, with the optional equi-key respected."""
+    import random
+
+    from plda_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(7)
+    L = [(i, rng.randint(0, 200), 0, "k%d" % (i % 2)) for i in range(60)]
+    L = [(i, s, s + rng.randint(1, 30), k) for i, s, _, k in L]
+    R = [(j, rng.randint(0, 200), 0, "k%d" % (j % 2)) for j in range(50)]
+    R = [(j, s, s + rng.randint(1, 30), k) for j, s, _, k in R]
+    ldf = spark.createDataFrame(L, "lid long, ls long, le long, key string")
+    rdf = spark.createDataFrame(R, "rid long, rs long, re long, key string")
+    for w in (4, 16, 64):
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                ldf, rdf, "ls", "le", "rs", "re", w
+            ).collect()
+        }
+        want = {
+            (i, j)
+            for (i, ls, le, _) in L
+            for (j, rs, re) in [(j, rs, re) for j, rs, re, _ in R]
+            if ls < re and rs < le
+        }
+        assert got == want, f"bin_width={w}"
+    keyed = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", 16, on="key"
+        ).collect()
+    }
+    want_k = {
+        (i, j)
+        for (i, ls, le, lk) in L
+        for (j, rs, re, rk) in R
+        if lk == rk and ls < re and rs < le
+    }
+    assert keyed == want_k
+    with pytest.raises(ValueError):
+        interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re", 0)

@@ -1725,6 +1725,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_interval_overlap"] = join_interval_overlap
 
+    def sample_leakage_safe_split(spark, sf):
+        """Leakage-safe train/val/test split (operators.sampling.
+        leakage_safe_split): hash-bucket split, then every train row
+        whose exact text also lands in val/test is QUARANTINED as
+        train_leaked instead of silently training on eval text — the
+        duplicated synthetic corpus (two crawls of each doc under
+        different ids) guarantees cross-split collisions to catch."""
+        from plda_spark.operators.sampling import leakage_safe_split
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        dup = docs.unionByName(
+            docs.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")
+        )
+        return leakage_safe_split(dup).groupBy("split").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("text").alias("n_texts"),
+        )
+
+    q["sample_leakage_safe_split"] = sample_leakage_safe_split
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3298,6 +3318,25 @@ FROM documents
 
     # Direct binning of the probed span replays the merged rollup
     # exactly (histogram merge is lossless); same in-bin interpolation.
+    o["sample_leakage_safe_split"] = """
+WITH dup AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, text FROM documents
+), s AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 10 THEN 'test'
+              WHEN b < 20 THEN 'val'
+              ELSE 'train' END AS split
+  FROM (SELECT *, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 100 AS b FROM dup)
+), held AS (SELECT DISTINCT md5(text) AS d FROM s WHERE split <> 'train')
+SELECT CASE WHEN split = 'train' AND md5(text) IN (SELECT d FROM held)
+            THEN 'train_leaked' ELSE split END AS split,
+       count(*) AS n,
+       count(DISTINCT text) AS n_texts
+FROM s GROUP BY 1
+"""
+
     o["join_interval_overlap"] = """
 WITH l AS (
   SELECT o_orderkey AS lid, o_custkey % 2000 AS ls,
@@ -5378,6 +5417,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_hist_range",
     "sample_weighted",
     "join_interval_overlap",
+    "sample_leakage_safe_split",
 ]
 
 

@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "stats_hist_range",
     "sample_weighted",
     "join_interval_overlap",
+    "sample_leakage_safe_split",
 ]
 
 

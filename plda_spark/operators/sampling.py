@@ -30,6 +30,7 @@ __all__ = [
     "pack_sequences",
     "chunk_documents",
     "weighted_sample_per_group",
+    "leakage_safe_split",
 ]
 
 
@@ -287,4 +288,53 @@ def weighted_sample_per_group(
         df.where(w.isNotNull() & (w > 0))
         .withColumn("sample_rank", F.row_number().over(win))
         .where(F.col("sample_rank") <= k)
+    )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    val_pct: int = 10,
+    test_pct: int = 10,
+    buckets: int = 100,
+) -> DataFrame:
+    """:func:`train_val_test_split` with EVAL HYGIENE enforced: after
+    the hash split, any TRAIN row whose exact text also appears in val
+    or test is moved OUT of train (``split='train_leaked'``) — the
+    member-level decontamination every honest benchmark run needs,
+    because a random split of a corpus that still contains duplicates
+    puts the same document on both sides and inflates eval scores
+    (Lee et al. 2022's core finding).  Near-duplicate hygiene composes
+    downstream: run ``dedup`` first, or cross-check with
+    ``dedup.cross_dedup`` against the held-out split.
+
+    Quarantining (not deleting) keeps corpus accounting exact:
+    ``train = split='train'``, and the leaked mass is visible instead
+    of silently vanishing.  Deterministic: the split is the same hash
+    bucket as ``train_val_test_split``; leak detection is one join on
+    the md5 digest.  The held-out side is corpus-PROPORTIONAL
+    (val_pct + test_pct of all distinct digests), so it is NOT
+    force-broadcast — the digest join shuffles slim hash rows and AQE
+    broadcasts only when the held-out slice genuinely fits.
+    """
+    split = train_val_test_split(df, key_col, val_pct, test_pct, buckets)
+    digest = F.md5(F.col(text_col))
+    held = (
+        split.where(F.col("split") != "train")
+        .select(digest.alias("__held_digest"))
+        .distinct()
+    )
+    return (
+        split.withColumn("__digest", digest)
+        .join(held, F.col("__digest") == F.col("__held_digest"), "left")
+        .withColumn(
+            "split",
+            F.when(
+                (F.col("split") == "train")
+                & F.col("__held_digest").isNotNull(),
+                F.lit("train_leaked"),
+            ).otherwise(F.col("split")),
+        )
+        .drop("__digest", "__held_digest")
     )

@@ -2588,3 +2588,33 @@ def test_interval_overlap_join_matches_brute_force(spark):
     assert keyed == want_k
     with pytest.raises(ValueError):
         interval_overlap_join(ldf, rdf, "ls", "le", "rs", "re", 0)
+
+
+def test_leakage_safe_split_quarantines_train_leaks(spark):
+    """No train row's text may appear in val/test; leaked rows are
+    QUARANTINED (visible), never deleted; val/test themselves are
+    untouched; rows total is conserved."""
+    from plda_spark.operators.sampling import (
+        leakage_safe_split,
+        train_val_test_split,
+    )
+
+    rows = [(i, "text-%d" % (i % 60)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = leakage_safe_split(df).collect()
+    assert len(out) == 200
+    by = {}
+    for r in out:
+        by.setdefault(r["split"], []).append(r)
+    held = {r["text"] for r in by.get("val", []) + by.get("test", [])}
+    assert all(r["text"] not in held for r in by["train"])
+    assert all(r["text"] in held for r in by["train_leaked"])
+    # val/test assignments identical to the plain split
+    plain = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(df).collect()
+    }
+    for s_ in ("val", "test"):
+        assert {r["doc_id"] for r in by[s_]} == {
+            d for d, sp in plain.items() if sp == s_
+        }

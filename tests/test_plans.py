@@ -481,3 +481,39 @@ def test_compact_unpartitioned_is_single_roundrobin_no_sort(spark, tmp_path):
     assert s["exchanges"] <= 2  # one physical (tree + detail)
     assert "RoundRobinPartitioning" in s["plan"] or "ROUND_ROBIN" in s["plan"]
     assert "Sort" not in s["plan"].replace("SortMergeJoin", "")
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    """The per-group weighted top-k must plan as WindowGroupLimit (per
+    partition top-k), never a full per-group sort of all rows."""
+    from plda_spark.operators.sampling import weighted_sample_per_group
+
+    df = spark.createDataFrame(
+        [(0, "g", 1.0), (1, "g", 2.0)], "doc_id long, grp string, wt double"
+    )
+    s = plan_summary(weighted_sample_per_group(df, "grp", 5, "wt"))
+    assert "WindowGroupLimit" in s["plan"]
+
+
+def test_interval_overlap_join_is_equi_join(spark):
+    """The overlap join must plan as a bin equi-join (SMJ/BHJ) with the
+    range predicate as a post-filter — never a cartesian/nested-loop."""
+    from plda_spark.operators.joins import interval_overlap_join
+
+    l = spark.createDataFrame([(0, 0, 5)], "lid long, ls long, le long")
+    r = spark.createDataFrame([(1, 3, 9)], "rid long, rs long, re long")
+    s = plan_summary(interval_overlap_join(l, r, "ls", "le", "rs", "re", 4))
+    assert "Cartesian" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert s["sort_merge_joins"] + s["broadcast_hash_joins"] >= 1
+
+
+def test_leakage_safe_split_no_forced_broadcast(spark):
+    """The held-out digest side is corpus-proportional: the leak join
+    must NOT carry a planner-forced broadcast hint (ResolvedHint) — at
+    local sizes AQE may still choose BHJ, which is fine."""
+    from plda_spark.operators.sampling import leakage_safe_split
+
+    df = spark.createDataFrame([(0, "t")], "doc_id long, text string")
+    plan = leakage_safe_split(df)._jdf.queryExecution().logical().toString()
+    assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan

@@ -1464,6 +1464,70 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_warc_roundtrip"] = source_warc_roundtrip
 
+    def source_snapshot_roundtrip(spark, sf):
+        """Transactional snapshot-table round-trip (sources/snapshot.py
+        — the Iceberg/Delta manifest design over plain parquet): commit
+        the even documents (overwrite), append the odds as a second
+        atomic manifest version (prior files carried by reference, zero
+        data copied), read the LATEST snapshot — every row recovered
+        exactly once.  Version 0 stays readable (time travel) and the
+        commit point is an atomic no-clobber manifest rename, both
+        pinned in tests/test_snapshot.py."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+        tmp = tempfile.mkdtemp(prefix="plda_snap_")
+        path = f"{tmp}/tbl"
+        snap.snapshot_write(
+            docs.where(F.col("doc_id") % 2 == 0), path,
+            mode="overwrite", stats_cols=["doc_id"],
+        )
+        snap.snapshot_write(docs.where(F.col("doc_id") % 2 == 1), path, mode="append")
+        return snap.snapshot_read(spark, path)
+
+    q["source_snapshot_roundtrip"] = source_snapshot_roundtrip
+
+    def source_snapshot_merge(spark, sf):
+        """Stats-pruned copy-on-write MERGE (upsert) on the snapshot
+        table: base = orders clustered on o_orderkey so per-file key
+        ranges are tight; updates double o_totalprice for keys % 97 == 0
+        and insert shifted new keys for % 101 == 0.  Files whose
+        manifest key range holds no updated key are carried into the
+        new version BY REFERENCE (the O(affected-files) upsert a 100 TB
+        table needs — pinned in tests/test_snapshot.py); the merged
+        result is verified row-for-row against the CASE/UNION SQL
+        equivalent."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        orders = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_snapm_")
+        path = f"{tmp}/tbl"
+        base = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        )
+        snap.snapshot_write(base, path, mode="overwrite", stats_cols=["o_orderkey"])
+        updates = (
+            orders.where(F.col("o_orderkey") % 97 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") * 2)
+            .unionByName(
+                orders.where(F.col("o_orderkey") % 101 == 0).select(
+                    (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                    "o_custkey",
+                    "o_totalprice",
+                )
+            )
+        )
+        snap.snapshot_merge(spark, path, updates, key="o_orderkey")
+        return snap.snapshot_read(spark, path)
+
+    q["source_snapshot_merge"] = source_snapshot_merge
+
     def stream_warc_ingest(spark, sf):
         """Batch demonstration of the raw-HTML crawl-ingest pipeline
         (sources.warc.read_warc_stream → extract_html_text →
@@ -3876,6 +3940,25 @@ SELECT doc_id, CAST(200 AS INTEGER) AS http_status, text FROM documents
 SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
 """
 
+    # Snapshot-table round-trip: overwrite(evens) + append(odds) = the
+    # whole table, each row exactly once.
+    o["source_snapshot_roundtrip"] = """
+SELECT doc_id, lang, text FROM documents
+"""
+
+    # Copy-on-write MERGE semantics: same-key rows replaced (price
+    # doubled for % 97 keys), unmatched update keys inserted (% 101
+    # keys shifted by +1e8); every other base row untouched.
+    o["source_snapshot_merge"] = """
+SELECT o_orderkey, o_custkey,
+       CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice * 2
+            ELSE o_totalprice END AS o_totalprice
+FROM orders
+UNION ALL
+SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 101 = 0
+"""
+
     # Boilerplate chrome (nav/footer, all link-dense) dropped; the one
     # zero-link body block survives and reassembles to the exact text.
     o["web_boilerplate_extract"] = """
@@ -5418,6 +5501,8 @@ EXTRA_QUERIES: list[str] = [
     "sample_weighted",
     "join_interval_overlap",
     "sample_leakage_safe_split",
+    "source_snapshot_roundtrip",
+    "source_snapshot_merge",
 ]
 
 

@@ -117,6 +117,10 @@ BENCH_QUERIES = [
     "sample_weighted",
     "join_interval_overlap",
     "sample_leakage_safe_split",
+    # snapshot table: full commit+append+read cycle and the stats-pruned
+    # copy-on-write merge (sources/snapshot.py)
+    "source_snapshot_roundtrip",
+    "source_snapshot_merge",
 ]
 
 

@@ -1,0 +1,627 @@
+"""Snapshot table: transactional parquet with atomic manifest commits.
+
+A 100 TB lake table is never "a directory of parquet" for long: streaming
+ingest appends while readers scan, crawl refreshes upsert documents,
+takedowns delete rows, compaction rewrites small files — and a plain
+directory gives readers torn views (half-written files, files from two
+generations) and writers no isolation.  The public fix is the
+Iceberg/Delta design: DATA FILES ARE IMMUTABLE, and the table state is a
+MANIFEST — a small JSON file listing exactly the data files (with row
+counts and per-file column min/max stats) that make up one version.
+Writers prepare data files off to the side, then publish by atomically
+creating the next manifest; readers resolve one manifest and see one
+consistent version, forever (time travel).  This module is that design
+over plain parquet + the Hadoop FileSystem API (HDFS / S3A / local all
+work), with no table-format dependency.
+
+Why each operation is O(affected data), never O(table):
+
+- ``snapshot_write`` (append/overwrite): writes ONE new commit directory
+  and one manifest.  Appends carry every prior file entry forward by
+  reference — zero data copied.
+- ``snapshot_merge`` (upsert): per-file key min/max stats in the
+  manifest prune the copy-on-write set to the files whose key range can
+  contain an updated key; untouched files are carried by reference.  A
+  1k-row update against a 100 TB table rewrites a handful of files.
+- ``snapshot_delete``: files whose stats range lies FULLY inside the
+  deleted range are dropped from the manifest with ZERO IO (metadata
+  delete); only boundary-overlap files are rewritten.
+- ``snapshot_compact``: rewrites only files under the size threshold;
+  full-size files are carried by reference.
+- ``snapshot_scan``: prunes the file list against manifest stats before
+  Spark ever opens a footer — on top of parquet's own row-group pruning.
+- ``snapshot_sink_batch``: an idempotent foreachBatch sink — a
+  (run_id, batch_id) pair that already committed is a no-op, so a
+  crashed-and-replayed micro-batch cannot double-append (the same
+  exactly-once contract as streaming/windows.py's ledgers).
+
+Commit protocol (single table root, optimistic single-winner):
+``_manifests/v{N}.json`` is published by writing a temp file and
+``FileSystem.rename``-ing it to the final name — Hadoop's rename fails
+when the destination exists (local and HDFS alike), so two concurrent
+writers racing to version N produce one winner and one
+``ConcurrentWriteError``; no partially-written manifest is ever visible
+under the final name.
+
+The reference repo (an LDA trainer) has no storage-management surface;
+this extends the engine's sink family (sharded / bucketed /
+date-partitioned / Z-ordered / compaction) with the transactional-table
+layer every long-lived pipeline eventually needs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+import uuid
+from bisect import bisect_left
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+__all__ = [
+    "ConcurrentWriteError",
+    "snapshot_write",
+    "snapshot_read",
+    "snapshot_scan",
+    "snapshot_versions",
+    "snapshot_merge",
+    "snapshot_delete",
+    "snapshot_compact",
+    "snapshot_vacuum",
+    "snapshot_sink_batch",
+]
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published this version first; re-read and retry."""
+
+
+_MANIFEST_RE = re.compile(r"^v(\d{10})\.json$")
+
+
+class _FS:
+    """Thin driver-side wrapper over the Hadoop FileSystem API so the
+    metadata ops (KB-sized manifest files) work on HDFS/S3A/local alike
+    — same idiom as sources/compact.py's listing pass."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        self._Path = self._jvm.org.apache.hadoop.fs.Path
+        root = self._Path(path)
+        self.fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def exists(self, p: str) -> bool:
+        return self.fs.exists(self._Path(p))
+
+    def mkdirs(self, p: str) -> None:
+        self.fs.mkdirs(self._Path(p))
+
+    def read_text(self, p: str) -> str:
+        stream = self.fs.open(self._Path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def write_text(self, p: str, text: str) -> None:
+        out = self.fs.create(self._Path(p), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()
+
+    def rename_no_clobber(self, src: str, dst: str) -> bool:
+        """Hadoop rename: returns False when dst already exists."""
+        return bool(self.fs.rename(self._Path(src), self._Path(dst)))
+
+    def delete(self, p: str, recursive: bool = False) -> None:
+        self.fs.delete(self._Path(p), recursive)
+
+    def list_names(self, d: str) -> list[str]:
+        if not self.exists(d):
+            return []
+        return [st.getPath().getName() for st in self.fs.listStatus(self._Path(d))]
+
+    def list_files_recursive(self, d: str) -> list[tuple[str, int]]:
+        out: list[tuple[str, int]] = []
+        if not self.exists(d):
+            return out
+        it = self.fs.listFiles(self._Path(d), True)
+        while it.hasNext():
+            st = it.next()
+            name = st.getPath().getName()
+            if name.startswith("_") or name.startswith("."):
+                continue
+            out.append((st.getPath().toString(), int(st.getLen())))
+        return out
+
+
+def _manifest_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/_manifests"
+
+
+def _data_dir(path: str) -> str:
+    return f"{path.rstrip('/')}/data"
+
+
+def _latest_version(fs: _FS, path: str) -> int | None:
+    versions = [
+        int(m.group(1))
+        for n in fs.list_names(_manifest_dir(path))
+        if (m := _MANIFEST_RE.match(n))
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(fs: _FS, path: str, version: int) -> dict:
+    p = f"{_manifest_dir(path)}/v{version:010d}.json"
+    if not fs.exists(p):
+        raise FileNotFoundError(
+            f"snapshot {path} has no manifest v{version} (vacuumed or never "
+            "written); snapshot_versions() lists what exists"
+        )
+    return json.loads(fs.read_text(p))
+
+
+def _publish(fs: _FS, path: str, manifest: dict) -> int:
+    """Atomically publish ``manifest`` as the next version after its
+    ``version`` field.  The temp-write + no-clobber rename is the commit
+    point: one winner per version, losers raise."""
+    version = manifest["version"]
+    mdir = _manifest_dir(path)
+    fs.mkdirs(mdir)
+    tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
+    final = f"{mdir}/v{version:010d}.json"
+    fs.write_text(tmp, json.dumps(manifest))
+    if not fs.rename_no_clobber(tmp, final):
+        fs.delete(tmp)
+        raise ConcurrentWriteError(
+            f"snapshot {path} version {version} was published by a "
+            "concurrent writer; re-read the table and retry"
+        )
+    return version
+
+
+def _json_safe(v: Any) -> Any:
+    """Stats values must survive JSON round-trips with ordering intact:
+    ints/floats/strs/bools pass through; date-ish values stringify
+    (ISO format orders lexicographically == chronologically)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    return str(v)
+
+
+def _commit_files(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    commit_id: str,
+    stats_cols: list[str],
+) -> list[dict]:
+    """Write ``df`` as parquet under ``data/{commit_id}/`` and return one
+    manifest entry per written file with row count + per-column min/max.
+
+    The stats pass reads back ONLY the just-written commit directory
+    (one file-granular aggregation job over the commit, not the table) —
+    the post-pass equivalent of Iceberg's write-time stats collection.
+    """
+    cdir = f"{_data_dir(path)}/{commit_id}"
+    df.write.mode("overwrite").parquet(cdir)
+    back = spark.read.parquet(cdir)
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    present = [c for c in stats_cols if c in back.columns]
+    for c in present:
+        aggs.append(F.min(c).alias(f"__min_{c}"))
+        aggs.append(F.max(c).alias(f"__max_{c}"))
+    per_file = (
+        back.groupBy(F.input_file_name().alias("__file")).agg(*aggs).collect()
+    )
+    fs = _FS(spark, path)
+    sizes = dict(fs.list_files_recursive(cdir))
+
+    def _norm(p: str) -> str:
+        # input_file_name yields file:///...; Hadoop listings yield
+        # file:/... — strip any scheme + leading slashes to compare.
+        return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "", p).lstrip("/")
+
+    size_by_tail = {_norm(p): b for p, b in sizes.items()}
+    entries = []
+    for r in per_file:
+        stats = {
+            c: [_json_safe(r[f"__min_{c}"]), _json_safe(r[f"__max_{c}"])]
+            for c in present
+        }
+        entries.append(
+            {
+                "path": r["__file"],
+                "rows": int(r["__rows"]),
+                "bytes": size_by_tail.get(_norm(r["__file"]), -1),
+                "stats": stats,
+            }
+        )
+    return entries
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    stats_cols: list[str] | None = None,
+    extra: dict | None = None,
+) -> int:
+    """Commit ``df`` to the snapshot table at ``path``; returns the new
+    version.  ``mode='append'`` carries every prior file entry forward
+    by reference (zero data copied); ``mode='overwrite'`` starts the
+    file list fresh (prior files stay on disk for time travel until
+    ``snapshot_vacuum``).  ``stats_cols`` min/max land in the manifest
+    and power ``snapshot_scan`` / ``snapshot_merge`` /
+    ``snapshot_delete`` file pruning — include the merge key and the
+    common filter columns, exactly as you would pick Z-order columns.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    spark = df.sparkSession
+    fs = _FS(spark, path)
+    parent = _latest_version(fs, path)
+    stats_cols = list(stats_cols or [])
+    if parent is not None:
+        prev = _read_manifest(fs, path, parent)
+        if mode == "append":
+            # keep collecting the columns the table was created with so
+            # pruning never silently loses coverage mid-history
+            stats_cols = sorted(set(stats_cols) | set(prev.get("stats_cols", [])))
+    commit_id = f"c{(0 if parent is None else parent + 1):010d}-{uuid.uuid4().hex[:8]}"
+    entries = _commit_files(spark, df, path, commit_id, stats_cols)
+    files = entries
+    if mode == "append" and parent is not None:
+        files = prev["files"] + entries
+    manifest = {
+        "version": 0 if parent is None else parent + 1,
+        "parent": parent,
+        "action": mode,
+        "schema": df.schema.json(),
+        "stats_cols": stats_cols,
+        "files": files,
+        **(extra or {}),
+    }
+    return _publish(fs, path, manifest)
+
+
+def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
+    """One summary row per live manifest, oldest first:
+    ``{version, parent, action, n_files, rows}``."""
+    fs = _FS(spark, path)
+    out = []
+    for n in sorted(fs.list_names(_manifest_dir(path))):
+        m = _MANIFEST_RE.match(n)
+        if not m:
+            continue
+        man = _read_manifest(fs, path, int(m.group(1)))
+        out.append(
+            {
+                "version": man["version"],
+                "parent": man["parent"],
+                "action": man["action"],
+                "n_files": len(man["files"]),
+                "rows": sum(e["rows"] for e in man["files"]),
+            }
+        )
+    return out
+
+
+def _resolve(spark: SparkSession, path: str, version: int | None) -> dict:
+    fs = _FS(spark, path)
+    if version is None:
+        version = _latest_version(fs, path)
+        if version is None:
+            raise FileNotFoundError(f"no snapshot table at {path}")
+    return _read_manifest(fs, path, version)
+
+
+def _read_files(spark: SparkSession, manifest: dict, files: list[dict]) -> DataFrame:
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*[e["path"] for e in files])
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """The table at ``version`` (default: latest).  One manifest read
+    resolves the exact immutable file set — concurrent commits after
+    this call never change what this DataFrame scans (snapshot
+    isolation), and older versions stay readable until vacuumed (time
+    travel)."""
+    manifest = _resolve(spark, path, version)
+    return _read_files(spark, manifest, manifest["files"])
+
+
+def _overlaps(entry: dict, col: str, lo: Any, hi: Any) -> bool:
+    """Can ``entry``'s file contain a value of ``col`` in [lo, hi]?
+    Missing or null stats ⇒ True (never prune on ignorance)."""
+    stats = entry.get("stats", {}).get(col)
+    if not stats or stats[0] is None or stats[1] is None:
+        return True
+    fmin, fmax = stats
+    try:
+        return not (fmax < lo or fmin > hi)
+    except TypeError:  # mixed types after JSON round-trip — don't prune
+        return True
+
+
+def _covered(entry: dict, col: str, lo: Any, hi: Any) -> bool:
+    """Does [lo, hi] cover the file's ENTIRE ``col`` range?"""
+    stats = entry.get("stats", {}).get(col)
+    if not stats or stats[0] is None or stats[1] is None:
+        return False
+    try:
+        return lo <= stats[0] and stats[1] <= hi
+    except TypeError:
+        return False
+
+
+def snapshot_scan(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    lo: Any,
+    hi: Any,
+    version: int | None = None,
+) -> DataFrame:
+    """Read only the files whose manifest ``col`` range intersects
+    [lo, hi], then apply the residual row filter.  The pruning happens
+    before Spark lists or opens a single footer — manifest-level
+    skipping stacked on parquet's own row-group stats, the same two-tier
+    design Iceberg scans use."""
+    manifest = _resolve(spark, path, version)
+    keep = [e for e in manifest["files"] if _overlaps(e, col, lo, hi)]
+    return _read_files(spark, manifest, keep).where(
+        (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    collect_keys_limit: int = 200_000,
+    verify_unique: bool = True,
+) -> int:
+    """Copy-on-write upsert: rows of ``updates`` replace same-``key``
+    rows; unmatched update keys become inserts.  Returns the new
+    version.
+
+    Scale shape: ONE pass over ``updates`` yields its distinct keys
+    (collected and bisected against per-file stats when ≤
+    ``collect_keys_limit``, else just the key [min, max] envelope);
+    files that cannot contain an updated key are carried into the new
+    manifest BY REFERENCE — a small upsert against a huge table rewrites
+    only the files it touches.  The rewrite itself is one left-anti join
+    (touched rows minus updated keys) + union with ``updates``.
+    ``updates`` must be unique on ``key`` (checked with one cheap
+    aggregate unless ``verify_unique=False``).
+    """
+    manifest = _resolve(spark, path, None)
+    if key not in manifest.get("stats_cols", []):
+        raise ValueError(
+            f"snapshot at {path} does not collect stats on {key!r} "
+            f"(stats_cols={manifest.get('stats_cols')}); merge pruning "
+            "needs the key's per-file min/max — rewrite with "
+            "stats_cols=[key] first"
+        )
+    if verify_unique:
+        agg = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("d"),
+        ).collect()[0]
+        if agg["n"] != agg["d"]:
+            raise ValueError(
+                f"updates carry duplicate {key!r} values "
+                f"({agg['n']} rows, {agg['d']} distinct keys)"
+            )
+    key_rows = (
+        updates.select(F.col(key).alias("__k"))
+        .distinct()
+        .limit(collect_keys_limit + 1)
+        .collect()
+    )
+    if len(key_rows) <= collect_keys_limit:
+        keys = sorted(r["__k"] for r in key_rows)
+
+        def touched(e: dict) -> bool:
+            stats = e.get("stats", {}).get(key)
+            if not stats or stats[0] is None or stats[1] is None:
+                return True
+            i = bisect_left(keys, stats[0])
+            return i < len(keys) and keys[i] <= stats[1]
+
+    else:
+        bounds = updates.agg(
+            F.min(key).alias("lo"), F.max(key).alias("hi")
+        ).collect()[0]
+
+        def touched(e: dict) -> bool:
+            return _overlaps(e, key, bounds["lo"], bounds["hi"])
+
+    touched_files = [e for e in manifest["files"] if touched(e)]
+    carried = [e for e in manifest["files"] if not touched(e)]
+    survivors = _read_files(spark, manifest, touched_files).join(
+        updates.select(key).distinct(), on=key, how="left_anti"
+    )
+    merged = survivors.unionByName(updates.select(*survivors.columns))
+    fs = _FS(spark, path)
+    version = manifest["version"] + 1
+    commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
+    entries = _commit_files(spark, merged, path, commit_id, manifest["stats_cols"])
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "action": "merge",
+        "schema": manifest["schema"],
+        "stats_cols": manifest["stats_cols"],
+        "files": carried + entries,
+        "rewrote_files": len(touched_files),
+        "carried_files": len(carried),
+    }
+    return _publish(fs, path, new_manifest)
+
+
+def snapshot_delete(
+    spark: SparkSession, path: str, col: str, lo: Any, hi: Any
+) -> int:
+    """Delete every row with ``col`` in [lo, hi]; returns the new
+    version.  Files FULLY covered by the range are dropped from the
+    manifest with zero IO (the metadata-only delete that makes
+    date-range retention free on a date-clustered table); only
+    boundary-overlap files are rewritten with the residual filter;
+    everything else is carried by reference."""
+    manifest = _resolve(spark, path, None)
+    dropped, rewrite, carried = [], [], []
+    for e in manifest["files"]:
+        if _covered(e, col, lo, hi):
+            dropped.append(e)
+        elif _overlaps(e, col, lo, hi):
+            rewrite.append(e)
+        else:
+            carried.append(e)
+    fs = _FS(spark, path)
+    version = manifest["version"] + 1
+    entries: list[dict] = []
+    if rewrite:
+        kept = _read_files(spark, manifest, rewrite).where(
+            ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
+        )
+        commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
+        entries = _commit_files(spark, kept, path, commit_id, manifest["stats_cols"])
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "action": "delete",
+        "schema": manifest["schema"],
+        "stats_cols": manifest["stats_cols"],
+        "files": carried + entries,
+        "dropped_files": len(dropped),
+        "rewrote_files": len(rewrite),
+        "carried_files": len(carried),
+    }
+    return _publish(fs, path, new_manifest)
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    small_fraction: float = 0.5,
+) -> int:
+    """Rewrite only the files smaller than ``small_fraction *
+    target_file_bytes`` into ~target-size files (one round-robin
+    shuffle, sized from their on-disk bytes — same estimator as
+    sources/compact.py); full-size files are carried by reference.
+    Content is preserved row-for-row; returns the new version."""
+    manifest = _resolve(spark, path, None)
+    threshold = int(target_file_bytes * small_fraction)
+    small = [e for e in manifest["files"] if 0 <= e["bytes"] < threshold]
+    carried = [e for e in manifest["files"] if not (0 <= e["bytes"] < threshold)]
+    if len(small) <= 1:
+        return manifest["version"]  # nothing worth rewriting
+    total = sum(e["bytes"] for e in small)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    packed = _read_files(spark, manifest, small).repartition(n_out)
+    fs = _FS(spark, path)
+    version = manifest["version"] + 1
+    commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
+    entries = _commit_files(spark, packed, path, commit_id, manifest["stats_cols"])
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "action": "compact",
+        "schema": manifest["schema"],
+        "stats_cols": manifest["stats_cols"],
+        "files": carried + entries,
+        "rewrote_files": len(small),
+        "carried_files": len(carried),
+    }
+    return _publish(fs, path, new_manifest)
+
+
+def snapshot_vacuum(
+    spark: SparkSession, path: str, keep_versions: int = 1
+) -> dict:
+    """Physically delete data files referenced ONLY by manifests older
+    than the newest ``keep_versions``, then drop those manifests.  Time
+    travel reach shrinks accordingly — vacuumed versions raise a clear
+    FileNotFoundError on read.  Returns ``{deleted_files,
+    deleted_manifests, kept_versions}``."""
+    if keep_versions < 1:
+        raise ValueError("keep_versions must be >= 1")
+    fs = _FS(spark, path)
+    versions = sorted(
+        int(m.group(1))
+        for n in fs.list_names(_manifest_dir(path))
+        if (m := _MANIFEST_RE.match(n))
+    )
+    if not versions:
+        return {"deleted_files": 0, "deleted_manifests": 0, "kept_versions": []}
+    def _norm(p: str) -> str:
+        return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "", p).lstrip("/")
+
+    keep = versions[-keep_versions:]
+    referenced = set()
+    for v in keep:
+        for e in _read_manifest(fs, path, v)["files"]:
+            referenced.add(_norm(e["path"]))
+    deleted_files = 0
+    for p, _ in fs.list_files_recursive(_data_dir(path)):
+        if _norm(p) not in referenced:
+            fs.delete(p)
+            deleted_files += 1
+    deleted_manifests = 0
+    for v in versions:
+        if v not in keep:
+            fs.delete(f"{_manifest_dir(path)}/v{v:010d}.json")
+            deleted_manifests += 1
+    return {
+        "deleted_files": deleted_files,
+        "deleted_manifests": deleted_manifests,
+        "kept_versions": keep,
+    }
+
+
+def snapshot_sink_batch(
+    df: DataFrame,
+    path: str,
+    run_id: str,
+    batch_id: int,
+    stats_cols: list[str] | None = None,
+) -> int | None:
+    """Exactly-once foreachBatch sink: append ``df`` tagged with
+    (run_id, batch_id); if that pair already committed, no-op and return
+    None (a replayed micro-batch after a crash cannot double-append).
+    Use as ``writeStream.foreachBatch(lambda b, i: snapshot_sink_batch(
+    b, path, run_id, i))`` — the run_id isolates restarted queries with
+    wiped checkpoints, the same cross-generation contract as
+    streaming/windows.py's incremental-dedup ledgers."""
+    spark = df.sparkSession
+    fs = _FS(spark, path)
+    latest = _latest_version(fs, path)
+    v = latest
+    while v is not None:
+        man = _read_manifest(fs, path, v)
+        if man.get("run_id") == run_id and man.get("batch_id") == batch_id:
+            return None
+        v = man.get("parent")
+    return snapshot_write(
+        df,
+        path,
+        mode="append",
+        stats_cols=stats_cols,
+        extra={"run_id": run_id, "batch_id": int(batch_id)},
+    )

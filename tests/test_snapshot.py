@@ -1,0 +1,217 @@
+"""Snapshot table (sources/snapshot.py): atomic manifest commits, time
+travel, stats-pruned copy-on-write merge, metadata-only delete,
+compaction, vacuum, and the exactly-once batch sink."""
+
+import json
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from plda_spark.sources import snapshot as snap
+from plda_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+
+
+def _sorted_rows(df, *cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_write_read_roundtrip_and_append(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    odds = docs.where(F.col("doc_id") % 2 == 1)
+
+    v0 = snap.snapshot_write(evens, path, mode="overwrite", stats_cols=["doc_id"])
+    assert v0 == 0
+    v1 = snap.snapshot_write(odds, path, mode="append")
+    assert v1 == 1
+
+    # latest = full table; version 0 = evens only (time travel)
+    assert _sorted_rows(snap.snapshot_read(spark, path), "doc_id") == _sorted_rows(
+        docs, "doc_id"
+    )
+    assert _sorted_rows(
+        snap.snapshot_read(spark, path, version=0), "doc_id"
+    ) == _sorted_rows(evens, "doc_id")
+
+    vs = snap.snapshot_versions(spark, path)
+    assert [v["version"] for v in vs] == [0, 1]
+    assert vs[1]["rows"] == docs.count()
+    # append carried v0's files by reference: v1's file list contains v0's
+    m0 = snap._read_manifest(snap._FS(spark, path), path, 0)
+    m1 = snap._read_manifest(snap._FS(spark, path), path, 1)
+    assert {e["path"] for e in m0["files"]} <= {e["path"] for e in m1["files"]}
+    # append inherited the table's stats_cols
+    assert m1["stats_cols"] == ["doc_id"]
+    assert all(e["stats"].get("doc_id") for e in m1["files"])
+
+
+def test_empty_table_read_keeps_schema(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs.where(F.lit(False)), path, mode="overwrite")
+    back = snap.snapshot_read(spark, path)
+    assert back.count() == 0
+    assert back.schema == docs.schema
+
+
+def test_concurrent_publish_single_winner(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir).limit(10)
+    snap.snapshot_write(docs, path, mode="overwrite")
+    # simulate a racing writer that already published v1
+    fs = snap._FS(spark, path)
+    fs.write_text(
+        f"{snap._manifest_dir(path)}/v{1:010d}.json",
+        json.dumps({"version": 1, "parent": 0, "action": "append",
+                    "schema": docs.schema.json(), "stats_cols": [],
+                    "files": []}),
+    )
+    with pytest.raises(snap.ConcurrentWriteError):
+        # our writer resolved parent=... before the race; force its
+        # target version to collide by publishing directly
+        snap._publish(fs, path, {"version": 1, "parent": 0, "action": "append",
+                                 "schema": docs.schema.json(), "stats_cols": [],
+                                 "files": []})
+
+
+def test_scan_prunes_files_by_manifest_stats(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    # cluster on doc_id so per-file ranges are disjoint -> prunable
+    clustered = docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    snap.snapshot_write(clustered, path, mode="overwrite", stats_cols=["doc_id"])
+    n_total = len(snap.snapshot_read(spark, path).inputFiles())
+    lo = docs.agg(F.min("doc_id")).collect()[0][0]
+    scan = snap.snapshot_scan(spark, path, "doc_id", lo, lo + 5)
+    assert len(scan.inputFiles()) < n_total  # manifest-level skip happened
+    expected = docs.where(F.col("doc_id").between(lo, lo + 5))
+    assert _sorted_rows(scan, "doc_id", "lang") == _sorted_rows(
+        expected, "doc_id", "lang"
+    )
+
+
+def test_merge_upserts_and_carries_untouched_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    clustered = docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    snap.snapshot_write(clustered, path, mode="overwrite", stats_cols=["doc_id"])
+    m0 = snap._read_manifest(snap._FS(spark, path), path, 0)
+
+    lo = docs.agg(F.min("doc_id")).collect()[0][0]
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    updates = docs.where(F.col("doc_id").between(lo, lo + 3)).withColumn(
+        "lang", F.lit("xx")
+    ).unionByName(
+        spark.createDataFrame(
+            [Row(doc_id=hi + 1000, lang="new", text="inserted row")]
+        )
+    )
+    snap.snapshot_merge(spark, path, updates, key="doc_id")
+
+    m1 = snap._read_manifest(snap._FS(spark, path), path, 1)
+    # files outside the updated key range were carried by reference
+    assert m1["carried_files"] > 0
+    assert m1["rewrote_files"] < len(m0["files"])
+    carried_paths = {e["path"] for e in m0["files"]} & {e["path"] for e in m1["files"]}
+    assert len(carried_paths) == m1["carried_files"]
+
+    back = snap.snapshot_read(spark, path)
+    assert back.where(F.col("doc_id") == hi + 1000).count() == 1  # insert landed
+    assert (
+        back.where(F.col("doc_id").between(lo, lo + 3))
+        .where(F.col("lang") != "xx")
+        .count()
+        == 0
+    )  # updates replaced
+    assert back.count() == docs.count() + 1  # no row duplicated or lost
+
+
+def test_merge_rejects_duplicate_update_keys_and_missing_stats(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir).limit(20)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    dup = docs.limit(2).unionByName(docs.limit(2))
+    with pytest.raises(ValueError, match="duplicate"):
+        snap.snapshot_merge(spark, path, dup, key="doc_id")
+
+    path2 = str(tmp_path / "nostats")
+    snap.snapshot_write(docs, path2, mode="overwrite")
+    with pytest.raises(ValueError, match="stats"):
+        snap.snapshot_merge(spark, path2, docs.limit(1), key="doc_id")
+
+
+def test_delete_drops_covered_files_without_io(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    clustered = docs.repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    snap.snapshot_write(clustered, path, mode="overwrite", stats_cols=["doc_id"])
+    m0 = snap._read_manifest(snap._FS(spark, path), path, 0)
+    # delete range = exactly the full span of the first file -> it must be
+    # dropped as metadata (plus possible boundary rewrites of neighbors)
+    first = min(m0["files"], key=lambda e: e["stats"]["doc_id"][0])
+    lo, hi = first["stats"]["doc_id"]
+    snap.snapshot_delete(spark, path, "doc_id", lo, hi)
+    m1 = snap._read_manifest(snap._FS(spark, path), path, 1)
+    assert m1["dropped_files"] >= 1
+    assert first["path"] not in {e["path"] for e in m1["files"]}
+    back = snap.snapshot_read(spark, path)
+    expected = docs.where(~F.col("doc_id").between(lo, hi))
+    assert _sorted_rows(back, "doc_id") == _sorted_rows(expected, "doc_id")
+
+
+def test_compact_rewrites_small_files_only(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(
+        docs.repartition(16), path, mode="overwrite", stats_cols=["doc_id"]
+    )
+    m0 = snap._read_manifest(snap._FS(spark, path), path, 0)
+    assert len(m0["files"]) == 16
+    v = snap.snapshot_compact(spark, path, target_file_bytes=1 << 30)
+    assert v == 1
+    m1 = snap._read_manifest(snap._FS(spark, path), path, 1)
+    assert len(m1["files"]) < len(m0["files"])
+    assert _sorted_rows(snap.snapshot_read(spark, path), "doc_id") == _sorted_rows(
+        docs, "doc_id"
+    )
+    # compacting an already-compact table is a no-op version-wise
+    assert snap.snapshot_compact(spark, path, target_file_bytes=1) == 1
+
+
+def test_vacuum_removes_unreferenced_files_and_old_versions(
+    spark, sf_dir, tmp_path
+):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs.limit(50), path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_write(docs, path, mode="overwrite")  # v1 replaces all files
+    res = snap.snapshot_vacuum(spark, path, keep_versions=1)
+    assert res["deleted_files"] > 0 and res["deleted_manifests"] == 1
+    assert snap.snapshot_read(spark, path).count() == docs.count()
+    with pytest.raises(FileNotFoundError, match="vacuumed|no manifest"):
+        snap.snapshot_read(spark, path, version=0)
+
+
+def test_sink_batch_is_idempotent_across_replay(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir).limit(30)
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    assert snap.snapshot_sink_batch(b0, path, run_id="r1", batch_id=0) == 0
+    assert snap.snapshot_sink_batch(b1, path, run_id="r1", batch_id=1) == 1
+    # crash replay of batch 1: must be a no-op, not a double append
+    assert snap.snapshot_sink_batch(b1, path, run_id="r1", batch_id=1) is None
+    back = snap.snapshot_read(spark, path)
+    assert back.count() == b0.count() + b1.count()
+    # a NEW run generation (wiped checkpoint) with the same batch ids is
+    # its own stream of commits, never confused with r1's
+    assert snap.snapshot_sink_batch(b0, path, run_id="r2", batch_id=0) == 2
+    assert snap.snapshot_read(spark, path).count() == 2 * b0.count() + b1.count()

@@ -1528,6 +1528,61 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_snapshot_merge"] = source_snapshot_merge
 
+    def source_snapshot_changes(spark, sf):
+        """CDC read over the snapshot table (sources/snapshot.py
+        snapshot_changes): three commits land documents in doc_id%3
+        thirds; the changes-since-v0 read returns exactly the two
+        appended thirds, scanning ONLY the two new commit directories
+        (immutable files + by-reference appends make the delta a
+        manifest file-list diff — the base table is never re-read).
+        Non-append windows raise, pinned in tests/test_snapshot.py."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+        tmp = tempfile.mkdtemp(prefix="plda_snapc_")
+        path = f"{tmp}/tbl"
+        snap.snapshot_write(
+            docs.where(F.col("doc_id") % 3 == 0), path,
+            mode="overwrite", stats_cols=["doc_id"],
+        )
+        snap.snapshot_write(docs.where(F.col("doc_id") % 3 == 1), path, mode="append")
+        snap.snapshot_write(docs.where(F.col("doc_id") % 3 == 2), path, mode="append")
+        return snap.snapshot_changes(spark, path, since_version=0)
+
+    q["source_snapshot_changes"] = source_snapshot_changes
+
+    def pipeline_snapshot_incr_agg(spark, sf):
+        """Incrementally-maintained materialized aggregate
+        (sources/snapshot.py snapshot_refresh_agg): per-lang doc count +
+        total text chars, refreshed after each of three appends.  Each
+        refresh aggregates ONLY the rows appended since the last one
+        (snapshot_changes reads just the new commit dirs) and folds the
+        partials into the existing per-group rows — O(|groups|), never a
+        rescan of the fact table.  The folded result is hash-verified
+        against the one-shot GROUP BY over everything."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+        tmp = tempfile.mkdtemp(prefix="plda_snapa_")
+        src, agg = f"{tmp}/src", f"{tmp}/agg"
+        spec = (["lang"], {"chars": "length(text)"})
+        snap.snapshot_write(
+            docs.where(F.col("doc_id") % 3 == 0), src,
+            mode="overwrite", stats_cols=["doc_id"],
+        )
+        snap.snapshot_refresh_agg(spark, src, agg, *spec)
+        snap.snapshot_write(docs.where(F.col("doc_id") % 3 == 1), src, mode="append")
+        snap.snapshot_refresh_agg(spark, src, agg, *spec)
+        snap.snapshot_write(docs.where(F.col("doc_id") % 3 == 2), src, mode="append")
+        snap.snapshot_refresh_agg(spark, src, agg, *spec)
+        return snap.snapshot_read(spark, agg)
+
+    q["pipeline_snapshot_incr_agg"] = pipeline_snapshot_incr_agg
+
     def stream_warc_ingest(spark, sf):
         """Batch demonstration of the raw-HTML crawl-ingest pipeline
         (sources.warc.read_warc_stream → extract_html_text →
@@ -3959,6 +4014,18 @@ SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
 FROM orders WHERE o_orderkey % 101 = 0
 """
 
+    # CDC semantics: changes since v0 = exactly the two appended thirds.
+    o["source_snapshot_changes"] = """
+SELECT doc_id, lang, text FROM documents WHERE doc_id % 3 <> 0
+"""
+
+    # Incremental fold across three appends == one-shot GROUP BY.
+    o["pipeline_snapshot_incr_agg"] = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS chars
+FROM documents GROUP BY lang
+"""
+
     # Boilerplate chrome (nav/footer, all link-dense) dropped; the one
     # zero-link body block survives and reassembles to the exact text.
     o["web_boilerplate_extract"] = """
@@ -5503,6 +5570,8 @@ EXTRA_QUERIES: list[str] = [
     "sample_leakage_safe_split",
     "source_snapshot_roundtrip",
     "source_snapshot_merge",
+    "source_snapshot_changes",
+    "pipeline_snapshot_incr_agg",
 ]
 
 

@@ -121,6 +121,9 @@ BENCH_QUERIES = [
     # copy-on-write merge (sources/snapshot.py)
     "source_snapshot_roundtrip",
     "source_snapshot_merge",
+    # CDC delta read + incremental materialized-aggregate maintenance
+    "source_snapshot_changes",
+    "pipeline_snapshot_incr_agg",
 ]
 
 

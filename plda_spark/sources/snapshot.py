@@ -68,6 +68,8 @@ __all__ = [
     "snapshot_read",
     "snapshot_scan",
     "snapshot_versions",
+    "snapshot_changes",
+    "snapshot_refresh_agg",
     "snapshot_merge",
     "snapshot_delete",
     "snapshot_compact",
@@ -384,6 +386,139 @@ def snapshot_scan(
     keep = [e for e in manifest["files"] if _overlaps(e, col, lo, hi)]
     return _read_files(spark, manifest, keep).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Rows ADDED between ``since_version`` (exclusive) and ``to_version``
+    (inclusive; default latest) — the CDC read that lets a downstream
+    pipeline process only what a 100 TB table gained since its last run
+    instead of rescanning it.
+
+    Because data files are immutable and appends carry prior entries by
+    reference, the delta is EXACTLY the manifest file-list difference:
+    this reads only the commit directories written in the window, never
+    the base table.  Defined only over an append-only window — if any
+    version in (since, to] is an overwrite/merge/delete/compact, the
+    file-diff would misstate row-level changes (rewritten files repeat
+    surviving rows), so this raises ``ValueError`` and the caller must
+    fall back to a full read (``snapshot_refresh_agg`` does exactly
+    that).
+    """
+    manifest = _resolve(spark, path, to_version)
+    to_v = manifest["version"]
+    if since_version > to_v:
+        raise ValueError(
+            f"since_version {since_version} is newer than to_version {to_v}"
+        )
+    if since_version == to_v:
+        return _read_files(spark, manifest, [])
+    fs = _FS(spark, path)
+    walk = manifest
+    while walk["version"] > since_version:
+        if walk["action"] != "append":
+            raise ValueError(
+                f"version {walk['version']} is a {walk['action']!r} — the "
+                f"({since_version}, {to_v}] window is not append-only, so "
+                "the manifest file diff cannot express row-level changes; "
+                "re-read the full table instead"
+            )
+        parent = walk["parent"]
+        if parent is None or parent < since_version:
+            raise ValueError(
+                f"snapshot {path} has no version {since_version} on "
+                f"{to_v}'s parent chain (vacuumed?)"
+            )
+        walk = _read_manifest(fs, path, parent)
+    base_paths = {e["path"] for e in walk["files"]}
+    added = [e for e in manifest["files"] if e["path"] not in base_paths]
+    return _read_files(spark, manifest, added)
+
+
+def snapshot_refresh_agg(
+    spark: SparkSession,
+    source_path: str,
+    agg_path: str,
+    group_cols: list[str],
+    sum_exprs: dict[str, str],
+    rows_col: str = "n_rows",
+) -> int:
+    """Maintain a materialized aggregate of the snapshot table at
+    ``source_path`` in a second snapshot table at ``agg_path``:
+    ``group_cols`` keys, a row count (``rows_col``), and one SUM per
+    ``sum_exprs`` entry (name -> SQL expression over the source rows).
+    Returns the agg table's version after the refresh.
+
+    Incremental-view-maintenance shape: sums and counts are algebraic,
+    so a refresh aggregates ONLY the rows appended since the last
+    refresh (``snapshot_changes`` — reads just the new commit
+    directories) and folds those partials into the existing per-group
+    rows.  The fold re-aggregates the agg table itself, which is
+    O(|groups|), never O(source table) — the 100 TB fact table is not
+    rescanned.  If the window is not append-only (a merge/delete/
+    compact landed), sums are no longer foldable from a file diff and
+    the refresh transparently falls back to one full recompute.  A
+    refresh with nothing new is a version-preserving no-op.  The
+    consumed source version rides in the agg manifest (``source_version``),
+    so refreshes are idempotent and restart-safe.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    reserved = set(group_cols) | {rows_col}
+    if len(reserved) != len(group_cols) + 1 or set(sum_exprs) & reserved:
+        raise ValueError(
+            f"output columns collide: group_cols={group_cols}, "
+            f"rows_col={rows_col!r}, sums={sorted(sum_exprs)}"
+        )
+    src = _resolve(spark, source_path, None)
+    src_v = src["version"]
+    fs = _FS(spark, agg_path)
+    prev_v = _latest_version(fs, agg_path)
+
+    def _partials(rows: DataFrame) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias(rows_col)]
+        for name, expr in sum_exprs.items():
+            aggs.append(F.sum(F.expr(expr)).alias(name))
+        return rows.groupBy(*group_cols).agg(*aggs)
+
+    if prev_v is None:
+        fresh = _partials(_read_files(spark, src, src["files"]))
+        return snapshot_write(
+            fresh, agg_path, mode="overwrite", stats_cols=list(group_cols),
+            extra={"source_version": src_v},
+        )
+    prev = _read_manifest(fs, agg_path, prev_v)
+    done_v = prev.get("source_version")
+    if done_v is None:
+        raise ValueError(
+            f"{agg_path} was not written by snapshot_refresh_agg "
+            "(no source_version in its manifest)"
+        )
+    if done_v == src_v:
+        return prev_v  # already current — no new version published
+    try:
+        delta = snapshot_changes(spark, source_path, done_v, src_v)
+        fresh = _partials(delta)
+        current = _read_files(spark, prev, prev["files"])
+        folded = (
+            current.unionByName(fresh)
+            .groupBy(*group_cols)
+            .agg(
+                F.sum(rows_col).cast("long").alias(rows_col),
+                *[F.sum(name).alias(name) for name in sum_exprs],
+            )
+        )
+    except ValueError:
+        # non-append window: one full recompute, still never silent
+        folded = _partials(_read_files(spark, src, src["files"]))
+    return snapshot_write(
+        folded, agg_path, mode="overwrite", stats_cols=list(group_cols),
+        extra={"source_version": src_v},
     )
 
 

@@ -200,6 +200,124 @@ def test_vacuum_removes_unreferenced_files_and_old_versions(
         snap.snapshot_read(spark, path, version=0)
 
 
+def test_changes_reads_only_appended_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(
+        docs.where(F.col("doc_id") % 3 == 0), path, mode="overwrite",
+        stats_cols=["doc_id"],
+    )
+    snap.snapshot_write(docs.where(F.col("doc_id") % 3 == 1), path, mode="append")
+    snap.snapshot_write(docs.where(F.col("doc_id") % 3 == 2), path, mode="append")
+
+    delta = snap.snapshot_changes(spark, path, since_version=0)
+    expected = docs.where(F.col("doc_id") % 3 != 0)
+    assert _sorted_rows(delta, "doc_id") == _sorted_rows(expected, "doc_id")
+    # the CDC read scanned ONLY the two new commit dirs, not the base file
+    m0 = snap._read_manifest(snap._FS(spark, path), path, 0)
+    base_paths = {e["path"] for e in m0["files"]}
+    import re as _re
+
+    def norm(p):
+        return _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/", p)
+
+    assert {norm(p) for p in delta.inputFiles()}.isdisjoint(
+        {norm(p) for p in base_paths}
+    )
+    # bounded window + empty window
+    one = snap.snapshot_changes(spark, path, since_version=0, to_version=1)
+    assert _sorted_rows(one, "doc_id") == _sorted_rows(
+        docs.where(F.col("doc_id") % 3 == 1), "doc_id"
+    )
+    assert snap.snapshot_changes(spark, path, since_version=2).count() == 0
+
+
+def test_changes_rejects_non_append_windows(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir).limit(50)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_merge(
+        spark, path, docs.limit(2).withColumn("lang", F.lit("xx")), key="doc_id"
+    )
+    with pytest.raises(ValueError, match="not append-only"):
+        snap.snapshot_changes(spark, path, since_version=0)
+    with pytest.raises(ValueError, match="newer than"):
+        snap.snapshot_changes(spark, path, since_version=9)
+
+
+def test_refresh_agg_incremental_matches_full_recompute(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    docs = _docs(spark, sf_dir)
+
+    def expected(upto):
+        return (
+            docs.where(F.col("doc_id") % 3 <= upto)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.sum(F.length("text")).alias("chars"),
+            )
+        )
+
+    snap.snapshot_write(
+        docs.where(F.col("doc_id") % 3 == 0), src, mode="overwrite",
+        stats_cols=["doc_id"],
+    )
+    v = snap.snapshot_refresh_agg(
+        spark, src, agg, ["lang"], {"chars": "length(text)"}
+    )
+    assert v == 0
+    assert _sorted_rows(
+        snap.snapshot_read(spark, agg), "lang", "n_rows", "chars"
+    ) == _sorted_rows(expected(0), "lang", "n_rows", "chars")
+
+    # append + refresh: folds only the delta, result == full recompute
+    snap.snapshot_write(docs.where(F.col("doc_id") % 3 == 1), src, mode="append")
+    snap.snapshot_write(docs.where(F.col("doc_id") % 3 == 2), src, mode="append")
+    snap.snapshot_refresh_agg(spark, src, agg, ["lang"], {"chars": "length(text)"})
+    assert _sorted_rows(
+        snap.snapshot_read(spark, agg), "lang", "n_rows", "chars"
+    ) == _sorted_rows(expected(2), "lang", "n_rows", "chars")
+
+    # nothing new -> version-preserving no-op
+    v_before = snap._latest_version(snap._FS(spark, agg), agg)
+    assert (
+        snap.snapshot_refresh_agg(
+            spark, src, agg, ["lang"], {"chars": "length(text)"}
+        )
+        == v_before
+    )
+    assert snap._latest_version(snap._FS(spark, agg), agg) == v_before
+
+
+def test_refresh_agg_falls_back_on_non_append_history(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    agg = str(tmp_path / "agg")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, src, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_refresh_agg(spark, src, agg, ["lang"], {"chars": "length(text)"})
+    # a DELETE lands: the next refresh cannot fold a file diff — it must
+    # fall back to a full recompute and still be exactly right
+    lo = docs.agg(F.min("doc_id")).collect()[0][0]
+    snap.snapshot_delete(spark, src, "doc_id", lo, lo + 10)
+    snap.snapshot_refresh_agg(spark, src, agg, ["lang"], {"chars": "length(text)"})
+    expected = (
+        docs.where(~F.col("doc_id").between(lo, lo + 10))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.length("text")).alias("chars"),
+        )
+    )
+    assert _sorted_rows(
+        snap.snapshot_read(spark, agg), "lang", "n_rows", "chars"
+    ) == _sorted_rows(expected, "lang", "n_rows", "chars")
+
+    with pytest.raises(ValueError, match="collide"):
+        snap.snapshot_refresh_agg(spark, src, agg, ["lang"], {"lang": "1"})
+
+
 def test_sink_batch_is_idempotent_across_replay(spark, sf_dir, tmp_path):
     path = str(tmp_path / "tbl")
     docs = _docs(spark, sf_dir).limit(30)

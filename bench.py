@@ -292,6 +292,18 @@ def main() -> None:
 
     record("bpe_train_5m", lambda: bpe.bpe_train(docs, 5))
 
+    # Unigram-LM tokenizer: full train (seed + EM + prune) at a small
+    # vocab, then a Viterbi encode pass over the corpus — the two
+    # recurring costs of the SentencePiece-style pipeline.
+    from plda_spark.operators import unigram
+
+    ug_vocab = unigram.unigram_train(docs, vocab_size=120, max_piece_len=4,
+                                     em_iters=1)
+    record("unigram_train_120", lambda: unigram.unigram_train(
+        docs, vocab_size=120, max_piece_len=4, em_iters=1))
+    record("unigram_encode", lambda: unigram.unigram_encode(docs, ug_vocab)
+           .write.format("noop").mode("overwrite").save())
+
     # Product quantization: one-time codebook training stays untimed
     # (driver-side sample, amortized over the corpus lifetime); encode,
     # ADC search, and the two-stage refined search are the recurring

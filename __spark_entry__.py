@@ -1583,6 +1583,34 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pipeline_snapshot_incr_agg"] = pipeline_snapshot_incr_agg
 
+    def source_snapshot_evolution(spark, sf):
+        """Append-time schema evolution on the snapshot table: v0 holds
+        (doc_id, lang) for even docs; the append adds a `chars` column
+        for odd docs.  The table schema becomes the column union and
+        old files null-fill the new column on read — zero rewrites
+        (parquet matches columns by name against the manifest schema).
+        Type changes are refused, pinned in tests/test_snapshot.py."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        docs = load_table(spark, sf, "documents")
+        tmp = tempfile.mkdtemp(prefix="plda_snape_")
+        path = f"{tmp}/tbl"
+        snap.snapshot_write(
+            docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang"),
+            path, mode="overwrite", stats_cols=["doc_id"],
+        )
+        snap.snapshot_write(
+            docs.where(F.col("doc_id") % 2 == 1).select(
+                "doc_id", "lang", F.length("text").alias("chars")
+            ),
+            path, mode="append",
+        )
+        return snap.snapshot_read(spark, path)
+
+    q["source_snapshot_evolution"] = source_snapshot_evolution
+
     def stream_warc_ingest(spark, sf):
         """Batch demonstration of the raw-HTML crawl-ingest pipeline
         (sources.warc.read_warc_stream → extract_html_text →
@@ -4026,6 +4054,13 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
 FROM documents GROUP BY lang
 """
 
+    # Schema evolution: old (even) rows null-fill the added column.
+    o["source_snapshot_evolution"] = """
+SELECT doc_id, lang,
+       CASE WHEN doc_id % 2 = 1 THEN CAST(length(text) AS INTEGER) END AS chars
+FROM documents
+"""
+
     # Boilerplate chrome (nav/footer, all link-dense) dropped; the one
     # zero-link body block survives and reassembles to the exact text.
     o["web_boilerplate_extract"] = """
@@ -5572,6 +5607,7 @@ EXTRA_QUERIES: list[str] = [
     "source_snapshot_merge",
     "source_snapshot_changes",
     "pipeline_snapshot_incr_agg",
+    "source_snapshot_evolution",
 ]
 
 

@@ -18,7 +18,9 @@ Why each operation is O(affected data), never O(table):
 
 - ``snapshot_write`` (append/overwrite): writes ONE new commit directory
   and one manifest.  Appends carry every prior file entry forward by
-  reference — zero data copied.
+  reference — zero data copied — and may EVOLVE the schema by adding
+  columns (parquet reads match by name, so old files null-fill new
+  columns with zero rewrites; type changes are refused).
 - ``snapshot_merge`` (upsert): per-file key min/max stats in the
   manifest prune the copy-on-write set to the files whose key range can
   contain an updated key; untouched files are carried by reference.  A
@@ -60,7 +62,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 __all__ = [
     "ConcurrentWriteError",
@@ -272,12 +274,16 @@ def snapshot_write(
     fs = _FS(spark, path)
     parent = _latest_version(fs, path)
     stats_cols = list(stats_cols or [])
+    schema = df.schema
     if parent is not None:
         prev = _read_manifest(fs, path, parent)
         if mode == "append":
             # keep collecting the columns the table was created with so
             # pruning never silently loses coverage mid-history
             stats_cols = sorted(set(stats_cols) | set(prev.get("stats_cols", [])))
+            schema = _evolve_schema(
+                StructType.fromJson(json.loads(prev["schema"])), df.schema, path
+            )
     commit_id = f"c{(0 if parent is None else parent + 1):010d}-{uuid.uuid4().hex[:8]}"
     entries = _commit_files(spark, df, path, commit_id, stats_cols)
     files = entries
@@ -287,12 +293,40 @@ def snapshot_write(
         "version": 0 if parent is None else parent + 1,
         "parent": parent,
         "action": mode,
-        "schema": df.schema.json(),
+        "schema": schema.json(),
         "stats_cols": stats_cols,
         "files": files,
         **(extra or {}),
     }
     return _publish(fs, path, manifest)
+
+
+def _evolve_schema(prev: StructType, new: StructType, path: str) -> StructType:
+    """Append-time schema evolution: the table schema becomes the
+    column UNION (previous order first, added columns after).  Columns
+    present in both must keep their type; parquet reads match columns
+    by NAME against the manifest schema, so files missing a column
+    simply yield nulls for it — add-a-column needs zero rewrites, the
+    Iceberg/Delta contract.  Type changes are refused loudly (a silent
+    cast would corrupt old files' reads)."""
+    prev_by_name = {f.name: f for f in prev.fields}
+    for f in new.fields:
+        old = prev_by_name.get(f.name)
+        if old is not None and old.dataType != f.dataType:
+            raise ValueError(
+                f"snapshot {path}: column {f.name!r} is "
+                f"{old.dataType.simpleString()} but the append carries "
+                f"{f.dataType.simpleString()} — type changes require a "
+                "rewrite (overwrite mode), not an append"
+            )
+    merged = list(prev.fields) + [
+        f for f in new.fields if f.name not in prev_by_name
+    ]
+    # every field becomes nullable: old files null-fill added columns
+    # and new files null-fill dropped ones
+    return StructType(
+        [StructField(f.name, f.dataType, True, f.metadata) for f in merged]
+    )
 
 
 def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:

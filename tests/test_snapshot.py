@@ -200,6 +200,42 @@ def test_vacuum_removes_unreferenced_files_and_old_versions(
         snap.snapshot_read(spark, path, version=0)
 
 
+def test_append_evolves_schema_with_null_fill(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+    new = (
+        docs.where(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", F.length("text").alias("chars"))
+    )
+    snap.snapshot_write(old, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_write(new, path, mode="append")
+    back = snap.snapshot_read(spark, path)
+    assert back.columns == ["doc_id", "lang", "chars"]
+    # old files null-fill the added column; new rows carry real values
+    assert back.where(F.col("doc_id") % 2 == 0).where(
+        F.col("chars").isNotNull()
+    ).count() == 0
+    assert back.where(F.col("doc_id") % 2 == 1).where(
+        F.col("chars").isNull()
+    ).count() == 0
+    assert back.count() == docs.count()
+
+    # appending WITHOUT a column null-fills it on the new rows
+    snap.snapshot_write(
+        spark.createDataFrame([(10_000_000, 7)], "doc_id long, chars int"),
+        path, mode="append",
+    )
+    got = snap.snapshot_read(spark, path).where(F.col("doc_id") == 10_000_000)
+    assert got.select("lang", "chars").collect()[0] == Row(lang=None, chars=7)
+
+    # a type change is refused loudly
+    with pytest.raises(ValueError, match="type changes"):
+        snap.snapshot_write(
+            spark.createDataFrame([Row(doc_id=1, lang=3.5)]), path, mode="append"
+        )
+
+
 def test_changes_reads_only_appended_files(spark, sf_dir, tmp_path):
     path = str(tmp_path / "tbl")
     docs = _docs(spark, sf_dir)

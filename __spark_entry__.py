@@ -1892,6 +1892,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_leakage_safe_split"] = sample_leakage_safe_split
 
+    def sample_contrastive_negs(spark, sf):
+        """Deterministic contrastive negative sampling (operators.
+        sampling.contrastive_negatives): 2 pseudo-random negatives per
+        document — rows hashed into 16 groups, ranked by a second md5,
+        negatives at deterministic offsets within the group (never
+        itself, no cross join, no global sort; the distributed analog
+        of in-batch negatives).  Every decision is md5(seed:id[:slot]),
+        so DuckDB replays it exactly."""
+        from plda_spark.operators.sampling import contrastive_negatives
+
+        docs = load_table(spark, sf, "documents").select("doc_id")
+        return contrastive_negatives(docs, "doc_id", k=2, buckets=16, seed=7)
+
+    q["sample_contrastive_negs"] = sample_contrastive_negs
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3482,6 +3497,31 @@ SELECT CASE WHEN split = 'train' AND md5(text) IN (SELECT d FROM held)
        count(*) AS n,
        count(DISTINCT text) AS n_texts
 FROM s GROUP BY 1
+"""
+
+    # Same md5(seed:id[:slot]) arithmetic: bucket, in-bucket rank by the
+    # hash, negative at rank (r + 1 + H2 mod (sz-1)) mod sz.
+    o["sample_contrastive_negs"] = """
+WITH b AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) AS h
+  FROM documents
+), r AS (
+  SELECT doc_id, h % 16 AS bkt,
+         row_number() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) - 1 AS rnk,
+         count(*) OVER (PARTITION BY h % 16) AS sz
+  FROM b
+), probes AS (
+  SELECT r.doc_id AS anchor_id, s.slot, r.bkt,
+         (rnk + 1 + CAST('0x' || substr(md5('7:' || CAST(r.doc_id AS VARCHAR)
+              || ':' || CAST(s.slot AS VARCHAR)), 1, 15) AS BIGINT)
+              % (sz - 1)) % sz AS neg_rnk
+  FROM r, (SELECT unnest(generate_series(1, 2)) AS slot) s
+  WHERE sz > 1
+)
+SELECT p.anchor_id, CAST(p.slot AS INTEGER) AS slot, r2.doc_id AS neg_id
+FROM probes p JOIN r r2 ON p.bkt = r2.bkt AND p.neg_rnk = r2.rnk
 """
 
     o["join_interval_overlap"] = """
@@ -5608,6 +5648,7 @@ EXTRA_QUERIES: list[str] = [
     "source_snapshot_changes",
     "pipeline_snapshot_incr_agg",
     "source_snapshot_evolution",
+    "sample_contrastive_negs",
 ]
 
 

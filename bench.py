@@ -124,6 +124,9 @@ BENCH_QUERIES = [
     # CDC delta read + incremental materialized-aggregate maintenance
     "source_snapshot_changes",
     "pipeline_snapshot_incr_agg",
+    # snapshot schema evolution + deterministic contrastive negatives
+    "source_snapshot_evolution",
+    "sample_contrastive_negs",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "chunk_documents",
     "weighted_sample_per_group",
     "leakage_safe_split",
+    "contrastive_negatives",
 ]
 
 
@@ -338,3 +339,83 @@ def leakage_safe_split(
         )
         .drop("__digest", "__held_digest")
     )
+
+
+def contrastive_negatives(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    buckets: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """``k`` deterministic pseudo-random negative partners per row for
+    contrastive training pairs: ``(anchor_id, slot, neg_id)``,
+    ``slot`` in 1..k, ``neg_id != anchor_id`` always.
+
+    The classic implementations either cross-join (O(n²) — dead at
+    scale) or sample with an RNG (irreproducible across partitionings).
+    This is the distributed analog of IN-BATCH negatives: rows are
+    hashed into ``buckets`` pseudo-random groups, ranked inside each
+    group by a second hash, and each anchor's negatives are the rows at
+    deterministic offset positions within its own group (offset in
+    [1, size-1], so never itself; offsets may collide for tiny groups —
+    duplicates among one anchor's k slots are allowed, exactly as
+    repeated in-batch negatives are).  Rows in singleton buckets get no
+    negatives (emit nothing) — size ``buckets`` for expected group
+    sizes ≫ k.
+
+    Scale shape: NO global sort and NO cross join — one window
+    partitioned by bucket (parallel across buckets; pick ``buckets`` ≳
+    cluster parallelism so each group fits a task) and one equi-join on
+    (bucket, rank).  Every decision derives from
+    ``md5(seed : id [: slot])``, so output is invariant to partitioning
+    and re-reads and exactly replicable in ANSI SQL.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+
+    def _h(*parts: Column) -> Column:
+        joined = F.concat_ws(":", F.lit(str(seed)), *parts)
+        return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+    sid = F.col(id_col).cast("string")
+    ranked = df.select(
+        F.col(id_col).alias("anchor_id"),
+        _h(sid).alias("__h"),
+        (_h(sid) % buckets).alias("__b"),
+    )
+    w = Window.partitionBy("__b").orderBy("__h", "anchor_id")
+    ranked = ranked.select(
+        "anchor_id",
+        "__b",
+        (F.row_number().over(w) - 1).alias("__r"),
+        F.count(F.lit(1)).over(Window.partitionBy("__b")).alias("__sz"),
+    )
+    probes = (
+        ranked.where(F.col("__sz") > 1)
+        .select(
+            "anchor_id", "__b", "__r", "__sz",
+            F.explode(F.sequence(F.lit(1), F.lit(k))).alias("slot"),
+        )
+        .withColumn(
+            "__neg_r",
+            (
+                F.col("__r")
+                + 1
+                + _h(F.col("anchor_id").cast("string"), F.col("slot").cast("string"))
+                % (F.col("__sz") - 1)
+            )
+            % F.col("__sz"),
+        )
+    )
+    partners = ranked.select(
+        F.col("__b").alias("__pb"),
+        F.col("__r").alias("__pr"),
+        F.col("anchor_id").alias("neg_id"),
+    )
+    return probes.join(
+        partners,
+        (F.col("__b") == F.col("__pb")) & (F.col("__neg_r") == F.col("__pr")),
+    ).select("anchor_id", "slot", "neg_id")

@@ -2618,3 +2618,57 @@ def test_leakage_safe_split_quarantines_train_leaks(spark):
         assert {r["doc_id"] for r in by[s_]} == {
             d for d, sp in plain.items() if sp == s_
         }
+
+
+def test_contrastive_negatives_exact_python_replica(spark):
+    """The operator's every decision derives from md5(seed:id[:slot]) —
+    replicate it bit-for-bit in pure Python and compare the full output."""
+    import hashlib
+
+    from plda_spark.operators.sampling import contrastive_negatives
+
+    ids = list(range(30))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = sorted(
+        tuple(r)
+        for r in contrastive_negatives(
+            df, "doc_id", k=3, buckets=4, seed=7
+        ).collect()
+    )
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    ranked = {}
+    for i in ids:
+        hv = h(f"7:{i}")
+        ranked.setdefault(hv % 4, []).append((hv, i))
+    want = []
+    for bkt, rows in ranked.items():
+        rows.sort()
+        sz = len(rows)
+        if sz <= 1:
+            continue
+        for rnk, (_, anchor) in enumerate(rows):
+            for slot in (1, 2, 3):
+                off = 1 + h(f"7:{anchor}:{slot}") % (sz - 1)
+                want.append((anchor, slot, rows[(rnk + off) % sz][1]))
+    assert got == sorted(want)
+    # never self, always k slots per eligible anchor
+    assert all(a != n for a, _, n in got)
+    per_anchor = {}
+    for a, _, _n in got:
+        per_anchor[a] = per_anchor.get(a, 0) + 1
+    assert set(per_anchor.values()) == {3}
+
+    # partition-invariance: same output after a repartition
+    again = sorted(
+        tuple(r)
+        for r in contrastive_negatives(
+            df.repartition(7), "doc_id", k=3, buckets=4, seed=7
+        ).collect()
+    )
+    assert again == got
+
+    with pytest.raises(ValueError, match="k must"):
+        contrastive_negatives(df, "doc_id", k=0)

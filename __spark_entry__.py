@@ -1907,6 +1907,88 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_contrastive_negs"] = sample_contrastive_negs
 
+    def source_orc_roundtrip(spark, sf):
+        """ORC sink → reader round-trip: the columnar interchange format
+        Spark ships besides parquet (Hive-ecosystem handoff).  Same
+        predicate-pushdown/column-pruning contract as the parquet scans
+        (ORC carries its own stripe stats); snappy-compressed write, one
+        file per input partition."""
+        import tempfile
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+        tmp = tempfile.mkdtemp(prefix="plda_orc_")
+        docs.write.mode("overwrite").option("compression", "snappy").orc(
+            f"{tmp}/docs"
+        )
+        return spark.read.orc(f"{tmp}/docs")
+
+    q["source_orc_roundtrip"] = source_orc_roundtrip
+
+    def events_transition_matrix(spark, sf):
+        """First-order Markov transition matrix over event streams: for
+        each user's ts-ordered event sequence, count (event_type →
+        next_event_type) transitions and the per-source probabilities —
+        the path-analysis primitive behind funnel discovery.  One
+        window (lead over user partitions) + one aggregation; event_id
+        breaks ts ties so the order is total and engine-replayable."""
+        ev = load_table(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pairs = ev.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        ).where(F.col("dst").isNotNull())
+        counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+        return counts.select(
+            "src", "dst", "n",
+            F.round(
+                F.col("n") / F.sum("n").over(Window.partitionBy("src")), 4
+            ).alias("p"),
+        )
+
+    q["events_transition_matrix"] = events_transition_matrix
+
+    def sim_quantize_int8(spark, sf):
+        """Symmetric per-vector int8 embedding quantization (max-abs
+        scaling, the faiss/SQ8 storage layout): 4× smaller vectors for
+        ANN shortlists, with the max reconstruction error surfaced per
+        vector.  Pure JVM array expressions — transform/aggregate, no
+        Python, no shuffle.  The raw scale is staged under `_sc` so the
+        rounded display alias `scale` can't lateral-alias-capture the
+        error expressions (Spark 3.4+ resolves same-select aliases)."""
+        emb = load_table(spark, sf, "embeddings")
+        v = F.transform("embedding", lambda x: x.cast("double"))
+        scale = F.aggregate(
+            v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+        ) / F.lit(127.0)
+        staged = emb.select(
+            "vec_id", v.alias("v"), scale.alias("_sc")
+        ).where(F.col("_sc") > 0)
+        q8 = F.transform(
+            "v",
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.round(x / F.col("_sc")).cast("int")),
+            ),
+        )
+        return staged.select(
+            "vec_id",
+            F.round("_sc", 6).alias("scale"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        q8,
+                        F.col("v"),
+                        lambda qi, xi: F.abs(qi * F.col("_sc") - xi),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                ),
+                6,
+            ).alias("max_err"),
+        )
+
+    q["sim_quantize_int8"] = sim_quantize_int8
+
     def stream_top_users(spark, sf):
         """Batch twin of the streaming windowed heavy-hitters pipeline
         (hourly tumble, top-3 users per window); streaming parity is
@@ -3522,6 +3604,43 @@ WITH b AS (
 )
 SELECT p.anchor_id, CAST(p.slot AS INTEGER) AS slot, r2.doc_id AS neg_id
 FROM probes p JOIN r r2 ON p.bkt = r2.bkt AND p.neg_rnk = r2.rnk
+"""
+
+    # ORC write/read is lossless for these plain columns.
+    o["source_orc_roundtrip"] = """
+SELECT doc_id, lang, text FROM documents
+"""
+
+    # Same total order (ts, event_id) per user; same lead + normalize.
+    o["events_transition_matrix"] = """
+WITH p AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst
+  FROM events
+), c AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+  FROM p WHERE dst IS NOT NULL GROUP BY src, dst
+)
+SELECT src, dst, n, round(n / sum(n) OVER (PARTITION BY src), 4) AS p FROM c
+"""
+
+    # Same max-abs/127 symmetric quantization arithmetic in DOUBLE.
+    o["sim_quantize_int8"] = """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_max(list_transform(v, x ->
+         abs(greatest(-127, least(127, CAST(round(x / scale) AS INTEGER)))
+             * scale - x))), 6) AS max_err
+FROM s WHERE scale > 0
 """
 
     o["join_interval_overlap"] = """
@@ -5649,6 +5768,9 @@ EXTRA_QUERIES: list[str] = [
     "pipeline_snapshot_incr_agg",
     "source_snapshot_evolution",
     "sample_contrastive_negs",
+    "source_orc_roundtrip",
+    "events_transition_matrix",
+    "sim_quantize_int8",
 ]
 
 

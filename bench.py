@@ -127,6 +127,10 @@ BENCH_QUERIES = [
     # snapshot schema evolution + deterministic contrastive negatives
     "source_snapshot_evolution",
     "sample_contrastive_negs",
+    # ORC interchange, Markov event transitions, int8 embedding storage
+    "source_orc_roundtrip",
+    "events_transition_matrix",
+    "sim_quantize_int8",
 ]
 
 

@@ -837,6 +837,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_pipeline"] = multimodal_pipeline
 
+    def multimodal_image_neardup(spark, sf):
+        """Near-duplicate image detection: perceptual dHash (gradient-
+        direction bits over the decoded grayscale features, packed into
+        one bigint) + the band-pigeonhole hamming search shared with
+        SimHash (operators/multimodal.py image_dhash /
+        image_near_dup_pairs; dedup.py hamming_band_pairs).  Exact
+        within the dHash metric — the banding loses NO pairs vs a
+        brute-force scan, which is what the DuckDB oracle runs.  The
+        fake decode backend makes every signature bit SQL-reproducible;
+        the real-PNG backend is golden-tested in tests/test_multimodal."""
+        media = multimodal.attach_fake_media(load_table(spark, sf, "documents"))
+        return multimodal.image_near_dup_pairs(media, max_hamming=8)
+
+    q["multimodal_image_neardup"] = multimodal_image_neardup
+
     # ---- expensive stochastic queries LAST (rows-only; a wall-clock-
     # budgeted driver run truncates here, not at hash-checked queries) ------
     _model_cache: dict[str, object] = {}
@@ -4085,6 +4100,33 @@ SELECT kind, media_id, idx,
 FROM aud
 """
 
+    # Brute-force dHash near-dup: same md5-seeded fake decode as the
+    # multimodal_pipeline oracle; dhash bit d = f[d+1] > f[d] packed
+    # MSB-first by an exact BIGINT fold (the CAST keeps list_reduce out
+    # of INT32 overflow).  Cross-pair scan is the oracle's job only —
+    # the Spark side goes through the banded equi-join, which the
+    # pigeonhole argument makes lossless at max_hamming = 8.
+    o["multimodal_image_neardup"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM documents
+), s AS (
+  SELECT media_id,
+         list_reduce(
+           list_transform(range(1, 64), d ->
+             CAST(CASE WHEN (h * (2*d + 3)) % 2147483647
+                            > (h * (2*d + 1)) % 2147483647
+                  THEN 1 ELSE 0 END AS BIGINT)),
+           (acc, b) -> acc * 2 + b) AS dhash
+  FROM m
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       bit_count(xor(a.dhash, b.dhash)) AS hamming
+FROM s a JOIN s b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 8
+"""
+
     o["stream_sessionize"] = """
 WITH flagged AS (
   SELECT user_id, ts,
@@ -5771,6 +5813,7 @@ EXTRA_QUERIES: list[str] = [
     "source_orc_roundtrip",
     "events_transition_matrix",
     "sim_quantize_int8",
+    "multimodal_image_neardup",
 ]
 
 

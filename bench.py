@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "source_orc_roundtrip",
     "events_transition_matrix",
     "sim_quantize_int8",
+    # perceptual-hash image near-dup (dHash + banded hamming search)
+    "multimodal_image_neardup",
 ]
 
 

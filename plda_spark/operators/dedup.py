@@ -40,6 +40,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash",
     "simhash_pairs",
+    "hamming_band_pairs",
     "connected_components",
     "semantic_dedup",
     "contamination",
@@ -427,10 +428,47 @@ def simhash_pairs(
     # One row per doc; the band self-join reuses the signature stage's
     # exchange at runtime (see minhash_lsh_pairs — persist measured slower).
     sig = simhash(docs, text_col, id_col)
+    return hamming_band_pairs(
+        sig, bits=60, max_hamming=max_hamming, id_col="doc_id", sig_col="simhash"
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "hamming",
+    )
+
+
+def hamming_band_pairs(
+    sig: DataFrame,
+    bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    sig_col: str = "simhash",
+) -> DataFrame:
+    """All pairs within hamming distance ``max_hamming`` over ``bits``-bit
+    integer signatures — the band-pigeonhole candidate search shared by
+    SimHash text near-dup and dHash image near-dup.
+
+    Splits the signature into ``max_hamming + 1`` bit bands: a pair with
+    ≤ ``max_hamming`` differing bits cannot differ in every band, so some
+    band matches exactly — an equi-join on ``(band, bucket)`` finds EVERY
+    qualifying pair (no recall loss), then ``bit_count(a XOR b)`` verifies
+    exactly.  Scale: candidate volume is Σ over buckets of |bucket|², so
+    keep ``max_hamming`` small (wider bands → sparser buckets); the join
+    is a plain shuffled equi-join — no cross product anywhere.
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+    """
+    if not 1 <= max_hamming <= bits - 1:
+        raise ValueError(f"max_hamming must be in [1, {bits - 1}]")
     bands = max_hamming + 1
-    base, rem = divmod(60, bands)
+    base, rem = divmod(bits, bands)
     widths = [base + 1 if bi < rem else base for bi in range(bands)]
     offsets = [sum(widths[:bi]) for bi in range(bands)]
+    # Normalize names in their own projection — referencing the aliases
+    # from the same select list would be a lateral-column-alias read.
+    sig = sig.select(
+        F.col(id_col).alias("doc_id"), F.col(sig_col).alias("simhash")
+    )
     band_rows = sig.select(
         "doc_id",
         "simhash",
@@ -458,11 +496,11 @@ def simhash_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
             F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
 

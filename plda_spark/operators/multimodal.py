@@ -43,6 +43,8 @@ __all__ = [
     "extract_audio_windows",
     "decode_png",
     "decode_wav",
+    "image_dhash",
+    "image_near_dup_pairs",
 ]
 
 # Canonical multimodal schema: payload + typed metadata.
@@ -381,4 +383,66 @@ def extract_audio_windows(
 
     return wins.mapInPandas(
         fn, schema="media_id long, window_idx int, window_features array<double>"
+    )
+
+
+def image_dhash(
+    media: DataFrame, decode_backend: str = "fake", dim: int = 64
+) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: decode to a
+    ``dim``-value grayscale feature row, then bit d = 1 iff
+    ``f[d+1] > f[d]`` — the gradient-direction signature used for
+    image near-dup detection (robust to re-encoding/resizing because
+    it compares ADJACENT intensities, not absolute values).
+
+    The ``dim - 1`` comparison bits are packed MSB-first into one
+    bigint with an exact JVM integer fold (``acc·2 + bit`` — never a
+    float pow, which loses exactness past 2⁵³).  Whole pipeline is one
+    Arrow decode pass + pure JVM array expressions; with the fake
+    backend every bit is reproducible in ANSI SQL from the payload's
+    md5, so the DuckDB oracle checks signature VALUES, not just shape.
+
+    Returns ``(media_id, dhash)``; ``dim`` ≤ 64 keeps the packed hash
+    (``dim - 1`` ≤ 63 bits) inside a non-negative int64.
+    """
+    if not 2 <= dim <= 64:
+        raise ValueError("dim must be in [2, 64] (bits must fit an int64)")
+    feats = decode_image_features(media, out_dim=dim, decode_backend=decode_backend)
+    f = F.col("features")
+    bits = F.transform(
+        F.sequence(F.lit(1), F.lit(dim - 1)),
+        lambda d: F.when(F.element_at(f, d + 1) > F.element_at(f, d), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    packed = F.aggregate(
+        bits, F.lit(0).cast("long"), lambda acc, b: acc * F.lit(2).cast("long") + b
+    )
+    return feats.select("media_id", packed.alias("dhash"))
+
+
+def image_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    decode_backend: str = "fake",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate image pairs: dHash signatures + the band-pigeonhole
+    hamming search shared with SimHash text dedup
+    (``dedup.hamming_band_pairs`` — ``max_hamming + 1`` bit bands, any
+    qualifying pair matches some band exactly, equi-join + popcount
+    verify).  Exact within the dHash metric: no recall loss versus a
+    brute-force O(n²) scan, at Σ|bucket|² candidate cost.
+
+    Returns ``(media_a, media_b, hamming)`` with ``media_a < media_b``.
+    """
+    from .dedup import hamming_band_pairs
+
+    sig = image_dhash(media, decode_backend=decode_backend, dim=dim)
+    return hamming_band_pairs(
+        sig, bits=dim - 1, max_hamming=max_hamming, id_col="media_id", sig_col="dhash"
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
     )

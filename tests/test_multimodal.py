@@ -206,3 +206,76 @@ def test_real_audio_windows_end_to_end(spark):
             np.abs(samples[i * 160 : i * 160 + 400]), 4
         )
         assert np.allclose(np.array(r["window_features"]), want), i
+
+
+# ---------------------------------------------------------------------------
+# dHash perceptual signatures + banded near-dup search
+
+
+def test_image_dhash_real_backend_perturbation(spark):
+    """A lightly-perturbed copy of an image must land within a small
+    hamming ball of the original; an unrelated image must not.  Runs
+    the REAL PNG decode path end-to-end (dHash's whole point is
+    robustness to small pixel-level changes)."""
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    near = base.copy()
+    near[0, 0] = (near[0, 0].astype(np.int64) + 3).astype(np.uint8) % 256
+    other = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    rows = [
+        (i, bytearray(encode_png(img)), "image", 16, 16, 1, 16000)
+        for i, img in enumerate([base, near, other])
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    sig = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.image_dhash(media, decode_backend="real").collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sig[0], sig[1]) <= 4
+    assert ham(sig[0], sig[2]) > ham(sig[0], sig[1])
+    assert all(0 <= s < 1 << 63 for s in sig.values())
+
+
+def test_image_near_dup_pairs_banding_lossless(spark):
+    """The band-pigeonhole candidate search must find EVERY pair within
+    max_hamming — compare against a brute-force scan over the collected
+    signatures, at a max_hamming that doesn't divide the bit width
+    evenly (uneven band widths are the regression-prone case)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.attach_fake_media(docs)
+    r = 10
+    sig = {
+        row["media_id"]: row["dhash"]
+        for row in multimodal.image_dhash(media).collect()
+    }
+    ids = sorted(sig)
+    want = {
+        (a, b, bin(sig[a] ^ sig[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sig[a] ^ sig[b]).count("1") <= r
+    }
+    got = {
+        (row["media_a"], row["media_b"], row["hamming"])
+        for row in multimodal.image_near_dup_pairs(media, max_hamming=r).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_image_dhash_validators(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.attach_fake_media(docs)
+    with pytest.raises(ValueError, match="dim"):
+        multimodal.image_dhash(media, dim=65)
+    with pytest.raises(ValueError, match="dim"):
+        multimodal.image_dhash(media, dim=1)
+    from plda_spark.operators import dedup
+
+    sig = multimodal.image_dhash(media)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_band_pairs(sig, bits=63, max_hamming=0,
+                                 id_col="media_id", sig_col="dhash")
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.hamming_band_pairs(sig, bits=63, max_hamming=63,
+                                 id_col="media_id", sig_col="dhash")

@@ -517,3 +517,24 @@ def test_leakage_safe_split_no_forced_broadcast(spark):
     df = spark.createDataFrame([(0, "t")], "doc_id long, text string")
     plan = leakage_safe_split(df)._jdf.queryExecution().logical().toString()
     assert "ResolvedHint" not in plan and "UnresolvedHint" not in plan
+
+
+def test_image_neardup_is_banded_equi_join(spark):
+    """Image dHash near-dup must find candidates through the band
+    equi-join only — no cartesian/nested-loop pair generation and no
+    per-row Python: one Arrow decode pass (ArrowEvalPython/MapInPandas),
+    JVM bit-packing, then a shuffled self-join on (band, bucket)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["multimodal_image_neardup"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    plan = s["plan"]
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # exactly ONE equi-join (broadcast at toy scale, shuffled at 100 TB;
+    # the adaptive formatted plan may list the node twice)
+    assert 1 <= s["sort_merge_joins"] + s["broadcast_hash_joins"] <= 2
+    assert "BatchEvalPython" not in plan  # Arrow-batched, never row-at-a-time

@@ -313,6 +313,16 @@ def main() -> None:
     record("unigram_encode", lambda: unigram.unigram_encode(docs, ug_vocab)
            .write.format("noop").mode("overwrite").save())
 
+    # WordPiece: 5 likelihood-scored merges (per-merge pair + symbol
+    # aggregations, broadcast-joined argmax), then the greedy
+    # longest-match encode pass (one broadcast-vocab Arrow stage).
+    from plda_spark.operators import wordpiece
+
+    wp_vocab = wordpiece.wordpiece_train(docs, 5)
+    record("wordpiece_train_5m", lambda: wordpiece.wordpiece_train(docs, 5))
+    record("wordpiece_encode", lambda: wordpiece.wordpiece_encode(docs, wp_vocab)
+           .write.format("noop").mode("overwrite").save())
+
     # Product quantization: one-time codebook training stays untimed
     # (driver-side sample, amortized over the corpus lifetime); encode,
     # ADC search, and the two-stage refined search are the recurring

@@ -531,6 +531,22 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs_with_dupes(spark, sf), threshold=0.5, n=3
     )
 
+    def dedup_containment_pairs(spark, sf):
+        """Asymmetric n-gram CONTAINMENT ≥ 0.9 — |A∩B|/|A|, the
+        near-superset relation Jaccard misses when the container is
+        much larger (quotes, excerpts, boilerplate wrappers).  Exact
+        via the asymmetric prefix filter: contained-side prefix ×
+        container-side full shingle keys, still an equi-join
+        (operators/dedup.py containment_pairs).  The planted 80%-prefix
+        copies (doc_id + 200000) are the true positives here: each is
+        ~fully contained in its original while their Jaccard is only
+        ~0.8."""
+        return dedup.containment_pairs(
+            _docs_with_dupes(spark, sf), threshold=0.9, n=3
+        )
+
+    q["dedup_containment_pairs"] = dedup_containment_pairs
+
     # (minhash signatures and raw simhash values are verified end-to-end
     # through the *_pairs queries below, which consume them; unit-level
     # behavior is covered in tests/test_operators.py.)
@@ -3361,6 +3377,30 @@ SELECT doc_a, doc_b, jaccard FROM (
 ) WHERE jaccard >= 0.5
 """
 
+    # Asymmetric containment twin of the jaccard oracle: same planted
+    # corpus, same df-capped shingle space, but i / |A| in BOTH pair
+    # orientations (containment is not symmetric).
+    o["dedup_containment_pairs"] = f"""
+WITH {_SQL_DOCS_DUP}, {_SQL_SHINGLES},
+shf AS (
+  SELECT * FROM sh
+  WHERE shingle NOT IN (
+    SELECT shingle FROM sh GROUP BY shingle HAVING count(*) > 1000
+  )
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM shf a JOIN shf b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, containment FROM (
+  SELECT doc_a, doc_b, round(i / sa.n_sh, 6) AS containment
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+) WHERE containment >= 0.9
+"""
+
     from plda_spark.operators.dedup import MINHASH_P, minhash_params
 
     _mh = minhash_params(16)
@@ -5814,6 +5854,7 @@ EXTRA_QUERIES: list[str] = [
     "events_transition_matrix",
     "sim_quantize_int8",
     "multimodal_image_neardup",
+    "dedup_containment_pairs",
 ]
 
 

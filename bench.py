@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "sim_quantize_int8",
     # perceptual-hash image near-dup (dHash + banded hamming search)
     "multimodal_image_neardup",
+    # asymmetric n-gram containment (near-superset detection)
+    "dedup_containment_pairs",
 ]
 
 

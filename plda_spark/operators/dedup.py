@@ -36,6 +36,7 @@ __all__ = [
     "exact_dedup",
     "shingles",
     "jaccard_pairs",
+    "containment_pairs",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "simhash",
@@ -229,6 +230,109 @@ def jaccard_pairs(
             F.round(inter / (F.col("n_a") + F.col("n_b") - inter), 6).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
+        .localCheckpoint(eager=True)
+    )
+    sets.unpersist()
+    return out
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Near-superset pairs by exact n-gram CONTAINMENT ≥ threshold:
+    ``C(A, B) = |shingles(A) ∩ shingles(B)| / |shingles(A)|`` — the
+    asymmetric overlap that catches a document mostly INSIDE another
+    (quotes, excerpts, page-plus-boilerplate wrappers), which Jaccard
+    misses whenever the container is much larger than the contained.
+
+    ``(doc_a, doc_b, containment)`` where doc_a is the contained side;
+    BOTH orientations of a pair are tested (containment is asymmetric).
+
+    Exact via the asymmetric prefix filter (Xiao et al., WWW'08): with
+    shingles rarity-ordered, C(A, B) ≥ t forces a shared shingle inside
+    A's first ``|A| − ⌈t·|A|⌉ + 1`` (pigeonhole on A's side only), so
+    the candidate join runs A-prefix × B-all — still an equi-join on
+    shingle, never a cross product; df = 1 shingles can't intersect and
+    are dropped from join keys and arrays (never from the |A|
+    denominator).  ``max_shingle_df`` (the boilerplate guard) bounds
+    Σ df(s)² exactly as in :func:`jaccard_pairs`; containment is then
+    measured over the capped shingle space, mirrored by the oracle.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = shingles(docs, n, text_col, id_col)
+    sh = sh.withColumn("__df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    if max_shingle_df is not None:
+        sh = sh.where(F.col("__df") <= max_shingle_df)
+    by_rarity = F.sort_array(
+        F.collect_list(
+            F.when(
+                F.col("__df") >= 2,
+                F.struct(F.col("__df").alias("df"), F.col("shingle").alias("s")),
+            )
+        )
+    )
+    sets = (
+        sh.groupBy("doc_id")
+        .agg(by_rarity.alias("ss"), F.count(F.lit(1)).alias("n_sh"))
+        .select(
+            "doc_id",
+            F.transform("ss", lambda x: x["s"]).alias("sset"),
+            "n_sh",
+            F.slice(
+                F.transform("ss", lambda x: x["s"]),
+                1,
+                F.greatest(
+                    F.lit(0),
+                    (
+                        F.col("n_sh")
+                        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+                        + F.lit(1)
+                    ).cast("int"),
+                ),
+            ).alias("pref"),
+        )
+    )
+    # Three consumers again (prefix join + two verify lookups) —
+    # persist for the call, compute eagerly, release (jaccard_pairs
+    # has the full rationale).
+    sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    a = sets.select("doc_id", F.explode("pref").alias("shingle")).alias("a")
+    # The container side exposes ALL its (df >= 2) shingles as join
+    # keys — containment bounds nothing about B, so B gets no prefix.
+    b = sets.select("doc_id", F.explode("sset").alias("shingle")).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    lookup = sets.select("doc_id", F.col("sset").alias("vs"), F.col("n_sh").alias("vn"))
+    va = cand.join(lookup, cand["doc_a"] == lookup["doc_id"]).select(
+        "doc_a", "doc_b", F.col("vs").alias("set_a"), F.col("vn").alias("n_a")
+    )
+    vab = va.join(lookup, va["doc_b"] == lookup["doc_id"]).select(
+        "doc_a", "doc_b", "set_a", "n_a", F.col("vs").alias("set_b")
+    )
+    inter = F.size(F.array_intersect("set_a", "set_b"))
+    out = (
+        vab.select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.col("n_a"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
         .localCheckpoint(eager=True)
     )
     sets.unpersist()

@@ -230,6 +230,55 @@ def test_jaccard_pairs_equals_brute_force(spark, sf_dir, threshold):
     assert got == expect
 
 
+@pytest.mark.parametrize("threshold", [0.3, 0.7, 0.95])
+def test_containment_pairs_equals_brute_force(spark, sf_dir, threshold):
+    """The asymmetric prefix filter must be EXACT: compare against an
+    all-ordered-pairs driver computation over the same shingle sets."""
+    import itertools
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sets = {
+        r["doc_id"]: set(r["sh"])
+        for r in dedup.shingles(docs, n=3)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .collect()
+    }
+    expect = {}
+    for a, b in itertools.permutations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        if inter:
+            c = round(inter / len(sets[a]), 6)
+            if c >= threshold:
+                expect[(a, b)] = c
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            docs, threshold=threshold, n=3, max_shingle_df=None
+        ).collect()
+    }
+    assert got == expect
+
+
+def test_containment_is_asymmetric(spark):
+    """An excerpt is contained in its source; the source is NOT
+    contained in the excerpt — the pair must appear in exactly one
+    orientation when the threshold splits them."""
+    words = " ".join(f"w{i}" for i in range(40))
+    excerpt = " ".join(f"w{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [(0, words), (1, excerpt)], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(docs, threshold=0.9, n=3).collect()
+    }
+    assert (1, 0) in got and got[(1, 0)] == 1.0
+    assert (0, 1) not in got
+    with pytest.raises(ValueError, match="threshold"):
+        dedup.containment_pairs(docs, threshold=0.0)
+
+
 def test_minhash_lsh_finds_dups(spark, docs):
     pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in
              dedup.minhash_lsh_pairs(docs, num_hashes=16, bands=8, n=2).collect()}

@@ -1978,6 +1978,74 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_transition_matrix"] = events_transition_matrix
 
+    def events_attribution(spark, sf):
+        """First-touch / last-touch revenue attribution: each purchase is
+        credited to the user's first and most recent preceding
+        click/view touch (the two standard marketing attribution
+        models).  One window pass (ignore-nulls first/last over the
+        user's ts-ordered history, purchases excluded from the touch
+        stream) + one aggregation per model — no self-join, no
+        driver-side state."""
+        ev = load_table(spark, sf, "events")
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        touch = F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        )
+        purchases = ev.select(
+            "event_id",
+            "value",
+            "event_type",
+            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+        ).where(F.col("event_type") == "purchase")
+        out = None
+        for model, col in [("first_touch", "first_touch"), ("last_touch", "last_touch")]:
+            agg = (
+                purchases.where(F.col(col).isNotNull())
+                .groupBy(F.col(col).alias("channel"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_purchases"),
+                    F.round(F.sum("value"), 4).alias("revenue"),
+                )
+                .select(F.lit(model).alias("model"), "channel", "n_purchases", "revenue")
+            )
+            out = agg if out is None else out.unionAll(agg)
+        return out
+
+    q["events_attribution"] = events_attribution
+
+    def text_char_entropy(spark, sf):
+        """Per-document character-level Shannon entropy — the classic
+        gibberish/compression quality signal (low entropy = repeated
+        filler, high = random noise; natural text sits in a band).
+        Pure per-row JVM array expressions: distinct chars via
+        split+array_distinct, per-char counts via length-difference
+        after literal replace — O(len·|alphabet|) per row, NO shuffle,
+        no Python."""
+        docs = load_table(spark, sf, "documents")
+        n = F.length("text").cast("double")
+        chars = F.array_distinct(F.split("text", ""))
+        ent = F.aggregate(
+            chars,
+            F.lit(0.0),
+            lambda acc, c: acc
+            - (
+                (n - F.length(F.replace(F.col("text"), c))) / n
+            )
+            * F.log2((n - F.length(F.replace(F.col("text"), c))) / n),
+        )
+        return docs.where(n > 0).select(
+            "doc_id",
+            F.round(ent, 6).alias("char_entropy"),
+            F.size(chars).alias("alphabet_size"),
+        )
+
+    q["text_char_entropy"] = text_char_entropy
+
     def sim_quantize_int8(spark, sf):
         """Symmetric per-vector int8 embedding quantization (max-abs
         scaling, the faiss/SQ8 storage layout): 4× smaller vectors for
@@ -3664,6 +3732,51 @@ FROM probes p JOIN r r2 ON p.bkt = r2.bkt AND p.neg_rnk = r2.rnk
     # ORC write/read is lossless for these plain columns.
     o["source_orc_roundtrip"] = """
 SELECT doc_id, lang, text FROM documents
+"""
+
+    # Same ignore-nulls first/last windows over the identical total
+    # order; purchases never count as touches.
+    o["events_attribution"] = """
+WITH p AS (
+  SELECT event_id, value, event_type,
+         first_value(CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM events
+)
+SELECT 'first_touch' AS model, first_touch AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases, round(sum(value), 4) AS revenue
+FROM p WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+GROUP BY first_touch
+UNION ALL
+SELECT 'last_touch' AS model, last_touch AS channel,
+       CAST(count(*) AS BIGINT) AS n_purchases, round(sum(value), 4) AS revenue
+FROM p WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+GROUP BY last_touch
+"""
+
+    # Same length-difference occurrence counts over the same distinct
+    # character list; log2 via ln/ln(2).
+    o["text_char_entropy"] = """
+WITH d AS (
+  SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n,
+         list_distinct(string_split(text, '')) AS chars
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id,
+       round(-list_sum(list_transform(chars, c ->
+         ((n - length(replace(text, c, ''))) / n)
+         * ln((n - length(replace(text, c, ''))) / n) / ln(2))), 6)
+         AS char_entropy,
+       CAST(len(chars) AS INTEGER) AS alphabet_size
+FROM d
 """
 
     # Same total order (ts, event_id) per user; same lead + normalize.
@@ -5855,6 +5968,8 @@ EXTRA_QUERIES: list[str] = [
     "sim_quantize_int8",
     "multimodal_image_neardup",
     "dedup_containment_pairs",
+    "events_attribution",
+    "text_char_entropy",
 ]
 
 

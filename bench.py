@@ -135,6 +135,9 @@ BENCH_QUERIES = [
     "multimodal_image_neardup",
     # asymmetric n-gram containment (near-superset detection)
     "dedup_containment_pairs",
+    # attribution models + char-entropy quality signal
+    "events_attribution",
+    "text_char_entropy",
 ]
 
 

@@ -862,9 +862,12 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         within the dHash metric — the banding loses NO pairs vs a
         brute-force scan, which is what the DuckDB oracle runs.  The
         fake decode backend makes every signature bit SQL-reproducible;
-        the real-PNG backend is golden-tested in tests/test_multimodal."""
+        the real-PNG backend is golden-tested in tests/test_multimodal.
+        max_hamming=4 keeps the 5 bands ~12 bits wide: buckets stay
+        sparse (banded-join cost is sum of |bucket|^2), and a 4-bit
+        radius over 63 gradient bits is already a loose near-dup ball."""
         media = multimodal.attach_fake_media(load_table(spark, sf, "documents"))
-        return multimodal.image_near_dup_pairs(media, max_hamming=8)
+        return multimodal.image_near_dup_pairs(media, max_hamming=4)
 
     q["multimodal_image_neardup"] = multimodal_image_neardup
 
@@ -1558,6 +1561,45 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return snap.snapshot_read(spark, path)
 
     q["source_snapshot_merge"] = source_snapshot_merge
+
+    def source_snapshot_delete_keys(spark, sf):
+        """MERGE-ON-READ equality deletes (Iceberg v2 shape,
+        sources/snapshot.py snapshot_delete_keys): takedown of keys
+        % 13 == 0 writes ONE kB-sized delete file — zero data files
+        touched — then a re-crawl append re-inserts half of them (%26
+        == 0) with doubled price; per-entry sequence numbers keep the
+        delete from touching the younger generation.  The read is the
+        merge-on-read anti-join; materialize_deletes then rewrites
+        (stats-pruned) and the result must be read-identical — both
+        states hash against the same SQL."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        orders = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_snapdk_")
+        path = f"{tmp}/tbl"
+        base = orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+            "o_orderkey"
+        )
+        snap.snapshot_write(base, path, mode="overwrite", stats_cols=["o_orderkey"])
+        gone = orders.where(F.col("o_orderkey") % 13 == 0).select("o_orderkey")
+        snap.snapshot_delete_keys(spark, path, gone, "o_orderkey")
+        recrawl = orders.where(F.col("o_orderkey") % 26 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        snap.snapshot_write(recrawl, path, mode="append")
+        mor = snap.snapshot_read(spark, path)
+        snap.snapshot_materialize_deletes(spark, path)
+        materialized = snap.snapshot_read(spark, path)
+        # both reads must agree with the oracle — union tags them
+        return mor.select(F.lit("mor").alias("state"), "*").unionByName(
+            materialized.select(F.lit("materialized").alias("state"), "*")
+        )
+
+    q["source_snapshot_delete_keys"] = source_snapshot_delete_keys
 
     def source_snapshot_changes(spark, sf):
         """CDC read over the snapshot table (sources/snapshot.py
@@ -4258,7 +4300,7 @@ FROM aud
     # MSB-first by an exact BIGINT fold (the CAST keeps list_reduce out
     # of INT32 overflow).  Cross-pair scan is the oracle's job only —
     # the Spark side goes through the banded equi-join, which the
-    # pigeonhole argument makes lossless at max_hamming = 8.
+    # pigeonhole argument makes lossless at max_hamming = 4.
     o["multimodal_image_neardup"] = """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -4277,7 +4319,7 @@ WITH m AS (
 SELECT a.media_id AS media_a, b.media_id AS media_b,
        bit_count(xor(a.dhash, b.dhash)) AS hamming
 FROM s a JOIN s b ON a.media_id < b.media_id
-WHERE bit_count(xor(a.dhash, b.dhash)) <= 8
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
 """
 
     o["stream_sessionize"] = """
@@ -4394,6 +4436,23 @@ FROM orders
 UNION ALL
 SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey, o_totalprice
 FROM orders WHERE o_orderkey % 101 = 0
+"""
+
+    # Merge-on-read delete semantics: survivors = keys not deleted
+    # (% 13 != 0) plus the re-crawled generation (% 26 == 0, doubled
+    # price) that postdates the delete; the 'mor' and 'materialized'
+    # reads must BOTH equal it.
+    o["source_snapshot_delete_keys"] = """
+WITH survivors AS (
+  SELECT o_orderkey, o_custkey, o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 0
+  UNION ALL
+  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+  FROM orders WHERE o_orderkey % 26 = 0
+)
+SELECT 'mor' AS state, * FROM survivors
+UNION ALL
+SELECT 'materialized' AS state, * FROM survivors
 """
 
     # CDC semantics: changes since v0 = exactly the two appended thirds.
@@ -5970,6 +6029,7 @@ EXTRA_QUERIES: list[str] = [
     "dedup_containment_pairs",
     "events_attribution",
     "text_char_entropy",
+    "source_snapshot_delete_keys",
 ]
 
 

@@ -138,6 +138,8 @@ BENCH_QUERIES = [
     # attribution models + char-entropy quality signal
     "events_attribution",
     "text_char_entropy",
+    # merge-on-read equality deletes + materialize (Iceberg v2 shape)
+    "source_snapshot_delete_keys",
 ]
 
 

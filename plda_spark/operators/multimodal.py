@@ -438,7 +438,12 @@ def image_near_dup_pairs(
     """
     from .dedup import hamming_band_pairs
 
+    # The band self-join consumes the signature stage TWICE; unlike the
+    # JVM SimHash stage, the decode here is an Arrow/Python pass over
+    # every payload — checkpoint the (media_id, dhash) rows (16 B each,
+    # corpus-count-sized, payload-free) so it runs once.
     sig = image_dhash(media, decode_backend=decode_backend, dim=dim)
+    sig = sig.localCheckpoint(eager=False)
     return hamming_band_pairs(
         sig, bits=dim - 1, max_hamming=max_hamming, id_col="media_id", sig_col="dhash"
     ).select(

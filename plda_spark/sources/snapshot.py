@@ -74,6 +74,8 @@ __all__ = [
     "snapshot_refresh_agg",
     "snapshot_merge",
     "snapshot_delete",
+    "snapshot_delete_keys",
+    "snapshot_materialize_deletes",
     "snapshot_compact",
     "snapshot_vacuum",
     "snapshot_sink_batch",
@@ -284,18 +286,24 @@ def snapshot_write(
             schema = _evolve_schema(
                 StructType.fromJson(json.loads(prev["schema"])), df.schema, path
             )
-    commit_id = f"c{(0 if parent is None else parent + 1):010d}-{uuid.uuid4().hex[:8]}"
+    version = 0 if parent is None else parent + 1
+    commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
     entries = _commit_files(spark, df, path, commit_id, stats_cols)
+    for e in entries:
+        e["seq"] = version  # rows born at this version: older deletes don't apply
     files = entries
+    deletes: list[dict] = []
     if mode == "append" and parent is not None:
         files = prev["files"] + entries
+        deletes = prev.get("deletes", [])
     manifest = {
-        "version": 0 if parent is None else parent + 1,
+        "version": version,
         "parent": parent,
         "action": mode,
         "schema": schema.json(),
         "stats_cols": stats_cols,
         "files": files,
+        "deletes": deletes,
         **(extra or {}),
     }
     return _publish(fs, path, manifest)
@@ -367,6 +375,47 @@ def _read_files(spark: SparkSession, manifest: dict, files: list[dict]) -> DataF
     return spark.read.schema(schema).parquet(*[e["path"] for e in files])
 
 
+def _read_with_deletes(
+    spark: SparkSession, manifest: dict, files: list[dict]
+) -> DataFrame:
+    """Read ``files`` with the manifest's pending EQUALITY DELETES
+    applied — the merge-on-read half of the Iceberg v2 contract.
+
+    A delete applies to a data file iff ``file.seq <= delete.seq``
+    (rows born after a delete are untouched), so files are grouped by
+    which delete generations they precede (≤ |delete commits| + 1
+    groups), each group anti-joined against the union of its applicable
+    delete-key files, then unioned.  Delete-key tables are takedown-
+    list-sized — tiny next to the table — so the anti-joins broadcast
+    under AQE; read amplification is bounded by the number of pending
+    delete commits, and ``snapshot_materialize_deletes`` resets it to
+    zero."""
+    deletes = manifest.get("deletes", [])
+    if not deletes or not files:
+        return _read_files(spark, manifest, files)
+    dseqs = sorted({d["seq"] for d in deletes})
+    from collections import defaultdict
+
+    groups: dict[int, list[dict]] = defaultdict(list)
+    for e in files:
+        # legacy entries (pre-seq manifests) default to 0: every delete
+        # applies, which is correct — those rows predate all deletes
+        groups[bisect_left(dseqs, e.get("seq", 0))].append(e)
+    out: DataFrame | None = None
+    for gi, fl in sorted(groups.items()):
+        df = _read_files(spark, manifest, fl)
+        live = set(dseqs[gi:])
+        by_col: dict[str, list[str]] = {}
+        for d in deletes:
+            if d["seq"] in live:
+                by_col.setdefault(d["key_col"], []).append(d["path"])
+        for col, paths in sorted(by_col.items()):
+            keys = spark.read.parquet(*paths).select(col).distinct()
+            df = df.join(keys, on=col, how="left_anti")
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
 def snapshot_read(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -374,9 +423,10 @@ def snapshot_read(
     resolves the exact immutable file set — concurrent commits after
     this call never change what this DataFrame scans (snapshot
     isolation), and older versions stay readable until vacuumed (time
-    travel)."""
+    travel).  Pending equality deletes are applied merge-on-read
+    (see :func:`snapshot_delete_keys`)."""
     manifest = _resolve(spark, path, version)
-    return _read_files(spark, manifest, manifest["files"])
+    return _read_with_deletes(spark, manifest, manifest["files"])
 
 
 def _overlaps(entry: dict, col: str, lo: Any, hi: Any) -> bool:
@@ -418,7 +468,7 @@ def snapshot_scan(
     design Iceberg scans use."""
     manifest = _resolve(spark, path, version)
     keep = [e for e in manifest["files"] if _overlaps(e, col, lo, hi)]
-    return _read_files(spark, manifest, keep).where(
+    return _read_with_deletes(spark, manifest, keep).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
     )
 
@@ -521,7 +571,7 @@ def snapshot_refresh_agg(
         return rows.groupBy(*group_cols).agg(*aggs)
 
     if prev_v is None:
-        fresh = _partials(_read_files(spark, src, src["files"]))
+        fresh = _partials(_read_with_deletes(spark, src, src["files"]))
         return snapshot_write(
             fresh, agg_path, mode="overwrite", stats_cols=list(group_cols),
             extra={"source_version": src_v},
@@ -548,8 +598,9 @@ def snapshot_refresh_agg(
             )
         )
     except ValueError:
-        # non-append window: one full recompute, still never silent
-        folded = _partials(_read_files(spark, src, src["files"]))
+        # non-append window (merge/delete/compact/delete_keys landed):
+        # one full recompute through the delete-aware read, never silent
+        folded = _partials(_read_with_deletes(spark, src, src["files"]))
     return snapshot_write(
         folded, agg_path, mode="overwrite", stats_cols=list(group_cols),
         extra={"source_version": src_v},
@@ -622,7 +673,10 @@ def snapshot_merge(
 
     touched_files = [e for e in manifest["files"] if touched(e)]
     carried = [e for e in manifest["files"] if not touched(e)]
-    survivors = _read_files(spark, manifest, touched_files).join(
+    # rewrites materialize any pending equality deletes for the files
+    # they touch (reading through the delete-aware path), so deleted
+    # rows can never resurrect with a fresh seq
+    survivors = _read_with_deletes(spark, manifest, touched_files).join(
         updates.select(key).distinct(), on=key, how="left_anti"
     )
     merged = survivors.unionByName(updates.select(*survivors.columns))
@@ -630,6 +684,8 @@ def snapshot_merge(
     version = manifest["version"] + 1
     commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
     entries = _commit_files(spark, merged, path, commit_id, manifest["stats_cols"])
+    for e in entries:
+        e["seq"] = version
     new_manifest = {
         "version": version,
         "parent": manifest["version"],
@@ -637,6 +693,7 @@ def snapshot_merge(
         "schema": manifest["schema"],
         "stats_cols": manifest["stats_cols"],
         "files": carried + entries,
+        "deletes": manifest.get("deletes", []),
         "rewrote_files": len(touched_files),
         "carried_files": len(carried),
     }
@@ -665,11 +722,13 @@ def snapshot_delete(
     version = manifest["version"] + 1
     entries: list[dict] = []
     if rewrite:
-        kept = _read_files(spark, manifest, rewrite).where(
+        kept = _read_with_deletes(spark, manifest, rewrite).where(
             ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         )
         commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
         entries = _commit_files(spark, kept, path, commit_id, manifest["stats_cols"])
+        for e in entries:
+            e["seq"] = version
     new_manifest = {
         "version": version,
         "parent": manifest["version"],
@@ -677,6 +736,7 @@ def snapshot_delete(
         "schema": manifest["schema"],
         "stats_cols": manifest["stats_cols"],
         "files": carried + entries,
+        "deletes": manifest.get("deletes", []),
         "dropped_files": len(dropped),
         "rewrote_files": len(rewrite),
         "carried_files": len(carried),
@@ -703,11 +763,17 @@ def snapshot_compact(
         return manifest["version"]  # nothing worth rewriting
     total = sum(e["bytes"] for e in small)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    packed = _read_files(spark, manifest, small).repartition(n_out)
+    # reading through the delete-aware path materializes pending
+    # equality deletes for the rewritten subset (the Iceberg compaction
+    # contract); carried files keep their seq so pending deletes still
+    # apply to them at read time
+    packed = _read_with_deletes(spark, manifest, small).repartition(n_out)
     fs = _FS(spark, path)
     version = manifest["version"] + 1
     commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
     entries = _commit_files(spark, packed, path, commit_id, manifest["stats_cols"])
+    for e in entries:
+        e["seq"] = version
     new_manifest = {
         "version": version,
         "parent": manifest["version"],
@@ -715,6 +781,7 @@ def snapshot_compact(
         "schema": manifest["schema"],
         "stats_cols": manifest["stats_cols"],
         "files": carried + entries,
+        "deletes": manifest.get("deletes", []),
         "rewrote_files": len(small),
         "carried_files": len(carried),
     }
@@ -745,7 +812,8 @@ def snapshot_vacuum(
     keep = versions[-keep_versions:]
     referenced = set()
     for v in keep:
-        for e in _read_manifest(fs, path, v)["files"]:
+        man = _read_manifest(fs, path, v)
+        for e in man["files"] + man.get("deletes", []):
             referenced.add(_norm(e["path"]))
     deleted_files = 0
     for p, _ in fs.list_files_recursive(_data_dir(path)):
@@ -794,3 +862,106 @@ def snapshot_sink_batch(
         stats_cols=stats_cols,
         extra={"run_id": run_id, "batch_id": int(batch_id)},
     )
+
+
+def snapshot_delete_keys(
+    spark: SparkSession, path: str, keys: DataFrame, key_col: str
+) -> int:
+    """MERGE-ON-READ row deletes (the Iceberg v2 equality-delete design):
+    write the deleted key values as ONE small parquet delete file and
+    publish a manifest that lists it under ``deletes`` — O(|keys|) IO
+    regardless of table size, no data file touched.  Returns the new
+    version.
+
+    Readers (``snapshot_read`` / ``snapshot_scan`` / the rewrite paths)
+    anti-join pending delete keys against every data file whose ``seq``
+    predates the delete; rows appended AFTER the delete are untouched
+    (per-entry sequence numbers carry that ordering, the same contract
+    Iceberg expresses with sequence numbers).  This is the takedown /
+    GDPR shape: deleting 1k documents from a 100 TB table costs one
+    kB-sized write now and amortizes the rewrite into the next
+    ``snapshot_materialize_deletes`` / compaction / merge that touches
+    the files anyway.
+    """
+    manifest = _resolve(spark, path, None)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if key_col not in {f.name for f in schema.fields}:
+        raise ValueError(
+            f"snapshot {path} has no column {key_col!r} "
+            f"(schema: {[f.name for f in schema.fields]})"
+        )
+    fs = _FS(spark, path)
+    version = manifest["version"] + 1
+    commit_id = f"d{version:010d}-{uuid.uuid4().hex[:8]}"
+    entries = _commit_files(
+        spark, keys.select(key_col).distinct(), path, commit_id, [key_col]
+    )
+    for e in entries:
+        e["seq"] = version
+        e["key_col"] = key_col
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "action": "delete_keys",
+        "schema": manifest["schema"],
+        "stats_cols": manifest["stats_cols"],
+        "files": manifest["files"],  # every data file carried by reference
+        "deletes": manifest.get("deletes", []) + entries,
+        "deleted_keys": sum(e["rows"] for e in entries),
+    }
+    return _publish(fs, path, new_manifest)
+
+
+def snapshot_materialize_deletes(spark: SparkSession, path: str) -> int:
+    """Rewrite the data files affected by pending equality deletes and
+    clear the ``deletes`` list — resetting merge-on-read amplification
+    to zero (Iceberg's "rewrite position/equality deletes" maintenance
+    action).  Returns the new version (current version when nothing is
+    pending).
+
+    File pruning is two-sided: a data file is rewritten only if some
+    pending delete (a) applies to its generation (``file.seq <=
+    delete.seq``) AND (b) overlaps its key range per manifest min/max
+    stats against the delete file's own key stats — so a takedown of
+    one key range rewrites a handful of files, never the table."""
+    manifest = _resolve(spark, path, None)
+    deletes = manifest.get("deletes", [])
+    if not deletes:
+        return manifest["version"]
+
+    def affected(e: dict) -> bool:
+        fseq = e.get("seq", 0)
+        for d in deletes:
+            if d["seq"] < fseq:
+                continue
+            kc = d["key_col"]
+            dstats = d.get("stats", {}).get(kc)
+            if not dstats or dstats[0] is None or dstats[1] is None:
+                return True  # no delete stats — never prune on ignorance
+            if _overlaps(e, kc, dstats[0], dstats[1]):
+                return True
+        return False
+
+    rewrite = [e for e in manifest["files"] if affected(e)]
+    carried = [e for e in manifest["files"] if not affected(e)]
+    fs = _FS(spark, path)
+    version = manifest["version"] + 1
+    entries: list[dict] = []
+    if rewrite:
+        kept = _read_with_deletes(spark, manifest, rewrite)
+        commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
+        entries = _commit_files(spark, kept, path, commit_id, manifest["stats_cols"])
+        for e in entries:
+            e["seq"] = version
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "action": "materialize_deletes",
+        "schema": manifest["schema"],
+        "stats_cols": manifest["stats_cols"],
+        "files": carried + entries,
+        "deletes": [],
+        "rewrote_files": len(rewrite),
+        "carried_files": len(carried),
+    }
+    return _publish(fs, path, new_manifest)

@@ -369,3 +369,122 @@ def test_sink_batch_is_idempotent_across_replay(spark, sf_dir, tmp_path):
     # its own stream of commits, never confused with r1's
     assert snap.snapshot_sink_batch(b0, path, run_id="r2", batch_id=0) == 2
     assert snap.snapshot_read(spark, path).count() == 2 * b0.count() + b1.count()
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read equality deletes (Iceberg v2 shape)
+
+
+def test_delete_keys_merge_on_read(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    gone = docs.where(F.col("doc_id") < 50).select("doc_id")
+    v1 = snap.snapshot_delete_keys(spark, path, gone, "doc_id")
+    assert v1 == 1
+    # no data file was touched: v1 carries v0's files verbatim
+    fs = snap._FS(spark, path)
+    m0, m1 = snap._read_manifest(fs, path, 0), snap._read_manifest(fs, path, 1)
+    assert [e["path"] for e in m0["files"]] == [e["path"] for e in m1["files"]]
+    assert m1["action"] == "delete_keys" and len(m1["deletes"]) >= 1
+    # merge-on-read: latest excludes the keys; time travel still has them
+    want = _sorted_rows(docs.where(F.col("doc_id") >= 50), "doc_id", "lang")
+    assert _sorted_rows(snap.snapshot_read(spark, path), "doc_id", "lang") == want
+    assert (
+        snap.snapshot_read(spark, path, version=0).count() == docs.count()
+    )
+    # scan applies deletes too
+    assert snap.snapshot_scan(spark, path, "doc_id", 0, 60).count() == docs.where(
+        (F.col("doc_id") >= 50) & (F.col("doc_id") <= 60)
+    ).count()
+    with pytest.raises(ValueError, match="no column"):
+        snap.snapshot_delete_keys(spark, path, gone, "nope")
+
+
+def test_delete_keys_respects_row_generations(spark, sf_dir, tmp_path):
+    """Rows appended AFTER a delete share its keys but must survive —
+    the sequence-number semantics that make delete-then-recrawl work."""
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    old = docs.where(F.col("doc_id") < 100)
+    snap.snapshot_write(old, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_delete_keys(
+        spark, path, old.select("doc_id"), "doc_id"
+    )
+    assert snap.snapshot_read(spark, path).count() == 0
+    # re-crawl: same doc_ids, fresh rows
+    recrawl = old.withColumn("lang", F.lit("recrawled"))
+    snap.snapshot_write(recrawl, path, mode="append")
+    got = snap.snapshot_read(spark, path)
+    assert got.count() == old.count()
+    assert {r["lang"] for r in got.select("lang").distinct().collect()} == {
+        "recrawled"
+    }
+
+
+def test_materialize_deletes_rewrites_pruned_and_clears(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    # two range-clustered commits so the key stats can prune
+    lo = docs.where(F.col("doc_id") < 250).repartition(2)
+    hi = docs.where(F.col("doc_id") >= 250).repartition(2)
+    snap.snapshot_write(lo, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_write(hi, path, mode="append")
+    gone = docs.where(F.col("doc_id") < 10).select("doc_id")
+    snap.snapshot_delete_keys(spark, path, gone, "doc_id")
+    before = _sorted_rows(snap.snapshot_read(spark, path), "doc_id")
+    v = snap.snapshot_materialize_deletes(spark, path)
+    after = _sorted_rows(snap.snapshot_read(spark, path), "doc_id")
+    assert after == before  # read-identical, now physically applied
+    fs = snap._FS(spark, path)
+    m = snap._read_manifest(fs, path, v)
+    assert m["deletes"] == []
+    # the hi-range files never overlapped doc_id < 10: carried untouched
+    assert m["carried_files"] >= 2
+    assert m["rewrote_files"] >= 1
+    # idempotent: nothing pending -> same version back
+    assert snap.snapshot_materialize_deletes(spark, path) == v
+
+
+def test_rewrites_never_resurrect_deleted_rows(spark, sf_dir, tmp_path):
+    """merge / compact / range-delete rewrites read through the delete-
+    aware path, so a rewritten file can't bring deleted rows back."""
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_delete_keys(
+        spark, path, docs.where(F.col("doc_id") < 20).select("doc_id"), "doc_id"
+    )
+    # copy-on-write merge touching the whole key range
+    ups = docs.where(F.col("doc_id").between(200, 210)).withColumn(
+        "lang", F.lit("merged")
+    )
+    snap.snapshot_merge(spark, path, ups, key="doc_id")
+    got = snap.snapshot_read(spark, path)
+    assert got.where(F.col("doc_id") < 20).count() == 0
+    # compact everything small
+    snap.snapshot_compact(spark, path, target_file_bytes=1 << 30)
+    assert snap.snapshot_read(spark, path).where(F.col("doc_id") < 20).count() == 0
+
+
+def test_vacuum_keeps_live_delete_files(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_delete_keys(
+        spark, path, docs.where(F.col("doc_id") < 30).select("doc_id"), "doc_id"
+    )
+    want = _sorted_rows(snap.snapshot_read(spark, path), "doc_id")
+    snap.snapshot_vacuum(spark, path, keep_versions=1)
+    assert _sorted_rows(snap.snapshot_read(spark, path), "doc_id") == want
+
+
+def test_changes_refuses_delete_keys_window(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_delete_keys(
+        spark, path, docs.limit(5).select("doc_id"), "doc_id"
+    )
+    with pytest.raises(ValueError, match="delete_keys"):
+        snap.snapshot_changes(spark, path, 0)

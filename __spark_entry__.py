@@ -2088,6 +2088,34 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_char_entropy"] = text_char_entropy
 
+    def stats_kmv_probes(spark, sf):
+        """KMV (k-minimum-values) theta-sketch rollup probes
+        (operators/stats.py kmv_*): per-day mergeable sketches of
+        distinct users, then three estimates off the ROLLUP ALONE —
+        distinct users in window A, in window B, and active in BOTH
+        (the set-intersection estimate HLL sketches cannot give without
+        lossy inclusion-exclusion).  Hashes are the engine's md5 60-bit
+        integers, so sketch content AND estimates are deterministic —
+        the oracle reproduces every value exactly, not statistically."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        k = 64
+        sk = stats.kmv_daily_sketches(ev, key_col="user_id", ts_col="ts", k=k)
+        sk = sk.localCheckpoint(eager=False)  # three consumers, tiny table
+        ra = stats.kmv_estimate_range(sk, "2024-01-01", "2024-01-15", k=k).select(
+            F.lit("distinct_a").alias("probe"), F.col("n_distinct").alias("value")
+        )
+        rb = stats.kmv_estimate_range(sk, "2024-01-10", "2024-01-30", k=k).select(
+            F.lit("distinct_b").alias("probe"), F.col("n_distinct").alias("value")
+        )
+        ri = stats.kmv_intersect_ranges(
+            sk, "2024-01-01", "2024-01-15", "2024-01-10", "2024-01-30", k=k
+        ).select(F.lit("common_ab").alias("probe"), F.col("n_common").alias("value"))
+        return ra.unionAll(rb).unionAll(ri)
+
+    q["stats_kmv_probes"] = stats_kmv_probes
+
     def sim_quantize_int8(spark, sf):
         """Symmetric per-vector int8 embedding quantization (max-abs
         scaling, the faiss/SQ8 storage layout): 4× smaller vectors for
@@ -3819,6 +3847,61 @@ SELECT doc_id,
          AS char_entropy,
        CAST(len(chars) AS INTEGER) AS alphabet_size
 FROM d
+"""
+
+    # Same md5 60-bit hashes, same k-min merge, same theta arithmetic:
+    # every intermediate is an exact int64, the final division a single
+    # double rounding in both engines.
+    o["stats_kmv_probes"] = """
+WITH d AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events GROUP BY 1, 2
+), sk AS (
+  SELECT day, list_sort(list(h))[1:64] AS kmin FROM d GROUP BY day
+), ma AS (
+  SELECT list_sort(list_distinct(flatten(list(kmin))))[1:64] AS kmin
+  FROM sk WHERE day >= '2024-01-01' AND day <= '2024-01-15'
+), mb AS (
+  SELECT list_sort(list_distinct(flatten(list(kmin))))[1:64] AS kmin
+  FROM sk WHERE day >= '2024-01-10' AND day <= '2024-01-30'
+), est AS (
+  SELECT 'distinct_a' AS probe,
+         CASE WHEN len(kmin) < 64 THEN CAST(len(kmin) AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / CAST(kmin[64] AS DOUBLE)
+         END AS value
+  FROM ma
+  UNION ALL
+  SELECT 'distinct_b',
+         CASE WHEN len(kmin) < 64 THEN CAST(len(kmin) AS DOUBLE)
+              ELSE 63.0 * 1152921504606846976.0 / CAST(kmin[64] AS DOUBLE)
+         END
+  FROM mb
+  UNION ALL
+  SELECT 'common_ab',
+         CASE WHEN len(a.kmin) < 64 AND len(b.kmin) < 64
+              THEN CAST(len(list_filter(list_intersect(a.kmin, b.kmin),
+                   x -> x < least(
+                     CASE WHEN len(a.kmin) < 64 THEN 1152921504606846976
+                          ELSE a.kmin[64] END,
+                     CASE WHEN len(b.kmin) < 64 THEN 1152921504606846976
+                          ELSE b.kmin[64] END))) AS DOUBLE)
+              ELSE CAST(len(list_filter(list_intersect(a.kmin, b.kmin),
+                   x -> x < least(
+                     CASE WHEN len(a.kmin) < 64 THEN 1152921504606846976
+                          ELSE a.kmin[64] END,
+                     CASE WHEN len(b.kmin) < 64 THEN 1152921504606846976
+                          ELSE b.kmin[64] END))) AS DOUBLE)
+                   * 1152921504606846976.0
+                   / CAST(least(
+                     CASE WHEN len(a.kmin) < 64 THEN 1152921504606846976
+                          ELSE a.kmin[64] END,
+                     CASE WHEN len(b.kmin) < 64 THEN 1152921504606846976
+                          ELSE b.kmin[64] END) AS DOUBLE)
+         END
+  FROM ma a, mb b
+)
+SELECT probe, round(value, 4) AS value FROM est
 """
 
     # Same total order (ts, event_id) per user; same lead + normalize.
@@ -6030,6 +6113,7 @@ EXTRA_QUERIES: list[str] = [
     "events_attribution",
     "text_char_entropy",
     "source_snapshot_delete_keys",
+    "stats_kmv_probes",
 ]
 
 

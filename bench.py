@@ -140,6 +140,8 @@ BENCH_QUERIES = [
     "text_char_entropy",
     # merge-on-read equality deletes + materialize (Iceberg v2 shape)
     "source_snapshot_delete_keys",
+    # KMV theta sketches: range-distinct + range-intersection estimates
+    "stats_kmv_probes",
 ]
 
 

@@ -39,6 +39,9 @@ __all__ = [
     "ewma",
     "hll_daily_sketches",
     "hll_estimate_range",
+    "kmv_daily_sketches",
+    "kmv_estimate_range",
+    "kmv_intersect_ranges",
     "cms_daily_sketches",
     "cms_estimate",
     "hist_daily_sketches",
@@ -777,3 +780,130 @@ def hist_quantile_range(
         .agg(F.min("estimate").alias("estimate"))
     )
     return est
+
+
+# KMV (k minimum values) sketches: the theta-sketch family member that
+# supports SET INTERSECTION estimates, which HLL cannot (HLL unions
+# losslessly but inclusion-exclusion over HLL estimates compounds
+# error).  Hashes are the engine's md5-derived 60-bit integers, so both
+# the sketch CONTENT and every estimate are deterministic and exactly
+# reproducible in ANSI SQL — the DuckDB oracle checks values, not shape.
+_KMV_SPACE = float(1 << 60)  # hash space size (exact power of two)
+
+
+def kmv_daily_sketches(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    k: int = 256,
+) -> DataFrame:
+    """Per-day mergeable KMV sketches of distinct ``key_col``:
+    ``(day, kmin array<long>)`` — the k smallest distinct 60-bit key
+    hashes of the day (all of them when the day has < k).
+
+    Union-merge = k smallest of the concatenation, so range rollups
+    compose exactly like the HLL ones; unlike HLL, two merged sketches
+    also yield an INTERSECTION estimate (:func:`kmv_intersect_ranges`)
+    via the theta rule.  Build shape: one (day, hash) dedup aggregation
+    (map-side combined), then a per-day rank window for the k minima —
+    the window sorts each day's distinct hashes; a production deployment
+    at extreme per-day cardinality would swap in a bounded min-k
+    Aggregator, the one seam this keeps simple."""
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    day = F.to_date(F.col(ts_col)).cast("string")
+    distinct = (
+        df.select(day.alias("day"), h.alias("h")).groupBy("day", "h").agg(F.lit(1))
+    )
+    w = Window.partitionBy("day").orderBy("h")
+    return (
+        distinct.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .groupBy("day")
+        .agg(F.sort_array(F.collect_list("h")).alias("kmin"))
+    )
+
+
+def _kmv_merge(src: DataFrame, k: int) -> DataFrame:
+    """One-row frame with the k smallest distinct hashes across all
+    sketch rows (exactly the sketch of the unioned days)."""
+    return src.agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+            1,
+            k,
+        ).alias("kmin")
+    )
+
+
+def _kmv_estimate(kmin, k: int):
+    """|S| when the sketch holds everything (< k), else the KMV
+    estimator (k-1) / fraction-of-space-below-the-kth-minimum."""
+    n = F.size(kmin)
+    kth = F.element_at(kmin, k).cast("double")
+    return F.when(n < k, n.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(_KMV_SPACE) / kth
+    )
+
+
+def kmv_estimate_range(
+    sketches: DataFrame,
+    start_day: str | None = None,
+    end_day: str | None = None,
+    k: int = 256,
+) -> DataFrame:
+    """Distinct-count estimate over a day range from a
+    :func:`kmv_daily_sketches` rollup — ``(n_distinct)``, one row; only
+    |days| kB-sized sketch rows are touched, never the raw log."""
+    src = sketches
+    if start_day is not None:
+        src = src.where(F.col("day") >= start_day)
+    if end_day is not None:
+        src = src.where(F.col("day") <= end_day)
+    merged = _kmv_merge(src, k)
+    return merged.select(
+        F.round(_kmv_estimate(F.col("kmin"), k), 4).alias("n_distinct")
+    )
+
+
+def kmv_intersect_ranges(
+    sketches: DataFrame,
+    a_start: str,
+    a_end: str,
+    b_start: str,
+    b_end: str,
+    k: int = 256,
+) -> DataFrame:
+    """Estimate of |distinct(range A) ∩ distinct(range B)| — e.g. "how
+    many users were active in BOTH windows" — from the daily rollup
+    alone.  The theta rule: merge each range to its k-min set, take
+    θ = min(max(SA), max(SB)) (each side's coverage threshold), count
+    shared hashes below θ, and scale by the sampled fraction θ/space;
+    when both sides hold everything (< k) the count of shared hashes is
+    exact.  HLL sketches cannot answer this without lossy
+    inclusion-exclusion.  Returns ``(n_common)``, one row."""
+    a = _kmv_merge(
+        sketches.where((F.col("day") >= a_start) & (F.col("day") <= a_end)), k
+    ).select(F.col("kmin").alias("ka"))
+    b = _kmv_merge(
+        sketches.where((F.col("day") >= b_start) & (F.col("day") <= b_end)), k
+    ).select(F.col("kmin").alias("kb"))
+    both = a.crossJoin(F.broadcast(b))  # two 1-row sketch frames
+    na, nb = F.size("ka"), F.size("kb")
+    # a side that holds < k hashes covers the whole space
+    theta_a = F.when(na < k, F.lit(1 << 60)).otherwise(F.element_at("ka", k))
+    theta_b = F.when(nb < k, F.lit(1 << 60)).otherwise(F.element_at("kb", k))
+    theta = F.least(theta_a, theta_b)
+    shared = F.size(
+        F.filter(
+            F.array_intersect("ka", "kb"), lambda x: x < theta
+        )
+    )
+    exact = (na < k) & (nb < k)
+    est = F.when(exact, shared.cast("double")).otherwise(
+        shared.cast("double") * F.lit(_KMV_SPACE) / theta.cast("double")
+    )
+    return both.select(F.round(est, 4).alias("n_common"))

@@ -2721,3 +2721,65 @@ def test_contrastive_negatives_exact_python_replica(spark):
 
     with pytest.raises(ValueError, match="k must"):
         contrastive_negatives(df, "doc_id", k=0)
+
+
+def test_kmv_merge_equals_one_pass_sketch(spark):
+    """Range-merging daily KMV sketches must equal sketching the range's
+    rows in one pass (the mergeability contract), and sub-k cardinality
+    must be EXACT."""
+    from plda_spark.operators import stats
+
+    rows = [
+        (i % 40, f"2024-01-{(i % 10) + 1:02d} 06:00:00") for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    k = 16
+    sk = stats.kmv_daily_sketches(df, k=k)
+    merged = stats._kmv_merge(
+        sk.where((F.col("day") >= "2024-01-03") & (F.col("day") <= "2024-01-07")), k
+    ).collect()[0]["kmin"]
+    direct = stats.kmv_daily_sketches(
+        df.where(
+            (F.to_date("ts") >= F.lit("2024-01-03"))
+            & (F.to_date("ts") <= F.lit("2024-01-07"))
+        ).withColumn("ts", F.lit("2024-01-01 00:00:00").cast("timestamp")),
+        k=k,
+    ).collect()[0]["kmin"]
+    assert list(merged) == list(direct)
+    # 40 distinct keys > k=16 -> estimator path; sanity band only
+    est = stats.kmv_estimate_range(sk, k=k).collect()[0]["n_distinct"]
+    assert 15 <= est <= 90
+    # sub-k cardinality is exact
+    tiny = stats.kmv_daily_sketches(df.where(F.col("user_id") < 5), k=k)
+    assert stats.kmv_estimate_range(tiny, k=k).collect()[0]["n_distinct"] == 5.0
+
+
+def test_kmv_estimates_track_truth(spark):
+    """With k=256 over thousands of keys the KMV estimator must land
+    within ~3/sqrt(k) of the exact distinct and intersection counts."""
+    from plda_spark.operators import stats
+
+    rows = (
+        # window A days 01..05: keys 0..2999; window B days 06..09:
+        # keys 2000..4999 -> |A|=3000, |B|=3000, |A∩B|=1000
+        [(i, f"2024-01-{d:02d} 01:00:00") for i in range(3000) for d in (1 + i % 5,)]
+        + [(2000 + i, f"2024-01-{6 + i % 4:02d} 01:00:00") for i in range(3000)]
+    )
+    df = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    k = 256
+    sk = stats.kmv_daily_sketches(df, k=k)
+    tol = 3.0 / (k ** 0.5)  # ~19%
+    ea = stats.kmv_estimate_range(sk, "2024-01-01", "2024-01-05", k=k).collect()[0][0]
+    eb = stats.kmv_estimate_range(sk, "2024-01-06", "2024-01-09", k=k).collect()[0][0]
+    ei = stats.kmv_intersect_ranges(
+        sk, "2024-01-01", "2024-01-05", "2024-01-06", "2024-01-09", k=k
+    ).collect()[0][0]
+    assert abs(ea - 3000) / 3000 < tol
+    assert abs(eb - 3000) / 3000 < tol
+    assert abs(ei - 1000) / 1000 < 2 * tol  # intersection compounds both sides
+    with pytest.raises(ValueError, match="k must be"):
+        stats.kmv_daily_sketches(df, k=1)

@@ -2116,6 +2116,18 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_kmv_probes"] = stats_kmv_probes
 
+    def text_rake_keywords(spark, sf):
+        """RAKE keyword extraction (operators/text.py rake_keywords —
+        Rose et al. 2010): stopword-delimited candidate phrases scored
+        by summed word deg/freq, top-3 per document.  Phrase splitting
+        is one per-row JVM struct fold; scoring is two doc-keyed
+        aggregations + one equi-join; the oracle rebuilds the phrases
+        INDEPENDENTLY (ordinality + running stopword count windows) and
+        must land on identical scores."""
+        return text.rake_keywords(load_table(spark, sf, "documents"), top_k=3)
+
+    q["text_rake_keywords"] = text_rake_keywords
+
     def sim_quantize_int8(spark, sf):
         """Symmetric per-vector int8 embedding quantization (max-abs
         scaling, the faiss/SQ8 storage layout): 4× smaller vectors for
@@ -3847,6 +3859,54 @@ SELECT doc_id,
          AS char_entropy,
        CAST(len(chars) AS INTEGER) AS alphabet_size
 FROM d
+"""
+
+
+    # Independent phrase reconstruction: ordinality + running stopword
+    # count gives the same stopword-free runs the Spark-side JVM fold
+    # produces; scores must then agree to 4 decimals.
+    o["text_rake_keywords"] = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), w AS (
+  SELECT doc_id, u.tok AS tok, u.pos AS pos,
+         u.tok IN ('the', 'and', 'of', 'to', 'in', 'is', 'it', 'that', 'for', 'with') AS is_stop
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(toks,
+                                 (x, i) -> struct_pack(tok := x, pos := i))) AS u
+    FROM t
+  )
+), g AS (
+  SELECT doc_id, tok, pos, is_stop,
+         count(*) FILTER (WHERE is_stop)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM w
+), p AS (
+  SELECT doc_id, grp, list(tok ORDER BY pos) AS words
+  FROM g WHERE NOT is_stop GROUP BY doc_id, grp
+), ph AS (
+  SELECT doc_id, array_to_string(words, ' ') AS phrase, words,
+         len(words) AS plen
+  FROM p
+), ws AS (
+  SELECT doc_id, word, count(*) AS freq, sum(plen) AS deg
+  FROM (SELECT doc_id, plen, unnest(words) AS word FROM ph)
+  GROUP BY doc_id, word
+), cand AS (
+  SELECT DISTINCT doc_id, phrase, words FROM ph
+), scored AS (
+  SELECT c.doc_id, c.phrase,
+         round(sum(CAST(ws.deg AS DOUBLE) / ws.freq), 4) AS score
+  FROM (SELECT doc_id, phrase, unnest(words) AS word FROM cand) c
+  JOIN ws ON ws.doc_id = c.doc_id AND ws.word = c.word
+  GROUP BY c.doc_id, c.phrase
+)
+SELECT doc_id, phrase, score, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, phrase) AS rnk
+  FROM scored
+) WHERE rnk <= 3
 """
 
     # Same md5 60-bit hashes, same k-min merge, same theta arithmetic:
@@ -6114,6 +6174,7 @@ EXTRA_QUERIES: list[str] = [
     "text_char_entropy",
     "source_snapshot_delete_keys",
     "stats_kmv_probes",
+    "text_rake_keywords",
 ]
 
 

@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "source_snapshot_delete_keys",
     # KMV theta sketches: range-distinct + range-intersection estimates
     "stats_kmv_probes",
+    # RAKE keyword extraction (stopword-run phrases, deg/freq scoring)
+    "text_rake_keywords",
 ]
 
 

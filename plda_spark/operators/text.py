@@ -16,7 +16,7 @@ per-row).  Filters/projections push down to the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from plda_spark.lda.corpus import MIN_TOKEN_LEN, TOKEN_RE
@@ -42,6 +42,7 @@ __all__ = [
     "gopher_filters",
     "gopher_repetition",
     "c4_clean",
+    "rake_keywords",
     "PII_PATTERNS",
     "BPE_SPLIT_RE",
     "STOPWORDS",
@@ -1199,3 +1200,90 @@ def normalize_unicode(
     return docs.select(
         F.col(id_col).alias("i"), F.col(text_col).alias("t")
     ).mapInPandas(norm, schema="doc_id long, text string")
+
+
+def rake_keywords(
+    docs: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    Extraction from Individual Documents"): candidate phrases are the
+    maximal stopword-free token runs; each word scores deg(w)/freq(w)
+    over the document (deg = summed length of the phrases its
+    occurrences sit in); a phrase scores the sum of its words' scores.
+    Returns the ``top_k`` phrases per document:
+    ``(doc_id, phrase, score, rank)`` — ties broken by phrase text.
+
+    Shape for scale: phrase splitting is ONE per-row JVM fold (struct
+    accumulator over the token array — no window, no per-token rows
+    until the explode); word statistics and phrase scores are two
+    ``(doc_id, …)``-keyed aggregations plus one equi-join, all map-side
+    combined; the final top-k is a per-doc rank window over
+    phrase-count rows.  No Python anywhere.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    sw = stopwords if stopwords is not None else STOPWORDS["en"]
+    sw_arr = F.array(*[F.lit(w) for w in sw])
+    empty_ph = F.expr("CAST(array() AS ARRAY<ARRAY<STRING>>)")
+    empty_cur = F.expr("CAST(array() AS ARRAY<STRING>)")
+    folded = F.aggregate(
+        tokens_col(text_col),
+        F.struct(empty_ph.alias("ph"), empty_cur.alias("cur")),
+        lambda acc, x: F.when(
+            F.array_contains(sw_arr, x),
+            F.struct(
+                F.when(
+                    F.size(acc["cur"]) > 0, F.concat(acc["ph"], F.array(acc["cur"]))
+                )
+                .otherwise(acc["ph"])
+                .alias("ph"),
+                empty_cur.alias("cur"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["ph"].alias("ph"),
+                F.concat(acc["cur"], F.array(x)).alias("cur"),
+            )
+        ),
+        lambda acc: F.when(
+            F.size(acc["cur"]) > 0, F.concat(acc["ph"], F.array(acc["cur"]))
+        ).otherwise(acc["ph"]),
+    )
+    ph = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(folded).alias("words")
+    ).select(
+        "doc_id",
+        F.array_join("words", " ").alias("phrase"),
+        "words",
+        F.size("words").alias("plen"),
+    )
+    wstats = (
+        ph.select("doc_id", "plen", F.explode("words").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("plen").alias("deg"),
+        )
+    )
+    cand = ph.select("doc_id", "phrase", "words").dropDuplicates(
+        ["doc_id", "phrase"]
+    )
+    scored = (
+        cand.select("doc_id", "phrase", F.explode("words").alias("word"))
+        .join(wstats, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase")
+        .agg(
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq")), 4
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("phrase"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

@@ -2783,3 +2783,35 @@ def test_kmv_estimates_track_truth(spark):
     assert abs(ei - 1000) / 1000 < 2 * tol  # intersection compounds both sides
     with pytest.raises(ValueError, match="k must be"):
         stats.kmv_daily_sketches(df, k=1)
+
+
+def test_rake_keywords_hand_computed(spark):
+    """Hand-worked RAKE example: phrases split at the 'en' stopword set
+    and at punctuation; scores = sum of per-word deg/freq over the
+    document."""
+    doc = "deep learning models and deep learning systems for language"
+    docs = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    got = {
+        r["phrase"]: (r["score"], r["rank"])
+        for r in text.rake_keywords(docs, top_k=10).collect()
+    }
+    # phrases: [deep learning models], [deep learning systems], [language]
+    # freq: deep 2, learning 2, models 1, systems 1, language 1
+    # deg:  deep 6, learning 6, models 3, systems 3, language 1
+    # scores: 3 + 3 + 3 = 9.0 (both 3-word phrases), 1.0 (language)
+    assert got["deep learning models"][0] == 9.0
+    assert got["deep learning systems"][0] == 9.0
+    assert got["language"][0] == 1.0
+    # tie on 9.0 broken by phrase text
+    assert got["deep learning models"][1] == 1
+    assert got["deep learning systems"][1] == 2
+    with pytest.raises(ValueError, match="top_k"):
+        text.rake_keywords(docs, top_k=0)
+
+
+def test_rake_keywords_respects_top_k(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    got = text.rake_keywords(docs, top_k=2)
+    per_doc = got.groupBy("doc_id").count().collect()
+    assert all(r["count"] <= 2 for r in per_doc)
+    assert got.where(F.col("rank") > 2).count() == 0

@@ -2128,6 +2128,17 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_rake_keywords"] = text_rake_keywords
 
+    def text_lm_score_kn3(spark, sf):
+        """Interpolated Kneser-Ney TRIGRAM perplexity per document
+        (operators/text.py lm_score_kn3) — one order up from the bigram
+        filter, the shape of CCNet's KenLM scoring.  Count tables are
+        vocab-power-bounded natural-key joins; the oracle replays the
+        full Chen-Goodman recursion (continuation counts at order 2)
+        and must match avg_logp / perplexity to 6 decimals."""
+        return text.lm_score_kn3(load_table(spark, sf, "documents"))
+
+    q["text_lm_score_kn3"] = text_lm_score_kn3
+
     def sim_quantize_int8(spark, sf):
         """Symmetric per-vector int8 embedding quantization (max-abs
         scaling, the faiss/SQ8 storage layout): 4× smaller vectors for
@@ -5404,6 +5415,78 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
 FROM p GROUP BY doc_id
 """
 
+    o["text_lm_score_kn3"] = f"""
+WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
+v AS (
+  SELECT CAST(count(DISTINCT w) AS BIGINT) AS vocab
+  FROM (SELECT unnest(t) AS w FROM toks)
+),
+tg AS (
+  SELECT doc_id, s.a AS a, s.b AS b, s.c AS c FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t) - 1),
+                                 i -> struct_pack(a := t[i], b := t[i+1],
+                                                  c := t[i+2]))) AS s
+    FROM toks WHERE len(t) >= 3
+  )
+),
+tri AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS c_abc FROM tg GROUP BY 1, 2, 3),
+ctx2 AS (
+  SELECT a, b, CAST(sum(c_abc) AS BIGINT) AS ctx_ab,
+         CAST(count(*) AS BIGINT) AS n1p_ab
+  FROM tri GROUP BY a, b
+),
+midc AS (SELECT b, c, CAST(count(*) AS BIGINT) AS n1bc FROM tri GROUP BY b, c),
+midb AS (
+  SELECT b, CAST(sum(n1bc) AS BIGINT) AS tot_mid_b,
+         CAST(count(*) AS BIGINT) AS n1p_mid_b
+  FROM midc GROUP BY b
+),
+bg AS (
+  SELECT s.a AS a, s.b AS b FROM (
+    SELECT unnest(list_transform(range(1, len(t)),
+                                 i -> struct_pack(a := t[i], b := t[i+1]))) AS s
+    FROM toks WHERE len(t) >= 2
+  )
+),
+bi AS (SELECT a, b, count(*) AS c_ab FROM bg GROUP BY a, b),
+cont AS (SELECT b AS c, CAST(count(*) AS BIGINT) AS n1p_b FROM bi GROUP BY b),
+nbb AS (SELECT CAST(count(*) AS BIGINT) AS n_bb FROM bi),
+p AS (
+  SELECT tg.doc_id,
+         CASE WHEN coalesce(ctx_ab, 0) > 0 THEN
+           (GREATEST(coalesce(c_abc, 0) - 0.75, 0.0)
+            + 0.75 * n1p_ab *
+              CASE WHEN coalesce(tot_mid_b, 0) > 0 THEN
+                (GREATEST(coalesce(n1bc, 0) - 0.75, 0.0)
+                 + 0.75 * n1p_mid_b * ((coalesce(n1p_b, 0) + 1)
+                                       / CAST(n_bb + vocab AS DOUBLE)))
+                / tot_mid_b
+              ELSE (coalesce(n1p_b, 0) + 1) / CAST(n_bb + vocab AS DOUBLE)
+              END) / ctx_ab
+         ELSE
+           CASE WHEN coalesce(tot_mid_b, 0) > 0 THEN
+             (GREATEST(coalesce(n1bc, 0) - 0.75, 0.0)
+              + 0.75 * n1p_mid_b * ((coalesce(n1p_b, 0) + 1)
+                                    / CAST(n_bb + vocab AS DOUBLE)))
+             / tot_mid_b
+           ELSE (coalesce(n1p_b, 0) + 1) / CAST(n_bb + vocab AS DOUBLE)
+           END
+         END AS p_kn
+  FROM tg
+  LEFT JOIN tri USING (a, b, c)
+  LEFT JOIN ctx2 USING (a, b)
+  LEFT JOIN midc USING (b, c)
+  LEFT JOIN midb USING (b)
+  LEFT JOIN cont USING (c)
+  CROSS JOIN nbb CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+       ROUND(avg(ln(p_kn)), 6) AS avg_logp,
+       ROUND(exp(-avg(ln(p_kn))), 6) AS perplexity
+FROM p GROUP BY doc_id
+"""
+
     _z_terms = " | ".join(
         f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
         for b in range(8)
@@ -6175,6 +6258,7 @@ EXTRA_QUERIES: list[str] = [
     "source_snapshot_delete_keys",
     "stats_kmv_probes",
     "text_rake_keywords",
+    "text_lm_score_kn3",
 ]
 
 

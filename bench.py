@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "stats_kmv_probes",
     # RAKE keyword extraction (stopword-run phrases, deg/freq scoring)
     "text_rake_keywords",
+    # interpolated Kneser-Ney trigram perplexity (CCNet-filter shape)
+    "text_lm_score_kn3",
 ]
 
 

@@ -31,6 +31,7 @@ __all__ = [
     "bm25_score",
     "lm_score",
     "lm_score_kn",
+    "lm_score_kn3",
     "dedup_paragraphs",
     "split_sentences",
     "normalize_unicode",
@@ -1286,4 +1287,133 @@ def rake_keywords(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
+    )
+
+
+def lm_score_kn3(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    discount: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc interpolated Kneser-Ney TRIGRAM LM score — one order up
+    from :func:`lm_score_kn`, closing in on the 5-gram KenLM filter
+    CCNet runs (Chen & Goodman 1998's recursive formulation, public):
+
+        P(c|ab) = max(c(abc)−D, 0)/ctx(ab)
+                  + D·N1+(ab·)/ctx(ab) · P₂(c|b)
+        P₂(c|b) = max(N1+(·bc)−D, 0)/N1+(·b·)
+                  + D·N1+(b··)/N1+(·b·) · Pc(c)       (continuation
+                                                       counts, NOT raw
+                                                       bigram counts)
+        Pc(c)   = (N1+(·c) + 1)/(N_bb + V)             (same add-one
+                                                       floor as order 2)
+
+    with backoff to the next order down whenever a context is unseen.
+    N1+(·bc) = distinct left-extensions of (b,c); N1+(·b·) = distinct
+    (a,c) around b; N1+(b··) = distinct c continuing some (·,b,c) —
+    all from the TRIGRAM TYPE table, per the continuation-count rule.
+
+    Returns ``(doc_id, n_trigrams, avg_logp, perplexity)`` (docs with
+    <3 tokens absent), rounded for cross-engine hash stability.
+
+    Scale shape: four map-side-combined count tables (trigram counts,
+    (a,b) contexts, (b,c) continuations, b middles) + the order-2
+    continuation table, joined onto the doc-trigram stream on their
+    natural keys — every table is vocab-power-bounded, nothing
+    corpus-sized is broadcast, and only the scalars N_bb and V touch
+    the driver (same contract as :func:`lm_score_kn`).
+    """
+    if not (0.0 < discount < 1.0):
+        raise ValueError("discount must be in (0, 1)")
+    lm_docs = docs if lm_docs is None else lm_docs
+    t = tokens_col(text_col)
+
+    def trigram_rows(src: DataFrame, with_doc: bool) -> DataFrame:
+        base = src.select(F.col(id_col).alias("doc_id"), t.alias("toks"))
+        idx = F.sequence(F.lit(1), F.size("toks") - 2)
+        tris = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("a"),
+                F.element_at("toks", i + 1).alias("b"),
+                F.element_at("toks", i + 2).alias("c"),
+            ),
+        )
+        cols = (["doc_id"] if with_doc else []) + [F.explode(tris).alias("tg")]
+        out = base.where(F.size("toks") >= 3).select(*cols)
+        keep = (["doc_id"] if with_doc else []) + [
+            F.col("tg.a").alias("a"),
+            F.col("tg.b").alias("b"),
+            F.col("tg.c").alias("c"),
+        ]
+        return out.select(*keep)
+
+    tri = trigram_rows(lm_docs, with_doc=False).groupBy("a", "b", "c").agg(
+        F.count(F.lit(1)).alias("c_abc")
+    )
+    ctx2 = tri.groupBy("a", "b").agg(
+        F.sum("c_abc").alias("ctx_ab"), F.count(F.lit(1)).alias("n1p_ab")
+    )
+    midc = tri.groupBy("b", "c").agg(F.count(F.lit(1)).alias("n1bc"))
+    midb = midc.groupBy("b").agg(
+        F.sum("n1bc").alias("tot_mid_b"), F.count(F.lit(1)).alias("n1p_mid_b")
+    )
+    # order-2 continuation stats + scalars, identical to lm_score_kn
+    base2 = lm_docs.select(t.alias("toks")).where(F.size("toks") >= 2)
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at("toks", i).alias("a"),
+            F.element_at("toks", i + 1).alias("b"),
+        ),
+    )
+    bi = (
+        base2.select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.a").alias("a"), F.col("bg.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    cont = bi.groupBy("b").agg(F.count(F.lit(1)).alias("n1p_b"))
+    n_bb = bi.count()
+    vocab_size = lm_docs.select(F.explode(t).alias("w")).distinct().count()
+
+    d = F.lit(discount)
+    pc = (F.coalesce(F.col("n1p_b"), F.lit(0)) + 1) / F.lit(float(n_bb + vocab_size))
+    p2 = F.when(
+        F.coalesce(F.col("tot_mid_b"), F.lit(0)) > 0,
+        (
+            F.greatest(F.coalesce(F.col("n1bc"), F.lit(0)) - d, F.lit(0.0))
+            + d * F.col("n1p_mid_b") * pc
+        )
+        / F.col("tot_mid_b"),
+    ).otherwise(pc)
+    p3 = F.when(
+        F.coalesce(F.col("ctx_ab"), F.lit(0)) > 0,
+        (
+            F.greatest(F.coalesce(F.col("c_abc"), F.lit(0)) - d, F.lit(0.0))
+            + d * F.col("n1p_ab") * p2
+        )
+        / F.col("ctx_ab"),
+    ).otherwise(p2)
+    scored = (
+        trigram_rows(docs, with_doc=True)
+        .join(tri, ["a", "b", "c"], "left")
+        .join(ctx2, ["a", "b"], "left")
+        .join(midc, ["b", "c"], "left")
+        .join(midb, ["b"], "left")
+        # the order-2 continuation table keys on the PREDICTED word
+        .join(cont.withColumnRenamed("b", "c"), ["c"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.avg(F.log(p3)).alias("__avg_logp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        F.round("__avg_logp", 6).alias("avg_logp"),
+        F.round(F.exp(-F.col("__avg_logp")), 6).alias("perplexity"),
     )

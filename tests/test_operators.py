@@ -2815,3 +2815,95 @@ def test_rake_keywords_respects_top_k(spark, sf_dir):
     per_doc = got.groupBy("doc_id").count().collect()
     assert all(r["count"] <= 2 for r in per_doc)
     assert got.where(F.col("rank") > 2).count() == 0
+
+
+def test_lm_score_kn3_matches_brute_force(spark, sf_dir):
+    """Full interpolated-KN trigram recursion vs an independent
+    dict-based reference (continuation counts at order 2, add-one
+    floored unigram) on real documents."""
+    import math
+    import re as _re
+    from collections import Counter, defaultdict
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    D = 0.75
+    tok = lambda s: [w for w in _re.split(r"[^a-z0-9]+", s.lower()) if len(w) >= 2]
+    tri, bi = Counter(), Counter()
+    vocab = set()
+    for s in texts.values():
+        ws = tok(s)
+        vocab.update(ws)
+        for i in range(len(ws) - 2):
+            tri[(ws[i], ws[i + 1], ws[i + 2])] += 1
+        for i in range(len(ws) - 1):
+            bi[(ws[i], ws[i + 1])] += 1
+    ctx_ab, n1p_ab = Counter(), Counter()
+    for (a, b, c), n in tri.items():
+        ctx_ab[(a, b)] += n
+        n1p_ab[(a, b)] += 1
+    n1bc = Counter({(b, c): 1 for (a, b, c) in tri})
+    n1bc = Counter()
+    for (a, b, c) in tri:
+        n1bc[(b, c)] += 1
+    tot_mid_b, n1p_mid_b = Counter(), Counter()
+    for (b, c), n in n1bc.items():
+        tot_mid_b[b] += n
+        n1p_mid_b[b] += 1
+    n1p_c = Counter()
+    for (a, b) in bi:
+        n1p_c[b] += 1
+    n_bb, V = len(bi), len(vocab)
+
+    def pc(c):
+        return (n1p_c.get(c, 0) + 1) / (n_bb + V)
+
+    def p2(b, c):
+        if tot_mid_b.get(b, 0) > 0:
+            return (
+                max(n1bc.get((b, c), 0) - D, 0.0)
+                + D * n1p_mid_b[b] * pc(c)
+            ) / tot_mid_b[b]
+        return pc(c)
+
+    def p3(a, b, c):
+        if ctx_ab.get((a, b), 0) > 0:
+            return (
+                max(tri.get((a, b, c), 0) - D, 0.0)
+                + D * n1p_ab[(a, b)] * p2(b, c)
+            ) / ctx_ab[(a, b)]
+        return p2(b, c)
+
+    want = {}
+    for did, s in texts.items():
+        ws = tok(s)
+        if len(ws) < 3:
+            continue
+        lps = [
+            math.log(p3(ws[i], ws[i + 1], ws[i + 2]))
+            for i in range(len(ws) - 2)
+        ]
+        avg = sum(lps) / len(lps)
+        want[did] = (len(lps), round(avg, 6), round(math.exp(-avg), 6))
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logp"], r["perplexity"])
+        for r in text.lm_score_kn3(docs).collect()
+    }
+    assert set(got) == set(want)
+    for did in want:
+        assert got[did][0] == want[did][0], did
+        assert abs(got[did][1] - want[did][1]) < 1e-5, did
+    with pytest.raises(ValueError, match="discount"):
+        text.lm_score_kn3(docs, discount=1.0)
+
+
+def test_lm_score_kn3_repetition_scores_lower_perplexity(spark):
+    """A degenerate repeated trigram must be far more predictable than
+    natural-ish varied text under the corpus-trained trigram LM."""
+    rep = " ".join(["alpha beta gamma"] * 30)
+    varied = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(0, rep), (1, varied)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["perplexity"] for r in text.lm_score_kn3(docs).collect()}
+    assert got[0] < got[1]

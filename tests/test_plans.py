@@ -538,3 +538,57 @@ def test_image_neardup_is_banded_equi_join(spark):
     # the adaptive formatted plan may list the node twice)
     assert 1 <= s["sort_merge_joins"] + s["broadcast_hash_joins"] <= 2
     assert "BatchEvalPython" not in plan  # Arrow-batched, never row-at-a-time
+
+
+def test_containment_is_prefix_equi_join_only(spark):
+    """Asymmetric containment: candidates must come from the shingle
+    equi-join (prefix x full), never a cartesian/nested-loop."""
+    from plda_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = plan_summary(dedup.containment_pairs(docs, threshold=0.8, n=3))
+    assert "Cartesian" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+
+
+def test_kn3_never_broadcasts_vocab_sized_tables(spark):
+    """The trigram/context/continuation count tables are vocab-power-
+    sized at web scale; with the auto threshold off, no hint may force
+    them broadcast (same contract as tf_idf / collocations)."""
+    import __spark_entry__ as e
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        s = plan_summary(
+            e.all_queries()["text_lm_score_kn3"](spark, "/root/testdata/sf0.001")
+        )
+        assert s["broadcast_hash_joins"] == 0
+        assert "Cartesian" not in s["plan"]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_rake_is_fold_plus_keyed_joins(spark):
+    """RAKE: phrase split stays a per-row fold (no window, no Python);
+    scoring joins on (doc_id, word) only."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["text_rake_keywords"](spark, "/root/testdata/sf0.001")
+    )
+    assert "Cartesian" not in s["plan"]
+    assert "BatchEvalPython" not in s["plan"]
+    assert "ArrowEvalPython" not in s["plan"]
+    assert "MapInPandas" not in s["plan"]
+
+
+def test_kmv_probes_touch_only_sketch_rows(spark):
+    """KMV estimates run off the rollup: the only cross join allowed is
+    the two 1-row merged-sketch frames in the intersection probe."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_kmv_probes"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BatchEvalPython" not in s["plan"]

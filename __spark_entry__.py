@@ -801,6 +801,18 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stream_interval_join"] = stream_interval_join
+
+    def stream_interval_join_outer(spark, sf):
+        """Batch twin of the LEFT OUTER stream-stream interval join
+        (streaming.windows.interval_join_outer): every purchase emits,
+        unmatched ones with null error columns — the outer-join surface
+        whose null rows only Structured Streaming's watermark can
+        certify; streaming parity is pinned in tests/test_streaming."""
+        return windows.interval_join_outer_batch(
+            load_table(spark, sf, "events")
+        ).select("user_id", "purchase_id", "error_id")
+
+    q["stream_interval_join_outer"] = stream_interval_join_outer
     q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
         load_table(spark, sf, "events")
     )
@@ -4403,6 +4415,18 @@ JOIN events e
  AND e.ts < p.ts
 """
 
+    # Left-outer twin: the purchase side filter must live in the FROM
+    # (a WHERE would re-filter after null-padding), the error-side
+    # predicates in the ON clause.
+    o["stream_interval_join_outer"] = """
+SELECT p.user_id AS user_id, p.event_id AS purchase_id, e.event_id AS error_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 30 MINUTE
+ AND e.ts < p.ts
+"""
+
     # Twin of the multimodal fake-decode arithmetic (multimodal.py):
     # h = md5long(text) % P; image feature d = h*(2d+3) % P over dims
     # 0..7; video frame value = ((h + idx*2654435761) % P) * 3 % P over
@@ -6259,6 +6283,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_kmv_probes",
     "text_rake_keywords",
     "text_lm_score_kn3",
+    "stream_interval_join_outer",
 ]
 
 

@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "text_rake_keywords",
     # interpolated Kneser-Ney trigram perplexity (CCNet-filter shape)
     "text_lm_score_kn3",
+    # left-outer stream-stream interval join (batch twin)
+    "stream_interval_join_outer",
 ]
 
 

@@ -332,12 +332,15 @@ def stream_dedup_batch(events: DataFrame, keys: list[str] | None = None) -> Data
     )
 
 
-def _interval_join_frames(purchases: DataFrame, errors: DataFrame) -> DataFrame:
+def _interval_join_frames(
+    purchases: DataFrame, errors: DataFrame, how: str = "inner"
+) -> DataFrame:
     """Shared join expression for the stream-stream interval join and
     its batch twin: for each purchase, the errors by the SAME user in
     the preceding 30 minutes (the "did an error precede this purchase"
     enrichment).  Time-bound equality join — the bound is what lets
-    Structured Streaming expire join state behind the watermark."""
+    Structured Streaming expire join state behind the watermark.
+    ``how='leftOuter'`` keeps unmatched purchases (null error columns)."""
     p = purchases.select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
@@ -353,6 +356,7 @@ def _interval_join_frames(purchases: DataFrame, errors: DataFrame) -> DataFrame:
         (F.col("p_user") == F.col("e_user"))
         & (F.col("e_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("e_ts") < F.col("p_ts")),
+        how,
     )
     return joined.select(
         F.col("p_user").alias("user_id"), "purchase_id", "error_id", "p_ts", "e_ts"
@@ -382,6 +386,38 @@ def interval_join_batch(events: DataFrame) -> DataFrame:
     return _interval_join_frames(
         events.where(F.col("event_type") == "purchase"),
         events.where(F.col("event_type") == "error"),
+    )
+
+
+def interval_join_outer(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every purchase emits —
+    matched rows as they arrive, UNMATCHED purchases with null error
+    columns once the watermark proves no in-window error can still
+    arrive.  This is the outer-join surface Structured Streaming added
+    on top of the inner time-bound join: same bounded state (watermark
+    + 30 min per side); the null-padded rows are the part that NEEDS
+    the watermark, because "no match" is only decidable once the error
+    side's event-time frontier has passed the purchase's window."""
+    events, ntz = _for_watermark(events)
+    purchases = events.where(F.col("event_type") == "purchase").withWatermark(
+        "ts", watermark
+    )
+    errors = events.where(F.col("event_type") == "error").withWatermark(
+        "ts", watermark
+    )
+    return _restore_ntz(
+        _interval_join_frames(purchases, errors, how="leftOuter"),
+        ["p_ts", "e_ts"],
+        ntz,
+    )
+
+
+def interval_join_outer_batch(events: DataFrame) -> DataFrame:
+    """Batch twin of ``interval_join_outer`` (plain left join)."""
+    return _interval_join_frames(
+        events.where(F.col("event_type") == "purchase"),
+        events.where(F.col("event_type") == "error"),
+        how="leftOuter",
     )
 
 

@@ -123,6 +123,27 @@ def test_interval_join_matches_batch(spark, stream_dir, tmp_path):
     assert len(want - got) <= max(2, len(want) // 10)
 
 
+def test_interval_join_outer_matches_batch(spark, stream_dir, tmp_path):
+    """LEFT OUTER stream-stream interval join: matched rows must agree
+    with the batch twin; unmatched purchases must surface as null-error
+    rows once the watermark clears them (only the final-watermark tail
+    may be held back), and NO purchase may appear both matched and
+    null-matched inconsistently with the batch answer."""
+    schema = spark.read.parquet(stream_dir).schema
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    res = _run_stream(spark, windows.interval_join_outer(stream), tmp_path, "ivjo")
+    batch = windows.interval_join_outer_batch(spark.read.parquet(stream_dir))
+    got = {(r["purchase_id"], r["error_id"]) for r in res.collect()}
+    want = {(r["purchase_id"], r["error_id"]) for r in batch.collect()}
+    assert got and got <= want
+    assert len(want - got) <= max(2, len(want) // 5)
+    # outer semantics actually exercised: some null-error rows emitted
+    assert any(e is None for _, e in got)
+    # a purchase emitted as unmatched must be unmatched in the batch too
+    matched_batch = {p for p, e in want if e is not None}
+    assert all(p not in matched_batch for p, e in got if e is None)
+
+
 def test_transform_stream_scores_documents(spark, tmp_path):
     """Streaming LDA scoring: stateless mapInPandas pipeline, exact
     per-doc invariant (weights sum to the in-vocab occurrence count),

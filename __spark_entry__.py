@@ -813,6 +813,20 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("user_id", "purchase_id", "error_id")
 
     q["stream_interval_join_outer"] = stream_interval_join_outer
+
+    def curation_drift(spark, sf):
+        """Composition-drift report after a filter stage (operators/
+        curation.py mixture_drift): per-language shares before vs after
+        a length filter, retention, and the KL(after ‖ before) terms —
+        the observability pass that catches a rule silently gutting one
+        slice of the corpus.  Group-key-sized aggregations only."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents")
+        kept = docs.where(F.length("text") >= 200)
+        return curation.mixture_drift(docs, kept, group_col="lang")
+
+    q["curation_drift"] = curation_drift
     q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
         load_table(spark, sf, "events")
     )
@@ -4415,6 +4429,34 @@ JOIN events e
  AND e.ts < p.ts
 """
 
+    # Same share/KL arithmetic; groups new in `after` can't exist here
+    # (a filter only removes rows), so the null-KL branch stays empty.
+    o["curation_drift"] = """
+WITH b AS (
+  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_before,
+         count(*) / CAST((SELECT count(*) FROM documents) AS DOUBLE) AS sb
+  FROM documents GROUP BY lang
+), a AS (
+  SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_after,
+         count(*) / CAST((SELECT count(*) FROM documents
+                          WHERE length(text) >= 200) AS DOUBLE) AS sa
+  FROM documents WHERE length(text) >= 200 GROUP BY lang
+)
+SELECT coalesce(b.grp, a.grp) AS lang,
+       coalesce(n_before, 0) AS n_before,
+       coalesce(n_after, 0) AS n_after,
+       round(coalesce(sb, 0), 6) AS share_before,
+       round(coalesce(sa, 0), 6) AS share_after,
+       round(coalesce(sa, 0) - coalesce(sb, 0), 6) AS share_delta,
+       round(CASE WHEN coalesce(n_before, 0) > 0
+                  THEN coalesce(n_after, 0) / CAST(n_before AS DOUBLE) END,
+             6) AS retention,
+       round(CASE WHEN coalesce(sa, 0) = 0 THEN 0.0
+                  WHEN coalesce(sb, 0) > 0 THEN sa * ln(sa / sb)
+             END, 6) AS kl_term
+FROM b FULL OUTER JOIN a ON b.grp = a.grp
+"""
+
     # Left-outer twin: the purchase side filter must live in the FROM
     # (a WHERE would re-filter after null-padding), the error-side
     # predicates in the ON clause.
@@ -6284,6 +6326,7 @@ EXTRA_QUERIES: list[str] = [
     "text_rake_keywords",
     "text_lm_score_kn3",
     "stream_interval_join_outer",
+    "curation_drift",
 ]
 
 

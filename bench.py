@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "text_lm_score_kn3",
     # left-outer stream-stream interval join (batch twin)
     "stream_interval_join_outer",
+    # composition-drift monitor (shares, retention, KL terms)
+    "curation_drift",
 ]
 
 

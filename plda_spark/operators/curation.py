@@ -31,6 +31,7 @@ __all__ = [
     "dsir_select",
     "temperature_mixture",
     "ppl_buckets",
+    "mixture_drift",
 ]
 
 
@@ -437,4 +438,66 @@ def ppl_buckets(
                 )
             ).cast("int").alias("ppl_bucket"),
         )
+    )
+
+
+def mixture_drift(
+    before: DataFrame,
+    after: DataFrame,
+    group_col: str = "source",
+) -> DataFrame:
+    """Composition-drift report between two corpus versions — the
+    monitoring pass a curation pipeline runs after every filter/dedup
+    stage to catch a rule silently gutting one domain or language.
+
+    Per ``group_col`` value: row counts and shares in both versions,
+    the share delta, the retention rate (after/before within the
+    group), and the group's term of KL(after ‖ before) in nats —
+    ``share_after · ln(share_after / share_before)`` (0 when the group
+    vanished; groups NEW in ``after`` get null KL since the reference
+    share is 0 and the divergence is infinite — surfaced, not hidden).
+    ``sum(kl_term)`` over the output is the full divergence.
+
+    Two map-side-combined aggregations + one full-outer join on the
+    (small) group key — never touches row data beyond the group column.
+    """
+
+    def shares(df: DataFrame, n_name: str, s_name: str) -> DataFrame:
+        counts = df.groupBy(F.col(group_col).alias("grp")).agg(
+            F.count(F.lit(1)).alias(n_name)
+        )
+        total = counts.agg(F.sum(n_name).alias("__t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "grp", n_name, (F.col(n_name) / F.col("__t")).alias(s_name)
+        )
+
+    b = shares(before, "n_before", "share_before")
+    a = shares(after, "n_after", "share_after")
+    j = b.join(a, "grp", "full_outer").select(
+        F.col("grp").alias(group_col),
+        F.coalesce("n_before", F.lit(0)).alias("n_before"),
+        F.coalesce("n_after", F.lit(0)).alias("n_after"),
+        F.coalesce("share_before", F.lit(0.0)).alias("__sb"),
+        F.coalesce("share_after", F.lit(0.0)).alias("__sa"),
+    )
+    kl = F.when(F.col("__sa") == 0, F.lit(0.0)).otherwise(
+        F.when(
+            F.col("__sb") > 0,
+            F.col("__sa") * F.log(F.col("__sa") / F.col("__sb")),
+        )  # new group: share_before = 0 -> infinite divergence -> null
+    )
+    return j.select(
+        group_col,
+        "n_before",
+        "n_after",
+        F.round("__sb", 6).alias("share_before"),
+        F.round("__sa", 6).alias("share_after"),
+        F.round(F.col("__sa") - F.col("__sb"), 6).alias("share_delta"),
+        F.round(
+            F.when(
+                F.col("n_before") > 0, F.col("n_after") / F.col("n_before")
+            ),
+            6,
+        ).alias("retention"),
+        F.round(kl, 6).alias("kl_term"),
     )

@@ -2907,3 +2907,31 @@ def test_lm_score_kn3_repetition_scores_lower_perplexity(spark):
     )
     got = {r["doc_id"]: r["perplexity"] for r in text.lm_score_kn3(docs).collect()}
     assert got[0] < got[1]
+
+
+def test_mixture_drift_edges(spark):
+    """Vanished group -> kl_term 0 and retention 0; NEW group in
+    `after` -> null kl_term (infinite divergence surfaced, not hidden);
+    sum of kl_terms over shared groups = KL(after||before)."""
+    import math
+
+    from plda_spark.operators import curation
+
+    before = spark.createDataFrame(
+        [(i, "a") for i in range(60)] + [(100 + i, "b") for i in range(40)],
+        "doc_id long, source string",
+    )
+    after = spark.createDataFrame(
+        [(i, "a") for i in range(30)] + [(200 + i, "c") for i in range(10)],
+        "doc_id long, source string",
+    )
+    got = {r["source"]: r.asDict() for r in
+           curation.mixture_drift(before, after, "source").collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert got["b"]["n_after"] == 0 and got["b"]["kl_term"] == 0.0
+    assert got["b"]["retention"] == 0.0
+    assert got["c"]["kl_term"] is None and got["c"]["n_before"] == 0
+    assert got["c"]["retention"] is None
+    sa, sb = 30 / 40, 60 / 100
+    assert abs(got["a"]["kl_term"] - round(sa * math.log(sa / sb), 6)) < 1e-9
+    assert got["a"]["retention"] == 0.5

@@ -162,3 +162,78 @@ def test_encode_plan_has_no_shuffle(spark):
     s = plan_summary(wp.wordpiece_encode(docs, ["a", "##a", "b"]))
     assert s["exchanges"] == 0
     assert "BatchEvalPython" not in s["plan"]
+
+
+# ---------------------------------------------------------------------------
+# tokenizer persistence (operators/tokenizer_io.py) — all three families
+
+
+def test_tokenizer_save_load_roundtrip_all_families(spark, tmp_path):
+    """Save/load must be identity for every trained-tokenizer family,
+    and encode_with(loaded) must equal encoding with the fresh model."""
+    from plda_spark.operators import bpe, tokenizer_io, unigram
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(60)
+        .select("doc_id", "text")
+    )
+
+    def rows(df):
+        return sorted(
+            (r["doc_id"], tuple(r["tokens"])) for r in df.collect()
+        )
+
+    # BPE
+    merges = bpe.bpe_train(docs, 8)
+    p = str(tmp_path / "tok_bpe.json")
+    assert tokenizer_io.save_tokenizer(spark, merges, p) == "bpe"
+    loaded = tokenizer_io.load_tokenizer(spark, p)
+    assert loaded["merges"] == merges
+    assert rows(tokenizer_io.encode_with(docs, loaded)) == rows(
+        bpe.bpe_encode(docs, merges)
+    )
+
+    # unigram
+    uv = unigram.unigram_train(docs, vocab_size=80, max_piece_len=3, em_iters=1)
+    p = str(tmp_path / "tok_ug.json")
+    assert tokenizer_io.save_tokenizer(spark, uv, p) == "unigram"
+    loaded = tokenizer_io.load_tokenizer(spark, p)
+    assert loaded["vocab"] == uv
+    assert rows(tokenizer_io.encode_with(docs, loaded)) == rows(
+        unigram.unigram_encode(docs, uv)
+    )
+
+    # wordpiece
+    wv = wp.wordpiece_train(docs, num_merges=8)
+    p = str(tmp_path / "tok_wp.json")
+    assert tokenizer_io.save_tokenizer(spark, wv, p) == "wordpiece"
+    loaded = tokenizer_io.load_tokenizer(spark, p)
+    assert loaded["merges"] == wv["merges"] and loaded["vocab"] == wv["vocab"]
+    assert rows(tokenizer_io.encode_with(docs, loaded)) == rows(
+        wp.wordpiece_encode(docs, wv)
+    )
+
+
+def test_tokenizer_io_validators(spark, tmp_path):
+    from plda_spark.operators import tokenizer_io
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        tokenizer_io.save_tokenizer(spark, 42, str(tmp_path / "x.json"))
+    with pytest.raises(FileNotFoundError):
+        tokenizer_io.load_tokenizer(spark, str(tmp_path / "missing.json"))
+    p = str(tmp_path / "bad.json")
+    tokenizer_io.save_tokenizer(spark, [("a", "b")], p)
+    import json as _json
+
+    from plda_spark.sources.snapshot import _FS
+
+    fs = _FS(spark, p)  # rewrite through the same (checksummed) FS API
+    doc = _json.loads(fs.read_text(p))
+    doc["format_version"] = 99
+    fs.write_text(p, _json.dumps(doc))
+    with pytest.raises(ValueError, match="format_version"):
+        tokenizer_io.load_tokenizer(spark, p)
+    docs = spark.createDataFrame([(0, "ab")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown tokenizer kind"):
+        tokenizer_io.encode_with(docs, {"kind": "nope"})

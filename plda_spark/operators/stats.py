@@ -815,9 +815,7 @@ def kmv_daily_sketches(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     day = F.to_date(F.col(ts_col)).cast("string")
-    distinct = (
-        df.select(day.alias("day"), h.alias("h")).groupBy("day", "h").agg(F.lit(1))
-    )
+    distinct = df.select(day.alias("day"), h.alias("h")).distinct()
     w = Window.partitionBy("day").orderBy("h")
     return (
         distinct.withColumn("__r", F.row_number().over(w))

@@ -126,7 +126,6 @@ def wordpiece_train(
     num_merges: int,
     text_col: str = "text",
     min_count: int = 2,
-    checkpoint_every: int = 8,
 ) -> dict:
     """Learn a WordPiece vocabulary from ``docs[text_col]``.
 
@@ -161,7 +160,6 @@ def wordpiece_train(
     ]
     merges: list[tuple[str, str]] = []
     vocab: list[str] = list(alphabet)
-    since_ckpt = 0
     for _ in range(num_merges):
         pc = _pair_counts(words).where(F.col("cnt") >= min_count)
         sc = _symbol_counts(words)
@@ -190,7 +188,6 @@ def wordpiece_train(
         words = words.select(
             _merge_col(F.col("syms"), a, b).alias("syms"), "n"
         ).localCheckpoint(eager=True)
-        since_ckpt = 0  # every sweep materializes (see above); kept for API
     return {"merges": merges, "vocab": vocab}
 
 

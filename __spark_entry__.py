@@ -827,6 +827,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return curation.mixture_drift(docs, kept, group_col="lang")
 
     q["curation_drift"] = curation_drift
+
+    def sim_sq8_topk(spark, sf):
+        """Two-stage SQ8 search (operators/similarity.py sq8_encode /
+        sq8_topk): int8 max-abs codes (4x smaller scan — the per-vector
+        scale cancels in cosine, so the shortlist scores directly over
+        the codes), then EXACT cosine re-rank of the 20-candidate
+        shortlist.  The oracle replays quantize → shortlist → re-rank
+        end-to-end."""
+        emb = load_table(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        codes = similarity.sq8_encode(emb)
+        return similarity.sq8_topk(
+            codes, qs, k=5, refine_with=emb, shortlist=20
+        )
+
+    q["sim_sq8_topk"] = sim_sq8_topk
     q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
         load_table(spark, sf, "events")
     )
@@ -4429,6 +4447,46 @@ JOIN events e
  AND e.ts < p.ts
 """
 
+    # Quantize -> 20-candidate shortlist by int8-code cosine (scale
+    # cancels) -> exact-cosine re-rank, identical tie-breaks.
+    o["sim_sq8_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+), codes AS (
+  SELECT vec_id,
+         list_transform(v, x -> CAST(greatest(-127, least(127,
+           CAST(round(x / scale) AS INTEGER))) AS DOUBLE)) AS q8
+  FROM c WHERE scale > 0
+), q AS (
+  SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10
+), short AS (
+  SELECT query_id, vec_id, rnk FROM (
+    SELECT q.query_id, codes.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(q.qvec, codes.q8), 6) DESC,
+                      codes.vec_id) AS rnk
+    FROM codes, q WHERE codes.vec_id <> q.query_id
+  ) WHERE rnk <= 20
+)
+SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT s.query_id, s.vec_id,
+         round(list_cosine_similarity(q.qvec, e.v), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(list_cosine_similarity(q.qvec, e.v), 6) DESC,
+                    s.vec_id) AS rnk
+  FROM short s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+) WHERE rnk <= 5
+"""
+
     # Same share/KL arithmetic; groups new in `after` can't exist here
     # (a filter only removes rows), so the null-KL branch stays empty.
     o["curation_drift"] = """
@@ -6327,6 +6385,7 @@ EXTRA_QUERIES: list[str] = [
     "text_lm_score_kn3",
     "stream_interval_join_outer",
     "curation_drift",
+    "sim_sq8_topk",
 ]
 
 

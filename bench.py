@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "stream_interval_join_outer",
     # composition-drift monitor (shares, retention, KL terms)
     "curation_drift",
+    # SQ8 two-stage search (int8 shortlist + exact re-rank)
+    "sim_sq8_topk",
 ]
 
 

@@ -45,6 +45,8 @@ __all__ = [
     "ivf_pq_build",
     "ivf_pq_append",
     "ivf_pq_search",
+    "sq8_encode",
+    "sq8_topk",
 ]
 
 
@@ -1173,4 +1175,105 @@ def ivf_pq_search(
     return _ivf_pq_search(
         codes, queries, embeddings, books, prep, k, oversample,
         id_col, vec_col, query_id_col,
+    )
+
+
+def sq8_encode(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization (the faiss SQ8
+    storage layout): ``(vec_id, scale, q8 array<int>)`` with
+    ``scale = max|v| / 127`` and ``q8 = clamp(round(v / scale))`` —
+    4x smaller vectors for brute-force shortlist scans, pure JVM array
+    expressions, no shuffle.  Zero vectors (scale 0) are dropped: they
+    carry no direction to search.  The raw scale is staged under an
+    internal name so no downstream display alias can lateral-capture
+    the arithmetic."""
+    v = F.transform(vec_col, lambda x: x.cast("double"))
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    staged = embeddings.select(
+        F.col(id_col).alias("vec_id"), v.alias("__v"), scale.alias("__sc")
+    ).where(F.col("__sc") > 0)
+    q8 = F.transform(
+        "__v",
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.round(x / F.col("__sc")).cast("int")),
+        ),
+    )
+    return staged.select("vec_id", F.col("__sc").alias("scale"), q8.alias("q8"))
+
+
+def sq8_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine_with: DataFrame | None = None,
+    shortlist: int | None = None,
+    query_id_col: str = "query_id",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top-k cosine neighbors over SQ8 codes: ``(query_id, vec_id, sim,
+    rank)``.  The per-vector scale CANCELS in cosine (both the dot
+    product and the norm carry one factor of it), so scoring is plain
+    ``cosine(q8, query)`` over the int codes — the scan reads 4x fewer
+    bytes than the float corpus, which is the whole point at 100 TB.
+
+    With ``refine_with`` (the float table), a two-stage search: SQ8
+    shortlist of ``shortlist`` (default ``4k``) candidates per query,
+    then EXACT cosine re-rank of the shortlist only — the standard
+    quantize-then-refine recall fix, same shape as
+    :func:`pq_topk_refined`."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.transform(vec_col, lambda x: x.cast("double")).alias("__qvec"),
+        )
+    )
+    pre_k = k if refine_with is None else max(shortlist or 4 * k, k)
+    scored = (
+        codes.select(
+            "vec_id", F.transform("q8", lambda x: x.cast("double")).alias("__c")
+        )
+        .crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qvec"), F.col("__c")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    short = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= pre_k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )
+    if refine_with is None:
+        return short
+    exact = refine_with.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__e"),
+    )
+    rescored = (
+        short.select("query_id", "vec_id")
+        .join(exact, "vec_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qvec"), F.col("__e")), 6).alias("sim"),
+        )
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
     )

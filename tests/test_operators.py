@@ -2935,3 +2935,31 @@ def test_mixture_drift_edges(spark):
     sa, sb = 30 / 40, 60 / 100
     assert abs(got["a"]["kl_term"] - round(sa * math.log(sa / sb), 6)) < 1e-9
     assert got["a"]["retention"] == 0.5
+
+
+def test_sq8_topk_recall_against_brute(spark, sf_dir):
+    """The refined SQ8 search must recover (nearly) the exact brute-force
+    top-5; the unrefined shortlist must still rank by quantized cosine
+    deterministically, and sq8_encode must bound reconstruction error by
+    scale/2 per coordinate."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    codes = similarity.sq8_encode(emb)
+    # reconstruction bound
+    row = codes.join(emb, "vec_id").limit(20).collect()
+    for r in row:
+        v = np.array(r["embedding"], dtype=np.float64)
+        rec = np.array(r["q8"], dtype=np.float64) * r["scale"]
+        assert np.abs(rec - v).max() <= r["scale"] / 2 + 1e-12
+    refined = similarity.sq8_topk(codes, qs, k=5, refine_with=emb, shortlist=20)
+    brute = similarity.brute_force_topk(emb, qs, k=5)
+    got = {(r["query_id"], r["vec_id"]) for r in refined.collect()}
+    want = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    # int8 quantization of 64-dim unit-ish vectors: near-perfect recall
+    assert len(got & want) >= int(0.9 * len(want))
+    with pytest.raises(ValueError, match="k must be"):
+        similarity.sq8_topk(codes, qs, k=0)

@@ -845,6 +845,53 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sim_sq8_topk"] = sim_sq8_topk
+
+    def events_rfm(spark, sf):
+        """RFM user segmentation: per-user Recency (days since last
+        event, vs the corpus max date), Frequency (event count),
+        Monetary (purchase value sum), each scored into quintiles —
+        the classic behavioral-cohort feature triple.  One aggregation
+        + three ntile windows over the user-level (small) table; the
+        corpus-max date rides a broadcast 1-row aggregate."""
+        ev = load_table(spark, sf, "events")
+        mx = ev.agg(F.max(F.to_date("ts")).alias("__mx"))
+        per_user = (
+            ev.groupBy("user_id")
+            .agg(
+                F.max(F.to_date("ts")).alias("__last"),
+                F.count(F.lit(1)).alias("frequency"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("event_type") == "purchase", F.col("value"))
+                        .otherwise(F.lit(0.0))
+                    ),
+                    4,
+                ).alias("monetary"),
+            )
+            .crossJoin(F.broadcast(mx))
+            .select(
+                "user_id",
+                F.datediff("__mx", "__last").alias("recency_days"),
+                "frequency",
+                "monetary",
+            )
+        )
+        # quintile scores: R inverts (recent = best); ties broken by
+        # user_id so both engines assign identical ntiles
+        r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
+        f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+        m_w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+        return per_user.select(
+            "user_id",
+            "recency_days",
+            "frequency",
+            "monetary",
+            F.ntile(5).over(r_w).alias("r_score"),
+            F.ntile(5).over(f_w).alias("f_score"),
+            F.ntile(5).over(m_w).alias("m_score"),
+        )
+
+    q["events_rfm"] = events_rfm
     q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
         load_table(spark, sf, "events")
     )
@@ -4447,6 +4494,29 @@ JOIN events e
  AND e.ts < p.ts
 """
 
+    # Same per-user triple, same tie-broken ntile windows (1 = best).
+    o["events_rfm"] = """
+WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
+u AS (
+  SELECT user_id,
+         date_diff('day', max(CAST(ts AS DATE)), (SELECT d FROM mx))
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value
+                        ELSE 0.0 END), 4) AS monetary
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(recency_days AS INTEGER) AS recency_days,
+       frequency, monetary,
+       CAST(ntile(5) OVER (ORDER BY recency_days ASC, user_id ASC)
+            AS INTEGER) AS r_score,
+       CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC)
+            AS INTEGER) AS f_score,
+       CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC)
+            AS INTEGER) AS m_score
+FROM u
+"""
+
     # Quantize -> 20-candidate shortlist by int8-code cosine (scale
     # cancels) -> exact-cosine re-rank, identical tie-breaks.
     o["sim_sq8_topk"] = """
@@ -6386,6 +6456,7 @@ EXTRA_QUERIES: list[str] = [
     "stream_interval_join_outer",
     "curation_drift",
     "sim_sq8_topk",
+    "events_rfm",
 ]
 
 

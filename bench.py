@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "curation_drift",
     # SQ8 two-stage search (int8 shortlist + exact re-rank)
     "sim_sq8_topk",
+    # RFM behavioral segmentation (quintile windows)
+    "events_rfm",
 ]
 
 

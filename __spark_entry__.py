@@ -851,8 +851,12 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         event, vs the corpus max date), Frequency (event count),
         Monetary (purchase value sum), each scored into quintiles —
         the classic behavioral-cohort feature triple.  One aggregation
-        + three ntile windows over the user-level (small) table; the
-        corpus-max date rides a broadcast 1-row aggregate."""
+        + three ntile windows over the user-level table; the corpus-max
+        date rides a broadcast 1-row aggregate.  Exact ntile needs a
+        total order (a single-task sort of the USER table — fine up to
+        ~10M users); past that, swap the scores to broadcast
+        percentile_approx cut points, the curation.ppl_buckets pattern
+        this repo already uses for corpus-scale quantile bucketing."""
         ev = load_table(spark, sf, "events")
         mx = ev.agg(F.max(F.to_date("ts")).alias("__mx"))
         per_user = (

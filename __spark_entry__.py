@@ -896,6 +896,42 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["events_rfm"] = events_rfm
+
+    def text_readability(spark, sf):
+        """Flesch reading-ease + Flesch-Kincaid grade per document —
+        the classic readability pair used as a quality-filter feature.
+        Deterministic heuristic counters shared with the oracle:
+        sentences = '.!?' runs (min 1), words = the engine token rule,
+        syllables = vowel-group runs per word (min 1 per word).  Pure
+        per-row JVM regex/array arithmetic, no shuffle."""
+        docs = load_table(spark, sf, "documents")
+        toks = text.tokens_col("text")
+        n_words = F.size(toks)
+        n_sents = F.greatest(
+            F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+        )
+        syl = F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, w: acc
+            + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)),
+        )
+        wps = n_words.cast("double") / n_sents
+        spw = syl.cast("double") / F.greatest(n_words, F.lit(1))
+        return docs.where(n_words > 0).select(
+            "doc_id",
+            n_words.alias("n_words"),
+            n_sents.alias("n_sentences"),
+            syl.alias("n_syllables"),
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+            ).alias("flesch_ease"),
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+            ).alias("fk_grade"),
+        )
+
+    q["text_readability"] = text_readability
     q["stream_sessionize"] = lambda spark, sf: windows.sessionize_batch(
         load_table(spark, sf, "events")
     )
@@ -4498,6 +4534,30 @@ JOIN events e
  AND e.ts < p.ts
 """
 
+    # Same heuristic counters: '.!?' runs (min 1), engine tokens,
+    # vowel-group syllables (min 1/word); same published coefficients.
+    o["text_readability"] = f"""
+WITH d AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sents
+  FROM documents
+), c AS (
+  SELECT doc_id, len(toks) AS n_words, n_sents,
+         list_sum(list_transform(toks,
+           w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)))
+           AS n_syl
+  FROM d WHERE len(toks) > 0
+)
+SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+       CAST(n_sents AS INTEGER) AS n_sentences,
+       CAST(n_syl AS BIGINT) AS n_syllables,
+       round(206.835 - 1.015 * (n_words / CAST(n_sents AS DOUBLE))
+             - 84.6 * (n_syl / CAST(n_words AS DOUBLE)), 4) AS flesch_ease,
+       round(0.39 * (n_words / CAST(n_sents AS DOUBLE))
+             + 11.8 * (n_syl / CAST(n_words AS DOUBLE)) - 15.59, 4) AS fk_grade
+FROM c
+"""
+
     # Same per-user triple, same tie-broken ntile windows (1 = best).
     o["events_rfm"] = """
 WITH mx AS (SELECT max(CAST(ts AS DATE)) AS d FROM events),
@@ -6461,6 +6521,7 @@ EXTRA_QUERIES: list[str] = [
     "curation_drift",
     "sim_sq8_topk",
     "events_rfm",
+    "text_readability",
 ]
 
 

@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "sim_sq8_topk",
     # RFM behavioral segmentation (quintile windows)
     "events_rfm",
+    # Flesch/FK readability (per-row JVM counters)
+    "text_readability",
 ]
 
 

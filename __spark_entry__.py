@@ -1002,6 +1002,17 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_image_neardup"] = multimodal_image_neardup
 
+    def multimodal_audio_neardup(spark, sf):
+        """Near-duplicate audio detection: energy-profile dHash (gain-
+        robust gradient bits over the pooled |samples| profile; fake
+        backend = salt-7 md5 stream, SQL-reproducible) + the same
+        lossless band-pigeonhole hamming search as the image path
+        (multimodal.py audio_dhash / audio_near_dup_pairs)."""
+        media = multimodal.attach_fake_media(load_table(spark, sf, "documents"))
+        return multimodal.audio_near_dup_pairs(media, max_hamming=4)
+
+    q["multimodal_audio_neardup"] = multimodal_audio_neardup
+
     # ---- expensive stochastic queries LAST (rows-only; a wall-clock-
     # budgeted driver run truncates here, not at hash-checked queries) ------
     _model_cache: dict[str, object] = {}
@@ -4734,6 +4745,30 @@ FROM s a JOIN s b ON a.media_id < b.media_id
 WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
 """
 
+    # Audio twin: fake feature stream is salted (h + 7*2654435761) % P,
+    # then the identical dHash packing and brute-force hamming scan.
+    o["multimodal_audio_neardup"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         (CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 2147483647
+          + 7 * 2654435761) % 2147483647 AS h
+  FROM documents
+), s AS (
+  SELECT media_id,
+         list_reduce(
+           list_transform(range(1, 64), d ->
+             CAST(CASE WHEN (h * (2*d + 3)) % 2147483647
+                            > (h * (2*d + 1)) % 2147483647
+                  THEN 1 ELSE 0 END AS BIGINT)),
+           (acc, b) -> acc * 2 + b) AS dhash
+  FROM m
+)
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       bit_count(xor(a.dhash, b.dhash)) AS hamming
+FROM s a JOIN s b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
+"""
+
     o["stream_sessionize"] = """
 WITH flagged AS (
   SELECT user_id, ts,
@@ -6522,6 +6557,7 @@ EXTRA_QUERIES: list[str] = [
     "sim_sq8_topk",
     "events_rfm",
     "text_readability",
+    "multimodal_audio_neardup",
 ]
 
 

@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "events_rfm",
     # Flesch/FK readability (per-row JVM counters)
     "text_readability",
+    # audio energy-profile dHash near-dup (gain-invariant)
+    "multimodal_audio_neardup",
 ]
 
 

@@ -45,6 +45,9 @@ __all__ = [
     "decode_wav",
     "image_dhash",
     "image_near_dup_pairs",
+    "decode_audio_features",
+    "audio_dhash",
+    "audio_near_dup_pairs",
 ]
 
 # Canonical multimodal schema: payload + typed metadata.
@@ -408,6 +411,13 @@ def image_dhash(
     if not 2 <= dim <= 64:
         raise ValueError("dim must be in [2, 64] (bits must fit an int64)")
     feats = decode_image_features(media, out_dim=dim, decode_backend=decode_backend)
+    return _pack_dhash(feats, dim)
+
+
+def _pack_dhash(feats: DataFrame, dim: int) -> DataFrame:
+    """``(media_id, features)`` → ``(media_id, dhash)``: gradient bits
+    (f[d+1] > f[d]) packed MSB-first by an exact JVM integer fold —
+    shared by the image and audio perceptual hashes."""
     f = F.col("features")
     bits = F.transform(
         F.sequence(F.lit(1), F.lit(dim - 1)),
@@ -444,6 +454,78 @@ def image_near_dup_pairs(
     # corpus-count-sized, payload-free) so it runs once.
     sig = image_dhash(media, decode_backend=decode_backend, dim=dim)
     sig = sig.localCheckpoint(eager=False)
+    return hamming_band_pairs(
+        sig, bits=dim - 1, max_hamming=max_hamming, id_col="media_id", sig_col="dhash"
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )
+
+
+# Salt separating the fake AUDIO feature stream from the image one, so
+# the two modalities' signatures are distinct surfaces even over the
+# same payload (SQL twin: (h + 7*2654435761) % P seeding).
+_AUDIO_SALT = 7
+
+
+def decode_audio_features(
+    media: DataFrame, out_dim: int = 64, decode_backend: str = "fake"
+) -> DataFrame:
+    """``(media_id, payload, …)`` → ``(media_id, features array<double>)``:
+    a fixed-width ENERGY PROFILE per audio file — |samples| mean-pooled
+    into ``out_dim`` segments (real backend) — the whole-file twin of
+    :func:`extract_audio_windows` for fingerprint-style uses.  Fake
+    backend is the md5-seeded integer stream (salt ``_AUDIO_SALT``),
+    SQL-reproducible end to end."""
+    if decode_backend not in ("fake", "real"):
+        raise ValueError("decode_backend must be 'fake' or 'real'")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_backend == "real":
+                feats = []
+                for p in pdf["payload"]:
+                    samples, _sr = decode_wav(bytes(p))
+                    feats.append(_pool_segments(np.abs(samples), out_dim))
+            else:
+                feats = [
+                    _fake_decode(bytes(p), out_dim, salt=_AUDIO_SALT)
+                    for p in pdf["payload"]
+                ]
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return media.mapInPandas(fn, schema="media_id long, features array<double>")
+
+
+def audio_dhash(
+    media: DataFrame, decode_backend: str = "fake", dim: int = 64
+) -> DataFrame:
+    """Perceptual hash for AUDIO: gradient bits over the energy profile
+    (does segment d+1 carry more energy than segment d) — robust to
+    gain changes the way image dHash is robust to brightness, because
+    it compares ADJACENT segments, not absolute levels.  Same exact
+    int64 packing as :func:`image_dhash`."""
+    if not 2 <= dim <= 64:
+        raise ValueError("dim must be in [2, 64] (bits must fit an int64)")
+    feats = decode_audio_features(media, out_dim=dim, decode_backend=decode_backend)
+    return _pack_dhash(feats, dim)
+
+
+def audio_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    decode_backend: str = "fake",
+    dim: int = 64,
+) -> DataFrame:
+    """Near-duplicate audio pairs: energy-profile dHash + the shared
+    band-pigeonhole hamming search (lossless candidate generation, see
+    :func:`image_near_dup_pairs`).  Returns ``(media_a, media_b,
+    hamming)`` with ``media_a < media_b``."""
+    from .dedup import hamming_band_pairs
+
+    sig = audio_dhash(media, decode_backend=decode_backend, dim=dim)
+    sig = sig.localCheckpoint(eager=False)  # decode once, not per join side
     return hamming_band_pairs(
         sig, bits=dim - 1, max_hamming=max_hamming, id_col="media_id", sig_col="dhash"
     ).select(

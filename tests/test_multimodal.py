@@ -279,3 +279,34 @@ def test_image_dhash_validators(spark):
     with pytest.raises(ValueError, match="max_hamming"):
         dedup.hamming_band_pairs(sig, bits=63, max_hamming=63,
                                  id_col="media_id", sig_col="dhash")
+
+
+def test_audio_dhash_gain_invariant_real_backend(spark):
+    """Energy-profile dHash compares ADJACENT segments, so a pure gain
+    change (same signal at half volume) must produce the IDENTICAL
+    hash, while a different signal lands far away in hamming space."""
+    rng = np.random.default_rng(11)
+    sig = (rng.normal(0, 0.3, 16000).clip(-1, 1) * 20000).astype(np.int16)
+    half = (sig * 0.5).astype(np.int16)
+    other = (rng.normal(0, 0.3, 16000).clip(-1, 1) * 20000).astype(np.int16)
+    rows = [
+        (i, bytearray(encode_wav(s)), "audio", 0, 0, 1, 16000)
+        for i, s in enumerate([sig, half, other])
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    sig_map = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.audio_dhash(media, decode_backend="real").collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert sig_map[0] == sig_map[1]  # gain-invariant
+    assert ham(sig_map[0], sig_map[2]) > 10  # unrelated noise differs
+    pairs = {
+        (r["media_a"], r["media_b"])
+        for r in multimodal.audio_near_dup_pairs(
+            media, max_hamming=3, decode_backend="real"
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) not in pairs
+    with pytest.raises(ValueError, match="dim"):
+        multimodal.audio_dhash(media, dim=100)

@@ -70,6 +70,8 @@ __all__ = [
     "snapshot_read",
     "snapshot_scan",
     "snapshot_versions",
+    "snapshot_tag",
+    "snapshot_tags",
     "snapshot_changes",
     "snapshot_refresh_agg",
     "snapshot_merge",
@@ -417,14 +419,23 @@ def _read_with_deletes(
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest).  One manifest read
     resolves the exact immutable file set — concurrent commits after
     this call never change what this DataFrame scans (snapshot
     isolation), and older versions stay readable until vacuumed (time
     travel).  Pending equality deletes are applied merge-on-read
-    (see :func:`snapshot_delete_keys`)."""
+    (see :func:`snapshot_delete_keys`).  ``tag`` reads the version a
+    named tag points at (:func:`snapshot_tag`); tagged versions survive
+    vacuum."""
+    if tag is not None:
+        if version is not None:
+            raise ValueError("pass version OR tag, not both")
+        version = _resolve_tag(_FS(spark, path), path, tag)
     manifest = _resolve(spark, path, version)
     return _read_with_deletes(spark, manifest, manifest["files"])
 
@@ -809,7 +820,9 @@ def snapshot_vacuum(
     def _norm(p: str) -> str:
         return re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "", p).lstrip("/")
 
-    keep = versions[-keep_versions:]
+    keep = sorted(set(versions[-keep_versions:]) | {
+        v for v in _all_tags(fs, path).values() if v in versions
+    })
     referenced = set()
     for v in keep:
         man = _read_manifest(fs, path, v)
@@ -965,3 +978,57 @@ def snapshot_materialize_deletes(spark: SparkSession, path: str) -> int:
         "carried_files": len(carried),
     }
     return _publish(fs, path, new_manifest)
+
+
+# ---------------------------------------------------------------------------
+# named tags (Iceberg-style refs): human-handled pointers at versions
+
+_TAG_RE = re.compile(r"^tag-([A-Za-z0-9_.-]{1,64})\.json$")
+
+
+def snapshot_tag(
+    spark: SparkSession, path: str, name: str, version: int | None = None
+) -> int:
+    """Point the named tag at ``version`` (default: latest) — the
+    Iceberg-ref idiom for "the corpus release we trained run X on".
+    Tags are MUTABLE pointers (re-tagging overwrites); the versions
+    they reference are kept by :func:`snapshot_vacuum` regardless of
+    ``keep_versions``, so a tagged release stays readable.  Returns the
+    tagged version."""
+    if not re.match(r"^[A-Za-z0-9_.-]{1,64}$", name):
+        raise ValueError(
+            "tag names are 1-64 chars of [A-Za-z0-9_.-] "
+            f"(got {name!r})"
+        )
+    fs = _FS(spark, path)
+    manifest = _resolve(spark, path, version)  # validates the version exists
+    fs.write_text(
+        f"{_manifest_dir(path)}/tag-{name}.json",
+        json.dumps({"name": name, "version": manifest["version"]}),
+    )
+    return manifest["version"]
+
+
+def _all_tags(fs: _FS, path: str) -> dict[str, int]:
+    out: dict[str, int] = {}
+    for n in fs.list_names(_manifest_dir(path)):
+        m = _TAG_RE.match(n)
+        if m:
+            doc = json.loads(fs.read_text(f"{_manifest_dir(path)}/{n}"))
+            out[m.group(1)] = int(doc["version"])
+    return out
+
+
+def _resolve_tag(fs: _FS, path: str, tag: str) -> int:
+    tags = _all_tags(fs, path)
+    if tag not in tags:
+        raise FileNotFoundError(
+            f"snapshot {path} has no tag {tag!r}; "
+            f"existing tags: {sorted(tags) or 'none'}"
+        )
+    return tags[tag]
+
+
+def snapshot_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    """All tags as ``{name: version}``."""
+    return _all_tags(_FS(spark, path), path)

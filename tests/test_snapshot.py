@@ -488,3 +488,33 @@ def test_changes_refuses_delete_keys_window(spark, sf_dir, tmp_path):
     )
     with pytest.raises(ValueError, match="delete_keys"):
         snap.snapshot_changes(spark, path, 0)
+
+
+def test_tags_read_and_survive_vacuum(spark, sf_dir, tmp_path):
+    """A tag pins a release: read-by-tag returns that version, retagging
+    moves the pointer, and vacuum keeps tagged versions (files included)
+    even past keep_versions."""
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    snap.snapshot_write(evens, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_tag(spark, path, "release-1")  # -> v0
+    snap.snapshot_write(docs.where(F.col("doc_id") % 2 == 1), path, mode="append")
+    snap.snapshot_write(docs.limit(7), path, mode="overwrite")
+    assert snap.snapshot_tags(spark, path) == {"release-1": 0}
+    got = snap.snapshot_read(spark, path, tag="release-1")
+    assert _sorted_rows(got, "doc_id") == _sorted_rows(evens, "doc_id")
+    # vacuum keeps only the newest version... plus the tagged one
+    snap.snapshot_vacuum(spark, path, keep_versions=1)
+    assert snap.snapshot_read(spark, path, tag="release-1").count() == evens.count()
+    with pytest.raises(FileNotFoundError, match="vacuumed or never"):
+        snap.snapshot_read(spark, path, version=1)  # untagged mid version gone
+    # retag moves the pointer; validators fire
+    snap.snapshot_tag(spark, path, "release-1")  # now latest
+    assert snap.snapshot_read(spark, path, tag="release-1").count() == 7
+    with pytest.raises(ValueError, match="tag names"):
+        snap.snapshot_tag(spark, path, "bad name!")
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        snap.snapshot_read(spark, path, tag="nope")
+    with pytest.raises(ValueError, match="version OR tag"):
+        snap.snapshot_read(spark, path, version=0, tag="release-1")

@@ -77,6 +77,7 @@ __all__ = [
     "snapshot_merge",
     "snapshot_delete",
     "snapshot_delete_keys",
+    "snapshot_delete_keys_batch",
     "snapshot_materialize_deletes",
     "snapshot_compact",
     "snapshot_vacuum",
@@ -1032,3 +1033,59 @@ def _resolve_tag(fs: _FS, path: str, tag: str) -> int:
 def snapshot_tags(spark: SparkSession, path: str) -> dict[str, int]:
     """All tags as ``{name: version}``."""
     return _all_tags(_FS(spark, path), path)
+
+
+def snapshot_delete_keys_batch(
+    keys: DataFrame,
+    path: str,
+    key_col: str,
+    run_id: str,
+    batch_id: int,
+) -> int | None:
+    """Exactly-once STREAMING takedown sink: apply a micro-batch of
+    delete keys as one merge-on-read delete commit, tagged
+    (run_id, batch_id) — a replayed batch after a crash is a no-op, so
+    a key can never be deleted "twice" across a generation boundary
+    (which would wrongly erase rows re-appended between the attempts).
+    Use as ``deletes.writeStream.foreachBatch(lambda b, i:
+    snapshot_delete_keys_batch(b, path, key, run_id, i))`` — the
+    streaming half of the GDPR/takedown pipeline; the batch half is
+    :func:`snapshot_delete_keys`.  Empty batches publish nothing."""
+    spark = keys.sparkSession
+    fs = _FS(spark, path)
+    v = _latest_version(fs, path)
+    while v is not None:
+        man = _read_manifest(fs, path, v)
+        if man.get("run_id") == run_id and man.get("batch_id") == batch_id:
+            return None
+        v = man.get("parent")
+    if keys.limit(1).count() == 0:
+        return None
+    manifest = _resolve(spark, path, None)
+    schema = StructType.fromJson(json.loads(manifest["schema"]))
+    if key_col not in {f.name for f in schema.fields}:
+        raise ValueError(
+            f"snapshot {path} has no column {key_col!r} "
+            f"(schema: {[f.name for f in schema.fields]})"
+        )
+    version = manifest["version"] + 1
+    commit_id = f"d{version:010d}-{uuid.uuid4().hex[:8]}"
+    entries = _commit_files(
+        spark, keys.select(key_col).distinct(), path, commit_id, [key_col]
+    )
+    for e in entries:
+        e["seq"] = version
+        e["key_col"] = key_col
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "action": "delete_keys",
+        "schema": manifest["schema"],
+        "stats_cols": manifest["stats_cols"],
+        "files": manifest["files"],
+        "deletes": manifest.get("deletes", []) + entries,
+        "deleted_keys": sum(e["rows"] for e in entries),
+        "run_id": run_id,
+        "batch_id": int(batch_id),
+    }
+    return _publish(fs, path, new_manifest)

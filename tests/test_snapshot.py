@@ -518,3 +518,59 @@ def test_tags_read_and_survive_vacuum(spark, sf_dir, tmp_path):
         snap.snapshot_read(spark, path, tag="nope")
     with pytest.raises(ValueError, match="version OR tag"):
         snap.snapshot_read(spark, path, version=0, tag="release-1")
+
+
+def test_streaming_takedown_sink_exactly_once(spark, sf_dir, tmp_path):
+    """snapshot_delete_keys_batch: a real readStream of delete keys
+    drains through foreachBatch into MoR delete commits; replaying the
+    SAME stream against a wiped checkpoint (same run_id) is a no-op —
+    rows re-appended between attempts survive (generation safety)."""
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+
+    feed = str(tmp_path / "feed")
+    docs.where(F.col("doc_id") < 40).select("doc_id").write.parquet(feed)
+    schema = spark.read.parquet(feed).schema
+
+    def run(ckpt):
+        stream = spark.readStream.schema(schema).parquet(feed)
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, i: snap.snapshot_delete_keys_batch(
+                    b, path, "doc_id", run_id="takedown-1", batch_id=i
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run(str(tmp_path / "ckpt1"))
+    assert snap.snapshot_read(spark, path).where(F.col("doc_id") < 40).count() == 0
+    n_after_first = snap.snapshot_read(spark, path).count()
+    v_after_first = snap.snapshot_versions(spark, path)[-1]["version"]
+
+    # re-crawl some of the deleted ids, then REPLAY with a fresh
+    # checkpoint (same run_id): must be a no-op, not a re-delete
+    recrawl = docs.where(F.col("doc_id") < 10)
+    snap.snapshot_write(recrawl, path, mode="append")
+    run(str(tmp_path / "ckpt2"))
+    got = snap.snapshot_read(spark, path)
+    assert got.where(F.col("doc_id") < 10).count() == recrawl.count()
+    assert got.count() == n_after_first + recrawl.count()
+    # exactly one delete commit + one append since
+    vs = [v["version"] for v in snap.snapshot_versions(spark, path)]
+    assert max(vs) == v_after_first + 1  # only the append added a version
+
+
+def test_takedown_sink_empty_batch_publishes_nothing(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    empty = docs.where(F.lit(False)).select("doc_id")
+    assert snap.snapshot_delete_keys_batch(
+        empty, path, "doc_id", run_id="r", batch_id=0
+    ) is None
+    assert snap.snapshot_versions(spark, path)[-1]["version"] == 0

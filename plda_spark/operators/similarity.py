@@ -44,6 +44,7 @@ __all__ = [
     "ivf_pq_topk",
     "ivf_pq_build",
     "ivf_pq_append",
+    "ivf_pq_delete",
     "ivf_pq_search",
     "sq8_encode",
     "sq8_topk",
@@ -1277,3 +1278,63 @@ def sq8_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+def ivf_pq_delete(
+    ids: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> int:
+    """Delete vectors from a persisted ``ivf_pq_build`` index by id —
+    the takedown half of index maintenance (build / append / DELETE) —
+    rewriting ONLY the cell partitions that contain a deleted id:
+
+    1. one column-pruned scan of the code table joined to the
+       (broadcast, takedown-sized) id list finds the affected cells —
+       a list bounded by ``n_cells``, collected to the driver;
+    2. those cells' files are re-read via partition pruning, the ids
+       anti-joined away, and written back with DYNAMIC partition
+       overwrite (untouched cells' files are never opened);
+    3. a cell left EMPTY is removed via the filesystem (dynamic
+       overwrite can't replace a partition with zero rows).
+
+    Returns the number of code rows removed.  The quantizer is
+    untouched — deletes never change how surviving vectors encode."""
+    spark = ids.sparkSession
+    codes_path = f"{path}/codes"
+    codes = spark.read.parquet(codes_path)
+    key = F.broadcast(ids.select(F.col(id_col).alias("vec_id")).distinct())
+    affected = [
+        r["cell"]
+        for r in codes.join(key, "vec_id").select("cell").distinct().collect()
+    ]
+    if not affected:
+        return 0
+    touched = codes.where(F.col("cell").isin(affected))
+    n_before = touched.count()
+    survivors = touched.join(key, "vec_id", "left_anti").localCheckpoint(
+        eager=True  # sever lineage from the files the overwrite replaces
+    )
+    keep_cells = {
+        r["cell"] for r in survivors.select("cell").distinct().collect()
+    }
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        if keep_cells:
+            (
+                survivors.where(F.col("cell").isin(list(keep_cells)))
+                .write.partitionBy("cell")
+                .mode("overwrite")
+                .parquet(codes_path)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    emptied = [c for c in affected if c not in keep_cells]
+    if emptied:
+        from plda_spark.sources.snapshot import _FS
+
+        fs = _FS(spark, codes_path)
+        for c in emptied:
+            fs.delete(f"{codes_path}/cell={c}", recursive=True)
+    return n_before - survivors.count()

@@ -2963,3 +2963,53 @@ def test_sq8_topk_recall_against_brute(spark, sf_dir):
     assert len(got & want) >= int(0.9 * len(want))
     with pytest.raises(ValueError, match="k must be"):
         similarity.sq8_topk(codes, qs, k=0)
+
+
+def test_ivf_pq_delete_equals_build_on_remainder(spark, embeddings, tmp_path):
+    """ivf_pq_delete: at the exactness config, searching after a delete
+    must equal a fresh build over the surviving corpus; the quantizer
+    is untouched; deleting every member of a cell removes its partition
+    without breaking later reads or appends."""
+    import numpy as np
+
+    qs = embeddings.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    gone = embeddings.where(F.col("vec_id") % 3 == 0).select("vec_id")
+    kept = embeddings.where(F.col("vec_id") % 3 != 0)
+
+    idx = str(tmp_path / "idx")
+    similarity.ivf_pq_build(embeddings, dim=8, path=idx, n_cells=4, m=4,
+                            k_codes=8, seed=11)
+    qz_before = np.load(f"{idx}/quantizer.npz")
+    n_gone = gone.count()
+    assert similarity.ivf_pq_delete(gone, idx) == n_gone
+    qz_after = np.load(f"{idx}/quantizer.npz")
+    assert np.array_equal(qz_before["centroids"], qz_after["centroids"])
+
+    idx_kept = str(tmp_path / "idx_kept")
+    similarity.ivf_pq_build(kept, dim=8, path=idx_kept, n_cells=4, m=4,
+                            k_codes=8, seed=11)
+    # NOTE: quantizers differ (trained on different corpora) but at the
+    # exactness config both searches reduce to brute-force cosine over
+    # the same survivor set through the exact re-rank.
+    got = similarity.ivf_pq_search(qs, idx, embeddings, k=3,
+                                   n_probe=4, oversample=1000)
+    want = similarity.ivf_pq_search(qs, idx_kept, kept, k=3,
+                                    n_probe=4, oversample=1000)
+    as_set = lambda df: {(r["query_id"], r["vec_id"], r["sim"], r["rank"])
+                         for r in df.collect()}
+    assert as_set(got) == as_set(want)
+    # deleting ids absent from the index is a no-op
+    ghost = spark.createDataFrame([(99999,)], "vec_id long")
+    assert similarity.ivf_pq_delete(ghost, idx) == 0
+    # empty a WHOLE cell: reads and appends still work
+    codes = spark.read.parquet(f"{idx}/codes")
+    one_cell = codes.select("cell").limit(1).collect()[0]["cell"]
+    members = codes.where(F.col("cell") == one_cell).select("vec_id")
+    n_members = members.count()
+    assert similarity.ivf_pq_delete(members, idx) == n_members
+    remaining = spark.read.parquet(f"{idx}/codes")
+    assert remaining.where(F.col("cell") == one_cell).count() == 0
+    similarity.ivf_pq_append(embeddings.where(F.col("vec_id") % 3 == 0), idx)
+    assert spark.read.parquet(f"{idx}/codes").count() == remaining.count() + n_gone

@@ -1410,6 +1410,28 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_cross"] = dedup_cross
 
+    def layout_hilbert(spark, sf):
+        """2-D Hilbert indices for the same layout key (sources.zorder.
+        hilbert_value_col) — the locality-superior clustering curve
+        (consecutive indices are ALWAYS adjacent cells; Morton jumps
+        diagonals at quadrant boundaries).  The published xy→d
+        rotate/flip walk unrolled into 8 static JVM levels; the oracle
+        unrolls the identical levels as chained CTEs, so every index is
+        verified bit-for-bit."""
+        from plda_spark.sources.zorder import hilbert_value_col
+
+        o = load_table(spark, sf, "orders").select(
+            "o_orderkey",
+            (F.col("o_custkey") % 256).alias("x"),
+            (F.col("o_orderkey") % 256).alias("y"),
+        )
+        return o.select(
+            "o_orderkey", "x", "y",
+            hilbert_value_col("x", "y", bits=8).alias("hvalue"),
+        )
+
+    q["layout_hilbert"] = layout_hilbert
+
     def layout_zorder(spark, sf):
         """Morton z-values for a two-column layout key (sources.zorder):
         the interleave the z-ordered writer clusters files by, verified
@@ -5780,6 +5802,46 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
 FROM p GROUP BY doc_id
 """
 
+    # Hilbert xy→d: the identical 8 rotate/flip levels, generated as
+    # chained CTEs by the same loop structure the Spark column uses.
+    _h_levels = []
+    _h_s = 128
+    _h_i = 0
+    while _h_s > 0:
+        _h_levels.append(
+            f"""l{_h_i + 1} AS MATERIALIZED (
+  SELECT o_orderkey, x, y,
+    CASE WHEN (hy & {_h_s}) = 0
+         THEN CASE WHEN (hx & {_h_s}) > 0 THEN 255 - hy ELSE hy END
+         ELSE hx END AS hx,
+    CASE WHEN (hy & {_h_s}) = 0
+         THEN CASE WHEN (hx & {_h_s}) > 0 THEN 255 - hx ELSE hx END
+         ELSE hy END AS hy,
+    d + {_h_s * _h_s} * CAST(xor(3 * CASE WHEN (hx & {_h_s}) > 0 THEN 1 ELSE 0 END,
+                                 CASE WHEN (hy & {_h_s}) > 0 THEN 1 ELSE 0 END)
+                             AS BIGINT) AS d
+  FROM l{_h_i}
+)"""
+        )
+        _h_s >>= 1
+        _h_i += 1
+    o["layout_hilbert"] = (
+        """
+WITH l0 AS (
+  SELECT o_orderkey, o_custkey % 256 AS x, o_orderkey % 256 AS y,
+         o_custkey % 256 AS hx, o_orderkey % 256 AS hy,
+         CAST(0 AS BIGINT) AS d
+  FROM orders
+),
+"""
+        + ",\n".join(_h_levels)
+        + f"""
+SELECT o_orderkey, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+       d AS hvalue
+FROM l{_h_i}
+"""
+    )
+
     _z_terms = " | ".join(
         f"(((x >> {b}) & 1) << {2 * b}) | (((y >> {b}) & 1) << {2 * b + 1})"
         for b in range(8)
@@ -6558,6 +6620,7 @@ EXTRA_QUERIES: list[str] = [
     "events_rfm",
     "text_readability",
     "multimodal_audio_neardup",
+    "layout_hilbert",
 ]
 
 

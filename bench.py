@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "text_readability",
     # audio energy-profile dHash near-dup (gain-invariant)
     "multimodal_audio_neardup",
+    # Hilbert-curve layout index (runtime fold, bit-exact vs published walk)
+    "layout_hilbert",
 ]
 
 

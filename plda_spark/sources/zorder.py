@@ -21,7 +21,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zvalue_col", "write_zordered"]
+__all__ = ["zvalue_col", "write_zordered", "hilbert_value_col"]
 
 
 def zvalue_col(cols: Sequence[Column | str], bits: int = 16) -> Column:
@@ -77,3 +77,51 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def hilbert_value_col(x: Column | str, y: Column | str, bits: int = 8) -> Column:
+    """2-D Hilbert-curve index of ``(x, y)`` — the locality-superior
+    alternative to the Morton code: consecutive Hilbert indices are
+    ALWAYS adjacent cells (Morton takes long diagonal jumps at quadrant
+    boundaries), so range-partitioned files cover tighter rectangles
+    and min/max pruning discards more files for the same sort.
+
+    The published xy→d bit-level walk (rotate/flip per level — the
+    standard public-domain formulation) runs as ONE ``F.aggregate``
+    struct fold over the ``bits`` level sizes.  The fold matters: each
+    level reads the previous level's (x, y) several times, so UNROLLING
+    the levels into static expressions multiplies the tree ~4× per
+    level (4^bits nodes — measured minutes per query at bits=8); the
+    runtime fold evaluates each level once per row.  Inputs are masked
+    to ``bits`` bits like :func:`zvalue_col`; ``2·bits ≤ 62`` keeps d
+    in an int64.
+    """
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError("bits must be in [1, 31]")
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    n = 1 << bits
+    mask = F.lit(n - 1)
+    levels = F.array(*[F.lit(n >> (i + 1)).cast("long") for i in range(bits)])
+    init = F.struct(
+        x.cast("long").bitwiseAND(mask).alias("hx"),
+        y.cast("long").bitwiseAND(mask).alias("hy"),
+        F.lit(0).cast("long").alias("d"),
+    )
+
+    def step(acc, s):
+        rx = F.when(acc["hx"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        ry = F.when(acc["hy"].bitwiseAND(s) > 0, F.lit(1)).otherwise(F.lit(0))
+        # rotation (ry == 0): flip both if rx == 1, then swap x and y
+        flipped_x = F.when(rx == 1, F.lit(n - 1) - acc["hx"]).otherwise(acc["hx"])
+        flipped_y = F.when(rx == 1, F.lit(n - 1) - acc["hy"]).otherwise(acc["hy"])
+        return F.struct(
+            F.when(ry == 0, flipped_y).otherwise(acc["hx"]).alias("hx"),
+            F.when(ry == 0, flipped_x).otherwise(acc["hy"]).alias("hy"),
+            (
+                acc["d"]
+                + s * s * ((F.lit(3) * rx).bitwiseXOR(ry).cast("long"))
+            ).alias("d"),
+        )
+
+    return F.aggregate(levels, init, step, lambda acc: acc["d"])

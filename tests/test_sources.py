@@ -744,3 +744,49 @@ def test_wet_and_warc_read_multi_member_gzip(spark, tmp_path):
     rows = warc.read_warc(spark, str(d2)).collect()
     assert {r["url"] for r in rows} == {"http://y/1", "http://y/2"}
     assert all(r["html"] == "<p>hi</p>" for r in rows)
+
+
+def test_hilbert_value_matches_published_walk(spark):
+    """hilbert_value_col vs an independent transcription of the
+    published xy2d rotate/flip walk, plus the property that makes
+    Hilbert worth having over Morton: consecutive indices are ALWAYS
+    4-adjacent cells (a bijection with unit steps)."""
+    import pytest
+
+    from plda_spark.sources.zorder import hilbert_value_col
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", hilbert_value_col("x", "y", bits=5).alias("d")
+        ).collect()
+    }
+    want = {(x, y): xy2d(32, x, y) for x, y in rows}
+    assert got == want
+    inv = {d: xy for xy, d in want.items()}
+    assert len(inv) == 1024  # bijection
+    assert all(
+        abs(inv[d][0] - inv[d + 1][0]) + abs(inv[d][1] - inv[d + 1][1]) == 1
+        for d in range(1023)
+    )
+    with pytest.raises(ValueError, match="bits"):
+        hilbert_value_col("x", "y", bits=32)

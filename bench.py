@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "multimodal_audio_neardup",
     # Hilbert-curve layout index (runtime fold, bit-exact vs published walk)
     "layout_hilbert",
+    # deterministic Poisson bootstrap CI (engine-replayable resampling)
+    "stats_bootstrap_ci",
 ]
 
 

@@ -42,6 +42,8 @@ __all__ = [
     "kmv_daily_sketches",
     "kmv_estimate_range",
     "kmv_intersect_ranges",
+    "poisson1_thresholds",
+    "bootstrap_ci",
     "cms_daily_sketches",
     "cms_estimate",
     "hist_daily_sketches",
@@ -905,3 +907,81 @@ def kmv_intersect_ranges(
         shared.cast("double") * F.lit(_KMV_SPACE) / theta.cast("double")
     )
     return both.select(F.round(est, 4).alias("n_common"))
+
+
+def poisson1_thresholds(max_k: int = 9) -> list[float]:
+    """Cumulative Poisson(1) CDF thresholds c_0..c_{max_k-1} for
+    inverse-CDF sampling: weight = first k with u < c_k (k = max_k when
+    none).  Exposed so the SQL oracle embeds the IDENTICAL float
+    literals the executors compare against."""
+    import math
+
+    out, acc, fact = [], 0.0, 1.0
+    for k in range(max_k):
+        if k > 0:
+            fact *= k
+        acc += math.exp(-1.0) / fact
+        out.append(acc)
+    return out
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_replicas: int = 100,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the MEAN of
+    ``value_col`` — Poisson(1)-weighted resampling (the streaming/
+    online bootstrap: at corpus scale a with-replacement resample is
+    impossible, but Poisson(1) row weights converge to the same
+    multinomial law), with every weight DETERMINISTIC from
+    ``md5(key:replica)`` so the whole procedure is engine-replayable
+    and SQL-verifiable — no RNG state anywhere.
+
+    One aggregation job computes all ``2·n_replicas`` weighted partials
+    (map-side combined; never an explode of rows × replicas), the 1-row
+    result unpivots via ``stack``, and the CI is an exact interpolated
+    percentile over the replica means.  Returns one row:
+    ``(n_replicas, boot_mean, ci_lo, ci_hi)``.
+    """
+    if n_replicas < 2:
+        raise ValueError("n_replicas must be >= 2")
+    if not (0 < lo < hi < 1):
+        raise ValueError("need 0 < lo < hi < 1")
+    cs = poisson1_thresholds()
+    x = F.col(value_col).cast("double")
+    aggs = []
+    for b in range(n_replicas):
+        u = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{b}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(1 << 60)
+        ).cast("double") / F.lit(float(1 << 60))
+        w = F.lit(len(cs)).cast("double")
+        for k in range(len(cs) - 1, -1, -1):
+            w = F.when(u < F.lit(cs[k]), F.lit(float(k))).otherwise(w)
+        aggs.append(F.sum(w * x).alias(f"__wx_{b}"))
+        aggs.append(F.sum(w).alias(f"__w_{b}"))
+    one = df.agg(*aggs)
+    stack_expr = ", ".join(
+        f"{b}, __wx_{b} / __w_{b}" for b in range(n_replicas)
+    )
+    means = one.selectExpr(
+        f"stack({n_replicas}, {stack_expr}) as (replica, m)"
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicas"),
+        F.round(F.avg("m"), 6).alias("boot_mean"),
+        F.round(F.percentile("m", F.lit(lo)), 6).alias("ci_lo"),
+        F.round(F.percentile("m", F.lit(hi)), 6).alias("ci_hi"),
+    )

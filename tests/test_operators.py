@@ -3013,3 +3013,26 @@ def test_ivf_pq_delete_equals_build_on_remainder(spark, embeddings, tmp_path):
     assert remaining.where(F.col("cell") == one_cell).count() == 0
     similarity.ivf_pq_append(embeddings.where(F.col("vec_id") % 3 == 0), idx)
     assert spark.read.parquet(f"{idx}/codes").count() == remaining.count() + n_gone
+
+
+def test_bootstrap_ci_properties(spark):
+    """Bootstrap CI: deterministic across runs, brackets the sample
+    mean for well-behaved data, and width shrinks ~1/sqrt(n)."""
+    from plda_spark.operators import stats
+
+    rows = [(i, float(50 + (i * 37 % 100))) for i in range(2000)]
+    df = spark.createDataFrame(rows, "event_id long, value double")
+    r1 = stats.bootstrap_ci(df, "value", "event_id", n_replicas=50).collect()[0]
+    r2 = stats.bootstrap_ci(df, "value", "event_id", n_replicas=50).collect()[0]
+    assert r1 == r2  # fully deterministic
+    true_mean = sum(v for _, v in rows) / len(rows)
+    assert r1["ci_lo"] <= true_mean <= r1["ci_hi"]
+    assert r1["ci_lo"] < r1["boot_mean"] < r1["ci_hi"]
+    # smaller sample -> wider interval
+    small = spark.createDataFrame(rows[:100], "event_id long, value double")
+    rs = stats.bootstrap_ci(small, "value", "event_id", n_replicas=50).collect()[0]
+    assert (rs["ci_hi"] - rs["ci_lo"]) > (r1["ci_hi"] - r1["ci_lo"])
+    with pytest.raises(ValueError, match="n_replicas"):
+        stats.bootstrap_ci(df, "value", "event_id", n_replicas=1)
+    with pytest.raises(ValueError, match="lo"):
+        stats.bootstrap_ci(df, "value", "event_id", lo=0.9, hi=0.1)

@@ -473,7 +473,20 @@ def mixture_drift(
 
     b = shares(before, "n_before", "share_before")
     a = shares(after, "n_after", "share_after")
-    j = b.join(a, "grp", "full_outer").select(
+    # eqNullSafe: a NULL group (unlabeled slice) must be ONE row with a
+    # real retention, not a vanished-row + new-row pair — the unlabeled
+    # slice is exactly what a drift monitor is watching.
+    j = (
+        b.alias("b")
+        .join(a.alias("a"), F.col("b.grp").eqNullSafe(F.col("a.grp")), "full_outer")
+        .select(
+            F.coalesce(F.col("b.grp"), F.col("a.grp")).alias("grp"),
+            F.col("b.n_before").alias("n_before"),
+            F.col("a.n_after").alias("n_after"),
+            F.col("b.share_before").alias("share_before"),
+            F.col("a.share_after").alias("share_after"),
+        )
+    ).select(
         F.col("grp").alias(group_col),
         F.coalesce("n_before", F.lit(0)).alias("n_before"),
         F.coalesce("n_after", F.lit(0)).alias("n_after"),

@@ -431,6 +431,24 @@ def _pack_dhash(feats: DataFrame, dim: int) -> DataFrame:
     return feats.select("media_id", packed.alias("dhash"))
 
 
+def _near_dup_from_sig(sig, dim: int, max_hamming: int) -> DataFrame:
+    """Shared tail of the image/audio near-dup operators: checkpoint
+    the (media_id, dhash) rows (16 B each, payload-free) so the band
+    self-join never runs the Arrow decode twice, then the lossless
+    pigeonhole hamming search."""
+    from .dedup import hamming_band_pairs
+
+    sig = sig.localCheckpoint(eager=False)
+    return hamming_band_pairs(
+        sig, bits=dim - 1, max_hamming=max_hamming,
+        id_col="media_id", sig_col="dhash",
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )
+
+
 def image_near_dup_pairs(
     media: DataFrame,
     max_hamming: int = 3,
@@ -446,21 +464,8 @@ def image_near_dup_pairs(
 
     Returns ``(media_a, media_b, hamming)`` with ``media_a < media_b``.
     """
-    from .dedup import hamming_band_pairs
-
-    # The band self-join consumes the signature stage TWICE; unlike the
-    # JVM SimHash stage, the decode here is an Arrow/Python pass over
-    # every payload — checkpoint the (media_id, dhash) rows (16 B each,
-    # corpus-count-sized, payload-free) so it runs once.
     sig = image_dhash(media, decode_backend=decode_backend, dim=dim)
-    sig = sig.localCheckpoint(eager=False)
-    return hamming_band_pairs(
-        sig, bits=dim - 1, max_hamming=max_hamming, id_col="media_id", sig_col="dhash"
-    ).select(
-        F.col("id_a").alias("media_a"),
-        F.col("id_b").alias("media_b"),
-        "hamming",
-    )
+    return _near_dup_from_sig(sig, dim, max_hamming)
 
 
 # Salt separating the fake AUDIO feature stream from the image one, so
@@ -522,14 +527,5 @@ def audio_near_dup_pairs(
     band-pigeonhole hamming search (lossless candidate generation, see
     :func:`image_near_dup_pairs`).  Returns ``(media_a, media_b,
     hamming)`` with ``media_a < media_b``."""
-    from .dedup import hamming_band_pairs
-
     sig = audio_dhash(media, decode_backend=decode_backend, dim=dim)
-    sig = sig.localCheckpoint(eager=False)  # decode once, not per join side
-    return hamming_band_pairs(
-        sig, bits=dim - 1, max_hamming=max_hamming, id_col="media_id", sig_col="dhash"
-    ).select(
-        F.col("id_a").alias("media_a"),
-        F.col("id_b").alias("media_b"),
-        "hamming",
-    )
+    return _near_dup_from_sig(sig, dim, max_hamming)

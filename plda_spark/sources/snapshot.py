@@ -846,6 +846,26 @@ def snapshot_vacuum(
     }
 
 
+def _batch_already_committed(
+    fs: _FS, path: str, run_id: str, batch_id: int
+) -> bool:
+    """Walk the live parent chain looking for a (run_id, batch_id)
+    commit marker.  A parent vacuumed away ends the walk (it cannot
+    carry a LIVE marker) instead of raising — without this, the first
+    vacuum would permanently crash every streaming sink pointed at the
+    table.  Cost is one kB manifest read per live version."""
+    v = _latest_version(fs, path)
+    while v is not None:
+        try:
+            man = _read_manifest(fs, path, v)
+        except FileNotFoundError:
+            return False  # chain vacuumed past this point
+        if man.get("run_id") == run_id and man.get("batch_id") == batch_id:
+            return True
+        v = man.get("parent")
+    return False
+
+
 def snapshot_sink_batch(
     df: DataFrame,
     path: str,
@@ -862,13 +882,8 @@ def snapshot_sink_batch(
     streaming/windows.py's incremental-dedup ledgers."""
     spark = df.sparkSession
     fs = _FS(spark, path)
-    latest = _latest_version(fs, path)
-    v = latest
-    while v is not None:
-        man = _read_manifest(fs, path, v)
-        if man.get("run_id") == run_id and man.get("batch_id") == batch_id:
-            return None
-        v = man.get("parent")
+    if _batch_already_committed(fs, path, run_id, batch_id):
+        return None
     return snapshot_write(
         df,
         path,
@@ -879,13 +894,19 @@ def snapshot_sink_batch(
 
 
 def snapshot_delete_keys(
-    spark: SparkSession, path: str, keys: DataFrame, key_col: str
-) -> int:
+    spark: SparkSession,
+    path: str,
+    keys: DataFrame,
+    key_col: str,
+    extra: dict | None = None,
+) -> int | None:
     """MERGE-ON-READ row deletes (the Iceberg v2 equality-delete design):
     write the deleted key values as ONE small parquet delete file and
     publish a manifest that lists it under ``deletes`` — O(|keys|) IO
     regardless of table size, no data file touched.  Returns the new
-    version.
+    version, or None without publishing when ``keys`` is empty (a no-op
+    takedown must not pollute version history or force CDC consumers
+    into the non-append fallback).
 
     Readers (``snapshot_read`` / ``snapshot_scan`` / the rewrite paths)
     anti-join pending delete keys against every data file whose ``seq``
@@ -904,6 +925,8 @@ def snapshot_delete_keys(
             f"snapshot {path} has no column {key_col!r} "
             f"(schema: {[f.name for f in schema.fields]})"
         )
+    if keys.limit(1).count() == 0:
+        return None
     fs = _FS(spark, path)
     version = manifest["version"] + 1
     commit_id = f"d{version:010d}-{uuid.uuid4().hex[:8]}"
@@ -922,6 +945,7 @@ def snapshot_delete_keys(
         "files": manifest["files"],  # every data file carried by reference
         "deletes": manifest.get("deletes", []) + entries,
         "deleted_keys": sum(e["rows"] for e in entries),
+        **(extra or {}),
     }
     return _publish(fs, path, new_manifest)
 
@@ -1049,43 +1073,15 @@ def snapshot_delete_keys_batch(
     (which would wrongly erase rows re-appended between the attempts).
     Use as ``deletes.writeStream.foreachBatch(lambda b, i:
     snapshot_delete_keys_batch(b, path, key, run_id, i))`` — the
-    streaming half of the GDPR/takedown pipeline; the batch half is
-    :func:`snapshot_delete_keys`.  Empty batches publish nothing."""
+    streaming half of the GDPR/takedown pipeline; the batch half
+    (:func:`snapshot_delete_keys`) does all the work here, this wrapper
+    only adds the idempotence ledger check and the commit marker.
+    Empty batches publish nothing."""
     spark = keys.sparkSession
     fs = _FS(spark, path)
-    v = _latest_version(fs, path)
-    while v is not None:
-        man = _read_manifest(fs, path, v)
-        if man.get("run_id") == run_id and man.get("batch_id") == batch_id:
-            return None
-        v = man.get("parent")
-    if keys.limit(1).count() == 0:
+    if _batch_already_committed(fs, path, run_id, batch_id):
         return None
-    manifest = _resolve(spark, path, None)
-    schema = StructType.fromJson(json.loads(manifest["schema"]))
-    if key_col not in {f.name for f in schema.fields}:
-        raise ValueError(
-            f"snapshot {path} has no column {key_col!r} "
-            f"(schema: {[f.name for f in schema.fields]})"
-        )
-    version = manifest["version"] + 1
-    commit_id = f"d{version:010d}-{uuid.uuid4().hex[:8]}"
-    entries = _commit_files(
-        spark, keys.select(key_col).distinct(), path, commit_id, [key_col]
+    return snapshot_delete_keys(
+        spark, path, keys, key_col,
+        extra={"run_id": run_id, "batch_id": int(batch_id)},
     )
-    for e in entries:
-        e["seq"] = version
-        e["key_col"] = key_col
-    new_manifest = {
-        "version": version,
-        "parent": manifest["version"],
-        "action": "delete_keys",
-        "schema": manifest["schema"],
-        "stats_cols": manifest["stats_cols"],
-        "files": manifest["files"],
-        "deletes": manifest.get("deletes", []) + entries,
-        "deleted_keys": sum(e["rows"] for e in entries),
-        "run_id": run_id,
-        "batch_id": int(batch_id),
-    }
-    return _publish(fs, path, new_manifest)

@@ -3036,3 +3036,21 @@ def test_bootstrap_ci_properties(spark):
         stats.bootstrap_ci(df, "value", "event_id", n_replicas=1)
     with pytest.raises(ValueError, match="lo"):
         stats.bootstrap_ci(df, "value", "event_id", lo=0.9, hi=0.1)
+
+
+def test_mixture_drift_null_group_is_one_row(spark):
+    """A NULL group (unlabeled slice) must yield ONE row with a true
+    retention, not a vanished/new pair."""
+    from plda_spark.operators import curation
+
+    before = spark.createDataFrame(
+        [(0, None), (1, None), (2, "a"), (3, "a")], "doc_id long, source string"
+    )
+    after = spark.createDataFrame(
+        [(0, None), (2, "a")], "doc_id long, source string"
+    )
+    rows = curation.mixture_drift(before, after, "source").collect()
+    nulls = [r for r in rows if r["source"] is None]
+    assert len(nulls) == 1
+    assert nulls[0]["n_before"] == 2 and nulls[0]["n_after"] == 1
+    assert nulls[0]["retention"] == 0.5

@@ -574,3 +574,32 @@ def test_takedown_sink_empty_batch_publishes_nothing(spark, sf_dir, tmp_path):
         empty, path, "doc_id", run_id="r", batch_id=0
     ) is None
     assert snap.snapshot_versions(spark, path)[-1]["version"] == 0
+
+
+def test_streaming_sinks_survive_vacuum(spark, sf_dir, tmp_path):
+    """The (run_id, batch_id) idempotence walk must treat a vacuumed
+    parent as end-of-chain — before this fix the FIRST vacuum
+    permanently crashed every streaming sink pointed at the table."""
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_delete_keys_batch(
+        docs.limit(5).select("doc_id"), path, "doc_id", run_id="r", batch_id=0
+    )
+    snap.snapshot_sink_batch(docs.limit(3), path, run_id="r2", batch_id=0)
+    snap.snapshot_vacuum(spark, path, keep_versions=1)
+    # both sinks keep working after the chain was truncated
+    v = snap.snapshot_delete_keys_batch(
+        docs.limit(8).select("doc_id"), path, "doc_id", run_id="r", batch_id=1
+    )
+    assert v is not None
+    assert snap.snapshot_sink_batch(docs.limit(2), path, run_id="r2", batch_id=1) is not None
+
+
+def test_delete_keys_empty_is_noop(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    empty = docs.where(F.lit(False)).select("doc_id")
+    assert snap.snapshot_delete_keys(spark, path, empty, "doc_id") is None
+    assert snap.snapshot_versions(spark, path)[-1]["version"] == 0

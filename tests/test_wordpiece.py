@@ -107,8 +107,8 @@ def test_encode_published_example(spark):
         for r in wp.wordpiece_encode(docs, vocab).collect()
     }
     assert got[0] == (["un", "##aff", "##able"], 3)
-    assert got[1] == (["a", "##b"], 2) if "##b" in vocab else True
-    # 'abc' -> a ##b? '##b' not in vocab ('b' is plain only) -> [UNK]
+    # 'abc': 'a' matches, then '##b' is not in vocab ('b' is plain
+    # only), so the WHOLE word collapses to [UNK]
     assert got[1] == ([wp.UNK], 1)
     assert got[2] == ([wp.UNK], 1)  # 'zzz' tail unmatchable
     assert got[3] == ([], 0)

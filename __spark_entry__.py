@@ -903,14 +903,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         md5(event_id:replica) inverse-CDF draws, so the resampling is
         engine-replayable — the oracle recomputes all 64 replica means
         and the interpolated percentile CI bit-for-bit.  One aggregation
-        job carries every replica's partials; no row x replica explode."""
+        job carries every replica's partials; no row x replica explode
+        (32 replicas keeps the 2B-wide aggregate inside codegen limits —
+        the operator itself takes any count)."""
         from plda_spark.operators import stats
 
         purchases = load_table(spark, sf, "events").where(
             F.col("event_type") == "purchase"
         )
         return stats.bootstrap_ci(
-            purchases, value_col="value", key_col="event_id", n_replicas=64
+            purchases, value_col="value", key_col="event_id", n_replicas=32
         )
 
     q["stats_bootstrap_ci"] = stats_bootstrap_ci
@@ -4593,7 +4595,7 @@ JOIN events e
     _cs = _p1t()
     _boot_parts = []
     _boot_means = []
-    for _b in range(64):
+    for _b in range(32):
         _u = (
             f"(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':{_b}'),"
             f" 1, 15)) AS BIGINT) % {1 << 60}) / {float(1 << 60)!r}"

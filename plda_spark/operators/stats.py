@@ -952,10 +952,12 @@ def bootstrap_ci(
     if not (0 < lo < hi < 1):
         raise ValueError("need 0 < lo < hi < 1")
     cs = poisson1_thresholds()
-    x = F.col(value_col).cast("double")
-    aggs = []
-    for b in range(n_replicas):
-        u = (
+    # Stage the uniform draws as COLUMNS first: the weight's CASE chain
+    # compares u against ~10 thresholds, and inlining u there would
+    # re-run the md5 per branch (measured ~10x the runtime); staged,
+    # each replica pays exactly one md5 per row.
+    draws = [
+        (
             F.conv(
                 F.substring(
                     F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":{b}"))),
@@ -966,13 +968,23 @@ def bootstrap_ci(
                 10,
             ).cast("long")
             % F.lit(1 << 60)
-        ).cast("double") / F.lit(float(1 << 60))
+        ).cast("double")
+        / F.lit(float(1 << 60))
+        for b in range(n_replicas)
+    ]
+    staged = df.select(
+        F.col(value_col).cast("double").alias("__x"),
+        *[draws[b].alias(f"__u_{b}") for b in range(n_replicas)],
+    )
+    aggs = []
+    for b in range(n_replicas):
+        u = F.col(f"__u_{b}")
         w = F.lit(len(cs)).cast("double")
         for k in range(len(cs) - 1, -1, -1):
             w = F.when(u < F.lit(cs[k]), F.lit(float(k))).otherwise(w)
-        aggs.append(F.sum(w * x).alias(f"__wx_{b}"))
+        aggs.append(F.sum(w * F.col("__x")).alias(f"__wx_{b}"))
         aggs.append(F.sum(w).alias(f"__w_{b}"))
-    one = df.agg(*aggs)
+    one = staged.agg(*aggs)
     stack_expr = ", ".join(
         f"{b}, __wx_{b} / __w_{b}" for b in range(n_replicas)
     )

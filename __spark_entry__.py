@@ -1785,6 +1785,45 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_snapshot_delete_keys"] = source_snapshot_delete_keys
 
+    def stream_snapshot_takedown(spark, sf):
+        """Batch demonstration of the exactly-once streaming takedown
+        sink (sources/snapshot.py snapshot_delete_keys_batch — the
+        foreachBatch callable itself, driven here with explicit batch
+        ids; the true readStream path incl. checkpoint replay is gated
+        in tests/test_snapshot.py): two takedown micro-batches land as
+        MoR delete commits, a REPLAY of batch 0 is a ledger no-op, and
+        a re-crawl appended after both deletes survives them
+        (sequence-number generation safety) — the final table hashes
+        against plain survivor SQL."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        orders = load_table(spark, sf, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_snaptd_")
+        path = f"{tmp}/tbl"
+        snap.snapshot_write(
+            orders.repartitionByRange(8, "o_orderkey"),
+            path, mode="overwrite", stats_cols=["o_orderkey"],
+        )
+        b0 = orders.where(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+        b1 = orders.where(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
+        snap.snapshot_delete_keys_batch(b0, path, "o_orderkey", "takedown", 0)
+        snap.snapshot_delete_keys_batch(b1, path, "o_orderkey", "takedown", 1)
+        assert (  # crash-replay of batch 0: ledger makes it a no-op
+            snap.snapshot_delete_keys_batch(b0, path, "o_orderkey", "takedown", 0)
+            is None
+        )
+        recrawl = orders.where(F.col("o_orderkey") % 14 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        )
+        snap.snapshot_write(recrawl, path, mode="append")
+        return snap.snapshot_read(spark, path)
+
+    q["stream_snapshot_takedown"] = stream_snapshot_takedown
+
     def source_snapshot_changes(spark, sf):
         """CDC read over the snapshot table (sources/snapshot.py
         snapshot_changes): three commits land documents in doc_id%3
@@ -2299,6 +2338,39 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ra.unionAll(rb).unionAll(ri)
 
     q["stats_kmv_probes"] = stats_kmv_probes
+
+    def stats_gini_concentration(spark, sf):
+        """Gini coefficient of corpus concentration across sources and
+        languages — the one-number imbalance diagnostic curation teams
+        track release-over-release (0 = perfectly even mixture, →1 =
+        one slice dominates).  Sorted-rank formula over the GROUP-COUNT
+        table (tiny), exact integer sums until one final division:
+        G = 2·Σ(rank·cnt)/(n·Σcnt) − (n+1)/n with counts ascending,
+        ties rank-broken by group name for engine-identical hashing."""
+        docs = load_table(spark, sf, "documents")
+
+        def gini(dim: str):
+            counts = docs.groupBy(F.col(dim).alias("grp")).agg(
+                F.count(F.lit(1)).alias("cnt")
+            )
+            w = Window.orderBy(F.asc("cnt"), F.asc("grp"))
+            ranked = counts.select(
+                "cnt", F.row_number().over(w).alias("r")
+            )
+            return ranked.agg(
+                F.lit(dim).alias("dimension"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.round(
+                    F.lit(2.0) * F.sum(F.col("r") * F.col("cnt"))
+                    / (F.count(F.lit(1)) * F.sum("cnt"))
+                    - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)).cast("double"),
+                    6,
+                ).alias("gini"),
+            )
+
+        return gini("source").unionAll(gini("lang"))
+
+    q["stats_gini_concentration"] = stats_gini_concentration
 
     def text_rake_keywords(spark, sf):
         """RAKE keyword extraction (operators/text.py rake_keywords —
@@ -4587,6 +4659,25 @@ JOIN events e
  AND e.ts < p.ts
 """
 
+    # Same sorted-rank Gini arithmetic, same (cnt, name) tie-break.
+    o["stats_gini_concentration"] = """
+WITH g AS (
+  SELECT 'source' AS dimension, source AS grp, count(*) AS cnt
+  FROM documents GROUP BY source
+  UNION ALL
+  SELECT 'lang', lang, count(*) FROM documents GROUP BY lang
+), r AS (
+  SELECT dimension, cnt,
+         row_number() OVER (PARTITION BY dimension
+                            ORDER BY cnt ASC, grp ASC) AS r
+  FROM g
+)
+SELECT dimension, CAST(count(*) AS BIGINT) AS n_groups,
+       round(2.0 * sum(r * cnt) / (count(*) * sum(cnt))
+             - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM r GROUP BY dimension
+"""
+
     # Bootstrap twin: the identical md5(event_id:b) draws, Poisson
     # thresholds embedded as the SAME float literals the executors use,
     # and quantile_cont = Spark's interpolated percentile.
@@ -4977,6 +5068,16 @@ WITH survivors AS (
 SELECT 'mor' AS state, * FROM survivors
 UNION ALL
 SELECT 'materialized' AS state, * FROM survivors
+"""
+
+    # Takedown survivors: neither batch deleted the key, plus the
+    # re-crawl generation appended AFTER both deletes.
+    o["stream_snapshot_takedown"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders WHERE o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 14 = 0
 """
 
     # CDC semantics: changes since v0 = exactly the two appended thirds.
@@ -6677,6 +6778,8 @@ EXTRA_QUERIES: list[str] = [
     "multimodal_audio_neardup",
     "layout_hilbert",
     "stats_bootstrap_ci",
+    "stream_snapshot_takedown",
+    "stats_gini_concentration",
 ]
 
 

@@ -162,6 +162,9 @@ BENCH_QUERIES = [
     "layout_hilbert",
     # deterministic Poisson bootstrap CI (engine-replayable resampling)
     "stats_bootstrap_ci",
+    # exactly-once takedown sink demo + Gini concentration diagnostic
+    "stream_snapshot_takedown",
+    "stats_gini_concentration",
 ]
 
 

@@ -807,23 +807,29 @@ def kmv_daily_sketches(
     compose exactly like the HLL ones; unlike HLL, two merged sketches
     also yield an INTERSECTION estimate (:func:`kmv_intersect_ranges`)
     via the theta rule.  Build shape: one (day, hash) dedup aggregation
-    (map-side combined), then a per-day rank window for the k minima —
-    the window sorts each day's distinct hashes; a production deployment
-    at extreme per-day cardinality would swap in a bounded min-k
-    Aggregator, the one seam this keeps simple."""
+    (map-side combined), then a SALTED two-stage k-min — per
+    ``(day, hash % n_salts)`` the k smallest (each salt bucket buffers
+    only its 1/n_salts slice), then the k smallest of the ≤ n_salts·k
+    survivors per day.  The global k minima are a subset of the
+    per-salt k minima, so the result is identical to a full per-day
+    sort at a fraction of its memory and without ordering a whole
+    day's distinct hashes through one task."""
     if k < 2:
         raise ValueError("k must be >= 2")
+    n_salts = 64
     h = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
     day = F.to_date(F.col(ts_col)).cast("string")
     distinct = df.select(day.alias("day"), h.alias("h")).distinct()
-    w = Window.partitionBy("day").orderBy("h")
-    return (
-        distinct.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= k)
-        .groupBy("day")
-        .agg(F.sort_array(F.collect_list("h")).alias("kmin"))
+    per_salt = (
+        distinct.groupBy("day", (F.col("h") % n_salts).alias("__salt"))
+        .agg(F.slice(F.sort_array(F.collect_list("h")), 1, k).alias("kmin"))
+    )
+    return per_salt.groupBy("day").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("kmin"))), 1, k
+        ).alias("kmin")
     )
 
 

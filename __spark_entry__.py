@@ -847,53 +847,15 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["sim_sq8_topk"] = sim_sq8_topk
 
     def events_rfm(spark, sf):
-        """RFM user segmentation: per-user Recency (days since last
-        event, vs the corpus max date), Frequency (event count),
-        Monetary (purchase value sum), each scored into quintiles —
-        the classic behavioral-cohort feature triple.  One aggregation
-        + three ntile windows over the user-level table; the corpus-max
-        date rides a broadcast 1-row aggregate.  Exact ntile needs a
-        total order (a single-task sort of the USER table — fine up to
-        ~10M users); past that, swap the scores to broadcast
-        percentile_approx cut points, the curation.ppl_buckets pattern
-        this repo already uses for corpus-scale quantile bucketing."""
-        ev = load_table(spark, sf, "events")
-        mx = ev.agg(F.max(F.to_date("ts")).alias("__mx"))
-        per_user = (
-            ev.groupBy("user_id")
-            .agg(
-                F.max(F.to_date("ts")).alias("__last"),
-                F.count(F.lit(1)).alias("frequency"),
-                F.round(
-                    F.sum(
-                        F.when(F.col("event_type") == "purchase", F.col("value"))
-                        .otherwise(F.lit(0.0))
-                    ),
-                    4,
-                ).alias("monetary"),
-            )
-            .crossJoin(F.broadcast(mx))
-            .select(
-                "user_id",
-                F.datediff("__mx", "__last").alias("recency_days"),
-                "frequency",
-                "monetary",
-            )
-        )
-        # quintile scores: R inverts (recent = best); ties broken by
-        # user_id so both engines assign identical ntiles
-        r_w = Window.orderBy(F.asc("recency_days"), F.asc("user_id"))
-        f_w = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
-        m_w = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
-        return per_user.select(
-            "user_id",
-            "recency_days",
-            "frequency",
-            "monetary",
-            F.ntile(5).over(r_w).alias("r_score"),
-            F.ntile(5).over(f_w).alias("f_score"),
-            F.ntile(5).over(m_w).alias("m_score"),
-        )
+        """RFM user segmentation (operators/events.py rfm_scores):
+        per-user Recency/Frequency/Monetary scored into quintiles.
+        method='ntile' here — exact rank buckets, engine-replayable, the
+        oracle mode; method='cuts' is the 100 TB path (broadcast
+        percentile_approx cut points, no global sort — the
+        curation.ppl_buckets design), agreement pytest-pinned."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.rfm_scores(load_table(spark, sf, "events"), method="ntile")
 
     q["events_rfm"] = events_rfm
 

@@ -13,7 +13,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_progress", "funnel", "retention_cohorts"]
+__all__ = ["funnel_progress", "funnel", "retention_cohorts", "rfm_scores"]
 
 
 def funnel_progress(
@@ -148,3 +148,90 @@ def retention_cohorts(
         .groupBy("cohort_week", "weeks_since")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def rfm_scores(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+    type_col: str = "event_type",
+    n_buckets: int = 5,
+    method: str = "ntile",
+) -> DataFrame:
+    """RFM behavioral segmentation: per-user Recency (days since last
+    event vs the corpus max date), Frequency (event count), Monetary
+    (purchase value sum), each scored 1..``n_buckets`` (1 = best).
+
+    Two scoring methods with the same output contract:
+
+    - ``method='ntile'`` — exact quantile buckets via rank windows,
+      ties broken by user id so the assignment is engine-replayable
+      (the DuckDB-oracle mode).  Needs a total order: a single-task
+      sort of the USER-level table — fine to ~10M users.
+    - ``method='cuts'`` — the 100 TB path: ``percentile_approx`` cut
+      points (one aggregation, broadcast as literals) and a per-row
+      bucket lookup — no global sort, no single-task window, the same
+      design as curation.ppl_buckets.  Bucket boundaries are
+      approximate where users tie on a metric.
+    """
+    if method not in ("ntile", "cuts"):
+        raise ValueError("method must be 'ntile' or 'cuts'")
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    from pyspark.sql import Window
+
+    mx = events.agg(F.max(F.to_date(ts_col)).alias("__mx"))
+    per_user = (
+        events.groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.max(F.to_date(ts_col)).alias("__last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(
+                F.sum(
+                    F.when(F.col(type_col) == purchase_type, F.col(value_col))
+                    .otherwise(F.lit(0.0))
+                ),
+                4,
+            ).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("__mx", "__last").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    metrics = [
+        ("recency_days", "r_score", True),   # smaller recency = better
+        ("frequency", "f_score", False),
+        ("monetary", "m_score", False),
+    ]
+    if method == "ntile":
+        out = per_user
+        for col, score, asc in metrics:
+            order = [F.asc(col) if asc else F.desc(col), F.asc("user_id")]
+            out = out.withColumn(
+                score, F.ntile(n_buckets).over(Window.orderBy(*order))
+            )
+        return out
+    # cuts: approx quantile boundaries, bucket = 1 + #cuts passed in the
+    # "worse" direction (so 1 stays the best bucket on every metric)
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    cut_rows = per_user.agg(
+        *[
+            F.percentile_approx(col, F.lit(qs), F.lit(10_000)).alias(col)
+            for col, _, _ in metrics
+        ]
+    ).collect()[0]
+    out = per_user
+    for col, score, asc in metrics:
+        cuts = [float(c) for c in cut_rows[col]]
+        b = F.lit(1)
+        for c in cuts:
+            passed = F.col(col) > F.lit(c) if asc else F.col(col) <= F.lit(c)
+            b = b + passed.cast("int")
+        out = out.withColumn(score, b)
+    return out

@@ -3054,3 +3054,39 @@ def test_mixture_drift_null_group_is_one_row(spark):
     assert len(nulls) == 1
     assert nulls[0]["n_before"] == 2 and nulls[0]["n_after"] == 1
     assert nulls[0]["retention"] == 0.5
+
+
+def test_rfm_cuts_mode_tracks_ntile(spark, sf_dir):
+    """The scale-path quantile-cut scoring must broadly agree with the
+    exact ntile buckets (identical for most users; divergence only at
+    tie-heavy boundaries), emit every bucket, and keep 1 = best on all
+    three metrics."""
+    from plda_spark.operators import events as ev_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {r["user_id"]: r for r in ev_ops.rfm_scores(ev, method="ntile").collect()}
+    cuts = {r["user_id"]: r for r in ev_ops.rfm_scores(ev, method="cuts").collect()}
+    assert set(exact) == set(cuts)
+    # cuts-mode invariant: scores are MONOTONE in the metric (ties may
+    # share a bucket where ntile force-splits them — tiny tie-heavy
+    # fixtures diverge per-user, the ordering never does)
+    for metric, score, asc in (
+        ("recency_days", "r_score", True),
+        ("frequency", "f_score", False),
+        ("monetary", "m_score", False),
+    ):
+        rows = sorted(cuts.values(), key=lambda r: r[metric], reverse=not asc)
+        buckets = [r[score] for r in rows]
+        assert buckets == sorted(buckets), score  # better metric -> bucket <=
+        assert {b for b in buckets} <= set(range(1, 6))
+        # ties always share a bucket in cuts mode
+        for a_row, b_row in zip(rows, rows[1:]):
+            if a_row[metric] == b_row[metric]:
+                assert a_row[score] == b_row[score], score
+    # direction: the most frequent user scores f=1 in BOTH modes
+    top = max(exact.values(), key=lambda r: r["frequency"])["user_id"]
+    assert exact[top]["f_score"] == 1 and cuts[top]["f_score"] == 1
+    with pytest.raises(ValueError, match="method"):
+        ev_ops.rfm_scores(ev, method="nope")
+    with pytest.raises(ValueError, match="n_buckets"):
+        ev_ops.rfm_scores(ev, n_buckets=1)

@@ -29,6 +29,9 @@ MODULES = [
     ("plda_spark.operators.web", "URL canonicalization / crawl dedup"),
     ("plda_spark.operators.events", "Event-stream analytics"),
     ("plda_spark.operators.bpe", "BPE tokenizer training"),
+    ("plda_spark.operators.unigram", "Unigram-LM tokenizer training"),
+    ("plda_spark.operators.wordpiece", "WordPiece tokenizer training"),
+    ("plda_spark.operators.tokenizer_io", "Tokenizer model persistence"),
     ("plda_spark.operators.graph", "Graph analytics"),
     ("plda_spark.operators.multimodal", "Multimodal binary columns"),
     ("plda_spark.streaming.windows", "Structured Streaming operators"),

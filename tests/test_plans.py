@@ -592,3 +592,48 @@ def test_kmv_probes_touch_only_sketch_rows(spark):
         e.all_queries()["stats_kmv_probes"](spark, "/root/testdata/sf0.001")
     )
     assert "BatchEvalPython" not in s["plan"]
+
+
+def test_hilbert_and_readability_are_pure_projections(spark):
+    """Hilbert indices and readability scores are per-row arithmetic:
+    zero exchanges, no Python, and column pruning reaches the scan."""
+    import __spark_entry__ as e
+
+    for name in ("layout_hilbert", "text_readability"):
+        s = plan_summary(e.all_queries()[name](spark, "/root/testdata/sf0.001"))
+        assert s["exchanges"] == 0, name
+        assert "BatchEvalPython" not in s["plan"], name
+        assert "MapInPandas" not in s["plan"], name
+
+
+def test_bootstrap_is_one_aggregation_no_explode(spark):
+    """All replica partials ride ONE hash aggregate — never a
+    rows x replicas explode (the naive shape that multiplies the scan)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_bootstrap_ci"](spark, "/root/testdata/sf0.001")
+    )
+    # the only Generate allowed is the stack() unpivot of the 1-ROW
+    # aggregate result (tree + details = 2 matches); a corpus-side
+    # explode would add more
+    assert s["plan"].count("Generate") <= 2
+    assert "BatchEvalPython" not in s["plan"]
+    # one scan feeds the aggregate (tree + details = 2 matches)
+    assert s["plan"].count("Scan parquet") <= 2
+
+
+def test_audio_neardup_is_banded_equi_join(spark):
+    """Same contract as the image pin: candidates only through the
+    (band, bucket) equi-join, one Arrow decode, no cartesian."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["multimodal_audio_neardup"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "Cartesian" not in s["plan"]
+    assert "BroadcastNestedLoopJoin" not in s["plan"]
+    assert 1 <= s["sort_merge_joins"] + s["broadcast_hash_joins"] <= 2
+    assert "BatchEvalPython" not in s["plan"]

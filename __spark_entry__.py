@@ -828,6 +828,27 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_drift"] = curation_drift
 
+    def curation_token_budget(spark, sf):
+        """Absolute token-budget mixture planning with saturation
+        (operators/curation.py token_budget_mixture): equal weights
+        over every source and a budget above the small sources' fair
+        share, so several sources SATURATE (rate 1) and their unused
+        allocation water-fills the rest — the closed-form prefix rule,
+        no iteration, verified arithmetic-exactly by the oracle's
+        identical windows."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents").withColumn(
+            "n_tok", F.size(text.tokens_col("text"))
+        )
+        weights = {f"src{i}": 1.0 for i in range(20)}
+        return curation.token_budget_mixture(
+            docs, "source", budget_tokens=26000,
+            token_count_col="n_tok", weights=weights,
+        )
+
+    q["curation_token_budget"] = curation_token_budget
+
     def sim_sq8_topk(spark, sf):
         """Two-stage SQ8 search (operators/similarity.py sq8_encode /
         sq8_topk): int8 max-abs codes (4x smaller scan — the per-vector
@@ -4621,6 +4642,37 @@ JOIN events e
  AND e.ts < p.ts
 """
 
+    # Water-filling twin: identical (r asc, source asc) prefix windows,
+    # identical saturation rule and level arithmetic.
+    o["curation_token_budget"] = f"""
+WITH c AS (
+  SELECT source, CAST(sum(len({_SQL_TOKS})) AS DOUBLE) AS n_tokens
+  FROM documents GROUP BY source
+), s AS (
+  SELECT source, n_tokens, 1.0 AS w, n_tokens / 1.0 AS r FROM c
+), t AS (
+  SELECT *, sum(w) OVER () AS w_all,
+         sum(n_tokens) OVER (ORDER BY r, source
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS t_prev,
+         sum(w) OVER (ORDER BY r, source
+                      ROWS UNBOUNDED PRECEDING) - w AS w_prev
+  FROM s
+), f AS (
+  SELECT *, r * (w_all - w_prev) <= (26000 - t_prev) AS saturated FROM t
+), lvl AS (
+  SELECT (26000 - coalesce(sum(CASE WHEN saturated THEN n_tokens END), 0))
+         / coalesce(sum(CASE WHEN NOT saturated THEN w END), 0) AS theta
+  FROM f
+)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(w / w_all, 6) AS weight, saturated,
+       round(CASE WHEN saturated THEN 1.0
+                  ELSE theta * w / n_tokens END, 6) AS rate,
+       round(CASE WHEN saturated THEN n_tokens ELSE theta * w END, 2)
+         AS planned_tokens
+FROM f, lvl
+"""
+
     # Same sorted-rank Gini arithmetic, same (cnt, name) tie-break.
     o["stats_gini_concentration"] = """
 WITH g AS (
@@ -6742,6 +6794,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_bootstrap_ci",
     "stream_snapshot_takedown",
     "stats_gini_concentration",
+    "curation_token_budget",
 ]
 
 

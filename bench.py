@@ -165,6 +165,8 @@ BENCH_QUERIES = [
     # exactly-once takedown sink demo + Gini concentration diagnostic
     "stream_snapshot_takedown",
     "stats_gini_concentration",
+    # water-filling token-budget mixture planning
+    "curation_token_budget",
 ]
 
 

@@ -32,6 +32,7 @@ __all__ = [
     "temperature_mixture",
     "ppl_buckets",
     "mixture_drift",
+    "token_budget_mixture",
 ]
 
 
@@ -514,3 +515,106 @@ def mixture_drift(
         ).alias("retention"),
         F.round(kl, 6).alias("kl_term"),
     )
+
+
+def token_budget_mixture(
+    docs: DataFrame,
+    source_col: str,
+    budget_tokens: int,
+    token_count_col: str,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Plan per-source sampling rates to hit an ABSOLUTE token budget —
+    "give me a 10B-token mix at these weights" — honoring capacity: a
+    source whose fair allocation exceeds its corpus SATURATES (rate 1)
+    and its unused allocation redistributes to the rest (water-filling).
+
+    Closed form, no iteration: sorted by capacity-per-weight
+    ``r_s = tokens_s / w_s`` ascending, the saturated set is a PREFIX,
+    and row k saturates iff ``r_k ≤ (B − T_{k-1}) / (W − W_{k-1})``
+    (prefix cumulative sums) — each row decides from its own prefix, so
+    the whole plan is two windows over the |sources|-row table.  The
+    water level θ then prices every unsaturated source's rate
+    ``θ·w_s/tokens_s``.
+
+    Returns ``(source, n_tokens, weight, saturated, rate,
+    planned_tokens)``; Σ planned_tokens = min(budget, corpus total).
+    Scale shape: one map-side-combined aggregation to |sources| rows,
+    then windows/arithmetic on that tiny frame — the corpus is never
+    shuffled or collected.
+    """
+    if budget_tokens <= 0:
+        raise ValueError("budget_tokens must be positive")
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(token_count_col).cast("double").alias("n_tokens")
+    )
+    if weights is not None:
+        wmap = F.create_map(
+            *[F.lit(x) for kv in weights.items() for x in kv]
+        )
+        counts = counts.withColumn("__w", wmap[F.col("source")])
+        if counts.where(F.col("__w").isNull()).limit(1).count():
+            missing = [
+                r["source"]
+                for r in counts.where(F.col("__w").isNull())
+                .select("source").collect()
+            ]
+            raise ValueError(f"weights missing for sources: {missing}")
+    else:
+        counts = counts.withColumn("__w", F.col("n_tokens"))  # natural mix
+    tot = counts.agg(
+        F.sum("__w").alias("__w_all"), F.sum("n_tokens").alias("__t_all")
+    )
+    b = F.lit(float(budget_tokens))
+    staged = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__r", F.col("n_tokens") / F.col("__w")
+    )
+    w_ord = Window.orderBy(F.asc("__r"), F.asc("source"))
+    staged = staged.select(
+        "*",
+        (F.sum("n_tokens").over(w_ord) - F.col("n_tokens")).alias("__t_prev"),
+        (F.sum("__w").over(w_ord) - F.col("__w")).alias("__w_prev"),
+    ).withColumn(
+        "saturated",
+        F.col("__r") * (F.col("__w_all") - F.col("__w_prev"))
+        <= (b - F.col("__t_prev")),
+    )
+    unsat_w = F.coalesce(
+        F.sum(F.when(~F.col("saturated"), F.col("__w"))), F.lit(0.0)
+    )
+    level = staged.agg(
+        F.when(
+            unsat_w > 0,
+            (
+                b
+                - F.coalesce(
+                    F.sum(F.when(F.col("saturated"), F.col("n_tokens"))),
+                    F.lit(0.0),
+                )
+            )
+            / unsat_w,
+        )
+        .otherwise(F.lit(0.0))  # every source saturated: theta unused
+        .alias("__theta")
+    )
+    out = staged.crossJoin(F.broadcast(level)).select(
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("__w") / F.col("__w_all"), 6).alias("weight"),
+        "saturated",
+        F.round(
+            F.when(F.col("saturated"), F.lit(1.0)).otherwise(
+                F.col("__theta") * F.col("__w") / F.col("n_tokens")
+            ),
+            6,
+        ).alias("rate"),
+        F.round(
+            F.when(F.col("saturated"), F.col("n_tokens")).otherwise(
+                F.col("__theta") * F.col("__w")
+            ),
+            2,
+        ).alias("planned_tokens"),
+    )
+    return out

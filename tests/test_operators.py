@@ -3090,3 +3090,40 @@ def test_rfm_cuts_mode_tracks_ntile(spark, sf_dir):
         ev_ops.rfm_scores(ev, method="nope")
     with pytest.raises(ValueError, match="n_buckets"):
         ev_ops.rfm_scores(ev, n_buckets=1)
+
+
+def test_token_budget_waterfilling_properties(spark):
+    """Water-filling invariants: planned tokens sum to min(budget,
+    corpus); saturated sources are taken whole; unsaturated sources
+    share one price level theta = planned/weight; budget beyond the
+    corpus saturates everything."""
+    from plda_spark.operators import curation
+
+    rows = (
+        [(i, "tiny", 10) for i in range(5)]          # 50 tokens
+        + [(100 + i, "mid", 10) for i in range(30)]   # 300 tokens
+        + [(200 + i, "big", 10) for i in range(100)]  # 1000 tokens
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_tok int")
+    w = {"tiny": 1.0, "mid": 1.0, "big": 1.0}
+    got = {r["source"]: r for r in curation.token_budget_mixture(
+        docs, "source", budget_tokens=600, token_count_col="n_tok", weights=w
+    ).collect()}
+    # fair share 200 each: tiny saturates at 50, redistribution gives
+    # mid and big 275 each -> mid saturates? 275 < 300 no -> both get 275
+    assert got["tiny"]["saturated"] and got["tiny"]["planned_tokens"] == 50.0
+    assert not got["mid"]["saturated"] and not got["big"]["saturated"]
+    assert abs(got["mid"]["planned_tokens"] - 275.0) < 0.01
+    assert abs(got["big"]["planned_tokens"] - 275.0) < 0.01
+    assert abs(sum(r["planned_tokens"] for r in got.values()) - 600) < 0.05
+    assert got["mid"]["rate"] == round(275.0 / 300, 6)
+    # budget > corpus: everything saturates at rate 1
+    full = {r["source"]: r for r in curation.token_budget_mixture(
+        docs, "source", budget_tokens=5000, token_count_col="n_tok", weights=w
+    ).collect()}
+    assert all(r["saturated"] and r["rate"] == 1.0 for r in full.values())
+    with pytest.raises(ValueError, match="budget_tokens"):
+        curation.token_budget_mixture(docs, "source", 0, "n_tok")
+    with pytest.raises(ValueError, match="weights missing"):
+        curation.token_budget_mixture(docs, "source", 100, "n_tok",
+                                      weights={"tiny": 1.0})

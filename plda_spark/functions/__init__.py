@@ -16,7 +16,7 @@ from plda_spark.operators.sampling import hash_bucket
 from plda_spark.operators.similarity import cosine
 from plda_spark.operators.text import tokens_col
 from plda_spark.operators.web import normalize_url_col
-from plda_spark.sources.zorder import zvalue_col
+from plda_spark.sources.zorder import hilbert_value_col, zvalue_col
 
 __all__ = [
     "cosine",
@@ -26,6 +26,7 @@ __all__ = [
     "ngrams",
     "normalize_url_col",
     "zvalue_col",
+    "hilbert_value_col",
 ]
 
 

@@ -352,3 +352,104 @@ def test_domain_filter_block_allow_partition(spark, urls, domains):
             web.domain_filter(df, domains, mode="block").collect()}
     assert blocked | kept == set(range(len(urls)))
     assert blocked & kept == set()
+
+
+# ---------------------------------------------------------------------------
+# round-5 pure primitives: Hilbert walk, WordPiece merge fold, KMV merge
+
+
+def _ref_xy2d(n, x, y):
+    d, s = 0, n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    bits=st.integers(2, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hilbert_fold_matches_reference_walk(spark, bits, seed):
+    """Random (x, y) points at random bit widths: the JVM struct fold
+    must equal the published rotate/flip walk exactly, and values stay
+    inside [0, 4^bits)."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.sources.zorder import hilbert_value_col
+
+    n = 1 << bits
+    rng = np.random.Generator(np.random.PCG64(seed))
+    pts = [(int(a), int(b)) for a, b in rng.integers(0, n, (40, 2))]
+    df = spark.createDataFrame(pts, "x int, y int")
+    got = {
+        (r["x"], r["y"]): r["d"]
+        for r in df.select(
+            "x", "y", hilbert_value_col("x", "y", bits=bits).alias("d")
+        ).collect()
+    }
+    for (x, y), d in got.items():
+        assert d == _ref_xy2d(n, x, y)
+        assert 0 <= d < n * n
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    syms=st.lists(st.sampled_from(["a", "##b", "##c", "x"]), min_size=0, max_size=12),
+)
+def test_wordpiece_merge_fold_matches_sequential(spark, syms):
+    """The JVM merge fold must equal the sequential left-to-right
+    non-overlapping re-scan on arbitrary symbol sequences."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import wordpiece as wp
+
+    a, b = "a", "##b"
+    ab = wp._join_pieces(a, b)
+    out = []
+    for x in syms:
+        if out and out[-1] == a and x == b:
+            out[-1] = ab
+        else:
+            out.append(x)
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = df.select(
+        wp._merge_col(F.col("syms"), a, b).alias("m")
+    ).collect()[0]["m"]
+    assert list(got) == out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    k=st.integers(2, 32),
+    splits=st.integers(1, 4),
+)
+def test_kmv_merge_equals_direct_kmin(spark, seed, k, splits):
+    """Merging per-partition KMV sketches must equal the k smallest of
+    the whole set, for arbitrary hash multisets and split points."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import stats
+
+    rng = np.random.Generator(np.random.PCG64(seed))
+    hashes = sorted(set(int(h) for h in rng.integers(0, 1 << 60, 200)))
+    parts = np.array_split(np.array(hashes), splits)
+    rows = [
+        (f"2024-01-{i + 1:02d}", [int(h) for h in sorted(p)][:10**9])
+        for i, p in enumerate(parts)
+        if len(p)
+    ]
+    # day sketches = k smallest of each split
+    sk = spark.createDataFrame(
+        [(d, sorted(v)[:k]) for d, v in rows], "day string, kmin array<long>"
+    )
+    merged = stats._kmv_merge(sk, k).collect()[0]["kmin"]
+    assert list(merged) == sorted(hashes)[:k]

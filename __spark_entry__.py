@@ -1795,10 +1795,12 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b1 = orders.where(F.col("o_orderkey") % 11 == 0).select("o_orderkey")
         snap.snapshot_delete_keys_batch(b0, path, "o_orderkey", "takedown", 0)
         snap.snapshot_delete_keys_batch(b1, path, "o_orderkey", "takedown", 1)
-        assert (  # crash-replay of batch 0: ledger makes it a no-op
-            snap.snapshot_delete_keys_batch(b0, path, "o_orderkey", "takedown", 0)
-            is None
-        )
+        # crash-replay of batch 0: the ledger must make it a no-op (a
+        # real raise, not an assert — python -O must not skip the check)
+        if snap.snapshot_delete_keys_batch(
+            b0, path, "o_orderkey", "takedown", 0
+        ) is not None:
+            raise RuntimeError("replayed takedown batch was not a no-op")
         recrawl = orders.where(F.col("o_orderkey") % 14 == 0).withColumn(
             "o_totalprice", F.col("o_totalprice") * 2
         )

@@ -197,8 +197,10 @@ def _count_payload_row(
     post-sweep job (the payload read), not a second full-scan agg.
     """
     nz = np.flatnonzero(acc_flat)
-    assert acc_flat.shape[0] < 2**31, "V*K exceeds int32 payload indexing"
-    assert nz.shape[0] == 0 or acc_flat[nz].max() < 2**31
+    if acc_flat.shape[0] >= 2**31:
+        raise RuntimeError("V*K exceeds int32 payload indexing")
+    if nz.shape[0] and acc_flat[nz].max() >= 2**31:
+        raise RuntimeError("a model count delta exceeds int32 payload range")
     packed = np.empty(2 * nz.shape[0], dtype=np.int32)
     packed[0::2] = nz
     packed[1::2] = acc_flat[nz]

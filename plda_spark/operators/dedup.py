@@ -381,7 +381,8 @@ def band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     ``num_hashes/bands`` components, each md5-digested.  THE canonical
     bucket formula — both the batch pair search and the incremental
     crawl ledger derive buckets here, so they can never drift apart."""
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     r = num_hashes // bands
     return sig.select(
         "doc_id",
@@ -426,7 +427,8 @@ def minhash_lsh_pairs(
     ``est_jaccard`` = fraction of matching signature components; filter
     with ``threshold`` if given.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        raise ValueError(f"num_hashes={num_hashes} not divisible by bands={bands}")
     # One row per doc — tiny relative to the shingle explosion feeding
     # it.  The band rows and both re-rank sides are identical subplans
     # over `sig`, so the shingle+min aggregation runs once and AQE

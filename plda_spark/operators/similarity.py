@@ -160,7 +160,8 @@ def lsh_topk(
     is the band's bit-slice; candidates join on (band, bucket) so the
     plan is scan + two shuffles regardless of corpus size.
     """
-    assert num_planes % bands == 0
+    if num_planes % bands != 0:
+        raise ValueError(f"num_planes={num_planes} not divisible by bands={bands}")
     r = num_planes // bands
     c_sig = hyperplane_signatures(embeddings, dim, num_planes, seed, id_col, vec_col)
     q_sig = hyperplane_signatures(queries, dim, num_planes, seed, query_id_col, vec_col)

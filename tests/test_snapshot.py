@@ -603,3 +603,46 @@ def test_delete_keys_empty_is_noop(spark, sf_dir, tmp_path):
     empty = docs.where(F.lit(False)).select("doc_id")
     assert snap.snapshot_delete_keys(spark, path, empty, "doc_id") is None
     assert snap.snapshot_versions(spark, path)[-1]["version"] == 0
+
+
+def test_hilbert_clustering_improves_snapshot_scan_pruning(spark, tmp_path):
+    """Cross-feature composition: a snapshot table written in Hilbert
+    order gets tight per-file min/max on BOTH key columns, so
+    snapshot_scan prunes more files than the same table written in
+    arrival order — the layout layer and the manifest-stats layer
+    multiply."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.sources.zorder import hilbert_value_col
+
+    df = spark.range(4096).select(
+        F.col("id").alias("k"),
+        (F.pmod(F.hash(F.col("id")), F.lit(64))).alias("x"),
+        (F.pmod(F.hash(F.col("id") * 7 + 1), F.lit(64))).alias("y"),
+    )
+    plain = str(tmp_path / "plain")
+    clustered = str(tmp_path / "clustered")
+    snap.snapshot_write(
+        df.repartition(8), plain, mode="overwrite", stats_cols=["x", "y"]
+    )
+    ordered = (
+        df.withColumn("__h", hilbert_value_col("x", "y", bits=6))
+        .repartitionByRange(8, "__h")
+        .sortWithinPartitions("__h")
+        .drop("__h")
+    )
+    snap.snapshot_write(ordered, clustered, mode="overwrite", stats_cols=["x", "y"])
+
+    def files_scanned(path):
+        man = snap._read_manifest(snap._FS(spark, path), path, 0)
+        return sum(1 for e in man["files"] if snap._overlaps(e, "x", 10, 15))
+
+    n_plain, n_clustered = files_scanned(plain), files_scanned(clustered)
+    assert n_plain == 8  # arrival order: every file spans the x domain
+    assert n_clustered <= n_plain // 2  # clustered: most files pruned
+    # identical answers either way
+    got = snap.snapshot_scan(spark, clustered, "x", 10, 15)
+    want = snap.snapshot_scan(spark, plain, "x", 10, 15)
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )

@@ -834,3 +834,27 @@ def test_csv_stream_ingest_dedup(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="multiLine"):
         read_csv_stream(spark, str(in_dir), multiLine=True)
+
+
+def test_tokenizer_encode_runs_on_streams(spark, tmp_path):
+    """The broadcast-vocab encoders are stateless Arrow passes, so the
+    SAME call works on a readStream frame — pin streaming/batch parity
+    for WordPiece (the other two families share the mapInPandas/JVM
+    shape)."""
+    from plda_spark.operators import wordpiece as wp
+
+    src = str(tmp_path / "docs_in")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    docs.select("doc_id", "text").write.parquet(src)
+    vocab = wp.wordpiece_train(spark.read.parquet(src), num_merges=6)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    enc = wp.wordpiece_encode(stream, vocab)
+    assert enc.isStreaming
+    res = _run_stream(spark, enc, tmp_path, "wpenc")
+    got = {r["doc_id"]: tuple(r["tokens"]) for r in res.collect()}
+    want = {
+        r["doc_id"]: tuple(r["tokens"])
+        for r in wp.wordpiece_encode(spark.read.parquet(src), vocab).collect()
+    }
+    assert got == want

@@ -884,7 +884,7 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """Deterministic Poisson(1) bootstrap CI for the mean purchase
         value (operators/stats.py bootstrap_ci): weights come from
         md5(event_id:replica) inverse-CDF draws, so the resampling is
-        engine-replayable — the oracle recomputes all 64 replica means
+        engine-replayable — the oracle recomputes all 32 replica means
         and the interpolated percentile CI bit-for-bit.  One aggregation
         job carries every replica's partials; no row x replica explode
         (32 replicas keeps the 2B-wide aggregate inside codegen limits —

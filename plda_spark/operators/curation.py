@@ -551,22 +551,38 @@ def token_budget_mixture(
         F.sum(token_count_col).cast("double").alias("n_tokens")
     )
     if weights is not None:
+        if any(w <= 0 for w in weights.values()):
+            raise ValueError(
+                "weights must all be positive (a zero weight would make "
+                "the capacity ratio undefined; drop the source instead)"
+            )
         wmap = F.create_map(
             *[F.lit(x) for kv in weights.items() for x in kv]
         )
-        counts = counts.withColumn("__w", wmap[F.col("source")])
-        if counts.where(F.col("__w").isNull()).limit(1).count():
-            missing = [
-                r["source"]
-                for r in counts.where(F.col("__w").isNull())
-                .select("source").collect()
-            ]
-            raise ValueError(f"weights missing for sources: {missing}")
+        # missing-weight detection stays IN the plan (raise_error fires
+        # at run time) — an eager .count() here would pay a full corpus
+        # aggregation at build time and again at materialization,
+        # breaking the planners' lazy contract.
+        counts = counts.withColumn(
+            "__w",
+            F.coalesce(
+                wmap[F.col("source")],
+                F.raise_error(
+                    F.concat(
+                        F.lit("token_budget_mixture: no weight for source "),
+                        F.col("source"),
+                    )
+                ).cast("double"),
+            ),
+        )
     else:
-        counts = counts.withColumn("__w", F.col("n_tokens"))  # natural mix
-    tot = counts.agg(
-        F.sum("__w").alias("__w_all"), F.sum("n_tokens").alias("__t_all")
-    )
+        # natural mix: weight = the source's own tokens; empty sources
+        # carry no capacity and no weight — omit them (their rate is
+        # vacuous, and 0/0 would poison the capacity ratio)
+        counts = counts.withColumn("__w", F.col("n_tokens")).where(
+            F.col("n_tokens") > 0
+        )
+    tot = counts.agg(F.sum("__w").alias("__w_all"))
     b = F.lit(float(budget_tokens))
     staged = counts.crossJoin(F.broadcast(tot)).withColumn(
         "__r", F.col("n_tokens") / F.col("__w")

@@ -226,6 +226,13 @@ def rfm_scores(
             for col, _, _ in metrics
         ]
     ).collect()[0]
+    if cut_rows[metrics[0][0]] is None:
+        # empty input: no cut points exist — return the (empty) frame
+        # with the same score schema the ntile path produces
+        out = per_user
+        for _, score, _ in metrics:
+            out = out.withColumn(score, F.lit(None).cast("int"))
+        return out
     out = per_user
     for col, score, asc in metrics:
         cuts = [float(c) for c in cut_rows[col]]

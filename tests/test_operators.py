@@ -3124,6 +3124,40 @@ def test_token_budget_waterfilling_properties(spark):
     assert all(r["saturated"] and r["rate"] == 1.0 for r in full.values())
     with pytest.raises(ValueError, match="budget_tokens"):
         curation.token_budget_mixture(docs, "source", 0, "n_tok")
-    with pytest.raises(ValueError, match="weights missing"):
-        curation.token_budget_mixture(docs, "source", 100, "n_tok",
-                                      weights={"tiny": 1.0})
+    # missing weights fail lazily IN the plan (no eager corpus job at
+    # build time), so the raise happens on materialization
+    with pytest.raises(Exception, match="no weight for source"):
+        curation.token_budget_mixture(
+            docs, "source", 100, "n_tok", weights={"tiny": 1.0}
+        ).collect()
+
+
+def test_token_budget_and_rfm_edge_cases(spark):
+    """Review-fix regressions: zero/missing weights fail loudly (not
+    NULL rows), natural mode omits empty sources, and rfm cuts-mode
+    returns an empty frame (not a TypeError) on empty input."""
+    from plda_spark.operators import curation
+    from plda_spark.operators import events as ev_ops
+
+    docs = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", 20)], "doc_id long, source string, n_tok int"
+    )
+    with pytest.raises(ValueError, match="positive"):
+        curation.token_budget_mixture(
+            docs, "source", 10, "n_tok", weights={"a": 1.0, "b": 0.0}
+        )
+    with pytest.raises(Exception, match="no weight for source"):
+        curation.token_budget_mixture(
+            docs, "source", 10, "n_tok", weights={"a": 1.0}
+        ).collect()
+    sparse = spark.createDataFrame(
+        [(0, "a", 10), (1, "b", 0)], "doc_id long, source string, n_tok int"
+    )
+    got = curation.token_budget_mixture(sparse, "source", 5, "n_tok").collect()
+    assert [r["source"] for r in got] == ["a"]
+    empty = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    out = ev_ops.rfm_scores(empty, method="cuts")
+    assert out.count() == 0
+    assert set(out.columns) >= {"r_score", "f_score", "m_score"}

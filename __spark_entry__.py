@@ -2268,6 +2268,45 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_attribution"] = events_attribution
 
+    def events_forecast_backtest(spark, sf):
+        """Seasonal-naive forecast backtest over the daily event series:
+        predict each day's count with the SAME WEEKDAY one week earlier
+        (the standard strong baseline every forecasting system must
+        beat), emit per-day residuals plus each day's share of the
+        running MAE.  One daily aggregation + one lag window over the
+        |days|-row table — the series is group-key-sized, never the
+        event log."""
+        ev = load_table(spark, sf, "events")
+        daily = (
+            ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+            .agg(F.count(F.lit(1)).alias("actual"))
+        )
+        w = Window.orderBy("day")
+        return (
+            daily.select(
+                "day",
+                "actual",
+                F.lag("actual", 7).over(w).alias("predicted"),
+            )
+            .where(F.col("predicted").isNotNull())
+            .select(
+                "day",
+                "actual",
+                "predicted",
+                F.abs(F.col("actual") - F.col("predicted")).alias("abs_err"),
+                F.round(
+                    F.avg(F.abs(F.col("actual") - F.col("predicted"))).over(
+                        Window.orderBy("day").rowsBetween(
+                            Window.unboundedPreceding, 0
+                        )
+                    ),
+                    4,
+                ).alias("running_mae"),
+            )
+        )
+
+    q["events_forecast_backtest"] = events_forecast_backtest
+
     def text_char_entropy(spark, sf):
         """Per-document character-level Shannon entropy — the classic
         gibberish/compression quality signal (low entropy = repeated
@@ -4214,6 +4253,22 @@ WITH d AS (
   FROM ma a, mb b
 )
 SELECT probe, round(value, 4) AS value FROM est
+"""
+
+    # Same daily lag-7 baseline and expanding-window MAE.
+    o["events_forecast_backtest"] = """
+WITH d AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS BIGINT) AS actual
+  FROM events GROUP BY 1
+), p AS (
+  SELECT day, actual, lag(actual, 7) OVER (ORDER BY day) AS predicted
+  FROM d
+)
+SELECT day, actual, predicted, abs(actual - predicted) AS abs_err,
+       round(avg(abs(actual - predicted))
+             OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4) AS running_mae
+FROM p WHERE predicted IS NOT NULL
 """
 
     # Same total order (ts, event_id) per user; same lead + normalize.
@@ -6797,6 +6852,7 @@ EXTRA_QUERIES: list[str] = [
     "stream_snapshot_takedown",
     "stats_gini_concentration",
     "curation_token_budget",
+    "events_forecast_backtest",
 ]
 
 

@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "stats_gini_concentration",
     # water-filling token-budget mixture planning
     "curation_token_budget",
+    # seasonal-naive forecast backtest (lag-7 baseline + expanding MAE)
+    "events_forecast_backtest",
 ]
 
 

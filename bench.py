@@ -30,11 +30,19 @@ end of the run and stamps the JSON:
 - ``env_unstable``: true when the spread exceeds 20% AND the absolute
   delta exceeds 0.25 s (the floor keeps tiny-SF probes from flagging
   scheduler jitter) — the recorded numbers were taken inside a
-  slowdown window and MUST NOT be used as a regression baseline,
-- ``queries_minmax``: per-query [min, max] of the two runs, so a
-  window that spans one run but not the other is visible per query.
+  slowdown window and MUST NOT be used as a regression baseline.
 
 ``queries`` stays the flat name->min-seconds map (the driver contract).
+
+Stdout budget (round 6): the driver captures only a bounded tail of
+stdout — round 5's line (109 queries + per-query [min, max] detail)
+outgrew the window and ``BENCH_r05.json`` landed as ``parsed: null``,
+so the 2x acceptance gate read nothing.  The final line is now kept
+under 4 KiB (``STDOUT_BYTE_BUDGET``, pinned by
+``tests/test_bench_contract.py``): compact separators, the flat
+name->min map, and the three calibration stamps only.  The per-query
+[min, max] spread detail moves to ``BENCH_DETAIL.json`` next to this
+file (full fidelity, no size limit).
 """
 
 from __future__ import annotations
@@ -171,6 +179,72 @@ BENCH_QUERIES = [
     "events_forecast_backtest",
 ]
 
+# Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA
+# training, tokenizers, PQ/IVF-PQ index lifecycle, HLL rollup, Z-order
+# layout).  tests/test_bench_contract.py builds a worst-case stdout
+# line from BENCH_QUERIES + EXTRA_BENCH_NAMES and pins it under
+# STDOUT_BYTE_BUDGET, so adding queries that would re-truncate the
+# driver capture fails in CI, not in the driver.
+EXTRA_BENCH_NAMES = [
+    "stream_tumbling_counts",
+    "stream_sliding_sums",
+    "text_fingerprint",
+    "text_winnow",
+    "sim_lsh_topk",
+    "lda_doc_term_counts",
+    "lda_train_5it",
+    "lda_train_5it_join",
+    "bpe_train_5m",
+    "unigram_train_120",
+    "unigram_encode",
+    "wordpiece_train_5m",
+    "wordpiece_encode",
+    "pq_encode",
+    "pq_topk",
+    "pq_topk_refined",
+    "sim_ivfpq_index_build",
+    "sim_ivfpq_index_search",
+    "sim_ivfpq_index_append",
+    "stats_hll_build",
+    "stats_hll_range",
+    "layout_zorder_write",
+    "layout_zorder_pruned_read",
+]
+
+# The driver's stdout capture window is finite; BENCH_r05.json proved a
+# ~9 KiB line gets tail-truncated to unparseable.  4 KiB is the safe
+# contract the compact payload must fit in.
+STDOUT_BYTE_BUDGET = 4096
+
+
+def format_stdout_payload(
+    timings: dict[str, float],
+    sf: float,
+    calibration: dict[str, float],
+    spread: float,
+    unstable: bool,
+) -> str:
+    """The ONE driver-captured stdout line, compact separators.
+
+    Flat ``name -> min-seconds`` map + the three calibration probes
+    only; per-query [min, max] detail goes to ``BENCH_DETAIL.json``
+    (see module doc).  Values are pre-rounded to 3 decimals by the
+    recorder, so the payload size is a function of the query count
+    alone — which the contract test pins against STDOUT_BYTE_BUDGET.
+    """
+    return json.dumps(
+        {
+            "metric": "total_wall_sec",
+            "value": round(sum(timings.values()), 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "calibration": {k: round(v, 3) for k, v in calibration.items()},
+            "calibration_spread": spread,
+            "env_unstable": unstable,
+        },
+        separators=(",", ":"),
+    )
 
 
 def min_max_of_two(run) -> tuple[float, float]:
@@ -460,18 +534,26 @@ def main() -> None:
     # documented 2-4x host windows clear both bars at the driver's sf0.1
     # (q1 ~1.2 s) by an order of magnitude.
     unstable = spread > 0.20 and (max(probes) - min(probes)) > 0.25
-    total = round(sum(timings.values()), 3)
-    print(json.dumps({
-        "metric": "total_wall_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        "calibration": {k: round(v, 3) for k, v in calibration.items()},
-        "calibration_spread": spread,
-        "env_unstable": unstable,
-        "queries_minmax": minmax,
-    }))
+    # Full-fidelity detail (per-query [min, max] of the two runs, so a
+    # slowdown window spanning one run but not the other stays visible
+    # per query) goes to a sibling file with no size constraint; stdout
+    # gets only the compact driver contract line.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "queries_minmax": minmax,
+                "calibration": {k: round(v, 3) for k, v in calibration.items()},
+                "calibration_spread": spread,
+                "env_unstable": unstable,
+            },
+            fh,
+            indent=1,
+        )
+    print(format_stdout_payload(timings, sf, calibration, spread, unstable))
     spark.stop()
 
 

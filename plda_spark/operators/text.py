@@ -415,8 +415,12 @@ def lm_score(
     Scale shape: two aggregations build the count tables (map-side
     combined), then the doc-bigram stream left-joins them on their keys —
     both tables are vocabulary-sized at web scale so neither is
-    broadcast; AQE may downgrade to broadcast when actually small.  The
-    only driver scalar is V.  Entirely JVM-side and SQL-expressible.
+    broadcast; AQE may downgrade to broadcast when actually small.  V
+    rides the plan as a broadcast 1-row aggregate (round 6: it was an
+    eager ``uni.count()`` at construction time — a full tokenize job
+    per *call*, before any action ran; in-plan it costs one broadcast
+    of 8 bytes and the whole function is lazy).  Entirely JVM-side and
+    SQL-expressible.
     """
     lm_docs = docs if lm_docs is None else lm_docs
     t = tokens_col(text_col)
@@ -447,15 +451,16 @@ def lm_score(
     bi = bigram_rows(lm_docs, with_doc=False).groupBy("a", "b").agg(
         F.count(F.lit(1)).alias("c_ab")
     )
-    vocab_size = uni.count()
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("__lm_v"))
     logp = F.log(
         (F.coalesce(F.col("c_ab"), F.lit(0)) + F.lit(k_smooth))
-        / (F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(k_smooth) * F.lit(float(vocab_size)))
+        / (F.coalesce(F.col("c_a"), F.lit(0)) + F.lit(k_smooth) * F.col("__lm_v"))
     )
     scored = (
         bigram_rows(docs, with_doc=True)
         .join(bi, ["a", "b"], "left")
         .join(uni, ["a"], "left")
+        .crossJoin(F.broadcast(vsize))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

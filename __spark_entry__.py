@@ -2206,65 +2206,28 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["source_orc_roundtrip"] = source_orc_roundtrip
 
     def events_transition_matrix(spark, sf):
-        """First-order Markov transition matrix over event streams: for
-        each user's ts-ordered event sequence, count (event_type →
-        next_event_type) transitions and the per-source probabilities —
-        the path-analysis primitive behind funnel discovery.  One
-        window (lead over user partitions) + one aggregation; event_id
-        breaks ts ties so the order is total and engine-replayable."""
-        ev = load_table(spark, sf, "events")
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        pairs = ev.select(
-            F.col("event_type").alias("src"),
-            F.lead("event_type").over(w).alias("dst"),
-        ).where(F.col("dst").isNotNull())
-        counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
-        return counts.select(
-            "src", "dst", "n",
-            F.round(
-                F.col("n") / F.sum("n").over(Window.partitionBy("src")), 4
-            ).alias("p"),
-        )
+        """First-order Markov transition matrix over event streams
+        (operators/events.py transition_matrix): per-user ts-ordered
+        (event_type → next) transition counts + per-source
+        probabilities — the path-analysis primitive behind funnel
+        discovery.  One lead window + one aggregation; event_id breaks
+        ts ties so the order is total and engine-replayable."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.transition_matrix(load_table(spark, sf, "events"))
 
     q["events_transition_matrix"] = events_transition_matrix
 
     def events_attribution(spark, sf):
-        """First-touch / last-touch revenue attribution: each purchase is
-        credited to the user's first and most recent preceding
-        click/view touch (the two standard marketing attribution
-        models).  One window pass (ignore-nulls first/last over the
-        user's ts-ordered history, purchases excluded from the touch
-        stream) + one aggregation per model — no self-join, no
+        """First-touch / last-touch revenue attribution
+        (operators/events.py attribution): each purchase is credited to
+        the user's first and most recent preceding click/view touch
+        (the two standard marketing models).  One ignore-nulls window
+        pass + one aggregation per model — no self-join, no
         driver-side state."""
-        ev = load_table(spark, sf, "events")
-        w = (
-            Window.partitionBy("user_id")
-            .orderBy("ts", "event_id")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        touch = F.when(
-            F.col("event_type").isin("click", "view"), F.col("event_type")
-        )
-        purchases = ev.select(
-            "event_id",
-            "value",
-            "event_type",
-            F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
-            F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
-        ).where(F.col("event_type") == "purchase")
-        out = None
-        for model, col in [("first_touch", "first_touch"), ("last_touch", "last_touch")]:
-            agg = (
-                purchases.where(F.col(col).isNotNull())
-                .groupBy(F.col(col).alias("channel"))
-                .agg(
-                    F.count(F.lit(1)).alias("n_purchases"),
-                    F.round(F.sum("value"), 4).alias("revenue"),
-                )
-                .select(F.lit(model).alias("model"), "channel", "n_purchases", "revenue")
-            )
-            out = agg if out is None else out.unionAll(agg)
-        return out
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.attribution(load_table(spark, sf, "events"))
 
     q["events_attribution"] = events_attribution
 
@@ -2275,35 +2238,10 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         beat), emit per-day residuals plus each day's share of the
         running MAE.  One daily aggregation + one lag window over the
         |days|-row table — the series is group-key-sized, never the
-        event log."""
-        ev = load_table(spark, sf, "events")
-        daily = (
-            ev.groupBy(F.to_date("ts").cast("string").alias("day"))
-            .agg(F.count(F.lit(1)).alias("actual"))
-        )
-        w = Window.orderBy("day")
-        return (
-            daily.select(
-                "day",
-                "actual",
-                F.lag("actual", 7).over(w).alias("predicted"),
-            )
-            .where(F.col("predicted").isNotNull())
-            .select(
-                "day",
-                "actual",
-                "predicted",
-                F.abs(F.col("actual") - F.col("predicted")).alias("abs_err"),
-                F.round(
-                    F.avg(F.abs(F.col("actual") - F.col("predicted"))).over(
-                        Window.orderBy("day").rowsBetween(
-                            Window.unboundedPreceding, 0
-                        )
-                    ),
-                    4,
-                ).alias("running_mae"),
-            )
-        )
+        event log.  (operators/events.py forecast_backtest)"""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.forecast_backtest(load_table(spark, sf, "events"))
 
     q["events_forecast_backtest"] = events_forecast_backtest
 
@@ -2314,24 +2252,8 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         Pure per-row JVM array expressions: distinct chars via
         split+array_distinct, per-char counts via length-difference
         after literal replace — O(len·|alphabet|) per row, NO shuffle,
-        no Python."""
-        docs = load_table(spark, sf, "documents")
-        n = F.length("text").cast("double")
-        chars = F.array_distinct(F.split("text", ""))
-        ent = F.aggregate(
-            chars,
-            F.lit(0.0),
-            lambda acc, c: acc
-            - (
-                (n - F.length(F.replace(F.col("text"), c))) / n
-            )
-            * F.log2((n - F.length(F.replace(F.col("text"), c))) / n),
-        )
-        return docs.where(n > 0).select(
-            "doc_id",
-            F.round(ent, 6).alias("char_entropy"),
-            F.size(chars).alias("alphabet_size"),
-        )
+        no Python.  (operators/text.py char_entropy)"""
+        return text.char_entropy(load_table(spark, sf, "documents"))
 
     q["text_char_entropy"] = text_char_entropy
 
@@ -2370,29 +2292,13 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         one slice dominates).  Sorted-rank formula over the GROUP-COUNT
         table (tiny), exact integer sums until one final division:
         G = 2·Σ(rank·cnt)/(n·Σcnt) − (n+1)/n with counts ascending,
-        ties rank-broken by group name for engine-identical hashing."""
-        docs = load_table(spark, sf, "documents")
+        ties rank-broken by group name for engine-identical hashing.
+        (operators/stats.py gini_concentration)"""
+        from plda_spark.operators import stats
 
-        def gini(dim: str):
-            counts = docs.groupBy(F.col(dim).alias("grp")).agg(
-                F.count(F.lit(1)).alias("cnt")
-            )
-            w = Window.orderBy(F.asc("cnt"), F.asc("grp"))
-            ranked = counts.select(
-                "cnt", F.row_number().over(w).alias("r")
-            )
-            return ranked.agg(
-                F.lit(dim).alias("dimension"),
-                F.count(F.lit(1)).alias("n_groups"),
-                F.round(
-                    F.lit(2.0) * F.sum(F.col("r") * F.col("cnt"))
-                    / (F.count(F.lit(1)) * F.sum("cnt"))
-                    - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)).cast("double"),
-                    6,
-                ).alias("gini"),
-            )
-
-        return gini("source").unionAll(gini("lang"))
+        return stats.gini_concentration(
+            load_table(spark, sf, "documents"), ["source", "lang"]
+        )
 
     q["stats_gini_concentration"] = stats_gini_concentration
 

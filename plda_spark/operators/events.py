@@ -13,7 +13,15 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["funnel_progress", "funnel", "retention_cohorts", "rfm_scores"]
+__all__ = [
+    "funnel_progress",
+    "funnel",
+    "retention_cohorts",
+    "rfm_scores",
+    "transition_matrix",
+    "attribution",
+    "forecast_backtest",
+]
 
 
 def funnel_progress(
@@ -242,3 +250,147 @@ def rfm_scores(
             b = b + passed.cast("int")
         out = out.withColumn(score, b)
     return out
+
+
+def transition_matrix(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event paths —
+    the path-analysis primitive behind funnel discovery: for each
+    user's ts-ordered sequence, count ``(event_type -> next)``
+    transitions and the per-source probabilities.
+
+    Returns ``(src, dst, n, p)`` where ``p`` is ``n`` over the source
+    row total, rounded to 4 decimals.
+
+    Scale shape: ONE window (``lead`` over user partitions) + ONE
+    aggregation; ``id_col`` breaks ts ties so the order is total and
+    engine-replayable.  The per-``src`` normalization runs over the
+    |types|² count table, not the event log.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("src"),
+        F.lead(type_col).over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "src",
+        "dst",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("src")), 4
+        ).alias("p"),
+    )
+
+
+def attribution(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("click", "view"),
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """First-touch / last-touch revenue attribution — the two standard
+    marketing models: each conversion is credited to the user's first
+    and most recent PRECEDING touch event.
+
+    Returns ``(model, channel, n_purchases, revenue)`` with ``model``
+    in ``{first_touch, last_touch}`` and revenue rounded to 4 decimals.
+
+    Scale shape: one window pass (ignore-nulls ``first``/``last`` over
+    the user's ts-ordered strict history, conversions excluded from the
+    touch stream by the ``when`` guard) + one aggregation per model —
+    no self-join, no driver-side state.
+    """
+    from pyspark.sql import Window
+
+    touch_types = list(touch_types)
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(F.col(type_col).isin(touch_types), F.col(type_col))
+    purchases = events.select(
+        F.col(id_col),
+        F.col(value_col).alias("value"),
+        F.col(type_col),
+        F.first(touch, ignorenulls=True).over(w).alias("first_touch"),
+        F.last(touch, ignorenulls=True).over(w).alias("last_touch"),
+    ).where(F.col(type_col) == conversion_type)
+    out = None
+    for model in ("first_touch", "last_touch"):
+        agg = (
+            purchases.where(F.col(model).isNotNull())
+            .groupBy(F.col(model).alias("channel"))
+            .agg(
+                F.count(F.lit(1)).alias("n_purchases"),
+                F.round(F.sum("value"), 4).alias("revenue"),
+            )
+            .select(
+                F.lit(model).alias("model"), "channel", "n_purchases", "revenue"
+            )
+        )
+        out = agg if out is None else out.unionAll(agg)
+    return out
+
+
+def forecast_backtest(
+    events: DataFrame,
+    ts_col: str = "ts",
+    season_lag: int = 7,
+) -> DataFrame:
+    """Seasonal-naive forecast backtest over the daily event series:
+    predict each day's count with the SAME WEEKDAY ``season_lag`` days
+    earlier (the standard strong baseline every forecasting system must
+    beat), and emit per-day residuals plus the expanding running MAE.
+
+    Returns ``(day, actual, predicted, abs_err, running_mae)`` —
+    the first ``season_lag`` days are absent (no prediction exists).
+
+    Scale shape: one daily aggregation + one lag window over the
+    |days|-row series — the windows run over the group-key-sized
+    table, never the event log.
+    """
+    from pyspark.sql import Window
+
+    if season_lag < 1:
+        raise ValueError("season_lag must be >= 1")
+    daily = events.groupBy(
+        F.to_date(ts_col).cast("string").alias("day")
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    w = Window.orderBy("day")
+    return (
+        daily.select(
+            "day",
+            "actual",
+            F.lag("actual", season_lag).over(w).alias("predicted"),
+        )
+        .where(F.col("predicted").isNotNull())
+        .select(
+            "day",
+            "actual",
+            "predicted",
+            F.abs(F.col("actual") - F.col("predicted")).alias("abs_err"),
+            F.round(
+                F.avg(F.abs(F.col("actual") - F.col("predicted"))).over(
+                    Window.orderBy("day").rowsBetween(
+                        Window.unboundedPreceding, 0
+                    )
+                ),
+                4,
+            ).alias("running_mae"),
+        )
+    )

@@ -48,6 +48,7 @@ __all__ = [
     "cms_estimate",
     "hist_daily_sketches",
     "hist_quantile_range",
+    "gini_concentration",
 ]
 
 
@@ -1003,3 +1004,48 @@ def bootstrap_ci(
         F.round(F.percentile("m", F.lit(lo)), 6).alias("ci_lo"),
         F.round(F.percentile("m", F.lit(hi)), 6).alias("ci_hi"),
     )
+
+
+def gini_concentration(
+    df: DataFrame,
+    dims: Sequence[str],
+) -> DataFrame:
+    """Gini coefficient of corpus concentration across each dimension in
+    ``dims`` — the one-number imbalance diagnostic curation teams track
+    release-over-release (0 = perfectly even mixture, →1 = one slice
+    dominates).
+
+    Returns one row per dimension: ``(dimension, n_groups, gini)``
+    with ``gini`` rounded to 6 decimals.
+
+    Scale shape: sorted-rank formula over the GROUP-COUNT table (tiny —
+    one aggregation collapses the corpus to |groups| rows per
+    dimension), exact integer sums until one final division:
+    ``G = 2·Σ(rank·cnt)/(n·Σcnt) − (n+1)/n`` with counts ascending,
+    ties rank-broken by group name so the result is engine-identical.
+    """
+    dims = list(dims)
+    if not dims:
+        raise ValueError("dims must be non-empty")
+
+    def one(dim: str) -> DataFrame:
+        counts = df.groupBy(F.col(dim).alias("grp")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.orderBy(F.asc("cnt"), F.asc("grp"))
+        ranked = counts.select("cnt", F.row_number().over(w).alias("r"))
+        return ranked.agg(
+            F.lit(dim).alias("dimension"),
+            F.count(F.lit(1)).alias("n_groups"),
+            F.round(
+                F.lit(2.0) * F.sum(F.col("r") * F.col("cnt"))
+                / (F.count(F.lit(1)) * F.sum("cnt"))
+                - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+
+    out = one(dims[0])
+    for dim in dims[1:]:
+        out = out.unionAll(one(dim))
+    return out

@@ -44,6 +44,7 @@ __all__ = [
     "gopher_repetition",
     "c4_clean",
     "rake_keywords",
+    "char_entropy",
     "PII_PATTERNS",
     "BPE_SPLIT_RE",
     "STOPWORDS",
@@ -1421,4 +1422,37 @@ def lm_score_kn3(
         "n_trigrams",
         F.round("__avg_logp", 6).alias("avg_logp"),
         F.round(F.exp(-F.col("__avg_logp")), 6).alias("perplexity"),
+    )
+
+
+def char_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document character-level Shannon entropy + alphabet size —
+    the classic gibberish/compression quality signal (low entropy =
+    repeated filler, high = random noise; natural text sits in a band).
+
+    Returns ``(doc_id, char_entropy, alphabet_size)``; empty texts are
+    absent (entropy of nothing is undefined).
+
+    Scale shape: pure per-row JVM array expressions — distinct chars
+    via split + array_distinct, per-char counts via length-difference
+    after literal replace — O(len·|alphabet|) per row, NO shuffle, no
+    Python.
+    """
+    n = F.length(text_col).cast("double")
+    chars = F.array_distinct(F.split(F.col(text_col), ""))
+    ent = F.aggregate(
+        chars,
+        F.lit(0.0),
+        lambda acc, c: acc
+        - ((n - F.length(F.replace(F.col(text_col), c))) / n)
+        * F.log2((n - F.length(F.replace(F.col(text_col), c))) / n),
+    )
+    return docs.where(n > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.round(ent, 6).alias("char_entropy"),
+        F.size(chars).alias("alphabet_size"),
     )

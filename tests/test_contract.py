@@ -129,6 +129,50 @@ def test_oracle_coverage_is_closed():
     assert qs - oracles == STOCHASTIC_NO_ORACLE
 
 
+# SURVEY.md §2.3's "Where" column claims each operator family lives in a
+# named module.  Round 5 let five operators drift: cited in the table as
+# operators/events.py / stats.py / text.py while the code existed only
+# inline in __spark_entry__.py — a user of the package API couldn't call
+# them.  Pin family-representative symbols to their cited module's
+# public surface (__all__) so a location claim can't go stale silently.
+SURVEY_LOCATION_PINS = {
+    "plda_spark.operators.dedup": ["exact_dedup", "minhash_lsh_pairs"],
+    "plda_spark.operators.similarity": ["brute_force_topk", "ivf_pq_build"],
+    "plda_spark.operators.text": [
+        "token_stats", "lm_score", "rake_keywords", "char_entropy",
+    ],
+    "plda_spark.operators.sampling": ["stratified_hash_sample"],
+    "plda_spark.operators.stats": [
+        "hll_daily_sketches", "gini_concentration",
+    ],
+    "plda_spark.operators.graph": ["pagerank"],
+    "plda_spark.operators.curation": ["ppl_buckets"],
+    "plda_spark.operators.joins": ["as_of_join", "interval_overlap_join"],
+    "plda_spark.operators.events": [
+        "funnel", "rfm_scores", "transition_matrix", "attribution",
+        "forecast_backtest",
+    ],
+    "plda_spark.operators.web": ["normalize_url_col", "domain_filter"],
+    "plda_spark.operators.multimodal": ["image_dhash"],
+    "plda_spark.operators.bpe": ["bpe_train"],
+    "plda_spark.operators.unigram": ["unigram_train"],
+    "plda_spark.operators.wordpiece": ["wordpiece_train"],
+}
+
+
+@pytest.mark.parametrize("module", sorted(SURVEY_LOCATION_PINS))
+def test_survey_cited_modules_export_their_operators(module):
+    import importlib
+
+    mod = importlib.import_module(module)
+    exported = set(getattr(mod, "__all__", dir(mod)))
+    for symbol in SURVEY_LOCATION_PINS[module]:
+        assert symbol in exported and callable(getattr(mod, symbol)), (
+            f"SURVEY.md §2.3 cites {module} for {symbol}, but the module "
+            "does not export it — promote the code or fix the table"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(STOCHASTIC_NO_ORACLE))
 def test_no_oracle_queries_are_documented(name):
     """Each rows-only query must say WHY in its docstring (the judge and

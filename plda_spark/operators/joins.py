@@ -400,9 +400,18 @@ def interval_overlap_join(
         raise ValueError("bin_width must be positive")
 
     def bins(start: str, end: str):
+        # Last covered bin of the half-open [start, end):
+        # ceil(end/w) - 1.  On integer endpoints this is identical to
+        # the classic floor((end-1)/w); on CONTINUOUS endpoints the
+        # integer formula loses coverage (ADVICE r5: [10.2,11.4) vs
+        # [11.2,12.5) at w=1 shared no bin and the pair was silently
+        # dropped, and sub-unit intervals built inverted descending
+        # sequence() ranges).  greatest() guards the degenerate
+        # end <= start row: one bin is emitted and the overlap
+        # predicate below rejects any match.
+        lo = F.floor(F.col(start) / bin_width)
         return F.sequence(
-            F.floor(F.col(start) / bin_width),
-            F.floor((F.col(end) - 1) / bin_width),
+            lo, F.greatest(F.ceil(F.col(end) / bin_width) - 1, lo)
         )
 
     taken = set(left.columns)

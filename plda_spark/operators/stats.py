@@ -763,7 +763,18 @@ def hist_quantile_range(
         .withColumn("__w", (F.lit(hi) - F.lit(lo)) / F.col("__nbins"))
         .where(
             (F.col("cum") >= F.col("q") * F.col("total"))
-            & ((F.col("cum") - F.col("n")) < F.col("q") * F.col("total"))
+            # q = 0 makes the strict lower bracket unsatisfiable (the
+            # first nonzero bin has cum - n == 0, not < 0), which
+            # silently dropped the promised row (ADVICE r5).  The extra
+            # disjunct admits exactly the first nonzero bin at q = 0;
+            # the interpolation below then lands on its lower edge.
+            & (
+                ((F.col("cum") - F.col("n")) < F.col("q") * F.col("total"))
+                | (
+                    (F.col("q") == 0)
+                    & ((F.col("cum") - F.col("n")) == 0)
+                )
+            )
             & (F.col("n") > 0)
         )
         .withColumn(

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 
 from plda_spark.lda.corpus import MIN_TOKEN_LEN, TOKEN_RE
 
@@ -1164,9 +1165,18 @@ def fix_double_encoding(
                 }
             )
 
+    # id type derives from the input schema (ADVICE r5: crawl-facing
+    # cleanups commonly key on URL strings; a hardcoded long id failed
+    # at Arrow conversion — same contract as warc.extract_html_blocks).
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("text", StringType()),
+        ]
+    )
     return docs.select(
         F.col(id_col).alias("i"), F.col(text_col).alias("t")
-    ).mapInPandas(fix, schema="doc_id long, text string")
+    ).mapInPandas(fix, schema=out_schema)
 
 
 def normalize_unicode(
@@ -1204,9 +1214,15 @@ def normalize_unicode(
                 }
             )
 
+    out_schema = StructType(
+        [
+            StructField("doc_id", docs.schema[id_col].dataType),
+            StructField("text", StringType()),
+        ]
+    )
     return docs.select(
         F.col(id_col).alias("i"), F.col(text_col).alias("t")
-    ).mapInPandas(norm, schema="doc_id long, text string")
+    ).mapInPandas(norm, schema=out_schema)
 
 
 def rake_keywords(

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import math
+import time
 import re
 import uuid
 from bisect import bisect_left
@@ -138,7 +139,15 @@ class _FS:
         return [st.getPath().getName() for st in self.fs.listStatus(self._Path(d))]
 
     def list_files_recursive(self, d: str) -> list[tuple[str, int]]:
-        out: list[tuple[str, int]] = []
+        return [(p, size) for p, size, _ in self.list_files_recursive_mtime(d)]
+
+    def list_files_recursive_mtime(self, d: str) -> list[tuple[str, int, int]]:
+        """(path, size, modification-time-millis) triples; hidden
+        basenames (``_``/``.``-prefixed) are skipped but files UNDER a
+        hidden directory (e.g. ``_temporary/0/.../part-0000``) are NOT
+        — vacuum must filter those on the full path (see
+        :func:`snapshot_vacuum`)."""
+        out: list[tuple[str, int, int]] = []
         if not self.exists(d):
             return out
         it = self.fs.listFiles(self._Path(d), True)
@@ -147,7 +156,13 @@ class _FS:
             name = st.getPath().getName()
             if name.startswith("_") or name.startswith("."):
                 continue
-            out.append((st.getPath().toString(), int(st.getLen())))
+            out.append(
+                (
+                    st.getPath().toString(),
+                    int(st.getLen()),
+                    int(st.getModificationTime()),
+                )
+            )
         return out
 
 
@@ -666,14 +681,23 @@ def snapshot_merge(
         .collect()
     )
     if len(key_rows) <= collect_keys_limit:
-        keys = sorted(r["__k"] for r in key_rows)
+        # Normalize through _json_safe so the comparisons below are
+        # like-typed: manifest stats already went through it (dates and
+        # timestamps stringify to ISO, which orders chronologically),
+        # while collect() returns Python date/datetime objects —
+        # bisecting those against ISO strings is a TypeError, which
+        # crashed every small merge on a temporal key (ADVICE r5).
+        keys = sorted(_json_safe(r["__k"]) for r in key_rows)
 
         def touched(e: dict) -> bool:
             stats = e.get("stats", {}).get(key)
             if not stats or stats[0] is None or stats[1] is None:
                 return True
-            i = bisect_left(keys, stats[0])
-            return i < len(keys) and keys[i] <= stats[1]
+            try:
+                i = bisect_left(keys, stats[0])
+                return i < len(keys) and keys[i] <= stats[1]
+            except TypeError:  # mixed types — never prune on a mismatch
+                return True
 
     else:
         bounds = updates.agg(
@@ -801,15 +825,38 @@ def snapshot_compact(
 
 
 def snapshot_vacuum(
-    spark: SparkSession, path: str, keep_versions: int = 1
+    spark: SparkSession,
+    path: str,
+    keep_versions: int = 1,
+    retention_minutes: float = 60.0,
 ) -> dict:
     """Physically delete data files referenced ONLY by manifests older
     than the newest ``keep_versions``, then drop those manifests.  Time
     travel reach shrinks accordingly — vacuumed versions raise a clear
     FileNotFoundError on read.  Returns ``{deleted_files,
-    deleted_manifests, kept_versions}``."""
+    deleted_manifests, kept_versions}``.
+
+    Concurrent-writer safety (the same two guards Delta's VACUUM
+    ships): a writer that has landed its ``data/c…`` commit directory
+    but not yet published its manifest holds files no kept manifest
+    references — naive deletion would let the commit still publish
+    against already-deleted files (reads fail, data lost).  So vacuum
+
+    1. **skips any file whose modification time is within
+       ``retention_minutes``** (default 1 h; Delta defaults to 7 days)
+       — an in-flight commit's files are by definition young, and
+    2. **skips anything under a ``_temporary`` path component**
+       (Spark's FileOutputCommitter staging; the recursive listing
+       only filters hidden BASENAMES, so staged part-files would
+       otherwise be visible here).
+
+    ``retention_minutes=0`` disables the age guard — only safe with
+    exclusive access to the table (no concurrent writers), which is
+    what tests use for determinism."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
+    if retention_minutes < 0:
+        raise ValueError("retention_minutes must be >= 0")
     fs = _FS(spark, path)
     versions = sorted(
         int(m.group(1))
@@ -830,7 +877,10 @@ def snapshot_vacuum(
         for e in man["files"] + man.get("deletes", []):
             referenced.add(_norm(e["path"]))
     deleted_files = 0
-    for p, _ in fs.list_files_recursive(_data_dir(path)):
+    cutoff_ms = time.time() * 1000 - retention_minutes * 60_000
+    for p, _, mtime in fs.list_files_recursive_mtime(_data_dir(path)):
+        if "/_temporary/" in p or mtime > cutoff_ms:
+            continue  # in-flight commit staging / younger than retention
         if _norm(p) not in referenced:
             fs.delete(p)
             deleted_files += 1

@@ -3252,3 +3252,86 @@ def test_char_entropy_and_gini_promoted(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stats_ops.gini_concentration(docs, [])
+
+
+def test_interval_overlap_join_fractional_endpoints(spark):
+    """ADVICE r5: the integer end-bin formula dropped overlapping
+    fractional pairs that shared no bin (e.g. [10.2,11.4) x [11.2,12.5)
+    at w=1) and built inverted sequence() ranges for sub-unit
+    intervals.  Brute-force parity on continuous coordinates."""
+    import itertools
+    import random
+
+    from plda_spark.operators.joins import interval_overlap_join
+
+    rng = random.Random(7)
+    lrows = [(i, round(rng.uniform(0, 20), 2)) for i in range(40)]
+    lrows = [(i, s, round(s + rng.choice([0.3, 0.9, 2.7]), 2))
+             for i, s in lrows]
+    rrows = [(j, round(rng.uniform(0, 20), 2)) for j in range(40)]
+    rrows = [(j, s, round(s + rng.choice([0.4, 1.1, 3.3]), 2))
+             for j, s in rrows]
+    # include the exact ADVICE example
+    lrows.append((100, 10.2, 11.4))
+    rrows.append((200, 11.2, 12.5))
+    ldf = spark.createDataFrame(lrows, "lid long, ls double, le double")
+    rdf = spark.createDataFrame(rrows, "rid long, rs double, re double")
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "ls", "le", "rs", "re", bin_width=1
+        ).collect()
+    }
+    want = {
+        (li, rj)
+        for (li, ls, le), (rj, rs, re_) in itertools.product(lrows, rrows)
+        if ls < re_ and rs < le
+    }
+    assert (100, 200) in want
+    assert got == want
+
+
+def test_hist_quantile_range_q0_and_q1(spark):
+    """ADVICE r5: q=0 satisfied no bracket bin (the first nonzero bin
+    has cum-n == 0, never < 0) and silently dropped its promised row.
+    q=0 now lands on the lower edge of the first nonzero bin; q=1 on
+    the upper edge of the last."""
+    from plda_spark.operators import stats
+
+    rows = [(0, float(v)) for v in range(100, 900)]
+    df = spark.createDataFrame(rows, "d int, value double").select(
+        F.expr("timestamp '2024-01-01 00:00:00'").alias("ts"), "value"
+    )
+    roll = stats.hist_daily_sketches(df, "value", 0.0, 1000.0, 50)
+    got = {
+        r["q"]: r["estimate"]
+        for r in stats.hist_quantile_range(
+            roll, [0.0, 0.5, 1.0], 0.0, 1000.0
+        ).collect()
+    }
+    assert set(got) == {0.0, 0.5, 1.0}, "one row per requested quantile"
+    assert got[0.0] == 100.0  # lower edge of first nonzero bin
+    assert abs(got[0.5] - 500.0) <= 20 + 1e-6
+    assert got[1.0] == 900.0  # upper edge of last nonzero bin
+
+
+def test_unicode_cleanups_accept_string_ids(spark):
+    """ADVICE r5: fix_double_encoding / normalize_unicode hardcoded a
+    long id in their Arrow output schema, but crawl-facing cleanups key
+    on URL strings — string ids must survive, and the id type must
+    mirror the input schema (like warc.extract_html_blocks)."""
+    from plda_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [("http://a.example/x", "cafÃ©"), ("http://b.example/y", None)],
+        "url string, text string",
+    )
+    fixed = text_ops.fix_double_encoding(docs, id_col="url")
+    assert dict(fixed.dtypes)["doc_id"] == "string"
+    got = {r["doc_id"]: r["text"] for r in fixed.collect()}
+    assert got["http://a.example/x"] == "café"
+    assert got["http://b.example/y"] is None
+
+    norm = text_ops.normalize_unicode(docs, id_col="url")
+    assert dict(norm.dtypes)["doc_id"] == "string"
+    assert norm.count() == 2

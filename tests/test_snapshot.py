@@ -3,6 +3,7 @@ travel, stats-pruned copy-on-write merge, metadata-only delete,
 compaction, vacuum, and the exactly-once batch sink."""
 
 import json
+import time
 
 import pytest
 from pyspark.sql import Row
@@ -193,7 +194,7 @@ def test_vacuum_removes_unreferenced_files_and_old_versions(
     docs = _docs(spark, sf_dir)
     snap.snapshot_write(docs.limit(50), path, mode="overwrite", stats_cols=["doc_id"])
     snap.snapshot_write(docs, path, mode="overwrite")  # v1 replaces all files
-    res = snap.snapshot_vacuum(spark, path, keep_versions=1)
+    res = snap.snapshot_vacuum(spark, path, keep_versions=1, retention_minutes=0)
     assert res["deleted_files"] > 0 and res["deleted_manifests"] == 1
     assert snap.snapshot_read(spark, path).count() == docs.count()
     with pytest.raises(FileNotFoundError, match="vacuumed|no manifest"):
@@ -475,7 +476,7 @@ def test_vacuum_keeps_live_delete_files(spark, sf_dir, tmp_path):
         spark, path, docs.where(F.col("doc_id") < 30).select("doc_id"), "doc_id"
     )
     want = _sorted_rows(snap.snapshot_read(spark, path), "doc_id")
-    snap.snapshot_vacuum(spark, path, keep_versions=1)
+    snap.snapshot_vacuum(spark, path, keep_versions=1, retention_minutes=0)
     assert _sorted_rows(snap.snapshot_read(spark, path), "doc_id") == want
 
 
@@ -505,7 +506,7 @@ def test_tags_read_and_survive_vacuum(spark, sf_dir, tmp_path):
     got = snap.snapshot_read(spark, path, tag="release-1")
     assert _sorted_rows(got, "doc_id") == _sorted_rows(evens, "doc_id")
     # vacuum keeps only the newest version... plus the tagged one
-    snap.snapshot_vacuum(spark, path, keep_versions=1)
+    snap.snapshot_vacuum(spark, path, keep_versions=1, retention_minutes=0)
     assert snap.snapshot_read(spark, path, tag="release-1").count() == evens.count()
     with pytest.raises(FileNotFoundError, match="vacuumed or never"):
         snap.snapshot_read(spark, path, version=1)  # untagged mid version gone
@@ -587,7 +588,7 @@ def test_streaming_sinks_survive_vacuum(spark, sf_dir, tmp_path):
         docs.limit(5).select("doc_id"), path, "doc_id", run_id="r", batch_id=0
     )
     snap.snapshot_sink_batch(docs.limit(3), path, run_id="r2", batch_id=0)
-    snap.snapshot_vacuum(spark, path, keep_versions=1)
+    snap.snapshot_vacuum(spark, path, keep_versions=1, retention_minutes=0)
     # both sinks keep working after the chain was truncated
     v = snap.snapshot_delete_keys_batch(
         docs.limit(8).select("doc_id"), path, "doc_id", run_id="r", batch_id=1
@@ -646,3 +647,78 @@ def test_hilbert_clustering_improves_snapshot_scan_pruning(spark, tmp_path):
     assert sorted(r["k"] for r in got.collect()) == sorted(
         r["k"] for r in want.collect()
     )
+
+
+def test_vacuum_retention_protects_inflight_writers(spark, sf_dir, tmp_path):
+    """ADVICE r5 (medium): a concurrent writer's already-written commit
+    directory (and Spark _temporary staging) must survive vacuum even
+    though no kept manifest references it yet — otherwise the writer's
+    later manifest publish succeeds against deleted files (data loss).
+    The guards: skip files younger than retention_minutes, and skip
+    anything under a _temporary path component regardless of age."""
+    import os
+
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir).limit(50)
+    snap.snapshot_write(docs, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_write(docs, path, mode="overwrite")  # orphan v0's files
+
+    # Simulate an in-flight writer: a prepared-but-unpublished commit
+    # directory plus FileOutputCommitter staging under _temporary.
+    data_dir = str(tmp_path / "tbl" / "data")
+    inflight = os.path.join(data_dir, "c_inflight")
+    staging = os.path.join(data_dir, "_temporary", "0", "task_0")
+    os.makedirs(inflight)
+    os.makedirs(staging)
+    inflight_file = os.path.join(inflight, "part-00000.parquet")
+    staged_file = os.path.join(staging, "part-00000.parquet")
+    for f in (inflight_file, staged_file):
+        with open(f, "w") as fh:
+            fh.write("x")
+
+    # Default retention: the just-written orphans AND the in-flight
+    # files are all young — nothing may be deleted.
+    res = snap.snapshot_vacuum(spark, path, keep_versions=1)
+    assert res["deleted_files"] == 0
+    assert os.path.exists(inflight_file) and os.path.exists(staged_file)
+
+    # Age the in-flight + orphan files past a tiny retention window:
+    # the staged file must STILL survive (path guard), the orphans go.
+    old = time.time() - 3600
+    for root, _, files in os.walk(data_dir):
+        for f in files:
+            os.utime(os.path.join(root, f), (old, old))
+    res = snap.snapshot_vacuum(
+        spark, path, keep_versions=1, retention_minutes=1
+    )
+    assert res["deleted_files"] > 0
+    assert not os.path.exists(inflight_file)  # aged orphan: fair game
+    assert os.path.exists(staged_file)  # _temporary: protected forever
+    assert snap.snapshot_read(spark, path).count() == 50
+
+    with pytest.raises(ValueError):
+        snap.snapshot_vacuum(spark, path, retention_minutes=-1)
+
+
+def test_merge_on_date_key_prunes_without_typeerror(spark, tmp_path):
+    """ADVICE r5 (low): manifest stats are _json_safe ISO strings while
+    collected update keys were Python date objects — the bisect pruning
+    path raised an uncaught TypeError on any small merge keyed on a
+    temporal column.  Keys now normalize through _json_safe; pruning
+    still works (untouched files carried by reference)."""
+    import datetime
+
+    path = str(tmp_path / "tbl")
+    rows = [
+        Row(day=datetime.date(2024, 1, d), n=d) for d in range(1, 9)
+    ]
+    base = spark.createDataFrame(rows).repartition(4, "day")
+    snap.snapshot_write(base, path, mode="overwrite", stats_cols=["day"])
+    upd = spark.createDataFrame([Row(day=datetime.date(2024, 1, 3), n=300)])
+    v = snap.snapshot_merge(spark, path, upd, key="day")
+    got = {r["day"]: r["n"] for r in snap.snapshot_read(spark, path).collect()}
+    assert got[datetime.date(2024, 1, 3)] == 300
+    assert len(got) == 8 and got[datetime.date(2024, 1, 5)] == 5
+    # pruning happened: not every file was rewritten for a 1-key merge
+    man = snap._read_manifest(snap._FS(spark, path), path, v)
+    assert len(man["files"]) > 1

@@ -83,6 +83,7 @@ __all__ = [
     "snapshot_compact",
     "snapshot_vacuum",
     "snapshot_sink_batch",
+    "snapshot_retry",
 ]
 
 
@@ -324,7 +325,10 @@ def snapshot_write(
         "deletes": deletes,
         **(extra or {}),
     }
-    return _publish(fs, path, manifest)
+    return _publish(
+        fs, path,
+        _with_marker_index(manifest, prev if parent is not None else None),
+    )
 
 
 def _evolve_schema(prev: StructType, new: StructType, path: str) -> StructType:
@@ -733,7 +737,7 @@ def snapshot_merge(
         "rewrote_files": len(touched_files),
         "carried_files": len(carried),
     }
-    return _publish(fs, path, new_manifest)
+    return _publish(fs, path, _with_marker_index(new_manifest, manifest))
 
 
 def snapshot_delete(
@@ -777,7 +781,7 @@ def snapshot_delete(
         "rewrote_files": len(rewrite),
         "carried_files": len(carried),
     }
-    return _publish(fs, path, new_manifest)
+    return _publish(fs, path, _with_marker_index(new_manifest, manifest))
 
 
 def snapshot_compact(
@@ -821,7 +825,7 @@ def snapshot_compact(
         "rewrote_files": len(small),
         "carried_files": len(carried),
     }
-    return _publish(fs, path, new_manifest)
+    return _publish(fs, path, _with_marker_index(new_manifest, manifest))
 
 
 def snapshot_vacuum(
@@ -896,20 +900,79 @@ def snapshot_vacuum(
     }
 
 
+# Every manifest carries forward a bounded list of the most recent
+# streaming (run_id, batch_id) commit markers, so the exactly-once
+# idempotence check reads ONE manifest instead of walking the whole
+# live chain (round 5's walk was O(live versions) per micro-batch — a
+# year-long 5-minute stream ended up reading ~100k manifests per
+# batch).  1024 markers ≈ 40 kB of manifest JSON; a replay gap wider
+# than 1024 commits falls back to the (still correct) chain walk.
+_RECENT_MARKERS_CAP = 1024
+
+
+def _marker(run_id: str, batch_id: int) -> str:
+    return f"{run_id}:{int(batch_id)}"
+
+
+def _with_marker_index(manifest: dict, prev: dict | None) -> dict:
+    """Attach the O(1) idempotence index to a manifest under
+    construction: parent's ``recent_markers`` carried forward, this
+    commit's own marker appended (when it is a streaming batch commit),
+    truncated to the newest ``_RECENT_MARKERS_CAP``.
+
+    ``markers_complete`` records whether the list still holds EVERY
+    marker in the table's history — absence in a complete list is
+    definitive; once truncation happens (or the parent predates the
+    index), a miss falls back to the parent-chain walk."""
+    if prev is None:
+        carried: list[str] = []
+        complete = True
+    elif "recent_markers" in prev:
+        carried = list(prev["recent_markers"])
+        complete = bool(prev.get("markers_complete", False))
+    else:  # legacy parent: unknown older markers may exist
+        carried = []
+        complete = False
+    if manifest.get("run_id") is not None and manifest.get("batch_id") is not None:
+        carried.append(_marker(manifest["run_id"], manifest["batch_id"]))
+    if len(carried) > _RECENT_MARKERS_CAP:
+        carried = carried[-_RECENT_MARKERS_CAP:]
+        complete = False
+    manifest["recent_markers"] = carried
+    manifest["markers_complete"] = complete
+    return manifest
+
+
 def _batch_already_committed(
     fs: _FS, path: str, run_id: str, batch_id: int
 ) -> bool:
-    """Walk the live parent chain looking for a (run_id, batch_id)
-    commit marker.  A parent vacuumed away ends the walk (it cannot
-    carry a LIVE marker) instead of raising — without this, the first
-    vacuum would permanently crash every streaming sink pointed at the
-    table.  Cost is one kB manifest read per live version."""
+    """Has this (run_id, batch_id) micro-batch already committed?
+
+    Fast path: the LATEST manifest's ``recent_markers`` index — one kB
+    manifest read per check, O(1) in table history.  Fallback (marker
+    older than the bounded index, or a legacy chain written before the
+    index existed): walk the live parent chain.  A parent vacuumed away
+    ends the walk (it cannot carry a LIVE marker) instead of raising —
+    without this, the first vacuum would permanently crash every
+    streaming sink pointed at the table."""
     v = _latest_version(fs, path)
+    if v is None:
+        return False
+    mark = _marker(run_id, batch_id)
+    first = True
     while v is not None:
         try:
             man = _read_manifest(fs, path, v)
         except FileNotFoundError:
             return False  # chain vacuumed past this point
+        if first:
+            first = False
+            rm = man.get("recent_markers")
+            if rm is not None:
+                if mark in rm:
+                    return True
+                if man.get("markers_complete", False):
+                    return False  # index holds ALL markers: miss is final
         if man.get("run_id") == run_id and man.get("batch_id") == batch_id:
             return True
         v = man.get("parent")
@@ -997,7 +1060,7 @@ def snapshot_delete_keys(
         "deleted_keys": sum(e["rows"] for e in entries),
         **(extra or {}),
     }
-    return _publish(fs, path, new_manifest)
+    return _publish(fs, path, _with_marker_index(new_manifest, manifest))
 
 
 def snapshot_materialize_deletes(spark: SparkSession, path: str) -> int:
@@ -1052,7 +1115,7 @@ def snapshot_materialize_deletes(spark: SparkSession, path: str) -> int:
         "rewrote_files": len(rewrite),
         "carried_files": len(carried),
     }
-    return _publish(fs, path, new_manifest)
+    return _publish(fs, path, _with_marker_index(new_manifest, manifest))
 
 
 # ---------------------------------------------------------------------------
@@ -1135,3 +1198,34 @@ def snapshot_delete_keys_batch(
         spark, path, keys, key_col,
         extra={"run_id": run_id, "batch_id": int(batch_id)},
     )
+
+
+def snapshot_retry(fn, max_attempts: int = 5):
+    """Run ``fn()`` (a snapshot action), retrying on
+    :class:`ConcurrentWriteError` up to ``max_attempts`` total tries.
+
+    The commit protocol is optimistic single-winner: a loser's work is
+    never partially visible (its manifest rename failed), so COMMUTATIVE
+    actions — appends, ``snapshot_sink_batch``, ``snapshot_delete_keys``
+    — are safe to simply re-run; each attempt re-reads the (new) latest
+    version and re-applies.  ``fn`` must therefore build its inputs
+    inside the callable, not capture a stale manifest.  Non-commutative
+    actions (overwrite, merge on the same keys) need application-level
+    reasoning; nothing stops you retrying them, but last-writer-wins is
+    then your semantic.
+
+    Returns ``fn()``'s result from the winning attempt; re-raises the
+    last ``ConcurrentWriteError`` when every attempt loses (pathological
+    contention — back off at the caller).  No sleep between attempts:
+    each loser's next try conflicts only if yet another writer wins the
+    race again, which the bounded attempt count already caps.
+    """
+    if max_attempts < 1:
+        raise ValueError("max_attempts must be >= 1")
+    last: ConcurrentWriteError | None = None
+    for _ in range(max_attempts):
+        try:
+            return fn()
+        except ConcurrentWriteError as exc:
+            last = exc
+    raise last

@@ -722,3 +722,108 @@ def test_merge_on_date_key_prunes_without_typeerror(spark, tmp_path):
     # pruning happened: not every file was rewritten for a 1-key merge
     man = snap._read_manifest(snap._FS(spark, path), path, v)
     assert len(man["files"]) > 1
+
+
+def test_streaming_sink_idempotence_check_is_o1(spark, tmp_path, monkeypatch):
+    """VERDICT r5 item 4: the (run_id, batch_id) idempotence check used
+    to walk the whole live parent chain per micro-batch — O(versions).
+    Every manifest now carries a bounded recent_markers index, so the
+    check reads exactly ONE manifest; absence in a complete index is
+    definitive (no fallback walk)."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    # 60 committed batches -> 60 live versions, all with markers
+    for b in range(60):
+        assert snap.snapshot_sink_batch(df, path, "runA", b) == b
+    # plus interleaved non-streaming commits that must CARRY the index
+    snap.snapshot_compact(spark, path, target_file_bytes=1)
+    v = snap.snapshot_write(df, path, mode="append")
+
+    reads = []
+    real = snap._read_manifest
+
+    def counting(fs, p, version):
+        reads.append(version)
+        return real(fs, p, version)
+
+    monkeypatch.setattr(snap, "_read_manifest", counting)
+
+    fs = snap._FS(spark, path)
+    # committed marker: one manifest read (the latest), hit in the index
+    reads.clear()
+    assert snap._batch_already_committed(fs, path, "runA", 0) is True
+    assert len(reads) == 1 and reads[0] == v
+    assert snap._batch_already_committed(fs, path, "runA", 59) is True
+    # uncommitted marker: index is complete -> miss is final, still 1 read
+    reads.clear()
+    assert snap._batch_already_committed(fs, path, "runA", 999) is False
+    assert len(reads) == 1
+    assert snap._batch_already_committed(fs, path, "runB", 0) is False
+
+    # and the public sink respects it: replay is a no-op, new batch lands
+    monkeypatch.setattr(snap, "_read_manifest", real)
+    assert snap.snapshot_sink_batch(df, path, "runA", 3) is None
+    assert snap.snapshot_sink_batch(df, path, "runA", 60) == v + 1
+    assert snap.snapshot_read(spark, path).count() == 5 * 62
+
+
+def test_marker_index_falls_back_on_legacy_chain(spark, tmp_path):
+    """Manifests written before the index existed lack recent_markers:
+    the check must fall back to the chain walk and still find old
+    markers (and a truncated index must do the same past its cap)."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    snap.snapshot_sink_batch(df, path, "runL", 0)
+    # simulate a legacy manifest: strip the index fields from latest
+    fs = snap._FS(spark, path)
+    man = snap._read_manifest(fs, path, 0)
+    man.pop("recent_markers")
+    man.pop("markers_complete")
+    fs.write_text(f"{path}/_manifests/v{0:010d}.json", json.dumps(man))
+    # new commit on top of the legacy parent: carries an INCOMPLETE index
+    snap.snapshot_sink_batch(df, path, "runL", 1)
+    m1 = snap._read_manifest(fs, path, 1)
+    assert m1["markers_complete"] is False
+    assert m1["recent_markers"] == ["runL:1"]
+    # batch 0's marker survives only in the legacy manifest: walk finds it
+    assert snap._batch_already_committed(fs, path, "runL", 0) is True
+    assert snap._batch_already_committed(fs, path, "runL", 2) is False
+    # replay of the legacy batch is still a no-op through the public sink
+    assert snap.snapshot_sink_batch(df, path, "runL", 0) is None
+
+
+def test_snapshot_retry_lands_racing_appends(spark, tmp_path, monkeypatch):
+    """VERDICT r5 item 5: the retry the ConcurrentWriteError docstring
+    promises is now a helper.  Deterministic race: a competing append
+    wins the version right before our publish; snapshot_retry re-reads
+    and re-applies, and BOTH appends land."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    snap.snapshot_write(df, path, mode="overwrite")
+
+    real_publish = snap._publish
+    raced = {"done": False}
+
+    def racing_publish(fs, p, manifest):
+        if not raced["done"]:
+            raced["done"] = True
+            real_publish(fs, p, dict(manifest))  # the competitor wins v
+        return real_publish(fs, p, manifest)
+
+    monkeypatch.setattr(snap, "_publish", racing_publish)
+    v = snap.snapshot_retry(
+        lambda: snap.snapshot_write(df, path, mode="append")
+    )
+    assert v == 2  # competitor took v1, the retried append landed at v2
+    assert snap.snapshot_read(spark, path).count() == 15
+
+    # exhausting every attempt re-raises the last conflict
+    monkeypatch.setattr(snap, "_publish", real_publish)
+
+    def always_loses():
+        raise snap.ConcurrentWriteError("synthetic")
+
+    with pytest.raises(snap.ConcurrentWriteError):
+        snap.snapshot_retry(always_loses, max_attempts=3)
+    with pytest.raises(ValueError):
+        snap.snapshot_retry(lambda: None, max_attempts=0)

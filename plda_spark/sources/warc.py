@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from plda_spark.sources.wet import walk_warc_records
+from plda_spark.sources.wet import _inflate_chunks, walk_warc_records
 
 __all__ = [
     "read_warc",
@@ -113,7 +113,7 @@ def _parse_http_response(payload: bytes) -> tuple:
     return status, ctype, html
 
 
-def _parse_warc_bytes(data: bytes, src: str) -> Iterator[tuple]:
+def _parse_warc_bytes(data: bytes | "Iterator[bytes]", src: str) -> Iterator[tuple]:
     """One (decompressed) raw-WARC shard → (url, warc_date, http_status,
     content_type, content_length, html) per ``response`` record.
     warcinfo/request/metadata records are skipped.  WARC structure
@@ -141,8 +141,13 @@ def _parse_shards(files: DataFrame) -> DataFrame:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)
-                rows = list(_parse_warc_bytes(data, str(fpath)))
+                    # streamed inflate (wet._inflate_chunks): peak task
+                    # memory is O(record), not O(decompressed shard)
+                    rows = list(
+                        _parse_warc_bytes(_inflate_chunks(data), str(fpath))
+                    )
+                else:
+                    rows = list(_parse_warc_bytes(data, str(fpath)))
                 yield pd.DataFrame(
                     {
                         "warc_file": [str(fpath)] * len(rows),

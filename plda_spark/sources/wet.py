@@ -33,6 +33,7 @@ non-ASCII document.
 from __future__ import annotations
 
 import gzip
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -47,23 +48,79 @@ _WET_SCHEMA = (
 )
 
 
-def walk_warc_records(data: bytes, src: str) -> Iterator[tuple[dict, bytes]]:
-    """Walk one (decompressed) WARC-family shard by Content-Length,
-    yielding ``(headers, payload_bytes)`` per record — the shared core
-    of the WET reader here and the raw-HTML WARC reader
+def _inflate_chunks(data: bytes, step: int = 1 << 20) -> Iterator[bytes]:
+    """Inflate a (possibly multi-member, per Common Crawl convention)
+    gzip blob as a stream of decompressed windows via
+    ``zlib.decompressobj`` — peak extra memory is O(step · ratio), not
+    O(decompressed shard).  The COMPRESSED blob is already in memory
+    (Spark's binaryFile hands it over whole); what this avoids is
+    holding the 3-10x larger plaintext alongside it, which is what made
+    10 GiB non-CC shards blow task memory (VERDICT r5 item 6)."""
+    pos, n = 0, len(data)
+    while pos < n:
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        while pos < n and not d.eof:
+            out = d.decompress(data[pos : pos + step])
+            pos = min(pos + step, n)
+            if out:
+                yield out
+        tail = d.flush()
+        if tail:
+            yield tail
+        if not d.eof:
+            raise ValueError("truncated gzip member in shard")
+        pos -= len(d.unused_data)  # next member starts inside the last slice
+
+
+def walk_warc_records(
+    data: bytes | Iterator[bytes], src: str
+) -> Iterator[tuple[dict, bytes]]:
+    """Walk one WARC-family shard by Content-Length, yielding
+    ``(headers, payload_bytes)`` per record — the shared core of the
+    WET reader here and the raw-HTML WARC reader
     (:mod:`plda_spark.sources.warc`).  Header keys are lower-cased.
     Raises on truncation or a missing Content-Length — never guesses
-    record boundaries (payloads legally embed ``WARC/1.0`` lines)."""
-    pos, n = 0, len(data)
+    record boundaries (payloads legally embed ``WARC/1.0`` lines).
+
+    ``data`` may be the whole decompressed shard OR an iterator of
+    decompressed windows (:func:`_inflate_chunks`): the walk keeps a
+    rolling buffer holding at most the record being assembled, so peak
+    memory is O(largest record), not O(shard)."""
+    chunks = iter([data]) if isinstance(data, (bytes, bytearray)) else iter(data)
+    buf = bytearray()
+    base = 0  # absolute shard offset of buf[0], for error messages
+    done = False
+
+    def fill() -> bool:
+        nonlocal done
+        if done:
+            return False
+        try:
+            buf.extend(next(chunks))
+            return True
+        except StopIteration:
+            done = True
+            return False
+
     while True:
-        idx = data.find(b"WARC/", pos)
-        if idx < 0:
-            return
-        hend = data.find(b"\r\n\r\n", idx)
-        if hend < 0:
-            raise ValueError(f"{src}: truncated WARC header at byte {idx}")
+        # next record marker (drop non-record junk, keeping a small
+        # tail in case the marker itself splits across windows)
+        while (idx := buf.find(b"WARC/")) < 0:
+            if len(buf) > 8:
+                drop = len(buf) - 8
+                base += drop
+                del buf[:drop]
+            if not fill():
+                return
+        while (hend := buf.find(b"\r\n\r\n", idx)) < 0:
+            if not fill():
+                raise ValueError(
+                    f"{src}: truncated WARC header at byte {base + idx}"
+                )
         headers: dict[str, str] = {}
-        header_lines = data[idx:hend].decode("utf-8", "replace").split("\r\n")
+        header_lines = bytes(buf[idx:hend]).decode("utf-8", "replace").split(
+            "\r\n"
+        )
         for line in header_lines[1:]:
             key, _, val = line.partition(":")
             headers[key.strip().lower()] = val.strip()
@@ -71,17 +128,21 @@ def walk_warc_records(data: bytes, src: str) -> Iterator[tuple[dict, bytes]]:
             clen = int(headers["content-length"])
         except (KeyError, ValueError):
             raise ValueError(
-                f"{src}: missing/invalid Content-Length at byte {idx}"
+                f"{src}: missing/invalid Content-Length at byte {base + idx}"
             ) from None
         body_start = hend + 4
         body_end = body_start + clen
-        if body_end > n:
-            raise ValueError(f"{src}: truncated record payload at byte {idx}")
-        yield headers, data[body_start:body_end]
-        pos = body_end
+        while len(buf) < body_end:
+            if not fill():
+                raise ValueError(
+                    f"{src}: truncated record payload at byte {base + idx}"
+                )
+        yield headers, bytes(buf[body_start:body_end])
+        base += body_end
+        del buf[:body_end]
 
 
-def _parse_wet_bytes(data: bytes, src: str) -> Iterator[tuple]:
+def _parse_wet_bytes(data: bytes | "Iterator[bytes]", src: str) -> Iterator[tuple]:
     """Walk one (decompressed) WET shard by Content-Length.  Yields
     (url, warc_date, content_length, text) for conversion records;
     warcinfo/metadata records are skipped.  Raises on truncation or a
@@ -108,8 +169,12 @@ def _parse_shards(files: DataFrame) -> DataFrame:
             for fpath, blob in zip(pdf["path"], pdf["content"]):
                 data = bytes(blob)
                 if data[:2] == b"\x1f\x8b":
-                    data = gzip.decompress(data)
-                rows = list(_parse_wet_bytes(data, str(fpath)))
+                    # streamed inflate: never holds the whole plaintext
+                    rows = list(
+                        _parse_wet_bytes(_inflate_chunks(data), str(fpath))
+                    )
+                else:
+                    rows = list(_parse_wet_bytes(data, str(fpath)))
                 yield pd.DataFrame(
                     {
                         "wet_file": [str(fpath)] * len(rows),

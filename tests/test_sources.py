@@ -824,3 +824,72 @@ def test_hilbert_writer_clusters_and_prunes(spark, tmp_path):
     assert all(r["dx"] < 64 and r["dy"] < 64 for r in stats)
     avg_area = sum((r["dx"] + 1) * (r["dy"] + 1) for r in stats) / len(stats)
     assert avg_area < 64 * 64 / 2  # files cover small blobs, not the plane
+
+
+def test_streamed_walk_is_record_bounded_and_parity_exact():
+    """VERDICT r5 item 6: gzip shards now inflate through
+    zlib.decompressobj windows and the record walk keeps a rolling
+    buffer — peak memory O(record), not O(decompressed shard).  Checks:
+    (a) chunked walking yields byte-identical records to whole-buffer
+    walking even when markers/headers/payloads split across window
+    boundaries, (b) the walk is INCREMENTAL — the first record is
+    yielded after consuming only the windows that cover it, proving the
+    shard is never buffered whole, (c) _inflate_chunks reassembles
+    multi-member gzip exactly at any step size."""
+    import gzip as _gzip
+
+    from plda_spark.sources.wet import _inflate_chunks, walk_warc_records
+
+    def rec(i, body: bytes) -> bytes:
+        return (
+            f"WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Target-URI: http://x/{i}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+
+    # payloads embed the record marker and CRLF pairs (the hostile case)
+    bodies = [
+        b"tiny",
+        b"WARC/1.0\r\n\r\nembedded marker " * 50,
+        bytes(range(256)) * 300,  # ~77 kB binary-ish record
+        b"z" * 10,
+    ]
+    shard = b"".join(rec(i, b) for i, b in enumerate(bodies))
+
+    whole = list(walk_warc_records(shard, "s"))
+    for step in (1, 7, 64, 1024, 1 << 20):
+        chunks = [shard[i : i + step] for i in range(0, len(shard), step)]
+        got = list(walk_warc_records(iter(chunks), "s"))
+        assert [(h["warc-target-uri"], b) for h, b in got] == [
+            (h["warc-target-uri"], b) for h, b in whole
+        ], f"parity broke at step {step}"
+
+    # (b) incremental: pulling record 0 must not consume the whole shard
+    consumed = {"n": 0}
+
+    def counting_chunks(step=64):
+        for i in range(0, len(shard), step):
+            consumed["n"] += step
+            yield shard[i : i + step]
+
+    walker = walk_warc_records(counting_chunks(), "s")
+    h0, b0 = next(walker)
+    assert b0 == bodies[0]
+    first_len = len(rec(0, bodies[0]))
+    assert consumed["n"] <= first_len + 256, (
+        "walker consumed the whole shard before yielding record 0 — "
+        "buffering is O(shard), not O(record)"
+    )
+    assert len(list(walker)) == len(bodies) - 1  # rest still arrives
+
+    # (c) streamed inflate parity, single- and multi-member, odd steps
+    members = _gzip.compress(shard[: len(shard) // 2]) + _gzip.compress(
+        shard[len(shard) // 2 :]
+    )
+    for step in (1, 13, 4096, 1 << 22):
+        assert b"".join(_inflate_chunks(members, step=step)) == shard
+    # and the two compose: records from compressed windows
+    got = list(walk_warc_records(_inflate_chunks(members, step=512), "s"))
+    assert [(h["warc-target-uri"], b) for h, b in got] == [
+        (h["warc-target-uri"], b) for h, b in whole
+    ]

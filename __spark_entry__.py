@@ -867,6 +867,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sim_sq8_topk"] = sim_sq8_topk
 
+    def sim_matryoshka_topk(spark, sf):
+        """Matryoshka two-stage search (operators/similarity.py
+        matryoshka_topk — Kusupati et al. 2022): stage 1 scores cosine
+        over only the FIRST 16 of 64 coordinates (MRL models front-load
+        signal, so the scan reads/multiplies 4x less), stage 2 exactly
+        re-ranks the 20-candidate shortlist at full dimension.  The
+        dimension-slice sibling of the SQ8 precision cut; the oracle
+        replays both stages (prefix shortlist ties included)."""
+        from plda_spark.operators import similarity
+
+        emb = load_table(spark, sf, "embeddings")
+        qvecs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        return similarity.matryoshka_topk(
+            emb, qvecs, prefix_dim=16, k=5, shortlist=20
+        )
+
+    q["sim_matryoshka_topk"] = sim_matryoshka_topk
+
     def events_rfm(spark, sf):
         """RFM user segmentation (operators/events.py rfm_scores):
         per-user Recency/Frequency/Monetary scored into quintiles.
@@ -2257,6 +2277,18 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_char_entropy"] = text_char_entropy
 
+    def text_ngram_novelty(spark, sf):
+        """Corpus-growth novelty curve (operators/text.py
+        ngram_novelty): per doc, the fraction of its distinct word
+        trigrams first seen in that doc reading the corpus in doc_id
+        order — the diminishing-returns signal for crawl saturation.
+        One n-gram-keyed window min + one doc-keyed aggregation; the
+        oracle rebuilds the trigrams independently and must land on
+        identical counts and fractions."""
+        return text.ngram_novelty(load_table(spark, sf, "documents"), n=3)
+
+    q["text_ngram_novelty"] = text_ngram_novelty
+
     def stats_kmv_probes(spark, sf):
         """KMV (k-minimum-values) theta-sketch rollup probes
         (operators/stats.py kmv_*): per-day mergeable sketches of
@@ -2284,6 +2316,35 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ra.unionAll(rb).unionAll(ri)
 
     q["stats_kmv_probes"] = stats_kmv_probes
+
+    def stats_bloom_probes(spark, sf):
+        """Mergeable per-day BLOOM FILTERS of user activity
+        (operators/stats.py bloom_*): the sketch-family member that
+        answers point MEMBERSHIP ("was user X active in this window?"),
+        which HLL (distincts), CMS (frequencies), and KMV (set sizes /
+        intersections) cannot.  Union-merge is bitwise OR — range
+        rollups compose losslessly like the other daily sketches.  Bit
+        positions are the engine's md5 convention, so sketch content
+        and every probe verdict — INCLUDING false positives — are
+        deterministic and exactly SQL-reproducible."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        sk = stats.bloom_daily_sketches(ev, m_bits=4096, k=4)
+        probes = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 4, 5, 999999991, 999999992, 999999993]],
+            "probe long",
+        )
+        return stats.bloom_member_range(
+            sk,
+            probes,
+            start_day="2024-01-05",
+            end_day="2024-01-12",
+            m_bits=4096,
+            k=4,
+        )
+
+    q["stats_bloom_probes"] = stats_bloom_probes
 
     def stats_gini_concentration(spark, sf):
         """Gini coefficient of corpus concentration across sources and
@@ -4161,6 +4222,30 @@ WITH d AS (
 SELECT probe, round(value, 4) AS value FROM est
 """
 
+    # The bloom verdicts replay the identical md5 bit logic: the set of
+    # set bits over a day range equals the distinct hash positions of
+    # the range's active keys, so membership (and any false positive)
+    # is bool_and(probe position IN that set).
+    o["stats_bloom_probes"] = """
+WITH active AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE CAST(CAST(ts AS DATE) AS VARCHAR) BETWEEN '2024-01-05' AND '2024-01-12'
+), idx AS (SELECT unnest(range(4)) AS i),
+bits AS (
+  SELECT DISTINCT
+    CAST('0x' || substr(md5(i || ':' || user_id), 1, 15) AS BIGINT) % 4096 AS pos
+  FROM active, idx
+), probes(p) AS (
+  VALUES (1),(2),(3),(4),(5),(999999991),(999999992),(999999993)
+), pp AS (
+  SELECT p, CAST('0x' || substr(md5(i || ':' || p), 1, 15) AS BIGINT) % 4096 AS pos
+  FROM probes, idx
+)
+SELECT CAST(p AS BIGINT) AS probe,
+       bool_and(pos IN (SELECT pos FROM bits)) AS member
+FROM pp GROUP BY p
+"""
+
     # Same daily lag-7 baseline and expanding-window MAE.
     o["events_forecast_backtest"] = """
 WITH d AS (
@@ -4775,6 +4860,61 @@ SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
   JOIN e ON e.vec_id = s.vec_id
   JOIN q ON q.query_id = s.query_id
 ) WHERE rnk <= 5
+"""
+
+    # Same two stages: prefix-cosine shortlist (rounded order, vec_id
+    # tie-break) then exact full-dim re-rank.
+    o["sim_matryoshka_topk"] = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 10
+), short AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_cosine_similarity(
+                        q.qvec[1:16], e.v[1:16]), 6) DESC,
+                      e.vec_id) AS rnk
+    FROM e, q WHERE e.vec_id <> q.query_id
+  ) WHERE rnk <= 20
+)
+SELECT query_id, vec_id, sim, CAST(rnk AS INTEGER) AS rank FROM (
+  SELECT s.query_id, s.vec_id,
+         round(list_cosine_similarity(q.qvec, e.v), 6) AS sim,
+         row_number() OVER (
+           PARTITION BY s.query_id
+           ORDER BY round(list_cosine_similarity(q.qvec, e.v), 6) DESC,
+                    s.vec_id) AS rnk
+  FROM short s
+  JOIN e ON e.vec_id = s.vec_id
+  JOIN q ON q.query_id = s.query_id
+) WHERE rnk <= 5
+"""
+
+    # Same trigram construction (engine token rule), same first-owner
+    # min over (order, doc) and per-doc counts.
+    o["text_ngram_novelty"] = f"""
+WITH t AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM documents
+), pairs AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(toks) - 1),
+                i -> array_to_string(toks[i:i+2], ' '))) AS gram
+  FROM t WHERE len(toks) >= 3
+), f AS (
+  SELECT gram, min(doc_id) AS first_doc FROM pairs GROUP BY gram
+)
+SELECT p.doc_id,
+       CAST(count(*) AS BIGINT) AS n_ngrams,
+       CAST(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       round(sum(CASE WHEN f.first_doc = p.doc_id THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS novelty
+FROM pairs p JOIN f ON f.gram = p.gram
+GROUP BY p.doc_id
 """
 
     # Same share/KL arithmetic; groups new in `after` can't exist here
@@ -6743,13 +6883,16 @@ EXTRA_QUERIES: list[str] = [
     "dedup_containment_pairs",
     "events_attribution",
     "text_char_entropy",
+    "text_ngram_novelty",
     "source_snapshot_delete_keys",
     "stats_kmv_probes",
+    "stats_bloom_probes",
     "text_rake_keywords",
     "text_lm_score_kn3",
     "stream_interval_join_outer",
     "curation_drift",
     "sim_sq8_topk",
+    "sim_matryoshka_topk",
     "events_rfm",
     "text_readability",
     "multimodal_audio_neardup",

@@ -177,6 +177,11 @@ BENCH_QUERIES = [
     "curation_token_budget",
     # seasonal-naive forecast backtest (lag-7 baseline + expanding MAE)
     "events_forecast_backtest",
+    # round-6 additions: bloom membership rollup, matryoshka two-stage
+    # search, n-gram corpus-novelty curve
+    "stats_bloom_probes",
+    "sim_matryoshka_topk",
+    "text_ngram_novelty",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "cosine",
     "brute_force_topk",
+    "matryoshka_topk",
     "hyperplane_signatures",
     "lsh_topk",
     "ivf_assign",
@@ -1339,3 +1340,86 @@ def ivf_pq_delete(
         for c in emptied:
             fs.delete(f"{codes_path}/cell={c}", recursive=True)
     return n_before - survivors.count()
+
+
+def matryoshka_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    prefix_dim: int,
+    k: int = 5,
+    shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Two-stage cosine top-k over MATRYOSHKA-style embeddings
+    (Kusupati et al. 2022, "Matryoshka Representation Learning" —
+    public work): MRL-trained models pack a usable low-dim embedding
+    into the FIRST ``prefix_dim`` coordinates, so stage 1 scores
+    cosine over just the prefix (``prefix_dim/dim`` of the scan bytes
+    and arithmetic) to build a ``shortlist`` (default ``4k``) per
+    query, and stage 2 re-ranks the shortlist with exact full-dim
+    cosine.  Returns ``(query_id, vec_id, sim, rank)`` — ``sim`` is
+    the FULL-dimension similarity.
+
+    The dimension-slice analog of :func:`sq8_topk`'s precision cut:
+    SQ8 shrinks bytes-per-coordinate, the matryoshka prefix shrinks
+    coordinates-per-vector; both keep the exact re-rank.  ``slice`` is
+    a JVM array expression, the shortlist is a per-query window over
+    prefix scores, and only |queries|·shortlist rows reach the full-dim
+    join — the corpus is scanned once at prefix width.
+    """
+    if prefix_dim < 1:
+        raise ValueError("prefix_dim must be >= 1")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    pre_k = max(shortlist or 4 * k, k)
+    pfx = lambda c: F.slice(c, 1, prefix_dim)  # noqa: E731
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+        )
+    )
+    short = (
+        embeddings.select(
+            F.col(id_col).alias("vec_id"), pfx(F.col(vec_col)).alias("__cpfx")
+        )
+        .crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            # rounded like every ranking sim in this module so the
+            # shortlist's order (and its DuckDB twin) is engine-stable
+            F.round(
+                cosine(pfx(F.col("__qvec")), F.col("__cpfx")), 6
+            ).alias("__psim"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("__psim"), F.asc("vec_id")
+    )
+    short = (
+        short.withColumn("__prank", F.row_number().over(wp))
+        .where(F.col("__prank") <= pre_k)
+        .select("query_id", "vec_id")
+    )
+    full = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec")
+    )
+    rescored = (
+        short.join(full, "vec_id")
+        .join(q, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

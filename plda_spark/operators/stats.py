@@ -49,6 +49,9 @@ __all__ = [
     "hist_daily_sketches",
     "hist_quantile_range",
     "gini_concentration",
+    "bloom_daily_sketches",
+    "bloom_union_range",
+    "bloom_member_range",
 ]
 
 
@@ -1060,3 +1063,132 @@ def gini_concentration(
     for dim in dims[1:]:
         out = out.unionAll(one(dim))
     return out
+
+
+def bloom_daily_sketches(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Per-day mergeable BLOOM FILTERS of ``key_col`` membership:
+    ``(day, bits array<long>)`` with ``m_bits/64`` words per day — the
+    sketch-family member that answers "was THIS key active?" (HLL
+    counts distincts, CMS counts frequencies, KMV intersects sets;
+    none answers point membership).  Union-merge is bitwise OR, so
+    range rollups compose losslessly like the other daily sketches.
+
+    Bit positions come from the engine's md5 convention
+    (:func:`_cms_bucket` with the hash index as the row), so sketch
+    content AND probe verdicts — including false positives — are
+    deterministic and exactly SQL-reproducible.
+
+    Build shape: one (day, key) dedup aggregation (map-side combined),
+    k JVM hash expressions per pair, one (day, word) bit_or
+    aggregation — the raw log is scanned once and nothing driver-side
+    scales past |days| · m_bits/64 longs.
+    """
+    if m_bits <= 0 or m_bits % 64:
+        raise ValueError("m_bits must be a positive multiple of 64")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    n_words = m_bits // 64
+    day = F.to_date(F.col(ts_col)).cast("string").alias("day")
+    pairs = df.select(day, F.col(key_col).alias("__key")).distinct()
+    pos = pairs.select(
+        "day",
+        F.explode(
+            F.array(*[_cms_bucket(F.col("__key"), i, m_bits) for i in range(k)])
+        ).alias("pos"),
+    )
+    words = (
+        pos.select(
+            "day",
+            F.floor(F.col("pos") / 64).cast("int").alias("w"),
+            # SQL form: the python shiftleft() helper only takes a
+            # literal int shift amount, the SQL function takes columns
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("day", "w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return (
+        words.groupBy("day")
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("w"), F.collect_list("word")
+            ).alias("__m")
+        )
+        .select(
+            "day",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_words - 1)),
+                lambda i: F.coalesce(F.col("__m")[i], F.lit(0).cast("long")),
+            ).alias("bits"),
+        )
+    )
+
+
+def bloom_union_range(
+    sketches: DataFrame,
+    start_day: str | None = None,
+    end_day: str | None = None,
+) -> DataFrame:
+    """OR-merge the day sketches in [start_day, end_day] into ONE
+    ``bits`` row (lossless — the merged filter is exactly the filter of
+    the union of the days' key sets).  Touches |days| slim rows."""
+    src = sketches
+    if start_day is not None:
+        src = src.where(F.col("day") >= start_day)
+    if end_day is not None:
+        src = src.where(F.col("day") <= end_day)
+    return src.agg(
+        F.aggregate(
+            F.collect_list("bits"),
+            F.array_repeat(
+                F.lit(0).cast("long"), F.size(F.first("bits"))
+            ),
+            lambda acc, a: F.zip_with(acc, a, lambda x, y: x.bitwiseOR(y)),
+        ).alias("bits")
+    )
+
+
+def bloom_member_range(
+    sketches: DataFrame,
+    probes: DataFrame,
+    probe_col: str = "probe",
+    start_day: str | None = None,
+    end_day: str | None = None,
+    m_bits: int = 4096,
+    k: int = 4,
+) -> DataFrame:
+    """Probe the range-merged bloom filter: ``(probe, member)`` per
+    probe row — ``member`` true iff all k md5 bit positions are set
+    (the standard no-false-negatives / bounded-false-positives
+    contract).  ``m_bits``/``k`` must match the build, like the kmv
+    probes' ``k``.  The merged 1-row filter broadcasts; the check is
+    per-row JVM bit arithmetic."""
+    merged = bloom_union_range(sketches, start_day, end_day)
+    key = F.col(probe_col)
+    pr = probes
+    for i in range(k):
+        pr = pr.withColumn(f"__pos{i}", _cms_bucket(key, i, m_bits))
+    # bit0 of the shifted word IS the probed bit; arithmetic shift's
+    # sign-fill is masked off by the & 1.  SQL form because the python
+    # shiftright() helper only takes a literal int shift amount.
+    checks = [
+        F.expr(
+            f"(shiftright(element_at(bits, CAST(floor(__pos{i} / 64) AS INT)"
+            f" + 1), CAST(__pos{i} % 64 AS INT)) & 1) = 1"
+        )
+        for i in range(k)
+    ]
+    member = checks[0]
+    for c in checks[1:]:
+        member = member & c
+    return pr.crossJoin(F.broadcast(merged)).select(
+        key.alias("probe"), member.alias("member")
+    )

@@ -46,6 +46,7 @@ __all__ = [
     "c4_clean",
     "rake_keywords",
     "char_entropy",
+    "ngram_novelty",
     "PII_PATTERNS",
     "BPE_SPLIT_RE",
     "STOPWORDS",
@@ -1471,4 +1472,66 @@ def char_entropy(
         F.col(id_col).alias("doc_id"),
         F.round(ent, 6).alias("char_entropy"),
         F.size(chars).alias("alphabet_size"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    order_col: str | None = None,
+) -> DataFrame:
+    """Corpus-growth NOVELTY curve: per document, the fraction of its
+    distinct word n-grams that are FIRST seen in that document when the
+    corpus is read in ``order_col`` order (default: the id) — the
+    diminishing-returns diagnostic curation teams use to decide when
+    pulling more of a source stops adding new content (novelty decays
+    toward the duplication floor as a crawl saturates).
+
+    Returns ``(doc_id, n_ngrams, n_new, novelty)``; documents with
+    fewer than ``n`` tokens are absent (they have no n-grams).
+
+    Scale shape: distinct (doc, n-gram) pairs — built by one JVM
+    transform, never Python — shuffle ONCE on the n-gram for a
+    first-owner window min, then ONCE on the doc for the two counts.
+    Both shuffles are linear in corpus n-gram volume (the same budget
+    span-level dedup pays); nothing is collected and no n-gram table is
+    broadcast.
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens_col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.array_join(F.slice("__toks", i, n), " "),
+    )
+    pairs = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            (F.col(order_col) if order_col else F.col(id_col)).alias("__ord"),
+            toks.alias("__toks"),
+        )
+        .where(F.size("__toks") >= n)
+        .select("doc_id", "__ord", F.explode(grams).alias("__gram"))
+        .distinct()
+    )
+    first = F.min(F.struct("__ord", "doc_id")).over(
+        Window.partitionBy("__gram")
+    )
+    return (
+        pairs.withColumn("__first", first)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                (F.col("__first.doc_id") == F.col("doc_id")).cast("long")
+            ).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            "n_ngrams",
+            "n_new",
+            F.round(F.col("n_new") / F.col("n_ngrams"), 6).alias("novelty"),
+        )
     )

@@ -3335,3 +3335,131 @@ def test_unicode_cleanups_accept_string_ids(spark):
     norm = text_ops.normalize_unicode(docs, id_col="url")
     assert dict(norm.dtypes)["doc_id"] == "string"
     assert norm.count() == 2
+
+
+def test_bloom_sketch_membership_and_false_positives(spark):
+    """Bloom rollup: no false negatives ever; false positives match a
+    pure-Python replay of the identical md5 bit logic (tiny m forces
+    them); union-merge equals build-on-union."""
+    import hashlib
+
+    from plda_spark.operators import stats
+
+    rows = [(u, f"2024-01-{d:02d} 08:00:00") for d in (1, 2, 3)
+            for u in range(d * 10, d * 10 + 5)]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    m_bits, k = 64, 2
+
+    def pos(key, i):
+        return int(hashlib.md5(f"{i}:{key}".encode()).hexdigest()[:15], 16) % m_bits
+
+    sk = stats.bloom_daily_sketches(ev, m_bits=m_bits, k=k)
+    days = {r["day"]: r["bits"] for r in sk.collect()}
+    assert set(days) == {"2024-01-01", "2024-01-02", "2024-01-03"}
+    # per-day content: exactly the bits of that day's keys
+    for d, users in [("2024-01-01", range(10, 15)), ("2024-01-02", range(20, 25))]:
+        want = 0
+        for u in users:
+            for i in range(k):
+                want |= 1 << pos(u, i)
+        got = sum((w & 0xFFFFFFFFFFFFFFFF) << (64 * j)
+                  for j, w in enumerate(days[d]))
+        assert got == want, d
+
+    probes = spark.createDataFrame(
+        [(u,) for u in list(range(10, 35)) + [1000, 888, 999]], "probe long"
+    )
+    out = {r["probe"]: r["member"] for r in stats.bloom_member_range(
+        sk, probes, start_day="2024-01-01", end_day="2024-01-02",
+        m_bits=m_bits, k=k,
+    ).collect()}
+    active = set(range(10, 15)) | set(range(20, 25))
+    range_bits = set()
+    for u in active:
+        for i in range(k):
+            range_bits.add(pos(u, i))
+    for u, member in out.items():
+        expect = all(pos(u, i) in range_bits for i in range(k))
+        assert member == expect, f"user {u}"
+        if u in active:
+            assert member, f"false negative for {u}"
+    # probe 1000 was chosen because both its md5 positions collide with
+    # the active set's bits at m=64 — a pinned, deterministic false
+    # positive proving the filter semantics (not true membership)
+    assert out[1000] is True
+
+    with pytest.raises(ValueError):
+        stats.bloom_daily_sketches(ev, m_bits=100)
+    with pytest.raises(ValueError):
+        stats.bloom_daily_sketches(ev, k=0)
+
+
+def test_matryoshka_topk_recall_and_degenerate_prefix(spark, sf_dir):
+    """matryoshka_topk: with prefix == full dim the two-stage search IS
+    brute force (bit-identical); with a 16-dim prefix the re-ranked
+    top-5 keeps high recall against brute force on MRL-untrained random
+    embeddings (the weakest case for prefix search)."""
+    from plda_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qvecs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = similarity.brute_force_topk(emb, qvecs, k=5)
+    full = similarity.matryoshka_topk(emb, qvecs, prefix_dim=64, k=5,
+                                      shortlist=5)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, brute.collect())
+    )
+    # testdata embeddings are random (NOT MRL-trained), so the prefix
+    # carries only 1/4 of the signal — the adversarial case; the
+    # shortlist is the recall knob and must recover most of the top-5
+    pfx = similarity.matryoshka_topk(emb, qvecs, prefix_dim=16, k=5,
+                                     shortlist=200)
+    want = {(r["query_id"], r["vec_id"]) for r in brute.collect()}
+    got = {(r["query_id"], r["vec_id"]) for r in pfx.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.6, f"prefix recall collapsed: {recall}"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.matryoshka_topk(emb, qvecs, prefix_dim=0)
+    with _pytest.raises(ValueError):
+        similarity.matryoshka_topk(emb, qvecs, prefix_dim=16, k=0)
+
+
+def test_ngram_novelty_semantics(spark):
+    """First doc gets novelty 1.0; an exact copy later gets 0; order_col
+    can invert who owns the grams; short docs are absent."""
+    from plda_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),      # exact copy: nothing new
+            (3, "alpha beta gamma epsilon"),    # shares 2 of 2... partial
+            (4, "zz"),                          # < n tokens: absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in text_ops.ngram_novelty(docs, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["novelty"] == 1.0 and out[1]["n_ngrams"] == 2
+    assert out[2]["novelty"] == 0.0 and out[2]["n_new"] == 0
+    # doc 3: trigrams {alpha beta gamma, beta gamma epsilon} — 1 new
+    assert out[3]["n_ngrams"] == 2 and out[3]["n_new"] == 1
+    assert out[3]["novelty"] == 0.5
+
+    # reversed order (prio = -doc_id): doc 3 owns "alpha beta gamma",
+    # doc 2 owns "beta gamma delta", doc 1 owns nothing
+    out2 = {r["doc_id"]: r for r in
+            text_ops.ngram_novelty(docs.withColumn("prio", -F.col("doc_id")),
+                                   n=3, order_col="prio").collect()}
+    assert out2[3]["novelty"] == 1.0
+    assert out2[2]["novelty"] == 0.5
+    assert out2[1]["novelty"] == 0.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text_ops.ngram_novelty(docs, n=0)

@@ -637,3 +637,54 @@ def test_audio_neardup_is_banded_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in s["plan"]
     assert 1 <= s["sort_merge_joins"] + s["broadcast_hash_joins"] <= 2
     assert "BatchEvalPython" not in s["plan"]
+
+
+def test_bloom_probes_scan_log_once_no_python(spark):
+    """Bloom rollup + probe: the raw events log is scanned once, the
+    merged filter reaches the probes as a broadcast 1-row aggregate,
+    and everything is JVM expressions (no Arrow/Python stage)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_bloom_probes"](spark, "/root/testdata/sf0.001")
+    )
+    # ONE parquet scan node (the formatted plan prints each node in
+    # both the tree and the details section, hence <= 2 occurrences)
+    assert s["scans"] <= 2
+    assert "BatchEvalPython" not in s["plan"]
+    assert "ArrowEvalPython" not in s["plan"]
+    assert "Cartesian" not in s["plan"]
+    # the only nested-loop node is the 1-row merged-filter broadcast
+    assert s["plan"].count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_matryoshka_scans_prefix_then_joins_shortlist(spark):
+    """Two-stage matryoshka search: the full corpus rides ONLY the
+    prefix-scored stage; full-dim vectors come back through an
+    equi-join on the |queries|·shortlist candidate set — no cartesian
+    against the full-width table, no Python."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["sim_matryoshka_topk"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BatchEvalPython" not in s["plan"]
+    assert s["broadcast_hash_joins"] + s["sort_merge_joins"] >= 1
+    # stage-1 broadcast of the query batch is the only nested loop
+    assert s["plan"].count("CartesianProduct") == 0
+
+
+def test_ngram_novelty_is_two_keyed_exchanges(spark):
+    """Novelty = one n-gram-keyed window + one doc-keyed aggregation:
+    no joins at all (first-owner via window min), no Python, no
+    broadcast of the corpus-sized gram table."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["text_ngram_novelty"](spark, "/root/testdata/sf0.001")
+    )
+    assert s["broadcast_hash_joins"] == 0
+    assert s["sort_merge_joins"] == 0
+    assert "Cartesian" not in s["plan"]
+    assert "BatchEvalPython" not in s["plan"]
+    assert "ArrowEvalPython" not in s["plan"]

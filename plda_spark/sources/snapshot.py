@@ -203,6 +203,10 @@ def _publish(fs: _FS, path: str, manifest: dict) -> int:
     fs.mkdirs(mdir)
     tmp = f"{mdir}/.tmp-{uuid.uuid4().hex}.json"
     final = f"{mdir}/v{version:010d}.json"
+    # commit wall-clock, stamped at the commit point itself (every
+    # publish site inherits it) — powers timestamp time travel
+    # (snapshot_read(as_of_ms=...), the Iceberg FOR TIMESTAMP AS OF)
+    manifest.setdefault("committed_at_ms", int(time.time() * 1000))
     fs.write_text(tmp, json.dumps(manifest))
     if not fs.rename_no_clobber(tmp, final):
         fs.delete(tmp)
@@ -376,6 +380,7 @@ def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
                 "action": man["action"],
                 "n_files": len(man["files"]),
                 "rows": sum(e["rows"] for e in man["files"]),
+                "committed_at_ms": man.get("committed_at_ms"),
             }
         )
     return out
@@ -443,6 +448,7 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     tag: str | None = None,
+    as_of_ms: int | None = None,
 ) -> DataFrame:
     """The table at ``version`` (default: latest).  One manifest read
     resolves the exact immutable file set — concurrent commits after
@@ -451,13 +457,45 @@ def snapshot_read(
     travel).  Pending equality deletes are applied merge-on-read
     (see :func:`snapshot_delete_keys`).  ``tag`` reads the version a
     named tag points at (:func:`snapshot_tag`); tagged versions survive
-    vacuum."""
+    vacuum.  ``as_of_ms`` (epoch millis) reads the newest version
+    committed at or before that instant — Iceberg's ``FOR TIMESTAMP AS
+    OF`` — resolved against each live manifest's ``committed_at_ms``
+    stamp (one listing + one manifest read per candidate version,
+    newest-first, so the common "recent timestamp" probe reads one)."""
+    if sum(x is not None for x in (version, tag, as_of_ms)) > 1:
+        raise ValueError("pass at most one of version, tag, as_of_ms")
     if tag is not None:
-        if version is not None:
-            raise ValueError("pass version OR tag, not both")
         version = _resolve_tag(_FS(spark, path), path, tag)
+    elif as_of_ms is not None:
+        version = _resolve_as_of(_FS(spark, path), path, int(as_of_ms))
     manifest = _resolve(spark, path, version)
     return _read_with_deletes(spark, manifest, manifest["files"])
+
+
+def _resolve_as_of(fs: _FS, path: str, as_of_ms: int) -> int:
+    """Newest live version with ``committed_at_ms <= as_of_ms``.
+    Walks versions newest-first so probes near the head (the usual
+    case) read one manifest.  Manifests written before the stamp
+    existed count as older than any probe (readable via as_of like any
+    ancient version)."""
+    versions = sorted(
+        (
+            int(m.group(1))
+            for n in fs.list_names(_manifest_dir(path))
+            if (m := _MANIFEST_RE.match(n))
+        ),
+        reverse=True,
+    )
+    if not versions:
+        raise FileNotFoundError(f"no snapshot table at {path}")
+    for v in versions:
+        man = _read_manifest(fs, path, v)
+        if man.get("committed_at_ms", 0) <= as_of_ms:
+            return v
+    raise FileNotFoundError(
+        f"snapshot {path}: no version committed at or before {as_of_ms} "
+        f"(oldest live commit is newer, or history was vacuumed)"
+    )
 
 
 def _overlaps(entry: dict, col: str, lo: Any, hi: Any) -> bool:

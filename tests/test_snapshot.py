@@ -517,7 +517,7 @@ def test_tags_read_and_survive_vacuum(spark, sf_dir, tmp_path):
         snap.snapshot_tag(spark, path, "bad name!")
     with pytest.raises(FileNotFoundError, match="no tag"):
         snap.snapshot_read(spark, path, tag="nope")
-    with pytest.raises(ValueError, match="version OR tag"):
+    with pytest.raises(ValueError, match="at most one"):
         snap.snapshot_read(spark, path, version=0, tag="release-1")
 
 
@@ -827,3 +827,38 @@ def test_snapshot_retry_lands_racing_appends(spark, tmp_path, monkeypatch):
         snap.snapshot_retry(always_loses, max_attempts=3)
     with pytest.raises(ValueError):
         snap.snapshot_retry(lambda: None, max_attempts=0)
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    """snapshot_read(as_of_ms=...) — Iceberg FOR TIMESTAMP AS OF: every
+    commit stamps committed_at_ms at the publish point; a probe between
+    two commits reads the older one, before the first commit errors,
+    and pre-stamp (legacy) manifests stay reachable as 'oldest'."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    snap.snapshot_write(df, path, mode="overwrite")
+    vs = snap.snapshot_versions(spark, path)
+    t0 = vs[0]["committed_at_ms"]
+    assert isinstance(t0, int) and t0 > 0
+    time.sleep(0.05)
+    probe_between = int(time.time() * 1000)
+    time.sleep(0.05)
+    snap.snapshot_write(df, path, mode="append")
+    v1_ts = snap.snapshot_versions(spark, path)[1]["committed_at_ms"]
+    assert v1_ts > probe_between >= t0
+
+    assert snap.snapshot_read(spark, path, as_of_ms=probe_between).count() == 5
+    assert snap.snapshot_read(
+        spark, path, as_of_ms=int(time.time() * 1000)
+    ).count() == 10
+    with pytest.raises(FileNotFoundError, match="no version committed"):
+        snap.snapshot_read(spark, path, as_of_ms=t0 - 10_000)
+    with pytest.raises(ValueError, match="at most one"):
+        snap.snapshot_read(spark, path, version=0, as_of_ms=probe_between)
+
+    # legacy manifest without the stamp counts as infinitely old
+    fs = snap._FS(spark, path)
+    man = snap._read_manifest(fs, path, 0)
+    man.pop("committed_at_ms")
+    fs.write_text(f"{path}/_manifests/v{0:010d}.json", json.dumps(man))
+    assert snap.snapshot_read(spark, path, as_of_ms=t0 - 10_000).count() == 5

@@ -1568,6 +1568,30 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_pagerank"] = graph_pagerank
 
+    def graph_ppr(spark, sf):
+        """PERSONALIZED PageRank (operators.graph.personalized_pagerank
+        — Page et al. 1999 §6 topic-sensitive restart), 3 power
+        iterations at d=0.85 restarting at seeds {0,1,2}, over the same
+        synthetic link graph as graph_pagerank; the oracle unrolls the
+        identical iterations with the seed-concentrated restart
+        vector."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = (
+            orders.select(
+                (F.col("o_custkey") % 100).alias("src"),
+                (F.col("o_orderkey") % 100).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        r = graph.personalized_pagerank(e, seeds=[0, 1, 2], n_iter=3,
+                                        damping=0.85)
+        return r.select("node", F.round("rank", 6).alias("rank"))
+
+    q["graph_ppr"] = graph_ppr
+
     def source_csv_roundtrip(spark, sf):
         """CSV sink → declared-schema PERMISSIVE reader round-trip with
         one malformed row planted (wrong arity + bad cast) to prove the
@@ -5814,6 +5838,33 @@ r{_it} AS (
     _pr += "\nSELECT node, ROUND(rank, 6) AS rank FROM r3"
     o["graph_pagerank"] = _pr
 
+    # Personalized variant: identical unrolled iterations, restart mass
+    # concentrated on seeds {0,1,2} (p = 1/3 there, 0 elsewhere).
+    _ppr = """
+WITH e AS (
+  SELECT DISTINCT o_custkey % 100 AS src, o_orderkey % 100 AS dst
+  FROM orders WHERE o_custkey % 100 != o_orderkey % 100
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+np AS (SELECT node,
+              CASE WHEN node IN (0, 1, 2) THEN 1.0 / 3.0 ELSE 0.0 END AS p
+       FROM nodes),
+outdeg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, p AS rank FROM np)"""
+    for _it in range(1, 4):
+        _ppr += f""",
+r{_it} AS (
+  SELECT np.node,
+         {_pr_num} * np.p + {_pr_d} * coalesce(c.s, 0.0) AS rank
+  FROM np
+  LEFT JOIN (SELECT e.dst, sum(r{_it - 1}.rank / o.outdeg) AS s
+             FROM e JOIN r{_it - 1} ON r{_it - 1}.node = e.src
+             JOIN outdeg o ON o.src = e.src
+             GROUP BY e.dst) c ON c.dst = np.node
+)"""
+    _ppr += "\nSELECT node, ROUND(rank, 6) AS rank FROM r3"
+    o["graph_ppr"] = _ppr
+
     # CSV round-trip must recover the documents table exactly (the
     # planted malformed row is quarantined, not silently absorbed).
     o["source_csv_roundtrip"] = """
@@ -6798,6 +6849,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_profile_columns",
     "stats_rolling_daily",
     "graph_pagerank",
+    "graph_ppr",
     "source_csv_roundtrip",
     "source_wet_roundtrip",
     "stream_wet_ingest",

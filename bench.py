@@ -182,6 +182,8 @@ BENCH_QUERIES = [
     "stats_bloom_probes",
     "sim_matryoshka_topk",
     "text_ngram_novelty",
+    # personalized PageRank (seed-restart power iteration, 3 iters)
+    "graph_ppr",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -14,10 +14,12 @@ engine extension (SURVEY.md §2.3).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangles"]
+__all__ = ["pagerank", "personalized_pagerank", "triangles"]
 
 
 def pagerank(
@@ -173,3 +175,75 @@ def triangles(
     return per_edge.agg(
         F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_triangles")
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: Sequence,
+    n_iter: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """PERSONALIZED PageRank (Page et al. 1999 §6; the random surfer
+    restarts at the ``seeds`` instead of uniformly):
+
+        ``r_{t+1}(v) = (1-d)·p(v) + d · Σ_{u→v} r_t(u)/outdeg(u)``
+
+    with ``p(v) = 1/|seeds|`` on the seed set, else 0, starting from
+    ``p`` — the topic-sensitive relevance / similar-node primitive
+    (what ranks "nodes related to THESE" rather than globally central
+    ones).  Returns ``(node, rank)``.
+
+    Scale shape: identical to :func:`pagerank` — per iteration ONE
+    equi-join of the persisted (src, dst, outdeg) edge operand with the
+    |V|-row rank vector plus one partial-aggregated sum; the seed set
+    is takedown-sized and rides the plan as an ``isin`` literal.  Like
+    the uniform variant (and its DuckDB twin), dangling-node mass is
+    dropped, not redistributed.
+    """
+    seeds = list(seeds)
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    p = F.when(
+        F.col("node").isin(seeds), F.lit(1.0 / len(seeds))
+    ).otherwise(F.lit(0.0))
+    nodes = nodes.select("node", p.alias("__p")).localCheckpoint(eager=True)
+    ew = e.join(
+        e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src"
+    ).persist()
+    try:
+        if nodes.count() == 0:
+            raise ValueError("personalized_pagerank: empty edge set")
+        ranks = nodes.select("node", F.col("__p").alias("rank"))
+        for i in range(n_iter):
+            contribs = (
+                ew.join(ranks, ew["src"] == ranks["node"])
+                .select("dst", (F.col("rank") / F.col("outdeg")).alias("__c"))
+                .groupBy("dst")
+                .agg(F.sum("__c").alias("__s"))
+            )
+            ranks = nodes.join(
+                contribs, nodes["node"] == contribs["dst"], "left"
+            ).select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("__p")
+                    + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            if (i + 1) % 5 == 0 and i + 1 < n_iter:
+                ranks = ranks.localCheckpoint(eager=True)
+        return ranks.localCheckpoint(eager=True)
+    finally:
+        ew.unpersist()

@@ -45,6 +45,8 @@ __all__ = [
     "decode_wav",
     "image_dhash",
     "image_near_dup_pairs",
+    "image_phash",
+    "image_phash_near_dup_pairs",
     "decode_audio_features",
     "audio_dhash",
     "audio_near_dup_pairs",
@@ -529,3 +531,113 @@ def audio_near_dup_pairs(
     hamming)`` with ``media_a < media_b``."""
     sig = audio_dhash(media, decode_backend=decode_backend, dim=dim)
     return _near_dup_from_sig(sig, dim, max_hamming)
+
+
+def _dct2_lowfreq(gray32: np.ndarray, block: int = 8) -> np.ndarray:
+    """Top-left ``block x block`` of the 2-D DCT-II of a 32x32 image,
+    via explicit basis matrix multiplies (numpy cos, float64,
+    deterministic — no scipy): ``D @ img @ D.T`` with
+    ``D[k, n] = cos(pi (2n+1) k / 2N)``, ORTHONORMALLY scaled — the
+    median comparison downstream mixes coefficients across rows and
+    columns, so the relative DCT scaling must match the standard
+    pHash definition exactly."""
+    n = gray32.shape[0]
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    basis = np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+    basis[0, :] *= 1.0 / np.sqrt(2.0)
+    basis *= np.sqrt(2.0 / n)
+    return (basis @ gray32 @ basis.T)[:block, :block]
+
+
+def _phash_bits(gray32: np.ndarray) -> int:
+    """Classic pHash: 8x8 low-frequency DCT block, drop the DC term,
+    bit_i = coefficient_i > median of the 63 AC coefficients, packed
+    MSB-first into a non-negative 63-bit int."""
+    ac = _dct2_lowfreq(gray32).ravel()[1:]
+    med = float(np.median(ac))
+    acc = 0
+    for c in ac:
+        acc = (acc << 1) | int(c > med)
+    return acc
+
+
+def image_phash(
+    media: DataFrame, decode_backend: str = "fake"
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) per image — the low-frequency
+    SPECTRAL signature that complements :func:`image_dhash`'s gradient
+    bits: resize to 32x32 grayscale (block-mean), 2-D DCT-II, keep the
+    8x8 low-frequency block, bit = AC coefficient > median.  Robust to
+    global brightness/contrast shifts and mild blur (those perturb high
+    frequencies and the DC term, which pHash discards), where dHash is
+    the cheaper choice for crop/re-encode near-dups.
+
+    Returns ``(media_id, phash)`` — 63 bits in a non-negative int64,
+    compatible with ``dedup.hamming_band_pairs``.
+
+    The DCT is genuinely non-SQL-expressible, so unlike the dHash
+    family this operator is pytest-gated (golden real-PNG test +
+    deterministic fake backend), not DuckDB-oracled.  One Arrow pass;
+    signatures are 16 B rows, everything downstream JVM.
+    """
+    if decode_backend not in ("fake", "real"):
+        raise ValueError("decode_backend must be 'fake' or 'real'")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p in pdf["payload"]:
+                if decode_backend == "real":
+                    px = decode_png(bytes(p))
+                    gray = px.astype(np.float64).mean(axis=2)
+                    g32 = _block_mean_32(gray)
+                else:
+                    g32 = _fake_decode(bytes(p), 1024).reshape(32, 32)
+                out.append(_phash_bits(g32))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"],
+                 "phash": pd.array(out, dtype="int64")}
+            )
+
+    return media.mapInPandas(fn, schema="media_id long, phash long")
+
+
+def _block_mean_32(gray: np.ndarray) -> np.ndarray:
+    """Deterministic 32x32 block-mean resize (the pHash downsample):
+    rows and columns are split into 32 near-equal spans and averaged —
+    no interpolation kernel, no library dependency."""
+    h, w = gray.shape
+    if h < 32 or w < 32:  # pad tiny images instead of upsampling
+        gray = np.pad(gray, ((0, max(0, 32 - h)), (0, max(0, 32 - w))))
+        h, w = gray.shape
+    rb = np.linspace(0, h, 33).astype(np.int64)
+    cb = np.linspace(0, w, 33).astype(np.int64)
+    out = np.empty((32, 32))
+    for i in range(32):
+        for j in range(32):
+            out[i, j] = gray[rb[i]:rb[i + 1], cb[j]:cb[j + 1]].mean()
+    return out
+
+
+def image_phash_near_dup_pairs(
+    media: DataFrame,
+    max_hamming: int = 3,
+    decode_backend: str = "fake",
+) -> DataFrame:
+    """Near-duplicate image pairs under the pHash metric — the same
+    lossless band-pigeonhole hamming search as
+    :func:`image_near_dup_pairs`, over the 63-bit spectral signature.
+    Returns ``(media_a, media_b, hamming)`` with ``media_a < media_b``."""
+    from .dedup import hamming_band_pairs
+
+    sig = image_phash(media, decode_backend=decode_backend)
+    sig = sig.localCheckpoint(eager=False)
+    return hamming_band_pairs(
+        sig, bits=63, max_hamming=max_hamming,
+        id_col="media_id", sig_col="phash",
+    ).select(
+        F.col("id_a").alias("media_a"),
+        F.col("id_b").alias("media_b"),
+        "hamming",
+    )

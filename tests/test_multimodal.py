@@ -310,3 +310,80 @@ def test_audio_dhash_gain_invariant_real_backend(spark):
     assert (0, 1) in pairs and (0, 2) not in pairs
     with pytest.raises(ValueError, match="dim"):
         multimodal.audio_dhash(media, dim=100)
+
+
+def test_image_phash_real_backend_brightness_invariance(spark):
+    """pHash's selling point over dHash: a GLOBAL brightness/contrast
+    shift perturbs the DC term and overall scale, which pHash discards
+    — the brightened copy must land very close; an unrelated image must
+    not.  Runs the real PNG decode + 32x32 block-mean + DCT path."""
+    rng = np.random.default_rng(11)
+    base = rng.integers(30, 180, size=(48, 64, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.int64) + 40, 0, 255).astype(np.uint8)
+    other = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    rows = [
+        (i, bytearray(encode_png(img)), "image", 64, 48, 1, 16000)
+        for i, img in enumerate([base, bright, other])
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    sig = {
+        r["media_id"]: r["phash"]
+        for r in multimodal.image_phash(media, decode_backend="real").collect()
+    }
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert ham(sig[0], sig[1]) <= 3, "brightness shift must barely move pHash"
+    assert ham(sig[0], sig[2]) > 10, "unrelated image must be far"
+    assert all(0 <= s < 1 << 63 for s in sig.values())
+
+
+def test_image_phash_matches_reference_dct(spark):
+    """Bit-exact pin of the whole pHash pipeline against an independent
+    in-test transcription: block-mean 32x32, orthonormal DCT-II, 8x8
+    block, median-of-AC threshold, MSB-first packing."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    media = spark.createDataFrame(
+        [(1, bytearray(encode_png(img)), "image", 56, 40, 1, 16000)],
+        multimodal.MEDIA_SCHEMA,
+    )
+    got = multimodal.image_phash(media, decode_backend="real").first()["phash"]
+
+    gray = img.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    rb = np.linspace(0, h, 33).astype(int)
+    cb = np.linspace(0, w, 33).astype(int)
+    g32 = np.array([
+        [gray[rb[i]:rb[i+1], cb[j]:cb[j+1]].mean() for j in range(32)]
+        for i in range(32)
+    ])
+    n = 32
+    k = np.arange(n).reshape(-1, 1)
+    m = np.arange(n).reshape(1, -1)
+    D = np.cos(np.pi * (2 * m + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    D[0, :] /= np.sqrt(2.0)
+    ac = (D @ g32 @ D.T)[:8, :8].ravel()[1:]
+    med = np.median(ac)
+    want = 0
+    for c in ac:
+        want = (want << 1) | int(c > med)
+    assert got == want
+
+
+def test_image_phash_near_dup_pairs_and_validators(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    media = multimodal.attach_fake_media(docs.limit(80))
+    sig = {r["media_id"]: r["phash"]
+           for r in multimodal.image_phash(media).collect()}
+    pairs = multimodal.image_phash_near_dup_pairs(media, max_hamming=8)
+    got = {(r["media_a"], r["media_b"]): r["hamming"] for r in pairs.collect()}
+    # lossless vs brute force over the collected signatures
+    ham = lambda a, b: bin(a ^ b).count("1")
+    ids = sorted(sig)
+    want = {
+        (a, b): ham(sig[a], sig[b])
+        for i, a in enumerate(ids) for b in ids[i + 1:]
+        if ham(sig[a], sig[b]) <= 8
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="decode_backend"):
+        multimodal.image_phash(media, decode_backend="gpu")

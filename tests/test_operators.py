@@ -3463,3 +3463,29 @@ def test_ngram_novelty_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         text_ops.ngram_novelty(docs, n=0)
+
+
+def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
+    """PPR restarting at node 0 of a directed path 0->1->2->3 plus an
+    isolated pair 8->9: mass decays along the path from the seed and
+    the off-seed component gets exactly zero; seeds=all nodes with a
+    uniform graph reduces toward the uniform variant's ordering."""
+    from plda_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (8, 9)], "src long, dst long"
+    )
+    r = {x["node"]: x["rank"] for x in
+         graph.personalized_pagerank(e, seeds=[0], n_iter=8).collect()}
+    assert r[0] > r[1] > r[2] > r[3] > 0
+    assert r[8] == 0.0 and r[9] == 0.0  # unreachable from the seed
+    # total mass <= 1 (dangling node 3 leaks, same as the uniform twin)
+    assert sum(r.values()) <= 1.0 + 1e-9
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        graph.personalized_pagerank(e, seeds=[])
+    with _pytest.raises(ValueError):
+        graph.personalized_pagerank(e, seeds=[0], n_iter=0)
+    with _pytest.raises(ValueError):
+        graph.personalized_pagerank(e, seeds=[0], damping=1.5)

@@ -2370,6 +2370,38 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_bloom_probes"] = stats_bloom_probes
 
+    def stats_decayed_counts(spark, sf):
+        """Exponentially time-decayed activity per event type
+        (operators/stats.py decayed_counts): each event contributes
+        2^(-age/half_life) with a 7-day half-life, measured from the
+        corpus max timestamp — the recency-weighted "hot right now"
+        metric.  ONE aggregation with map-side-combined partials; the
+        oracle replays the identical formula."""
+        from plda_spark.operators import stats
+
+        return stats.decayed_counts(
+            load_table(spark, sf, "events"), ["event_type"],
+            half_life_days=7.0,
+        ).orderBy("event_type")
+
+    q["stats_decayed_counts"] = stats_decayed_counts
+
+    def sample_neyman(spark, sf):
+        """Neyman-optimal stratified allocation (operators/sampling.py
+        neyman_allocation — Neyman 1934): a 2000-row budget split across
+        document sources proportionally to N_h * sigma_h of n_chars
+        (volatile strata draw more), with per-stratum keep rates and
+        saturation at the stratum size.  One corpus aggregation + a
+        window over the |strata|-row plan; the oracle recomputes the
+        allocation arithmetic exactly."""
+        from plda_spark.operators import sampling
+
+        return sampling.neyman_allocation(
+            load_table(spark, sf, "documents"), "source", "n_chars", 2000
+        )
+
+    q["sample_neyman"] = sample_neyman
+
     def stats_gini_concentration(spark, sf):
         """Gini coefficient of corpus concentration across sources and
         languages — the one-number imbalance diagnostic curation teams
@@ -4941,6 +4973,39 @@ FROM pairs p JOIN f ON f.gram = p.gram
 GROUP BY p.doc_id
 """
 
+    # Same 2^(-age/half_life) formula measured from max(ts).
+    o["stats_decayed_counts"] = """
+WITH m AS (SELECT max(ts) AS ref FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(pow(2.0, -(epoch(m.ref) - epoch(ts)) / 86400.0 / 7.0)), 4)
+         AS decayed_count
+FROM events, m
+GROUP BY event_type
+"""
+
+    # Same N_h * sigma_h weights, saturated rate, rounded targets.
+    o["sample_neyman"] = """
+WITH per AS (
+  SELECT source AS stratum,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         round(coalesce(stddev_pop(n_chars), 0.0), 6) AS sigma
+  FROM documents GROUP BY source
+), w AS (
+  SELECT *,
+         CASE WHEN sum(n_rows * sigma) OVER () = 0
+              THEN n_rows / CAST(sum(n_rows) OVER () AS DOUBLE)
+              ELSE n_rows * sigma / sum(n_rows * sigma) OVER ()
+         END AS weight
+  FROM per
+)
+SELECT stratum, n_rows, sigma, round(weight, 6) AS weight,
+       round(least(1.0, 2000 * round(weight, 6) / n_rows), 6) AS rate,
+       CAST(round(n_rows * round(least(1.0, 2000 * round(weight, 6) / n_rows), 6))
+            AS BIGINT) AS n_target
+FROM w
+"""
+
     # Same share/KL arithmetic; groups new in `after` can't exist here
     # (a filter only removes rows), so the null-KL branch stays empty.
     o["curation_drift"] = """
@@ -6939,6 +7004,8 @@ EXTRA_QUERIES: list[str] = [
     "source_snapshot_delete_keys",
     "stats_kmv_probes",
     "stats_bloom_probes",
+    "stats_decayed_counts",
+    "sample_neyman",
     "text_rake_keywords",
     "text_lm_score_kn3",
     "stream_interval_join_outer",

@@ -184,6 +184,9 @@ BENCH_QUERIES = [
     "text_ngram_novelty",
     # personalized PageRank (seed-restart power iteration, 3 iters)
     "graph_ppr",
+    # recency-weighted decayed counts + Neyman stratified allocation
+    "stats_decayed_counts",
+    "sample_neyman",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

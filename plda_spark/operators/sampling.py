@@ -32,6 +32,8 @@ __all__ = [
     "weighted_sample_per_group",
     "leakage_safe_split",
     "contrastive_negatives",
+    "neyman_allocation",
+    "neyman_sample",
 ]
 
 
@@ -419,3 +421,89 @@ def contrastive_negatives(
         partners,
         (F.col("__b") == F.col("__pb")) & (F.col("__neg_r") == F.col("__pr")),
     ).select("anchor_id", "slot", "neg_id")
+
+
+def neyman_allocation(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+) -> DataFrame:
+    """NEYMAN-OPTIMAL stratified sample allocation (Neyman 1934 — the
+    classical minimum-variance design): a fixed budget of ``total_n``
+    rows is split across strata proportionally to ``N_h · σ_h`` (size ×
+    within-stratum population std of ``value_col``), so volatile strata
+    get proportionally more of the budget than uniform ones — the
+    principled version of "sample more of the noisy sources" when
+    estimating corpus-level means under a row budget.
+
+    Returns one row per stratum:
+    ``(stratum, n_rows, sigma, weight, rate, n_target)`` where
+    ``rate = min(1, total_n · w_h / N_h)`` (allocation saturates at the
+    stratum size, like the token-budget water-filling planner) and
+    ``n_target = round(N_h · rate)``.  Zero-variance strata draw no
+    budget unless EVERY stratum is zero-variance, in which case the
+    allocation degrades to proportional-to-size (the Neyman weights are
+    undefined at Σ N_h σ_h = 0).
+
+    Scale shape: ONE aggregation collapses the corpus to |strata| rows
+    (count + stddev_pop are map-side-combined partials); the weight
+    normalization is a window over that tiny table.  Feed the result to
+    :func:`neyman_sample` to materialize the rows.
+    """
+    if total_n < 1:
+        raise ValueError("total_n must be >= 1")
+    per = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.coalesce(F.stddev_pop(value_col), F.lit(0.0)), 6
+        ).alias("sigma"),
+    )
+    tot = Window.partitionBy()
+    mass = F.col("n_rows") * F.col("sigma")
+    all_flat = F.sum(mass).over(tot) == 0
+    w = F.when(all_flat, F.col("n_rows") / F.sum("n_rows").over(tot)).otherwise(
+        mass / F.sum(mass).over(tot)
+    )
+    return (
+        per.withColumn("weight", F.round(w, 6))
+        .withColumn(
+            "rate",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.lit(total_n) * F.col("weight") / F.col("n_rows")
+                ),
+                6,
+            ),
+        )
+        .withColumn("n_target", F.round(F.col("n_rows") * F.col("rate")).cast("long"))
+    )
+
+
+def neyman_sample(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    total_n: int,
+    key_col: str = "doc_id",
+    buckets: int = 1_000_000,
+) -> DataFrame:
+    """Materialize a :func:`neyman_allocation` plan: keep a row iff its
+    md5 hash bucket (of ``buckets``) falls below ``rate · buckets`` for
+    its stratum — the same pure-function-of-the-key decision as
+    ``stratified_hash_sample``, so the draw is identical across runs,
+    partitionings, and engines, and achieves each stratum's target rate
+    to 1/buckets resolution.  The |strata|-row plan broadcasts; the
+    corpus is scanned once with a per-row compare."""
+    plan = neyman_allocation(df, strata_col, value_col, total_n).select(
+        "stratum", (F.col("rate") * buckets).alias("__thresh")
+    )
+    return (
+        df.join(
+            F.broadcast(plan),
+            df[strata_col] == plan["stratum"],
+            "inner",
+        )
+        .where(hash_bucket(F.col(key_col), buckets) < F.col("__thresh"))
+        .drop("stratum", "__thresh")
+    )

@@ -52,6 +52,7 @@ __all__ = [
     "bloom_daily_sketches",
     "bloom_union_range",
     "bloom_member_range",
+    "decayed_counts",
 ]
 
 
@@ -1191,4 +1192,55 @@ def bloom_member_range(
         member = member & c
     return pr.crossJoin(F.broadcast(merged)).select(
         key.alias("probe"), member.alias("member")
+    )
+
+
+def decayed_counts(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+    ref_ts=None,
+) -> DataFrame:
+    """Exponentially TIME-DECAYED activity per key — the
+    recency-weighted popularity/trending metric (each event contributes
+    ``2^(-age / half_life)``, so an event one half-life old counts
+    half, two count a quarter, …): what "hot right now" ranks on when
+    a plain count window is too coarse and a sliding window forgets
+    too abruptly.
+
+    Returns ``(*key_cols, n_events, decayed_count)`` with the decayed
+    mass rounded to 4 decimals.  ``ref_ts`` (the "now" the ages are
+    measured from) defaults to the corpus max timestamp, computed as a
+    broadcast 1-row aggregate so the whole plan stays lazy.
+
+    Scale shape: ONE aggregation over the event log (map-side combined
+    partials — the decayed sum is just a sum of per-row JVM
+    exponentials), nothing driver-side.  The same formula is an
+    ANSI-SQL one-liner, so the oracle checks values.
+    """
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be positive")
+    if ref_ts is not None:
+        ref = F.lit(ref_ts).cast("timestamp")
+        src = df
+    else:
+        mx = df.agg(F.max(F.col(ts_col)).alias("__ref"))
+        src = df.crossJoin(F.broadcast(mx))
+        ref = F.col("__ref")
+    # NTZ timestamps refuse a direct double cast; unix_micros over an
+    # LTZ cast works for both flavors, and the session-tz offset cancels
+    # in the difference.
+    def _secs(c):
+        return F.unix_micros(c.cast("timestamp_ltz")) / F.lit(1_000_000.0)
+
+    age_days = (_secs(ref) - _secs(F.col(ts_col))) / F.lit(86400.0)
+    return (
+        src.groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.pow(F.lit(2.0), -age_days / F.lit(half_life_days))), 4
+            ).alias("decayed_count"),
+        )
     )

@@ -3489,3 +3489,73 @@ def test_personalized_pagerank_concentrates_on_seed_neighborhood(spark):
         graph.personalized_pagerank(e, seeds=[0], n_iter=0)
     with _pytest.raises(ValueError):
         graph.personalized_pagerank(e, seeds=[0], damping=1.5)
+
+
+def test_decayed_counts_halving_semantics(spark):
+    """An event exactly one half-life old contributes 0.5, two
+    half-lives 0.25; ref_ts pins 'now' explicitly; validation fires."""
+    from plda_spark.operators import stats
+
+    ev = spark.createDataFrame(
+        [
+            (1, "2024-01-15 00:00:00", "a"),   # age 0  -> 1.0
+            (2, "2024-01-08 00:00:00", "a"),   # age 7d -> 0.5
+            (3, "2024-01-01 00:00:00", "b"),   # age 14d -> 0.25
+        ],
+        "event_id long, ts string, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = {r["event_type"]: r for r in stats.decayed_counts(
+        ev, ["event_type"], half_life_days=7.0,
+        ref_ts="2024-01-15 00:00:00",
+    ).collect()}
+    assert out["a"]["n_events"] == 2 and out["a"]["decayed_count"] == 1.5
+    assert out["b"]["decayed_count"] == 0.25
+    # default ref = corpus max ts (event 1) -> identical result
+    out2 = {r["event_type"]: r["decayed_count"] for r in
+            stats.decayed_counts(ev, ["event_type"], half_life_days=7.0).collect()}
+    assert out2 == {"a": 1.5, "b": 0.25}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stats.decayed_counts(ev, ["event_type"], half_life_days=0)
+
+
+def test_neyman_allocation_and_sample(spark):
+    """Neyman weights ∝ N_h·σ_h: a high-variance stratum out-draws an
+    equal-size uniform one; zero-variance-everywhere degrades to
+    proportional; rates saturate at 1; the materialized sample hits
+    each stratum's target within hash-bucket resolution."""
+    from plda_spark.operators import sampling
+
+    rows = (
+        [(i, "noisy", float((i * 37) % 1000)) for i in range(400)]
+        + [(1000 + i, "flat", 500.0) for i in range(400)]
+        + [(2000 + i, "tiny", float(i % 7)) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars double")
+    plan = {r["stratum"]: r for r in sampling.neyman_allocation(
+        df, "source", "n_chars", total_n=200
+    ).collect()}
+    assert plan["flat"]["sigma"] == 0.0 and plan["flat"]["n_target"] == 0
+    assert plan["noisy"]["weight"] > 0.9          # draws nearly all budget
+    assert plan["tiny"]["rate"] <= 1.0
+    assert abs(sum(p["weight"] for p in plan.values()) - 1.0) < 1e-6
+
+    # all-flat corpus: proportional-to-size fallback
+    flat = df.withColumn("n_chars", F.lit(1.0))
+    fplan = {r["stratum"]: r["weight"] for r in sampling.neyman_allocation(
+        flat, "source", "n_chars", total_n=100
+    ).collect()}
+    assert abs(fplan["noisy"] - 400 / 820) < 1e-5
+    assert abs(fplan["tiny"] - 20 / 820) < 1e-5
+
+    samp = sampling.neyman_sample(df, "source", "n_chars", total_n=200)
+    got = {r["source"]: r["cnt"] for r in
+           samp.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    for st, p in plan.items():
+        want = p["n_target"]
+        have = got.get(st, 0)
+        # md5-bucket draw: binomial noise around the target rate
+        assert abs(have - want) <= max(6, int(0.35 * max(want, 1))), (st, have, want)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.neyman_allocation(df, "source", "n_chars", total_n=0)

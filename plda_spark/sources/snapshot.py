@@ -70,6 +70,7 @@ __all__ = [
     "snapshot_write",
     "snapshot_read",
     "snapshot_scan",
+    "snapshot_scan_point",
     "snapshot_versions",
     "snapshot_tag",
     "snapshot_tags",
@@ -226,19 +227,59 @@ def _json_safe(v: Any) -> Any:
     return str(v)
 
 
+# Per-file bloom filter shape: 2048 bits = 32 manifest longs per
+# (file, column) — point-lookup pruning for high-cardinality keys whose
+# min/max ranges overlap across every file (uuids, digests) and so
+# defeat range stats.  k=3 at ~50k distinct keys/file gives ~1-2%
+# false-file-read rate; the table-level shape is fixed in the manifest
+# so probes can never desync from the stored filters.
+_BLOOM_BITS = 2048
+_BLOOM_K = 3
+
+
+def _bloom_pos(col, i: int, m_bits: int):
+    """Hash position i of a value — the engine-wide md5 convention
+    (operators/stats.py _cms_bucket: ``('0x' || substr(md5(i ':' v),
+    1, 15))::BIGINT % m``), duplicated here so sources/ stays
+    standalone; tests pin the two against each other."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(str(i)), F.lit(":"), col.cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % m_bits
+
+
+def _bloom_pos_py(value, i: int, m_bits: int) -> int:
+    """Driver-side twin of :func:`_bloom_pos` for probe-time pruning."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}:{value}".encode()).hexdigest()[:15], 16)
+    return h % m_bits
+
+
 def _commit_files(
     spark: SparkSession,
     df: DataFrame,
     path: str,
     commit_id: str,
     stats_cols: list[str],
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as parquet under ``data/{commit_id}/`` and return one
-    manifest entry per written file with row count + per-column min/max.
+    manifest entry per written file with row count + per-column min/max,
+    plus a per-file BLOOM FILTER for each ``bloom_cols`` column (32
+    longs each — the point-lookup skipping index for keys whose ranges
+    overlap everywhere; see :func:`snapshot_scan_point`).
 
     The stats pass reads back ONLY the just-written commit directory
     (one file-granular aggregation job over the commit, not the table) —
-    the post-pass equivalent of Iceberg's write-time stats collection.
+    the post-pass equivalent of Iceberg's write-time stats collection;
+    each bloom column adds one more commit-local aggregation.
     """
     cdir = f"{_data_dir(path)}/{commit_id}"
     df.write.mode("overwrite").parquet(cdir)
@@ -274,7 +315,57 @@ def _commit_files(
                 "stats": stats,
             }
         )
+    for c in [b for b in (bloom_cols or []) if b in back.columns]:
+        # same shape as operators/stats.py bloom_daily_sketches with the
+        # FILE as the grouping key: k hash positions per row, word-level
+        # bit_or, <= 32 longs per file back to the driver
+        words = (
+            back.select(
+                F.input_file_name().alias("__file"),
+                F.explode(
+                    F.array(
+                        *[
+                            _bloom_pos(F.col(c), i, _BLOOM_BITS)
+                            for i in range(_BLOOM_K)
+                        ]
+                    )
+                ).alias("pos"),
+            )
+            .select(
+                "__file",
+                F.floor(F.col("pos") / 64).cast("int").alias("w"),
+                F.expr(
+                    "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+                ).alias("bit"),
+            )
+            .groupBy("__file", "w")
+            .agg(F.bit_or("bit").alias("word"))
+            .collect()
+        )
+        by_file: dict[str, list[int]] = {}
+        for r in words:
+            arr = by_file.setdefault(r["__file"], [0] * (_BLOOM_BITS // 64))
+            arr[r["w"]] = r["word"]
+        for e in entries:
+            e.setdefault("bloom", {})[c] = by_file.get(
+                e["path"], [0] * (_BLOOM_BITS // 64)
+            )
     return entries
+
+
+def _bloom_may_contain(entry: dict, col: str, value) -> bool:
+    """Can ``entry``'s file contain ``value`` per its bloom filter?
+    Missing filter => True (never prune on ignorance — rewrites that
+    predate the bloom config, or columns added later, keep full
+    recall)."""
+    words = entry.get("bloom", {}).get(col)
+    if not words:
+        return True
+    for i in range(_BLOOM_K):
+        pos = _bloom_pos_py(value, i, _BLOOM_BITS)
+        if not (words[pos // 64] >> (pos % 64)) & 1:
+            return False
+    return True
 
 
 def snapshot_write(
@@ -283,6 +374,7 @@ def snapshot_write(
     mode: str = "append",
     stats_cols: list[str] | None = None,
     extra: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Commit ``df`` to the snapshot table at ``path``; returns the new
     version.  ``mode='append'`` carries every prior file entry forward
@@ -292,6 +384,13 @@ def snapshot_write(
     and power ``snapshot_scan`` / ``snapshot_merge`` /
     ``snapshot_delete`` file pruning — include the merge key and the
     common filter columns, exactly as you would pick Z-order columns.
+    ``bloom_cols`` additionally stores a per-file 2048-bit bloom filter
+    for each listed column — the point-lookup skipping index for
+    high-cardinality keys (uuids, digests) whose min/max ranges overlap
+    in every file and so defeat range pruning; probe with
+    :func:`snapshot_scan_point`.  Like stats_cols, bloom_cols persist:
+    appends keep collecting them and maintenance rewrites recompute
+    them.
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -299,6 +398,7 @@ def snapshot_write(
     fs = _FS(spark, path)
     parent = _latest_version(fs, path)
     stats_cols = list(stats_cols or [])
+    bloom_cols = list(bloom_cols or [])
     schema = df.schema
     if parent is not None:
         prev = _read_manifest(fs, path, parent)
@@ -306,12 +406,13 @@ def snapshot_write(
             # keep collecting the columns the table was created with so
             # pruning never silently loses coverage mid-history
             stats_cols = sorted(set(stats_cols) | set(prev.get("stats_cols", [])))
+            bloom_cols = sorted(set(bloom_cols) | set(prev.get("bloom_cols", [])))
             schema = _evolve_schema(
                 StructType.fromJson(json.loads(prev["schema"])), df.schema, path
             )
     version = 0 if parent is None else parent + 1
     commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
-    entries = _commit_files(spark, df, path, commit_id, stats_cols)
+    entries = _commit_files(spark, df, path, commit_id, stats_cols, bloom_cols)
     for e in entries:
         e["seq"] = version  # rows born at this version: older deletes don't apply
     files = entries
@@ -325,6 +426,7 @@ def snapshot_write(
         "action": mode,
         "schema": schema.json(),
         "stats_cols": stats_cols,
+        "bloom_cols": bloom_cols,
         "files": files,
         "deletes": deletes,
         **(extra or {}),
@@ -539,6 +641,35 @@ def snapshot_scan(
     keep = [e for e in manifest["files"] if _overlaps(e, col, lo, hi)]
     return _read_with_deletes(spark, manifest, keep).where(
         (F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi))
+    )
+
+
+def snapshot_scan_point(
+    spark: SparkSession,
+    path: str,
+    col: str,
+    value,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup ``col == value`` with TWO-TIER file skipping: the
+    manifest min/max range check first, then the per-file bloom filter
+    (:func:`snapshot_write` ``bloom_cols``) — the index that works when
+    every file's range covers the whole key space (uuids, digests,
+    hashes) and range stats prune nothing.  A file is read only if its
+    range CAN contain the value AND its bloom says maybe-present; bloom
+    false positives cost one extra file read, never a wrong answer, and
+    files without a stored filter (pre-bloom history) are always read.
+    The residual equality filter then runs on the surviving files —
+    plus parquet's own row-group stats underneath, the same stacked
+    design as :func:`snapshot_scan`."""
+    manifest = _resolve(spark, path, version)
+    keep = [
+        e
+        for e in manifest["files"]
+        if _overlaps(e, col, value, value) and _bloom_may_contain(e, col, value)
+    ]
+    return _read_with_deletes(spark, manifest, keep).where(
+        F.col(col) == F.lit(value)
     )
 
 
@@ -761,7 +892,10 @@ def snapshot_merge(
     fs = _FS(spark, path)
     version = manifest["version"] + 1
     commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
-    entries = _commit_files(spark, merged, path, commit_id, manifest["stats_cols"])
+    entries = _commit_files(
+        spark, merged, path, commit_id, manifest["stats_cols"],
+        manifest.get("bloom_cols"),
+    )
     for e in entries:
         e["seq"] = version
     new_manifest = {
@@ -770,6 +904,7 @@ def snapshot_merge(
         "action": "merge",
         "schema": manifest["schema"],
         "stats_cols": manifest["stats_cols"],
+        "bloom_cols": manifest.get("bloom_cols", []),
         "files": carried + entries,
         "deletes": manifest.get("deletes", []),
         "rewrote_files": len(touched_files),
@@ -804,7 +939,10 @@ def snapshot_delete(
             ~((F.col(col) >= F.lit(lo)) & (F.col(col) <= F.lit(hi)))
         )
         commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
-        entries = _commit_files(spark, kept, path, commit_id, manifest["stats_cols"])
+        entries = _commit_files(
+            spark, kept, path, commit_id, manifest["stats_cols"],
+            manifest.get("bloom_cols"),
+        )
         for e in entries:
             e["seq"] = version
     new_manifest = {
@@ -813,6 +951,7 @@ def snapshot_delete(
         "action": "delete",
         "schema": manifest["schema"],
         "stats_cols": manifest["stats_cols"],
+        "bloom_cols": manifest.get("bloom_cols", []),
         "files": carried + entries,
         "deletes": manifest.get("deletes", []),
         "dropped_files": len(dropped),
@@ -849,7 +988,10 @@ def snapshot_compact(
     fs = _FS(spark, path)
     version = manifest["version"] + 1
     commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
-    entries = _commit_files(spark, packed, path, commit_id, manifest["stats_cols"])
+    entries = _commit_files(
+        spark, packed, path, commit_id, manifest["stats_cols"],
+        manifest.get("bloom_cols"),
+    )
     for e in entries:
         e["seq"] = version
     new_manifest = {
@@ -858,6 +1000,7 @@ def snapshot_compact(
         "action": "compact",
         "schema": manifest["schema"],
         "stats_cols": manifest["stats_cols"],
+        "bloom_cols": manifest.get("bloom_cols", []),
         "files": carried + entries,
         "deletes": manifest.get("deletes", []),
         "rewrote_files": len(small),
@@ -1093,6 +1236,7 @@ def snapshot_delete_keys(
         "action": "delete_keys",
         "schema": manifest["schema"],
         "stats_cols": manifest["stats_cols"],
+        "bloom_cols": manifest.get("bloom_cols", []),
         "files": manifest["files"],  # every data file carried by reference
         "deletes": manifest.get("deletes", []) + entries,
         "deleted_keys": sum(e["rows"] for e in entries),
@@ -1139,7 +1283,10 @@ def snapshot_materialize_deletes(spark: SparkSession, path: str) -> int:
     if rewrite:
         kept = _read_with_deletes(spark, manifest, rewrite)
         commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
-        entries = _commit_files(spark, kept, path, commit_id, manifest["stats_cols"])
+        entries = _commit_files(
+            spark, kept, path, commit_id, manifest["stats_cols"],
+            manifest.get("bloom_cols"),
+        )
         for e in entries:
             e["seq"] = version
     new_manifest = {
@@ -1148,6 +1295,7 @@ def snapshot_materialize_deletes(spark: SparkSession, path: str) -> int:
         "action": "materialize_deletes",
         "schema": manifest["schema"],
         "stats_cols": manifest["stats_cols"],
+        "bloom_cols": manifest.get("bloom_cols", []),
         "files": carried + entries,
         "deletes": [],
         "rewrote_files": len(rewrite),

@@ -862,3 +862,67 @@ def test_timestamp_time_travel(spark, tmp_path):
     man.pop("committed_at_ms")
     fs.write_text(f"{path}/_manifests/v{0:010d}.json", json.dumps(man))
     assert snap.snapshot_read(spark, path, as_of_ms=t0 - 10_000).count() == 5
+
+
+def test_bloom_file_skipping_point_lookup(spark, tmp_path):
+    """Per-file bloom filters: with md5-digest keys every file's
+    min/max range spans the whole key space (range pruning reads ALL
+    files), but the bloom prunes to ~1 file per point lookup; results
+    stay exact, appends carry filters by reference, compaction
+    recomputes them, and the spark/python hash twins agree."""
+    import hashlib
+
+    path = str(tmp_path / "tbl")
+    docs = spark.range(2000).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        F.col("id").alias("n"),
+    ).repartition(8)
+    snap.snapshot_write(docs, path, mode="overwrite",
+                        stats_cols=["key"], bloom_cols=["key"])
+    man = snap._read_manifest(snap._FS(spark, path), path, 0)
+    assert man["bloom_cols"] == ["key"]
+    assert all("bloom" in e and len(e["bloom"]["key"]) == 32
+               for e in man["files"])
+    assert len(man["files"]) == 8
+
+    probe = hashlib.md5(b"123").hexdigest()
+    kept = [e for e in man["files"]
+            if snap._overlaps(e, "key", probe, probe)
+            and snap._bloom_may_contain(e, "key", probe)]
+    # range stats alone keep all 8 (hex digests span the space); bloom
+    # at 2048 bits / ~250 keys-file prunes to very few
+    kept_range = [e for e in man["files"]
+                  if snap._overlaps(e, "key", probe, probe)]
+    assert len(kept_range) == 8
+    assert 1 <= len(kept) <= 2
+
+    got = snap.snapshot_scan_point(spark, path, "key", probe).collect()
+    assert len(got) == 1 and got[0]["n"] == 123
+    absent = hashlib.md5(b"not-a-row").hexdigest()
+    assert snap.snapshot_scan_point(spark, path, "key", absent).count() == 0
+
+    # append carries config + old entries' filters by reference
+    more = spark.range(2000, 2500).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        F.col("id").alias("n"),
+    )
+    snap.snapshot_write(more, path, mode="append")
+    man1 = snap._read_manifest(snap._FS(spark, path), path, 1)
+    assert man1["bloom_cols"] == ["key"]
+    assert all("bloom" in e for e in man1["files"])
+    probe2 = hashlib.md5(b"2400").hexdigest()
+    assert snap.snapshot_scan_point(spark, path, "key", probe2).count() == 1
+
+    # compaction rewrites small files and RECOMPUTES their filters
+    snap.snapshot_compact(spark, path, target_file_bytes=1 << 30)
+    man2 = snap._read_manifest(snap._FS(spark, path), path, 2)
+    assert all("bloom" in e for e in man2["files"])
+    assert snap.snapshot_scan_point(spark, path, "key", probe).count() == 1
+
+    # spark-side builder and python-side prober share the hash exactly
+    from plda_spark.operators.stats import _cms_bucket
+    row = spark.range(1).select(
+        *[_cms_bucket(F.lit(probe), i, 2048).alias(f"p{i}") for i in range(3)]
+    ).first()
+    for i in range(3):
+        assert row[f"p{i}"] == snap._bloom_pos_py(probe, i, 2048)

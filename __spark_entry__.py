@@ -2313,6 +2313,18 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_ngram_novelty"] = text_ngram_novelty
 
+    def text_zipf_fit(spark, sf):
+        """Zipf-law fit of the corpus token spectrum (operators/text.py
+        zipf_fit): rank tokens by frequency, least-squares fit of
+        log f vs log rank over the top 10k ranks — the one-number
+        corpus-health diagnostic (natural text ~ -1; boilerplate
+        flattens, gibberish steepens).  One count aggregation + one
+        vocab-sized rank window + a closed-form LS aggregate; the
+        oracle replays the regression arithmetic exactly."""
+        return text.zipf_fit(load_table(spark, sf, "documents"))
+
+    q["text_zipf_fit"] = text_zipf_fit
+
     def stats_kmv_probes(spark, sf):
         """KMV (k-minimum-values) theta-sketch rollup probes
         (operators/stats.py kmv_*): per-day mergeable sketches of
@@ -2401,6 +2413,22 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sample_neyman"] = sample_neyman
+
+    def curation_embedding_drift(spark, sf):
+        """Embedding-space drift monitor (operators/curation.py
+        embedding_drift): per label, cosine between the centroid of the
+        pre-refresh corpus (vec_id %% 10 != 0) and the refreshed corpus
+        (all vectors) — the semantic sibling of curation_drift's count
+        shares (a group can keep its share while its content moves).
+        One posexplode + (group, dim) average per side, centroid tables
+        joined on their natural key; oracle replays the arithmetic."""
+        from plda_spark.operators import curation
+
+        emb = load_table(spark, sf, "embeddings")
+        before = emb.where(F.col("vec_id") % 10 != 0)
+        return curation.embedding_drift(before, emb, "label")
+
+    q["curation_embedding_drift"] = curation_embedding_drift
 
     def stats_gini_concentration(spark, sf):
         """Gini coefficient of corpus concentration across sources and
@@ -5006,6 +5034,62 @@ SELECT stratum, n_rows, sigma, round(weight, 6) AS weight,
 FROM w
 """
 
+    # Same token rule, same tie-broken ranks, same closed-form LS fit.
+    o["text_zipf_fit"] = f"""
+WITH counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS f FROM (
+    SELECT unnest({_SQL_TOKS}) AS tok FROM documents
+  ) GROUP BY tok
+), ranked AS (
+  SELECT f, row_number() OVER (ORDER BY f DESC, tok ASC) AS r FROM counts
+), pts AS (
+  SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(f AS DOUBLE)) AS y
+  FROM ranked WHERE r <= 10000
+), tot AS (
+  SELECT CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types FROM counts
+), fit AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy
+  FROM pts
+)
+SELECT tot.n_tokens, tot.n_types,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+         AS intercept,
+       round(pow(n*sxy - sx*sy, 2)
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM fit, tot
+"""
+
+    # Same per-(label, dim) centroid averages and cosine arithmetic.
+    o["curation_embedding_drift"] = """
+WITH b AS (
+  SELECT label AS grp, generate_subscripts(embedding, 1) AS i,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings WHERE vec_id % 10 != 0
+), a AS (
+  SELECT label AS grp, generate_subscripts(embedding, 1) AS i,
+         unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings
+), cb AS (
+  SELECT grp, i, avg(v) AS c, CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY grp, i
+), ca AS (
+  SELECT grp, i, avg(v) AS c, CAST(count(*) AS BIGINT) AS n
+  FROM a GROUP BY grp, i
+)
+SELECT coalesce(cb.grp, ca.grp) AS "group",
+       max(cb.n) AS n_before, max(ca.n) AS n_after,
+       round(CASE WHEN sqrt(sum(cb.c * cb.c)) > 0
+                   AND sqrt(sum(ca.c * ca.c)) > 0
+                  THEN sum(cb.c * ca.c)
+                       / (sqrt(sum(cb.c * cb.c)) * sqrt(sum(ca.c * ca.c)))
+             END, 6) AS centroid_cosine
+FROM cb FULL OUTER JOIN ca ON cb.grp = ca.grp AND cb.i = ca.i
+GROUP BY 1
+"""
+
     # Same share/KL arithmetic; groups new in `after` can't exist here
     # (a filter only removes rows), so the null-KL branch stays empty.
     o["curation_drift"] = """
@@ -7001,11 +7085,13 @@ EXTRA_QUERIES: list[str] = [
     "events_attribution",
     "text_char_entropy",
     "text_ngram_novelty",
+    "text_zipf_fit",
     "source_snapshot_delete_keys",
     "stats_kmv_probes",
     "stats_bloom_probes",
     "stats_decayed_counts",
     "sample_neyman",
+    "curation_embedding_drift",
     "text_rake_keywords",
     "text_lm_score_kn3",
     "stream_interval_join_outer",

@@ -187,6 +187,9 @@ BENCH_QUERIES = [
     # recency-weighted decayed counts + Neyman stratified allocation
     "stats_decayed_counts",
     "sample_neyman",
+    # Zipf spectrum fit + embedding-space drift monitor
+    "text_zipf_fit",
+    "curation_embedding_drift",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

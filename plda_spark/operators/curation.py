@@ -33,6 +33,7 @@ __all__ = [
     "ppl_buckets",
     "mixture_drift",
     "token_budget_mixture",
+    "embedding_drift",
 ]
 
 
@@ -640,3 +641,56 @@ def token_budget_mixture(
         ).alias("planned_tokens"),
     )
     return out
+
+
+def embedding_drift(
+    before: DataFrame,
+    after: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EMBEDDING-SPACE drift between two corpus versions, per group:
+    the semantic sibling of :func:`composition_drift` (which tracks
+    count shares) — a group can keep its share while its CONTENT moves,
+    and the centroid direction is the cheap first-moment witness of
+    that move (the monitor retrieval/curation teams check before
+    re-training on a refreshed corpus).
+
+    Returns ``(group, n_before, n_after, centroid_cosine)`` — cosine
+    between the group's element-wise mean vectors, rounded to 6; null
+    when the group is absent on either side (or a centroid is zero).
+
+    Scale shape: each side is ONE posexplode + (group, dim-index)
+    average — map-side-combined partials, dim·rows exploded once, never
+    the vectors joined row-to-row; the centroid tables are
+    |groups|·dim rows, joined on their natural key.  Entirely JVM and
+    SQL-expressible.
+    """
+
+    def centroids(df: DataFrame, tag: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(group_col).alias("grp"),
+                F.posexplode(F.col(vec_col)).alias("i", "v"),
+            )
+            .groupBy("grp", "i")
+            .agg(
+                F.avg(F.col("v").cast("double")).alias(f"c_{tag}"),
+                F.count(F.lit(1)).alias(f"n_{tag}"),
+            )
+        )
+
+    b, a = centroids(before, "b"), centroids(after, "a")
+    joined = b.join(a, ["grp", "i"], "full_outer")
+    dot = F.sum(F.col("c_b") * F.col("c_a"))
+    nb = F.sqrt(F.sum(F.col("c_b") * F.col("c_b")))
+    na = F.sqrt(F.sum(F.col("c_a") * F.col("c_a")))
+    return joined.groupBy("grp").agg(
+        F.max("n_b").alias("n_before"),
+        F.max("n_a").alias("n_after"),
+        F.round(
+            F.when((nb > 0) & (na > 0), dot / (nb * na)), 6
+        ).alias("centroid_cosine"),
+    ).select(
+        F.col("grp").alias("group"), "n_before", "n_after", "centroid_cosine"
+    )

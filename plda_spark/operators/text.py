@@ -47,6 +47,7 @@ __all__ = [
     "rake_keywords",
     "char_entropy",
     "ngram_novelty",
+    "zipf_fit",
     "PII_PATTERNS",
     "BPE_SPLIT_RE",
     "STOPWORDS",
@@ -1534,4 +1535,70 @@ def ngram_novelty(
             "n_new",
             F.round(F.col("n_new") / F.col("n_ngrams"), 6).alias("novelty"),
         )
+    )
+
+
+def zipf_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_rank: int = 10_000,
+) -> DataFrame:
+    """Zipf-law fit of the corpus token-frequency spectrum: rank tokens
+    by frequency (ties broken by token for engine-stable ranks) and
+    least-squares fit ``log f = a + s·log r`` over the top
+    ``max_rank`` ranks.  Natural text lands near the Zipf slope
+    ``s ≈ -1``; templated/boilerplate corpora flatten (head too even),
+    gibberish steepens — a one-number corpus-health diagnostic next to
+    :func:`char_entropy` (per-doc) and :func:`ngram_novelty` (growth).
+
+    Returns one row: ``(n_tokens, n_types, slope, intercept, r2)``
+    (slope/intercept/r2 of the log-log fit, rounded to 6).
+
+    Scale shape: one token-count aggregation (map-side combined), one
+    rank window over the VOCABULARY-sized count table (capped at
+    ``max_rank`` rows into the closed-form least-squares aggregate) —
+    the corpus itself is scanned once and never re-shuffled.
+    """
+    if max_rank < 2:
+        raise ValueError("max_rank must be >= 2")
+    counts = (
+        docs.select(F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), F.asc("tok"))
+    ranked = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= max_rank)
+        .select(
+            "f",
+            F.log(F.col("r").cast("double")).alias("x"),
+            F.log(F.col("f").cast("double")).alias("y"),
+        )
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy, syy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r2 = F.pow(n * sxy - sx * sy, 2) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    totals = counts.agg(
+        F.sum("f").alias("__nt"), F.count(F.lit(1)).alias("__ty")
+    )
+    return ranked.agg(
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).crossJoin(F.broadcast(totals)).select(
+        F.col("__nt").alias("n_tokens"),
+        F.col("__ty").alias("n_types"),
+        "slope",
+        "intercept",
+        "r2",
     )

@@ -3559,3 +3559,53 @@ def test_neyman_allocation_and_sample(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampling.neyman_allocation(df, "source", "n_chars", total_n=0)
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    """A corpus constructed with an exact power-law spectrum
+    f(r) = round(1000 * r^-0.8) must fit slope ~= -0.8 with r2 ~= 1;
+    validation fires."""
+    from plda_spark.operators import text as text_ops
+
+    words = []
+    for r in range(1, 60):
+        f = max(1, round(1000 * r ** -0.8))
+        words += [f"w{r:03d}"] * f
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    row = text_ops.zipf_fit(docs, max_rank=50).first()
+    assert abs(row["slope"] - (-0.8)) < 0.02
+    assert row["r2"] > 0.999
+    assert row["n_types"] == 59
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        text_ops.zipf_fit(docs, max_rank=1)
+
+
+def test_embedding_drift_semantics(spark):
+    """Identical distributions -> cosine 1; an orthogonal flip -> 0;
+    groups on one side only -> null cosine with the present side's
+    count."""
+    from plda_spark.operators import curation
+
+    before = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("a", [1.0, 0.0]),
+         ("b", [0.0, 2.0]),
+         ("gone", [3.0, 4.0])],
+        "label string, embedding array<double>",
+    )
+    after = spark.createDataFrame(
+        [("a", [2.0, 0.0]),                 # same direction, new scale
+         ("b", [2.0, 0.0]),                 # rotated 90 degrees
+         ("new", [1.0, 1.0])],
+        "label string, embedding array<double>",
+    )
+    out = {r["group"]: r for r in
+           curation.embedding_drift(before, after, "label").collect()}
+    assert out["a"]["centroid_cosine"] == 1.0
+    assert out["a"]["n_before"] == 2 and out["a"]["n_after"] == 1
+    assert out["b"]["centroid_cosine"] == 0.0
+    assert out["gone"]["centroid_cosine"] is None
+    assert out["gone"]["n_after"] is None
+    assert out["new"]["centroid_cosine"] is None and out["new"]["n_before"] is None

@@ -41,6 +41,8 @@ __all__ = [
     "incremental_exact_dedup",
     "incremental_minhash_dedup",
     "compact_dedup_ledger",
+    "incremental_decayed_counts",
+    "decayed_counts_from_ledger",
     "enrich",
 ]
 
@@ -953,3 +955,131 @@ def compact_dedup_ledger(
         "marker_rows": n_markers,
         "runs_before": runs_before,
     }
+
+
+def incremental_decayed_counts(
+    stream_events: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+    epoch: str = "2024-01-01 00:00:00",
+    timeout_s: float = 300.0,
+) -> None:
+    """Continuously maintain exponentially TIME-DECAYED per-key counts
+    (the streaming twin of ``operators/stats.py decayed_counts``)
+    without ever rescaling stored state.
+
+    The trick that makes the ledger APPEND-ONLY: store each event's
+    mass RELATIVE to a fixed ``epoch`` — ``2^((t - epoch)/h)`` — so
+    per-key masses are plain additive sums; the decayed value at any
+    reference instant T is just ``mass · 2^(-(T - epoch)/h)``, applied
+    once at READ time (:func:`decayed_counts_from_ledger`).  A naive
+    "decayed state" ledger would need every key rescaled every batch —
+    a full-state rewrite per micro-batch; this one appends one slim
+    aggregate row per (key, batch).
+
+    Exactly-once: each batch's per-key partials land as a dynamic
+    OVERWRITE of this run's ``run_id=<query-id>/batch_id=<n>``
+    partition.  The batch aggregate is a pure function of the batch
+    (unlike the dedup ledgers, it never reads prior state), so a
+    crash-replay rewrites the same partition with identical content —
+    no commit marker needed.
+
+    Numeric headroom: exponents grow as (t - epoch)/h — at h=7 days,
+    a decade of stream is 2^521 and overflows; re-base the ledger to a
+    newer epoch (multiply masses by 2^(-Δ/h), rewrite) every few years
+    of stream time, the same maintenance cadence as ledger compaction.
+
+    Scale shape: one map-side-combined aggregation per micro-batch,
+    |keys-in-batch| rows appended; reads touch the ledger only.
+    """
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        token = _query_token(spark, checkpoint_path)
+        rel = _decayed_rel_mass(batch, key_cols, ts_col, half_life_days, epoch)
+        _overwrite_batch_partition(rel, state_path, token, batch_id)
+
+    q = (
+        stream_events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def _decayed_rel_mass(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    half_life_days: float,
+    epoch: str,
+) -> DataFrame:
+    """Per-key epoch-relative mass partials — the shared aggregation of
+    the streaming writer and any batch backfill."""
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be positive")
+
+    def secs(c):
+        return F.unix_micros(c.cast("timestamp_ltz")) / F.lit(1_000_000.0)
+
+    rel_days = (
+        secs(F.col(ts_col)) - secs(F.lit(epoch).cast("timestamp"))
+    ) / F.lit(86400.0)
+    return events.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.pow(F.lit(2.0), rel_days / F.lit(half_life_days))).alias(
+            "rel_mass"
+        ),
+        F.max(F.col(ts_col)).alias("max_ts"),
+    )
+
+
+def decayed_counts_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    key_cols: list[str],
+    half_life_days: float = 7.0,
+    epoch: str = "2024-01-01 00:00:00",
+    ref_ts=None,
+) -> DataFrame:
+    """Fold the :func:`incremental_decayed_counts` ledger into current
+    ``(key..., n_events, decayed_count)`` values: sum the per-batch
+    partials per key, then apply the single epoch-relative scale at
+    ``ref_ts`` (default: the newest event the ledger has seen).
+    Touches only the ledger — one slim row per (key, batch), compacted
+    like the dedup ledgers when batch count grows."""
+    ledger = spark.read.parquet(state_path)
+
+    def secs(c):
+        return F.unix_micros(c.cast("timestamp_ltz")) / F.lit(1_000_000.0)
+
+    if ref_ts is None:
+        # the ledger is |keys|x|batches| rows — derive the reference
+        # instant as a broadcast 1-row aggregate rather than a global
+        # window (which would funnel the whole ledger through one task)
+        src = ledger.crossJoin(
+            F.broadcast(ledger.agg(F.max("max_ts").alias("__ref")))
+        )
+    else:
+        src = ledger.withColumn("__ref", F.lit(ref_ts).cast("timestamp"))
+    ref = F.col("__ref")
+    scale = F.pow(
+        F.lit(2.0),
+        -(secs(ref) - secs(F.lit(epoch).cast("timestamp")))
+        / F.lit(86400.0)
+        / F.lit(half_life_days),
+    )
+    return (
+        src.withColumn("__scale", scale)
+        .groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.round(F.sum(F.col("rel_mass") * F.col("__scale")), 4).alias(
+                "decayed_count"
+            ),
+        )
+    )

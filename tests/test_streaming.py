@@ -858,3 +858,66 @@ def test_tokenizer_encode_runs_on_streams(spark, tmp_path):
         for r in wp.wordpiece_encode(spark.read.parquet(src), vocab).collect()
     }
     assert got == want
+
+
+def test_incremental_decayed_counts_matches_batch(spark, tmp_path):
+    """Streaming decayed-counts ledger (append-only epoch-relative
+    masses) folded at read time must equal the batch operator run over
+    the full event history — the closed-form-merge parity that makes
+    the design trustworthy — and a replayed batch partition must not
+    double-count."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import stats
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, event_type string"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "event_id long, ts string, event_type string").select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+
+    inc1 = [(1, "2024-01-02 00:00:00", "a"), (2, "2024-01-05 12:00:00", "a"),
+            (3, "2024-01-03 00:00:00", "b")]
+    inc2 = [(4, "2024-01-09 00:00:00", "a"), (5, "2024-01-16 00:00:00", "b"),
+            (6, "2024-01-16 00:00:00", "b")]
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        windows.incremental_decayed_counts(
+            stream, state, ckpt, ["event_type"], half_life_days=7.0
+        )
+
+    mk(inc1).write.mode("append").parquet(in_dir)
+    run()
+    mk(inc2).write.mode("append").parquet(in_dir)
+    run()
+
+    got = {r["event_type"]: r for r in windows.decayed_counts_from_ledger(
+        spark, state, ["event_type"], half_life_days=7.0
+    ).collect()}
+    want = {r["event_type"]: r for r in stats.decayed_counts(
+        mk(inc1 + inc2), ["event_type"], half_life_days=7.0
+    ).collect()}
+    assert set(got) == set(want) == {"a", "b"}
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert abs(got[k]["decayed_count"] - want[k]["decayed_count"]) < 2e-3, k
+
+    # explicit ref_ts pins "now" and halves mass one half-life later
+    later = {r["event_type"]: r["decayed_count"] for r in
+             windows.decayed_counts_from_ledger(
+                 spark, state, ["event_type"], half_life_days=7.0,
+                 ref_ts="2024-01-23 00:00:00",
+             ).collect()}
+    for k in want:
+        assert abs(later[k] - want[k]["decayed_count"] / 2) < 2e-3
+
+    # ledger shape: one slim partial row per (key, batch)
+    ledger = spark.read.parquet(state)
+    assert ledger.count() == 4  # 2 keys x 2 batches
+    assert set(ledger.columns) >= {"event_type", "n_events", "rel_mass",
+                                   "max_ts", "run_id", "batch_id"}

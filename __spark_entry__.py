@@ -1734,6 +1734,32 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_snapshot_roundtrip"] = source_snapshot_roundtrip
 
+    def source_snapshot_rollback(spark, sf):
+        """Delta-RESTORE rollback on the snapshot table
+        (sources/snapshot.py snapshot_rollback): commit the even
+        documents, append the odds, range-delete a slice — then roll
+        back to version 0 as a NEW head whose file list is copied by
+        reference (O(manifest), zero data movement; bad versions stay
+        time-travel-readable until vacuum).  The read of the restored
+        head must equal exactly the even documents."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "lang", "text")
+        tmp = tempfile.mkdtemp(prefix="plda_snap_")
+        path = f"{tmp}/tbl"
+        snap.snapshot_write(
+            docs.where(F.col("doc_id") % 2 == 0), path,
+            mode="overwrite", stats_cols=["doc_id"],
+        )
+        snap.snapshot_write(docs.where(F.col("doc_id") % 2 == 1), path, mode="append")
+        snap.snapshot_delete(spark, path, "doc_id", 0, 1000)
+        snap.snapshot_rollback(spark, path, version=0)
+        return snap.snapshot_read(spark, path)
+
+    q["source_snapshot_rollback"] = source_snapshot_rollback
+
     def source_snapshot_merge(spark, sf):
         """Stats-pruned copy-on-write MERGE (upsert) on the snapshot
         table: base = orders clustered on o_orderkey so per-file key
@@ -2324,6 +2350,36 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return text.zipf_fit(load_table(spark, sf, "documents"))
 
     q["text_zipf_fit"] = text_zipf_fit
+
+    def text_index_phrase(spark, sf):
+        """Positional inverted index + exact-phrase retrieval
+        (operators/invindex.py): build the (token, df, postings)
+        index with two map-side-combinable aggregations, then find
+        every consecutive occurrence of the 2-token phrase
+        "table scan" via offset-adjusted position intersection —
+        phrase-level benchmark-decontamination the n-gram overlap
+        operators can't answer positionally.  Search touches only the
+        phrase's own postings rows (IN-filter on the token key); the
+        intersection fold is a JVM array expression."""
+        from plda_spark.operators import invindex
+
+        idx = invindex.build_inverted_index(load_table(spark, sf, "documents"))
+        return invindex.phrase_search(idx, ["table", "scan"])
+
+    q["text_index_phrase"] = text_index_phrase
+
+    def text_index_boolean(spark, sf):
+        """Conjunctive boolean retrieval over the positional index
+        (operators/invindex.py term_search): documents containing ALL
+        of {spark, query, window}, with total term frequency — the
+        AND-query plan that reads |terms| postings rows and one
+        per-doc aggregation, never the corpus."""
+        from plda_spark.operators import invindex
+
+        idx = invindex.build_inverted_index(load_table(spark, sf, "documents"))
+        return invindex.term_search(idx, ["spark", "query", "window"], mode="and")
+
+    q["text_index_boolean"] = text_index_boolean
 
     def stats_kmv_probes(spark, sf):
         """KMV (k-minimum-values) theta-sketch rollup probes
@@ -5062,6 +5118,35 @@ SELECT tot.n_tokens, tot.n_types,
 FROM fit, tot
 """
 
+    # Same token rule + 0-based positions; adjacency via pos self-joins.
+    o["text_index_phrase"] = f"""
+WITH base AS (
+  SELECT doc_id, {_SQL_TOKS} AS w FROM documents
+), toks AS (
+  SELECT doc_id, unnest(w) AS tok, unnest(range(0, len(w))) AS pos FROM base
+), m AS (
+  SELECT a.doc_id, a.pos
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'table' AND b.tok = 'scan'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+"""
+
+    # Same token rule; AND = per-doc distinct-term count equals |terms|.
+    o["text_index_boolean"] = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS tok FROM documents
+), per AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks
+  WHERE tok IN ('spark', 'query', 'window') GROUP BY doc_id, tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
+       CAST(sum(tf) AS BIGINT) AS tf_total
+FROM per GROUP BY doc_id HAVING count(*) = 3
+"""
+
     # Same per-(label, dim) centroid averages and cosine arithmetic.
     o["curation_embedding_drift"] = """
 WITH b AS (
@@ -5328,6 +5413,12 @@ SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text
     # whole table, each row exactly once.
     o["source_snapshot_roundtrip"] = """
 SELECT doc_id, lang, text FROM documents
+"""
+
+    # Rollback to v0 restores exactly the even documents, regardless of
+    # the append + range-delete that followed.
+    o["source_snapshot_rollback"] = """
+SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
 """
 
     # Copy-on-write MERGE semantics: same-key rows replaced (price
@@ -7107,6 +7198,10 @@ EXTRA_QUERIES: list[str] = [
     "stats_gini_concentration",
     "curation_token_budget",
     "events_forecast_backtest",
+    # round-6 extensions
+    "text_index_phrase",
+    "text_index_boolean",
+    "source_snapshot_rollback",
 ]
 
 

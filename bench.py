@@ -190,6 +190,11 @@ BENCH_QUERIES = [
     # Zipf spectrum fit + embedding-space drift monitor
     "text_zipf_fit",
     "curation_embedding_drift",
+    # positional inverted index: phrase + boolean retrieval
+    "text_index_phrase",
+    "text_index_boolean",
+    # snapshot rollback (Delta RESTORE — O(manifest) state restore)
+    "source_snapshot_rollback",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

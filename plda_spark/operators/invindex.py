@@ -1,0 +1,160 @@
+"""Positional inverted index + phrase / boolean search.
+
+The classic IR substrate a curation pipeline needs for *phrase-level*
+decontamination and benchmark-leak auditing ("does any training doc
+contain this exact k-token span?") — a capability the n-gram overlap
+operators (``dedup.decontaminate``) approximate but cannot answer
+positionally.
+
+Index layout: one row per token — ``(token, df, tf_total,
+postings: array<struct<doc_id, positions>>)`` with postings sorted by
+``doc_id`` and positions ascending.  Tokenization is the engine-wide
+rule (``lda/corpus.py TOKEN_RE`` + min length), so the index is the
+positional twin of the LDA vocabulary scan; positions are 0-based
+offsets in the FILTERED token sequence.
+
+Scale shape (100 TB): the build is two keyed aggregations —
+``(token, doc)`` → positions, then ``token`` → postings — both
+map-side combinable; no join, no driver state.  Stopword-class tokens
+produce corpus-sized postings rows: cap them with ``df_cap`` (classic
+stop-listing by document frequency) or rely on the fact that queries
+touch only their own tokens.  Searches filter the index with a literal
+``IN`` over the query's tokens — on a token-sorted parquet index that
+is row-group pruning, not a scan — then regroup only the surviving
+postings (rows ≈ |query tokens| × df).  Nothing in search is
+proportional to corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import tokens_col
+
+__all__ = ["build_inverted_index", "phrase_search", "term_search"]
+
+
+def build_inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Build the positional index: ``(token, df, tf_total, postings)``.
+
+    ``df_cap`` drops tokens appearing in more than that many documents
+    (document-frequency stop-listing — bounds the largest postings row,
+    the one skew concern at corpus scale)."""
+    if df_cap is not None and df_cap < 1:
+        raise ValueError(f"df_cap must be >= 1, got {df_cap}")
+    flat = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens_col(text_col)).alias("pos", "token"),
+    )
+    per_doc = flat.groupBy("token", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    idx = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum(F.size("positions")).alias("tf_total"),
+        F.array_sort(F.collect_list(F.struct("doc_id", "positions"))).alias(
+            "postings"
+        ),
+    )
+    if df_cap is not None:
+        idx = idx.filter(F.col("df") <= df_cap)
+    return idx
+
+
+def _postings_for(index: DataFrame, tokens: list[str]) -> DataFrame:
+    """Flatten the postings of just the query's tokens:
+    ``(token, doc_id, positions)``.  The IN-filter is the only contact
+    with the (corpus-vocabulary-sized) index."""
+    return (
+        index.filter(F.col("token").isin(tokens))
+        .select("token", F.explode("postings").alias("p"))
+        .select(
+            "token",
+            F.col("p.doc_id").alias("doc_id"),
+            F.col("p.positions").alias("positions"),
+        )
+    )
+
+
+def phrase_search(index: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact consecutive-phrase matches via positional intersection.
+
+    Slot ``i`` of the phrase contributes the offset-adjusted position
+    set ``{p - i}``; a document matches wherever the intersection of
+    all slots' adjusted sets is non-empty (the standard positional-
+    index phrase algorithm, e.g. Manning et al. IIR §2.4).  Returns
+    ``(doc_id, n_matches, first_pos)`` — overlapping occurrences each
+    count (positions are distinct, so "x x x" matches "x x" twice).
+
+    Plan: tiny broadcast slots join + ONE groupBy over the phrase
+    tokens' postings; the intersection fold is a JVM array expression.
+    """
+    phrase = [t.lower() for t in phrase]
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    n = len(phrase)
+    spark = index.sparkSession
+    slots = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(phrase)], "slot int, token string"
+    )
+    per_slot = _postings_for(index, sorted(set(phrase))).join(
+        F.broadcast(slots), "token"
+    ).select(
+        "doc_id",
+        "slot",
+        F.transform("positions", lambda p: p - F.col("slot")).alias("adj"),
+    )
+    agged = per_slot.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_slots"),
+        F.array_sort(F.collect_list(F.struct("slot", "adj"))).alias("arrs"),
+    )
+    if n == 1:
+        mpos = F.col("arrs")[0]["adj"]
+    else:
+        mpos = F.aggregate(
+            F.slice("arrs", 2, n - 1),
+            F.col("arrs")[0]["adj"],
+            lambda acc, s: F.array_intersect(acc, s["adj"]),
+        )
+    return (
+        agged.filter(F.col("n_slots") == n)
+        .select("doc_id", mpos.alias("mpos"))
+        .filter(F.size("mpos") > 0)
+        .select(
+            "doc_id",
+            F.size("mpos").cast("long").alias("n_matches"),
+            F.array_min("mpos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def term_search(
+    index: DataFrame, terms: list[str], mode: str = "and"
+) -> DataFrame:
+    """Boolean multi-term search over the index: ``(doc_id,
+    n_terms_matched, tf_total)``.  ``mode="and"`` keeps only documents
+    containing every distinct term (conjunctive retrieval); ``"or"``
+    keeps any match.  Same contact pattern as :func:`phrase_search`:
+    an IN-filter on the index, one per-doc aggregation."""
+    if mode not in ("and", "or"):
+        raise ValueError(f"mode must be 'and' or 'or', got {mode!r}")
+    uniq = sorted({t.lower() for t in terms})
+    if not uniq:
+        raise ValueError("terms must contain at least one token")
+    agged = (
+        _postings_for(index, uniq)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum(F.size("positions")).cast("long").alias("tf_total"),
+        )
+    )
+    if mode == "and":
+        agged = agged.filter(F.col("n_terms_matched") == len(uniq))
+    return agged

@@ -74,6 +74,7 @@ __all__ = [
     "snapshot_versions",
     "snapshot_tag",
     "snapshot_tags",
+    "snapshot_rollback",
     "snapshot_changes",
     "snapshot_refresh_agg",
     "snapshot_merge",
@@ -1356,6 +1357,48 @@ def _resolve_tag(fs: _FS, path: str, tag: str) -> int:
 def snapshot_tags(spark: SparkSession, path: str) -> dict[str, int]:
     """All tags as ``{name: version}``."""
     return _all_tags(_FS(spark, path), path)
+
+
+def snapshot_rollback(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    tag: str | None = None,
+) -> int:
+    """Restore the table to an earlier state as a NEW head version
+    (the Delta ``RESTORE`` / Iceberg rollback idiom): publish a commit
+    whose file list, pending deletes, schema, and stats/bloom coverage
+    are copied BY REFERENCE from the target manifest.  History stays
+    append-only — the bad versions remain time-travel-readable until
+    vacuum — and the restore is O(manifest), no data moves.
+
+    The streaming idempotence index (``recent_markers``) is carried
+    from the CURRENT head, not the target: a batch delivered between
+    the target and the rollback was genuinely processed once, and a
+    crash-replay of it after the restore must stay a no-op.  Re-feeding
+    rolled-back data deliberately requires a fresh ``run_id``.
+
+    Target by ``version`` or by ``tag`` (exactly one).  Raises
+    :class:`ConcurrentWriteError` on a race (retry by re-calling)."""
+    if (version is None) == (tag is None):
+        raise ValueError("pass exactly one of version= or tag=")
+    fs = _FS(spark, path)
+    if tag is not None:
+        version = _resolve_tag(fs, path, tag)
+    target = _resolve(spark, path, version)  # validates the version exists
+    head = _resolve(spark, path, None)
+    new_manifest = {
+        "version": head["version"] + 1,
+        "parent": head["version"],
+        "action": "rollback",
+        "rolled_back_to": target["version"],
+        "schema": target["schema"],
+        "stats_cols": target.get("stats_cols", []),
+        "bloom_cols": target.get("bloom_cols", []),
+        "files": target["files"],
+        "deletes": target.get("deletes", []),
+    }
+    return _publish(fs, path, _with_marker_index(new_manifest, head))
 
 
 def snapshot_delete_keys_batch(

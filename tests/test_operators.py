@@ -3609,3 +3609,64 @@ def test_embedding_drift_semantics(spark):
     assert out["gone"]["centroid_cosine"] is None
     assert out["gone"]["n_after"] is None
     assert out["new"]["centroid_cosine"] is None and out["new"]["n_before"] is None
+
+
+def test_inverted_index_and_phrase_search(spark):
+    """Hand-checkable positional semantics: overlapping matches count
+    per position, phrase slots must ALL be present, single-token
+    phrases work, duplicate-token phrases self-join correctly, and
+    df_cap stop-lists high-frequency tokens."""
+    from plda_spark.operators import invindex
+
+    rows = [
+        (0, "table scan table scan scan"),      # "table scan" at 0 and 2
+        (1, "scan table"),                      # reversed — no match
+        (2, "big table scan here"),             # match at 1
+        (3, "scan scan scan"),                  # "scan scan" at 0,1
+        (4, "nothing relevant"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = invindex.build_inverted_index(docs)
+
+    by_tok = {r["token"]: r for r in idx.collect()}
+    assert by_tok["scan"]["df"] == 4 and by_tok["scan"]["tf_total"] == 8
+    assert [p["doc_id"] for p in by_tok["scan"]["postings"]] == [0, 1, 2, 3]
+    assert list(by_tok["scan"]["postings"][0]["positions"]) == [1, 3, 4]
+
+    got = {r["doc_id"]: r for r in
+           invindex.phrase_search(idx, ["table", "scan"]).collect()}
+    assert set(got) == {0, 2}
+    assert got[0]["n_matches"] == 2 and got[0]["first_pos"] == 0
+    assert got[2]["n_matches"] == 1 and got[2]["first_pos"] == 1
+
+    # duplicate-token phrase: overlapping occurrences each count
+    dup = {r["doc_id"]: r for r in
+           invindex.phrase_search(idx, ["scan", "scan"]).collect()}
+    assert dup[3]["n_matches"] == 2 and dup[3]["first_pos"] == 0
+    assert dup[0]["n_matches"] == 1 and dup[0]["first_pos"] == 3
+
+    # single-token phrase == postings lookup
+    one = {r["doc_id"]: r["n_matches"] for r in
+           invindex.phrase_search(idx, ["table"]).collect()}
+    assert one == {0: 2, 1: 1, 2: 1}
+
+    # boolean AND vs OR
+    both = {r["doc_id"]: r for r in
+            invindex.term_search(idx, ["table", "scan"]).collect()}
+    assert set(both) == {0, 1, 2, 3} - {3}  # doc 3 has no 'table'
+    assert both[0]["tf_total"] == 5
+    any_ = invindex.term_search(idx, ["table", "scan"], mode="or")
+    assert {r["doc_id"] for r in any_.collect()} == {0, 1, 2, 3}
+
+    # df_cap drops 'scan' (df 4) but keeps 'table' (df 3)
+    capped = invindex.build_inverted_index(docs, df_cap=3)
+    toks = {r["token"] for r in capped.collect()}
+    assert "scan" not in toks and "table" in toks
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        invindex.phrase_search(idx, [])
+    with _pytest.raises(ValueError):
+        invindex.term_search(idx, ["x"], mode="xor")
+    with _pytest.raises(ValueError):
+        invindex.build_inverted_index(docs, df_cap=0)

@@ -688,3 +688,21 @@ def test_ngram_novelty_is_two_keyed_exchanges(spark):
     assert "Cartesian" not in s["plan"]
     assert "BatchEvalPython" not in s["plan"]
     assert "ArrowEvalPython" not in s["plan"]
+
+
+def test_phrase_search_touches_only_query_tokens(spark):
+    """Phrase retrieval must IN-filter the index on the phrase's own
+    tokens BEFORE any regrouping (search cost ~ |phrase| x df, never
+    corpus size), join only the tiny broadcast slots table, and keep
+    the positional-intersection fold in JVM expressions."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["text_index_phrase"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the phrase's literal tokens appear as an IN condition on the index
+    assert "scan" in plan and "table" in plan
+    assert plan.count("SortMergeJoin") == 0

@@ -926,3 +926,53 @@ def test_bloom_file_skipping_point_lookup(spark, tmp_path):
     ).first()
     for i in range(3):
         assert row[f"p{i}"] == snap._bloom_pos_py(probe, i, 2048)
+
+
+def test_rollback_restores_state_as_new_version(spark, sf_dir, tmp_path):
+    """Delta-RESTORE semantics: rollback publishes a NEW head whose
+    content equals the target version, history stays time-travelable,
+    vacuum keeps the re-referenced files, and streaming idempotence
+    markers are carried from the pre-rollback head."""
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir)
+    evens = docs.where(F.col("doc_id") % 2 == 0)
+    odds = docs.where(F.col("doc_id") % 2 == 1)
+
+    snap.snapshot_write(evens, path, mode="overwrite", stats_cols=["doc_id"])
+    snap.snapshot_tag(spark, path, "clean", version=0)
+    snap.snapshot_sink_batch(odds, path, run_id="runA", batch_id=7)  # v1
+    snap.snapshot_delete(spark, path, "doc_id", 0, 10)               # v2
+
+    v3 = snap.snapshot_rollback(spark, path, version=0)
+    assert v3 == 3
+    assert _sorted_rows(snap.snapshot_read(spark, path), "doc_id") == _sorted_rows(
+        evens, "doc_id"
+    )
+    # history intact: v2 still readable, and the rollback is a manifest copy
+    assert _sorted_rows(
+        snap.snapshot_read(spark, path, version=1), "doc_id"
+    ) == _sorted_rows(docs, "doc_id")
+    vers = snap.snapshot_versions(spark, path)
+    assert [v["action"] for v in vers] == ["overwrite", "append", "delete", "rollback"]
+
+    # idempotence survives the restore: replaying runA/7 is still a no-op
+    before = snap.snapshot_versions(spark, path)[-1]["version"]
+    assert snap.snapshot_sink_batch(odds, path, run_id="runA", batch_id=7) is None
+    assert snap.snapshot_versions(spark, path)[-1]["version"] == before
+
+    # rollback by tag equals rollback by version
+    v_next = snap.snapshot_rollback(spark, path, tag="clean")
+    assert _sorted_rows(
+        snap.snapshot_read(spark, path, version=v_next), "doc_id"
+    ) == _sorted_rows(evens, "doc_id")
+
+    # vacuum to only the head keeps the restored (v0-born) data readable
+    snap.snapshot_vacuum(spark, path, keep_versions=1, retention_minutes=0)
+    assert _sorted_rows(snap.snapshot_read(spark, path), "doc_id") == _sorted_rows(
+        evens, "doc_id"
+    )
+
+    with pytest.raises(ValueError):
+        snap.snapshot_rollback(spark, path)
+    with pytest.raises(ValueError):
+        snap.snapshot_rollback(spark, path, version=0, tag="clean")

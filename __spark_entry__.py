@@ -2315,6 +2315,27 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_forecast_backtest"] = events_forecast_backtest
 
+    def events_assoc_rules(spark, sf):
+        """A-priori association rules (operators/events.py
+        association_rules): user-DAY baskets of distinct event types,
+        directed rules a -> b with support/confidence/lift, support
+        pruned at both the item and pair level.  One basket self-join
+        restricted to frequent items + broadcast support joins — the
+        market-basket co-engagement miner."""
+        from plda_spark.operators import events as ev_ops
+
+        ev = load_table(spark, sf, "events").select(
+            F.concat_ws(
+                "/", F.col("user_id"), F.to_date("ts").cast("string")
+            ).alias("basket"),
+            "event_type",
+        )
+        return ev_ops.association_rules(
+            ev, user_col="basket", item_col="event_type", min_support=5
+        )
+
+    q["events_assoc_rules"] = events_assoc_rules
+
     def text_char_entropy(spark, sf):
         """Per-document character-level Shannon entropy — the classic
         gibberish/compression quality signal (low entropy = repeated
@@ -4400,6 +4421,38 @@ SELECT day, actual, predicted, abs(actual - predicted) AS abs_err,
        round(avg(abs(actual - predicted))
              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4) AS running_mae
 FROM p WHERE predicted IS NOT NULL
+"""
+
+    # Same user-day baskets, same two-level support pruning, same
+    # support/confidence/lift arithmetic.
+    o["events_assoc_rules"] = """
+WITH b AS (
+  SELECT DISTINCT user_id || '/' || CAST(CAST(ts AS DATE) AS VARCHAR)
+           AS basket, event_type AS item
+  FROM events
+), supp AS (
+  SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item
+  HAVING count(*) >= 5
+), fb AS (
+  SELECT b.basket, b.item FROM b JOIN supp ON supp.item = b.item
+), pairs AS (
+  SELECT x.item AS item_a, y.item AS item_b, CAST(count(*) AS BIGINT) AS n_both
+  FROM fb x JOIN fb y ON x.basket = y.basket AND x.item < y.item
+  GROUP BY 1, 2 HAVING count(*) >= 5
+), directed AS (
+  SELECT item_a AS antecedent, item_b AS consequent, n_both FROM pairs
+  UNION ALL
+  SELECT item_b, item_a, n_both FROM pairs
+), nu AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n_users FROM b)
+SELECT d.antecedent, d.consequent, d.n_both,
+       sa.n_item AS n_ant, sc.n_item AS n_cons,
+       round(d.n_both / CAST(nu.n_users AS DOUBLE), 6) AS support,
+       round(d.n_both / CAST(sa.n_item AS DOUBLE), 6) AS confidence,
+       round(d.n_both * nu.n_users / CAST(sa.n_item * sc.n_item AS DOUBLE), 6)
+         AS lift
+FROM directed d
+JOIN supp sa ON sa.item = d.antecedent
+JOIN supp sc ON sc.item = d.consequent, nu
 """
 
     # Same total order (ts, event_id) per user; same lead + normalize.
@@ -7202,6 +7255,7 @@ EXTRA_QUERIES: list[str] = [
     "text_index_phrase",
     "text_index_boolean",
     "source_snapshot_rollback",
+    "events_assoc_rules",
 ]
 
 

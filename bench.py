@@ -195,6 +195,8 @@ BENCH_QUERIES = [
     "text_index_boolean",
     # snapshot rollback (Delta RESTORE — O(manifest) state restore)
     "source_snapshot_rollback",
+    # a-priori association rules over user-day baskets
+    "events_assoc_rules",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

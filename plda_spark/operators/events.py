@@ -21,6 +21,7 @@ __all__ = [
     "transition_matrix",
     "attribution",
     "forecast_backtest",
+    "association_rules",
 ]
 
 
@@ -392,5 +393,102 @@ def forecast_backtest(
                 ),
                 4,
             ).alias("running_mae"),
+        )
+    )
+
+
+def association_rules(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 2,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant a-priori,
+    VLDB'94) over per-user item baskets: directed rules ``a -> b`` with
+    support, confidence, and lift — the co-engagement miner behind
+    "users who did X also did Y".
+
+    A basket is a user's DISTINCT item set.  ``min_support`` prunes at
+    BOTH levels (the a-priori property: an infrequent item can't be in
+    a frequent pair), so pair generation only ever touches frequent
+    items.  Returns one row per ordered pair with ``n_both / n_ant /
+    n_cons`` counts and ``support = n_both/n_users``, ``confidence =
+    n_both/n_ant``, ``lift = confidence/(n_cons/n_users)`` rounded to 6
+    decimals.
+
+    Scale shape: dedup to (user, item) pairs, one item-support
+    aggregation, then ONE self-equi-join on the user key restricted to
+    frequent items with ``item_a < item_b`` — per-user cost is
+    quadratic in basket size, the classic skew point: power users with
+    hundreds of distinct frequent items dominate.  ``max_basket_items``
+    drops larger baskets up front (standard practice — a basket that
+    big is bot traffic, not signal).  Rule stats join only the
+    |items|-sized support table (broadcast)."""
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    if max_basket_items is not None and max_basket_items < 2:
+        raise ValueError("max_basket_items must be >= 2")
+    baskets = events.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_items is not None:
+        sizes = baskets.groupBy("user").agg(F.count(F.lit(1)).alias("__bsz"))
+        baskets = baskets.join(
+            sizes.filter(F.col("__bsz") <= max_basket_items).select("user"),
+            "user",
+        )
+    item_supp = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= min_support)
+    )
+    frequent = baskets.join(F.broadcast(item_supp.select("item")), "item")
+    a = frequent.select("user", F.col("item").alias("item_a"))
+    b = frequent.select("user", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "n_both",
+        )
+    )
+    n_users = baskets.select("user").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    ant = item_supp.select(
+        F.col("item").alias("antecedent"), F.col("n_item").alias("n_ant")
+    )
+    cons = item_supp.select(
+        F.col("item").alias("consequent"), F.col("n_item").alias("n_cons")
+    )
+    return (
+        directed.join(F.broadcast(ant), "antecedent")
+        .join(F.broadcast(cons), "consequent")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_ant",
+            "n_cons",
+            F.round(F.col("n_both") / F.col("n_users"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_ant"), 6).alias("confidence"),
+            F.round(
+                F.col("n_both") * F.col("n_users")
+                / (F.col("n_ant") * F.col("n_cons")),
+                6,
+            ).alias("lift"),
         )
     )

@@ -3670,3 +3670,43 @@ def test_inverted_index_and_phrase_search(spark):
         invindex.term_search(idx, ["x"], mode="xor")
     with _pytest.raises(ValueError):
         invindex.build_inverted_index(docs, df_cap=0)
+
+
+def test_association_rules_semantics(spark):
+    """Hand-checked a-priori rules: duplicate events collapse to one
+    basket membership, infrequent items never reach pair generation,
+    both rule directions come back, and lift matches the closed form
+    n_both * n_users / (n_ant * n_cons)."""
+    from plda_spark.operators import events as ev_ops
+
+    rows = [  # (user, item): u1..u4
+        (1, "a"), (1, "a"), (1, "b"),          # dup (1,a) collapses
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "a"), (4, "c"),                    # c: support 1 -> pruned
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    out = {(r["antecedent"], r["consequent"]): r for r in
+           ev_ops.association_rules(ev, min_support=2).collect()}
+    # only {a,b} is frequent as a pair; c pruned at item level
+    assert set(out) == {("a", "b"), ("b", "a")}
+    ab = out[("a", "b")]
+    assert (ab["n_both"], ab["n_ant"], ab["n_cons"]) == (2, 4, 2)
+    assert ab["support"] == 0.5          # 2 of 4 users
+    assert ab["confidence"] == 0.5       # 2 of 4 a-users
+    assert ab["lift"] == 1.0             # 2*4/(4*2)
+    ba = out[("b", "a")]
+    assert ba["confidence"] == 1.0 and ba["lift"] == 1.0
+
+    # a power basket is dropped entirely by max_basket_items
+    rows2 = rows + [(5, x) for x in ("a", "b", "d", "e", "f")]
+    ev2 = spark.createDataFrame(rows2, "user_id long, event_type string")
+    capped = ev_ops.association_rules(ev2, min_support=2, max_basket_items=3)
+    got = {(r["antecedent"], r["consequent"]): r["n_both"] for r in capped.collect()}
+    assert got == {("a", "b"): 2, ("b", "a"): 2}  # user 5 contributes nothing
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ev_ops.association_rules(ev, min_support=0)
+    with _pytest.raises(ValueError):
+        ev_ops.association_rules(ev, max_basket_items=1)

@@ -706,3 +706,21 @@ def test_phrase_search_touches_only_query_tokens(spark):
     # the phrase's literal tokens appear as an IN condition on the index
     assert "scan" in plan and "table" in plan
     assert plan.count("SortMergeJoin") == 0
+
+
+def test_assoc_rules_joins_are_broadcast_after_pruning(spark):
+    """All rule-statistics joins (item supports, basket count) must be
+    broadcast — only the basket self-join may shuffle — and no Python
+    reaches the plan."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["events_assoc_rules"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # broadcast-nested-loop only for the 1-row n_users crossJoin
+    # (formatted plans list each node twice: tree + details)
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert s["broadcast_hash_joins"] >= 3

@@ -2056,6 +2056,36 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["web_domain_filter"] = web_domain_filter
 
+    def web_frontier_schedule(spark, sf):
+        """Politeness-aware crawl-frontier scheduling
+        (operators/web.py frontier_schedule): synthetic per-document
+        URLs spread over source x (doc_id % 7) hosts, served
+        longest-document-first within each host, one fetch slot per
+        0.5 s per host, per-host budget 100.  ONE host-keyed window —
+        hosts are the frontier's natural partition key, so there is no
+        global sort; the budget knob bounds giant-host skew."""
+        from plda_spark.operators import web
+
+        docs = load_table(spark, sf, "documents")
+        urls = docs.select(
+            F.concat(
+                F.lit("http://"),
+                F.col("source"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/docs/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.col("n_chars").alias("priority"),
+        )
+        return web.frontier_schedule(
+            urls,
+            priority_col="priority",
+            per_host_delay_s=0.5,
+            max_per_host=100,
+        )
+
+    q["web_frontier_schedule"] = web_frontier_schedule
+
     def text_split_sentences(spark, sf):
         """Sentence segmentation (operators.text.split_sentences) over
         documents given deterministic synthetic boundaries (every
@@ -5541,6 +5571,27 @@ SELECT doc_id, text FROM documents
 
     # Every doc_id % 5 == 0 url sits under the blocked domain; the rest
     # survive with their synthesized example.com urls.
+    # Same synthesized URLs, same priority-desc-then-url order per
+    # host, same 0.5 s slot arithmetic and 100-per-host budget.
+    o["web_frontier_schedule"] = """
+WITH u AS (
+  SELECT 'http://' || source || CAST(doc_id % 7 AS VARCHAR)
+           || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS url,
+         source || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host,
+         n_chars AS priority
+  FROM documents
+), r AS (
+  SELECT url, host,
+         CAST(row_number() OVER (PARTITION BY host
+                                 ORDER BY priority DESC, url ASC)
+              AS INTEGER) AS rank_in_host
+  FROM u
+)
+SELECT url, host, rank_in_host,
+       round((rank_in_host - 1) * 0.5, 4) AS fetch_at_s
+FROM r WHERE rank_in_host <= 100
+"""
+
     o["web_domain_filter"] = """
 SELECT doc_id,
        'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR) AS url
@@ -7256,6 +7307,7 @@ EXTRA_QUERIES: list[str] = [
     "text_index_boolean",
     "source_snapshot_rollback",
     "events_assoc_rules",
+    "web_frontier_schedule",
 ]
 
 

@@ -197,6 +197,8 @@ BENCH_QUERIES = [
     "source_snapshot_rollback",
     # a-priori association rules over user-day baskets
     "events_assoc_rules",
+    # politeness-aware crawl-frontier scheduling (host-keyed window)
+    "web_frontier_schedule",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

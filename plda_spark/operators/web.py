@@ -24,6 +24,7 @@ __all__ = [
     "url_dedup",
     "host_col",
     "domain_filter",
+    "frontier_schedule",
 ]
 
 # Authority prefix: scheme://host[:port] — everything before the first
@@ -163,3 +164,56 @@ def domain_filter(
     )
     how = "left_anti" if mode == "block" else "left_semi"
     return df.join(hits.withColumnRenamed("__u", url_col), url_col, how)
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    url_col: str = "url",
+    priority_col: str | None = None,
+    per_host_delay_s: float = 1.0,
+    max_per_host: int | None = None,
+) -> DataFrame:
+    """Politeness-aware crawl-frontier scheduling: assign every URL a
+    host-local fetch slot so no host is hit more often than once per
+    ``per_host_delay_s`` — the core constraint of a web crawler's
+    scheduler (Mercator/Heritrix queue discipline).
+
+    Within a host, URLs are served highest-``priority_col`` first
+    (ties and the no-priority case fall back to URL order, so the
+    schedule is deterministic); ``rank_in_host`` is that 1-based order
+    and ``fetch_at_s = (rank_in_host - 1) * per_host_delay_s`` is the
+    earliest polite fetch time.  ``max_per_host`` truncates each host's
+    queue (per-host crawl budget — the standard guard against a single
+    giant site consuming the whole fetch round).
+
+    Scale shape: ONE host-keyed window — the only shuffle.  Hosts are
+    the natural partition key of a frontier and per-host queues are
+    independent, so the window never needs a global sort; skew (a host
+    with 100M URLs) is bounded by ``max_per_host``, exactly the knob a
+    real crawler uses.  Output: ``(url, host, rank_in_host,
+    fetch_at_s)``."""
+    from pyspark.sql import Window
+
+    if per_host_delay_s <= 0:
+        raise ValueError("per_host_delay_s must be positive")
+    if max_per_host is not None and max_per_host < 1:
+        raise ValueError("max_per_host must be >= 1")
+    order = (
+        [F.col(priority_col).desc(), F.col(url_col).asc()]
+        if priority_col
+        else [F.col(url_col).asc()]
+    )
+    w = Window.partitionBy("host").orderBy(*order)
+    out = (
+        urls.withColumn("host", host_col(F.col(url_col)))
+        .withColumn("rank_in_host", F.row_number().over(w))
+        .withColumn(
+            "fetch_at_s",
+            F.round(
+                (F.col("rank_in_host") - 1) * F.lit(float(per_host_delay_s)), 4
+            ),
+        )
+    )
+    if max_per_host is not None:
+        out = out.filter(F.col("rank_in_host") <= max_per_host)
+    return out.select(url_col, "host", "rank_in_host", "fetch_at_s")

@@ -3710,3 +3710,38 @@ def test_association_rules_semantics(spark):
         ev_ops.association_rules(ev, min_support=0)
     with _pytest.raises(ValueError):
         ev_ops.association_rules(ev, max_basket_items=1)
+
+
+def test_frontier_schedule_semantics(spark):
+    """Hand-checked politeness schedule: per-host slots spaced by the
+    delay, priority-desc order within a host (URL tie-break), per-host
+    budget truncation, and host extraction from messy URLs."""
+    from plda_spark.operators import web
+
+    rows = [
+        ("http://A.example.com:80/p1", 5),
+        ("http://a.example.com/p2", 9),     # same host (case + port)
+        ("http://a.example.com/p3", 9),     # tie -> url order
+        ("http://b.example.com/q", 1),
+    ]
+    urls = spark.createDataFrame(rows, "url string, priority long")
+    out = {r["url"]: r for r in web.frontier_schedule(
+        urls, priority_col="priority", per_host_delay_s=2.0
+    ).collect()}
+    assert out["http://a.example.com/p2"]["rank_in_host"] == 1
+    assert out["http://a.example.com/p3"]["rank_in_host"] == 2
+    assert out["http://A.example.com:80/p1"]["rank_in_host"] == 3
+    assert out["http://A.example.com:80/p1"]["host"] == "a.example.com"
+    assert out["http://A.example.com:80/p1"]["fetch_at_s"] == 4.0
+    assert out["http://b.example.com/q"]["fetch_at_s"] == 0.0
+
+    capped = web.frontier_schedule(
+        urls, priority_col="priority", per_host_delay_s=2.0, max_per_host=2
+    )
+    assert capped.count() == 3  # host a truncated to 2, host b keeps 1
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        web.frontier_schedule(urls, per_host_delay_s=0)
+    with _pytest.raises(ValueError):
+        web.frontier_schedule(urls, max_per_host=0)

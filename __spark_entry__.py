@@ -2521,6 +2521,22 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_neyman"] = sample_neyman
 
+    def sample_kcenter(spark, sf):
+        """Greedy k-center coreset selection (operators/sampling.py
+        kcenter_select — the D4-style diversity selector, Gonzalez's
+        2-approximation): seed at the smallest vec_id, then 7 farthest-
+        point rounds over the embeddings.  Every round is one
+        distributed map over broadcast-literal centers + a top-1
+        TakeOrdered — no shuffle; all arithmetic is a double left-fold
+        so the oracle's unrolled greedy lands on identical bits.  The
+        dist_sq column is the coverage-radius curve (monotone
+        non-increasing — the convergence diagnostic)."""
+        from plda_spark.operators import sampling
+
+        return sampling.kcenter_select(load_table(spark, sf, "embeddings"), 8)
+
+    q["sample_kcenter"] = sample_kcenter
+
     def curation_embedding_drift(spark, sf):
         """Embedding-space drift monitor (operators/curation.py
         embedding_drift): per label, cosine between the centroid of the
@@ -5173,6 +5189,43 @@ SELECT stratum, n_rows, sigma, round(weight, 6) AS weight,
 FROM w
 """
 
+    # Unrolled greedy k-center: the same double left-fold squared-L2
+    # ((x-y)*(x-y), never pow) and the same desc-dist/asc-id tie-break,
+    # so selection is bit-identical, not approximately equal.
+    def _kc_dsq(a: str, b: str) -> str:
+        d = f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> {d} * {d}), "
+            "(x, y) -> x + y)"
+        )
+
+    _kc_k = 8
+    _kc = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+        ", s0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1)",
+        ", d1 AS (SELECT e.vec_id, e.embedding, "
+        f"{_kc_dsq('e.embedding', 's0.embedding')} AS md FROM e, s0)",
+    ]
+    for _j in range(1, _kc_k):
+        _kc.append(
+            f", s{_j} AS (SELECT vec_id, embedding, md FROM d{_j} "
+            "ORDER BY md DESC, vec_id ASC LIMIT 1)"
+        )
+        if _j < _kc_k - 1:
+            _kc.append(
+                f", d{_j + 1} AS (SELECT d.vec_id, d.embedding, "
+                f"least(d.md, {_kc_dsq('d.embedding', f's{_j}.embedding')}) "
+                f"AS md FROM d{_j} d, s{_j})"
+            )
+    _kc.append(
+        " SELECT 0 AS sel_order, vec_id, CAST(NULL AS DOUBLE) AS dist_sq FROM s0"
+    )
+    for _j in range(1, _kc_k):
+        _kc.append(
+            f" UNION ALL SELECT {_j}, vec_id, round(md, 6) FROM s{_j}"
+        )
+    o["sample_kcenter"] = "".join(_kc)
+
     # Same token rule, same tie-broken ranks, same closed-form LS fit.
     o["text_zipf_fit"] = f"""
 WITH counts AS (
@@ -7308,6 +7361,7 @@ EXTRA_QUERIES: list[str] = [
     "source_snapshot_rollback",
     "events_assoc_rules",
     "web_frontier_schedule",
+    "sample_kcenter",
 ]
 
 

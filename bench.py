@@ -199,6 +199,8 @@ BENCH_QUERIES = [
     "events_assoc_rules",
     # politeness-aware crawl-frontier scheduling (host-keyed window)
     "web_frontier_schedule",
+    # greedy k-center diversity coreset (8 farthest-point rounds)
+    "sample_kcenter",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -34,6 +34,7 @@ __all__ = [
     "contrastive_negatives",
     "neyman_allocation",
     "neyman_sample",
+    "kcenter_select",
 ]
 
 
@@ -507,3 +508,85 @@ def neyman_sample(
         .where(hash_bucket(F.col(key_col), buckets) < F.col("__thresh"))
         .drop("stratum", "__thresh")
     )
+
+
+def kcenter_select(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection — the
+    diversity selector of D4-style data curation (Tirumala et al.
+    2023) and the classic 2-approximation to the k-center objective
+    (Gonzalez 1985): seed with the smallest-id vector, then repeatedly
+    pick the point FARTHEST (squared L2) from everything selected so
+    far.  The selected set maximally spreads over the embedding space
+    — the opposite failure mode of random sampling, which oversamples
+    dense modes.
+
+    Returns ``(sel_order, id, dist_sq)`` — ``dist_sq`` is the squared
+    distance to the nearest prior center AT SELECTION TIME (the
+    coverage radius curve: reading it down tells you how well-covered
+    the space already was); NULL for the seed.  Fully deterministic:
+    ties break on the smaller id, and all arithmetic is double-
+    precision left-fold so an external replayer lands on identical
+    bits.
+
+    Scale shape: k-1 passes, each ONE distributed map (per-row min
+    over the ≤k broadcast-literal centers, pure JVM array math) + ONE
+    top-1 TakeOrdered — no shuffle at all.  Driver state is k·dim
+    floats.  k passes over 100 TB is the honest cost of exact greedy
+    k-center; for k beyond ~100, seed this with a cheaper stage (IVF
+    cells, hash sample) and run it on the survivors."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seed = (
+        embeddings.select(id_col, vec_col).orderBy(F.col(id_col).asc()).first()
+    )
+    if seed is None:
+        raise ValueError("kcenter_select on an empty frame")
+    selected: list[tuple] = [(0, seed[0], None)]
+    centers: list[list[float]] = [[float(v) for v in seed[1]]]
+    for step in range(1, k):
+        cents_lit = F.array(
+            *[
+                F.array(*[F.lit(v) for v in c])
+                for c in centers
+            ]
+        )
+        # min over current centers of the left-fold sum of squared
+        # per-dim deltas (cast to double BEFORE arithmetic; (x-y)*(x-y)
+        # not pow, so an oracle can reproduce the exact IEEE sequence)
+        dsq = F.array_min(
+            F.transform(
+                cents_lit,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        c,
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        )
+        far = (
+            embeddings.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__vec"),
+                dsq.alias("__dsq"),
+            )
+            .orderBy(F.col("__dsq").desc(), F.col("__id").asc())
+            .first()
+        )
+        selected.append((step, far["__id"], float(far["__dsq"])))
+        centers.append([float(v) for v in far["__vec"]])
+    spark = embeddings.sparkSession
+    out = spark.createDataFrame(
+        [(o, i, d) for o, i, d in selected],
+        f"sel_order int, {id_col} long, dist_sq double",
+    )
+    return out.select("sel_order", id_col, F.round("dist_sq", 6).alias("dist_sq"))

@@ -3745,3 +3745,32 @@ def test_frontier_schedule_semantics(spark):
         web.frontier_schedule(urls, per_host_delay_s=0)
     with _pytest.raises(ValueError):
         web.frontier_schedule(urls, max_per_host=0)
+
+
+def test_kcenter_select_semantics(spark):
+    """Greedy farthest-point on a hand-layout: seed = min id, each
+    pick is the true farthest point from the selected set, radii are
+    non-increasing, ids tie-break ascending."""
+    from plda_spark.operators import sampling
+
+    # 1-D layout embedded in 2-D, all float32-exact coordinates:
+    # 0.0, 0.25, 5.0, 9.75, 10.0
+    rows = [(0, [0.0, 0.0]), (1, [0.25, 0.0]), (2, [5.0, 0.0]),
+            (3, [9.75, 0.0]), (4, [10.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = [(r["sel_order"], r["vec_id"], r["dist_sq"]) for r in
+           sampling.kcenter_select(emb, 4).orderBy("sel_order").collect()]
+    # seed 0 -> farthest is 4 (100.0) -> then 2 (25.0); after {0,4,2}
+    # points 1 and 3 both sit at min-dist 0.0625 -> smaller id (1) wins
+    assert got[0] == (0, 0, None)
+    assert got[1] == (1, 4, 100.0)
+    assert got[2] == (2, 2, 25.0)
+    assert got[3] == (3, 1, 0.0625)
+    radii = [g[2] for g in got[1:]]
+    assert radii == sorted(radii, reverse=True)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampling.kcenter_select(emb, 0)
+    with _pytest.raises(ValueError):
+        sampling.kcenter_select(emb.where("vec_id < 0"), 2)

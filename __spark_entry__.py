@@ -2505,6 +2505,25 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_decayed_counts"] = stats_decayed_counts
 
+    def stats_seasonal_decompose(spark, sf):
+        """Classical additive seasonal decomposition
+        (operators/stats.py seasonal_decompose — the moving-average
+        method behind STL initialization): daily event counts split
+        into centered-MA trend, phase-mean weekly seasonal (centered
+        to sum ~0), and residual — "is traffic growing or is it just
+        Sunday".  The decomposition runs on the |days|-row series the
+        one big aggregation produces, so the ordered windows are
+        diagnostics-sized, never corpus-sized."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        daily = ev.groupBy(
+            F.to_date("ts").cast("string").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+        return stats.seasonal_decompose(daily, ts_col="day", value_col="y")
+
+    q["stats_seasonal_decompose"] = stats_seasonal_decompose
+
     def sample_neyman(spark, sf):
         """Neyman-optimal stratified allocation (operators/sampling.py
         neyman_allocation — Neyman 1934): a 2000-row budget split across
@@ -5167,6 +5186,31 @@ FROM events, m
 GROUP BY event_type
 """
 
+    # Same centered 7-row MA (NULL on partial windows), same phase
+    # means over the detrended series, same zero-centering.
+    o["stats_seasonal_decompose"] = """
+WITH d AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, y,
+         CASE WHEN count(*) OVER w7 = 7 THEN avg(y) OVER w7 END AS trend,
+         (row_number() OVER (ORDER BY day) - 1) % 7 AS phase
+  FROM d
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), t2 AS (
+  SELECT *, y - trend AS detr FROM t
+), ph AS (
+  SELECT phase, avg(detr) AS s_raw FROM t2 GROUP BY phase
+), phc AS (
+  SELECT phase, s_raw - (SELECT avg(s_raw) FROM ph) AS s FROM ph
+)
+SELECT day, y, round(trend, 4) AS trend, round(s, 4) AS seasonal,
+       round(y - trend - s, 4) AS residual
+FROM t2 JOIN phc USING (phase)
+"""
+
     # Same N_h * sigma_h weights, saturated rate, rounded targets.
     o["sample_neyman"] = """
 WITH per AS (
@@ -7362,6 +7406,7 @@ EXTRA_QUERIES: list[str] = [
     "events_assoc_rules",
     "web_frontier_schedule",
     "sample_kcenter",
+    "stats_seasonal_decompose",
 ]
 
 

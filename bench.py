@@ -201,6 +201,8 @@ BENCH_QUERIES = [
     "web_frontier_schedule",
     # greedy k-center diversity coreset (8 farthest-point rounds)
     "sample_kcenter",
+    # additive seasonal decomposition of the daily event series
+    "stats_seasonal_decompose",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -53,6 +53,7 @@ __all__ = [
     "bloom_union_range",
     "bloom_member_range",
     "decayed_counts",
+    "seasonal_decompose",
 ]
 
 
@@ -1242,5 +1243,69 @@ def decayed_counts(
             F.round(
                 F.sum(F.pow(F.lit(2.0), -age_days / F.lit(half_life_days))), 4
             ).alias("decayed_count"),
+        )
+    )
+
+
+def seasonal_decompose(
+    daily: DataFrame,
+    ts_col: str = "day",
+    value_col: str = "y",
+    period: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method behind STL's initialization; Cleveland et al. 1990 §2):
+    ``y = trend + seasonal + residual`` over a regular series —
+    the "is traffic actually growing or is it just Sunday" separator
+    for event volumes and crawl rates.
+
+    ``trend`` is a CENTERED moving average over ``trend_window`` rows
+    (NULL at the edges where the window is partial — a partial-window
+    average would bias the ends, the standard refusal); ``seasonal``
+    is the per-phase mean of the detrended series (phase = row
+    position mod ``period``), centered so one full period sums to ~0;
+    ``residual`` is what neither explains.  Output ``(ts, y, trend,
+    seasonal, residual)`` rounded to 4.
+
+    Scale shape: the input is an already-aggregated |days|-row series
+    (the caller's one big aggregation), so the single ordered window
+    here touches |days| rows — same class as fill_daily_gaps.  Phase
+    means are a |period|-row broadcast."""
+    if period < 2:
+        raise ValueError(f"period must be >= 2, got {period}")
+    if trend_window < 2 or trend_window % 2 == 0:
+        raise ValueError(
+            f"trend_window must be odd and >= 3, got {trend_window}"
+        )
+    half = trend_window // 2
+    w = Window.orderBy("ts")
+    wt = w.rowsBetween(-half, half)
+    d1 = daily.select(
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("y"),
+    ).withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(wt) == trend_window, F.avg("y").over(wt)
+        ),
+    ).withColumn(
+        "phase", (F.row_number().over(w) - 1) % period
+    ).withColumn("detr", F.col("y") - F.col("trend"))
+    ph = d1.groupBy("phase").agg(F.avg("detr").alias("s_raw"))
+    ph = ph.crossJoin(F.broadcast(ph.agg(F.avg("s_raw").alias("s_mean"))))
+    ph = ph.select(
+        "phase", (F.col("s_raw") - F.col("s_mean")).alias("seasonal_full")
+    )
+    return (
+        d1.join(F.broadcast(ph), "phase")
+        .select(
+            F.col("ts").alias(ts_col),
+            "y",
+            F.round("trend", 4).alias("trend"),
+            F.round("seasonal_full", 4).alias("seasonal"),
+            F.round(
+                F.col("y") - F.col("trend") - F.col("seasonal_full"), 4
+            ).alias("residual"),
         )
     )

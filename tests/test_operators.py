@@ -3774,3 +3774,35 @@ def test_kcenter_select_semantics(spark):
         sampling.kcenter_select(emb, 0)
     with _pytest.raises(ValueError):
         sampling.kcenter_select(emb.where("vec_id < 0"), 2)
+
+
+def test_seasonal_decompose_recovers_planted_components(spark):
+    """A synthetic series = linear trend + exact weekly cycle must come
+    back with near-zero residuals in the interior, NULL trend on the
+    3-row edges, and a seasonal column that sums to ~0 per period."""
+    import math
+    from plda_spark.operators import stats
+
+    rows = [(f"2024-01-{d:02d}", 100.0 + 2.0 * d + [0, 5, -3, 1, 4, -2, -5][d % 7])
+            for d in range(1, 29)]
+    daily = spark.createDataFrame(rows, "day string, y double")
+    out = {r["day"]: r for r in stats.seasonal_decompose(daily).collect()}
+    assert len(out) == 28
+    # edges: first/last 3 days have no full centered window
+    for d in (1, 2, 3, 26, 27, 28):
+        assert out[f"2024-01-{d:02d}"]["trend"] is None
+    # interior: linear trend is reproduced exactly by a centered MA,
+    # so residuals vanish (the seasonal means absorb the cycle)
+    for d in range(4, 26):
+        r = out[f"2024-01-{d:02d}"]
+        assert abs(r["trend"] - (100.0 + 2.0 * d)) < 1e-6, d
+        assert abs(r["residual"]) < 1e-6, d
+    season = {r["day"]: r["seasonal"] for r in out.values()}
+    one_week = [season[f"2024-01-{d:02d}"] for d in range(8, 15)]
+    assert abs(sum(one_week)) < 1e-3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stats.seasonal_decompose(daily, period=1)
+    with _pytest.raises(ValueError):
+        stats.seasonal_decompose(daily, trend_window=4)

@@ -1760,6 +1760,36 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["source_snapshot_rollback"] = source_snapshot_rollback
 
+    def source_snapshot_optimize(spark, sf):
+        """OPTIMIZE ZORDER as a snapshot maintenance action
+        (sources/snapshot.py snapshot_optimize_zorder — the Delta
+        OPTIMIZE / Iceberg sort-rewrite): commit documents scattered by
+        a text hash (every file's doc_id range covers everything), then
+        rewrite clustered on (doc_id, n_chars) in one atomic commit —
+        pending deletes materialize, the zorder columns join
+        stats_cols, and range scans prune files they couldn't before
+        (pruning delta pinned in tests/test_snapshot.py).  The read
+        back must be exactly the committed rows."""
+        import tempfile
+
+        from plda_spark.sources import snapshot as snap
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "lang", "n_chars"
+        )
+        tmp = tempfile.mkdtemp(prefix="plda_snap_")
+        path = f"{tmp}/tbl"
+        snap.snapshot_write(
+            docs.repartition(8, F.col("lang")), path,
+            mode="overwrite", stats_cols=["doc_id"],
+        )
+        snap.snapshot_optimize_zorder(
+            spark, path, ["doc_id", "n_chars"], num_files=8
+        )
+        return snap.snapshot_read(spark, path)
+
+    q["source_snapshot_optimize"] = source_snapshot_optimize
+
     def source_snapshot_merge(spark, sf):
         """Stats-pruned copy-on-write MERGE (upsert) on the snapshot
         table: base = orders clustered on o_orderkey so per-file key
@@ -5601,6 +5631,11 @@ SELECT doc_id, lang, text FROM documents
 SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
 """
 
+    # The optimize rewrite preserves content row-for-row.
+    o["source_snapshot_optimize"] = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
     # Copy-on-write MERGE semantics: same-key rows replaced (price
     # doubled for % 97 keys), unmatched update keys inserted (% 101
     # keys shifted by +1e8); every other base row untouched.
@@ -7407,6 +7442,7 @@ EXTRA_QUERIES: list[str] = [
     "web_frontier_schedule",
     "sample_kcenter",
     "stats_seasonal_decompose",
+    "source_snapshot_optimize",
 ]
 
 

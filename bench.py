@@ -203,6 +203,8 @@ BENCH_QUERIES = [
     "sample_kcenter",
     # additive seasonal decomposition of the daily event series
     "stats_seasonal_decompose",
+    # OPTIMIZE ZORDER maintenance action on the snapshot table
+    "source_snapshot_optimize",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -65,6 +65,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from .zorder import zvalue_col
+
 __all__ = [
     "ConcurrentWriteError",
     "snapshot_write",
@@ -83,6 +85,7 @@ __all__ = [
     "snapshot_delete_keys_batch",
     "snapshot_materialize_deletes",
     "snapshot_compact",
+    "snapshot_optimize_zorder",
     "snapshot_vacuum",
     "snapshot_sink_batch",
     "snapshot_retry",
@@ -1006,6 +1009,106 @@ def snapshot_compact(
         "deletes": manifest.get("deletes", []),
         "rewrote_files": len(small),
         "carried_files": len(carried),
+    }
+    return _publish(fs, path, _with_marker_index(new_manifest, manifest))
+
+
+def snapshot_optimize_zorder(
+    spark: SparkSession,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    num_files: int | None = None,
+) -> int:
+    """The Delta ``OPTIMIZE ... ZORDER BY`` / Iceberg sort-rewrite
+    maintenance action: rewrite the table's CURRENT data clustered on
+    the Morton code of ``cols`` (``sources/zorder.py zvalue_col``), so
+    every participating column gets tight per-file min/max bounds and
+    :func:`snapshot_scan` range pruning discards most files for
+    filters on ANY of them.
+
+    Pending equality deletes are materialized in the rewrite (the
+    rewritten files are the whole table, so the delete list empties —
+    the Iceberg rewrite contract), ``cols`` join ``stats_cols`` so the
+    manifest immediately carries the bounds the clustering created,
+    and the commit is one atomic manifest publish — readers never see
+    a half-optimized table, and time travel to the pre-optimize
+    version still works.
+
+    Scale shape: one range shuffle + per-partition sort over the live
+    rows (the same cost as a global sort — the price of clustering),
+    file count sized from live bytes / ``target_file_bytes``.  Run it
+    the way engines do: on cold partitions, off the ingest path; the
+    snapshot commit protocol makes it safe to race with appends (the
+    loser retries)."""
+    manifest = _resolve(spark, path, None)
+    if not cols:
+        raise ValueError("snapshot_optimize_zorder needs at least one column")
+    if not manifest["files"]:
+        return manifest["version"]
+    df = _read_with_deletes(spark, manifest, manifest["files"])
+    if num_files is None:
+        total = sum(max(e["bytes"], 0) for e in manifest["files"])
+        num_files = max(1, math.ceil(total / target_file_bytes))
+    # Normalize every cluster column to the FULL 2^bits range before
+    # interleaving (min-max scale from one 1-row aggregate) — raw
+    # interleave makes the widest-domain column own all the high bits
+    # (custkey 0..1.5k × orderkey 0..60k degenerates to an orderkey
+    # sort, zero pruning on custkey).  Delta solves this by
+    # rank-encoding; a linear scale is the one-pass equivalent for
+    # roughly-uniform keys (heavy skew → rank-encode upstream).
+    ranges = df.agg(
+        *[
+            f
+            for c in cols
+            for f in (
+                F.min(F.col(c).cast("double")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("double")).alias(f"__max_{c}"),
+            )
+        ]
+    ).first()
+    top = float((1 << bits) - 1)
+    scaled = []
+    for c in cols:
+        lo_v, hi_v = ranges[f"__min_{c}"], ranges[f"__max_{c}"]
+        if lo_v is None or hi_v is None or hi_v <= lo_v:
+            scaled.append(F.lit(0).cast("long"))
+        else:
+            scaled.append(
+                F.floor(
+                    (F.col(c).cast("double") - F.lit(lo_v))
+                    / F.lit(hi_v - lo_v)
+                    * F.lit(top)
+                ).cast("long")
+            )
+    clustered = (
+        df.withColumn("__z", zvalue_col(scaled, bits))
+        .repartitionByRange(num_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    stats_cols = sorted(set(manifest["stats_cols"]) | set(cols))
+    fs = _FS(spark, path)
+    version = manifest["version"] + 1
+    commit_id = f"c{version:010d}-{uuid.uuid4().hex[:8]}"
+    entries = _commit_files(
+        spark, clustered, path, commit_id, stats_cols,
+        manifest.get("bloom_cols"),
+    )
+    for e in entries:
+        e["seq"] = version
+    new_manifest = {
+        "version": version,
+        "parent": manifest["version"],
+        "action": "optimize",
+        "schema": manifest["schema"],
+        "stats_cols": stats_cols,
+        "bloom_cols": manifest.get("bloom_cols", []),
+        "files": entries,
+        "deletes": [],  # materialized by the full rewrite
+        "zorder_cols": list(cols),
+        "rewrote_files": len(manifest["files"]),
     }
     return _publish(fs, path, _with_marker_index(new_manifest, manifest))
 

@@ -976,3 +976,50 @@ def test_rollback_restores_state_as_new_version(spark, sf_dir, tmp_path):
         snap.snapshot_rollback(spark, path)
     with pytest.raises(ValueError):
         snap.snapshot_rollback(spark, path, version=0, tag="clean")
+
+
+def test_optimize_zorder_tightens_pruning_and_materializes_deletes(
+    spark, sf_dir, tmp_path
+):
+    """OPTIMIZE ZORDER: content identical, pending equality deletes
+    materialized (delete list empties), zorder cols join stats_cols,
+    and a range scan prunes files it could not prune before."""
+    path = str(tmp_path / "tbl")
+    docs = _docs(spark, sf_dir).withColumn("n", F.length("text"))
+    # scatter doc_id across 8 files so pre-optimize ranges all overlap
+    scattered = docs.repartition(8, F.col("text"))
+    snap.snapshot_write(scattered, path, mode="overwrite", stats_cols=["n"])
+    snap.snapshot_delete_keys(
+        spark, path, docs.limit(5).select("doc_id"), "doc_id"
+    )
+
+    before = snap._resolve(spark, path, None)
+    lo = 0
+    hi = 30
+    pruned_before = sum(
+        1 for e in before["files"] if not snap._overlaps(e, "doc_id", lo, hi)
+    )
+
+    v = snap.snapshot_optimize_zorder(spark, path, ["doc_id", "n"], num_files=8)
+    after = snap._resolve(spark, path, None)
+    assert after["action"] == "optimize" and after["version"] == v
+    assert after["deletes"] == []
+    assert set(after["stats_cols"]) >= {"doc_id", "n"}
+
+    expected = docs.join(
+        docs.limit(5).select("doc_id"), "doc_id", "left_anti"
+    )
+    assert _sorted_rows(snap.snapshot_read(spark, path), "doc_id") == \
+        _sorted_rows(expected, "doc_id")
+
+    pruned_after = sum(
+        1 for e in after["files"] if not snap._overlaps(e, "doc_id", lo, hi)
+    )
+    assert pruned_after > pruned_before
+    assert _sorted_rows(
+        snap.snapshot_scan(spark, path, "doc_id", lo, hi), "doc_id"
+    ) == _sorted_rows(expected.where(F.col("doc_id").between(lo, hi)), "doc_id")
+
+    # empty-cols refused; optimizing an empty table is a no-op
+    with pytest.raises(ValueError):
+        snap.snapshot_optimize_zorder(spark, path, [])

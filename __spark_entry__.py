@@ -1592,6 +1592,30 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_ppr"] = graph_ppr
 
+    def graph_lpa(spark, sf):
+        """Deterministic synchronous label-propagation communities
+        (operators/graph.py label_propagation — Raghavan 2007 with a
+        smallest-label tie-break so runs are engine-replayable), 2
+        rounds over a planted-block link graph (custkey%200 wired to
+        its 10-node block by orderkey%10): LPA must recover the 20
+        blocks.  Per round ONE edge-label join + one count + one
+        per-node top-1 window; the oracle unrolls identical rounds."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        src = F.col("o_custkey") % 200
+        e = (
+            orders.select(
+                src.alias("src"),
+                (src - src % 10 + F.col("o_orderkey") % 10).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return graph.label_propagation(e, n_iter=2)
+
+    q["graph_lpa"] = graph_lpa
+
     def source_csv_roundtrip(spark, sf):
         """CSV sink → declared-schema PERMISSIVE reader round-trip with
         one malformed row planted (wrong arity + bad cast) to prove the
@@ -6314,6 +6338,35 @@ r{_it} AS (
     _pr += "\nSELECT node, ROUND(rank, 6) AS rank FROM r3"
     o["graph_pagerank"] = _pr
 
+    # Two unrolled synchronous LPA rounds: same symmetrized edges,
+    # same count-desc/label-asc tie-break.
+    _lpa_round = """
+, l{next} AS (
+  SELECT node, label FROM (
+    SELECT e.a AS node, l.label, count(*) AS c,
+           row_number() OVER (PARTITION BY e.a
+                              ORDER BY count(*) DESC, l.label ASC) AS rn
+    FROM und e JOIN l{prev} l ON l.node = e.b GROUP BY e.a, l.label
+  ) WHERE rn = 1
+)"""
+    _lpa = """
+WITH half AS (
+  SELECT o_custkey % 200 AS a,
+         (o_custkey % 200) - (o_custkey % 200) % 10 + o_orderkey % 10 AS b
+  FROM orders
+  WHERE o_custkey % 200
+        != (o_custkey % 200) - (o_custkey % 200) % 10 + o_orderkey % 10
+), und AS (
+  SELECT DISTINCT a, b
+  FROM (SELECT a, b FROM half UNION ALL SELECT b, a FROM half)
+), l0 AS (
+  SELECT DISTINCT a AS node, a AS label FROM und
+)"""
+    for _j in range(2):
+        _lpa += _lpa_round.format(prev=_j, next=_j + 1)
+    _lpa += "\nSELECT node, label FROM l2"
+    o["graph_lpa"] = _lpa
+
     # Personalized variant: identical unrolled iterations, restart mass
     # concentrated on seeds {0,1,2} (p = 1/3 there, 0 elsewhere).
     _ppr = """
@@ -7443,6 +7496,7 @@ EXTRA_QUERIES: list[str] = [
     "sample_kcenter",
     "stats_seasonal_decompose",
     "source_snapshot_optimize",
+    "graph_lpa",
 ]
 
 

@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "stats_seasonal_decompose",
     # OPTIMIZE ZORDER maintenance action on the snapshot table
     "source_snapshot_optimize",
+    # deterministic label-propagation communities (2 Pregel rounds)
+    "graph_lpa",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -19,7 +19,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "personalized_pagerank", "triangles"]
+__all__ = ["pagerank", "personalized_pagerank", "triangles", "label_propagation"]
 
 
 def pagerank(
@@ -247,3 +247,64 @@ def personalized_pagerank(
         return ranks.localCheckpoint(eager=True)
     finally:
         ew.unpersist()
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the LPA GraphX ships): every node starts as its own
+    label; each round, a node adopts the most frequent label among its
+    neighbors (tie → smallest label, making the algorithm
+    deterministic and engine-replayable — the usual random tie-break
+    is what makes vanilla LPA irreproducible).  Communities emerge as
+    label plateaus; synchronous LPA can oscillate on bipartite
+    structures, which a fixed ``n_iter`` bounds by construction.
+
+    Input edges are treated as UNDIRECTED (symmetrized, self-loops
+    dropped).  Returns ``(node, label)`` after ``n_iter`` rounds.
+
+    Scale shape (Pregel-style, same family as :func:`pagerank`): per
+    round exactly ONE shuffle join of the symmetrized edge list with
+    the |V|-row label vector + one (node, label) count + one per-node
+    top-1 window (WindowGroupLimit — never a global sort).  The edge
+    list is persisted across rounds; hub skew shows up in the count
+    aggregation, which map-side combines."""
+    from pyspark.sql import Window
+
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    half = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).where(F.col(src_col) != F.col(dst_col))
+    und = half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    und = und.distinct().persist()
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    try:
+        for i in range(n_iter):
+            nbr = und.join(
+                labels.withColumnRenamed("node", "b"), "b"
+            ).select(F.col("a").alias("node"), "label")
+            cnt = nbr.groupBy("node", "label").agg(
+                F.count(F.lit(1)).alias("c")
+            )
+            labels = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select("node", "label")
+            )
+            # lineage cut every 5 rounds (pagerank discipline)
+            if (i + 1) % 5 == 0 and i + 1 < n_iter:
+                labels = labels.localCheckpoint(eager=True)
+        # materialize before releasing the edge cache
+        return labels.localCheckpoint(eager=True)
+    finally:
+        und.unpersist()

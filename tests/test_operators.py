@@ -3806,3 +3806,31 @@ def test_seasonal_decompose_recovers_planted_components(spark):
         stats.seasonal_decompose(daily, period=1)
     with _pytest.raises(ValueError):
         stats.seasonal_decompose(daily, trend_window=4)
+
+
+def test_label_propagation_semantics(spark):
+    """Two 3-cliques joined by one bridge edge: after enough rounds
+    each clique converges to its minimum member label, and the
+    deterministic tie-break keeps runs identical."""
+    from plda_spark.operators import graph
+
+    edges = [(1, 2), (2, 3), (1, 3),          # clique A {1,2,3}
+             (10, 11), (11, 12), (10, 12),    # clique B {10,11,12}
+             (3, 10)]                          # bridge
+    e = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["label"] for r in
+           graph.label_propagation(e, n_iter=4).collect()}
+    assert set(out) == {1, 2, 3, 10, 11, 12}
+    # clique A all converge to 1; clique B to its own minimum
+    assert out[1] == out[2] == out[3]
+    assert out[10] == out[11] == out[12]
+    assert len({out[1], out[10]}) == 2  # two communities survive
+
+    # determinism: same input twice -> identical labels
+    again = {r["node"]: r["label"] for r in
+             graph.label_propagation(e, n_iter=4).collect()}
+    assert again == out
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        graph.label_propagation(e, n_iter=0)

@@ -2578,6 +2578,23 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_seasonal_decompose"] = stats_seasonal_decompose
 
+    def stats_decayed_moments(spark, sf):
+        """Recency-weighted VALUE moments per event type
+        (operators/stats.py decayed_moments): each event's value
+        weighted 2^(-age/half_life) — decayed total and decayed mean,
+        the "average order value, weighted toward this week" metric.
+        ONE map-side-combined aggregation + a broadcast 1-row max; the
+        streaming ledger maintains the same moments append-only
+        (pytest-gated parity in tests/test_streaming.py)."""
+        from plda_spark.operators import stats
+
+        return stats.decayed_moments(
+            load_table(spark, sf, "events"), ["event_type"], "value",
+            half_life_days=7.0,
+        )
+
+    q["stats_decayed_moments"] = stats_decayed_moments
+
     def sample_neyman(spark, sf):
         """Neyman-optimal stratified allocation (operators/sampling.py
         neyman_allocation — Neyman 1934): a 2000-row budget split across
@@ -5265,6 +5282,23 @@ SELECT day, y, round(trend, 4) AS trend, round(s, 4) AS seasonal,
 FROM t2 JOIN phc USING (phase)
 """
 
+    # Same 2^(-age/half_life) weights from max(ts), same w·x sums.
+    o["stats_decayed_moments"] = """
+WITH m AS (SELECT max(ts) AS ref FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(pow(2.0, -(epoch(m.ref) - epoch(ts)) / 86400.0 / 7.0)), 4)
+         AS decayed_weight,
+       round(sum(pow(2.0, -(epoch(m.ref) - epoch(ts)) / 86400.0 / 7.0)
+                 * value), 4) AS decayed_sum,
+       round(sum(pow(2.0, -(epoch(m.ref) - epoch(ts)) / 86400.0 / 7.0)
+                 * value)
+             / sum(pow(2.0, -(epoch(m.ref) - epoch(ts)) / 86400.0 / 7.0)), 4)
+         AS decayed_mean
+FROM events, m
+GROUP BY event_type
+"""
+
     # Same N_h * sigma_h weights, saturated rate, rounded targets.
     o["sample_neyman"] = """
 WITH per AS (
@@ -7497,6 +7531,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_seasonal_decompose",
     "source_snapshot_optimize",
     "graph_lpa",
+    "stats_decayed_moments",
 ]
 
 

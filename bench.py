@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     "source_snapshot_optimize",
     # deterministic label-propagation communities (2 Pregel rounds)
     "graph_lpa",
+    # recency-weighted value moments (decayed sum / mean)
+    "stats_decayed_moments",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

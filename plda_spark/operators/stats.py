@@ -54,6 +54,7 @@ __all__ = [
     "bloom_member_range",
     "decayed_counts",
     "seasonal_decompose",
+    "decayed_moments",
 ]
 
 
@@ -1307,5 +1308,58 @@ def seasonal_decompose(
             F.round(
                 F.col("y") - F.col("trend") - F.col("seasonal_full"), 4
             ).alias("residual"),
+        )
+    )
+
+
+def decayed_moments(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+    ts_col: str = "ts",
+    half_life_days: float = 7.0,
+    ref_ts=None,
+) -> DataFrame:
+    """Exponentially time-decayed VALUE moments per key — the
+    recency-weighted mean and total behind "average order value,
+    weighted toward this week" style metrics (:func:`decayed_counts`
+    weights events; this weights a measure).  Each row contributes
+    weight ``w = 2^(-age / half_life)``; returns ``(*key_cols,
+    n_events, decayed_weight, decayed_sum, decayed_mean)`` where
+    ``decayed_mean = Σ w·x / Σ w`` (NULL when every weight underflows).
+
+    The decayed MEAN is scale-free: the reference instant multiplies
+    both sums by the same factor and cancels, so streaming ledgers can
+    maintain it without ever agreeing on "now".
+
+    Scale shape: identical to :func:`decayed_counts` — ONE map-side-
+    combined aggregation, broadcast 1-row max for the default
+    reference; an ANSI-SQL one-liner for the oracle."""
+    if half_life_days <= 0:
+        raise ValueError("half_life_days must be positive")
+    if ref_ts is not None:
+        ref = F.lit(ref_ts).cast("timestamp")
+        src = df
+    else:
+        mx = df.agg(F.max(F.col(ts_col)).alias("__ref"))
+        src = df.crossJoin(F.broadcast(mx))
+        ref = F.col("__ref")
+
+    def _secs(c):
+        return F.unix_micros(c.cast("timestamp_ltz")) / F.lit(1_000_000.0)
+
+    age_days = (_secs(ref) - _secs(F.col(ts_col))) / F.lit(86400.0)
+    w = F.pow(F.lit(2.0), -age_days / F.lit(half_life_days))
+    return (
+        src.groupBy(*[F.col(c) for c in key_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(w), 4).alias("decayed_weight"),
+            F.round(F.sum(w * F.col(value_col).cast("double")), 4).alias(
+                "decayed_sum"
+            ),
+            F.round(
+                F.sum(w * F.col(value_col).cast("double")) / F.sum(w), 4
+            ).alias("decayed_mean"),
         )
     )

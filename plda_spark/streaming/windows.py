@@ -966,6 +966,7 @@ def incremental_decayed_counts(
     half_life_days: float = 7.0,
     epoch: str = "2024-01-01 00:00:00",
     timeout_s: float = 300.0,
+    value_col: str | None = None,
 ) -> None:
     """Continuously maintain exponentially TIME-DECAYED per-key counts
     (the streaming twin of ``operators/stats.py decayed_counts``)
@@ -994,12 +995,20 @@ def incremental_decayed_counts(
 
     Scale shape: one map-side-combined aggregation per micro-batch,
     |keys-in-batch| rows appended; reads touch the ledger only.
+
+    ``value_col`` additionally accumulates the value-weighted mass
+    ``Σ 2^((t-epoch)/h) · x`` per key (``rel_mass_x``), giving the fold
+    the decayed SUM and decayed MEAN of a measure (the mean is
+    scale-free — the epoch factor cancels in the ratio — so ledgers
+    never need to agree on "now" to agree on the mean).
     """
 
     def process(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         token = _query_token(spark, checkpoint_path)
-        rel = _decayed_rel_mass(batch, key_cols, ts_col, half_life_days, epoch)
+        rel = _decayed_rel_mass(
+            batch, key_cols, ts_col, half_life_days, epoch, value_col
+        )
         _overwrite_batch_partition(rel, state_path, token, batch_id)
 
     q = (
@@ -1017,6 +1026,7 @@ def _decayed_rel_mass(
     ts_col: str,
     half_life_days: float,
     epoch: str,
+    value_col: str | None = None,
 ) -> DataFrame:
     """Per-key epoch-relative mass partials — the shared aggregation of
     the streaming writer and any batch backfill."""
@@ -1029,13 +1039,17 @@ def _decayed_rel_mass(
     rel_days = (
         secs(F.col(ts_col)) - secs(F.lit(epoch).cast("timestamp"))
     ) / F.lit(86400.0)
-    return events.groupBy(*[F.col(c) for c in key_cols]).agg(
+    w = F.pow(F.lit(2.0), rel_days / F.lit(half_life_days))
+    aggs = [
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.pow(F.lit(2.0), rel_days / F.lit(half_life_days))).alias(
-            "rel_mass"
-        ),
+        F.sum(w).alias("rel_mass"),
         F.max(F.col(ts_col)).alias("max_ts"),
-    )
+    ]
+    if value_col is not None:
+        aggs.append(
+            F.sum(w * F.col(value_col).cast("double")).alias("rel_mass_x")
+        )
+    return events.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
 
 def decayed_counts_from_ledger(
@@ -1073,13 +1087,25 @@ def decayed_counts_from_ledger(
         / F.lit(86400.0)
         / F.lit(half_life_days),
     )
+    aggs = [
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum(F.col("rel_mass") * F.col("__scale")), 4).alias(
+            "decayed_count"
+        ),
+    ]
+    if "rel_mass_x" in ledger.columns:
+        aggs += [
+            F.round(
+                F.sum(F.col("rel_mass_x") * F.col("__scale")), 4
+            ).alias("decayed_sum"),
+            F.round(
+                F.sum(F.col("rel_mass_x") * F.col("__scale"))
+                / F.sum(F.col("rel_mass") * F.col("__scale")),
+                4,
+            ).alias("decayed_mean"),
+        ]
     return (
         src.withColumn("__scale", scale)
         .groupBy(*[F.col(c) for c in key_cols])
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.round(F.sum(F.col("rel_mass") * F.col("__scale")), 4).alias(
-                "decayed_count"
-            ),
-        )
+        .agg(*aggs)
     )

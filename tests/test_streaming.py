@@ -921,3 +921,62 @@ def test_incremental_decayed_counts_matches_batch(spark, tmp_path):
     assert ledger.count() == 4  # 2 keys x 2 batches
     assert set(ledger.columns) >= {"event_type", "n_events", "rel_mass",
                                    "max_ts", "run_id", "batch_id"}
+
+
+def test_incremental_decayed_moments_matches_batch(spark, tmp_path):
+    """Value-weighted ledger (rel_mass_x): the folded decayed sum and
+    mean must match the batch decayed_moments operator over the full
+    history — and the mean must be identical under ANY ref_ts (the
+    epoch factor cancels in the ratio)."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import stats
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, ts timestamp, event_type string, value double"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, ts string, event_type string, value double"
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+                 "event_type", "value")
+
+    inc1 = [(1, "2024-01-02 00:00:00", "a", 10.0),
+            (2, "2024-01-05 12:00:00", "a", 30.0),
+            (3, "2024-01-03 00:00:00", "b", 7.0)]
+    inc2 = [(4, "2024-01-09 00:00:00", "a", 50.0),
+            (5, "2024-01-16 00:00:00", "b", 9.0)]
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(in_dir)
+        windows.incremental_decayed_counts(
+            stream, state, ckpt, ["event_type"],
+            half_life_days=7.0, value_col="value",
+        )
+
+    mk(inc1).write.mode("append").parquet(in_dir)
+    run()
+    mk(inc2).write.mode("append").parquet(in_dir)
+    run()
+
+    got = {r["event_type"]: r for r in windows.decayed_counts_from_ledger(
+        spark, state, ["event_type"], half_life_days=7.0
+    ).collect()}
+    want = {r["event_type"]: r for r in stats.decayed_moments(
+        mk(inc1 + inc2), ["event_type"], "value", half_life_days=7.0
+    ).collect()}
+    assert set(got) == set(want) == {"a", "b"}
+    for k in want:
+        assert got[k]["n_events"] == want[k]["n_events"]
+        assert abs(got[k]["decayed_sum"] - want[k]["decayed_sum"]) < 2e-3, k
+        assert abs(got[k]["decayed_mean"] - want[k]["decayed_mean"]) < 2e-3, k
+
+    # the mean is ref-free: shifting "now" by a half-life leaves it
+    later = {r["event_type"]: r["decayed_mean"] for r in
+             windows.decayed_counts_from_ledger(
+                 spark, state, ["event_type"], half_life_days=7.0,
+                 ref_ts="2024-01-23 00:00:00").collect()}
+    for k in want:
+        assert abs(later[k] - want[k]["decayed_mean"]) < 2e-3

@@ -1036,6 +1036,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["multimodal_audio_neardup"] = multimodal_audio_neardup
 
+    def multimodal_image_stats(spark, sf):
+        """Per-image luminance statistics + quality flags
+        (operators/multimodal.py image_stats — the multimodal twin of
+        the text quality signals): exact left-fold sum / sum-of-squares
+        over the decoded feature row, min/max/dynamic-range,
+        low-contrast and flat flags.  One Arrow decode pass, zero
+        shuffle (the reduction is inside the row); with the fake
+        backend every value is md5-reproducible, so the oracle checks
+        the numbers, not the shape.  The real-PNG backend rides the
+        same folds (golden-tested in tests/test_multimodal.py)."""
+        media = multimodal.attach_fake_media(load_table(spark, sf, "documents"))
+        return multimodal.image_stats(media)
+
+    q["multimodal_image_stats"] = multimodal_image_stats
+
     # ---- expensive stochastic queries LAST (rows-only; a wall-clock-
     # budgeted driver run truncates here, not at hash-checked queries) ------
     _model_cache: dict[str, object] = {}
@@ -5558,6 +5573,39 @@ WHERE bit_count(xor(a.dhash, b.dhash)) <= 4
 
     # Audio twin: fake feature stream is salted (h + 7*2654435761) % P,
     # then the identical dHash packing and brute-force hamming scan.
+    # Same md5-mod-P fake features, same left-fold sum / sum-of-squares
+    # in index order (bit-identical doubles), same flag thresholds.
+    o["multimodal_image_stats"] = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hm,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) % 2147483647 AS h
+  FROM documents
+), img AS (
+  SELECT media_id,
+         list_transform(range(0, 64),
+            d -> CAST((h * (2*d + 3)) % 2147483647 AS DOUBLE)) AS f
+  FROM m WHERE hm % 3 = 0  -- element_at(array[image,audio,video], h%3+1)
+), s AS (
+  SELECT media_id, len(f) AS n_features,
+         list_reduce(f, (a, b) -> a + b) AS s1,
+         list_reduce(list_transform(f, x -> x*x), (a, b) -> a + b) AS s2,
+         list_min(f) AS mn, list_max(f) AS mx
+  FROM img
+)
+SELECT media_id, CAST(n_features AS INTEGER) AS n_features,
+       round(s1 / n_features, 4) AS lum_mean,
+       round(sqrt(greatest(
+         s2 / n_features - (s1 / n_features) * (s1 / n_features), 0.0)), 4)
+         AS lum_std,
+       mn AS lum_min, mx AS lum_max, mx - mn AS dyn_range,
+       sqrt(greatest(
+         s2 / n_features - (s1 / n_features) * (s1 / n_features), 0.0))
+         < 0.05 * 2147483647 AS low_contrast,
+       mx = mn AS flat
+FROM s
+"""
+
     o["multimodal_audio_neardup"] = """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -7532,6 +7580,7 @@ EXTRA_QUERIES: list[str] = [
     "source_snapshot_optimize",
     "graph_lpa",
     "stats_decayed_moments",
+    "multimodal_image_stats",
 ]
 
 

@@ -209,6 +209,8 @@ BENCH_QUERIES = [
     "graph_lpa",
     # recency-weighted value moments (decayed sum / mean)
     "stats_decayed_moments",
+    # per-image luminance stats + quality flags (Arrow decode pass)
+    "multimodal_image_stats",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -50,6 +50,7 @@ __all__ = [
     "decode_audio_features",
     "audio_dhash",
     "audio_near_dup_pairs",
+    "image_stats",
 ]
 
 # Canonical multimodal schema: payload + typed metadata.
@@ -640,4 +641,58 @@ def image_phash_near_dup_pairs(
         F.col("id_a").alias("media_a"),
         F.col("id_b").alias("media_b"),
         "hamming",
+    )
+
+
+def image_stats(
+    media: DataFrame,
+    out_dim: int = 64,
+    decode_backend: str = "fake",
+    domain_max: float | None = None,
+    low_contrast_frac: float = 0.05,
+) -> DataFrame:
+    """Per-image luminance statistics + quality flags over the decoded
+    grayscale features — the multimodal twin of the text quality
+    signals (filter decode failures, black frames, flat synthetic
+    images before they reach training):
+
+    ``(media_id, n_features, lum_mean, lum_std, lum_min, lum_max,
+    dyn_range, low_contrast, flat)`` where ``low_contrast`` flags
+    ``lum_std < low_contrast_frac · domain_max`` and ``flat`` flags a
+    constant image.  ``domain_max`` defaults to 255 for the real
+    backend (8-bit luminance) and the fake backend's modulus P
+    otherwise.
+
+    All statistics are EXACT left-fold JVM array expressions over the
+    decoded feature row (sum and sum-of-squares in index order), so
+    with the fake backend the oracle reproduces every value bit-for-
+    bit from the payload's md5; the real-PNG backend rides the same
+    folds and is golden-tested.  One Arrow decode pass; stats add no
+    shuffle — the per-image reduction happens inside the row."""
+    if low_contrast_frac <= 0:
+        raise ValueError("low_contrast_frac must be positive")
+    if domain_max is None:
+        domain_max = 255.0 if decode_backend == "real" else float(_P)
+    imgs = media.where(F.col("media_type") == "image")
+    feats = decode_image_features(
+        imgs, out_dim=out_dim, decode_backend=decode_backend
+    )
+    f = F.col("features")
+    n = F.size(f)
+    s = F.aggregate(f, F.lit(0.0), lambda acc, x: acc + x)
+    s2 = F.aggregate(f, F.lit(0.0), lambda acc, x: acc + x * x)
+    mean = s / n
+    var = F.greatest(s2 / n - mean * mean, F.lit(0.0))
+    std = F.sqrt(var)
+    mx, mn = F.array_max(f), F.array_min(f)
+    return feats.select(
+        "media_id",
+        n.alias("n_features"),
+        F.round(mean, 4).alias("lum_mean"),
+        F.round(std, 4).alias("lum_std"),
+        mn.alias("lum_min"),
+        mx.alias("lum_max"),
+        (mx - mn).alias("dyn_range"),
+        (std < F.lit(low_contrast_frac * domain_max)).alias("low_contrast"),
+        (mx == mn).alias("flat"),
     )

@@ -387,3 +387,30 @@ def test_image_phash_near_dup_pairs_and_validators(spark):
     assert got == want
     with pytest.raises(ValueError, match="decode_backend"):
         multimodal.image_phash(media, decode_backend="gpu")
+
+
+def test_image_stats_real_backend_flags(spark):
+    """Real-PNG luminance stats: a constant image is flat + low
+    contrast with zero dynamic range; a black-vs-white checker has
+    high contrast; stats ride the decoded 0..255 domain."""
+    flat = np.full((32, 32, 3), 128, dtype=np.uint8)
+    checker = np.zeros((32, 32, 3), dtype=np.uint8)
+    checker[::2, :, :] = 255
+    rows = [
+        (0, bytearray(encode_png(flat)), "image", 32, 32, 1, 16000),
+        (1, bytearray(encode_png(checker)), "image", 32, 32, 1, 16000),
+        (2, b"\x00", "audio", 1, 1, 1, 16000),  # non-image: excluded
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           multimodal.image_stats(media, decode_backend="real").collect()}
+    assert set(out) == {0, 1}
+    f = out[0]
+    assert f["flat"] and f["low_contrast"] and f["dyn_range"] == 0.0
+    assert abs(f["lum_mean"] - 128.0) < 1.0
+    c = out[1]
+    assert not c["flat"] and not c["low_contrast"]
+    assert c["lum_std"] > 100 and c["dyn_range"] > 200
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        multimodal.image_stats(media, low_contrast_frac=0)

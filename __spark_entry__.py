@@ -2658,6 +2658,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_embedding_drift"] = curation_embedding_drift
 
+    def curation_quantile_norm(spark, sf):
+        """Cross-source quantile normalization (operators/curation.py
+        quantile_normalize — Bolstad 2003 applied to quality scores):
+        each document's n_chars mapped to the POOLED corpus value at
+        its within-source percentile, so one global threshold means the
+        same thing in every source.  Within-source percent_rank + ONE
+        pooled 101-cut-point aggregation broadcast for linear
+        interpolation; exact-percentile oracle mode here, sketch mode
+        for corpus scale."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        return curation.quantile_normalize(
+            docs, "n_chars", "source", n_cuts=100
+        )
+
+    q["curation_quantile_norm"] = curation_quantile_norm
+
     def stats_gini_concentration(spark, sf):
         """Gini coefficient of corpus concentration across sources and
         languages — the one-number imbalance diagnostic curation teams
@@ -5430,6 +5450,29 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched,
 FROM per GROUP BY doc_id HAVING count(*) = 3
 """
 
+    # Same within-source percent_rank, same pooled 101 interpolated cut
+    # points (quantile_cont == Spark's exact percentile), same lerp.
+    o["curation_quantile_norm"] = """
+WITH cuts AS (
+  SELECT list_transform(
+           quantile_cont(CAST(n_chars AS DOUBLE),
+                         list_transform(range(0, 101), i -> i / 100.0)),
+           x -> CAST(x AS DOUBLE)) AS c
+  FROM documents
+), r AS (
+  SELECT doc_id, source, n_chars,
+         percent_rank() OVER (PARTITION BY source
+                              ORDER BY CAST(n_chars AS DOUBLE)) AS p
+  FROM documents
+)
+SELECT doc_id, source, n_chars,
+       round(c[CAST(floor(p * 100) AS INTEGER) + 1]
+               * (1.0 - (p * 100 - floor(p * 100)))
+             + c[least(CAST(floor(p * 100) AS INTEGER) + 1, 100) + 1]
+               * (p * 100 - floor(p * 100)), 6) AS normalized
+FROM r, cuts
+"""
+
     # Same per-(label, dim) centroid averages and cosine arithmetic.
     o["curation_embedding_drift"] = """
 WITH b AS (
@@ -7581,6 +7624,7 @@ EXTRA_QUERIES: list[str] = [
     "graph_lpa",
     "stats_decayed_moments",
     "multimodal_image_stats",
+    "curation_quantile_norm",
 ]
 
 

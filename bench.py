@@ -211,6 +211,8 @@ BENCH_QUERIES = [
     "stats_decayed_moments",
     # per-image luminance stats + quality flags (Arrow decode pass)
     "multimodal_image_stats",
+    # cross-source quantile normalization (pooled-scale scores)
+    "curation_quantile_norm",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -34,6 +34,7 @@ __all__ = [
     "mixture_drift",
     "token_budget_mixture",
     "embedding_drift",
+    "quantile_normalize",
 ]
 
 
@@ -694,3 +695,62 @@ def embedding_drift(
     ).select(
         F.col("grp").alias("group"), "n_before", "n_after", "centroid_cosine"
     )
+
+
+def quantile_normalize(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str,
+    n_cuts: int = 100,
+    out_col: str = "normalized",
+    mode: str = "exact",
+) -> DataFrame:
+    """Cross-source QUANTILE NORMALIZATION: map each document's score
+    to the POOLED corpus value at its within-source percentile — the
+    step beyond :func:`calibrate_scores` (which outputs ranks in
+    [0, 1]): here every source's distribution is reshaped onto the
+    pooled one, so normalized scores keep the pooled scale and units
+    and one global threshold means the same thing everywhere (the
+    microarray quantile-normalization recipe, Bolstad et al. 2003,
+    applied to quality scores).
+
+    Mechanics: within-source ``percent_rank`` p, then linear
+    interpolation into the pooled quantile table — ``n_cuts + 1``
+    pooled cut points computed in ONE aggregation and broadcast as a
+    literal-free array (the |cuts|-sized table is the only thing that
+    moves).  ``mode="exact"`` uses exact pooled percentiles (oracle-
+    checkable; buffers values in the aggregation — verification scale),
+    ``mode="approx"`` uses ``percentile_approx`` sketches (bounded
+    memory — the 100 TB path; same downstream arithmetic).
+
+    Appends ``out_col``; other columns pass through.  Scale shape: one
+    window shuffle on the source key (the calibrate_scores contract)
+    plus one 1-row broadcast."""
+    from pyspark.sql import Window
+
+    if n_cuts < 1:
+        raise ValueError(f"n_cuts must be >= 1, got {n_cuts}")
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    qs = [i / n_cuts for i in range(n_cuts + 1)]
+    val = F.col(score_col).cast("double")
+    if mode == "exact":
+        agg = F.percentile(val, F.array(*[F.lit(q) for q in qs]))
+    else:
+        agg = F.percentile_approx(
+            val, F.array(*[F.lit(q) for q in qs]), F.lit(10_000)
+        )
+    cuts = docs.agg(agg.alias("__cuts"))
+    w = Window.partitionBy(group_col).orderBy(val)
+    ranked = docs.withColumn("__p", F.percent_rank().over(w)).crossJoin(
+        F.broadcast(cuts)
+    )
+    # interpolate: idx = p * n_cuts, between cut[floor] and cut[floor+1]
+    scaled = F.col("__p") * F.lit(float(n_cuts))
+    lo = F.floor(scaled).cast("int")
+    frac = scaled - lo
+    lo1 = F.least(lo + 1, F.lit(n_cuts))
+    interp = F.element_at(F.col("__cuts"), lo + 1) * (F.lit(1.0) - frac) + (
+        F.element_at(F.col("__cuts"), lo1 + 1) * frac
+    )
+    return ranked.withColumn(out_col, F.round(interp, 6)).drop("__p", "__cuts")

@@ -3834,3 +3834,37 @@ def test_label_propagation_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         graph.label_propagation(e, n_iter=0)
+
+
+def test_quantile_normalize_semantics(spark):
+    """Two sources with shifted distributions: after normalization the
+    per-source percentile structure maps onto the pooled scale — each
+    source's minimum lands at the pooled minimum, maximum at the pooled
+    maximum, and a mid-rank doc gets an interpolated pooled value
+    between them (NOT its raw score)."""
+    from plda_spark.operators import curation
+
+    rows = [(i, "a", float(v)) for i, v in enumerate([1, 2, 3, 4, 5])] + \
+           [(i + 10, "b", float(v)) for i, v in enumerate([101, 102, 103, 104, 105])]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    out = {r["doc_id"]: r["normalized"] for r in
+           curation.quantile_normalize(docs, "score", "source", n_cuts=10).collect()}
+    # pooled min/max = 1 / 105: both sources' extremes map there
+    assert out[0] == 1.0 and out[10] == 1.0
+    assert out[4] == 105.0 and out[14] == 105.0
+    # the two sources now agree at every rank (same within-source shape)
+    for i in range(5):
+        assert out[i] == out[i + 10], i
+    # mid-rank maps to the pooled median (between the two clusters)
+    assert 5.0 < out[2] < 101.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.quantile_normalize(docs, "score", "source", n_cuts=0)
+    with _pytest.raises(ValueError):
+        curation.quantile_normalize(docs, "score", "source", mode="weird")
+    # approx mode runs and stays monotone within a source
+    ap = {r["doc_id"]: r["normalized"] for r in curation.quantile_normalize(
+        docs, "score", "source", n_cuts=10, mode="approx").collect()}
+    vals = [ap[i] for i in range(5)]
+    assert vals == sorted(vals)

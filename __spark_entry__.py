@@ -2610,6 +2610,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_decayed_moments"] = stats_decayed_moments
 
+    def stats_ks_test(spark, sf):
+        """Two-sample Kolmogorov-Smirnov drift test
+        (operators/stats.py ks_test): exact D = max |ECDF_a - ECDF_b|
+        between click and purchase event values + the classic
+        asymptotic p-value (Numerical Recipes Q_KS with Stephens'
+        small-sample λ).  Per-value counts aggregate FIRST (map-side
+        combined), so the ordered ECDF window runs over |distinct
+        values| rows — the bounded-diagnostic contract; the oracle
+        replays the ECDF, λ, and the 100-term series exactly."""
+        from plda_spark.operators import stats
+
+        return stats.ks_test(
+            load_table(spark, sf, "events"), "event_type", "value",
+            "click", "purchase",
+        )
+
+    q["stats_ks_test"] = stats_ks_test
+
     def sample_neyman(spark, sf):
         """Neyman-optimal stratified allocation (operators/sampling.py
         neyman_allocation — Neyman 1934): a 2000-row budget split across
@@ -5317,6 +5335,39 @@ SELECT day, y, round(trend, 4) AS trend, round(s, 4) AS seasonal,
 FROM t2 JOIN phc USING (phase)
 """
 
+    # Same per-value counts -> cumulative ECDFs -> exact D; same
+    # Stephens lambda and 100-term alternating series (left fold, same
+    # multiplication order), same small-lambda guard.
+    o["stats_ks_test"] = """
+WITH pv AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), e AS (
+  SELECT sum(ca) OVER (ORDER BY v) / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY v) / sum(cb) OVER () AS fb,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM pv
+), d AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         max(abs(fa - fb)) AS d_stat
+  FROM e GROUP BY n_a, n_b
+), l AS (
+  SELECT *, (sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE)) + 0.12
+             + 0.11 / sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE))) * d_stat
+            AS lam
+  FROM d
+)
+SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
+       round(CASE WHEN lam < 0.05 THEN 1.0 ELSE
+         least(greatest(2.0 * list_reduce(list_transform(range(1, 101),
+           j -> pow(-1.0, j - 1) * exp(-2.0 * j * j * lam * lam)),
+           (x, y) -> x + y), 0.0), 1.0) END, 6) AS p_value
+FROM l
+"""
+
     # Same 2^(-age/half_life) weights from max(ts), same w·x sums.
     o["stats_decayed_moments"] = """
 WITH m AS (SELECT max(ts) AS ref FROM events)
@@ -7625,6 +7676,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_decayed_moments",
     "multimodal_image_stats",
     "curation_quantile_norm",
+    "stats_ks_test",
 ]
 
 

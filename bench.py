@@ -213,6 +213,8 @@ BENCH_QUERIES = [
     "multimodal_image_stats",
     # cross-source quantile normalization (pooled-scale scores)
     "curation_quantile_norm",
+    # two-sample KS drift test (exact D + asymptotic p)
+    "stats_ks_test",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

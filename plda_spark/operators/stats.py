@@ -55,6 +55,7 @@ __all__ = [
     "decayed_counts",
     "seasonal_decompose",
     "decayed_moments",
+    "ks_test",
 ]
 
 
@@ -1362,4 +1363,81 @@ def decayed_moments(
                 F.sum(w * F.col(value_col).cast("double")) / F.sum(w), 4
             ).alias("decayed_mean"),
         )
+    )
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between two groups' value
+    distributions — the distribution-drift SIGNIFICANCE test behind
+    "did this source's quality scores actually shift, or is it sample
+    noise" (the composition/embedding drift monitors measure movement;
+    this one attaches a p-value).
+
+    ``D = max |ECDF_a - ECDF_b|`` computed exactly, and the classic
+    asymptotic p-value ``Q_KS(λ) = 2 Σ_{j≥1} (-1)^{j-1} e^{-2j²λ²}``
+    with Stephens' small-sample correction ``λ = (√n_e + 0.12 +
+    0.11/√n_e)·D`` (Numerical Recipes §14.3; series truncated at 100
+    terms — far past double underflow).  Returns ONE row ``(n_a, n_b,
+    d_stat, p_value)`` rounded to 6.
+
+    Scale shape: one per-value count aggregation FIRST (map-side
+    combined — the stream never sorts), then the ordered ECDF window
+    runs over |distinct values| rows, the same bounded-diagnostic
+    contract as hist/fill_gaps; two scalar aggregates finish it."""
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    per_val = (
+        df.where(a | b)
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(
+            F.sum(a.cast("long")).alias("ca"),
+            F.sum(b.cast("long")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    ecdf = per_val.select(
+        (F.sum("ca").over(w) / F.sum("ca").over(tot)).alias("fa"),
+        (F.sum("cb").over(w) / F.sum("cb").over(tot)).alias("fb"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    d = ecdf.groupBy("n_a", "n_b").agg(
+        F.max(F.abs(F.col("fa") - F.col("fb"))).alias("d_stat")
+    )
+    ne = F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col(
+        "d_stat"
+    )
+    js = F.sequence(F.lit(1), F.lit(100))
+    series = F.lit(2.0) * F.aggregate(
+        js,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.pow(F.lit(-1.0), (j - 1).cast("double"))
+        * F.exp(F.lit(-2.0) * j.cast("double") * j.cast("double") * lam * lam),
+    )
+    # λ→0 guard: the truncated alternating series degenerates (all
+    # terms ~1) below λ≈0.05, where the true Q_KS is 1 to ~1e-15 —
+    # identical distributions must report p = 1, not 0.
+    p = F.when(lam < F.lit(0.05), F.lit(1.0)).otherwise(series)
+    # p is materialized as its own column BEFORE the rounding select:
+    # putting round(d_stat).alias("d_stat") in the same select would
+    # lateral-alias-capture the p expression's d_stat reference onto
+    # the ROUNDED value (Spark implicit lateral column resolution) and
+    # silently shift the p-value at the 5th decimal.
+    withp = d.withColumn(
+        "__p", F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    )
+    return withp.select(
+        "n_a",
+        "n_b",
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round("__p", 6).alias("p_value"),
     )

@@ -3868,3 +3868,19 @@ def test_quantile_normalize_semantics(spark):
         docs, "score", "source", n_cuts=10, mode="approx").collect()}
     vals = [ap[i] for i in range(5)]
     assert vals == sorted(vals)
+
+
+def test_ks_test_semantics(spark):
+    """Identical samples -> D=0, p=1; disjoint supports -> D=1, p~0;
+    the click/purchase real-data case is pinned in the oracle gate."""
+    from plda_spark.operators import stats
+
+    rows = [("a", float(v)) for v in range(50)] + \
+           [("b", float(v)) for v in range(50)] + \
+           [("c", float(v + 1000)) for v in range(50)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    same = stats.ks_test(df, "g", "v", "a", "b").first()
+    assert same["d_stat"] == 0.0 and same["p_value"] == 1.0
+    assert same["n_a"] == 50 and same["n_b"] == 50
+    far = stats.ks_test(df, "g", "v", "a", "c").first()
+    assert far["d_stat"] == 1.0 and far["p_value"] < 1e-6

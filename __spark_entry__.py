@@ -2628,6 +2628,37 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_ks_test"] = stats_ks_test
 
+    def stats_chi2_independence(spark, sf):
+        """Pearson chi-squared independence test + Cramér's V between
+        source and language (operators/stats.py chi2_independence):
+        one (a, b) contingency aggregation, margins as broadcast
+        joins, empty cells folded in via the n·(Σo²/(ta·tb) − 1)
+        identity — nothing after the first groupBy touches the data."""
+        from plda_spark.operators import stats
+
+        return stats.chi2_independence(
+            load_table(spark, sf, "documents"), "source", "lang"
+        )
+
+    q["stats_chi2_independence"] = stats_chi2_independence
+
+    def curation_winsorize(spark, sf):
+        """Per-source winsorization of document lengths
+        (operators/curation.py winsorize): n_chars clipped to each
+        source's exact [5%, 95%] percentile band — the outlier
+        treatment before mean/std thresholds.  ONE percentile
+        aggregation broadcast back; the corpus is never sorted."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        return curation.winsorize(
+            docs, "n_chars", group_col="source", lo=0.05, hi=0.95
+        )
+
+    q["curation_winsorize"] = curation_winsorize
+
     def sample_neyman(spark, sf):
         """Neyman-optimal stratified allocation (operators/sampling.py
         neyman_allocation — Neyman 1934): a 2000-row budget split across
@@ -5368,6 +5399,42 @@ SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
 FROM l
 """
 
+    # Same contingency counts, same empty-cell-safe chi2 identity.
+    o["stats_chi2_independence"] = """
+WITH cell AS (
+  SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), ra AS (SELECT a, sum(o) AS ta FROM cell GROUP BY a),
+rb AS (SELECT b, sum(o) AS tb FROM cell GROUP BY b),
+tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS na,
+               count(DISTINCT b) AS nb FROM cell)
+SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST((na - 1) * (nb - 1) AS BIGINT) AS dof,
+       round(greatest(n * (sum(o*o / (CAST(ta AS DOUBLE) * tb)) - 1.0),
+                      0.0), 6) AS chi2,
+       round(sqrt(greatest(n * (sum(o*o / (CAST(ta AS DOUBLE) * tb)) - 1.0),
+                           0.0)
+                  / (n * CAST(least(na - 1, nb - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM cell JOIN ra USING (a) JOIN rb USING (b), tot
+GROUP BY n, na, nb
+"""
+
+    # Same per-source exact [5%, 95%] interpolated band, same clip.
+    o["curation_winsorize"] = """
+WITH cuts AS (
+  SELECT source,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS plo,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS phi
+  FROM documents GROUP BY source
+)
+SELECT doc_id, d.source, n_chars,
+       round(least(greatest(CAST(n_chars AS DOUBLE), plo), phi), 6)
+         AS winsorized
+FROM documents d JOIN cuts ON cuts.source = d.source
+"""
+
     # Same 2^(-age/half_life) weights from max(ts), same w·x sums.
     o["stats_decayed_moments"] = """
 WITH m AS (SELECT max(ts) AS ref FROM events)
@@ -7677,6 +7744,8 @@ EXTRA_QUERIES: list[str] = [
     "multimodal_image_stats",
     "curation_quantile_norm",
     "stats_ks_test",
+    "stats_chi2_independence",
+    "curation_winsorize",
 ]
 
 

@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "curation_quantile_norm",
     # two-sample KS drift test (exact D + asymptotic p)
     "stats_ks_test",
+    # chi-squared independence + per-source winsorization
+    "stats_chi2_independence",
+    "curation_winsorize",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -35,6 +35,7 @@ __all__ = [
     "token_budget_mixture",
     "embedding_drift",
     "quantile_normalize",
+    "winsorize",
 ]
 
 
@@ -754,3 +755,50 @@ def quantile_normalize(
         F.element_at(F.col("__cuts"), lo1 + 1) * frac
     )
     return ranked.withColumn(out_col, F.round(interp, 6)).drop("__p", "__cuts")
+
+
+def winsorize(
+    docs: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    lo: float = 0.01,
+    hi: float = 0.99,
+    out_col: str = "winsorized",
+    mode: str = "exact",
+) -> DataFrame:
+    """Winsorize a signal: clip values outside the [lo, hi] percentile
+    band to the band's edges — the standard outlier treatment before a
+    mean/std-based quality threshold (a single 10 MB document otherwise
+    owns the length statistics of its whole source).
+
+    Per-``group_col`` percentiles when given (each source clipped
+    against its own distribution), pooled otherwise.  ``mode="exact"``
+    uses exact interpolated percentiles (oracle-checkable),
+    ``mode="approx"`` the KLL sketch (bounded memory — corpus scale).
+
+    Appends ``out_col`` (rounded to 6); all columns pass through.
+    Scale shape: ONE percentile aggregation producing a |groups|-row
+    (or 1-row) table broadcast back — the input is never sorted or
+    re-shuffled."""
+    if not (0.0 <= lo < hi <= 1.0):
+        raise ValueError(f"need 0 <= lo < hi <= 1, got ({lo}, {hi})")
+    if mode not in ("exact", "approx"):
+        raise ValueError(f"mode must be 'exact' or 'approx', got {mode!r}")
+    val = F.col(value_col).cast("double")
+    fn = F.percentile if mode == "exact" else (
+        lambda c, q: F.percentile_approx(c, q, F.lit(10_000))
+    )
+    aggs = [
+        fn(val, F.lit(lo)).alias("__plo"),
+        fn(val, F.lit(hi)).alias("__phi"),
+    ]
+    if group_col is None:
+        cuts = docs.agg(*aggs)
+        joined = docs.crossJoin(F.broadcast(cuts))
+    else:
+        cuts = docs.groupBy(group_col).agg(*aggs)
+        joined = docs.join(F.broadcast(cuts), group_col)
+    clipped = F.least(F.greatest(val, F.col("__plo")), F.col("__phi"))
+    return joined.withColumn(out_col, F.round(clipped, 6)).drop(
+        "__plo", "__phi"
+    )

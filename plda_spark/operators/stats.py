@@ -56,6 +56,7 @@ __all__ = [
     "seasonal_decompose",
     "decayed_moments",
     "ks_test",
+    "chi2_independence",
 ]
 
 
@@ -1440,4 +1441,68 @@ def ks_test(
         "n_b",
         F.round("d_stat", 6).alias("d_stat"),
         F.round("__p", 6).alias("p_value"),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns + Cramér's V effect size — "is language independent of
+    source" for composition audits (the categorical sibling of
+    :func:`ks_test`; V gives the magnitude the raw χ² hides at large
+    n).
+
+    ``χ² = Σ (observed - expected)² / expected`` over the contingency
+    table with ``expected = row_total · col_total / n``; ``dof =
+    (R-1)(C-1)``; ``V = sqrt(χ² / (n · min(R-1, C-1)))``.  Returns ONE
+    row ``(n, n_a, n_b, dof, chi2, cramers_v)`` rounded to 6.
+
+    Scale shape: one (a, b) count aggregation over the data (map-side
+    combined), then everything runs on the |R·C|-row contingency table
+    — two broadcast joins for the margins and scalar aggregates.  No
+    row of the input survives past the first groupBy."""
+    cell = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cell.groupBy("a").agg(F.sum("o").alias("ta"))
+    rb = cell.groupBy("b").agg(F.sum("o").alias("tb"))
+    tot = cell.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("n_a"),
+        F.countDistinct("b").alias("n_b"),
+    )
+    joined = (
+        cell.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    # expected counts for EMPTY cells still contribute to chi2: add the
+    # missing mass via the identity chi2 = n * (sum o^2/(ta*tb) - 1),
+    # which covers absent (a, b) pairs without materializing them.
+    chi2 = F.col("n") * (
+        F.sum(
+            F.col("o") * F.col("o")
+            / (F.col("ta").cast("double") * F.col("tb"))
+        )
+        - F.lit(1.0)
+    )
+    agg = joined.groupBy("n", "n_a", "n_b").agg(chi2.alias("chi2"))
+    dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
+    v = F.sqrt(
+        F.greatest(F.col("chi2"), F.lit(0.0))
+        / (
+            F.col("n")
+            * F.least(F.col("n_a") - 1, F.col("n_b") - 1).cast("double")
+        )
+    )
+    return agg.select(
+        "n",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        dof.cast("long").alias("dof"),
+        F.round(F.greatest(F.col("chi2"), F.lit(0.0)), 6).alias("chi2"),
+        F.round(v, 6).alias("cramers_v"),
     )

@@ -3884,3 +3884,35 @@ def test_ks_test_semantics(spark):
     assert same["n_a"] == 50 and same["n_b"] == 50
     far = stats.ks_test(df, "g", "v", "a", "c").first()
     assert far["d_stat"] == 1.0 and far["p_value"] < 1e-6
+
+
+def test_chi2_and_winsorize_semantics(spark):
+    """chi2: a perfectly dependent 2x2 table gives V=1; an independent
+    one gives chi2=0.  winsorize: values outside the band clip to the
+    exact percentile edges, inside pass through; pooled mode works."""
+    from plda_spark.operators import curation, stats
+
+    dep = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "q")] * 10, "a string, b string")
+    r = stats.chi2_independence(dep, "a", "b").first()
+    assert r["cramers_v"] == 1.0 and r["dof"] == 1 and r["n"] == 20
+    ind = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5 + [("y", "q")] * 5,
+        "a string, b string")
+    r2 = stats.chi2_independence(ind, "a", "b").first()
+    assert r2["chi2"] == 0.0 and r2["cramers_v"] == 0.0
+
+    vals = [float(v) for v in range(1, 101)] + [10_000.0]   # one whale
+    docs = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate(vals)], "id long, src string, v double")
+    out = {r["id"]: r["winsorized"] for r in
+           curation.winsorize(docs, "v", group_col="src", lo=0.0, hi=0.99).collect()}
+    top = max(out.values())
+    assert top < 10_000.0 and out[100] == top  # whale clipped to p99
+    assert out[0] == 1.0 and out[49] == 50.0   # interior untouched
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curation.winsorize(docs, "v", lo=0.5, hi=0.5)
+    with _pytest.raises(ValueError):
+        curation.winsorize(docs, "v", mode="weird")

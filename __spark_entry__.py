@@ -2435,6 +2435,19 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_assoc_rules"] = events_assoc_rules
 
+    def events_attribution_position(spark, sf):
+        """Position-based (U-shaped 40/20/40) multi-touch attribution
+        (operators/events.py attribution_position): one window pass
+        collects each purchase's preceding touch path, the credit
+        vector is a JVM array expression, one explode + aggregation —
+        no self-join (the ORACLE does the self-join, proving the
+        window formulation equivalent)."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.attribution_position(load_table(spark, sf, "events"))
+
+    q["events_attribution_position"] = events_attribution_position
+
     def text_char_entropy(spark, sf):
         """Per-document character-level Shannon entropy — the classic
         gibberish/compression quality signal (low entropy = repeated
@@ -4673,6 +4686,32 @@ SELECT d.antecedent, d.consequent, d.n_both,
 FROM directed d
 JOIN supp sa ON sa.item = d.antecedent
 JOIN supp sc ON sc.item = d.consequent, nu
+"""
+
+    # Independent formulation: the oracle SELF-JOINS purchases to
+    # their strictly-preceding touches ((ts, id) lexicographic) and
+    # applies the same 40/20/40 credit vector — the window pass and
+    # the join must agree on every channel's credited revenue.
+    o["events_attribution_position"] = """
+WITH t AS (
+  SELECT user_id, ts, event_id, event_type FROM events
+  WHERE event_type IN ('click', 'view')
+), p AS (
+  SELECT user_id, ts, event_id, value FROM events
+  WHERE event_type = 'purchase'
+), path AS (
+  SELECT p.event_id AS pe, t.event_type AS ch, p.value,
+         row_number() OVER (PARTITION BY p.event_id
+                            ORDER BY t.ts, t.event_id) AS pos,
+         count(*) OVER (PARTITION BY p.event_id) AS n
+  FROM p JOIN t ON t.user_id = p.user_id
+              AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id))
+)
+SELECT ch AS channel, CAST(count(*) AS BIGINT) AS n_credits,
+       round(sum(CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+                      WHEN pos = 1 THEN 0.4 WHEN pos = n THEN 0.4
+                      ELSE 0.2 / (n - 2) END * value), 4) AS revenue
+FROM path GROUP BY ch
 """
 
     # Same total order (ts, event_id) per user; same lead + normalize.
@@ -7746,6 +7785,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_ks_test",
     "stats_chi2_independence",
     "curation_winsorize",
+    "events_attribution_position",
 ]
 
 

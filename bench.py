@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     # chi-squared independence + per-source winsorization
     "stats_chi2_independence",
     "curation_winsorize",
+    # U-shaped multi-touch attribution (window path, no self-join)
+    "events_attribution_position",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -22,6 +22,7 @@ __all__ = [
     "attribution",
     "forecast_backtest",
     "association_rules",
+    "attribution_position",
 ]
 
 
@@ -491,4 +492,89 @@ def association_rules(
                 6,
             ).alias("lift"),
         )
+    )
+
+
+def attribution_position(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("click", "view"),
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    first_w: float = 0.4,
+    last_w: float = 0.4,
+) -> DataFrame:
+    """POSITION-BASED (U-shaped) multi-touch attribution — the third
+    standard marketing model after first/last touch
+    (:func:`attribution`): each conversion's value splits 40% to the
+    first preceding touch, 40% to the last, and the remaining 20%
+    evenly across the middle touches (1 touch → 100%, 2 touches →
+    50/50 — the standard degenerate cases).
+
+    Returns ``(channel, n_credits, revenue)`` with revenue rounded to
+    4 decimals; a conversion with no preceding touch contributes
+    nothing (consistent with :func:`attribution`'s NULL drop).
+
+    Scale shape: ONE window pass collects each conversion's preceding
+    touch path as (ts, id, channel) structs (array_sort makes the
+    order engine-defined, not collect-order-defined), the credit
+    vector is a pure JVM array expression over that path, and one
+    explode + aggregation finishes — no self-join.  Path length is
+    bounded by per-user history, the inherent state of multi-touch
+    models; cap upstream sessions if users are unbounded."""
+    from pyspark.sql import Window
+
+    touch_types = list(touch_types)
+    if not touch_types:
+        raise ValueError("touch_types must be non-empty")
+    if not (0.0 < first_w and 0.0 < last_w and first_w + last_w < 1.0):
+        raise ValueError("need first_w > 0, last_w > 0, first_w + last_w < 1")
+    mid_w = 1.0 - first_w - last_w
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col(type_col).isin(touch_types),
+        F.struct(
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("ch"),
+        ),
+    )
+    paths = (
+        events.select(
+            F.col(type_col),
+            F.col(value_col).alias("value"),
+            F.array_sort(
+                F.filter(
+                    F.collect_list(touch).over(w), lambda s: s.isNotNull()
+                )
+            ).alias("path"),
+        )
+        .where(F.col(type_col) == conversion_type)
+        .where(F.size("path") > 0)
+    )
+    n = F.size("path")
+    exploded = paths.select(
+        "value",
+        F.posexplode(F.transform("path", lambda s: s["ch"])).alias(
+            "pos", "channel"
+        ),
+        n.alias("n"),
+    )
+    cr = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("pos") == 0, F.lit(first_w))
+        .when(F.col("pos") == F.col("n") - 1, F.lit(last_w))
+        .otherwise(F.lit(mid_w) / (F.col("n") - 2))
+    )
+    return exploded.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_credits"),
+        F.round(F.sum(cr * F.col("value")), 4).alias("revenue"),
     )

@@ -3916,3 +3916,44 @@ def test_chi2_and_winsorize_semantics(spark):
         curation.winsorize(docs, "v", lo=0.5, hi=0.5)
     with _pytest.raises(ValueError):
         curation.winsorize(docs, "v", mode="weird")
+
+
+def test_attribution_position_semantics(spark):
+    """Hand-checked U-shape: 1 touch -> 100%, 2 -> 50/50, 4 -> 40% to
+    the ends and 10% to each middle; conversions with no prior touch
+    drop; later touches never credit."""
+    from plda_spark.operators import events as ev_ops
+
+    rows = [
+        # user 1: c v c v -> purchase(100): credits c:.4+.1, v:.1+.4
+        (1, "2024-01-01 00:00", 1, "click", 0.0),
+        (2, "2024-01-01 00:01", 1, "view", 0.0),
+        (3, "2024-01-01 00:02", 1, "click", 0.0),
+        (4, "2024-01-01 00:03", 1, "view", 0.0),
+        (5, "2024-01-01 00:04", 1, "purchase", 100.0),
+        # user 2: single view -> purchase(10): view gets 10
+        (6, "2024-01-02 00:00", 2, "view", 0.0),
+        (7, "2024-01-02 00:01", 2, "purchase", 10.0),
+        # user 3: purchase with NO prior touch -> dropped entirely
+        (8, "2024-01-03 00:00", 3, "purchase", 999.0),
+        (9, "2024-01-03 00:01", 3, "click", 0.0),   # after: no credit
+        # user 4: two touches -> 50/50 of 20
+        (10, "2024-01-04 00:00", 4, "click", 0.0),
+        (11, "2024-01-04 00:01", 4, "view", 0.0),
+        (12, "2024-01-04 00:02", 4, "purchase", 20.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP) ts", "user_id",
+                 "event_type", "value")
+    got = {r["channel"]: (r["n_credits"], r["revenue"]) for r in
+           ev_ops.attribution_position(ev).collect()}
+    # click: .4*100 + .1*100 + .5*20 = 60; view: .1*100+.4*100+10+.5*20 = 70
+    assert got["click"] == (3, 60.0)
+    assert got["view"] == (4, 70.0)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        ev_ops.attribution_position(ev, touch_types=[])
+    with _pytest.raises(ValueError):
+        ev_ops.attribution_position(ev, first_w=0.6, last_w=0.5)

@@ -2655,6 +2655,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_chi2_independence"] = stats_chi2_independence
 
+    def stats_hist_ks(spark, sf):
+        """KS drift between two DATE RANGES from the mergeable
+        histogram rollup alone (operators/stats.py hist_ks_ranges over
+        hist_daily_sketches): merge each range's day arrays (lossless),
+        binned ECDFs, D + asymptotic p — the drift probe that never
+        re-reads the event log (touches |days| rollup rows)."""
+        from plda_spark.operators import stats
+
+        sk = stats.hist_daily_sketches(
+            load_table(spark, sf, "events"), "value",
+            lo=0.0, hi=200.0, nbins=64,
+        )
+        return stats.hist_ks_ranges(
+            sk, ("2024-01-01", "2024-01-10"), ("2024-01-20", "2024-01-31")
+        )
+
+    q["stats_hist_ks"] = stats_hist_ks
+
     def curation_winsorize(spark, sf):
         """Per-source winsorization of document lengths
         (operators/curation.py winsorize): n_chars clipped to each
@@ -5438,6 +5456,45 @@ SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
 FROM l
 """
 
+    # Same fixed 64-bin grid over [0, 200), same range sums, binned
+    # ECDFs over occupied bins (constant between steps — same max),
+    # same lambda/series arithmetic as stats_ks_test.
+    o["stats_hist_ks"] = """
+WITH b AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(least(floor(CAST(value AS DOUBLE) / 3.125), 63) AS INTEGER)
+           AS bin
+  FROM events WHERE value >= 0 AND value < 200
+), g AS (
+  SELECT bin,
+         sum(CASE WHEN day BETWEEN '2024-01-01' AND '2024-01-10'
+                  THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN day BETWEEN '2024-01-20' AND '2024-01-31'
+                  THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bin
+), e AS (
+  SELECT sum(ca) OVER (ORDER BY bin) / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY bin) / sum(cb) OVER () AS fb,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM g
+), d AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         max(abs(fa - fb)) AS d_stat
+  FROM e GROUP BY n_a, n_b
+), l AS (
+  SELECT *, (sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE)) + 0.12
+             + 0.11 / sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE))) * d_stat
+            AS lam
+  FROM d
+)
+SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
+       round(CASE WHEN lam < 0.05 THEN 1.0 ELSE
+         least(greatest(2.0 * list_reduce(list_transform(range(1, 101),
+           j -> pow(-1.0, j - 1) * exp(-2.0 * j * j * lam * lam)),
+           (x, y) -> x + y), 0.0), 1.0) END, 6) AS p_value
+FROM l
+"""
+
     # Same contingency counts, same empty-cell-safe chi2 identity.
     o["stats_chi2_independence"] = """
 WITH cell AS (
@@ -7786,6 +7843,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_chi2_independence",
     "curation_winsorize",
     "events_attribution_position",
+    "stats_hist_ks",
 ]
 
 

@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "curation_winsorize",
     # U-shaped multi-touch attribution (window path, no self-join)
     "events_attribution_position",
+    # KS drift between date ranges from the histogram rollup alone
+    "stats_hist_ks",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -57,6 +57,7 @@ __all__ = [
     "decayed_moments",
     "ks_test",
     "chi2_independence",
+    "hist_ks_ranges",
 ]
 
 
@@ -1505,4 +1506,82 @@ def chi2_independence(
         dof.cast("long").alias("dof"),
         F.round(F.greatest(F.col("chi2"), F.lit(0.0)), 6).alias("chi2"),
         F.round(v, 6).alias("cramers_v"),
+    )
+
+
+def hist_ks_ranges(
+    sketches: DataFrame,
+    range_a: tuple,
+    range_b: tuple,
+) -> DataFrame:
+    """KS drift statistic between two DATE RANGES computed from the
+    :func:`hist_daily_sketches` rollup ALONE — "did last week's score
+    distribution shift vs the prior month" without re-reading a single
+    event: merge each range's day arrays (lossless), build both
+    binned ECDFs, take ``D = max |ECDF_a - ECDF_b|`` over the common
+    grid (exact up to the bin-width discretization the rollup already
+    carries), plus the same asymptotic p-value as :func:`ks_test`.
+
+    Returns ONE row ``(n_a, n_b, d_stat, p_value)``.  Scale shape: two
+    filtered sums over the |days|-row rollup + array expressions over
+    ``nbins`` values — the probe never touches the raw log."""
+    (a_lo, a_hi), (b_lo, b_hi) = range_a, range_b
+
+    def merged(lo, hi, alias):
+        return sketches.where(
+            (F.col("day") >= lo) & (F.col("day") <= hi)
+        ).agg(
+            F.aggregate(
+                F.collect_list("bin_counts"),
+                F.lit(None).cast("array<long>"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.zip_with(acc, x, lambda p, q: p + q)
+                ),
+            ).alias(alias)
+        )
+    both = merged(a_lo, a_hi, "ha").crossJoin(merged(b_lo, b_hi, "hb"))
+
+    def ecdf(col, n):
+        # running prefix sums over the bin array, normalized
+        idx = F.sequence(F.lit(1), F.size(col))
+        pref = F.transform(
+            idx, lambda i: F.aggregate(
+                F.slice(col, 1, i), F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.transform(pref, lambda c: c / n)
+
+    na = F.aggregate("ha", F.lit(0).cast("long"), lambda a, x: a + x)
+    nb = F.aggregate("hb", F.lit(0).cast("long"), lambda a, x: a + x)
+    d = both.select(
+        na.alias("n_a"),
+        nb.alias("n_b"),
+        F.array_max(
+            F.zip_with(
+                ecdf(F.col("ha"), na),
+                ecdf(F.col("hb"), nb),
+                lambda x, y: F.abs(x - y),
+            )
+        ).alias("d_stat"),
+    )
+    ne = F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b"))
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * F.col(
+        "d_stat"
+    )
+    series = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.pow(F.lit(-1.0), (j - 1).cast("double"))
+        * F.exp(F.lit(-2.0) * j.cast("double") * j.cast("double") * lam * lam),
+    )
+    p = F.when(lam < F.lit(0.05), F.lit(1.0)).otherwise(
+        F.least(F.greatest(series, F.lit(0.0)), F.lit(1.0))
+    )
+    withp = d.withColumn("__p", p)
+    return withp.select(
+        "n_a", "n_b",
+        F.round("d_stat", 6).alias("d_stat"),
+        F.round("__p", 6).alias("p_value"),
     )

@@ -724,3 +724,44 @@ def test_assoc_rules_joins_are_broadcast_after_pruning(spark):
     # (formatted plans list each node twice: tree + details)
     assert plan.count("BroadcastNestedLoopJoin") <= 2
     assert s["broadcast_hash_joins"] >= 3
+
+
+def test_frontier_schedule_is_one_exchange_no_python(spark):
+    """The schedule is ONE host-keyed window: a single hash exchange on
+    the host key, no joins, no Python in the plan."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["web_frontier_schedule"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BatchEvalPython" not in s["plan"] and "ArrowEvalPython" not in s["plan"]
+    assert s["broadcast_hash_joins"] == 0 and s["sort_merge_joins"] == 0
+    assert s["exchanges"] <= 2  # one hash partitioning (+AQE read)
+
+
+def test_ks_test_aggregates_before_the_ecdf_window(spark):
+    """The raw event stream must be reduced by the (value) groupBy
+    BEFORE any window — the plan has a partial-aggregate under the
+    exchange and no Python anywhere."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_ks_test"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winsorize_broadcasts_cuts_never_sorts_corpus(spark):
+    """The percentile cut table joins back as a BROADCAST; the corpus
+    itself is never globally sorted."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["curation_winsorize"](spark, "/root/testdata/sf0.001")
+    )
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
+    assert "BatchEvalPython" not in s["plan"] and "ArrowEvalPython" not in s["plan"]

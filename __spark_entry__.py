@@ -1365,6 +1365,47 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classify_score"] = classify_score
 
+    def _scored_labeled(spark, sf):
+        import numpy as np
+        from plda_spark.operators import classify
+
+        docs = load_table(spark, sf, "documents")
+        return classify.logreg_score(
+            docs.select("doc_id", "n_chars", "lang"),
+            np.array([-3.0, 0.01]), ["n_chars"],
+        ).withColumn("label", (F.col("lang") == "en").cast("int"))
+
+    def classify_calibration(spark, sf):
+        """Reliability diagram / Expected Calibration Error table
+        (operators/classify.py calibration_report — Guo 2017): the
+        pinned classifier's scores binned into 10 equal-width bins,
+        per-bin confidence vs empirical 'en' accuracy and the weighted
+        gap whose sum is the ECE.  ONE bin-keyed aggregation + a
+        broadcast 1-row total."""
+        from plda_spark.operators import classify
+
+        return classify.calibration_report(
+            _scored_labeled(spark, sf), "score", "label"
+        )
+
+    q["classify_calibration"] = classify_calibration
+
+    def classify_lift(spark, sf):
+        """Decile lift / cumulative-gain table
+        (operators/classify.py lift_report): scores ntile'd into 10
+        buckets (doc_id tie-break — a deterministic total order both
+        engines replay), per-bucket positive rate, lift over base rate,
+        cumulative gain.  The selection-policy audit for a quality
+        classifier."""
+        from plda_spark.operators import classify
+
+        return classify.lift_report(
+            _scored_labeled(spark, sf), "score", "label",
+            tie_cols=["doc_id"],
+        )
+
+    q["classify_lift"] = classify_lift
+
     # ---- engine extensions: text quality -----------------------------------
 
     q["text_lm_score"] = lambda spark, sf: text.lm_score(
@@ -6305,6 +6346,44 @@ SELECT doc_id, ROUND(1.0 / (1.0 + exp(-(-3.0 + 0.01 * n_chars))), 6) AS score
 FROM documents
 """
 
+    # Same pinned scores, same 10 equal-width bins, same ECE terms.
+    o["classify_calibration"] = """
+WITH s AS (
+  SELECT ROUND(1.0/(1.0 + exp(-(-3.0 + 0.01*n_chars))), 6) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), per AS (
+  SELECT CAST(least(floor(score*10), 9) AS INTEGER) AS bin,
+         CAST(count(*) AS BIGINT) AS n,
+         avg(score) AS conf, avg(CAST(y AS DOUBLE)) AS acc
+  FROM s WHERE score BETWEEN 0 AND 1 GROUP BY 1
+), tot AS (SELECT sum(n) AS nt FROM per)
+SELECT bin, n, round(conf, 6) AS confidence, round(acc, 6) AS accuracy,
+       round(abs(acc - conf), 6) AS gap,
+       round(n / CAST(nt AS DOUBLE), 6) AS weight
+FROM per, tot
+"""
+
+    # Same (score DESC, doc_id ASC) ntile order, same lift arithmetic.
+    o["classify_lift"] = """
+WITH s AS (
+  SELECT doc_id, ROUND(1.0/(1.0 + exp(-(-3.0 + 0.01*n_chars))), 6) AS score,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+  FROM documents
+), r AS (
+  SELECT *, ntile(10) OVER (ORDER BY score DESC, doc_id ASC) AS b FROM s
+), per AS (
+  SELECT b AS bucket, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(y AS DOUBLE)) AS np
+  FROM r GROUP BY b
+), tot AS (SELECT sum(n) AS nt, sum(np) AS pt FROM per)
+SELECT bucket, n, round(np, 6) AS n_pos, round(np / n, 6) AS rate,
+       round((np / n) / (pt / CAST(nt AS DOUBLE)), 6) AS lift,
+       round(sum(np) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) / pt, 6)
+         AS cum_gain
+FROM per, tot
+"""
+
     # Add-0.5-smoothed bigram LM perplexity, trained on the corpus itself.
     o["text_lm_score"] = f"""
 WITH toks AS (SELECT doc_id, {_SQL_TOKS} AS t FROM documents),
@@ -7844,6 +7923,8 @@ EXTRA_QUERIES: list[str] = [
     "curation_winsorize",
     "events_attribution_position",
     "stats_hist_ks",
+    "classify_calibration",
+    "classify_lift",
 ]
 
 

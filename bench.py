@@ -222,6 +222,9 @@ BENCH_QUERIES = [
     "events_attribution_position",
     # KS drift between date ranges from the histogram rollup alone
     "stats_hist_ks",
+    # classifier evaluation: reliability/ECE + decile lift
+    "classify_calibration",
+    "classify_lift",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA
@@ -273,16 +276,20 @@ def format_stdout_payload(
 
     Flat ``name -> min-seconds`` map + the three calibration probes
     only; per-query [min, max] detail goes to ``BENCH_DETAIL.json``
-    (see module doc).  Values are pre-rounded to 3 decimals by the
-    recorder, so the payload size is a function of the query count
-    alone — which the contract test pins against STDOUT_BYTE_BUDGET.
+    (see module doc).  Stdout per-query values are trimmed to TWO
+    decimals (10 ms — regression-gate precision; the 3-decimal numbers
+    live in BENCH_DETAIL.json) so the payload stays a function of the
+    query count alone — which the contract test pins against
+    STDOUT_BYTE_BUDGET; at 203 registered queries the 3-decimal line
+    outgrew the driver's 4 KiB capture, the exact round-5 failure the
+    pin exists to catch.
     """
     return json.dumps(
         {
             "metric": "total_wall_sec",
             "value": round(sum(timings.values()), 3),
             "unit": "sec",
-            "queries": timings,
+            "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf,
             "calibration": {k: round(v, 3) for k, v in calibration.items()},
             "calibration_spread": spread,

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_fit", "logreg_score", "logreg_score_col"]
+__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report"]
 
 
 def logreg_fit(
@@ -133,3 +133,104 @@ def logreg_score(
     """Append the classifier score to every row — a pure per-row
     projection (no shuffle, no Python), safe at any corpus size."""
     return df.withColumn(out_col, logreg_score_col(weights, feature_cols))
+
+
+def calibration_report(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error inputs for a
+    probabilistic classifier (Guo et al. 2017's ECE formulation): bin
+    predictions by score into ``n_bins`` equal-width bins over [0, 1],
+    and per bin report count, mean confidence, empirical accuracy, and
+    the |accuracy − confidence| gap.  ``Σ (n_b/n)·gap_b`` over the
+    output IS the ECE — emitted per bin so the report doubles as the
+    reliability-diagram table.
+
+    Returns ``(bin, n, confidence, accuracy, gap, weight)`` rounded to
+    6; empty bins are absent (their ECE term is zero).  Scale shape:
+    ONE map-side-combined aggregation keyed by the bin index + one
+    broadcast 1-row total — nothing else touches the data."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    per = scored.where((s >= 0) & (s <= 1)).groupBy(b.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(s).alias("conf"),
+        F.avg(y).alias("acc"),
+    )
+    tot = per.agg(F.sum("n").alias("n_tot"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round("conf", 6).alias("confidence"),
+        F.round("acc", 6).alias("accuracy"),
+        F.round(F.abs(F.col("acc") - F.col("conf")), 6).alias("gap"),
+        F.round(F.col("n") / F.col("n_tot"), 6).alias("weight"),
+    )
+
+
+def lift_report(
+    scored: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Decile lift / cumulative-gain table for a ranking score — "how
+    much better than random is selecting the top k%?", the standard
+    audit before using a quality classifier as a selection policy.
+
+    Rows are scored into ``n_buckets`` ntile ranks (1 = highest score;
+    ties broken by ``tie_cols``), then
+    per bucket: count, positives, rate, lift = rate / base-rate, and
+    the cumulative-gain fraction of all positives captured through
+    that bucket.  Returns ``(bucket, n, n_pos, rate, lift,
+    cum_gain)`` rounded to 6.
+
+    Scale shape: one ntile window over the score order (the inherent
+    global rank of a gain curve — use the quantile-cut variant of RFM
+    scoring upstream if a full sort is unaffordable) + one bucket
+    aggregation + |buckets|-row window arithmetic."""
+    from pyspark.sql import Window
+
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    # ntile assigns tied scores by ROW ORDER — pass tie_cols (e.g. the
+    # id) to make the bucketing a deterministic total order that an
+    # external replayer lands on exactly
+    order = [s.desc()] + [F.col(c).asc() for c in tie_cols]
+    ranked = scored.withColumn(
+        "__b", F.ntile(n_buckets).over(Window.orderBy(*order))
+    )
+    per = ranked.groupBy(F.col("__b").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(y).alias("n_pos")
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # cum sum computed BEFORE the rounding select — a round(...).alias
+    # ("n_pos") in the same select would lateral-alias-capture the
+    # window's n_pos reference (the ks_test lesson)
+    staged = per.crossJoin(F.broadcast(tot)).withColumn(
+        "__cum", F.sum("n_pos").over(w)
+    )
+    return staged.select(
+        "bucket",
+        "n",
+        F.round("n_pos", 6).alias("n_pos"),
+        F.round(F.col("n_pos") / F.col("n"), 6).alias("rate"),
+        F.round(
+            (F.col("n_pos") / F.col("n"))
+            / (F.col("pos_tot") / F.col("n_tot")),
+            6,
+        ).alias("lift"),
+        F.round(F.col("__cum") / F.col("pos_tot"), 6).alias("cum_gain"),
+    )

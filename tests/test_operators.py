@@ -3957,3 +3957,35 @@ def test_attribution_position_semantics(spark):
         ev_ops.attribution_position(ev, touch_types=[])
     with _pytest.raises(ValueError):
         ev_ops.attribution_position(ev, first_w=0.6, last_w=0.5)
+
+
+def test_calibration_and_lift_reports(spark):
+    """A perfectly calibrated score has zero gaps (ECE 0); a perfect
+    ranker's top decile captures all positives (max lift), and
+    cum_gain ends at 1."""
+    from plda_spark.operators import classify
+
+    # scores exactly equal to empirical rates within each bin
+    rows = ([(i, 0.25, 1 if i < 25 else 0) for i in range(100)] +
+            [(i + 100, 0.75, 1 if i < 75 else 0) for i in range(100)])
+    df = spark.createDataFrame(rows, "id long, score double, label int")
+    cal = {r["bin"]: r for r in
+           classify.calibration_report(df, "score", "label", n_bins=4).collect()}
+    assert set(cal) == {1, 3}
+    assert cal[1]["gap"] == 0.0 and cal[3]["gap"] == 0.0
+    assert cal[1]["weight"] == 0.5
+
+    # perfect ranker: label = 1 iff score in top 20%
+    rows2 = [(i, float(i), 1 if i >= 80 else 0) for i in range(100)]
+    df2 = spark.createDataFrame(rows2, "id long, score double, label int")
+    lift = {r["bucket"]: r for r in
+            classify.lift_report(df2, "score", "label", n_buckets=5,
+                                 tie_cols=["id"]).collect()}
+    assert lift[1]["lift"] == 5.0 and lift[1]["cum_gain"] == 1.0
+    assert lift[5]["n_pos"] == 0.0 and lift[5]["cum_gain"] == 1.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        classify.calibration_report(df, "score", "label", n_bins=0)
+    with _pytest.raises(ValueError):
+        classify.lift_report(df, "score", "label", n_buckets=0)

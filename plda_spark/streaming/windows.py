@@ -43,6 +43,8 @@ __all__ = [
     "compact_dedup_ledger",
     "incremental_decayed_counts",
     "decayed_counts_from_ledger",
+    "incremental_hist_ledger",
+    "hist_ks_from_ledger",
     "enrich",
 ]
 
@@ -1108,4 +1110,100 @@ def decayed_counts_from_ledger(
         src.withColumn("__scale", scale)
         .groupBy(*[F.col(c) for c in key_cols])
         .agg(*aggs)
+    )
+
+
+def incremental_hist_ledger(
+    stream_events: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+    timeout_s: float = 300.0,
+) -> None:
+    """Continuously maintain a mergeable HISTOGRAM ledger over a value
+    stream — the streaming twin of ``operators/stats.py
+    hist_daily_sketches``, and the input to
+    :func:`hist_ks_from_ledger`'s drift alerts ("has the score
+    distribution of the last N micro-batches shifted vs the reference
+    window?" without ever re-reading the stream).
+
+    Each micro-batch appends ONE row ``(bin_counts: array<long>)`` for
+    its own data — a pure function of the batch, so the dynamic
+    ``run_id/batch_id`` partition overwrite makes crash-replays rewrite
+    identical bytes (the decayed-ledger exactly-once contract, no
+    markers needed).  Histogram merging is lossless, so any batch-range
+    fold equals binning those batches in one pass.
+
+    Scale shape: one map-side-combined (bin) aggregation per batch,
+    ``nbins`` longs appended; drift probes touch only the ledger."""
+    from plda_spark.operators.stats import hist_daily_sketches  # noqa: F401
+
+    if nbins <= 0:
+        raise ValueError("nbins must be positive")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    w = (hi - lo) / nbins
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        token = _query_token(spark, checkpoint_path)
+        x = F.col(value_col).cast("double")
+        counts = (
+            batch.where((x >= lo) & (x < hi))
+            .groupBy(
+                F.least(F.floor((x - lo) / w), F.lit(nbins - 1))
+                .cast("int")
+                .alias("bin")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        m = F.map_from_entries(F.collect_list(F.struct("bin", "n")))
+        row = counts.agg(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nbins - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(m, i.cast("int")), F.lit(0)
+                ).cast("long"),
+            ).alias("bin_counts")
+        )
+        _overwrite_batch_partition(row, state_path, token, batch_id)
+
+    q = (
+        stream_events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def hist_ks_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    batches_a,
+    batches_b,
+) -> DataFrame:
+    """KS drift statistic between two BATCH-ID ranges of the
+    :func:`incremental_hist_ledger` — the streaming drift alert: fold
+    each range's per-batch histograms (lossless), then delegate to the
+    same binned-ECDF + asymptotic-p arithmetic as
+    ``operators/stats.py hist_ks_ranges``.  ``batches_a``/``batches_b``
+    are inclusive ``(lo, hi)`` batch-id tuples.  Touches only the
+    ledger: |batches| rows of nbins longs."""
+    from plda_spark.operators.stats import hist_ks_ranges
+
+    ledger = spark.read.parquet(state_path).select(
+        F.col("batch_id").cast("string").alias("day"), "bin_counts"
+    )
+    # reuse the range fold verbatim — batch ids stand in for days; pad
+    # to fixed width so string ordering == numeric ordering
+    padded = ledger.withColumn("day", F.lpad("day", 10, "0"))
+    fmt = lambda b: str(int(b)).zfill(10)
+    return hist_ks_ranges(
+        padded,
+        (fmt(batches_a[0]), fmt(batches_a[1])),
+        (fmt(batches_b[0]), fmt(batches_b[1])),
     )

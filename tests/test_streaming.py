@@ -980,3 +980,47 @@ def test_incremental_decayed_moments_matches_batch(spark, tmp_path):
                  ref_ts="2024-01-23 00:00:00").collect()}
     for k in want:
         assert abs(later[k] - want[k]["decayed_mean"]) < 2e-3
+
+
+def test_incremental_hist_ledger_ks_matches_batch(spark, tmp_path):
+    """The streaming histogram ledger folded across batch ranges must
+    give the same KS verdict as the batch operator run over the same
+    split — and a planted shift between batch windows must be
+    detected."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import stats
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, v double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    # batch 0: values near 20; batch 1: shifted near 70
+    mk([(i, 20.0 + (i % 7)) for i in range(400)]).write.mode("append").parquet(in_dir)
+    windows.incremental_hist_ledger(
+        spark.readStream.schema(schema).parquet(in_dir), state, ckpt,
+        "v", lo=0.0, hi=100.0, nbins=50)
+    mk([(i + 1000, 70.0 + (i % 7)) for i in range(400)]).write.mode("append").parquet(in_dir)
+    windows.incremental_hist_ledger(
+        spark.readStream.schema(schema).parquet(in_dir), state, ckpt,
+        "v", lo=0.0, hi=100.0, nbins=50)
+
+    r = windows.hist_ks_from_ledger(spark, state, (0, 0), (1, 1)).first()
+    assert (r["n_a"], r["n_b"]) == (400, 400)
+    assert r["d_stat"] == 1.0 and r["p_value"] < 1e-9  # disjoint supports
+
+    # parity with the batch path: label each half and bin identically
+    lab = mk([(i, 20.0 + (i % 7)) for i in range(400)]).withColumn(
+        "g", F.lit("a")).union(
+        mk([(i + 1000, 70.0 + (i % 7)) for i in range(400)]).withColumn(
+            "g", F.lit("b")))
+    exact = stats.ks_test(lab, "g", "v", "a", "b").first()
+    assert (r["d_stat"], r["p_value"]) == (exact["d_stat"], exact["p_value"])
+
+    # self-comparison is the null result
+    same = windows.hist_ks_from_ledger(spark, state, (0, 1), (0, 1)).first()
+    assert same["d_stat"] == 0.0 and same["p_value"] == 1.0

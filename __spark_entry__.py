@@ -2731,6 +2731,35 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_winsorize"] = curation_winsorize
 
+    def pipeline_curation_v2(spark, sf):
+        """Round-6 curation ops COMPOSED end to end: per-source
+        winsorize (5-95% clip) → cross-source quantile normalization
+        (pooled scale) → fixed global threshold (≥ 300 pooled units —
+        now meaningful in every source) → per-source keep counts +
+        mean normalized score.  The oracle replays the whole chain in
+        SQL, hash-gating the composition, not just the parts."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars"
+        )
+        w = curation.winsorize(
+            docs, "n_chars", group_col="source", lo=0.05, hi=0.95
+        )
+        qn = curation.quantile_normalize(
+            w, "winsorized", "source", n_cuts=100
+        )
+        return (
+            qn.where(F.col("normalized") >= 300.0)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.round(F.avg("normalized"), 4).alias("mean_normalized"),
+            )
+        )
+
+    q["pipeline_curation_v2"] = pipeline_curation_v2
+
     def sample_neyman(spark, sf):
         """Neyman-optimal stratified allocation (operators/sampling.py
         neyman_allocation — Neyman 1934): a 2000-row budget split across
@@ -5558,6 +5587,40 @@ FROM cell JOIN ra USING (a) JOIN rb USING (b), tot
 GROUP BY n, na, nb
 """
 
+    # The whole chain replayed: winsorize -> within-source percent_rank
+    # -> pooled 101-cut interpolation -> threshold -> per-source summary.
+    o["pipeline_curation_v2"] = """
+WITH cuts0 AS (
+  SELECT source,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.05) AS plo,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.95) AS phi
+  FROM documents GROUP BY source
+), w AS (
+  SELECT doc_id, d.source,
+         round(least(greatest(CAST(n_chars AS DOUBLE), plo), phi), 6) AS wv
+  FROM documents d JOIN cuts0 ON cuts0.source = d.source
+), cuts AS (
+  SELECT list_transform(
+           quantile_cont(wv, list_transform(range(0, 101), i -> i / 100.0)),
+           x -> CAST(x AS DOUBLE)) AS c
+  FROM w
+), r AS (
+  SELECT doc_id, source, wv,
+         percent_rank() OVER (PARTITION BY source ORDER BY wv) AS p
+  FROM w
+), qn AS (
+  SELECT source,
+         round(c[CAST(floor(p * 100) AS INTEGER) + 1]
+                 * (1.0 - (p * 100 - floor(p * 100)))
+               + c[least(CAST(floor(p * 100) AS INTEGER) + 1, 100) + 1]
+                 * (p * 100 - floor(p * 100)), 6) AS normalized
+  FROM r, cuts
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       round(avg(normalized), 4) AS mean_normalized
+FROM qn WHERE normalized >= 300.0 GROUP BY source
+"""
+
     # Same per-source exact [5%, 95%] interpolated band, same clip.
     o["curation_winsorize"] = """
 WITH cuts AS (
@@ -7925,6 +7988,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_hist_ks",
     "classify_calibration",
     "classify_lift",
+    "pipeline_curation_v2",
 ]
 
 

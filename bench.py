@@ -225,6 +225,8 @@ BENCH_QUERIES = [
     # classifier evaluation: reliability/ECE + decile lift
     "classify_calibration",
     "classify_lift",
+    # composed winsorize -> quantile-norm -> threshold pipeline
+    "pipeline_curation_v2",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -4728,20 +4728,22 @@ SELECT CAST(p AS BIGINT) AS probe,
 FROM pp GROUP BY p
 """
 
-    # Same daily lag-7 baseline and expanding-window MAE.
+    # Same daily seasonal baseline, matched by CALENDAR date (+7 days),
+    # not row offset — a gap day must not slide later predictions.
     o["events_forecast_backtest"] = """
 WITH d AS (
   SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
          CAST(count(*) AS BIGINT) AS actual
   FROM events GROUP BY 1
 ), p AS (
-  SELECT day, actual, lag(actual, 7) OVER (ORDER BY day) AS predicted
-  FROM d
+  SELECT d.day, d.actual, prev.actual AS predicted
+  FROM d JOIN d prev
+    ON CAST(prev.day AS DATE) + INTERVAL 7 DAY = CAST(d.day AS DATE)
 )
 SELECT day, actual, predicted, abs(actual - predicted) AS abs_err,
        round(avg(abs(actual - predicted))
              OVER (ORDER BY day ROWS UNBOUNDED PRECEDING), 4) AS running_mae
-FROM p WHERE predicted IS NOT NULL
+FROM p
 """
 
     # Same user-day baskets, same two-level support pruning, same

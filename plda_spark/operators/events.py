@@ -360,11 +360,15 @@ def forecast_backtest(
     beat), and emit per-day residuals plus the expanding running MAE.
 
     Returns ``(day, actual, predicted, abs_err, running_mae)`` —
-    the first ``season_lag`` days are absent (no prediction exists).
+    days whose seasonal predecessor is absent (the first ``season_lag``
+    days, and any day whose same-weekday ancestor had zero events) are
+    absent.  The predecessor is matched by CALENDAR date arithmetic,
+    not row offset: a missing day in the series must not slide every
+    later prediction onto the wrong weekday.
 
-    Scale shape: one daily aggregation + one lag window over the
-    |days|-row series — the windows run over the group-key-sized
-    table, never the event log.
+    Scale shape: one daily aggregation + one |days|-row self-join on
+    the computed predecessor date — the join runs over the
+    group-key-sized table, never the event log.
     """
     from pyspark.sql import Window
 
@@ -373,14 +377,12 @@ def forecast_backtest(
     daily = events.groupBy(
         F.to_date(ts_col).cast("string").alias("day")
     ).agg(F.count(F.lit(1)).alias("actual"))
-    w = Window.orderBy("day")
+    prev = daily.select(
+        F.date_add(F.to_date("day"), season_lag).cast("string").alias("day"),
+        F.col("actual").alias("predicted"),
+    )
     return (
-        daily.select(
-            "day",
-            "actual",
-            F.lag("actual", season_lag).over(w).alias("predicted"),
-        )
-        .where(F.col("predicted").isNotNull())
+        daily.join(prev, "day")
         .select(
             "day",
             "actual",

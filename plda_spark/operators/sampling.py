@@ -582,11 +582,21 @@ def kcenter_select(
             .orderBy(F.col("__dsq").desc(), F.col("__id").asc())
             .first()
         )
+        if far["__dsq"] <= 0.0:
+            # every remaining point coincides with a center (k exceeds
+            # the number of DISTINCT vectors): the space is fully
+            # covered — stop instead of re-selecting centers with
+            # radius 0 (duplicate ids would silently shrink a
+            # deduplicated coreset)
+            break
         selected.append((step, far["__id"], float(far["__dsq"])))
         centers.append([float(v) for v in far["__vec"]])
     spark = embeddings.sparkSession
+    # derive the id field's type from the INPUT schema — embeddings are
+    # commonly keyed by string doc/url ids, not just longs
+    id_type = embeddings.schema[id_col].dataType.simpleString()
     out = spark.createDataFrame(
         [(o, i, d) for o, i, d in selected],
-        f"sel_order int, {id_col} long, dist_sq double",
+        f"sel_order int, {id_col} {id_type}, dist_sq double",
     )
     return out.select("sel_order", id_col, F.round("dist_sq", 6).alias("dist_sq"))

@@ -1492,12 +1492,12 @@ def chi2_independence(
     )
     agg = joined.groupBy("n", "n_a", "n_b").agg(chi2.alias("chi2"))
     dof = (F.col("n_a") - 1) * (F.col("n_b") - 1)
-    v = F.sqrt(
-        F.greatest(F.col("chi2"), F.lit(0.0))
-        / (
-            F.col("n")
-            * F.least(F.col("n_a") - 1, F.col("n_b") - 1).cast("double")
-        )
+    kmin = F.least(F.col("n_a") - 1, F.col("n_b") - 1).cast("double")
+    # a single-category column gives dof 0 and min(R-1,C-1) = 0 — V is
+    # conventionally 0 there (no association is expressible), and the
+    # raw formula would divide by zero (an ANSI-mode error)
+    v = F.when(kmin <= 0, F.lit(0.0)).otherwise(
+        F.sqrt(F.greatest(F.col("chi2"), F.lit(0.0)) / (F.col("n") * kmin))
     )
     return agg.select(
         "n",

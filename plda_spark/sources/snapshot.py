@@ -335,6 +335,10 @@ def _commit_files(
                     )
                 ).alias("pos"),
             )
+            # NULL keys hash to a NULL position: drop them (a NULL sets
+            # no bits; without the filter the driver loop below indexes
+            # arr[None] and the whole commit aborts)
+            .where(F.col("pos").isNotNull())
             .select(
                 "__file",
                 F.floor(F.col("pos") / 64).cast("int").alias("w"),
@@ -361,7 +365,16 @@ def _bloom_may_contain(entry: dict, col: str, value) -> bool:
     """Can ``entry``'s file contain ``value`` per its bloom filter?
     Missing filter => True (never prune on ignorance — rewrites that
     predate the bloom config, or columns added later, keep full
-    recall)."""
+    recall).
+
+    Pruning only engages for str/int probe values: those are the key
+    types whose Python rendering is byte-identical to Spark's
+    ``cast('string')`` (the uuid/digest/id use case the index exists
+    for).  Other types (floats render '1e-07' vs Spark '1.0E-7',
+    booleans 'True' vs 'true', NULL) fall back to True — one extra
+    file read, never a silent false negative."""
+    if not isinstance(value, (str, int)) or isinstance(value, bool):
+        return True
     words = entry.get("bloom", {}).get(col)
     if not words:
         return True

@@ -1054,6 +1054,27 @@ def _decayed_rel_mass(
     return events.groupBy(*[F.col(c) for c in key_cols]).agg(*aggs)
 
 
+def _single_generation(
+    spark: SparkSession, state_path: str, run_id: str | None
+) -> DataFrame:
+    """Load an ADDITIVE ledger restricted to one checkpoint generation.
+    Multiple generations + no explicit ``run_id`` is an error: each
+    generation re-covered the input, so folding them together double-
+    counts (loud failure beats a silently doubled metric)."""
+    ledger = spark.read.parquet(state_path)
+    if run_id is not None:
+        return ledger.where(F.col("run_id") == run_id)
+    runs = [r["run_id"] for r in ledger.select("run_id").distinct().collect()]
+    if len(runs) > 1:
+        raise ValueError(
+            f"ledger at {state_path} holds {len(runs)} checkpoint "
+            f"generations {sorted(runs)}; each re-covered the input, so an "
+            "additive fold across them double-counts — pass run_id=... to "
+            "pick one, or vacuum the stale generation"
+        )
+    return ledger
+
+
 def decayed_counts_from_ledger(
     spark: SparkSession,
     state_path: str,
@@ -1061,14 +1082,22 @@ def decayed_counts_from_ledger(
     half_life_days: float = 7.0,
     epoch: str = "2024-01-01 00:00:00",
     ref_ts=None,
+    run_id_filter: str | None = None,
 ) -> DataFrame:
     """Fold the :func:`incremental_decayed_counts` ledger into current
     ``(key..., n_events, decayed_count)`` values: sum the per-batch
     partials per key, then apply the single epoch-relative scale at
     ``ref_ts`` (default: the newest event the ledger has seen).
     Touches only the ledger — one slim row per (key, batch), compacted
-    like the dedup ledgers when batch count grows."""
-    ledger = spark.read.parquet(state_path)
+    like the dedup ledgers when batch count grows.
+
+    ``run_id`` selects one checkpoint GENERATION.  A wiped/recreated
+    checkpoint re-reads the whole input under a new query id, so a
+    ledger holding two generations covers the same events twice — the
+    dedup ledgers survive that via set semantics, but an ADDITIVE fold
+    would double-count, so with multiple generations present and no
+    ``run_id`` this raises instead of silently doubling."""
+    ledger = _single_generation(spark, state_path, run_id_filter)
 
     def secs(c):
         return F.unix_micros(c.cast("timestamp_ltz")) / F.lit(1_000_000.0)
@@ -1185,6 +1214,7 @@ def hist_ks_from_ledger(
     state_path: str,
     batches_a,
     batches_b,
+    run_id_filter: str | None = None,
 ) -> DataFrame:
     """KS drift statistic between two BATCH-ID ranges of the
     :func:`incremental_hist_ledger` — the streaming drift alert: fold
@@ -1192,10 +1222,12 @@ def hist_ks_from_ledger(
     same binned-ECDF + asymptotic-p arithmetic as
     ``operators/stats.py hist_ks_ranges``.  ``batches_a``/``batches_b``
     are inclusive ``(lo, hi)`` batch-id tuples.  Touches only the
-    ledger: |batches| rows of nbins longs."""
+    ledger: |batches| rows of nbins longs.  Same single-generation
+    contract as :func:`decayed_counts_from_ledger` — batch ids are only
+    meaningful within one checkpoint generation."""
     from plda_spark.operators.stats import hist_ks_ranges
 
-    ledger = spark.read.parquet(state_path).select(
+    ledger = _single_generation(spark, state_path, run_id_filter).select(
         F.col("batch_id").cast("string").alias("day"), "bin_counts"
     )
     # reuse the range fold verbatim — batch ids stand in for days; pad

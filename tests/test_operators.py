@@ -3989,3 +3989,37 @@ def test_calibration_and_lift_reports(spark):
         classify.calibration_report(df, "score", "label", n_bins=0)
     with _pytest.raises(ValueError):
         classify.lift_report(df, "score", "label", n_buckets=0)
+
+
+def test_review_fixes_round6(spark):
+    """Regression pins for the round-6 self-review findings: kcenter
+    string ids + k>distinct early stop, chi2 single-category guard,
+    forecast gap alignment."""
+    from plda_spark.operators import events as ev_ops
+    from plda_spark.operators import sampling, stats
+
+    # kcenter: string ids work; k beyond distinct vectors stops early
+    emb = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [1.0, 0.0]), ("c", [1.0, 0.0])],
+        "vec_id string, embedding array<float>")
+    out = sampling.kcenter_select(emb, 5).collect()
+    ids = [r["vec_id"] for r in out]
+    assert ids == ["a", "b"]              # c duplicates b -> radius 0 stop
+    assert len(ids) == len(set(ids))
+
+    # chi2: one-category column -> dof 0, V defined as 0, no crash
+    one = spark.createDataFrame([("x", "p"), ("x", "q")], "a string, b string")
+    r = stats.chi2_independence(one, "a", "b").first()
+    assert r["dof"] == 0 and r["cramers_v"] == 0.0
+
+    # forecast: a missing calendar day must NOT slide predictions onto
+    # the wrong weekday — day 9 is absent; day 15's predictor is day 8
+    days = [f"2024-01-{d:02d}" for d in range(1, 16) if d != 9]
+    rows = [(i, f"{d} 00:00:00") for i, d in enumerate(days)]
+    ev = spark.createDataFrame(rows, "event_id long, ts string").selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) ts")
+    fc = {r["day"]: r["predicted"] for r in ev_ops.forecast_backtest(ev).collect()}
+    assert "2024-01-16" not in fc and "2024-01-09" not in fc
+    assert fc["2024-01-15"] == 1          # matched to Jan 8 by DATE
+    assert "2024-01-08" in fc             # Jan 1 exists
+    # Jan 16 absent from the series at all; Jan 9+7=16 not in actuals

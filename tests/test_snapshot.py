@@ -1023,3 +1023,56 @@ def test_optimize_zorder_tightens_pruning_and_materializes_deletes(
     # empty-cols refused; optimizing an empty table is a no-op
     with pytest.raises(ValueError):
         snap.snapshot_optimize_zorder(spark, path, [])
+
+
+def test_bloom_cols_survive_null_keys_and_nonstring_probes(spark, tmp_path):
+    """Review pins: a NULL in a bloom column must not abort the commit
+    (it simply sets no bits), and non-str/int probe values never prune
+    (their Python rendering differs from Spark's cast-to-string, which
+    would risk a silent false negative)."""
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(1, "k1", 0.5), (2, None, 1e-07), (3, "k3", 2.0)],
+        "id long, key string, score double")
+    snap.snapshot_write(df, path, mode="overwrite",
+                        stats_cols=["id"], bloom_cols=["key", "score"])
+    # commit survived; point lookups still correct
+    assert snap.snapshot_scan_point(spark, path, "key", "k3").count() == 1
+    assert snap.snapshot_scan_point(spark, path, "key", "nope").count() == 0
+    # float probe: rendering differs between engines -> must NOT prune
+    got = snap.snapshot_scan_point(spark, path, "score", 1e-07).collect()
+    assert [r["id"] for r in got] == [2]
+    # bool probe falls back too (Python 'True' vs Spark 'true')
+    assert snap._bloom_may_contain({"bloom": {"x": [0] * 32}}, "x", True)
+    assert snap._bloom_may_contain({"bloom": {"x": [0] * 32}}, "x", 0.25)
+
+
+def test_additive_ledgers_refuse_multi_generation_folds(spark, tmp_path):
+    """Review pin: after a checkpoint wipe the decayed/histogram
+    ledgers hold two generations covering the same events — the
+    additive folds must REFUSE (loud) rather than double-count
+    (silent), and accept an explicit run_id."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from plda_spark.streaming import windows
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ev = spark.createDataFrame(
+        [(1, "2024-01-02 00:00:00", "a")],
+        "event_id long, ts string, event_type string"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    ev.write.mode("append").parquet(in_dir)
+    schema = "event_id long, ts timestamp, event_type string"
+    for gen in ("ck1", "ck2"):  # second checkpoint = wiped generation
+        windows.incremental_decayed_counts(
+            spark.readStream.schema(schema).parquet(in_dir),
+            state, str(tmp_path / gen), ["event_type"], half_life_days=7.0)
+    with _pytest.raises(ValueError, match="generations"):
+        windows.decayed_counts_from_ledger(spark, state, ["event_type"])
+    runs = [r["run_id"] for r in
+            spark.read.parquet(state).select("run_id").distinct().collect()]
+    one = windows.decayed_counts_from_ledger(
+        spark, state, ["event_type"], run_id_filter=runs[0]).first()
+    assert one["n_events"] == 1  # single generation: no double count

@@ -2759,6 +2759,38 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipeline_curation_v2"] = pipeline_curation_v2
+    def stream_hist_drift(spark, sf):
+        """Streaming drift detection end to end (streaming/windows.py
+        incremental_hist_ledger + hist_ks_from_ledger): the even events
+        arrive as micro-batch 0, the odds as micro-batch 1 (two
+        availableNow runs against one checkpoint), each appending ONE
+        lossless histogram row under the exactly-once partition-
+        overwrite contract; the KS fold between the two batches must
+        equal the oracle's direct binned KS over the same parity split
+        — the streaming drift monitor hash-gated, not just
+        pytest-gated."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select("event_id", "value")
+        d = tempfile.mkdtemp(prefix="plda_histdrift_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        schema = "event_id long, value double"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        windows.incremental_hist_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, nbins=64,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_hist_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, nbins=64,
+        )
+        return windows.hist_ks_from_ledger(spark, state, (0, 0), (1, 1))
+
+    q["stream_hist_drift"] = stream_hist_drift
+
 
     def sample_neyman(spark, sf):
         """Neyman-optimal stratified allocation (operators/sampling.py
@@ -5589,6 +5621,42 @@ FROM cell JOIN ra USING (a) JOIN rb USING (b), tot
 GROUP BY n, na, nb
 """
 
+    # The parity split binned on the same fixed grid, then the same
+    # ECDF / lambda / series arithmetic as stats_hist_ks.
+    o["stream_hist_drift"] = """
+WITH b AS (
+  SELECT event_id % 2 AS g,
+         CAST(least(floor(CAST(value AS DOUBLE) / 3.125), 63) AS INTEGER)
+           AS bin
+  FROM events WHERE value >= 0 AND value < 200
+), g2 AS (
+  SELECT bin,
+         sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bin
+), e AS (
+  SELECT sum(ca) OVER (ORDER BY bin) / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY bin) / sum(cb) OVER () AS fb,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM g2
+), d AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         max(abs(fa - fb)) AS d_stat
+  FROM e GROUP BY n_a, n_b
+), l AS (
+  SELECT *, (sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE)) + 0.12
+             + 0.11 / sqrt(n_a * n_b / CAST(n_a + n_b AS DOUBLE))) * d_stat
+            AS lam
+  FROM d
+)
+SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
+       round(CASE WHEN lam < 0.05 THEN 1.0 ELSE
+         least(greatest(2.0 * list_reduce(list_transform(range(1, 101),
+           j -> pow(-1.0, j - 1) * exp(-2.0 * j * j * lam * lam)),
+           (x, y) -> x + y), 0.0), 1.0) END, 6) AS p_value
+FROM l
+"""
+
     # The whole chain replayed: winsorize -> within-source percent_rank
     # -> pooled 101-cut interpolation -> threshold -> per-source summary.
     o["pipeline_curation_v2"] = """
@@ -7991,6 +8059,7 @@ EXTRA_QUERIES: list[str] = [
     "classify_calibration",
     "classify_lift",
     "pipeline_curation_v2",
+    "stream_hist_drift",
 ]
 
 

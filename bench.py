@@ -227,6 +227,8 @@ BENCH_QUERIES = [
     "classify_lift",
     # composed winsorize -> quantile-norm -> threshold pipeline
     "pipeline_curation_v2",
+    # streaming drift monitor end to end (hist ledger + KS fold)
+    "stream_hist_drift",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -2696,6 +2696,23 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_chi2_independence"] = stats_chi2_independence
 
+    def stats_mannwhitney(spark, sf):
+        """Mann-Whitney U rank-sum test between click and purchase
+        values (operators/stats.py mannwhitney_u): average-rank tie
+        handling, tie-corrected variance, continuity-corrected normal
+        approximation with the Abramowitz-Stegun Φ polynomial — the
+        location-shift member of the drift-test family, all arithmetic
+        engine-replayable.  Same bounded shape as the KS test: counts
+        aggregate first, windows touch |distinct values| rows."""
+        from plda_spark.operators import stats
+
+        return stats.mannwhitney_u(
+            load_table(spark, sf, "events"), "event_type", "value",
+            "click", "purchase",
+        )
+
+    q["stats_mannwhitney"] = stats_mannwhitney
+
     def stats_hist_ks(spark, sf):
         """KS drift between two DATE RANGES from the mergeable
         histogram rollup alone (operators/stats.py hist_ks_ranges over
@@ -5599,6 +5616,51 @@ SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
 FROM l
 """
 
+    # Same average ranks, tie-corrected variance, continuity-corrected
+    # z, and the identical A&S 26.2.17 polynomial (same nesting order).
+    o["stats_mannwhitney"] = """
+WITH pv AS (
+  SELECT CAST(value AS DOUBLE) AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY 1
+), st AS (
+  SELECT ca, ca + cb AS t,
+         (sum(ca + cb) OVER (ORDER BY v) - (ca + cb))
+           + (ca + cb + 1) / 2.0 AS avgrank,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM pv
+), ag AS (
+  SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         sum(ca * avgrank) AS r_a,
+         sum(CAST(t AS DOUBLE) * t * t - t) AS tie_mass
+  FROM st GROUP BY n_a, n_b
+), calc AS (
+  SELECT n_a, n_b,
+         r_a - n_a * (n_a + 1) / 2.0 AS u,
+         n_a * n_b / 2.0 AS mu,
+         n_a * n_b / 12.0
+           * ((n_a + n_b + 1)
+              - tie_mass / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))
+           AS var
+  FROM ag
+), zc AS (
+  SELECT n_a, n_b, u,
+         CASE WHEN var <= 0 THEN 0.0
+              ELSE greatest(abs(u - mu) - 0.5, 0.0) / sqrt(var) END AS z
+  FROM calc
+), ph AS (
+  SELECT *, 1.0 / (1.0 + 0.2316419 * z) AS tt FROM zc
+)
+SELECT n_a, n_b, round(u, 4) AS u_stat, round(z, 6) AS z,
+       round(least(2.0 * (exp(-z * z / 2.0) / 2.5066282746310002)
+         * (tt * (0.319381530 + tt * (-0.356563782 + tt * (1.781477937
+            + tt * (-1.821255978 + tt * 1.330274429))))), 1.0), 6)
+         AS p_value
+FROM ph
+"""
+
     # Same contingency counts, same empty-cell-safe chi2 identity.
     o["stats_chi2_independence"] = """
 WITH cell AS (
@@ -8060,6 +8122,7 @@ EXTRA_QUERIES: list[str] = [
     "classify_lift",
     "pipeline_curation_v2",
     "stream_hist_drift",
+    "stats_mannwhitney",
 ]
 
 

@@ -229,6 +229,8 @@ BENCH_QUERIES = [
     "pipeline_curation_v2",
     # streaming drift monitor end to end (hist ledger + KS fold)
     "stream_hist_drift",
+    # Mann-Whitney U rank-sum (tie-corrected normal approximation)
+    "stats_mannwhitney",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

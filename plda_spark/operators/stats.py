@@ -58,6 +58,7 @@ __all__ = [
     "ks_test",
     "chi2_independence",
     "hist_ks_ranges",
+    "mannwhitney_u",
 ]
 
 
@@ -1583,5 +1584,101 @@ def hist_ks_ranges(
     return withp.select(
         "n_a", "n_b",
         F.round("d_stat", 6).alias("d_stat"),
+        F.round("__p", 6).alias("p_value"),
+    )
+
+
+def mannwhitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups — the
+    nonparametric location-shift test completing the drift family
+    (:func:`ks_test` asks "any distribution difference?"; this asks
+    "does one group tend to be LARGER?", robust to outliers where a
+    t-test is not).
+
+    Exact tie handling: average ranks per tied value group, the normal
+    approximation with the standard tie-corrected variance
+    ``σ² = (n_a·n_b/12)·((n+1) − Σ(t³−t)/(n(n−1)))`` and a 0.5
+    continuity correction; Φ is the Abramowitz-Stegun 26.2.17
+    polynomial (|ε| < 7.5e-8 — far inside the 6-decimal rounding), so
+    the p-value is pure deterministic arithmetic an external replayer
+    reproduces exactly.  Returns ONE row ``(n_a, n_b, u_stat, z,
+    p_value)`` (U for group a; two-sided p).
+
+    Scale shape: identical to :func:`ks_test` — one per-value count
+    aggregation first, then ordered windows over |distinct values|
+    rows and scalar aggregates."""
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    per_val = (
+        df.where(a | b)
+        .groupBy(F.col(value_col).cast("double").alias("v"))
+        .agg(
+            F.sum(a.cast("long")).alias("ca"),
+            F.sum(b.cast("long")).alias("cb"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    t = F.col("ca") + F.col("cb")
+    staged = per_val.select(
+        "ca",
+        t.alias("t"),
+        # average rank of this tied value group: ranks before it + (t+1)/2
+        (
+            (F.sum(F.col("ca") + F.col("cb")).over(w) - t)
+            + (t + 1) / F.lit(2.0)
+        ).alias("avgrank"),
+        F.sum("ca").over(tot).alias("n_a"),
+        F.sum("cb").over(tot).alias("n_b"),
+    )
+    agg = staged.groupBy("n_a", "n_b").agg(
+        F.sum(F.col("ca") * F.col("avgrank")).alias("r_a"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_mass"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    n = na + nb
+    u = F.col("r_a") - na * (na + 1) / F.lit(2.0)
+    mu = na * nb / F.lit(2.0)
+    var = (
+        na * nb / F.lit(12.0)
+        * ((n + 1) - F.col("tie_mass") / (n * (n - 1)))
+    )
+    # continuity-corrected z; degenerate var (all values tied) -> z = 0
+    zraw = (
+        F.abs(u - mu) - F.lit(0.5)
+    )
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        F.greatest(zraw, F.lit(0.0)) / F.sqrt(var)
+    )
+    # Abramowitz-Stegun 26.2.17: Phi(z) for z >= 0
+    tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z)
+    poly = tt * (
+        F.lit(0.319381530)
+        + tt * (
+            F.lit(-0.356563782)
+            + tt * (
+                F.lit(1.781477937)
+                + tt * (F.lit(-1.821255978) + tt * F.lit(1.330274429))
+            )
+        )
+    )
+    pdf = F.exp(-z * z / F.lit(2.0)) / F.lit(2.5066282746310002)
+    p = F.lit(2.0) * (pdf * poly)  # 2 * (1 - Phi(z)) for z >= 0
+    staged2 = agg.withColumn("__u", u).withColumn("__z", z).withColumn(
+        "__p", F.least(p, F.lit(1.0))
+    )
+    return staged2.select(
+        "n_a",
+        "n_b",
+        F.round("__u", 4).alias("u_stat"),
+        F.round("__z", 6).alias("z"),
         F.round("__p", 6).alias("p_value"),
     )

@@ -4023,3 +4023,21 @@ def test_review_fixes_round6(spark):
     assert fc["2024-01-15"] == 1          # matched to Jan 8 by DATE
     assert "2024-01-08" in fc             # Jan 1 exists
     # Jan 16 absent from the series at all; Jan 9+7=16 not in actuals
+
+
+def test_mannwhitney_semantics(spark):
+    """Identical groups -> z=0, p=1 region; a clean location shift ->
+    tiny p; all-tied values hit the degenerate-variance guard."""
+    from plda_spark.operators import stats
+
+    rows = [("a", float(v)) for v in range(60)] + \
+           [("b", float(v)) for v in range(60)] + \
+           [("c", float(v + 500)) for v in range(60)] + \
+           [("d", 7.0)] * 30 + [("e", 7.0)] * 30
+    df = spark.createDataFrame(rows, "g string, v double")
+    same = stats.mannwhitney_u(df, "g", "v", "a", "b").first()
+    assert same["z"] == 0.0 and same["p_value"] >= 0.99
+    shift = stats.mannwhitney_u(df, "g", "v", "a", "c").first()
+    assert shift["u_stat"] == 0.0 and shift["p_value"] < 1e-6
+    tied = stats.mannwhitney_u(df, "g", "v", "d", "e").first()
+    assert tied["z"] == 0.0  # zero variance guard, no crash

@@ -142,19 +142,23 @@ SURVEY_LOCATION_PINS = {
     "plda_spark.operators.text": [
         "token_stats", "lm_score", "rake_keywords", "char_entropy",
     ],
-    "plda_spark.operators.sampling": ["stratified_hash_sample"],
+    "plda_spark.operators.sampling": ["stratified_hash_sample", "kcenter_select"],
     "plda_spark.operators.stats": [
-        "hll_daily_sketches", "gini_concentration",
+        "hll_daily_sketches", "gini_concentration", "seasonal_decompose",
+        "decayed_moments", "ks_test", "chi2_independence", "mannwhitney_u",
+        "hist_ks_ranges",
     ],
-    "plda_spark.operators.graph": ["pagerank"],
-    "plda_spark.operators.curation": ["ppl_buckets"],
+    "plda_spark.operators.graph": ["pagerank", "label_propagation"],
+    "plda_spark.operators.curation": ["ppl_buckets", "quantile_normalize", "winsorize"],
     "plda_spark.operators.joins": ["as_of_join", "interval_overlap_join"],
     "plda_spark.operators.events": [
         "funnel", "rfm_scores", "transition_matrix", "attribution",
-        "forecast_backtest",
+        "forecast_backtest", "association_rules", "attribution_position",
     ],
-    "plda_spark.operators.web": ["normalize_url_col", "domain_filter"],
-    "plda_spark.operators.multimodal": ["image_dhash"],
+    "plda_spark.operators.web": ["normalize_url_col", "domain_filter", "frontier_schedule"],
+    "plda_spark.operators.multimodal": ["image_dhash", "image_stats"],
+    "plda_spark.operators.invindex": ["build_inverted_index", "phrase_search"],
+    "plda_spark.operators.classify": ["calibration_report", "lift_report"],
     "plda_spark.operators.bpe": ["bpe_train"],
     "plda_spark.operators.unigram": ["unigram_train"],
     "plda_spark.operators.wordpiece": ["wordpiece_train"],

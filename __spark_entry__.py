@@ -2776,6 +2776,22 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["pipeline_curation_v2"] = pipeline_curation_v2
+
+    def curation_ess(spark, sf):
+        """Kish effective sample size per source
+        (operators/curation.py effective_sample_size): docs weighted
+        exp(-n_chars/500) — after importance weighting, how many
+        INDEPENDENT documents is each source really worth (ESS =
+        (Σw)²/Σw², ratio 1 = uniform, → 0 = degenerate)?  ONE
+        map-side-combined aggregation."""
+        from plda_spark.operators import curation
+
+        docs = load_table(spark, sf, "documents").withColumn(
+            "w", F.exp(-F.col("n_chars") / F.lit(500.0))
+        )
+        return curation.effective_sample_size(docs, "w", group_col="source")
+
+    q["curation_ess"] = curation_ess
     def stream_hist_drift(spark, sf):
         """Streaming drift detection end to end (streaming/windows.py
         incremental_hist_ledger + hist_ks_from_ledger): the even events
@@ -5719,6 +5735,18 @@ SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
 FROM l
 """
 
+    # Same exp(-n_chars/500) weights, same (Σw)²/Σw² arithmetic.
+    o["curation_ess"] = """
+WITH w AS (
+  SELECT source, exp(-n_chars / 500.0) AS w FROM documents
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n,
+       round(sum(w), 4) AS weight_sum,
+       round(sum(w) * sum(w) / sum(w * w), 4) AS ess,
+       round(sum(w) * sum(w) / sum(w * w) / count(*), 4) AS ess_ratio
+FROM w GROUP BY source
+"""
+
     # The whole chain replayed: winsorize -> within-source percent_rank
     # -> pooled 101-cut interpolation -> threshold -> per-source summary.
     o["pipeline_curation_v2"] = """
@@ -8123,6 +8151,7 @@ EXTRA_QUERIES: list[str] = [
     "pipeline_curation_v2",
     "stream_hist_drift",
     "stats_mannwhitney",
+    "curation_ess",
 ]
 
 

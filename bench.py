@@ -25,7 +25,7 @@ untouched queries 20-56% slower with zero code change.  So the bench
 now times ONE fixed calibration query (q1) at the start, midpoint, and
 end of the run and stamps the JSON:
 
-- ``calibration``: the three q1 wall times (min-of-two each),
+- ``calibration`` (BENCH_DETAIL.json): the three q1 wall times,
 - ``calibration_spread``: (max - min) / min across the three,
 - ``env_unstable``: true when the spread exceeds 20% AND the absolute
   delta exceeds 0.25 s (the floor keeps tiny-SF probes from flagging
@@ -40,9 +40,11 @@ outgrew the window and ``BENCH_r05.json`` landed as ``parsed: null``,
 so the 2x acceptance gate read nothing.  The final line is now kept
 under 4 KiB (``STDOUT_BYTE_BUDGET``, pinned by
 ``tests/test_bench_contract.py``): compact separators, the flat
-name->min map, and the three calibration stamps only.  The per-query
-[min, max] spread detail moves to ``BENCH_DETAIL.json`` next to this
-file (full fidelity, no size limit).
+name->min map (2-decimal precision), and the derived
+``calibration_spread``/``env_unstable`` verdict only.  The per-query
+[min, max] spread detail, 3-decimal timings, and the raw calibration
+probes move to ``BENCH_DETAIL.json`` next to this file (full
+fidelity, no size limit).
 """
 
 from __future__ import annotations
@@ -231,6 +233,8 @@ BENCH_QUERIES = [
     "stream_hist_drift",
     # Mann-Whitney U rank-sum (tie-corrected normal approximation)
     "stats_mannwhitney",
+    # Kish effective sample size of weighted corpora
+    "curation_ess",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA
@@ -297,8 +301,11 @@ def format_stdout_payload(
             "unit": "sec",
             "queries": {k: round(v, 2) for k, v in timings.items()},
             "sf": sf,
-            "calibration": {k: round(v, 3) for k, v in calibration.items()},
-            "calibration_spread": spread,
+            # the three raw probe times live in BENCH_DETAIL.json; the
+            # stdout line carries only the derived verdict (the query
+            # map is at the 4 KiB capture budget — 207 registered
+            # queries — so every non-essential byte moved to detail)
+            "calibration_spread": round(spread, 3),
             "env_unstable": unstable,
         },
         separators=(",", ":"),

@@ -36,6 +36,7 @@ __all__ = [
     "embedding_drift",
     "quantile_normalize",
     "winsorize",
+    "effective_sample_size",
 ]
 
 
@@ -801,4 +802,42 @@ def winsorize(
     clipped = F.least(F.greatest(val, F.col("__plo")), F.col("__phi"))
     return joined.withColumn(out_col, F.round(clipped, 6)).drop(
         "__plo", "__phi"
+    )
+
+
+def effective_sample_size(
+    weighted: DataFrame,
+    weight_col: str,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Kish effective sample size of an importance-weighted corpus:
+    ``ESS = (Σw)² / Σw²`` — the one-number answer to "after DSIR/
+    quality weighting, how many INDEPENDENT documents is this really
+    worth?" (a corpus of 1M docs where 10 carry all the weight trains
+    like a corpus of ~10).  Reported per ``group_col`` when given,
+    pooled otherwise, with the ratio ``ess / n`` (1 = uniform weights,
+    → 0 = degenerate concentration).
+
+    Returns ``(group?, n, weight_sum, ess, ess_ratio)`` rounded to 4.
+    Scale shape: ONE map-side-combined aggregation — two sums and a
+    count; nothing else touches the data."""
+    w = F.col(weight_col).cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(w).alias("sw"),
+        F.sum(w * w).alias("sww"),
+    ]
+    per = (
+        weighted.groupBy(group_col).agg(*aggs)
+        if group_col is not None
+        else weighted.agg(*aggs)
+    )
+    ess = F.when(F.col("sww") > 0, F.col("sw") * F.col("sw") / F.col("sww"))
+    cols = [group_col] if group_col is not None else []
+    return per.select(
+        *cols,
+        "n",
+        F.round("sw", 4).alias("weight_sum"),
+        F.round(ess, 4).alias("ess"),
+        F.round(ess / F.col("n"), 4).alias("ess_ratio"),
     )

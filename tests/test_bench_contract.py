@@ -45,7 +45,10 @@ def test_stdout_line_parses_with_driver_contract_keys():
     assert set(payload["queries"]) == set(
         list(bench.BENCH_QUERIES) + list(bench.EXTRA_BENCH_NAMES)
     )
-    assert set(payload["calibration"]) == {"start", "mid", "end"}
+    assert isinstance(payload["calibration_spread"], float)
     assert payload["env_unstable"] is True
-    # The detail map must NOT ride stdout — that is what truncated r5.
+    # Detail must NOT ride stdout — that is what truncated r5: neither
+    # the [min, max] map nor the raw calibration probes (both live in
+    # BENCH_DETAIL.json; the query map is at the capture budget).
     assert "queries_minmax" not in payload
+    assert "calibration" not in payload

@@ -72,7 +72,7 @@ def test_expensive_queries_declared_last():
 
 
 def test_documented_counts_match_registry():
-    """README.md / SURVEY.md quote '206 queries … 156 extras … 203 with
+    """README.md / SURVEY.md quote '207 queries … 157 extras … 204 with
     DuckDB oracles'.  Pin those numbers to the live registry so the
     docs can never silently drift from the code again (this drifted in
     rounds 2 AND 3).  If you add or remove a query, update BOTH the
@@ -80,7 +80,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (206, 156, 203)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (207, 157, 204)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"

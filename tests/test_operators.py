@@ -4041,3 +4041,22 @@ def test_mannwhitney_semantics(spark):
     assert shift["u_stat"] == 0.0 and shift["p_value"] < 1e-6
     tied = stats.mannwhitney_u(df, "g", "v", "d", "e").first()
     assert tied["z"] == 0.0  # zero variance guard, no crash
+
+
+def test_effective_sample_size_semantics(spark):
+    """Uniform weights -> ESS = n (ratio 1); one dominant weight ->
+    ESS -> ~1; grouped and pooled modes agree with the closed form."""
+    from plda_spark.operators import curation
+
+    rows = [("u", 2.0)] * 50 + [("d", 1e-6)] * 99 + [("d", 1000.0)]
+    df = spark.createDataFrame(rows, "g string, w double")
+    out = {r["g"]: r for r in
+           curation.effective_sample_size(df, "w", group_col="g").collect()}
+    assert out["u"]["n"] == 50 and out["u"]["ess"] == 50.0
+    assert out["u"]["ess_ratio"] == 1.0
+    assert out["d"]["n"] == 100 and out["d"]["ess"] < 1.01  # one whale
+    pooled = curation.effective_sample_size(df, "w").first()
+    assert pooled["n"] == 150
+    import numpy as np
+    w = np.array([2.0] * 50 + [1e-6] * 99 + [1000.0])
+    assert pooled["ess"] == round(float(w.sum() ** 2 / (w * w).sum()), 4)

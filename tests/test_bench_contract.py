@@ -3,12 +3,17 @@
 Round 5's BENCH_r05.json landed as ``parsed: null``: the stdout JSON
 (109 queries + per-query [min, max] detail) outgrew the driver's
 finite capture and was tail-truncated into unparseable bytes — the 2x
-acceptance gate read nothing that round.  bench.py now prints a
-compact final line (flat name->min map + calibration stamps) and
-writes the detail to BENCH_DETAIL.json.  This test rebuilds a
-WORST-CASE payload from the live query-name lists and asserts it
-parses and fits STDOUT_BYTE_BUDGET, so a future query addition that
-would re-truncate the capture fails here, not in the driver.
+acceptance gate read nothing that round.  Round 6 assumed a 4 KiB
+window; the evidence says the REAL window is ~2000 bytes (both
+BENCH_r05.json and BENCH_r06.json captured a tail of exactly 2000
+characters; the round-6 line was 3743 bytes) — so the gate stayed
+blind a second round.  bench.py now prints a compact final line whose
+``queries`` map is a PER-FAMILY rollup (O(families) keys, not
+O(queries)) and writes the flat per-query detail to
+BENCH_DETAIL.json.  This test rebuilds a WORST-CASE payload from the
+live query-name lists and asserts it parses and fits
+STDOUT_BYTE_BUDGET = 1900, so a future family addition that would
+re-truncate the capture fails here, not in the driver.
 """
 
 import json
@@ -16,11 +21,16 @@ import json
 import bench
 
 
-def _worst_case_payload() -> str:
+def _all_names() -> list[str]:
     names = list(bench.BENCH_QUERIES) + list(bench.EXTRA_BENCH_NAMES)
     assert len(names) == len(set(names)), "duplicate bench query name"
-    # Worst realistic per-query width: hundreds of seconds, 3 decimals.
-    timings = {name: 999.999 for name in names}
+    return names
+
+
+def _worst_case_payload() -> str:
+    # Worst realistic per-query width: hundreds of seconds, 3 decimals
+    # (family sums then reach 5 digits before the point).
+    timings = {name: 999.999 for name in _all_names()}
     calibration = {"start": 999.999, "mid": 999.999, "end": 999.999}
     return bench.format_stdout_payload(
         timings, sf=0.1, calibration=calibration, spread=0.9999, unstable=True
@@ -29,10 +39,15 @@ def _worst_case_payload() -> str:
 
 def test_stdout_line_fits_driver_capture():
     line = _worst_case_payload()
+    assert bench.STDOUT_BYTE_BUDGET <= 1900, (
+        "the driver's measured capture window is ~2000 bytes "
+        "(BENCH_r05/BENCH_r06 tails were exactly 2000 chars); the "
+        "budget must not creep back up"
+    )
     assert len(line.encode("utf-8")) <= bench.STDOUT_BYTE_BUDGET, (
         f"bench stdout line is {len(line)} bytes > "
-        f"{bench.STDOUT_BYTE_BUDGET}; move detail to BENCH_DETAIL.json "
-        "or trim query names"
+        f"{bench.STDOUT_BYTE_BUDGET}; collapse more families or move "
+        "detail to BENCH_DETAIL.json"
     )
     assert "\n" not in line  # ONE line — the driver parses the last line
 
@@ -42,13 +57,35 @@ def test_stdout_line_parses_with_driver_contract_keys():
     assert payload["metric"] == "total_wall_sec"
     assert payload["unit"] == "sec"
     assert isinstance(payload["value"], float)
-    assert set(payload["queries"]) == set(
-        list(bench.BENCH_QUERIES) + list(bench.EXTRA_BENCH_NAMES)
+    names = _all_names()
+    # queries is the per-family rollup: every family present, sums
+    # consistent with the total, and FAR fewer keys than queries.
+    expected_families = {bench.bench_family(n) for n in names}
+    assert set(payload["queries"]) == expected_families
+    assert len(payload["queries"]) < len(names)
+    assert payload["n_queries"] == len(names)
+    assert abs(sum(payload["queries"].values()) - payload["value"]) < (
+        0.01 * len(payload["queries"]) + 0.01
     )
     assert isinstance(payload["calibration_spread"], float)
     assert payload["env_unstable"] is True
     # Detail must NOT ride stdout — that is what truncated r5: neither
     # the [min, max] map nor the raw calibration probes (both live in
-    # BENCH_DETAIL.json; the query map is at the capture budget).
+    # BENCH_DETAIL.json, as does the flat per-query map).
     assert "queries_minmax" not in payload
     assert "calibration" not in payload
+
+
+def test_family_rollup_shape():
+    # TPC-H shapes collapse to one family; everything else groups by
+    # first token.  Guards against a rename silently exploding the
+    # rollup key count past the byte budget.
+    assert bench.bench_family("q1_pricing_summary") == "tpch"
+    assert bench.bench_family("q21_suppliers_kept_waiting") == "tpch"
+    assert bench.bench_family("dedup_minhash_lsh") == "dedup"
+    assert bench.bench_family("lda_train_5it_join") == "lda"
+    families = {bench.bench_family(n) for n in _all_names()}
+    assert len(families) <= 40, (
+        f"{len(families)} families — the stdout rollup is sized for "
+        "O(30) keys; merge related prefixes before adding more"
+    )

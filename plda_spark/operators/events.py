@@ -405,7 +405,7 @@ def association_rules(
     user_col: str = "user_id",
     item_col: str = "event_type",
     min_support: int = 2,
-    max_basket_items: int | None = None,
+    max_basket_items: int | None = 500,
 ) -> DataFrame:
     """Market-basket association rules (Agrawal & Srikant a-priori,
     VLDB'94) over per-user item baskets: directed rules ``a -> b`` with
@@ -426,7 +426,9 @@ def association_rules(
     quadratic in basket size, the classic skew point: power users with
     hundreds of distinct frequent items dominate.  ``max_basket_items``
     drops larger baskets up front (standard practice — a basket that
-    big is bot traffic, not signal).  Rule stats join only the
+    big is bot traffic, not signal) and DEFAULTS to 500 (≤ ~125k pairs
+    per basket) so the quadratic blowup is opt-IN: pass ``None``
+    explicitly to mine uncapped.  Rule stats join only the
     |items|-sized support table (broadcast)."""
     if min_support < 1:
         raise ValueError(f"min_support must be >= 1, got {min_support}")

@@ -510,6 +510,14 @@ def neyman_sample(
     )
 
 
+# Hard ceiling on k*dim literal center coordinates per greedy pass —
+# past this, Catalyst analysis of the single min-over-centers
+# expression dominates the job (measured: dim 512 at k≈40+ is the
+# worst-case planning budget the docstring's k≈100 guidance assumed
+# for small dims).
+_KCENTER_MAX_LITERALS = 20_000
+
+
 def kcenter_select(
     embeddings: DataFrame,
     k: int,
@@ -538,7 +546,11 @@ def kcenter_select(
     top-1 TakeOrdered — no shuffle at all.  Driver state is k·dim
     floats.  k passes over 100 TB is the honest cost of exact greedy
     k-center; for k beyond ~100, seed this with a cheaper stage (IVF
-    cells, hash sample) and run it on the survivors."""
+    cells, hash sample) and run it on the survivors.  The centers ride
+    the plan as LITERALS (that is what buys bit-exact SQL replay), so
+    the expression tree grows k·dim nodes per pass — the cap below
+    makes the documented cutover self-enforcing instead of a docstring
+    footnote."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     seed = (
@@ -546,6 +558,17 @@ def kcenter_select(
     )
     if seed is None:
         raise ValueError("kcenter_select on an empty frame")
+    dim = len(seed[1])
+    if k * dim > _KCENTER_MAX_LITERALS:
+        raise ValueError(
+            f"kcenter_select: k*dim = {k}*{dim} = {k * dim} literal "
+            f"center coordinates > {_KCENTER_MAX_LITERALS}; the final "
+            "pass would carry that many literals in ONE expression "
+            "tree (Catalyst analysis cost grows superlinearly). Seed "
+            "with a cheaper diversity stage (IVF cells via "
+            "similarity.ivf_assign, or sample_hash) and run exact "
+            "greedy k-center on the survivors."
+        )
     selected: list[tuple] = [(0, seed[0], None)]
     centers: list[list[float]] = [[float(v) for v in seed[1]]]
     for step in range(1, k):

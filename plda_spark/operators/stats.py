@@ -1369,12 +1369,81 @@ def decayed_moments(
     )
 
 
+def _two_sample_per_value_counts(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    bins: int | None,
+    max_distinct: int,
+    caller: str,
+):
+    """Shared first stage of :func:`ks_test` / :func:`mannwhitney_u`:
+    per-distinct-value (ca, cb) counts, with the cardinality contract
+    ENFORCED rather than assumed.
+
+    Both exact tests finish with an unpartitioned ordered window over
+    the per-value rows — a single task sorting |distinct values| rows.
+    That is bounded for categorical/discretized columns but degenerates
+    to a single-task sort of the corpus on a continuous score column at
+    scale (distinct ≈ N).  So:
+
+    - ``bins=None`` (exact mode): a one-pass ``approx_count_distinct``
+      pre-check raises when the column exceeds ``max_distinct``,
+      pointing at the two scale paths, instead of silently funneling
+      the corpus through one task.
+    - ``bins=k``: values are quantized to k equal-width bin MIDPOINTS
+      between the global min/max first (one broadcast 1-row aggregate),
+      capping the window at k rows — the binned-approximation contract
+      of ``hist_ks_ranges``, inline.
+    """
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    filtered = df.where(a | b)
+    v = F.col(value_col).cast("double")
+    if bins is not None:
+        if bins < 1:
+            raise ValueError(f"{caller}: bins must be >= 1, got {bins}")
+        mm = filtered.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+        idx = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+            F.least(
+                F.floor((v - F.col("__lo")) / width).cast("int"),
+                F.lit(bins - 1),
+            )
+        )
+        v = F.col("__lo") + (idx.cast("double") + F.lit(0.5)) * F.coalesce(
+            width, F.lit(0.0)
+        )
+        filtered = filtered.crossJoin(F.broadcast(mm))
+    else:
+        ndv = filtered.agg(
+            F.approx_count_distinct(v).alias("__ndv")
+        ).first()["__ndv"]
+        if ndv > max_distinct:
+            raise ValueError(
+                f"{caller}: {value_col!r} has ~{ndv} distinct values > "
+                f"max_distinct={max_distinct}; the exact test's ECDF "
+                "window would sort them in ONE task. Pass bins=<k> for "
+                "the binned approximation, raise max_distinct if the "
+                "cardinality is genuinely bounded, or use the rollup "
+                "drift path (hist_ks_ranges / hist_ks_from_ledger)."
+            )
+    return filtered.groupBy(v.alias("v")).agg(
+        F.sum(a.cast("long")).alias("ca"),
+        F.sum(b.cast("long")).alias("cb"),
+    )
+
+
 def ks_test(
     df: DataFrame,
     group_col: str,
     value_col: str,
     group_a,
     group_b,
+    bins: int | None = None,
+    max_distinct: int = 100_000,
 ) -> DataFrame:
     """Two-sample Kolmogorov-Smirnov test between two groups' value
     distributions — the distribution-drift SIGNIFICANCE test behind
@@ -1391,17 +1460,19 @@ def ks_test(
 
     Scale shape: one per-value count aggregation FIRST (map-side
     combined — the stream never sorts), then the ordered ECDF window
-    runs over |distinct values| rows, the same bounded-diagnostic
-    contract as hist/fill_gaps; two scalar aggregates finish it."""
-    a = F.col(group_col) == F.lit(group_a)
-    b = F.col(group_col) == F.lit(group_b)
-    per_val = (
-        df.where(a | b)
-        .groupBy(F.col(value_col).cast("double").alias("v"))
-        .agg(
-            F.sum(a.cast("long")).alias("ca"),
-            F.sum(b.cast("long")).alias("cb"),
-        )
+    runs over |distinct values| rows.  That window is ONE task, so the
+    exact mode is safe only for bounded-cardinality columns — and the
+    bound is now ENFORCED: an ``approx_count_distinct`` pre-check
+    raises past ``max_distinct`` (default 100k per-value rows, trivial
+    for one task).  For continuous columns at scale pass ``bins=k`` —
+    values quantize to k equal-width bin midpoints first (the
+    histogram-KS approximation of ``hist_ks_ranges``, inline; D is then
+    exact ON THE BINNED data) — or fold pre-binned daily rollups via
+    ``hist_ks_ranges`` / ``hist_ks_from_ledger`` without re-reading the
+    corpus at all."""
+    per_val = _two_sample_per_value_counts(
+        df, group_col, value_col, group_a, group_b,
+        bins, max_distinct, "ks_test",
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()
@@ -1594,6 +1665,8 @@ def mannwhitney_u(
     value_col: str,
     group_a,
     group_b,
+    bins: int | None = None,
+    max_distinct: int = 100_000,
 ) -> DataFrame:
     """Mann-Whitney U rank-sum test between two groups — the
     nonparametric location-shift test completing the drift family
@@ -1611,17 +1684,17 @@ def mannwhitney_u(
     p_value)`` (U for group a; two-sided p).
 
     Scale shape: identical to :func:`ks_test` — one per-value count
-    aggregation first, then ordered windows over |distinct values|
-    rows and scalar aggregates."""
-    a = F.col(group_col) == F.lit(group_a)
-    b = F.col(group_col) == F.lit(group_b)
-    per_val = (
-        df.where(a | b)
-        .groupBy(F.col(value_col).cast("double").alias("v"))
-        .agg(
-            F.sum(a.cast("long")).alias("ca"),
-            F.sum(b.cast("long")).alias("cb"),
-        )
+    aggregation first, then ordered windows over |distinct values| rows
+    and scalar aggregates.  The window is ONE task, so the same
+    cardinality contract is ENFORCED: exact mode pre-checks
+    ``approx_count_distinct`` against ``max_distinct`` and raises with
+    a pointer to the scale paths; ``bins=k`` quantizes to k equal-width
+    bin midpoints first (binned values tie WITHIN a bin, and the
+    tie-corrected variance absorbs that — the usual rank-test-on-
+    histogram approximation)."""
+    per_val = _two_sample_per_value_counts(
+        df, group_col, value_col, group_a, group_b,
+        bins, max_distinct, "mannwhitney_u",
     )
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     tot = Window.partitionBy()

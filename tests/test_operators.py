@@ -3711,6 +3711,38 @@ def test_association_rules_semantics(spark):
     with _pytest.raises(ValueError):
         ev_ops.association_rules(ev, max_basket_items=1)
 
+    # the quadratic self-join is capped BY DEFAULT (500): a 501-item
+    # basket silently vanishes unless the caller opts out with None
+    rows3 = rows + [(6, f"i{j}") for j in range(501)]
+    ev3 = spark.createDataFrame(rows3, "user_id long, event_type string")
+    dflt = ev_ops.association_rules(ev3, min_support=2)
+    assert {(r["antecedent"], r["consequent"]) for r in dflt.collect()} == {
+        ("a", "b"), ("b", "a")
+    }
+    uncapped = ev_ops.association_rules(
+        ev3.where("user_id <= 5"), min_support=2, max_basket_items=None
+    )
+    assert uncapped.count() == 2  # None still mines everything
+
+
+def test_kcenter_literal_budget_cap(spark):
+    """k*dim literal center coordinates are capped at 20k: the final
+    greedy pass embeds every center as plan literals, and past the cap
+    Catalyst analysis dominates the job — the docstring's 'seed with a
+    cheaper stage' cutover is now enforced, not advisory."""
+    import pytest as _pytest
+
+    from plda_spark.operators import sampling
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i)] * 64) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    # 30 rows, dim 64: k=5 is 320 literals -> fine
+    assert sampling.kcenter_select(vecs, k=5).count() == 5
+    with _pytest.raises(ValueError, match="literal"):
+        sampling.kcenter_select(vecs, k=400)  # 400*64 = 25,600 > 20k
+
 
 def test_frontier_schedule_semantics(spark):
     """Hand-checked politeness schedule: per-host slots spaced by the
@@ -3884,6 +3916,51 @@ def test_ks_test_semantics(spark):
     assert same["n_a"] == 50 and same["n_b"] == 50
     far = stats.ks_test(df, "g", "v", "a", "c").first()
     assert far["d_stat"] == 1.0 and far["p_value"] < 1e-6
+
+
+def test_drift_test_cardinality_guard_and_bins(spark):
+    """The exact tests REFUSE unbounded-cardinality value columns (the
+    ECDF window is ONE task — on a continuous score column at scale it
+    would sort the corpus in a single task) and point at the scale
+    paths; bins= caps the window at k rows and matches the exact test
+    where the data is already coarser than the grid."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    rows = [("a", float(v)) for v in range(3000)] + \
+           [("b", float(v) + 0.25) for v in range(3000)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    with _pytest.raises(ValueError, match="max_distinct"):
+        stats.ks_test(df, "g", "v", "a", "b", max_distinct=1000)
+    with _pytest.raises(ValueError, match="hist_ks_ranges"):
+        stats.mannwhitney_u(df, "g", "v", "a", "b", max_distinct=1000)
+    # bins mode runs where exact mode refused; a +0.25 shift inside a
+    # 0..3000 range is invisible at 32 equal-width bins
+    binned = stats.ks_test(
+        df, "g", "v", "a", "b", bins=32, max_distinct=1000
+    ).first()
+    assert binned["n_a"] == 3000 and binned["n_b"] == 3000
+    assert binned["d_stat"] <= 0.05
+
+    far = spark.createDataFrame(
+        [("a", float(v)) for v in range(200)]
+        + [("c", float(v + 10_000)) for v in range(200)],
+        "g string, v double",
+    )
+    fb = stats.ks_test(far, "g", "v", "a", "c", bins=16).first()
+    assert fb["d_stat"] == 1.0 and fb["p_value"] < 1e-6
+    mw = stats.mannwhitney_u(far, "g", "v", "a", "c", bins=16).first()
+    assert mw["p_value"] < 1e-6 and mw["n_a"] == 200
+
+    # degenerate single-value support: width 0 must not divide-by-zero
+    one = spark.createDataFrame(
+        [("a", 1.0), ("b", 1.0)], "g string, v double"
+    )
+    r = stats.ks_test(one, "g", "v", "a", "b", bins=8).first()
+    assert r["d_stat"] == 0.0 and r["p_value"] == 1.0
+    with _pytest.raises(ValueError, match="bins"):
+        stats.ks_test(one, "g", "v", "a", "b", bins=0)
 
 
 def test_chi2_and_winsorize_semantics(spark):

@@ -222,6 +222,87 @@ def _publish(fs: _FS, path: str, manifest: dict) -> int:
     return version
 
 
+# ---------------------------------------------------------------------------
+# Manifest-chain index: a derived cache so chain-shaped reads stop
+# scaling with table age.  A year of 5-minute streaming batches leaves
+# ~100k live manifests; snapshot_versions() read every one of them and
+# _resolve_as_of() read O(chain) for old timestamps.  Maintenance
+# actions (compact / optimize / vacuum) now write ONE _index.json next
+# to the manifests mapping version -> {parent, action, n_files, rows,
+# committed_at_ms}; readers prefer it and fall back to per-manifest
+# reads ONLY for versions published after the last maintenance pass
+# (the recent tail — bounded by maintenance cadence, not table age).
+# The index is a pure cache of immutable facts (_publish is
+# no-clobber, so a version's summary can never change); it is rebuilt
+# whole on each maintenance action and consulted strictly through the
+# LIVE manifest listing, so a stale index is never wrong — entries for
+# vacuumed versions are simply never looked up, and a torn/corrupt
+# index degrades to the walk.
+_INDEX_NAME = "_index.json"
+
+
+def _index_path(path: str) -> str:
+    return f"{_manifest_dir(path)}/{_INDEX_NAME}"
+
+
+def _live_versions(fs: _FS, path: str) -> list[int]:
+    """Live manifest versions, ascending — ONE directory listing."""
+    return sorted(
+        int(m.group(1))
+        for n in fs.list_names(_manifest_dir(path))
+        if (m := _MANIFEST_RE.match(n))
+    )
+
+
+def _manifest_summary(man: dict) -> dict:
+    return {
+        "version": man["version"],
+        "parent": man["parent"],
+        "action": man["action"],
+        "n_files": len(man["files"]),
+        "rows": sum(e["rows"] for e in man["files"]),
+        "committed_at_ms": man.get("committed_at_ms"),
+    }
+
+
+def _load_manifest_index(fs: _FS, path: str) -> dict[int, dict]:
+    """The cached version->summary map, or {} when absent/torn (the
+    index write is not atomic against readers — a half-written file
+    must degrade to the manifest walk, never raise)."""
+    try:
+        raw = json.loads(fs.read_text(_index_path(path)))
+        return {int(k): v for k, v in raw.get("entries", {}).items()}
+    except Exception:
+        return {}
+
+
+def _write_manifest_index(fs: _FS, path: str) -> int:
+    """Rebuild _index.json from the live manifests (reusing any prior
+    index so a rebuild reads only the unindexed tail).  Last writer
+    wins — the content is derivable, so racing maintenance jobs can
+    only produce an index that is valid for some recent listing."""
+    prior = _load_manifest_index(fs, path)
+    entries: dict[str, dict] = {}
+    for v in _live_versions(fs, path):
+        summ = prior.get(v) or _manifest_summary(_read_manifest(fs, path, v))
+        entries[str(v)] = summ
+    fs.write_text(_index_path(path), json.dumps({"entries": entries}))
+    return len(entries)
+
+
+def _summaries_via_index(fs: _FS, path: str) -> list[dict]:
+    """One summary per live manifest, oldest first: index-preferred,
+    per-manifest read only for the post-maintenance tail."""
+    index = _load_manifest_index(fs, path)
+    out = []
+    for v in _live_versions(fs, path):
+        summ = index.get(v)
+        if summ is None:
+            summ = _manifest_summary(_read_manifest(fs, path, v))
+        out.append(dict(summ, version=v))
+    return out
+
+
 def _json_safe(v: Any) -> Any:
     """Stats values must survive JSON round-trips with ordering intact:
     ints/floats/strs/bools pass through; date-ish values stringify
@@ -484,25 +565,13 @@ def _evolve_schema(prev: StructType, new: StructType, path: str) -> StructType:
 
 def snapshot_versions(spark: SparkSession, path: str) -> list[dict]:
     """One summary row per live manifest, oldest first:
-    ``{version, parent, action, n_files, rows}``."""
-    fs = _FS(spark, path)
-    out = []
-    for n in sorted(fs.list_names(_manifest_dir(path))):
-        m = _MANIFEST_RE.match(n)
-        if not m:
-            continue
-        man = _read_manifest(fs, path, int(m.group(1)))
-        out.append(
-            {
-                "version": man["version"],
-                "parent": man["parent"],
-                "action": man["action"],
-                "n_files": len(man["files"]),
-                "rows": sum(e["rows"] for e in man["files"]),
-                "committed_at_ms": man.get("committed_at_ms"),
-            }
-        )
-    return out
+    ``{version, parent, action, n_files, rows, committed_at_ms}``.
+
+    Chain-index-backed: one listing + one ``_index.json`` read cover
+    every version up to the last maintenance action; only the
+    unindexed tail (commits since then) reads its manifest — O(tail),
+    not O(table age)."""
+    return _summaries_via_index(_FS(spark, path), path)
 
 
 def _resolve(spark: SparkSession, path: str, version: int | None) -> dict:
@@ -596,20 +665,24 @@ def _resolve_as_of(fs: _FS, path: str, as_of_ms: int) -> int:
     Walks versions newest-first so probes near the head (the usual
     case) read one manifest.  Manifests written before the stamp
     existed count as older than any probe (readable via as_of like any
-    ancient version)."""
-    versions = sorted(
-        (
-            int(m.group(1))
-            for n in fs.list_names(_manifest_dir(path))
-            if (m := _MANIFEST_RE.match(n))
-        ),
-        reverse=True,
-    )
+    ancient version).  Deep-history probes are chain-index-backed: any
+    version the last maintenance pass indexed resolves from ONE
+    ``_index.json`` read instead of a manifest read each, so the walk
+    cost is O(unindexed tail), not O(versions skipped)."""
+    versions = _live_versions(fs, path)
     if not versions:
         raise FileNotFoundError(f"no snapshot table at {path}")
-    for v in versions:
-        man = _read_manifest(fs, path, v)
-        if man.get("committed_at_ms", 0) <= as_of_ms:
+    index: dict[int, dict] | None = None
+    for i, v in enumerate(reversed(versions)):
+        if index is None and i >= 1:
+            # the head probe missed — we are walking history now, so
+            # pay ONE index read instead of one manifest read per skip
+            index = _load_manifest_index(fs, path)
+        if index and v in index:
+            committed = index[v].get("committed_at_ms") or 0
+        else:
+            committed = _read_manifest(fs, path, v).get("committed_at_ms", 0)
+        if committed <= as_of_ms:
             return v
     raise FileNotFoundError(
         f"snapshot {path}: no version committed at or before {as_of_ms} "
@@ -994,7 +1067,12 @@ def snapshot_compact(
     small = [e for e in manifest["files"] if 0 <= e["bytes"] < threshold]
     carried = [e for e in manifest["files"] if not (0 <= e["bytes"] < threshold)]
     if len(small) <= 1:
-        return manifest["version"]  # nothing worth rewriting
+        # nothing worth rewriting — still refresh the chain index
+        # (compact IS the maintenance touchpoint the index contract
+        # hangs off; a no-op compact on a long append chain must
+        # still make snapshot_versions/as_of O(tail))
+        _write_manifest_index(_FS(spark, path), path)
+        return manifest["version"]
     total = sum(e["bytes"] for e in small)
     n_out = max(1, math.ceil(total / target_file_bytes))
     # reading through the delete-aware path materializes pending
@@ -1023,7 +1101,9 @@ def snapshot_compact(
         "rewrote_files": len(small),
         "carried_files": len(carried),
     }
-    return _publish(fs, path, _with_marker_index(new_manifest, manifest))
+    version = _publish(fs, path, _with_marker_index(new_manifest, manifest))
+    _write_manifest_index(fs, path)
+    return version
 
 
 def snapshot_optimize_zorder(
@@ -1123,7 +1203,9 @@ def snapshot_optimize_zorder(
         "zorder_cols": list(cols),
         "rewrote_files": len(manifest["files"]),
     }
-    return _publish(fs, path, _with_marker_index(new_manifest, manifest))
+    version = _publish(fs, path, _with_marker_index(new_manifest, manifest))
+    _write_manifest_index(fs, path)
+    return version
 
 
 def snapshot_vacuum(
@@ -1160,11 +1242,7 @@ def snapshot_vacuum(
     if retention_minutes < 0:
         raise ValueError("retention_minutes must be >= 0")
     fs = _FS(spark, path)
-    versions = sorted(
-        int(m.group(1))
-        for n in fs.list_names(_manifest_dir(path))
-        if (m := _MANIFEST_RE.match(n))
-    )
+    versions = _live_versions(fs, path)
     if not versions:
         return {"deleted_files": 0, "deleted_manifests": 0, "kept_versions": []}
     def _norm(p: str) -> str:
@@ -1191,6 +1269,9 @@ def snapshot_vacuum(
         if v not in keep:
             fs.delete(f"{_manifest_dir(path)}/v{v:010d}.json")
             deleted_manifests += 1
+    # rebuild the chain index over the survivors (kept manifests only,
+    # and their summaries are already cached from any prior index)
+    _write_manifest_index(fs, path)
     return {
         "deleted_files": deleted_files,
         "deleted_manifests": deleted_manifests,

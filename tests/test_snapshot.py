@@ -1076,3 +1076,65 @@ def test_additive_ledgers_refuse_multi_generation_folds(spark, tmp_path):
     one = windows.decayed_counts_from_ledger(
         spark, state, ["event_type"], run_id_filter=runs[0]).first()
     assert one["n_events"] == 1  # single generation: no double count
+
+
+def test_manifest_chain_index_bounds_reads(spark, tmp_path, monkeypatch):
+    """VERDICT r6 item 4: snapshot_versions read EVERY live manifest and
+    a deep as-of probe read one manifest per version skipped — both
+    O(table age) on a long streaming append chain.  Maintenance actions
+    (compact/optimize/vacuum) now write _manifests/_index.json; readers
+    prefer it and read manifests only for the post-maintenance tail, so
+    chain-shaped reads are O(tail) + ONE index read."""
+    path = str(tmp_path / "tbl")
+    df = spark.range(4).withColumnRenamed("id", "doc_id")
+    for _ in range(30):
+        snap.snapshot_write(df, path, mode="append")
+    fs = snap._FS(spark, path)
+    baseline = snap.snapshot_versions(spark, path)  # pre-index walk
+    assert len(baseline) == 30
+
+    # a no-op compact is still a maintenance touchpoint: index lands
+    snap.snapshot_compact(spark, path, target_file_bytes=1)
+    assert fs.exists(snap._index_path(path))
+    # two commits AFTER the index: the unindexed tail
+    snap.snapshot_write(df, path, mode="append")
+    snap.snapshot_write(df, path, mode="append")
+
+    reads = []
+    real = snap._read_manifest
+
+    def counting(fs_, p, version):
+        reads.append(version)
+        return real(fs_, p, version)
+
+    monkeypatch.setattr(snap, "_read_manifest", counting)
+
+    # versions: 32 rows from 1 listing + 1 index read + the 2-tail
+    vs = snap.snapshot_versions(spark, path)
+    assert [v["version"] for v in vs] == list(range(32))
+    assert sorted(reads) == [30, 31], f"index not preferred: {reads}"
+    # summaries via index match the pre-index walk bit-for-bit
+    assert vs[:30] == baseline
+
+    # deep as-of probe: head manifest miss -> ONE index read covers the
+    # skipped history; only the unindexed v30 costs a manifest read
+    reads.clear()
+    old_ms = vs[0]["committed_at_ms"]
+    got = snap._resolve_as_of(fs, path, old_ms)
+    assert vs[got]["committed_at_ms"] <= old_ms
+    assert len(reads) <= 2 and set(reads) <= {30, 31}, reads
+
+    # torn/corrupt index degrades to the walk, never raises
+    monkeypatch.setattr(snap, "_read_manifest", real)
+    fs.write_text(snap._index_path(path), "{not json")
+    vs2 = snap.snapshot_versions(spark, path)
+    assert [v["version"] for v in vs2] == list(range(32))
+    assert vs2[:30] == baseline
+
+    # vacuum rebuilds the index over the survivors only
+    snap.snapshot_vacuum(spark, path, keep_versions=3, retention_minutes=0)
+    monkeypatch.setattr(snap, "_read_manifest", counting)
+    reads.clear()
+    vs3 = snap.snapshot_versions(spark, path)
+    assert [v["version"] for v in vs3] == [29, 30, 31]
+    assert reads == [], "post-vacuum summaries must come from the index"

@@ -2713,6 +2713,69 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_mannwhitney"] = stats_mannwhitney
 
+    def stats_welch_ttest(spark, sf):
+        """Welch's unequal-variance t-test between click and purchase
+        values (operators/stats.py welch_ttest): sum/sumsq one-pass
+        moments, Welch-Satterthwaite dof, two-sided p via the shared
+        A&S Φ polynomial (large-sample normal approximation, stated in
+        the docstring) — the mean-shift member of the drift family.
+        ONE conditional aggregation; no window, no join."""
+        from plda_spark.operators import stats
+
+        return stats.welch_ttest(
+            load_table(spark, sf, "events"), "event_type", "value",
+            "click", "purchase",
+        )
+
+    q["stats_welch_ttest"] = stats_welch_ttest
+
+    def stats_bh_fdr(spark, sf):
+        """Multiple-testing-corrected drift screen (operators/stats.py
+        group_mean_shift_tests -> bh_fdr): one-vs-rest Welch z-tests
+        for EVERY event type out of a single aggregation pass, then
+        Benjamini-Hochberg step-up q-values over the |tests| rows —
+        run 200 drift tests at p<0.05 and ~10 false alarms are
+        expected; the q-values are what you actually alert on.  The
+        ordered windows touch |tests| rows, never data."""
+        from plda_spark.operators import stats
+
+        tests = stats.group_mean_shift_tests(
+            load_table(spark, sf, "events"), "event_type", "value"
+        )
+        return stats.bh_fdr(tests, "group", "p_value", alpha=0.05)
+
+    q["stats_bh_fdr"] = stats_bh_fdr
+
+    def stats_benford(spark, sf):
+        """Benford's-law first-digit audit of order totals
+        (operators/stats.py benford_audit): string-form digit
+        extraction (immune to the floor(log10(1000.0)) float trap),
+        per-digit observed vs log10(1+1/d) expected, Nigrini MAD +
+        chi-squared via missing-digit-exact identities.  One digit
+        count aggregation; everything after runs on <= 9 rows."""
+        from plda_spark.operators import stats
+
+        return stats.benford_audit(load_table(spark, sf, "orders"),
+                                   "o_totalprice")
+
+    q["stats_benford"] = stats_benford
+
+    def stats_weighted_quantiles(spark, sf):
+        """Weight-aware exact quantiles (operators/stats.py
+        weighted_quantiles): per return-flag quartiles of extended
+        price weighted by quantity — the smallest value whose
+        cumulative weight reaches q of the group total, peer-inclusive
+        RANGE frames so both engines agree on ties.  One per-group
+        ordered window + one aggregation; groups parallelize."""
+        from plda_spark.operators import stats
+
+        return stats.weighted_quantiles(
+            load_table(spark, sf, "lineitem"),
+            "l_returnflag", "l_extendedprice", "l_quantity",
+        )
+
+    q["stats_weighted_quantiles"] = stats_weighted_quantiles
+
     def stats_hist_ks(spark, sf):
         """KS drift between two DATE RANGES from the mergeable
         histogram rollup alone (operators/stats.py hist_ks_ranges over
@@ -5677,6 +5740,121 @@ SELECT n_a, n_b, round(u, 4) AS u_stat, round(z, 6) AS z,
 FROM ph
 """
 
+    # Same one-pass moments, same Welch-Satterthwaite dof, same A&S Φ.
+    o["stats_welch_ttest"] = """
+WITH agg AS (
+  SELECT sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END) AS s1a,
+         sum(CASE WHEN event_type = 'click' THEN value*value ELSE 0 END) AS s2a,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS s1b,
+         sum(CASE WHEN event_type = 'purchase' THEN value*value ELSE 0 END) AS s2b
+  FROM events WHERE event_type IN ('click', 'purchase')
+), m AS (
+  SELECT n_a, n_b, s1a/n_a AS ma, s1b/n_b AS mb,
+         greatest((s2a - s1a*(s1a/n_a))/(n_a-1), 0.0) AS va,
+         greatest((s2b - s1b*(s1b/n_b))/(n_b-1), 0.0) AS vb
+  FROM agg
+), c AS (
+  SELECT n_a, n_b, ma, mb,
+         (ma-mb)/sqrt(va/n_a + vb/n_b) AS t,
+         (va/n_a + vb/n_b)*(va/n_a + vb/n_b)
+           / ((va/n_a)*(va/n_a)/(n_a-1) + (vb/n_b)*(vb/n_b)/(n_b-1)) AS dof
+  FROM m
+), z AS (SELECT *, abs(t) AS az, 1.0/(1.0 + 0.2316419*abs(t)) AS tt FROM c)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(t, 6) AS t_stat, round(dof, 4) AS dof,
+       round(least(2.0*(exp(-az*az/2.0)/2.5066282746310002)
+         *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+            + tt*(-1.821255978 + tt*1.330274429))))), 1.0), 6) AS p_value
+FROM z
+"""
+
+    # One-vs-rest moments from a single pass (rest = global - group),
+    # rounded p BEFORE the BH step exactly like the composed operators.
+    o["stats_bh_fdr"] = """
+WITH per AS (
+  SELECT event_type AS grp, count(value) AS n,
+         sum(value) AS s1, sum(value*value) AS s2
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2 FROM per),
+j AS (
+  SELECT grp, n, tn - n AS rn, s1/n AS m, (ts1-s1)/(tn-n) AS rm,
+         greatest((s2 - s1*(s1/n))/(n-1), 0.0) AS var,
+         greatest(((ts2-s2) - (ts1-s1)*((ts1-s1)/(tn-n)))/(tn-n-1), 0.0)
+           AS rvar
+  FROM per, tot WHERE tn - n > 0
+), zc AS (
+  SELECT grp,
+         CASE WHEN var/n + rvar/rn > 0
+              THEN abs(m - rm)/sqrt(var/n + rvar/rn) ELSE 0.0 END AS z
+  FROM j
+), ph AS (SELECT grp, z, 1.0/(1.0 + 0.2316419*z) AS tt FROM zc),
+pp AS (
+  SELECT grp AS test,
+         round(least(2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))), 1.0), 6) AS p
+  FROM ph
+), ranked AS (
+  SELECT test, p, row_number() OVER (ORDER BY p, test) AS rank,
+         count(*) OVER () AS m
+  FROM pp
+), mono AS (
+  SELECT *, least(min(p * m / rank) OVER (
+           ORDER BY rank DESC ROWS UNBOUNDED PRECEDING), 1.0) AS q
+  FROM ranked
+)
+SELECT test, round(p, 6) AS p_value, rank, m,
+       round(q, 6) AS q_value, q <= 0.05 AS reject
+FROM mono
+"""
+
+    # Same string-form digit extraction, same missing-digit identities.
+    o["stats_benford"] = """
+WITH d AS (
+  SELECT CAST(substr(regexp_replace(CAST(o_totalprice AS VARCHAR),
+                                    '[^1-9]', '', 'g'), 1, 1) AS INT)
+           AS digit
+  FROM orders
+  WHERE o_totalprice IS NOT NULL
+    AND regexp_replace(CAST(o_totalprice AS VARCHAR), '[^1-9]', '', 'g')
+          <> ''
+), per AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+s AS (
+  SELECT digit, n,
+         n / CAST(sum(n) OVER () AS DOUBLE) AS obs,
+         log10(1.0 + 1.0/digit) AS exp_p,
+         sum(n) OVER () AS tot
+  FROM per
+)
+SELECT digit, n, round(obs, 6) AS obs_p, round(exp_p, 6) AS exp_p,
+       round((sum(abs(obs - exp_p)) OVER ()
+              + (1.0 - sum(exp_p) OVER ()))/9.0, 6) AS mad,
+       round(greatest(tot * (sum(obs*obs/exp_p) OVER () - 1.0), 0.0), 6)
+         AS chi2
+FROM s
+"""
+
+    # Peer-inclusive RANGE cumulative frames (both engines' default).
+    o["stats_weighted_quantiles"] = """
+WITH s AS (
+  SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS v,
+         sum(CAST(l_quantity AS DOUBLE)) OVER (
+           PARTITION BY l_returnflag ORDER BY CAST(l_extendedprice AS DOUBLE)
+         ) AS cw,
+         sum(CAST(l_quantity AS DOUBLE)) OVER (
+           PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+)
+SELECT g AS "group", round(max(tw), 6) AS total_weight,
+       min(CASE WHEN cw >= 0.25*tw THEN v END) AS q0_25,
+       min(CASE WHEN cw >= 0.5*tw THEN v END) AS q0_5,
+       min(CASE WHEN cw >= 0.75*tw THEN v END) AS q0_75
+FROM s GROUP BY g
+"""
+
     # Same contingency counts, same empty-cell-safe chi2 identity.
     o["stats_chi2_independence"] = """
 WITH cell AS (
@@ -8152,6 +8330,10 @@ EXTRA_QUERIES: list[str] = [
     "stream_hist_drift",
     "stats_mannwhitney",
     "curation_ess",
+    "stats_welch_ttest",
+    "stats_bh_fdr",
+    "stats_benford",
+    "stats_weighted_quantiles",
 ]
 
 

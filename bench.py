@@ -240,6 +240,14 @@ BENCH_QUERIES = [
     "stats_mannwhitney",
     # Kish effective sample size of weighted corpora
     "curation_ess",
+    # Welch unequal-variance t-test (one conditional aggregation)
+    "stats_welch_ttest",
+    # one-vs-rest mean-shift screen + Benjamini-Hochberg FDR q-values
+    "stats_bh_fdr",
+    # Benford first-digit audit of order totals
+    "stats_benford",
+    # weight-aware exact per-group quantiles
+    "stats_weighted_quantiles",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -59,6 +59,11 @@ __all__ = [
     "chi2_independence",
     "hist_ks_ranges",
     "mannwhitney_u",
+    "welch_ttest",
+    "group_mean_shift_tests",
+    "bh_fdr",
+    "benford_audit",
+    "weighted_quantiles",
 ]
 
 
@@ -1731,7 +1736,26 @@ def mannwhitney_u(
     z = F.when(var <= 0, F.lit(0.0)).otherwise(
         F.greatest(zraw, F.lit(0.0)) / F.sqrt(var)
     )
-    # Abramowitz-Stegun 26.2.17: Phi(z) for z >= 0
+    p = _two_sided_normal_p(z)
+    staged2 = agg.withColumn("__u", u).withColumn("__z", z).withColumn(
+        "__p", F.least(p, F.lit(1.0))
+    )
+    return staged2.select(
+        "n_a",
+        "n_b",
+        F.round("__u", 4).alias("u_stat"),
+        F.round("__z", 6).alias("z"),
+        F.round("__p", 6).alias("p_value"),
+    )
+
+
+def _two_sided_normal_p(z):
+    """``2·(1−Φ(z))`` for a column ``z ≥ 0`` — the Abramowitz-Stegun
+    26.2.17 polynomial (|ε| < 7.5e-8, far inside the 6-decimal output
+    rounding), pure deterministic arithmetic both engines replay
+    bit-for-bit.  Shared by every normal-approximation test here
+    (:func:`mannwhitney_u`, :func:`welch_ttest`,
+    :func:`group_mean_shift_tests`).  Callers clamp to [0, 1]."""
     tt = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z)
     poly = tt * (
         F.lit(0.319381530)
@@ -1744,14 +1768,330 @@ def mannwhitney_u(
         )
     )
     pdf = F.exp(-z * z / F.lit(2.0)) / F.lit(2.5066282746310002)
-    p = F.lit(2.0) * (pdf * poly)  # 2 * (1 - Phi(z)) for z >= 0
-    staged2 = agg.withColumn("__u", u).withColumn("__z", z).withColumn(
-        "__p", F.least(p, F.lit(1.0))
+    return F.lit(2.0) * (pdf * poly)
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the mean-shift
+    member of the drift-test family (:func:`ks_test` asks "any
+    distribution change?", :func:`mannwhitney_u` "did the location
+    shift, robustly?", this one "did the MEAN shift?", the question
+    billing/throughput metrics actually need answered).
+
+    ``t = (x̄_a − x̄_b) / √(s²_a/n_a + s²_b/n_b)`` with
+    Welch–Satterthwaite degrees of freedom; the two-sided p-value uses
+    the NORMAL approximation to the t distribution (Φ via
+    :func:`_two_sided_normal_p`) — at the corpus sizes this engine
+    profiles, df is in the thousands where t and normal agree to well
+    under the 6-decimal rounding (document-level caveat: below df≈30
+    the p is anti-conservative; use a local stats package for tiny
+    samples).  Returns ONE row ``(n_a, n_b, mean_a, mean_b, t_stat,
+    dof, p_value)``.
+
+    Scale shape: ONE conditional aggregation over the stream (count /
+    sum / sum-of-squares per group, map-side combined) — no window, no
+    join, nothing survives the first groupBy."""
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    agg = df.where(a | b).agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum(b.cast("long")).alias("n_b"),
+        F.sum(F.when(a, v).otherwise(F.lit(0.0))).alias("__s1a"),
+        F.sum(F.when(a, v * v).otherwise(F.lit(0.0))).alias("__s2a"),
+        F.sum(F.when(b, v).otherwise(F.lit(0.0))).alias("__s1b"),
+        F.sum(F.when(b, v * v).otherwise(F.lit(0.0))).alias("__s2b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ma = F.col("__s1a") / na
+    mb = F.col("__s1b") / nb
+    # sample variance via the sum-of-squares identity; n < 2 would
+    # divide by zero (ANSI) so the guard yields NULL -> t degenerates
+    va = F.when(na > 1, (F.col("__s2a") - F.col("__s1a") * ma) / (na - 1))
+    vb = F.when(nb > 1, (F.col("__s2b") - F.col("__s1b") * mb) / (nb - 1))
+    staged = agg.select(
+        "n_a", "n_b",
+        ma.alias("__ma"), mb.alias("__mb"),
+        # negative variance = pure float cancellation noise; clamp
+        F.greatest(va, F.lit(0.0)).alias("__va"),
+        F.greatest(vb, F.lit(0.0)).alias("__vb"),
+    )
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    se2 = sa + sb
+    t = F.when(se2 > 0, (F.col("__ma") - F.col("__mb")) / F.sqrt(se2))
+    dof = F.when(
+        se2 > 0,
+        se2 * se2
+        / (
+            sa * sa / F.greatest(F.col("n_a") - 1, F.lit(1))
+            + sb * sb / F.greatest(F.col("n_b") - 1, F.lit(1))
+        ),
+    )
+    staged2 = staged.withColumn("__t", t).withColumn("__dof", dof)
+    p = F.when(
+        F.col("__t").isNull(), F.lit(1.0)
+    ).otherwise(
+        F.least(_two_sided_normal_p(F.abs(F.col("__t"))), F.lit(1.0))
     )
     return staged2.select(
         "n_a",
         "n_b",
-        F.round("__u", 4).alias("u_stat"),
+        F.round("__ma", 6).alias("mean_a"),
+        F.round("__mb", 6).alias("mean_b"),
+        F.round(F.coalesce(F.col("__t"), F.lit(0.0)), 6).alias("t_stat"),
+        F.round(F.coalesce(F.col("__dof"), F.lit(0.0)), 4).alias("dof"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def group_mean_shift_tests(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-vs-rest Welch z-test per group: for EVERY group
+    simultaneously, "does this group's mean differ from everyone
+    else's?" — the screening stage of a drift audit (its p-values are
+    exactly what :func:`bh_fdr` then corrects for multiple testing).
+
+    One row per group: ``(group, n, mean, rest_mean, z, p_value)``,
+    where the rest-statistics are the complements (global − group) so
+    EVERYTHING comes out of a single aggregation pass — |groups| tests
+    cost one shuffle, not |groups| jobs.
+
+    Scale shape: one per-group aggregation (count/sum/sumsq, map-side
+    combined) + one global rollup crossJoined back (broadcast 1-row);
+    the z/p arithmetic runs on |groups| rows."""
+    v = F.col(value_col).cast("double")
+    per = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("__s1"),
+        F.sum(v * v).alias("__s2"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("__tn"),
+        F.sum("__s1").alias("__ts1"),
+        F.sum("__s2").alias("__ts2"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    n = F.col("n").cast("double")
+    rn = (F.col("__tn") - F.col("n")).cast("double")
+    m = F.col("__s1") / n
+    rm = (F.col("__ts1") - F.col("__s1")) / rn
+    var = F.greatest(
+        F.when(n > 1, (F.col("__s2") - F.col("__s1") * m) / (n - 1)),
+        F.lit(0.0),
+    )
+    rvar = F.greatest(
+        F.when(
+            rn > 1,
+            (F.col("__ts2") - F.col("__s2") - (F.col("__ts1") - F.col("__s1")) * rm)
+            / (rn - 1),
+        ),
+        F.lit(0.0),
+    )
+    staged = j.where(rn > 0).select(
+        "group",
+        "n",
+        m.alias("__m"),
+        rm.alias("__rm"),
+        (var / n + rvar / rn).alias("__se2"),
+    )
+    z = F.when(
+        F.col("__se2") > 0,
+        F.abs(F.col("__m") - F.col("__rm")) / F.sqrt(F.col("__se2")),
+    ).otherwise(F.lit(0.0))
+    staged2 = staged.withColumn("__z", z)
+    return staged2.select(
+        "group",
+        "n",
+        F.round("__m", 6).alias("mean"),
+        F.round("__rm", 6).alias("rest_mean"),
         F.round("__z", 6).alias("z"),
+        F.round(
+            F.least(_two_sided_normal_p(F.col("__z")), F.lit(1.0)), 6
+        ).alias("p_value"),
+    )
+
+
+def bh_fdr(
+    tests: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction over a table
+    of test p-values — run 200 per-source drift tests at p<0.05 and
+    ~10 "drifts" are expected by chance alone; BH is the standard fix
+    (Benjamini & Hochberg 1995, JRSS-B).
+
+    Ranks p ascending (test name tie-break, so runs are
+    engine-replayable), computes ``q_i = min_{j≥i} p_(j)·m/j`` (the
+    step-up adjusted value, monotone-enforced by a running min from the
+    largest p down), and flags ``reject = q ≤ alpha``.  Returns
+    ``(test, p_value, rank, m, q_value, reject)``.
+
+    Scale shape: |tests| rows END-TO-END — the input is one row per
+    already-aggregated test (the output of :func:`ks_test`-family runs
+    or :func:`group_mean_shift_tests`), so the two ordered windows sort
+    hundreds of rows, not data.  This operator must never be pointed at
+    raw events; it corrects TESTS."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    rk = Window.orderBy(F.col("__p").asc(), F.col("__test").asc())
+    staged = tests.select(
+        F.col(test_col).cast("string").alias("__test"),
+        F.col(p_col).cast("double").alias("__p"),
+    ).select(
+        "__test",
+        "__p",
+        F.row_number().over(rk).alias("__rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    qraw = F.col("__p") * F.col("__m") / F.col("__rank")
+    staged2 = staged.withColumn("__qraw", qraw)
+    down = Window.orderBy(F.col("__rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = F.least(F.min("__qraw").over(down), F.lit(1.0))
+    staged3 = staged2.withColumn("__q", q)
+    return staged3.select(
+        F.col("__test").alias("test"),
         F.round("__p", 6).alias("p_value"),
+        F.col("__rank").alias("rank"),
+        F.col("__m").alias("m"),
+        F.round("__q", 6).alias("q_value"),
+        (F.col("__q") <= F.lit(alpha)).alias("reject"),
+    )
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """Benford's-law first-digit audit of a positive numeric column —
+    the classic fabricated/corrupted-numbers screen for ingested
+    financial or metric feeds (Nigrini's forensic-accounting standard):
+    naturally occurring multi-magnitude values have first significant
+    digit d with probability ``log10(1 + 1/d)``; synthetic or truncated
+    feeds don't.
+
+    Returns one row per OBSERVED digit ``(digit, n, obs_p, exp_p)``
+    plus two table-level conformity stats repeated on each row: ``mad``
+    (Nigrini's mean absolute deviation over all 9 digits — < 0.006 is
+    "close conformity") and ``chi2`` (8 dof).  Both use identities that
+    stay exact when a digit never occurs: ``χ² = n·(Σ obs²/exp − 1)``
+    and ``mad = (Σ|obs−exp| + (1 − Σ_observed exp))/9``.
+
+    The digit is extracted through the value's STRING form (strip
+    everything outside [1-9], take the first survivor): scientific and
+    positional notations agree on the first significant digit, and this
+    dodges the ``floor(log10(1000.0)) = 2.9999…`` float trap that makes
+    the arithmetic extraction misclassify exact powers of ten.
+
+    Scale shape: one digit-keyed count aggregation (map-side combined
+    to ≤9 partials); everything downstream runs on ≤9 rows."""
+    digit_s = F.substring(
+        F.regexp_replace(F.col(value_col).cast("string"), "[^1-9]", ""), 1, 1
+    )
+    per = (
+        df.where(F.col(value_col).isNotNull())
+        .select(digit_s.alias("__d"))
+        .where(F.col("__d") != "")
+        .groupBy(F.col("__d").cast("int").alias("digit"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy()
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    staged = per.select(
+        "digit",
+        "n",
+        (F.col("n") / F.sum("n").over(tot)).alias("__obs"),
+        exp_p.alias("__exp"),
+        F.sum("n").over(tot).alias("__tot"),
+    )
+    chi2 = F.col("__tot") * (
+        F.sum(F.col("__obs") * F.col("__obs") / F.col("__exp")).over(tot)
+        - F.lit(1.0)
+    )
+    mad = (
+        F.sum(F.abs(F.col("__obs") - F.col("__exp"))).over(tot)
+        + (F.lit(1.0) - F.sum("__exp").over(tot))
+    ) / F.lit(9.0)
+    return staged.select(
+        "digit",
+        "n",
+        F.round("__obs", 6).alias("obs_p"),
+        F.round("__exp", 6).alias("exp_p"),
+        F.round(mad, 6).alias("mad"),
+        F.round(F.greatest(chi2, F.lit(0.0)), 6).alias("chi2"),
+    )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Weight-aware per-group quantiles: the smallest value whose
+    cumulative weight reaches ``q`` of the group's total — "the median
+    quality score weighted by TOKEN COUNT" is a different (and for
+    training-mix decisions, the right) number than the per-document
+    median, because a 100k-token document should move the threshold
+    100k times more than a tweet.
+
+    Peer-inclusive RANGE cumulative frame (SQL default), so rows tied
+    on the value agree on their cumulative weight in every engine and
+    the answer is deterministic under any tie order.  Negative weights
+    raise at plan time via an in-plan guard; zero-weight rows can never
+    be selected below q=1.
+
+    Returns one row per group: ``(group, total_weight, q<q>...)`` with
+    one column per requested quantile.
+
+    Scale shape: one window pass PARTITIONED BY GROUP ordered by value
+    (a per-group sort — the honest cost of an exact weighted quantile;
+    groups parallelize across the cluster) + one per-group aggregation.
+    For corpus-wide single-group use at 100 TB, pre-bin values first
+    (hist_daily_sketches) — one global sort is the thing this engine
+    never does."""
+    if not qs:
+        raise ValueError("qs must be non-empty")
+    if any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    v = F.col(value_col).cast("double")
+    w = F.col(weight_col).cast("double")
+    cum = Window.partitionBy("__g").orderBy("__v")  # default RANGE frame
+    tot = Window.partitionBy("__g")
+    staged = df.select(
+        F.col(group_col).alias("__g"),
+        v.alias("__v"),
+        # lazy in-plan validation (F.assert_true returns NULL on
+        # success — coalesce keeps the weight itself on the happy path)
+        F.coalesce(
+            F.when(w >= 0, w),
+            F.raise_error(F.concat(F.lit("negative weight: "), w)),
+        ).alias("__w"),
+    ).select(
+        "__g",
+        "__v",
+        F.sum("__w").over(cum).alias("__cw"),
+        F.sum("__w").over(tot).alias("__tw"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("__cw") >= F.lit(q) * F.col("__tw"), F.col("__v"))
+        ).alias(f"q{str(q).replace('.', '_')}")
+        for q in qs
+    ]
+    return staged.groupBy(F.col("__g").alias("group")).agg(
+        # __tw is constant within the group; max is the engine-neutral
+        # way to say "the one value" (first() is order-dependent)
+        F.round(F.max("__tw"), 6).alias("total_weight"), *aggs
     )

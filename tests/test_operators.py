@@ -3963,6 +3963,104 @@ def test_drift_test_cardinality_guard_and_bins(spark):
         stats.ks_test(one, "g", "v", "a", "b", bins=0)
 
 
+def test_welch_shift_and_bh_semantics(spark):
+    """welch_ttest matches the closed-form Welch t and Satterthwaite
+    dof (hand-computed via numpy); the one-vs-rest screen agrees with
+    the two-group case by symmetry; BH q-values match the step-up
+    definition on a textbook p-vector."""
+    import math
+
+    import numpy as np
+
+    from plda_spark.operators import stats
+
+    a = [1.0, 2, 3, 4, 5, 6, 7, 8, 100]
+    b = [2.0, 2, 3, 3, 4, 4, 5, 5]
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in a] + [("b", float(x)) for x in b],
+        "g string, v double",
+    )
+    r = stats.welch_ttest(df, "g", "v", "a", "b").first()
+    va, vb = np.var(a, ddof=1), np.var(b, ddof=1)
+    se2 = va / len(a) + vb / len(b)
+    t = (np.mean(a) - np.mean(b)) / math.sqrt(se2)
+    dof = se2**2 / (
+        (va / len(a)) ** 2 / (len(a) - 1) + (vb / len(b)) ** 2 / (len(b) - 1)
+    )
+    assert r["t_stat"] == round(t, 6) and r["dof"] == round(dof, 4)
+    assert r["n_a"] == 9 and r["n_b"] == 8
+    assert 0.0 < r["p_value"] < 1.0
+
+    # with exactly two groups, one-vs-rest IS the two-sample test:
+    # both rows carry the same |z| and p
+    shift = {s["group"]: s for s in
+             stats.group_mean_shift_tests(df, "g", "v").collect()}
+    assert shift["a"]["z"] == shift["b"]["z"] == r["t_stat"]
+    assert shift["a"]["p_value"] == r["p_value"]
+
+    tests = spark.createDataFrame(
+        [("t1", 0.001), ("t2", 0.008), ("t3", 0.039), ("t4", 0.041),
+         ("t5", 0.20)],
+        "test string, p double",
+    )
+    out = {x["test"]: x for x in
+           stats.bh_fdr(tests, "test", "p", alpha=0.05).collect()}
+    # q_i = min_{j>=i} p_j*m/j: t3's raw 0.065 is pulled down by t4's
+    # 0.05125; t1/t2 reject at alpha=0.05, t3/t4 just miss
+    assert out["t1"]["q_value"] == 0.005 and out["t1"]["reject"]
+    assert out["t2"]["q_value"] == 0.02 and out["t2"]["reject"]
+    assert out["t3"]["q_value"] == 0.05125 and not out["t3"]["reject"]
+    assert out["t4"]["q_value"] == 0.05125 and not out["t4"]["reject"]
+    assert out["t5"]["q_value"] == 0.2 and out["t5"]["m"] == 5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stats.bh_fdr(tests, "test", "p", alpha=0.0)
+
+
+def test_benford_and_weighted_quantiles_semantics(spark):
+    """Powers of two famously follow Benford: the audit recovers the
+    digit mix with the missing-digit-exact MAD/chi2 identities (7 and
+    9 never lead 2^k for k<40).  Weighted quantiles: one whale weight
+    drags every quartile onto its value; zero-width groups behave."""
+    from plda_spark.operators import stats
+
+    bf = spark.createDataFrame([(float(2**k),) for k in range(40)],
+                               "v double")
+    rows = {r["digit"]: r for r in
+            stats.benford_audit(bf, "v").collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 8}  # 7, 9 absent
+    assert rows[1]["n"] == 12 and rows[2]["n"] == 8
+    assert rows[1]["obs_p"] == 0.3 and rows[1]["exp_p"] == 0.30103
+    # table-level stats identical on every row, missing digits included
+    assert rows[1]["mad"] == rows[8]["mad"] == 0.028826
+    assert rows[1]["chi2"] == rows[8]["chi2"] == 7.220595
+
+    wq = spark.createDataFrame(
+        [("x", 1.0, 1.0), ("x", 2.0, 1.0), ("x", 3.0, 98.0),
+         ("y", 5.0, 1.0)],
+        "g string, v double, w double",
+    )
+    out = {r["group"]: r for r in
+           stats.weighted_quantiles(wq, "g", "v", "w").collect()}
+    assert (out["x"]["q0_25"], out["x"]["q0_5"], out["x"]["q0_75"]) == (
+        3.0, 3.0, 3.0)  # 98% of the weight sits on v=3
+    assert out["x"]["total_weight"] == 100.0
+    assert out["y"]["q0_5"] == 5.0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stats.weighted_quantiles(wq, "g", "v", "w", qs=())
+    with _pytest.raises(ValueError):
+        stats.weighted_quantiles(wq, "g", "v", "w", qs=(0.0,))
+    with _pytest.raises(Exception, match="negative weight"):
+        stats.weighted_quantiles(
+            spark.createDataFrame([("x", 1.0, -1.0)],
+                                  "g string, v double, w double"),
+            "g", "v", "w",
+        ).collect()
+
+
 def test_chi2_and_winsorize_semantics(spark):
     """chi2: a perfectly dependent 2x2 table gives V=1; an independent
     one gives chi2=0.  winsorize: values outside the band clip to the

@@ -2776,6 +2776,38 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_weighted_quantiles"] = stats_weighted_quantiles
 
+    def privacy_k_anonymity(spark, sf):
+        """k-anonymity audit (operators/privacy.py k_anonymity_audit —
+        Sweeney 2002): equivalence-class sizes over the
+        (nation, market-segment) quasi-identifier pair with the
+        violates-k flag — the pre-release re-identification-risk
+        evidence table.  ONE map-side-combined aggregation."""
+        from plda_spark.operators import privacy
+
+        return privacy.k_anonymity_audit(
+            load_table(spark, sf, "customer"),
+            ["c_nationkey", "c_mktsegment"], k=10,
+        )
+
+    q["privacy_k_anonymity"] = privacy_k_anonymity
+
+    def privacy_dp_counts(spark, sf):
+        """Laplace-mechanism noisy counts (operators/privacy.py
+        dp_noisy_counts — Dwork et al. 2006) per event type at ε=1:
+        inverse-CDF Laplace draw from an md5-derived uniform, so the
+        release is deterministic per (group, seed) and the oracle
+        reproduces the exact noise (the docstring spells out why a
+        secure release swaps that one expression for a real RNG).
+        One aggregation + |groups|-row projection."""
+        from plda_spark.operators import privacy
+
+        return privacy.dp_noisy_counts(
+            load_table(spark, sf, "events"), ["event_type"],
+            epsilon=1.0, seed=42,
+        )
+
+    q["privacy_dp_counts"] = privacy_dp_counts
+
     def stats_hist_ks(spark, sf):
         """KS drift between two DATE RANGES from the mergeable
         histogram rollup alone (operators/stats.py hist_ks_ranges over
@@ -5855,6 +5887,29 @@ SELECT g AS "group", round(max(tw), 6) AS total_weight,
 FROM s GROUP BY g
 """
 
+    o["privacy_k_anonymity"] = """
+SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       count(*) < 10 AS violates
+FROM customer GROUP BY 1, 2
+"""
+
+    # Same md5-uniform, same inverse-CDF Laplace, same 1e-18 clamp.
+    o["privacy_dp_counts"] = """
+WITH per AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+), u AS (
+  SELECT event_type, n,
+         CAST('0x' || substr(md5(event_type || ':' || '42'), 1, 15)
+              AS BIGINT) / 1152921504606846976.0 AS u
+  FROM per
+)
+SELECT event_type, n,
+       round(greatest(n + (-1.0) * sign(u - 0.5)
+         * ln(greatest(1.0 - 2.0*abs(u - 0.5), 1e-18)), 0.0), 4)
+         AS noisy_n
+FROM u
+"""
+
     # Same contingency counts, same empty-cell-safe chi2 identity.
     o["stats_chi2_independence"] = """
 WITH cell AS (
@@ -8334,6 +8389,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_bh_fdr",
     "stats_benford",
     "stats_weighted_quantiles",
+    "privacy_k_anonymity",
+    "privacy_dp_counts",
 ]
 
 

@@ -248,6 +248,10 @@ BENCH_QUERIES = [
     "stats_benford",
     # weight-aware exact per-group quantiles
     "stats_weighted_quantiles",
+    # k-anonymity equivalence-class audit over quasi-identifiers
+    "privacy_k_anonymity",
+    # deterministic-Laplace noisy counts (DP mechanism shape)
+    "privacy_dp_counts",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -19,7 +19,13 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "personalized_pagerank", "triangles", "label_propagation"]
+__all__ = [
+    "pagerank",
+    "personalized_pagerank",
+    "triangles",
+    "label_propagation",
+    "link_prediction",
+]
 
 
 def pagerank(
@@ -308,3 +314,88 @@ def label_propagation(
         return labels.localCheckpoint(eager=True)
     finally:
         und.unpersist()
+
+
+def link_prediction(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_degree: int = 1000,
+    top_k: int = 100,
+) -> DataFrame:
+    """Neighborhood link prediction over the undirected simple graph:
+    for node pairs at distance 2 (sharing at least one neighbor but not
+    yet adjacent), the three classic scores — common-neighbor count,
+    Jaccard ``cn/(deg_u + deg_v − cn)``, and Adamic-Adar
+    ``Σ_{w∈CN} 1/ln(deg_w)`` (Liben-Nowell & Kleinberg 2003; Adamic &
+    Adar 2003) — the "users/pages that SHOULD be connected" miner
+    behind recommendation backfills and knowledge-graph completion.
+
+    Returns the ``top_k`` candidate pairs by ``(cn desc, u, v)`` (a
+    total order, so runs are engine-replayable): ``(u, v, cn, jaccard,
+    adamic_adar)``.
+
+    Scale shape: wedge enumeration through CENTER nodes — per center
+    one self-equi-join row per neighbor pair — is quadratic in center
+    degree, the classic hub explosion.  ``max_degree`` drops centers
+    above the cap BEFORE the join (standard practice: a 10M-degree hub
+    asserts almost nothing about any specific pair, and Adamic-Adar's
+    1/ln(deg) says exactly that), bounding per-center work at
+    max_degree².  One wedge join + one (u,v) aggregation + one
+    anti-join against the edge set + two degree joins; the final top-k
+    is a distributed TakeOrdered, never a global sort.  Wedge centers
+    always have degree ≥ 2, so ln(deg_w) never divides by zero."""
+    if max_degree < 2:
+        raise ValueError(f"max_degree must be >= 2, got {max_degree}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nbrs = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
+        e.select(F.col("b").alias("n"), F.col("a").alias("m"))
+    )
+    deg = nbrs.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
+    centered = nbrs.join(deg, "n").where(F.col("d") <= max_degree)
+    left = centered.select(
+        F.col("n").alias("w"), F.col("m").alias("u"), F.col("d").alias("dw")
+    )
+    right = centered.select(F.col("n").alias("w"), F.col("m").alias("v"))
+    cand = (
+        left.join(right, "w")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.sum(F.lit(1.0) / F.log(F.col("dw").cast("double"))).alias(
+                "__aa"
+            ),
+        )
+        .join(
+            e.select(F.col("a").alias("u"), F.col("b").alias("v")),
+            ["u", "v"],
+            "left_anti",
+        )
+        .join(deg.select(F.col("n").alias("u"), F.col("d").alias("__du")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("d").alias("__dv")), "v")
+    )
+    jac = F.col("cn") / (
+        F.col("__du") + F.col("__dv") - F.col("cn")
+    ).cast("double")
+    return (
+        cand.select(
+            "u",
+            "v",
+            "cn",
+            F.round(jac, 6).alias("jaccard"),
+            F.round("__aa", 6).alias("adamic_adar"),
+        )
+        .orderBy(F.col("cn").desc(), F.col("u").asc(), F.col("v").asc())
+        .limit(top_k)
+    )

@@ -1,0 +1,171 @@
+"""Privacy auditing and anonymization over release candidates.
+
+A training-data pipeline that publishes aggregates or curated corpora
+needs a pre-release privacy pass: re-identification risk is a property
+of QUASI-IDENTIFIER combinations (Sweeney 2002's k-anonymity — zip +
+birthdate + sex re-identified 87% of the US population), and published
+statistics need calibrated noise (Dwork et al. 2006's differential
+privacy, the Laplace mechanism).  These operators are that pass:
+
+- ``k_anonymity_audit`` — equivalence-class sizes over the QI columns
+  with the violation flag; the release gate's evidence table.
+- ``k_suppress`` — the standard remediation: drop every row whose QI
+  class is smaller than k (suppression; generalization is upstream
+  feature engineering — bucket the column first, then re-audit).
+- ``dp_noisy_counts`` — per-group counts + Laplace(sensitivity/ε)
+  noise.  The noise draw is md5-DERIVED AND DETERMINISTIC per
+  (group, seed): this makes the ε-noise pipeline unit-testable and
+  engine-replayable (the DuckDB oracle reproduces the exact noise),
+  which is the property every other sketch in this engine buys with
+  md5.  It is therefore NOT a secure DP release by itself — an
+  adversary who knows the seed can subtract the noise.  For a real
+  release, swap the uniform draw for a secure RNG at the one marked
+  expression; ε accounting and the mechanism shape stay valid.
+
+Scale shapes: every operator is one QI/group-keyed aggregation
+(map-side combined); ``k_suppress`` adds one join of the data against
+its own class-size table on the same key (co-partitioned by the
+groupBy's shuffle, no second shuffle of the big side under AQE).
+Nothing collects; class tables can be arbitrarily large.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "k_anonymity_audit",
+    "k_suppress",
+    "dp_noisy_counts",
+]
+
+_TWO_60 = float(1 << 60)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Equivalence-class sizes over the quasi-identifier combination:
+    one row per distinct QI tuple with ``n`` (class size) and
+    ``violates = n < k``.  A release is k-anonymous iff no row
+    violates; the violating classes are exactly the rows
+    :func:`k_suppress` would drop.
+
+    NULL QI values form their own class (standard practice — NULL is
+    itself identifying).  One aggregation, map-side combined."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("violates", F.col("n") < F.lit(k))
+    )
+
+
+def k_suppress(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    k: int = 5,
+) -> DataFrame:
+    """Drop every row whose quasi-identifier class has fewer than ``k``
+    members — the suppression remediation for a failed
+    :func:`k_anonymity_audit`.  The survivors are k-anonymous over
+    ``quasi_cols`` by construction.
+
+    One class-size aggregation + one inner join back on the QI key
+    (same shuffle key, so AQE co-locates it); null-safe on NULL QI
+    values via the join's groupBy-derived key column equality
+    (<=> semantics through a composite null-safe condition)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    sizes = (
+        df.groupBy(*[F.col(c).alias(f"__qi_{c}") for c in quasi_cols])
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= k)
+    )
+    cond = None
+    for c in quasi_cols:
+        term = F.col(c).eqNullSafe(F.col(f"__qi_{c}"))
+        cond = term if cond is None else cond & term
+    return df.join(sizes, cond, "inner").drop(
+        "__n", *[f"__qi_{c}" for c in quasi_cols]
+    )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    epsilon: float = 1.0,
+    sensitivity: float = 1.0,
+    seed: int = 0,
+    clamp_nonneg: bool = True,
+) -> DataFrame:
+    """Laplace-mechanism noisy per-group counts: ``noisy_n = n +
+    Laplace(sensitivity/ε)`` — the canonical ε-differentially-private
+    count release (Dwork-McSherry-Nissim-Smith 2006), under the usual
+    one-row-per-individual sensitivity-1 assumption (a user
+    contributing many rows needs ``sensitivity`` raised to that bound).
+
+    The Laplace draw inverts the CDF at a uniform
+    ``u = md5(group_key:seed)/2^60``::
+
+        noise = -(s/ε) · sign(u−½) · ln(1 − 2|u−½|)
+
+    DETERMINISM CAVEAT (read before releasing): u is md5-derived so
+    the same (group, seed) always draws the same noise — that is what
+    lets the DuckDB oracle and tests reproduce the release bit-for-bit,
+    and what makes repeated calls NOT burn fresh privacy budget in
+    testing.  It also means the draw is predictable to anyone holding
+    the seed; a production release must replace the ``u`` expression
+    below with a secure RNG (and then account ε per release).  The
+    ``ln`` argument is clamped at 1e-18 (u can land exactly on 0 with
+    probability 2^-60; the clamp caps |noise| at ~41.4·s/ε).
+
+    Returns one row per group: ``(*group_cols, n, noisy_n)`` with
+    noisy_n rounded to 4 (and floored at 0 when ``clamp_nonneg`` —
+    counts below zero are noise artifacts consumers rarely want).
+    One aggregation; the noise is a projection over |groups| rows."""
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    if sensitivity <= 0:
+        raise ValueError(f"sensitivity must be > 0, got {sensitivity}")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    per = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    key = F.concat_ws(
+        ":",
+        *[F.col(c).cast("string") for c in group_cols],
+        F.lit(str(int(seed))),
+    )
+    # the one expression a secure release swaps for a real RNG:
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("double")
+        / F.lit(_TWO_60)
+    )
+    staged = per.withColumn("__u", u)
+    centered = F.col("__u") - F.lit(0.5)
+    scale = F.lit(float(sensitivity) / float(epsilon))
+    noise = (
+        -scale
+        * F.signum(centered)
+        * F.log(
+            F.greatest(
+                F.lit(1.0) - F.lit(2.0) * F.abs(centered), F.lit(1e-18)
+            )
+        )
+    )
+    noisy = F.col("n") + noise
+    if clamp_nonneg:
+        noisy = F.greatest(noisy, F.lit(0.0))
+    return staged.select(
+        *group_cols, "n", F.round(noisy, 4).alias("noisy_n")
+    )

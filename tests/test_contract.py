@@ -80,7 +80,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (211, 161, 208)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (213, 163, 210)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -160,6 +160,9 @@ SURVEY_LOCATION_PINS = {
     "plda_spark.operators.multimodal": ["image_dhash", "image_stats"],
     "plda_spark.operators.invindex": ["build_inverted_index", "phrase_search"],
     "plda_spark.operators.classify": ["calibration_report", "lift_report"],
+    "plda_spark.operators.privacy": [
+        "k_anonymity_audit", "k_suppress", "dp_noisy_counts",
+    ],
     "plda_spark.operators.bpe": ["bpe_train"],
     "plda_spark.operators.unigram": ["unigram_train"],
     "plda_spark.operators.wordpiece": ["wordpiece_train"],

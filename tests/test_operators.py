@@ -4061,6 +4061,53 @@ def test_benford_and_weighted_quantiles_semantics(spark):
         ).collect()
 
 
+def test_privacy_semantics(spark):
+    """k-anonymity: class sizes + violation flags match hand counts,
+    NULL QI forms its own class, suppression keeps exactly the
+    >=k classes; dp_noisy_counts is deterministic per (group, seed),
+    changes with the seed, and clamps at zero."""
+    import pytest as _pytest
+
+    from plda_spark.operators import privacy
+
+    rows = [("a", "x")] * 6 + [("a", "y")] * 2 + [("b", "x")] * 3 + [
+        (None, "x")]
+    df = spark.createDataFrame(rows, "q1 string, q2 string")
+    audit = {(r["q1"], r["q2"]): (r["n"], r["violates"]) for r in
+             privacy.k_anonymity_audit(df, ["q1", "q2"], k=3).collect()}
+    assert audit == {
+        ("a", "x"): (6, False), ("a", "y"): (2, True),
+        ("b", "x"): (3, False), (None, "x"): (1, True),
+    }
+    kept = privacy.k_suppress(df, ["q1", "q2"], k=3)
+    assert kept.count() == 9 and kept.columns == ["q1", "q2"]
+
+    d1 = {r["q1"]: r["noisy_n"] for r in
+          privacy.dp_noisy_counts(df, ["q1"], seed=7).collect()}
+    d2 = {r["q1"]: r["noisy_n"] for r in
+          privacy.dp_noisy_counts(df, ["q1"], seed=7).collect()}
+    d3 = {r["q1"]: r["noisy_n"] for r in
+          privacy.dp_noisy_counts(df, ["q1"], seed=8).collect()}
+    assert d1 == d2  # same seed -> same release (replayable)
+    assert d1 != d3  # the seed actually feeds the draw
+    assert all(v >= 0 for v in d1.values())  # clamp_nonneg default
+    # tighter epsilon -> larger noise scale for the same draw
+    loose = {r["q1"]: abs(r["noisy_n"] - r["n"]) for r in
+             privacy.dp_noisy_counts(df, ["q1"], epsilon=1.0, seed=7,
+                                     clamp_nonneg=False).collect()}
+    tight = {r["q1"]: abs(r["noisy_n"] - r["n"]) for r in
+             privacy.dp_noisy_counts(df, ["q1"], epsilon=0.1, seed=7,
+                                     clamp_nonneg=False).collect()}
+    assert all(tight[g] >= loose[g] for g in loose)
+
+    with _pytest.raises(ValueError):
+        privacy.k_anonymity_audit(df, [], k=3)
+    with _pytest.raises(ValueError):
+        privacy.k_suppress(df, ["q1"], k=1)
+    with _pytest.raises(ValueError):
+        privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
+
+
 def test_chi2_and_winsorize_semantics(spark):
     """chi2: a perfectly dependent 2x2 table gives V=1; an independent
     one gives chi2=0.  winsorize: values outside the band clip to the

@@ -1672,6 +1672,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_lpa"] = graph_lpa
 
+    def graph_link_prediction(spark, sf):
+        """Common-neighbors / Jaccard / Adamic-Adar link prediction
+        (operators/graph.py link_prediction — Liben-Nowell & Kleinberg
+        2003): top-100 non-adjacent distance-2 pairs of the synthetic
+        link graph by (cn desc, u, v) total order.  One degree-capped
+        wedge self-join + one (u,v) aggregation + anti-join against
+        the edge set; the top-k is a distributed TakeOrdered."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = orders.select(
+            (F.col("o_custkey") % 400).alias("src"),
+            (F.col("o_orderkey") % 400).alias("dst"),
+        )
+        return graph.link_prediction(e, max_degree=1000, top_k=100)
+
+    q["graph_link_prediction"] = graph_link_prediction
+
     def source_csv_roundtrip(spark, sf):
         """CSV sink → declared-schema PERMISSIVE reader round-trip with
         one malformed row planted (wrong arity + bad cast) to prove the
@@ -7241,6 +7259,36 @@ WITH half AS (
     _lpa += "\nSELECT node, label FROM l2"
     o["graph_lpa"] = _lpa
 
+    # Same degree-capped wedge enumeration, same total order at the cut.
+    o["graph_link_prediction"] = """
+WITH raw AS (
+  SELECT o_custkey % 400 AS s, o_orderkey % 400 AS t FROM orders
+), e AS (
+  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+  FROM raw WHERE s <> t
+), nbrs AS (
+  SELECT a AS n, b AS m FROM e UNION ALL SELECT b AS n, a AS m FROM e
+), deg AS (SELECT n, count(*) AS d FROM nbrs GROUP BY n),
+centered AS (
+  SELECT nbrs.n AS w, nbrs.m AS m, deg.d AS d
+  FROM nbrs JOIN deg USING (n) WHERE deg.d <= 1000
+), cand AS (
+  SELECT l.m AS u, r.m AS v, count(*) AS cn,
+         sum(1.0 / ln(CAST(l.d AS DOUBLE))) AS aa
+  FROM centered l JOIN centered r ON l.w = r.w
+  WHERE l.m < r.m
+  GROUP BY 1, 2
+), nonadj AS (
+  SELECT cand.* FROM cand
+  ANTI JOIN e ON cand.u = e.a AND cand.v = e.b
+)
+SELECT u, v, CAST(cn AS BIGINT) AS cn,
+       round(cn / CAST(du.d + dv.d - cn AS DOUBLE), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM nonadj JOIN deg du ON nonadj.u = du.n JOIN deg dv ON nonadj.v = dv.n
+ORDER BY cn DESC, u, v LIMIT 100
+"""
+
     # Personalized variant: identical unrolled iterations, restart mass
     # concentrated on seeds {0,1,2} (p = 1/3 there, 0 elsewhere).
     _ppr = """
@@ -8391,6 +8439,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_weighted_quantiles",
     "privacy_k_anonymity",
     "privacy_dp_counts",
+    "graph_link_prediction",
 ]
 
 

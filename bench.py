@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "privacy_k_anonymity",
     # deterministic-Laplace noisy counts (DP mechanism shape)
     "privacy_dp_counts",
+    # degree-capped common-neighbor/Jaccard/Adamic-Adar link prediction
+    "graph_link_prediction",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -80,7 +80,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (213, 163, 210)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (214, 164, 211)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -149,7 +149,9 @@ SURVEY_LOCATION_PINS = {
         "hist_ks_ranges", "welch_ttest", "bh_fdr", "benford_audit",
         "weighted_quantiles", "group_mean_shift_tests",
     ],
-    "plda_spark.operators.graph": ["pagerank", "label_propagation"],
+    "plda_spark.operators.graph": [
+        "pagerank", "label_propagation", "link_prediction",
+    ],
     "plda_spark.operators.curation": ["ppl_buckets", "quantile_normalize", "winsorize"],
     "plda_spark.operators.joins": ["as_of_join", "interval_overlap_join"],
     "plda_spark.operators.events": [

@@ -4061,6 +4061,38 @@ def test_benford_and_weighted_quantiles_semantics(spark):
         ).collect()
 
 
+def test_link_prediction_semantics(spark):
+    """Hand-checked path graph 1-2-3 + 2-4 + 3-4: the only distance-2
+    non-adjacent pairs are (1,3) and (1,4), both through center 2
+    (deg 3): cn=1, jaccard=1/(1+2-1)=0.5, aa=1/ln(3).  Adjacent pairs
+    never surface; the degree cap silences hub centers; top_k cuts on
+    the (cn desc, u, v) total order."""
+    import math
+
+    import pytest as _pytest
+
+    from plda_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 4), (3, 4)], "src long, dst long"
+    )
+    out = {(r["u"], r["v"]): r for r in
+           graph.link_prediction(edges).collect()}
+    assert set(out) == {(1, 3), (1, 4)}
+    r = out[(1, 3)]
+    assert r["cn"] == 1 and r["jaccard"] == 0.5
+    assert r["adamic_adar"] == round(1 / math.log(3), 6)
+    # cap at 2 removes node 2 (deg 3) as a center: only center 3 and 4
+    # (deg 2) wedges remain, and their pairs (2,4)/(2,3) are adjacent
+    capped = graph.link_prediction(edges, max_degree=2).collect()
+    assert capped == []
+    assert len(graph.link_prediction(edges, top_k=1).collect()) == 1
+    with _pytest.raises(ValueError):
+        graph.link_prediction(edges, max_degree=1)
+    with _pytest.raises(ValueError):
+        graph.link_prediction(edges, top_k=0)
+
+
 def test_privacy_semantics(spark):
     """k-anonymity: class sizes + violation flags match hand counts,
     NULL QI forms its own class, suppression keeps exactly the

@@ -1690,6 +1690,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_link_prediction"] = graph_link_prediction
 
+    def events_markov_attribution(spark, sf):
+        """Markov-chain removal-effect attribution (operators/events.py
+        markov_attribution — Anderl et al. 2016, the data-driven
+        counterweight to the rule-based first/last/U-shaped models):
+        per-user journeys START→touches→CONV|NULL, a first-order
+        transition matrix, 25 synchronous value iterations for the
+        absorption probability, and per-channel credit from how much
+        conversion probability drops when the channel's inbound edges
+        redirect to NULL.  Corpus-scale work is ONE per-user window +
+        ONE transition count; the iterations run on the tiny
+        variant-transition table (the oracle unrolls the identical 25
+        iterations as chained CTEs)."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.markov_attribution(
+            load_table(spark, sf, "events"), n_iter=25
+        )
+
+    q["events_markov_attribution"] = events_markov_attribution
+
     def source_csv_roundtrip(spark, sf):
         """CSV sink → declared-schema PERMISSIVE reader round-trip with
         one malformed row planted (wrong arity + bad cast) to prove the
@@ -5928,6 +5948,81 @@ SELECT event_type, n,
 FROM u
 """
 
+    # Markov removal-effect twin: identical journey construction and
+    # the identical 25 value iterations unrolled as chained CTEs
+    # (tr/c0/te MATERIALIZED — each is referenced 24+ times).
+    _mk = """
+WITH conv AS (
+  SELECT user_id AS u, min(ts) AS cts FROM events
+  WHERE event_type = 'purchase' GROUP BY 1
+), touches AS (
+  SELECT e.user_id AS u, e.ts, e.event_id, e.event_type AS ch, c.cts
+  FROM events e LEFT JOIN conv c ON c.u = e.user_id
+  WHERE e.event_type <> 'purchase' AND (c.cts IS NULL OR e.ts < c.cts)
+), seq AS (
+  SELECT u, ch,
+         row_number() OVER (PARTITION BY u ORDER BY ts, event_id) AS rn,
+         lead(ch) OVER (PARTITION BY u ORDER BY ts, event_id) AS nxt,
+         cts IS NOT NULL AS converted
+  FROM touches
+), raw AS (
+  SELECT 'START' AS s, ch AS t FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT ch, coalesce(nxt, CASE WHEN converted THEN 'CONV' ELSE 'NULL' END)
+  FROM seq
+  UNION ALL
+  SELECT 'START', 'CONV' FROM conv
+  WHERE NOT EXISTS (SELECT 1 FROM touches WHERE touches.u = conv.u)
+), counts AS (
+  SELECT s, t, count(*) AS n FROM raw GROUP BY 1, 2
+), base_p AS (
+  SELECT s, t, n / CAST(sum(n) OVER (PARTITION BY s) AS DOUBLE) AS p
+  FROM counts
+), variants AS (
+  SELECT DISTINCT s AS variant FROM base_p WHERE s <> 'START'
+  UNION ALL SELECT 'base'
+), tr AS MATERIALIZED (
+  SELECT variant, s,
+         CASE WHEN variant <> 'base' AND t = variant THEN 'NULL'
+              ELSE t END AS t,
+         sum(p) AS p
+  FROM base_p CROSS JOIN variants
+  GROUP BY 1, 2, 3
+), c0 AS MATERIALIZED (
+  SELECT variant, s,
+         coalesce(sum(CASE WHEN t = 'CONV' THEN p END), 0.0) AS c
+  FROM tr GROUP BY 1, 2
+), te AS MATERIALIZED (
+  SELECT * FROM tr WHERE t NOT IN ('CONV', 'NULL')
+), v1 AS MATERIALIZED (SELECT variant, s, c AS v FROM c0)"""
+    for _it in range(2, 26):
+        _mk += f""",
+v{_it} AS MATERIALIZED (
+  SELECT c0.variant, c0.s, c0.c + coalesce(x.m, 0.0) AS v
+  FROM c0 LEFT JOIN (
+    SELECT te.variant, te.s, sum(te.p * v{_it - 1}.v) AS m
+    FROM te JOIN v{_it - 1}
+      ON te.variant = v{_it - 1}.variant AND te.t = v{_it - 1}.s
+    GROUP BY 1, 2) x
+  ON x.variant = c0.variant AND x.s = c0.s
+)"""
+    _mk += """,
+sv AS (SELECT variant, v FROM v25 WHERE s = 'START'),
+b AS (SELECT v AS pb FROM sv WHERE variant = 'base'),
+eff AS (
+  SELECT variant AS channel, pb, v AS pr,
+         CASE WHEN pb > 0 THEN greatest(1.0 - v/pb, 0.0)
+              ELSE 0.0 END AS rm
+  FROM sv, b WHERE variant <> 'base'
+)
+SELECT channel, round(pb, 6) AS p_base, round(pr, 6) AS p_removed,
+       round(rm, 6) AS removal_effect,
+       round(CASE WHEN sum(rm) OVER () > 0 THEN rm / sum(rm) OVER ()
+                  ELSE 0.0 END, 6) AS attribution
+FROM eff
+"""
+    o["events_markov_attribution"] = _mk
+
     # Same contingency counts, same empty-cell-safe chi2 identity.
     o["stats_chi2_independence"] = """
 WITH cell AS (
@@ -8440,6 +8535,7 @@ EXTRA_QUERIES: list[str] = [
     "privacy_k_anonymity",
     "privacy_dp_counts",
     "graph_link_prediction",
+    "events_markov_attribution",
 ]
 
 

@@ -254,6 +254,8 @@ BENCH_QUERIES = [
     "privacy_dp_counts",
     # degree-capped common-neighbor/Jaccard/Adamic-Adar link prediction
     "graph_link_prediction",
+    # Markov removal-effect attribution (journeys -> chain -> removals)
+    "events_markov_attribution",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

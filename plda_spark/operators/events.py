@@ -23,6 +23,7 @@ __all__ = [
     "forecast_backtest",
     "association_rules",
     "attribution_position",
+    "markov_attribution",
 ]
 
 
@@ -582,3 +583,166 @@ def attribution_position(
         F.count(F.lit(1)).alias("n_credits"),
         F.round(F.sum(cr * F.col("value")), 4).alias("revenue"),
     )
+
+
+def markov_attribution(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    channel_col: str = "event_type",
+    order_col: str = "event_id",
+    conversion: str = "purchase",
+    n_iter: int = 25,
+    max_channels: int = 500,
+) -> DataFrame:
+    """Markov-chain removal-effect attribution (Anderl et al. 2016,
+    the data-driven alternative to rule-based first/last/U-shaped
+    models): fit a first-order Markov chain over per-user touch
+    journeys ``START -> ch_1 -> ... -> ch_n -> CONV|NULL``, then credit
+    each channel by how much the chain's conversion probability DROPS
+    when that channel is removed (all transitions into it redirected
+    to NULL)::
+
+        removal(c)  = max(0, 1 - p_conv(chain without c) / p_conv(chain))
+        attribution = removal(c) / sum of removals
+
+    Journey construction: a user's touches are their non-``conversion``
+    events strictly BEFORE their first conversion event (ties at the
+    exact conversion timestamp are not credited — deterministic);
+    non-converters contribute their whole path ending in NULL;
+    converters with no prior touch contribute START->CONV (mass no
+    channel can claim).  Ordering is (ts, order_col) so replays are
+    exact.
+
+    Absorption probabilities run ``n_iter`` synchronous value
+    iterations ``V <- c + P·V`` (V(CONV)=1 folded into the constant
+    term, V(NULL)=0) — deterministic and geometrically convergent: the
+    residual after k iterations is at most (1 - min absorption mass)^k;
+    at the default 25 the fixtures agree with the exact solve far
+    beyond the 6-decimal rounding.  The DuckDB oracle unrolls the
+    IDENTICAL iterations as chained materialized CTEs.
+
+    Returns one row per channel: ``(channel, p_base, p_removed,
+    removal_effect, attribution)``, channels sorted.
+
+    Scale shape: the only corpus-scale work is one per-user ordered
+    window (partitioned by user — parallel) + ONE transition count
+    aggregation.  The transition table is then COLLECTED — it is
+    bounded at (|channels|+1)·(|channels|+2) rows by construction
+    (``max_channels``, default 500, makes the bound explicit) — and
+    the |channels|+1 absorption problems run as numpy matrix-vector
+    iterations on the driver: microseconds, versus 25 distributed
+    join rounds of pure scheduler overhead for a table this small
+    (measured ~7 s of job latency at 4 channels).  Same
+    bounded-collect contract as the driver-fit k-means in
+    dedup_semantic."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if max_channels < 1:
+        raise ValueError(f"max_channels must be >= 1, got {max_channels}")
+    from pyspark.sql import Window
+
+    u, ts, ch = F.col(user_col), F.col(ts_col), F.col(channel_col)
+    conv_ts = (
+        events.where(ch == F.lit(conversion))
+        .groupBy(u.alias("__u"))
+        .agg(F.min(ts).alias("__cts"))
+    )
+    touches = (
+        events.where(ch != F.lit(conversion))
+        .select(
+            u.alias("__u"), ts.alias("__ts"),
+            F.col(order_col).alias("__o"), ch.alias("__ch"),
+        )
+        .join(conv_ts, "__u", "left")
+        .where(F.col("__cts").isNull() | (F.col("__ts") < F.col("__cts")))
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__o")
+    seq = touches.select(
+        "__u", "__ch",
+        F.row_number().over(w).alias("__rn"),
+        F.lead("__ch").over(w).alias("__nxt"),
+        F.col("__cts").isNotNull().alias("__conv"),
+    )
+    end_state = F.when(F.col("__conv"), F.lit("CONV")).otherwise(F.lit("NULL"))
+    raw = (
+        seq.where(F.col("__rn") == 1)
+        .select(F.lit("START").alias("s"), F.col("__ch").alias("t"))
+        .unionByName(
+            seq.select(
+                F.col("__ch").alias("s"),
+                F.coalesce(F.col("__nxt"), end_state).alias("t"),
+            )
+        )
+        .unionByName(
+            # converters with no prior touch: START -> CONV directly
+            conv_ts.join(
+                touches.select("__u").distinct(), "__u", "left_anti"
+            ).select(F.lit("START").alias("s"), F.lit("CONV").alias("t"))
+        )
+    )
+    counts = raw.groupBy("s", "t").agg(F.count(F.lit(1)).alias("n"))
+    wp = Window.partitionBy("s")
+    # the bounded collect: <= (|channels|+1)(|channels|+2) rows
+    base_rows = counts.select(
+        "s", "t", (F.col("n") / F.sum("n").over(wp)).alias("p")
+    ).collect()
+
+    import numpy as np
+
+    channels = sorted({r["s"] for r in base_rows if r["s"] != "START"})
+    spark = events.sparkSession
+    schema = (
+        "channel string, p_base double, p_removed double, "
+        "removal_effect double, attribution double"
+    )
+    if not channels:
+        return spark.createDataFrame([], schema)
+    if len(channels) > max_channels:
+        raise ValueError(
+            f"markov_attribution: {len(channels)} channels > "
+            f"max_channels={max_channels}; the transition table and the "
+            "per-variant absorption solves are quadratic/cubic in "
+            "|channels| — bucket the channel column first (this is an "
+            "attribution model over CHANNELS, not over arbitrary ids)"
+        )
+    idx = {"START": 0}
+    for i, c in enumerate(channels):
+        idx[c] = i + 1
+    n = len(channels) + 1
+    P = np.zeros((n, n))
+    cvec = np.zeros(n)
+    for r in base_rows:
+        si = idx[r["s"]]
+        if r["t"] == "CONV":
+            cvec[si] += r["p"]
+        elif r["t"] in idx:  # NULL and unseen targets carry no value
+            P[si, idx[r["t"]]] += r["p"]
+
+    def _absorb(mat: "np.ndarray") -> float:
+        v = np.zeros(n)
+        for _ in range(n_iter):
+            v = cvec + mat @ v
+        return float(v[0])
+
+    p_base = _absorb(P)
+    out = []
+    total_rm = 0.0
+    for c in channels:
+        mat = P.copy()
+        mat[:, idx[c]] = 0.0  # inbound edges redirect to NULL
+        p_r = _absorb(mat)
+        rm = max(0.0, 1.0 - p_r / p_base) if p_base > 0 else 0.0
+        total_rm += rm
+        out.append((c, p_base, p_r, rm))
+    rows = [
+        (
+            c,
+            round(pb, 6),
+            round(pr, 6),
+            round(rm, 6),
+            round(rm / total_rm, 6) if total_rm > 0 else 0.0,
+        )
+        for c, pb, pr, rm in out
+    ]
+    return spark.createDataFrame(rows, schema)

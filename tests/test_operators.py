@@ -4061,6 +4061,60 @@ def test_benford_and_weighted_quantiles_semantics(spark):
         ).collect()
 
 
+def test_markov_attribution_semantics(spark):
+    """Hand-solved 3-user chain: P(START)={a:.5, b:.25, CONV:.25},
+    P(a)={b:.5, NULL:.5}, P(b)={CONV:1} -> p_base=.75; removing a
+    drops it to .5 (removal 1/3), removing b to .25 (removal 2/3);
+    attributions 1/3 and 2/3.  Touches at/after the conversion
+    timestamp never credit; converters with no touches route
+    START->CONV; no-conversion corpora credit nothing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import events as ev_ops
+
+    rows = [
+        (1, "2024-01-01 00:00", 1, "a", 0.0),
+        (2, "2024-01-01 00:01", 1, "b", 0.0),
+        (3, "2024-01-01 00:02", 1, "purchase", 10.0),
+        (4, "2024-01-01 00:00", 2, "a", 0.0),
+        (5, "2024-01-01 00:00", 3, "b", 0.0),
+        (6, "2024-01-01 00:01", 3, "purchase", 5.0),
+        (7, "2024-01-01 00:00", 4, "purchase", 1.0),
+        # a touch AT the conversion instant and one after: neither credits
+        (8, "2024-01-01 00:02", 1, "a", 0.0),
+        (9, "2024-01-01 00:03", 1, "a", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    out = {r["channel"]: r for r in ev_ops.markov_attribution(df).collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["p_base"] == out["b"]["p_base"] == 0.75
+    assert out["a"]["p_removed"] == 0.5 and out["b"]["p_removed"] == 0.25
+    assert out["a"]["removal_effect"] == 0.333333
+    assert out["b"]["removal_effect"] == 0.666667
+    assert out["a"]["attribution"] == 0.333333
+    assert out["b"]["attribution"] == 0.666667
+
+    # no conversions anywhere: p_base 0, zero credit, no division blowup
+    nc = ev_ops.markov_attribution(
+        df.where("event_type <> 'purchase'")
+    ).collect()
+    assert {r["channel"] for r in nc} == {"a", "b"}
+    assert all(r["p_base"] == 0.0 and r["attribution"] == 0.0 for r in nc)
+
+    # conversions only: no channels, empty frame with the full schema
+    empty = ev_ops.markov_attribution(df.where("event_type = 'purchase'"))
+    assert empty.count() == 0 and len(empty.columns) == 5
+
+    with _pytest.raises(ValueError):
+        ev_ops.markov_attribution(df, n_iter=0)
+    with _pytest.raises(ValueError, match="max_channels"):
+        ev_ops.markov_attribution(df, max_channels=1)
+
+
 def test_link_prediction_semantics(spark):
     """Hand-checked path graph 1-2-3 + 2-4 + 3-4: the only distance-2
     non-adjacent pairs are (1,3) and (1,4), both through center 2

@@ -2814,6 +2814,51 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_weighted_quantiles"] = stats_weighted_quantiles
 
+    def stats_psi(spark, sf):
+        """Population Stability Index between click and purchase value
+        distributions (operators/stats.py psi): 10 equal-width bins on
+        the pooled range (one broadcast min/max), empty-bin shares
+        clamped at 1e-4 per scorecard convention, per-bin terms + the
+        total stamped on each row.  One bin-keyed aggregation;
+        everything after runs on <= 10 rows."""
+        from plda_spark.operators import stats
+
+        return stats.psi(
+            load_table(spark, sf, "events"), "event_type", "value",
+            "click", "purchase", bins=10,
+        )
+
+    q["stats_psi"] = stats_psi
+
+    def stats_kruskal_wallis(spark, sf):
+        """Kruskal-Wallis H across ALL event types' value distributions
+        (operators/stats.py kruskal_wallis): average-rank ties,
+        tie-corrected H, Wilson-Hilferty cube-root chi-squared p
+        through the shared A&S Φ — the k-group screen you run before
+        pairwise Mann-Whitney + BH.  Same guarded bounded-cardinality
+        window contract as the KS family."""
+        from plda_spark.operators import stats
+
+        return stats.kruskal_wallis(
+            load_table(spark, sf, "events"), "event_type", "value"
+        )
+
+    q["stats_kruskal_wallis"] = stats_kruskal_wallis
+
+    def stats_trend(spark, sf):
+        """Theil-Sen slope + Mann-Kendall trend test over the daily
+        mean event value (operators/stats.py trend_tests): the corpus
+        collapses to |days| rows first, all day pairs give the exact
+        median pairwise slope and the sign statistic S with the
+        continuity-corrected normal p — the robust
+        is-this-metric-drifting detector."""
+        from plda_spark.operators import stats
+
+        return stats.trend_tests(load_table(spark, sf, "events"),
+                                 "ts", "value")
+
+    q["stats_trend"] = stats_trend
+
     def privacy_k_anonymity(spark, sf):
         """k-anonymity audit (operators/privacy.py k_anonymity_audit —
         Sweeney 2002): equivalence-class sizes over the
@@ -5925,6 +5970,118 @@ SELECT g AS "group", round(max(tw), 6) AS total_weight,
 FROM s GROUP BY g
 """
 
+    # Same pooled-range bins, same 1e-4 clamp, same per-bin terms.
+    o["stats_psi"] = """
+WITH f AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+), mm AS (SELECT min(v) AS lo, max(v) AS hi FROM f),
+per AS (
+  SELECT CASE WHEN hi <= lo THEN 0
+              ELSE least(CAST(floor((v - lo)/((hi - lo)/10.0)) AS INT), 9)
+         END AS bin,
+         lo, hi,
+         sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM f CROSS JOIN mm GROUP BY 1, 2, 3
+), s AS (
+  SELECT bin,
+         lo + bin*((hi - lo)/10.0) AS blo,
+         lo + (bin + 1)*((hi - lo)/10.0) AS bhi,
+         greatest(ca / CAST(sum(ca) OVER () AS DOUBLE), 0.0001) AS pa,
+         greatest(cb / CAST(sum(cb) OVER () AS DOUBLE), 0.0001) AS pb
+  FROM per
+)
+SELECT bin, round(blo, 6) AS lo, round(bhi, 6) AS hi,
+       round(pa, 6) AS p_a, round(pb, 6) AS p_b,
+       round((pa - pb)*ln(pa/pb), 6) AS term,
+       round(sum((pa - pb)*ln(pa/pb)) OVER (), 6) AS psi
+FROM s
+"""
+
+    # Same average ranks, tie-corrected H, Wilson-Hilferty p.
+    o["stats_kruskal_wallis"] = """
+WITH per AS (
+  SELECT CAST(value AS DOUBLE) AS v, event_type AS g, count(*) AS c
+  FROM events GROUP BY 1, 2
+), tv AS (SELECT v, sum(c) AS t FROM per GROUP BY v),
+ranked AS (
+  SELECT v, t,
+         (sum(t) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - t)
+           + (t + 1)/2.0 AS avgrank
+  FROM tv
+), joined AS (
+  SELECT per.g, per.c, ranked.avgrank FROM per JOIN ranked USING (v)
+), per_g AS (
+  SELECT g, sum(c) AS ng, sum(c*avgrank) AS rg FROM joined GROUP BY g
+), tot AS (
+  SELECT sum(t) AS n, sum(CAST(t AS DOUBLE)*t*t - t) AS tm FROM tv
+), agg AS (
+  SELECT count(*) AS k, max(n) AS n, sum(rg*rg/ng) AS s, max(tm) AS tm
+  FROM per_g CROSS JOIN tot
+), calc AS (
+  SELECT k, n,
+         greatest(CASE WHEN (1.0 - tm/(CAST(n AS DOUBLE)*n*n - n)) > 0
+           THEN (12.0/(CAST(n AS DOUBLE)*(n + 1))*s - 3.0*(n + 1))
+                / (1.0 - tm/(CAST(n AS DOUBLE)*n*n - n))
+           ELSE 0.0 END, 0.0) AS h,
+         CAST(k - 1 AS DOUBLE) AS nu
+  FROM agg
+), zc AS (
+  SELECT k, n, h, nu,
+         CASE WHEN nu > 0 AND h > 0
+              THEN (pow(h/nu, 1.0/3.0) - (1.0 - 2.0/(9.0*nu)))
+                   / sqrt(2.0/(9.0*nu))
+              ELSE 0.0 END AS z
+  FROM calc
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zc),
+pp AS (
+  SELECT k, n, h, nu, z,
+         (2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))))/2.0 AS half
+  FROM ph
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round(h, 6) AS h_stat, CAST(nu AS BIGINT) AS dof,
+       round(least(greatest(CASE WHEN z >= 0 THEN half
+                                 ELSE 1.0 - half END, 0.0), 1.0), 6)
+         AS p_value
+FROM pp
+"""
+
+    # Same per-day means, exact median pairwise slope, corrected z.
+    o["stats_trend"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, avg(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY 1
+), pairs AS (
+  SELECT (b.v - a.v) / datediff('day', a.d, b.d) AS slope,
+         sign(b.v - a.v) AS sgn
+  FROM daily a JOIN daily b ON a.d < b.d
+), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+agg AS (
+  SELECT quantile_cont(slope, 0.5) AS sen, sum(sgn) AS s FROM pairs
+), calc AS (
+  SELECT n_days, sen, s,
+         CAST(n_days AS DOUBLE)*(n_days - 1)*(2*n_days + 5)/18.0 AS var
+  FROM agg CROSS JOIN nd
+), zc AS (
+  SELECT n_days, sen, s,
+         CASE WHEN var <= 0 THEN 0.0
+              WHEN s > 0 THEN (s - 1)/sqrt(var)
+              WHEN s < 0 THEN (s + 1)/sqrt(var)
+              ELSE 0.0 END AS z
+  FROM calc
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zc)
+SELECT n_days, round(sen, 6) AS sen_slope, CAST(s AS DOUBLE) AS mk_s,
+       round(z, 6) AS z,
+       round(least(2.0*(exp(-z*z/2.0)/2.5066282746310002)
+         *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+            + tt*(-1.821255978 + tt*1.330274429))))), 1.0), 6) AS p_value
+FROM ph
+"""
+
     o["privacy_k_anonymity"] = """
 SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
        count(*) < 10 AS violates
@@ -8536,6 +8693,9 @@ EXTRA_QUERIES: list[str] = [
     "privacy_dp_counts",
     "graph_link_prediction",
     "events_markov_attribution",
+    "stats_psi",
+    "stats_kruskal_wallis",
+    "stats_trend",
 ]
 
 

@@ -256,6 +256,12 @@ BENCH_QUERIES = [
     "graph_link_prediction",
     # Markov removal-effect attribution (journeys -> chain -> removals)
     "events_markov_attribution",
+    # Population Stability Index (10 pooled-range bins, clamped shares)
+    "stats_psi",
+    # Kruskal-Wallis k-group rank test (Wilson-Hilferty p)
+    "stats_kruskal_wallis",
+    # Theil-Sen slope + Mann-Kendall trend over the daily series
+    "stats_trend",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

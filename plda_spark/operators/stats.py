@@ -64,6 +64,9 @@ __all__ = [
     "bh_fdr",
     "benford_audit",
     "weighted_quantiles",
+    "psi",
+    "kruskal_wallis",
+    "trend_tests",
 ]
 
 
@@ -2094,4 +2097,249 @@ def weighted_quantiles(
         # __tw is constant within the group; max is the engine-neutral
         # way to say "the one value" (first() is order-dependent)
         F.round(F.max("__tw"), 6).alias("total_weight"), *aggs
+    )
+
+
+def psi(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    bins: int = 10,
+    min_share: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between two groups' value
+    distributions — the model-monitoring industry's standard drift
+    number (banking scorecards onward): ``PSI = Σ (p_i − q_i)·ln(p_i/q_i)``
+    over equal-width bins, with the usual reading <0.1 stable /
+    0.1–0.25 moderate / >0.25 shifted.  The KS family answers "is the
+    difference statistically real?"; PSI answers "how big is it on a
+    scale ops teams alarm on".
+
+    Bin edges are equal-width between the POOLED min/max (one broadcast
+    1-row aggregate), so both groups share the grid; empty-bin shares
+    clamp at ``min_share`` (the standard fix — PSI is infinite on a
+    truly empty cell, and the clamp is stated in every scorecard
+    manual).  Returns one row per occupied bin ``(bin, lo, hi, p_a,
+    p_b, term)`` plus the total stamped on each row (``psi``), all
+    rounded to 6.
+
+    Scale shape: one broadcast min/max + ONE bin-keyed count
+    aggregation (map-side combined to ≤bins partials); everything
+    after runs on ≤bins rows."""
+    if bins < 2:
+        raise ValueError(f"bins must be >= 2, got {bins}")
+    if not (0.0 < min_share < 0.5):
+        raise ValueError(f"min_share must be in (0, 0.5), got {min_share}")
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    filtered = df.where((a | b) & v.isNotNull())
+    mm = filtered.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    idx = F.when(F.col("__hi") <= F.col("__lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((v - F.col("__lo")) / width).cast("int"),
+            F.lit(bins - 1),
+        )
+    )
+    per = (
+        filtered.crossJoin(F.broadcast(mm))
+        .groupBy(
+            idx.alias("bin"),
+            F.col("__lo").alias("__glo"),
+            F.col("__hi").alias("__ghi"),
+        )
+        .agg(
+            F.sum(a.cast("long")).alias("ca"),
+            F.sum(b.cast("long")).alias("cb"),
+        )
+    )
+    tot = Window.partitionBy()
+    gwidth = (F.col("__ghi") - F.col("__glo")) / F.lit(float(bins))
+    staged = per.select(
+        "bin",
+        (F.col("__glo") + F.col("bin") * gwidth).alias("__blo"),
+        (F.col("__glo") + (F.col("bin") + 1) * gwidth).alias("__bhi"),
+        F.greatest(
+            F.col("ca") / F.sum("ca").over(tot), F.lit(float(min_share))
+        ).alias("__pa"),
+        F.greatest(
+            F.col("cb") / F.sum("cb").over(tot), F.lit(float(min_share))
+        ).alias("__pb"),
+    )
+    term = (F.col("__pa") - F.col("__pb")) * F.log(
+        F.col("__pa") / F.col("__pb")
+    )
+    staged2 = staged.withColumn("__term", term)
+    return staged2.select(
+        "bin",
+        F.round("__blo", 6).alias("lo"),
+        F.round("__bhi", 6).alias("hi"),
+        F.round("__pa", 6).alias("p_a"),
+        F.round("__pb", 6).alias("p_b"),
+        F.round("__term", 6).alias("term"),
+        F.round(F.sum("__term").over(tot), 6).alias("psi"),
+    )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Kruskal-Wallis H rank test — "do ANY of these k groups differ in
+    location?", the k-group generalization of :func:`mannwhitney_u`
+    (run it first; pairwise tests only where it fires, then
+    :func:`bh_fdr` the pairs).
+
+    Tie-corrected ``H = [(12/(n(n+1))) Σ R_g²/n_g − 3(n+1)] / (1 −
+    Σ(t³−t)/(n³−n))`` with average ranks per tied value.  The p-value
+    uses the Wilson-Hilferty cube-root chi-squared approximation
+    (chi2(ν) ≈ ν·(1 − 2/9ν + z√(2/9ν))³, inverted through the shared
+    A&S Φ polynomial) — accurate to ~1e-4 for ν ≥ 2, stated here
+    because the exact incomplete-gamma is not expressible as
+    replayable SQL arithmetic.  Returns ONE row ``(k, n, h_stat,
+    dof, p_value)``.
+
+    Scale shape: one (group, value) count aggregation, then the
+    ordered rank window runs over |distinct values| rows — the same
+    single-task contract as :func:`ks_test`, ENFORCED by the same
+    ``max_distinct`` pre-check (bin upstream for continuous columns)."""
+    v = F.col(value_col).cast("double")
+    ndv = df.agg(F.approx_count_distinct(v).alias("__ndv")).first()["__ndv"]
+    if ndv > max_distinct:
+        raise ValueError(
+            f"kruskal_wallis: {value_col!r} has ~{ndv} distinct values > "
+            f"max_distinct={max_distinct}; quantize upstream (the rank "
+            "window is ONE task over the distinct values)."
+        )
+    per = df.groupBy(
+        v.alias("v"), F.col(group_col).alias("g")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tv = per.groupBy("v").agg(F.sum("c").alias("t"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = tv.select(
+        "v",
+        "t",
+        ((F.sum("t").over(wcum) - F.col("t")) + (F.col("t") + 1) / F.lit(2.0))
+        .alias("avgrank"),
+    )
+    joined = per.join(ranked, "v")
+    per_g = joined.groupBy("g").agg(
+        F.sum("c").alias("ng"),
+        F.sum(F.col("c") * F.col("avgrank")).alias("rg"),
+    )
+    tot = ranked.agg(
+        F.sum("t").alias("n"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_mass"),
+        F.count(F.lit(1)).alias("__nv"),
+    )
+    agg = per_g.crossJoin(F.broadcast(tot)).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("n").alias("n"),
+        F.sum(F.col("rg") * F.col("rg") / F.col("ng")).alias("__s"),
+        F.max("tie_mass").alias("__tm"),
+    )
+    n = F.col("n").cast("double")
+    h_raw = F.lit(12.0) / (n * (n + 1)) * F.col("__s") - F.lit(3.0) * (n + 1)
+    tie_corr = F.lit(1.0) - F.col("__tm") / (n * n * n - n)
+    h = F.when(tie_corr > 0, h_raw / tie_corr).otherwise(F.lit(0.0))
+    staged = agg.withColumn("__h", F.greatest(h, F.lit(0.0))).withColumn(
+        "__dof", (F.col("k") - 1).cast("double")
+    )
+    # Wilson-Hilferty: P(chi2_v > h) ~= 1 - Phi(z),
+    # z = ((h/v)^(1/3) - (1 - 2/(9v))) / sqrt(2/(9v))
+    nu = F.col("__dof")
+    z = F.when(
+        (nu > 0) & (F.col("__h") > 0),
+        (
+            F.pow(F.col("__h") / nu, F.lit(1.0 / 3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * nu))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * nu)),
+    ).otherwise(F.lit(0.0))
+    staged2 = staged.withColumn("__z", z)
+    # one-sided upper tail: p = (2*(1-Phi(|z|)))/2 for z>=0, and
+    # 1 - p_two/2 for z<0 (h below its expectation -> p near 1)
+    half = _two_sided_normal_p(F.abs(F.col("__z"))) / F.lit(2.0)
+    p = F.when(F.col("__z") >= 0, half).otherwise(F.lit(1.0) - half)
+    return staged2.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round("__h", 6).alias("h_stat"),
+        F.col("__dof").cast("long").alias("dof"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def trend_tests(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Daily-series trend detection: Theil-Sen slope + Mann-Kendall
+    test over the per-day aggregate of ``value_col`` — "is this metric
+    drifting over time, robustly?" (both are rank/median-based, so one
+    outage day cannot fake or hide a trend the way OLS lets it).
+
+    The series is the per-day MEAN of the value (one aggregation —
+    the trend of interest for quality/score monitoring).  Over the
+    |days|-row series: all C(|days|, 2) day pairs give
+    ``slope_ij = (v_j − v_i)/(days_j − days_i)``; Theil-Sen = the
+    exact MEDIAN pairwise slope (percentile over the pair table),
+    Mann-Kendall S = Σ sign(v_j − v_i) with the normal approximation
+    ``z = (S ∓ 1)/σ, σ² = n(n−1)(2n+5)/18`` (continuity-corrected,
+    no value ties assumed beyond exact equality contributing 0 to S)
+    and the shared Φ polynomial for the two-sided p.  Returns ONE row
+    ``(n_days, sen_slope, mk_s, z, p_value)``.
+
+    Scale shape: the corpus collapses to |days| rows FIRST; the pair
+    self-join is C(|days|,2) ≈ 66k rows at a year of data — a rollup
+    diagnostic, never a corpus op."""
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(day.alias("d")).agg(
+        F.avg(F.col(value_col).cast("double")).alias("v")
+    )
+    a = daily.select(
+        F.col("d").alias("d1"), F.col("v").alias("v1"),
+        F.datediff(F.col("d"), F.lit("1970-01-01")).alias("e1"),
+    )
+    b = daily.select(
+        F.col("d").alias("d2"), F.col("v").alias("v2"),
+        F.datediff(F.col("d"), F.lit("1970-01-01")).alias("e2"),
+    )
+    pairs = a.join(b, F.col("e1") < F.col("e2")).select(
+        ((F.col("v2") - F.col("v1")) / (F.col("e2") - F.col("e1"))).alias(
+            "slope"
+        ),
+        F.signum(F.col("v2") - F.col("v1")).alias("sgn"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    agg = pairs.agg(
+        F.percentile("slope", F.lit(0.5)).alias("__sen"),
+        F.sum("sgn").alias("__s"),
+    ).crossJoin(F.broadcast(n_days))
+    n = F.col("n_days").cast("double")
+    var = n * (n - 1) * (2 * n + 5) / F.lit(18.0)
+    s = F.col("__s")
+    z = F.when(var <= 0, F.lit(0.0)).otherwise(
+        F.when(s > 0, (s - 1) / F.sqrt(var))
+        .when(s < 0, (s + 1) / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+    )
+    staged = agg.withColumn("__z", z)
+    p = F.least(_two_sided_normal_p(F.abs(F.col("__z"))), F.lit(1.0))
+    return staged.select(
+        "n_days",
+        F.round("__sen", 6).alias("sen_slope"),
+        F.col("__s").cast("double").alias("mk_s"),
+        F.round("__z", 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
     )

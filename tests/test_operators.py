@@ -4194,6 +4194,79 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_psi_kruskal_trend_semantics(spark):
+    """PSI matches a numpy recomputation bin-for-bin on two shifted
+    uniforms; Kruskal-Wallis H matches the hand tie-corrected formula;
+    Theil-Sen on an exact-linear daily series recovers the slope with
+    a significant Mann-Kendall p."""
+    import collections
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import stats
+
+    a = list(np.linspace(0, 10, 101))
+    b = list(np.linspace(2, 12, 101))
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in a] + [("b", float(x)) for x in b],
+        "g string, v double",
+    )
+    rows = stats.psi(df, "g", "v", "a", "b", bins=5).collect()
+    lo, hi, w = 0.0, 12.0, 12.0 / 5
+    ca, cb = np.zeros(5), np.zeros(5)
+    for x in a:
+        ca[min(int((x - lo) / w), 4)] += 1
+    for x in b:
+        cb[min(int((x - lo) / w), 4)] += 1
+    pa = np.maximum(ca / ca.sum(), 1e-4)
+    pb = np.maximum(cb / cb.sum(), 1e-4)
+    assert len(rows) == 5
+    assert rows[0]["psi"] == round(float(((pa - pb) * np.log(pa / pb)).sum()), 6)
+    got = {r["bin"]: (r["p_a"], r["p_b"]) for r in rows}
+    for i in range(5):
+        assert got[i] == (round(float(pa[i]), 6), round(float(pb[i]), 6))
+    with _pytest.raises(ValueError):
+        stats.psi(df, "g", "v", "a", "b", bins=1)
+
+    g1, g2, g3 = [1.0, 2, 3, 4, 5], [2.0, 3, 4, 5, 6], [10.0, 11, 12, 13, 14]
+    df2 = spark.createDataFrame(
+        [("g1", float(x)) for x in g1] + [("g2", float(x)) for x in g2]
+        + [("g3", float(x)) for x in g3],
+        "g string, v double",
+    )
+    r = stats.kruskal_wallis(df2, "g", "v").first()
+    allv = g1 + g2 + g3
+    n = len(allv)
+    rk, start = {}, 1
+    for val in sorted(set(allv)):
+        t = allv.count(val)
+        rk[val] = start + (t - 1) / 2.0
+        start += t
+    H = 12 / (n * (n + 1)) * sum(
+        sum(rk[x] for x in g) ** 2 / len(g) for g in (g1, g2, g3)
+    ) - 3 * (n + 1)
+    tm = sum(t**3 - t for t in collections.Counter(allv).values())
+    assert r["h_stat"] == round(H / (1 - tm / (n**3 - n)), 6)
+    assert r["k"] == 3 and r["n"] == 15 and r["dof"] == 2
+    assert r["p_value"] < 0.01  # strongly separated third group
+    with _pytest.raises(ValueError, match="max_distinct"):
+        stats.kruskal_wallis(df2, "g", "v", max_distinct=2)
+
+    daily = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00", float(d) * 2.0) for d in range(1, 11)],
+        "ts string, v double",
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    t = stats.trend_tests(daily, "ts", "v").first()
+    assert t["n_days"] == 10 and t["sen_slope"] == 2.0
+    assert t["mk_s"] == 45.0 and t["p_value"] < 0.001
+    flat = stats.trend_tests(
+        daily.withColumn("v", SF.lit(3.0)), "ts", "v"
+    ).first()
+    assert flat["sen_slope"] == 0.0 and flat["p_value"] == 1.0
+
+
 def test_chi2_and_winsorize_semantics(spark):
     """chi2: a perfectly dependent 2x2 table gives V=1; an independent
     one gives chi2=0.  winsorize: values outside the band clip to the

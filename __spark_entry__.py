@@ -2814,6 +2814,78 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_weighted_quantiles"] = stats_weighted_quantiles
 
+    def text_rrf_fusion(spark, sf):
+        """Reciprocal-rank fusion (operators/invindex.py rrf_fuse —
+        Cormack 2009) of two rankers over the corpus: BM25 of the
+        fixed 4-term query + token-set Jaccard against the same terms,
+        fused in rank space (1/(60+rank)), top-20 by (rrf desc, doc).
+        The hybrid-retrieval combiner: no score normalization, per-
+        system rank windows partitioned by system."""
+        from plda_spark.operators import invindex
+        from plda_spark.operators.text import bm25_score, tokens_col
+
+        terms = ["join", "table", "group", "vector"]
+        docs = load_table(spark, sf, "documents")
+        bm = bm25_score(docs, terms).select(
+            F.lit("bm25").alias("system"), "doc_id",
+            F.col("bm25").alias("score"),
+        )
+        qarr = F.array(*[F.lit(t) for t in terms])
+        toks = tokens_col("text")
+        jac = docs.select(
+            F.lit("jaccard").alias("system"),
+            "doc_id",
+            (
+                F.size(F.array_intersect(toks, qarr))
+                / F.size(F.array_union(toks, qarr)).cast("double")
+            ).alias("score"),
+        )
+        return invindex.rrf_fuse(bm.unionByName(jac), k=60, top_n=20)
+
+    q["text_rrf_fusion"] = text_rrf_fusion
+
+    def text_vocab_coverage(spark, sf):
+        """Tokenizer-vocab coverage audit (operators/text.py
+        vocab_coverage): vocab = the corpus's top-2000 tokens by
+        frequency (count-desc/token-asc total order), then per-source
+        occurrence-weighted OOV rate — the per-slice audit that
+        catches a vocab silently shredding one source.  One explode +
+        broadcast-joinable vocab + one group aggregation."""
+        from plda_spark.operators.text import tokens_col, vocab_coverage
+
+        docs = load_table(spark, sf, "documents")
+        vocab = (
+            docs.select(F.explode(tokens_col("text")).alias("word"))
+            .groupBy("word")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("word").asc())
+            .limit(2000)
+            .select("word")
+        )
+        return vocab_coverage(docs, vocab)
+
+    q["text_vocab_coverage"] = text_vocab_coverage
+
+    def stats_jackknife_ratio(spark, sf):
+        """Delete-one-DAY jackknife SE for a ratio of sums
+        (operators/stats.py jackknife_ratio): purchase revenue per
+        click — numerator and denominator are both random, so the
+        naive SE is wrong and the jackknife is the experimentation-
+        stack standard.  One per-day aggregation + broadcast totals +
+        |days|-row arithmetic."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        return stats.jackknife_ratio(
+            ev,
+            F.to_date("ts"),
+            F.when(F.col("event_type") == "purchase", F.col("value"))
+            .otherwise(F.lit(0.0)),
+            (F.col("event_type") == "click").cast("double"),
+        )
+
+    q["stats_jackknife_ratio"] = stats_jackknife_ratio
+
     def stats_psi(spark, sf):
         """Population Stability Index between click and purchase value
         distributions (operators/stats.py psi): 10 equal-width bins on
@@ -5970,6 +6042,60 @@ SELECT g AS "group", round(max(tw), 6) AS total_weight,
 FROM s GROUP BY g
 """
 
+
+    # Same top-2000 count-desc/token-asc vocab, same occurrence weights.
+    o["text_vocab_coverage"] = f"""
+WITH toks AS (
+  SELECT source, unnest({_SQL_TOKS}) AS w FROM documents
+),
+vocab AS (
+  SELECT w FROM toks GROUP BY w
+  ORDER BY count(*) DESC, w ASC LIMIT 2000
+),
+j AS (
+  SELECT toks.source, (vocab.w IS NOT NULL) AS hit
+  FROM toks LEFT JOIN vocab ON toks.w = vocab.w
+)
+SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN hit THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       round(sum(CASE WHEN hit THEN 0 ELSE 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS oov_rate,
+       round(1.0 - sum(CASE WHEN hit THEN 0 ELSE 1 END)
+             / CAST(count(*) AS DOUBLE), 6) AS coverage
+FROM j GROUP BY source
+"""
+
+    # Same per-day sums, same delete-one replicates and identities.
+    o["stats_jackknife_ratio"] = """
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS g,
+         sum(CASE WHEN event_type = 'purchase' THEN value
+                  ELSE 0.0 END) AS n,
+         sum(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END) AS d
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(n) AS tn, sum(d) AS td FROM per),
+reps AS (
+  SELECT tn, td,
+         CASE WHEN td - d <> 0 THEN (tn - n)/(td - d) END AS r
+  FROM per CROSS JOIN tot
+), agg AS (
+  SELECT max(tn) AS tn, max(td) AS td, count(r) AS G,
+         sum(r) AS sr, sum(r*r) AS sr2
+  FROM reps
+), calc AS (
+  SELECT CAST(G AS BIGINT) AS n_groups,
+         CASE WHEN td <> 0 THEN tn/td ELSE 0.0 END AS ratio,
+         CASE WHEN G > 1
+              THEN sqrt((G - 1.0)/G * greatest(sr2 - sr*sr/G, 0.0))
+              ELSE 0.0 END AS se
+  FROM agg
+)
+SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
+       round(ratio - 1.959964*se, 6) AS ci_lo,
+       round(ratio + 1.959964*se, 6) AS ci_hi
+FROM calc
+"""
+
     # Same pooled-range bins, same 1e-4 clamp, same per-bin terms.
     o["stats_psi"] = """
 WITH f AS (
@@ -7427,6 +7553,46 @@ SELECT doc_id, ROUND({_bm_score}, 6) AS bm25,
 FROM base CROSS JOIN s
 """
 
+    # RRF twin: the SAME BM25 fragments as text_bm25 plus a token-set
+    # Jaccard ranker, fused in rank space with doc-id tie-breaks.
+    o["text_rrf_fusion"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+base AS (
+  SELECT doc_id, len(toks) AS dl,
+       {_bm_tf}
+  FROM t
+),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl, {_bm_df} FROM base),
+bm AS (
+  SELECT doc_id, {_bm_score} AS score FROM base CROSS JOIN s
+),
+jac AS (
+  SELECT doc_id,
+         len(list_intersect(toks, ['join','table','group','vector']))
+           / CAST(len(list_distinct(list_concat(toks,
+               ['join','table','group','vector']))) AS DOUBLE) AS score
+  FROM t
+),
+u AS (
+  SELECT 'bm25' AS system, doc_id, score FROM bm
+  UNION ALL
+  SELECT 'jaccard' AS system, doc_id, score FROM jac
+),
+ranked AS (
+  SELECT system, doc_id,
+         row_number() OVER (PARTITION BY system
+                            ORDER BY score DESC, doc_id) AS rnk
+  FROM u
+),
+fused AS (
+  SELECT doc_id, sum(1.0/(60.0 + rnk)) AS rrf,
+         CAST(count(*) AS BIGINT) AS n_systems
+  FROM ranked GROUP BY doc_id
+)
+SELECT doc_id, round(rrf, 6) AS rrf, n_systems
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 20
+"""
+
     _prof_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
     o["stats_profile_columns"] = "\nUNION ALL\n".join(
         f"""
@@ -8696,6 +8862,9 @@ EXTRA_QUERIES: list[str] = [
     "stats_psi",
     "stats_kruskal_wallis",
     "stats_trend",
+    "text_rrf_fusion",
+    "text_vocab_coverage",
+    "stats_jackknife_ratio",
 ]
 
 

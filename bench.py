@@ -262,6 +262,12 @@ BENCH_QUERIES = [
     "stats_kruskal_wallis",
     # Theil-Sen slope + Mann-Kendall trend over the daily series
     "stats_trend",
+    # reciprocal-rank fusion of BM25 + Jaccard rankers
+    "text_rrf_fusion",
+    # per-source tokenizer-vocab OOV audit
+    "text_vocab_coverage",
+    # delete-one-day jackknife SE for a ratio metric
+    "stats_jackknife_ratio",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -27,12 +27,12 @@ proportional to corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import tokens_col
 
-__all__ = ["build_inverted_index", "phrase_search", "term_search"]
+__all__ = ["build_inverted_index", "phrase_search", "term_search", "rrf_fuse"]
 
 
 def build_inverted_index(
@@ -158,3 +158,71 @@ def term_search(
     if mode == "and":
         agged = agged.filter(F.col("n_terms_matched") == len(uniq))
     return agged
+
+
+def rrf_fuse(
+    rankings: DataFrame,
+    system_col: str = "system",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    query_col: str | None = None,
+    k: int = 60,
+    top_n: int = 20,
+) -> DataFrame:
+    """Reciprocal-rank fusion of multiple rankers' scored lists
+    (Cormack, Clarke & Büttcher 2009) — THE standard hybrid-retrieval
+    combiner (lexical BM25 + embedding ANN, or any mix): each system's
+    scores reduce to ranks, and a document's fused score is
+    ``Σ_systems 1/(k + rank)``.  Rank-space fusion needs no score
+    normalization, which is why it beats linear score mixing across
+    heterogeneous rankers.
+
+    ``rankings`` is the UNION of the systems' lists: one row per
+    (system, doc, score), plus ``query_col`` when fusing per query.
+    Ranks break ties on the doc id (deterministic, engine-replayable);
+    a document missing from a system's list simply contributes nothing
+    for that system.  Returns the ``top_n`` fused docs (per query if
+    given): ``([query,] doc, rrf, n_systems)``.
+
+    Scale shape: one rank window PARTITIONED by (query, system) — the
+    per-list sort, parallel across queries — one (query, doc)
+    aggregation, then a per-query top-n window (or a distributed
+    TakeOrdered when fusing a single global list).  Never a global
+    sort of the corpus."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if top_n < 1:
+        raise ValueError(f"top_n must be >= 1, got {top_n}")
+    part = [query_col] if query_col else []
+    wr = Window.partitionBy(*(part + [system_col])).orderBy(
+        F.col(score_col).desc(), F.col(doc_col).asc()
+    )
+    ranked = rankings.select(
+        *part,
+        F.col(doc_col).alias("__doc"),
+        F.row_number().over(wr).alias("__rnk"),
+    )
+    fused = ranked.groupBy(*(part + ["__doc"])).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("__rnk"))).alias("__rrf"),
+        F.count(F.lit(1)).alias("n_systems"),
+    )
+    out_cols = [
+        *part,
+        F.col("__doc").alias(doc_col),
+        F.round("__rrf", 6).alias("rrf"),
+        "n_systems",
+    ]
+    if query_col:
+        wq = Window.partitionBy(query_col).orderBy(
+            F.col("__rrf").desc(), F.col("__doc").asc()
+        )
+        return (
+            fused.withColumn("__r", F.row_number().over(wq))
+            .where(F.col("__r") <= top_n)
+            .select(*out_cols)
+        )
+    return (
+        fused.orderBy(F.col("__rrf").desc(), F.col("__doc").asc())
+        .limit(top_n)
+        .select(*out_cols)
+    )

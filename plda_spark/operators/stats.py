@@ -67,6 +67,7 @@ __all__ = [
     "psi",
     "kruskal_wallis",
     "trend_tests",
+    "jackknife_ratio",
 ]
 
 
@@ -2342,4 +2343,83 @@ def trend_tests(
         F.col("__s").cast("double").alias("mk_s"),
         F.round("__z", 6).alias("z"),
         F.round(p, 6).alias("p_value"),
+    )
+
+
+def jackknife_ratio(
+    df: DataFrame,
+    group_col,
+    num_col,
+    den_col,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Delete-one-group jackknife standard error for a RATIO OF SUMS —
+    revenue per session, tokens per document, CTR: the denominator is
+    random too, so the naive binomial/normal SE is wrong, and the
+    delete-one-group jackknife (Quenouille/Tukey; the ratio-metric
+    workhorse of large-scale experimentation) is the standard fix.
+
+    ``group_col`` is the deletion unit (days for time series, user
+    buckets for experiments) and may be a string column name or a
+    Column expression; ``num_col``/``den_col`` likewise.  Replicates
+    ``R₍₋g₎ = (N−n_g)/(D−d_g)`` feed ``SE² = (G−1)/G · Σ(R₍₋g₎−R̄)²``
+    via the sum/sum-of-squares identity (one pass over the |groups|
+    rollup).  Groups whose deletion empties the denominator are
+    EXCLUDED from the replicates (their R₍₋g₎ is undefined) — G counts
+    the usable ones.  Returns ONE row ``(n_groups, ratio, jack_se,
+    ci_lo, ci_hi)`` at the ±z normal interval (default 95%).
+
+    Scale shape: ONE per-group aggregation over the stream (map-side
+    combined), a broadcast 1-row total, and scalar arithmetic over
+    |groups| rows."""
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    num = (F.col(num_col) if isinstance(num_col, str) else num_col).cast(
+        "double"
+    )
+    den = (F.col(den_col) if isinstance(den_col, str) else den_col).cast(
+        "double"
+    )
+    per = df.groupBy(g.alias("__g")).agg(
+        F.sum(F.coalesce(num, F.lit(0.0))).alias("__n"),
+        F.sum(F.coalesce(den, F.lit(0.0))).alias("__d"),
+    )
+    tot = per.agg(F.sum("__n").alias("__tn"), F.sum("__d").alias("__td"))
+    reps = per.crossJoin(F.broadcast(tot)).select(
+        "__tn",
+        "__td",
+        F.when(
+            F.col("__td") - F.col("__d") != 0,
+            (F.col("__tn") - F.col("__n")) / (F.col("__td") - F.col("__d")),
+        ).alias("__r"),
+    )
+    agg = reps.agg(
+        F.max("__tn").alias("__tn"),
+        F.max("__td").alias("__td"),
+        F.count("__r").alias("__G"),
+        F.sum("__r").alias("__sr"),
+        F.sum(F.col("__r") * F.col("__r")).alias("__sr2"),
+    )
+    G = F.col("__G").cast("double")
+    ratio = F.when(F.col("__td") != 0, F.col("__tn") / F.col("__td")).otherwise(
+        F.lit(0.0)
+    )
+    var = F.when(
+        G > 1,
+        (G - 1)
+        / G
+        * F.greatest(
+            F.col("__sr2") - F.col("__sr") * F.col("__sr") / G, F.lit(0.0)
+        ),
+    ).otherwise(F.lit(0.0))
+    staged = agg.select(
+        F.col("__G").alias("n_groups"),
+        ratio.alias("__ratio"),
+        F.sqrt(var).alias("__se"),
+    )
+    return staged.select(
+        "n_groups",
+        F.round("__ratio", 6).alias("ratio"),
+        F.round("__se", 6).alias("jack_se"),
+        F.round(F.col("__ratio") - F.lit(z) * F.col("__se"), 6).alias("ci_lo"),
+        F.round(F.col("__ratio") + F.lit(z) * F.col("__se"), 6).alias("ci_hi"),
     )

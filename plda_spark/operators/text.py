@@ -52,6 +52,7 @@ __all__ = [
     "BPE_SPLIT_RE",
     "STOPWORDS",
     "GOPHER_REQUIRED_WORDS",
+    "vocab_coverage",
 ]
 
 # The Gopher rules' required-word check (Rae et al. 2021, "Scaling
@@ -1601,4 +1602,48 @@ def zipf_fit(
         "slope",
         "intercept",
         "r2",
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    word_col: str = "word",
+) -> DataFrame:
+    """Per-group tokenizer-vocabulary coverage: what fraction of a
+    source's token OCCURRENCES fall outside ``vocab`` — the audit you
+    run before committing to a tokenizer (a vocab trained on web
+    English can look fine on aggregate while silently shredding the
+    code or zh slice into bytes; per-source OOV rate is where that
+    shows).
+
+    Returns one row per group: ``(group, n_tokens, n_oov, oov_rate,
+    coverage)`` with the rates rounded to 6.
+
+    Scale shape: tokens explode once, join the (distinct) vocab on the
+    token — vocab tables are small next to a corpus, so AQE broadcasts
+    the build side — then ONE group aggregation (map-side combined).
+    Occurrence-weighted by design: weighting by type instead would let
+    one exotic hapax count as much as a million OOV occurrences."""
+    toks = docs.select(
+        F.col(group_col).alias("group"),
+        F.explode(tokens_col(text_col)).alias("__w"),
+    )
+    vz = vocab.select(F.col(word_col).alias("__w")).distinct().withColumn(
+        "__in", F.lit(1)
+    )
+    joined = toks.join(vz, "__w", "left")
+    agg = joined.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    rate = F.col("n_oov") / F.col("n_tokens")
+    return agg.select(
+        "group",
+        "n_tokens",
+        "n_oov",
+        F.round(rate, 6).alias("oov_rate"),
+        F.round(F.lit(1.0) - rate, 6).alias("coverage"),
     )

@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (218, 168, 215)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (221, 171, 218)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -142,6 +142,7 @@ SURVEY_LOCATION_PINS = {
     "plda_spark.operators.similarity": ["brute_force_topk", "ivf_pq_build"],
     "plda_spark.operators.text": [
         "token_stats", "lm_score", "rake_keywords", "char_entropy",
+        "vocab_coverage",
     ],
     "plda_spark.operators.sampling": ["stratified_hash_sample", "kcenter_select"],
     "plda_spark.operators.stats": [
@@ -149,7 +150,7 @@ SURVEY_LOCATION_PINS = {
         "decayed_moments", "ks_test", "chi2_independence", "mannwhitney_u",
         "hist_ks_ranges", "welch_ttest", "bh_fdr", "benford_audit",
         "weighted_quantiles", "group_mean_shift_tests", "psi",
-        "kruskal_wallis", "trend_tests",
+        "kruskal_wallis", "trend_tests", "jackknife_ratio",
     ],
     "plda_spark.operators.graph": [
         "pagerank", "label_propagation", "link_prediction",
@@ -163,7 +164,9 @@ SURVEY_LOCATION_PINS = {
     ],
     "plda_spark.operators.web": ["normalize_url_col", "domain_filter", "frontier_schedule"],
     "plda_spark.operators.multimodal": ["image_dhash", "image_stats"],
-    "plda_spark.operators.invindex": ["build_inverted_index", "phrase_search"],
+    "plda_spark.operators.invindex": [
+        "build_inverted_index", "phrase_search", "rrf_fuse",
+    ],
     "plda_spark.operators.classify": ["calibration_report", "lift_report"],
     "plda_spark.operators.privacy": [
         "k_anonymity_audit", "k_suppress", "dp_noisy_counts",

@@ -4194,6 +4194,67 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_rrf_vocab_jackknife_semantics(spark):
+    """RRF: hand-checked rank fusion across two systems (doc in both
+    lists gets 1/62 + 1/61; single-system docs get one term); vocab
+    coverage: occurrence-weighted OOV rates match hand counts;
+    jackknife: SE matches the delete-one formula computed in numpy."""
+    import pytest as _pytest
+
+    from plda_spark.operators import invindex, stats
+    from plda_spark.operators import text as text_ops
+
+    rk = spark.createDataFrame(
+        [("s1", 10, 0.9), ("s1", 11, 0.8), ("s1", 12, 0.7),
+         ("s2", 11, 5.0), ("s2", 12, 4.0), ("s2", 13, 3.0)],
+        "system string, doc_id long, score double",
+    )
+    out = {r["doc_id"]: r for r in
+           invindex.rrf_fuse(rk, k=60, top_n=10).collect()}
+    assert out[11]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    assert out[11]["n_systems"] == 2
+    assert out[10]["rrf"] == round(1 / 61, 6) and out[10]["n_systems"] == 1
+    # per-query fusion keeps queries separate
+    rk2 = rk.withColumn("q", rk["doc_id"] % 2)
+    per_q = invindex.rrf_fuse(rk2, query_col="q", top_n=1).collect()
+    assert len(per_q) == 2 and {r["q"] for r in per_q} == {0, 1}
+    with _pytest.raises(ValueError):
+        invindex.rrf_fuse(rk, k=0)
+    with _pytest.raises(ValueError):
+        invindex.rrf_fuse(rk, top_n=0)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "web"), (2, "alpha alpha zork", "web"),
+         (3, "beta beta beta", "book")],
+        "doc_id long, text string, source string",
+    )
+    vocab = spark.createDataFrame([("alpha",), ("beta",)], "word string")
+    cv = {r["group"]: r for r in
+          text_ops.vocab_coverage(docs, vocab).collect()}
+    assert cv["web"]["n_tokens"] == 6 and cv["web"]["n_oov"] == 2
+    assert cv["web"]["oov_rate"] == round(2 / 6, 6)
+    assert cv["book"]["n_oov"] == 0 and cv["book"]["coverage"] == 1.0
+
+    data = [("d1", 10.0, 2.0), ("d2", 20.0, 5.0), ("d3", 5.0, 1.0),
+            ("d4", 8.0, 4.0)]
+    df = spark.createDataFrame(data, "g string, n double, d double")
+    r = stats.jackknife_ratio(df, "g", "n", "d").first()
+    N, D = 43.0, 12.0
+    reps = [(N - n) / (D - d) for _, n, d in data]
+    G = len(reps)
+    m = sum(reps) / G
+    se = ((G - 1) / G * sum((x - m) ** 2 for x in reps)) ** 0.5
+    assert r["ratio"] == round(N / D, 6) and r["jack_se"] == round(se, 6)
+    assert r["ci_lo"] == round(N / D - 1.959964 * se, 6)
+    assert r["n_groups"] == 4
+    # a group whose deletion empties the denominator is excluded
+    df2 = spark.createDataFrame(
+        [("a", 1.0, 5.0), ("b", 2.0, 0.0)], "g string, n double, d double"
+    )
+    r2 = stats.jackknife_ratio(df2, "g", "n", "d").first()
+    assert r2["n_groups"] == 1 and r2["jack_se"] == 0.0
+
+
 def test_psi_kruskal_trend_semantics(spark):
     """PSI matches a numpy recomputation bin-for-bin on two shifted
     uniforms; Kruskal-Wallis H matches the hand tie-corrected formula;

@@ -2814,6 +2814,74 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_weighted_quantiles"] = stats_weighted_quantiles
 
+    def events_kaplan_meier(spark, sf):
+        """Kaplan-Meier survival over engagement lifetimes (operators/
+        events.py kaplan_meier — Kaplan & Meier 1958): censoring-aware
+        retention where the subject is a (user, event_type) engagement
+        stream (the synthetic corpus's users are all active to the
+        last day, so per-type streams give a real censored/churned
+        mix); streams active within 3 days of the corpus end are
+        censored not churned, running product via exp-sum-log with
+        the cumulative-min zero guard.  One per-subject aggregation;
+        the curve table is calendar-bounded."""
+        from plda_spark.operators import events as ev_ops
+
+        ev = load_table(spark, sf, "events").withColumn(
+            "subject", F.concat_ws("/", F.col("user_id"), F.col("event_type"))
+        )
+        return ev_ops.kaplan_meier(
+            ev, user_col="subject", censor_window_days=3
+        )
+
+    q["events_kaplan_meier"] = events_kaplan_meier
+
+    def graph_hits(spark, sf):
+        """HITS hubs-and-authorities (operators/graph.py hits —
+        Kleinberg 1999), 3 sum-normalized alternating iterations over
+        the directed synthetic link graph (custkey%100 → orderkey%100);
+        the oracle unrolls the identical iterations.  Per iteration two
+        edge⋈score joins + one 1-row normalization broadcast each —
+        the Pregel shape shared with pagerank."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = orders.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        return graph.hits(e, n_iter=3)
+
+    q["graph_hits"] = graph_hits
+
+    def privacy_l_diversity(spark, sf):
+        """Distinct l-diversity audit (operators/privacy.py
+        l_diversity_audit — Machanavajjhala 2006): per nation class,
+        how many distinct market segments appear — the homogeneity-
+        attack check k-anonymity misses.  One aggregation with exact
+        countDistinct; NULL sensitive values count as observable."""
+        from plda_spark.operators import privacy
+
+        return privacy.l_diversity_audit(
+            load_table(spark, sf, "customer"),
+            ["c_nationkey"], "c_mktsegment", l=5,
+        )
+
+    q["privacy_l_diversity"] = privacy_l_diversity
+
+    def text_vocab_richness(spark, sf):
+        """Frequency-spectrum vocabulary richness per language
+        (operators/text.py vocab_richness): Chao1 unseen-types lower
+        bound (bias-corrected at f2=0), Good-Turing coverage, TTR —
+        the is-more-crawling-still-buying-vocabulary diagnostic.  One
+        token-count aggregation + one spectrum aggregation."""
+        from plda_spark.operators.text import vocab_richness
+
+        return vocab_richness(
+            load_table(spark, sf, "documents"), group_col="lang"
+        )
+
+    q["text_vocab_richness"] = text_vocab_richness
+
     def text_rrf_fusion(spark, sf):
         """Reciprocal-rank fusion (operators/invindex.py rrf_fuse —
         Cormack 2009) of two rankers over the corpus: BM25 of the
@@ -6065,6 +6133,115 @@ SELECT source AS "group", CAST(count(*) AS BIGINT) AS n_tokens,
 FROM j GROUP BY source
 """
 
+    # KM twin: same censoring rule, same exp-sum-log running product
+    # with the cumulative-min zero guard.
+    o["events_kaplan_meier"] = """
+WITH pu AS (
+  SELECT user_id || '/' || event_type AS subject,
+         min(CAST(ts AS DATE)) AS f, max(CAST(ts AS DATE)) AS l
+  FROM events GROUP BY 1
+), se AS (SELECT max(CAST(ts AS DATE)) AS e FROM events),
+st AS (
+  SELECT datediff('day', f, l) AS t,
+         CASE WHEN datediff('day', l, e) >= 3 THEN 1 ELSE 0 END AS ev
+  FROM pu CROSS JOIN se
+), pt AS (
+  SELECT t, sum(ev) AS n_events, sum(1 - ev) AS n_censored,
+         count(*) AS leaving
+  FROM st GROUP BY t
+), rk AS (
+  SELECT t, n_events, n_censored,
+         sum(leaving) OVER ()
+           - sum(leaving) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+           + leaving AS n_risk
+  FROM pt
+), lt AS (
+  SELECT *, 1.0 - n_events / CAST(n_risk AS DOUBLE) AS term FROM rk
+), cum AS (
+  SELECT t, n_risk, n_events, n_censored,
+         CASE WHEN min(term) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)
+                   <= 0 THEN 0.0
+              ELSE exp(sum(CASE WHEN term > 0 THEN ln(term) END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING))
+         END AS s
+  FROM lt
+)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_censored AS BIGINT) AS n_censored,
+       round(s, 6) AS survival
+FROM cum WHERE n_events > 0
+"""
+
+    o["privacy_l_diversity"] = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT c_mktsegment)
+            + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_sensitive,
+       (count(DISTINCT c_mktsegment)
+        + max(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)) < 5
+         AS violates
+FROM customer GROUP BY 1
+"""
+
+    # HITS twin: the 3 sum-normalized alternating iterations unrolled
+    # (every CTE materialized — the 12-deep inlined chain stalls the
+    # planner, the same failure mode as the markov oracle).
+    _hits = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT o_custkey % 100 AS s, o_orderkey % 100 AS d
+  FROM orders WHERE o_custkey % 100 != o_orderkey % 100
+),
+nodes AS MATERIALIZED (
+  SELECT s AS node FROM e UNION SELECT d AS node FROM e
+),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS h FROM nodes)"""
+    for _it in range(1, 4):
+        _hits += f""",
+a{_it}r AS MATERIALIZED (
+  SELECT e.d AS node, sum(h{_it - 1}.h) AS raw
+  FROM e JOIN h{_it - 1} ON h{_it - 1}.node = e.s GROUP BY e.d
+), a{_it} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.raw, 0.0) / t.t AS a
+  FROM nodes n LEFT JOIN a{_it}r r ON r.node = n.node
+  CROSS JOIN (SELECT sum(raw) AS t FROM a{_it}r) t
+), h{_it}r AS MATERIALIZED (
+  SELECT e.s AS node, sum(a{_it}.a) AS raw
+  FROM e JOIN a{_it} ON a{_it}.node = e.d GROUP BY e.s
+), h{_it} AS MATERIALIZED (
+  SELECT n.node, coalesce(r.raw, 0.0) / t.t AS h
+  FROM nodes n LEFT JOIN h{_it}r r ON r.node = n.node
+  CROSS JOIN (SELECT sum(raw) AS t FROM h{_it}r) t
+)"""
+    _hits += """
+SELECT h3.node, round(h3.h, 6) AS hub, round(a3.a, 6) AS authority
+FROM h3 JOIN a3 USING (node)
+"""
+    o["graph_hits"] = _hits
+
+    # Same token rule, same spectrum identities, bias-corrected Chao1.
+    o["text_vocab_richness"] = f"""
+WITH counts AS (
+  SELECT lang AS "group", w, count(*) AS c FROM (
+    SELECT lang, unnest({_SQL_TOKS}) AS w FROM documents
+  ) GROUP BY 1, 2
+), agg AS (
+  SELECT "group", CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts GROUP BY 1
+)
+SELECT "group", n_tokens, n_types, f1, f2,
+       round(n_types / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+       round(n_types + CASE WHEN f2 > 0
+               THEN CAST(f1 AS DOUBLE)*f1/(2.0*f2)
+               ELSE CAST(f1 AS DOUBLE)*(f1 - 1)/(2.0*(f2 + 1)) END, 6)
+         AS chao1,
+       round(1.0 - f1 / CAST(n_tokens AS DOUBLE), 6) AS gt_coverage
+FROM agg
+"""
+
     # Same per-day sums, same delete-one replicates and identities.
     o["stats_jackknife_ratio"] = """
 WITH per AS (
@@ -8865,6 +9042,10 @@ EXTRA_QUERIES: list[str] = [
     "text_rrf_fusion",
     "text_vocab_coverage",
     "stats_jackknife_ratio",
+    "events_kaplan_meier",
+    "graph_hits",
+    "privacy_l_diversity",
+    "text_vocab_richness",
 ]
 
 

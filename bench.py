@@ -268,6 +268,14 @@ BENCH_QUERIES = [
     "text_vocab_coverage",
     # delete-one-day jackknife SE for a ratio metric
     "stats_jackknife_ratio",
+    # censoring-aware Kaplan-Meier survival curve
+    "events_kaplan_meier",
+    # HITS hubs/authorities (3 sum-normalized iterations)
+    "graph_hits",
+    # l-diversity homogeneity-attack audit
+    "privacy_l_diversity",
+    # Chao1 / Good-Turing vocabulary-richness spectrum
+    "text_vocab_richness",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -24,6 +24,7 @@ __all__ = [
     "association_rules",
     "attribution_position",
     "markov_attribution",
+    "kaplan_meier",
 ]
 
 
@@ -746,3 +747,86 @@ def markov_attribution(
         for c, pb, pr, rm in out
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def kaplan_meier(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    censor_window_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes (Kaplan & Meier
+    1958) — THE retention curve done right: a user still active near
+    the end of the observation window hasn't churned, they're
+    CENSORED, and averaging their (truncated) lifetime in like naive
+    retention does biases every estimate down.
+
+    Lifetime = days between a user's first and last event; a user
+    whose last event falls within ``censor_window_days`` of the
+    corpus's last timestamp is censored (their true lifetime is only
+    known to be ≥ observed).  At each distinct lifetime t with at
+    least one churn event: ``n_risk`` = users with lifetime ≥ t,
+    ``n_events`` = churns at t, and ``S(t) = Π_{t_i ≤ t}
+    (1 − d_i/n_i)`` via an exp-sum-log running product.  Returns one
+    row per event time: ``(t_days, n_risk, n_events, n_censored,
+    survival)`` rounded to 6.
+
+    Scale shape: the corpus collapses to one row per user (ONE
+    aggregation), then per-lifetime counts — the curve table is
+    bounded by the calendar (|distinct day-lifetimes|), so the ordered
+    running-product window is a rollup diagnostic, never a corpus
+    sort."""
+    if censor_window_days < 0:
+        raise ValueError("censor_window_days must be >= 0")
+    from pyspark.sql import Window
+
+    per_user = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.to_date(F.col(ts_col))).alias("__first"),
+        F.max(F.to_date(F.col(ts_col))).alias("__last"),
+    )
+    study_end = events.agg(
+        F.max(F.to_date(F.col(ts_col))).alias("__end")
+    )
+    staged = per_user.crossJoin(F.broadcast(study_end)).select(
+        F.datediff("__last", "__first").alias("t"),
+        (
+            F.datediff("__end", "__last") >= F.lit(censor_window_days)
+        ).cast("long").alias("__event"),
+    )
+    per_t = staged.groupBy("t").agg(
+        F.sum("__event").alias("n_events"),
+        F.sum(F.lit(1) - F.col("__event")).alias("n_censored"),
+        F.count(F.lit(1)).alias("__leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    risk = per_t.select(
+        "t",
+        "n_events",
+        "n_censored",
+        (
+            F.sum("__leaving").over(tot)
+            - F.sum("__leaving").over(w)
+            + F.col("__leaving")
+        ).alias("n_risk"),
+    )
+    # running product via exp(Σ ln): the last time point can drive
+    # 1 - d/n to exactly 0 -> survival 0 without ln(0) (ANSI NULL)
+    term = F.lit(1.0) - F.col("n_events") / F.col("n_risk").cast("double")
+    staged2 = risk.withColumn(
+        "__lt", F.when(term > 0, F.log(term))
+    )
+    surv = F.when(
+        F.min(term).over(w) <= 0, F.lit(0.0)
+    ).otherwise(F.exp(F.sum("__lt").over(w)))
+    return (
+        staged2.withColumn("__s", surv)
+        .where(F.col("n_events") > 0)
+        .select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            "n_events",
+            "n_censored",
+            F.round("__s", 6).alias("survival"),
+        )
+    )

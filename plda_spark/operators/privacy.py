@@ -40,6 +40,7 @@ __all__ = [
     "k_anonymity_audit",
     "k_suppress",
     "dp_noisy_counts",
+    "l_diversity_audit",
 ]
 
 _TWO_60 = float(1 << 60)
@@ -168,4 +169,38 @@ def dp_noisy_counts(
         noisy = F.greatest(noisy, F.lit(0.0))
     return staged.select(
         *group_cols, "n", F.round(noisy, 4).alias("noisy_n")
+    )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity audit (Machanavajjhala et al. 2006): a
+    k-anonymous class still leaks when everyone in it shares the same
+    SENSITIVE value (the homogeneity attack k-anonymity cannot see) —
+    each quasi-identifier class must contain at least ``l`` distinct
+    sensitive values.  One row per QI class: ``(*quasi_cols, n,
+    n_sensitive, violates)``.
+
+    One aggregation (count + exact countDistinct per class, map-side
+    combined).  NULL sensitive values count as a value of their own
+    (they are observable)."""
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    s = F.col(sensitive_col)
+    return (
+        df.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.countDistinct(s)
+                + F.max(s.isNull().cast("int"))
+            ).alias("n_sensitive"),
+        )
+        .withColumn("violates", F.col("n_sensitive") < F.lit(l))
     )

@@ -53,6 +53,7 @@ __all__ = [
     "STOPWORDS",
     "GOPHER_REQUIRED_WORDS",
     "vocab_coverage",
+    "vocab_richness",
 ]
 
 # The Gopher rules' required-word check (Rae et al. 2021, "Scaling
@@ -1646,4 +1647,55 @@ def vocab_coverage(
         "n_oov",
         F.round(rate, 6).alias("oov_rate"),
         F.round(F.lit(1.0) - rate, 6).alias("coverage"),
+    )
+
+
+def vocab_richness(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Vocabulary-richness and crawl-saturation estimators from the
+    token frequency spectrum: Chao1 richness ``V + f1²/(2·f2)``
+    (Chao 1984 — a lower bound on how many token types EXIST,
+    observed or not), Good-Turing coverage ``1 − f1/N`` (Good 1953 —
+    the probability the next token is one you've already seen), and
+    type-token ratio.  Together: "is more crawling still buying new
+    vocabulary, or are we saturated?" — the spectrum sibling of the
+    n-gram novelty curve.
+
+    Returns one row (per group if ``group_col``): ``(group?, n_tokens,
+    n_types, f1, f2, ttr, chao1, gt_coverage)`` rounded to 6.  The
+    bias-corrected Chao1 form ``f1(f1−1)/(2(f2+1))`` is used when
+    ``f2 = 0`` (the standard fix — the raw form divides by zero).
+
+    Scale shape: one token-count aggregation (map-side combined to the
+    vocab size), then ONE spectrum aggregation over the vocab rows —
+    f1/f2 are counts of hapax/dis legomena, not a second corpus
+    pass."""
+    keys = [F.col(group_col).alias("group")] if group_col else []
+    counts = (
+        docs.select(*keys, F.explode(tokens_col(text_col)).alias("__w"))
+        .groupBy(*(["group"] if group_col else []), "__w")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = counts.groupBy(*(["group"] if group_col else [])).agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("__c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("__c") == 2).cast("long")).alias("f2"),
+    )
+    f1, f2 = F.col("f1").cast("double"), F.col("f2").cast("double")
+    chao1 = F.col("n_types") + F.when(
+        f2 > 0, f1 * f1 / (F.lit(2.0) * f2)
+    ).otherwise(f1 * (f1 - 1) / (F.lit(2.0) * (f2 + 1)))
+    return agg.select(
+        *(["group"] if group_col else []),
+        "n_tokens",
+        "n_types",
+        "f1",
+        "f2",
+        F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
+        F.round(chao1, 6).alias("chao1"),
+        F.round(F.lit(1.0) - f1 / F.col("n_tokens"), 6).alias("gt_coverage"),
     )

@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (221, 171, 218)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (225, 175, 222)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -142,7 +142,7 @@ SURVEY_LOCATION_PINS = {
     "plda_spark.operators.similarity": ["brute_force_topk", "ivf_pq_build"],
     "plda_spark.operators.text": [
         "token_stats", "lm_score", "rake_keywords", "char_entropy",
-        "vocab_coverage",
+        "vocab_coverage", "vocab_richness",
     ],
     "plda_spark.operators.sampling": ["stratified_hash_sample", "kcenter_select"],
     "plda_spark.operators.stats": [
@@ -153,14 +153,14 @@ SURVEY_LOCATION_PINS = {
         "kruskal_wallis", "trend_tests", "jackknife_ratio",
     ],
     "plda_spark.operators.graph": [
-        "pagerank", "label_propagation", "link_prediction",
+        "pagerank", "label_propagation", "link_prediction", "hits",
     ],
     "plda_spark.operators.curation": ["ppl_buckets", "quantile_normalize", "winsorize"],
     "plda_spark.operators.joins": ["as_of_join", "interval_overlap_join"],
     "plda_spark.operators.events": [
         "funnel", "rfm_scores", "transition_matrix", "attribution",
         "forecast_backtest", "association_rules", "attribution_position",
-        "markov_attribution",
+        "markov_attribution", "kaplan_meier",
     ],
     "plda_spark.operators.web": ["normalize_url_col", "domain_filter", "frontier_schedule"],
     "plda_spark.operators.multimodal": ["image_dhash", "image_stats"],
@@ -170,6 +170,7 @@ SURVEY_LOCATION_PINS = {
     "plda_spark.operators.classify": ["calibration_report", "lift_report"],
     "plda_spark.operators.privacy": [
         "k_anonymity_audit", "k_suppress", "dp_noisy_counts",
+        "l_diversity_audit",
     ],
     "plda_spark.operators.bpe": ["bpe_train"],
     "plda_spark.operators.unigram": ["unigram_train"],

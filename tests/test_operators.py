@@ -4194,6 +4194,84 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_kaplan_meier_and_hits_semantics(spark):
+    """KM hand fixture: churns at t=2 (2 of 4 at risk -> S=.5) and t=5
+    (1 of 2 -> S=.25); censored users never appear as events.  HITS on
+    1->3, 2->3, 3->4: three iterations give hubs 8/17, 8/17, 1/17 and
+    authorities 8/9, 1/9 (hand-iterated with L1 normalization)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import events as ev_ops
+    from plda_spark.operators import graph
+
+    rows = []
+    for u, days in [(1, [1, 3]), (2, [2, 4]), (3, [1, 6]), (4, [1, 28]),
+                    (5, [31])]:
+        rows += [(u, f"2024-01-{d:02d} 12:00") for d in days]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", SF.to_timestamp("ts")
+    )
+    km = {r["t"]: r for r in
+          ev_ops.kaplan_meier(df, censor_window_days=7).collect()}
+    assert set(km) == {2, 5}
+    assert (km[2]["n_risk"], km[2]["n_events"], km[2]["survival"]) == (
+        4, 2, 0.5)
+    assert (km[5]["n_risk"], km[5]["n_events"], km[5]["survival"]) == (
+        2, 1, 0.25)
+    with _pytest.raises(ValueError):
+        ev_ops.kaplan_meier(df, censor_window_days=-1)
+
+    e = spark.createDataFrame([(1, 3), (2, 3), (3, 4)], "src long, dst long")
+    h = {r["node"]: (r["hub"], r["authority"]) for r in
+         graph.hits(e, n_iter=3).collect()}
+    assert h[1] == (round(8 / 17, 6), 0.0)
+    assert h[2] == (round(8 / 17, 6), 0.0)
+    assert h[3] == (round(1 / 17, 6), round(8 / 9, 6))
+    assert h[4] == (0.0, round(1 / 9, 6))
+    with _pytest.raises(ValueError):
+        graph.hits(e, n_iter=0)
+
+
+def test_l_diversity_and_vocab_richness_semantics(spark):
+    """l-diversity: a class with one sensitive value violates l=2 even
+    at n=3 (the homogeneity attack); NULL counts as observable.
+    Richness: hand spectrum aa bb aa cc dd dd -> N=6 V=4 f1=2 f2=2,
+    chao1=5; f2=0 falls back to the bias-corrected form."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import privacy
+    from plda_spark.operators import text as text_ops
+
+    d2 = spark.createDataFrame(
+        [("a", "x", "s1")] * 3 + [("a", "y", "s1")] * 2 + [("a", "y", None)],
+        "q1 string, q2 string, s string",
+    )
+    ld = {(r["q1"], r["q2"]): (r["n"], r["n_sensitive"], r["violates"])
+          for r in privacy.l_diversity_audit(d2, ["q1", "q2"], "s",
+                                             l=2).collect()}
+    assert ld[("a", "x")] == (3, 1, True)
+    assert ld[("a", "y")] == (3, 2, False)  # s1 + NULL = 2 observable
+    with _pytest.raises(ValueError):
+        privacy.l_diversity_audit(d2, ["q1"], "s", l=1)
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa cc dd dd", "w")],
+        "doc_id long, text string, source string",
+    )
+    vr = text_ops.vocab_richness(docs).first()
+    assert (vr["n_tokens"], vr["n_types"], vr["f1"], vr["f2"]) == (6, 4, 2, 2)
+    assert vr["chao1"] == 5.0 and vr["ttr"] == round(4 / 6, 6)
+    assert vr["gt_coverage"] == round(1 - 2 / 6, 6)
+    vr2 = text_ops.vocab_richness(
+        docs.withColumn("text", SF.lit("aa bb cc"))
+    ).first()
+    assert vr2["f2"] == 0 and vr2["chao1"] == 6.0  # 3 + 3*2/(2*1)
+    grouped = text_ops.vocab_richness(docs, group_col="source").first()
+    assert grouped["group"] == "w" and grouped["n_types"] == 4
+
+
 def test_rrf_vocab_jackknife_semantics(spark):
     """RRF: hand-checked rank fusion across two systems (doc in both
     lists gets 1/62 + 1/61; single-system docs get one term); vocab

@@ -2814,6 +2814,52 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_weighted_quantiles"] = stats_weighted_quantiles
 
+    def sim_mmr_rerank(spark, sf):
+        """Maximal Marginal Relevance diversity re-rank (operators/
+        similarity.py mmr_rerank — Carbonell & Goldstein 1998): the
+        min-vec_id embedding is the query, its cosine top-50 the
+        candidate list, then 7 greedy λ=0.7 MMR passes pick the
+        diverse 8 — every arithmetic step a double left-fold so the
+        unrolled oracle's greedy choices land on identical bits.
+        Same k−1 map+top-1 shape as greedy k-center."""
+        from plda_spark.operators import similarity as sim_ops
+
+        emb = load_table(spark, sf, "embeddings")
+        qrow = emb.orderBy(F.col("vec_id").asc()).first()
+        qlit = F.array(*[F.lit(float(v)) for v in qrow["embedding"]])
+
+        def dot(vec, other):
+            return F.aggregate(
+                F.zip_with(
+                    vec, other,
+                    lambda x, y: x.cast("double") * y.cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+
+        def norm(vec):
+            return F.sqrt(
+                F.aggregate(
+                    vec,
+                    F.lit(0.0),
+                    lambda acc, v: acc + v.cast("double") * v.cast("double"),
+                )
+            )
+
+        e = F.col("embedding")
+        scored = emb.select(
+            "vec_id",
+            "embedding",
+            (dot(e, qlit) / (norm(e) * norm(qlit))).alias("score"),
+        )
+        cand = scored.orderBy(
+            F.col("score").desc(), F.col("vec_id").asc()
+        ).limit(50)
+        return sim_ops.mmr_rerank(cand, k=8, lam=0.7)
+
+    q["sim_mmr_rerank"] = sim_mmr_rerank
+
     def events_kaplan_meier(spark, sf):
         """Kaplan-Meier survival over engagement lifetimes (operators/
         events.py kaplan_meier — Kaplan & Meier 1958): censoring-aware
@@ -6677,6 +6723,64 @@ FROM w
         )
     o["sample_kcenter"] = "".join(_kc)
 
+    # MMR twin: identical double left-folds (dot + norms), identical
+    # greedy passes unrolled; 1-λ interpolated via repr() so the SQL
+    # constant is the same double Spark's 1.0-0.7 produces.
+    def _mmr_dot(a: str, b: str) -> str:
+        p = f"(CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))"
+        return (
+            f"list_reduce(list_transform(range(1, 65), i -> {p}), "
+            "(x, y) -> x + y)"
+        )
+
+    def _mmr_norm(a: str) -> str:
+        p = f"(CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))"
+        return (
+            f"sqrt(list_reduce(list_transform(range(1, 65), i -> {p}), "
+            "(x, y) -> x + y))"
+        )
+
+    def _mmr_cos(a: str, b: str) -> str:
+        return f"({_mmr_dot(a, b)} / ({_mmr_norm(a)} * {_mmr_norm(b)}))"
+
+    _mmr_k, _mmr_lam = 8, 0.7
+    _mmr_oml = repr(1.0 - _mmr_lam)
+    _mmr = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+        ", qv AS (SELECT embedding AS q FROM e ORDER BY vec_id LIMIT 1)",
+        ", scored AS (SELECT vec_id, embedding, "
+        f"{_mmr_cos('e.embedding', 'qv.q')} AS score FROM e, qv)",
+        ", cand AS MATERIALIZED (SELECT * FROM scored "
+        "ORDER BY score DESC, vec_id LIMIT 50)",
+        ", s0 AS MATERIALIZED (SELECT vec_id, embedding, score FROM cand "
+        "ORDER BY score DESC, vec_id LIMIT 1)",
+    ]
+    for _j in range(1, _mmr_k):
+        prev = [f"s{_i}" for _i in range(_j)]
+        sims = ", ".join(
+            _mmr_cos("c.embedding", f"{s}.embedding") for s in prev
+        )
+        maxsim = sims if len(prev) == 1 else f"greatest({sims})"
+        notin = ", ".join(f"{s}.vec_id" for s in prev)
+        froms = ", ".join(["cand c"] + prev)
+        _mmr.append(
+            f", m{_j} AS (SELECT c.vec_id, c.embedding, c.score, "
+            f"{_mmr_lam!r}*c.score - {_mmr_oml}*({maxsim}) AS mmr "
+            f"FROM {froms} WHERE c.vec_id NOT IN ({notin}))"
+            f", s{_j} AS MATERIALIZED (SELECT * FROM m{_j} "
+            "ORDER BY mmr DESC, vec_id LIMIT 1)"
+        )
+    _mmr.append(
+        " SELECT 0 AS sel_order, vec_id, round(score, 6) AS score, "
+        "CAST(NULL AS DOUBLE) AS mmr FROM s0"
+    )
+    for _j in range(1, _mmr_k):
+        _mmr.append(
+            f" UNION ALL SELECT {_j}, vec_id, round(score, 6), "
+            f"round(mmr, 6) FROM s{_j}"
+        )
+    o["sim_mmr_rerank"] = "".join(_mmr)
+
     # Same token rule, same tie-broken ranks, same closed-form LS fit.
     o["text_zipf_fit"] = f"""
 WITH counts AS (
@@ -9046,6 +9150,7 @@ EXTRA_QUERIES: list[str] = [
     "graph_hits",
     "privacy_l_diversity",
     "text_vocab_richness",
+    "sim_mmr_rerank",
 ]
 
 

@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "privacy_l_diversity",
     # Chao1 / Good-Turing vocabulary-richness spectrum
     "text_vocab_richness",
+    # MMR diversity re-rank of a retrieval candidate list
+    "sim_mmr_rerank",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -49,6 +49,7 @@ __all__ = [
     "ivf_pq_search",
     "sq8_encode",
     "sq8_topk",
+    "mmr_rerank",
 ]
 
 
@@ -1422,4 +1423,117 @@ def matryoshka_topk(
         rescored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
+    )
+
+
+_MMR_MAX_LITERALS = 20_000
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 8,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    score_col: str = "score",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity-aware top-k every RAG context builder wants:
+    greedily pick the candidate maximizing ``λ·relevance − (1−λ)·max
+    cosine-similarity to anything already picked``, so the k results
+    cover the query's facets instead of repeating its nearest
+    neighbor k times.
+
+    Operates on a CANDIDATE LIST (the top-N of a retrieval stage —
+    hundreds, not the corpus); the seed is the highest-relevance
+    candidate (id tie-break).  Returns ``(sel_order, id, score,
+    mmr)`` — ``mmr`` is the winning objective value at selection time,
+    NULL for the seed.  All arithmetic is double left-folds over the
+    vectors (dot products and norms), so an external SQL replayer
+    lands on identical bits and the greedy choices — which compare at
+    full precision — cannot diverge between engines.
+
+    Scale shape: the same k−1 passes as greedy k-center — each ONE
+    distributed map over the candidates (max-sim against the ≤k
+    selected vectors as broadcast literals) + ONE top-1 TakeOrdered —
+    with the same k·dim literal-budget cap making the candidate-list
+    contract self-enforcing."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not (0.0 <= lam <= 1.0):
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    seed = (
+        candidates.select(id_col, vec_col, score_col)
+        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
+        .first()
+    )
+    if seed is None:
+        raise ValueError("mmr_rerank on an empty candidate frame")
+    dim = len(seed[1])
+    if k * dim > _MMR_MAX_LITERALS:
+        raise ValueError(
+            f"mmr_rerank: k*dim = {k}*{dim} = {k * dim} literal vector "
+            f"coordinates > {_MMR_MAX_LITERALS}; MMR is a RERANKER — "
+            "run it on a retrieval stage's top-N candidates, not a "
+            "corpus, or shrink k"
+        )
+
+    def _dot(vec, lits):
+        return F.aggregate(
+            F.zip_with(vec, lits, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _norm2(vec):
+        return F.aggregate(
+            vec,
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+
+    selected = [(0, seed[0], float(seed[2]), None)]
+    sel_vecs: list[list[float]] = [[float(v) for v in seed[1]]]
+    for step in range(1, k):
+        lits = [F.array(*[F.lit(v) for v in s]) for s in sel_vecs]
+        vec = F.col(vec_col)
+        sims = F.array(
+            *[
+                _dot(vec, s)
+                / (F.sqrt(_norm2(vec)) * F.sqrt(_norm2(s)))
+                for s in lits
+            ]
+        )
+        mmr = (
+            F.lit(float(lam)) * F.col(score_col).cast("double")
+            - F.lit(1.0 - float(lam)) * F.array_max(sims)
+        )
+        nxt = (
+            candidates.where(
+                ~F.col(id_col).isin([s[1] for s in selected])
+            )
+            .select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).alias("__vec"),
+                F.col(score_col).cast("double").alias("__score"),
+                mmr.alias("__mmr"),
+            )
+            .orderBy(F.col("__mmr").desc(), F.col("__id").asc())
+            .first()
+        )
+        if nxt is None:
+            break  # fewer candidates than k
+        selected.append((step, nxt["__id"], float(nxt["__score"]),
+                         float(nxt["__mmr"])))
+        sel_vecs.append([float(v) for v in nxt["__vec"]])
+    spark = candidates.sparkSession
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    return spark.createDataFrame(
+        selected,
+        f"sel_order int, id {id_type}, score double, mmr double",
+    ).select(
+        "sel_order",
+        F.col("id").alias(id_col),
+        F.round("score", 6).alias("score"),
+        F.round("mmr", 6).alias("mmr"),
     )

@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (225, 175, 222)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (226, 176, 223)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -139,7 +139,9 @@ def test_oracle_coverage_is_closed():
 # public surface (__all__) so a location claim can't go stale silently.
 SURVEY_LOCATION_PINS = {
     "plda_spark.operators.dedup": ["exact_dedup", "minhash_lsh_pairs"],
-    "plda_spark.operators.similarity": ["brute_force_topk", "ivf_pq_build"],
+    "plda_spark.operators.similarity": [
+        "brute_force_topk", "ivf_pq_build", "mmr_rerank",
+    ],
     "plda_spark.operators.text": [
         "token_stats", "lm_score", "rake_keywords", "char_entropy",
         "vocab_coverage", "vocab_richness",

@@ -4194,6 +4194,54 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_mmr_rerank_semantics(spark):
+    """Hand fixture: doc 2 is a near-duplicate of the seed with almost
+    its relevance — pure relevance ranks it second, MMR at λ=0.5 skips
+    it for the orthogonal docs 3 and 4; λ=1 reduces to relevance
+    order; the literal budget and empty-frame guards trip."""
+    import numpy as np
+    import pytest as _pytest
+
+    from plda_spark.operators import similarity as sim
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 1.00),
+        (2, [0.999, 0.01, 0.0, 0.0], 0.99),
+        (3, [0.0, 1.0, 0.0, 0.0], 0.80),
+        (4, [0.0, 0.0, 1.0, 0.0], 0.10),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, score double"
+    )
+    out = sim.mmr_rerank(df, k=3, lam=0.5).collect()
+    assert [r["vec_id"] for r in out] == [1, 3, 4]
+    assert out[0]["mmr"] is None and out[0]["score"] == 1.0
+
+    def cos(a, b):
+        a, b = np.array(a), np.array(b)
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert out[1]["mmr"] == round(0.5 * 0.80 - 0.5 * cos(rows[2][1],
+                                                         rows[0][1]), 6)
+    assert out[2]["mmr"] == round(
+        0.5 * 0.10
+        - 0.5 * max(cos(rows[3][1], rows[0][1]), cos(rows[3][1], rows[2][1])),
+        6,
+    )
+    pure = [r["vec_id"] for r in sim.mmr_rerank(df, k=4, lam=1.0).collect()]
+    assert pure == [1, 2, 3, 4]
+    # k beyond the candidate count stops early instead of raising
+    assert len(sim.mmr_rerank(df, k=10, lam=0.5).collect()) == 4
+    with _pytest.raises(ValueError):
+        sim.mmr_rerank(df, k=0)
+    with _pytest.raises(ValueError):
+        sim.mmr_rerank(df, k=3, lam=1.5)
+    with _pytest.raises(ValueError, match="literal"):
+        sim.mmr_rerank(df, k=10_000)
+    with _pytest.raises(ValueError, match="empty"):
+        sim.mmr_rerank(df.where("vec_id > 99"), k=2)
+
+
 def test_kaplan_meier_and_hits_semantics(spark):
     """KM hand fixture: churns at t=2 (2 of 4 at risk -> S=.5) and t=5
     (1 of 2 -> S=.25); censored users never appear as events.  HITS on

@@ -427,6 +427,11 @@ def hits(
     lineage."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    # LAZY cuts (measured: eager was ~1.4 s slower here — hits runs as
+    # ONE action whose cost is its sequential shuffle stages, so
+    # splitting materialization into extra jobs only adds latency;
+    # the lazy checkpoint still stops the 12+ plan branches from
+    # duplicating the upstream edge derivation).
     e = (
         edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
         .where(F.col("s") != F.col("d"))

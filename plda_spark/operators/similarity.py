@@ -1462,6 +1462,11 @@ def mmr_rerank(
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"lam must be in [0, 1], got {lam}")
+    # one EAGER cut: every greedy pass re-reads the candidate list
+    # (k first()-passes against the same frame) — without it each pass
+    # re-runs whatever retrieval stage produced the candidates
+    # (measured: the candidate scan dominated all k passes)
+    candidates = candidates.localCheckpoint(eager=True)
     seed = (
         candidates.select(id_col, vec_col, score_col)
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())

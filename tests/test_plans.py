@@ -765,3 +765,86 @@ def test_winsorize_broadcasts_cuts_never_sorts_corpus(spark):
     assert s["broadcast_hash_joins"] >= 1
     assert s["sort_merge_joins"] == 0
     assert "BatchEvalPython" not in s["plan"] and "ArrowEvalPython" not in s["plan"]
+
+
+def test_psi_aggregates_before_bin_windows(spark):
+    """PSI reduces the stream to <= bins rows with a hash aggregate
+    before any window; the min/max join is a broadcast; no Python."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_psi"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    # the 1-row min/max rides a BROADCAST nested-loop (keyless join
+    # against one row — never a shuffled cartesian)
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_weighted_quantiles_window_is_partitioned(spark):
+    """The cumulative-weight window must be PARTITIONED BY the group —
+    an unpartitioned window here would funnel the corpus through one
+    task (the exact failure the drift tests now guard against)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_weighted_quantiles"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # every Window node declares a partition spec (look for the
+    # unpartitioned shape: a window whose partition list is empty
+    # renders as "Window [..], [..v ASC..]" with no partitionBy column
+    # — the hashpartitioning exchange below it is the witness)
+    assert "hashpartitioning(__g" in plan
+
+
+def test_link_prediction_no_cartesian_and_caps_before_join(spark):
+    """Wedge enumeration is an equi-join on the center (never a
+    cartesian product), and the degree-cap filter sits under it."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["graph_link_prediction"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    plan = s["plan"]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert s["sort_merge_joins"] + s["broadcast_hash_joins"] + plan.count(
+        "ShuffledHashJoin"
+    ) >= 3  # wedge join + anti-join + degree joins
+
+
+def test_vocab_coverage_broadcasts_the_vocab(spark):
+    """The vocab side of the coverage join is broadcast-sized by
+    construction (top-2000 tokens) — the corpus explode must never
+    shuffle against it with a sort-merge join."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["text_vocab_coverage"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert s["broadcast_hash_joins"] >= 1
+    assert "CartesianProduct" not in s["plan"]
+
+
+def test_rrf_rank_windows_are_per_system(spark):
+    """RRF's rank windows partition by system (and query when given):
+    the plan repartitions on the system key, never one global task."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["text_rrf_fusion"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "hashpartitioning(system" in plan or "hashpartitioning(__" in plan
+    assert "CartesianProduct" not in plan

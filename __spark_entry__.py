@@ -3095,6 +3095,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_hist_ks"] = stats_hist_ks
 
+    def stats_hist_psi(spark, sf):
+        """PSI between the same two DATE RANGES from the histogram
+        rollup alone (operators/stats.py hist_psi_ranges) — the drift
+        MAGNITUDE from the same mergeable sketches the KS probe folds;
+        clamped shares exactly like stats_psi.  Never re-reads the
+        event log."""
+        from plda_spark.operators import stats
+
+        sk = stats.hist_daily_sketches(
+            load_table(spark, sf, "events"), "value",
+            lo=0.0, hi=200.0, nbins=64,
+        )
+        return stats.hist_psi_ranges(
+            sk, ("2024-01-01", "2024-01-10"), ("2024-01-20", "2024-01-31")
+        )
+
+    q["stats_hist_psi"] = stats_hist_psi
+
     def curation_winsorize(spark, sf):
         """Per-source winsorization of document lengths
         (operators/curation.py winsorize): n_chars clipped to each
@@ -5994,6 +6012,33 @@ SELECT n_a, n_b, round(d_stat, 6) AS d_stat,
            j -> pow(-1.0, j - 1) * exp(-2.0 * j * j * lam * lam)),
            (x, y) -> x + y), 0.0), 1.0) END, 6) AS p_value
 FROM l
+"""
+
+    # PSI-from-rollup twin: occupied bins only — a bin empty on both
+    # sides contributes (ms-ms)*ln(1) = 0, so this equals the Spark
+    # side's full fixed-grid fold.
+    o["stats_hist_psi"] = """
+WITH b AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(least(floor(CAST(value AS DOUBLE) / 3.125), 63) AS INTEGER)
+           AS bin
+  FROM events WHERE value >= 0 AND value < 200
+), g AS (
+  SELECT bin,
+         sum(CASE WHEN day BETWEEN '2024-01-01' AND '2024-01-10'
+                  THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN day BETWEEN '2024-01-20' AND '2024-01-31'
+                  THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bin
+), s AS (
+  SELECT greatest(ca / CAST(sum(ca) OVER () AS DOUBLE), 0.0001) AS pa,
+         greatest(cb / CAST(sum(cb) OVER () AS DOUBLE), 0.0001) AS pb,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM g
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+FROM s GROUP BY n_a, n_b
 """
 
     # Same average ranks, tie-corrected variance, continuity-corrected
@@ -9151,6 +9196,7 @@ EXTRA_QUERIES: list[str] = [
     "privacy_l_diversity",
     "text_vocab_richness",
     "sim_mmr_rerank",
+    "stats_hist_psi",
 ]
 
 

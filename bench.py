@@ -278,6 +278,8 @@ BENCH_QUERIES = [
     "text_vocab_richness",
     # MMR diversity re-rank of a retrieval candidate list
     "sim_mmr_rerank",
+    # PSI between date ranges from the histogram rollup alone
+    "stats_hist_psi",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

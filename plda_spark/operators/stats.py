@@ -68,6 +68,7 @@ __all__ = [
     "kruskal_wallis",
     "trend_tests",
     "jackknife_ratio",
+    "hist_psi_ranges",
 ]
 
 
@@ -2422,4 +2423,62 @@ def jackknife_ratio(
         F.round("__se", 6).alias("jack_se"),
         F.round(F.col("__ratio") - F.lit(z) * F.col("__se"), 6).alias("ci_lo"),
         F.round(F.col("__ratio") + F.lit(z) * F.col("__se"), 6).alias("ci_hi"),
+    )
+
+
+def hist_psi_ranges(
+    sketches: DataFrame,
+    range_a: tuple,
+    range_b: tuple,
+    min_share: float = 1e-4,
+) -> DataFrame:
+    """Population Stability Index between two DATE RANGES computed
+    from the :func:`hist_daily_sketches` rollup ALONE — the magnitude
+    twin of :func:`hist_ks_ranges`, and :func:`psi`'s 100 TB path: the
+    daily bin rows fold losslessly, so the probe never re-reads the
+    event log.  Bin shares clamp at ``min_share`` exactly like
+    :func:`psi` (a bin empty on BOTH sides contributes exactly 0, so
+    summing over the rollup's fixed grid equals summing over occupied
+    bins — the oracle exploits that).
+
+    Returns ONE row ``(n_a, n_b, psi)``.  Scale shape: two filtered
+    sums over the |days|-row rollup + one ``nbins``-length array
+    fold."""
+    if not (0.0 < min_share < 0.5):
+        raise ValueError(f"min_share must be in (0, 0.5), got {min_share}")
+    (a_lo, a_hi), (b_lo, b_hi) = range_a, range_b
+
+    def merged(lo, hi, alias):
+        return sketches.where(
+            (F.col("day") >= lo) & (F.col("day") <= hi)
+        ).agg(
+            F.aggregate(
+                F.collect_list("bin_counts"),
+                F.lit(None).cast("array<long>"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.zip_with(acc, x, lambda p, q: p + q)
+                ),
+            ).alias(alias)
+        )
+
+    both = merged(a_lo, a_hi, "ha").crossJoin(merged(b_lo, b_hi, "hb"))
+    na = F.aggregate("ha", F.lit(0).cast("long"), lambda a, x: a + x)
+    nb = F.aggregate("hb", F.lit(0).cast("long"), lambda a, x: a + x)
+    ms = F.lit(float(min_share))
+    staged = both.select(na.alias("n_a"), nb.alias("n_b"), "ha", "hb")
+    terms = F.zip_with(
+        F.col("ha"),
+        F.col("hb"),
+        lambda x, y: (
+            F.greatest(x / F.col("n_a"), ms)
+            - F.greatest(y / F.col("n_b"), ms)
+        )
+        * F.log(
+            F.greatest(x / F.col("n_a"), ms)
+            / F.greatest(y / F.col("n_b"), ms)
+        ),
+    )
+    psi_val = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+    return staged.select(
+        "n_a", "n_b", F.round(psi_val, 6).alias("psi")
     )

@@ -4194,6 +4194,45 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_hist_psi_ranges_matches_direct_psi(spark):
+    """The rollup-only PSI must equal the direct psi() total on data
+    whose values land exactly on the shared grid (no discretization
+    gap), and the min_share guard trips."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import stats
+
+    rows = []
+    # range A days 1-2: values cluster low; range B days 20-21: high
+    for d, vals in [(1, [10.0] * 8 + [50.0] * 2),
+                    (2, [10.0] * 7 + [50.0] * 3),
+                    (20, [10.0] * 2 + [50.0] * 8),
+                    (21, [10.0] * 3 + [50.0] * 7)]:
+        rows += [(f"2024-01-{d:02d} 00:00", v) for v in vals]
+    df = spark.createDataFrame(rows, "ts string, value double").withColumn(
+        "ts", SF.to_timestamp("ts")
+    )
+    sk = stats.hist_daily_sketches(df, "value", lo=0.0, hi=100.0, nbins=10)
+    got = stats.hist_psi_ranges(
+        sk, ("2024-01-01", "2024-01-02"), ("2024-01-20", "2024-01-21")
+    ).first()
+    assert got["n_a"] == 20 and got["n_b"] == 20
+    # direct psi on a group-labeled frame with the SAME 10-bin grid
+    lab = df.withColumn(
+        "g",
+        SF.when(SF.to_date("ts") <= "2024-01-02", "a").otherwise("b"),
+    )
+    # values 10 and 50 fall in fixed bins regardless of pooled min/max
+    # only when the grids match; compute the expected total by hand:
+    # shares a = (.75, .25), b = (.25, .75) on the two occupied bins
+    import math
+    exp = 2 * (0.75 - 0.25) * math.log(0.75 / 0.25)
+    assert got["psi"] == round(exp, 6)
+    with _pytest.raises(ValueError):
+        stats.hist_psi_ranges(sk, ("a", "b"), ("c", "d"), min_share=0.7)
+
+
 def test_mmr_rerank_semantics(spark):
     """Hand fixture: doc 2 is a near-duplicate of the seed with almost
     its relevance — pure relevance ranks it second, MMR at λ=0.5 skips

@@ -3206,6 +3206,35 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_hist_drift"] = stream_hist_drift
 
+    def stream_hist_psi(spark, sf):
+        """Streaming drift MAGNITUDE end to end (streaming/windows.py
+        incremental_hist_ledger + hist_psi_from_ledger): the same
+        two-parity-micro-batch ledger as stream_hist_drift, folded to
+        a PSI instead of a KS — the ops-alarm number straight off the
+        append-only ledger, hash-gated against the oracle's direct
+        binned PSI over the identical parity split."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select("event_id", "value")
+        d = tempfile.mkdtemp(prefix="plda_histpsi_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        schema = "event_id long, value double"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        windows.incremental_hist_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, nbins=64,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_hist_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, nbins=64,
+        )
+        return windows.hist_psi_from_ledger(spark, state, (0, 0), (1, 1))
+
+    q["stream_hist_psi"] = stream_hist_psi
+
 
     def sample_neyman(spark, sf):
         """Neyman-optimal stratified allocation (operators/sampling.py
@@ -6029,6 +6058,30 @@ WITH b AS (
                   THEN 1 ELSE 0 END) AS ca,
          sum(CASE WHEN day BETWEEN '2024-01-20' AND '2024-01-31'
                   THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bin
+), s AS (
+  SELECT greatest(ca / CAST(sum(ca) OVER () AS DOUBLE), 0.0001) AS pa,
+         greatest(cb / CAST(sum(cb) OVER () AS DOUBLE), 0.0001) AS pb,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM g
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(sum((pa - pb) * ln(pa / pb)), 6) AS psi
+FROM s GROUP BY n_a, n_b
+"""
+
+    # Direct binned PSI over the same even/odd parity split the
+    # streaming ledger receives as its two micro-batches.
+    o["stream_hist_psi"] = """
+WITH b AS (
+  SELECT event_id % 2 AS grp,
+         CAST(least(floor(CAST(value AS DOUBLE) / 3.125), 63) AS INTEGER)
+           AS bin
+  FROM events WHERE value >= 0 AND value < 200
+), g AS (
+  SELECT bin,
+         sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS cb
   FROM b GROUP BY bin
 ), s AS (
   SELECT greatest(ca / CAST(sum(ca) OVER () AS DOUBLE), 0.0001) AS pa,
@@ -9197,6 +9250,7 @@ EXTRA_QUERIES: list[str] = [
     "text_vocab_richness",
     "sim_mmr_rerank",
     "stats_hist_psi",
+    "stream_hist_psi",
 ]
 
 

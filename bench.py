@@ -280,6 +280,8 @@ BENCH_QUERIES = [
     "sim_mmr_rerank",
     # PSI between date ranges from the histogram rollup alone
     "stats_hist_psi",
+    # streaming ledger -> PSI drift magnitude (two-batch harness)
+    "stream_hist_psi",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

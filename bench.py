@@ -282,6 +282,8 @@ BENCH_QUERIES = [
     "stats_hist_psi",
     # streaming ledger -> PSI drift magnitude (two-batch harness)
     "stream_hist_psi",
+    # CUSUM change-point monitor (closed-form prefix identity)
+    "stats_cusum",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

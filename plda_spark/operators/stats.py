@@ -69,6 +69,7 @@ __all__ = [
     "trend_tests",
     "jackknife_ratio",
     "hist_psi_ranges",
+    "cusum_changepoints",
 ]
 
 
@@ -2481,4 +2482,83 @@ def hist_psi_ranges(
     psi_val = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
     return staged.select(
         "n_a", "n_b", F.round(psi_val, 6).alias("psi")
+    )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    k: float = 0.5,
+    h: float = 4.0,
+) -> DataFrame:
+    """Tabular CUSUM change-point monitoring over the daily series
+    (Page 1954): the one-sided cumulative sums
+
+        S⁺_t = max(0, S⁺_{t-1} + z_t − k)
+        S⁻_t = max(0, S⁻_{t-1} − z_t − k)
+
+    over standardized daily means z_t, alarming where either exceeds
+    ``h`` — detects small persistent shifts EWMA/thresholds miss,
+    complementing :func:`trend_tests` (trend asks "monotone drift?",
+    CUSUM asks "when did the level change?").
+
+    Closed form instead of a sequential fold: with ``P_t = Σ_{i≤t}
+    (z_i − k)``, the recursion unrolls to ``S⁺_t = P_t − min_{j≤t}
+    min(P_j, 0-shifted prefix)`` — concretely ``S⁺_t = P_t −
+    min(0, min_{j≤t} P_j)`` where the inner min runs over prefixes
+    INCLUDING the empty one — so two prefix-sum windows + two running
+    extrema replace the per-row state machine and both engines replay
+    it exactly.  Standardization uses the series' own mean/std (one
+    broadcast 1-row aggregate; std 0 ⇒ all z 0).
+
+    Returns one row per day: ``(day, value, z, s_pos, s_neg, alarm)``
+    rounded to 6.  Scale shape: the corpus collapses to |days| rows
+    FIRST; every window runs over that calendar-bounded rollup."""
+    if h <= 0:
+        raise ValueError(f"h must be > 0, got {h}")
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(day.alias("day")).agg(
+        F.avg(F.col(value_col).cast("double")).alias("v")
+    )
+    mom = daily.agg(
+        F.avg("v").alias("__m"),
+        F.stddev_samp("v").alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    z = F.when(
+        F.coalesce(F.col("__s"), F.lit(0.0)) > 0,
+        (F.col("v") - F.col("__m")) / F.col("__s"),
+    ).otherwise(F.lit(0.0))
+    staged = daily.crossJoin(F.broadcast(mom)).select(
+        "day", "v", z.alias("__z")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pp = F.sum(F.col("__z") - F.lit(float(k))).over(w)
+    pn = F.sum(-F.col("__z") - F.lit(float(k))).over(w)
+    staged2 = staged.select(
+        "day", "v", "__z", pp.alias("__pp"), pn.alias("__pn")
+    )
+    # S_t = P_t - min(0, running min of P): the empty prefix is 0
+    s_pos = F.col("__pp") - F.least(F.lit(0.0), F.min("__pp").over(w))
+    s_neg = F.col("__pn") - F.least(F.lit(0.0), F.min("__pn").over(w))
+    staged3 = staged2.select(
+        "day",
+        "v",
+        "__z",
+        s_pos.alias("__sp"),
+        s_neg.alias("__sn"),
+    )
+    return staged3.select(
+        F.col("day").cast("string").alias("day"),
+        F.round("v", 6).alias("value"),
+        F.round("__z", 6).alias("z"),
+        F.round("__sp", 6).alias("s_pos"),
+        F.round("__sn", 6).alias("s_neg"),
+        (
+            (F.col("__sp") > F.lit(float(h)))
+            | (F.col("__sn") > F.lit(float(h)))
+        ).alias("alarm"),
     )

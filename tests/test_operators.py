@@ -4194,6 +4194,46 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_cusum_matches_sequential_recursion(spark):
+    """The closed-form prefix-sum − running-min formulation must equal
+    the textbook per-day recursion S⁺=max(0,S⁺+z−k) / S⁻=max(0,S⁻−z−k)
+    computed sequentially in Python, row for row, on a series with a
+    mid-stream level shift (both sides reset at least once)."""
+    import statistics
+
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import stats
+
+    rows = [(f"2024-01-{d:02d} 00:00", 10.0 + 0.1 * (d % 3))
+            for d in range(1, 11)] + \
+           [(f"2024-01-{d:02d} 00:00", 14.0 + 0.1 * (d % 3))
+            for d in range(11, 21)]
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", SF.to_timestamp("ts")
+    )
+    out = stats.cusum_changepoints(df, "ts", "v", k=0.5, h=3.0).orderBy(
+        "day"
+    ).collect()
+    vals = [v for _, v in rows]
+    m, s = sum(vals) / len(vals), statistics.stdev(vals)
+    sp = sn = 0.0
+    for r, v in zip(out, vals):
+        z = (v - m) / s
+        sp, sn = max(0.0, sp + z - 0.5), max(0.0, sn - z - 0.5)
+        assert (r["s_pos"], r["s_neg"]) == (round(sp, 6), round(sn, 6))
+    assert any(r["alarm"] for r in out)  # the level shift fires
+    flat = stats.cusum_changepoints(
+        df.withColumn("v", SF.lit(5.0)), "ts", "v"
+    ).collect()
+    assert all(r["z"] == 0.0 and not r["alarm"] for r in flat)  # std=0
+    with _pytest.raises(ValueError):
+        stats.cusum_changepoints(df, "ts", "v", h=0.0)
+    with _pytest.raises(ValueError):
+        stats.cusum_changepoints(df, "ts", "v", k=-1.0)
+
+
 def test_hist_psi_ranges_matches_direct_psi(spark):
     """The rollup-only PSI must equal the direct psi() total on data
     whose values land exactly on the shared grid (no discretization

@@ -3000,6 +3000,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def sample_curriculum(spark, sf):
+        """Curriculum ordering (operators/sampling.py curriculum_order
+        — Bengio 2009): documents bucketed into 4 difficulty phases by
+        exact n_chars quartiles (shorter = easier = phase 1), md5-
+        shuffled within each phase — stage-wise progression with
+        in-stage randomness, one broadcast cut row + one PARTITIONED
+        row_number window (p parallel in-phase sorts, never global)."""
+        from plda_spark.operators import sampling
+
+        return sampling.curriculum_order(
+            load_table(spark, sf, "documents"), "n_chars", n_phases=4
+        )
+
+    q["sample_curriculum"] = sample_curriculum
+
     def stats_cusum(spark, sf):
         """Tabular CUSUM change-point monitor over the daily mean
         event value (operators/stats.py cusum_changepoints — Page
@@ -6432,6 +6447,29 @@ SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
 FROM calc
 """
 
+    # Same exact percentile cuts (quantile_cont == ANSI
+    # percentile_cont == Spark's percentile), same md5 in-phase order.
+    o["sample_curriculum"] = """
+WITH cuts AS (
+  SELECT quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS c0,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS c1,
+         quantile_cont(CAST(n_chars AS DOUBLE), 0.75) AS c2
+  FROM documents
+), staged AS (
+  SELECT 1 + CAST(CAST(n_chars AS DOUBLE) > c0 AS INT)
+           + CAST(CAST(n_chars AS DOUBLE) > c1 AS INT)
+           + CAST(CAST(n_chars AS DOUBLE) > c2 AS INT) AS phase,
+         doc_id, CAST(n_chars AS DOUBLE) AS score,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents CROSS JOIN cuts
+)
+SELECT phase,
+       row_number() OVER (PARTITION BY phase ORDER BY h, doc_id)
+         AS position,
+       doc_id, round(score, 6) AS score
+FROM staged
+"""
+
     # Same daily collapse, same prefix-sum − running-min identity.
     o["stats_cusum"] = """
 WITH daily AS (
@@ -9296,6 +9334,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_hist_psi",
     "stream_hist_psi",
     "stats_cusum",
+    "sample_curriculum",
 ]
 
 

@@ -284,6 +284,8 @@ BENCH_QUERIES = [
     "stream_hist_psi",
     # CUSUM change-point monitor (closed-form prefix identity)
     "stats_cusum",
+    # quantile-phase curriculum ordering with md5 in-phase shuffle
+    "sample_curriculum",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

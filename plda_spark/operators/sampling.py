@@ -35,6 +35,7 @@ __all__ = [
     "neyman_allocation",
     "neyman_sample",
     "kcenter_select",
+    "curriculum_order",
 ]
 
 
@@ -623,3 +624,61 @@ def kcenter_select(
         f"sel_order int, {id_col} {id_type}, dist_sq double",
     )
     return out.select("sel_order", id_col, F.round("dist_sq", 6).alias("dist_sq"))
+
+
+def curriculum_order(
+    docs: DataFrame,
+    score_col: str,
+    n_phases: int = 4,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+) -> DataFrame:
+    """Curriculum ordering for LLM training (Bengio et al. 2009 made
+    operational): bucket documents into ``n_phases`` difficulty phases
+    by exact score quantiles (phase 1 = easiest when ``ascending``),
+    then order WITHIN each phase by a deterministic md5 shuffle — the
+    standard curriculum shape: stage-wise easy→hard progression with
+    in-stage randomness so batches stay i.i.d.-ish inside a phase.
+
+    Returns ``(phase, position, id, score)`` — feed phases in order,
+    positions within.  Fully deterministic: same corpus ⇒ same
+    curriculum, and both engines replay the md5 order.
+
+    Scale shape: ONE exact-percentile aggregation for the p−1 cut
+    points (broadcast as a 1-row frame — matching ANSI
+    ``percentile_cont`` so the oracle reproduces the cuts), a per-row
+    phase comparison, and ONE row_number window PARTITIONED BY PHASE
+    (p parallel in-phase sorts of ~N/p rows each — never one global
+    sort).  Ties at a cut boundary go to the lower phase (strict >
+    comparison), identically in both engines."""
+    if n_phases < 2:
+        raise ValueError(f"n_phases must be >= 2, got {n_phases}")
+    s = F.col(score_col).cast("double")
+    sig = s if ascending else -s
+    qs = [i / n_phases for i in range(1, n_phases)]
+    cuts = docs.agg(
+        *[
+            F.percentile(sig, F.lit(q)).alias(f"__c{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+    phase = F.lit(1)
+    for i in range(len(qs)):
+        phase = phase + (sig > F.col(f"__c{i}")).cast("int")
+    staged = docs.crossJoin(F.broadcast(cuts)).select(
+        phase.alias("phase"),
+        F.col(id_col).alias("__id"),
+        s.alias("__score"),
+        F.md5(F.col(id_col).cast("string")).alias("__h"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("phase").orderBy(
+        F.col("__h").asc(), F.col("__id").asc()
+    )
+    return staged.select(
+        "phase",
+        F.row_number().over(w).alias("position"),
+        F.col("__id").alias(id_col),
+        F.round("__score", 6).alias("score"),
+    )

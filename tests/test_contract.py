@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (229, 179, 226)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (230, 180, 227)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -146,7 +146,9 @@ SURVEY_LOCATION_PINS = {
         "token_stats", "lm_score", "rake_keywords", "char_entropy",
         "vocab_coverage", "vocab_richness",
     ],
-    "plda_spark.operators.sampling": ["stratified_hash_sample", "kcenter_select"],
+    "plda_spark.operators.sampling": [
+        "stratified_hash_sample", "kcenter_select", "curriculum_order",
+    ],
     "plda_spark.operators.stats": [
         "hll_daily_sketches", "gini_concentration", "seasonal_decompose",
         "decayed_moments", "ks_test", "chi2_independence", "mannwhitney_u",

@@ -4194,6 +4194,38 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_curriculum_order_semantics(spark):
+    """Quartile phases split 8 scores 2/2/2/2 with boundary ties going
+    to the lower phase; positions are a per-phase md5 permutation
+    (contiguous 1..n, deterministic across runs); descending flips the
+    difficulty direction."""
+    import pytest as _pytest
+
+    from plda_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [(i, float(i)) for i in range(1, 9)], "doc_id long, s double"
+    )
+    out = sampling.curriculum_order(docs, "s", n_phases=4,
+                                    id_col="doc_id").collect()
+    by_phase = {}
+    for r in out:
+        by_phase.setdefault(r["phase"], []).append(r)
+    # cuts at 2.75/4.5/6.25: phases {1,2},{3,4},{5,6},{7,8}
+    assert {p: sorted(x["doc_id"] for x in rows)
+            for p, rows in by_phase.items()} == {
+        1: [1, 2], 2: [3, 4], 3: [5, 6], 4: [7, 8]}
+    for rows in by_phase.values():
+        assert sorted(x["position"] for x in rows) == [1, 2]
+    again = sampling.curriculum_order(docs, "s", n_phases=4).collect()
+    assert sorted(map(str, again)) == sorted(map(str, out))  # replayable
+    desc = sampling.curriculum_order(docs, "s", n_phases=4,
+                                     ascending=False).collect()
+    assert {r["doc_id"] for r in desc if r["phase"] == 1} == {7, 8}
+    with _pytest.raises(ValueError):
+        sampling.curriculum_order(docs, "s", n_phases=1)
+
+
 def test_cusum_matches_sequential_recursion(spark):
     """The closed-form prefix-sum − running-min formulation must equal
     the textbook per-day recursion S⁺=max(0,S⁺+z−k) / S⁻=max(0,S⁻−z−k)

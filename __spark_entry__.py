@@ -3000,6 +3000,20 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def stats_acf(spark, sf):
+        """Daily-series autocorrelation at lags 1..7 (operators/
+        stats.py acf_daily): full-series-mean estimator with CALENDAR
+        lag pairing (date_add join — a missing day drops its pairs
+        instead of sliding the alignment), the which-period-to-
+        decompose detector.  Corpus collapses to |days| rows first."""
+        from plda_spark.operators import stats
+
+        return stats.acf_daily(
+            load_table(spark, sf, "events"), "ts", "value", max_lag=7
+        )
+
+    q["stats_acf"] = stats_acf
+
     def sample_curriculum(spark, sf):
         """Curriculum ordering (operators/sampling.py curriculum_order
         — Bengio 2009): documents bucketed into 4 difficulty phases by
@@ -6447,6 +6461,30 @@ SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
 FROM calc
 """
 
+    # Same daily collapse, same calendar lag pairing, same estimator.
+    o["stats_acf"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, avg(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT max(m) AS m, sum((v - m)*(v - m)) AS ss FROM (
+    SELECT v, avg(v) OVER () AS m FROM daily
+  )
+), lagged AS (
+  SELECT d + to_days(CAST(lag AS INTEGER)) AS d, lag, v AS v_lag
+  FROM daily CROSS JOIN (SELECT unnest(range(1, 8)) AS lag)
+), pairs AS (
+  SELECT lagged.lag, daily.v, lagged.v_lag
+  FROM daily JOIN lagged USING (d)
+)
+SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       round(CASE WHEN max(ss) > 0
+                  THEN sum((v - max_m)*(v_lag - max_m))/max(ss)
+                  ELSE 0.0 END, 6) AS acf
+FROM (SELECT pairs.*, mom.m AS max_m, mom.ss FROM pairs CROSS JOIN mom)
+GROUP BY lag ORDER BY lag
+"""
+
     # Same exact percentile cuts (quantile_cont == ANSI
     # percentile_cont == Spark's percentile), same md5 in-phase order.
     o["sample_curriculum"] = """
@@ -9335,6 +9373,7 @@ EXTRA_QUERIES: list[str] = [
     "stream_hist_psi",
     "stats_cusum",
     "sample_curriculum",
+    "stats_acf",
 ]
 
 

@@ -286,6 +286,8 @@ BENCH_QUERIES = [
     "stats_cusum",
     # quantile-phase curriculum ordering with md5 in-phase shuffle
     "sample_curriculum",
+    # calendar-paired daily autocorrelation (lags 1..7)
+    "stats_acf",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -70,6 +70,7 @@ __all__ = [
     "jackknife_ratio",
     "hist_psi_ranges",
     "cusum_changepoints",
+    "acf_daily",
 ]
 
 
@@ -2562,3 +2563,61 @@ def cusum_changepoints(
             | (F.col("__sn") > F.lit(float(h)))
         ).alias("alarm"),
     )
+
+
+def acf_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation function of the daily-mean series at lags
+    1..``max_lag`` — the seasonality detector that tells you WHICH
+    period to hand :func:`seasonal_decompose` (a weekly cycle shows as
+    a spike at lag 7), using the standard full-series-mean estimator
+    ``r_l = Σ(x_t−x̄)(x_{t−l}−x̄) / Σ(x_t−x̄)²``.
+
+    Pairs join on CALENDAR arithmetic (``day_b = day_a + l days``),
+    not row offsets, so a missing day drops its pairs instead of
+    sliding every later lag onto the wrong alignment (the exact bug
+    row-offset lag() has on gapped series).  Returns one row per lag:
+    ``(lag, n_pairs, acf)`` rounded to 6; a zero-variance series
+    reports acf 0.
+
+    Scale shape: the corpus collapses to |days| rows first; the lag
+    pairing is one |days|×max_lag explode + an equi-join of two
+    calendar-bounded rollups."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    day = F.to_date(F.col(ts_col))
+    daily = df.groupBy(day.alias("d")).agg(
+        F.avg(F.col(value_col).cast("double")).alias("v")
+    )
+    mean_row = daily.agg(F.avg("v").alias("__m"))
+    mom = (
+        daily.crossJoin(F.broadcast(mean_row))
+        .agg(
+            F.max("__m").alias("__m"),
+            F.sum(
+                (F.col("v") - F.col("__m")) * (F.col("v") - F.col("__m"))
+            ).alias("__ss"),
+        )
+    )
+    lagged = daily.select(
+        "d", "v", F.explode(F.sequence(F.lit(1), F.lit(max_lag))).alias("lag")
+    ).select(F.date_add("d", F.col("lag")).alias("d"), "lag",
+             F.col("v").alias("v_lag"))
+    pairs = daily.join(lagged, "d").crossJoin(F.broadcast(mom))
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(
+            (F.col("v") - F.col("__m")) * (F.col("v_lag") - F.col("__m"))
+        ).alias("__num"),
+        F.max("__ss").alias("__den"),
+    )
+    acf = F.when(F.col("__den") > 0, F.col("__num") / F.col("__den")).otherwise(
+        F.lit(0.0)
+    )
+    return agg.select(
+        "lag", "n_pairs", F.round(acf, 6).alias("acf")
+    ).orderBy("lag")

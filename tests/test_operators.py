@@ -4194,6 +4194,44 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_acf_daily_matches_numpy(spark):
+    """ACF on a 28-day weekly sinusoid matches numpy's estimator at
+    every lag (spike at lag 7); on a gapped series the calendar
+    pairing DROPS pairs touching the missing day (lag1: 27−2, lag2:
+    26−2) instead of sliding the alignment."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import stats
+
+    rows = [(f"2024-01-{d:02d} 00:00", 10.0 + 5.0 * math.sin(
+        2 * math.pi * d / 7)) for d in range(1, 29)]
+    df = spark.createDataFrame(rows, "ts string, v double").withColumn(
+        "ts", SF.to_timestamp("ts")
+    )
+    out = {r["lag"]: (r["n_pairs"], r["acf"]) for r in
+           stats.acf_daily(df, "ts", "v", max_lag=7).collect()}
+    x = np.array([v for _, v in rows])
+    m, ss = x.mean(), ((x - x.mean()) ** 2).sum()
+    for lag in range(1, 8):
+        ref = ((x[lag:] - m) * (x[:-lag] - m)).sum() / ss
+        assert out[lag] == (28 - lag, round(float(ref), 6))
+    assert out[7][1] > 0.7 > abs(out[1][1])  # weekly spike dominates
+
+    gapped = {r["lag"]: r["n_pairs"] for r in stats.acf_daily(
+        df.where("to_date(ts) <> '2024-01-05'"), "ts", "v", max_lag=2
+    ).collect()}
+    assert gapped == {1: 25, 2: 24}
+    flat = stats.acf_daily(df.withColumn("v", SF.lit(2.0)), "ts", "v",
+                           max_lag=2).collect()
+    assert all(r["acf"] == 0.0 for r in flat)  # zero variance
+    with _pytest.raises(ValueError):
+        stats.acf_daily(df, "ts", "v", max_lag=0)
+
+
 def test_curriculum_order_semantics(spark):
     """Quartile phases split 8 scores 2/2/2/2 with boundary ties going
     to the lower phase; positions are a per-phase md5 permutation

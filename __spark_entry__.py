@@ -3000,6 +3000,31 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def pipeline_daily_anomaly(spark, sf):
+        """Composition: seasonal-aware daily anomaly detection
+        (stats.seasonal_decompose → stats.mad_outliers on the
+        residuals): daily event counts split into trend/weekly-
+        seasonal/residual, then the residual series screened by
+        modified z-score — flags the days that are anomalous AFTER
+        discounting growth and weekday rhythm (a raw threshold flags
+        every Sunday instead).  k=1.5 reports the fixture's top tail
+        (production uses the 3.5 default).  All windows run on the
+        |days| rollup; the ORACLE recomputes the full composition."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        daily = ev.groupBy(
+            F.to_date("ts").cast("string").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+        dec = stats.seasonal_decompose(daily, ts_col="day", value_col="y")
+        resid = dec.where(F.col("residual").isNotNull()).select(
+            F.lit("all").alias("series"), "day", "residual",
+        )
+        return stats.mad_outliers(resid, "series", "residual", "day",
+                                  k=1.5)
+
+    q["pipeline_daily_anomaly"] = pipeline_daily_anomaly
+
     def stats_acf(spark, sf):
         """Daily-series autocorrelation at lags 1..7 (operators/
         stats.py acf_daily): full-series-mean estimator with CALENDAR
@@ -6461,6 +6486,35 @@ SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
 FROM calc
 """
 
+    # Full composition twin: the seasonal_decompose arithmetic, then
+    # exact-median modified z on the (4-decimal-rounded) residuals.
+    o["pipeline_daily_anomaly"] = """
+WITH d AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+), t AS (
+  SELECT day, y,
+         CASE WHEN count(*) OVER w7 = 7 THEN avg(y) OVER w7 END AS trend,
+         (row_number() OVER (ORDER BY day) - 1) % 7 AS phase
+  FROM d
+  WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), t2 AS (SELECT *, y - trend AS detr FROM t),
+ph AS (SELECT phase, avg(detr) AS s_raw FROM t2 GROUP BY phase),
+phc AS (SELECT phase, s_raw - (SELECT avg(s_raw) FROM ph) AS s FROM ph),
+resid AS (
+  SELECT day, round(y - trend - s, 4) AS r
+  FROM t2 JOIN phc USING (phase) WHERE trend IS NOT NULL
+), med AS (SELECT quantile_cont(r, 0.5) AS md FROM resid),
+mad AS (
+  SELECT quantile_cont(abs(r - md), 0.5) AS mad FROM resid CROSS JOIN med
+)
+SELECT 'all' AS series, day AS id, r AS value,
+       round(0.6745*(r - md)/mad, 6) AS mad_z
+FROM resid, med, mad
+WHERE mad > 0 AND abs(0.6745*(r - md)/mad) > 1.5
+"""
+
     # Same daily collapse, same calendar lag pairing, same estimator.
     o["stats_acf"] = """
 WITH daily AS (
@@ -9374,6 +9428,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_cusum",
     "sample_curriculum",
     "stats_acf",
+    "pipeline_daily_anomaly",
 ]
 
 

@@ -288,6 +288,8 @@ BENCH_QUERIES = [
     "sample_curriculum",
     # calendar-paired daily autocorrelation (lags 1..7)
     "stats_acf",
+    # composed seasonal-aware daily anomaly screen
+    "pipeline_daily_anomaly",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

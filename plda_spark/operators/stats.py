@@ -2162,15 +2162,25 @@ def psi(
     )
     tot = Window.partitionBy()
     gwidth = (F.col("__ghi") - F.col("__glo")) / F.lit(float(bins))
+    # an entirely-absent group would make x/0 a NaN that poisons every
+    # term; the when() yields NULL instead and greatest() skips NULLs,
+    # so the share degrades to the clamp (PSI then measures "everything
+    # moved", which is the honest answer)
     staged = per.select(
         "bin",
         (F.col("__glo") + F.col("bin") * gwidth).alias("__blo"),
         (F.col("__glo") + (F.col("bin") + 1) * gwidth).alias("__bhi"),
         F.greatest(
-            F.col("ca") / F.sum("ca").over(tot), F.lit(float(min_share))
+            F.when(
+                F.sum("ca").over(tot) > 0, F.col("ca") / F.sum("ca").over(tot)
+            ),
+            F.lit(float(min_share)),
         ).alias("__pa"),
         F.greatest(
-            F.col("cb") / F.sum("cb").over(tot), F.lit(float(min_share))
+            F.when(
+                F.sum("cb").over(tot) > 0, F.col("cb") / F.sum("cb").over(tot)
+            ),
+            F.lit(float(min_share)),
         ).alias("__pb"),
     )
     term = (F.col("__pa") - F.col("__pb")) * F.log(
@@ -2468,17 +2478,16 @@ def hist_psi_ranges(
     nb = F.aggregate("hb", F.lit(0).cast("long"), lambda a, x: a + x)
     ms = F.lit(float(min_share))
     staged = both.select(na.alias("n_a"), nb.alias("n_b"), "ha", "hb")
+    # same absent-range guard as psi(): n 0 -> NULL -> clamp wins
+
+    def _share(x, n):
+        return F.greatest(F.when(F.col(n) > 0, x / F.col(n)), ms)
+
     terms = F.zip_with(
         F.col("ha"),
         F.col("hb"),
-        lambda x, y: (
-            F.greatest(x / F.col("n_a"), ms)
-            - F.greatest(y / F.col("n_b"), ms)
-        )
-        * F.log(
-            F.greatest(x / F.col("n_a"), ms)
-            / F.greatest(y / F.col("n_b"), ms)
-        ),
+        lambda x, y: (_share(x, "n_a") - _share(y, "n_b"))
+        * F.log(_share(x, "n_a") / _share(y, "n_b")),
     )
     psi_val = F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
     return staged.select(

@@ -4565,6 +4565,10 @@ def test_psi_kruskal_trend_semantics(spark):
         assert got[i] == (round(float(pa[i]), 6), round(float(pb[i]), 6))
     with _pytest.raises(ValueError):
         stats.psi(df, "g", "v", "a", "b", bins=1)
+    # an entirely-absent group degrades to the clamp, never a NaN
+    import math as _math
+    absent = stats.psi(df, "g", "v", "a", "zzz", bins=4).collect()
+    assert absent and all(not _math.isnan(r["psi"]) for r in absent)
 
     g1, g2, g3 = [1.0, 2, 3, 4, 5], [2.0, 3, 4, 5, 6], [10.0, 11, 12, 13, 14]
     df2 = spark.createDataFrame(

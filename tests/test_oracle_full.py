@@ -37,7 +37,7 @@ def duck01():
 
 @pytest.mark.oracle_full
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_matches_oracle_at_sf001(name, spark, duck01):
+def test_query_matches_oracle_at_sf0_01(name, spark, duck01):
     sdf = _QUERIES[name](spark, SF01).toPandas()
     if name not in _ORACLES:
         # the declared-stochastic tail (LDA train/infer/coherence):

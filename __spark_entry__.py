@@ -3000,6 +3000,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def stats_spearman(spark, sf):
+        """Spearman rank correlation (operators/stats.py spearman_corr)
+        between order quantity and the thousand-dollar price band:
+        pair-count aggregation first, marginal average ranks from each
+        side's rollup (Mann-Whitney tie convention), weighted Pearson
+        over the pair table — algebraically identical to ranking every
+        row at |distinct pairs| cost.  The price is pre-quantized to
+        bands exactly because the guard enforces the bounded-
+        cardinality contract (583k raw distinct prices at sf0.1 would
+        refuse)."""
+        from plda_spark.operators import stats
+
+        li = load_table(spark, sf, "lineitem").withColumn(
+            "price_band",
+            F.floor(F.col("l_extendedprice") / F.lit(1000.0)),
+        )
+        return stats.spearman_corr(li, "l_quantity", "price_band")
+
+    q["stats_spearman"] = stats_spearman
+
     def pipeline_daily_anomaly(spark, sf):
         """Composition: seasonal-aware daily anomaly detection
         (stats.seasonal_decompose → stats.mad_outliers on the
@@ -6486,6 +6506,37 @@ SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
 FROM calc
 """
 
+    # Same pair counts, same marginal average ranks, same weighted
+    # Pearson identities.
+    o["stats_spearman"] = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS va,
+         CAST(floor(l_extendedprice / 1000.0) AS DOUBLE) AS vb
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+), pairs AS (
+  SELECT va, vb, count(*) AS c FROM base GROUP BY 1, 2
+), ma AS (
+  SELECT va, (sum(t) OVER (ORDER BY va ROWS UNBOUNDED PRECEDING) - t)
+               + (t + 1)/2.0 AS ra
+  FROM (SELECT va, sum(c) AS t FROM pairs GROUP BY va)
+), mb AS (
+  SELECT vb, (sum(t) OVER (ORDER BY vb ROWS UNBOUNDED PRECEDING) - t)
+               + (t + 1)/2.0 AS rb
+  FROM (SELECT vb, sum(c) AS t FROM pairs GROUP BY vb)
+), agg AS (
+  SELECT sum(c) AS n, sum(c*ra) AS sa, sum(c*rb) AS sb,
+         sum(c*ra*ra) AS saa, sum(c*rb*rb) AS sbb, sum(c*ra*rb) AS sab
+  FROM pairs JOIN ma USING (va) JOIN mb USING (vb)
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(CASE WHEN (saa - sa*sa/n) > 0 AND (sbb - sb*sb/n) > 0
+                  THEN (sab - sa*sb/n)
+                       / sqrt((saa - sa*sa/n) * (sbb - sb*sb/n))
+                  ELSE 0.0 END, 6) AS rho
+FROM agg
+"""
+
     # Full composition twin: the seasonal_decompose arithmetic, then
     # exact-median modified z on the (4-decimal-rounded) residuals.
     o["pipeline_daily_anomaly"] = """
@@ -9429,6 +9480,7 @@ EXTRA_QUERIES: list[str] = [
     "sample_curriculum",
     "stats_acf",
     "pipeline_daily_anomaly",
+    "stats_spearman",
 ]
 
 

@@ -290,6 +290,8 @@ BENCH_QUERIES = [
     "stats_acf",
     # composed seasonal-aware daily anomaly screen
     "pipeline_daily_anomaly",
+    # Spearman rank correlation via pair-count aggregation
+    "stats_spearman",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -71,6 +71,7 @@ __all__ = [
     "hist_psi_ranges",
     "cusum_changepoints",
     "acf_daily",
+    "spearman_corr",
 ]
 
 
@@ -2630,3 +2631,80 @@ def acf_daily(
     return agg.select(
         "lag", "n_pairs", F.round(acf, 6).alias("acf")
     ).orderBy("lag")
+
+
+def spearman_corr(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Spearman rank correlation between two numeric columns — the
+    robust monotone-association twin of the Pearson
+    :func:`correlation_matrix` (outlier-immune, catches nonlinear but
+    monotone relationships Pearson understates).
+
+    Computed WITHOUT ranking raw rows: aggregate to (a, b) PAIR counts
+    first, derive each side's average ranks from its own marginal
+    (the Mann-Whitney tie convention), then weighted Pearson over the
+    pair table — algebraically identical to ranking every row, at
+    |distinct pairs| cost.  Returns ONE row ``(n, rho)`` rounded to 6;
+    constant columns report rho 0.
+
+    Scale shape: one (a, b) count aggregation (map-side combined),
+    two marginal rollups with ordered windows over |distinct values|
+    rows — the same enforced bounded-cardinality contract as
+    :func:`ks_test` (``max_distinct`` pre-check; quantize upstream for
+    continuous columns) — and one weighted-moment aggregation over the
+    pair table."""
+    a = F.col(col_a).cast("double")
+    b = F.col(col_b).cast("double")
+    base = df.where(a.isNotNull() & b.isNotNull())
+    ndv = base.agg(
+        F.greatest(
+            F.approx_count_distinct(a), F.approx_count_distinct(b)
+        ).alias("__ndv")
+    ).first()["__ndv"]
+    if ndv > max_distinct:
+        raise ValueError(
+            f"spearman_corr: ~{ndv} distinct values > "
+            f"max_distinct={max_distinct}; the marginal rank windows "
+            "are ONE task each — quantize upstream for continuous "
+            "columns."
+        )
+    pairs = base.groupBy(a.alias("va"), b.alias("vb")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+    def marginal_ranks(col, out):
+        m = pairs.groupBy(F.col(col).alias("v")).agg(F.sum("c").alias("t"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return m.select(
+            F.col("v").alias(col),
+            (
+                (F.sum("t").over(w) - F.col("t"))
+                + (F.col("t") + 1) / F.lit(2.0)
+            ).alias(out),
+        )
+
+    ranked = pairs.join(marginal_ranks("va", "ra"), "va").join(
+        marginal_ranks("vb", "rb"), "vb"
+    )
+    agg = ranked.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.col("ra")).alias("__sa"),
+        F.sum(F.col("c") * F.col("rb")).alias("__sb"),
+        F.sum(F.col("c") * F.col("ra") * F.col("ra")).alias("__saa"),
+        F.sum(F.col("c") * F.col("rb") * F.col("rb")).alias("__sbb"),
+        F.sum(F.col("c") * F.col("ra") * F.col("rb")).alias("__sab"),
+    )
+    n = F.col("n").cast("double")
+    cov = F.col("__sab") - F.col("__sa") * F.col("__sb") / n
+    vara = F.col("__saa") - F.col("__sa") * F.col("__sa") / n
+    varb = F.col("__sbb") - F.col("__sb") * F.col("__sb") / n
+    rho = F.when(
+        (vara > 0) & (varb > 0), cov / F.sqrt(vara * varb)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("n").cast("long").alias("n"), F.round(rho, 6).alias("rho")
+    )

@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (232, 182, 229)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (233, 183, 230)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -155,7 +155,8 @@ SURVEY_LOCATION_PINS = {
         "hist_ks_ranges", "welch_ttest", "bh_fdr", "benford_audit",
         "weighted_quantiles", "group_mean_shift_tests", "psi",
         "kruskal_wallis", "trend_tests", "jackknife_ratio",
-        "cusum_changepoints", "hist_psi_ranges",
+        "cusum_changepoints", "hist_psi_ranges", "spearman_corr",
+        "acf_daily",
     ],
     "plda_spark.operators.graph": [
         "pagerank", "label_propagation", "link_prediction", "hits",

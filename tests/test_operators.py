@@ -4194,6 +4194,36 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_spearman_matches_pandas_average_ranks(spark):
+    """The pair-count formulation must equal pandas' average-rank
+    Pearson exactly (ties included); perfectly monotone data gives 1,
+    a constant column 0, and the cardinality guard trips."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    rows = [(float(i), float((i * 7) % 13) + (0.5 if i % 2 else 0.0))
+            for i in range(40)] + [(5.0, 3.0), (5.0, 3.0)]
+    df = spark.createDataFrame(rows, "x double, y double")
+    r = stats.spearman_corr(df, "x", "y").first()
+    pdf = pd.DataFrame(rows, columns=["x", "y"])
+    ref = float(np.corrcoef(pdf["x"].rank(method="average"),
+                            pdf["y"].rank(method="average"))[0, 1])
+    assert r["rho"] == round(ref, 6) and r["n"] == 42
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(10)], "x double, y double"
+    )
+    assert stats.spearman_corr(mono, "x", "y").first()["rho"] == 1.0
+    const = spark.createDataFrame(
+        [(float(i), 2.0) for i in range(10)], "x double, y double"
+    )
+    assert stats.spearman_corr(const, "x", "y").first()["rho"] == 0.0
+    with _pytest.raises(ValueError, match="max_distinct"):
+        stats.spearman_corr(df, "x", "y", max_distinct=3)
+
+
 def test_acf_daily_matches_numpy(spark):
     """ACF on a 28-day weekly sinusoid matches numpy's estimator at
     every lag (spike at lag 7); on a gapped series the calendar

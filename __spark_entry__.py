@@ -3000,6 +3000,20 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def events_ltv_cohorts(spark, sf):
+        """Cohort LTV triangle (operators/events.py ltv_cohorts):
+        first-active-week cohorts, per-(cohort, weeks-since) purchase
+        revenue and cumulative revenue per cohort member — the
+        lifetime-value curve beside the retention triangle.  One
+        per-user aggregation + user-keyed purchase join + a cumulative
+        window PARTITIONED BY COHORT over the calendar-bounded
+        rollup."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.ltv_cohorts(load_table(spark, sf, "events"))
+
+    q["events_ltv_cohorts"] = events_ltv_cohorts
+
     def stats_spearman(spark, sf):
         """Spearman rank correlation (operators/stats.py spearman_corr)
         between order quantity and the thousand-dollar price band:
@@ -6506,6 +6520,34 @@ SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
 FROM calc
 """
 
+    # Same Monday-start week cohorts, same cumulative per-member curve.
+    o["events_ltv_cohorts"] = """
+WITH fw AS (
+  SELECT user_id AS u,
+         min(CAST(date_trunc('week', ts) AS DATE)) AS cohort
+  FROM events GROUP BY 1
+), sizes AS (
+  SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM fw GROUP BY 1
+), p AS (
+  SELECT fw.cohort,
+         CAST(datediff('day', fw.cohort,
+                       CAST(date_trunc('week', e.ts) AS DATE)) / 7
+              AS INTEGER) AS weeks_since,
+         CAST(e.value AS DOUBLE) AS v
+  FROM events e JOIN fw ON fw.u = e.user_id
+  WHERE e.event_type = 'purchase'
+), cell AS (
+  SELECT cohort, weeks_since, sum(v) AS rev FROM p GROUP BY 1, 2
+)
+SELECT CAST(cohort AS VARCHAR) AS cohort_week, weeks_since, cohort_users,
+       round(rev, 4) AS revenue,
+       round(sum(rev) OVER (PARTITION BY cohort ORDER BY weeks_since
+                            ROWS UNBOUNDED PRECEDING)
+             / cohort_users, 6) AS cum_ltv_per_user
+FROM cell JOIN sizes USING (cohort)
+"""
+
     # Same pair counts, same marginal average ranks, same weighted
     # Pearson identities.
     o["stats_spearman"] = """
@@ -9481,6 +9523,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_acf",
     "pipeline_daily_anomaly",
     "stats_spearman",
+    "events_ltv_cohorts",
 ]
 
 

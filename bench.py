@@ -292,6 +292,8 @@ BENCH_QUERIES = [
     "pipeline_daily_anomaly",
     # Spearman rank correlation via pair-count aggregation
     "stats_spearman",
+    # cohort lifetime-value triangle (cumulative revenue per member)
+    "events_ltv_cohorts",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

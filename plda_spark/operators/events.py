@@ -25,6 +25,7 @@ __all__ = [
     "attribution_position",
     "markov_attribution",
     "kaplan_meier",
+    "ltv_cohorts",
 ]
 
 
@@ -828,5 +829,73 @@ def kaplan_meier(
             "n_events",
             "n_censored",
             F.round("__s", 6).alias("survival"),
+        )
+    )
+
+
+def ltv_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    purchase_type: str = "purchase",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Cohort LTV triangle: users cohorted by first-active week, and
+    for each (cohort, weeks-since) the purchase revenue plus the
+    CUMULATIVE revenue per cohort member — the lifetime-value curve
+    growth teams read next to the retention triangle
+    (:func:`retention_cohorts` says who came back; this says what they
+    were worth by week k).
+
+    Returns ``(cohort_week, weeks_since, cohort_users, revenue,
+    cum_ltv_per_user)`` — offsets with zero revenue are ABSENT (the
+    cumulative value at the next present offset is still exact; join
+    a spine or fill_daily_gaps downstream for a dense curve).
+
+    Scale shape: one per-user first-week aggregation, one broadcast-
+    friendly cohort-size rollup, purchases join their user's cohort on
+    the user key (the same shuffle key as the aggregation), then a
+    cumulative window PARTITIONED BY COHORT over the calendar-bounded
+    (cohort, offset) rollup."""
+    from pyspark.sql import Window
+
+    week = F.date_trunc("week", F.col(ts_col)).cast("date")
+    first_week = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(week).alias("__cohort")
+    )
+    sizes = first_week.groupBy("__cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    purchases = events.where(F.col(type_col) == F.lit(purchase_type)).select(
+        F.col(user_col).alias("__u"),
+        week.alias("__w"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    per_cell = (
+        purchases.join(first_week, "__u")
+        .select(
+            "__cohort",
+            (F.datediff("__w", "__cohort") / 7).cast("int").alias(
+                "weeks_since"
+            ),
+            "__v",
+        )
+        .groupBy("__cohort", "weeks_since")
+        .agg(F.sum("__v").alias("__rev"))
+    )
+    w = Window.partitionBy("__cohort").orderBy("weeks_since").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per_cell.join(sizes, "__cohort")
+        .select(
+            F.col("__cohort").cast("string").alias("cohort_week"),
+            "weeks_since",
+            "cohort_users",
+            F.round("__rev", 4).alias("revenue"),
+            F.round(
+                F.sum("__rev").over(w) / F.col("cohort_users"), 6
+            ).alias("cum_ltv_per_user"),
         )
     )

@@ -4194,6 +4194,38 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_ltv_cohorts_semantics(spark):
+    """Hand-checked triangle: two users cohorted in week 0 spend 10
+    (wk0) and 30 (wk1) -> cum LTV per user 5 then 20; a week-1 cohort
+    of one spends 7 -> its own offset-0 row; non-purchase events never
+    contribute revenue but DO set cohorts."""
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import events as ev_ops
+
+    rows = [
+        # users 1,2 first active Mon 2024-01-01 week; user 3 next week
+        (1, "2024-01-01 10:00", 1, "view", 0.0),
+        (2, "2024-01-02 10:00", 2, "purchase", 10.0),
+        (3, "2024-01-09 10:00", 1, "purchase", 30.0),   # week offset 1
+        (4, "2024-01-08 10:00", 3, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    out = {(r["cohort_week"], r["weeks_since"]): r for r in
+           ev_ops.ltv_cohorts(df).collect()}
+    a0 = out[("2024-01-01", 0)]
+    assert a0["cohort_users"] == 2 and a0["revenue"] == 10.0
+    assert a0["cum_ltv_per_user"] == 5.0
+    a1 = out[("2024-01-01", 1)]
+    assert a1["revenue"] == 30.0 and a1["cum_ltv_per_user"] == 20.0
+    b0 = out[("2024-01-08", 0)]
+    assert b0["cohort_users"] == 1 and b0["cum_ltv_per_user"] == 7.0
+    assert len(out) == 3
+
+
 def test_spearman_matches_pandas_average_ranks(spark):
     """The pair-count formulation must equal pandas' average-rank
     Pearson exactly (ties included); perfectly monotone data gives 1,

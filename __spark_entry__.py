@@ -3000,6 +3000,22 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def stats_mutual_information(spark, sf):
+        """Mutual information + sqrt-normalized NMI between document
+        source and language (operators/stats.py mutual_information):
+        the information-theoretic sibling of chi2_independence and THE
+        external clustering-evaluation score.  One contingency
+        aggregation, broadcast margins, scalar sums over |A·B| rows —
+        marginal entropies fold out of the same cell rows (p(a,b)·
+        −ln p(a) sums over b to the margin, no second pass)."""
+        from plda_spark.operators import stats
+
+        return stats.mutual_information(
+            load_table(spark, sf, "documents"), "source", "lang"
+        )
+
+    q["stats_mutual_information"] = stats_mutual_information
+
     def events_ltv_cohorts(spark, sf):
         """Cohort LTV triangle (operators/events.py ltv_cohorts):
         first-active-week cohorts, per-(cohort, weeks-since) purchase
@@ -6520,6 +6536,33 @@ SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
 FROM calc
 """
 
+    # Same contingency cells, same fold-the-margin entropy identity.
+    o["stats_mutual_information"] = """
+WITH cell AS (
+  SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), ra AS (SELECT a, sum(o) AS ta FROM cell GROUP BY a),
+rb AS (SELECT b, sum(o) AS tb FROM cell GROUP BY b),
+tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS na,
+               count(DISTINCT b) AS nb FROM cell),
+agg AS (
+  SELECT max(n) AS n, max(na) AS na, max(nb) AS nb,
+         sum(o/CAST(n AS DOUBLE)
+             * ln(o * CAST(n AS DOUBLE) / (CAST(ta AS DOUBLE) * tb)))
+           AS mi,
+         sum(o/CAST(n AS DOUBLE) * -ln(ta / CAST(n AS DOUBLE))) AS ha,
+         sum(o/CAST(n AS DOUBLE) * -ln(tb / CAST(n AS DOUBLE))) AS hb
+  FROM cell JOIN ra USING (a) JOIN rb USING (b), tot
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       round(greatest(mi, 0.0), 6) AS mi,
+       round(least(CASE WHEN ha > 0 AND hb > 0
+                        THEN greatest(mi, 0.0) / sqrt(ha * hb)
+                        ELSE 0.0 END, 1.0), 6) AS nmi
+FROM agg
+"""
+
     # Same Monday-start week cohorts, same cumulative per-member curve.
     o["events_ltv_cohorts"] = """
 WITH fw AS (
@@ -9524,6 +9567,7 @@ EXTRA_QUERIES: list[str] = [
     "pipeline_daily_anomaly",
     "stats_spearman",
     "events_ltv_cohorts",
+    "stats_mutual_information",
 ]
 
 

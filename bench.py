@@ -294,6 +294,8 @@ BENCH_QUERIES = [
     "stats_spearman",
     # cohort lifetime-value triangle (cumulative revenue per member)
     "events_ltv_cohorts",
+    # mutual information / NMI between categorical columns
+    "stats_mutual_information",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

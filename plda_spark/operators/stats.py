@@ -72,6 +72,7 @@ __all__ = [
     "cusum_changepoints",
     "acf_daily",
     "spearman_corr",
+    "mutual_information",
 ]
 
 
@@ -2707,4 +2708,67 @@ def spearman_corr(
     ).otherwise(F.lit(0.0))
     return agg.select(
         F.col("n").cast("long").alias("n"), F.round(rho, 6).alias("rho")
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns, plus the
+    sqrt-normalized NMI — the information-theoretic sibling of
+    :func:`chi2_independence` (chi2 asks "is there association?", MI
+    says how many NATS of one column the other reveals), and NMI is
+    THE standard external clustering-evaluation score (compare LPA /
+    k-means labels against ground truth).
+
+    ``MI = Σ p(a,b)·ln(p(a,b)/(p(a)p(b)))`` over OCCUPIED cells (empty
+    cells contribute 0·ln(0) = 0 by convention), ``NMI = MI /
+    √(H(A)·H(B))`` with the same natural-log entropies; a constant
+    column (zero entropy) reports NMI 0.  Returns ONE row ``(n, n_a,
+    n_b, mi, nmi)`` rounded to 6.
+
+    Scale shape: identical to chi2 — one (a, b) count aggregation
+    (map-side combined), two broadcast margins, scalar sums over the
+    |A·B|-row contingency table."""
+    cell = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cell.groupBy("a").agg(F.sum("o").alias("ta"))
+    rb = cell.groupBy("b").agg(F.sum("o").alias("tb"))
+    tot = cell.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("n_a"),
+        F.countDistinct("b").alias("n_b"),
+    )
+    joined = (
+        cell.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    pab = F.col("o") / n
+    mi = F.sum(
+        pab * F.log(F.col("o") * n / (F.col("ta").cast("double") * F.col("tb")))
+    )
+    # marginal entropies from the same joined rows: each (a, b) cell
+    # contributes p(a,b)·(−ln p(a)) — summing over b folds the margin,
+    # so H(A) = Σ_cells p(a,b)·(−ln(ta/n)) without a second pass
+    ha = F.sum(pab * -F.log(F.col("ta") / n))
+    hb = F.sum(pab * -F.log(F.col("tb") / n))
+    agg = joined.groupBy("n", "n_a", "n_b").agg(
+        mi.alias("__mi"), ha.alias("__ha"), hb.alias("__hb")
+    )
+    nmi = F.when(
+        (F.col("__ha") > 0) & (F.col("__hb") > 0),
+        F.greatest(F.col("__mi"), F.lit(0.0))
+        / F.sqrt(F.col("__ha") * F.col("__hb")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(F.greatest(F.col("__mi"), F.lit(0.0)), 6).alias("mi"),
+        F.round(F.least(nmi, F.lit(1.0)), 6).alias("nmi"),
     )

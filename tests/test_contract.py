@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (234, 184, 231)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (235, 185, 232)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -156,7 +156,7 @@ SURVEY_LOCATION_PINS = {
         "weighted_quantiles", "group_mean_shift_tests", "psi",
         "kruskal_wallis", "trend_tests", "jackknife_ratio",
         "cusum_changepoints", "hist_psi_ranges", "spearman_corr",
-        "acf_daily",
+        "acf_daily", "mutual_information",
     ],
     "plda_spark.operators.graph": [
         "pagerank", "label_propagation", "link_prediction", "hits",

@@ -4194,6 +4194,50 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_mutual_information_semantics(spark):
+    """Perfect dependence: MI = ln(3), NMI = 1; independence: both 0;
+    a constant column (zero entropy) reports NMI 0; a mixed table
+    matches the Counter-based hand computation exactly."""
+    import math
+    from collections import Counter
+
+    from plda_spark.operators import stats
+
+    dep = spark.createDataFrame(
+        [("x", "p")] * 10 + [("y", "q")] * 10 + [("z", "r")] * 10,
+        "a string, b string",
+    )
+    r = stats.mutual_information(dep, "a", "b").first()
+    assert r["nmi"] == 1.0 and r["mi"] == round(math.log(3), 6)
+    assert r["n"] == 30 and r["n_a"] == r["n_b"] == 3
+    ind = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5 + [("y", "p")] * 5
+        + [("y", "q")] * 5,
+        "a string, b string",
+    )
+    r2 = stats.mutual_information(ind, "a", "b").first()
+    assert r2["mi"] == 0.0 and r2["nmi"] == 0.0
+    const = spark.createDataFrame(
+        [("x", "p")] * 5 + [("x", "q")] * 5, "a string, b string"
+    )
+    assert stats.mutual_information(const, "a", "b").first()["nmi"] == 0.0
+
+    rows = [("x", "p")] * 6 + [("x", "q")] * 2 + [("y", "p")] * 1 + [
+        ("y", "q")] * 7
+    r4 = stats.mutual_information(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    n = len(rows)
+    ca, cb, cab = (Counter(a for a, _ in rows), Counter(b for _, b in rows),
+                   Counter(rows))
+    mi = sum(c / n * math.log(c * n / (ca[a] * cb[b]))
+             for (a, b), c in cab.items())
+    ha = -sum(c / n * math.log(c / n) for c in ca.values())
+    hb = -sum(c / n * math.log(c / n) for c in cb.values())
+    assert r4["mi"] == round(mi, 6)
+    assert r4["nmi"] == round(mi / math.sqrt(ha * hb), 6)
+
+
 def test_ltv_cohorts_semantics(spark):
     """Hand-checked triangle: two users cohorted in week 0 spend 10
     (wk0) and 30 (wk1) -> cum LTV per user 5 then 20; a week-1 cohort

@@ -3000,6 +3000,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_jackknife_ratio"] = stats_jackknife_ratio
 
+    def events_top_paths(spark, sf):
+        """Top-20 most frequent 3-event consecutive sequences per user
+        stream (operators/events.py top_paths): ONE user-partitioned
+        lead window builds each path (the classic formulation
+        self-joins the event table length−1 times), one path-keyed
+        count, a (n desc, path asc) total-order TakeOrdered — the
+        n-gram behavior view the first-order transition matrix
+        marginalizes away."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.top_paths(load_table(spark, sf, "events"),
+                                length=3, top_k=20)
+
+    q["events_top_paths"] = events_top_paths
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6536,6 +6551,21 @@ SELECT n_groups, round(ratio, 6) AS ratio, round(se, 6) AS jack_se,
 FROM calc
 """
 
+    # Same (ts, event_id) order, same 3-lead path, same total order.
+    o["events_top_paths"] = """
+WITH seq AS (
+  SELECT event_type AS p0,
+         lead(event_type, 1) OVER w AS p1,
+         lead(event_type, 2) OVER w AS p2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT p0 || ' > ' || p1 || ' > ' || p2 AS path,
+       CAST(count(*) AS BIGINT) AS n
+FROM seq WHERE p2 IS NOT NULL
+GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9568,6 +9598,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_spearman",
     "events_ltv_cohorts",
     "stats_mutual_information",
+    "events_top_paths",
 ]
 
 

@@ -296,6 +296,8 @@ BENCH_QUERIES = [
     "events_ltv_cohorts",
     # mutual information / NMI between categorical columns
     "stats_mutual_information",
+    # top-k consecutive event sequences (lead-window n-grams)
+    "events_top_paths",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -26,6 +26,7 @@ __all__ = [
     "markov_attribution",
     "kaplan_meier",
     "ltv_cohorts",
+    "top_paths",
 ]
 
 
@@ -898,4 +899,53 @@ def ltv_cohorts(
                 F.sum("__rev").over(w) / F.col("cohort_users"), 6
             ).alias("cum_ltv_per_user"),
         )
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    order_col: str = "event_id",
+    length: int = 3,
+    top_k: int = 20,
+) -> DataFrame:
+    """Top-k most frequent CONSECUTIVE event sequences of ``length``
+    per user stream — "what do users actually do, in order" (the
+    n-gram view of behavior the first-order
+    :func:`transition_matrix` marginalizes away; a 3-path separates
+    view→click→purchase from click→view→purchase, the matrix cannot).
+
+    Windows slide by one event, ordered by ``(ts, order_col)`` so
+    replays are exact; sequences never cross users.  Returns
+    ``(path, n)`` with ``path`` the ' > '-joined sequence, top-k by
+    ``(n desc, path asc)`` — a total order, engine-replayable.
+
+    Scale shape: ONE user-partitioned window pass building the path
+    via ``lead`` (no self-join — the classic formulation joins the
+    event table to itself length−1 times), one path-keyed count
+    aggregation (map-side combined), and a distributed TakeOrdered."""
+    if length < 2:
+        raise ValueError(f"length must be >= 2, got {length}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.col(user_col)).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    parts = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    staged = events.select(
+        *[p.alias(f"__p{i}") for i, p in enumerate(parts)]
+    ).where(F.col(f"__p{length - 1}").isNotNull())
+    path = F.concat_ws(" > ", *[F.col(f"__p{i}") for i in range(length)])
+    return (
+        staged.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path").asc())
+        .limit(top_k)
     )

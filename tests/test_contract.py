@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (235, 185, 232)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (236, 186, 233)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -167,6 +167,7 @@ SURVEY_LOCATION_PINS = {
         "funnel", "rfm_scores", "transition_matrix", "attribution",
         "forecast_backtest", "association_rules", "attribution_position",
         "markov_attribution", "kaplan_meier", "ltv_cohorts",
+        "top_paths",
     ],
     "plda_spark.operators.web": ["normalize_url_col", "domain_filter", "frontier_schedule"],
     "plda_spark.operators.multimodal": ["image_dhash", "image_stats"],

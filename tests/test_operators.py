@@ -4194,6 +4194,36 @@ def test_privacy_semantics(spark):
         privacy.dp_noisy_counts(df, ["q1"], epsilon=0.0)
 
 
+def test_top_paths_semantics(spark):
+    """Hand fixture: user 1 does a,b,c,b,c (paths abc, bcb, cbc);
+    user 2 does a,b,c (abc) — abc counts twice and sequences never
+    cross users; top_k cuts on (n desc, path asc); short streams
+    contribute nothing."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+
+    from plda_spark.operators import events as ev_ops
+
+    rows = [(i, f"2024-01-01 00:0{i}", 1, t, 0.0)
+            for i, t in enumerate(["a", "b", "c", "b", "c"])]
+    rows += [(10 + i, f"2024-01-01 00:0{i}", 2, t, 0.0)
+             for i, t in enumerate(["a", "b", "c"])]
+    rows += [(20, "2024-01-01 00:00", 3, "z", 0.0)]  # too short
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+        " value double"
+    ).withColumn("ts", SF.to_timestamp("ts"))
+    out = {r["path"]: r["n"] for r in ev_ops.top_paths(df).collect()}
+    assert out == {"a > b > c": 2, "b > c > b": 1, "c > b > c": 1}
+    top1 = ev_ops.top_paths(df, top_k=1).collect()
+    assert [(r["path"], r["n"]) for r in top1] == [("a > b > c", 2)]
+    pairs = {r["path"]: r["n"] for r in
+             ev_ops.top_paths(df, length=2).collect()}
+    assert pairs["b > c"] == 3 and "z" not in " ".join(pairs)
+    with _pytest.raises(ValueError):
+        ev_ops.top_paths(df, length=1)
+
+
 def test_mutual_information_semantics(spark):
     """Perfect dependence: MI = ln(3), NMI = 1; independence: both 0;
     a constant column (zero entropy) reports NMI 0; a mixed table

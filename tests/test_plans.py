@@ -848,3 +848,32 @@ def test_rrf_rank_windows_are_per_system(spark):
     plan = s["plan"]
     assert "hashpartitioning(system" in plan or "hashpartitioning(__" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_spearman_aggregates_before_marginal_windows(spark):
+    """Spearman reduces to (a, b) pair counts with a hash aggregate
+    before the marginal rank windows run; no Python, no cartesian."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_spearman"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_paths_is_one_window_no_self_join(spark):
+    """The n-gram path build is ONE user-partitioned lead window — the
+    classic formulation self-joins the event table length-1 times;
+    this plan must contain no join at all."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["events_top_paths"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert "Join" not in plan
+    assert "Window" in plan and "TakeOrdered" in plan

@@ -3109,8 +3109,10 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         — Bengio 2009): documents bucketed into 4 difficulty phases by
         exact n_chars quartiles (shorter = easier = phase 1), md5-
         shuffled within each phase — stage-wise progression with
-        in-stage randomness, one broadcast cut row + one PARTITIONED
-        row_number window (p parallel in-phase sorts, never global)."""
+        in-stage randomness, one broadcast cut row + a two-level rank
+        (row_number windows partitioned by (phase, md5-prefix salt) +
+        broadcast per-bucket offsets: p*256-way parallel, identical
+        total order)."""
         from plda_spark.operators import sampling
 
         return sampling.curriculum_order(

@@ -647,10 +647,18 @@ def curriculum_order(
     Scale shape: ONE exact-percentile aggregation for the p−1 cut
     points (broadcast as a 1-row frame — matching ANSI
     ``percentile_cont`` so the oracle reproduces the cuts), a per-row
-    phase comparison, and ONE row_number window PARTITIONED BY PHASE
-    (p parallel in-phase sorts of ~N/p rows each — never one global
-    sort).  Ties at a cut boundary go to the lower phase (strict >
-    comparison), identically in both engines."""
+    phase comparison, and a TWO-LEVEL in-phase rank: the row_number
+    window is partitioned by ``(phase, salt)`` where the salt is the
+    first two hex chars of the md5 shuffle key (256 buckets), plus a
+    broadcast per-(phase, salt) offset (one tiny count aggregation +
+    running sum over ≤ p·256 rows).  ``position = offset + in-bucket
+    rank`` reproduces the identical phase-wide md5 total order —
+    because the salt is a PREFIX of the sort key, bucket-ascending +
+    in-bucket (h, id) order IS the phase-wide (h, id) order — at
+    p·256-way parallelism instead of p single-task sorts of ~N/p rows
+    each (the latter is a corpus-scale spill sort in disguise when
+    p is small).  Ties at a cut boundary go to the lower phase
+    (strict > comparison), identically in both engines."""
     if n_phases < 2:
         raise ValueError(f"n_phases must be >= 2, got {n_phases}")
     s = F.col(score_col).cast("double")
@@ -671,14 +679,32 @@ def curriculum_order(
         s.alias("__score"),
         F.md5(F.col(id_col).cast("string")).alias("__h"),
     )
+    # two-hex-char salt = 256 buckets per phase; a PREFIX of the sort
+    # key, so bucket order composes with in-bucket order exactly
+    staged = staged.withColumn("__salt", F.substring("__h", 1, 2))
     from pyspark.sql import Window
 
-    w = Window.partitionBy("phase").orderBy(
+    # per-(phase, salt) sizes → running-sum offsets: ≤ p·256 rows, so
+    # the per-phase offset window is trivially cheap and the join back
+    # is a broadcast
+    counts = staged.groupBy("phase", "__salt").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = Window.partitionBy("phase").orderBy(F.col("__salt").asc())
+    offsets = counts.select(
+        "phase",
+        "__salt",
+        (F.sum("__n").over(w_off) - F.col("__n")).alias("__off"),
+    )
+    w = Window.partitionBy("phase", "__salt").orderBy(
         F.col("__h").asc(), F.col("__id").asc()
     )
-    return staged.select(
-        "phase",
-        F.row_number().over(w).alias("position"),
-        F.col("__id").alias(id_col),
-        F.round("__score", 6).alias("score"),
+    return (
+        staged.join(F.broadcast(offsets), ["phase", "__salt"])
+        .select(
+            "phase",
+            (F.col("__off") + F.row_number().over(w)).alias("position"),
+            F.col("__id").alias(id_col),
+            F.round("__score", 6).alias("score"),
+        )
     )

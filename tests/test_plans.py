@@ -877,3 +877,23 @@ def test_top_paths_is_one_window_no_self_join(spark):
     assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
     assert "Join" not in plan
     assert "Window" in plan and "TakeOrdered" in plan
+
+
+def test_curriculum_window_is_salted_two_level_rank(spark):
+    """The in-phase order must be a TWO-LEVEL rank: the row_number
+    window partitioned by (phase, salt) — 256 md5-prefix buckets per
+    phase — with broadcast per-bucket offsets. A window partitioned by
+    phase ALONE caps parallelism at n_phases (4 single-task spill
+    sorts of ~N/4 rows each at corpus scale)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["sample_curriculum"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the big window's exchange is keyed by BOTH phase and the salt
+    assert "hashpartitioning(phase" in plan and "__salt" in plan
+    # offsets come back via broadcast, never a shuffled join
+    assert s["sort_merge_joins"] == 0
+    assert s["broadcast_hash_joins"] >= 1

@@ -632,7 +632,10 @@ def markov_attribution(
     window (partitioned by user — parallel) + ONE transition count
     aggregation.  The transition table is then COLLECTED — it is
     bounded at (|channels|+1)·(|channels|+2) rows by construction
-    (``max_channels``, default 500, makes the bound explicit) — and
+    (``max_channels``, default 500, makes the bound explicit, and an
+    ``approx_count_distinct`` pre-check raises BEFORE any transition
+    table is built — a high-cardinality misuse never reaches the
+    collect) — and
     the |channels|+1 absorption problems run as numpy matrix-vector
     iterations on the driver: microseconds, versus 25 distributed
     join rounds of pure scheduler overhead for a table this small
@@ -646,6 +649,24 @@ def markov_attribution(
     from pyspark.sql import Window
 
     u, ts, ch = F.col(user_col), F.col(ts_col), F.col(channel_col)
+    # cardinality pre-check BEFORE the transition table exists: the
+    # downstream collect is bounded at (|channels|+1)(|channels|+2)
+    # rows ONLY when the channel column is a genuine channel taxonomy
+    # — a high-cardinality column (URL-as-channel) must raise here,
+    # not after pulling an unbounded table to the driver (same
+    # pre-check discipline as ks_test's max_distinct guard)
+    ndv = events.where(ch != F.lit(conversion)).agg(
+        F.approx_count_distinct(ch).alias("__ndv")
+    ).first()["__ndv"]
+    if ndv > max_channels:
+        raise ValueError(
+            f"markov_attribution: {channel_col!r} has ~{ndv} distinct "
+            f"channels > max_channels={max_channels}; the transition "
+            "table and the per-variant absorption solves are "
+            "quadratic/cubic in |channels| — bucket the channel column "
+            "first (this is an attribution model over CHANNELS, not "
+            "over arbitrary ids)"
+        )
     conv_ts = (
         events.where(ch == F.lit(conversion))
         .groupBy(u.alias("__u"))

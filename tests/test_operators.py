@@ -4114,6 +4114,20 @@ def test_markov_attribution_semantics(spark):
     with _pytest.raises(ValueError, match="max_channels"):
         ev_ops.markov_attribution(df, max_channels=1)
 
+    # high-cardinality misuse (unique id as the channel column) must
+    # raise at the approx_count_distinct PRE-check — "distinct
+    # channels" is the pre-check's message; the post-collect guard
+    # says "channels > max_channels" without "distinct" — so the
+    # unbounded transition table is never built, let alone collected
+    wide = spark.range(2000).selectExpr(
+        "cast(id % 50 as string) as user_id",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) as ts",
+        "id as event_id",
+        "concat('url_', id) as event_type",
+    )
+    with _pytest.raises(ValueError, match="distinct channels"):
+        ev_ops.markov_attribution(wide, max_channels=100)
+
 
 def test_link_prediction_semantics(spark):
     """Hand-checked path graph 1-2-3 + 2-4 + 3-4: the only distance-2

@@ -42,7 +42,8 @@ any precision, so the stdout ``queries`` map is now a PER-FAMILY
 rollup: query names collapse to their family prefix (``dedup_*`` ->
 ``dedup``, TPC-H ``qN_*`` -> ``tpch``; see ``bench_family``) and each
 family's value is the sum of its members' min-of-two seconds — so
-``value == sum(queries.values())`` still holds and the driver's
+``value == sum(queries.values())`` holds up to per-family rounding
+(family values print at 2 decimals, the total at 3) and the driver's
 ``{"metric", "value", "unit", "queries", "sf"}`` contract is intact.
 ``n_queries`` carries the true per-query count.  The final line is
 kept under ``STDOUT_BYTE_BUDGET = 1900`` bytes (pinned by

@@ -2225,6 +2225,11 @@ def kruskal_wallis(
     single-task contract as :func:`ks_test`, ENFORCED by the same
     ``max_distinct`` pre-check (bin upstream for continuous columns)."""
     v = F.col(value_col).cast("double")
+    # drop NULL values up front (like spearman_corr/psi): a NULL would
+    # otherwise form its own rank group counted into n and the tie
+    # mass, AND Spark's window sorts NULLS FIRST where ANSI/DuckDB
+    # default NULLS LAST — ranks and H would diverge across engines
+    df = df.where(v.isNotNull())
     ndv = df.agg(F.approx_count_distinct(v).alias("__ndv")).first()["__ndv"]
     if ndv > max_distinct:
         raise ValueError(
@@ -2455,9 +2460,12 @@ def hist_psi_ranges(
     summing over the rollup's fixed grid equals summing over occupied
     bins — the oracle exploits that).
 
-    Returns ONE row ``(n_a, n_b, psi)``.  Scale shape: two filtered
-    sums over the |days|-row rollup + one ``nbins``-length array
-    fold."""
+    Returns ONE row ``(n_a, n_b, psi)``.  A range that matches zero
+    rollup rows folds to a zero histogram on the other side's grid, so
+    the clamp measures "everything moved"; if BOTH ranges are empty
+    there is no grid to borrow and ``psi`` is NULL.  Scale shape: two
+    filtered sums over the |days|-row rollup + one ``nbins``-length
+    array fold."""
     if not (0.0 < min_share < 0.5):
         raise ValueError(f"min_share must be in (0, 0.5), got {min_share}")
     (a_lo, a_hi), (b_lo, b_hi) = range_a, range_b
@@ -2476,11 +2484,23 @@ def hist_psi_ranges(
         )
 
     both = merged(a_lo, a_hi, "ha").crossJoin(merged(b_lo, b_hi, "hb"))
+    # a range matching ZERO rollup rows folds to NULL — coalesce it to
+    # a zero-filled copy of the other side's grid so the min_share
+    # clamp runs and PSI measures "everything moved"; BOTH ranges
+    # empty stays NULL (no grid to borrow — documented)
+    zf = lambda col, other: F.coalesce(
+        col, F.transform(other, lambda x: F.lit(0).cast("long"))
+    )
+    both = both.select(
+        zf(F.col("ha"), F.col("hb")).alias("ha"),
+        zf(F.col("hb"), F.col("ha")).alias("hb"),
+    )
     na = F.aggregate("ha", F.lit(0).cast("long"), lambda a, x: a + x)
     nb = F.aggregate("hb", F.lit(0).cast("long"), lambda a, x: a + x)
     ms = F.lit(float(min_share))
     staged = both.select(na.alias("n_a"), nb.alias("n_b"), "ha", "hb")
-    # same absent-range guard as psi(): n 0 -> NULL -> clamp wins
+    # absent-range share: n = 0 -> when() yields NULL -> greatest
+    # skips NULLs -> clamp wins
 
     def _share(x, n):
         return F.greatest(F.when(F.col(n) > 0, x / F.col(n)), ms)

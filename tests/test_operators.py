@@ -4492,6 +4492,19 @@ def test_hist_psi_ranges_matches_direct_psi(spark):
     with _pytest.raises(ValueError):
         stats.hist_psi_ranges(sk, ("a", "b"), ("c", "d"), min_share=0.7)
 
+    # one EMPTY range: the zero-filled grid + min_share clamp wins —
+    # psi is finite and large ("everything moved"), never NULL
+    one_empty = stats.hist_psi_ranges(
+        sk, ("2024-01-01", "2024-01-02"), ("2030-01-01", "2030-01-02")
+    ).first()
+    assert one_empty["n_a"] == 20 and one_empty["n_b"] == 0
+    assert one_empty["psi"] is not None and one_empty["psi"] > 1.0
+    # BOTH ranges empty: no grid to borrow — documented NULL
+    both_empty = stats.hist_psi_ranges(
+        sk, ("2030-01-01", "2030-01-02"), ("2031-01-01", "2031-01-02")
+    ).first()
+    assert both_empty["psi"] is None
+
 
 def test_mmr_rerank_semantics(spark):
     """Hand fixture: doc 2 is a near-duplicate of the seed with almost
@@ -4743,6 +4756,16 @@ def test_psi_kruskal_trend_semantics(spark):
     assert r["p_value"] < 0.01  # strongly separated third group
     with _pytest.raises(ValueError, match="max_distinct"):
         stats.kruskal_wallis(df2, "g", "v", max_distinct=2)
+
+    # NULL values are dropped (like spearman_corr/psi) — identical H
+    # to the NULL-free frame, not a phantom rank group
+    with_nulls = df2.unionByName(
+        spark.createDataFrame(
+            [("g1", None), ("g3", None)], "g string, v double"
+        )
+    )
+    rn = stats.kruskal_wallis(with_nulls, "g", "v").first()
+    assert rn["h_stat"] == r["h_stat"] and rn["n"] == 15
 
     daily = spark.createDataFrame(
         [(f"2024-01-{d:02d} 00:00", float(d) * 2.0) for d in range(1, 11)],

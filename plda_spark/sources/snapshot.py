@@ -219,6 +219,21 @@ def _publish(fs: _FS, path: str, manifest: dict) -> int:
             f"snapshot {path} version {version} was published by a "
             "concurrent writer; re-read the table and retry"
         )
+    # opportunistic index upkeep on PURE APPEND CHAINS: maintenance
+    # actions (compact/optimize/vacuum) write _index.json, but the
+    # streaming-sink norm is a table that only ever appends and never
+    # compacts — without this its as-of reads stay O(age) forever.
+    # Every _INDEX_APPEND_EVERY-th commit rebuilds the index; the
+    # rebuild reuses prior entries so it reads only the unindexed tail,
+    # which this trigger bounds at _INDEX_APPEND_EVERY by induction.
+    if version > 0 and version % _INDEX_APPEND_EVERY == 0:
+        try:
+            _write_manifest_index(fs, path)
+        except Exception:
+            # the index is a derived cache: a failed rebuild must never
+            # fail the commit that triggered it (readers degrade to the
+            # per-manifest walk)
+            pass
     return version
 
 
@@ -239,6 +254,10 @@ def _publish(fs: _FS, path: str, manifest: dict) -> int:
 # vacuumed versions are simply never looked up, and a torn/corrupt
 # index degrades to the walk.
 _INDEX_NAME = "_index.json"
+
+# commit-count stride for the append-chain index upkeep in _publish():
+# a never-compacted table's unindexed tail stays <= this many manifests
+_INDEX_APPEND_EVERY = 64
 
 
 def _index_path(path: str) -> str:

@@ -1138,3 +1138,49 @@ def test_manifest_chain_index_bounds_reads(spark, tmp_path, monkeypatch):
     vs3 = snap.snapshot_versions(spark, path)
     assert [v["version"] for v in vs3] == [29, 30, 31]
     assert reads == [], "post-vacuum summaries must come from the index"
+
+
+def test_pure_append_chain_maintains_index(spark, tmp_path, monkeypatch):
+    """VERDICT r7 item 3: _index.json was written only by maintenance
+    actions, so a table that only ever appends (the streaming-sink
+    norm) never got one and as-of reads stayed O(age) until the first
+    compaction.  Every _INDEX_APPEND_EVERY-th commit now rebuilds the
+    index opportunistically, bounding the unindexed tail."""
+    monkeypatch.setattr(snap, "_INDEX_APPEND_EVERY", 16)
+    path = str(tmp_path / "tbl")
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    for _ in range(100):
+        snap.snapshot_write(df, path, mode="append")
+    fs = snap._FS(spark, path)
+    # versions 0..99: triggers fired at 16,32,...,96 — index exists
+    # WITHOUT any compact/optimize/vacuum ever running
+    assert fs.exists(snap._index_path(path))
+
+    reads = []
+    real = snap._read_manifest
+
+    def counting(fs_, p, version):
+        reads.append(version)
+        return real(fs_, p, version)
+
+    monkeypatch.setattr(snap, "_read_manifest", counting)
+    vs = snap.snapshot_versions(spark, path)
+    assert [v["version"] for v in vs] == list(range(100))
+    # only the post-trigger tail (97..99) costs per-manifest reads
+    assert sorted(set(reads)) == [97, 98, 99], reads
+
+    # deep as-of probe is index-covered too: tail-bounded reads
+    reads.clear()
+    got = snap._resolve_as_of(fs, path, vs[5]["committed_at_ms"])
+    assert got == 5
+    assert set(reads) <= {97, 98, 99, 5}, reads
+
+    # a failed index rebuild never fails the commit itself
+    monkeypatch.setattr(snap, "_read_manifest", real)
+    monkeypatch.setattr(
+        snap, "_write_manifest_index",
+        lambda *a, **k: (_ for _ in ()).throw(OSError("disk full")),
+    )
+    for _ in range(13):  # crosses version 112, the next trigger
+        snap.snapshot_write(df, path, mode="append")
+    assert snap._latest_version(fs, path) == 112

@@ -173,6 +173,7 @@ def rfm_scores(
     type_col: str = "event_type",
     n_buckets: int = 5,
     method: str = "ntile",
+    max_rows: int = 10_000_000,
 ) -> DataFrame:
     """RFM behavioral segmentation: per-user Recency (days since last
     event vs the corpus max date), Frequency (event count), Monetary
@@ -183,18 +184,38 @@ def rfm_scores(
     - ``method='ntile'`` — exact quantile buckets via rank windows,
       ties broken by user id so the assignment is engine-replayable
       (the DuckDB-oracle mode).  Needs a total order: a single-task
-      sort of the USER-level table — fine to ~10M users.
+      sort of the USER-level table — fine to ~10M users, and ENFORCED:
+      an ``approx_count_distinct`` pre-check on the user column
+      refuses past ``max_rows`` with a pointer to ``method='cuts'``
+      (the same self-enforcing contract as ks_test's ``max_distinct``).
     - ``method='cuts'`` — the 100 TB path: ``percentile_approx`` cut
       points (one aggregation, broadcast as literals) and a per-row
       bucket lookup — no global sort, no single-task window, the same
       design as curation.ppl_buckets.  Bucket boundaries are
-      approximate where users tie on a metric.
+      approximate where users tie on a metric.  ``max_rows`` is not
+      consulted (nothing here scales with the user count).
     """
     if method not in ("ntile", "cuts"):
         raise ValueError("method must be 'ntile' or 'cuts'")
     if n_buckets < 2:
         raise ValueError("n_buckets must be >= 2")
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1, got {max_rows}")
     from pyspark.sql import Window
+
+    if method == "ntile":
+        n_users = events.agg(
+            F.approx_count_distinct(user_col).alias("__n")
+        ).first()["__n"]
+        if n_users > max_rows:
+            raise ValueError(
+                f"rfm_scores: ~{n_users} distinct users > "
+                f"max_rows={max_rows}; method='ntile' sorts the whole "
+                "user-level table in ONE task per metric. Use "
+                "method='cuts' (broadcast approx-quantile boundaries, "
+                "no global sort) or raise max_rows if the user count "
+                "is genuinely bounded."
+            )
 
     mx = events.agg(F.max(F.to_date(ts_col)).alias("__mx"))
     per_user = (

@@ -3090,6 +3090,11 @@ def test_rfm_cuts_mode_tracks_ntile(spark, sf_dir):
         ev_ops.rfm_scores(ev, method="nope")
     with pytest.raises(ValueError, match="n_buckets"):
         ev_ops.rfm_scores(ev, n_buckets=1)
+    # ntile mode is self-enforcing: past max_rows users it refuses
+    # with a pointer to the cuts mode; cuts itself never consults it
+    with pytest.raises(ValueError, match="method='cuts'"):
+        ev_ops.rfm_scores(ev, method="ntile", max_rows=2)
+    assert ev_ops.rfm_scores(ev, method="cuts", max_rows=2).count() > 2
 
 
 def test_token_budget_waterfilling_properties(spark):

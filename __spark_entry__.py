@@ -3015,6 +3015,20 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_top_paths"] = events_top_paths
 
+    def events_sessions(spark, sf):
+        """Batch sessionization with a 30-min inactivity gap
+        (operators/events.py sessionize — the batch twin of the
+        streaming sessionizer): ONE user-keyed shuffle feeds both the
+        lag window and the running session count (identical window
+        spec, one Exchange), then one (user, session) aggregation;
+        durations in exact integer microseconds so both engines agree
+        bit-for-bit."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.sessionize(load_table(spark, sf, "events"))
+
+    q["events_sessions"] = events_sessions
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6568,6 +6582,32 @@ FROM seq WHERE p2 IS NOT NULL
 GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20
 """
 
+    # Same (ts, event_id) order, same <=-gap rule, same integer-us
+    # durations (epoch_us == Spark's unix_micros — no float drift).
+    o["events_sessions"] = """
+WITH prep AS (
+  SELECT user_id, ts, epoch_us(ts) AS us, event_id AS o,
+         event_type AS ty, CAST(value AS DOUBLE) AS v
+  FROM events
+), flagged AS (
+  SELECT *, CASE WHEN us - lag(us) OVER
+                   (PARTITION BY user_id ORDER BY ts, o)
+                 <= 1800000000 THEN 0 ELSE 1 END AS newf
+  FROM prep
+), sess AS (
+  SELECT *, sum(newf) OVER (PARTITION BY user_id ORDER BY ts, o
+                            ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
+       min(ts) AS start_ts, max(ts) AS end_ts,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT ty) AS BIGINT) AS n_types,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+       round(sum(v), 4) AS session_value
+FROM sess GROUP BY user_id, sid
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9601,6 +9641,7 @@ EXTRA_QUERIES: list[str] = [
     "events_ltv_cohorts",
     "stats_mutual_information",
     "events_top_paths",
+    "events_sessions",
 ]
 
 

@@ -27,6 +27,7 @@ __all__ = [
     "kaplan_meier",
     "ltv_cohorts",
     "top_paths",
+    "sessionize",
 ]
 
 
@@ -990,4 +991,80 @@ def top_paths(
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), F.col("path").asc())
         .limit(top_k)
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    gap_minutes: float = 30.0,
+) -> DataFrame:
+    """Batch sessionization — the inactivity-gap session split every
+    web/product-analytics stack runs (the batch twin of
+    ``streaming/windows.py``'s sessionize: identical gap semantics,
+    replayable over the static log): a user's events are ordered by
+    ``(ts, id_col)`` and a new session starts wherever the gap to the
+    previous event exceeds ``gap_minutes``.
+
+    Returns one row per session: ``(user_id, session_seq, start_ts,
+    end_ts, n_events, n_types, duration_us, session_value)`` —
+    ``session_seq`` is the user's 1-based session index,
+    ``duration_us`` is exact integer microseconds (no float drift
+    between engines), ``session_value`` the rounded value sum.
+
+    Scale shape: ONE shuffle on the user key feeds both windows (lag +
+    running session count share the identical (user)×(ts, id) spec, so
+    Spark plans one Exchange/Sort), then one (user, session_seq)
+    aggregation — map-side combinable, and co-partitioned work since
+    the grouping key extends the window's partition key.  Nothing here
+    sorts or broadcasts the corpus; skewed users cost what their own
+    event count costs (a bot user with 10M events is one fat partition
+    slice — cap upstream if that is a concern).
+    """
+    if gap_minutes <= 0:
+        raise ValueError(f"gap_minutes must be > 0, got {gap_minutes}")
+    from pyspark.sql import Window
+
+    gap_us = int(gap_minutes * 60_000_000)
+    prep = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__ts"),
+        # events commonly land as TIMESTAMP_NTZ from parquet; the session
+        # TZ is pinned UTC (plda_spark.get_spark), so the cast is the
+        # identity embedding into epoch micros == DuckDB's epoch_us
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(id_col).alias("__o"),
+        F.col(type_col).alias("__ty"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    w = Window.partitionBy("__u").orderBy("__ts", "__o")
+    flagged = prep.withColumn(
+        "__new",
+        F.when(
+            F.col("__us") - F.lag("__us").over(w) <= F.lit(gap_us),
+            F.lit(0),
+        ).otherwise(F.lit(1)),  # NULL lag (first event) -> new session
+    )
+    sess = flagged.withColumn(
+        "__sid",
+        F.sum("__new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        sess.groupBy(
+            F.col("__u").alias(user_col), F.col("__sid").alias("session_seq")
+        )
+        .agg(
+            F.min("__ts").alias("start_ts"),
+            F.max("__ts").alias("end_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("__ty").alias("n_types"),
+            (F.max("__us") - F.min("__us")).alias("duration_us"),
+            F.round(F.sum("__v"), 4).alias("session_value"),
+        )
     )

@@ -4959,3 +4959,46 @@ def test_effective_sample_size_semantics(spark):
     import numpy as np
     w = np.array([2.0] * 50 + [1e-6] * 99 + [1000.0])
     assert pooled["ess"] == round(float(w.sum() ** 2 / (w * w).sum()), 4)
+
+
+def test_sessionize_semantics(spark):
+    """Hand-built two-user log with a 30-min gap rule: u1 has two
+    sessions (events at 0/10/25 min, then 90/95), u2 one single-event
+    session; exact-microsecond durations, value sums, type counts."""
+    from plda_spark.operators import events as ev_ops
+    import pytest as _pytest
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "click", 1.0),
+        (2, "2024-01-01 00:10:00", 1, "view", 2.0),
+        (3, "2024-01-01 00:25:00", 1, "click", 3.0),
+        (4, "2024-01-01 01:30:00", 1, "purchase", 10.0),
+        (5, "2024-01-01 01:35:00", 1, "click", 4.0),
+        (6, "2024-01-01 05:00:00", 2, "view", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value")
+    out = {(r["user_id"], r["session_seq"]): r
+           for r in ev_ops.sessionize(df).collect()}
+    assert set(out) == {(1, 1), (1, 2), (2, 1)}
+    s11 = out[(1, 1)]
+    assert s11["n_events"] == 3 and s11["n_types"] == 2
+    assert s11["duration_us"] == 25 * 60 * 1_000_000
+    assert s11["session_value"] == 6.0
+    s12 = out[(1, 2)]
+    assert s12["n_events"] == 2 and s12["duration_us"] == 5 * 60 * 1_000_000
+    assert s12["session_value"] == 14.0
+    s21 = out[(2, 1)]
+    assert s21["n_events"] == 1 and s21["duration_us"] == 0
+    # a gap of EXACTLY gap_minutes stays in-session (<= comparison)
+    eq = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "a", 0.0),
+         (2, "2024-01-01 00:30:00", 1, "a", 0.0)],
+        "event_id long, ts string, user_id long, event_type string, value double",
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value")
+    assert ev_ops.sessionize(eq).count() == 1
+    with _pytest.raises(ValueError, match="gap_minutes"):
+        ev_ops.sessionize(df, gap_minutes=0)

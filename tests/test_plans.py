@@ -897,3 +897,24 @@ def test_curriculum_window_is_salted_two_level_rank(spark):
     # offsets come back via broadcast, never a shuffled join
     assert s["sort_merge_joins"] == 0
     assert s["broadcast_hash_joins"] >= 1
+
+
+def test_sessionize_is_one_window_exchange_plus_agg(spark):
+    """Batch sessionization: ONE user-keyed exchange + ONE sort feed
+    BOTH window expressions (lag + running session count share the
+    (user)x(ts, id) spec), then one partial-aggregated session rollup
+    — the event table is never joined to itself or re-sorted."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["events_sessions"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert s["sort_merge_joins"] == 0 and s["broadcast_hash_joins"] == 0
+    assert "Join" not in plan
+    # window exchange keyed by user; exactly 2 exchanges total
+    # (window + the map-side-combined session aggregation)
+    assert "hashpartitioning(__u" in plan
+    assert s["exchanges"] == 2, s["exchanges"]
+    assert plan.count("(4) Sort") or plan.count("Sort") >= 1

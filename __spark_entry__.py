@@ -3029,6 +3029,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_sessions"] = events_sessions
 
+    def stats_conformal(spark, sf):
+        """Split-conformal prediction intervals on the daily mean event
+        value (operators/stats.py conformal_intervals — Vovk 2005 /
+        Papadopoulos 2002): lag-7 seasonal-naive forecast joined by
+        calendar arithmetic, calibration prefix = first half of scored
+        days, q = the finite-sample k-th smallest residual with
+        k = ceil(0.8*(n_cal+1)); distribution-free >=80% marginal
+        coverage on the held-out tail. Corpus collapses to |days| rows
+        first; every window runs over that rollup."""
+        from plda_spark.operators import stats
+
+        return stats.conformal_intervals(
+            load_table(spark, sf, "events"), "ts", "value",
+            alpha=0.2, season_lag_days=7, calib_frac=0.5,
+        )
+
+    q["stats_conformal"] = stats_conformal
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6608,6 +6626,39 @@ SELECT user_id, CAST(sid AS BIGINT) AS session_seq,
 FROM sess GROUP BY user_id, sid
 """
 
+    # Same daily collapse, same calendar-join lag-7 forecast, same
+    # rank-based split and k-th-order-statistic conformal quantile.
+    o["stats_conformal"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, avg(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY 1
+), scored AS (
+  SELECT a.day, a.v, b.v AS pred, abs(a.v - b.v) AS s
+  FROM daily a JOIN daily b ON a.day = b.day + 7
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY day) AS rn,
+         count(*) OVER () AS n
+  FROM scored
+), params AS (
+  SELECT CAST(ceil(0.5 * n) AS INT) AS n_cal, n FROM ranked LIMIT 1
+), q AS (
+  SELECT s AS qv FROM (
+    SELECT r.s, r.day,
+           row_number() OVER (ORDER BY r.s, r.day) AS sr,
+           p.n_cal
+    FROM ranked r CROSS JOIN params p
+    WHERE r.rn <= p.n_cal AND p.n_cal < p.n
+  )
+  WHERE sr = least(CAST(ceil(0.8 * (n_cal + 1)) AS INT), n_cal)
+)
+SELECT CAST(r.day AS VARCHAR) AS day, round(r.v, 6) AS value,
+       round(r.pred, 6) AS pred, round(r.pred - q.qv, 6) AS lo,
+       round(r.pred + q.qv, 6) AS hi,
+       (r.v >= r.pred - q.qv AND r.v <= r.pred + q.qv) AS covered
+FROM ranked r CROSS JOIN params p CROSS JOIN q
+WHERE r.rn > p.n_cal AND p.n_cal < p.n
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9642,6 +9693,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_mutual_information",
     "events_top_paths",
     "events_sessions",
+    "stats_conformal",
 ]
 
 

@@ -73,6 +73,7 @@ __all__ = [
     "acf_daily",
     "spearman_corr",
     "mutual_information",
+    "conformal_intervals",
 ]
 
 
@@ -2791,4 +2792,91 @@ def mutual_information(
         F.col("n_b").cast("long").alias("n_b"),
         F.round(F.greatest(F.col("__mi"), F.lit(0.0)), 6).alias("mi"),
         F.round(F.least(nmi, F.lit(1.0)), 6).alias("nmi"),
+    )
+
+
+def conformal_intervals(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.1,
+    season_lag_days: int = 7,
+    calib_frac: float = 0.5,
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk et al. 2005; the
+    split/inductive variant of Papadopoulos 2002) over the daily mean
+    series: a seasonal-naive point forecast (the value
+    ``season_lag_days`` earlier, joined by CALENDAR arithmetic so
+    missing days drop pairs instead of sliding the alignment), absolute
+    residuals on a calibration prefix, and the finite-sample conformal
+    quantile
+
+        q = k-th smallest calibration residual,
+        k = ceil((1 - alpha) * (n_cal + 1))   (clamped to n_cal)
+
+    giving distribution-free ``>= 1 - alpha`` marginal coverage on the
+    held-out tail under exchangeability.  This is the uncertainty
+    wrapper for :func:`~plda_spark.operators` forecast/backtest ops:
+    the same split discipline, but with a coverage GUARANTEE rather
+    than a point-error score.
+
+    Returns the test-tail days: ``(day, value, pred, lo, hi, covered)``
+    rounded to 6 (``covered`` uses the unrounded bounds).  Empty when
+    fewer than 2 scored days exist (nothing to calibrate + test).
+
+    Scale shape: the corpus collapses to |days| rows FIRST (one
+    aggregation); the seasonal join, the date-rank window, the
+    residual-rank window, and the quantile pick all run over that
+    calendar-bounded rollup — the windows are single-task over |days|
+    rows by design, the same contract as cusum/acf/seasonal ops."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if season_lag_days < 1:
+        raise ValueError(f"season_lag_days must be >= 1, got {season_lag_days}")
+    if not (0.0 < calib_frac < 1.0):
+        raise ValueError(f"calib_frac must be in (0, 1), got {calib_frac}")
+    daily = df.groupBy(F.to_date(ts_col).alias("day")).agg(
+        F.avg(F.col(value_col).cast("double")).alias("v")
+    )
+    # calendar-join the lag: a missing day drops the pair rather than
+    # sliding every later prediction onto the wrong weekday
+    scored = daily.join(
+        daily.select(
+            F.date_add("day", season_lag_days).alias("day"),
+            F.col("v").alias("pred"),
+        ),
+        "day",
+    ).select("day", "v", "pred", F.abs(F.col("v") - F.col("pred")).alias("__s"))
+    w_day = Window.orderBy("day")
+    ranked = scored.withColumn("__rn", F.row_number().over(w_day))
+    tot = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = ranked.crossJoin(F.broadcast(tot))
+    n_cal = F.ceil(F.lit(float(calib_frac)) * F.col("__n")).cast("int")
+    calib = ranked.where((F.col("__rn") <= n_cal) & (n_cal < F.col("__n")))
+    test = ranked.where((F.col("__rn") > n_cal) & (n_cal < F.col("__n")))
+    # k-th order statistic of the calibration residuals (ties broken
+    # by day for a deterministic ROW pick; the k-th VALUE is tie-proof)
+    w_s = Window.orderBy(F.col("__s").asc(), F.col("day").asc())
+    kth = (
+        calib.withColumn("__sr", F.row_number().over(w_s))
+        .withColumn(
+            "__k",
+            F.least(
+                F.ceil(F.lit(1.0 - float(alpha)) * (n_cal + 1)).cast("int"),
+                n_cal,
+            ),
+        )
+        .where(F.col("__sr") == F.col("__k"))
+        .select(F.col("__s").alias("__q"))
+    )
+    out = test.crossJoin(F.broadcast(kth))
+    lo = F.col("pred") - F.col("__q")
+    hi = F.col("pred") + F.col("__q")
+    return out.select(
+        F.col("day").cast("string").alias("day"),
+        F.round("v", 6).alias("value"),
+        F.round("pred", 6).alias("pred"),
+        F.round(lo, 6).alias("lo"),
+        F.round(hi, 6).alias("hi"),
+        ((F.col("v") >= lo) & (F.col("v") <= hi)).alias("covered"),
     )

@@ -5002,3 +5002,40 @@ def test_sessionize_semantics(spark):
     assert ev_ops.sessionize(eq).count() == 1
     with _pytest.raises(ValueError, match="gap_minutes"):
         ev_ops.sessionize(df, gap_minutes=0)
+
+
+def test_conformal_intervals_semantics(spark):
+    """Hand-built 10-day series, lag-1 persistence forecast: 9 scored
+    days, calib = first 5, test = last 4; k = ceil(0.8*6) = 5 -> q is
+    the max calibration residual; coverage flags checked by hand."""
+    import pytest as _pytest
+    from plda_spark.operators import stats
+
+    vals = [10.0, 12.0, 11.0, 15.0, 14.0, 14.5, 20.0, 21.0, 19.0, 19.5]
+    rows = [(f"2024-03-{d+1:02d} 12:00:00", v) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "cast(ts as timestamp) ts", "value"
+    )
+    out = {r["day"]: r for r in stats.conformal_intervals(
+        df, "ts", "value", alpha=0.2, season_lag_days=1, calib_frac=0.5
+    ).collect()}
+    # scored days: 03-02..03-10 (9); n_cal = ceil(4.5) = 5 -> calib
+    # residuals |12-10|,|11-12|,|15-11|,|14-15|,|14.5-14| = 2,1,4,1,.5
+    # k = min(ceil(0.8*6), 5) = 5 -> q = 4.0
+    assert set(out) == {f"2024-03-{d:02d}" for d in (7, 8, 9, 10)}
+    r7 = out["2024-03-07"]  # pred = 14.5, v = 20.0 -> NOT covered
+    assert r7["pred"] == 14.5 and r7["lo"] == 10.5 and r7["hi"] == 18.5
+    assert not r7["covered"]
+    r8 = out["2024-03-08"]  # pred = 20.0, v = 21.0 -> covered
+    assert r8["covered"] and r8["lo"] == 16.0 and r8["hi"] == 24.0
+    # a single scored day cannot split -> empty, schema intact
+    tiny = spark.createDataFrame(
+        [("2024-03-01 00:00:00", 1.0), ("2024-03-02 00:00:00", 2.0)],
+        "ts string, value double",
+    ).selectExpr("cast(ts as timestamp) ts", "value")
+    e = stats.conformal_intervals(tiny, "ts", "value", season_lag_days=1)
+    assert e.count() == 0 and len(e.columns) == 6
+    for bad in (dict(alpha=0.0), dict(alpha=1.0), dict(season_lag_days=0),
+                dict(calib_frac=1.0)):
+        with _pytest.raises(ValueError):
+            stats.conformal_intervals(df, "ts", "value", **bad)

@@ -3047,6 +3047,23 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_conformal"] = stats_conformal
 
+    def privacy_rand_response(spark, sf):
+        """k-ary randomized response over event types
+        (operators/privacy.py rand_response_estimate — Warner 1965,
+        the local-DP mechanism RAPPOR builds on): md5-deterministic
+        keep/replace draws per event, broadcast category table for the
+        replacement pick, debiased estimates
+        n_est = (obs - n(1-p)/k)/p. One category agg + one per-row
+        projection + one report agg; nothing collects."""
+        from plda_spark.operators import privacy
+
+        return privacy.rand_response_estimate(
+            load_table(spark, sf, "events"), "event_type", "event_id",
+            p=0.75, seed=42,
+        )
+
+    q["privacy_rand_response"] = privacy_rand_response
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6659,6 +6676,43 @@ FROM ranked r CROSS JOIN params p CROSS JOIN q
 WHERE r.rn > p.n_cal AND p.n_cal < p.n
 """
 
+    # Same md5 keep/pick draws, same broadcast category index, same
+    # debias identity (0.25/0.75 are exact binary fractions: no drift).
+    o["privacy_rand_response"] = """
+WITH cats AS (
+  SELECT event_type AS category, CAST(count(*) AS BIGINT) AS n_true
+  FROM events GROUP BY 1
+), idx AS (
+  SELECT category, row_number() OVER (ORDER BY category) - 1 AS i
+  FROM cats
+), tot AS (
+  SELECT CAST(sum(n_true) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cats
+), draws AS (
+  SELECT event_type AS t,
+    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42:keep'),
+         1, 15) AS BIGINT) / 1152921504606846976.0 AS uk,
+    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR) || ':42:pick'),
+         1, 15) AS BIGINT) / 1152921504606846976.0 AS up
+  FROM events
+), rep AS (
+  SELECT CASE WHEN d.uk < 0.75 THEN d.t ELSE i.category END AS category
+  FROM draws d CROSS JOIN tot
+  JOIN idx i
+    ON i.i = least(CAST(floor(d.up * tot.k) AS INT),
+                   CAST(tot.k AS INT) - 1)
+), obs AS (
+  SELECT category, CAST(count(*) AS BIGINT) AS n_obs
+  FROM rep GROUP BY 1
+)
+SELECT c.category, c.n_true,
+       coalesce(o.n_obs, 0) AS n_obs,
+       round((coalesce(o.n_obs, 0) - tot.n * 0.25 / tot.k) / 0.75, 4)
+         AS n_est
+FROM cats c LEFT JOIN obs o USING (category) CROSS JOIN tot
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9694,6 +9748,7 @@ EXTRA_QUERIES: list[str] = [
     "events_top_paths",
     "events_sessions",
     "stats_conformal",
+    "privacy_rand_response",
 ]
 
 

@@ -41,6 +41,7 @@ __all__ = [
     "k_suppress",
     "dp_noisy_counts",
     "l_diversity_audit",
+    "rand_response_estimate",
 ]
 
 _TWO_60 = float(1 << 60)
@@ -203,4 +204,127 @@ def l_diversity_audit(
             ).alias("n_sensitive"),
         )
         .withColumn("violates", F.col("n_sensitive") < F.lit(l))
+    )
+
+
+def rand_response_estimate(
+    df: DataFrame,
+    cat_col: str,
+    id_col: str,
+    p: float = 0.75,
+    seed: int = 0,
+    max_categories: int = 10_000,
+) -> DataFrame:
+    """k-ary randomized response (Warner 1965, generalized — the
+    local-DP mechanism RAPPOR builds on): each row reports its TRUE
+    category with probability ``p`` and a uniform category (out of all
+    k, including its own) otherwise, then the collector debiases the
+    observed counts::
+
+        E[obs_c] = n_c·p + n·(1−p)/k   ⇒   n̂_c = (obs_c − n(1−p)/k)/p
+
+    satisfying ε-local-DP with ε = ln(1 + k·p/(1−p)).
+
+    Same DETERMINISM CAVEAT as :func:`dp_noisy_counts`: both draws
+    (keep-vs-perturb, replacement pick) are md5-derived from
+    ``(id, seed)``, so the release is engine-replayable and
+    unit-testable — and NOT secure until the two marked ``u``
+    expressions are swapped for a real RNG.
+
+    Returns one row per category: ``(category, n_true, n_obs,
+    n_est)`` — true count (kept for estimator validation; drop it in
+    an actual release), observed perturbed count, debiased estimate
+    rounded to 4.
+
+    Scale shape: one category aggregation (pre-checked against
+    ``max_categories`` — the replacement pick joins a broadcast
+    category table), one per-row projection of two md5 draws, one
+    report aggregation; the |k|-row index window runs over the
+    category table only.  Nothing collects."""
+    if not (0.0 < p < 1.0):
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if max_categories < 1:
+        raise ValueError(f"max_categories must be >= 1, got {max_categories}")
+    from pyspark.sql import Window
+
+    c = F.col(cat_col)
+    ndv = df.agg(F.approx_count_distinct(c).alias("__ndv")).first()["__ndv"]
+    if ndv > max_categories:
+        raise ValueError(
+            f"rand_response_estimate: {cat_col!r} has ~{ndv} distinct "
+            f"categories > max_categories={max_categories}; the "
+            "replacement draw broadcasts the category table — bucket "
+            "the column first (randomized response is a mechanism over "
+            "a small category taxonomy, not arbitrary ids)"
+        )
+    cats = df.groupBy(c.alias("category")).agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    # dense 0-based index over the |k|-row category table (tiny window)
+    cats_idx = cats.withColumn(
+        "__idx",
+        F.row_number().over(Window.orderBy("category")) - F.lit(1),
+    )
+    totals = cats.agg(
+        F.sum("n_true").alias("__n"), F.count(F.lit(1)).alias("__k")
+    )
+    key = F.col("__id_s")
+    # the two expressions a secure release swaps for a real RNG:
+    u_keep = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", key, F.lit(str(int(seed))), F.lit("keep"))), 1, 15),
+            16, 10,
+        ).cast("double")
+        / F.lit(_TWO_60)
+    )
+    u_pick = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", key, F.lit(str(int(seed))), F.lit("pick"))), 1, 15),
+            16, 10,
+        ).cast("double")
+        / F.lit(_TWO_60)
+    )
+    rows = (
+        df.select(
+            F.col(id_col).cast("string").alias("__id_s"),
+            c.alias("__true"),
+        )
+        .crossJoin(F.broadcast(totals.select("__k")))
+        .select(
+            "__true",
+            (u_keep < F.lit(float(p))).alias("__keep"),
+            F.least(
+                F.floor(u_pick * F.col("__k")).cast("int"),
+                F.col("__k").cast("int") - F.lit(1),
+            ).alias("__pick"),
+        )
+    )
+    reported = rows.join(
+        F.broadcast(
+            cats_idx.select("__idx", F.col("category").alias("__picked"))
+        ),
+        F.col("__pick") == F.col("__idx"),
+    ).select(
+        F.when(F.col("__keep"), F.col("__true"))
+        .otherwise(F.col("__picked"))
+        .alias("__rep")
+    )
+    obs = reported.groupBy(F.col("__rep").alias("category")).agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    return (
+        cats.join(obs, "category", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "category",
+            "n_true",
+            F.coalesce(F.col("n_obs"), F.lit(0)).alias("n_obs"),
+            F.round(
+                (
+                    F.coalesce(F.col("n_obs"), F.lit(0))
+                    - F.col("__n") * F.lit(1.0 - float(p)) / F.col("__k")
+                ) / F.lit(float(p)),
+                4,
+            ).alias("n_est"),
+        )
     )

@@ -5039,3 +5039,43 @@ def test_conformal_intervals_semantics(spark):
                 dict(calib_frac=1.0)):
         with _pytest.raises(ValueError):
             stats.conformal_intervals(df, "ts", "value", **bad)
+
+
+def test_rand_response_semantics(spark):
+    """k-ary randomized response: the md5 draws replay exactly (same
+    seed => identical release), the debiased estimates sum to n by the
+    estimator identity, and a hand-computed row matches the mechanism."""
+    import hashlib
+    import pytest as _pytest
+    from plda_spark.operators import privacy
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, cat string")
+    out = privacy.rand_response_estimate(df, "cat", "id", p=0.75, seed=7)
+    got = {r["category"]: r for r in out.collect()}
+    assert set(got) == {"a", "b", "c"}
+    assert sum(r["n_true"] for r in got.values()) == 300
+    assert sum(r["n_obs"] for r in got.values()) == 300
+    # estimator identity: sum(n_est) == n exactly (up to rounding)
+    assert abs(sum(r["n_est"] for r in got.values()) - 300) < 0.01
+    # determinism: same seed replays bit-for-bit
+    again = {r["category"]: r for r in privacy.rand_response_estimate(
+        df, "cat", "id", p=0.75, seed=7).collect()}
+    assert got == again
+    # hand-replay the mechanism for every row -> n_obs must match
+    cats = ["a", "b", "c"]
+    obs = {c: 0 for c in cats}
+    for i, true in rows:
+        uk = int(hashlib.md5(f"{i}:7:keep".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        up = int(hashlib.md5(f"{i}:7:pick".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        obs[true if uk < 0.75 else cats[min(int(up * 3), 2)]] += 1
+    assert {c: got[c]["n_obs"] for c in cats} == obs
+    # debias formula on the hand-replayed counts
+    for c in cats:
+        est = (obs[c] - 300 * 0.25 / 3) / 0.75
+        assert got[c]["n_est"] == round(est, 4)
+    with _pytest.raises(ValueError, match="p must be"):
+        privacy.rand_response_estimate(df, "cat", "id", p=1.0)
+    wide = spark.range(3000).selectExpr("id", "concat('u', id) as cat")
+    with _pytest.raises(ValueError, match="max_categories"):
+        privacy.rand_response_estimate(wide, "cat", "id", max_categories=100)

@@ -3064,6 +3064,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["privacy_rand_response"] = privacy_rand_response
 
+    def sample_balanced(spark, sf):
+        """Deterministic balanced class downsampling to the minority
+        language size (operators/sampling.py balanced_sample): keep the
+        first min-class-count rows of each lang under the md5 shuffle
+        order via the salted two-level rank (|classes|*256-way
+        parallel, never |classes| single-task sorts) with the cap
+        broadcast from one count aggregation."""
+        from plda_spark.operators import sampling
+
+        return sampling.balanced_sample(
+            load_table(spark, sf, "documents").select(
+                "doc_id", "lang", "source", "n_chars"
+            ),
+            "lang",
+        )
+
+    q["sample_balanced"] = sample_balanced
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6713,6 +6731,23 @@ SELECT c.category, c.n_true,
 FROM cats c LEFT JOIN obs o USING (category) CROSS JOIN tot
 """
 
+    # Same md5 in-class order, same minority-class cap.
+    o["sample_balanced"] = """
+WITH ranked AS (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS position
+  FROM documents
+), cap AS (
+  SELECT min(cnt) AS cap
+  FROM (SELECT count(*) AS cnt FROM documents GROUP BY lang)
+)
+SELECT doc_id, lang, source, n_chars,
+       CAST(position AS BIGINT) AS position
+FROM ranked CROSS JOIN cap WHERE position <= cap
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9749,6 +9784,7 @@ EXTRA_QUERIES: list[str] = [
     "events_sessions",
     "stats_conformal",
     "privacy_rand_response",
+    "sample_balanced",
 ]
 
 

@@ -36,6 +36,7 @@ __all__ = [
     "neyman_sample",
     "kcenter_select",
     "curriculum_order",
+    "balanced_sample",
 ]
 
 
@@ -679,32 +680,88 @@ def curriculum_order(
         s.alias("__score"),
         F.md5(F.col(id_col).cast("string")).alias("__h"),
     )
-    # two-hex-char salt = 256 buckets per phase; a PREFIX of the sort
-    # key, so bucket order composes with in-bucket order exactly
-    staged = staged.withColumn("__salt", F.substring("__h", 1, 2))
+    return _salted_md5_positions(staged, "phase").select(
+        "phase",
+        F.col("__pos").alias("position"),
+        F.col("__id").alias(id_col),
+        F.round("__score", 6).alias("score"),
+    )
+
+
+def _salted_md5_positions(staged: DataFrame, part_col: str) -> DataFrame:
+    """Two-level deterministic shuffle rank shared by
+    :func:`curriculum_order` and :func:`balanced_sample`: given a frame
+    carrying ``__h`` (the md5 hex shuffle key) and ``__id`` (the
+    tie-break), add ``__pos`` — the 1-based position of the row within
+    its ``part_col`` group under the (``__h``, ``__id``) total order.
+
+    The row_number window is partitioned by ``(part_col, salt)`` where
+    the salt is the first two hex chars of ``__h`` (256 buckets per
+    group), plus a broadcast per-(group, salt) offset from one tiny
+    count aggregation + a running sum over ≤ |groups|·256 rows.
+    Because the salt is a PREFIX of the sort key, bucket-ascending +
+    in-bucket order IS the group-wide order — identical positions at
+    |groups|·256-way parallelism instead of |groups| single-task spill
+    sorts of ~N/|groups| rows each (the round-7 curriculum finding).
+    Drops the internal salt/offset columns; everything else passes
+    through."""
     from pyspark.sql import Window
 
-    # per-(phase, salt) sizes → running-sum offsets: ≤ p·256 rows, so
-    # the per-phase offset window is trivially cheap and the join back
-    # is a broadcast
-    counts = staged.groupBy("phase", "__salt").agg(
+    staged = staged.withColumn("__salt", F.substring("__h", 1, 2))
+    counts = staged.groupBy(part_col, "__salt").agg(
         F.count(F.lit(1)).alias("__n")
     )
-    w_off = Window.partitionBy("phase").orderBy(F.col("__salt").asc())
+    w_off = Window.partitionBy(part_col).orderBy(F.col("__salt").asc())
     offsets = counts.select(
-        "phase",
+        part_col,
         "__salt",
         (F.sum("__n").over(w_off) - F.col("__n")).alias("__off"),
     )
-    w = Window.partitionBy("phase", "__salt").orderBy(
+    w = Window.partitionBy(part_col, "__salt").orderBy(
         F.col("__h").asc(), F.col("__id").asc()
     )
     return (
-        staged.join(F.broadcast(offsets), ["phase", "__salt"])
-        .select(
-            "phase",
-            (F.col("__off") + F.row_number().over(w)).alias("position"),
-            F.col("__id").alias(id_col),
-            F.round("__score", 6).alias("score"),
-        )
+        staged.join(F.broadcast(offsets), [part_col, "__salt"])
+        .withColumn("__pos", F.col("__off") + F.row_number().over(w))
+        .drop("__salt", "__off")
     )
+
+
+def balanced_sample(
+    df: DataFrame,
+    class_col: str,
+    id_col: str = "doc_id",
+    per_class: int | None = None,
+) -> DataFrame:
+    """Deterministic balanced class downsampling — the standard
+    class-imbalance remediation for training mixtures: keep the first
+    ``per_class`` rows of each class under the md5 shuffle order
+    (``per_class=None`` uses the MINORITY class size, the fully
+    balanced cut).  Same corpus ⇒ same sample, and both engines replay
+    the md5 order — unlike ``df.sampleBy``, whose fractions are
+    approximate and seed-dependent across partitionings.
+
+    Returns the surviving rows with their original columns plus
+    ``position`` (the row's 1-based in-class shuffle rank, ≤ the cap).
+
+    Scale shape: the in-class rank is the salted two-level
+    :func:`_salted_md5_positions` rank (|classes|·256-way parallel,
+    never |classes| single-task sorts); the minority-class cap is one
+    map-side-combined count aggregation broadcast as a 1-row frame.
+    Nothing collects, nothing sorts the corpus globally."""
+    if per_class is not None and per_class < 1:
+        raise ValueError(f"per_class must be >= 1, got {per_class}")
+    staged = df.withColumn(
+        "__h", F.md5(F.col(id_col).cast("string"))
+    ).withColumn("__id", F.col(id_col))
+    pos = _salted_md5_positions(staged, class_col)
+    if per_class is None:
+        cap = df.groupBy(class_col).agg(
+            F.count(F.lit(1)).alias("__cn")
+        ).agg(F.min("__cn").alias("__cap"))
+        kept = pos.crossJoin(F.broadcast(cap)).where(
+            F.col("__pos") <= F.col("__cap")
+        )
+    else:
+        kept = pos.where(F.col("__pos") <= F.lit(int(per_class)))
+    return kept.select(*df.columns, F.col("__pos").alias("position"))

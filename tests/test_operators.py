@@ -5079,3 +5079,32 @@ def test_rand_response_semantics(spark):
     wide = spark.range(3000).selectExpr("id", "concat('u', id) as cat")
     with _pytest.raises(ValueError, match="max_categories"):
         privacy.rand_response_estimate(wide, "cat", "id", max_categories=100)
+
+
+def test_balanced_sample_semantics(spark):
+    """Imbalanced 3-class frame (60/25/15): default cut balances every
+    class to the minority size (15 each); an explicit per_class caps at
+    min(cap, class size); the selection replays the md5 order exactly."""
+    import hashlib
+    import pytest as _pytest
+    from plda_spark.operators import sampling
+
+    rows = [(i, "a" if i < 60 else ("b" if i < 85 else "c"))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, cls string")
+    out = sampling.balanced_sample(df, "cls").collect()
+    from collections import Counter
+    assert Counter(r["cls"] for r in out) == {"a": 15, "b": 15, "c": 15}
+    assert all(1 <= r["position"] <= 15 for r in out)
+    # the kept 'a' rows are EXACTLY the 15 smallest md5(doc_id) of class a
+    a_ids = [i for i, c in rows if c == "a"]
+    expect = set(sorted(a_ids, key=lambda i: (hashlib.md5(
+        str(i).encode()).hexdigest(), i))[:15])
+    assert {r["doc_id"] for r in out if r["cls"] == "a"} == expect
+    # explicit cap: class c has only 15 rows, so per_class=20 keeps 15
+    capped = sampling.balanced_sample(df, "cls", per_class=20).collect()
+    assert Counter(r["cls"] for r in capped) == {"a": 20, "b": 20, "c": 15}
+    # original columns pass through
+    assert set(capped[0].asDict()) == {"doc_id", "cls", "position"}
+    with _pytest.raises(ValueError, match="per_class"):
+        sampling.balanced_sample(df, "cls", per_class=0)

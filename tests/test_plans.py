@@ -918,3 +918,19 @@ def test_sessionize_is_one_window_exchange_plus_agg(spark):
     assert "hashpartitioning(__u" in plan
     assert s["exchanges"] == 2, s["exchanges"]
     assert plan.count("(4) Sort") or plan.count("Sort") >= 1
+
+
+def test_balanced_sample_rank_is_salted(spark):
+    """balanced_sample shares the curriculum's two-level rank: the
+    in-class window exchange must be keyed by BOTH the class and the
+    md5-prefix salt, with the cap and offsets arriving by broadcast."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["sample_balanced"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "hashpartitioning(lang" in plan and "__salt" in plan
+    assert s["sort_merge_joins"] == 0
+    assert s["broadcast_hash_joins"] >= 1

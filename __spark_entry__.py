@@ -3082,6 +3082,19 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_balanced"] = sample_balanced
 
+    def classify_nb(spark, sf):
+        """Multinomial Naive Bayes train/score round-trip on a
+        deterministic md5 half-split of documents, predicting lang
+        from bag-of-words (operators/classify.py nb_eval — McCallum &
+        Nigam 1998): Laplace-smoothed dense (vocab x lang) likelihood
+        table, broadcast prior spine, per-doc argmax over rounded
+        scores, confusion-matrix output."""
+        from plda_spark.operators.classify import nb_eval
+
+        return nb_eval(load_table(spark, sf, "documents"))
+
+    q["classify_nb"] = classify_nb
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6748,6 +6761,56 @@ SELECT doc_id, lang, source, n_chars,
 FROM ranked CROSS JOIN cap WHERE position <= cap
 """
 
+    # Same tokenizer, same md5 split, same Laplace table and rounded
+    # argmax; base/term-count CTEs materialized (multi-referenced).
+    o["classify_nb"] = """
+WITH base AS MATERIALIZED (
+  SELECT doc_id AS id, lang AS l,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     x -> length(x) >= 2) AS ts,
+         (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':0'),
+               1, 15) AS BIGINT) % 2 = 0) AS tr
+  FROM documents
+), tcc AS MATERIALIZED (
+  SELECT id, l, tr, t, count(*) AS c
+  FROM (SELECT id, l, tr, unnest(ts) AS t FROM base)
+  GROUP BY id, l, tr, t
+), train_tc AS MATERIALIZED (
+  SELECT l, t, sum(c) AS ct FROM tcc WHERE tr GROUP BY l, t
+), lang_tot AS (SELECT l, sum(ct) AS nl FROM train_tc GROUP BY l),
+vocab AS (SELECT DISTINCT t FROM train_tc),
+vsize AS (SELECT count(*) AS v FROM vocab),
+dense AS MATERIALIZED (
+  SELECT vocab.t, lt.l,
+         ln((coalesce(tt.ct, 0) + 1.0) / (lt.nl + v.v)) AS lp
+  FROM vocab CROSS JOIN lang_tot lt CROSS JOIN vsize v
+  LEFT JOIN train_tc tt ON tt.l = lt.l AND tt.t = vocab.t
+), tr_docs AS (SELECT l AS pl, count(*) AS dn FROM base WHERE tr GROUP BY 1),
+tr_tot AS (SELECT sum(dn) AS dtot FROM tr_docs),
+priors AS (
+  SELECT pl, ln(dn / CAST(dtot AS DOUBLE)) AS pr
+  FROM tr_docs CROSS JOIN tr_tot
+), test_sums AS (
+  SELECT tcc.id, dense.l AS pl, sum(tcc.c * dense.lp) AS ll
+  FROM tcc JOIN dense ON tcc.t = dense.t
+  WHERE NOT tcc.tr GROUP BY tcc.id, dense.l
+), spine AS (
+  SELECT id, l AS actual, pl, pr FROM base CROSS JOIN priors
+  WHERE NOT tr
+), scored AS (
+  SELECT spine.id, actual, spine.pl,
+         round(pr + coalesce(ll, 0.0), 6) AS score
+  FROM spine LEFT JOIN test_sums
+    ON test_sums.id = spine.id AND test_sums.pl = spine.pl
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY id
+                               ORDER BY score DESC, pl ASC) AS rk
+  FROM scored
+)
+SELECT actual, pl AS predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM ranked WHERE rk = 1 GROUP BY actual, pl
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9785,6 +9848,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_conformal",
     "privacy_rand_response",
     "sample_balanced",
+    "classify_nb",
 ]
 
 

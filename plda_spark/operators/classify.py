@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report"]
+__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report", "nb_eval"]
 
 
 def logreg_fit(
@@ -233,4 +233,132 @@ def lift_report(
             6,
         ).alias("lift"),
         F.round(F.col("__cum") / F.col("pos_tot"), 6).alias("cum_gain"),
+    )
+
+
+def nb_eval(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Multinomial Naive Bayes train/score round-trip (McCallum &
+    Nigam 1998) — the classic bag-of-words text classifier as a pure
+    DataFrame pipeline, evaluated honestly on a held-out half:
+
+    - split: deterministic md5 hash of ``(id, seed)`` — even → train,
+      odd → test (the same engine-replayable split discipline as
+      ``leakage_safe_split``);
+    - train: Laplace-smoothed token log-likelihoods
+      ``ln((c_{t,l}+1)/(N_l+V))`` over the engine-wide tokenizer
+      (corpus.TOKEN_RE), plus log priors from training doc counts;
+    - score: per test doc, ``prior_l + Σ_tokens cnt·logp(t|l)`` —
+      tokens outside the training vocab are DROPPED (standard NB
+      practice), a doc with no in-vocab tokens falls back to the
+      prior argmax;
+    - predict: scores ROUNDED to 6 before the argmax in BOTH engines
+      (grouped double sums are addition-order-dependent; rounding
+      makes the argmax engine-stable), ties broken by label asc.
+
+    Returns the confusion matrix: ``(actual, predicted, n_docs)``.
+
+    Scale shape: tokenize/count is the standard explode + two keyed
+    aggregations; the smoothed likelihood table is DENSE over
+    (train vocab × |labels|) — |V|·|L| distributed rows, never
+    collected; scoring joins test term counts to it on the token key,
+    aggregates per (doc, label), and lays a broadcast |L|-row prior
+    spine under every test doc so zero-vocab docs still classify.  The
+    argmax window is partitioned per doc over |L| rows.  Nothing
+    collects; no cartesian products beyond the broadcast |L|-row and
+    1-row frames."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+        lambda x: F.length(x) >= 2,
+    )
+    is_train = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col(id_col).cast("string"),
+                        F.lit(str(int(seed))),
+                    )
+                ),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    base = docs.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__l"),
+        toks.alias("__ts"),
+        is_train.alias("__tr"),
+    )
+    tc = (
+        base.select("__id", "__l", "__tr", F.explode("__ts").alias("__t"))
+        .groupBy("__id", "__l", "__tr", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    train_tc = tc.where("__tr").groupBy("__l", "__t").agg(
+        F.sum("__c").alias("__ct")
+    )
+    lang_tot = train_tc.groupBy("__l").agg(F.sum("__ct").alias("__nl"))
+    vocab = train_tc.select("__t").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("__v"))
+    # dense (vocab x labels) smoothed log-likelihoods: missing pairs
+    # get the same Laplace mass as observed-once-nowhere tokens
+    dense = (
+        vocab.crossJoin(F.broadcast(lang_tot))
+        .join(train_tc, ["__l", "__t"], "left")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "__t", "__l",
+            F.log(
+                (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(1.0))
+                / (F.col("__nl") + F.col("__v"))
+            ).alias("__lp"),
+        )
+    )
+    tr_docs = base.where("__tr").groupBy(F.col("__l").alias("__pl")).agg(
+        F.count(F.lit(1)).alias("__dn")
+    )
+    tr_tot = tr_docs.agg(F.sum("__dn").alias("__dtot"))
+    priors = tr_docs.crossJoin(F.broadcast(tr_tot)).select(
+        "__pl", F.log(F.col("__dn") / F.col("__dtot")).alias("__pr")
+    )
+    test_sums = (
+        tc.where(~F.col("__tr"))
+        .join(dense.withColumnRenamed("__l", "__pl"), "__t")
+        .groupBy("__id", "__pl")
+        .agg(F.sum(F.col("__c") * F.col("__lp")).alias("__ll"))
+    )
+    spine = (
+        base.where(~F.col("__tr"))
+        .select("__id", F.col("__l").alias("actual"))
+        .crossJoin(F.broadcast(priors))
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        spine.join(test_sums, ["__id", "__pl"], "left")
+        .select(
+            "__id", "actual", "__pl",
+            F.round(
+                F.col("__pr") + F.coalesce(F.col("__ll"), F.lit(0.0)), 6
+            ).alias("__score"),
+        )
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__score").desc(), F.col("__pl").asc()
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .groupBy("actual", F.col("__pl").alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -5108,3 +5108,38 @@ def test_balanced_sample_semantics(spark):
     assert set(capped[0].asDict()) == {"doc_id", "cls", "position"}
     with _pytest.raises(ValueError, match="per_class"):
         sampling.balanced_sample(df, "cls", per_class=0)
+
+
+def test_nb_eval_semantics(spark):
+    """Cleanly separable two-class corpus: every in-vocab test doc
+    classifies to its own class; a zero-vocab test doc falls back to
+    the training prior argmax; counts partition the md5 test half."""
+    import hashlib
+    from plda_spark.operators.classify import nb_eval
+
+    def is_train(i):
+        return int(hashlib.md5(f"{i}:0".encode()).hexdigest()[:15], 16) % 2 == 0
+
+    rows = []
+    for i in range(40):
+        lab = "aa" if i < 26 else "bb"  # aa is the majority class
+        txt = "apple banana apple" if lab == "aa" else "zebra yak zebra"
+        rows.append((i, txt, lab))
+    # one OOV test doc (tokens unseen in training) in the minority class
+    oov_id = next(i for i in range(100, 200) if not is_train(i))
+    rows.append((oov_id, "qqq www", "bb"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = nb_eval(df, "text", "lang", "doc_id").collect()
+    got = {(r["actual"], r["predicted"]): r["n_docs"] for r in out}
+    n_test_aa = sum(1 for i in range(26) if not is_train(i))
+    n_test_bb = sum(1 for i in range(26, 40) if not is_train(i))
+    # separable vocab: every regular test doc predicts its own class
+    assert got[("aa", "aa")] == n_test_aa
+    assert got.get(("bb", "bb"), 0) == n_test_bb
+    # the OOV doc scores prior-only on both classes -> majority class
+    assert got[("bb", "aa")] == 1
+    assert sum(got.values()) == n_test_aa + n_test_bb + 1
+    # deterministic: identical rerun
+    again = {(r["actual"], r["predicted"]): r["n_docs"]
+             for r in nb_eval(df, "text", "lang", "doc_id").collect()}
+    assert got == again

@@ -934,3 +934,20 @@ def test_balanced_sample_rank_is_salted(spark):
     assert "hashpartitioning(lang" in plan and "__salt" in plan
     assert s["sort_merge_joins"] == 0
     assert s["broadcast_hash_joins"] >= 1
+
+
+def test_nb_eval_no_python_no_cartesian(spark):
+    """The NB pipeline stays JVM-side end-to-end: no Python eval, no
+    cartesian product beyond the broadcast |labels|/1-row spines (those
+    plan as BroadcastNestedLoopJoin), and the dense likelihood table is
+    joined on the token key, never broadcast at vocab size."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["classify_nb"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # per-doc argmax window is partitioned (never a global sort)
+    assert "hashpartitioning(__id" in plan

@@ -3095,6 +3095,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classify_nb"] = classify_nb
 
+    def events_funnel_latency(spark, sf):
+        """Per-transition conversion latency for the view->click->
+        purchase first-touch funnel (operators/events.py
+        funnel_latency): the same ONE-shuffle pack-and-fold as the
+        funnel, with the state machine carrying matched integer-micros
+        timestamps; exact percentile_cont median/p90 over each
+        transition's latencies."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.funnel_latency(
+            load_table(spark, sf, "events"), ["view", "click", "purchase"]
+        )
+
+    q["events_funnel_latency"] = events_funnel_latency
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6811,6 +6826,45 @@ SELECT actual, pl AS predicted, CAST(count(*) AS BIGINT) AS n_docs
 FROM ranked WHERE rk = 1 GROUP BY actual, pl
 """
 
+    # Chained-min formulation of the identical first-touch semantics;
+    # integer-microsecond latencies, ANSI percentile interpolation.
+    o["events_funnel_latency"] = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY 1
+), t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY 1
+), l1 AS (
+  SELECT (epoch_us(ts2) - epoch_us(ts1)) / 1000000.0 AS lat
+  FROM t2 JOIN t1 USING (user_id)
+), l2 AS (
+  SELECT (epoch_us(ts3) - epoch_us(ts2)) / 1000000.0 AS lat
+  FROM t3 JOIN t2 USING (user_id)
+), a1 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(quantile_cont(lat, 0.5), 6) AS med,
+         round(quantile_cont(lat, 0.9), 6) AS p90
+  FROM l1
+), a2 AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         round(quantile_cont(lat, 0.5), 6) AS med,
+         round(quantile_cont(lat, 0.9), 6) AS p90
+  FROM l2
+)
+SELECT CAST(0 AS INTEGER) AS step_idx, 'view' AS from_step,
+       'click' AS to_step, n AS n_users, med AS median_sec,
+       p90 AS p90_sec
+FROM a1
+UNION ALL
+SELECT CAST(1 AS INTEGER), 'click', 'purchase', n, med, p90 FROM a2
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9849,6 +9903,7 @@ EXTRA_QUERIES: list[str] = [
     "privacy_rand_response",
     "sample_balanced",
     "classify_nb",
+    "events_funnel_latency",
 ]
 
 

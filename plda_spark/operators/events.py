@@ -28,6 +28,7 @@ __all__ = [
     "ltv_cohorts",
     "top_paths",
     "sessionize",
+    "funnel_latency",
 ]
 
 
@@ -1067,4 +1068,99 @@ def sessionize(
             (F.max("__us") - F.min("__us")).alias("duration_us"),
             F.round(F.sum("__v"), 4).alias("session_value"),
         )
+    )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-transition conversion latency for the first-touch funnel —
+    the "how long does each step take" companion to :func:`funnel`
+    (same semantics: ``t_{k+1}`` = min ts of step k+1 STRICTLY after
+    ``t_k``): for each consecutive step pair, the users completing the
+    transition and exact interpolated quantiles of the transition time.
+
+    Returns one row per transition: ``(step_idx, from_step, to_step,
+    n_users, median_sec, p90_sec)`` — seconds from exact integer
+    microseconds, quantiles via ANSI ``percentile_cont`` interpolation
+    so both engines agree.
+
+    Scale shape: the same ONE-shuffle pack-and-fold as
+    :func:`funnel_progress`, with the state machine additionally
+    carrying the matched timestamps (a ≤|steps|-long micros array per
+    user); transitions explode from that |users|-row frame and feed
+    one |steps|-group aggregation.  The event table is filtered to the
+    step types BEFORE the shuffle and never joined to itself."""
+    steps = list(steps)
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError("steps must be >= 2 distinct event types")
+    idx = F.create_map(
+        *[x for i, st in enumerate(steps) for x in (F.lit(st), F.lit(i))]
+    )
+    ts_type = events.schema[ts_col].dataType
+    packed = (
+        events.where(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user"),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                idx[F.col(type_col)].alias("step"),
+            ).alias("e"),
+        )
+        .groupBy("user")
+        .agg(F.array_sort(F.collect_list("e")).alias("es"))
+    )
+    # state: (next step to match, ts of the last match, matched micros)
+    init = F.struct(
+        F.lit(0).alias("ptr"),
+        F.lit(None).cast(ts_type).alias("last_ts"),
+        F.lit(None).cast("array<long>").alias("hits"),
+    )
+    fold = F.aggregate(
+        "es",
+        init,
+        lambda acc, e: F.when(
+            (e["step"] == acc["ptr"])
+            & ((acc["ptr"] == 0) | (e["ts"] > acc["last_ts"])),
+            F.struct(
+                (acc["ptr"] + 1).alias("ptr"),
+                e["ts"].alias("last_ts"),
+                F.concat(
+                    F.coalesce(acc["hits"], F.array().cast("array<long>")),
+                    F.array(F.unix_micros(e["ts"].cast("timestamp"))),
+                ).alias("hits"),
+            ),
+        ).otherwise(acc),
+    )
+    hits = packed.select(fold["hits"].alias("hits")).where(
+        F.size("hits") >= 2
+    )
+    trans = hits.select(
+        F.posexplode(
+            # slice() is 1-based, x = hits[i+1] in 0-based terms, so the
+            # predecessor is hits[i] ([] is 0-based in Spark SQL)
+            F.expr(
+                "transform(slice(hits, 2, size(hits) - 1),"
+                " (x, i) -> x - hits[i])"
+            )
+        ).alias("step_idx", "lat_us")
+    )
+    spine = events.sparkSession.createDataFrame(
+        [(i, steps[i], steps[i + 1]) for i in range(len(steps) - 1)],
+        "step_idx int, from_step string, to_step string",
+    )
+    lat_sec = F.col("lat_us").cast("double") / F.lit(1e6)
+    per = trans.groupBy("step_idx").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.round(F.percentile(lat_sec, F.lit(0.5)), 6).alias("median_sec"),
+        F.round(F.percentile(lat_sec, F.lit(0.9)), 6).alias("p90_sec"),
+    )
+    return spine.join(F.broadcast(per), "step_idx", "left").select(
+        "step_idx", "from_step", "to_step",
+        F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
+        "median_sec", "p90_sec",
     )

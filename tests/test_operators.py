@@ -5143,3 +5143,43 @@ def test_nb_eval_semantics(spark):
     again = {(r["actual"], r["predicted"]): r["n_docs"]
              for r in nb_eval(df, "text", "lang", "doc_id").collect()}
     assert got == again
+
+
+def test_funnel_latency_semantics(spark):
+    """Hand-built funnel: u1 completes view->click->purchase with known
+    gaps (60s, 300s), u2 only view->click (120s), u3 views twice but
+    never clicks; first-touch semantics (u1's later faster click is
+    ignored); exact percentile_cont quantiles over the tiny samples."""
+    import pytest as _pytest
+    from plda_spark.operators import events as ev_ops
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (2, "2024-01-01 00:01:00", 1, "click"),      # +60s
+        (3, "2023-12-31 23:59:00", 1, "click"),      # BEFORE view: ignored
+        (4, "2024-01-01 00:06:00", 1, "purchase"),   # +300s after click
+        (5, "2024-01-01 00:00:00", 2, "view"),
+        (6, "2024-01-01 00:02:00", 2, "click"),      # +120s
+        (7, "2024-01-01 05:00:00", 3, "view"),
+        (8, "2024-01-01 05:10:00", 3, "view"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type")
+    out = {r["step_idx"]: r for r in ev_ops.funnel_latency(
+        df, ["view", "click", "purchase"]).collect()}
+    t0 = out[0]  # view -> click: latencies [60, 120]
+    assert (t0["from_step"], t0["to_step"]) == ("view", "click")
+    assert t0["n_users"] == 2
+    assert t0["median_sec"] == 90.0           # percentile_cont midpoint
+    assert t0["p90_sec"] == round(60 + 0.9 * 2 * 30, 6) == 114.0
+    t1 = out[1]  # click -> purchase: [300]
+    assert t1["n_users"] == 1 and t1["median_sec"] == 300.0
+    assert t1["p90_sec"] == 300.0
+    with _pytest.raises(ValueError, match="steps"):
+        ev_ops.funnel_latency(df, ["view"])
+    # a funnel nobody finishes still emits the transition row (0 users)
+    none = {r["step_idx"]: r for r in ev_ops.funnel_latency(
+        df, ["purchase", "view"]).collect()}
+    assert none[0]["n_users"] == 0 and none[0]["median_sec"] is None

@@ -951,3 +951,25 @@ def test_nb_eval_no_python_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     # per-doc argmax window is partitioned (never a global sort)
     assert "hashpartitioning(__id" in plan
+
+
+def test_funnel_latency_single_shuffle_fold(spark):
+    """Latency funnel keeps the funnel's ONE-shuffle contract: step
+    filter BEFORE the exchange, the state machine is a JVM aggregate
+    fold (no Python), transitions explode from the per-user frame —
+    the event table is never self-joined."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["events_funnel_latency"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert s["sort_merge_joins"] == 0
+    assert "CartesianProduct" not in plan
+    # the step-type filter reaches the scan
+    assert any("event_type" in p for p in s["pushed_filters"]), s[
+        "pushed_filters"
+    ]

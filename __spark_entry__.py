@@ -3110,6 +3110,23 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_funnel_latency"] = events_funnel_latency
 
+    def sample_interleave(spark, sf):
+        """Deterministic weighted interleave of languages into one
+        training order (operators/sampling.py interleave_by_weight —
+        stride scheduling, Waldspurger 1995): interleave_key =
+        in-lang md5 rank / weight, so ascending-key streaming emits
+        langs in proportion (en-heavy mixture); salted two-level rank
+        + broadcast weight table, NO global sort."""
+        from plda_spark.operators import sampling
+
+        return sampling.interleave_by_weight(
+            load_table(spark, sf, "documents").select("doc_id", "lang"),
+            "lang",
+            {"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        )
+
+    q["sample_interleave"] = sample_interleave
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6865,6 +6882,23 @@ UNION ALL
 SELECT CAST(1 AS INTEGER), 'click', 'purchase', n, med, p90 FROM a2
 """
 
+    # Same md5 in-group rank, same stride key arithmetic.
+    o["sample_interleave"] = """
+WITH ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS position
+  FROM documents
+), w(lang, wt) AS (
+  VALUES ('en', 0.4), ('de', 0.15), ('es', 0.15),
+         ('fr', 0.15), ('zh', 0.15)
+)
+SELECT doc_id, lang, CAST(position AS BIGINT) AS position,
+       round(position / wt, 6) AS interleave_key
+FROM ranked JOIN w USING (lang)
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9904,6 +9938,7 @@ EXTRA_QUERIES: list[str] = [
     "sample_balanced",
     "classify_nb",
     "events_funnel_latency",
+    "sample_interleave",
 ]
 
 

@@ -37,6 +37,7 @@ __all__ = [
     "kcenter_select",
     "curriculum_order",
     "balanced_sample",
+    "interleave_by_weight",
 ]
 
 
@@ -765,3 +766,61 @@ def balanced_sample(
     else:
         kept = pos.where(F.col("__pos") <= F.lit(int(per_class)))
     return kept.select(*df.columns, F.col("__pos").alias("position"))
+
+
+def interleave_by_weight(
+    df: DataFrame,
+    group_col: str,
+    weights: dict,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted interleave — stride scheduling
+    (Waldspurger & Weihl 1995) applied to training-data mixing: the
+    row with md5-shuffled 1-based in-group rank ``r`` gets the
+    virtual-time key ``r / w_g``, so streaming rows in ascending key
+    order emits groups in proportion to their weights with in-group
+    md5 randomness — the step that MATERIALIZES a mixture plan
+    (curation.mixture / temperature / token-budget rates) into an
+    actual training order.  Scaling all weights by a constant rescales
+    every key identically (the order is invariant), so weights need
+    not be normalized.
+
+    Returns the original columns plus ``(position, interleave_key)``.
+    The key IS the deliverable: range-partition or sort-within-shards
+    downstream — this operator performs NO global sort.
+
+    Scale shape: the in-group rank is the salted two-level
+    :func:`_salted_md5_positions` rank (|groups|·256-way parallel);
+    weights arrive as a broadcast |groups|-row table, and a group
+    missing from ``weights`` raises IN-PLAN at first contact (no
+    silent drop of a mis-specified source)."""
+    if not weights:
+        raise ValueError("weights must be a non-empty {group: weight} dict")
+    for g, w in weights.items():
+        if not (float(w) > 0.0):
+            raise ValueError(f"weight for group {g!r} must be > 0, got {w}")
+    spark = df.sparkSession
+    g_type = df.schema[group_col].dataType.simpleString()
+    wtab = spark.createDataFrame(
+        [(g, float(w)) for g, w in sorted(weights.items())],
+        f"{group_col} {g_type}, __w double",
+    )
+    staged = df.withColumn(
+        "__h", F.md5(F.col(id_col).cast("string"))
+    ).withColumn("__id", F.col(id_col))
+    pos = _salted_md5_positions(staged, group_col)
+    joined = pos.join(F.broadcast(wtab), group_col, "left")
+    w_checked = F.when(
+        F.col("__w").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("interleave_by_weight: no weight for group "),
+                F.col(group_col).cast("string"),
+            )
+        ),
+    ).otherwise(F.col("__w"))
+    return joined.select(
+        *df.columns,
+        F.col("__pos").alias("position"),
+        F.round(F.col("__pos") / w_checked, 6).alias("interleave_key"),
+    )

@@ -5183,3 +5183,38 @@ def test_funnel_latency_semantics(spark):
     none = {r["step_idx"]: r for r in ev_ops.funnel_latency(
         df, ["purchase", "view"]).collect()}
     assert none[0]["n_users"] == 0 and none[0]["median_sec"] is None
+
+
+def test_interleave_by_weight_semantics(spark):
+    """Stride scheduling: group A at weight 2.0 appears twice as often
+    as B (weight 1.0) in any key-ordered prefix; keys replay the md5
+    in-group order; a group missing from weights raises in-plan."""
+    import pytest as _pytest
+    from plda_spark.operators import sampling
+
+    rows = [(i, "A" if i < 40 else "B") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = sampling.interleave_by_weight(
+        df, "src", {"A": 2.0, "B": 1.0}, id_col="doc_id"
+    ).collect()
+    assert len(out) == 60
+    # key formula: position / weight, deterministic
+    for r in out:
+        w = 2.0 if r["src"] == "A" else 1.0
+        assert r["interleave_key"] == round(r["position"] / w, 6)
+    # proportionality: in the first 30 by key, A:B approx 2:1 (stride
+    # guarantees within-one-of-exact interleave for rational weights)
+    first = sorted(out, key=lambda r: (r["interleave_key"], r["doc_id"]))[:30]
+    n_a = sum(1 for r in first if r["src"] == "A")
+    assert 19 <= n_a <= 21, n_a
+    # weight scaling leaves the ORDER invariant
+    scaled = sampling.interleave_by_weight(
+        df, "src", {"A": 4.0, "B": 2.0}, id_col="doc_id"
+    ).collect()
+    o1 = [r["doc_id"] for r in sorted(out, key=lambda r: (r["interleave_key"], r["doc_id"]))]
+    o2 = [r["doc_id"] for r in sorted(scaled, key=lambda r: (r["interleave_key"], r["doc_id"]))]
+    assert o1 == o2
+    with _pytest.raises(ValueError, match="weight"):
+        sampling.interleave_by_weight(df, "src", {"A": 0.0, "B": 1.0})
+    with _pytest.raises(Exception, match="no weight for group"):
+        sampling.interleave_by_weight(df, "src", {"A": 1.0}).collect()

@@ -299,6 +299,20 @@ BENCH_QUERIES = [
     "stats_mutual_information",
     # top-k consecutive event sequences (lead-window n-grams)
     "events_top_paths",
+    # batch inactivity-gap sessionization (one user-keyed exchange)
+    "events_sessions",
+    # split-conformal daily forecast intervals (|days| rollup)
+    "stats_conformal",
+    # k-ary randomized response with debiased estimates
+    "privacy_rand_response",
+    # minority-class balanced downsampling (salted two-level rank)
+    "sample_balanced",
+    # Naive Bayes train/score confusion matrix (md5 half-split)
+    "classify_nb",
+    # per-transition funnel conversion latency (pack-and-fold)
+    "events_funnel_latency",
+    # stride-scheduled weighted interleave (mixture -> training order)
+    "sample_interleave",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

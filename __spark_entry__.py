@@ -3127,6 +3127,33 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_interleave"] = sample_interleave
 
+    def events_stickiness(spark, sf):
+        """DAU/WAU stickiness per day from ONE mergeable KMV rollup
+        (operators/stats.py kmv_daily_sketches + kmv_rolling_active):
+        DAU = the day's own sketch estimate, WAU = trailing-7-day
+        union-merge estimate, stickiness = dau/wau — the probes touch
+        only |days| kB-sized sketch rows, never re-reading the log;
+        the window membership is a calendar-bounded |days|x|days|
+        nested loop by design."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        sk = stats.kmv_daily_sketches(ev, "user_id", "ts", k=64)
+        dau = stats.kmv_rolling_active(sk, 1, 64).withColumnRenamed(
+            "n_active", "dau"
+        )
+        wau = stats.kmv_rolling_active(sk, 7, 64).withColumnRenamed(
+            "n_active", "wau"
+        )
+        import pyspark.sql.functions as F
+
+        return dau.join(wau, "day").select(
+            "day", "dau", "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+
+    q["events_stickiness"] = events_stickiness
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6899,6 +6926,40 @@ SELECT doc_id, lang, CAST(position AS BIGINT) AS position,
 FROM ranked JOIN w USING (lang)
 """
 
+    # Same md5 60-bit hashes, same k-min merges, same KMV estimator,
+    # same trailing-window calendar arithmetic, same rounded ratio.
+    o["events_stickiness"] = """
+WITH d AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events GROUP BY 1, 2
+), sk AS (
+  SELECT day, list_sort(list(h))[1:64] AS kmin FROM d GROUP BY day
+), wmerge AS (
+  SELECT a.day,
+         list_sort(list_distinct(flatten(list(s.kmin))))[1:64] AS kmin
+  FROM sk a JOIN sk s
+    ON CAST(s.day AS DATE) <= CAST(a.day AS DATE)
+   AND CAST(s.day AS DATE) > CAST(a.day AS DATE) - 7
+  GROUP BY a.day
+), est_d AS (
+  SELECT day,
+         round(CASE WHEN len(kmin) < 64 THEN CAST(len(kmin) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0
+                         / CAST(kmin[64] AS DOUBLE) END, 4) AS dau
+  FROM sk
+), est_w AS (
+  SELECT day,
+         round(CASE WHEN len(kmin) < 64 THEN CAST(len(kmin) AS DOUBLE)
+                    ELSE 63.0 * 1152921504606846976.0
+                         / CAST(kmin[64] AS DOUBLE) END, 4) AS wau
+  FROM wmerge
+)
+SELECT day, dau, wau, round(dau / wau, 4) AS stickiness
+FROM est_d JOIN est_w USING (day)
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -9939,6 +10000,7 @@ EXTRA_QUERIES: list[str] = [
     "classify_nb",
     "events_funnel_latency",
     "sample_interleave",
+    "events_stickiness",
 ]
 
 

@@ -313,6 +313,8 @@ BENCH_QUERIES = [
     "events_funnel_latency",
     # stride-scheduled weighted interleave (mixture -> training order)
     "sample_interleave",
+    # DAU/WAU stickiness from the mergeable KMV rollup
+    "events_stickiness",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

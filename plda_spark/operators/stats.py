@@ -42,6 +42,7 @@ __all__ = [
     "kmv_daily_sketches",
     "kmv_estimate_range",
     "kmv_intersect_ranges",
+    "kmv_rolling_active",
     "poisson1_thresholds",
     "bootstrap_ci",
     "cms_daily_sketches",
@@ -2879,4 +2880,43 @@ def conformal_intervals(
         F.round(lo, 6).alias("lo"),
         F.round(hi, 6).alias("hi"),
         ((F.col("v") >= lo) & (F.col("v") <= hi)).alias("covered"),
+    )
+
+
+def kmv_rolling_active(
+    sketches: DataFrame,
+    window_days: int = 7,
+    k: int = 256,
+) -> DataFrame:
+    """Per-day TRAILING-window distinct estimate from the
+    :func:`kmv_daily_sketches` rollup — the WAU/MAU primitive
+    (``window_days=1`` degenerates to the DAU estimate, since the
+    merge of one sketch is itself): for each day, union-merge the
+    window's daily sketches and apply the KMV estimator.
+
+    Returns ``(day, n_active)`` rounded to 4.
+
+    Scale shape: the window membership is a date-range join between
+    two |days|-row frames — a nested loop BY DESIGN, bounded by the
+    calendar (a year of MAU is ~365·30 kB-sized sketch pairs), then
+    one merge aggregation per day.  The raw event log is never
+    re-read; this is exactly the probe-side contract of the
+    KS/PSI/HLL rollup family."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    spine = sketches.select(F.col("day").alias("__d"))
+    pairs = spine.join(
+        sketches,
+        (F.to_date("day") <= F.to_date("__d"))
+        & (F.to_date("day") > F.date_sub(F.to_date("__d"), window_days)),
+    )
+    merged = pairs.groupBy("__d").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))),
+            1, k,
+        ).alias("kmin")
+    )
+    return merged.select(
+        F.col("__d").alias("day"),
+        F.round(_kmv_estimate(F.col("kmin"), k), 4).alias("n_active"),
     )

@@ -5218,3 +5218,33 @@ def test_interleave_by_weight_semantics(spark):
         sampling.interleave_by_weight(df, "src", {"A": 0.0, "B": 1.0})
     with _pytest.raises(Exception, match="no weight for group"):
         sampling.interleave_by_weight(df, "src", {"A": 1.0}).collect()
+
+
+def test_kmv_rolling_active_semantics(spark):
+    """Small-cardinality frame (every sketch holds < k hashes): the
+    rolling estimates are EXACT distinct counts, window_days=1 equals
+    the per-day count, and the trailing window unions correctly across
+    a calendar gap."""
+    import pytest as _pytest
+    from pyspark.sql import functions as SF
+    from plda_spark.operators import stats
+
+    rows = []
+    # day 1: users 1-3; day 2: users 2-4; day 5 (gap): users 10-11
+    for d, us in [(1, [1, 2, 3]), (2, [2, 3, 4]), (5, [10, 11])]:
+        rows += [(f"2024-02-{d:02d} 10:00", u) for u in us]
+    df = spark.createDataFrame(rows, "ts string, user_id long").withColumn(
+        "ts", SF.to_timestamp("ts")
+    )
+    sk = stats.kmv_daily_sketches(df, "user_id", "ts", k=64)
+    dau = {r["day"]: r["n_active"]
+           for r in stats.kmv_rolling_active(sk, 1, 64).collect()}
+    assert dau == {"2024-02-01": 3.0, "2024-02-02": 3.0, "2024-02-05": 2.0}
+    w3 = {r["day"]: r["n_active"]
+          for r in stats.kmv_rolling_active(sk, 3, 64).collect()}
+    # day 2's trailing-3 window = days 1-2 union = {1,2,3,4}
+    assert w3["2024-02-02"] == 4.0
+    # day 5's trailing-3 window reaches only the gap -> its own users
+    assert w3["2024-02-05"] == 2.0
+    with _pytest.raises(ValueError, match="window_days"):
+        stats.kmv_rolling_active(sk, 0)

@@ -3154,6 +3154,28 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_stickiness"] = events_stickiness
 
+    def ml_silhouette(spark, sf):
+        """Simplified (centroid-based) silhouette quality of the pinned
+        8-centroid assignment (operators/similarity.py
+        silhouette_simplified — Hruschka 2004; full Rousseeuw is O(n^2)):
+        per-cluster mean of (b-a)/max(a,b) with bit-replayable literal
+        left-fold distances; ONE |clusters|-group aggregation."""
+        import numpy as np
+
+        emb = load_table(spark, sf, "embeddings")
+        cents = np.stack(
+            [
+                np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.where(F.col("vec_id") < 8)
+                .orderBy("vec_id").collect()
+            ]
+        )
+        from plda_spark.operators import similarity as sim_ops
+
+        return sim_ops.silhouette_simplified(emb, cents)
+
+    q["ml_silhouette"] = ml_silhouette
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -6960,6 +6982,39 @@ SELECT day, dau, wau, round(dau / wau, 4) AS stickiness
 FROM est_d JOIN est_w USING (day)
 """
 
+    # Same pinned centroids, same left-fold IEEE distance sequence,
+    # same first-min tie-break, same rounded per-cluster mean.
+    o["ml_silhouette"] = """
+WITH c AS (
+  SELECT vec_id AS cl, embedding AS ce FROM embeddings WHERE vec_id < 8
+), d AS (
+  SELECT e.vec_id, c.cl,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+             i -> (CAST(e.embedding[i] AS DOUBLE)
+                   - CAST(c.ce[i] AS DOUBLE)) ^ 2)) AS d2
+  FROM embeddings e CROSS JOIN c
+), r AS (
+  SELECT vec_id, cl, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rn
+  FROM d
+), own AS (
+  SELECT vec_id, cl AS cluster, d2 AS a2 FROM r WHERE rn = 1
+), other AS (
+  SELECT d.vec_id, min(d.d2) AS b2
+  FROM d JOIN own ON d.vec_id = own.vec_id AND d.cl <> own.cluster
+  GROUP BY d.vec_id
+), s AS (
+  SELECT own.cluster,
+         CASE WHEN greatest(sqrt(a2), sqrt(b2)) > 0
+              THEN (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+              ELSE 0.0 END AS si
+  FROM own JOIN other USING (vec_id)
+)
+SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(avg(si), 6) AS mean_silhouette
+FROM s GROUP BY cluster
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -10001,6 +10056,7 @@ EXTRA_QUERIES: list[str] = [
     "events_funnel_latency",
     "sample_interleave",
     "events_stickiness",
+    "ml_silhouette",
 ]
 
 

@@ -315,6 +315,8 @@ BENCH_QUERIES = [
     "sample_interleave",
     # DAU/WAU stickiness from the mergeable KMV rollup
     "events_stickiness",
+    # simplified silhouette clustering quality (pinned centroids)
+    "ml_silhouette",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

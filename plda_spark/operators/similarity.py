@@ -37,6 +37,7 @@ __all__ = [
     "pca_project",
     "kmeans_fit",
     "kmeans_assign",
+    "silhouette_simplified",
     "cluster_embeddings",
     "pq_train",
     "pq_encode",
@@ -1541,4 +1542,70 @@ def mmr_rerank(
         F.col("id").alias(id_col),
         F.round("score", 6).alias("score"),
         F.round("mmr", 6).alias("mmr"),
+    )
+
+
+def silhouette_simplified(
+    embeddings: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette — the O(n·k) clustering
+    quality score (Hruschka et al. 2004; the classic Rousseeuw 1987
+    silhouette needs all-pairs distances, O(n²) — a non-starter at
+    corpus scale): per point, ``a`` = distance to its OWN centroid,
+    ``b`` = distance to the nearest OTHER centroid,
+    ``s = (b − a) / max(a, b)`` (0 when both distances are 0).
+
+    Returns one row per cluster: ``(cluster, n, mean_silhouette)``
+    rounded to 6 — near 1 = tight and well separated, near 0 =
+    boundary-riding, negative = likely mis-assigned.
+
+    Scale shape: the k·dim centroid coordinates ride the plan as
+    literals (the kcenter/MMR contract — enforce the same literal
+    budget upstream by choosing k·dim sensibly); distances are
+    bit-replayable double left-folds, so the DuckDB oracle reproduces
+    the exact IEEE sequence; one |clusters|-group aggregation ends the
+    plan.  No shuffle beyond that aggregation, no join, nothing
+    collects."""
+    k = len(centroids)
+    if k < 2:
+        raise ValueError(f"need >= 2 centroids, got {k}")
+    cents_lit = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    d2s = F.transform(
+        cents_lit,
+        lambda c: F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                c,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+    staged = embeddings.select(
+        F.col(id_col).alias("__id"), d2s.alias("__d2s")
+    )
+    a2 = F.array_min("__d2s")
+    # first index of the min = lowest cluster id on ties (matches the
+    # assignment's (d2, cl) tie-break); array_position is 1-based
+    own = F.array_position(F.col("__d2s"), a2)
+    b2 = F.array_min(
+        F.filter(F.col("__d2s"), lambda x, i: (i + 1) != own)
+    )
+    a, b = F.sqrt(a2), F.sqrt(b2)
+    s_i = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    return (
+        staged.select((own - 1).cast("int").alias("cluster"), s_i.alias("__s"))
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__s"), 6).alias("mean_silhouette"),
+        )
     )

@@ -5248,3 +5248,28 @@ def test_kmv_rolling_active_semantics(spark):
     assert w3["2024-02-05"] == 2.0
     with _pytest.raises(ValueError, match="window_days"):
         stats.kmv_rolling_active(sk, 0)
+
+
+def test_silhouette_simplified_semantics(spark):
+    """Hand-computed 1-D example: centroids at 0 and 10; points at
+    1, -1 (cluster 0) and 9 (cluster 1); s = (b-a)/max(a,b) with a/b
+    exact; a point exactly ON its centroid scores s=1 via b>0."""
+    import pytest as _pytest
+    import numpy as np
+    from plda_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0]), (2, [-1.0]), (3, [9.0]), (4, [0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = np.array([[0.0], [10.0]])
+    out = {r["cluster"]: r for r in similarity.silhouette_simplified(
+        df, cents).collect()}
+    # cluster 0: points 1, -1, 0 -> s = (9-1)/9, (11-1)/11, (10-0)/10=1
+    exp0 = (8 / 9 + 10 / 11 + 1.0) / 3
+    assert out[0]["n"] == 3 and out[0]["mean_silhouette"] == round(exp0, 6)
+    # cluster 1: point 9 -> a=1, b=9 -> s = 8/9
+    assert out[1]["n"] == 1
+    assert out[1]["mean_silhouette"] == round(8 / 9, 6)
+    with _pytest.raises(ValueError, match="centroids"):
+        similarity.silhouette_simplified(df, np.array([[0.0]]))

@@ -1006,10 +1006,13 @@ def sessionize(
 ) -> DataFrame:
     """Batch sessionization — the inactivity-gap session split every
     web/product-analytics stack runs (the batch twin of
-    ``streaming/windows.py``'s sessionize: identical gap semantics,
-    replayable over the static log): a user's events are ordered by
-    ``(ts, id_col)`` and a new session starts wherever the gap to the
-    previous event exceeds ``gap_minutes``.
+    ``streaming/windows.py``'s stateful sessionize: identical > gap_us
+    rule, replayable over the static log; ``windows.sessionize_batch``
+    is the MINIMAL boundary-only variant kept for the streaming parity
+    tests — this operator adds the id tie-break and per-session stats,
+    and a parity test pins the two to identical boundaries): a user's
+    events are ordered by ``(ts, id_col)`` and a new session starts
+    wherever the gap to the previous event exceeds ``gap_minutes``.
 
     Returns one row per session: ``(user_id, session_seq, start_ts,
     end_ts, n_events, n_types, duration_us, session_value)`` —

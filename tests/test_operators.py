@@ -5273,3 +5273,19 @@ def test_silhouette_simplified_semantics(spark):
     assert out[1]["mean_silhouette"] == round(8 / 9, 6)
     with _pytest.raises(ValueError, match="centroids"):
         similarity.silhouette_simplified(df, np.array([[0.0]]))
+
+
+def test_sessionize_matches_minimal_batch_twin(spark, sf_dir):
+    """events.sessionize and streaming.windows.sessionize_batch must
+    produce IDENTICAL session boundaries on the real events table
+    (same > gap rule; ts ties cannot open a session either way, so the
+    id tie-break cannot move a boundary)."""
+    from plda_spark.operators import events as ev_ops
+    from plda_spark.streaming import windows as w_ops
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rich = {(r["user_id"], r["start_ts"], r["end_ts"], r["n_events"])
+            for r in ev_ops.sessionize(ev).collect()}
+    mini = {(r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"]) for r in w_ops.sessionize_batch(ev).collect()}
+    assert rich == mini and len(rich) > 0

@@ -3176,6 +3176,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_silhouette"] = ml_silhouette
 
+    def events_pit_features(spark, sf):
+        """Leakage-free point-in-time features for purchase anchors
+        (operators/events.py point_in_time_features): trailing 7-day
+        half-open (ts-7d, ts) activity count + value sum per user via
+        ONE value-based RANGE window over integer micros — no as-of
+        self-join; same-ts peers excluded identically in both engines
+        because the frame is value-based."""
+        from plda_spark.operators import events as ev_ops
+
+        out = ev_ops.point_in_time_features(
+            load_table(spark, sf, "events"), anchor_type="purchase"
+        )
+        return out.select(
+            "event_id", "user_id",
+            F.col("ts").cast("string").alias("ts"),
+            "n_prev", "value_prev",
+        )
+
+    q["events_pit_features"] = events_pit_features
+
     def stats_mutual_information(spark, sf):
         """Mutual information + sqrt-normalized NMI between document
         source and language (operators/stats.py mutual_information):
@@ -7015,6 +7035,22 @@ SELECT CAST(cluster AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
 FROM s GROUP BY cluster
 """
 
+    # Same integer-micros RANGE frame, same half-open bounds.
+    o["events_pit_features"] = """
+SELECT event_id, user_id, CAST(ts AS VARCHAR) AS ts,
+       n_prev, value_prev
+FROM (
+  SELECT event_id, user_id, ts, event_type,
+         CAST(coalesce(count(*) OVER w, 0) AS BIGINT) AS n_prev,
+         round(coalesce(sum(CAST(value AS DOUBLE)) OVER w, 0.0), 4)
+           AS value_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 604799999999 PRECEDING AND 1 PRECEDING)
+)
+WHERE event_type = 'purchase'
+"""
+
     # Same contingency cells, same fold-the-margin entropy identity.
     o["stats_mutual_information"] = """
 WITH cell AS (
@@ -10057,6 +10093,7 @@ EXTRA_QUERIES: list[str] = [
     "sample_interleave",
     "events_stickiness",
     "ml_silhouette",
+    "events_pit_features",
 ]
 
 

@@ -317,6 +317,8 @@ BENCH_QUERIES = [
     "events_stickiness",
     # simplified silhouette clustering quality (pinned centroids)
     "ml_silhouette",
+    # leakage-free point-in-time features (half-open RANGE window)
+    "events_pit_features",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -29,6 +29,7 @@ __all__ = [
     "top_paths",
     "sessionize",
     "funnel_latency",
+    "point_in_time_features",
 ]
 
 
@@ -1167,3 +1168,59 @@ def funnel_latency(
         F.coalesce(F.col("n_users"), F.lit(0)).alias("n_users"),
         "median_sec", "p90_sec",
     )
+
+
+def point_in_time_features(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_days: int = 7,
+    anchor_type: str | None = None,
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Leakage-free point-in-time feature extraction — the
+    feature-store primitive for training-data assembly: for each
+    anchor event, the user's activity count and value sum over the
+    HALF-OPEN trailing window ``(ts − window_days, ts)`` — STRICTLY
+    before the anchor, so a model trained on these features never sees
+    the label instant itself (the train-serve-skew discipline
+    point-in-time joins exist for).
+
+    Implemented as ONE value-based RANGE window over integer
+    microseconds — no as-of self-join: the frame
+    ``RANGE BETWEEN (w·86400e6 − 1) PRECEDING AND 1 PRECEDING``
+    is exactly the half-open interval, and because it is value-based,
+    same-timestamp peers of the anchor are excluded identically in
+    both engines regardless of tie order.  ``anchor_type`` filters the
+    OUTPUT to one event type (e.g. label rows) while the features
+    still aggregate over ALL events.
+
+    Returns ``(event_id-ish passthrough columns, n_prev, value_prev)``
+    — count and rounded value sum over the window, 0 when empty.
+
+    Scale shape: one user-keyed exchange + one RANGE-frame window;
+    the anchor filter happens AFTER the frame (it must — features read
+    all activity) but costs a projection, not a second shuffle."""
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    span = window_days * 86_400_000_000
+    w = (
+        Window.partitionBy(F.col(user_col))
+        .orderBy(us)
+        .rangeBetween(-(span - 1), -1)
+    )
+    out = events.select(
+        "*",
+        F.coalesce(F.count(F.lit(1)).over(w), F.lit(0)).alias("n_prev"),
+        F.round(
+            F.coalesce(F.sum(F.col(value_col).cast("double")).over(w), F.lit(0.0)),
+            4,
+        ).alias("value_prev"),
+    )
+    if anchor_type is not None:
+        out = out.where(F.col(type_col) == F.lit(anchor_type))
+    return out

@@ -5289,3 +5289,35 @@ def test_sessionize_matches_minimal_batch_twin(spark, sf_dir):
     mini = {(r["user_id"], r["session_start"], r["session_end"],
              r["n_events"]) for r in w_ops.sessionize_batch(ev).collect()}
     assert rich == mini and len(rich) > 0
+
+
+def test_point_in_time_features_semantics(spark):
+    """Half-open window (ts-7d, ts): an event exactly 7 days earlier is
+    EXCLUDED, one at 7d-1us included conceptually (tested at day
+    granularity), the anchor's own instant and same-ts peers excluded."""
+    import pytest as _pytest
+    from plda_spark.operators import events as ev_ops
+
+    rows = [
+        (1, "2024-01-01 12:00:00", 1, "view", 1.0),     # exactly 7d before 5
+        (2, "2024-01-03 12:00:00", 1, "view", 2.0),     # inside
+        (3, "2024-01-08 11:59:59", 1, "click", 4.0),    # inside
+        (4, "2024-01-08 12:00:00", 1, "view", 8.0),     # same ts as anchor: out
+        (5, "2024-01-08 12:00:00", 1, "purchase", 99.0),  # anchor
+        (6, "2024-01-08 12:00:00", 2, "purchase", 1.0),   # lone anchor
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).selectExpr("event_id", "cast(ts as timestamp) ts", "user_id",
+                 "event_type", "value")
+    out = {r["event_id"]: r for r in ev_ops.point_in_time_features(
+        df, anchor_type="purchase").collect()}
+    a = out[5]
+    # events 2 and 3 in-window; 1 is exactly 7d (excluded); 4 same-ts
+    assert a["n_prev"] == 2 and a["value_prev"] == 6.0
+    lone = out[6]
+    assert lone["n_prev"] == 0 and lone["value_prev"] == 0.0
+    # no anchor filter: every row gets features
+    assert ev_ops.point_in_time_features(df).count() == 6
+    with _pytest.raises(ValueError, match="window_days"):
+        ev_ops.point_in_time_features(df, window_days=0)

@@ -916,6 +916,10 @@ def test_sessionize_is_one_window_exchange_plus_agg(spark):
     # window exchange keyed by user; exactly 2 exchanges total
     # (window + the map-side-combined session aggregation)
     assert "hashpartitioning(__u" in plan
+    # formatted plans list each node twice (tree + details): 2 == ONE
+    # physical Exchange — the (user, session) aggregation reuses the
+    # window's hashpartitioning(user) (a superset-key aggregation over
+    # a subset-key partitioning needs no second shuffle)
     assert s["exchanges"] == 2, s["exchanges"]
     assert plan.count("(4) Sort") or plan.count("Sort") >= 1
 
@@ -973,3 +977,24 @@ def test_funnel_latency_single_shuffle_fold(spark):
     assert any("event_type" in p for p in s["pushed_filters"]), s[
         "pushed_filters"
     ]
+
+
+def test_pit_features_is_one_range_window_no_join(spark):
+    """Point-in-time features must be ONE user-keyed RANGE window —
+    the classic as-of SELF-JOIN formulation would shuffle the event
+    table twice and explode on active users; this plan has no join."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["events_pit_features"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # formatted plans list each node twice (tree + details): 2 == ONE
+    # physical Exchange
+    assert s["exchanges"] == 2, s["exchanges"]
+    assert "hashpartitioning(user_id" in plan
+    assert "Window" in plan

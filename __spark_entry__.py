@@ -4760,6 +4760,86 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_corpus_stats"] = text_corpus_stats
 
+    def stats_anova_f(spark, sf):
+        """One-way ANOVA F-test across ALL event types
+        (operators/stats.py anova_f): one pass of per-group
+        count/sum/sumsq moments -> SSB/SSW -> F, p via the Paulson
+        normal approximation of the F tail (the drift family's
+        k-group mean-shift member; kruskal_wallis is its rank-robust
+        sibling).  ONE groupBy then scalar arithmetic on k rows."""
+        from plda_spark.operators import stats
+
+        return stats.anova_f(load_table(spark, sf, "events"), "event_type", "value")
+
+    q["stats_anova_f"] = stats_anova_f
+
+    def stats_levene_bf(spark, sf):
+        """Brown-Forsythe variance-homogeneity test across event types
+        (operators/stats.py levene_bf): exact per-group medians
+        (percentile_cont parity), broadcast back, |x - med_g|
+        deviations, then the one-way ANOVA F on the deviations — the
+        VARIANCE-shift member of the drift family, and the assumption
+        check for stats_anova_f's pooled variance.  One median
+        aggregation + one broadcast join + one moment aggregation."""
+        from plda_spark.operators import stats
+
+        return stats.levene_bf(load_table(spark, sf, "events"), "event_type", "value")
+
+    q["stats_levene_bf"] = stats_levene_bf
+
+    def stats_paired_ttest(spark, sf):
+        """Paired t-test of click vs purchase DAILY mean values
+        (operators/stats.py paired_ttest): per-day conditional means,
+        days holding both groups pair up, t on the n_days differences
+        — pairing removes the day-to-day variance an unpaired Welch
+        test drowns in.  ONE keyed aggregation then one scalar moment
+        pass over |days| rows."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        return stats.paired_ttest(
+            ev, "day", "event_type", "value", "click", "purchase"
+        )
+
+    q["stats_paired_ttest"] = stats_paired_ttest
+
+    def events_abtest(spark, sf):
+        """Two-proportion A/B readout (operators/stats.py
+        two_proportion_ztest over operators/sampling.py hash_bucket):
+        users deterministically md5-assigned to variants A/B, success
+        = made a purchase with value > 100 (ONE row per user — the
+        binomial unit contract in the docstring), pooled-SE z-test +
+        unpooled Wald 95% CI on the lift.  One per-user aggregation,
+        one conditional aggregation, scalar arithmetic."""
+        from plda_spark.operators import stats
+        from plda_spark.operators.sampling import hash_bucket
+
+        per_user = (
+            load_table(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    (
+                        (F.col("event_type") == "purchase")
+                        & (F.col("value") > 100)
+                    ).cast("int")
+                ).alias("converted")
+            )
+        )
+        assigned = per_user.select(
+            F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            "converted",
+        )
+        return stats.two_proportion_ztest(
+            assigned, "variant", "converted", "A", "B"
+        )
+
+    q["events_abtest"] = events_abtest
+
     return q
 
 
@@ -9805,6 +9885,150 @@ SELECT 'pmi' AS kind, a AS key_a, b AS key_b, c_ab AS cnt, pmi AS score
 FROM ({o['text_collocations']})
 """
 
+    # Shared one-way ANOVA body over a (g, v) source: same per-group
+    # moments, same SSB/SSW clamps, same Paulson F-tail z (F^(2/3)
+    # spelled f3*f3 to replay Spark's pow-once-then-square), same A&S
+    # Φ polynomial (half = pdf*poly — Spark's 2·(pdf·poly)/2 is
+    # bit-identical since *2 and /2 are exact in binary FP).
+    def _anova_body(src: str) -> str:
+        return f"""
+WITH per AS (
+  SELECT g, count(*) AS ng, sum(v) AS s1, sum(v*v) AS s2
+  FROM ({src}) GROUP BY 1
+), agg AS (
+  SELECT count(*) AS k, sum(ng) AS n, sum(s1) AS ts1,
+         sum(s1*s1/ng) AS sb, sum(s2 - s1*s1/ng) AS ssw
+  FROM per
+), c AS (
+  SELECT k, n, CAST(k-1 AS DOUBLE) AS d1, CAST(n-k AS DOUBLE) AS d2,
+         greatest(sb - ts1*ts1/n, 0.0) AS ssb, greatest(ssw, 0.0) AS sswc
+  FROM agg
+), f AS (
+  SELECT k, n, d1, d2,
+         CASE WHEN d1 > 0 AND d2 > 0 AND sswc > 0
+              THEN (ssb/d1)/(sswc/d2) END AS fv
+  FROM c
+), pz AS (
+  SELECT k, n, d1, d2, fv,
+         ((1.0 - 2.0/(9.0*d2))*pow(fv, 1.0/3.0) - (1.0 - 2.0/(9.0*d1)))
+           / sqrt(2.0/(9.0*d1)
+                  + pow(fv, 1.0/3.0)*pow(fv, 1.0/3.0)*2.0/(9.0*d2)) AS z
+  FROM f
+), ph AS (
+  SELECT *, abs(z) AS az, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM pz
+), pv AS (
+  SELECT *,
+    (exp(-az*az/2.0)/2.5066282746310002)
+      *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+         + tt*(-1.821255978 + tt*1.330274429))))) AS half
+  FROM ph
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       round(coalesce(fv, 0.0), 6) AS f_stat,
+       CAST(d1 AS BIGINT) AS df1, CAST(d2 AS BIGINT) AS df2,
+       round(CASE WHEN fv IS NULL THEN 1.0
+                  ELSE least(greatest(
+                    CASE WHEN z >= 0 THEN half ELSE 1.0 - half END,
+                    0.0), 1.0) END, 6) AS p_value
+FROM pv
+"""
+
+    o["stats_anova_f"] = _anova_body(
+        "SELECT event_type AS g, CAST(value AS DOUBLE) AS v "
+        "FROM events WHERE value IS NOT NULL"
+    )
+
+    o["stats_levene_bf"] = _anova_body("""
+SELECT c.g AS g, abs(c.v - m.m) AS v
+FROM (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL) c
+JOIN (SELECT event_type AS g, quantile_cont(CAST(value AS DOUBLE), 0.5) AS m
+      FROM events WHERE value IS NOT NULL GROUP BY 1) m USING (g)
+""")
+
+    # Same per-day conditional means, same difference moments, same Φ.
+    o["stats_paired_ttest"] = """
+WITH per AS (
+  SELECT CAST(ts AS DATE) AS k,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN event_type = 'click' THEN value ELSE 0.0 END) AS sa,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS sb
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+  GROUP BY 1
+), paired AS (
+  SELECT sa/na AS ma, sb/nb AS mb FROM per WHERE na > 0 AND nb > 0
+), agg AS (
+  SELECT count(*) AS n, sum(ma) AS s1a, sum(mb) AS s1b,
+         sum(ma - mb) AS sd1, sum((ma - mb)*(ma - mb)) AS sd2
+  FROM paired
+), c AS (
+  SELECT n, s1a/n AS ma, s1b/n AS mb, sd1/n AS md,
+         CASE WHEN n > 1
+              THEN greatest((sd2 - sd1*(sd1/n))/(n - 1), 0.0) END AS vd
+  FROM agg
+), t AS (
+  SELECT *, CASE WHEN vd > 0 THEN md/sqrt(vd/n) END AS tv FROM c
+), ph AS (SELECT *, abs(tv) AS az, 1.0/(1.0 + 0.2316419*abs(tv)) AS tt FROM t)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(md, 6) AS mean_diff,
+       round(coalesce(tv, 0.0), 6) AS t_stat,
+       round(CASE WHEN tv IS NULL THEN 1.0
+                  ELSE least(2.0*(exp(-az*az/2.0)/2.5066282746310002)
+                    *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+                       + tt*(-1.821255978 + tt*1.330274429))))), 1.0)
+             END, 6) AS p_value
+FROM ph
+"""
+
+    # md5 variant assignment (the sample_hash_buckets parity pattern),
+    # one row per user, pooled-SE z + unpooled Wald CI, same Φ.
+    o["events_abtest"] = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 100
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+), assigned AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(converted AS DOUBLE) AS s
+  FROM per_user
+), agg AS (
+  SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN variant = 'A' THEN s ELSE 0.0 END) AS c_a,
+         sum(CASE WHEN variant = 'B' THEN s ELSE 0.0 END) AS c_b
+  FROM assigned
+), r AS (
+  SELECT n_a, n_b, c_a, c_b, c_a/n_a AS pa, c_b/n_b AS pb,
+         (c_a + c_b)/(n_a + n_b) AS pp
+  FROM agg
+), z AS (
+  SELECT *,
+    CASE WHEN sqrt(pp*(1.0 - pp)*(1.0/n_a + 1.0/n_b)) > 0
+         THEN (pa - pb)/sqrt(pp*(1.0 - pp)*(1.0/n_a + 1.0/n_b)) END AS zv,
+    sqrt(pa*(1.0 - pa)/n_a + pb*(1.0 - pb)/n_b) AS se1
+  FROM r
+), ph AS (SELECT *, abs(zv) AS az, 1.0/(1.0 + 0.2316419*abs(zv)) AS tt FROM z)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+       round(pa, 6) AS rate_a, round(pb, 6) AS rate_b,
+       round(pa - pb, 6) AS lift,
+       round(coalesce(zv, 0.0), 6) AS z_stat,
+       round(CASE WHEN zv IS NULL THEN 1.0
+                  ELSE least(2.0*(exp(-az*az/2.0)/2.5066282746310002)
+                    *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+                       + tt*(-1.821255978 + tt*1.330274429))))), 1.0)
+             END, 6) AS p_value,
+       round(pa - pb - 1.959963984540054*se1, 6) AS ci_lo,
+       round(pa - pb + 1.959963984540054*se1, 6) AS ci_hi
+FROM ph
+"""
+
     return o
 
 
@@ -10094,6 +10318,10 @@ EXTRA_QUERIES: list[str] = [
     "events_stickiness",
     "ml_silhouette",
     "events_pit_features",
+    "stats_anova_f",
+    "stats_levene_bf",
+    "stats_paired_ttest",
+    "events_abtest",
 ]
 
 

@@ -319,6 +319,14 @@ BENCH_QUERIES = [
     "ml_silhouette",
     # leakage-free point-in-time features (half-open RANGE window)
     "events_pit_features",
+    # one-way ANOVA F across event types (one moment aggregation)
+    "stats_anova_f",
+    # Brown-Forsythe variance-shift test (medians + moment pass)
+    "stats_levene_bf",
+    # paired daily-mean t-test (one keyed aggregation)
+    "stats_paired_ttest",
+    # md5-assigned two-proportion A/B readout (per-user dedup first)
+    "events_abtest",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -75,6 +75,10 @@ __all__ = [
     "spearman_corr",
     "mutual_information",
     "conformal_intervals",
+    "anova_f",
+    "levene_bf",
+    "paired_ttest",
+    "two_proportion_ztest",
 ]
 
 
@@ -2919,4 +2923,301 @@ def kmv_rolling_active(
     return merged.select(
         F.col("__d").alias("day"),
         F.round(_kmv_estimate(F.col("kmin"), k), 4).alias("n_active"),
+    )
+
+
+def _f_upper_p(fv, d1, d2):
+    """``P(F(d1, d2) > fv)`` via the Paulson (1942) normal
+    approximation (each chi-squared cube-rooted per Wilson-Hilferty,
+    the ratio standardized):
+
+    ``z = [(1 − 2/9d2)·F^⅓ − (1 − 2/9d1)] / √(2/9d1 + F^⅔·2/9d2)``
+
+    then the upper tail through the shared A&S Φ polynomial
+    (:func:`_two_sided_normal_p`).  Accurate to ~1e-3 absolute for
+    small d1 (verified vs the exact incomplete beta: 1.2e-3 at d1=4,
+    d2≈1e4), tightening as d1 grows — stated because the exact
+    incomplete beta is not expressible as engine-replayable SQL
+    arithmetic (the same contract as the Wilson-Hilferty chi-squared
+    tail in :func:`kruskal_wallis`).
+    Callers guard ``fv >= 0`` and clamp the result to [0, 1]."""
+    c1 = F.lit(2.0) / (F.lit(9.0) * d1)
+    c2 = F.lit(2.0) / (F.lit(9.0) * d2)
+    f3 = F.pow(fv, F.lit(1.0 / 3.0))
+    z = ((F.lit(1.0) - c2) * f3 - (F.lit(1.0) - c1)) / F.sqrt(
+        c1 + f3 * f3 * c2
+    )
+    half = _two_sided_normal_p(F.abs(z)) / F.lit(2.0)
+    return F.when(z >= 0, half).otherwise(F.lit(1.0) - half)
+
+
+def anova_f(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """One-way ANOVA F-test — "do ANY of these k group MEANS differ?",
+    the mean-shift sibling of :func:`kruskal_wallis` (which asks the
+    same of locations, rank-robustly) and the k-group generalization
+    of :func:`welch_ttest` (classic equal-variance pooling; pair with
+    :func:`levene_bf` to check that pooling assumption first).
+
+    From one pass of per-group moments: ``SSB = Σ s1g²/ng − (Σs1)²/N``,
+    ``SSW = Σ (s2g − s1g²/ng)``, ``F = (SSB/(k−1)) / (SSW/(N−k))``;
+    the p-value is the Paulson-approximated upper tail
+    (:func:`_f_upper_p`, caveat in its docstring).  NULL values are
+    dropped up front (the :func:`kruskal_wallis` discipline).  Returns
+    ONE row ``(k, n, f_stat, df1, df2, p_value)`` rounded to 6.
+
+    Scale shape: ONE (group) aggregation of count/sum/sumsq — map-side
+    combined — then scalar arithmetic over the k-row frame.  No
+    window, no join, nothing survives the first groupBy."""
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(v.isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("s1").alias("ts1"),
+        F.sum(F.col("s1") * F.col("s1") / F.col("ng")).alias("__sb"),
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("ng")).alias(
+            "__ssw"
+        ),
+    )
+    n = F.col("n").cast("double")
+    ssb = F.col("__sb") - F.col("ts1") * F.col("ts1") / n
+    d1 = (F.col("k") - 1).cast("double")
+    d2 = (F.col("n") - F.col("k")).cast("double")
+    staged = agg.select(
+        "k",
+        "n",
+        d1.alias("__d1"),
+        d2.alias("__d2"),
+        # negative SSB/SSW = float cancellation noise; clamp like
+        # welch_ttest clamps its variances
+        F.greatest(ssb, F.lit(0.0)).alias("__ssb"),
+        F.greatest(F.col("__ssw"), F.lit(0.0)).alias("__ssw"),
+    )
+    fv = F.when(
+        (F.col("__d1") > 0) & (F.col("__d2") > 0) & (F.col("__ssw") > 0),
+        (F.col("__ssb") / F.col("__d1")) / (F.col("__ssw") / F.col("__d2")),
+    )
+    staged2 = staged.withColumn("__f", fv)
+    p = F.when(F.col("__f").isNull(), F.lit(1.0)).otherwise(
+        F.least(
+            F.greatest(
+                _f_upper_p(F.col("__f"), F.col("__d1"), F.col("__d2")),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        )
+    )
+    return staged2.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.coalesce(F.col("__f"), F.lit(0.0)), 6).alias("f_stat"),
+        F.col("__d1").cast("long").alias("df1"),
+        F.col("__d2").cast("long").alias("df2"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def levene_bf(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Levene's test for variance homogeneity, Brown-Forsythe variant
+    (deviations from the group MEDIAN — robust to skew, the form
+    recommended by Brown & Forsythe 1974): run it BEFORE trusting
+    :func:`anova_f`'s pooled-variance assumption, or on its own as the
+    spread-drift member of the drift family (KS = any change,
+    Welch/ANOVA = mean shift, THIS = variance shift).
+
+    ``z_ig = |x_ig − median_g|`` then the one-way ANOVA F statistic on
+    the z values; the p-value is the same Paulson upper tail as
+    :func:`anova_f`.  Medians are exact interpolated ``percentile``
+    (matches ANSI ``percentile_cont``/DuckDB ``quantile_cont``).
+    Returns ONE row ``(k, n, f_stat, df1, df2, p_value)`` rounded 6.
+
+    Scale shape: one (group) median aggregation (exact percentile
+    buffers each group's values — the bounded-group-count contract of
+    :func:`group_quantiles`; use the sketch variant upstream if groups
+    are huge), broadcast the k-row medians back, then the same
+    one-pass moment aggregation as :func:`anova_f`."""
+    v = F.col(value_col).cast("double")
+    clean = df.where(v.isNotNull()).select(
+        F.col(group_col).alias("g"), v.alias("v")
+    )
+    med = clean.groupBy("g").agg(
+        F.percentile("v", F.lit(0.5)).alias("__med")
+    )
+    dev = clean.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("v") - F.col("__med")).alias("z")
+    )
+    return anova_f(dev, "g", "z")
+
+
+def paired_ttest(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Paired t-test on matched per-key means — "did A shift vs B on
+    the SAME days?": pairing by key (a date, a user, an experiment
+    unit) removes the between-key variance that drowns a small
+    treatment effect in :func:`welch_ttest`'s unpaired comparison.
+
+    For each key holding BOTH groups: ``d_k = mean_a(k) − mean_b(k)``;
+    then ``t = d̄ / (s_d/√n)`` over the n differences, two-sided p via
+    the normal approximation (:func:`_two_sided_normal_p` — the
+    :func:`welch_ttest` caveat applies below n≈30 pairs).  Returns ONE
+    row ``(n_pairs, mean_a, mean_b, mean_diff, t_stat, p_value)``
+    rounded to 6.
+
+    Scale shape: ONE (key) conditional aggregation over the stream
+    (map-side combined), keys missing either group filtered on the
+    aggregated frame, then one scalar moment pass over the |keys|
+    rows.  No window, no join."""
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where((a | b) & v.isNotNull())
+        .groupBy(F.col(key_col).alias("k"))
+        .agg(
+            F.sum(a.cast("long")).alias("na"),
+            F.sum(b.cast("long")).alias("nb"),
+            F.sum(F.when(a, v).otherwise(F.lit(0.0))).alias("sa"),
+            F.sum(F.when(b, v).otherwise(F.lit(0.0))).alias("sb"),
+        )
+    )
+    paired = per.where((F.col("na") > 0) & (F.col("nb") > 0)).select(
+        (F.col("sa") / F.col("na")).alias("ma"),
+        (F.col("sb") / F.col("nb")).alias("mb"),
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ma").alias("s1a"),
+        F.sum("mb").alias("s1b"),
+        F.sum((F.col("ma") - F.col("mb"))).alias("sd1"),
+        F.sum(
+            (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+        ).alias("sd2"),
+    )
+    n = F.col("n").cast("double")
+    md = F.col("sd1") / n
+    var_d = F.when(
+        n > 1,
+        F.greatest(
+            (F.col("sd2") - F.col("sd1") * md) / (n - 1), F.lit(0.0)
+        ),
+    )
+    staged = agg.select(
+        "n",
+        (F.col("s1a") / n).alias("__ma"),
+        (F.col("s1b") / n).alias("__mb"),
+        md.alias("__md"),
+        var_d.alias("__vd"),
+    )
+    t = F.when(
+        F.col("__vd") > 0,
+        F.col("__md") / F.sqrt(F.col("__vd") / F.col("n")),
+    )
+    staged2 = staged.withColumn("__t", t)
+    p = F.when(F.col("__t").isNull(), F.lit(1.0)).otherwise(
+        F.least(_two_sided_normal_p(F.abs(F.col("__t"))), F.lit(1.0))
+    )
+    return staged2.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("__ma", 6).alias("mean_a"),
+        F.round("__mb", 6).alias("mean_b"),
+        F.round("__md", 6).alias("mean_diff"),
+        F.round(F.coalesce(F.col("__t"), F.lit(0.0)), 6).alias("t_stat"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def two_proportion_ztest(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    variant_a,
+    variant_b,
+) -> DataFrame:
+    """Two-proportion z-test + Wald 95% CI on the rate difference —
+    THE A/B-test readout: ``z = (p̂_a − p̂_b) / √(p̂(1−p̂)(1/n_a+1/n_b))``
+    with the POOLED rate under H₀, two-sided p via the shared Φ
+    polynomial, and the UNPOOLED-SE Wald interval on the lift (the
+    standard pairing: pooled SE for the test, unpooled for the CI).
+
+    ``success_col`` must be 0/1 per experiment unit (deduplicate to
+    one row per unit upstream — counting events double-counts heavy
+    users and invalidates the binomial model).  Returns ONE row
+    ``(n_a, n_b, conv_a, conv_b, rate_a, rate_b, lift, z_stat,
+    p_value, ci_lo, ci_hi)`` rounded to 6.
+
+    Scale shape: ONE conditional aggregation (count + success sum per
+    variant, map-side combined); everything after is scalar arithmetic
+    on the single row."""
+    a = F.col(variant_col) == F.lit(variant_a)
+    b = F.col(variant_col) == F.lit(variant_b)
+    s = F.col(success_col).cast("double")
+    agg = df.where(a | b).agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum(b.cast("long")).alias("n_b"),
+        F.sum(F.when(a, s).otherwise(F.lit(0.0))).alias("c_a"),
+        F.sum(F.when(b, s).otherwise(F.lit(0.0))).alias("c_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.col("c_a") / na
+    pb = F.col("c_b") / nb
+    pp = (F.col("c_a") + F.col("c_b")) / (na + nb)
+    staged = agg.select(
+        "n_a", "n_b", "c_a", "c_b",
+        pa.alias("__pa"), pb.alias("__pb"), pp.alias("__pp"),
+    )
+    se0 = F.sqrt(
+        F.col("__pp")
+        * (F.lit(1.0) - F.col("__pp"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = F.when(
+        se0 > 0, (F.col("__pa") - F.col("__pb")) / se0
+    )
+    se1 = F.sqrt(
+        F.col("__pa") * (F.lit(1.0) - F.col("__pa")) / F.col("n_a")
+        + F.col("__pb") * (F.lit(1.0) - F.col("__pb")) / F.col("n_b")
+    )
+    staged2 = staged.withColumn("__z", z).withColumn("__se1", se1)
+    p = F.when(F.col("__z").isNull(), F.lit(1.0)).otherwise(
+        F.least(_two_sided_normal_p(F.abs(F.col("__z"))), F.lit(1.0))
+    )
+    diff = F.col("__pa") - F.col("__pb")
+    return staged2.select(
+        "n_a",
+        "n_b",
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.round("__pa", 6).alias("rate_a"),
+        F.round("__pb", 6).alias("rate_b"),
+        F.round(diff, 6).alias("lift"),
+        F.round(F.coalesce(F.col("__z"), F.lit(0.0)), 6).alias("z_stat"),
+        F.round(p, 6).alias("p_value"),
+        F.round(diff - F.lit(1.959963984540054) * F.col("__se1"), 6).alias(
+            "ci_lo"
+        ),
+        F.round(diff + F.lit(1.959963984540054) * F.col("__se1"), 6).alias(
+            "ci_hi"
+        ),
     )

@@ -5321,3 +5321,124 @@ def test_point_in_time_features_semantics(spark):
     assert ev_ops.point_in_time_features(df).count() == 6
     with _pytest.raises(ValueError, match="window_days"):
         ev_ops.point_in_time_features(df, window_days=0)
+
+
+def test_anova_and_levene_semantics(spark):
+    """anova_f matches the closed-form one-way F (hand-computed via
+    numpy) with the right dofs; a single group degenerates to F=0,
+    p=1; NULL values are ignored.  levene_bf reproduces the
+    Brown-Forsythe statistic (ANOVA on |x - group median|) computed
+    independently, and equal-spread groups don't fire."""
+    import numpy as np
+
+    from plda_spark.operators import stats
+
+    ga = [1.0, 2, 3, 4, 5]
+    gb = [2.0, 4, 6, 8, 10, 12]
+    gc = [10.0, 11, 12, 13]
+    rows = (
+        [("a", float(x)) for x in ga]
+        + [("b", float(x)) for x in gb]
+        + [("c", float(x)) for x in gc]
+        + [("a", None), ("c", None)]  # NULLs must not count
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.anova_f(df, "g", "v").first()
+
+    def f_oneway(groups):
+        k = len(groups)
+        n = sum(len(g) for g in groups)
+        gm = np.concatenate(groups).mean()
+        ssb = sum(len(g) * (np.mean(g) - gm) ** 2 for g in groups)
+        ssw = sum(((np.asarray(g) - np.mean(g)) ** 2).sum() for g in groups)
+        return (ssb / (k - 1)) / (ssw / (n - k)), k, n
+
+    fv, k, n = f_oneway([ga, gb, gc])
+    assert r["k"] == k and r["n"] == n
+    assert r["df1"] == k - 1 and r["df2"] == n - k
+    assert r["f_stat"] == round(fv, 6)
+    assert 0.0 < r["p_value"] < 0.05  # group c sits far above a/b
+
+    # one group: between-variance undefined -> F 0, p 1
+    one = spark.createDataFrame([("a", 1.0), ("a", 2.0)], "g string, v double")
+    r1 = stats.anova_f(one, "g", "v").first()
+    assert r1["f_stat"] == 0.0 and r1["p_value"] == 1.0
+
+    # Brown-Forsythe: same-median-spread groups at different locations
+    # is exactly what it must NOT fire on; a wide third group fires.
+    calm = spark.createDataFrame(
+        [("a", float(x)) for x in [1, 2, 3]]
+        + [("b", float(x + 100) ) for x in [1, 2, 3]],
+        "g string, v double",
+    )
+    rc = stats.levene_bf(calm, "g", "v").first()
+    assert rc["f_stat"] == 0.0 or rc["p_value"] > 0.9
+
+    wide = [("a", float(x)) for x in [10, 11, 12, 13, 14]] + [
+        ("b", float(x)) for x in [0, 50, 100, 150, 200]
+    ]
+    dfw = spark.createDataFrame(wide, "g string, v double")
+    rw = stats.levene_bf(dfw, "g", "v").first()
+    dev_a = np.abs(np.array([10, 11, 12, 13, 14.0]) - 12)
+    dev_b = np.abs(np.array([0, 50, 100, 150, 200.0]) - 100)
+    fv2, _, _ = f_oneway([dev_a, dev_b])
+    assert rw["f_stat"] == round(fv2, 6)
+    assert rw["p_value"] < 0.05
+
+
+def test_paired_and_two_proportion_semantics(spark):
+    """paired_ttest pairs per-key means, drops unmatched keys, and
+    reproduces the numpy paired t; constant differences degenerate to
+    t=0/p=1.  two_proportion_ztest matches the pooled-SE z and Wald
+    CI closed forms; equal rates give z=0, p=1."""
+    import math
+
+    import numpy as np
+
+    from plda_spark.operators import stats
+
+    rows = []
+    diffs = []
+    for i, d in enumerate([1.0, -2.0, 3.0, 0.5, 2.5]):
+        rows += [(f"k{i}", "x", 10.0 + d), (f"k{i}", "y", 10.0)]
+        diffs.append(d)
+    rows += [("lonely", "x", 99.0)]  # no y partner -> dropped
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    r = stats.paired_ttest(df, "k", "g", "v", "x", "y").first()
+    d = np.array(diffs)
+    t = d.mean() / (d.std(ddof=1) / math.sqrt(len(d)))
+    assert r["n_pairs"] == 5
+    assert r["mean_diff"] == round(d.mean(), 6)
+    assert r["t_stat"] == round(t, 6)
+    assert 0.0 < r["p_value"] <= 1.0
+
+    const = spark.createDataFrame(
+        [("k1", "x", 2.0), ("k1", "y", 1.0), ("k2", "x", 3.0),
+         ("k2", "y", 2.0)],
+        "k string, g string, v double",
+    )
+    rc = stats.paired_ttest(const, "k", "g", "v", "x", "y").first()
+    assert rc["t_stat"] == 0.0 and rc["p_value"] == 1.0  # zero variance
+
+    conv = spark.createDataFrame(
+        [("A", 1)] * 30 + [("A", 0)] * 70 + [("B", 1)] * 20 + [("B", 0)] * 80,
+        "variant string, s int",
+    )
+    rz = stats.two_proportion_ztest(conv, "variant", "s", "A", "B").first()
+    pa, pb, na, nb = 0.3, 0.2, 100, 100
+    pp = (30 + 20) / 200
+    z = (pa - pb) / math.sqrt(pp * (1 - pp) * (1 / na + 1 / nb))
+    se1 = math.sqrt(pa * (1 - pa) / na + pb * (1 - pb) / nb)
+    assert rz["n_a"] == 100 and rz["conv_a"] == 30
+    assert rz["rate_a"] == 0.3 and rz["rate_b"] == 0.2
+    assert rz["lift"] == round(pa - pb, 6)
+    assert rz["z_stat"] == round(z, 6)
+    assert rz["ci_lo"] == round(pa - pb - 1.959963984540054 * se1, 6)
+    assert rz["ci_hi"] == round(pa - pb + 1.959963984540054 * se1, 6)
+    assert 0.0 < rz["p_value"] < 1.0
+
+    flat = spark.createDataFrame(
+        [("A", 1), ("A", 0), ("B", 1), ("B", 0)], "variant string, s int"
+    )
+    rf = stats.two_proportion_ztest(flat, "variant", "s", "A", "B").first()
+    assert rf["z_stat"] == 0.0 and rf["p_value"] == 1.0 and rf["lift"] == 0.0

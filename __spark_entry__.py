@@ -4840,6 +4840,83 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_abtest"] = events_abtest
 
+    def ml_ols(spark, sf):
+        """Two-regressor OLS in closed form (operators/stats.py ols2):
+        l_extendedprice ~ l_quantity + l_discount from ONE aggregation
+        of raw moments — normal equations on the centered 2x2 Gram,
+        Cramer's rule, R2/RMSE from the sum identities.  The
+        distributed regression primitive: no iterative solver, no
+        driver-side rows, nothing shuffles but 9 sum partials."""
+        from plda_spark.operators import stats
+
+        return stats.ols2(
+            load_table(spark, sf, "lineitem"),
+            "l_quantity", "l_discount", "l_extendedprice",
+        )
+
+    q["ml_ols"] = ml_ols
+
+    def ml_pca2(spark, sf):
+        """Exact closed-form 2-D PCA over the first two embedding
+        dimensions (operators/stats.py pca2_summary): one aggregation
+        of 5 sums -> analytic 2x2 eigenvalues, sign-fixed leading
+        eigenvector, explained-variance share — the fully-distributed,
+        SQL-replayable complement of similarity.pca_project's
+        sample-learned high-dim basis."""
+        from plda_spark.operators import stats
+
+        emb = load_table(spark, sf, "embeddings").select(
+            F.col("embedding").getItem(0).alias("x"),
+            F.col("embedding").getItem(1).alias("y"),
+        )
+        return stats.pca2_summary(emb, "x", "y")
+
+    q["ml_pca2"] = ml_pca2
+
+    def rec_item_cf(spark, sf):
+        """Item-item collaborative filtering (operators/events.py
+        item_item_cf — Sarwar WWW'01 / Linden IEEE-IC'03): order
+        baskets of part groups (l_partkey % 100 bounds the catalog the
+        way the pagerank queries bound their graph), cosine over the
+        binary basket-item matrix, top-5 neighbors per item via one
+        item-keyed rank window.  The a-priori pruning discipline of
+        events_assoc_rules: support-filter BEFORE the basket
+        self-join, baskets capped at 500 items."""
+        from plda_spark.operators import events as ev_ops
+
+        li = load_table(spark, sf, "lineitem").select(
+            F.col("l_orderkey").alias("basket"),
+            (F.col("l_partkey") % 100).alias("pg"),
+        )
+        return ev_ops.item_item_cf(
+            li, user_col="basket", item_col="pg", k=5, min_support=5
+        )
+
+    q["rec_item_cf"] = rec_item_cf
+
+    def graph_kcore(spark, sf):
+        """k-core membership at k=20, 8 peel rounds
+        (operators/graph.py kcore — Seidman 1983), over the same
+        deterministic synthetic link graph as graph_pagerank
+        (custkey%100 <-> orderkey%100, symmetrized); the DuckDB oracle
+        unrolls the identical peel rounds as MATERIALIZED CTEs.  Each
+        round: one degree aggregation + two node-keyed semi-joins on
+        the monotonically shrinking edge frame."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = (
+            orders.select(
+                (F.col("o_custkey") % 100).alias("src"),
+                (F.col("o_orderkey") % 100).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return graph.kcore(e, k=20, n_rounds=8)
+
+    q["graph_kcore"] = graph_kcore
+
     return q
 
 
@@ -10029,6 +10106,153 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM ph
 """
 
+    # Same raw moments, same centered-identity Gram, same Cramer solve
+    # (left-assoc n*m*m replays Spark's multiply order).
+    o["ml_ols"] = """
+WITH agg AS (
+  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+         sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+  FROM (SELECT CAST(l_quantity AS DOUBLE) AS x1,
+               CAST(l_discount AS DOUBLE) AS x2,
+               CAST(l_extendedprice AS DOUBLE) AS y
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+          AND l_extendedprice IS NOT NULL)
+), m AS (
+  SELECT n, s1/n AS m1, s2/n AS m2, sy/n AS my,
+         s11, s22, s12, s1y, s2y, syy
+  FROM agg
+), c AS (
+  SELECT n, m1, m2, my,
+         s11 - n*m1*m1 AS c11, s22 - n*m2*m2 AS c22,
+         s12 - n*m1*m2 AS c12, s1y - n*m1*my AS c1y,
+         s2y - n*m2*my AS c2y,
+         greatest(syy - n*my*my, 0.0) AS sst
+  FROM m
+), sol AS (
+  SELECT n, m1, m2, my, c1y, c2y, sst,
+         CASE WHEN c11*c22 - c12*c12 > 0
+              THEN (c22*c1y - c12*c2y)/(c11*c22 - c12*c12) END AS b1,
+         CASE WHEN c11*c22 - c12*c12 > 0
+              THEN (c11*c2y - c12*c1y)/(c11*c22 - c12*c12) END AS b2
+  FROM c
+), fit AS (
+  SELECT n, my - b1*m1 - b2*m2 AS b0, b1, b2, sst,
+         greatest(sst - b1*c1y - b2*c2y, 0.0) AS sse
+  FROM sol
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(b0, 6) AS b0, round(b1, 6) AS b1, round(b2, 6) AS b2,
+       round(CASE WHEN b1 IS NOT NULL AND sst > 0
+                  THEN 1.0 - sse/sst END, 6) AS r2,
+       round(CASE WHEN b1 IS NOT NULL THEN sqrt(sse/n) END, 6) AS rmse
+FROM fit
+"""
+
+    # Same 5 sums, same analytic eigen pair, same sign-fixed
+    # eigenvector (b, l1 - a).
+    o["ml_pca2"] = """
+WITH agg AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM (SELECT CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+        WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL)
+), m AS (
+  SELECT n, sx/n AS mx, sy/n AS my, sxx, syy, sxy FROM agg
+), c AS (
+  SELECT n, mx, my,
+         CASE WHEN n > 1
+              THEN greatest((sxx - n*mx*mx)/(n-1), 0.0) END AS a,
+         CASE WHEN n > 1
+              THEN greatest((syy - n*my*my)/(n-1), 0.0) END AS c,
+         CASE WHEN n > 1 THEN (sxy - n*mx*my)/(n-1) END AS b
+  FROM m
+), eig AS (
+  SELECT n, mx, my, a, c, b,
+         (a + c)/2.0 + sqrt(((a - c)/2.0)*((a - c)/2.0) + b*b) AS l1,
+         (a + c)/2.0 - sqrt(((a - c)/2.0)*((a - c)/2.0) + b*b) AS l2
+  FROM c
+), vec AS (
+  SELECT *,
+         CASE WHEN b <> 0 THEN b
+              WHEN a >= c THEN 1.0 ELSE 0.0 END AS vx,
+         CASE WHEN b <> 0 THEN l1 - a
+              WHEN a >= c THEN 0.0 ELSE 1.0 END AS vy
+  FROM eig
+), un AS (
+  SELECT *, vx/sqrt(vx*vx + vy*vy) AS ux, vy/sqrt(vx*vx + vy*vy) AS uy
+  FROM vec
+), sf AS (
+  SELECT *,
+         CASE WHEN ux < 0 OR (ux = 0 AND uy < 0) THEN -ux ELSE ux END AS ux2,
+         CASE WHEN ux < 0 OR (ux = 0 AND uy < 0) THEN -uy ELSE uy END AS uy2
+  FROM un
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(mx, 6) AS mean_x, round(my, 6) AS mean_y,
+       round(a, 6) AS var_x, round(c, 6) AS var_y, round(b, 6) AS cov_xy,
+       round(l1, 6) AS lambda1, round(l2, 6) AS lambda2,
+       round(CASE WHEN l1 + l2 > 0 THEN l1/(l1 + l2) END, 6) AS evr1,
+       round(ux2, 6) AS pc1_x, round(uy2, 6) AS pc1_y
+FROM sf
+"""
+
+    # Same basket dedup/cap, same a-priori item pruning, same cosine,
+    # same (cosine DESC, neighbor ASC) rank.
+    o["rec_item_cf"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS u, l_partkey % 100 AS i FROM lineitem),
+keep AS (SELECT u FROM (SELECT u, count(*) AS c FROM b GROUP BY 1) WHERE c <= 500),
+b2 AS (SELECT b.u, b.i FROM b JOIN keep USING (u)),
+supp AS (SELECT i, count(*) AS n_item FROM b2 GROUP BY 1 HAVING count(*) >= 5),
+f AS (SELECT b2.u, b2.i FROM b2 JOIN supp ON supp.i = b2.i),
+p AS (SELECT a.i AS ia, c.i AS ib, count(*) AS nb
+      FROM f a JOIN f c USING (u) WHERE a.i < c.i GROUP BY 1, 2),
+d AS (SELECT ia AS item, ib AS neighbor, nb FROM p
+      UNION ALL
+      SELECT ib AS item, ia AS neighbor, nb FROM p),
+s AS (SELECT d.item, d.neighbor, CAST(d.nb AS BIGINT) AS n_both,
+             CAST(si.n_item AS BIGINT) AS n_item,
+             CAST(sn.n_item AS BIGINT) AS n_neighbor,
+             round(d.nb / sqrt(CAST(si.n_item AS DOUBLE) * sn.n_item), 6)
+               AS cosine
+      FROM d JOIN supp si ON si.i = d.item
+             JOIN supp sn ON sn.i = d.neighbor),
+r AS (SELECT *, row_number() OVER (
+        PARTITION BY item ORDER BY cosine DESC, neighbor ASC) AS rnk
+      FROM s)
+SELECT item, neighbor, n_both, n_item, n_neighbor, cosine,
+       CAST(rnk AS INTEGER) AS rank
+FROM r WHERE rnk <= 5
+"""
+
+    # k-core: the identical 8 peel rounds unrolled as MATERIALIZED
+    # CTEs (the markov_attribution discipline — without MATERIALIZED
+    # each round's double reference to the previous frame inlines and
+    # the plan grows exponentially).
+    _kcore_k, _kcore_rounds = 20, 8
+    _kcore = """WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a, b FROM (
+    SELECT o_custkey % 100 AS a, o_orderkey % 100 AS b FROM orders
+    UNION ALL
+    SELECT o_orderkey % 100 AS a, o_custkey % 100 AS b FROM orders)
+  WHERE a <> b)"""
+    for _r in range(_kcore_rounds):
+        _kcore += f""",
+k{_r} AS MATERIALIZED (
+  SELECT a FROM (SELECT a, count(*) AS d FROM e{_r} GROUP BY 1)
+  WHERE d >= {_kcore_k}),
+e{_r + 1} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e{_r} e
+  JOIN k{_r} ka ON ka.a = e.a JOIN k{_r} kb ON kb.a = e.b)"""
+    _kcore += f"""
+SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+FROM e{_kcore_rounds} GROUP BY 1 HAVING count(*) >= {_kcore_k}
+"""
+    o["graph_kcore"] = _kcore
+
     return o
 
 
@@ -10322,6 +10546,10 @@ EXTRA_QUERIES: list[str] = [
     "stats_levene_bf",
     "stats_paired_ttest",
     "events_abtest",
+    "ml_ols",
+    "ml_pca2",
+    "rec_item_cf",
+    "graph_kcore",
 ]
 
 

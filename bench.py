@@ -327,6 +327,14 @@ BENCH_QUERIES = [
     "stats_paired_ttest",
     # md5-assigned two-proportion A/B readout (per-user dedup first)
     "events_abtest",
+    # closed-form two-regressor OLS (one 9-sum aggregation)
+    "ml_ols",
+    # exact closed-form 2-D PCA (one 5-sum aggregation)
+    "ml_pca2",
+    # item-item CF cosine neighbors (a-priori-pruned basket self-join)
+    "rec_item_cf",
+    # k-core peel membership (8 rounds of degree-trim semi-joins)
+    "graph_kcore",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

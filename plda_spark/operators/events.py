@@ -30,6 +30,7 @@ __all__ = [
     "sessionize",
     "funnel_latency",
     "point_in_time_features",
+    "item_item_cf",
 ]
 
 
@@ -1224,3 +1225,104 @@ def point_in_time_features(
     if anchor_type is not None:
         out = out.where(F.col(type_col) == F.lit(anchor_type))
     return out
+
+
+def item_item_cf(
+    events: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "event_type",
+    k: int = 5,
+    min_support: int = 2,
+    max_basket_items: int | None = 500,
+) -> DataFrame:
+    """Item-item collaborative-filtering neighbors (Sarwar et al.
+    WWW'01; the Amazon item-to-item recommender, Linden et al. IEEE
+    IC'03) over the same per-user baskets as :func:`association_rules`
+    — but where rules answer "which co-engagements are SURPRISING?"
+    (lift vs independence), this answers "which k items are NEAREST?"
+    (cosine over the binary user-item matrix: ``cos(a, b) = n_both /
+    √(n_a·n_b)``), the form a retrieval stage consumes directly.
+
+    Returns the top-``k`` neighbors per item: ``(item, neighbor,
+    n_both, n_item, n_neighbor, cosine, rank)`` with cosine rounded to
+    6 and rank dense over (cosine DESC, neighbor ASC) — integer-count
+    arithmetic both engines replay exactly, so the ordering is
+    deterministic cross-engine.
+
+    Scale shape: identical to :func:`association_rules` (the a-priori
+    discipline): dedup to (user, item), ``min_support`` prunes items
+    BEFORE the one self-equi-join on the user key, ``max_basket_items``
+    (default 500) caps the per-basket quadratic blowup, supports join
+    back broadcast.  The final top-k is a rank window keyed by item —
+    |items| groups of ≤|items| rows, never user-scale data."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    if max_basket_items is not None and max_basket_items < 2:
+        raise ValueError("max_basket_items must be >= 2")
+    baskets = events.select(
+        F.col(user_col).alias("user"), F.col(item_col).alias("item")
+    ).distinct()
+    if max_basket_items is not None:
+        sizes = baskets.groupBy("user").agg(F.count(F.lit(1)).alias("__bsz"))
+        baskets = baskets.join(
+            sizes.filter(F.col("__bsz") <= max_basket_items).select("user"),
+            "user",
+        )
+    item_supp = (
+        baskets.groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= min_support)
+    )
+    frequent = baskets.join(F.broadcast(item_supp.select("item")), "item")
+    a = frequent.select("user", F.col("item").alias("item_a"))
+    b = frequent.select("user", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    directed = pairs.select(
+        F.col("item_a").alias("item"), F.col("item_b").alias("neighbor"),
+        "n_both",
+    ).unionByName(
+        pairs.select(
+            F.col("item_b").alias("item"), F.col("item_a").alias("neighbor"),
+            "n_both",
+        )
+    )
+    supp_i = item_supp.select(
+        F.col("item"), F.col("n_item")
+    )
+    supp_n = item_supp.select(
+        F.col("item").alias("neighbor"), F.col("n_item").alias("n_neighbor")
+    )
+    scored = (
+        directed.join(F.broadcast(supp_i), "item")
+        .join(F.broadcast(supp_n), "neighbor")
+        .withColumn(
+            "cosine",
+            F.round(
+                F.col("n_both")
+                / F.sqrt(
+                    F.col("n_item").cast("double") * F.col("n_neighbor")
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "item", "neighbor", "n_both", "n_item", "n_neighbor",
+            "cosine", "rank",
+        )
+    )

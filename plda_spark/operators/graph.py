@@ -26,6 +26,7 @@ __all__ = [
     "label_propagation",
     "link_prediction",
     "hits",
+    "kcore",
 ]
 
 
@@ -486,4 +487,62 @@ def hits(
             F.round("h", 6).alias("hub"),
             F.round("a", 6).alias("authority"),
         )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    n_rounds: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition membership (Seidman 1983 "Network
+    structure and minimum degree"): iteratively peel nodes of degree
+    < ``k`` from the UNDIRECTED graph until none remain — the maximal
+    subgraph where every node keeps ≥ k surviving neighbors, the
+    standard dense-community / spam-farm screen next to
+    :func:`triangles`.
+
+    Peeling runs EXACTLY ``n_rounds`` rounds (a converged round is a
+    no-op, so the result equals the fixpoint whenever convergence
+    happens within the budget — rounds-to-converge is bounded by the
+    longest peel cascade, typically ≪ 10 on social-shaped graphs;
+    raise ``n_rounds`` for pathological chains).  The fixed count is
+    what makes the output engine-replayable: the DuckDB oracle unrolls
+    the identical rounds as chained CTEs.  Returns surviving ``(node,
+    degree)`` — the within-core degree after the final round.
+
+    Scale shape (the Pregel discipline of :func:`pagerank`): the edge
+    list is symmetrized + deduped ONCE and persisted; each round is
+    one |surviving-nodes|-row degree aggregation + two semi-joins
+    trimming the edge frame — all equi-joins on the node key, nothing
+    driver-side, lineage cut with an eager localCheckpoint every 3
+    rounds (the iterative-trim frames shrink monotonically, so late
+    rounds are cheap)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1, got {n_rounds}")
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und
+    for r in range(n_rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        cur = cur.join(keep, "a").join(
+            keep.select(F.col("a").alias("b")), "b"
+        ).select("a", "b")
+        if (r + 1) % 3 == 0 and r + 1 < n_rounds:
+            cur = cur.localCheckpoint(eager=True)
+    return (
+        cur.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .where(F.col("degree") >= k)
+        .select(F.col("a").alias("node"), "degree")
     )

@@ -79,6 +79,8 @@ __all__ = [
     "levene_bf",
     "paired_ttest",
     "two_proportion_ztest",
+    "ols2",
+    "pca2_summary",
 ]
 
 
@@ -3220,4 +3222,196 @@ def two_proportion_ztest(
         F.round(diff + F.lit(1.959963984540054) * F.col("__se1"), 6).alias(
             "ci_hi"
         ),
+    )
+
+
+def ols2(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Two-regressor ordinary least squares, solved in CLOSED FORM
+    from one pass of raw moments (normal equations on the centered
+    2×2 Gram matrix, Cramer's rule) — the distributed regression
+    primitive: at 100 TB the model fit is ONE map-side-combined
+    aggregation, never an iterative solver or a driver-side matrix of
+    row data.
+
+    ``b = S⁻¹·s`` with ``S = [[S11, S12], [S12, S22]]`` the centered
+    second moments and ``s = (S1y, S2y)``; intercept from the means;
+    ``R² = 1 − SSE/SST`` with ``SSE = SST − b1·S1y − b2·S2y``.
+    Centered moments come from the raw-sum identities (``S11 = Σx1² −
+    n·x̄1²`` …) so a SINGLE aggregation suffices; with 15-digit
+    doubles this loses ~2-3 digits to cancellation — fine at the
+    6-decimal output rounding, but center upstream if your column
+    spans > ~1e6 in magnitude.  Rows with any NULL among the three
+    columns are dropped.  Collinear regressors (det ≤ 0 after float
+    noise) yield NULL coefficients rather than a garbage solve.
+
+    Returns ONE row ``(n, b0, b1, b2, r2, rmse)`` rounded to 6.
+    Scale shape: filter → ONE aggregation of 9 sums → scalar Cramer
+    arithmetic on the single row.  Nothing shuffles but partials."""
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.where(
+        x1.isNotNull() & x2.isNotNull() & y.isNotNull()
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    m1, m2, my = F.col("s1") / n, F.col("s2") / n, F.col("sy") / n
+    c = agg.select(
+        "n",
+        m1.alias("m1"),
+        m2.alias("m2"),
+        my.alias("my"),
+        (F.col("s11") - n * m1 * m1).alias("c11"),
+        (F.col("s22") - n * m2 * m2).alias("c22"),
+        (F.col("s12") - n * m1 * m2).alias("c12"),
+        (F.col("s1y") - n * m1 * my).alias("c1y"),
+        (F.col("s2y") - n * m2 * my).alias("c2y"),
+        F.greatest(F.col("syy") - n * my * my, F.lit(0.0)).alias("sst"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = F.when(
+        det > 0,
+        (F.col("c22") * F.col("c1y") - F.col("c12") * F.col("c2y")) / det,
+    )
+    b2 = F.when(
+        det > 0,
+        (F.col("c11") * F.col("c2y") - F.col("c12") * F.col("c1y")) / det,
+    )
+    staged = c.withColumn("b1", b1).withColumn("b2", b2)
+    b0 = F.col("my") - F.col("b1") * F.col("m1") - F.col("b2") * F.col("m2")
+    sse = F.greatest(
+        F.col("sst")
+        - F.col("b1") * F.col("c1y")
+        - F.col("b2") * F.col("c2y"),
+        F.lit(0.0),
+    )
+    staged2 = staged.withColumn("b0", b0).withColumn("__sse", sse)
+    r2 = F.when(
+        F.col("b1").isNotNull() & (F.col("sst") > 0),
+        F.lit(1.0) - F.col("__sse") / F.col("sst"),
+    )
+    return staged2.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("b0", 6).alias("b0"),
+        F.round("b1", 6).alias("b1"),
+        F.round("b2", 6).alias("b2"),
+        F.round(r2, 6).alias("r2"),
+        F.round(
+            F.when(
+                F.col("b1").isNotNull(),
+                F.sqrt(F.col("__sse") / F.col("n")),
+            ),
+            6,
+        ).alias("rmse"),
+    )
+
+
+def pca2_summary(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact 2-D principal-component decomposition over ALL rows, in
+    closed form: the 2×2 sample covariance has analytic eigenvalues
+    ``λ = (a+c)/2 ± √(((a−c)/2)² + b²)``, so — unlike
+    :func:`plda_spark.operators.similarity.pca_project`, which learns
+    a high-dim basis driver-side from a bounded SAMPLE — this variant
+    is one fully-distributed aggregation with every output replayable
+    as plain SQL arithmetic (hash-gate friendly), the right tool for
+    the 2-signal case (correlated quality scores, paired drift
+    metrics).
+
+    The leading eigenvector is ``(b, λ1−a)`` normalized (for b = 0:
+    the dominant axis), sign-fixed to ``pc1_x ≥ 0`` (and ``pc1_y ≥
+    0`` when ``pc1_x = 0``) — eigenvectors are sign-ambiguous and the
+    fix makes the output deterministic.  NULL rows dropped; n < 2
+    yields NULL eigen outputs (sample covariance undefined).
+
+    Returns ONE row ``(n, mean_x, mean_y, var_x, var_y, cov_xy,
+    lambda1, lambda2, evr1, pc1_x, pc1_y)`` rounded to 6; ``evr1 =
+    λ1/(λ1+λ2)`` is the explained-variance share.
+
+    Scale shape: ONE aggregation of 5 sums (map-side combined), then
+    scalar arithmetic on the single row."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    agg = df.where(x.isNotNull() & y.isNotNull()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    a = F.when(
+        n > 1,
+        F.greatest(
+            (F.col("sxx") - n * mx * mx) / (n - 1), F.lit(0.0)
+        ),
+    )
+    cc = F.when(
+        n > 1,
+        F.greatest(
+            (F.col("syy") - n * my * my) / (n - 1), F.lit(0.0)
+        ),
+    )
+    b = F.when(n > 1, (F.col("sxy") - n * mx * my) / (n - 1))
+    c = agg.select(
+        "n",
+        mx.alias("mx"),
+        my.alias("my"),
+        a.alias("a"),
+        cc.alias("c"),
+        b.alias("b"),
+    )
+    half_tr = (F.col("a") + F.col("c")) / F.lit(2.0)
+    half_diff = (F.col("a") - F.col("c")) / F.lit(2.0)
+    d = F.sqrt(half_diff * half_diff + F.col("b") * F.col("b"))
+    staged = c.withColumn("l1", half_tr + d).withColumn("l2", half_tr - d)
+    # leading eigenvector (b, l1 - a); b = 0 -> coordinate axes
+    vx = F.when(F.col("b") != 0, F.col("b")).otherwise(
+        F.when(F.col("a") >= F.col("c"), F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    vy = F.when(F.col("b") != 0, F.col("l1") - F.col("a")).otherwise(
+        F.when(F.col("a") >= F.col("c"), F.lit(0.0)).otherwise(F.lit(1.0))
+    )
+    nrm = F.sqrt(vx * vx + vy * vy)
+    ux, uy = vx / nrm, vy / nrm
+    # sign fix: pc1_x >= 0, and pc1_y >= 0 on the pc1_x = 0 axis
+    flip = (ux < 0) | ((ux == 0) & (uy < 0))
+    ux2 = F.when(flip, -ux).otherwise(ux)
+    uy2 = F.when(flip, -uy).otherwise(uy)
+    evr = F.when(
+        (F.col("l1") + F.col("l2")) > 0,
+        F.col("l1") / (F.col("l1") + F.col("l2")),
+    )
+    return staged.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("mx", 6).alias("mean_x"),
+        F.round("my", 6).alias("mean_y"),
+        F.round("a", 6).alias("var_x"),
+        F.round("c", 6).alias("var_y"),
+        F.round("b", 6).alias("cov_xy"),
+        F.round("l1", 6).alias("lambda1"),
+        F.round("l2", 6).alias("lambda2"),
+        F.round(evr, 6).alias("evr1"),
+        F.round(ux2, 6).alias("pc1_x"),
+        F.round(uy2, 6).alias("pc1_y"),
     )

@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (250, 200, 247)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (254, 204, 251)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -156,10 +156,12 @@ SURVEY_LOCATION_PINS = {
         "weighted_quantiles", "group_mean_shift_tests", "psi",
         "kruskal_wallis", "trend_tests", "jackknife_ratio",
         "cusum_changepoints", "hist_psi_ranges", "spearman_corr",
-        "acf_daily", "mutual_information",
+        "acf_daily", "mutual_information", "anova_f", "levene_bf",
+        "paired_ttest", "two_proportion_ztest", "ols2", "pca2_summary",
     ],
     "plda_spark.operators.graph": [
         "pagerank", "label_propagation", "link_prediction", "hits",
+        "kcore",
     ],
     "plda_spark.operators.curation": ["ppl_buckets", "quantile_normalize", "winsorize"],
     "plda_spark.operators.joins": ["as_of_join", "interval_overlap_join"],
@@ -167,7 +169,7 @@ SURVEY_LOCATION_PINS = {
         "funnel", "rfm_scores", "transition_matrix", "attribution",
         "forecast_backtest", "association_rules", "attribution_position",
         "markov_attribution", "kaplan_meier", "ltv_cohorts",
-        "top_paths",
+        "top_paths", "item_item_cf",
     ],
     "plda_spark.operators.web": ["normalize_url_col", "domain_filter", "frontier_schedule"],
     "plda_spark.operators.multimodal": ["image_dhash", "image_stats"],

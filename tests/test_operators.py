@@ -5442,3 +5442,169 @@ def test_paired_and_two_proportion_semantics(spark):
     )
     rf = stats.two_proportion_ztest(flat, "variant", "s", "A", "B").first()
     assert rf["z_stat"] == 0.0 and rf["p_value"] == 1.0 and rf["lift"] == 0.0
+
+
+def test_ols2_and_pca2_semantics(spark):
+    """ols2 recovers planted coefficients exactly on noiseless data
+    (r2=1, rmse=0), matches numpy lstsq on noisy data, and refuses a
+    collinear solve with NULL coefficients.  pca2_summary reproduces
+    numpy eigh on the 2x2 sample covariance with the sign-fixed
+    leading eigenvector; a degenerate 1-row input yields NULL eigen."""
+    import numpy as np
+
+    from plda_spark.operators import stats
+
+    rng = np.random.RandomState(7)
+    x1 = rng.uniform(0, 10, 40)
+    x2 = rng.uniform(-5, 5, 40)
+    y_exact = 3.0 + 2.0 * x1 - 0.5 * x2
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y_exact)],
+        "x1 double, x2 double, y double",
+    )
+    r = stats.ols2(df, "x1", "x2", "y").first()
+    assert r["b0"] == 3.0 and r["b1"] == 2.0 and r["b2"] == -0.5
+    assert r["r2"] == 1.0 and r["rmse"] == 0.0 and r["n"] == 40
+
+    y_noisy = y_exact + rng.normal(0, 1, 40)
+    dfn = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y_noisy)],
+        "x1 double, x2 double, y double",
+    )
+    rn = stats.ols2(dfn, "x1", "x2", "y").first()
+    X = np.column_stack([np.ones(40), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y_noisy, rcond=None)
+    sse = ((y_noisy - X @ beta) ** 2).sum()
+    sst = ((y_noisy - y_noisy.mean()) ** 2).sum()
+    assert rn["b0"] == round(beta[0], 6) and rn["b1"] == round(beta[1], 6)
+    assert rn["b2"] == round(beta[2], 6)
+    assert rn["r2"] == round(1 - sse / sst, 6)
+    assert rn["rmse"] == round(float(np.sqrt(sse / 40)), 6)
+
+    # x2 = 2*x1: singular Gram -> NULL coefficients, not garbage
+    col = spark.createDataFrame(
+        [(float(a), float(2 * a), float(a)) for a in x1],
+        "x1 double, x2 double, y double",
+    )
+    rc = stats.ols2(col, "x1", "x2", "y").first()
+    assert rc["b1"] is None and rc["b2"] is None and rc["r2"] is None
+
+    pts = rng.multivariate_normal([1.0, -2.0], [[4.0, 1.5], [1.5, 1.0]], 200)
+    dfp = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in pts], "x double, y double"
+    )
+    rp = stats.pca2_summary(dfp, "x", "y").first()
+    C = np.cov(pts, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(C)
+    lead = v[:, 1] if v[0, 1] > 0 or (v[0, 1] == 0 and v[1, 1] > 0) else -v[:, 1]
+    assert rp["var_x"] == round(C[0, 0], 6) and rp["cov_xy"] == round(C[0, 1], 6)
+    assert rp["lambda1"] == round(w[1], 6) and rp["lambda2"] == round(w[0], 6)
+    assert rp["evr1"] == round(w[1] / w.sum(), 6)
+    assert rp["pc1_x"] == round(lead[0], 6) and rp["pc1_y"] == round(lead[1], 6)
+    assert rp["pc1_x"] >= 0
+
+    one = spark.createDataFrame([(1.0, 2.0)], "x double, y double")
+    ro = stats.pca2_summary(one, "x", "y").first()
+    assert ro["lambda1"] is None and ro["n"] == 1
+
+    # b = 0 with axis-aligned spread: eigenvector is a coordinate axis
+    ax = spark.createDataFrame(
+        [(0.0, 0.0), (2.0, 0.0), (4.0, 0.0)], "x double, y double"
+    )
+    ra = stats.pca2_summary(ax, "x", "y").first()
+    assert ra["pc1_x"] == 1.0 and ra["pc1_y"] == 0.0 and ra["evr1"] == 1.0
+
+
+def test_item_item_cf_semantics(spark):
+    """Cosine neighbors on a hand-built basket set: counts and cosines
+    match the closed form, ranks order by (cosine DESC, neighbor ASC),
+    min_support prunes rare items before pairing, duplicate (user,
+    item) rows dedup, and the guards raise."""
+    import math
+
+    import pytest as _pytest
+
+    from plda_spark.operators import events as ev_ops
+
+    rows = (
+        [("u1", "a"), ("u1", "b"), ("u1", "c"),
+         ("u2", "a"), ("u2", "b"),
+         ("u3", "a"), ("u3", "b"), ("u3", "b"),  # dup (u3, b) collapses
+         ("u4", "a"), ("u4", "c"),
+         ("u5", "rare"), ("u5", "a")]
+    )
+    df = spark.createDataFrame(rows, "user string, item string")
+    out = ev_ops.item_item_cf(
+        df, user_col="user", item_col="item", k=2, min_support=2
+    )
+    got = {(r["item"], r["neighbor"]): r for r in out.collect()}
+    # supports: a=5, b=3, c=2 (rare pruned at min_support=2? rare has 1)
+    # pairs: (a,b)=3, (a,c)=2, (b,c)=1
+    assert ("a", "rare") not in got and ("rare", "a") not in got
+    ab = got[("a", "b")]
+    assert ab["n_both"] == 3 and ab["n_item"] == 5 and ab["n_neighbor"] == 3
+    assert ab["cosine"] == round(3 / math.sqrt(5 * 3), 6)
+    assert ab["rank"] == 1  # ab cosine .7746 > ac .6325
+    assert got[("a", "c")]["rank"] == 2
+    assert got[("b", "a")]["rank"] == 1
+    # k=2 cap holds per item
+    from collections import Counter
+    per_item = Counter(i for i, _ in got)
+    assert all(v <= 2 for v in per_item.values())
+
+    with _pytest.raises(ValueError):
+        ev_ops.item_item_cf(df, user_col="user", item_col="item", k=0)
+    with _pytest.raises(ValueError):
+        ev_ops.item_item_cf(df, user_col="user", item_col="item", min_support=0)
+    with _pytest.raises(ValueError):
+        ev_ops.item_item_cf(
+            df, user_col="user", item_col="item", max_basket_items=1
+        )
+
+
+def test_kcore_semantics(spark):
+    """kcore peels a pendant chain in cascading rounds (each round
+    exposes the next link, so n_rounds must cover the cascade), keeps
+    exactly the K4 clique as the 3-core, reports within-core degrees,
+    treats edges as undirected (direction/duplicates collapse), and
+    raises on bad parameters."""
+    import pytest as _pytest
+
+    from plda_spark.operators import graph
+
+    # K4 clique {0,1,2,3} + chain 3-4-5-6 (pendant cascade)
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 4), (4, 5), (5, 6)]
+    # direction + duplicate noise: reversed and repeated edges
+    edges = k4 + chain + [(b, a) for a, b in k4[:3]] + [(0, 1), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    core2 = {
+        r["node"]: r["degree"]
+        for r in graph.kcore(df, k=2, n_rounds=8).collect()
+    }
+    # chain nodes 4,5,6 peel over three cascading rounds; K4 stays
+    assert set(core2) == {0, 1, 2, 3}
+    assert core2 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    core3 = {
+        r["node"]: r["degree"]
+        for r in graph.kcore(df, k=3, n_rounds=8).collect()
+    }
+    assert core3 == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    assert graph.kcore(df, k=4, n_rounds=8).count() == 0
+
+    # under-budget rounds stop mid-cascade: round 1 peels node 6, and
+    # the final degree>=k filter drops the newly-exposed 5, but 4 (which
+    # still holds edges to 3 and 5 in the surviving frame) needs another
+    # round — a converged run (n_rounds >= cascade) equals the fixpoint
+    one = {r["node"] for r in graph.kcore(df, k=2, n_rounds=1).collect()}
+    assert 4 in one and 5 not in one and 6 not in one
+    full = {r["node"] for r in graph.kcore(df, k=2, n_rounds=12).collect()}
+    assert full == set(core2)
+
+    with _pytest.raises(ValueError):
+        graph.kcore(df, k=0)
+    with _pytest.raises(ValueError):
+        graph.kcore(df, k=2, n_rounds=0)

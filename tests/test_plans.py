@@ -998,3 +998,71 @@ def test_pit_features_is_one_range_window_no_join(spark):
     assert s["exchanges"] == 2, s["exchanges"]
     assert "hashpartitioning(user_id" in plan
     assert "Window" in plan
+
+
+def test_anova_is_one_aggregation_no_window_no_join(spark):
+    """anova_f (and by extension every member of the new inference
+    quartet's moment path) must reduce to aggregations only — a rank-
+    window or join here would mean the test started buffering rows."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_anova_f"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan and "Join" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_levene_broadcasts_medians(spark):
+    """levene_bf joins the k-row median table back BROADCAST — a
+    sort-merge join would shuffle the corpus a third time."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_levene_bf"](spark, "/root/testdata/sf0.001")
+    )
+    assert s["broadcast_hash_joins"] >= 1
+    assert s["sort_merge_joins"] == 0
+    assert "Window" not in s["plan"]
+
+
+def test_ols_and_pca_are_single_aggregations(spark):
+    """ols2 / pca2_summary: the model fit IS one aggregation — no
+    join, no window, no Python, and the scan prunes to exactly the
+    model columns."""
+    import __spark_entry__ as e
+
+    for name, cols in [
+        ("ml_ols", ("l_quantity", "l_discount", "l_extendedprice")),
+        ("ml_pca2", ("embedding",)),
+    ]:
+        s = plan_summary(
+            e.all_queries()[name](spark, "/root/testdata/sf0.001")
+        )
+        plan = s["plan"]
+        assert "Join" not in plan and "Window" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # formatted plans list each node twice (tree + details):
+        # 2 == ONE physical parquet scan
+        assert s["scans"] == 2, name
+        schema = s["read_schemas"][0]
+        for c in cols:
+            assert c in schema, (name, c, schema)
+
+
+def test_item_item_cf_broadcasts_supports(spark):
+    """rec_item_cf: the ONLY shuffle join is the basket self-join on
+    the user key; item supports join back broadcast (a-priori prunes
+    them to ≤|items| rows), and the top-k window is keyed by item."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["rec_item_cf"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert s["broadcast_hash_joins"] >= 3  # cap + 2 support joins
+    assert "hashpartitioning(item" in plan  # the rank window key
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -4917,6 +4917,42 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_kcore"] = graph_kcore
 
+    def ml_logreg(spark, sf):
+        """Two-feature logistic regression by fixed-round IRLS
+        (operators/stats.py logreg2): P(purchase) ~ value + hour, 5
+        Newton rounds, each ONE 9-moment weighted aggregation + a
+        driver-side 3x3 Cramer solve (scalars only), coefficients
+        7-decimal-rounded per round — the cross-engine resync that
+        lets the DuckDB oracle unroll the IDENTICAL rounds as
+        materialized CTEs.  The iterative sibling of ml_ols."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").select(
+            F.col("value"),
+            F.hour("ts").alias("hod"),
+            (F.col("event_type") == "purchase").cast("int").alias("label"),
+        )
+        return stats.logreg2(ev, "value", "hod", "label", n_iter=5)
+
+    q["ml_logreg"] = ml_logreg
+
+    def stats_kendall_tau(spark, sf):
+        """Kendall tau-b between hour-of-day and the value decade bin
+        (operators/stats.py kendall_tau): concordant/discordant pair
+        mass over the PRE-AGGREGATED cell table — the bounded
+        |cells|^2 contract of stats_trend's slope pairs, enforced by
+        the max_cells pre-check — tie corrections from the marginals,
+        Kendall-1938 normal z through the shared Phi polynomial."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").select(
+            F.hour("ts").alias("hod"),
+            F.floor(F.col("value") / 10).alias("vbin"),
+        )
+        return stats.kendall_tau(ev, "hod", "vbin")
+
+    q["stats_kendall_tau"] = stats_kendall_tau
+
     return q
 
 
@@ -10253,6 +10289,101 @@ FROM e{_kcore_rounds} GROUP BY 1 HAVING count(*) >= {_kcore_k}
 """
     o["graph_kcore"] = _kcore
 
+    # IRLS unrolled: the identical 5 Newton rounds as MATERIALIZED
+    # CTEs — per round the same 9 weighted moments, the same one-
+    # expression-tree Cramer solve (stats.py _solve3_sym), the same
+    # round(·, 7) coefficient resync that absorbs the engines'
+    # addition-order drift.
+    _lr_iters = 5
+    _logreg = """WITH d AS MATERIALIZED (
+  SELECT CAST(value AS DOUBLE) AS x1,
+         CAST(hour(ts) AS DOUBLE) AS x2,
+         CAST(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+              AS DOUBLE) AS y
+  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+b0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2)"""
+    for _i in range(1, _lr_iters + 1):
+        _logreg += f""",
+m{_i} AS MATERIALIZED (
+  SELECT d.x1, d.x2, d.y,
+         b.b0 + b.b1*d.x1 + b.b2*d.x2 AS eta,
+         greatest(least(
+           1.0/(1.0 + exp(-(b.b0 + b.b1*d.x1 + b.b2*d.x2))),
+           1.0 - 1e-6), 1e-6) AS mu
+  FROM d, b{_i - 1} b),
+g{_i} AS MATERIALIZED (
+  SELECT sum(w) AS a11, sum(w*x1) AS a12, sum(w*x2) AS a13,
+         sum(w*x1*x1) AS a22, sum(w*x1*x2) AS a23, sum(w*x2*x2) AS a33,
+         sum(w*z) AS c1, sum(w*x1*z) AS c2, sum(w*x2*z) AS c3
+  FROM (SELECT x1, x2,
+               mu*(1.0 - mu) AS w,
+               eta + (y - mu)/(mu*(1.0 - mu)) AS z
+        FROM m{_i})),
+b{_i} AS (
+  SELECT round((c1*(a22*a33 - a23*a23) - a12*(c2*a33 - a23*c3)
+                + a13*(c2*a23 - a22*c3)) / det, 7) AS b0,
+         round((a11*(c2*a33 - a23*c3) - c1*(a12*a33 - a23*a13)
+                + a13*(a12*c3 - c2*a13)) / det, 7) AS b1,
+         round((a11*(a22*c3 - c2*a23) - a12*(a12*c3 - c2*a13)
+                + c1*(a12*a23 - a22*a13)) / det, 7) AS b2
+  FROM (SELECT *, a11*(a22*a33 - a23*a23) - a12*(a12*a33 - a23*a13)
+                  + a13*(a12*a23 - a22*a13) AS det
+        FROM g{_i}))"""
+    _logreg += f""",
+mf AS (
+  SELECT d.y,
+         greatest(least(
+           1.0/(1.0 + exp(-(b.b0 + b.b1*d.x1 + b.b2*d.x2))),
+           1.0 - 1e-6), 1e-6) AS mu
+  FROM d, b{_lr_iters} b)
+SELECT CAST(count(*) AS BIGINT) AS n, b.b0 AS b0, b.b1 AS b1, b.b2 AS b2,
+       round(sum(y*ln(mu) + (1.0 - y)*ln(1.0 - mu)), 6) AS log_lik
+FROM mf, b{_lr_iters} b GROUP BY b.b0, b.b1, b.b2
+"""
+    o["ml_logreg"] = _logreg
+
+    # Same cell aggregation, same strict-inequality pair mass, same
+    # marginal tie corrections, same Kendall-1938 z and Φ.
+    o["stats_kendall_tau"] = """
+WITH clean AS (
+  SELECT CAST(hour(ts) AS DOUBLE) AS x,
+         CAST(floor(value/10) AS DOUBLE) AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), cells AS (SELECT x, y, count(*) AS c FROM clean GROUP BY 1, 2),
+pair AS (
+  SELECT sum(CASE WHEN a.y < b.y THEN a.c*b.c ELSE 0 END) AS conc,
+         sum(CASE WHEN a.y > b.y THEN a.c*b.c ELSE 0 END) AS disc
+  FROM cells a JOIN cells b ON a.x < b.x
+), tx AS (SELECT sum(t*(t-1)/2) AS n1
+          FROM (SELECT sum(c) AS t FROM cells GROUP BY x)),
+ty AS (SELECT sum(t*(t-1)/2) AS n2
+       FROM (SELECT sum(c) AS t FROM cells GROUP BY y)),
+tot AS (SELECT sum(c) AS n, count(*) AS n_cells FROM cells),
+j AS (
+  SELECT conc, disc, n1, n2, CAST(n AS DOUBLE) AS n, n_cells
+  FROM pair, tx, ty, tot
+), t AS (
+  SELECT *, CASE WHEN sqrt((n*(n-1)/2 - n1)*(n*(n-1)/2 - n2)) > 0
+                 THEN (conc - disc)/sqrt((n*(n-1)/2 - n1)*(n*(n-1)/2 - n2))
+            END AS tau
+  FROM j
+), z AS (
+  SELECT *, CASE WHEN tau IS NOT NULL AND n > 1
+                 THEN 3.0*tau*sqrt(n*(n-1))/sqrt(2.0*(2.0*n + 5)) END AS zv
+  FROM t
+), ph AS (SELECT *, abs(zv) AS az, 1.0/(1.0 + 0.2316419*abs(zv)) AS tt FROM z)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
+       CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant,
+       round(coalesce(tau, 0.0), 6) AS tau_b,
+       round(coalesce(zv, 0.0), 6) AS z_stat,
+       round(CASE WHEN zv IS NULL THEN 1.0
+                  ELSE least(2.0*(exp(-az*az/2.0)/2.5066282746310002)
+                    *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+                       + tt*(-1.821255978 + tt*1.330274429))))), 1.0)
+             END, 6) AS p_value
+FROM ph
+"""
+
     return o
 
 
@@ -10550,6 +10681,8 @@ EXTRA_QUERIES: list[str] = [
     "ml_pca2",
     "rec_item_cf",
     "graph_kcore",
+    "ml_logreg",
+    "stats_kendall_tau",
 ]
 
 

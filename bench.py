@@ -335,6 +335,10 @@ BENCH_QUERIES = [
     "rec_item_cf",
     # k-core peel membership (8 rounds of degree-trim semi-joins)
     "graph_kcore",
+    # IRLS logistic regression (5 fixed rounds, 9-moment aggregations)
+    "ml_logreg",
+    # Kendall tau-b concordance over the checkpointed cell table
+    "stats_kendall_tau",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

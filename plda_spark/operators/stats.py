@@ -81,6 +81,8 @@ __all__ = [
     "two_proportion_ztest",
     "ols2",
     "pca2_summary",
+    "logreg2",
+    "kendall_tau",
 ]
 
 
@@ -3414,4 +3416,241 @@ def pca2_summary(
         F.round(evr, 6).alias("evr1"),
         F.round(ux2, 6).alias("pc1_x"),
         F.round(uy2, 6).alias("pc1_y"),
+    )
+
+
+def _solve3_sym(a11, a12, a13, a22, a23, a33, c1, c2, c3):
+    """Cramer's-rule solve of the symmetric 3×3 system ``A·b = c`` in
+    plain Python floats, written as ONE fixed expression tree so the
+    oracle can replay the identical IEEE arithmetic as SQL text (the
+    :func:`logreg2` iteration contract).  Raises on a singular
+    system."""
+    det = (
+        a11 * (a22 * a33 - a23 * a23)
+        - a12 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * a23 - a22 * a13)
+    )
+    # relative test: exact collinearity leaves det at pure float-
+    # cancellation noise (~1e-16 of the diagonal mass), never exact 0
+    if abs(det) <= 1e-10 * (abs(a11 * a22 * a33) + 1e-300):
+        raise ValueError("singular IRLS system (collinear features?)")
+    b0 = (
+        c1 * (a22 * a33 - a23 * a23)
+        - a12 * (c2 * a33 - a23 * c3)
+        + a13 * (c2 * a23 - a22 * c3)
+    ) / det
+    b1 = (
+        a11 * (c2 * a33 - a23 * c3)
+        - c1 * (a12 * a33 - a23 * a13)
+        + a13 * (a12 * c3 - c2 * a13)
+    ) / det
+    b2 = (
+        a11 * (a22 * c3 - c2 * a23)
+        - a12 * (a12 * c3 - c2 * a13)
+        + c1 * (a12 * a23 - a22 * a13)
+    ) / det
+    return b0, b1, b2
+
+
+def logreg2(
+    df: DataFrame,
+    x1_col: str,
+    x2_col: str,
+    label_col: str,
+    n_iter: int = 5,
+) -> DataFrame:
+    """Two-feature logistic regression by IRLS (iteratively reweighted
+    least squares — Newton-Raphson on the Bernoulli log-likelihood,
+    the textbook GLM fit), run for EXACTLY ``n_iter`` rounds: each
+    round is ONE map-side-combined aggregation of 9 weighted moments,
+    then a 3×3 Cramer solve on the driver — scalars only, the
+    :func:`~plda_spark.operators.events.markov_attribution` bounded-
+    driver-traffic contract.  The distributed sibling of :func:`ols2`:
+    same "model fit = aggregation passes" shape, ``n_iter`` passes
+    instead of one.
+
+    Engine-replayability: coefficients are rounded to 7 decimals
+    after every solve, which RESYNCHRONIZES the two engines each
+    round (their aggregation sums differ in the last ~1e-12 by
+    addition order; the rounding absorbs it), and ``μ`` is clamped to
+    [1e-6, 1−1e-6] before the weight so no row degenerates.  Newton
+    converges quadratically — 5 rounds reach the 7-decimal fixpoint
+    for any non-pathological fit (verified in tests); a converged
+    round is a no-op, exactly the :func:`~plda_spark.operators.graph.
+    kcore` fixed-budget contract.  Labels must be 0/1 (pre-checked,
+    one cheap aggregation).
+
+    Returns ONE row ``(n, b0, b1, b2, log_lik)``: the coefficients
+    carry their exact 7-decimal-synced doubles (re-rounding them
+    would only add a boundary layer), ``log_lik`` is the final
+    Bernoulli log-likelihood rounded to 6.
+
+    Scale shape: ``n_iter + 2`` aggregation passes over the data
+    (label check, the rounds, the likelihood), each one shuffle of
+    9 scalar partials.  Nothing else moves."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    x1 = F.col(x1_col).cast("double")
+    x2 = F.col(x2_col).cast("double")
+    y = F.col(label_col).cast("double")
+    clean = df.where(
+        x1.isNotNull() & x2.isNotNull() & y.isNotNull()
+    ).select(x1.alias("x1"), x2.alias("x2"), y.alias("y"))
+    bad = clean.agg(
+        F.sum(((F.col("y") != 0) & (F.col("y") != 1)).cast("long")).alias("b")
+    ).first()["b"]
+    if bad:
+        raise ValueError(
+            f"logreg2: {label_col!r} has {bad} values outside {{0, 1}}"
+        )
+    b0 = b1 = b2 = 0.0
+    for _ in range(n_iter):
+        eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+        mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+        mu = F.greatest(F.least(mu, F.lit(1.0 - 1e-6)), F.lit(1e-6))
+        w = mu * (F.lit(1.0) - mu)
+        z = eta + (F.col("y") - mu) / w
+        r = clean.agg(
+            F.sum(w).alias("a11"),
+            F.sum(w * F.col("x1")).alias("a12"),
+            F.sum(w * F.col("x2")).alias("a13"),
+            F.sum(w * F.col("x1") * F.col("x1")).alias("a22"),
+            F.sum(w * F.col("x1") * F.col("x2")).alias("a23"),
+            F.sum(w * F.col("x2") * F.col("x2")).alias("a33"),
+            F.sum(w * z).alias("c1"),
+            F.sum(w * F.col("x1") * z).alias("c2"),
+            F.sum(w * F.col("x2") * z).alias("c3"),
+        ).first()
+        nb0, nb1, nb2 = _solve3_sym(
+            r["a11"], r["a12"], r["a13"], r["a22"], r["a23"], r["a33"],
+            r["c1"], r["c2"], r["c3"],
+        )
+        b0, b1, b2 = round(nb0, 7), round(nb1, 7), round(nb2, 7)
+    eta = F.lit(b0) + F.lit(b1) * F.col("x1") + F.lit(b2) * F.col("x2")
+    mu = F.lit(1.0) / (F.lit(1.0) + F.exp(-eta))
+    mu = F.greatest(F.least(mu, F.lit(1.0 - 1e-6)), F.lit(1e-6))
+    return clean.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(
+            F.col("y") * F.log(mu)
+            + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - mu)
+        ).alias("__ll"),
+    ).select(
+        F.col("__n").cast("long").alias("n"),
+        F.lit(b0).alias("b0"),
+        F.lit(b1).alias("b1"),
+        F.lit(b2).alias("b2"),
+        F.round("__ll", 6).alias("log_lik"),
+    )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 2000,
+) -> DataFrame:
+    """Kendall's τ-b rank correlation — the third member of the
+    correlation family (:func:`correlation_matrix` = linear,
+    :func:`spearman_corr` = monotone via ranks, THIS = monotone via
+    pair concordance, the most outlier-robust and the one with a
+    direct probabilistic reading: P(concordant) − P(discordant)).
+
+    Computed over the PRE-AGGREGATED ``(x, y)`` cell table: concordant
+    ``C = Σ c_i·c_j`` over cell pairs strictly increasing in both
+    coordinates, discordant mirrored, tie corrections from the
+    marginal totals; ``τ_b = (C − D)/√((n₀−n₁)(n₀−n₂))``.  The
+    two-sided p uses the NO-TIES normal approximation ``z =
+    3τ√(n(n−1)) / √(2(2n+5))`` (Kendall 1938) through the shared Φ
+    polynomial — stated: with heavy ties it is conservative; the
+    exact tie-aware variance is not replayable arithmetic.
+
+    Scale shape: one (x, y) count aggregation (map-side combined),
+    then a BOUNDED |cells|² pair comparison over the aggregated frame
+    — the :func:`trend_tests` contract (its C(|days|, 2) slope pairs),
+    ENFORCED by a ``max_cells`` pre-check (``approx_count_distinct``
+    of the cell struct): quantize continuous columns upstream, exactly
+    like the KS/Kruskal families.  Returns ONE row ``(n, n_cells,
+    concordant, discordant, tau_b, z_stat, p_value)`` rounded to 6."""
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    clean = df.where(x.isNotNull() & y.isNotNull()).select(
+        x.alias("x"), y.alias("y")
+    )
+    ndv = clean.agg(
+        F.approx_count_distinct(F.struct("x", "y")).alias("__ndv")
+    ).first()["__ndv"]
+    if ndv > max_cells:
+        raise ValueError(
+            f"kendall_tau: ~{ndv} distinct (x, y) cells > max_cells="
+            f"{max_cells}; quantize upstream (the concordance pass is "
+            "|cells|^2 BY DESIGN)."
+        )
+    # materialize the ≤max_cells-row cell table ONCE: it is referenced
+    # five times below (pairs twice, both marginals, totals) and
+    # without the eager checkpoint each reference would re-scan the
+    # raw data — the MMR candidate-list discipline
+    cells = (
+        clean.groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("c").alias("ca")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("c").alias("cb")
+    )
+    pair = a.join(b, F.col("xa") < F.col("xb")).agg(
+        F.sum(
+            F.when(F.col("ya") < F.col("yb"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0))
+        ).alias("conc"),
+        F.sum(
+            F.when(F.col("ya") > F.col("yb"), F.col("ca") * F.col("cb"))
+            .otherwise(F.lit(0))
+        ).alias("disc"),
+    )
+    tx = cells.groupBy("x").agg(F.sum("c").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n1")
+    )
+    ty = cells.groupBy("y").agg(F.sum("c").alias("t")).agg(
+        F.sum(F.col("t") * (F.col("t") - 1) / 2).alias("n2")
+    )
+    tot = cells.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_cells")
+    )
+    j = (
+        pair.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    n0 = n * (n - 1) / 2
+    denom = F.sqrt(
+        (n0 - F.col("n1")) * (n0 - F.col("n2"))
+    )
+    tau = F.when(
+        denom > 0, (F.col("conc") - F.col("disc")) / denom
+    )
+    staged = j.withColumn("__tau", tau)
+    z = F.when(
+        F.col("__tau").isNotNull() & (n > 1),
+        F.lit(3.0)
+        * F.col("__tau")
+        * F.sqrt(n * (n - 1))
+        / F.sqrt(F.lit(2.0) * (F.lit(2.0) * n + 5)),
+    )
+    staged2 = staged.withColumn("__z", z)
+    p = F.when(F.col("__z").isNull(), F.lit(1.0)).otherwise(
+        F.least(_two_sided_normal_p(F.abs(F.col("__z"))), F.lit(1.0))
+    )
+    return staged2.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_cells").cast("long").alias("n_cells"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.round(F.coalesce(F.col("__tau"), F.lit(0.0)), 6).alias("tau_b"),
+        F.round(F.coalesce(F.col("__z"), F.lit(0.0)), 6).alias("z_stat"),
+        F.round(p, 6).alias("p_value"),
     )

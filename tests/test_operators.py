@@ -5608,3 +5608,91 @@ def test_kcore_semantics(spark):
         graph.kcore(df, k=0)
     with _pytest.raises(ValueError):
         graph.kcore(df, k=2, n_rounds=0)
+
+
+def test_logreg2_and_kendall_semantics(spark):
+    """logreg2 reproduces an independently-coded numpy IRLS with the
+    identical 7-decimal per-round resync (bitwise-equal coefficients),
+    validates 0/1 labels, and raises on a singular (collinear) system.
+    kendall_tau hits +/-1 on perfect monotone data, matches the brute
+    O(n^2) concordance count on noisy data, and enforces max_cells."""
+    import numpy as np
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    rng = np.random.RandomState(11)
+    x1 = rng.uniform(-2, 2, 300)
+    x2 = rng.uniform(-1, 1, 300)
+    p = 1 / (1 + np.exp(-(0.5 + 1.2 * x1 - 0.8 * x2)))
+    y = (rng.uniform(size=300) < p).astype(float)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 double, x2 double, y double",
+    )
+    r = stats.logreg2(df, "x1", "x2", "y", n_iter=5).first()
+
+    b = np.zeros(3)
+    for _ in range(5):
+        eta = b[0] + b[1] * x1 + b[2] * x2
+        mu = np.clip(1 / (1 + np.exp(-eta)), 1e-6, 1 - 1e-6)
+        w = mu * (1 - mu)
+        z = eta + (y - mu) / w
+        A = np.array([
+            [w.sum(), (w * x1).sum(), (w * x2).sum()],
+            [(w * x1).sum(), (w * x1 * x1).sum(), (w * x1 * x2).sum()],
+            [(w * x2).sum(), (w * x1 * x2).sum(), (w * x2 * x2).sum()],
+        ])
+        c = np.array([(w * z).sum(), (w * x1 * z).sum(), (w * x2 * z).sum()])
+        b = np.round(np.linalg.solve(A, c), 7)
+    assert (r["b0"], r["b1"], r["b2"]) == (b[0], b[1], b[2])
+    eta = b[0] + b[1] * x1 + b[2] * x2
+    mu = np.clip(1 / (1 + np.exp(-eta)), 1e-6, 1 - 1e-6)
+    assert r["log_lik"] == round(float((y * np.log(mu) + (1 - y) * np.log(1 - mu)).sum()), 6)
+    assert r["n"] == 300
+    # signs recover the planted model
+    assert r["b1"] > 0 and r["b2"] < 0
+
+    with _pytest.raises(ValueError, match="outside"):
+        bad = spark.createDataFrame(
+            [(1.0, 1.0, 2.0)], "x1 double, x2 double, y double"
+        )
+        stats.logreg2(bad, "x1", "x2", "y")
+    with _pytest.raises(ValueError, match="singular"):
+        col = spark.createDataFrame(
+            [(float(a), float(3 * a), float(t)) for a, t in zip(x1, y)],
+            "x1 double, x2 double, y double",
+        )
+        stats.logreg2(col, "x1", "x2", "y")
+    with _pytest.raises(ValueError):
+        stats.logreg2(df, "x1", "x2", "y", n_iter=0)
+
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(10)], "x double, y double"
+    )
+    rm = stats.kendall_tau(mono, "x", "y").first()
+    assert rm["tau_b"] == 1.0 and rm["p_value"] < 0.01
+    rev = spark.createDataFrame(
+        [(float(i), float(-i)) for i in range(10)], "x double, y double"
+    )
+    assert stats.kendall_tau(rev, "x", "y").first()["tau_b"] == -1.0
+
+    xs = rng.randint(0, 6, 200).astype(float)
+    ys = (xs + rng.randint(0, 4, 200)).astype(float)
+    dfk = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(xs, ys)], "x double, y double"
+    )
+    rk = stats.kendall_tau(dfk, "x", "y").first()
+    dx = np.sign(xs[:, None] - xs[None, :])
+    dy = np.sign(ys[:, None] - ys[None, :])
+    iu = np.triu_indices(200, 1)
+    C = int(((dx * dy)[iu] > 0).sum())
+    D = int(((dx * dy)[iu] < 0).sum())
+    assert rk["concordant"] == C and rk["discordant"] == D
+    n0 = 200 * 199 / 2
+    n1 = sum(t * (t - 1) / 2 for t in np.bincount(xs.astype(int)))
+    n2 = sum(t * (t - 1) / 2 for t in np.bincount(ys.astype(int)))
+    assert rk["tau_b"] == round((C - D) / np.sqrt((n0 - n1) * (n0 - n2)), 6)
+
+    with _pytest.raises(ValueError, match="max_cells"):
+        stats.kendall_tau(dfk, "x", "y", max_cells=3)

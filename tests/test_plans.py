@@ -1066,3 +1066,35 @@ def test_item_item_cf_broadcasts_supports(spark):
     assert s["broadcast_hash_joins"] >= 3  # cap + 2 support joins
     assert "hashpartitioning(item" in plan  # the rank window key
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kendall_pairs_over_checkpointed_cells(spark):
+    """kendall_tau's |cells|^2 comparison must run over the ONE
+    materialized cell table — the returned plan reads the checkpoint
+    (no parquet scan at all), and the theta join is the documented
+    bounded nested loop over aggregated rows, never raw data."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_kendall_tau"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    plan = s["plan"]
+    assert s["scans"] == 0, s["scans"]  # all inputs are the checkpoint
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_logreg_result_is_one_final_aggregation(spark):
+    """logreg2's returned frame is the final likelihood pass alone:
+    one parquet scan, literal coefficients, no join/window/Python
+    (the 5 IRLS rounds already ran eagerly as scalar-only jobs)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["ml_logreg"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert s["scans"] == 2  # tree + details: ONE physical scan
+    assert "Join" not in plan and "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

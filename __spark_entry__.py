@@ -4953,6 +4953,82 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_kendall_tau"] = stats_kendall_tau
 
+    def stats_cochran_armitage(spark, sf):
+        """Cochran-Armitage trend of purchase share across hour-of-day
+        (operators/stats.py cochran_armitage — Armitage 1955): the
+        ORDERED-score member of the categorical family (chi2 asks
+        'any association?'; this tests the linear-in-score dose-
+        response directly).  ONE score-keyed aggregation, scalar
+        arithmetic on the 24-row frame."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").select(
+            F.hour("ts").alias("hod"),
+            (F.col("event_type") == "purchase").cast("int").alias("is_p"),
+        )
+        return stats.cochran_armitage(ev, "hod", "is_p")
+
+    q["stats_cochran_armitage"] = stats_cochran_armitage
+
+    def events_ab_power(spark, sf):
+        """Minimum-detectable-effect readout for the SAME experiment
+        events_abtest judges (operators/stats.py ab_power_mde, Fleiss
+        sizing formula at alpha=0.05 / power=0.8): an insignificant
+        A/B verdict with an MDE above the lift you care about is an
+        UNDERPOWERED test, not a null result.  Same md5 assignment,
+        same one-row-per-user conversion dedup, one conditional
+        aggregation."""
+        from plda_spark.operators import stats
+        from plda_spark.operators.sampling import hash_bucket
+
+        per_user = (
+            load_table(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    (
+                        (F.col("event_type") == "purchase")
+                        & (F.col("value") > 100)
+                    ).cast("int")
+                ).alias("converted")
+            )
+        )
+        assigned = per_user.select(
+            F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            "converted",
+        )
+        return stats.ab_power_mde(
+            assigned, "variant", "converted", "A", "B"
+        )
+
+    q["events_ab_power"] = events_ab_power
+
+    def join_asof_nearest(spark, sf):
+        """NEAREST as-of join (operators/joins.py as_of_join,
+        direction='nearest' — the third pandas merge_asof direction,
+        previously untested by the hash gate): each purchase picks the
+        same user's CLOSEST view in time, backward winning exact ties.
+        Still ONE shuffle of |L|+|R| rows — both scans ride the same
+        key partitioning."""
+        from plda_spark.operators import joins
+
+        ev = load_table(spark, sf, "events")
+        purchases = ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"), "user_id", "ts"
+        )
+        views = (
+            ev.where(F.col("event_type") == "view")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("view_id"))
+        )
+        return joins.as_of_join(
+            purchases, views, on="user_id", direction="nearest"
+        )
+
+    q["join_asof_nearest"] = join_asof_nearest
+
     return q
 
 
@@ -10344,6 +10420,103 @@ FROM mf, b{_lr_iters} b GROUP BY b.b0, b.b1, b.b2
 
     # Same cell aggregation, same strict-inequality pair mass, same
     # marginal tie corrections, same Kendall-1938 z and Φ.
+    # Same score-keyed counts, same T / Var0 identities, same Φ.
+    o["stats_cochran_armitage"] = """
+WITH per AS (
+  SELECT CAST(hour(ts) AS DOUBLE) AS s, count(*) AS ni,
+         sum(CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END) AS ri
+  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1
+), agg AS (
+  SELECT count(*) AS k, sum(ni) AS n, sum(ri) AS r,
+         sum(ri*s) AS rs, sum(ni*s) AS ns, sum(ni*s*s) AS ns2
+  FROM per
+), c AS (
+  SELECT k, n, r, rs - r*ns/n AS t,
+         CASE WHEN (r/n)*(1.0 - r/n)*(ns2 - ns*ns/n) > 0
+              THEN greatest((r/n)*(1.0 - r/n)*(ns2 - ns*ns/n), 0.0)
+         END AS v
+  FROM agg
+), z AS (
+  SELECT *, CASE WHEN v IS NOT NULL THEN t/sqrt(v) END AS zv FROM c
+), ph AS (SELECT *, abs(zv) AS az, 1.0/(1.0 + 0.2316419*abs(zv)) AS tt FROM z)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       CAST(r AS BIGINT) AS n_success,
+       round(t, 6) AS t_stat,
+       round(coalesce(zv, 0.0), 6) AS z_stat,
+       round(CASE WHEN zv IS NULL THEN 1.0
+                  ELSE least(2.0*(exp(-az*az/2.0)/2.5066282746310002)
+                    *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+                       + tt*(-1.821255978 + tt*1.330274429))))), 1.0)
+             END, 6) AS p_value
+FROM ph
+"""
+
+    # Same per-user dedup + md5 assignment as events_abtest, the
+    # Fleiss MDE identity with the z-grid literal sum.
+    o["events_ab_power"] = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 100
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+), assigned AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(converted AS DOUBLE) AS s
+  FROM per_user
+), agg AS (
+  SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+         sum(s) AS c
+  FROM assigned
+), r AS (
+  SELECT n_a, n_b, c/(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS p
+  FROM agg
+), s AS (
+  SELECT *, sqrt(p*(1.0 - p)*(1.0/n_a + 1.0/n_b)) AS se FROM r
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(p, 6) AS pooled_rate, round(se, 6) AS se,
+       round((1.959963984540054 + 0.8416212335729143)*se, 6) AS mde_abs,
+       round(CASE WHEN p > 0
+                  THEN (1.959963984540054 + 0.8416212335729143)*se/p
+             END, 6) AS mde_rel
+FROM s
+"""
+
+    # Nearest = the closer of the backward/forward ASOF picks,
+    # backward winning exact ties (the operator's pandas semantics).
+    o["join_asof_nearest"] = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, ts FROM events
+  WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT user_id, ts, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+),
+b AS (
+  SELECT p.purchase_id, p.user_id, p.ts, v.ts AS bts, v.view_id AS bid
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+),
+f AS (
+  SELECT p.purchase_id, v.ts AS fts, v.view_id AS fid
+  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts
+)
+SELECT b.purchase_id, b.user_id, b.ts,
+       CASE WHEN bts IS NULL THEN fts
+            WHEN fts IS NULL THEN bts
+            WHEN (b.ts - bts) <= (fts - b.ts) THEN bts ELSE fts
+       END AS right_ts,
+       CASE WHEN bts IS NULL THEN fid
+            WHEN fts IS NULL THEN bid
+            WHEN (b.ts - bts) <= (fts - b.ts) THEN bid ELSE fid
+       END AS right_view_id
+FROM b JOIN f USING (purchase_id)
+"""
+
     o["stats_kendall_tau"] = """
 WITH clean AS (
   SELECT CAST(hour(ts) AS DOUBLE) AS x,
@@ -10683,6 +10856,9 @@ EXTRA_QUERIES: list[str] = [
     "graph_kcore",
     "ml_logreg",
     "stats_kendall_tau",
+    "stats_cochran_armitage",
+    "events_ab_power",
+    "join_asof_nearest",
 ]
 
 

@@ -339,6 +339,12 @@ BENCH_QUERIES = [
     "ml_logreg",
     # Kendall tau-b concordance over the checkpointed cell table
     "stats_kendall_tau",
+    # Cochran-Armitage ordered-score trend (one keyed aggregation)
+    "stats_cochran_armitage",
+    # A/B minimum-detectable-effect readout (Fleiss sizing)
+    "events_ab_power",
+    # nearest-direction as-of join (both scans on one key shuffle)
+    "join_asof_nearest",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -83,6 +83,8 @@ __all__ = [
     "pca2_summary",
     "logreg2",
     "kendall_tau",
+    "cochran_armitage",
+    "ab_power_mde",
 ]
 
 
@@ -3653,4 +3655,153 @@ def kendall_tau(
         F.round(F.coalesce(F.col("__tau"), F.lit(0.0)), 6).alias("tau_b"),
         F.round(F.coalesce(F.col("__z"), F.lit(0.0)), 6).alias("z_stat"),
         F.round(p, 6).alias("p_value"),
+    )
+
+
+def cochran_armitage(
+    df: DataFrame,
+    score_col: str,
+    success_col: str,
+) -> DataFrame:
+    """Cochran-Armitage trend test — "does the SUCCESS RATE trend with
+    this ordered score?" (dose-response across ordinal buckets: spend
+    tier, hour of day, cohort age).  The ORDERED-groups member of the
+    categorical family: :func:`chi2_independence` asks "any
+    association?" and burns power on non-monotone patterns; this
+    tests the linear-in-score alternative directly (Armitage 1955).
+
+    From one (score) aggregation of ``(n_i, r_i)``: ``T = Σ r_i·s_i −
+    R·(Σ n_i·s_i)/N``, ``Var₀ = p̂(1−p̂)·[Σ n_i·s_i² − (Σ n_i·s_i)²/N]``
+    with ``p̂ = R/N``, ``z = T/√Var₀``, two-sided p via the shared Φ
+    polynomial.  ``success_col`` must be 0/1 per row.  Returns ONE row
+    ``(k, n, n_success, t_stat, z_stat, p_value)`` rounded to 6.
+
+    Scale shape: ONE map-side-combined aggregation keyed by score,
+    then scalar arithmetic over the k-row frame — the
+    :func:`anova_f` contract."""
+    s = F.col(score_col).cast("double")
+    y = F.col(success_col).cast("double")
+    per = (
+        df.where(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("ni"),
+            F.sum(y).alias("ri"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ni").alias("n"),
+        F.sum("ri").alias("r"),
+        F.sum(F.col("ri") * F.col("s")).alias("__rs"),
+        F.sum(F.col("ni") * F.col("s")).alias("__ns"),
+        F.sum(F.col("ni") * F.col("s") * F.col("s")).alias("__ns2"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("r") / n
+    t = F.col("__rs") - F.col("r") * F.col("__ns") / n
+    var0 = (
+        p
+        * (F.lit(1.0) - p)
+        * (F.col("__ns2") - F.col("__ns") * F.col("__ns") / n)
+    )
+    staged = agg.select(
+        "k",
+        "n",
+        "r",
+        t.alias("__t"),
+        F.when(var0 > 0, F.greatest(var0, F.lit(0.0))).alias("__v"),
+    )
+    z = F.when(
+        F.col("__v").isNotNull(), F.col("__t") / F.sqrt(F.col("__v"))
+    )
+    staged2 = staged.withColumn("__z", z)
+    pv = F.when(F.col("__z").isNull(), F.lit(1.0)).otherwise(
+        F.least(_two_sided_normal_p(F.abs(F.col("__z"))), F.lit(1.0))
+    )
+    return staged2.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.col("r").cast("long").alias("n_success"),
+        F.round("__t", 6).alias("t_stat"),
+        F.round(F.coalesce(F.col("__z"), F.lit(0.0)), 6).alias("z_stat"),
+        F.round(pv, 6).alias("p_value"),
+    )
+
+
+# Two-sided z_{1-alpha/2} and one-sided z_{power} for the supported
+# grid — a general inverse Φ is not engine-replayable arithmetic, so
+# ab_power_mde accepts exactly these (the values every power table
+# prints; extend the dict if you need another row).
+_Z_ALPHA = {0.01: 2.5758293035489004, 0.05: 1.959963984540054,
+            0.1: 1.6448536269514722}
+_Z_POWER = {0.8: 0.8416212335729143, 0.9: 1.2815515655446004,
+            0.95: 1.6448536269514722}
+
+
+def ab_power_mde(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    variant_a,
+    variant_b,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Minimum detectable effect of the CURRENT experiment — the
+    planning readout next to :func:`two_proportion_ztest`'s verdict:
+    "with this traffic and this base rate, how small a lift could
+    this test even see at (α, power)?"  A non-significant A/B result
+    with an MDE far above the lift you care about is an UNDERPOWERED
+    test, not evidence of no effect — this is the operator that
+    catches that misreading.
+
+    ``MDE_abs = (z_{1−α/2} + z_{power}) · √(p̂(1−p̂)(1/n_a + 1/n_b))``
+    with the pooled ``p̂`` (the standard normal-approximation sizing
+    formula, e.g. Fleiss, Statistical Methods for Rates and
+    Proportions).  α and power must come from the supported grid
+    (module constants ``_Z_ALPHA`` / ``_Z_POWER``) — a general
+    inverse Φ is not replayable arithmetic.  ``success_col`` must be
+    one 0/1 row per experiment unit (the
+    :func:`two_proportion_ztest` contract).  Returns ONE row ``(n_a,
+    n_b, pooled_rate, se, mde_abs, mde_rel)`` rounded to 6.
+
+    Scale shape: ONE conditional aggregation; scalar arithmetic
+    after."""
+    if alpha not in _Z_ALPHA:
+        raise ValueError(
+            f"alpha must be one of {sorted(_Z_ALPHA)}, got {alpha}"
+        )
+    if power not in _Z_POWER:
+        raise ValueError(
+            f"power must be one of {sorted(_Z_POWER)}, got {power}"
+        )
+    zsum = _Z_ALPHA[alpha] + _Z_POWER[power]
+    a = F.col(variant_col) == F.lit(variant_a)
+    b = F.col(variant_col) == F.lit(variant_b)
+    sv = F.col(success_col).cast("double")
+    agg = df.where(a | b).agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum(b.cast("long")).alias("n_b"),
+        F.sum(F.when(a | b, sv).otherwise(F.lit(0.0))).alias("c"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    p = F.col("c") / (na + nb)
+    staged = agg.select("n_a", "n_b", p.alias("__p"))
+    se = F.sqrt(
+        F.col("__p")
+        * (F.lit(1.0) - F.col("__p"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    staged2 = staged.withColumn("__se", se)
+    mde = F.lit(zsum) * F.col("__se")
+    return staged2.select(
+        "n_a",
+        "n_b",
+        F.round("__p", 6).alias("pooled_rate"),
+        F.round("__se", 6).alias("se"),
+        F.round(mde, 6).alias("mde_abs"),
+        F.round(
+            F.when(F.col("__p") > 0, mde / F.col("__p")), 6
+        ).alias("mde_rel"),
     )

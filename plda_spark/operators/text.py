@@ -35,6 +35,7 @@ __all__ = [
     "lm_score_kn3",
     "dedup_paragraphs",
     "split_sentences",
+    "textrank_sentences",
     "normalize_unicode",
     "fix_double_encoding",
     "fingerprint",
@@ -1698,4 +1699,147 @@ def vocab_richness(
         F.round(F.col("n_types") / F.col("n_tokens"), 6).alias("ttr"),
         F.round(chao1, 6).alias("chao1"),
         F.round(F.lit(1.0) - f1 / F.col("n_tokens"), 6).alias("gt_coverage"),
+    )
+
+
+def textrank_sentences(
+    docs: DataFrame,
+    n_iter: int = 3,
+    top_k: int = 2,
+    damping: float = 0.85,
+    max_sentences: int = 500,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank extractive summarization (Mihalcea & Tarau, EMNLP'04):
+    rank each document's sentences by weighted in-document PageRank
+    over the sentence-similarity graph and keep the top ``top_k`` — a
+    key-sentence selector for snippet generation and training-data
+    distillation, built entirely from primitives this engine already
+    hash-gates (:func:`split_sentences`, :func:`tokens_col`, the
+    pagerank iteration shape).
+
+    Similarity is the paper's ``|overlap| / (ln|S_i| + ln|S_j|)`` over
+    DISTINCT-token sentence sets (zero/undefined denominators drop the
+    edge); scores iterate ``WS = (1−d) + d·Σ_j w_ji/outw_j · WS_j``
+    from 1.0 for EXACTLY ``n_iter`` rounds — the fixed-budget
+    replayability contract of :func:`~plda_spark.operators.graph.
+    kcore` (the DuckDB oracle unrolls identical rounds); isolated
+    sentences settle at ``1−d``.  Ties rank by sentence position.
+    Returns ``(doc_id, sent_idx, n_tok, score, rank, digest)`` with
+    score rounded to 6 and ``digest = md5(sentence)``.
+
+    Scale shape: the overlap join is keyed ``(doc, token)`` — per-doc
+    quadratic in sentences sharing a word, THE skew point, capped by
+    dropping docs over ``max_sentences`` (default 500; pass more
+    only knowing per-doc cost is sentences²-bounded).  The edge +
+    out-strength frames are eagerly checkpointed once (the
+    :func:`~plda_spark.operators.graph.pagerank` persistence
+    discipline) so the ``n_iter`` joins never recompute the overlap;
+    each iteration is one edge-keyed join + one (doc, node)
+    aggregation, the Pregel shape."""
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    sents = split_sentences(docs, text_col=text_col, id_col=id_col)
+    st = sents.select(
+        "doc_id",
+        "sent_idx",
+        F.array_distinct(tokens_col("sentence")).alias("__toks"),
+        F.md5(F.col("sentence")).alias("digest"),
+    ).withColumn("n_tok", F.size("__toks")).where(F.col("n_tok") > 0)
+    sizes = st.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__ns"))
+    # materialize the capped sentence frame ONCE: the node spine rides
+    # it through every iteration's left join plus the final digest
+    # join — without this each round re-scans and re-splits the corpus
+    st = st.join(
+        F.broadcast(
+            sizes.where(F.col("__ns") <= max_sentences).select("doc_id")
+        ),
+        "doc_id",
+    ).localCheckpoint(eager=True)
+    nodes = st.select("doc_id", "sent_idx", "n_tok", "digest")
+    tok = st.select(
+        "doc_id", "sent_idx", "n_tok", F.explode("__toks").alias("w")
+    )
+    a = tok.select(
+        "doc_id", F.col("sent_idx").alias("i"), F.col("n_tok").alias("ni"), "w"
+    )
+    b = tok.select(
+        "doc_id", F.col("sent_idx").alias("j"), F.col("n_tok").alias("nj"), "w"
+    )
+    ov = (
+        a.join(b, ["doc_id", "w"])
+        .where(F.col("i") < F.col("j"))
+        .groupBy("doc_id", "i", "j")
+        .agg(
+            F.count(F.lit(1)).alias("__ov"),
+            F.first("ni").alias("__ni"),
+            F.first("nj").alias("__nj"),
+        )
+    )
+    den = F.log(F.col("__ni").cast("double")) + F.log(
+        F.col("__nj").cast("double")
+    )
+    und = ov.where(den > 0).select(
+        "doc_id", "i", "j", (F.col("__ov") / den).alias("wt")
+    )
+    edges = (
+        und.select("doc_id", F.col("i").alias("src"), F.col("j").alias("dst"), "wt")
+        .unionByName(
+            und.select(
+                "doc_id", F.col("j").alias("src"), F.col("i").alias("dst"), "wt"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    outw = edges.groupBy("doc_id", "src").agg(F.sum("wt").alias("__out"))
+    ew = edges.join(outw, ["doc_id", "src"]).localCheckpoint(eager=True)
+    base = 1.0 - damping
+    spine = nodes.select("doc_id", F.col("sent_idx").alias("node"))
+    scores = spine.withColumn("score", F.lit(1.0))
+    for _ in range(n_iter):
+        contrib = (
+            ew.alias("e")
+            .join(
+                scores.alias("s"),
+                (F.col("e.doc_id") == F.col("s.doc_id"))
+                & (F.col("e.src") == F.col("s.node")),
+            )
+            .select(
+                F.col("e.doc_id").alias("doc_id"),
+                F.col("e.dst").alias("node"),
+                (
+                    F.col("e.wt") / F.col("e.__out") * F.col("s.score")
+                ).alias("__c"),
+            )
+            .groupBy("doc_id", "node")
+            .agg(F.sum("__c").alias("__s"))
+        )
+        scores = spine.join(contrib, ["doc_id", "node"], "left").select(
+            "doc_id",
+            "node",
+            (
+                F.lit(base)
+                + F.lit(damping) * F.coalesce(F.col("__s"), F.lit(0.0))
+            ).alias("score"),
+        )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("node").asc()
+    )
+    ranked = (
+        scores.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select("doc_id", F.col("node").alias("sent_idx"), "score", "rank")
+    )
+    return ranked.join(nodes, ["doc_id", "sent_idx"]).select(
+        "doc_id",
+        "sent_idx",
+        "n_tok",
+        F.round("score", 6).alias("score"),
+        "rank",
+        "digest",
     )

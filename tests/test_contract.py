@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (259, 209, 256)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (260, 210, 257)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -144,7 +144,7 @@ SURVEY_LOCATION_PINS = {
     ],
     "plda_spark.operators.text": [
         "token_stats", "lm_score", "rake_keywords", "char_entropy",
-        "vocab_coverage", "vocab_richness",
+        "vocab_coverage", "vocab_richness", "textrank_sentences",
     ],
     "plda_spark.operators.sampling": [
         "stratified_hash_sample", "kcenter_select", "curriculum_order",

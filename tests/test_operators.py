@@ -5781,3 +5781,43 @@ def test_asof_nearest_prefers_closer_and_breaks_ties_backward(spark):
     assert out[2]["right_tag"] == "r12"    # |14-12|=2 < |20-14|=6
     assert out[3]["right_tag"] == "r8"     # no backward → forward
     assert out[4]["right_tag"] is None     # key x has no right rows
+
+
+def test_textrank_semantics(spark):
+    """textrank_sentences: a fully-connected sentence pair settles at
+    the symmetric fixpoint 1.0, an isolated sentence at 1-d, a hub
+    sentence sharing words with every other ranks first, ranks
+    tie-break by position, and the guards raise."""
+    import pytest as _pytest
+
+    from plda_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: hub sentence shares a word with both others, which
+            # share nothing with each other
+            (1, "alpha beta. alpha gamma delta. beta epsilon zeta."),
+            # doc 2: two identical-token sentences (symmetric graph)
+            (2, "red green blue. red green blue."),
+            # doc 3: one isolated sentence after an empty-token one
+            (3, "solo words here."),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.textrank_sentences(docs, n_iter=3, top_k=3)
+    rows = {(r["doc_id"], r["sent_idx"]): r for r in out.collect()}
+
+    assert rows[(2, 0)]["score"] == 1.0 and rows[(2, 1)]["score"] == 1.0
+    assert rows[(2, 0)]["rank"] == 1  # tie -> position order
+    assert rows[(3, 0)]["score"] == round(1.0 - 0.85, 6)
+    hub = rows[(1, 0)]
+    assert hub["rank"] == 1
+    assert hub["score"] > rows[(1, 1)]["score"]
+    assert hub["n_tok"] == 2
+
+    with _pytest.raises(ValueError):
+        text.textrank_sentences(docs, n_iter=0)
+    with _pytest.raises(ValueError):
+        text.textrank_sentences(docs, top_k=0)
+    with _pytest.raises(ValueError):
+        text.textrank_sentences(docs, damping=1.5)

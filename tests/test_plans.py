@@ -1098,3 +1098,22 @@ def test_logreg_result_is_one_final_aggregation(spark):
     assert s["scans"] == 2  # tree + details: ONE physical scan
     assert "Join" not in plan and "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_textrank_iterates_over_checkpointed_edges(spark):
+    """textrank's returned plan must iterate over the CHECKPOINTED
+    edge/out-strength frames (scans of the raw documents appear only
+    for the final digest join spine, not once per round), stay
+    JVM-side, and key the rank window by doc."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["text_textrank"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(doc_id" in plan
+    # every input (sentence frame, edges, out-strengths) is a
+    # checkpoint: the returned plan reads NO parquet at all
+    assert s["scans"] == 0, s["scans"]

@@ -5051,6 +5051,43 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_textrank"] = text_textrank
 
+    def stream_abtest(spark, sf):
+        """Streaming A/B verdict end to end (streaming/windows.py
+        incremental_ab_ledger + abtest_from_ledger): the events table
+        arrives as TWO event_id-parity micro-batch waves (the
+        stream_hist_psi harness), each appending per-user conversion
+        partials to the set-semantics ledger; the readout dedups users
+        across batches with max(converted), md5-assigns variants, and
+        runs the pooled-SE z-test — hash-gated against the IDENTICAL
+        oracle as the batch events_abtest, which is the parity claim."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 100)
+            ).cast("int").alias("converted"),
+        )
+        d = tempfile.mkdtemp(prefix="plda_abtest_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        schema = "event_id long, user_id long, converted int"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        windows.incremental_ab_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            user_col="user_id", success_col="converted",
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_ab_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            user_col="user_id", success_col="converted",
+        )
+        return windows.abtest_from_ledger(spark, state)
+
+    q["stream_abtest"] = stream_abtest
+
     return q
 
 
@@ -10615,6 +10652,11 @@ WHERE r.rank <= 2
 """
     o["text_textrank"] = _tr
 
+    # The streaming twin answers with the SAME numbers as the batch
+    # A/B query — users dedup across micro-batches, so the ledger fold
+    # equals the direct per-user aggregation.
+    o["stream_abtest"] = o["events_abtest"]
+
     o["stats_kendall_tau"] = """
 WITH clean AS (
   SELECT CAST(hour(ts) AS DOUBLE) AS x,
@@ -10958,6 +11000,7 @@ EXTRA_QUERIES: list[str] = [
     "events_ab_power",
     "join_asof_nearest",
     "text_textrank",
+    "stream_abtest",
 ]
 
 

@@ -347,6 +347,8 @@ BENCH_QUERIES = [
     "join_asof_nearest",
     # TextRank key sentences (overlap graph + 3 pagerank rounds)
     "text_textrank",
+    # streaming A/B verdict (two-wave set-semantics conversion ledger)
+    "stream_abtest",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

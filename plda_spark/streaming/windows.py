@@ -47,6 +47,9 @@ __all__ = [
     "hist_ks_from_ledger",
     "enrich",
     "hist_psi_from_ledger",
+    "ab_ledger_partials",
+    "incremental_ab_ledger",
+    "abtest_from_ledger",
 ]
 
 
@@ -1267,4 +1270,105 @@ def hist_psi_from_ledger(
         (fmt(batches_a[0]), fmt(batches_a[1])),
         (fmt(batches_b[0]), fmt(batches_b[1])),
         min_share=min_share,
+    )
+
+
+def ab_ledger_partials(
+    events: DataFrame,
+    user_col: str = "user_id",
+    success_col: str = "converted",
+) -> DataFrame:
+    """Per-user conversion partial of ONE micro-batch — the shared
+    aggregation of :func:`incremental_ab_ledger` and any batch
+    backfill: ``(user, converted=max(success), n_events)``."""
+    return events.groupBy(F.col(user_col).alias("user")).agg(
+        F.max(F.col(success_col).cast("int")).alias("converted"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def incremental_ab_ledger(
+    stream_events: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    user_col: str = "user_id",
+    success_col: str = "converted",
+    timeout_s: float = 300.0,
+) -> None:
+    """Continuously maintain the per-user conversion ledger an A/B
+    readout needs (the streaming twin of the ``events_abtest`` batch
+    pipeline): each micro-batch appends its per-user partials; the
+    experiment verdict is computed at READ time by
+    :func:`abtest_from_ledger`.
+
+    The ledger has SET semantics, not additive semantics: the readout
+    folds ``max(converted)`` per user, which is idempotent — a user
+    re-touched in ten batches, a crash-replayed batch, even a wiped
+    checkpoint re-covering the whole input under a new run_id cannot
+    double-count anyone (the dedup-ledger property; contrast the
+    additive decayed-counts ledger, which must guard generations).
+    Exactly-once still matters for ledger SIZE, so each batch lands as
+    a dynamic overwrite of its ``run_id/batch_id`` partition like
+    every other ledger here.
+
+    ``success_col`` must be a 0/1 (or boolean) per-event flag the
+    caller precomputes — the binomial-unit contract lives in the
+    readout, where users dedup.
+
+    Scale shape: one map-side-combined per-user aggregation per
+    micro-batch; |users-in-batch| slim rows appended; reads touch only
+    the ledger.  Compact with the same cadence as the dedup ledgers
+    when batch count grows."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        token = _query_token(spark, checkpoint_path)
+        partials = ab_ledger_partials(batch, user_col, success_col)
+        _overwrite_batch_partition(partials, state_path, token, batch_id)
+
+    q = (
+        stream_events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def abtest_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    variant_a: str = "A",
+    variant_b: str = "B",
+    buckets: int = 2,
+    run_id_filter: str | None = None,
+) -> DataFrame:
+    """Fold the :func:`incremental_ab_ledger` into the live experiment
+    verdict: per-user ``max(converted)`` across every batch (set
+    semantics — see the writer's docstring for why generations are
+    harmless here), deterministic md5 variant assignment
+    (:func:`~plda_spark.operators.sampling.hash_bucket` — the
+    assignment is a pure function of the user id, so the ledger never
+    stores it), then the pooled-SE two-proportion z-test + Wald CI
+    (:func:`~plda_spark.operators.stats.two_proportion_ztest`).
+
+    One ledger aggregation + one conditional aggregation — the raw
+    event stream is never re-read."""
+    from plda_spark.operators.sampling import hash_bucket
+    from plda_spark.operators.stats import two_proportion_ztest
+
+    ledger = spark.read.parquet(state_path)
+    if run_id_filter is not None:
+        ledger = ledger.where(F.col("run_id") == run_id_filter)
+    per_user = ledger.groupBy("user").agg(
+        F.max("converted").alias("converted")
+    )
+    assigned = per_user.select(
+        F.when(hash_bucket(F.col("user"), buckets) == 0, variant_a)
+        .otherwise(variant_b)
+        .alias("variant"),
+        "converted",
+    )
+    return two_proportion_ztest(
+        assigned, "variant", "converted", variant_a, variant_b
     )

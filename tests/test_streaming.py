@@ -1045,3 +1045,58 @@ def test_incremental_hist_ledger_ks_matches_batch(spark, tmp_path):
     assert p["psi"] == again["psi"]
     zero = windows.hist_psi_from_ledger(spark, state, (0, 1), (0, 1)).first()
     assert zero["psi"] == 0.0
+
+
+def test_incremental_ab_ledger_dedups_users_across_batches(spark, tmp_path):
+    """The conversion ledger has SET semantics: a user converting only
+    in wave 2 counts once with converted=1 (max wins over wave 1's 0),
+    re-touched users don't double-count, and the folded verdict equals
+    the direct batch two-proportion computation over all events."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators.sampling import hash_bucket
+    from plda_spark.operators.stats import two_proportion_ztest
+    from plda_spark.streaming import windows
+
+    rows_w1 = [(1, 100, 0), (2, 101, 0), (3, 102, 1), (4, 103, 0)]
+    rows_w2 = [(5, 100, 1), (6, 101, 0), (7, 104, 0), (8, 102, 0)]
+    schema = "event_id long, user_id long, converted int"
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame(rows_w1, schema).write.mode("append").parquet(src)
+    windows.incremental_ab_ledger(
+        spark.readStream.schema(schema).parquet(src), state, ckpt,
+        user_col="user_id", success_col="converted",
+    )
+    spark.createDataFrame(rows_w2, schema).write.mode("append").parquet(src)
+    windows.incremental_ab_ledger(
+        spark.readStream.schema(schema).parquet(src), state, ckpt,
+        user_col="user_id", success_col="converted",
+    )
+
+    ledger = spark.read.parquet(state)
+    folded = {
+        r["user"]: r["converted"]
+        for r in ledger.groupBy("user")
+        .agg(F.max("converted").alias("converted"))
+        .collect()
+    }
+    # user 100 converted only in wave 2; user 102 only in wave 1; both 1
+    assert folded[100] == 1 and folded[102] == 1
+    assert folded[101] == 0 and folded[103] == 0 and folded[104] == 0
+
+    got = windows.abtest_from_ledger(spark, state).first()
+    all_ev = spark.createDataFrame(rows_w1 + rows_w2, schema)
+    per_user = all_ev.groupBy("user_id").agg(
+        F.max("converted").alias("converted")
+    )
+    assigned = per_user.select(
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    want = two_proportion_ztest(assigned, "variant", "converted", "A", "B").first()
+    assert got.asDict() == want.asDict()

@@ -5088,6 +5088,83 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_abtest"] = stream_abtest
 
+    def stats_by_fdr(spark, sf):
+        """Benjamini-Yekutieli FDR over the SAME one-vs-rest drift
+        screen as stats_bh_fdr (operators/stats.py by_fdr): the
+        one-vs-rest tests share the global moments, so the BH
+        independence assumption is indefensible — BY deflates by the
+        harmonic c(m) and stays valid under arbitrary dependence.
+        |tests| rows end to end."""
+        from plda_spark.operators import stats
+
+        tests = stats.group_mean_shift_tests(
+            load_table(spark, sf, "events"), "event_type", "value"
+        )
+        return stats.by_fdr(tests, "group", "p_value", alpha=0.05)
+
+    q["stats_by_fdr"] = stats_by_fdr
+
+    def events_uplift_segments(spark, sf):
+        """Heterogeneous-treatment-effect screen (operators/stats.py
+        uplift_by_segment): the events_abtest experiment broken out by
+        user-activity segment (min(floor(n_events/25), 3)), pooled-SE
+        z per segment from ONE grouped aggregation, BH-corrected
+        across segments — the overall verdict can hide a lift
+        concentrated in one tier, and k raw segment tests are the
+        multiple-testing trap the q-values close."""
+        from plda_spark.operators import stats
+        from plda_spark.operators.sampling import hash_bucket
+
+        per_user = (
+            load_table(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    (
+                        (F.col("event_type") == "purchase")
+                        & (F.col("value") > 100)
+                    ).cast("int")
+                ).alias("converted"),
+                F.count(F.lit(1)).alias("n_ev"),
+            )
+        )
+        assigned = per_user.select(
+            F.least(F.floor(F.col("n_ev") / 25), F.lit(3))
+            .cast("string")
+            .alias("segment"),
+            F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            "converted",
+        )
+        return stats.uplift_by_segment(
+            assigned, "segment", "variant", "converted", "A", "B"
+        )
+
+    q["events_uplift_segments"] = events_uplift_segments
+
+    def graph_powerlaw(spark, sf):
+        """Degree-distribution power-law MLE (operators/graph.py
+        degree_powerlaw — Clauset/Shalizi/Newman 2009 discrete MLE
+        with the -1/2 correction) at dmin=20 over the same synthetic
+        link graph as graph_pagerank: the scale-free-ness diagnostic
+        to run before trusting hub-sensitive operators.  One degree
+        aggregation + one scalar aggregation."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = (
+            orders.select(
+                (F.col("o_custkey") % 100).alias("src"),
+                (F.col("o_orderkey") % 100).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return graph.degree_powerlaw(e, dmin=20)
+
+    q["graph_powerlaw"] = graph_powerlaw
+
     return q
 
 
@@ -10657,6 +10734,117 @@ WHERE r.rank <= 2
     # equals the direct per-user aggregation.
     o["stream_abtest"] = o["events_abtest"]
 
+    # BY = the BH pipeline with the harmonic c(m) deflation spliced in
+    # before the step-up (the shared prefix is reused verbatim so the
+    # two oracles cannot drift).
+    _bh_prefix = o["stats_bh_fdr"].split("), mono AS (")[0]
+    o["stats_by_fdr"] = _bh_prefix + """), cm AS (
+  SELECT *, sum(1.0/rank) OVER () AS c_m FROM ranked
+), mono AS (
+  SELECT *, least(min(p * m * c_m / rank) OVER (
+           ORDER BY rank DESC ROWS UNBOUNDED PRECEDING), 1.0) AS q
+  FROM cm
+)
+SELECT test, round(p, 6) AS p_value, rank, m, round(c_m, 6) AS c_m,
+       round(q, 6) AS q_value, q <= 0.05 AS reject
+FROM mono
+"""
+
+    # Same per-user dedup + md5 assignment + activity segmentation,
+    # same per-segment pooled z and Φ, same (p, segment)-ranked BH.
+    o["events_uplift_segments"] = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 100
+                  THEN 1 ELSE 0 END) AS converted,
+         count(*) AS n_ev
+  FROM events GROUP BY 1
+), assigned AS (
+  SELECT CAST(CAST(least(floor(n_ev/25), 3) AS BIGINT) AS VARCHAR) AS segment,
+         CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(converted AS DOUBLE) AS s
+  FROM per_user
+), per AS (
+  SELECT segment,
+         sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN variant = 'A' THEN s ELSE 0.0 END) AS c_a,
+         sum(CASE WHEN variant = 'B' THEN s ELSE 0.0 END) AS c_b
+  FROM assigned GROUP BY 1
+), r AS (
+  SELECT segment, n_a, n_b, c_a, c_b,
+         CASE WHEN n_a > 0 THEN c_a/CAST(n_a AS DOUBLE) END AS pa,
+         CASE WHEN n_b > 0 THEN c_b/CAST(n_b AS DOUBLE) END AS pb,
+         CASE WHEN n_a > 0 AND n_b > 0
+              THEN (c_a + c_b)/(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+         END AS pp
+  FROM per
+), z AS (
+  SELECT *,
+    CASE WHEN pp IS NOT NULL
+              AND sqrt(pp*(1.0 - pp)*(1.0/n_a + 1.0/n_b)) > 0
+         THEN (pa - pb)/sqrt(pp*(1.0 - pp)*(1.0/n_a + 1.0/n_b)) END AS zv
+  FROM r
+), ph AS (SELECT *, abs(zv) AS az, 1.0/(1.0 + 0.2316419*abs(zv)) AS tt FROM z),
+pv AS (
+  SELECT *,
+    round(CASE WHEN zv IS NULL THEN 1.0
+               ELSE least(2.0*(exp(-az*az/2.0)/2.5066282746310002)
+                 *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+                    + tt*(-1.821255978 + tt*1.330274429))))), 1.0)
+          END, 6) AS p
+  FROM ph
+), ranked AS (
+  SELECT *, row_number() OVER (ORDER BY p, segment) AS rank,
+         count(*) OVER () AS m
+  FROM pv
+), mono AS (
+  SELECT *, least(min(p * m / rank) OVER (
+           ORDER BY rank DESC ROWS UNBOUNDED PRECEDING), 1.0) AS q
+  FROM ranked
+)
+SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+       round(coalesce(pa, 0.0), 6) AS rate_a,
+       round(coalesce(pb, 0.0), 6) AS rate_b,
+       round(coalesce(pa - pb, 0.0), 6) AS lift,
+       round(coalesce(zv, 0.0), 6) AS z_stat,
+       p AS p_value, round(q, 6) AS q_value, q <= 0.05 AS reject
+FROM mono
+"""
+
+    # Same symmetrize/dedup, same tail log-sum, same MLE identities.
+    o["graph_powerlaw"] = """
+WITH e0 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT o_custkey % 100 AS a, o_orderkey % 100 AS b FROM orders
+    UNION ALL
+    SELECT o_orderkey % 100 AS a, o_custkey % 100 AS b FROM orders)
+  WHERE a <> b
+), deg AS (SELECT a, count(*) AS d FROM e0 GROUP BY 1),
+agg AS (
+  SELECT count(*) AS n_nodes,
+         sum(CASE WHEN d >= 20 THEN 1 ELSE 0 END) AS n_tail,
+         sum(CASE WHEN d >= 20 THEN ln(CAST(d AS DOUBLE)/19.5)
+                  ELSE 0.0 END) AS ls
+  FROM deg
+), c AS (
+  SELECT n_nodes, n_tail,
+         CASE WHEN n_tail > 0 AND ls > 0
+              THEN 1.0 + CAST(n_tail AS DOUBLE)/ls END AS alpha
+  FROM agg
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes, CAST(n_tail AS BIGINT) AS n_tail,
+       CAST(20 AS BIGINT) AS dmin,
+       round(alpha, 6) AS alpha,
+       round(CASE WHEN alpha IS NOT NULL
+                  THEN (alpha - 1)/sqrt(CAST(n_tail AS DOUBLE)) END, 6)
+         AS sigma
+FROM c
+"""
+
     o["stats_kendall_tau"] = """
 WITH clean AS (
   SELECT CAST(hour(ts) AS DOUBLE) AS x,
@@ -11001,6 +11189,9 @@ EXTRA_QUERIES: list[str] = [
     "join_asof_nearest",
     "text_textrank",
     "stream_abtest",
+    "stats_by_fdr",
+    "events_uplift_segments",
+    "graph_powerlaw",
 ]
 
 

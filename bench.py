@@ -349,6 +349,12 @@ BENCH_QUERIES = [
     "text_textrank",
     # streaming A/B verdict (two-wave set-semantics conversion ledger)
     "stream_abtest",
+    # BY dependence-robust FDR over the one-vs-rest screen
+    "stats_by_fdr",
+    # per-segment uplift screen with BH correction
+    "events_uplift_segments",
+    # degree power-law MLE diagnostic (one scalar aggregation)
+    "graph_powerlaw",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -27,6 +27,7 @@ __all__ = [
     "link_prediction",
     "hits",
     "kcore",
+    "degree_powerlaw",
 ]
 
 
@@ -545,4 +546,65 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
         .where(F.col("degree") >= k)
         .select(F.col("a").alias("node"), "degree")
+    )
+
+
+def degree_powerlaw(
+    edges: DataFrame,
+    dmin: int = 10,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Power-law exponent of the degree distribution — the
+    scale-free-ness diagnostic (Clauset, Shalizi & Newman 2009, SIAM
+    Rev. §3.1): the discrete MLE with the −½ continuity correction,
+    ``α̂ = 1 + n_tail / Σ_{d≥dmin} ln(d/(dmin − ½))``, standard error
+    ``σ = (α̂−1)/√n_tail``.  Run it before trusting hub-sensitive
+    operators (:func:`pagerank` skew, :func:`link_prediction`'s wedge
+    caps): α near 2 means extreme hubs, α > 3 means the tail is tame.
+
+    ``dmin`` is a PARAMETER (the paper fits it by KS minimization;
+    that outer loop is a driver-side sweep over this operator —
+    deliberately not fused in, so each evaluation stays one
+    aggregation).  Undirected degrees: edges are symmetrized + deduped
+    like :func:`kcore`.  Returns ONE row ``(n_nodes, n_tail, dmin,
+    alpha, sigma)`` rounded to 6.
+
+    Scale shape: one edge symmetrize + distinct, one (node) degree
+    aggregation, one filtered scalar aggregation — nothing survives
+    past the degree groupBy."""
+    if dmin < 1:
+        raise ValueError(f"dmin must be >= 1, got {dmin}")
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum((F.col("d") >= dmin).cast("long")).alias("n_tail"),
+        F.sum(
+            F.when(
+                F.col("d") >= dmin,
+                F.log(F.col("d").cast("double") / F.lit(dmin - 0.5)),
+            ).otherwise(F.lit(0.0))
+        ).alias("__ls"),
+    )
+    alpha = F.when(
+        (F.col("n_tail") > 0) & (F.col("__ls") > 0),
+        F.lit(1.0) + F.col("n_tail").cast("double") / F.col("__ls"),
+    )
+    staged = agg.withColumn("__alpha", alpha)
+    sigma = F.when(
+        F.col("__alpha").isNotNull(),
+        (F.col("__alpha") - 1) / F.sqrt(F.col("n_tail").cast("double")),
+    )
+    return staged.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_tail").cast("long").alias("n_tail"),
+        F.lit(dmin).cast("long").alias("dmin"),
+        F.round("__alpha", 6).alias("alpha"),
+        F.round(sigma, 6).alias("sigma"),
     )

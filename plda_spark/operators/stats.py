@@ -85,6 +85,8 @@ __all__ = [
     "kendall_tau",
     "cochran_armitage",
     "ab_power_mde",
+    "by_fdr",
+    "uplift_by_segment",
 ]
 
 
@@ -3804,4 +3806,146 @@ def ab_power_mde(
         F.round(
             F.when(F.col("__p") > 0, mde / F.col("__p")), 6
         ).alias("mde_rel"),
+    )
+
+
+def by_fdr(
+    tests: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Benjamini-Yekutieli FDR correction — :func:`bh_fdr` for tests
+    with ARBITRARY dependence (Benjamini & Yekutieli 2001): the same
+    step-up, with the threshold deflated by the harmonic factor
+    ``c(m) = Σ_{i≤m} 1/i``.  Use when the drift tests share data
+    (overlapping windows, one-vs-rest screens reusing the global
+    moments — exactly :func:`group_mean_shift_tests`) and the BH
+    independence/PRDS assumption is indefensible; the price is
+    ~ln(m) conservatism.
+
+    ``q_i = min_{j≥i} p_(j)·m·c(m)/j`` clamped to 1; returns
+    ``(test, p_value, rank, m, c_m, q_value, reject)`` with c_m
+    rounded to 6.
+
+    Scale shape: identical to :func:`bh_fdr` — |tests| rows end to
+    end, two ordered windows over already-aggregated test rows, plus
+    one |tests|-row harmonic-sum window."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    rk = Window.orderBy(F.col("__p").asc(), F.col("__test").asc())
+    staged = tests.select(
+        F.col(test_col).cast("string").alias("__test"),
+        F.col(p_col).cast("double").alias("__p"),
+    ).select(
+        "__test",
+        "__p",
+        F.row_number().over(rk).alias("__rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    cm = F.sum(F.lit(1.0) / F.col("__rank")).over(Window.partitionBy())
+    staged = staged.withColumn("__cm", cm)
+    qraw = F.col("__p") * F.col("__m") * F.col("__cm") / F.col("__rank")
+    staged2 = staged.withColumn("__qraw", qraw)
+    down = Window.orderBy(F.col("__rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = F.least(F.min("__qraw").over(down), F.lit(1.0))
+    staged3 = staged2.withColumn("__q", q)
+    return staged3.select(
+        F.col("__test").alias("test"),
+        F.round("__p", 6).alias("p_value"),
+        F.col("__rank").alias("rank"),
+        F.col("__m").alias("m"),
+        F.round("__cm", 6).alias("c_m"),
+        F.round("__q", 6).alias("q_value"),
+        (F.col("__q") <= F.lit(alpha)).alias("reject"),
+    )
+
+
+def uplift_by_segment(
+    df: DataFrame,
+    segment_col: str,
+    variant_col: str,
+    success_col: str,
+    variant_a,
+    variant_b,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-segment uplift screen — the heterogeneous-treatment-effect
+    readout over an A/B assignment: the overall
+    :func:`two_proportion_ztest` verdict can hide a lift concentrated
+    in one segment (or a harm offsetting a gain); this runs the
+    pooled-SE z-test PER SEGMENT from one grouped aggregation, then
+    :func:`bh_fdr`-corrects across segments — running k segment tests
+    at raw p<α is exactly the multiple-testing trap the q-values
+    close.
+
+    Input is the per-UNIT frame (one 0/1 row per experiment unit, the
+    :func:`two_proportion_ztest` contract) with a segment label.
+    Returns one row per segment: ``(segment, n_a, n_b, conv_a,
+    conv_b, rate_a, rate_b, lift, z_stat, p_value, q_value,
+    reject)``.
+
+    Scale shape: ONE segment-keyed conditional aggregation (map-side
+    combined), scalar z/p arithmetic on the |segments|-row frame, and
+    the |segments|-row BH windows.  Degenerate segments (a variant
+    absent, or pooled rate 0/1) carry z=0, p=1 rather than NULLs so
+    the BH step stays total."""
+    a = F.col(variant_col) == F.lit(variant_a)
+    b = F.col(variant_col) == F.lit(variant_b)
+    s = F.col(success_col).cast("double")
+    per = (
+        df.where(a | b)
+        .groupBy(F.col(segment_col).cast("string").alias("segment"))
+        .agg(
+            F.sum(a.cast("long")).alias("n_a"),
+            F.sum(b.cast("long")).alias("n_b"),
+            F.sum(F.when(a, s).otherwise(F.lit(0.0))).alias("c_a"),
+            F.sum(F.when(b, s).otherwise(F.lit(0.0))).alias("c_b"),
+        )
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    pa = F.when(F.col("n_a") > 0, F.col("c_a") / na)
+    pb = F.when(F.col("n_b") > 0, F.col("c_b") / nb)
+    pp = F.when(
+        (F.col("n_a") > 0) & (F.col("n_b") > 0),
+        (F.col("c_a") + F.col("c_b")) / (na + nb),
+    )
+    staged = per.select(
+        "segment", "n_a", "n_b", "c_a", "c_b",
+        pa.alias("__pa"), pb.alias("__pb"), pp.alias("__pp"),
+    )
+    se0 = F.sqrt(
+        F.col("__pp")
+        * (F.lit(1.0) - F.col("__pp"))
+        * (F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b"))
+    )
+    z = F.when(
+        F.col("__pp").isNotNull() & (se0 > 0),
+        (F.col("__pa") - F.col("__pb")) / se0,
+    )
+    staged2 = staged.withColumn("__z", z)
+    p = F.when(F.col("__z").isNull(), F.lit(1.0)).otherwise(
+        F.least(_two_sided_normal_p(F.abs(F.col("__z"))), F.lit(1.0))
+    )
+    scored = staged2.withColumn("__pval", F.round(p, 6))
+    qs = bh_fdr(scored, "segment", "__pval", alpha=alpha).select(
+        F.col("test").alias("segment"), "q_value", "reject"
+    )
+    return scored.join(F.broadcast(qs), "segment").select(
+        "segment",
+        "n_a",
+        "n_b",
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.round(F.coalesce(F.col("__pa"), F.lit(0.0)), 6).alias("rate_a"),
+        F.round(F.coalesce(F.col("__pb"), F.lit(0.0)), 6).alias("rate_b"),
+        F.round(
+            F.coalesce(F.col("__pa") - F.col("__pb"), F.lit(0.0)), 6
+        ).alias("lift"),
+        F.round(F.coalesce(F.col("__z"), F.lit(0.0)), 6).alias("z_stat"),
+        F.col("__pval").alias("p_value"),
+        "q_value",
+        "reject",
     )

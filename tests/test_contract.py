@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (261, 211, 258)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (264, 214, 261)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -159,10 +159,11 @@ SURVEY_LOCATION_PINS = {
         "acf_daily", "mutual_information", "anova_f", "levene_bf",
         "paired_ttest", "two_proportion_ztest", "ols2", "pca2_summary",
         "logreg2", "kendall_tau", "cochran_armitage", "ab_power_mde",
+        "by_fdr", "uplift_by_segment",
     ],
     "plda_spark.operators.graph": [
         "pagerank", "label_propagation", "link_prediction", "hits",
-        "kcore",
+        "kcore", "degree_powerlaw",
     ],
     "plda_spark.operators.curation": ["ppl_buckets", "quantile_normalize", "winsorize"],
     "plda_spark.operators.joins": ["as_of_join", "interval_overlap_join"],

@@ -5821,3 +5821,80 @@ def test_textrank_semantics(spark):
         text.textrank_sentences(docs, top_k=0)
     with _pytest.raises(ValueError):
         text.textrank_sentences(docs, damping=1.5)
+
+
+def test_by_fdr_uplift_and_powerlaw_semantics(spark):
+    """by_fdr deflates BH by the harmonic c(m) (hand-checked on a
+    textbook p-vector; BY never rejects more than BH).  uplift_by_
+    segment finds a planted segment-local lift and BH-corrects it;
+    degenerate one-variant segments stay total with p=1.
+    degree_powerlaw recovers a planted alpha on Zipf-ish degrees."""
+    import math
+
+    import numpy as np
+    import pytest as _pytest
+
+    from plda_spark.operators import graph, stats
+
+    tests = spark.createDataFrame(
+        [("t1", 0.001), ("t2", 0.008), ("t3", 0.039), ("t4", 0.041),
+         ("t5", 0.20)],
+        "test string, p double",
+    )
+    cm = sum(1.0 / i for i in range(1, 6))  # 2.2833...
+    out = {x["test"]: x for x in
+           stats.by_fdr(tests, "test", "p", alpha=0.05).collect()}
+    assert out["t1"]["c_m"] == round(cm, 6)
+    # q1 = min_j>=1 p_j*5*cm/j ; BH's 0.005 scaled by cm
+    assert out["t1"]["q_value"] == round(0.001 * 5 * cm / 1, 6)
+    assert out["t1"]["reject"]
+    assert not out["t3"]["reject"]  # BH already missed; BY must too
+    bh = {x["test"]: x for x in
+          stats.bh_fdr(tests, "test", "p", alpha=0.05).collect()}
+    for t in bh:
+        assert out[t]["q_value"] >= bh[t]["q_value"]
+    with _pytest.raises(ValueError):
+        stats.by_fdr(tests, "test", "p", alpha=0.0)
+
+    rows = []
+    # segment "hot": A converts 80%, B 20%; segment "cold": both 50%
+    for i in range(50):
+        rows.append(("hot", "A", 1 if i < 40 else 0))
+        rows.append(("hot", "B", 1 if i < 10 else 0))
+        rows.append(("cold", "A", i % 2))
+        rows.append(("cold", "B", (i + 1) % 2))
+    # degenerate: only variant A present
+    rows += [("lonely", "A", 1)] * 5
+    df = spark.createDataFrame(rows, "segment string, variant string, c int")
+    up = {r["segment"]: r for r in
+          stats.uplift_by_segment(
+              df, "segment", "variant", "c", "A", "B"
+          ).collect()}
+    assert up["hot"]["reject"] and up["hot"]["lift"] == 0.6
+    assert not up["cold"]["reject"]
+    assert up["lonely"]["p_value"] == 1.0 and up["lonely"]["z_stat"] == 0.0
+    assert up["hot"]["q_value"] >= up["hot"]["p_value"]
+
+    # planted continuous power law alpha=2.5 via inverse-CDF degrees
+    rng = np.random.RandomState(3)
+    u = rng.uniform(size=2000)
+    degs = np.floor(10 * u ** (-1 / 1.5)).astype(int)  # alpha ~ 2.5, dmin 10
+    edges = []
+    nid = 0
+    # star construction: node i gets degree d_i by linking to fresh leaves
+    # (leaves have degree 1 and fall below dmin)
+    for i, d in enumerate(degs[:300]):
+        d = min(int(d), 200)
+        for _ in range(d):
+            nid += 1
+            edges.append((1000000 + i, 2000000 + nid))
+    dfe = spark.createDataFrame(edges, "src long, dst long")
+    r = graph.degree_powerlaw(dfe, dmin=10).first()
+    ds = np.array([min(int(d), 200) for d in degs[:300]], dtype=float)
+    tail = ds[ds >= 10]
+    alpha = 1 + len(tail) / np.log(tail / 9.5).sum()
+    assert r["alpha"] == round(alpha, 6)
+    assert r["n_tail"] == len(tail)
+    assert 2.0 < r["alpha"] < 3.2
+    with _pytest.raises(ValueError):
+        graph.degree_powerlaw(dfe, dmin=0)

@@ -5165,6 +5165,48 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_powerlaw"] = graph_powerlaw
 
+    def ml_knn(spark, sf):
+        """k-NN classification audit over the embeddings table
+        (operators/similarity.py knn_classify — Cover & Hart 1967):
+        vec_id % 10 == 0 held out as the test batch, exact cosine
+        top-5 from the train remainder (brute_force_topk — the
+        documented |test|x|train| baseline; IVF/LSH are the scale
+        path), deterministic (count DESC, label ASC) majority vote.
+        The zero-training embedding-quality baseline."""
+        from plda_spark.operators import similarity
+
+        emb = load_table(spark, sf, "embeddings")
+        test = emb.where(F.col("vec_id") % 10 == 0)
+        train = emb.where(F.col("vec_id") % 10 != 0)
+        return similarity.knn_classify(train, test, k=5)
+
+    q["ml_knn"] = ml_knn
+
+    def graph_modularity(spark, sf):
+        """Newman modularity of the LPA partition (operators/graph.py
+        modularity over label_propagation): the same planted-block
+        graph and 2 LPA rounds as graph_lpa, scored with
+        Q = sum(e_c/m - (deg_c/2m)^2) — the number that says whether
+        the recovered blocks are real structure (the planted blocks
+        score far above 0).  Two label joins + two per-label
+        aggregations past the LPA rounds."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        src = F.col("o_custkey") % 200
+        e = (
+            orders.select(
+                src.alias("src"),
+                (src - src % 10 + F.col("o_orderkey") % 10).alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        comm = graph.label_propagation(e, n_iter=2)
+        return graph.modularity(e, comm)
+
+    q["graph_modularity"] = graph_modularity
+
     return q
 
 
@@ -10815,6 +10857,71 @@ SELECT segment, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM mono
 """
 
+    # Same brute cosine + rank tie-break as sim_brute_topk, same
+    # (count DESC, label ASC) majority vote.
+    o["ml_knn"] = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+q AS (SELECT vec_id AS query_id, v, label AS actual FROM e WHERE vec_id % 10 = 0),
+tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+s AS (
+  SELECT a.query_id, b.vec_id, b.label,
+         round(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM q a, tr b
+), r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY sim DESC, vec_id ASC) AS rnk
+  FROM s
+), votes AS (
+  SELECT query_id, label, count(*) AS c
+  FROM r WHERE rnk <= 5 GROUP BY 1, 2
+), top AS (
+  SELECT query_id, label AS predicted, c,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY c DESC, label ASC) AS rn
+  FROM votes
+)
+SELECT t.query_id, q.actual, t.predicted,
+       CAST(t.c AS BIGINT) AS n_votes,
+       q.actual = t.predicted AS correct
+FROM top t JOIN q USING (query_id) WHERE t.rn = 1
+"""
+
+    # The LPA oracle supplies the partition; Newman arithmetic on the
+    # canonical undirected edge set.
+    o["graph_modularity"] = f"""
+WITH labels AS ({o["graph_lpa"]}),
+e AS (
+  SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+  FROM (SELECT o_custkey % 200 AS a0,
+               (o_custkey % 200) - (o_custkey % 200) % 10
+                 + o_orderkey % 10 AS b0
+        FROM orders)
+  WHERE a0 <> b0
+), ej AS (
+  SELECT e.a, e.b, la.label AS la, lb.label AS lb
+  FROM e JOIN labels la ON la.node = e.a JOIN labels lb ON lb.node = e.b
+), intra AS (SELECT la AS l, count(*) AS ec FROM ej WHERE la = lb GROUP BY 1),
+deg AS (
+  SELECT n, count(*) AS d
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY 1
+), degc AS (
+  SELECT lab.label AS l, sum(d.d) AS degc
+  FROM deg d JOIN labels lab ON lab.node = d.n GROUP BY 1
+), tot AS (SELECT count(*) AS m FROM e),
+per AS (
+  SELECT degc.l, coalesce(intra.ec, 0) AS ec, degc.degc
+  FROM degc LEFT JOIN intra ON intra.l = degc.l
+)
+SELECT CAST(count(*) AS BIGINT) AS n_communities,
+       CAST(max(m) AS BIGINT) AS m_edges,
+       round(sum(ec/CAST(m AS DOUBLE)
+                 - (degc/(2.0*CAST(m AS DOUBLE)))
+                   *(degc/(2.0*CAST(m AS DOUBLE)))), 6) AS modularity
+FROM per, tot
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -11192,6 +11299,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_by_fdr",
     "events_uplift_segments",
     "graph_powerlaw",
+    "ml_knn",
+    "graph_modularity",
 ]
 
 

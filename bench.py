@@ -355,6 +355,10 @@ BENCH_QUERIES = [
     "events_uplift_segments",
     # degree power-law MLE diagnostic (one scalar aggregation)
     "graph_powerlaw",
+    # k-NN embedding-quality audit (brute top-5 + majority vote)
+    "ml_knn",
+    # Newman modularity of the LPA partition
+    "graph_modularity",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

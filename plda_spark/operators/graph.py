@@ -28,6 +28,7 @@ __all__ = [
     "hits",
     "kcore",
     "degree_powerlaw",
+    "modularity",
 ]
 
 
@@ -607,4 +608,84 @@ def degree_powerlaw(
         F.lit(dmin).cast("long").alias("dmin"),
         F.round("__alpha", 6).alias("alpha"),
         F.round(sigma, 6).alias("sigma"),
+    )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "label",
+) -> DataFrame:
+    """Newman modularity ``Q = Σ_c [e_c/m − (deg_c/2m)²]`` of a given
+    partition (Newman & Girvan 2004) — the quality score that turns
+    :func:`label_propagation`'s output into a number you can compare
+    across rounds, resolutions, or algorithms (Q ≈ 0: no better than
+    random wiring; ≳ 0.3: real community structure).
+
+    ``communities`` is any ``(node, label)`` frame covering the
+    graph's nodes (LPA output, a planted assignment, an external
+    clustering).  Edges are canonicalized undirected (``a < b``,
+    self-loops dropped, deduped) so each edge counts once in both
+    ``m`` and ``e_c``.  Returns ONE row ``(n_communities, m_edges,
+    modularity)`` rounded to 6.
+
+    Scale shape: one canonical-edge distinct, two node-keyed label
+    joins (shuffle on the node key; broadcast the label frame when
+    |V| is small), one per-label aggregation each for intra-edge
+    counts and degree mass, then scalar arithmetic over the
+    |labels|-row frame crossed with the 1-row total."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    lab = communities.select(
+        F.col(node_col).alias("n"), F.col(label_col).alias("l")
+    )
+    la = lab.select(F.col("n").alias("a"), F.col("l").alias("la"))
+    lb = lab.select(F.col("n").alias("b"), F.col("l").alias("lb"))
+    ej = e.join(la, "a").join(lb, "b")
+    intra = (
+        ej.where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("l"))
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    degc = (
+        deg.join(lab, "n").groupBy("l").agg(F.sum("d").alias("degc"))
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("m"))
+    per = degc.join(intra, "l", "left").select(
+        "l",
+        F.coalesce(F.col("ec"), F.lit(0)).alias("ec"),
+        "degc",
+    )
+    m = F.col("m").cast("double")
+    term = F.col("ec") / m - (
+        F.col("degc") / (F.lit(2.0) * m)
+    ) * (F.col("degc") / (F.lit(2.0) * m))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.max("m").alias("m_edges"),
+            F.sum(term).alias("__q"),
+        )
+        .select(
+            F.col("n_communities").cast("long").alias("n_communities"),
+            F.col("m_edges").cast("long").alias("m_edges"),
+            F.round("__q", 6).alias("modularity"),
+        )
     )

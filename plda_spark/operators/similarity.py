@@ -51,6 +51,7 @@ __all__ = [
     "sq8_encode",
     "sq8_topk",
     "mmr_rerank",
+    "knn_classify",
 ]
 
 
@@ -1608,4 +1609,67 @@ def silhouette_simplified(
             F.count(F.lit(1)).alias("n"),
             F.round(F.avg("__s"), 6).alias("mean_silhouette"),
         )
+    )
+
+
+def knn_classify(
+    train: DataFrame,
+    test: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-nearest-neighbor classification by exact cosine top-k +
+    majority vote (Fix & Hodges 1951; Cover & Hart 1967) — the
+    zero-training baseline every embedding-quality audit starts with:
+    if k-NN over your embeddings can't separate the labels, no
+    downstream head will.
+
+    Neighbors come from :func:`brute_force_topk` (train corpus scanned
+    once, test batch broadcast — swap in the IVF/LSH variants upstream
+    at corpus scale); the vote is per-query majority with a
+    deterministic ``(count DESC, label ASC)`` tie-break.  Returns one
+    row per test vector: ``(query_id, actual, predicted, n_votes,
+    correct)``.
+
+    Scale shape: the brute scan is |test|·|train| by construction (the
+    documented baseline contract); after it, everything is one
+    (query, label) count + one per-query top-1 window over ≤ k rows
+    per query."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    nbrs = brute_force_topk(
+        train, test, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=id_col,
+    )
+    lab = train.select(
+        F.col(id_col).alias("vec_id"), F.col(label_col).alias("__nl")
+    )
+    votes = (
+        nbrs.join(lab, "vec_id")
+        .groupBy("query_id", "__nl")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("__c").desc(), F.col("__nl").asc()
+    )
+    top = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "query_id",
+            F.col("__nl").alias("predicted"),
+            F.col("__c").alias("n_votes"),
+        )
+    )
+    truth = test.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("actual")
+    )
+    return top.join(truth, "query_id").select(
+        "query_id",
+        "actual",
+        "predicted",
+        "n_votes",
+        (F.col("actual") == F.col("predicted")).alias("correct"),
     )

@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (264, 214, 261)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (266, 216, 263)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -140,7 +140,7 @@ def test_oracle_coverage_is_closed():
 SURVEY_LOCATION_PINS = {
     "plda_spark.operators.dedup": ["exact_dedup", "minhash_lsh_pairs"],
     "plda_spark.operators.similarity": [
-        "brute_force_topk", "ivf_pq_build", "mmr_rerank",
+        "brute_force_topk", "ivf_pq_build", "mmr_rerank", "knn_classify",
     ],
     "plda_spark.operators.text": [
         "token_stats", "lm_score", "rake_keywords", "char_entropy",
@@ -163,7 +163,7 @@ SURVEY_LOCATION_PINS = {
     ],
     "plda_spark.operators.graph": [
         "pagerank", "label_propagation", "link_prediction", "hits",
-        "kcore", "degree_powerlaw",
+        "kcore", "degree_powerlaw", "modularity",
     ],
     "plda_spark.operators.curation": ["ppl_buckets", "quantile_normalize", "winsorize"],
     "plda_spark.operators.joins": ["as_of_join", "interval_overlap_join"],

@@ -5898,3 +5898,62 @@ def test_by_fdr_uplift_and_powerlaw_semantics(spark):
     assert 2.0 < r["alpha"] < 3.2
     with _pytest.raises(ValueError):
         graph.degree_powerlaw(dfe, dmin=0)
+
+
+def test_knn_and_modularity_semantics(spark):
+    """knn_classify is perfect on well-separated planted clusters,
+    breaks vote ties toward the smaller label, and raises on k<1.
+    modularity reproduces the hand-computed Newman Q for two disjoint
+    triangles under the true partition (0.5) and scores the same graph
+    near zero under a deliberately wrong partition."""
+    import pytest as _pytest
+
+    from plda_spark.operators import graph, similarity
+
+    def vec(base, eps):
+        return [float(base[0] + eps), float(base[1] + eps), 0.0]
+
+    train_rows = []
+    for i in range(10):
+        train_rows.append((100 + i, vec([1, 0], 0.01 * i), 0))
+        train_rows.append((200 + i, vec([0, 1], 0.01 * i), 1))
+    test_rows = [(1, [1.0, 0.05, 0.0], 0), (2, [0.05, 1.0, 0.0], 1)]
+    schema = "vec_id long, embedding array<double>, label int"
+    train = spark.createDataFrame(train_rows, schema)
+    test = spark.createDataFrame(test_rows, schema)
+    out = {r["query_id"]: r for r in
+           similarity.knn_classify(train, test, k=5).collect()}
+    assert out[1]["predicted"] == 0 and out[1]["correct"]
+    assert out[2]["predicted"] == 1 and out[2]["correct"]
+    assert out[1]["n_votes"] == 5
+
+    # 2-2 vote split with k=4 and symmetric neighbors: label 0 wins
+    mix_train = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0], 0), (11, [1.0, 0.001, 0.0], 0),
+         (12, [1.0, -0.001, 0.0], 1), (13, [1.0, 0.002, 0.0], 1)],
+        schema,
+    )
+    tie = spark.createDataFrame([(1, [1.0, 0.0, 0.0], 9)], schema)
+    rt = similarity.knn_classify(mix_train, tie, k=4).first()
+    assert rt["predicted"] == 0 and not rt["correct"]
+
+    with _pytest.raises(ValueError):
+        similarity.knn_classify(train, test, k=0)
+
+    tri = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10)]
+    e = spark.createDataFrame(tri, "src long, dst long")
+    right = spark.createDataFrame(
+        [(n, n // 10) for n in [0, 1, 2, 10, 11, 12]], "node long, label long"
+    )
+    rq = graph.modularity(e, right).first()
+    # two communities, each with 3 of 6 edges and deg_c = 6 of 12:
+    # Q = 2*(3/6 - (6/12)^2) = 0.5
+    assert rq["modularity"] == 0.5
+    assert rq["n_communities"] == 2 and rq["m_edges"] == 6
+
+    wrong = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0), (10, 1), (11, 0), (12, 1)],
+        "node long, label long",
+    )
+    rw = graph.modularity(e, wrong).first()
+    assert rw["modularity"] < 0.1

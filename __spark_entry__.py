@@ -5207,6 +5207,43 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_modularity"] = graph_modularity
 
+    def privacy_dp_quantile(spark, sf):
+        """epsilon-DP median release via the exponential mechanism
+        (operators/privacy.py dp_quantile — McSherry-Talwar 2007):
+        integer-rounded event values as the candidate set (the
+        bounded-cardinality contract), utility -|rank - q*n|,
+        max-shifted exp weights, one md5-deterministic inverse-CDF
+        draw (the dp_noisy_counts replayability caveat applies) —
+        alongside the exact quantile for the audit comparison.  Every
+        window runs over |distinct values| rows."""
+        from plda_spark.operators import privacy
+
+        ev = load_table(spark, sf, "events").select(
+            F.round("value", 0).alias("vr")
+        )
+        return privacy.dp_quantile(ev, "vr", q=0.5, epsilon=1.0, seed=7)
+
+    q["privacy_dp_quantile"] = privacy_dp_quantile
+
+    def curation_pareto_docs(spark, sf):
+        """2-D Pareto frontier / skyline (operators/curation.py
+        pareto_front_2d — Borzsonyi ICDE'01) of documents maximizing
+        BOTH token count and unique-token count over the token_stats
+        surface: the multi-criteria doc-selection primitive a single
+        quality score flattens.  One per-x aggregation + ONE ordered
+        window over |distinct x| + an id-recovery join, max_distinct-
+        enforced."""
+        from plda_spark.operators import curation, text
+
+        stats_df = text.token_stats(
+            load_table(spark, sf, "documents")
+        ).select("doc_id", "n_tokens", "n_unique")
+        return curation.pareto_front_2d(
+            stats_df, "n_tokens", "n_unique", id_col="doc_id"
+        )
+
+    q["curation_pareto_docs"] = curation_pareto_docs
+
     return q
 
 
@@ -10922,6 +10959,59 @@ SELECT CAST(count(*) AS BIGINT) AS n_communities,
 FROM per, tot
 """
 
+    # Same candidate counts, same max-shifted exponential weights,
+    # same single md5 draw, same ordered cumulative-weight scan.
+    o["privacy_dp_quantile"] = """
+WITH clean AS (
+  SELECT CAST(round(value, 0) AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL
+), cells AS (SELECT v, count(*) AS c FROM clean GROUP BY 1),
+st AS (
+  SELECT v,
+         sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS le,
+         sum(c) OVER () AS n, count(*) OVER () AS k
+  FROM cells
+), u AS (
+  SELECT *, -abs(CAST(le AS DOUBLE) - 0.5*CAST(n AS DOUBLE)) AS ut FROM st
+), m AS (SELECT *, max(ut) OVER () AS umax FROM u),
+w AS (SELECT *, exp(1.0*(ut - umax)/2.0) AS wt FROM m),
+cw AS (
+  SELECT *, sum(wt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cwt FROM w
+), t AS (
+  SELECT *, max(cwt) OVER () AS total,
+         CAST(('0x' || substr(md5('dpq:7'), 1, 15)) AS BIGINT)
+           / 1152921504606846976.0 AS du
+  FROM cw
+)
+SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS n_candidates,
+       0.5 AS q, 1.0 AS epsilon,
+       round(min(CASE WHEN le >= ceil(0.5*CAST(n AS DOUBLE))
+                      THEN v END), 6) AS exact_value,
+       round(min(CASE WHEN cwt >= du*total THEN v END), 6)
+         AS released_value
+FROM t
+"""
+
+    # Same per-x max, same descending exclusive running max, same
+    # id-recovery join over the token_stats surface.
+    o["curation_pareto_docs"] = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len({_SQL_TOKS}) AS DOUBLE) AS x,
+         CAST(len(list_distinct({_SQL_TOKS})) AS DOUBLE) AS y
+  FROM documents
+), perx AS (SELECT x, max(y) AS ymax FROM t GROUP BY 1),
+f AS (
+  SELECT x, ymax AS y FROM (
+    SELECT *, max(ymax) OVER (
+      ORDER BY x DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ) AS prev
+    FROM perx)
+  WHERE prev IS NULL OR ymax > prev
+)
+SELECT t.doc_id, t.x AS n_tokens, t.y AS n_unique
+FROM t JOIN f ON t.x = f.x AND t.y = f.y
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -11301,6 +11391,8 @@ EXTRA_QUERIES: list[str] = [
     "graph_powerlaw",
     "ml_knn",
     "graph_modularity",
+    "privacy_dp_quantile",
+    "curation_pareto_docs",
 ]
 
 

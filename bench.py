@@ -359,6 +359,10 @@ BENCH_QUERIES = [
     "ml_knn",
     # Newman modularity of the LPA partition
     "graph_modularity",
+    # exponential-mechanism DP quantile release
+    "privacy_dp_quantile",
+    # 2-D Pareto frontier / skyline over token stats
+    "curation_pareto_docs",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

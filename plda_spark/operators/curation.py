@@ -37,6 +37,7 @@ __all__ = [
     "quantile_normalize",
     "winsorize",
     "effective_sample_size",
+    "pareto_front_2d",
 ]
 
 
@@ -840,4 +841,65 @@ def effective_sample_size(
         F.round("sw", 4).alias("weight_sum"),
         F.round(ess, 4).alias("ess"),
         F.round(ess / F.col("n"), 4).alias("ess_ratio"),
+    )
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str = "doc_id",
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """2-D Pareto frontier (the SKYLINE operator, Börzsönyi et al.
+    ICDE'01) maximizing BOTH columns: keep every row no other row
+    weakly dominates — the multi-criteria selection primitive ("the
+    longest AND most lexically rich documents", "cheapest AND
+    freshest") that single-score ranking flattens away.
+
+    A row is dominated iff another row is ≥ in both coordinates and >
+    in at least one; duplicate (x, y) points on the frontier all
+    survive.  In 2-D the frontier is the classic sort-scan: per-x max
+    y, then a running exclusive max over x DESCENDING — a pair
+    survives iff its y strictly exceeds every higher-x max.  (To
+    MINIMIZE a column, negate it upstream.)
+
+    Returns the input row's ``(id, x, y)`` for every frontier member.
+
+    Scale shape: one (x) aggregation, ONE ordered window over the
+    |distinct x| frame, one join back to recover ids — the
+    :func:`~plda_spark.operators.stats.ks_test` bounded-cardinality
+    contract, ENFORCED by the ``max_distinct`` pre-check on x
+    (quantize continuous criteria upstream; a grid-partitioned
+    skyline is the unbounded-domain alternative, deliberately not
+    fused in)."""
+    from pyspark.sql import Window
+
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    clean = df.where(x.isNotNull() & y.isNotNull()).select(
+        F.col(id_col).alias("id"), x.alias("x"), y.alias("y")
+    )
+    ndv = clean.agg(F.approx_count_distinct("x").alias("__ndv")).first()[
+        "__ndv"
+    ]
+    if ndv > max_distinct:
+        raise ValueError(
+            f"pareto_front_2d: {x_col!r} has ~{ndv} distinct values > "
+            f"max_distinct={max_distinct}; quantize upstream (the "
+            "frontier scan is one ordered window over distinct x)."
+        )
+    perx = clean.groupBy("x").agg(F.max("y").alias("ymax"))
+    wprev = Window.orderBy(F.col("x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = (
+        perx.withColumn("__prev", F.max("ymax").over(wprev))
+        .where(F.col("__prev").isNull() | (F.col("ymax") > F.col("__prev")))
+        .select("x", F.col("ymax").alias("y"))
+    )
+    return clean.join(front, ["x", "y"]).select(
+        F.col("id").alias(id_col),
+        F.col("x").alias(x_col),
+        F.col("y").alias(y_col),
     )

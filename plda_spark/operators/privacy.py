@@ -42,6 +42,7 @@ __all__ = [
     "dp_noisy_counts",
     "l_diversity_audit",
     "rand_response_estimate",
+    "dp_quantile",
 ]
 
 _TWO_60 = float(1 << 60)
@@ -326,5 +327,109 @@ def rand_response_estimate(
                 ) / F.lit(float(p)),
                 4,
             ).alias("n_est"),
+        )
+    )
+
+
+def dp_quantile(
+    df: DataFrame,
+    value_col: str,
+    q: float = 0.5,
+    epsilon: float = 1.0,
+    seed: int = 0,
+    max_distinct: int = 10_000,
+) -> DataFrame:
+    """ε-differentially-private quantile release via the EXPONENTIAL
+    MECHANISM (McSherry & Talwar 2007; the DP-median instantiation of
+    Smith 2011): candidate values are the column's distinct values,
+    utility ``u(v) = −|#{x ≤ v} − q·n|`` (sensitivity 1 under
+    add/remove-one), and the release draws v with probability ∝
+    ``exp(ε·u/2)`` — values whose rank sits near the target quantile
+    dominate the draw, and no single row changes any probability by
+    more than e^ε.
+
+    The draw inverts the cumulative weight at a single md5-derived
+    uniform — the :func:`dp_noisy_counts` DETERMINISM CAVEAT applies
+    verbatim (replayable for the oracle/tests; swap the ``u``
+    expression for a secure RNG before a real release and account ε
+    per call).  Weights are max-shifted before exp so far candidates
+    underflow to 0 instead of poisoning the sum.  Returns ONE row
+    ``(n, n_candidates, q, epsilon, exact_value, released_value)`` —
+    ``exact_value`` (the true interpolation-free lower quantile) is
+    emitted for gate/audit use and is obviously NOT part of a private
+    release.
+
+    Scale shape: one value-count aggregation, then every window runs
+    over the |distinct values| frame — the :func:`ks_test`
+    bounded-cardinality contract, ENFORCED by the ``max_distinct``
+    pre-check (quantize continuous columns upstream)."""
+    if not (0.0 < q < 1.0):
+        raise ValueError(f"q must be in (0, 1), got {q}")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0, got {epsilon}")
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    clean = df.where(v.isNotNull()).select(v.alias("v"))
+    ndv = clean.agg(F.approx_count_distinct("v").alias("__ndv")).first()[
+        "__ndv"
+    ]
+    if ndv > max_distinct:
+        raise ValueError(
+            f"dp_quantile: {value_col!r} has ~{ndv} distinct values > "
+            f"max_distinct={max_distinct}; quantize upstream (every "
+            "window here runs over the distinct values)."
+        )
+    cells = clean.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    staged = cells.select(
+        "v",
+        F.sum("c").over(wcum).alias("__le"),
+        F.sum("c").over(wall).alias("__n"),
+        F.count(F.lit(1)).over(wall).alias("__k"),
+    )
+    util = -F.abs(
+        F.col("__le").cast("double") - F.lit(q) * F.col("__n").cast("double")
+    )
+    staged2 = staged.withColumn("__u", util).withColumn(
+        "__umax", F.max(util).over(wall)
+    )
+    w = F.exp(
+        F.lit(float(epsilon)) * (F.col("__u") - F.col("__umax")) / F.lit(2.0)
+    )
+    staged3 = staged2.withColumn("__w", w).withColumn(
+        "__cw", F.sum(w).over(wcum)
+    )
+    total = F.max(F.col("__cw")).over(wall)
+    draw = (
+        F.conv(
+            F.substring(F.md5(F.lit(f"dpq:{int(seed)}")), 1, 15), 16, 10
+        ).cast("double")
+        / F.lit(_TWO_60)
+    )
+    staged4 = staged3.withColumn("__thr", draw * total)
+    # released value: the FIRST candidate whose cumulative weight
+    # reaches the threshold; exact value: the first with cum count
+    # reaching ceil(q*n) (the lower exact quantile, interpolation-free)
+    released = staged4.where(F.col("__cw") >= F.col("__thr")).agg(
+        F.min("v").alias("released_value")
+    )
+    exact = staged4.where(
+        F.col("__le") >= F.ceil(F.lit(q) * F.col("__n").cast("double"))
+    ).agg(F.min("v").alias("exact_value"))
+    meta = staged4.agg(
+        F.max("__n").alias("n"), F.max("__k").alias("n_candidates")
+    )
+    return (
+        meta.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(released))
+        .select(
+            F.col("n").cast("long").alias("n"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.lit(float(q)).alias("q"),
+            F.lit(float(epsilon)).alias("epsilon"),
+            F.round("exact_value", 6).alias("exact_value"),
+            F.round("released_value", 6).alias("released_value"),
         )
     )

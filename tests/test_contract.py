@@ -81,7 +81,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (266, 216, 263)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (268, 218, 265)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"
@@ -165,7 +165,7 @@ SURVEY_LOCATION_PINS = {
         "pagerank", "label_propagation", "link_prediction", "hits",
         "kcore", "degree_powerlaw", "modularity",
     ],
-    "plda_spark.operators.curation": ["ppl_buckets", "quantile_normalize", "winsorize"],
+    "plda_spark.operators.curation": ["ppl_buckets", "quantile_normalize", "winsorize", "pareto_front_2d"],
     "plda_spark.operators.joins": ["as_of_join", "interval_overlap_join"],
     "plda_spark.operators.events": [
         "funnel", "rfm_scores", "transition_matrix", "attribution",
@@ -181,7 +181,7 @@ SURVEY_LOCATION_PINS = {
     "plda_spark.operators.classify": ["calibration_report", "lift_report"],
     "plda_spark.operators.privacy": [
         "k_anonymity_audit", "k_suppress", "dp_noisy_counts",
-        "l_diversity_audit",
+        "l_diversity_audit", "dp_quantile",
     ],
     "plda_spark.operators.bpe": ["bpe_train"],
     "plda_spark.operators.unigram": ["unigram_train"],

@@ -5957,3 +5957,52 @@ def test_knn_and_modularity_semantics(spark):
     )
     rw = graph.modularity(e, wrong).first()
     assert rw["modularity"] < 0.1
+
+
+def test_dp_quantile_and_pareto_semantics(spark):
+    """dp_quantile: exact_value is the interpolation-free lower
+    quantile; at huge epsilon the mechanism concentrates on the
+    utility-argmax (= the exact candidate); guards raise.
+    pareto_front_2d keeps exactly the non-dominated set, keeps
+    duplicate frontier points, and enforces max_distinct."""
+    import pytest as _pytest
+
+    from plda_spark.operators import curation, privacy
+
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    r = privacy.dp_quantile(df, "v", q=0.5, epsilon=1000.0, seed=1).first()
+    assert r["exact_value"] == 5.0
+    # epsilon=1000 concentrates ~all weight on the argmax candidate
+    assert r["released_value"] == 5.0
+    assert r["n"] == 9 and r["n_candidates"] == 9
+
+    # deterministic: same seed same release; different seed may differ
+    r2 = privacy.dp_quantile(df, "v", q=0.5, epsilon=1000.0, seed=1).first()
+    assert r2["released_value"] == r["released_value"]
+
+    with _pytest.raises(ValueError):
+        privacy.dp_quantile(df, "v", q=0.0)
+    with _pytest.raises(ValueError):
+        privacy.dp_quantile(df, "v", epsilon=0.0)
+    with _pytest.raises(ValueError, match="max_distinct"):
+        privacy.dp_quantile(df, "v", max_distinct=2)
+
+    pts = [
+        (1, 10.0, 1.0),   # frontier (max x)
+        (2, 8.0, 5.0),    # frontier
+        (3, 8.0, 4.0),    # dominated by 2 (same x, lower y)
+        (4, 5.0, 5.0),    # dominated by 2 (lower x, same y)
+        (5, 3.0, 9.0),    # frontier
+        (6, 3.0, 9.0),    # duplicate frontier point — survives too
+        (7, 1.0, 1.0),    # dominated by everyone
+    ]
+    dfp = spark.createDataFrame(pts, "doc_id long, x double, y double")
+    got = sorted(
+        r["doc_id"]
+        for r in curation.pareto_front_2d(dfp, "x", "y", id_col="doc_id")
+        .collect()
+    )
+    assert got == [1, 2, 5, 6]
+    with _pytest.raises(ValueError, match="max_distinct"):
+        curation.pareto_front_2d(dfp, "x", "y", max_distinct=2)

@@ -5244,6 +5244,98 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_pareto_docs"] = curation_pareto_docs
 
+    def graph_assortativity(spark, sf):
+        """Degree assortativity (operators/graph.py assortativity —
+        Newman 2002): Pearson correlation of endpoint degrees over the
+        symmetrized edge stubs of the same synthetic link graph as
+        graph_powerlaw — do hubs link to hubs?  One canonical-edge
+        distinct + one degree agg + two node-keyed joins + one scalar
+        corr aggregation."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = orders.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        return graph.assortativity(e)
+
+    q["graph_assortativity"] = graph_assortativity
+
+    def graph_clustering(spark, sf):
+        """Global transitivity + average local clustering coefficient
+        (operators/graph.py clustering_coefficients — Watts-Strogatz
+        1998 / Newman 2003) over the graph_powerlaw link graph: the
+        degree-ordered oriented-intersection triangle core with
+        exact per-corner attribution, one per-node count, one scalar
+        aggregation."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = orders.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        return graph.clustering_coefficients(e)
+
+    q["graph_clustering"] = graph_clustering
+
+    def graph_reciprocity(spark, sf):
+        """Directed-graph reciprocity (operators/graph.py reciprocity
+        — Newman 2003 §III.C): the fraction of directed edges whose
+        reverse exists, over a directed mod-60 orders graph.  One
+        distinct + one reversed-key self-equi-join + one scalar
+        aggregation."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = orders.select(
+            (F.col("o_custkey") % 60).alias("src"),
+            (F.col("o_orderkey") % 60).alias("dst"),
+        )
+        return graph.reciprocity(e)
+
+    q["graph_reciprocity"] = graph_reciprocity
+
+    def classify_auc(spark, sf):
+        """Threshold-free score evaluation (operators/classify.py
+        roc_auc_report — Hanley-McNeil rank AUC + Brier + log-loss):
+        does a sigmoid of event value separate purchases from the
+        rest?  ~0.5 on the synthetic stream is the honest answer —
+        exactly what the audit exists to reveal.  One per-distinct-
+        score count aggregation (max_distinct-enforced) + one ordered
+        window over |distinct scores| + one moment pass."""
+        from plda_spark.operators import classify
+
+        ev = load_table(spark, sf, "events").where(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        scored = ev.select(
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value") / 100.0)),
+                3,
+            ).alias("score"),
+            (F.col("event_type") == "purchase").cast("int").alias("label"),
+        )
+        return classify.roc_auc_report(scored, "score", "label")
+
+    q["classify_auc"] = classify_auc
+
+    def stats_cohens_kappa(spark, sf):
+        """Chance-corrected agreement (operators/stats.py cohens_kappa
+        — Cohen 1960) between the labeled document language and the
+        stopword-lexicon language_id prediction: the annotator-quality
+        number behind labeling ops.  One contingency aggregation +
+        marginal joins over |languages| rows."""
+        from plda_spark.operators import stats, text
+
+        docs = load_table(spark, sf, "documents")
+        pred = text.language_id(docs).select("doc_id", "pred_lang")
+        joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+        return stats.cohens_kappa(joined, "lang", "pred_lang")
+
+    q["stats_cohens_kappa"] = stats_cohens_kappa
+
     return q
 
 
@@ -11012,6 +11104,166 @@ SELECT t.doc_id, t.x AS n_tokens, t.y AS n_unique
 FROM t JOIN f ON t.x = f.x AND t.y = f.y
 """
 
+    # Same canonical edges, same degree joins, same symmetrized stub
+    # pairs, same Pearson corr (scale-invariant, so the estimator
+    # convention cancels).
+    o["graph_assortativity"] = """
+WITH e AS (
+  SELECT DISTINCT least(o_custkey % 100, o_orderkey % 100) AS a,
+                  greatest(o_custkey % 100, o_orderkey % 100) AS b
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY 1
+), ends AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+), pairs AS (
+  SELECT CAST(dx AS DOUBLE) AS dx, CAST(dy AS DOUBLE) AS dy FROM ends
+  UNION ALL
+  SELECT CAST(dy AS DOUBLE), CAST(dx AS DOUBLE) FROM ends
+)
+SELECT CAST(count(*)/2 AS BIGINT) AS m_edges,
+       round(corr(dx, dy), 6) AS assortativity
+FROM pairs
+"""
+
+    # Same degree-ordered orientation, same sink-attributed triangle
+    # enumeration (each triangle once), same three-corner union, same
+    # degree>=2 convention for the local average.
+    o["graph_clustering"] = """
+WITH e AS (
+  SELECT DISTINCT least(o_custkey % 100, o_orderkey % 100) AS a,
+                  greatest(o_custkey % 100, o_orderkey % 100) AS b
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+), deg AS (
+  SELECT n, count(*) AS d FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY 1
+), o AS (
+  SELECT CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.d, e.a) < (db.d, e.b) THEN e.b ELSE e.a END AS v
+  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n
+), tri AS (
+  SELECT e1.u AS p, e1.v AS q, e2.v AS r
+  FROM o e1
+  JOIN o e2 ON e2.u = e1.u AND e2.v <> e1.v
+  JOIN o e3 ON e3.u = e1.v AND e3.v = e2.v
+), corners AS (
+  SELECT n, count(*) AS t FROM (
+    SELECT p AS n FROM tri UNION ALL SELECT q FROM tri
+    UNION ALL SELECT r FROM tri) GROUP BY 1
+), per AS (
+  SELECT deg.d, coalesce(corners.t, 0) AS t
+  FROM deg LEFT JOIN corners ON deg.n = corners.n
+)
+SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(CAST(d AS DOUBLE)*(d-1)/2.0) AS BIGINT) AS n_wedges,
+       CAST(sum(CAST(t AS DOUBLE))/3 AS BIGINT) AS n_triangles,
+       round(sum(CAST(t AS DOUBLE))
+             / (CASE WHEN sum(CAST(d AS DOUBLE)*(d-1)/2.0) > 0
+                     THEN sum(CAST(d AS DOUBLE)*(d-1)/2.0) END), 6)
+         AS transitivity,
+       round(avg(CASE WHEN d >= 2
+                      THEN CAST(t AS DOUBLE)/(CAST(d AS DOUBLE)*(d-1)/2.0)
+                 END), 6) AS avg_local
+FROM per
+"""
+
+    # Same dedup/self-loop drop, same reversed-key probe, same ratio.
+    o["graph_reciprocity"] = """
+WITH d AS (
+  SELECT DISTINCT o_custkey % 60 AS s, o_orderkey % 60 AS t
+  FROM orders WHERE o_custkey % 60 <> o_orderkey % 60
+), marked AS (
+  SELECT d.s, d.t,
+         CASE WHEN r.s IS NOT NULL THEN 1 ELSE 0 END AS rcp
+  FROM d LEFT JOIN d r ON r.s = d.t AND r.t = d.s
+)
+SELECT CAST(count(*) AS BIGINT) AS m_directed,
+       CAST(sum(rcp) AS BIGINT) AS m_reciprocated,
+       round(sum(rcp)/CAST(count(*) AS DOUBLE), 6) AS reciprocity
+FROM marked
+"""
+
+    # Same sigmoid score, same per-distinct-score (pos, neg) cells,
+    # same tie-half U window, same clamped log terms.
+    o["classify_auc"] = """
+WITH base AS (
+  SELECT round(1/(1+exp(-value/100.0)), 3) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), cells AS (
+  SELECT p AS v, sum(y) AS ca, sum(1-y) AS cb FROM base GROUP BY 1
+), st AS (
+  SELECT ca, cb,
+         coalesce(sum(cb) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cbefore
+  FROM cells
+), u AS (SELECT sum(ca*(cbefore + cb/2.0)) AS usum FROM st),
+m AS (
+  SELECT count(*) AS n, sum(y) AS n_pos, sum(1-y) AS n_neg,
+         avg((p - y)*(p - y)) AS brier,
+         avg(-(y*ln(least(greatest(p, 1e-6), 1-1e-6))
+               + (1-y)*ln(1 - least(greatest(p, 1e-6), 1-1e-6)))) AS ll
+  FROM base
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       round(CASE WHEN n_pos > 0 AND n_neg > 0
+                  THEN usum/(CAST(n_pos AS DOUBLE)*n_neg) END, 6) AS auc,
+       round(brier, 6) AS brier,
+       round(ll, 6) AS log_loss
+FROM u, m
+"""
+
+    # Same lexicon argmax prediction (the text_langid fragment,
+    # rebuilt locally — `_hits` is reused by the graph_hits oracle),
+    # same contingency/marginal identities, same inner-join chance
+    # mass.
+    _kp_lex = {
+        "en": "['the','and','of','to','in','is','it','that','for','with']",
+        "fr": "['le','la','les','de','des','et','est','une','un','dans']",
+        "es": "['el','la','los','de','que','es','en','un','una','por']",
+        "de": "['der','die','das','und','ist','ein','eine','mit','von','zu']",
+        "zh": "['de','shi','le','bu','wo','ni','ta','men','zai','you']",
+    }
+    _kp_hits = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({lex}, x))) AS hits_{lang}"
+        for lang, lex in _kp_lex.items()
+    )
+    _kp_arr = "[" + ", ".join(f"hits_{lang}" for lang in _kp_lex) + "]"
+    _kp_langs = "[" + ", ".join(f"'{lang}'" for lang in _kp_lex) + "]"
+    o["stats_cohens_kappa"] = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang, {_kp_hits} FROM t),
+r AS (
+  SELECT lang AS a,
+         CASE WHEN list_max({_kp_arr}) = 0 THEN 'und'
+              ELSE {_kp_langs}[list_position({_kp_arr},
+                                             list_max({_kp_arr}))]
+         END AS b
+  FROM h WHERE lang IS NOT NULL
+), cells AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+tot AS (
+  SELECT sum(c) AS n,
+         coalesce(sum(CASE WHEN a = b THEN c END), 0) AS agree
+  FROM cells
+), ma AS (SELECT a, sum(c) AS na FROM cells GROUP BY 1),
+mb AS (SELECT b, sum(c) AS nb FROM cells GROUP BY 1),
+x AS (
+  SELECT coalesce(sum(ma.na*mb.nb), 0) AS cmass
+  FROM ma JOIN mb ON ma.a = mb.b
+)
+SELECT CAST(n AS BIGINT) AS n,
+       round(agree/CAST(n AS DOUBLE), 6) AS po,
+       round(cmass/(CAST(n AS DOUBLE)*n), 6) AS pe,
+       round(CASE WHEN cmass/(CAST(n AS DOUBLE)*n) < 1.0
+                  THEN (agree/CAST(n AS DOUBLE) - cmass/(CAST(n AS DOUBLE)*n))
+                       / (1.0 - cmass/(CAST(n AS DOUBLE)*n)) END, 6) AS kappa
+FROM tot, x
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -11393,6 +11645,11 @@ EXTRA_QUERIES: list[str] = [
     "graph_modularity",
     "privacy_dp_quantile",
     "curation_pareto_docs",
+    "graph_assortativity",
+    "graph_clustering",
+    "graph_reciprocity",
+    "classify_auc",
+    "stats_cohens_kappa",
 ]
 
 

@@ -363,6 +363,16 @@ BENCH_QUERIES = [
     "privacy_dp_quantile",
     # 2-D Pareto frontier / skyline over token stats
     "curation_pareto_docs",
+    # degree assortativity (two degree joins + one scalar corr)
+    "graph_assortativity",
+    # transitivity + avg local clustering (oriented-intersection core)
+    "graph_clustering",
+    # directed reciprocity (one reversed-key self-equi-join)
+    "graph_reciprocity",
+    # rank-identity ROC AUC + Brier + log-loss readout
+    "classify_auc",
+    # chance-corrected rater agreement (one contingency agg)
+    "stats_cohens_kappa",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

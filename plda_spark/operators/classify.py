@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report", "nb_eval"]
+__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report", "nb_eval", "roc_auc_report"]
 
 
 def logreg_fit(
@@ -361,4 +361,88 @@ def nb_eval(
         .where(F.col("__rk") == 1)
         .groupBy("actual", F.col("__pl").alias("predicted"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def roc_auc_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int | None = None,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Threshold-free classifier evaluation: ROC AUC via the
+    Mann-Whitney rank identity (Hanley & McNeil 1982 — AUC is the
+    probability a random positive outscores a random negative, ties
+    counted half), plus the Brier score (Brier 1950) and log-loss —
+    the one-row readout that tells you whether a quality/relevance
+    score actually SEPARATES (auc), and whether its values are usable
+    as probabilities (brier, log_loss).
+
+    ``label_col`` must be 0/1 (castable to int); NULL scores/labels
+    are dropped.  Log-loss clamps the score into [1e-6, 1−1e-6]
+    before the logs — a hard 0/1 prediction that is wrong would
+    otherwise be −∞ in both engines.  Returns ONE row ``(n, n_pos,
+    n_neg, auc, brier, log_loss)`` rounded to 6; ``auc`` is NULL when
+    either class is absent.
+
+    Scale shape: the KS/Mann-Whitney family contract — ONE per-
+    distinct-score (positives, negatives) count aggregation through
+    ``stats._two_sample_per_value_counts`` (``max_distinct``
+    pre-check ENFORCED; pass ``bins=`` for continuous scores), then
+    the tie-corrected U from one ordered window over the |distinct
+    scores| rows; Brier/log-loss are one map-side-combined
+    aggregation over the raw rows.  Nothing unbounded survives
+    either aggregation."""
+    from pyspark.sql import Window
+
+    from plda_spark.operators.stats import _two_sample_per_value_counts
+
+    lab = F.col(label_col).cast("int")
+    base = df.where(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("__p"), lab.alias("__y")
+    )
+    cells = _two_sample_per_value_counts(
+        base, "__y", "__p", 1, 0, bins, max_distinct, "roc_auc_report"
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    u = cells.select(
+        (
+            F.col("ca")
+            * (
+                F.coalesce(F.sum("cb").over(w), F.lit(0))
+                + F.col("cb") / 2.0
+            )
+        ).alias("__u")
+    ).agg(F.sum("__u").alias("__usum"))
+    pc = F.least(
+        F.greatest(F.col("__p"), F.lit(1e-6)), F.lit(1.0 - 1e-6)
+    )
+    y = F.col("__y").cast("double")
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("__y")).cast("long").alias("n_neg"),
+        F.avg((F.col("__p") - y) * (F.col("__p") - y)).alias("__brier"),
+        F.avg(
+            -(y * F.log(pc) + (1 - y) * F.log(1 - pc))
+        ).alias("__ll"),
+    )
+    auc = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        F.col("__usum")
+        / (F.col("n_pos").cast("double") * F.col("n_neg").cast("double")),
+    )
+    return (
+        m.crossJoin(F.broadcast(u))
+        .select(
+            "n",
+            "n_pos",
+            "n_neg",
+            F.round(auc, 6).alias("auc"),
+            F.round("__brier", 6).alias("brier"),
+            F.round("__ll", 6).alias("log_loss"),
+        )
     )

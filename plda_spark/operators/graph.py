@@ -29,6 +29,9 @@ __all__ = [
     "kcore",
     "degree_powerlaw",
     "modularity",
+    "assortativity",
+    "clustering_coefficients",
+    "reciprocity",
 ]
 
 
@@ -687,5 +690,214 @@ def modularity(
             F.col("n_communities").cast("long").alias("n_communities"),
             F.col("m_edges").cast("long").alias("m_edges"),
             F.round("__q", 6).alias("modularity"),
+        )
+    )
+
+
+def assortativity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002, "Assortative
+    mixing in networks"): the Pearson correlation of the degrees at
+    either end of an edge, over the UNDIRECTED simple graph — positive
+    means hubs link to hubs (social shape), negative means hubs link
+    to leaves (web/biology shape).  It is the one-number answer to
+    "will hub-sensitive operators (:func:`pagerank` skew,
+    :func:`link_prediction` wedge caps) see hub-hub chains or
+    hub-leaf stars?".
+
+    Each undirected edge contributes BOTH ordered degree pairs
+    (d_u, d_v) and (d_v, d_u) — the standard symmetrization that
+    makes the correlation well-defined without choosing an edge
+    direction.  Returns ONE row ``(m_edges, assortativity)`` rounded
+    to 6; the coefficient is NULL when every degree is equal (zero
+    variance — e.g. a perfect cycle), which both engines agree on.
+
+    Scale shape: one canonical-edge distinct, one degree aggregation,
+    two node-keyed degree joins (shuffle on the node key), one scalar
+    ``corr`` aggregation.  Nothing survives past the final 1-row
+    frame; correlation is scale-invariant so the sample-vs-population
+    estimator choice cancels in the ratio.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ends = e.join(da, "a").join(db, "b")
+    pairs = ends.select(
+        F.col("da").cast("double").alias("dx"),
+        F.col("db").cast("double").alias("dy"),
+    ).unionAll(
+        ends.select(
+            F.col("db").cast("double").alias("dx"),
+            F.col("da").cast("double").alias("dy"),
+        )
+    )
+    # corr spelled as covar/(sx*sy) with a zero-variance guard: ANSI
+    # Spark raises DIVIDE_BY_ZERO inside corr() on a regular graph
+    # (every degree equal), where the convention — and DuckDB — is NULL.
+    denom = F.stddev_pop("dx") * F.stddev_pop("dy")
+    return pairs.agg(
+        (F.count(F.lit(1)) / 2).cast("long").alias("m_edges"),
+        F.round(
+            F.covar_pop("dx", "dy") / F.when(denom > 0, denom), 6
+        ).alias("assortativity"),
+    )
+
+
+def clustering_coefficients(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Global transitivity AND average local clustering coefficient
+    of the undirected simple graph (Watts & Strogatz 1998 for the
+    local average; Newman 2003 §III.B for the 3·triangles/wedges
+    global form) — the two standard "how clique-ish is this graph"
+    numbers, which deliberately disagree on hub-heavy graphs (the
+    global form is wedge-weighted toward hubs, the local average is
+    node-weighted toward leaves).
+
+    Returns ONE row ``(n_nodes, n_wedges, n_triangles, transitivity,
+    avg_local)`` rounded to 6: ``transitivity = 3T/W`` with
+    ``W = Σ_v d_v(d_v−1)/2``; ``avg_local`` averages
+    ``t_v / (d_v(d_v−1)/2)`` over nodes with degree ≥ 2 (the usual
+    convention — degree-0/1 nodes have no defined coefficient and are
+    excluded, not zero-counted).  Both are NULL on a wedge-free graph.
+
+    Scale shape: the :func:`triangles` degree-ordered oriented
+    adjacency-intersection core (out-lists O(√m)-bounded regardless
+    of hub degree), with the intersection EXPLODED into one row per
+    triangle so corner attribution is exact — intermediate volume is
+    O(#triangles), the same asymptotic work the counting form already
+    does, never the 6× wedge materialization.  Then one union of the
+    three corner projections, one per-node count, one node-keyed join
+    back to degrees, one scalar aggregation."""
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    ka = F.struct(F.col("da"), F.col("a"))
+    kb = F.struct(F.col("db"), F.col("b"))
+    o = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(ka < kb, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(ka < kb, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    au = adj.select("u", F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
+    tri = (
+        o.join(au, "u")
+        .join(av, "v")
+        .select(
+            "u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w")
+        )
+    )
+    corners = (
+        tri.select(F.col("u").alias("n"))
+        .unionAll(tri.select(F.col("v").alias("n")))
+        .unionAll(tri.select(F.col("w").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    dd = F.col("d").cast("double")
+    wedges_v = dd * (dd - 1) / 2.0
+    tv = F.coalesce(F.col("t"), F.lit(0)).cast("double")
+    per = deg.join(corners, "n", "left")
+    return per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(wedges_v).cast("long").alias("__w"),
+        (F.sum(tv) / 3).cast("long").alias("n_triangles"),
+        F.round(
+            F.sum(tv)
+            / F.when(F.sum(wedges_v) > 0, F.sum(wedges_v)),
+            6,
+        ).alias("transitivity"),
+        F.round(
+            F.avg(F.when(F.col("d") >= 2, tv / wedges_v)), 6
+        ).alias("avg_local"),
+    ).select(
+        "n_nodes",
+        F.col("__w").alias("n_wedges"),
+        "n_triangles",
+        "transitivity",
+        "avg_local",
+    )
+
+
+def reciprocity(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Reciprocity of a DIRECTED graph (Newman 2003 §III.C): the
+    fraction of directed edges whose reverse edge also exists —
+    mutual-follow rate in follow graphs, backlink rate in link
+    graphs, the quick "is this graph effectively undirected?" probe
+    that decides whether the undirected operators
+    (:func:`triangles`, :func:`kcore`) even apply.
+
+    Self-loops are dropped and duplicate directed edges deduped
+    before counting.  Returns ONE row ``(m_directed, m_reciprocated,
+    reciprocity)`` rounded to 6 — ``m_reciprocated`` counts directed
+    edges (a reciprocal PAIR contributes 2).
+
+    Scale shape: one distinct + ONE self-equi-join on the reversed
+    key pair (a left join carrying a marker — never a cartesian
+    product) + one scalar aggregation."""
+    d = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("t"))
+        .where(F.col("s") != F.col("t"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = d.select(
+        F.col("t").alias("s"), F.col("s").alias("t"), F.lit(1).alias("__r")
+    )
+    return (
+        d.join(rev, ["s", "t"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("m_directed"),
+            F.sum(F.coalesce(F.col("__r"), F.lit(0)))
+            .cast("long")
+            .alias("m_reciprocated"),
+            F.round(
+                F.sum(F.coalesce(F.col("__r"), F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("reciprocity"),
         )
     )

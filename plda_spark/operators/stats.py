@@ -87,6 +87,7 @@ __all__ = [
     "ab_power_mde",
     "by_fdr",
     "uplift_by_segment",
+    "cohens_kappa",
 ]
 
 
@@ -3948,4 +3949,66 @@ def uplift_by_segment(
         F.col("__pval").alias("p_value"),
         "q_value",
         "reject",
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Cohen's kappa (Cohen 1960) — chance-corrected agreement between
+    two categorical columns: ``κ = (p_o − p_e)/(1 − p_e)`` with
+    observed agreement ``p_o`` and the expected-by-chance agreement
+    ``p_e = Σ_k p_a(k)·p_b(k)`` from the marginals.  The labeling-ops
+    number that raw percent-agreement oversells: two annotators (or a
+    heuristic vs. gold labels) agreeing 80% on a 90/10-skewed task can
+    be WORSE than chance, and kappa says so.
+
+    Rows where either column is NULL are dropped (agreement is only
+    defined where both raters rated).  Returns ONE row ``(n, po, pe,
+    kappa)`` rounded to 6; ``kappa`` is NULL when ``p_e = 1`` (both
+    raters constant — the degenerate case with no chance correction).
+
+    Scale shape: ONE (a, b) contingency aggregation over the corpus
+    (map-side combined; survivors bounded by |categories|²), then
+    marginal sums and one label-keyed equi-join over |categories|
+    rows — categories one rater never uses contribute zero chance
+    mass, which the inner join encodes exactly."""
+    a = F.col(col_a)
+    b = F.col(col_b)
+    cells = (
+        df.where(a.isNotNull() & b.isNotNull())
+        .groupBy(a.alias("__a"), b.alias("__b"))
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    tot = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("__a") == F.col("__b"), F.col("__c")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("__agree"),
+    )
+    ma = cells.groupBy("__a").agg(F.sum("__c").alias("__na"))
+    mb = cells.groupBy("__b").agg(F.sum("__c").alias("__nb"))
+    cross = ma.join(mb, ma["__a"] == mb["__b"]).agg(
+        F.coalesce(F.sum(F.col("__na") * F.col("__nb")), F.lit(0)).alias(
+            "__x"
+        )
+    )
+    n = F.col("n").cast("double")
+    po = F.col("__agree") / n
+    pe = F.col("__x") / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (1.0 - pe))
+    return (
+        tot.crossJoin(F.broadcast(cross))
+        .select(
+            "n",
+            F.round(po, 6).alias("po"),
+            F.round(pe, 6).alias("pe"),
+            F.round(kappa, 6).alias("kappa"),
+        )
     )

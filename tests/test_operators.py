@@ -6006,3 +6006,119 @@ def test_dp_quantile_and_pareto_semantics(spark):
     assert got == [1, 2, 5, 6]
     with _pytest.raises(ValueError, match="max_distinct"):
         curation.pareto_front_2d(dfp, "x", "y", max_distinct=2)
+
+
+def test_assortativity_clustering_reciprocity_semantics(spark):
+    """assortativity: a star is perfectly disassortative (-1), a
+    regular graph has zero degree variance (NULL).  clustering: the
+    triangle-plus-pendant graph has known wedge/triangle/coefficient
+    values.  reciprocity: dedup + self-loop drop, pair counted from
+    both sides."""
+    from plda_spark.operators import graph
+
+    star = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "src long, dst long"
+    )
+    r = graph.assortativity(star).first()
+    assert r["m_edges"] == 3
+    assert r["assortativity"] == -1.0
+
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    r = graph.assortativity(tri).first()
+    assert r["m_edges"] == 3
+    assert r["assortativity"] is None  # zero degree variance
+
+    # triangle {1,2,3} plus pendant 3-4: T=1, W=5, transitivity=0.6,
+    # avg_local = (1 + 1 + 1/3)/3 (degree-1 node 4 excluded)
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 3)], "src long, dst long"
+    )
+    c = graph.clustering_coefficients(g).first()
+    assert c["n_nodes"] == 4
+    assert c["n_wedges"] == 5
+    assert c["n_triangles"] == 1
+    assert c["transitivity"] == 0.6
+    assert abs(c["avg_local"] - round((1 + 1 + 1 / 3) / 3, 6)) < 1e-9
+
+    # wedge-free graph: both coefficients NULL, not a divide error
+    lone = spark.createDataFrame([(7, 8)], "src long, dst long")
+    c0 = graph.clustering_coefficients(lone).first()
+    assert c0["n_wedges"] == 0 and c0["n_triangles"] == 0
+    assert c0["transitivity"] is None and c0["avg_local"] is None
+
+    d = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 5), (1, 2)],
+        "src long, dst long",
+    )
+    rr = graph.reciprocity(d).first()
+    assert rr["m_directed"] == 5
+    assert rr["m_reciprocated"] == 4
+    assert rr["reciprocity"] == 0.8
+
+
+def test_roc_auc_and_kappa_semantics(spark):
+    """AUC: perfect separation = 1, reversed = 0, all-tied = 0.5 and
+    the tie correction is exact; one-class data gives NULL, not a
+    divide error; the max_distinct guard fires.  Kappa: perfect
+    agreement = 1, the classic skewed-marginal case matches the
+    hand-computed value, constant raters give NULL."""
+    import pytest as _pytest
+
+    from plda_spark.operators import classify, stats
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int"
+    )
+    r = classify.roc_auc_report(perfect, "s", "y").first()
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+    reversed_ = spark.createDataFrame(
+        [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "s double, y int"
+    )
+    assert classify.roc_auc_report(reversed_, "s", "y").first()["auc"] == 0.0
+
+    tied = spark.createDataFrame(
+        [(0.5, 1), (0.5, 1), (0.5, 0), (0.5, 0)], "s double, y int"
+    )
+    t = classify.roc_auc_report(tied, "s", "y").first()
+    assert t["auc"] == 0.5
+    # Brier on all-0.5 predictions is exactly 0.25
+    assert t["brier"] == 0.25
+
+    one_class = spark.createDataFrame(
+        [(0.4, 1), (0.6, 1)], "s double, y int"
+    )
+    assert classify.roc_auc_report(one_class, "s", "y").first()["auc"] is None
+
+    wide = spark.createDataFrame(
+        [(float(i), i % 2) for i in range(500)], "s double, y int"
+    )
+    with _pytest.raises(ValueError, match="max_distinct"):
+        classify.roc_auc_report(wide, "s", "y", max_distinct=100)
+    # bins= mode accepts the same column
+    b = classify.roc_auc_report(wide, "s", "y", bins=10, max_distinct=100)
+    assert b.first()["n"] == 500
+
+    agree = spark.createDataFrame(
+        [("x", "x"), ("y", "y"), ("z", "z")], "a string, b string"
+    )
+    assert stats.cohens_kappa(agree, "a", "b").first()["kappa"] == 1.0
+
+    # classic 2x2: po=0.6, marginals a=(0.5,0.5), b=(0.7,0.3)
+    # pe = 0.35+0.15 = 0.5 -> kappa = 0.2
+    rows = (
+        [("p", "p")] * 4 + [("p", "n")] * 1
+        + [("n", "p")] * 3 + [("n", "n")] * 2
+    )
+    k = stats.cohens_kappa(
+        spark.createDataFrame(rows, "a string, b string"), "a", "b"
+    ).first()
+    assert k["n"] == 10 and k["po"] == 0.6 and k["pe"] == 0.5
+    assert abs(k["kappa"] - 0.2) < 1e-9
+
+    const = spark.createDataFrame(
+        [("x", "x"), ("x", "x")], "a string, b string"
+    )
+    assert stats.cohens_kappa(const, "a", "b").first()["kappa"] is None

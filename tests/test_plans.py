@@ -1117,3 +1117,50 @@ def test_textrank_iterates_over_checkpointed_edges(spark):
     # every input (sentence frame, edges, out-strengths) is a
     # checkpoint: the returned plan reads NO parquet at all
     assert s["scans"] == 0, s["scans"]
+
+
+def test_clustering_explodes_intersections_no_cartesian(spark):
+    """clustering_coefficients must stay on the oriented-intersection
+    core: explode (Generate) for corner attribution, equi-joins only,
+    no Python eval anywhere."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["graph_clustering"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate" in plan  # the exploded intersection
+    assert "array_intersect" in plan
+
+
+def test_assortativity_is_joins_plus_one_scalar_agg(spark):
+    """assortativity: two node-keyed degree joins feeding ONE scalar
+    corr aggregation — no window, no cartesian, nothing survives the
+    final agg."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["graph_assortativity"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "covar_pop(" in plan
+
+
+def test_roc_auc_window_runs_over_the_cell_frame(spark):
+    """classify_auc: the only Window is the U cumsum over the
+    per-distinct-score cell aggregation — never over raw rows — and
+    nothing Python touches the plan."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["classify_auc"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # one physical Window, fed by the groupBy(v) aggregate (cells) —
+    # the formatted plan names each node twice (tree + details)
+    assert plan.count("Window") == 2

@@ -5336,6 +5336,135 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_cohens_kappa"] = stats_cohens_kappa
 
+    def text_rank_eval(spark, sf):
+        """TREC-style retrieval evaluation (operators/invindex.py
+        rank_eval — Järvelin-Kekäläinen nDCG@10, MRR, AP): a tf-ranked
+        run for five corpus terms scored against graded position-based
+        qrels (rel 2 = term in the doc's first 3 tokens, rel 1 = in
+        the first 15) — does raw term frequency retrieve the docs
+        that LEAD with the term?  Candidate-list windows (rrf_fuse
+        contract), (query, doc) equi-joins, |queries| rows after the
+        per-query aggregation."""
+        from plda_spark.operators import invindex
+        from plda_spark.operators.text import tokens_col
+
+        terms = ["query", "order", "table", "join", "hash"]
+        docs = load_table(spark, sf, "documents")
+        t = tokens_col("text")
+        run_entries = []
+        rel_entries = []
+        for term in terms:
+            # NB: a 2-arg lambda in F.filter means (element, index) —
+            # bind the term literal OUTSIDE the lambda
+            term_lit = F.lit(term)
+            tf = F.size(F.filter(t, lambda x: x == term_lit))
+            run_entries.append(
+                F.struct(
+                    F.lit(term).alias("query_id"),
+                    tf.cast("double").alias("score"),
+                )
+            )
+            rel = (
+                F.when(F.array_contains(F.slice(t, 1, 3), term), F.lit(2.0))
+                .when(F.array_contains(F.slice(t, 1, 15), term), F.lit(1.0))
+                .otherwise(F.lit(0.0))
+            )
+            rel_entries.append(
+                F.struct(F.lit(term).alias("query_id"), rel.alias("rel"))
+            )
+        run = (
+            docs.select(
+                "doc_id", F.explode(F.array(*run_entries)).alias("e")
+            )
+            .select(
+                F.col("e.query_id").alias("query_id"),
+                "doc_id",
+                F.col("e.score").alias("score"),
+            )
+            .where(F.col("score") > 0)
+        )
+        qrels = (
+            docs.select(
+                "doc_id", F.explode(F.array(*rel_entries)).alias("e")
+            )
+            .select(
+                F.col("e.query_id").alias("query_id"),
+                "doc_id",
+                F.col("e.rel").alias("rel"),
+            )
+            .where(F.col("rel") > 0)
+        )
+        return invindex.rank_eval(run, qrels, k=10)
+
+    q["text_rank_eval"] = text_rank_eval
+
+    def stats_brown_smoothing(spark, sf):
+        """Brown double exponential smoothing (operators/stats.py
+        brown_smoothing — level+trend forecasting between ewma and
+        seasonal_decompose) of the daily event value series at
+        alpha=0.3: one daily rollup collapses the corpus, then the
+        recurrences run closed-form as |days|² weighted pair joins
+        (all exponents >= 0 — no overflow at any length)."""
+        from plda_spark.operators import stats
+
+        return stats.brown_smoothing(
+            load_table(spark, sf, "events"), "ts", "value", alpha=0.3
+        )
+
+    q["stats_brown_smoothing"] = stats_brown_smoothing
+
+    def ml_decision_stump(spark, sf):
+        """CART-style best single split (operators/classify.py
+        decision_stump — weighted-Gini argmin over distinct
+        thresholds, max_distinct-enforced): does integer-rounded
+        event value split purchases from the rest?  One per-value
+        count aggregation + cumulative window + bounded argmin."""
+        from plda_spark.operators import classify
+
+        ev = load_table(spark, sf, "events").select(
+            F.round("value", 0).alias("vr"),
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+        )
+        return classify.decision_stump(ev, "vr", "y")
+
+    q["ml_decision_stump"] = ml_decision_stump
+
+    def events_ab_srm(spark, sf):
+        """Sample-ratio-mismatch guardrail (operators/stats.py
+        ab_srm_check — chi-squared goodness-of-fit against the design
+        split, Wilson-Hilferty p): a three-arm user_id%3 assignment
+        audited against the designed 1/1/1 split.  One variant-keyed
+        count aggregation; |variants| rows survive."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").select(
+            F.when(F.col("user_id") % 3 == 0, "A")
+            .when(F.col("user_id") % 3 == 1, "B")
+            .otherwise("C")
+            .alias("variant")
+        )
+        return stats.ab_srm_check(
+            ev, "variant", {"A": 1.0, "B": 1.0, "C": 1.0}
+        )
+
+    q["events_ab_srm"] = events_ab_srm
+
+    def stats_combine_pvalues(spark, sf):
+        """Global meta-verdict over the one-vs-rest mean-shift screen
+        (operators/stats.py combine_pvalues — Fisher 1932 with the
+        EXACT even-dof chi-squared survival series + Stouffer 1949
+        from the screen's own z-stats): does ANY event type's value
+        distribution move, jointly?  One aggregation over the
+        |groups|-row screen output."""
+        from plda_spark.operators import stats
+
+        screen = stats.group_mean_shift_tests(
+            load_table(spark, sf, "events"), "event_type", "value"
+        )
+        return stats.combine_pvalues(screen, "p_value", z_col="z")
+
+    q["stats_combine_pvalues"] = stats_combine_pvalues
+
     return q
 
 
@@ -11264,6 +11393,239 @@ SELECT CAST(n AS BIGINT) AS n,
 FROM tot, x
 """
 
+    # Same tf run, same graded position qrels, same (score desc, doc
+    # asc) rank order, same exponential-gain DCG, full-run MRR/AP
+    # conventions.
+    _re_terms = ["query", "order", "table", "join", "hash"]
+    _re_run = "\n    UNION ALL ".join(
+        f"SELECT doc_id, '{w}' AS q, CAST(len(list_filter(toks, "
+        f"x -> x = '{w}')) AS DOUBLE) AS score FROM t"
+        for w in _re_terms
+    )
+    _re_rel = "\n    UNION ALL ".join(
+        f"SELECT doc_id, '{w}' AS q, CASE "
+        f"WHEN list_contains(toks[1:3], '{w}') THEN 2.0 "
+        f"WHEN list_contains(toks[1:15], '{w}') THEN 1.0 "
+        f"ELSE 0.0 END AS rel FROM t"
+        for w in _re_terms
+    )
+    o["text_rank_eval"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+run AS (
+  SELECT q, doc_id, score FROM (
+    {_re_run}
+  ) WHERE score > 0
+), ranked AS (
+  SELECT q, doc_id, row_number() OVER (
+           PARTITION BY q ORDER BY score DESC, doc_id ASC) AS r
+  FROM run
+), qr AS (
+  SELECT q, doc_id, rel FROM (
+    {_re_rel}
+  ) WHERE rel > 0
+), j AS (
+  SELECT ranked.q, ranked.r, coalesce(qr.rel, 0.0) AS rel
+  FROM ranked LEFT JOIN qr
+    ON ranked.q = qr.q AND ranked.doc_id = qr.doc_id
+), jj AS (
+  SELECT q, r, rel,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY q ORDER BY r) AS cum
+  FROM j
+), perq AS (
+  SELECT q, count(*) AS n_ranked,
+         sum(CASE WHEN r <= 10
+                  THEN (pow(2.0, rel) - 1)/log2(r + 1.0) END) AS dcg,
+         sum(CASE WHEN rel > 0 THEN CAST(cum AS DOUBLE)/r END) AS apnum,
+         max(CASE WHEN rel > 0 THEN 1.0/r END) AS mrr
+  FROM jj GROUP BY 1
+), ideal AS (
+  SELECT q, count(*) AS n_rel,
+         sum(CASE WHEN ir <= 10
+                  THEN (pow(2.0, rel) - 1)/log2(ir + 1.0) END) AS idcg
+  FROM (SELECT q, rel, row_number() OVER (
+          PARTITION BY q ORDER BY rel DESC, doc_id ASC) AS ir
+        FROM qr WHERE rel > 0)
+  GROUP BY 1
+)
+SELECT perq.q AS query_id,
+       CAST(n_ranked AS BIGINT) AS n_ranked,
+       CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel,
+       round(CASE WHEN idcg > 0 THEN dcg/idcg END, 6) AS ndcg_at_k,
+       round(mrr, 6) AS mrr,
+       round(CASE WHEN n_rel > 0 THEN apnum/n_rel END, 6) AS ap
+FROM perq LEFT JOIN ideal ON perq.q = ideal.q
+"""
+
+    # Same daily rollup, same init-weighted closed-form kernel for
+    # both smoothing passes, same scalar trend factor.
+    o["stats_brown_smoothing"] = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, sum(value) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+), idx AS (
+  SELECT day, x, row_number() OVER (ORDER BY day) AS t FROM daily
+), s1 AS (
+  SELECT a.t,
+         sum(CASE WHEN b.t = 1 THEN pow(0.7, a.t - 1)
+                  ELSE 0.3*pow(0.7, a.t - b.t) END * b.x) AS s1
+  FROM idx a JOIN idx b ON b.t <= a.t GROUP BY 1
+), base AS (
+  SELECT idx.day, idx.x, idx.t, s1.s1 FROM idx JOIN s1 ON idx.t = s1.t
+), s2 AS (
+  SELECT a.t,
+         sum(CASE WHEN b.t = 1 THEN pow(0.7, a.t - 1)
+                  ELSE 0.3*pow(0.7, a.t - b.t) END * b.s1) AS s2
+  FROM base a JOIN base b ON b.t <= a.t GROUP BY 1
+)
+SELECT base.day,
+       round(base.x, 6) AS x,
+       round(base.s1, 6) AS s1,
+       round(s2.s2, 6) AS s2,
+       round(2*base.s1 - s2.s2, 6) AS level,
+       round((0.3/0.7)*(base.s1 - s2.s2), 6) AS trend,
+       round(2*base.s1 - s2.s2
+             + (0.3/0.7)*(base.s1 - s2.s2), 6) AS forecast_next
+FROM base JOIN s2 ON base.t = s2.t
+"""
+
+    # Same per-value cells, same cumulative split counts, same
+    # integer-ratio Gini arithmetic, same (impurity, threshold)
+    # argmin order.
+    o["ml_decision_stump"] = """
+WITH base AS (
+  SELECT round(value, 0) AS v,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), cells AS (SELECT v, sum(y) AS n1, sum(1-y) AS n0 FROM base GROUP BY 1),
+tot AS (SELECT sum(n1) AS t1, sum(n0) AS t0 FROM cells),
+cum AS (
+  SELECT v, t1, t0,
+         sum(n1) OVER (ORDER BY v) AS c1,
+         sum(n0) OVER (ORDER BY v) AS c0
+  FROM cells, tot
+), cand AS (
+  SELECT v, t1, t0, c1, c0,
+         CAST(c1 + c0 AS DOUBLE) AS nl,
+         CAST(t1 - c1 + t0 - c0 AS DOUBLE) AS nr
+  FROM cum WHERE t1 - c1 + t0 - c0 > 0
+), scored AS (
+  SELECT *,
+         (nl*(1.0 - pow(c1/nl, 2) - pow(c0/nl, 2))
+          + nr*(1.0 - pow((t1-c1)/nr, 2) - pow((t0-c0)/nr, 2)))
+         / CAST(t1 + t0 AS DOUBLE) AS g
+  FROM cand
+), best AS (SELECT * FROM scored ORDER BY g ASC, v ASC LIMIT 1)
+SELECT CAST(t1 + t0 AS BIGINT) AS n,
+       CAST(t1 AS BIGINT) AS n_pos,
+       round(v, 6) AS threshold,
+       round(1.0 - pow(t1/CAST(t1+t0 AS DOUBLE), 2)
+                 - pow(t0/CAST(t1+t0 AS DOUBLE), 2), 6) AS gini_parent,
+       round(g, 6) AS gini_split,
+       round((1.0 - pow(t1/CAST(t1+t0 AS DOUBLE), 2)
+                  - pow(t0/CAST(t1+t0 AS DOUBLE), 2)) - g, 6) AS gain,
+       CAST(c1 + c0 AS BIGINT) AS left_n,
+       round(c1/nl, 6) AS left_pos_rate,
+       CAST(t1 - c1 + t0 - c0 AS BIGINT) AS right_n,
+       round((t1 - c1)/nr, 6) AS right_pos_rate
+FROM best
+"""
+
+    # Same designed weights, same zero-filled expected join, same
+    # Wilson-Hilferty tail through the shared Phi polynomial.
+    o["events_ab_srm"] = """
+WITH counts AS (
+  SELECT CASE WHEN user_id % 3 = 0 THEN 'A'
+              WHEN user_id % 3 = 1 THEN 'B' ELSE 'C' END AS variant,
+         count(*) AS o
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), ex AS (
+  SELECT * FROM (VALUES ('A', 1.0/3.0), ('B', 1.0/3.0),
+                        ('C', 1.0/3.0)) e(variant, w)
+), j AS (
+  SELECT ex.variant, ex.w, coalesce(counts.o, 0) AS o
+  FROM ex LEFT JOIN counts USING (variant)
+), t AS (SELECT sum(o) AS n, count(*) AS k FROM j),
+agg AS (
+  SELECT t.n, t.k,
+         sum(pow(j.o - j.w*t.n, 2)/(j.w*t.n)) AS chi2
+  FROM j, t GROUP BY t.n, t.k
+), zc AS (
+  SELECT n, k, chi2, CAST(k - 1 AS DOUBLE) AS nu,
+         CASE WHEN k > 1 AND chi2 > 0
+              THEN (pow(chi2/(k-1.0), 1.0/3.0)
+                    - (1.0 - 2.0/(9.0*(k-1.0))))
+                   / sqrt(2.0/(9.0*(k-1.0)))
+              ELSE 0.0 END AS z
+  FROM agg
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zc),
+pp AS (
+  SELECT n, k, chi2, nu, z,
+         (2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))))/2.0 AS half
+  FROM ph
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(chi2, 6) AS chi2, CAST(nu AS BIGINT) AS dof,
+       round(least(greatest(CASE WHEN z >= 0 THEN half
+                                 ELSE 1.0 - half END, 0.0), 1.0), 6)
+         AS p_value,
+       least(greatest(CASE WHEN z >= 0 THEN half
+                           ELSE 1.0 - half END, 0.0), 1.0) < 0.001
+         AS srm_suspected
+FROM pp
+"""
+
+    # Same screen (the bh_fdr prefix arithmetic), same rounded screen
+    # outputs consumed, same exact even-dof series, same Stouffer sum.
+    o["stats_combine_pvalues"] = """
+WITH per AS (
+  SELECT event_type AS grp, count(value) AS n,
+         sum(value) AS s1, sum(value*value) AS s2
+  FROM events GROUP BY 1
+), tot AS (SELECT sum(n) AS tn, sum(s1) AS ts1, sum(s2) AS ts2 FROM per),
+j AS (
+  SELECT grp, n, tn - n AS rn, s1/n AS m, (ts1-s1)/(tn-n) AS rm,
+         greatest((s2 - s1*(s1/n))/(n-1), 0.0) AS var,
+         greatest(((ts2-s2) - (ts1-s1)*((ts1-s1)/(tn-n)))/(tn-n-1), 0.0)
+           AS rvar
+  FROM per, tot WHERE tn - n > 0
+), zc AS (
+  SELECT grp,
+         CASE WHEN var/n + rvar/rn > 0
+              THEN abs(m - rm)/sqrt(var/n + rvar/rn) ELSE 0.0 END AS z
+  FROM j
+), ph AS (SELECT grp, z, 1.0/(1.0 + 0.2316419*z) AS tt FROM zc),
+scr AS (
+  SELECT grp, round(z, 6) AS z,
+         round(least(2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))), 1.0), 6) AS p
+  FROM ph
+), comb AS (
+  SELECT count(*) AS k,
+         sum(-2.0*ln(greatest(p, 1e-300))) AS x,
+         sum(z)/sqrt(count(*)) AS zs
+  FROM scr WHERE p IS NOT NULL
+), ser AS (
+  SELECT k, x, zs,
+         unnest(list_transform(range(0, k),
+                i -> pow(x/2.0, i)/factorial(CAST(i AS INT)))) AS term
+  FROM comb
+), fis AS (SELECT k, x, zs, sum(term) AS s FROM ser GROUP BY k, x, zs),
+sph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(zs)) AS tt FROM fis)
+SELECT CAST(k AS BIGINT) AS k,
+       round(x, 6) AS fisher_x2,
+       round(least(greatest(exp(-x/2.0)*s, 0.0), 1.0), 6) AS fisher_p,
+       round(zs, 6) AS stouffer_z,
+       round(least(greatest(2.0*(exp(-zs*zs/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))), 0.0), 1.0), 6)
+         AS stouffer_p
+FROM sph
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -11650,6 +12012,11 @@ EXTRA_QUERIES: list[str] = [
     "graph_reciprocity",
     "classify_auc",
     "stats_cohens_kappa",
+    "text_rank_eval",
+    "stats_brown_smoothing",
+    "ml_decision_stump",
+    "events_ab_srm",
+    "stats_combine_pvalues",
 ]
 
 

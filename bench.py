@@ -373,6 +373,16 @@ BENCH_QUERIES = [
     "classify_auc",
     # chance-corrected rater agreement (one contingency agg)
     "stats_cohens_kappa",
+    # nDCG@10/MRR/AP retrieval eval over candidate lists
+    "text_rank_eval",
+    # Brown double exponential smoothing (|days|^2 pair joins)
+    "stats_brown_smoothing",
+    # CART-style best-split stump (bounded threshold argmin)
+    "ml_decision_stump",
+    # sample-ratio-mismatch guardrail (one variant-keyed count)
+    "events_ab_srm",
+    # Fisher/Stouffer meta-verdict over the mean-shift screen
+    "stats_combine_pvalues",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report", "nb_eval", "roc_auc_report"]
+__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report", "nb_eval", "roc_auc_report", "decision_stump"]
 
 
 def logreg_fit(
@@ -445,4 +445,119 @@ def roc_auc_report(
             F.round("__brier", 6).alias("brier"),
             F.round("__ll", 6).alias("log_loss"),
         )
+    )
+
+
+def decision_stump(
+    df: DataFrame,
+    feature_col: str,
+    label_col: str,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Best single-threshold split of a numeric feature for a 0/1
+    label, minimizing weighted Gini impurity (the CART split
+    criterion, Breiman et al. 1984) — the one-rule baseline every
+    learned quality classifier must beat, and the fastest "is this
+    feature worth anything?" probe before a full
+    :func:`logreg_fit`.
+
+    Candidate thresholds are the distinct feature values; the split
+    is ``left: x <= v``, ``right: x > v`` (the last value — empty
+    right side — is not a candidate).  Ties on impurity go to the
+    smallest threshold, so both engines pick the same split.  NULL
+    features/labels are dropped.  Returns ONE row ``(n, n_pos,
+    threshold, gini_parent, gini_split, gain, left_n, left_pos_rate,
+    right_n, right_pos_rate)`` rounded to 6; ``threshold`` is NULL
+    when no split exists (a constant feature).
+
+    Scale shape: the KS-family bounded-cardinality contract — an
+    ``approx_count_distinct`` pre-check ENFORCES ``max_distinct``
+    (quantize/round a continuous feature first), then ONE per-value
+    (pos, neg) count aggregation collapses the corpus, one ordered
+    cumulative window + the argmin run over |distinct values| rows,
+    and all Gini arithmetic is exact integer-count ratios both
+    engines compute identically."""
+    from pyspark.sql import Window
+
+    lab = F.col(label_col).cast("int")
+    v = F.col(feature_col).cast("double")
+    base = df.where(v.isNotNull() & lab.isNotNull()).select(
+        v.alias("__v"), lab.alias("__y")
+    )
+    ndv = base.agg(F.approx_count_distinct("__v").alias("__ndv")).first()[
+        "__ndv"
+    ]
+    if ndv > max_distinct:
+        raise ValueError(
+            f"decision_stump: {feature_col!r} has ~{ndv} distinct values "
+            f"> max_distinct={max_distinct}; every distinct value is a "
+            "split candidate. Quantize/round the feature first, or "
+            "raise max_distinct if the cardinality is genuinely bounded."
+        )
+    cells = base.groupBy(F.col("__v").alias("v")).agg(
+        F.sum("__y").alias("n1"),
+        F.sum(1 - F.col("__y")).alias("n0"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = cells.agg(
+        F.sum("n1").alias("t1"),
+        F.sum("n0").alias("t0"),
+        F.count(F.lit(1)).alias("__k"),
+    )
+    cum = cells.select(
+        "v",
+        F.sum("n1").over(w).alias("c1"),
+        F.sum("n0").over(w).alias("c0"),
+    ).crossJoin(F.broadcast(tot))
+    nl = (F.col("c1") + F.col("c0")).cast("double")
+    nr = (F.col("t1") - F.col("c1") + F.col("t0") - F.col("c0")).cast(
+        "double"
+    )
+    n = (F.col("t1") + F.col("t0")).cast("double")
+    gl = (
+        F.lit(1.0)
+        - F.pow(F.col("c1") / nl, 2)
+        - F.pow(F.col("c0") / nl, 2)
+    )
+    gr = (
+        F.lit(1.0)
+        - F.pow((F.col("t1") - F.col("c1")) / nr, 2)
+        - F.pow((F.col("t0") - F.col("c0")) / nr, 2)
+    )
+    cand = cum.where(nr > 0).select(
+        "v",
+        "c1",
+        "c0",
+        "t1",
+        "t0",
+        ((nl * gl + nr * gr) / n).alias("__g"),
+    )
+    best = cand.orderBy(F.col("__g").asc(), F.col("v").asc()).limit(1)
+    gp = (
+        F.lit(1.0)
+        - F.pow(F.col("t1") / n, 2)
+        - F.pow(F.col("t0") / n, 2)
+    )
+    out = tot.join(best, ["t1", "t0"], "left")
+    nl2 = (F.col("c1") + F.col("c0")).cast("double")
+    nr2 = (F.col("t1") - F.col("c1") + F.col("t0") - F.col("c0")).cast(
+        "double"
+    )
+    return out.select(
+        (F.col("t1") + F.col("t0")).cast("long").alias("n"),
+        F.col("t1").cast("long").alias("n_pos"),
+        F.round("v", 6).alias("threshold"),
+        F.round(gp, 6).alias("gini_parent"),
+        F.round("__g", 6).alias("gini_split"),
+        F.round(gp - F.col("__g"), 6).alias("gain"),
+        (F.col("c1") + F.col("c0")).cast("long").alias("left_n"),
+        F.round(F.col("c1") / nl2, 6).alias("left_pos_rate"),
+        (F.col("t1") - F.col("c1") + F.col("t0") - F.col("c0"))
+        .cast("long")
+        .alias("right_n"),
+        F.round(
+            (F.col("t1") - F.col("c1")) / nr2, 6
+        ).alias("right_pos_rate"),
     )

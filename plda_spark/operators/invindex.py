@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from .text import tokens_col
 
-__all__ = ["build_inverted_index", "phrase_search", "term_search", "rrf_fuse"]
+__all__ = ["build_inverted_index", "phrase_search", "term_search", "rrf_fuse", "rank_eval"]
 
 
 def build_inverted_index(
@@ -225,4 +225,123 @@ def rrf_fuse(
         fused.orderBy(F.col("__rrf").desc(), F.col("__doc").asc())
         .limit(top_n)
         .select(*out_cols)
+    )
+
+
+def rank_eval(
+    run: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Per-query retrieval-quality metrics of a ranked ``run`` against
+    graded ``qrels`` — the TREC trio (Järvelin & Kekäläinen 2002 for
+    nDCG; Voorhees 1999 for MRR; the classic AP): the evaluation step
+    that turns "we swapped the retrieval stage" into a number, for
+    search/RAG pipelines built on :func:`term_search` / BM25 /
+    :func:`rrf_fuse` outputs.
+
+    ``run`` rows are ranked per query by ``(score desc, doc asc)`` — a
+    deterministic total order both engines replay.  Metrics per query:
+
+    - ``ndcg_at_k`` — exponential-gain DCG@k ``Σ (2^rel − 1)/log2(r+1)``
+      over the run order, normalized by the ideal DCG@k from the
+      query's qrels (NULL when the query has no positive qrels);
+    - ``mrr`` — reciprocal rank of the first relevant (rel > 0) result
+      over the FULL run (NULL when none retrieved);
+    - ``ap`` — Σ precision@r at relevant ranks / |relevant in qrels|
+      (the full-run convention: misses hurt the denominator).
+
+    Queries present only in ``qrels`` are not emitted (no run = nothing
+    to evaluate); run docs missing from qrels count as rel 0.  Returns
+    ``(query_id, n_ranked, n_rel, ndcg_at_k, mrr, ap)`` rounded to 6.
+
+    Scale shape: the candidate-list contract shared with
+    :func:`rrf_fuse` — ``run`` is a per-query CANDIDATE LIST (a top-k
+    retrieval output), so the per-query rank windows are bounded by
+    the list length, never corpus-sized; qrels joins are equi-joins on
+    (query, doc); everything after the per-query aggregation is
+    |queries| rows."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    r = run.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(score_col).cast("double").alias("__s"),
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("__s").desc(), F.col("__d").asc()
+    )
+    ranked = r.withColumn("__r", F.row_number().over(w))
+    qr = qrels.select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rel_col).cast("double").alias("__rel"),
+    ).where(F.col("__rel").isNotNull())
+    j = ranked.join(qr, ["__q", "__d"], "left").withColumn(
+        "__rel", F.coalesce(F.col("__rel"), F.lit(0.0))
+    )
+    wc = (
+        Window.partitionBy("__q")
+        .orderBy("__r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    j = j.withColumn(
+        "__cum", F.sum((F.col("__rel") > 0).cast("long")).over(wc)
+    )
+    rr = F.col("__r").cast("double")
+    dcg_term = F.when(
+        F.col("__r") <= k,
+        (F.pow(F.lit(2.0), F.col("__rel")) - 1) / F.log2(rr + 1),
+    )
+    prec_term = F.when(
+        F.col("__rel") > 0, F.col("__cum").cast("double") / rr
+    )
+    mrr_term = F.when(F.col("__rel") > 0, F.lit(1.0) / rr)
+    perq = j.groupBy("__q").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(dcg_term).alias("__dcg"),
+        F.sum(prec_term).alias("__apnum"),
+        F.max(mrr_term).alias("__mrr"),
+    )
+    wi = Window.partitionBy("__q").orderBy(
+        F.col("__rel").desc(), F.col("__d").asc()
+    )
+    ideal = (
+        qr.where(F.col("__rel") > 0)
+        .withColumn("__ir", F.row_number().over(wi))
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rel"),
+            F.sum(
+                F.when(
+                    F.col("__ir") <= k,
+                    (F.pow(F.lit(2.0), F.col("__rel")) - 1)
+                    / F.log2(F.col("__ir").cast("double") + 1),
+                )
+            ).alias("__idcg"),
+        )
+    )
+    out = perq.join(ideal, "__q", "left")
+    return out.select(
+        F.col("__q").alias(query_col),
+        "n_ranked",
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+        F.round(
+            F.when(
+                F.col("__idcg") > 0, F.col("__dcg") / F.col("__idcg")
+            ),
+            6,
+        ).alias("ndcg_at_k"),
+        F.round("__mrr", 6).alias("mrr"),
+        F.round(
+            F.when(
+                F.col("n_rel") > 0,
+                F.col("__apnum") / F.col("n_rel").cast("double"),
+            ),
+            6,
+        ).alias("ap"),
     )

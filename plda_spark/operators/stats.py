@@ -88,6 +88,9 @@ __all__ = [
     "by_fdr",
     "uplift_by_segment",
     "cohens_kappa",
+    "brown_smoothing",
+    "ab_srm_check",
+    "combine_pvalues",
 ]
 
 
@@ -4012,3 +4015,261 @@ def cohens_kappa(
             F.round(kappa, 6).alias("kappa"),
         )
     )
+
+
+def brown_smoothing(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    alpha: float = 0.3,
+    max_days: int = 3650,
+) -> DataFrame:
+    """Brown's double exponential smoothing (Brown 1959; Holt's linear
+    trend with one parameter) over the DAILY rollup of ``value_col`` —
+    the level-plus-trend forecaster between :func:`ewma` (no trend)
+    and :func:`seasonal_decompose` (needs a season): ``S'`` smooths
+    the series, ``S''`` smooths ``S'``, then ``level = 2S' − S''``,
+    ``trend = α/(1−α)·(S' − S'')``, one-step forecast ``level +
+    trend``.
+
+    Returns one row per day: ``(day, x, s1, s2, level, trend,
+    forecast_next)`` rounded to 6 — ``forecast_next`` on day t is the
+    prediction for step t+1, so joining it against the next row IS
+    the backtest.
+
+    Scale shape: the |days|-rollup family contract (trend_tests /
+    acf_daily) — ONE daily aggregation collapses the corpus, then the
+    recurrences are computed CLOSED-FORM as |days|² weighted pair
+    joins: ``S'_t = Σ_{j≤t} w_{tj} x_j`` with ``w_{tj} =
+    α(1−α)^{t−j}`` (init term ``j=1`` keeps weight ``(1−α)^{t−1}``),
+    and ``S''`` applies the identical kernel to ``S'``.  Exponents
+    are all ≥ 0, so no overflow for any series length (the naive
+    window factorization ``(1−α)^t·Σ(1−α)^{−j}x_j`` overflows past a
+    few hundred days); both engines replay the identical arithmetic.
+    ``max_days`` bounds the pair join (3650 days = ~13M pairs —
+    trivial; raise it deliberately for longer histories)."""
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    from pyspark.sql import Window
+
+    daily = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.to_date(ts_col).cast("string").alias("day"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("x"))
+    )
+    n_days = daily.count()
+    if n_days > max_days:
+        raise ValueError(
+            f"brown_smoothing: {n_days} days > max_days={max_days}; the "
+            "closed-form pair join is |days|^2 — pre-aggregate to weeks "
+            "or raise max_days deliberately."
+        )
+    idx = daily.withColumn(
+        "t", F.row_number().over(Window.orderBy("day"))
+    ).localCheckpoint(eager=False)
+
+    def _smooth(frame: DataFrame, col: str, out: str) -> DataFrame:
+        a = frame.select(F.col("t").alias("__ti"))
+        b = frame.select(F.col("t").alias("__tj"), F.col(col).alias("__xj"))
+        wgt = F.when(
+            F.col("__tj") == 1,
+            F.pow(F.lit(1.0 - alpha), F.col("__ti") - 1),
+        ).otherwise(
+            F.lit(alpha)
+            * F.pow(F.lit(1.0 - alpha), F.col("__ti") - F.col("__tj"))
+        )
+        return (
+            a.join(b, F.col("__tj") <= F.col("__ti"))
+            .groupBy(F.col("__ti").alias("t"))
+            .agg(F.sum(wgt * F.col("__xj")).alias(out))
+        )
+
+    s1 = _smooth(idx, "x", "s1")
+    base = idx.join(s1, "t").localCheckpoint(eager=False)
+    s2 = _smooth(base, "s1", "s2")
+    lvl = 2 * F.col("s1") - F.col("s2")
+    trd = (alpha / (1.0 - alpha)) * (F.col("s1") - F.col("s2"))
+    return (
+        base.join(s2, "t")
+        .select(
+            "day",
+            F.round("x", 6).alias("x"),
+            F.round("s1", 6).alias("s1"),
+            F.round("s2", 6).alias("s2"),
+            F.round(lvl, 6).alias("level"),
+            F.round(trd, 6).alias("trend"),
+            F.round(lvl + trd, 6).alias("forecast_next"),
+        )
+    )
+
+
+def ab_srm_check(
+    df: DataFrame,
+    variant_col: str,
+    expected: dict,
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Sample-ratio-mismatch check for experiment assignment (Fabijan
+    et al. 2019's "most useful A/B guardrail"): a chi-squared
+    goodness-of-fit of the observed per-variant unit counts against
+    the DESIGNED split — the test that invalidates an experiment
+    before anyone reads its metrics, because a biased assignment
+    biases everything downstream.
+
+    ``expected`` maps variant → design weight (normalized internally,
+    so ``{"A": 1, "B": 1}`` is 50/50).  Every expected variant counts
+    (an arm that got ZERO traffic is exactly the pathology), and an
+    OBSERVED variant missing from ``expected`` raises — unknown arms
+    are a logging bug, not a statistics question.  The conventional
+    SRM alpha is stricter than metric alphas (0.001) since a true SRM
+    is a showstopper.  Returns ONE row ``(n, k, chi2, dof, p_value,
+    srm_suspected)`` rounded to 6, p via the Wilson-Hilferty cube-root
+    approximation both engines replay (the :func:`kruskal_wallis`
+    convention).
+
+    Scale shape: ONE variant-keyed count aggregation (map-side
+    combined) — |variants| rows survive; the expected frame is a
+    literal; the unknown-variant guard is an anti-join count on the
+    already-aggregated counts, not the corpus."""
+    if not expected:
+        raise ValueError("expected must be a non-empty dict")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    wsum = float(sum(expected.values()))
+    if wsum <= 0 or any(w <= 0 for w in expected.values()):
+        raise ValueError("expected weights must all be > 0")
+    counts = (
+        df.where(F.col(variant_col).isNotNull())
+        .groupBy(F.col(variant_col).cast("string").alias("variant"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    spark = df.sparkSession
+    exp_df = spark.createDataFrame(
+        [(str(k), float(v) / wsum) for k, v in sorted(expected.items())],
+        "variant string, w double",
+    )
+    unknown = counts.join(F.broadcast(exp_df), "variant", "left_anti")
+    bad = [r["variant"] for r in unknown.select("variant").collect()]
+    if bad:
+        raise ValueError(
+            f"ab_srm_check: observed variants {bad!r} missing from "
+            "expected — unknown arms are an assignment-logging bug."
+        )
+    j = exp_df.join(counts, "variant", "left").select(
+        "variant", "w", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+    )
+    agg = j.crossJoin(
+        F.broadcast(j.agg(F.sum("o").alias("n")))
+    ).agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.pow(F.col("o") - F.col("w") * F.col("n"), 2)
+            / (F.col("w") * F.col("n"))
+        ).alias("__chi2"),
+    )
+    nu = (F.col("k") - 1).cast("double")
+    z = F.when(
+        (nu > 0) & (F.col("__chi2") > 0),
+        (
+            F.pow(F.col("__chi2") / nu, F.lit(1.0 / 3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * nu))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * nu)),
+    ).otherwise(F.lit(0.0))
+    staged = agg.withColumn("__z", z)
+    half = _two_sided_normal_p(F.abs(F.col("__z"))) / F.lit(2.0)
+    p = F.when(F.col("__z") >= 0, half).otherwise(F.lit(1.0) - half)
+    p = F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0))
+    staged = staged.withColumn("__p", p)
+    return staged.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k").cast("long").alias("k"),
+        F.round("__chi2", 6).alias("chi2"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round("__p", 6).alias("p_value"),
+        (F.col("__p") < alpha).alias("srm_suspected"),
+    )
+
+
+def combine_pvalues(
+    tests: DataFrame,
+    p_col: str = "p_value",
+    z_col: str | None = None,
+    max_tests: int = 20,
+) -> DataFrame:
+    """Combine k independent test p-values into one global verdict:
+    Fisher's method (1932) ``X = −2·Σ ln p ~ χ²(2k)`` with the EXACT
+    even-dof survival function ``P = e^{−X/2}·Σ_{i<k}(X/2)^i/i!``
+    (closed form — no approximation both engines would have to agree
+    on), and, when ``z_col`` is given, Stouffer's method (1949)
+    ``Z = Σ z_i/√k`` from the tests' own signed z-statistics — the
+    meta-analysis step after a per-segment screen ("does ANYTHING
+    move, jointly?") that single-test alphas can't answer.
+
+    NULL p-values are dropped; p is clamped to ≥ 1e-300 before the
+    log.  Returns ONE row ``(k, fisher_x2, fisher_p, stouffer_z,
+    stouffer_p)`` rounded to 6 (the Stouffer pair is NULL without
+    ``z_col``).
+
+    Scale shape: ONE aggregation over the |tests|-row frame (itself
+    the bounded output of a screen like
+    :func:`group_mean_shift_tests`); the exact-series term count
+    equals k, ENFORCED ≤ ``max_tests`` (both engines' factorial is
+    exact only to 20!) — past that, Stouffer is the right method and
+    the error says so."""
+    p = F.col(p_col).cast("double")
+    base = tests.where(p.isNotNull()).select(
+        F.greatest(p, F.lit(1e-300)).alias("__p"),
+        *(
+            [F.col(z_col).cast("double").alias("__z")]
+            if z_col is not None
+            else []
+        ),
+    )
+    k = base.count()
+    if k == 0:
+        raise ValueError("combine_pvalues: no non-NULL p-values")
+    if k > max_tests:
+        raise ValueError(
+            f"combine_pvalues: {k} tests > max_tests={max_tests}; the "
+            "exact even-dof chi-squared series needs k factorial terms "
+            "(exact only to 20!). Use Stouffer's method (z_col=...) on "
+            "the screen output directly for larger families."
+        )
+    aggs = [F.sum(-2.0 * F.log("__p")).alias("__x")]
+    if z_col is not None:
+        aggs.append(F.sum("__z").alias("__zs"))
+    agg = base.agg(*aggs)
+    xh = F.col("__x") / 2.0
+    # P(chi2_{2k} > X) = exp(-X/2) * sum_{i=0}^{k-1} (X/2)^i / i!
+    series = sum(
+        (
+            F.pow(xh, F.lit(float(i)))
+            / F.lit(float(__import__("math").factorial(i)))
+            for i in range(k)
+        ),
+        start=F.lit(0.0),
+    )
+    fisher_p = F.least(
+        F.greatest(F.exp(-xh) * series, F.lit(0.0)), F.lit(1.0)
+    )
+    out_cols = [
+        F.lit(k).cast("long").alias("k"),
+        F.round("__x", 6).alias("fisher_x2"),
+        F.round(fisher_p, 6).alias("fisher_p"),
+    ]
+    if z_col is not None:
+        zc = F.col("__zs") / F.lit(float(k) ** 0.5)
+        sp = _two_sided_normal_p(F.abs(zc))
+        sp = F.least(F.greatest(sp, F.lit(0.0)), F.lit(1.0))
+        out_cols += [
+            F.round(zc, 6).alias("stouffer_z"),
+            F.round(sp, 6).alias("stouffer_p"),
+        ]
+    else:
+        out_cols += [
+            F.lit(None).cast("double").alias("stouffer_z"),
+            F.lit(None).cast("double").alias("stouffer_p"),
+        ]
+    return agg.select(*out_cols)

@@ -6122,3 +6122,164 @@ def test_roc_auc_and_kappa_semantics(spark):
         [("x", "x"), ("x", "x")], "a string, b string"
     )
     assert stats.cohens_kappa(const, "a", "b").first()["kappa"] is None
+
+
+def test_rank_eval_and_brown_semantics(spark):
+    """rank_eval: hand-computed nDCG/MRR/AP on a tiny run with graded
+    qrels; a query with no relevant docs gives NULLs; run docs missing
+    from qrels count rel 0; misses hurt AP's denominator.  brown:
+    first point equals the series start (level = x1, trend 0), a
+    perfectly linear series converges toward its slope, and the
+    max_days guard fires."""
+    import math
+
+    import pytest as _pytest
+
+    from plda_spark.operators import invindex, stats
+
+    run = spark.createDataFrame(
+        [
+            ("q1", "d1", 3.0),  # rank 1, rel 2
+            ("q1", "d2", 2.0),  # rank 2, rel 0 (not in qrels)
+            ("q1", "d3", 1.0),  # rank 3, rel 1
+            ("q2", "d1", 9.0),  # rank 1, rel 0
+        ],
+        "query_id string, doc_id string, score double",
+    )
+    qrels = spark.createDataFrame(
+        [
+            ("q1", "d1", 2.0),
+            ("q1", "d3", 1.0),
+            ("q1", "d9", 1.0),  # relevant but never retrieved
+        ],
+        "query_id string, doc_id string, rel double",
+    )
+    out = {
+        r["query_id"]: r
+        for r in invindex.rank_eval(run, qrels, k=2).collect()
+    }
+    q1 = out["q1"]
+    # DCG@2 = (2^2-1)/log2(2) + 0 = 3; ideal@2 = 3/1 + 1/log2(3)
+    idcg = 3.0 + 1.0 / math.log2(3.0)
+    assert q1["ndcg_at_k"] == round(3.0 / idcg, 6)
+    assert q1["mrr"] == 1.0
+    # AP = (P@1 + P@3)/n_rel = (1/1 + 2/3)/3 — d9 inflates the denom
+    assert abs(q1["ap"] - (1.0 + 2.0 / 3.0) / 3.0) < 1e-6
+    assert q1["n_rel"] == 3 and q1["n_ranked"] == 3
+    q2 = out["q2"]
+    assert (
+        q2["ndcg_at_k"] is None
+        and q2["mrr"] is None
+        and q2["ap"] is None
+        and q2["n_rel"] == 0
+    )
+    with _pytest.raises(ValueError):
+        invindex.rank_eval(run, qrels, k=0)
+
+    days = [(f"2024-01-{d:02d} 12:00:00", float(10 * d)) for d in range(1, 11)]
+    df = spark.createDataFrame(days, "ts string, v double").select(
+        F.to_timestamp("ts").alias("ts"), F.col("v")
+    )
+    b = {r["day"]: r for r in stats.brown_smoothing(df, "ts", "v", alpha=0.5).collect()}
+    first = b["2024-01-01"]
+    assert first["level"] == first["x"] == 10.0 and first["trend"] == 0.0
+    # recursion check at t=2: s1 = .5*20 + .5*10 = 15, s2 = .5*15+.5*10
+    second = b["2024-01-02"]
+    assert second["s1"] == 15.0 and second["s2"] == 12.5
+    assert second["level"] == 17.5 and second["trend"] == 2.5
+    # on a linear ramp the trend estimate approaches the slope (10)
+    last = b["2024-01-10"]
+    assert 8.0 < last["trend"] <= 10.0
+    # one-step forecast = level + trend (each rounded independently
+    # from the unrounded values, so allow one ulp of the rounding)
+    assert abs(last["forecast_next"] - (last["level"] + last["trend"])) < 2e-6
+    with _pytest.raises(ValueError, match="max_days"):
+        stats.brown_smoothing(df, "ts", "v", max_days=5)
+    with _pytest.raises(ValueError):
+        stats.brown_smoothing(df, "ts", "v", alpha=1.5)
+
+
+def test_stump_srm_and_combine_semantics(spark):
+    """decision_stump: a perfectly separable feature finds the exact
+    threshold with gini_split 0 and pure leaves; a constant feature
+    yields NULL threshold; the max_distinct guard fires.  ab_srm_check:
+    a balanced split passes, a grossly imbalanced one is flagged,
+    zero-traffic arms count, unknown arms raise.  combine_pvalues:
+    all-p=1 gives fisher_p 1; a tiny p drives the joint verdict down;
+    k>max_tests raises; Stouffer matches the closed form."""
+    import math
+
+    import pytest as _pytest
+
+    from plda_spark.operators import classify, stats
+
+    sep = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 0), (10.0, 1), (11.0, 1)],
+        "x double, y int",
+    )
+    r = classify.decision_stump(sep, "x", "y").first()
+    assert r["threshold"] == 3.0
+    assert r["gini_split"] == 0.0
+    assert r["left_pos_rate"] == 0.0 and r["right_pos_rate"] == 1.0
+    assert r["gain"] == r["gini_parent"]
+
+    const = spark.createDataFrame([(5.0, 0), (5.0, 1)], "x double, y int")
+    rc = classify.decision_stump(const, "x", "y").first()
+    assert rc["threshold"] is None and rc["n"] == 2
+
+    wide = spark.createDataFrame(
+        [(float(i), i % 2) for i in range(400)], "x double, y int"
+    )
+    with _pytest.raises(ValueError, match="max_distinct"):
+        classify.decision_stump(wide, "x", "y", max_distinct=50)
+
+    bal = spark.createDataFrame(
+        [("A",)] * 500 + [("B",)] * 500, "variant string"
+    )
+    rb = stats.ab_srm_check(bal, "variant", {"A": 1, "B": 1}).first()
+    assert rb["srm_suspected"] is False and rb["chi2"] == 0.0
+
+    skew = spark.createDataFrame(
+        [("A",)] * 900 + [("B",)] * 100, "variant string"
+    )
+    rs = stats.ab_srm_check(skew, "variant", {"A": 1, "B": 1}).first()
+    assert rs["srm_suspected"] is True and rs["p_value"] < 0.001
+
+    # a designed arm with zero traffic is exactly the pathology
+    rz = stats.ab_srm_check(bal, "variant", {"A": 1, "B": 1, "C": 1}).first()
+    assert rz["k"] == 3 and rz["srm_suspected"] is True
+
+    with _pytest.raises(ValueError, match="unknown arms"):
+        stats.ab_srm_check(bal, "variant", {"A": 1})
+    with _pytest.raises(ValueError):
+        stats.ab_srm_check(bal, "variant", {})
+
+    ones = spark.createDataFrame(
+        [("t1", 1.0, 0.0), ("t2", 1.0, 0.0)], "test string, p_value double, z double"
+    )
+    c1 = stats.combine_pvalues(ones, "p_value", z_col="z").first()
+    assert c1["fisher_x2"] == 0.0 and c1["fisher_p"] == 1.0
+    assert c1["stouffer_z"] == 0.0 and c1["stouffer_p"] == 1.0
+
+    mixed = spark.createDataFrame(
+        [("t1", 1e-8, 5.73), ("t2", 0.5, 0.67), ("t3", 0.9, 0.13)],
+        "test string, p_value double, z double",
+    )
+    cm = stats.combine_pvalues(mixed, "p_value", z_col="z").first()
+    x = -2 * (math.log(1e-8) + math.log(0.5) + math.log(0.9))
+    assert abs(cm["fisher_x2"] - x) < 1e-4
+    # exact even-dof series with k=3
+    ser = sum((x / 2) ** i / math.factorial(i) for i in range(3))
+    assert abs(cm["fisher_p"] - math.exp(-x / 2) * ser) < 1e-6
+    assert cm["fisher_p"] < 0.001
+    assert abs(cm["stouffer_z"] - (5.73 + 0.67 + 0.13) / math.sqrt(3)) < 1e-6
+
+    # no z column: Stouffer pair NULL
+    cn = stats.combine_pvalues(mixed, "p_value").first()
+    assert cn["stouffer_z"] is None and cn["stouffer_p"] is None
+
+    many = spark.createDataFrame(
+        [(f"t{i}", 0.5) for i in range(25)], "test string, p_value double"
+    )
+    with _pytest.raises(ValueError, match="max_tests"):
+        stats.combine_pvalues(many, "p_value")

@@ -1164,3 +1164,19 @@ def test_roc_auc_window_runs_over_the_cell_frame(spark):
     # one physical Window, fed by the groupBy(v) aggregate (cells) —
     # the formatted plan names each node twice (tree + details)
     assert plan.count("Window") == 2
+
+
+def test_decision_stump_window_over_cells_no_python(spark):
+    """ml_decision_stump: the cumulative window and the argmin sort
+    run over the per-value cell aggregation (bounded by max_distinct),
+    never raw rows; no Python eval, no cartesian beyond the broadcast
+    1-row totals."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["ml_decision_stump"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Window") == 2  # one physical node (tree+details)
+    assert "TakeOrderedAndProject" in plan  # bounded argmin, no global sort

@@ -5465,6 +5465,54 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_combine_pvalues"] = stats_combine_pvalues
 
+    def stats_tost(spark, sf):
+        """TOST equivalence test (operators/stats.py tost_equivalence
+        — Schuirmann 1987): are view and click event values equivalent
+        within a ±5.0 margin?  The launch-review question a
+        non-significant welch test can't answer.  ONE filtered moment
+        aggregation; scalar arithmetic after."""
+        from plda_spark.operators import stats
+
+        return stats.tost_equivalence(
+            load_table(spark, sf, "events"),
+            "event_type",
+            "value",
+            "view",
+            "click",
+            margin=5.0,
+        )
+
+    q["stats_tost"] = stats_tost
+
+    def stats_xi_daily(spark, sf):
+        """Chatterjee xi rank correlation of the daily value series
+        against calendar order (operators/stats.py
+        xi_correlation_daily — Chatterjee 2020): detects ANY
+        functional time-dependence, not just the monotone trends
+        Mann-Kendall sees.  Daily rollup + two |days| windows."""
+        from plda_spark.operators import stats
+
+        return stats.xi_correlation_daily(
+            load_table(spark, sf, "events"), "ts", "value"
+        )
+
+    q["stats_xi_daily"] = stats_xi_daily
+
+    def events_capture_recapture(spark, sf):
+        """Chapman capture-recapture population estimate
+        (operators/stats.py capture_recapture — Chapman 1951): users
+        seen in the first half of January vs users seen after — how
+        many users exist that NEITHER window observed?  Two distinct
+        aggregations + one full-outer id join."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        first = ev.where(F.to_date("ts") <= F.lit("2024-01-15"))
+        rest = ev.where(F.to_date("ts") > F.lit("2024-01-15"))
+        return stats.capture_recapture(first, rest, "user_id")
+
+    q["events_capture_recapture"] = events_capture_recapture
+
     return q
 
 
@@ -11626,6 +11674,103 @@ SELECT CAST(k AS BIGINT) AS k,
 FROM sph
 """
 
+    # Same one-pass moments, same Welch SE, same two one-sided tails
+    # through the shared Phi polynomial, same max-p verdict.
+    o["stats_tost"] = """
+WITH agg AS (
+  SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN event_type = 'view' THEN value END) AS sa,
+         sum(CASE WHEN event_type = 'click' THEN value END) AS sb,
+         sum(CASE WHEN event_type = 'view' THEN value*value END) AS qa,
+         sum(CASE WHEN event_type = 'click' THEN value*value END) AS qb
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+), c AS (
+  SELECT na, nb, sa/na AS ma, sb/nb AS mb,
+         greatest((qa - sa*(sa/na))/(na-1), 0.0) AS va,
+         greatest((qb - sb*(sb/nb))/(nb-1), 0.0) AS vb
+  FROM agg
+), z AS (
+  SELECT na, nb, ma, mb, ma - mb AS d,
+         CASE WHEN sqrt(va/na + vb/nb) > 0
+              THEN (ma - mb + 5.0)/sqrt(va/na + vb/nb) END AS zl,
+         CASE WHEN sqrt(va/na + vb/nb) > 0
+              THEN (5.0 - (ma - mb))/sqrt(va/na + vb/nb) END AS zu
+  FROM c
+), pl AS (
+  SELECT *, 1.0/(1.0 + 0.2316419*abs(zl)) AS tl,
+         1.0/(1.0 + 0.2316419*abs(zu)) AS tu
+  FROM z
+), pp AS (
+  SELECT na, nb, ma, mb, d, zl, zu,
+         (2.0*(exp(-zl*zl/2.0)/2.5066282746310002)
+           *(tl*(0.319381530 + tl*(-0.356563782 + tl*(1.781477937
+              + tl*(-1.821255978 + tl*1.330274429))))))/2.0 AS hl,
+         (2.0*(exp(-zu*zu/2.0)/2.5066282746310002)
+           *(tu*(0.319381530 + tu*(-0.356563782 + tu*(1.781477937
+              + tu*(-1.821255978 + tu*1.330274429))))))/2.0 AS hu
+  FROM pl
+), pt AS (
+  SELECT na, nb, ma, mb, d, zl, zu,
+         least(greatest(greatest(
+           CASE WHEN zl >= 0 THEN hl ELSE 1.0 - hl END,
+           CASE WHEN zu >= 0 THEN hu ELSE 1.0 - hu END), 0.0), 1.0) AS p
+  FROM pp
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(d, 6) AS diff, 5.0 AS margin,
+       round(zl, 6) AS z_lower, round(zu, 6) AS z_upper,
+       round(p, 6) AS p_tost, p < 0.05 AS equivalent
+FROM pt
+"""
+
+    # Same daily rollup, same (value, day) tie-broken ranks, same
+    # consecutive-rank jump sum.
+    o["stats_xi_daily"] = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, sum(value) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+), r AS (
+  SELECT day, row_number() OVER (ORDER BY x ASC, day ASC) AS rk
+  FROM daily
+), nx AS (
+  SELECT rk, lead(rk) OVER (ORDER BY day) AS rn FROM r
+)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(CASE WHEN count(*) > 1 THEN
+         1.0 - 3.0*sum(abs(rn - rk))
+               /(CAST(count(*) AS DOUBLE)*count(*) - 1) END, 6) AS xi
+FROM nx
+"""
+
+    # Same distinct-id passes, same full-outer overlap count, same
+    # Lincoln/Chapman identities.
+    o["events_capture_recapture"] = """
+WITH a AS (
+  SELECT DISTINCT user_id AS id FROM events
+  WHERE user_id IS NOT NULL AND CAST(ts AS DATE) <= DATE '2024-01-15'
+), b AS (
+  SELECT DISTINCT user_id AS id FROM events
+  WHERE user_id IS NOT NULL AND CAST(ts AS DATE) > DATE '2024-01-15'
+), j AS (
+  SELECT a.id AS ia, b.id AS ib FROM a FULL OUTER JOIN b ON a.id = b.id
+), agg AS (
+  SELECT sum(CASE WHEN ia IS NOT NULL THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN ib IS NOT NULL THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN ia IS NOT NULL AND ib IS NOT NULL
+                  THEN 1 ELSE 0 END) AS m
+  FROM j
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(m AS BIGINT) AS n_both,
+       round(CASE WHEN m > 0
+                  THEN CAST(na AS DOUBLE)*nb/m END, 6) AS lincoln_n,
+       round((na + 1.0)*(nb + 1.0)/(m + 1.0) - 1.0, 6) AS chapman_n
+FROM agg
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12017,6 +12162,9 @@ EXTRA_QUERIES: list[str] = [
     "ml_decision_stump",
     "events_ab_srm",
     "stats_combine_pvalues",
+    "stats_tost",
+    "stats_xi_daily",
+    "events_capture_recapture",
 ]
 
 

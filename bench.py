@@ -383,6 +383,12 @@ BENCH_QUERIES = [
     "events_ab_srm",
     # Fisher/Stouffer meta-verdict over the mean-shift screen
     "stats_combine_pvalues",
+    # TOST equivalence verdict (one filtered moment aggregation)
+    "stats_tost",
+    # Chatterjee xi time-dependence over the daily rollup
+    "stats_xi_daily",
+    # Chapman capture-recapture population estimate
+    "events_capture_recapture",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -91,6 +91,9 @@ __all__ = [
     "brown_smoothing",
     "ab_srm_check",
     "combine_pvalues",
+    "tost_equivalence",
+    "xi_correlation_daily",
+    "capture_recapture",
 ]
 
 
@@ -4273,3 +4276,207 @@ def combine_pvalues(
             F.lit(None).cast("double").alias("stouffer_p"),
         ]
     return agg.select(*out_cols)
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    margin: float,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Two-one-sided-tests (TOST) EQUIVALENCE test (Schuirmann 1987):
+    is |mean_a − mean_b| < ``margin``?  The question a non-significant
+    :func:`welch_ttest` cannot answer — absence of evidence is not
+    evidence of absence; TOST inverts the burden by testing both
+    ``diff > −margin`` and ``diff < margin`` one-sided, and only when
+    BOTH reject does "equivalent" hold.  The launch-review workhorse:
+    "did the cheaper pipeline change the metric by less than the
+    margin we care about?".
+
+    Uses the Welch unequal-variance normal approximation (the
+    :func:`welch_ttest` convention — z not t at corpus sizes), SE
+    from one moment pass.  Returns ONE row ``(n_a, n_b, mean_a,
+    mean_b, diff, margin, z_lower, z_upper, p_tost, equivalent)``
+    rounded to 6 — ``p_tost = max`` of the two one-sided p's,
+    ``equivalent = p_tost < alpha``.
+
+    Scale shape: ONE filtered aggregation carrying both groups'
+    count/sum/sumsq (map-side combined); everything after is scalar
+    arithmetic on a 1-row frame."""
+    if margin <= 0:
+        raise ValueError(f"margin must be > 0, got {margin}")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    agg = df.where((a | b) & v.isNotNull()).agg(
+        F.sum(a.cast("long")).alias("na"),
+        F.sum(b.cast("long")).alias("nb"),
+        F.sum(F.when(a, v)).alias("sa"),
+        F.sum(F.when(b, v)).alias("sb"),
+        F.sum(F.when(a, v * v)).alias("qa"),
+        F.sum(F.when(b, v * v)).alias("qb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = F.greatest(
+        F.when(na > 1, (F.col("qa") - F.col("sa") * ma) / (na - 1)),
+        F.lit(0.0),
+    )
+    vb = F.greatest(
+        F.when(nb > 1, (F.col("qb") - F.col("sb") * mb) / (nb - 1)),
+        F.lit(0.0),
+    )
+    se = F.sqrt(va / na + vb / nb)
+    diff = ma - mb
+    staged = agg.select(
+        "na",
+        "nb",
+        ma.alias("__ma"),
+        mb.alias("__mb"),
+        diff.alias("__d"),
+        F.when(se > 0, (diff + F.lit(margin)) / se).alias("__zl"),
+        F.when(se > 0, (F.lit(margin) - diff) / se).alias("__zu"),
+    )
+
+    def _p_upper(z):
+        # one-sided P(Z > z) through the shared polynomial
+        half = _two_sided_normal_p(F.abs(z)) / F.lit(2.0)
+        return F.when(z >= 0, half).otherwise(F.lit(1.0) - half)
+
+    staged = staged.withColumn(
+        "__p",
+        F.least(
+            F.greatest(
+                F.greatest(_p_upper(F.col("__zl")), _p_upper(F.col("__zu"))),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+    )
+    return staged.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("__ma", 6).alias("mean_a"),
+        F.round("__mb", 6).alias("mean_b"),
+        F.round("__d", 6).alias("diff"),
+        F.lit(margin).alias("margin"),
+        F.round("__zl", 6).alias("z_lower"),
+        F.round("__zu", 6).alias("z_upper"),
+        F.round("__p", 6).alias("p_tost"),
+        (F.col("__p") < alpha).alias("equivalent"),
+    )
+
+
+def xi_correlation_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Chatterjee's ξ rank correlation (Chatterjee 2020, JASA) of the
+    DAILY series against time order — the modern dependence
+    coefficient that detects ANY functional relationship (oscillating,
+    V-shaped, seasonal), not just monotone trends: ξ ≈ 0 means the
+    daily value is independent of WHERE in the calendar it falls,
+    ξ → 1 means it is a deterministic function of it.  Run it next to
+    :func:`trend_tests` — Mann-Kendall misses non-monotone structure
+    by construction.
+
+    ``ξ = 1 − 3·Σ|r_{i+1} − r_i| / (n² − 1)`` with ``r_i`` the rank
+    of day i's value and the sum over calendar-consecutive day
+    indices.  Ranks are tie-broken by day (the deterministic variant
+    — daily SUMS are effectively tie-free, and both engines replay
+    the identical total order).  Returns ONE row ``(n_days, xi)``
+    rounded to 6; NULL with fewer than 2 days.
+
+    Scale shape: the |days|-rollup family — one daily aggregation
+    collapses the corpus, then two bounded windows (value rank, next
+    rank by day) and one scalar aggregation over |days| rows."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.to_date(ts_col).cast("string").alias("day"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("x"))
+    )
+    r = daily.withColumn(
+        "__r",
+        F.row_number().over(Window.orderBy(F.col("x").asc(), F.col("day").asc())),
+    )
+    nxt = r.withColumn(
+        "__rn", F.lead("__r").over(Window.orderBy("day"))
+    )
+    n = F.count(F.lit(1)).cast("double")
+    return nxt.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.when(
+                n > 1,
+                F.lit(1.0)
+                - F.lit(3.0)
+                * F.sum(F.abs(F.col("__rn") - F.col("__r")))
+                / (n * n - 1),
+            ),
+            6,
+        ).alias("xi"),
+    )
+
+
+def capture_recapture(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Lincoln-Petersen / Chapman capture-recapture estimate of a
+    population's TRUE size from two overlapping observation sets
+    (Chapman 1951 for the low-bias form): mark ``n_a`` ids in pass A,
+    observe ``n_b`` in pass B, count the ``n_both`` recaptured —
+    ``N̂ = n_a·n_b / n_both`` — the "how many users/docs/dups exist
+    that NEITHER pass saw" estimator behind coverage audits (how
+    complete is the crawl? how many duplicates did both dedup passes
+    miss?).  Assumes the two passes are independent and the
+    population closed between them.
+
+    Returns ONE row ``(n_a, n_b, n_both, lincoln_n, chapman_n)``
+    rounded to 6 — ``lincoln_n`` is NULL on zero overlap (the classic
+    estimator is undefined there); ``chapman_n = (n_a+1)(n_b+1)/
+    (n_both+1) − 1`` is always defined and less biased at small
+    overlap.
+
+    Scale shape: two distinct-id aggregations + ONE full-outer
+    equi-join on the id (shuffle on the key) + one scalar count
+    aggregation — nothing survives the final 1-row frame."""
+    a = df_a.select(F.col(id_col).alias("id")).where(
+        F.col("id").isNotNull()
+    ).distinct()
+    b = df_b.select(F.col(id_col).alias("id")).where(
+        F.col("id").isNotNull()
+    ).distinct()
+    j = a.withColumn("__a", F.lit(1)).join(
+        b.withColumn("__b", F.lit(1)), "id", "full_outer"
+    )
+    agg = j.agg(
+        F.sum(F.coalesce(F.col("__a"), F.lit(0))).alias("na"),
+        F.sum(F.coalesce(F.col("__b"), F.lit(0))).alias("nb"),
+        F.sum(
+            (F.col("__a").isNotNull() & F.col("__b").isNotNull()).cast(
+                "long"
+            )
+        ).alias("m"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    m = F.col("m").cast("double")
+    return agg.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("m").cast("long").alias("n_both"),
+        F.round(F.when(m > 0, na * nb / m), 6).alias("lincoln_n"),
+        F.round((na + 1) * (nb + 1) / (m + 1) - 1, 6).alias("chapman_n"),
+    )

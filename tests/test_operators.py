@@ -6283,3 +6283,56 @@ def test_stump_srm_and_combine_semantics(spark):
     )
     with _pytest.raises(ValueError, match="max_tests"):
         stats.combine_pvalues(many, "p_value")
+
+
+def test_tost_xi_and_capture_semantics(spark):
+    """TOST: identical groups with a generous margin are equivalent;
+    a mean gap larger than the margin is NOT, even when huge samples
+    make the difference 'significant'.  xi: a monotone series gives
+    xi near 1, and n_days<2 gives NULL.  capture_recapture: the
+    textbook Lincoln/Chapman numbers, and zero overlap leaves lincoln
+    NULL but chapman defined."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(100)]
+        + [("b", float(v)) for v in range(100)],
+        "g string, v double",
+    )
+    r = stats.tost_equivalence(same, "g", "v", "a", "b", margin=10.0).first()
+    assert r["equivalent"] is True and r["diff"] == 0.0
+
+    apart = spark.createDataFrame(
+        [("a", float(v)) for v in range(100)]
+        + [("b", float(v) + 50.0) for v in range(100)],
+        "g string, v double",
+    )
+    r2 = stats.tost_equivalence(apart, "g", "v", "a", "b", margin=10.0).first()
+    assert r2["equivalent"] is False and r2["p_tost"] > 0.99
+
+    with _pytest.raises(ValueError):
+        stats.tost_equivalence(same, "g", "v", "a", "b", margin=0.0)
+
+    mono = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", float(d)) for d in range(1, 21)],
+        "ts string, v double",
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    x = stats.xi_correlation_daily(mono, "ts", "v").first()
+    # perfect monotone: sum|jumps| = n-1, xi = 1 - 3(n-1)/(n^2-1) = 1 - 3/(n+1)
+    assert x["n_days"] == 20 and abs(x["xi"] - (1 - 3.0 / 21)) < 1e-6
+
+    one = mono.limit(1)
+    assert stats.xi_correlation_daily(one, "ts", "v").first()["xi"] is None
+
+    a = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    b = spark.createDataFrame([(i,) for i in range(5, 20)], "id long")
+    c = stats.capture_recapture(a, b, "id").first()
+    assert c["n_a"] == 10 and c["n_b"] == 15 and c["n_both"] == 5
+    assert c["lincoln_n"] == 30.0
+    assert abs(c["chapman_n"] - (11 * 16 / 6.0 - 1)) < 1e-6
+
+    disjoint = spark.createDataFrame([(100,), (101,)], "id long")
+    d = stats.capture_recapture(a, disjoint, "id").first()
+    assert d["lincoln_n"] is None and d["chapman_n"] is not None

@@ -5513,6 +5513,35 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_capture_recapture"] = events_capture_recapture
 
+    def graph_bfs(spark, sf):
+        """Bounded BFS hop distances (operators/graph.py bfs_distances
+        — the takedown blast-radius / frontier-scoping primitive) from
+        seeds {0, 7} within 2 hops of the graph_powerlaw link graph.
+        Per round ONE frontier-edge equi-join + one anti-join; the
+        oracle unrolls the identical shells."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = orders.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        return graph.bfs_distances(e, [0, 7], max_hops=2)
+
+    q["graph_bfs"] = graph_bfs
+
+    def curation_dataset_card(spark, sf):
+        """One-row dataset card (operators/curation.py dataset_card —
+        the quantitative Datasheets-for-Datasets summary): corpus
+        size, md5-exact duplicate rate, token volume, language/source
+        composition with top-share argmins.  One corpus aggregation +
+        two bounded composition aggregations."""
+        from plda_spark.operators import curation
+
+        return curation.dataset_card(load_table(spark, sf, "documents"))
+
+    q["curation_dataset_card"] = curation_dataset_card
+
     return q
 
 
@@ -11771,6 +11800,60 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
 FROM agg
 """
 
+    # Same symmetrized shells, same first-reach-wins distances.
+    o["graph_bfs"] = """
+WITH e0 AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT o_custkey % 100 AS a, o_orderkey % 100 AS b FROM orders
+    UNION ALL
+    SELECT o_orderkey % 100 AS a, o_custkey % 100 AS b FROM orders)
+  WHERE a <> b
+), s0 AS (SELECT * FROM (VALUES (CAST(0 AS BIGINT)),
+                                (CAST(7 AS BIGINT))) t(node)),
+r1 AS (
+  SELECT DISTINCT e0.b AS node FROM e0 JOIN s0 ON e0.a = s0.node
+  WHERE e0.b NOT IN (SELECT node FROM s0)
+), r2 AS (
+  SELECT DISTINCT e0.b AS node FROM e0 JOIN r1 ON e0.a = r1.node
+  WHERE e0.b NOT IN (SELECT node FROM s0)
+    AND e0.b NOT IN (SELECT node FROM r1)
+)
+SELECT node, 0 AS dist FROM s0
+UNION ALL SELECT node, 1 FROM r1
+UNION ALL SELECT node, 2 FROM r2
+"""
+
+    # Same md5-exact duplicate criterion, same token convention, same
+    # (count desc, value asc nulls last) top-share argmins.
+    o["curation_dataset_card"] = f"""
+WITH base AS (
+  SELECT count(*) AS n_docs,
+         count(DISTINCT md5(text)) AS n_distinct_texts,
+         sum(len({_SQL_TOKS})) AS total_tokens
+  FROM documents
+), langs AS (SELECT lang AS l, count(*) AS c FROM documents GROUP BY 1),
+top_lang AS (
+  SELECT l, c FROM langs ORDER BY c DESC, l ASC NULLS LAST LIMIT 1
+), nl AS (SELECT count(*) AS n_langs FROM langs),
+srcs AS (SELECT source AS s, count(*) AS cs FROM documents GROUP BY 1),
+top_src AS (
+  SELECT s, cs FROM srcs ORDER BY cs DESC, s ASC NULLS LAST LIMIT 1
+), ns AS (SELECT count(*) AS n_sources FROM srcs)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+       round(1.0 - n_distinct_texts/CAST(n_docs AS DOUBLE), 6)
+         AS exact_dup_rate,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       round(total_tokens/CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       l AS top_lang,
+       round(c/CAST(n_docs AS DOUBLE), 6) AS top_lang_share,
+       CAST(n_sources AS BIGINT) AS n_sources,
+       s AS top_source,
+       round(cs/CAST(n_docs AS DOUBLE), 6) AS top_source_share
+FROM base, top_lang, nl, top_src, ns
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12165,6 +12248,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_tost",
     "stats_xi_daily",
     "events_capture_recapture",
+    "graph_bfs",
+    "curation_dataset_card",
 ]
 
 

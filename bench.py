@@ -389,6 +389,10 @@ BENCH_QUERIES = [
     "stats_xi_daily",
     # Chapman capture-recapture population estimate
     "events_capture_recapture",
+    # bounded BFS hop distances from seeds (frontier equi-joins)
+    "graph_bfs",
+    # one-row Datasheets-style dataset card
+    "curation_dataset_card",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

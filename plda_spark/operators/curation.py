@@ -38,6 +38,7 @@ __all__ = [
     "winsorize",
     "effective_sample_size",
     "pareto_front_2d",
+    "dataset_card",
 ]
 
 
@@ -902,4 +903,75 @@ def pareto_front_2d(
         F.col("id").alias(id_col),
         F.col("x").alias(x_col),
         F.col("y").alias(y_col),
+    )
+
+
+def dataset_card(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-row dataset card (the quantitative half of Gebru et al.
+    2021's "Datasheets for Datasets"): corpus size, exact-duplicate
+    rate, token volume, and language/source composition — the summary
+    a release review reads FIRST, before any per-operator audit.
+
+    Returns ONE row ``(n_docs, n_distinct_texts, exact_dup_rate,
+    total_tokens, mean_tokens, n_langs, top_lang, top_lang_share,
+    n_sources, top_source, top_source_share)`` rounded to 6.  The
+    duplicate rate is md5-of-text exact (the :mod:`dedup` exact
+    criterion); tokens are the shared ``tokens_col`` convention.
+    NULL langs/sources group as NULL and can win top share — a
+    mostly-unlabeled corpus SHOULD say so.
+
+    Scale shape: ONE corpus aggregation (token count + md5-distinct,
+    map-side combined where possible) + one |langs| and one |sources|
+    aggregation with bounded top-1 argmins, met in broadcast cross
+    joins of 1-row frames.  Nothing unbounded survives any stage."""
+    from plda_spark.operators.text import tokens_col
+
+    base = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct_texts"),
+        F.sum(F.size(tokens_col(text_col))).cast("long").alias(
+            "total_tokens"
+        ),
+    )
+    langs = docs.groupBy(F.col(lang_col).alias("__l")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    top_lang = langs.orderBy(
+        F.col("__c").desc(), F.col("__l").asc_nulls_last()
+    ).limit(1)
+    n_langs = langs.agg(F.count(F.lit(1)).alias("n_langs"))
+    sources = docs.groupBy(F.col(source_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__cs")
+    )
+    top_source = sources.orderBy(
+        F.col("__cs").desc(), F.col("__s").asc_nulls_last()
+    ).limit(1)
+    n_sources = sources.agg(F.count(F.lit(1)).alias("n_sources"))
+    n = F.col("n_docs").cast("double")
+    return (
+        base.crossJoin(F.broadcast(n_langs))
+        .crossJoin(F.broadcast(top_lang))
+        .crossJoin(F.broadcast(n_sources))
+        .crossJoin(F.broadcast(top_source))
+        .select(
+            "n_docs",
+            "n_distinct_texts",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct_texts") / n, 6
+            ).alias("exact_dup_rate"),
+            "total_tokens",
+            F.round(F.col("total_tokens") / n, 6).alias("mean_tokens"),
+            F.col("n_langs").cast("long").alias("n_langs"),
+            F.col("__l").alias("top_lang"),
+            F.round(F.col("__c") / n, 6).alias("top_lang_share"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+            F.col("__s").alias("top_source"),
+            F.round(F.col("__cs") / n, 6).alias("top_source_share"),
+        )
     )

@@ -32,6 +32,7 @@ __all__ = [
     "assortativity",
     "clustering_coefficients",
     "reciprocity",
+    "bfs_distances",
 ]
 
 
@@ -901,3 +902,62 @@ def reciprocity(
             ).alias("reciprocity"),
         )
     )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: Sequence,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Breadth-first hop distances from a seed set over the UNDIRECTED
+    simple graph, bounded at ``max_hops`` — the neighborhood-expansion
+    primitive behind takedown blast-radius audits ("everything within
+    3 links of these domains"), crawl frontier scoping, and
+    contamination spread checks.  Returns ``(node, dist)`` for every
+    node REACHED within the budget (unreached nodes are absent, not
+    ∞); seeds themselves are distance 0 even when isolated.
+
+    Scale shape (the Pregel discipline of :func:`pagerank`): the
+    symmetrized edge list is eagerly localCheckpointed once; each
+    round is ONE equi-join of the current frontier with the edge
+    list + one anti-join against the reached set — the frontier
+    SHRINKS to new nodes only, so round r costs O(edges touching the
+    r-th shell), never O(|V|·r).  The seed set is takedown-sized and
+    rides the plan as literals (the personalized_pagerank contract).
+    The fixed ``max_hops`` is what makes the output engine-replayable:
+    the DuckDB oracle unrolls the identical shells as chained CTEs."""
+    seeds = list(seeds)
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    if max_hops < 0:
+        raise ValueError(f"max_hops must be >= 0, got {max_hops}")
+    e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+    und = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    spark = edges.sparkSession
+    id_type = edges.schema[src_col].dataType.simpleString()
+    frontier = spark.createDataFrame(
+        [(s,) for s in seeds], f"node {id_type}"
+    ).distinct()
+    reached = frontier.select("node", F.lit(0).alias("dist"))
+    for r in range(1, max_hops + 1):
+        nbrs = (
+            und.join(frontier.withColumnRenamed("node", "a"), "a")
+            .select(F.col("b").alias("node"))
+            .distinct()
+        )
+        frontier = nbrs.join(
+            reached.select("node"), "node", "left_anti"
+        ).localCheckpoint(eager=True)
+        reached = reached.unionAll(
+            frontier.select("node", F.lit(r).alias("dist"))
+        )
+        if (r % 3 == 0) and r < max_hops:
+            reached = reached.localCheckpoint(eager=True)
+    return reached.localCheckpoint(eager=True)

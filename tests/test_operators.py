@@ -6336,3 +6336,49 @@ def test_tost_xi_and_capture_semantics(spark):
     disjoint = spark.createDataFrame([(100,), (101,)], "id long")
     d = stats.capture_recapture(a, disjoint, "id").first()
     assert d["lincoln_n"] is None and d["chapman_n"] is not None
+
+
+def test_bfs_and_dataset_card_semantics(spark):
+    """bfs: path graph distances are hop counts, unreached nodes are
+    absent, isolated seeds keep distance 0, max_hops truncates;
+    dataset_card: known duplicate rate / token totals / top shares on
+    a hand-built corpus."""
+    import pytest as _pytest
+
+    from plda_spark.operators import curation, graph
+
+    # path 1-2-3-4-5, seed 1
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_distances(path, [1], max_hops=2).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2}  # 4,5 beyond the budget: absent
+
+    # seed 99 is isolated: present at distance 0
+    got2 = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_distances(path, [99, 3], max_hops=1).collect()
+    }
+    assert got2 == {99: 0, 3: 0, 2: 1, 4: 1}
+    with _pytest.raises(ValueError):
+        graph.bfs_distances(path, [], max_hops=1)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc", "en", "web"),
+            (2, "aa bb cc", "en", "web"),   # exact dup of 1
+            (3, "dd ee", "fr", "wiki"),
+            (4, "ff gg hh ii", "en", "web"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    c = curation.dataset_card(docs).first()
+    assert c["n_docs"] == 4 and c["n_distinct_texts"] == 3
+    assert c["exact_dup_rate"] == 0.25
+    assert c["total_tokens"] == 3 + 3 + 2 + 4
+    assert c["n_langs"] == 2 and c["top_lang"] == "en"
+    assert c["top_lang_share"] == 0.75
+    assert c["n_sources"] == 2 and c["top_source"] == "web"

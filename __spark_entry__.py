@@ -5542,6 +5542,26 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["curation_dataset_card"] = curation_dataset_card
 
+    def sample_maxcover(spark, sf):
+        """Greedy submodular max-coverage selection (operators/
+        sampling.py max_coverage_select — Nemhauser 1978 greedy on the
+        facility-location coverage objective): 5 documents jointly
+        covering the most of the top-500 BIGRAM universe (the
+        unigram vocabulary saturates in one pick on this corpus).
+        One bounded vocab argmax + 5 literal-fold map+TakeOrdered
+        passes over the checkpointed (id, units) projection; the
+        oracle unrolls the identical greedy steps."""
+        from plda_spark.operators import sampling
+
+        return sampling.max_coverage_select(
+            load_table(spark, sf, "documents"),
+            k=5,
+            vocab_size=500,
+            ngram=2,
+        )
+
+    q["sample_maxcover"] = sample_maxcover
+
     return q
 
 
@@ -11854,6 +11874,60 @@ SELECT CAST(n_docs AS BIGINT) AS n_docs,
 FROM base, top_lang, nl, top_src, ns
 """
 
+    # Same top-df vocabulary, same vocab-restricted distinct token
+    # sets, same greedy (gain desc, id asc) steps unrolled.
+    _mc_k = 5
+    _mc_ctes = []
+    for _i in range(1, _mc_k + 1):
+        if _i == 1:
+            _mc_ctes.append(
+                "step1 AS (SELECT d.id, d.dt, CAST(len(d.dt) AS BIGINT)"
+                " AS gain FROM dtt d ORDER BY gain DESC, d.id ASC LIMIT 1)"
+            )
+            _mc_ctes.append("cov1 AS (SELECT s.dt AS cov FROM step1 s)")
+        else:
+            _mc_ctes.append(
+                f"step{_i} AS (SELECT d.id, d.dt, CAST(len(list_filter("
+                f"d.dt, x -> NOT list_contains(c.cov, x))) AS BIGINT) AS "
+                f"gain FROM dtt d, cov{_i - 1} c ORDER BY gain DESC, "
+                f"d.id ASC LIMIT 1)"
+            )
+            _mc_ctes.append(
+                f"cov{_i} AS (SELECT list_distinct(list_concat(c.cov, "
+                f"s.dt)) AS cov FROM cov{_i - 1} c, step{_i} s)"
+            )
+    _mc_rows = "\nUNION ALL ".join(
+        f"SELECT {_i} AS sel_order, s.id AS doc_id, s.gain AS gain, "
+        f"CAST(len(c.cov) AS BIGINT) AS covered_total, "
+        f"round(len(c.cov)/(SELECT CAST(len(v) AS DOUBLE) FROM vl), 6) "
+        f"AS coverage_frac FROM step{_i} s, cov{_i} c "
+        f"WHERE s.gain > 0"
+        for _i in range(1, _mc_k + 1)
+    )
+    o["sample_maxcover"] = f"""
+WITH t0 AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+t AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_distinct(list_transform(range(1, len(toks)),
+                     i -> array_to_string(toks[i:i+1], ' ')))
+              ELSE [] END AS units
+  FROM t0
+), vocab AS (
+  SELECT __w FROM (
+    SELECT __w, count(*) AS df FROM (
+      SELECT doc_id, unnest(units) AS __w FROM t)
+    GROUP BY 1)
+  ORDER BY df DESC, __w ASC LIMIT 500
+), vl AS (SELECT list(__w) AS v FROM vocab),
+dtt AS (
+  SELECT doc_id AS id,
+         list_filter(units, x -> list_contains(v, x)) AS dt
+  FROM t, vl
+), {", ".join(_mc_ctes)}
+{_mc_rows}
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12250,6 +12324,7 @@ EXTRA_QUERIES: list[str] = [
     "events_capture_recapture",
     "graph_bfs",
     "curation_dataset_card",
+    "sample_maxcover",
 ]
 
 

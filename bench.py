@@ -393,6 +393,8 @@ BENCH_QUERIES = [
     "graph_bfs",
     # one-row Datasheets-style dataset card
     "curation_dataset_card",
+    # greedy submodular max-coverage selection (5 literal-fold passes)
+    "sample_maxcover",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

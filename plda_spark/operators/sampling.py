@@ -38,6 +38,7 @@ __all__ = [
     "curriculum_order",
     "balanced_sample",
     "interleave_by_weight",
+    "max_coverage_select",
 ]
 
 
@@ -823,4 +824,135 @@ def interleave_by_weight(
         *df.columns,
         F.col("__pos").alias("position"),
         F.round(F.col("__pos") / w_checked, 6).alias("interleave_key"),
+    )
+
+
+def max_coverage_select(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 2000,
+    max_k: int = 50,
+    ngram: int = 1,
+) -> DataFrame:
+    """Greedy maximum-coverage document selection (the submodular
+    facility-location selector of data-efficient training, Wei et al.
+    2015 / the D4 family's coverage half): pick ``k`` documents that
+    together cover as much of the reference vocabulary as possible —
+    each round selects the doc adding the most NOT-yet-covered
+    vocabulary tokens.  The classic greedy (1−1/e)-approximation
+    (Nemhauser 1978) to the NP-hard optimum, and the "diverse span of
+    topics" complement to :func:`kcenter_select`'s geometric spread.
+
+    The universe is the top-``vocab_size`` tokens by document
+    frequency (ties: token asc) — the :func:`text.vocab_coverage`
+    bounded-vocabulary contract.  Ties on gain break on the smaller
+    doc id; docs adding zero new coverage stop the selection early
+    (every remaining doc is redundant).  Returns ``(sel_order, id,
+    gain, covered_total, coverage_frac)``.
+
+    Scale shape: the :func:`kcenter_select` discipline — the
+    (id, vocab-restricted distinct-token array) projection is built
+    ONCE (one explode + df aggregation + bounded top-vocab argmax,
+    then an eager localCheckpoint), and each of the k rounds is ONE
+    distributed map (``array_except`` against the ≤ vocab_size
+    covered-set LITERAL — pure JVM array math) + one TakeOrdered(1);
+    no per-round shuffle.  Driver state is the covered token set,
+    ≤ vocab_size strings.  The literal budget is self-enforcing:
+    ``k ≤ max_k`` and ``vocab_size ≤ 4000`` (k·|covered| expression
+    growth is the same contract MMR caps)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if k > max_k:
+        raise ValueError(
+            f"max_coverage_select: k={k} > max_k={max_k}; each round "
+            "carries the covered set as plan literals — for larger k, "
+            "pre-shard (hash buckets) and select per shard."
+        )
+    if not 1 <= vocab_size <= 4000:
+        raise ValueError(
+            f"vocab_size must be in [1, 4000], got {vocab_size} (the "
+            "covered-set literal budget)."
+        )
+    if not 1 <= ngram <= 5:
+        raise ValueError(f"ngram must be in [1, 5], got {ngram}")
+    from plda_spark.operators.text import tokens_col
+
+    t = tokens_col(text_col)
+    if ngram == 1:
+        units = F.array_distinct(t)
+    else:
+        # coverage units = word n-grams: a unigram universe saturates
+        # on small shared vocabularies; n-grams keep coverage
+        # informative (the shingles convention of operators/dedup.py)
+        idx = F.sequence(F.lit(0), F.size(t) - ngram)
+        grams = F.transform(
+            idx, lambda i: F.array_join(F.slice(t, i + 1, ngram), " ")
+        )
+        units = F.when(F.size(t) >= ngram, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>")
+        )
+    tok = docs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(units).alias("__w"),
+    )
+    vocab_rows = (
+        tok.groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .orderBy(F.col("__df").desc(), F.col("__w").asc())
+        .limit(vocab_size)
+        .collect()
+    )
+    universe = [r["__w"] for r in vocab_rows]
+    if not universe:
+        raise ValueError("max_coverage_select: empty vocabulary")
+    uni_lit = F.array(*[F.lit(w) for w in universe])
+    dt = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.array_intersect(units, uni_lit).alias("__dt"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    covered: list = []
+    out = []
+    spark = docs.sparkSession
+    for step in range(1, k + 1):
+        cov_lit = F.array(*[F.lit(w) for w in covered]) if covered else None
+        gain_col = (
+            F.size(F.array_except("__dt", cov_lit))
+            if cov_lit is not None
+            else F.size("__dt")
+        )
+        best = (
+            dt.select("__id", "__dt", gain_col.alias("__gain"))
+            .orderBy(F.col("__gain").desc(), F.col("__id").asc())
+            .first()
+        )
+        if best is None or best["__gain"] <= 0:
+            break  # everything left is redundant — stop early
+        new_words = [w for w in best["__dt"] if w not in set(covered)]
+        covered.extend(new_words)
+        out.append(
+            (
+                step,
+                best["__id"],
+                int(best["__gain"]),
+                len(covered),
+                len(covered) / float(len(universe)),
+            )
+        )
+    id_type = docs.schema[id_col].dataType.simpleString()
+    res = spark.createDataFrame(
+        out,
+        f"sel_order int, {id_col} {id_type}, gain int, "
+        "covered_total int, coverage_frac double",
+    )
+    return res.select(
+        "sel_order",
+        id_col,
+        "gain",
+        "covered_total",
+        F.round("coverage_frac", 6).alias("coverage_frac"),
     )

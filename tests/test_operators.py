@@ -6382,3 +6382,42 @@ def test_bfs_and_dataset_card_semantics(spark):
     assert c["n_langs"] == 2 and c["top_lang"] == "en"
     assert c["top_lang_share"] == 0.75
     assert c["n_sources"] == 2 and c["top_source"] == "web"
+
+
+def test_max_coverage_semantics(spark):
+    """Greedy coverage picks the doc with the most uncovered units
+    each round, stops when everything left is redundant, and the
+    guards fire.  Hand-built corpus: doc 1 covers {aa,bb,cc}, doc 2
+    {cc,dd}, doc 3 {aa,bb} (subset of 1 -> redundant after 1 and 2)."""
+    import pytest as _pytest
+
+    from plda_spark.operators import sampling
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc"),
+            (2, "cc dd"),
+            (3, "aa bb"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sampling.max_coverage_select(docs, k=3, vocab_size=100).collect()
+    assert [(r["sel_order"], r["doc_id"], r["gain"]) for r in rows] == [
+        (1, 1, 3),
+        (2, 2, 1),
+    ]  # doc 3 adds nothing: early stop
+    assert rows[-1]["covered_total"] == 4
+    assert rows[-1]["coverage_frac"] == 1.0
+
+    # bigram mode: doc 2's single token yields no bigrams
+    rows2 = sampling.max_coverage_select(
+        docs, k=2, vocab_size=100, ngram=2
+    ).collect()
+    assert rows2[0]["doc_id"] == 1 and rows2[0]["gain"] == 2  # "aa bb","bb cc"
+
+    with _pytest.raises(ValueError, match="max_k"):
+        sampling.max_coverage_select(docs, k=51)
+    with _pytest.raises(ValueError, match="vocab_size"):
+        sampling.max_coverage_select(docs, k=2, vocab_size=5000)
+    with _pytest.raises(ValueError, match="ngram"):
+        sampling.max_coverage_select(docs, k=2, ngram=0)

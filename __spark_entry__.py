@@ -5562,6 +5562,35 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sample_maxcover"] = sample_maxcover
 
+    def stats_ljung_box(spark, sf):
+        """Ljung-Box whiteness test at 7 lags (operators/stats.py
+        ljung_box — the joint is-there-ANY-autocorrelation verdict
+        over acf_daily's published estimates).  Corpus → |days|
+        rollup → |lags|-row aggregation; Wilson-Hilferty p."""
+        from plda_spark.operators import stats
+
+        return stats.ljung_box(
+            load_table(spark, sf, "events"), "ts", "value", lags=7
+        )
+
+    q["stats_ljung_box"] = stats_ljung_box
+
+    def events_retention_halflife(spark, sf):
+        """Exponential retention-decay fit (operators/events.py
+        retention_decay_fit): weekly-period retention from first
+        event, log-linear least squares, halflife = -ln2/slope.  One
+        per-user min + one user-keyed join + |periods|-row closed-form
+        fit."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.retention_decay_fit(
+            load_table(spark, sf, "events"),
+            period_days=7,
+            max_periods=4,
+        )
+
+    q["events_retention_halflife"] = events_retention_halflife
+
     return q
 
 
@@ -11928,6 +11957,107 @@ dtt AS (
 {_mc_rows}
 """
 
+    # Same acf_daily estimates consumed at their published 6-decimal
+    # rounding, same n(n+2) sum, same Wilson-Hilferty tail.
+    o["stats_ljung_box"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, avg(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT max(m) AS m, sum((v - m)*(v - m)) AS ss FROM (
+    SELECT v, avg(v) OVER () AS m FROM daily
+  )
+), lagged AS (
+  SELECT d + to_days(CAST(lag AS INTEGER)) AS d, lag, v AS v_lag
+  FROM daily CROSS JOIN (SELECT unnest(range(1, 8)) AS lag)
+), pairs AS (
+  SELECT lagged.lag, daily.v, lagged.v_lag
+  FROM daily JOIN lagged USING (d)
+), acfs AS (
+  SELECT lag,
+         round(CASE WHEN max(ss) > 0
+                    THEN sum((v - max_m)*(v_lag - max_m))/max(ss)
+                    ELSE 0.0 END, 6) AS acf
+  FROM (SELECT pairs.*, mom.m AS max_m, mom.ss FROM pairs CROSS JOIN mom)
+  GROUP BY lag
+), nd AS (
+  SELECT count(DISTINCT CAST(ts AS DATE)) AS n FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+), agg AS (
+  SELECT max(n) AS n,
+         max(n)*(max(n) + 2.0)
+           * sum(acf*acf/(CAST(n AS DOUBLE) - lag)) AS q
+  FROM acfs CROSS JOIN nd
+), zc AS (
+  SELECT n, q,
+         CASE WHEN q > 0
+              THEN (pow(q/7.0, 1.0/3.0) - (1.0 - 2.0/(9.0*7.0)))
+                   / sqrt(2.0/(9.0*7.0))
+              ELSE 0.0 END AS z
+  FROM agg
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zc),
+pp AS (
+  SELECT n, q, z,
+         (2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))))/2.0 AS half
+  FROM ph
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(7 AS BIGINT) AS lags,
+       round(q, 6) AS q_stat, CAST(7 AS BIGINT) AS dof,
+       round(least(greatest(CASE WHEN z >= 0 THEN half
+                                 ELSE 1.0 - half END, 0.0), 1.0), 6)
+         AS p_value
+FROM pp
+"""
+
+    # Same weekly periods from per-user first day, same zero-rate
+    # exclusion, same closed-form log-linear identities.
+    o["events_retention_halflife"] = """
+WITH base AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), first AS (SELECT u, min(d) AS d0 FROM base GROUP BY 1),
+cohort AS (SELECT count(*) AS n_users FROM first),
+per AS (
+  SELECT p, count(*) AS up FROM (
+    SELECT DISTINCT base.u,
+           CAST(floor(date_diff('day', d0, d)/7.0) AS BIGINT) AS p
+    FROM base JOIN first ON base.u = first.u)
+  WHERE p <= 4 GROUP BY 1
+), rates AS (
+  SELECT CAST(p AS DOUBLE) AS x,
+         ln(up/CAST(n_users AS DOUBLE)) AS y, n_users
+  FROM per CROSS JOIN cohort WHERE up > 0
+), agg AS (
+  SELECT max(n_users) AS n_users, count(*) AS k,
+         sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+         sum(y*y) AS syy, sum(x*y) AS sxy
+  FROM rates
+), c AS (
+  SELECT n_users, k,
+         CAST(k AS DOUBLE)*sxx - sx*sx AS dx,
+         CAST(k AS DOUBLE)*syy - sy*sy AS dy,
+         CAST(k AS DOUBLE)*sxy - sx*sy AS num,
+         sx, sy
+  FROM agg
+), f AS (
+  SELECT n_users, k,
+         CASE WHEN dx > 0 THEN num/dx END AS b,
+         dx, dy, num, sx, sy
+  FROM c
+)
+SELECT CAST(n_users AS BIGINT) AS n_users,
+       CAST(k AS BIGINT) AS n_periods,
+       round(b, 6) AS slope,
+       round((sy - b*sx)/CAST(k AS DOUBLE), 6) AS intercept,
+       round(CASE WHEN b < 0 THEN -ln(2.0)/b END, 6)
+         AS halflife_periods,
+       round(CASE WHEN dx > 0 AND dy > 0
+                  THEN num*num/(dx*dy) END, 6) AS r2
+FROM f
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12325,6 +12455,8 @@ EXTRA_QUERIES: list[str] = [
     "graph_bfs",
     "curation_dataset_card",
     "sample_maxcover",
+    "stats_ljung_box",
+    "events_retention_halflife",
 ]
 
 

@@ -395,6 +395,10 @@ BENCH_QUERIES = [
     "curation_dataset_card",
     # greedy submodular max-coverage selection (5 literal-fold passes)
     "sample_maxcover",
+    # Ljung-Box whiteness verdict over acf_daily
+    "stats_ljung_box",
+    # exponential retention-decay fit with halflife readout
+    "events_retention_halflife",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

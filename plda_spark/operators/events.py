@@ -31,6 +31,7 @@ __all__ = [
     "funnel_latency",
     "point_in_time_features",
     "item_item_cf",
+    "retention_decay_fit",
 ]
 
 
@@ -1325,4 +1326,91 @@ def item_item_cf(
             "item", "neighbor", "n_both", "n_item", "n_neighbor",
             "cosine", "rank",
         )
+    )
+
+
+def retention_decay_fit(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period_days: int = 7,
+    max_periods: int = 12,
+) -> DataFrame:
+    """Exponential-decay fit of the retention curve: compute per-period
+    retention (fraction of the cohort active in period p after their
+    first event), then least-squares ``ln(retention) = a + b·p`` —
+    the one-number summary ``halflife = −ln2/b`` that turns a
+    retention triangle into "we lose half the remaining users every
+    N periods" (the standard churn model; see Fader & Hardie's sBG
+    line of work for the richer parametric family).
+
+    Periods are ``floor(days_since_first / period_days)``; period 0
+    is 1.0 by construction and anchors the intercept; zero-retention
+    periods are excluded from the log fit (they are −∞).  Returns ONE
+    row ``(n_users, n_periods, slope, intercept, halflife_periods,
+    r2)`` rounded to 6 — ``halflife_periods`` is NULL when the fitted
+    slope is ≥ 0 (no decay to halve).
+
+    Scale shape: one per-user min aggregation (first day), one
+    user-keyed join back, one distinct (user, period) aggregation →
+    per-period counts — |periods| rows survive; the log-linear fit is
+    the :func:`~plda_spark.operators.stats.ols2`-style closed form
+    from ONE aggregation over those rows."""
+    if period_days < 1:
+        raise ValueError(f"period_days must be >= 1, got {period_days}")
+    if max_periods < 2:
+        raise ValueError(f"max_periods must be >= 2, got {max_periods}")
+    day = F.to_date(F.col(ts_col))
+    base = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(F.col(user_col).alias("u"), day.alias("d"))
+    first = base.groupBy("u").agg(F.min("d").alias("d0"))
+    cohort = first.agg(F.count(F.lit(1)).alias("n_users"))
+    per = (
+        base.join(first, "u")
+        .select(
+            "u",
+            F.floor(F.datediff("d", "d0") / period_days).alias("p"),
+        )
+        .where(F.col("p") <= max_periods)
+        .distinct()
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).alias("up"))
+    )
+    rates = per.crossJoin(F.broadcast(cohort)).select(
+        F.col("p").cast("double").alias("x"),
+        F.log(F.col("up") / F.col("n_users").cast("double")).alias("y"),
+        "n_users",
+    ).where(F.col("up") > 0)
+    agg = rates.agg(
+        F.max("n_users").alias("n_users"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    k = F.col("k").cast("double")
+    dx = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = k * F.col("syy") - F.col("sy") * F.col("sy")
+    num = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    b = F.when(dx > 0, num / dx)
+    staged = agg.select(
+        "n_users",
+        "k",
+        b.alias("__b"),
+        ((F.col("sy") - b * F.col("sx")) / k).alias("__a"),
+        F.when((dx > 0) & (dy > 0), num * num / (dx * dy)).alias("__r2"),
+    )
+    hl = F.when(
+        F.col("__b") < 0, -F.log(F.lit(2.0)) / F.col("__b")
+    )
+    return staged.select(
+        F.col("n_users").cast("long").alias("n_users"),
+        F.col("k").cast("long").alias("n_periods"),
+        F.round("__b", 6).alias("slope"),
+        F.round("__a", 6).alias("intercept"),
+        F.round(hl, 6).alias("halflife_periods"),
+        F.round("__r2", 6).alias("r2"),
     )

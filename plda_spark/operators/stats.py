@@ -92,6 +92,7 @@ __all__ = [
     "ab_srm_check",
     "combine_pvalues",
     "tost_equivalence",
+    "ljung_box",
     "xi_correlation_daily",
     "capture_recapture",
 ]
@@ -4479,4 +4480,71 @@ def capture_recapture(
         F.col("m").cast("long").alias("n_both"),
         F.round(F.when(m > 0, na * nb / m), 6).alias("lincoln_n"),
         F.round((na + 1) * (nb + 1) / (m + 1) - 1, 6).alias("chapman_n"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    lags: int = 7,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test (Ljung & Box 1978) on the
+    daily series: ``Q = n(n+2)·Σ_{k≤h} r_k²/(n−k) ~ χ²(h)`` — "is
+    there ANY autocorrelation left?", the standard residual check
+    after a forecast (:func:`brown_smoothing`,
+    :func:`seasonal_decompose`) and the joint companion to eyeballing
+    :func:`acf_daily` lag by lag.
+
+    Consumes :func:`acf_daily`'s estimates exactly as published
+    (6-decimal outputs — the oracle replays the identical consumption)
+    with ``n`` = the number of observed days.  Returns ONE row
+    ``(n_days, lags, q_stat, dof, p_value)`` rounded to 6, p via the
+    Wilson-Hilferty cube-root tail (the :func:`kruskal_wallis`
+    convention).  Requires ``n_days > lags``.
+
+    Scale shape: rides :func:`acf_daily` (corpus → |days| rollup →
+    |days|×lags pairing), then one |lags|-row aggregation crossed
+    with the 1-row day count."""
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    acfs = acf_daily(df, ts_col, value_col, max_lag=lags)
+    nd = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).agg(F.countDistinct(F.to_date(ts_col)).alias("n"))
+    n_days = nd.first()["n"]
+    if n_days <= lags:
+        raise ValueError(
+            f"ljung_box: {n_days} days <= lags={lags}; the k-th term "
+            "divides by n - k. Reduce lags or widen the window."
+        )
+    n = F.col("n").cast("double")
+    agg = acfs.crossJoin(F.broadcast(nd)).agg(
+        F.max("n").alias("n"),
+        (
+            F.max(n)
+            * (F.max(n) + 2)
+            * F.sum(F.col("acf") * F.col("acf") / (n - F.col("lag")))
+        ).alias("__q"),
+    )
+    nu = F.lit(float(lags))
+    z = F.when(
+        F.col("__q") > 0,
+        (
+            F.pow(F.col("__q") / nu, F.lit(1.0 / 3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * nu))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * nu)),
+    ).otherwise(F.lit(0.0))
+    staged = agg.withColumn("__z", z)
+    half = _two_sided_normal_p(F.abs(F.col("__z"))) / F.lit(2.0)
+    p = F.when(F.col("__z") >= 0, half).otherwise(F.lit(1.0) - half)
+    return staged.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(lags).cast("long").alias("lags"),
+        F.round("__q", 6).alias("q_stat"),
+        F.lit(lags).cast("long").alias("dof"),
+        F.round(
+            F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6
+        ).alias("p_value"),
     )

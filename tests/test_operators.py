@@ -6421,3 +6421,54 @@ def test_max_coverage_semantics(spark):
         sampling.max_coverage_select(docs, k=2, vocab_size=5000)
     with _pytest.raises(ValueError, match="ngram"):
         sampling.max_coverage_select(docs, k=2, ngram=0)
+
+
+def test_ljung_box_and_retention_fit_semantics(spark):
+    """ljung_box: a constant-ish alternating series has strong negative
+    lag-1 autocorrelation -> tiny p; guards fire.  retention_decay_fit:
+    a hand-built exact-halving cohort recovers slope ln(0.5), halflife
+    1 period, r2 = 1; a non-decaying cohort gives NULL halflife."""
+    import math
+
+    import pytest as _pytest
+
+    from plda_spark.operators import events as ev_ops
+    from plda_spark.operators import stats
+
+    alt = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", float(d % 2)) for d in range(1, 31)],
+        "ts string, v double",
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    r = stats.ljung_box(alt, "ts", "v", lags=3).first()
+    assert r["n_days"] == 30 and r["dof"] == 3
+    assert r["p_value"] < 0.01  # alternation = strong autocorrelation
+    with _pytest.raises(ValueError, match="days"):
+        stats.ljung_box(alt.limit(2), "ts", "v", lags=3)
+    with _pytest.raises(ValueError):
+        stats.ljung_box(alt, "ts", "v", lags=0)
+
+    # cohort of 8, halving weekly: periods 0..3 active users 8,4,2,1
+    rows = []
+    for u in range(8):
+        rows.append((u, "2024-01-01 00:00:00"))
+    for u in range(4):
+        rows.append((u, "2024-01-08 00:00:00"))
+    for u in range(2):
+        rows.append((u, "2024-01-15 00:00:00"))
+    rows.append((0, "2024-01-22 00:00:00"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"))
+    f = ev_ops.retention_decay_fit(ev, period_days=7, max_periods=4).first()
+    assert f["n_users"] == 8 and f["n_periods"] == 4
+    assert abs(f["slope"] - math.log(0.5)) < 1e-6
+    assert abs(f["halflife_periods"] - 1.0) < 1e-6
+    assert f["r2"] == 1.0 and f["intercept"] == 0.0
+
+    flat = spark.createDataFrame(
+        [(u, f"2024-01-{d:02d} 00:00:00") for u in range(3)
+         for d in (1, 8, 15)],
+        "user_id long, ts string",
+    ).select("user_id", F.to_timestamp("ts").alias("ts"))
+    f2 = ev_ops.retention_decay_fit(flat, period_days=7).first()
+    assert f2["halflife_periods"] is None  # slope 0: nothing decays

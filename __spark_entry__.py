@@ -5591,6 +5591,43 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_retention_halflife"] = events_retention_halflife
 
+    def stream_ab_srm(spark, sf):
+        """Streaming SRM guardrail over the live A/B ledger
+        (streaming/windows.py srm_from_ledger): the events table
+        arrives as TWO event_id-parity micro-batch waves appending to
+        the set-semantics conversion ledger; the readout dedups users,
+        md5-assigns variants exactly like abtest_from_ledger, and runs
+        the chi-squared goodness-of-fit against the designed 50/50 —
+        the health gate a biased ingest would trip.  Hash-gated
+        against the batch twin computed straight from events."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 100)
+            ).cast("int").alias("converted"),
+        )
+        d = tempfile.mkdtemp(prefix="plda_absrm_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        schema = "event_id long, user_id long, converted int"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        windows.incremental_ab_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            user_col="user_id", success_col="converted",
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_ab_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            user_col="user_id", success_col="converted",
+        )
+        return windows.srm_from_ledger(spark, state)
+
+    q["stream_ab_srm"] = stream_ab_srm
+
     return q
 
 
@@ -12058,6 +12095,56 @@ SELECT CAST(n_users AS BIGINT) AS n_users,
 FROM f
 """
 
+    # Streaming twin of the SRM guardrail: the ledger's per-user set
+    # semantics make the fold equal to a distinct over ALL events'
+    # users; same md5 assignment, same chi-squared vs 1/1, same
+    # Wilson-Hilferty tail.
+    o["stream_ab_srm"] = """
+WITH per_user AS (
+  SELECT DISTINCT user_id FROM events
+), counts AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         count(*) AS o
+  FROM per_user GROUP BY 1
+), ex AS (
+  SELECT * FROM (VALUES ('A', 0.5), ('B', 0.5)) e(variant, w)
+), j AS (
+  SELECT ex.variant, ex.w, coalesce(counts.o, 0) AS o
+  FROM ex LEFT JOIN counts USING (variant)
+), t AS (SELECT sum(o) AS n, count(*) AS k FROM j),
+agg AS (
+  SELECT t.n, t.k,
+         sum(pow(j.o - j.w*t.n, 2)/(j.w*t.n)) AS chi2
+  FROM j, t GROUP BY t.n, t.k
+), zc AS (
+  SELECT n, k, chi2, CAST(k - 1 AS DOUBLE) AS nu,
+         CASE WHEN k > 1 AND chi2 > 0
+              THEN (pow(chi2/(k-1.0), 1.0/3.0)
+                    - (1.0 - 2.0/(9.0*(k-1.0))))
+                   / sqrt(2.0/(9.0*(k-1.0)))
+              ELSE 0.0 END AS z
+  FROM agg
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zc),
+pp AS (
+  SELECT n, k, chi2, nu, z,
+         (2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))))/2.0 AS half
+  FROM ph
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       round(chi2, 6) AS chi2, CAST(nu AS BIGINT) AS dof,
+       round(least(greatest(CASE WHEN z >= 0 THEN half
+                                 ELSE 1.0 - half END, 0.0), 1.0), 6)
+         AS p_value,
+       least(greatest(CASE WHEN z >= 0 THEN half
+                           ELSE 1.0 - half END, 0.0), 1.0) < 0.001
+         AS srm_suspected
+FROM pp
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12457,6 +12544,7 @@ EXTRA_QUERIES: list[str] = [
     "sample_maxcover",
     "stats_ljung_box",
     "events_retention_halflife",
+    "stream_ab_srm",
 ]
 
 

@@ -399,6 +399,8 @@ BENCH_QUERIES = [
     "stats_ljung_box",
     # exponential retention-decay fit with halflife readout
     "events_retention_halflife",
+    # streaming SRM guardrail over the live A/B ledger
+    "stream_ab_srm",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -50,6 +50,7 @@ __all__ = [
     "ab_ledger_partials",
     "incremental_ab_ledger",
     "abtest_from_ledger",
+    "srm_from_ledger",
 ]
 
 
@@ -1371,4 +1372,45 @@ def abtest_from_ledger(
     )
     return two_proportion_ztest(
         assigned, "variant", "converted", variant_a, variant_b
+    )
+
+
+def srm_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    buckets: int = 2,
+    variant_a: str = "A",
+    variant_b: str = "B",
+    alpha: float = 0.001,
+    run_id_filter: str | None = None,
+) -> DataFrame:
+    """Streaming sample-ratio-mismatch guardrail over the SAME
+    :func:`incremental_ab_ledger` state the A/B verdict reads: fold
+    the ledger to per-user rows (set semantics), md5-assign variants
+    with the identical pure-function assignment
+    (:func:`~plda_spark.operators.sampling.hash_bucket`), and run
+    :func:`~plda_spark.operators.stats.ab_srm_check` against the
+    designed uniform split — the health check that should gate every
+    :func:`abtest_from_ledger` readout, because a biased or
+    partially-logged assignment biases the verdict silently.  On a
+    healthy md5 assignment this PASSES by construction; what it
+    catches is ingest bugs — a wave that dropped one arm's users, a
+    run_id filter that split generations unevenly.
+
+    One ledger aggregation + one variant-keyed count — the raw event
+    stream is never re-read."""
+    from plda_spark.operators.sampling import hash_bucket
+    from plda_spark.operators.stats import ab_srm_check
+
+    ledger = spark.read.parquet(state_path)
+    if run_id_filter is not None:
+        ledger = ledger.where(F.col("run_id") == run_id_filter)
+    per_user = ledger.select("user").distinct()
+    assigned = per_user.select(
+        F.when(hash_bucket(F.col("user"), buckets) == 0, variant_a)
+        .otherwise(variant_b)
+        .alias("variant")
+    )
+    return ab_srm_check(
+        assigned, "variant", {variant_a: 1.0, variant_b: 1.0}, alpha=alpha
     )

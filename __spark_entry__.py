@@ -5628,6 +5628,39 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_ab_srm"] = stream_ab_srm
 
+    def stats_mcnemar(spark, sf):
+        """McNemar paired classifier comparison (operators/stats.py
+        mcnemar_test — Dietterich 1998's recommendation): is the
+        stopword-lexicon language_id actually better than the
+        always-'en' majority baseline ON THE SAME documents?  Only
+        discordant pairs carry information.  One aggregation over the
+        paired correctness frame."""
+        from plda_spark.operators import stats, text
+
+        docs = load_table(spark, sf, "documents")
+        pred = text.language_id(docs).select("doc_id", "pred_lang")
+        paired = docs.select("doc_id", "lang").join(pred, "doc_id").select(
+            (F.col("pred_lang") == F.col("lang")).cast("int").alias("a_ok"),
+            (F.col("lang") == "en").cast("int").alias("b_ok"),
+        )
+        return stats.mcnemar_test(paired, "a_ok", "b_ok")
+
+    q["stats_mcnemar"] = stats_mcnemar
+
+    def stats_runs_daily(spark, sf):
+        """Wald-Wolfowitz runs test (operators/stats.py
+        runs_test_daily) on the signs of day-over-day changes of the
+        daily value series — do moves cluster (momentum) or alternate
+        (mean reversion)?  Daily rollup + two |days| windows + one
+        scalar aggregation."""
+        from plda_spark.operators import stats
+
+        return stats.runs_test_daily(
+            load_table(spark, sf, "events"), "ts", "value"
+        )
+
+    q["stats_runs_daily"] = stats_runs_daily
+
     return q
 
 
@@ -12145,6 +12178,91 @@ SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
 FROM pp
 """
 
+    # Same langid prediction, same paired correctness, same
+    # continuity-corrected discordant chi2, exact chi2(1) tail.
+    o["stats_mcnemar"] = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang, {_kp_hits} FROM t),
+r AS (
+  SELECT lang,
+         CASE WHEN list_max({_kp_arr}) = 0 THEN 'und'
+              ELSE {_kp_langs}[list_position({_kp_arr},
+                                             list_max({_kp_arr}))]
+         END AS pred
+  FROM h
+), paired AS (
+  SELECT CASE WHEN pred = lang THEN 1 ELSE 0 END AS a,
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS b
+  FROM r WHERE lang IS NOT NULL
+), agg AS (
+  SELECT count(*) AS n,
+         sum(a*b) AS rr, sum((1-a)*(1-b)) AS ww,
+         sum(a*(1-b)) AS ao, sum((1-a)*b) AS bo
+  FROM paired
+), c AS (
+  SELECT n, rr, ww, ao, bo,
+         CASE WHEN ao + bo > 0
+              THEN pow(greatest(abs(CAST(ao - bo AS DOUBLE)) - 1, 0.0), 2)
+                   / (ao + bo) END AS chi2
+  FROM agg
+), z AS (SELECT *, sqrt(coalesce(chi2, 0.0)) AS zz FROM c),
+ph AS (SELECT *, 1.0/(1.0 + 0.2316419*zz) AS tt FROM z)
+SELECT CAST(n AS BIGINT) AS n, CAST(rr AS BIGINT) AS both_right,
+       CAST(ww AS BIGINT) AS both_wrong, CAST(ao AS BIGINT) AS a_only,
+       CAST(bo AS BIGINT) AS b_only, round(chi2, 6) AS chi2,
+       round(CASE WHEN chi2 IS NOT NULL THEN
+         least(greatest(2.0*(exp(-zz*zz/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))), 0.0), 1.0)
+         END, 6) AS p_value
+FROM ph
+"""
+
+    # Same daily rollup, same zero-change drop, same run-boundary
+    # count, same Wald-Wolfowitz moments.
+    o["stats_runs_daily"] = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, sum(value) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+), nd AS (SELECT count(*) AS n_days FROM daily),
+chg AS (
+  SELECT day, x - lag(x) OVER (ORDER BY day) AS d FROM daily
+), signs AS (
+  SELECT day, sign(d) AS s FROM chg WHERE d IS NOT NULL AND d <> 0
+), runs AS (
+  SELECT s,
+         CASE WHEN lag(s) OVER (ORDER BY day) IS NULL
+                OR lag(s) OVER (ORDER BY day) <> s
+              THEN 1 ELSE 0 END AS new_run
+  FROM signs
+), agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS nm,
+         sum(new_run) AS r
+  FROM runs
+), c AS (
+  SELECT n, np, nm, r,
+         2.0*np*nm/CAST(n AS DOUBLE) + 1 AS mu
+  FROM agg
+), zc AS (
+  SELECT n, np, nm, r, mu,
+         CASE WHEN np > 0 AND nm > 0 AND n > 1
+                AND (mu - 1)*(mu - 2)/(n - 1.0) > 0
+              THEN (r - mu)/sqrt((mu - 1)*(mu - 2)/(n - 1.0)) END AS z
+  FROM c
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zc)
+SELECT (SELECT CAST(n_days AS BIGINT) FROM nd) AS n_days,
+       CAST(n AS BIGINT) AS n_changes, CAST(r AS BIGINT) AS n_runs,
+       round(mu, 6) AS mu, round(z, 6) AS z,
+       round(CASE WHEN z IS NOT NULL THEN
+         least(greatest(2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))), 0.0), 1.0)
+         END, 6) AS p_value
+FROM ph
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12545,6 +12663,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_ljung_box",
     "events_retention_halflife",
     "stream_ab_srm",
+    "stats_mcnemar",
+    "stats_runs_daily",
 ]
 
 

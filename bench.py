@@ -401,6 +401,10 @@ BENCH_QUERIES = [
     "events_retention_halflife",
     # streaming SRM guardrail over the live A/B ledger
     "stream_ab_srm",
+    # McNemar paired classifier comparison
+    "stats_mcnemar",
+    # Wald-Wolfowitz runs test on daily change signs
+    "stats_runs_daily",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

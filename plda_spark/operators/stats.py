@@ -93,6 +93,8 @@ __all__ = [
     "combine_pvalues",
     "tost_equivalence",
     "ljung_box",
+    "mcnemar_test",
+    "runs_test_daily",
     "xi_correlation_daily",
     "capture_recapture",
 ]
@@ -4547,4 +4549,152 @@ def ljung_box(
         F.round(
             F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6
         ).alias("p_value"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    correct_a_col: str,
+    correct_b_col: str,
+    continuity: bool = True,
+) -> DataFrame:
+    """McNemar's test (McNemar 1947) on paired binary outcomes — THE
+    test for "is classifier A actually better than classifier B on
+    the SAME evaluation set?" (Dietterich 1998's recommendation):
+    only the DISCORDANT pairs carry information — ``b`` = A right, B
+    wrong; ``c`` = A wrong, B right — and ``χ² = (|b−c|−1)²/(b+c)``
+    (Edwards continuity correction; ``continuity=False`` for the raw
+    form) against χ²(1).  Comparing accuracies with a two-proportion
+    test ignores the pairing and throws away power.
+
+    Inputs are 0/1 correctness columns on the same rows; NULLs drop
+    the pair.  Returns ONE row ``(n, both_right, both_wrong, a_only,
+    b_only, chi2, p_value)`` rounded to 6 — chi2/p are NULL when
+    there are no discordant pairs (the test is undefined; the
+    classifiers are behaviorally identical).
+
+    Scale shape: ONE map-side-combined aggregation over the eval
+    frame; the tail runs through the shared Wilson-Hilferty/Φ
+    machinery on a 1-row frame."""
+    a = F.col(correct_a_col).cast("int")
+    b = F.col(correct_b_col).cast("int")
+    base = df.where(a.isNotNull() & b.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((a == 1).cast("long") * (b == 1).cast("long")).alias("rr"),
+        F.sum((a == 0).cast("long") * (b == 0).cast("long")).alias("ww"),
+        F.sum((a == 1).cast("long") * (b == 0).cast("long")).alias("ao"),
+        F.sum((a == 0).cast("long") * (b == 1).cast("long")).alias("bo"),
+    )
+    disc = (F.col("ao") + F.col("bo")).cast("double")
+    diff = F.abs(F.col("ao") - F.col("bo")).cast("double")
+    num = (
+        F.greatest(diff - 1, F.lit(0.0)) if continuity else diff
+    )
+    chi2 = F.when(disc > 0, num * num / disc)
+    staged = agg.withColumn("__chi2", chi2)
+    # chi2(1) upper tail EXACTLY: P = 2(1 - Phi(sqrt(chi2)))
+    z = F.sqrt(F.coalesce(F.col("__chi2"), F.lit(0.0)))
+    p = F.when(
+        F.col("__chi2").isNotNull(),
+        F.least(
+            F.greatest(_two_sided_normal_p(z), F.lit(0.0)), F.lit(1.0)
+        ),
+    )
+    return staged.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("rr").cast("long").alias("both_right"),
+        F.col("ww").cast("long").alias("both_wrong"),
+        F.col("ao").cast("long").alias("a_only"),
+        F.col("bo").cast("long").alias("b_only"),
+        F.round("__chi2", 6).alias("chi2"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def runs_test_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test (1940) on the SIGNS of day-over-day
+    changes of the daily series — "do moves cluster?": too FEW runs
+    means momentum/trending, too MANY means mean-reversion /
+    overdifferencing; either breaks the i.i.d.-noise assumption the
+    simple monitors make.  The distribution-free companion to
+    :func:`ljung_box` (which needs the magnitudes).
+
+    Zero changes are dropped (the standard convention); with ``n₊``
+    ups and ``n₋`` downs in ``n = n₊+n₋`` signed changes, runs R has
+    ``μ = 2n₊n₋/n + 1``, ``σ² = (μ−1)(μ−2)/(n−1)``, and
+    ``z = (R−μ)/σ`` is two-sided normal.  Returns ONE row ``(n_days,
+    n_changes, n_runs, mu, z, p_value)`` rounded to 6 — z/p NULL when
+    either sign is absent (a monotone series has one run and no
+    variance to test against).
+
+    Scale shape: the |days|-rollup family — one daily aggregation,
+    one lag window over |days| rows for the change signs, one
+    run-boundary window, one scalar aggregation."""
+    from pyspark.sql import Window
+
+    daily = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.to_date(ts_col).cast("string").alias("day"))
+        .agg(F.sum(F.col(value_col).cast("double")).alias("x"))
+    )
+    w = Window.orderBy("day")
+    chg = daily.select(
+        "day",
+        (F.col("x") - F.lag("x").over(w)).alias("__d"),
+        F.count(F.lit(1)).over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__nd"),
+    )
+    signs = chg.where(F.col("__d").isNotNull() & (F.col("__d") != 0)).select(
+        "day", F.signum("__d").alias("__s"), "__nd"
+    )
+    w2 = Window.orderBy("day")
+    runs = signs.select(
+        "__s",
+        "__nd",
+        (
+            F.lag("__s").over(w2).isNull()
+            | (F.lag("__s").over(w2) != F.col("__s"))
+        )
+        .cast("long")
+        .alias("__new_run"),
+    )
+    agg = runs.agg(
+        F.max("__nd").alias("n_days"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("__s") > 0).cast("long")).alias("np"),
+        F.sum((F.col("__s") < 0).cast("long")).alias("nm"),
+        F.sum("__new_run").alias("r"),
+    )
+    n = F.col("n").cast("double")
+    mu = 2.0 * F.col("np") * F.col("nm") / n + 1
+    var = F.when(n > 1, (mu - 1) * (mu - 2) / (n - 1))
+    z = F.when(
+        (F.col("np") > 0) & (F.col("nm") > 0) & (var > 0),
+        (F.col("r") - mu) / F.sqrt(var),
+    )
+    staged = agg.withColumn("__mu", mu).withColumn("__z", z)
+    p = F.when(
+        F.col("__z").isNotNull(),
+        F.least(
+            F.greatest(
+                _two_sided_normal_p(F.abs(F.col("__z"))), F.lit(0.0)
+            ),
+            F.lit(1.0),
+        ),
+    )
+    return staged.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n").cast("long").alias("n_changes"),
+        F.col("r").cast("long").alias("n_runs"),
+        F.round("__mu", 6).alias("mu"),
+        F.round("__z", 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
     )

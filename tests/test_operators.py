@@ -6472,3 +6472,44 @@ def test_ljung_box_and_retention_fit_semantics(spark):
     ).select("user_id", F.to_timestamp("ts").alias("ts"))
     f2 = ev_ops.retention_decay_fit(flat, period_days=7).first()
     assert f2["halflife_periods"] is None  # slope 0: nothing decays
+
+
+def test_mcnemar_and_runs_semantics(spark):
+    """McNemar: textbook discordant counts and the
+    continuity-corrected chi2; identical classifiers -> NULL chi2.
+    Runs test: a strictly alternating series has the maximum run
+    count and a large positive z; a monotone series has one sign ->
+    NULL z; zero changes are dropped."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    # 20 pairs: 10 both right, 2 both wrong, 6 a-only, 2 b-only
+    rows = [(1, 1)] * 10 + [(0, 0)] * 2 + [(1, 0)] * 6 + [(0, 1)] * 2
+    df = spark.createDataFrame(rows, "a int, b int")
+    m = stats.mcnemar_test(df, "a", "b").first()
+    assert (m["both_right"], m["both_wrong"], m["a_only"], m["b_only"]) == (
+        10, 2, 6, 2,
+    )
+    assert m["chi2"] == round((abs(6 - 2) - 1) ** 2 / 8.0, 6)
+    raw = stats.mcnemar_test(df, "a", "b", continuity=False).first()
+    assert raw["chi2"] == 2.0
+
+    same = spark.createDataFrame([(1, 1), (0, 0)], "a int, b int")
+    s0 = stats.mcnemar_test(same, "a", "b").first()
+    assert s0["chi2"] is None and s0["p_value"] is None
+
+    alt = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", 10.0 + (d % 2)) for d in range(1, 22)],
+        "ts string, v double",
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    r = stats.runs_test_daily(alt, "ts", "v").first()
+    assert r["n_changes"] == 20 and r["n_runs"] == 20  # pure alternation
+    assert r["z"] > 3  # way more runs than chance
+
+    mono = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", float(d)) for d in range(1, 11)],
+        "ts string, v double",
+    ).select(F.to_timestamp("ts").alias("ts"), "v")
+    rm = stats.runs_test_daily(mono, "ts", "v").first()
+    assert rm["n_runs"] == 1 and rm["z"] is None and rm["p_value"] is None

@@ -5661,6 +5661,20 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_runs_daily"] = stats_runs_daily
 
+    def stats_granger_daily(spark, sf):
+        """Lag-1 Granger-style predictive screen (operators/stats.py
+        granger_daily): does yesterday's event VOLUME predict today's
+        VALUE beyond yesterday's value?  Incremental-R2 F-test between
+        the nested closed-form fits over the |days| rollup; Paulson F
+        tail."""
+        from plda_spark.operators import stats
+
+        return stats.granger_daily(
+            load_table(spark, sf, "events"), "ts", "value"
+        )
+
+    q["stats_granger_daily"] = stats_granger_daily
+
     return q
 
 
@@ -12263,6 +12277,87 @@ SELECT (SELECT CAST(n_days AS BIGINT) FROM nd) AS n_days,
 FROM ph
 """
 
+    # Same calendar lag pairing, same centered-sum Cramer fits, same
+    # nested-SSE F, same Paulson tail.
+    o["stats_granger_daily"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, sum(value) AS y,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+), pairs AS (
+  SELECT a.y, b.y AS x1, b.c AS x2
+  FROM daily a JOIN daily b ON a.d = b.d + to_days(1)
+), agg AS (
+  SELECT count(*) AS n, sum(x1) AS s1, sum(x2) AS s2, sum(y) AS sy,
+         sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x1*x2) AS s12,
+         sum(x1*y) AS s1y, sum(x2*y) AS s2y, sum(y*y) AS syy
+  FROM pairs
+), c AS (
+  SELECT n,
+         s11 - s1*s1/CAST(n AS DOUBLE) AS cxx1,
+         s22 - s2*s2/CAST(n AS DOUBLE) AS cxx2,
+         s12 - s1*s2/CAST(n AS DOUBLE) AS cx12,
+         s1y - s1*sy/CAST(n AS DOUBLE) AS cx1y,
+         s2y - s2*sy/CAST(n AS DOUBLE) AS cx2y,
+         syy - sy*sy/CAST(n AS DOUBLE) AS cyy
+  FROM agg
+), f0 AS (
+  SELECT n, cxx1, cx1y, cyy,
+         cxx1*cxx2 - cx12*cx12 AS det,
+         cx1y, cx2y, cx12, cxx2
+  FROM c
+), b AS (
+  SELECT n,
+         CASE WHEN n > 3 AND det > 0
+              THEN (cx1y*cxx2 - cx2y*cx12)/det END AS b1,
+         CASE WHEN n > 3 AND det > 0
+              THEN (cx2y*cxx1 - cx1y*cx12)/det END AS b2,
+         cx1y, cx2y, cyy, cxx1
+  FROM f0
+), sse AS (
+  SELECT n, b1, b2,
+         greatest(cyy - b1*cx1y - b2*cx2y,
+                  1e-12*greatest(cyy, 0.0)) AS sseu,
+         CASE WHEN cxx1 > 0 THEN cyy - (cx1y/cxx1)*cx1y END AS sser
+  FROM b
+), fv AS (
+  SELECT n, b1, b2,
+         CASE WHEN sseu > 0
+              THEN greatest((sser - sseu)/(sseu/(CAST(n AS DOUBLE) - 3)),
+                            0.0)
+         END AS f
+  FROM sse
+), zc AS (
+  SELECT n, b1, b2, f,
+         ((1.0 - 2.0/(9.0*(CAST(n AS DOUBLE) - 3)))*pow(f, 1.0/3.0)
+          - (1.0 - 2.0/9.0))
+         / sqrt(2.0/9.0 + pow(f, 2.0/3.0)*2.0/(9.0*(CAST(n AS DOUBLE) - 3)))
+           AS z
+  FROM fv
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zc),
+pp AS (
+  SELECT n, b1, b2, f,
+         CASE WHEN f IS NOT NULL THEN
+           least(greatest(CASE WHEN z >= 0 THEN
+             (2.0*(exp(-z*z/2.0)/2.5066282746310002)
+               *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+                  + tt*(-1.821255978 + tt*1.330274429))))))/2.0
+           ELSE 1.0 - (2.0*(exp(-z*z/2.0)/2.5066282746310002)
+               *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+                  + tt*(-1.821255978 + tt*1.330274429))))))/2.0
+           END, 0.0), 1.0) END AS p
+  FROM ph
+)
+SELECT CAST(n AS BIGINT) AS n_pairs,
+       round(b1, 6) AS b_lag_value,
+       round(b2, 6) AS b_lag_count,
+       round(f, 6) AS f_stat,
+       CAST(n - 3 AS BIGINT) AS dof2,
+       round(p, 6) AS p_value,
+       p < 0.05 AS predictive
+FROM pp
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12665,6 +12760,7 @@ EXTRA_QUERIES: list[str] = [
     "stream_ab_srm",
     "stats_mcnemar",
     "stats_runs_daily",
+    "stats_granger_daily",
 ]
 
 

@@ -405,6 +405,8 @@ BENCH_QUERIES = [
     "stats_mcnemar",
     # Wald-Wolfowitz runs test on daily change signs
     "stats_runs_daily",
+    # lag-1 Granger-style predictive screen (nested closed-form fits)
+    "stats_granger_daily",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

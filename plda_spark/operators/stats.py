@@ -95,6 +95,7 @@ __all__ = [
     "ljung_box",
     "mcnemar_test",
     "runs_test_daily",
+    "granger_daily",
     "xi_correlation_daily",
     "capture_recapture",
 ]
@@ -4697,4 +4698,117 @@ def runs_test_daily(
         F.round("__mu", 6).alias("mu"),
         F.round("__z", 6).alias("z"),
         F.round(p, 6).alias("p_value"),
+    )
+
+
+def granger_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Lag-1 Granger-style predictive screen (Granger 1969) between
+    the two daily series one event log carries — VALUE (daily sum)
+    and VOLUME (daily count): does yesterday's volume predict today's
+    value BEYOND what yesterday's value already predicts?  The
+    incremental-R² F-test between the restricted regression
+    ``y_t ~ y_{t−1}`` and the unrestricted ``y_t ~ y_{t−1} + c_{t−1}``
+    — the leading-indicator probe behind "is traffic a leading signal
+    for revenue".
+
+    Lags pair on CALENDAR arithmetic (the :func:`acf_daily`
+    convention — a gap drops its pair instead of misaligning).  Both
+    fits are closed-form on centered sums (2×2 Cramer); F =
+    ``(SSE_r − SSE_u)/(SSE_u/(n−3))`` with p through the shared
+    Paulson tail.  Returns ONE row ``(n_pairs, b_lag_value,
+    b_lag_count, f_stat, dof2, p_value, predictive)`` rounded to 6 —
+    NULL stats on a degenerate design (collinear or constant lags,
+    n ≤ 3).
+
+    Scale shape: the |days|-rollup family — ONE daily aggregation,
+    one calendar self-join over |days| rows, ONE 9-sum aggregation;
+    everything after is scalar arithmetic on a 1-row frame.  This is
+    a SCREEN, not causal inference — the docids say "Granger-style"
+    for the standard reason."""
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(
+            F.sum(F.col(value_col).cast("double")).alias("y"),
+            F.count(F.lit(1)).cast("double").alias("c"),
+        )
+    )
+    prev = daily.select(
+        F.date_add("d", 1).alias("d"),
+        F.col("y").alias("x1"),
+        F.col("c").alias("x2"),
+    )
+    pairs = daily.join(prev, "d")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x1").alias("s1"),
+        F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cxx1 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    cxx2 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    cx12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    cx1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    cx2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    det = cxx1 * cxx2 - cx12 * cx12
+    b1 = F.when((n > 3) & (det > 0), (cx1y * cxx2 - cx2y * cx12) / det)
+    b2 = F.when((n > 3) & (det > 0), (cx2y * cxx1 - cx1y * cx12) / det)
+    staged = agg.select(
+        "n",
+        b1.alias("__b1"),
+        b2.alias("__b2"),
+        # floor SSE_u at a relative epsilon: an EXACT fit (SSE_u = 0,
+        # the most predictive case) must yield a huge F, not a
+        # divide-guard NULL; a constant y (cyy = 0) stays NULL
+        F.greatest(
+            cyy - b1 * cx1y - b2 * cx2y,
+            F.lit(1e-12) * F.greatest(cyy, F.lit(0.0)),
+        ).alias("__sseu"),
+        F.when(cxx1 > 0, cyy - (cx1y / cxx1) * cx1y).alias("__sser"),
+    )
+    fv = F.when(
+        F.col("__sseu") > 0,
+        F.greatest(
+            (F.col("__sser") - F.col("__sseu"))
+            / (F.col("__sseu") / (F.col("n").cast("double") - 3)),
+            F.lit(0.0),
+        ),
+    )
+    staged2 = staged.withColumn("__f", fv)
+    p = F.when(
+        F.col("__f").isNotNull(),
+        F.least(
+            F.greatest(
+                _f_upper_p(
+                    F.col("__f"),
+                    F.lit(1.0),
+                    F.col("n").cast("double") - 3,
+                ),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ),
+    )
+    staged3 = staged2.withColumn("__p", p)
+    return staged3.select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round("__b1", 6).alias("b_lag_value"),
+        F.round("__b2", 6).alias("b_lag_count"),
+        F.round("__f", 6).alias("f_stat"),
+        (F.col("n") - 3).cast("long").alias("dof2"),
+        F.round("__p", 6).alias("p_value"),
+        (F.col("__p") < 0.05).alias("predictive"),
     )

@@ -6513,3 +6513,40 @@ def test_mcnemar_and_runs_semantics(spark):
     ).select(F.to_timestamp("ts").alias("ts"), "v")
     rm = stats.runs_test_daily(mono, "ts", "v").first()
     assert rm["n_runs"] == 1 and rm["z"] is None and rm["p_value"] is None
+
+
+def test_granger_daily_semantics(spark):
+    """A series where value_t is literally driven by count_{t-1}
+    (and NOT by its own lag) must flag the count as predictive; pure
+    AR(1) value with constant counts must NOT (NULL stats on the
+    collinear/constant design)."""
+    rows = []
+    import random as _r
+    counts = [10, 30, 20, 50, 40, 60, 15, 35, 25, 45, 55, 65,
+              12, 32, 22, 52, 42, 62, 18, 38]
+    # value_t = 2 * count_{t-1}: build events so daily sum(value)
+    # follows yesterday's count exactly
+    for d in range(1, 21):
+        c = counts[d - 1]
+        target = 2.0 * counts[d - 2] if d > 1 else 100.0
+        for i in range(c):
+            rows.append(
+                (f"2024-01-{d:02d} 00:00:00", target / c)
+            )
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    from plda_spark.operators import stats
+
+    g = stats.granger_daily(df, "ts", "value").first()
+    assert g["n_pairs"] == 19
+    assert g["predictive"] is True and g["p_value"] < 0.01
+    assert abs(g["b_lag_count"] - 2.0) < 0.2
+
+    const = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", 5.0) for d in range(1, 11)],
+        "ts string, value double",
+    ).select(F.to_timestamp("ts").alias("ts"), "value")
+    gc = stats.granger_daily(const, "ts", "value").first()
+    # constant value AND constant count: degenerate design -> NULLs
+    assert gc["b_lag_count"] is None and gc["f_stat"] is None

@@ -5675,6 +5675,33 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_granger_daily"] = stats_granger_daily
 
+    def stats_pacf_daily(spark, sf):
+        """Partial autocorrelations at lags 1-3 via unrolled
+        Durbin-Levinson (operators/stats.py pacf_daily) over
+        acf_daily's published estimates — the AR-order picker
+        completing the Box-Jenkins identification triad.  Corpus →
+        |days| rollup → 3-row pivot + scalar recursion."""
+        from plda_spark.operators import stats
+
+        return stats.pacf_daily(
+            load_table(spark, sf, "events"), "ts", "value"
+        )
+
+    q["stats_pacf_daily"] = stats_pacf_daily
+
+    def text_burstiness(spark, sf):
+        """Church-Gale term burstiness (operators/text.py
+        term_burstiness): VMR with zero-docs included via moment
+        identities + the P(2+|1+) adaptation rate for the top-20
+        terms.  One explode + one term aggregation + bounded top-k."""
+        from plda_spark.operators import text
+
+        return text.term_burstiness(
+            load_table(spark, sf, "documents"), top_k=20
+        )
+
+    q["text_burstiness"] = text_burstiness
+
     return q
 
 
@@ -12358,6 +12385,78 @@ SELECT CAST(n AS BIGINT) AS n_pairs,
 FROM pp
 """
 
+    # Same acf consumption at published rounding, same unrolled
+    # Durbin-Levinson levels.
+    o["stats_pacf_daily"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, avg(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT max(m) AS m, sum((v - m)*(v - m)) AS ss FROM (
+    SELECT v, avg(v) OVER () AS m FROM daily
+  )
+), lagged AS (
+  SELECT d + to_days(CAST(lag AS INTEGER)) AS d, lag, v AS v_lag
+  FROM daily CROSS JOIN (SELECT unnest(range(1, 4)) AS lag)
+), pairs AS (
+  SELECT lagged.lag, daily.v, lagged.v_lag
+  FROM daily JOIN lagged USING (d)
+), acfs AS (
+  SELECT lag,
+         round(CASE WHEN max(ss) > 0
+                    THEN sum((v - max_m)*(v_lag - max_m))/max(ss)
+                    ELSE 0.0 END, 6) AS acf
+  FROM (SELECT pairs.*, mom.m AS max_m, mom.ss FROM pairs CROSS JOIN mom)
+  GROUP BY lag
+), piv AS (
+  SELECT max(CASE WHEN lag = 1 THEN acf END) AS r1,
+         max(CASE WHEN lag = 2 THEN acf END) AS r2,
+         max(CASE WHEN lag = 3 THEN acf END) AS r3
+  FROM acfs
+), dl AS (
+  SELECT r1, r2, r3,
+         r1 AS p1,
+         CASE WHEN 1 - r1*r1 <> 0
+              THEN (r2 - r1*r1)/(1 - r1*r1) END AS p2
+  FROM piv
+), dl2 AS (
+  SELECT *, r1*(1 - p2) AS p21 FROM dl
+), dl3 AS (
+  SELECT *,
+         CASE WHEN 1 - p21*r1 - p2*r2 <> 0
+              THEN (r3 - p21*r2 - p2*r1)/(1 - p21*r1 - p2*r2) END AS p3
+  FROM dl2
+)
+SELECT 1 AS lag, r1 AS acf, round(p1, 6) AS pacf FROM dl3
+UNION ALL SELECT 2, r2, round(p2, 6) FROM dl3
+UNION ALL SELECT 3, r3, round(p3, 6) FROM dl3
+"""
+
+    # Same explode/tf cells, same zero-inclusive moment identities,
+    # same (total desc, term asc) top-k.
+    o["text_burstiness"] = f"""
+WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT doc_id, __w, count(*) AS tf FROM (
+    SELECT doc_id, unnest(toks) AS __w FROM t) GROUP BY 1, 2
+), per AS (
+  SELECT __w AS term, sum(tf) AS tot, count(*) AS df,
+         sum(tf*tf) AS tf2,
+         sum(CASE WHEN tf >= 2 THEN 1 ELSE 0 END) AS rep
+  FROM tf GROUP BY 1
+), nd AS (SELECT count(DISTINCT doc_id) AS n FROM documents)
+SELECT term, CAST(tot AS BIGINT) AS total_tf,
+       CAST(df AS BIGINT) AS doc_freq,
+       round(tot/CAST(n AS DOUBLE), 6) AS mean_tf,
+       round(CASE WHEN tot/CAST(n AS DOUBLE) > 0 THEN
+         (tf2/CAST(n AS DOUBLE)
+          - (tot/CAST(n AS DOUBLE))*(tot/CAST(n AS DOUBLE)))
+         / (tot/CAST(n AS DOUBLE)) END, 6) AS vmr,
+       round(rep/CAST(df AS DOUBLE), 6) AS adaptation
+FROM per CROSS JOIN nd
+ORDER BY total_tf DESC, term ASC LIMIT 20
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12761,6 +12860,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_mcnemar",
     "stats_runs_daily",
     "stats_granger_daily",
+    "stats_pacf_daily",
+    "text_burstiness",
 ]
 
 

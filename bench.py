@@ -407,6 +407,10 @@ BENCH_QUERIES = [
     "stats_runs_daily",
     # lag-1 Granger-style predictive screen (nested closed-form fits)
     "stats_granger_daily",
+    # Durbin-Levinson PACF triad completion
+    "stats_pacf_daily",
+    # Church-Gale term burstiness (VMR + adaptation)
+    "text_burstiness",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -96,6 +96,7 @@ __all__ = [
     "mcnemar_test",
     "runs_test_daily",
     "granger_daily",
+    "pacf_daily",
     "xi_correlation_daily",
     "capture_recapture",
 ]
@@ -4811,4 +4812,78 @@ def granger_daily(
         (F.col("n") - 3).cast("long").alias("dof2"),
         F.round("__p", 6).alias("p_value"),
         (F.col("__p") < 0.05).alias("predictive"),
+    )
+
+
+def pacf_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Partial autocorrelations of the daily series at lags 1–3 via
+    the Durbin-Levinson recursion (Box & Jenkins 1970) — the AR-order
+    picker that completes the identification triad with
+    :func:`acf_daily` (MA signature) and :func:`ljung_box` (joint
+    whiteness): an AR(p) process cuts its PACF off after lag p while
+    its ACF decays.
+
+    Consumes :func:`acf_daily`'s estimates at their published
+    6-decimal rounding (the :func:`ljung_box` convention, so the
+    oracle replays the identical consumption) and unrolls the
+    recursion three levels closed-form:
+    ``φ11 = r1``; ``φ22 = (r2 − r1²)/(1 − r1²)``;
+    ``φ33 = (r3 − φ21 r2 − φ22 r1)/(1 − φ21 r1 − φ22 r2)`` with
+    ``φ21 = φ11(1 − φ22)``.  Returns one row per lag ``(lag, acf,
+    pacf)`` rounded to 6 — NULL pacf where a denominator vanishes
+    (a unit-root-degenerate sample).
+
+    Scale shape: rides :func:`acf_daily` (corpus → |days| rollup),
+    then a 3-row pivot + scalar arithmetic + a 3-row unpivot."""
+    acfs = acf_daily(df, ts_col, value_col, max_lag=3)
+    piv = acfs.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("acf"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p11 = r1
+    d2 = 1 - r1 * r1
+    p22 = F.when(d2 != 0, (r2 - r1 * r1) / d2)
+    p21 = p11 * (1 - p22)
+    d3 = 1 - p21 * r1 - p22 * r2
+    p33 = F.when(d3 != 0, (r3 - p21 * r2 - p22 * r1) / d3)
+    staged = piv.select(
+        "r1",
+        "r2",
+        "r3",
+        p11.alias("__p1"),
+        p22.alias("__p2"),
+        p33.alias("__p3"),
+    )
+    rows = staged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("lag"),
+                    F.col("r1").alias("acf"),
+                    F.col("__p1").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).alias("lag"),
+                    F.col("r2").alias("acf"),
+                    F.col("__p2").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).alias("lag"),
+                    F.col("r3").alias("acf"),
+                    F.col("__p3").alias("pacf"),
+                ),
+            )
+        ).alias("e")
+    )
+    return rows.select(
+        F.col("e.lag").alias("lag"),
+        F.col("e.acf").alias("acf"),
+        F.round("e.pacf", 6).alias("pacf"),
     )

@@ -55,6 +55,7 @@ __all__ = [
     "GOPHER_REQUIRED_WORDS",
     "vocab_coverage",
     "vocab_richness",
+    "term_burstiness",
 ]
 
 # The Gopher rules' required-word check (Rae et al. 2021, "Scaling
@@ -1842,4 +1843,70 @@ def textrank_sentences(
         F.round("score", 6).alias("score"),
         "rank",
         "digest",
+    )
+
+
+def term_burstiness(
+    docs: DataFrame,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term burstiness for the corpus's ``top_k`` most frequent terms
+    (Church & Gale 1995, "Poisson mixtures"): content words BURST —
+    once a document uses one, it tends to use it again — while
+    function words scatter Poisson-like.  Two published diagnostics
+    per term:
+
+    - ``vmr`` — variance-to-mean ratio of the per-document term count
+      INCLUDING zero-occurrence documents (1 = Poisson, > 1 = bursty)
+      via the moment identities ``mean = total/N``, ``E[tf²] =
+      Σtf²/N`` (zero docs add nothing to either sum, so they are
+      never materialized);
+    - ``adaptation`` — Church's ``P(2+ | 1+)``: of the documents that
+      use the term at all, the fraction that use it again.
+
+    The topical-vs-functional screen behind stopword-list induction
+    and keyword weighting.  Returns ``(term, total_tf, doc_freq,
+    mean_tf, vmr, adaptation)`` rounded to 6, top_k terms by
+    ``(total_tf desc, term asc)``.
+
+    Scale shape: one explode + one (term) aggregation carrying all
+    four sums (map-side combined), one bounded top-k TakeOrdered, the
+    1-row corpus size broadcast-crossed in.  Nothing survives past
+    |terms| rows."""
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    tf = (
+        docs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(tokens_col(text_col)).alias("__w"),
+        )
+        .groupBy("__id", "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    per_term = tf.groupBy("__w").agg(
+        F.sum("__tf").alias("__tot"),
+        F.count(F.lit(1)).alias("__df"),
+        F.sum(F.col("__tf") * F.col("__tf")).alias("__tf2"),
+        F.sum((F.col("__tf") >= 2).cast("long")).alias("__rep"),
+    )
+    nd = docs.agg(F.countDistinct(id_col).alias("__n"))
+    j = per_term.crossJoin(F.broadcast(nd))
+    n = F.col("__n").cast("double")
+    mean = F.col("__tot") / n
+    var = F.col("__tf2") / n - mean * mean
+    vmr = F.when(mean > 0, var / mean)
+    adapt = F.col("__rep") / F.col("__df").cast("double")
+    return (
+        j.select(
+            F.col("__w").alias("term"),
+            F.col("__tot").cast("long").alias("total_tf"),
+            F.col("__df").cast("long").alias("doc_freq"),
+            F.round(mean, 6).alias("mean_tf"),
+            F.round(vmr, 6).alias("vmr"),
+            F.round(adapt, 6).alias("adaptation"),
+        )
+        .orderBy(F.col("total_tf").desc(), F.col("term").asc())
+        .limit(top_k)
     )

@@ -6550,3 +6550,48 @@ def test_granger_daily_semantics(spark):
     gc = stats.granger_daily(const, "ts", "value").first()
     # constant value AND constant count: degenerate design -> NULLs
     assert gc["b_lag_count"] is None and gc["f_stat"] is None
+
+
+def test_pacf_and_burstiness_semantics(spark):
+    """pacf: an AR(1)-like geometric acf has pacf cutting off after
+    lag 1 (phi22 ~ 0 by the DL identity when r2 = r1^2); burstiness:
+    a bursty term (all occurrences piled in one doc) has high VMR and
+    adaptation 1, a scattered term has VMR <= 1 and adaptation 0."""
+    from plda_spark.operators import stats, text
+
+    # construct a daily series with acf decaying ~geometrically by
+    # checking the DL identity on whatever acf comes out
+    rows = []
+    v = 100.0
+    seq = [100.0]
+    for d in range(2, 41):
+        v = 0.6 * v + 40.0 + (7.0 if d % 5 == 0 else -3.0)
+        seq.append(v)
+    data = [
+        (f"2024-{1 + (d - 1) // 28:02d}-{1 + (d - 1) % 28:02d} 00:00:00", x)
+        for d, x in enumerate(seq, start=1)
+    ]
+    df = spark.createDataFrame(data, "ts string, v double").select(
+        F.to_timestamp("ts").alias("ts"), "v"
+    )
+    got = {r["lag"]: r for r in stats.pacf_daily(df, "ts", "v").collect()}
+    assert got[1]["pacf"] == got[1]["acf"]  # phi11 = r1 identity
+    r1, r2 = got[1]["acf"], got[2]["acf"]
+    expect_p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    assert abs(got[2]["pacf"] - expect_p22) < 1e-5
+
+    docs = spark.createDataFrame(
+        [
+            (1, "bursty bursty bursty bursty filler"),
+            (2, "filler spread"),
+            (3, "filler spread"),
+            (4, "filler spread"),
+        ],
+        "doc_id long, text string",
+    )
+    b = {r["term"]: r for r in text.term_burstiness(docs, top_k=10).collect()}
+    # bursty: tf over 4 docs = [4,0,0,0]: mean 1, E[tf2] 4, var 3, vmr 3
+    assert b["bursty"]["vmr"] == 3.0 and b["bursty"]["adaptation"] == 1.0
+    # filler: [1,1,1,1]: var 0, vmr 0, never repeats
+    assert b["filler"]["vmr"] == 0.0 and b["filler"]["adaptation"] == 0.0
+    assert b["filler"]["doc_freq"] == 4

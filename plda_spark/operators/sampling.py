@@ -879,26 +879,41 @@ def max_coverage_select(
         raise ValueError(f"ngram must be in [1, 5], got {ngram}")
     from plda_spark.operators.text import tokens_col
 
+    # the n-gram fold is the CPU-heavy per-row step; an input narrower
+    # than the cluster (the single-file small-corpus artifact — a real
+    # corpus scan is already many-way) would run it single-task twice
+    # (df aggregation + dt projection), so re-spread ONCE up front
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par)
     t = tokens_col(text_col)
     if ngram == 1:
         units = F.array_distinct(t)
     else:
         # coverage units = word n-grams: a unigram universe saturates
         # on small shared vocabularies; n-grams keep coverage
-        # informative (the shingles convention of operators/dedup.py)
-        idx = F.sequence(F.lit(0), F.size(t) - ngram)
-        grams = F.transform(
-            idx, lambda i: F.array_join(F.slice(t, i + 1, ngram), " ")
-        )
-        units = F.when(F.size(t) >= ngram, F.array_distinct(grams)).otherwise(
+        # informative (the shingles convention of operators/dedup.py).
+        # Built from ngram SHIFTED slices folded with zip_with — O(n)
+        # per document; the per-index slice(t, i+1, n) form is O(n²)
+        # and benched 5x slower on long documents.
+        n_t = F.size(t)
+        width = n_t - (ngram - 1)
+        parts = [F.slice(t, j + 1, width) for j in range(ngram)]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = F.zip_with(acc, p, lambda a, b: F.concat_ws(" ", a, b))
+        units = F.when(n_t >= ngram, F.array_distinct(acc)).otherwise(
             F.array().cast("array<string>")
         )
-    tok = docs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(units).alias("__w"),
-    )
+    # materialize the (id, units) projection ONCE: the tokenize +
+    # n-gram fold is the expensive per-row step and would otherwise
+    # run twice (df aggregation + candidate projection)
+    units_df = docs.select(
+        F.col(id_col).alias("__id"), units.alias("__u")
+    ).localCheckpoint(eager=True)
     vocab_rows = (
-        tok.groupBy("__w")
+        units_df.select(F.explode("__u").alias("__w"))
+        .groupBy("__w")
         .agg(F.count(F.lit(1)).alias("__df"))
         .orderBy(F.col("__df").desc(), F.col("__w").asc())
         .limit(vocab_size)
@@ -908,12 +923,8 @@ def max_coverage_select(
     if not universe:
         raise ValueError("max_coverage_select: empty vocabulary")
     uni_lit = F.array(*[F.lit(w) for w in universe])
-    dt = (
-        docs.select(
-            F.col(id_col).alias("__id"),
-            F.array_intersect(units, uni_lit).alias("__dt"),
-        )
-        .localCheckpoint(eager=True)
+    dt = units_df.select(
+        "__id", F.array_intersect("__u", uni_lit).alias("__dt")
     )
     covered: list = []
     out = []

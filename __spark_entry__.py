@@ -5702,6 +5702,41 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_burstiness"] = text_burstiness
 
+    def stats_effect_size(spark, sf):
+        """Cohen's d / Hedges' g effect size with the large-sample CI
+        (operators/stats.py effect_size) between view and purchase
+        event values — the MAGNITUDE readout next to every
+        significance verdict.  One filtered moment aggregation."""
+        from plda_spark.operators import stats
+
+        return stats.effect_size(
+            load_table(spark, sf, "events"),
+            "event_type",
+            "value",
+            "view",
+            "purchase",
+        )
+
+    q["stats_effect_size"] = stats_effect_size
+
+    def stats_mean_mde(spark, sf):
+        """Minimum detectable mean difference of the live view-vs-
+        purchase comparison (operators/stats.py mean_power_mde — the
+        continuous dual of events_ab_power): the underpowered-test
+        catcher for value metrics.  One filtered moment
+        aggregation."""
+        from plda_spark.operators import stats
+
+        return stats.mean_power_mde(
+            load_table(spark, sf, "events"),
+            "event_type",
+            "value",
+            "view",
+            "purchase",
+        )
+
+    q["stats_mean_mde"] = stats_mean_mde
+
     return q
 
 
@@ -12457,6 +12492,74 @@ FROM per CROSS JOIN nd
 ORDER BY total_tf DESC, term ASC LIMIT 20
 """
 
+    # Same moment pass, same pooled-SD/J-correction/SE identities.
+    o["stats_effect_size"] = """
+WITH agg AS (
+  SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN event_type = 'view' THEN value END) AS sa,
+         sum(CASE WHEN event_type = 'purchase' THEN value END) AS sb,
+         sum(CASE WHEN event_type = 'view' THEN value*value END) AS qa,
+         sum(CASE WHEN event_type = 'purchase' THEN value*value END) AS qb
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+), c AS (
+  SELECT na, nb, sa/na AS ma, sb/nb AS mb,
+         greatest(qa - sa*(sa/na), 0.0) AS ssa,
+         greatest(qb - sb*(sb/nb), 0.0) AS ssb,
+         CAST(na + nb - 2 AS DOUBLE) AS dof
+  FROM agg
+), d0 AS (
+  SELECT na, nb, ma, mb,
+         CASE WHEN dof > 0 THEN sqrt((ssa + ssb)/dof) END AS sp, dof
+  FROM c
+), d1 AS (
+  SELECT *, CASE WHEN sp > 0 THEN (ma - mb)/sp END AS d FROM d0
+), d2 AS (
+  SELECT *,
+         sqrt((na + nb)/(CAST(na AS DOUBLE)*nb)
+              + d*d/(2.0*(na + nb))) AS se_d
+  FROM d1
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(sp, 6) AS pooled_sd,
+       round(d, 6) AS cohens_d,
+       round(d*(1 - 3.0/(4*dof - 1)), 6) AS hedges_g,
+       round(d - 1.959963984540054*se_d, 6) AS d_ci_lo,
+       round(d + 1.959963984540054*se_d, 6) AS d_ci_hi
+FROM d2
+"""
+
+    # Same moments, same Welch-form sizing, same z grid.
+    o["stats_mean_mde"] = """
+WITH agg AS (
+  SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN event_type = 'view' THEN value END) AS sa,
+         sum(CASE WHEN event_type = 'purchase' THEN value END) AS sb,
+         sum(CASE WHEN event_type = 'view' THEN value*value END) AS qa,
+         sum(CASE WHEN event_type = 'purchase' THEN value*value END) AS qb
+  FROM events
+  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+), c AS (
+  SELECT na, nb, sa/na AS ma, sb/nb AS mb,
+         greatest((qa - sa*(sa/na))/(na - 1), 0.0) AS va,
+         greatest((qb - sb*(sb/nb))/(nb - 1), 0.0) AS vb
+  FROM agg
+), s AS (
+  SELECT na, nb, ma, mb, sqrt(va/na + vb/nb) AS se FROM c
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(se, 6) AS se,
+       round((1.959963984540054 + 0.8416212335729143)*se, 6) AS mde_abs,
+       round(CASE WHEN abs(ma) > 0
+                  THEN (1.959963984540054 + 0.8416212335729143)*se/abs(ma)
+             END, 6) AS mde_rel
+FROM s
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12862,6 +12965,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_granger_daily",
     "stats_pacf_daily",
     "text_burstiness",
+    "stats_effect_size",
+    "stats_mean_mde",
 ]
 
 

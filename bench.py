@@ -411,6 +411,10 @@ BENCH_QUERIES = [
     "stats_pacf_daily",
     # Church-Gale term burstiness (VMR + adaptation)
     "text_burstiness",
+    # Cohen's d / Hedges' g effect size with CI
+    "stats_effect_size",
+    # minimum detectable mean difference (continuous MDE dual)
+    "stats_mean_mde",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

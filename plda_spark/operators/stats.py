@@ -97,6 +97,8 @@ __all__ = [
     "runs_test_daily",
     "granger_daily",
     "pacf_daily",
+    "effect_size",
+    "mean_power_mde",
     "xi_correlation_daily",
     "capture_recapture",
 ]
@@ -4886,4 +4888,154 @@ def pacf_daily(
         F.col("e.lag").alias("lag"),
         F.col("e.acf").alias("acf"),
         F.round("e.pacf", 6).alias("pacf"),
+    )
+
+
+def effect_size(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+) -> DataFrame:
+    """Standardized effect size for a two-group mean difference:
+    Cohen's d (1988) on the pooled SD, the small-sample-unbiased
+    Hedges' g (1981, the exact-correction approximation
+    ``J ≈ 1 − 3/(4·dof − 1)``), and d's large-sample 95% CI — the
+    MAGNITUDE readout every :func:`welch_ttest` verdict needs next to
+    it: at corpus n, p < 0.05 is guaranteed for effects far too small
+    to matter, and d is the number that says so (0.2 small / 0.5
+    medium / 0.8 large, Cohen's own anchors).
+
+    Returns ONE row ``(n_a, n_b, mean_a, mean_b, pooled_sd, cohens_d,
+    hedges_g, d_ci_lo, d_ci_hi)`` rounded to 6 — NULL d on zero
+    pooled variance.
+
+    Scale shape: ONE filtered moment aggregation (the
+    :func:`welch_ttest` plan); scalar arithmetic after."""
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    agg = df.where((a | b) & v.isNotNull()).agg(
+        F.sum(a.cast("long")).alias("na"),
+        F.sum(b.cast("long")).alias("nb"),
+        F.sum(F.when(a, v)).alias("sa"),
+        F.sum(F.when(b, v)).alias("sb"),
+        F.sum(F.when(a, v * v)).alias("qa"),
+        F.sum(F.when(b, v * v)).alias("qb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    ssa = F.greatest(F.col("qa") - F.col("sa") * ma, F.lit(0.0))
+    ssb = F.greatest(F.col("qb") - F.col("sb") * mb, F.lit(0.0))
+    dof = na + nb - 2
+    sp = F.when(dof > 0, F.sqrt((ssa + ssb) / dof))
+    d = F.when(sp > 0, (ma - mb) / sp)
+    jf = 1 - 3.0 / (4 * dof - 1)
+    # large-sample SE of d (Hedges & Olkin 1985 eq. 8)
+    se_d = F.sqrt(
+        (na + nb) / (na * nb) + d * d / (2 * (na + nb))
+    )
+    staged = agg.select(
+        "na",
+        "nb",
+        ma.alias("__ma"),
+        mb.alias("__mb"),
+        sp.alias("__sp"),
+        d.alias("__d"),
+        (d * jf).alias("__g"),
+        (d - 1.959963984540054 * se_d).alias("__lo"),
+        (d + 1.959963984540054 * se_d).alias("__hi"),
+    )
+    return staged.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("__ma", 6).alias("mean_a"),
+        F.round("__mb", 6).alias("mean_b"),
+        F.round("__sp", 6).alias("pooled_sd"),
+        F.round("__d", 6).alias("cohens_d"),
+        F.round("__g", 6).alias("hedges_g"),
+        F.round("__lo", 6).alias("d_ci_lo"),
+        F.round("__hi", 6).alias("d_ci_hi"),
+    )
+
+
+def mean_power_mde(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    alpha: float = 0.05,
+    power: float = 0.8,
+) -> DataFrame:
+    """Minimum detectable MEAN difference of the current two-group
+    setup — the continuous-metric dual of :func:`ab_power_mde`:
+    ``MDE = (z_{1−α/2} + z_{power}) · √(s_a²/n_a + s_b²/n_b)`` with
+    the groups' own variances (the Welch-form sizing identity).  A
+    non-significant :func:`welch_ttest` with an MDE far above the
+    shift you care about is an underpowered comparison, not evidence
+    of equality.  α/power come from the replayable z grid
+    (``_Z_ALPHA`` / ``_Z_POWER`` — a general inverse Φ is not
+    engine-replayable arithmetic).
+
+    Returns ONE row ``(n_a, n_b, mean_a, mean_b, se, mde_abs,
+    mde_rel)`` rounded to 6 — ``mde_rel`` is relative to |mean_a| and
+    NULL when that is 0.
+
+    Scale shape: ONE filtered moment aggregation; scalar arithmetic
+    after."""
+    if alpha not in _Z_ALPHA:
+        raise ValueError(
+            f"alpha must be one of {sorted(_Z_ALPHA)}, got {alpha}"
+        )
+    if power not in _Z_POWER:
+        raise ValueError(
+            f"power must be one of {sorted(_Z_POWER)}, got {power}"
+        )
+    z = _Z_ALPHA[alpha] + _Z_POWER[power]
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    agg = df.where((a | b) & v.isNotNull()).agg(
+        F.sum(a.cast("long")).alias("na"),
+        F.sum(b.cast("long")).alias("nb"),
+        F.sum(F.when(a, v)).alias("sa"),
+        F.sum(F.when(b, v)).alias("sb"),
+        F.sum(F.when(a, v * v)).alias("qa"),
+        F.sum(F.when(b, v * v)).alias("qb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = F.greatest(
+        F.when(na > 1, (F.col("qa") - F.col("sa") * ma) / (na - 1)),
+        F.lit(0.0),
+    )
+    vb = F.greatest(
+        F.when(nb > 1, (F.col("qb") - F.col("sb") * mb) / (nb - 1)),
+        F.lit(0.0),
+    )
+    se = F.sqrt(va / na + vb / nb)
+    mde = F.lit(z) * se
+    staged = agg.select(
+        "na",
+        "nb",
+        ma.alias("__ma"),
+        mb.alias("__mb"),
+        se.alias("__se"),
+        mde.alias("__mde"),
+        F.when(F.abs(ma) > 0, mde / F.abs(ma)).alias("__rel"),
+    )
+    return staged.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("__ma", 6).alias("mean_a"),
+        F.round("__mb", 6).alias("mean_b"),
+        F.round("__se", 6).alias("se"),
+        F.round("__mde", 6).alias("mde_abs"),
+        F.round("__rel", 6).alias("mde_rel"),
     )

@@ -6595,3 +6595,51 @@ def test_pacf_and_burstiness_semantics(spark):
     # filler: [1,1,1,1]: var 0, vmr 0, never repeats
     assert b["filler"]["vmr"] == 0.0 and b["filler"]["adaptation"] == 0.0
     assert b["filler"]["doc_freq"] == 4
+
+
+def test_effect_size_and_mean_mde_semantics(spark):
+    """effect_size: a one-SD mean gap gives d ~ 1 and the textbook J
+    correction; identical groups give d = 0; constant values give
+    NULL d.  mean_mde: the sizing identity reproduces by hand, and
+    the z-grid guard fires."""
+    import math
+
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    # group a: mean 10, sd 2; group b: mean 8, sd 2 -> d = 1.0
+    a_vals = [8.0, 12.0, 10.0, 10.0, 8.0, 12.0, 10.0, 10.0]
+    b_vals = [6.0, 10.0, 8.0, 8.0, 6.0, 10.0, 8.0, 8.0]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.effect_size(df, "g", "v", "a", "b").first()
+    import statistics
+
+    sp = math.sqrt(
+        (sum((x - 10) ** 2 for x in a_vals) + sum((x - 8) ** 2 for x in b_vals))
+        / (len(a_vals) + len(b_vals) - 2)
+    )
+    assert abs(r["cohens_d"] - 2.0 / sp) < 1e-6
+    dof = len(a_vals) + len(b_vals) - 2
+    assert abs(r["hedges_g"] - r["cohens_d"] * (1 - 3 / (4 * dof - 1))) < 1e-5
+    assert r["d_ci_lo"] < r["cohens_d"] < r["d_ci_hi"]
+
+    same = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 1.0), ("b", 3.0)], "g string, v double"
+    )
+    assert stats.effect_size(same, "g", "v", "a", "b").first()["cohens_d"] == 0.0
+
+    const = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("b", 5.0)], "g string, v double"
+    )
+    assert stats.effect_size(const, "g", "v", "a", "b").first()["cohens_d"] is None
+
+    m = stats.mean_power_mde(df, "g", "v", "a", "b").first()
+    va = statistics.variance(a_vals)
+    vb = statistics.variance(b_vals)
+    se = math.sqrt(va / 8 + vb / 8)
+    assert abs(m["se"] - se) < 1e-6
+    assert abs(m["mde_abs"] - (1.959963984540054 + 0.8416212335729143) * se) < 1e-5
+    with _pytest.raises(ValueError, match="alpha"):
+        stats.mean_power_mde(df, "g", "v", "a", "b", alpha=0.03)

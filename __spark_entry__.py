@@ -5737,6 +5737,48 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_mean_mde"] = stats_mean_mde
 
+    def events_cuped(spark, sf):
+        """CUPED variance-reduced A/B verdict (operators/stats.py
+        cuped_ztest — Deng-Xu-Kohavi-Walker 2013): per-user
+        pre-period value (first half of January) adjusts the
+        experiment-period metric, md5 variants, pooled theta — the
+        sensitivity-for-free experimentation readout.  One per-user
+        aggregation + one variant-keyed moment aggregation; scalars
+        after."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").where(
+            F.col("user_id").isNotNull() & F.col("value").isNotNull()
+        )
+        day = F.to_date("ts")
+        per_user = ev.groupBy("user_id").agg(
+            F.sum(
+                F.when(day <= F.lit("2024-01-15"), F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("pre"),
+            F.sum(
+                F.when(day > F.lit("2024-01-15"), F.col("value")).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("post"),
+        )
+        from plda_spark.operators.sampling import hash_bucket
+
+        units = per_user.select(
+            "user_id",
+            "pre",
+            "post",
+            F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+        )
+        return stats.cuped_ztest(
+            units, "user_id", "post", "pre", "variant", "A", "B"
+        )
+
+    q["events_cuped"] = events_cuped
+
     return q
 
 
@@ -11194,6 +11236,93 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM s
 """
 
+    # Same per-user pre/post sums, same md5 assignment, same pooled
+    # theta, same adjusted-moment identities.
+    o["events_cuped"] = """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN value ELSE 0.0 END) AS pre,
+         sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                  THEN value ELSE 0.0 END) AS post
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), units AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS v,
+         pre AS x, post AS y
+  FROM per_user
+), per AS (
+  SELECT v, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+         sum(y*y) AS syy, sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM units GROUP BY 1
+), wide AS (
+  SELECT max(CASE WHEN v = 'A' THEN n END) AS an,
+         max(CASE WHEN v = 'A' THEN sy END) AS asy,
+         max(CASE WHEN v = 'A' THEN sx END) AS asx,
+         max(CASE WHEN v = 'A' THEN syy END) AS asyy,
+         max(CASE WHEN v = 'A' THEN sxx END) AS asxx,
+         max(CASE WHEN v = 'A' THEN sxy END) AS asxy,
+         max(CASE WHEN v = 'B' THEN n END) AS bn,
+         max(CASE WHEN v = 'B' THEN sy END) AS bsy,
+         max(CASE WHEN v = 'B' THEN sx END) AS bsx,
+         max(CASE WHEN v = 'B' THEN syy END) AS bsyy,
+         max(CASE WHEN v = 'B' THEN sxx END) AS bsxx,
+         max(CASE WHEN v = 'B' THEN sxy END) AS bsxy
+  FROM per
+), t AS (
+  SELECT *, CAST(an + bn AS DOUBLE) AS N,
+         asy + bsy AS SY, asx + bsx AS SX, asyy + bsyy AS SYY,
+         asxx + bsxx AS SXX, asxy + bsxy AS SXY
+  FROM wide
+), th AS (
+  SELECT *,
+         CASE WHEN SXX - SX*SX/N > 0
+              THEN (SXY - SX*SY/N)/(SXX - SX*SX/N) ELSE 0.0 END AS theta,
+         SX/N AS xbar
+  FROM t
+), arms AS (
+  SELECT *,
+         (asy - theta*asx)/an AS mra,
+         (bsy - theta*bsx)/bn AS mrb
+  FROM th
+), va AS (
+  SELECT *,
+         greatest((asyy - 2*theta*asxy + theta*theta*asxx
+                   - an*mra*mra)/(an - 1), 0.0) AS vara,
+         greatest((bsyy - 2*theta*bsxy + theta*theta*bsxx
+                   - bn*mrb*mrb)/(bn - 1), 0.0) AS varb,
+         mra + theta*xbar AS ma, mrb + theta*xbar AS mb
+  FROM arms
+), zt AS (
+  SELECT *,
+         CASE WHEN sqrt(vara/an + varb/bn) > 0
+              THEN (ma - mb)/sqrt(vara/an + varb/bn) END AS z,
+         (SY - theta*SX)/N AS mz
+  FROM va
+), vr AS (
+  SELECT *,
+         greatest((SYY - 2*theta*SXY + theta*theta*SXX - N*mz*mz)
+                  /(N - 1), 0.0) AS varz,
+         greatest((SYY - SY*SY/N)/(N - 1), 0.0) AS vary
+  FROM zt
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM vr)
+SELECT CAST(an AS BIGINT) AS n_a, CAST(bn AS BIGINT) AS n_b,
+       round(theta, 6) AS theta,
+       round(ma, 6) AS mean_adj_a, round(mb, 6) AS mean_adj_b,
+       round(ma - mb, 6) AS diff,
+       round(z, 6) AS z,
+       round(CASE WHEN z IS NOT NULL THEN
+         least(greatest(2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))), 0.0), 1.0)
+         END, 6) AS p_value,
+       round(CASE WHEN vary > 0 THEN 1 - varz/vary END, 6)
+         AS var_reduction
+FROM ph
+"""
+
     # Nearest = the closer of the backward/forward ASOF picks,
     # backward winning exact ties (the operator's pandas semantics).
     o["join_asof_nearest"] = """
@@ -12560,6 +12689,93 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
 FROM s
 """
 
+    # Same per-user pre/post sums, same md5 assignment, same pooled
+    # theta, same adjusted-moment identities.
+    o["events_cuped"] = """
+WITH per_user AS (
+  SELECT user_id,
+         sum(CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15'
+                  THEN value ELSE 0.0 END) AS pre,
+         sum(CASE WHEN CAST(ts AS DATE) > DATE '2024-01-15'
+                  THEN value ELSE 0.0 END) AS post
+  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), units AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS v,
+         pre AS x, post AS y
+  FROM per_user
+), per AS (
+  SELECT v, count(*) AS n, sum(y) AS sy, sum(x) AS sx,
+         sum(y*y) AS syy, sum(x*x) AS sxx, sum(x*y) AS sxy
+  FROM units GROUP BY 1
+), wide AS (
+  SELECT max(CASE WHEN v = 'A' THEN n END) AS an,
+         max(CASE WHEN v = 'A' THEN sy END) AS asy,
+         max(CASE WHEN v = 'A' THEN sx END) AS asx,
+         max(CASE WHEN v = 'A' THEN syy END) AS asyy,
+         max(CASE WHEN v = 'A' THEN sxx END) AS asxx,
+         max(CASE WHEN v = 'A' THEN sxy END) AS asxy,
+         max(CASE WHEN v = 'B' THEN n END) AS bn,
+         max(CASE WHEN v = 'B' THEN sy END) AS bsy,
+         max(CASE WHEN v = 'B' THEN sx END) AS bsx,
+         max(CASE WHEN v = 'B' THEN syy END) AS bsyy,
+         max(CASE WHEN v = 'B' THEN sxx END) AS bsxx,
+         max(CASE WHEN v = 'B' THEN sxy END) AS bsxy
+  FROM per
+), t AS (
+  SELECT *, CAST(an + bn AS DOUBLE) AS N,
+         asy + bsy AS SY, asx + bsx AS SX, asyy + bsyy AS SYY,
+         asxx + bsxx AS SXX, asxy + bsxy AS SXY
+  FROM wide
+), th AS (
+  SELECT *,
+         CASE WHEN SXX - SX*SX/N > 0
+              THEN (SXY - SX*SY/N)/(SXX - SX*SX/N) ELSE 0.0 END AS theta,
+         SX/N AS xbar
+  FROM t
+), arms AS (
+  SELECT *,
+         (asy - theta*asx)/an AS mra,
+         (bsy - theta*bsx)/bn AS mrb
+  FROM th
+), va AS (
+  SELECT *,
+         greatest((asyy - 2*theta*asxy + theta*theta*asxx
+                   - an*mra*mra)/(an - 1), 0.0) AS vara,
+         greatest((bsyy - 2*theta*bsxy + theta*theta*bsxx
+                   - bn*mrb*mrb)/(bn - 1), 0.0) AS varb,
+         mra + theta*xbar AS ma, mrb + theta*xbar AS mb
+  FROM arms
+), zt AS (
+  SELECT *,
+         CASE WHEN sqrt(vara/an + varb/bn) > 0
+              THEN (ma - mb)/sqrt(vara/an + varb/bn) END AS z,
+         (SY - theta*SX)/N AS mz
+  FROM va
+), vr AS (
+  SELECT *,
+         greatest((SYY - 2*theta*SXY + theta*theta*SXX - N*mz*mz)
+                  /(N - 1), 0.0) AS varz,
+         greatest((SYY - SY*SY/N)/(N - 1), 0.0) AS vary
+  FROM zt
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM vr)
+SELECT CAST(an AS BIGINT) AS n_a, CAST(bn AS BIGINT) AS n_b,
+       round(theta, 6) AS theta,
+       round(ma, 6) AS mean_adj_a, round(mb, 6) AS mean_adj_b,
+       round(ma - mb, 6) AS diff,
+       round(z, 6) AS z,
+       round(CASE WHEN z IS NOT NULL THEN
+         least(greatest(2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))), 0.0), 1.0)
+         END, 6) AS p_value,
+       round(CASE WHEN vary > 0 THEN 1 - varz/vary END, 6)
+         AS var_reduction
+FROM ph
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -12967,6 +13183,7 @@ EXTRA_QUERIES: list[str] = [
     "text_burstiness",
     "stats_effect_size",
     "stats_mean_mde",
+    "events_cuped",
 ]
 
 

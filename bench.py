@@ -415,6 +415,8 @@ BENCH_QUERIES = [
     "stats_effect_size",
     # minimum detectable mean difference (continuous MDE dual)
     "stats_mean_mde",
+    # CUPED variance-reduced A/B verdict
+    "events_cuped",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -99,6 +99,7 @@ __all__ = [
     "pacf_daily",
     "effect_size",
     "mean_power_mde",
+    "cuped_ztest",
     "xi_correlation_daily",
     "capture_recapture",
 ]
@@ -5038,4 +5039,132 @@ def mean_power_mde(
         F.round("__se", 6).alias("se"),
         F.round("__mde", 6).alias("mde_abs"),
         F.round("__rel", 6).alias("mde_rel"),
+    )
+
+
+def cuped_ztest(
+    df: DataFrame,
+    unit_col: str,
+    metric_col: str,
+    covariate_col: str,
+    variant_col: str,
+    variant_a,
+    variant_b,
+) -> DataFrame:
+    """CUPED variance-reduced A/B test (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): adjust each unit's experiment metric by its
+    PRE-EXPERIMENT covariate — ``y_adj = y − θ(x − x̄)`` with
+    ``θ = cov(x, y)/var(x)`` pooled across arms — then run the
+    two-sample z-test on the adjusted metric.  Pre-period behavior is
+    uncorrelated with assignment, so the adjustment is unbiased and
+    removes exactly the metric variance the covariate explains —
+    routinely 30–60% on revenue-style metrics, i.e. the same
+    sensitivity as 1.4–2.5× more traffic, for one extra aggregation.
+
+    ``df`` is ONE ROW PER UNIT (pre-aggregate first).  NULL metric/
+    covariate/variant rows are dropped.  Returns ONE row ``(n_a, n_b,
+    theta, mean_adj_a, mean_adj_b, diff, z, p_value,
+    var_reduction)`` rounded to 6 — z/p NULL when the adjusted SE is
+    0; θ is 0 (no adjustment) when the covariate is constant, making
+    the operator degrade to the plain z-test instead of erroring.
+
+    Scale shape: ONE variant-keyed moment aggregation (n, Σy, Σx,
+    Σy², Σx², Σxy per arm — map-side combined); the pooled totals are
+    the two arms' sums, so θ, both adjusted means/variances, the
+    z-test, and the variance-reduction readout are all scalar
+    identities on a 2-row frame.  No second pass over the units."""
+    va = F.col(variant_col) == F.lit(variant_a)
+    vb = F.col(variant_col) == F.lit(variant_b)
+    y = F.col(metric_col).cast("double")
+    x = F.col(covariate_col).cast("double")
+    base = df.where(
+        (va | vb) & y.isNotNull() & x.isNotNull()
+    )
+    per = base.groupBy(
+        F.when(va, F.lit("a")).otherwise(F.lit("b")).alias("__g")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(x).alias("sx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    wide = per.groupBy().pivot("__g", ["a", "b"]).agg(
+        F.first("n").alias("n"),
+        F.first("sy").alias("sy"),
+        F.first("sx").alias("sx"),
+        F.first("syy").alias("syy"),
+        F.first("sxx").alias("sxx"),
+        F.first("sxy").alias("sxy"),
+    )
+    na = F.col("a_n").cast("double")
+    nb = F.col("b_n").cast("double")
+    N = na + nb
+    SY = F.col("a_sy") + F.col("b_sy")
+    SX = F.col("a_sx") + F.col("b_sx")
+    SYY = F.col("a_syy") + F.col("b_syy")
+    SXX = F.col("a_sxx") + F.col("b_sxx")
+    SXY = F.col("a_sxy") + F.col("b_sxy")
+    varx = SXX - SX * SX / N
+    theta = F.when(varx > 0, (SXY - SX * SY / N) / varx).otherwise(
+        F.lit(0.0)
+    )
+    xbar = SX / N
+
+    def arm(p):
+        n = F.col(f"{p}_n").cast("double")
+        mean_raw = (F.col(f"{p}_sy") - theta * F.col(f"{p}_sx")) / n
+        mean_adj = mean_raw + theta * xbar
+        ss = (
+            F.col(f"{p}_syy")
+            - 2 * theta * F.col(f"{p}_sxy")
+            + theta * theta * F.col(f"{p}_sxx")
+            - n * mean_raw * mean_raw
+        )
+        var = F.greatest(F.when(n > 1, ss / (n - 1)), F.lit(0.0))
+        return n, mean_adj, var
+
+    n_a, m_a, v_a = arm("a")
+    n_b, m_b, v_b = arm("b")
+    se = F.sqrt(v_a / n_a + v_b / n_b)
+    diff = m_a - m_b
+    z = F.when(se > 0, diff / se)
+    mz = (SY - theta * SX) / N
+    var_z = F.greatest(
+        (SYY - 2 * theta * SXY + theta * theta * SXX - N * mz * mz)
+        / (N - 1),
+        F.lit(0.0),
+    )
+    var_y = F.greatest((SYY - SY * SY / N) / (N - 1), F.lit(0.0))
+    vr = F.when(var_y > 0, 1 - var_z / var_y)
+    staged = wide.select(
+        F.col("a_n").cast("long").alias("n_a"),
+        F.col("b_n").cast("long").alias("n_b"),
+        theta.alias("__theta"),
+        m_a.alias("__ma"),
+        m_b.alias("__mb"),
+        diff.alias("__d"),
+        z.alias("__z"),
+        vr.alias("__vr"),
+    )
+    p = F.when(
+        F.col("__z").isNotNull(),
+        F.least(
+            F.greatest(
+                _two_sided_normal_p(F.abs(F.col("__z"))), F.lit(0.0)
+            ),
+            F.lit(1.0),
+        ),
+    )
+    return staged.select(
+        "n_a",
+        "n_b",
+        F.round("__theta", 6).alias("theta"),
+        F.round("__ma", 6).alias("mean_adj_a"),
+        F.round("__mb", 6).alias("mean_adj_b"),
+        F.round("__d", 6).alias("diff"),
+        F.round("__z", 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+        F.round("__vr", 6).alias("var_reduction"),
     )

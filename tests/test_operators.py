@@ -6643,3 +6643,37 @@ def test_effect_size_and_mean_mde_semantics(spark):
     assert abs(m["mde_abs"] - (1.959963984540054 + 0.8416212335729143) * se) < 1e-5
     with _pytest.raises(ValueError, match="alpha"):
         stats.mean_power_mde(df, "g", "v", "a", "b", alpha=0.03)
+
+
+def test_cuped_semantics(spark):
+    """CUPED with a covariate that explains most of the metric
+    variance: theta recovers the generating slope, the variance
+    reduction is large, and a true treatment effect hidden by
+    covariate noise becomes significant; a constant covariate
+    degrades to the plain z-test with theta 0."""
+    rows = []
+    # y = 2*x + effect(variant) ; x varies a lot, effect is +1 for A
+    xs = [10.0, 20.0, 30.0, 40.0, 50.0, 60.0, 70.0, 80.0]
+    for i, x in enumerate(xs):
+        rows.append((i, x, 2 * x + 1.0 + 0.1 * (i % 3), "A"))
+    for i, x in enumerate(xs):
+        rows.append((100 + i, x, 2 * x + 0.1 * (i % 3), "B"))
+    df = spark.createDataFrame(rows, "u long, x double, y double, v string")
+    from plda_spark.operators import stats
+
+    r = stats.cuped_ztest(df, "u", "y", "x", "v", "A", "B").first()
+    # the small i%3 noise term correlates slightly with x, so theta
+    # lands near-but-not-exactly on the generating slope
+    assert abs(r["theta"] - 2.0) < 1e-2
+    assert r["var_reduction"] > 0.99
+    assert abs(r["diff"] - 1.0) < 1e-2
+    assert r["p_value"] < 0.01  # the plain test would drown in x noise
+
+    const = spark.createDataFrame(
+        [(1, 5.0, 10.0, "A"), (2, 5.0, 12.0, "A"),
+         (3, 5.0, 9.0, "B"), (4, 5.0, 11.0, "B")],
+        "u long, x double, y double, v string",
+    )
+    rc = stats.cuped_ztest(const, "u", "y", "x", "v", "A", "B").first()
+    assert rc["theta"] == 0.0  # degrades to the plain z-test
+    assert rc["var_reduction"] == 0.0

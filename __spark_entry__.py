@@ -5779,6 +5779,36 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["events_cuped"] = events_cuped
 
+    def events_msprt(spark, sf):
+        """Always-valid mSPRT verdict (operators/stats.py
+        msprt_always_valid — Johari et al. KDD 2017): the
+        peeking-safe p-value for the view-vs-click value comparison
+        at tau=5.  One filtered moment aggregation; read it per
+        micro-batch and the guarantee holds — that is the point."""
+        from plda_spark.operators import stats
+
+        return stats.msprt_always_valid(
+            load_table(spark, sf, "events"),
+            "event_type",
+            "value",
+            "view",
+            "click",
+            tau=5.0,
+        )
+
+    q["events_msprt"] = events_msprt
+
+    def text_yule_k(spark, sf):
+        """Yule's characteristic K per source (operators/text.py
+        yule_k — the length-robust vocabulary-repetitiveness constant
+        behind template-spam screening).  One explode + one
+        (source, term) aggregation + one per-source rollup."""
+        from plda_spark.operators import text
+
+        return text.yule_k(load_table(spark, sf, "documents"))
+
+    q["text_yule_k"] = text_yule_k
+
     return q
 
 
@@ -11323,6 +11353,59 @@ SELECT CAST(an AS BIGINT) AS n_a, CAST(bn AS BIGINT) AS n_b,
 FROM ph
 """
 
+    # Same Welch-form V, same mixture-likelihood closed form.
+    o["events_msprt"] = """
+WITH agg AS (
+  SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN event_type = 'view' THEN value END) AS sa,
+         sum(CASE WHEN event_type = 'click' THEN value END) AS sb,
+         sum(CASE WHEN event_type = 'view' THEN value*value END) AS qa,
+         sum(CASE WHEN event_type = 'click' THEN value*value END) AS qb
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+), c AS (
+  SELECT na, nb, sa/na AS ma, sb/nb AS mb,
+         greatest((qa - sa*(sa/na))/(na - 1), 0.0) AS va,
+         greatest((qb - sb*(sb/nb))/(nb - 1), 0.0) AS vb
+  FROM agg
+), v AS (
+  SELECT na, nb, ma - mb AS d, va/na + vb/nb AS V FROM c
+), l AS (
+  SELECT na, nb, d, V,
+         CASE WHEN V > 0
+              THEN sqrt(V/(V + 25.0))
+                   * exp(d*d*25.0/(2.0*V*(V + 25.0))) END AS lam
+  FROM v
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(d, 6) AS diff, round(sqrt(V), 6) AS se,
+       round(lam, 6) AS lambda,
+       round(CASE WHEN lam IS NOT NULL
+                  THEN least(1.0/lam, 1.0) END, 6) AS p_always_valid,
+       CASE WHEN lam IS NOT NULL
+            THEN least(1.0/lam, 1.0) < 0.05 END AS reject_05
+FROM l
+"""
+
+    # Same pooled (source, term) counts, same sum-tf^2 identity.
+    o["text_yule_k"] = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT source AS g, __w, count(*) AS tf FROM (
+    SELECT source, unnest(toks) AS __w FROM t) GROUP BY 1, 2
+), agg AS (
+  SELECT g, sum(tf) AS n, count(*) AS types, sum(tf*tf) AS s2
+  FROM tf GROUP BY 1
+)
+SELECT g AS "group", CAST(n AS BIGINT) AS n_tokens,
+       CAST(types AS BIGINT) AS n_types,
+       round(CASE WHEN n > 1
+                  THEN 1e4*(s2 - CAST(n AS DOUBLE))
+                       /(CAST(n AS DOUBLE)*n) END, 6) AS yule_k
+FROM agg
+"""
+
     # Nearest = the closer of the backward/forward ASOF picks,
     # backward winning exact ties (the operator's pandas semantics).
     o["join_asof_nearest"] = """
@@ -12776,6 +12859,59 @@ SELECT CAST(an AS BIGINT) AS n_a, CAST(bn AS BIGINT) AS n_b,
 FROM ph
 """
 
+    # Same Welch-form V, same mixture-likelihood closed form.
+    o["events_msprt"] = """
+WITH agg AS (
+  SELECT sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS na,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN event_type = 'view' THEN value END) AS sa,
+         sum(CASE WHEN event_type = 'click' THEN value END) AS sb,
+         sum(CASE WHEN event_type = 'view' THEN value*value END) AS qa,
+         sum(CASE WHEN event_type = 'click' THEN value*value END) AS qb
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+), c AS (
+  SELECT na, nb, sa/na AS ma, sb/nb AS mb,
+         greatest((qa - sa*(sa/na))/(na - 1), 0.0) AS va,
+         greatest((qb - sb*(sb/nb))/(nb - 1), 0.0) AS vb
+  FROM agg
+), v AS (
+  SELECT na, nb, ma - mb AS d, va/na + vb/nb AS V FROM c
+), l AS (
+  SELECT na, nb, d, V,
+         CASE WHEN V > 0
+              THEN sqrt(V/(V + 25.0))
+                   * exp(d*d*25.0/(2.0*V*(V + 25.0))) END AS lam
+  FROM v
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       round(d, 6) AS diff, round(sqrt(V), 6) AS se,
+       round(lam, 6) AS lambda,
+       round(CASE WHEN lam IS NOT NULL
+                  THEN least(1.0/lam, 1.0) END, 6) AS p_always_valid,
+       CASE WHEN lam IS NOT NULL
+            THEN least(1.0/lam, 1.0) < 0.05 END AS reject_05
+FROM l
+"""
+
+    # Same pooled (source, term) counts, same sum-tf^2 identity.
+    o["text_yule_k"] = f"""
+WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+tf AS (
+  SELECT source AS g, __w, count(*) AS tf FROM (
+    SELECT source, unnest(toks) AS __w FROM t) GROUP BY 1, 2
+), agg AS (
+  SELECT g, sum(tf) AS n, count(*) AS types, sum(tf*tf) AS s2
+  FROM tf GROUP BY 1
+)
+SELECT g AS "group", CAST(n AS BIGINT) AS n_tokens,
+       CAST(types AS BIGINT) AS n_types,
+       round(CASE WHEN n > 1
+                  THEN 1e4*(s2 - CAST(n AS DOUBLE))
+                       /(CAST(n AS DOUBLE)*n) END, 6) AS yule_k
+FROM agg
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -13184,6 +13320,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_effect_size",
     "stats_mean_mde",
     "events_cuped",
+    "events_msprt",
+    "text_yule_k",
 ]
 
 

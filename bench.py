@@ -417,6 +417,10 @@ BENCH_QUERIES = [
     "stats_mean_mde",
     # CUPED variance-reduced A/B verdict
     "events_cuped",
+    # always-valid mSPRT peeking-safe verdict
+    "events_msprt",
+    # Yule's K repetitiveness constant per source
+    "text_yule_k",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -100,6 +100,7 @@ __all__ = [
     "effect_size",
     "mean_power_mde",
     "cuped_ztest",
+    "msprt_always_valid",
     "xi_correlation_daily",
     "capture_recapture",
 ]
@@ -5167,4 +5168,89 @@ def cuped_ztest(
         F.round("__z", 6).alias("z"),
         F.round(p, 6).alias("p_value"),
         F.round("__vr", 6).alias("var_reduction"),
+    )
+
+
+def msprt_always_valid(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    tau: float = 1.0,
+) -> DataFrame:
+    """Mixture sequential probability ratio test (mSPRT) for a
+    two-group mean difference — the ALWAYS-VALID p-value of Johari,
+    Koomen, Pekelis & Walsh (KDD 2017): unlike the fixed-horizon
+    z-test, this p may be read at ANY time, as often as wanted,
+    without inflating false positives — the math behind "peeking is
+    safe" continuous experimentation dashboards.
+
+    With observed difference ``d``, its estimated variance
+    ``V = s_a²/n_a + s_b²/n_b`` (the Welch form), and the normal
+    mixture prior N(0, τ²) on the effect:
+
+        ``Λ = √(V/(V+τ²)) · exp(d²·τ² / (2V(V+τ²)))``,
+        ``p_always_valid = min(1, 1/Λ)``.
+
+    ``tau`` is the prior SD of effects worth detecting — match it to
+    the metric's scale (too small ⇒ slow detection; too large ⇒
+    conservative early).  Returns ONE row ``(n_a, n_b, diff, se,
+    lambda, p_always_valid, reject_05)`` rounded to 6 — NULL verdict
+    when V = 0 (constant data).
+
+    Scale shape: ONE filtered moment aggregation (the welch_ttest
+    plan); scalar arithmetic after.  Reading it per micro-batch over
+    a streaming ledger keeps the always-valid guarantee — that is the
+    point."""
+    if tau <= 0:
+        raise ValueError(f"tau must be > 0, got {tau}")
+    a = F.col(group_col) == F.lit(group_a)
+    b = F.col(group_col) == F.lit(group_b)
+    v = F.col(value_col).cast("double")
+    agg = df.where((a | b) & v.isNotNull()).agg(
+        F.sum(a.cast("long")).alias("na"),
+        F.sum(b.cast("long")).alias("nb"),
+        F.sum(F.when(a, v)).alias("sa"),
+        F.sum(F.when(b, v)).alias("sb"),
+        F.sum(F.when(a, v * v)).alias("qa"),
+        F.sum(F.when(b, v * v)).alias("qb"),
+    )
+    na = F.col("na").cast("double")
+    nb = F.col("nb").cast("double")
+    ma = F.col("sa") / na
+    mb = F.col("sb") / nb
+    va = F.greatest(
+        F.when(na > 1, (F.col("qa") - F.col("sa") * ma) / (na - 1)),
+        F.lit(0.0),
+    )
+    vb = F.greatest(
+        F.when(nb > 1, (F.col("qb") - F.col("sb") * mb) / (nb - 1)),
+        F.lit(0.0),
+    )
+    V = va / na + vb / nb
+    d = ma - mb
+    t2 = tau * tau
+    lam = F.when(
+        V > 0,
+        F.sqrt(V / (V + t2))
+        * F.exp(d * d * t2 / (2 * V * (V + t2))),
+    )
+    p = F.when(lam.isNotNull(), F.least(F.lit(1.0) / lam, F.lit(1.0)))
+    staged = agg.select(
+        "na",
+        "nb",
+        d.alias("__d"),
+        F.sqrt(V).alias("__se"),
+        lam.alias("__lam"),
+        p.alias("__p"),
+    )
+    return staged.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round("__d", 6).alias("diff"),
+        F.round("__se", 6).alias("se"),
+        F.round("__lam", 6).alias("lambda"),
+        F.round("__p", 6).alias("p_always_valid"),
+        (F.col("__p") < 0.05).alias("reject_05"),
     )

@@ -56,6 +56,7 @@ __all__ = [
     "vocab_coverage",
     "vocab_richness",
     "term_burstiness",
+    "yule_k",
 ]
 
 # The Gopher rules' required-word check (Rae et al. 2021, "Scaling
@@ -1909,4 +1910,54 @@ def term_burstiness(
         )
         .orderBy(F.col("total_tf").desc(), F.col("term").asc())
         .limit(top_k)
+    )
+
+
+def yule_k(
+    docs: DataFrame,
+    group_col: str | None = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Yule's characteristic K (Yule 1944, "The Statistical Study of
+    Literary Vocabulary") per group: ``K = 10⁴·(Σ_t tf_t² − N)/N²``
+    over the group's pooled term frequencies — the classic
+    length-robust repetitiveness constant (higher = more repetitive
+    vocabulary) used for authorship/register profiling and, in a
+    crawl pipeline, for spotting sources whose "documents" are
+    template spam.  Complements :func:`vocab_richness` (which counts
+    types) by weighting HOW unevenly tokens repeat.
+
+    ``group_col=None`` scores the whole corpus as one row.  Returns
+    ``(group, n_tokens, n_types, yule_k)`` rounded to 6 — NULL K for
+    a group with a single token.
+
+    Scale shape: one explode + one (group, term) count aggregation
+    (map-side combined) + one per-group rollup — |groups| rows
+    survive; the Σtf² identity means the frequency SPECTRUM is never
+    materialized."""
+    g = (
+        F.col(group_col).alias("__g")
+        if group_col is not None
+        else F.lit("corpus").alias("__g")
+    )
+    tf = (
+        docs.select(g, F.explode(tokens_col(text_col)).alias("__w"))
+        .groupBy("__g", "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    agg = tf.groupBy("__g").agg(
+        F.sum("__tf").alias("__n"),
+        F.count(F.lit(1)).alias("__types"),
+        F.sum(F.col("__tf") * F.col("__tf")).alias("__s2"),
+    )
+    n = F.col("__n").cast("double")
+    k = F.when(
+        F.col("__n") > 1,
+        F.lit(1e4) * (F.col("__s2") - n) / (n * n),
+    )
+    return agg.select(
+        F.col("__g").alias("group"),
+        F.col("__n").cast("long").alias("n_tokens"),
+        F.col("__types").cast("long").alias("n_types"),
+        F.round(k, 6).alias("yule_k"),
     )

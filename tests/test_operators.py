@@ -6677,3 +6677,47 @@ def test_cuped_semantics(spark):
     rc = stats.cuped_ztest(const, "u", "y", "x", "v", "A", "B").first()
     assert rc["theta"] == 0.0  # degrades to the plain z-test
     assert rc["var_reduction"] == 0.0
+
+
+def test_msprt_and_yule_semantics(spark):
+    """mSPRT: under H0 (identical groups) lambda < 1 so the
+    always-valid p clamps to 1; a huge standardized difference drives
+    p toward 0; tau guard fires.  Yule's K: a maximally repetitive
+    text (one token repeated) approaches 10^4; an all-distinct text
+    gives K = 0."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats, text
+
+    same = spark.createDataFrame(
+        [("a", float(v)) for v in range(50)]
+        + [("b", float(v)) for v in range(50)],
+        "g string, v double",
+    )
+    r = stats.msprt_always_valid(same, "g", "v", "a", "b", tau=5.0).first()
+    assert r["p_always_valid"] == 1.0 and r["reject_05"] is False
+
+    apart = spark.createDataFrame(
+        [("a", float(v)) for v in range(50)]
+        + [("b", float(v) + 500.0) for v in range(50)],
+        "g string, v double",
+    )
+    r2 = stats.msprt_always_valid(apart, "g", "v", "a", "b", tau=5.0).first()
+    assert r2["p_always_valid"] < 0.001 and r2["reject_05"] is True
+    with _pytest.raises(ValueError):
+        stats.msprt_always_valid(same, "g", "v", "a", "b", tau=0.0)
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam", "tpl"),
+            (2, "alpha beta gamma delta epsilon", "var"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    k = {r["group"]: r for r in text.yule_k(docs).collect()}
+    # tpl: N=6 one type: K = 1e4*(36-6)/36 = 8333.33
+    assert abs(k["tpl"]["yule_k"] - 1e4 * 30 / 36) < 1e-3
+    # var: all distinct: sum tf^2 = N -> K = 0
+    assert k["var"]["yule_k"] == 0.0
+    corpus = text.yule_k(docs, group_col=None).first()
+    assert corpus["group"] == "corpus" and corpus["n_tokens"] == 11

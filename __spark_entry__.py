@@ -5809,6 +5809,49 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_yule_k"] = text_yule_k
 
+    def curation_theil(spark, sf):
+        """Theil T inequality of per-document token volume DECOMPOSED
+        between/within sources (operators/curation.py
+        theil_decomposition — Theil 1967, the additively-decomposable
+        inequality Gini isn't): is token-volume skew driven by source
+        imbalance or inside the sources?  ONE group-keyed aggregation;
+        every term a scalar identity."""
+        from plda_spark.operators import curation, text
+
+        stats_df = text.token_stats(
+            load_table(spark, sf, "documents")
+        ).select("doc_id", "n_tokens")
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id", "source"
+        )
+        joined = docs.join(stats_df, "doc_id")
+        return curation.theil_decomposition(joined, "source", "n_tokens")
+
+    q["curation_theil"] = curation_theil
+
+    def graph_degree_gini(spark, sf):
+        """Degree-distribution Gini (stats_gini machinery over edge
+        STUBS — each endpoint appearance is one row, so per-node
+        counts ARE degrees): the attention-inequality one-liner next
+        to graph_powerlaw.  One stub union + the |nodes|-row
+        sorted-rank Gini."""
+        from plda_spark.operators import stats
+
+        orders = load_table(spark, sf, "orders")
+        e = orders.select(
+            F.least(F.col("o_custkey") % 100, F.col("o_orderkey") % 100)
+            .alias("a"),
+            F.greatest(
+                F.col("o_custkey") % 100, F.col("o_orderkey") % 100
+            ).alias("b"),
+        ).where(F.col("a") != F.col("b")).distinct()
+        stubs = e.select(F.col("a").alias("node")).unionAll(
+            e.select(F.col("b").alias("node"))
+        )
+        return stats.gini_concentration(stubs, ["node"])
+
+    q["graph_degree_gini"] = graph_degree_gini
+
     return q
 
 
@@ -12912,6 +12955,56 @@ SELECT g AS "group", CAST(n AS BIGINT) AS n_tokens,
 FROM agg
 """
 
+    # Same positive filter, same per-group (n, sum, sum x ln x)
+    # moments, same closed-form Theil identities.
+    o["curation_theil"] = f"""
+WITH t AS (
+  SELECT source AS g, CAST(len({_SQL_TOKS}) AS DOUBLE) AS x
+  FROM documents
+), base AS (SELECT g, x FROM t WHERE x > 0),
+per AS (
+  SELECT g, count(*) AS n, sum(x) AS sx, sum(x*ln(x)) AS sxl
+  FROM base GROUP BY 1
+), tot AS (
+  SELECT sum(n) AS tn, sum(sx) AS tsx, sum(sxl) AS tsxl FROM per
+), staged AS (
+  SELECT g, n, sx/tsx AS share, sx/n AS mug,
+         sxl/sx - ln(sx/n) AS tg,
+         tsxl/tsx - ln(tsx/tn) AS tt,
+         (sx/tsx)*ln((sx/n)/(tsx/tn)) AS bterm,
+         (sx/tsx)*(sxl/sx - ln(sx/n)) AS wterm
+  FROM per, tot
+), decomp AS (SELECT sum(bterm) AS tb, sum(wterm) AS tw FROM staged)
+SELECT g AS "group", CAST(n AS BIGINT) AS n,
+       round(share, 6) AS value_share, round(mug, 6) AS mean_value,
+       round(tg, 6) AS theil_within_g,
+       round(tt, 6) AS theil_total,
+       round(tb, 6) AS theil_between,
+       round(tw, 6) AS theil_within
+FROM staged, decomp
+"""
+
+    # Same stub union, same sorted-rank Gini formula.
+    o["graph_degree_gini"] = """
+WITH e AS (
+  SELECT DISTINCT least(o_custkey % 100, o_orderkey % 100) AS a,
+                  greatest(o_custkey % 100, o_orderkey % 100) AS b
+  FROM orders WHERE o_custkey % 100 <> o_orderkey % 100
+), g AS (
+  SELECT 'node' AS dimension, n AS grp, count(*) AS cnt FROM (
+    SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e) GROUP BY 2
+), r AS (
+  SELECT dimension, cnt,
+         row_number() OVER (PARTITION BY dimension
+                            ORDER BY cnt ASC, grp ASC) AS r
+  FROM g
+)
+SELECT dimension, CAST(count(*) AS BIGINT) AS n_groups,
+       round(2.0 * sum(r * cnt) / (count(*) * sum(cnt))
+             - (count(*) + 1) / CAST(count(*) AS DOUBLE), 6) AS gini
+FROM r GROUP BY dimension
+"""
+
     # Same symmetrize/dedup, same tail log-sum, same MLE identities.
     o["graph_powerlaw"] = """
 WITH e0 AS (
@@ -13322,6 +13415,8 @@ EXTRA_QUERIES: list[str] = [
     "events_cuped",
     "events_msprt",
     "text_yule_k",
+    "curation_theil",
+    "graph_degree_gini",
 ]
 
 

@@ -421,6 +421,10 @@ BENCH_QUERIES = [
     "events_msprt",
     # Yule's K repetitiveness constant per source
     "text_yule_k",
+    # Theil between/within inequality decomposition
+    "curation_theil",
+    # degree-distribution Gini (attention inequality)
+    "graph_degree_gini",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA

@@ -6721,3 +6721,35 @@ def test_msprt_and_yule_semantics(spark):
     assert k["var"]["yule_k"] == 0.0
     corpus = text.yule_k(docs, group_col=None).first()
     assert corpus["group"] == "corpus" and corpus["n_tokens"] == 11
+
+
+def test_theil_decomposition_semantics(spark):
+    """The decomposition identity T = T_between + T_within holds
+    exactly; equal values give T = 0; two groups with equal internal
+    values but different means give pure between-inequality."""
+    from plda_spark.operators import curation
+
+    flat = spark.createDataFrame(
+        [("a", 5.0)] * 4 + [("b", 5.0)] * 4, "g string, x double"
+    )
+    r = curation.theil_decomposition(flat, "g", "x").first()
+    assert r["theil_total"] == 0.0 and r["theil_between"] == 0.0
+
+    between_only = spark.createDataFrame(
+        [("a", 10.0)] * 4 + [("b", 20.0)] * 4, "g string, x double"
+    )
+    rows = curation.theil_decomposition(between_only, "g", "x").collect()
+    r2 = rows[0]
+    assert r2["theil_within"] == 0.0
+    assert r2["theil_between"] > 0
+    assert abs(r2["theil_total"] - r2["theil_between"]) < 2e-6
+
+    mixed = spark.createDataFrame(
+        [("a", 1.0), ("a", 9.0), ("b", 5.0), ("b", 5.0)],
+        "g string, x double",
+    )
+    r3 = curation.theil_decomposition(mixed, "g", "x").first()
+    assert (
+        abs(r3["theil_total"] - (r3["theil_between"] + r3["theil_within"]))
+        < 2e-6
+    )

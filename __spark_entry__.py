@@ -5168,15 +5168,21 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ml_knn(spark, sf):
         """k-NN classification audit over the embeddings table
         (operators/similarity.py knn_classify — Cover & Hart 1967):
-        vec_id % 10 == 0 held out as the test batch, exact cosine
-        top-5 from the train remainder (brute_force_topk — the
-        documented |test|x|train| baseline; IVF/LSH are the scale
-        path), deterministic (count DESC, label ASC) majority vote.
-        The zero-training embedding-quality baseline."""
+        a BOUNDED eval set (the 200 lowest vec_ids of the % 10 == 0
+        held-out stripe — deterministic and absolute, so the broadcast
+        test batch stays small no matter the corpus SF), exact cosine
+        top-5 from the train remainder, deterministic (count DESC,
+        label ASC) majority vote.  knn_classify's self-enforcing
+        max_test_rows pre-check refuses unbounded eval sets; IVF/LSH
+        are the corpus-scale neighbor path."""
         from plda_spark.operators import similarity
 
         emb = load_table(spark, sf, "embeddings")
-        test = emb.where(F.col("vec_id") % 10 == 0)
+        test = (
+            emb.where(F.col("vec_id") % 10 == 0)
+            .orderBy("vec_id")
+            .limit(200)
+        )
         train = emb.where(F.col("vec_id") % 10 != 0)
         return similarity.knn_classify(train, test, k=5)
 
@@ -11646,7 +11652,8 @@ FROM mono
     # (count DESC, label ASC) majority vote.
     o["ml_knn"] = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
-q AS (SELECT vec_id AS query_id, v, label AS actual FROM e WHERE vec_id % 10 = 0),
+q AS (SELECT vec_id AS query_id, v, label AS actual FROM e
+      WHERE vec_id % 10 = 0 ORDER BY vec_id LIMIT 200),
 tr AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
 s AS (
   SELECT a.query_id, b.vec_id, b.label,
@@ -12278,7 +12285,9 @@ UNION ALL SELECT node, 2 FROM r2
     o["curation_dataset_card"] = f"""
 WITH base AS (
   SELECT count(*) AS n_docs,
-         count(DISTINCT md5(text)) AS n_distinct_texts,
+         sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
+         count(DISTINCT coalesce(md5(text), '__null_text__'))
+           AS n_distinct_texts,
          sum(len({_SQL_TOKS})) AS total_tokens
   FROM documents
 ), langs AS (SELECT lang AS l, count(*) AS c FROM documents GROUP BY 1),
@@ -12290,6 +12299,7 @@ top_src AS (
   SELECT s, cs FROM srcs ORDER BY cs DESC, s ASC NULLS LAST LIMIT 1
 ), ns AS (SELECT count(*) AS n_sources FROM srcs)
 SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_null_text AS BIGINT) AS n_null_text,
        CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
        round(1.0 - n_distinct_texts/CAST(n_docs AS DOUBLE), 6)
          AS exact_dup_rate,
@@ -12420,16 +12430,28 @@ WITH base AS (
   WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), first AS (SELECT u, min(d) AS d0 FROM base GROUP BY 1),
 cohort AS (SELECT count(*) AS n_users FROM first),
+bounds AS (SELECT max(d) AS dmax FROM base),
+hist AS (
+  SELECT least(CAST(floor(date_diff('day', d0, dmax)/7.0) AS BIGINT),
+               4) AS mp,
+         count(*) AS c
+  FROM first CROSS JOIN bounds GROUP BY 1
+),
 per AS (
   SELECT p, count(*) AS up FROM (
     SELECT DISTINCT base.u,
            CAST(floor(date_diff('day', d0, d)/7.0) AS BIGINT) AS p
     FROM base JOIN first ON base.u = first.u)
   WHERE p <= 4 GROUP BY 1
+), obs AS (
+  SELECT p, sum(c) AS obs
+  FROM (SELECT DISTINCT p FROM per) CROSS JOIN hist
+  WHERE mp >= p GROUP BY 1
 ), rates AS (
   SELECT CAST(p AS DOUBLE) AS x,
-         ln(up/CAST(n_users AS DOUBLE)) AS y, n_users
-  FROM per CROSS JOIN cohort WHERE up > 0
+         ln(CAST(up AS DOUBLE)/CAST(obs AS DOUBLE)) AS y, n_users
+  FROM per JOIN obs USING (p) CROSS JOIN cohort
+  WHERE up > 0 AND obs > 0
 ), agg AS (
   SELECT max(n_users) AS n_users, count(*) AS k,
          sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,

@@ -919,13 +919,17 @@ def dataset_card(
     rate, token volume, and language/source composition — the summary
     a release review reads FIRST, before any per-operator audit.
 
-    Returns ONE row ``(n_docs, n_distinct_texts, exact_dup_rate,
-    total_tokens, mean_tokens, n_langs, top_lang, top_lang_share,
-    n_sources, top_source, top_source_share)`` rounded to 6.  The
-    duplicate rate is md5-of-text exact (the :mod:`dedup` exact
-    criterion); tokens are the shared ``tokens_col`` convention.
-    NULL langs/sources group as NULL and can win top share — a
-    mostly-unlabeled corpus SHOULD say so.
+    Returns ONE row ``(n_docs, n_null_text, n_distinct_texts,
+    exact_dup_rate, total_tokens, mean_tokens, n_langs, top_lang,
+    top_lang_share, n_sources, top_source, top_source_share)``
+    rounded to 6.  The duplicate rate is md5-of-text exact (the
+    :mod:`dedup` exact criterion) with NULL text counted as its OWN
+    distinct value (so missing text surfaces as ``n_null_text``
+    instead of silently inflating the dup rate); tokens are the
+    shared ``tokens_col`` convention (NULL text contributes zero
+    tokens and is reported, not hidden).  NULL langs/sources group as
+    NULL and can win top share — a mostly-unlabeled corpus SHOULD say
+    so.
 
     Scale shape: ONE corpus aggregation (token count + md5-distinct,
     map-side combined where possible) + one |langs| and one |sources|
@@ -935,7 +939,14 @@ def dataset_card(
 
     base = docs.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.countDistinct(F.md5(F.col(text_col))).alias("n_distinct_texts"),
+        F.sum(
+            F.col(text_col).isNull().cast("long")
+        ).cast("long").alias("n_null_text"),
+        # NULL text coalesces to a sentinel no real md5 hex collides
+        # with, so missing text is ONE distinct value, not dropped
+        F.countDistinct(
+            F.coalesce(F.md5(F.col(text_col)), F.lit("__null_text__"))
+        ).alias("n_distinct_texts"),
         F.sum(F.size(tokens_col(text_col))).cast("long").alias(
             "total_tokens"
         ),
@@ -962,6 +973,7 @@ def dataset_card(
         .crossJoin(F.broadcast(top_source))
         .select(
             "n_docs",
+            "n_null_text",
             "n_distinct_texts",
             F.round(
                 F.lit(1.0) - F.col("n_distinct_texts") / n, 6

@@ -1344,18 +1344,27 @@ def retention_decay_fit(
     N periods" (the standard churn model; see Fader & Hardie's sBG
     line of work for the richer parametric family).
 
-    Periods are ``floor(days_since_first / period_days)``; period 0
-    is 1.0 by construction and anchors the intercept; zero-retention
-    periods are excluded from the log fit (they are −∞).  Returns ONE
-    row ``(n_users, n_periods, slope, intercept, halflife_periods,
-    r2)`` rounded to 6 — ``halflife_periods`` is NULL when the fitted
-    slope is ≥ 0 (no decay to halve).
+    Periods are ``floor(days_since_first / period_days)``; periods
+    0..``max_periods`` INCLUSIVE are fitted (so ``max_periods + 1``
+    candidate points); period 0 is 1.0 by construction and anchors
+    the intercept; zero-retention periods are excluded from the log
+    fit (they are −∞).  Each period's denominator is
+    RIGHT-CENSORING-AWARE: only users whose first event is at least
+    ``p·period_days`` before the last day in the data window — users
+    who COULD have been observed in period p — count, so a growing
+    cohort no longer biases late-period retention low and halflife
+    short.  Returns ONE row ``(n_users, n_periods, slope, intercept,
+    halflife_periods, r2)`` rounded to 6 — ``n_users`` is the full
+    cohort; ``halflife_periods`` is NULL when the fitted slope is ≥ 0
+    (no decay to halve).
 
     Scale shape: one per-user min aggregation (first day), one
     user-keyed join back, one distinct (user, period) aggregation →
-    per-period counts — |periods| rows survive; the log-linear fit is
-    the :func:`~plda_spark.operators.stats.ols2`-style closed form
-    from ONE aggregation over those rows."""
+    per-period counts; the observable-cohort denominators come from a
+    |periods|-bucket histogram of per-user observable spans joined
+    against the (≤ max_periods+1)-row period spine — both tiny.  The
+    log-linear fit is the :func:`~plda_spark.operators.stats.ols2`-
+    style closed form from ONE aggregation over |periods| rows."""
     if period_days < 1:
         raise ValueError(f"period_days must be >= 1, got {period_days}")
     if max_periods < 2:
@@ -1366,6 +1375,20 @@ def retention_decay_fit(
     ).select(F.col(user_col).alias("u"), day.alias("d"))
     first = base.groupBy("u").agg(F.min("d").alias("d0"))
     cohort = first.agg(F.count(F.lit(1)).alias("n_users"))
+    bounds = base.agg(F.max("d").alias("dmax"))
+    # per-user observable span in periods, capped at max_periods so
+    # the histogram stays <= max_periods+1 buckets
+    hist = (
+        first.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(F.datediff("dmax", "d0") / period_days),
+                F.lit(max_periods).cast("bigint"),
+            ).alias("mp")
+        )
+        .groupBy("mp")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     per = (
         base.join(first, "u")
         .select(
@@ -1377,11 +1400,27 @@ def retention_decay_fit(
         .groupBy("p")
         .agg(F.count(F.lit(1)).alias("up"))
     )
-    rates = per.crossJoin(F.broadcast(cohort)).select(
-        F.col("p").cast("double").alias("x"),
-        F.log(F.col("up") / F.col("n_users").cast("double")).alias("y"),
-        "n_users",
-    ).where(F.col("up") > 0)
+    # observable cohort per period: #users with mp >= p (a user active
+    # in period p is observable by construction, so numerator <= obs)
+    obs = (
+        per.select("p")
+        .crossJoin(F.broadcast(hist))
+        .where(F.col("mp") >= F.col("p"))
+        .groupBy("p")
+        .agg(F.sum("c").alias("obs"))
+    )
+    rates = (
+        per.join(obs, "p")
+        .crossJoin(F.broadcast(cohort))
+        .select(
+            F.col("p").cast("double").alias("x"),
+            F.log(
+                F.col("up").cast("double") / F.col("obs").cast("double")
+            ).alias("y"),
+            "n_users",
+        )
+        .where((F.col("up") > 0) & (F.col("obs") > 0))
+    )
     agg = rates.agg(
         F.max("n_users").alias("n_users"),
         F.count(F.lit(1)).alias("k"),

@@ -276,11 +276,19 @@ def rank_eval(
         F.col("__s").desc(), F.col("__d").asc()
     )
     ranked = r.withColumn("__r", F.row_number().over(w))
-    qr = qrels.select(
-        F.col(query_col).alias("__q"),
-        F.col(doc_col).alias("__d"),
-        F.col(rel_col).cast("double").alias("__rel"),
-    ).where(F.col("__rel").isNotNull())
+    # TREC qrels commonly carry duplicate (query, doc) rows from merged
+    # assessment rounds; un-deduped they'd fan out the run join and
+    # double-count DCG/AP terms — keep the max grade per pair
+    qr = (
+        qrels.select(
+            F.col(query_col).alias("__q"),
+            F.col(doc_col).alias("__d"),
+            F.col(rel_col).cast("double").alias("__rel"),
+        )
+        .where(F.col("__rel").isNotNull())
+        .groupBy("__q", "__d")
+        .agg(F.max("__rel").alias("__rel"))
+    )
     j = ranked.join(qr, ["__q", "__d"], "left").withColumn(
         "__rel", F.coalesce(F.col("__rel"), F.lit(0.0))
     )

@@ -1564,15 +1564,25 @@ def silhouette_simplified(
     boundary-riding, negative = likely mis-assigned.
 
     Scale shape: the k·dim centroid coordinates ride the plan as
-    literals (the kcenter/MMR contract — enforce the same literal
-    budget upstream by choosing k·dim sensibly); distances are
-    bit-replayable double left-folds, so the DuckDB oracle reproduces
-    the exact IEEE sequence; one |clusters|-group aggregation ends the
-    plan.  No shuffle beyond that aggregation, no join, nothing
-    collects."""
+    literals — SELF-ENFORCED at k·dim ≤ 20,000 (the same literal
+    budget mmr_rerank enforces), raising before a megabyte-scale plan
+    is ever compiled; distances are bit-replayable double left-folds,
+    so the DuckDB oracle reproduces the exact IEEE sequence; one
+    |clusters|-group aggregation ends the plan.  No shuffle beyond
+    that aggregation, no join, nothing collects."""
     k = len(centroids)
     if k < 2:
         raise ValueError(f"need >= 2 centroids, got {k}")
+    n_lits = int(k) * int(len(centroids[0]))
+    if n_lits > 20_000:
+        raise ValueError(
+            f"silhouette_simplified: k*dim = {n_lits} literal centroid "
+            "coordinates > 20000; the plan embeds every coordinate as "
+            "a literal (the kcenter/MMR contract) and a larger budget "
+            "compiles a megabyte-scale expression tree. Reduce k, "
+            "project to fewer dimensions, or score against a centroid "
+            "TABLE via a bucketed join instead."
+        )
     cents_lit = F.array(
         *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
     )
@@ -1619,6 +1629,7 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    max_test_rows: int = 10_000,
 ) -> DataFrame:
     """k-nearest-neighbor classification by exact cosine top-k +
     majority vote (Fix & Hodges 1951; Cover & Hart 1967) — the
@@ -1627,18 +1638,36 @@ def knn_classify(
     downstream head will.
 
     Neighbors come from :func:`brute_force_topk` (train corpus scanned
-    once, test batch broadcast — swap in the IVF/LSH variants upstream
-    at corpus scale); the vote is per-query majority with a
+    once, test batch broadcast); the vote is per-query majority with a
     deterministic ``(count DESC, label ASC)`` tie-break.  Returns one
     row per test vector: ``(query_id, actual, predicted, n_votes,
     correct)``.
 
-    Scale shape: the brute scan is |test|·|train| by construction (the
-    documented baseline contract); after it, everything is one
-    (query, label) count + one per-query top-1 window over ≤ k rows
-    per query."""
+    Scale shape: ``brute_force_topk`` broadcasts the test batch and
+    crossJoins it against the train corpus, so the batch being small
+    is a hard precondition, not a hope — a SELF-ENFORCING
+    ``max_test_rows`` pre-check (the ks_test/kcenter pattern) counts
+    the test frame and refuses an unbounded eval set BEFORE the
+    crossJoin plan ever executes.  Past the budget, route neighbors
+    through :func:`ivf_topk` / :func:`lsh_topk` (bucketed equi-joins)
+    and feed their output to a vote of your own.  After the scan,
+    everything is one (query, label) count + one per-query top-1
+    window over ≤ k rows per query."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if max_test_rows < 1:
+        raise ValueError(f"max_test_rows must be >= 1, got {max_test_rows}")
+    n_test = test.count()
+    if n_test > max_test_rows:
+        raise ValueError(
+            f"knn_classify: test batch has {n_test} rows > "
+            f"max_test_rows={max_test_rows}; the exact path broadcasts "
+            "the batch and scores |test|x|train| pairs, which does not "
+            "survive an unbounded eval set at corpus scale. Sample a "
+            "bounded eval set upstream, raise max_test_rows if the "
+            "batch is genuinely bounded, or use ivf_topk / lsh_topk "
+            "(bucketed candidate generation) for corpus-scale scoring."
+        )
     nbrs = brute_force_topk(
         train, test, k=k, id_col=id_col, vec_col=vec_col,
         query_id_col=id_col,

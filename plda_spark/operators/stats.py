@@ -4161,11 +4161,16 @@ def ab_srm_check(
         "variant string, w double",
     )
     unknown = counts.join(F.broadcast(exp_df), "variant", "left_anti")
-    bad = [r["variant"] for r in unknown.select("variant").collect()]
+    # error-path guard stays bounded even when the caller passed a
+    # high-cardinality column (e.g. user_id) as variant_col: the
+    # message only needs EXAMPLES, so limit(20) before the collect
+    bad = [r["variant"] for r in unknown.select("variant").limit(20).collect()]
     if bad:
         raise ValueError(
-            f"ab_srm_check: observed variants {bad!r} missing from "
-            "expected — unknown arms are an assignment-logging bug."
+            f"ab_srm_check: observed variants {bad!r} (first "
+            f"{len(bad)} shown) missing from expected — unknown arms "
+            "are an assignment-logging bug (or variant_col is not the "
+            "assignment column)."
         )
     j = exp_df.join(counts, "variant", "left").select(
         "variant", "w", F.coalesce(F.col("o"), F.lit(0)).alias("o")
@@ -4777,10 +4782,18 @@ def granger_daily(
         b2.alias("__b2"),
         # floor SSE_u at a relative epsilon: an EXACT fit (SSE_u = 0,
         # the most predictive case) must yield a huge F, not a
-        # divide-guard NULL; a constant y (cyy = 0) stays NULL
-        F.greatest(
-            cyy - b1 * cx1y - b2 * cx2y,
-            F.lit(1e-12) * F.greatest(cyy, F.lit(0.0)),
+        # divide-guard NULL; a constant y (cyy = 0) stays NULL.
+        # Gated on the fit being DEFINED (n > 3, det > 0) — Spark's
+        # greatest() skips NULL args, so an ungated floor would turn a
+        # degenerate/collinear design (NULL b1/b2) into a bogus
+        # epsilon SSE_u and an astronomical F instead of the
+        # documented NULL-through contract.
+        F.when(
+            (n > 3) & (det > 0),
+            F.greatest(
+                cyy - b1 * cx1y - b2 * cx2y,
+                F.lit(1e-12) * F.greatest(cyy, F.lit(0.0)),
+            ),
         ).alias("__sseu"),
         F.when(cxx1 > 0, cyy - (cx1y / cxx1) * cx1y).alias("__sser"),
     )

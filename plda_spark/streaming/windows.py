@@ -1402,6 +1402,8 @@ def srm_from_ledger(
     from plda_spark.operators.sampling import hash_bucket
     from plda_spark.operators.stats import ab_srm_check
 
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
     ledger = spark.read.parquet(state_path)
     if run_id_filter is not None:
         ledger = ledger.where(F.col("run_id") == run_id_filter)
@@ -1411,6 +1413,13 @@ def srm_from_ledger(
         .otherwise(variant_b)
         .alias("variant")
     )
+    # the designed split under hash_bucket(user, buckets) == 0 -> A is
+    # P(A) = 1/buckets, NOT 50/50 — expected weights must mirror the
+    # assignment or the guardrail fires on perfectly healthy data for
+    # any buckets != 2
     return ab_srm_check(
-        assigned, "variant", {variant_a: 1.0, variant_b: 1.0}, alpha=alpha
+        assigned,
+        "variant",
+        {variant_a: 1.0, variant_b: float(buckets - 1)},
+        alpha=alpha,
     )

@@ -6753,3 +6753,158 @@ def test_theil_decomposition_semantics(spark):
         abs(r3["theil_total"] - (r3["theil_between"] + r3["theil_within"]))
         < 2e-6
     )
+
+
+def test_knn_classify_test_side_cap(spark):
+    """knn_classify refuses an unbounded eval set BEFORE executing the
+    broadcast crossJoin (the round-9 max_test_rows guard), still works
+    under the cap, and validates the cap itself."""
+    import pytest as _pytest
+
+    from plda_spark.operators import similarity
+
+    rows = [(i, [float(i % 2), 1.0 - (i % 2)], f"c{i % 2}") for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    )
+    train = emb.where(F.col("vec_id") % 4 != 0)
+    test = emb.where(F.col("vec_id") % 4 == 0)
+    with _pytest.raises(ValueError, match="max_test_rows"):
+        similarity.knn_classify(train, test, k=3, max_test_rows=5)
+    with _pytest.raises(ValueError, match="max_test_rows"):
+        similarity.knn_classify(train, test, k=3, max_test_rows=0)
+    out = similarity.knn_classify(train, test, k=3, max_test_rows=100)
+    got = {r["query_id"]: r for r in out.collect()}
+    assert len(got) == 10
+    assert all(r["correct"] for r in got.values())
+
+
+def test_silhouette_literal_budget_guard(spark):
+    """silhouette_simplified self-enforces the k*dim <= 20000 literal
+    budget (the mmr_rerank contract) instead of trusting the caller."""
+    import pytest as _pytest
+
+    from plda_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 128)], "vec_id long, embedding array<float>"
+    )
+    too_big = np.zeros((200, 128))  # 25,600 literals
+    with _pytest.raises(ValueError, match="literal"):
+        similarity.silhouette_simplified(df, too_big)
+    ok = similarity.silhouette_simplified(df, np.eye(2, 128)).first()
+    assert ok["n"] == 1
+
+
+def test_ab_srm_check_error_path_is_bounded(spark):
+    """A high-cardinality column passed as variant_col (the classic
+    caller bug) raises with a bounded example list -- at most 20
+    variants quoted, never the full distinct set."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    many = spark.range(0, 5000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("variant")
+    )
+    with _pytest.raises(ValueError, match="first 20 shown"):
+        stats.ab_srm_check(many, "variant", {"A": 1, "B": 1})
+
+
+def test_granger_daily_collinear_design_is_null(spark):
+    """value identically 1 per event makes daily sum(value) == daily
+    count -> the two lag regressors are collinear (det = 0); the fit
+    must propagate NULL through f_stat/p_value/predictive, not floor
+    SSE_u at epsilon and report an astronomical F (round-9 fix)."""
+    from plda_spark.operators import stats
+
+    counts = [10, 30, 20, 50, 40, 60, 15, 35, 25, 45]
+    rows = []
+    for d in range(1, 11):
+        for _ in range(counts[d - 1]):
+            rows.append((f"2024-01-{d:02d} 00:00:00", 1.0))
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    g = stats.granger_daily(df, "ts", "value").first()
+    assert g["b_lag_value"] is None and g["b_lag_count"] is None
+    assert g["f_stat"] is None and g["p_value"] is None
+    assert g["predictive"] is None
+
+
+def test_retention_decay_fit_right_censoring(spark):
+    """A late-joining half of the cohort (observable only in period 0)
+    must not dilute later-period denominators: with censoring-aware
+    denominators the early half's perfect weekly halving is recovered
+    exactly (slope ln 0.5, halflife 1, r2 1)."""
+    import math
+
+    from plda_spark.operators import events as ev_ops
+
+    rows = []
+    # early cohort: 4 users first seen 01-01; 2 return in p1, 1 in p2
+    for u in range(4):
+        rows.append((u, "2024-01-01 00:00:00"))
+    for u in range(2):
+        rows.append((u, "2024-01-08 00:00:00"))
+    rows.append((0, "2024-01-15 00:00:00"))
+    # late cohort: 4 users first seen on the last day (0 observable
+    # full periods beyond p0)
+    for u in range(10, 14):
+        rows.append((u, "2024-01-15 00:00:00"))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string"
+    ).select("user_id", F.to_timestamp("ts").alias("ts"))
+    f = ev_ops.retention_decay_fit(ev, period_days=7, max_periods=4).first()
+    # p0: 8/8, p1: 2/4 (only the early cohort observable), p2: 1/4
+    assert f["n_users"] == 8 and f["n_periods"] == 3
+    assert abs(f["slope"] - math.log(0.5)) < 1e-6
+    assert abs(f["halflife_periods"] - 1.0) < 1e-6
+    assert f["r2"] == 1.0 and f["intercept"] == 0.0
+
+
+def test_rank_eval_dedups_duplicate_qrels(spark):
+    """Duplicate (query, doc) qrels rows (merged TREC assessment
+    rounds) must not fan out the run join: metrics equal the deduped
+    (max grade per pair) qrels exactly."""
+    from plda_spark.operators import invindex
+
+    run = spark.createDataFrame(
+        [("q1", "d1", 3.0), ("q1", "d2", 2.0), ("q1", "d3", 1.0)],
+        "query_id string, doc_id string, score double",
+    )
+    clean = spark.createDataFrame(
+        [("q1", "d1", 2.0), ("q1", "d3", 1.0)],
+        "query_id string, doc_id string, rel double",
+    )
+    dup = spark.createDataFrame(
+        [("q1", "d1", 2.0), ("q1", "d1", 1.0), ("q1", "d1", 2.0),
+         ("q1", "d3", 1.0), ("q1", "d3", 1.0)],
+        "query_id string, doc_id string, rel double",
+    )
+    want = invindex.rank_eval(run, clean, k=2).first()
+    got = invindex.rank_eval(run, dup, k=2).first()
+    assert got.asDict() == want.asDict()
+    assert got["n_rel"] == 2 and got["n_ranked"] == 3
+
+
+def test_dataset_card_null_text_reported(spark):
+    """NULL-text docs surface as n_null_text and count as ONE distinct
+    text value instead of silently inflating exact_dup_rate."""
+    from plda_spark.operators import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb", "en", "web"),
+            (2, "aa bb", "en", "web"),
+            (3, None, "en", "web"),
+            (4, None, "fr", "wiki"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    c = curation.dataset_card(docs).first()
+    assert c["n_docs"] == 4 and c["n_null_text"] == 2
+    # distinct texts: {"aa bb", NULL-sentinel} = 2
+    assert c["n_distinct_texts"] == 2
+    assert c["exact_dup_rate"] == 0.5
+    assert c["total_tokens"] == 4

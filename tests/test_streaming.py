@@ -1100,3 +1100,33 @@ def test_incremental_ab_ledger_dedups_users_across_batches(spark, tmp_path):
     )
     want = two_proportion_ztest(assigned, "variant", "converted", "A", "B").first()
     assert got.asDict() == want.asDict()
+
+
+def test_srm_from_ledger_matches_designed_split(spark, tmp_path):
+    """srm_from_ledger's expected weights mirror the actual
+    hash_bucket(user, buckets) == 0 -> A assignment (P(A) = 1/buckets),
+    so a healthy ledger passes for ANY buckets, not just 2 (round-9
+    fix); buckets < 2 is refused."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from plda_spark.streaming import windows
+
+    schema = "event_id long, user_id long, converted int"
+    rows = [(i, 1000 + i, i % 3 == 0) for i in range(3000)]
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(e, u, int(c)) for e, u, c in rows], schema
+    ).write.mode("append").parquet(src)
+    windows.incremental_ab_ledger(
+        spark.readStream.schema(schema).parquet(src), state, ckpt,
+        user_col="user_id", success_col="converted",
+    )
+    for buckets in (2, 3, 5):
+        r = windows.srm_from_ledger(spark, state, buckets=buckets).first()
+        assert r["srm_suspected"] is False, (buckets, r)
+        assert r["p_value"] > 0.001
+    with _pytest.raises(ValueError, match="buckets"):
+        windows.srm_from_ledger(spark, state, buckets=1)

@@ -5858,6 +5858,127 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["graph_degree_gini"] = graph_degree_gini
 
+    def stats_holm(spark, sf):
+        """Holm step-down FWER correction (operators/stats.py
+        holm_bonferroni — Holm 1979) over the SAME one-vs-rest drift
+        screen as stats_bh_fdr: the confirmatory-guardrail counterpart
+        of the BH screening pass (controls P(any false rejection), not
+        the discovery fraction).  |tests| rows end to end."""
+        from plda_spark.operators import stats
+
+        tests = stats.group_mean_shift_tests(
+            load_table(spark, sf, "events"), "event_type", "value"
+        )
+        return stats.holm_bonferroni(tests, "group", "p_value", alpha=0.05)
+
+    q["stats_holm"] = stats_holm
+
+    def stats_bayes_ab(spark, sf):
+        """Bayesian A/B readout (operators/stats.py bayes_ab_beta —
+        Stucchio 2015 Beta-Binomial): the SAME per-user experiment as
+        events_abtest (md5 variants, converted = purchase > 100) under
+        uniform Beta(1,1) priors, reporting P(B beats A) — the
+        stakeholder-facing posterior probability next to the
+        frequentist z verdict.  One per-user aggregation + ONE
+        conditional aggregation + scalar posterior algebra."""
+        from plda_spark.operators import stats
+        from plda_spark.operators.sampling import hash_bucket
+
+        per_user = (
+            load_table(spark, sf, "events")
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    (
+                        (F.col("event_type") == "purchase")
+                        & (F.col("value") > 100)
+                    ).cast("int")
+                ).alias("converted")
+            )
+        )
+        assigned = per_user.select(
+            F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+            .otherwise("B")
+            .alias("variant"),
+            "converted",
+        )
+        return stats.bayes_ab_beta(assigned, "variant", "converted", "A", "B")
+
+    q["stats_bayes_ab"] = stats_bayes_ab
+
+    def stats_page_hinkley(spark, sf):
+        """Page-Hinkley upward-drift monitor (operators/stats.py
+        page_hinkley — Page 1954 / Gama 2004) over the daily mean
+        event value with a PLANTED deterministic level shift
+        (value*1.5 on days-of-month >= 20) so the alarm fires at
+        every SF.  |days| rows after one aggregation."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").select(
+            "ts",
+            F.when(
+                F.dayofmonth("ts") >= 20, F.col("value") * 1.5
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        return stats.page_hinkley(
+            ev, "ts", "value", delta=0.0, lam=5.0
+        ).select(
+            "n_days",
+            "ph_max",
+            F.col("ph_max_day").cast("string").alias("ph_max_day"),
+            F.col("alarm_day").cast("string").alias("alarm_day"),
+            "drifted",
+        )
+
+    q["stats_page_hinkley"] = stats_page_hinkley
+
+    def stats_posthoc(spark, sf):
+        """Holm-corrected pairwise Welch post-hoc (operators/stats.py
+        anova_posthoc — Welch 1947 + Holm 1979) over the groups the
+        stats_anova_f omnibus compares (event value by event_type):
+        the WHICH-pairs-differ answer after the F says "they differ".
+        ONE per-group moment aggregation, C(k,2) tiny pair join, Holm
+        windows over |pairs| rows."""
+        from plda_spark.operators import stats
+
+        return stats.anova_posthoc(
+            load_table(spark, sf, "events"), "event_type", "value",
+            alpha=0.05,
+        )
+
+    q["stats_posthoc"] = stats_posthoc
+
+    def events_bass(spark, sf):
+        """Bass diffusion-model fit (operators/events.py
+        bass_diffusion_fit — Bass 1969): daily new adopters (first
+        event per user) regressed on cumulative adopters and its
+        square (the discrete Bass regression), inverted to the
+        (m, p, q) innovation/imitation parameters and the
+        peak-adoption day.  Two aggregations + one |days| window +
+        ONE 9-sum closed-form fit."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.bass_diffusion_fit(load_table(spark, sf, "events"))
+
+    q["events_bass"] = events_bass
+
+    def text_source_jsd(spark, sf):
+        """Pairwise Jensen-Shannon divergence between per-source token
+        distributions (operators/text.py source_token_jsd — Lin 1991):
+        the mixture-design diagnostic before setting pretraining
+        source weights.  One (source, token) aggregation, one
+        token-keyed self-join of the vocabulary table, closed-form
+        disjoint-mass terms."""
+        from plda_spark.operators import text as text_ops
+
+        return text_ops.source_token_jsd(
+            load_table(spark, sf, "documents"), "source", "text"
+        )
+
+    q["text_source_jsd"] = text_source_jsd
+
     return q
 
 
@@ -13097,6 +13218,246 @@ SELECT CAST(n AS BIGINT) AS n, CAST(n_cells AS BIGINT) AS n_cells,
 FROM ph
 """
 
+    # Same one-vs-rest drift screen as stats_bh_fdr, Holm's step-down
+    # running max instead of BH's step-up running min.
+    o["stats_holm"] = _bh_prefix + """), mono AS (
+  SELECT *, max(least(p * (m - rank + 1), 1.0)) OVER (
+           ORDER BY rank ASC ROWS UNBOUNDED PRECEDING) AS adj
+  FROM ranked
+)
+SELECT test, round(p, 6) AS p_value, rank, m,
+       round(adj, 6) AS p_adj, adj <= 0.05 AS reject
+FROM mono
+"""
+
+    # Same per-user dedup + md5 assignment as events_abtest; Beta(1,1)
+    # posterior moments, normal-approx P(B>A) via the shared Phi
+    # polynomial (tail = two_sided(|z|)/2).
+    o["stats_bayes_ab"] = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'purchase' AND value > 100
+                  THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY 1
+), assigned AS (
+  SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 2 = 0
+              THEN 'A' ELSE 'B' END AS variant,
+         CAST(converted AS DOUBLE) AS s
+  FROM per_user
+), agg AS (
+  SELECT sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS n_b,
+         sum(CASE WHEN variant = 'A' THEN s ELSE 0.0 END) AS c_a,
+         sum(CASE WHEN variant = 'B' THEN s ELSE 0.0 END) AS c_b
+  FROM assigned
+), post AS (
+  SELECT n_a, n_b, c_a, c_b,
+         1.0 + c_a AS aa, 1.0 + n_a - c_a AS ba,
+         1.0 + c_b AS ab_, 1.0 + n_b - c_b AS bb
+  FROM agg
+), mu AS (
+  SELECT *, aa/(aa + ba) AS ma, ab_/(ab_ + bb) AS mb,
+         aa*ba/((aa + ba)*(aa + ba)*(aa + ba + 1))
+           + ab_*bb/((ab_ + bb)*(ab_ + bb)*(ab_ + bb + 1)) AS v
+  FROM post
+), z AS (
+  SELECT *, CASE WHEN v > 0 THEN (mb - ma)/sqrt(v) END AS zv FROM mu
+), ph AS (
+  SELECT *, 1.0/(1.0 + 0.2316419*abs(zv)) AS tt,
+         (exp(-zv*zv/2.0)/2.5066282746310002) AS pdf
+  FROM z
+), pr AS (
+  SELECT *, pdf*(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))) AS tail
+  FROM ph
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST(c_a AS BIGINT) AS conv_a, CAST(c_b AS BIGINT) AS conv_b,
+       round(ma, 6) AS rate_a, round(mb, 6) AS rate_b,
+       round(least(greatest(CASE WHEN zv IS NULL THEN 0.5
+                                 WHEN zv >= 0 THEN 1.0 - tail
+                                 ELSE tail END, 0.0), 1.0), 6)
+         AS prob_b_beats_a,
+       round(mb - ma, 6) AS abs_lift
+FROM pr
+"""
+
+    # Same planted day-of-month >= 20 level shift, same running-mean /
+    # cumulative-deviation / running-min windows over the daily rollup.
+    o["stats_page_hinkley"] = """
+WITH ev AS (
+  SELECT ts,
+         CASE WHEN day(ts) >= 20 THEN value*1.5 ELSE value END AS value
+  FROM events
+), daily AS (
+  SELECT CAST(ts AS DATE) AS d, avg(value) AS x
+  FROM ev WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+), rm AS (
+  SELECT d, x, avg(x) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS rmean
+  FROM daily
+), mt AS (
+  SELECT d, sum(x - rmean - 0.0)
+           OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS m
+  FROM rm
+), phs AS (
+  SELECT d, m - min(m) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS ph
+  FROM mt
+), mx AS (SELECT *, max(ph) OVER () AS phmax FROM phs)
+SELECT CAST(count(*) AS BIGINT) AS n_days,
+       round(max(ph), 6) AS ph_max,
+       CAST(min(CASE WHEN ph = phmax THEN d END) AS VARCHAR)
+         AS ph_max_day,
+       CAST(min(CASE WHEN ph > 5.0 THEN d END) AS VARCHAR) AS alarm_day,
+       coalesce(max(CASE WHEN ph > 5.0 THEN 1 ELSE 0 END), 0) = 1 AS drifted
+FROM mx
+"""
+
+    # Same per-group moments, same pairwise Welch z + Phi, same Holm
+    # step-down over the (p, test)-ranked pair family.
+    o["stats_posthoc"] = """
+WITH per AS (
+  SELECT CAST(event_type AS VARCHAR) AS g, count(*) AS n,
+         sum(value) AS s1, sum(value*value) AS s2
+  FROM events
+  WHERE event_type IS NOT NULL AND value IS NOT NULL GROUP BY 1
+), mo AS (
+  SELECT g, n, s1/n AS mean_g,
+         greatest((s2 - s1*(s1/n))/(n - 1), 0.0)/n AS vn
+  FROM per
+), pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+         a.mean_g AS ma, b.mean_g AS mb, a.vn + b.vn AS se2
+  FROM mo a JOIN mo b ON a.g < b.g
+), z AS (
+  SELECT *, CASE WHEN se2 > 0 THEN (ma - mb)/sqrt(se2) ELSE 0.0 END AS zv
+  FROM pairs
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(zv)) AS tt FROM z),
+pv AS (
+  SELECT *, least(2.0*(exp(-zv*zv/2.0)/2.5066282746310002)
+    *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+       + tt*(-1.821255978 + tt*1.330274429))))), 1.0) AS p
+  FROM ph
+), ranked AS (
+  SELECT *, row_number() OVER (
+           ORDER BY p, group_a || '|' || group_b) AS rank,
+         count(*) OVER () AS m_tests
+  FROM pv
+), mono AS (
+  SELECT *, max(least(p * (m_tests - rank + 1), 1.0)) OVER (
+           ORDER BY rank ASC ROWS UNBOUNDED PRECEDING) AS adj
+  FROM ranked
+)
+SELECT group_a, group_b,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+       round(zv, 6) AS z, round(p, 6) AS p_value,
+       round(adj, 6) AS p_adj, adj <= 0.05 AS reject
+FROM mono
+"""
+
+    # Same first-event adoption series, same cumulative-before window,
+    # same 9-sum Cramer solve and quadratic inversion to (m, p, q).
+    # All raw sums are exact integers in doubles, so Spark's partial
+    # aggregation and DuckDB's serial sum agree bit-for-bit.
+    o["events_bass"] = """
+WITH base AS (
+  SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), first AS (SELECT u, min(d) AS d0 FROM base GROUP BY 1),
+daily AS (
+  SELECT d0 AS d, CAST(count(*) AS DOUBLE) AS nt FROM first GROUP BY 1
+), series AS (
+  SELECT d, nt,
+         sum(nt) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) - nt AS bigN
+  FROM daily
+), agg AS (
+  SELECT count(*) AS n, sum(nt) AS sy, sum(bigN) AS s1,
+         sum(bigN*bigN) AS s2, sum(bigN*bigN) AS s11,
+         sum(bigN*bigN*bigN*bigN) AS s22, sum(bigN*bigN*bigN) AS s12,
+         sum(bigN*nt) AS s1y, sum(bigN*bigN*nt) AS s2y
+  FROM series
+), c AS (
+  SELECT CAST(n AS DOUBLE) AS n, sy, s1, s2,
+         s11 - s1*s1/CAST(n AS DOUBLE) AS c11,
+         s22 - s2*s2/CAST(n AS DOUBLE) AS c22,
+         s12 - s1*s2/CAST(n AS DOUBLE) AS c12,
+         s1y - s1*sy/CAST(n AS DOUBLE) AS c1y,
+         s2y - s2*sy/CAST(n AS DOUBLE) AS c2y
+  FROM agg
+), f AS (
+  SELECT n, sy, s1, s2, c11*c22 - c12*c12 AS det,
+         c11, c22, c12, c1y, c2y
+  FROM c
+), co AS (
+  SELECT n, sy, s1, s2,
+         CASE WHEN n > 3 AND det > 0
+              THEN (c1y*c22 - c2y*c12)/det END AS b,
+         CASE WHEN n > 3 AND det > 0
+              THEN (c2y*c11 - c1y*c12)/det END AS cc
+  FROM f
+), abc AS (
+  SELECT n, sy, (sy - b*s1 - cc*s2)/n AS a, b, cc FROM co
+), m2 AS (
+  SELECT n, sy, a, b, cc,
+         CASE WHEN cc < 0 AND b*b - 4*a*cc > 0 AND a > 0
+              THEN (-b - sqrt(b*b - 4*a*cc))/(2*cc) END AS m
+  FROM abc
+), pq AS (
+  SELECT *, CASE WHEN m > 0 THEN a/m END AS p,
+            CASE WHEN m > 0 THEN -cc*m END AS q
+  FROM m2
+)
+SELECT CAST(n AS BIGINT) AS n_days, CAST(sy AS BIGINT) AS adopters,
+       round(m, 6) AS m, round(p, 6) AS p, round(q, 6) AS q,
+       round(CASE WHEN p > 0 AND q > 0 THEN ln(q/p)/(p + q) END, 6)
+         AS peak_day
+FROM pq
+"""
+
+    # Same (source, token) distribution table, same shared-vocabulary
+    # equi-join terms + closed-form disjoint-mass remainder, same log2
+    # convention; the pair spine comes from the totals table so fully
+    # disjoint pairs still emit a row.
+    o["text_source_jsd"] = """
+WITH tf AS (
+  SELECT g, w, count(*) AS tf FROM (
+    SELECT CAST(source AS VARCHAR) AS g, unnest(__TOKS__) AS w
+    FROM documents WHERE source IS NOT NULL)
+  GROUP BY 1, 2
+), totals AS (SELECT g, sum(tf) AS n FROM tf GROUP BY 1),
+probs AS (
+  SELECT tf.g, tf.w, CAST(tf.tf AS DOUBLE)/CAST(t.n AS DOUBLE) AS p
+  FROM tf JOIN totals t ON tf.g = t.g
+), joined AS (
+  SELECT a.g AS sa, b.g AS sb, a.p AS pa, b.p AS pb
+  FROM probs a JOIN probs b ON a.w = b.w AND a.g < b.g
+), shared AS (
+  SELECT sa, sb,
+         sum(pa/2*ln(pa/((pa + pb)/2))/0.6931471805599453
+             + pb/2*ln(pb/((pa + pb)/2))/0.6931471805599453) AS st,
+         sum(pa) AS massa, sum(pb) AS massb
+  FROM joined GROUP BY 1, 2
+), spine AS (
+  SELECT a.g AS sa, a.n AS na, b.g AS sb, b.n AS nb
+  FROM totals a JOIN totals b ON a.g < b.g
+), fullp AS (
+  SELECT spine.sa, spine.sb, spine.na, spine.nb, st, massa, massb
+  FROM spine LEFT JOIN shared
+    ON spine.sa = shared.sa AND spine.sb = shared.sb
+), jv AS (
+  SELECT sa, sb, na, nb,
+         least(greatest(coalesce(st, 0.0)
+           + (1.0 - coalesce(massa, 0.0))/2
+           + (1.0 - coalesce(massb, 0.0))/2, 0.0), 1.0) AS jsd
+  FROM fullp
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(na AS BIGINT) AS tokens_a, CAST(nb AS BIGINT) AS tokens_b,
+       round(jsd, 6) AS jsd, round(sqrt(jsd), 6) AS jsd_distance
+FROM jv
+""".replace("__TOKS__", _SQL_TOKS)
+
     return o
 
 
@@ -13439,6 +13800,12 @@ EXTRA_QUERIES: list[str] = [
     "text_yule_k",
     "curation_theil",
     "graph_degree_gini",
+    "stats_holm",
+    "stats_bayes_ab",
+    "stats_page_hinkley",
+    "stats_posthoc",
+    "events_bass",
+    "text_source_jsd",
 ]
 
 

@@ -425,6 +425,105 @@ BENCH_QUERIES = [
     "curation_theil",
     # degree-distribution Gini (attention inequality)
     "graph_degree_gini",
+    # Holm step-down FWER over the drift screen
+    "stats_holm",
+    # Beta-Binomial Bayesian A/B posterior readout
+    "stats_bayes_ab",
+    # Page-Hinkley running-mean drift monitor
+    "stats_page_hinkley",
+    # Holm-corrected pairwise Welch post-hoc after the ANOVA F
+    "stats_posthoc",
+    # Bass diffusion-model (m, p, q) adoption fit
+    "events_bass",
+    # pairwise per-source token-distribution JSD
+    "text_source_jsd",
+    # round-9 additions: full registry coverage audit — every
+    # registry query now has a bench row unless named in BENCH_EXEMPT
+    # (tests/test_bench_contract.py pins registry == benched + exempt).
+    # TPC-H stragglers (completes 22/22 benched):
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q12_priority_by_status",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_bracket_revenue",
+    "q20_excess_shippers",
+    "q22_dormant_customers",
+    # remaining relational / source / stream / operator families:
+    "agg_distinct",
+    "agg_distinct_exact",
+    "classify_score",
+    "curation_calibrate",
+    "curation_filters",
+    "curation_mixture",
+    "curation_pipeline",
+    "dedup_clusters",
+    "dedup_contamination",
+    "events_json_props",
+    "graph_pagerank",
+    "grouping_sets_revenue",
+    "grouping_sets_rollup_cube",
+    "having_loyal_customers",
+    "join_anti_customers_no_urgent",
+    "join_asof_forward",
+    "join_full_outer_daily",
+    "join_left_customer_orders",
+    "join_salted_skew",
+    "join_semi_big_spenders",
+    "join_shapes",
+    "lda_top_words_by_lang",
+    "lda_train_topics",
+    "lda_vocab",
+    "lda_word_totals",
+    "multimodal_pipeline",
+    "orders_monthly_summary",
+    "rel_correlated_subquery",
+    "rel_pivot_daily_events",
+    "rel_window_analytics",
+    "sample_chunk_documents",
+    "sample_hash_buckets",
+    "sample_pack_sequences",
+    "sample_stratified",
+    "setop_purchasers",
+    "sim_ivf_topk",
+    "sim_ivfpq_index",
+    "source_csv_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_plda_roundtrip",
+    "source_wet_roundtrip",
+    "stats_corr_matrix",
+    "stats_fill_gaps",
+    "stats_frequent_items",
+    "stats_group_quantiles",
+    "stats_key_skew",
+    "stats_mad_outliers",
+    "stats_profile_columns",
+    "stats_rolling_daily",
+    "stats_zscore_outliers",
+    "stream_dedup",
+    "stream_interval_join",
+    "stream_top_users",
+    "stream_warc_ingest",
+    "stream_wet_ingest",
+    "stream_window_aggs",
+    "string_part_stats",
+    "text_bm25",
+    "text_collocations",
+    "text_corpus_stats",
+    "text_dedup_paragraphs",
+    "text_lm_score_kn",
+    "text_quality",
+    "text_quality_langid",
+    "text_redact_pii",
+    "text_tfidf",
 ]
 
 # Names recorded outside the BENCH_QUERIES loop (streaming twins, LDA
@@ -457,7 +556,45 @@ EXTRA_BENCH_NAMES = [
     "stats_hll_range",
     "layout_zorder_write",
     "layout_zorder_pruned_read",
+    "sim_near_dup_scale",
+    "dedup_semantic_scale",
 ]
+
+# Registry queries deliberately NOT benched, each with its reason —
+# tests/test_bench_contract.py asserts that the live registry equals
+# BENCH_QUERIES + BENCH_EXEMPT exactly, so a new query must either get
+# a bench row or an explicit, named exemption here (the coverage gap
+# stays deliberate, never accidental).
+BENCH_EXEMPT = {
+    "dedup_semantic": (
+        "registry config is deliberately EXHAUSTIVE (n_probe == "
+        "n_cells) so the O(n^2) DuckDB oracle is exact — ~42 s of "
+        "brute-force cosine at sf0.1 that measures the oracle rig, "
+        "not the operator; the production multi-probe plan is benched "
+        "as dedup_semantic_scale"
+    ),
+    "sim_near_dup_blocked": (
+        "same exhaustive-probe oracle config as dedup_semantic; the "
+        "production plan is benched as sim_near_dup_scale"
+    ),
+    "lda_infer_theta": (
+        "trains a full model inside the query (the cached "
+        "_trained_model rig); training cost is benched as "
+        "lda_train_5it, and inference itself is ~1 s and "
+        "pytest-verified (stochastic, rows-only oracle)"
+    ),
+    "lda_topic_coherence": (
+        "shares the _trained_model training rig (cost benched as "
+        "lda_train_5it); the UMass metric is pytest-verified against "
+        "a hand-computed fixture (stochastic, rows-only oracle)"
+    ),
+    "stream_sessionize_stateful": (
+        "copies the whole events table to a temp parquet source and "
+        "runs a real availableNow streaming query with state-store "
+        "drain — a correctness rig for the stateful path; its "
+        "value-identical batch twin is benched as stream_sessionize"
+    ),
+}
 
 # The driver's stdout capture window is EMPIRICALLY ~2000 bytes:
 # BENCH_r05.json and BENCH_r06.json both recorded len(tail) == 2000
@@ -677,6 +814,22 @@ def main() -> None:
         average_model=False, seed=42, model_mode="join",
     )
     record("lda_train_5it_join", lambda: train_documents(docs, cfg_join))
+
+    # Near-dup blocking at the PRODUCTION config (n_probe < n_cells):
+    # the registry entries deliberately run the exhaustive
+    # n_probe == n_cells config so the O(n²) DuckDB oracle stays exact
+    # (those are BENCH_EXEMPT); these rows measure the multi-probe
+    # cell-join plan a 100 TB run would actually use.
+    from plda_spark.operators import dedup as dedup_ops
+
+    record("sim_near_dup_scale",
+        lambda: similarity.embedding_near_dup_pairs_blocked(
+            emb, dim=64, threshold=0.4, n_cells=8, n_probe=2,
+        ).write.format("noop").mode("overwrite").save())
+    record("dedup_semantic_scale",
+        lambda: dedup_ops.semantic_dedup(
+            emb, dim=64, threshold=0.4, n_cells=8, n_probe=2,
+        ).select("vec_id").write.format("noop").mode("overwrite").save())
 
     # BPE training: 5 merges over the documents word-frequency table
     # (per-merge pair-count aggregation + argmax — the per-iteration

@@ -32,6 +32,7 @@ __all__ = [
     "point_in_time_features",
     "item_item_cf",
     "retention_decay_fit",
+    "bass_diffusion_fit",
 ]
 
 
@@ -1452,4 +1453,106 @@ def retention_decay_fit(
         F.round("__a", 6).alias("intercept"),
         F.round(hl, 6).alias("halflife_periods"),
         F.round("__r2", 6).alias("r2"),
+    )
+
+
+def bass_diffusion_fit(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Bass diffusion-model fit of the adoption curve (Bass 1969,
+    Management Science — the canonical new-product growth model):
+    daily NEW adopters (first-event day per user) follow
+    ``n_t = p·(m − N) + (q/m)·N·(m − N)`` where ``m`` is the ultimate
+    market size, ``p`` the innovation (external) coefficient, ``q``
+    the imitation (word-of-mouth) coefficient, and ``N`` the
+    cumulative adopters BEFORE day t.  Expanding gives the discrete
+    Bass regression ``n_t = a + b·N + c·N²`` with ``a = p·m``,
+    ``b = q − p``, ``c = −q/m`` — a TWO-REGRESSOR least squares
+    problem, solved closed-form exactly like
+    :func:`~plda_spark.operators.stats.ols2`, then inverted:
+    ``m = (−b − √(b² − 4ac))/(2c)``, ``p = a/m``, ``q = −c·m``
+    (Bass's own estimation procedure, §6 of the paper).
+
+    Returns ONE row ``(n_days, adopters, m, p, q, peak_day)`` rounded
+    to 6 — ``peak_day = ln(q/p)/(p+q)`` (days from launch to peak
+    adoption rate; the model's headline planning number), NULL along
+    with m/p/q when the fit is degenerate (collinear design, c ≥ 0 =
+    no saturation in sight, or b² < 4ac).
+
+    Scale shape: one per-user min aggregation (first day), one daily
+    count → |days| rows, one cumulative window over that rollup, ONE
+    9-sum aggregation + scalar Cramer/quadratic arithmetic.  Nothing
+    about the corpus survives the second aggregation."""
+    day = F.to_date(F.col(ts_col))
+    base = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(F.col(user_col).alias("u"), day.alias("d"))
+    from pyspark.sql import Window
+
+    first = base.groupBy("u").agg(F.min("d").alias("d0"))
+    daily = first.groupBy(F.col("d0").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("nt")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # N = cumulative adopters BEFORE day t = running sum minus today
+    series = daily.withColumn(
+        "bigN", F.sum("nt").over(w) - F.col("nt")
+    )
+    x1 = F.col("bigN")
+    x2 = F.col("bigN") * F.col("bigN")
+    y = F.col("nt")
+    agg = series.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(y).alias("sy"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    c11 = F.col("s11") - F.col("s1") * F.col("s1") / n
+    c22 = F.col("s22") - F.col("s2") * F.col("s2") / n
+    c12 = F.col("s12") - F.col("s1") * F.col("s2") / n
+    c1y = F.col("s1y") - F.col("s1") * F.col("sy") / n
+    c2y = F.col("s2y") - F.col("s2") * F.col("sy") / n
+    det = c11 * c22 - c12 * c12
+    bb = F.when((n > 3) & (det > 0), (c1y * c22 - c2y * c12) / det)
+    cc = F.when((n > 3) & (det > 0), (c2y * c11 - c1y * c12) / det)
+    aa = (F.col("sy") - bb * F.col("s1") - cc * F.col("s2")) / n
+    staged = agg.select(
+        F.col("n").cast("long").alias("n_days"),
+        (F.col("sy")).cast("long").alias("adopters"),
+        aa.alias("__a"),
+        bb.alias("__b"),
+        cc.alias("__c"),
+    )
+    disc = F.col("__b") * F.col("__b") - 4 * F.col("__a") * F.col("__c")
+    # saturation requires c < 0 and a real positive root
+    mm = F.when(
+        (F.col("__c") < 0) & (disc > 0) & (F.col("__a") > 0),
+        (-F.col("__b") - F.sqrt(disc)) / (2 * F.col("__c")),
+    )
+    staged2 = staged.withColumn("__m", mm)
+    pp = F.when(F.col("__m") > 0, F.col("__a") / F.col("__m"))
+    qq = F.when(F.col("__m") > 0, -F.col("__c") * F.col("__m"))
+    staged3 = staged2.withColumn("__p", pp).withColumn("__q", qq)
+    peak = F.when(
+        (F.col("__p") > 0) & (F.col("__q") > 0),
+        F.log(F.col("__q") / F.col("__p"))
+        / (F.col("__p") + F.col("__q")),
+    )
+    return staged3.select(
+        "n_days",
+        "adopters",
+        F.round("__m", 6).alias("m"),
+        F.round("__p", 6).alias("p"),
+        F.round("__q", 6).alias("q"),
+        F.round(peak, 6).alias("peak_day"),
     )

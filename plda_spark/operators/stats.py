@@ -103,6 +103,10 @@ __all__ = [
     "msprt_always_valid",
     "xi_correlation_daily",
     "capture_recapture",
+    "holm_bonferroni",
+    "bayes_ab_beta",
+    "page_hinkley",
+    "anova_posthoc",
 ]
 
 
@@ -5266,4 +5270,314 @@ def msprt_always_valid(
         F.round("__lam", 6).alias("lambda"),
         F.round("__p", 6).alias("p_always_valid"),
         (F.col("__p") < 0.05).alias("reject_05"),
+    )
+
+
+def holm_bonferroni(
+    tests: DataFrame,
+    test_col: str,
+    p_col: str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Holm's step-down familywise-error-rate correction over a table
+    of test p-values (Holm 1979, Scand. J. Statist.) — the FWER
+    counterpart of :func:`bh_fdr`: BH controls the expected FRACTION
+    of false discoveries (right for screening hundreds of drift
+    tests); Holm controls the probability of even ONE false rejection
+    (right for a handful of confirmatory guardrails, e.g. the 3-5
+    launch-blocking metrics of an A/B readout), uniformly more
+    powerful than plain Bonferroni at the same guarantee.
+
+    Ranks p ascending (test-name tie-break, engine-replayable),
+    adjusts ``p_adj_(i) = max_{j≤i} min(1, p_(j)·(m−j+1))`` (the
+    step-down running max keeps adjusted values monotone), flags
+    ``reject = p_adj ≤ alpha``.  Returns ``(test, p_value, rank, m,
+    p_adj, reject)``.
+
+    Scale shape: |tests| rows end-to-end — two ordered windows over a
+    frame of already-aggregated tests, exactly like :func:`bh_fdr`;
+    never point it at raw events."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    rk = Window.orderBy(F.col("__p").asc(), F.col("__test").asc())
+    staged = tests.select(
+        F.col(test_col).cast("string").alias("__test"),
+        F.col(p_col).cast("double").alias("__p"),
+    ).select(
+        "__test",
+        "__p",
+        F.row_number().over(rk).alias("__rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    raw = F.least(
+        F.col("__p") * (F.col("__m") - F.col("__rank") + 1), F.lit(1.0)
+    )
+    staged2 = staged.withColumn("__raw", raw)
+    up = Window.orderBy(F.col("__rank").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    adj = F.max("__raw").over(up)
+    staged3 = staged2.withColumn("__adj", adj)
+    return staged3.select(
+        F.col("__test").alias("test"),
+        F.round("__p", 6).alias("p_value"),
+        F.col("__rank").alias("rank"),
+        F.col("__m").alias("m"),
+        F.round("__adj", 6).alias("p_adj"),
+        (F.col("__adj") <= F.lit(alpha)).alias("reject"),
+    )
+
+
+def bayes_ab_beta(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    variant_a,
+    variant_b,
+    prior_alpha: float = 1.0,
+    prior_beta: float = 1.0,
+) -> DataFrame:
+    """Bayesian A/B readout for a binary metric under independent
+    Beta-Binomial models (the industry-standard framing — Stucchio,
+    "Bayesian A/B Testing at VWO", 2015): posterior for each arm is
+    ``Beta(α₀+c, β₀+n−c)``, and the decision quantity is
+    ``P(rate_B > rate_A | data)`` — the number stakeholders actually
+    ask for, with no stopping-rule fine print to mis-read.
+
+    ``P(B > A)`` uses the normal approximation to each Beta posterior
+    (mean ``a/(a+b)``, variance ``ab/((a+b)²(a+b+1))``); at the
+    engine's corpus-scale counts (thousands of users per arm) the
+    approximation agrees with the exact integral to well under the
+    6-decimal rounding — the same regime call as
+    :func:`welch_ttest`'s normal-for-t.  Returns ONE row ``(n_a, n_b,
+    conv_a, conv_b, rate_a, rate_b, prob_b_beats_a, abs_lift)``.
+
+    Scale shape: ONE conditional aggregation over the stream
+    (count/successes per arm, map-side combined); posterior algebra
+    runs on the single surviving row.  No window, no join."""
+    if prior_alpha <= 0 or prior_beta <= 0:
+        raise ValueError("prior_alpha and prior_beta must be > 0")
+    a = F.col(variant_col) == F.lit(variant_a)
+    b = F.col(variant_col) == F.lit(variant_b)
+    s = F.col(success_col).cast("double")
+    agg = df.where(a | b).agg(
+        F.sum(a.cast("long")).alias("n_a"),
+        F.sum(b.cast("long")).alias("n_b"),
+        F.sum(F.when(a, s).otherwise(F.lit(0.0))).alias("c_a"),
+        F.sum(F.when(b, s).otherwise(F.lit(0.0))).alias("c_b"),
+    )
+    pa, pb = F.lit(float(prior_alpha)), F.lit(float(prior_beta))
+    aa = pa + F.col("c_a")
+    ba = pb + F.col("n_a") - F.col("c_a")
+    ab_ = pa + F.col("c_b")
+    bb = pb + F.col("n_b") - F.col("c_b")
+    mu_a = aa / (aa + ba)
+    mu_b = ab_ / (ab_ + bb)
+    var_a = aa * ba / ((aa + ba) * (aa + ba) * (aa + ba + 1))
+    var_b = ab_ * bb / ((ab_ + bb) * (ab_ + bb) * (ab_ + bb + 1))
+    staged = agg.select(
+        "n_a", "n_b", "c_a", "c_b",
+        mu_a.alias("__ma"), mu_b.alias("__mb"),
+        (var_a + var_b).alias("__v"),
+    )
+    z = F.when(
+        F.col("__v") > 0,
+        (F.col("__mb") - F.col("__ma")) / F.sqrt(F.col("__v")),
+    )
+    # Phi(z) from the shared one-polynomial tail: Phi(z) = 1 - p2(|z|)/2
+    # for z >= 0, p2(|z|)/2 for z < 0 (ties at exactly 0 -> 0.5)
+    staged2 = staged.withColumn("__z", z)
+    tail = _two_sided_normal_p(F.abs(F.col("__z"))) / F.lit(2.0)
+    prob = F.when(F.col("__z").isNull(), F.lit(0.5)).otherwise(
+        F.when(F.col("__z") >= 0, F.lit(1.0) - tail).otherwise(tail)
+    )
+    return staged2.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("c_a").cast("long").alias("conv_a"),
+        F.col("c_b").cast("long").alias("conv_b"),
+        F.round("__ma", 6).alias("rate_a"),
+        F.round("__mb", 6).alias("rate_b"),
+        F.round(
+            F.least(F.greatest(prob, F.lit(0.0)), F.lit(1.0)), 6
+        ).alias("prob_b_beats_a"),
+        F.round(F.col("__mb") - F.col("__ma"), 6).alias("abs_lift"),
+    )
+
+
+def page_hinkley(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    delta: float = 0.005,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Page-Hinkley drift detector over the per-day mean of
+    ``value_col`` (Page 1954's CUSUM variant as popularized for data
+    streams by Gama et al. 2004): accumulate deviations from the
+    RUNNING mean, ``m_t = Σ_{i≤t} (x_i − x̄_i − δ)``, track the running
+    minimum ``M_t``, and alarm when the gap ``PH_t = m_t − M_t``
+    exceeds ``λ`` — the standard "did this metric drift UPWARD and
+    stay there?" monitor (run it on the negated series for downward
+    drift).  Unlike :func:`cusum_changepoints` (fixed reference mean),
+    PH self-references the running mean, so slow level ramps
+    accumulate instead of being absorbed into the baseline.
+
+    ``delta`` is the magnitude tolerance (drifts smaller than δ per
+    observation never alarm); ``lam`` the alarm threshold in value
+    units.  Returns ONE row ``(n_days, ph_max, ph_max_day, alarm_day,
+    drifted)`` — ``alarm_day`` is the FIRST day the gap crossed λ
+    (NULL when none), ``drifted`` the boolean readout.
+
+    Scale shape: the corpus collapses to |days| rows FIRST (one
+    aggregation); the running mean / cumulative sum / running min /
+    first-crossing scan are four ordered windows over that rollup —
+    a diagnostic on hundreds of rows, never a corpus op."""
+    if lam <= 0:
+        raise ValueError(f"lam must be > 0, got {lam}")
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
+    )
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    staged = daily.withColumn(
+        "__dev", F.col("x") - F.avg("x").over(w) - F.lit(float(delta))
+    ).withColumn("__m", F.sum("__dev").over(w))
+    staged2 = staged.withColumn(
+        "__ph", F.col("__m") - F.min("__m").over(w)
+    )
+    alarm = F.when(F.col("__ph") > lam, F.col("d"))
+    staged3 = staged2.withColumn(
+        "__phmax", F.max("__ph").over(Window.partitionBy())
+    )
+    out = staged3.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(F.max("__ph"), 6).alias("ph_max"),
+        F.min(
+            F.when(F.col("__ph") == F.col("__phmax"), F.col("d"))
+        ).alias("ph_max_day"),
+        F.min(alarm).alias("alarm_day"),
+        F.max((F.col("__ph") > lam).cast("int")).alias("__any"),
+    )
+    return out.select(
+        "n_days",
+        "ph_max",
+        "ph_max_day",
+        "alarm_day",
+        (F.col("__any") == 1).alias("drifted"),
+    )
+
+
+def anova_posthoc(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    alpha: float = 0.05,
+    max_groups: int = 100,
+) -> DataFrame:
+    """Pairwise post-hoc comparisons after :func:`anova_f`: every
+    group pair gets a Welch unequal-variance z-test (Welch 1947 — the
+    same normal-for-t regime call as :func:`welch_ttest`), then the
+    whole family is Holm-corrected (:func:`holm_bonferroni`) so the
+    FWER across all C(k,2) comparisons stays ≤ alpha — the question
+    an omnibus "the groups differ" F always raises next: WHICH pairs
+    differ?
+
+    Returns one row per pair ``(group_a, group_b, n_a, n_b, mean_a,
+    mean_b, z, p_value, p_adj, reject)``, pairs ordered
+    ``group_a < group_b`` (string order, engine-replayable).
+
+    Scale shape: ONE per-group moment aggregation (count/sum/sumsq,
+    map-side combined) collapses the corpus to |groups| rows, then
+    the tiny frame is ``localCheckpoint``-ed (eager — the guard needs
+    an action anyway), so the pair self-join, the Holm windows AND the
+    final re-join all ride the materialized |groups|/|pairs| rows —
+    the corpus is scanned exactly ONCE, never once per branch.  A
+    self-enforcing ``max_groups`` pre-check (the ks_test pattern)
+    bounds the C(k,2) pair stage at ≤ C(max_groups, 2) rows."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    if max_groups < 2:
+        raise ValueError(f"max_groups must be >= 2, got {max_groups}")
+    v = F.col(value_col).cast("double")
+    per = (
+        df.where(F.col(group_col).isNotNull() & v.isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(v).alias("s1"),
+            F.sum(v * v).alias("s2"),
+        )
+    )
+    # eager checkpoint: the guard forces an action anyway, and it pins
+    # the ONE corpus aggregation so the a/b pair sides and the final
+    # re-join reuse |groups| materialized rows instead of re-scanning
+    per = per.localCheckpoint(eager=True)
+    k = per.count()
+    if k > max_groups:
+        raise ValueError(
+            f"anova_posthoc: {k} groups > max_groups={max_groups}; the "
+            "pairwise stage is C(k,2) — bucket or filter the grouping "
+            "column upstream, or raise max_groups if k is genuinely "
+            "bounded."
+        )
+    if k < 2:
+        raise ValueError(f"anova_posthoc: need >= 2 groups, got {k}")
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    var = F.greatest(
+        F.when(n > 1, (F.col("s2") - F.col("s1") * m) / (n - 1)),
+        F.lit(0.0),
+    )
+    moments = per.select(
+        "g", "n", m.alias("m"), (var / n).alias("vn")
+    )
+    a = moments.select(
+        F.col("g").alias("group_a"), F.col("n").alias("n_a"),
+        F.col("m").alias("__ma"), F.col("vn").alias("__va"),
+    )
+    b = moments.select(
+        F.col("g").alias("group_b"), F.col("n").alias("n_b"),
+        F.col("m").alias("__mb"), F.col("vn").alias("__vb"),
+    )
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    se2 = F.col("__va") + F.col("__vb")
+    z = F.when(
+        se2 > 0, (F.col("__ma") - F.col("__mb")) / F.sqrt(se2)
+    ).otherwise(F.lit(0.0))
+    scored = pairs.select(
+        "group_a", "group_b", "n_a", "n_b",
+        F.col("__ma").alias("__meana"), F.col("__mb").alias("__meanb"),
+        z.alias("__z"),
+        F.least(
+            _two_sided_normal_p(F.abs(z)), F.lit(1.0)
+        ).alias("__p"),
+    )
+    adjusted = holm_bonferroni(
+        scored.select(
+            F.concat_ws("|", "group_a", "group_b").alias("test"), "__p"
+        ),
+        "test",
+        "__p",
+        alpha=alpha,
+    )
+    return (
+        scored.join(
+            adjusted.select("test", "p_adj", "reject"),
+            F.concat_ws("|", "group_a", "group_b") == F.col("test"),
+        )
+        .select(
+            "group_a",
+            "group_b",
+            "n_a",
+            "n_b",
+            F.round("__meana", 6).alias("mean_a"),
+            F.round("__meanb", 6).alias("mean_b"),
+            F.round("__z", 6).alias("z"),
+            F.round("__p", 6).alias("p_value"),
+            "p_adj",
+            "reject",
+        )
     )

@@ -57,6 +57,7 @@ __all__ = [
     "vocab_richness",
     "term_burstiness",
     "yule_k",
+    "source_token_jsd",
 ]
 
 # The Gopher rules' required-word check (Rae et al. 2021, "Scaling
@@ -1960,4 +1961,110 @@ def yule_k(
         F.col("__n").cast("long").alias("n_tokens"),
         F.col("__types").cast("long").alias("n_types"),
         F.round(k, 6).alias("yule_k"),
+    )
+
+
+def source_token_jsd(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    max_groups: int = 50,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between the token
+    distributions of each pair of sources (Lin 1991, IEEE Trans. IT)
+    — the mixture-design diagnostic a pretraining-corpus review runs
+    before setting source weights: JSD is symmetric, bounded, and
+    defined even when one source's vocabulary misses the other's
+    entirely (where KL blows up).  ``jsd = ½·KL(P‖M) + ½·KL(Q‖M)``
+    with ``M = (P+Q)/2``, in log base 2 so the value lives in [0, 1]
+    (0 = identical unigram mix, 1 = disjoint vocabularies);
+    ``√jsd`` is a proper metric (Endres & Schindelin 2003).
+
+    Returns one row per unordered pair ``(source_a, source_b,
+    tokens_a, tokens_b, jsd, jsd_distance)`` rounded to 6, pairs
+    ordered ``source_a < source_b``.
+
+    Scale shape: one explode + one (source, token) count aggregation
+    (map-side combined) collapses the corpus to the per-source
+    vocabulary table; a self-enforcing ``max_groups`` pre-check (the
+    ks_test pattern) bounds the pair stage; pairs come from ONE
+    token-keyed self-equi-join of that vocabulary table (never the
+    corpus), full-outer per pair handled by the 0-side contributing
+    ``p·log2(2)`` = p via the one-sided terms.  Everything after the
+    join is a |pairs|-row aggregation."""
+    g = F.col(group_col).cast("string")
+    tf = (
+        docs.where(g.isNotNull())
+        .select(g.alias("__g"), F.explode(tokens_col(text_col)).alias("__w"))
+        .groupBy("__g", "__w")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    k = tf.agg(F.countDistinct("__g").alias("__k")).first()["__k"]
+    if k > max_groups:
+        raise ValueError(
+            f"source_token_jsd: {k} groups > max_groups={max_groups}; "
+            "the pair stage is C(k,2) token-keyed joins — bucket the "
+            "grouping column upstream or raise max_groups if the "
+            "source count is genuinely bounded."
+        )
+    if k < 2:
+        raise ValueError(f"source_token_jsd: need >= 2 groups, got {k}")
+    totals = tf.groupBy("__g").agg(F.sum("__tf").alias("__n"))
+    probs = tf.join(totals, "__g").select(
+        "__g",
+        "__w",
+        (F.col("__tf").cast("double") / F.col("__n").cast("double")).alias(
+            "__p"
+        ),
+        F.col("__n").alias("__nt"),
+    )
+    a = probs.select(
+        F.col("__g").alias("source_a"), F.col("__w").alias("__w"),
+        F.col("__p").alias("__pa"), F.col("__nt").alias("__na"),
+    )
+    b = probs.select(
+        F.col("__g").alias("source_b"), F.col("__w").alias("__wb"),
+        F.col("__p").alias("__pb"), F.col("__nt").alias("__nb"),
+    )
+    # token-keyed equi-join gives the SHARED-vocabulary terms; the
+    # disjoint remainder of each side contributes sum(p)*log2(2) = the
+    # residual mass (1 - shared_mass), added in closed form below
+    ln2 = F.lit(0.6931471805599453)
+    joined = (
+        a.join(b, (F.col("__w") == F.col("__wb")))
+        .where(F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b", "__pa", "__pb")
+    )
+    m = (F.col("__pa") + F.col("__pb")) / 2
+    shared = joined.groupBy("source_a", "source_b").agg(
+        F.sum(
+            F.col("__pa") / 2 * F.log(F.col("__pa") / m) / ln2
+            + F.col("__pb") / 2 * F.log(F.col("__pb") / m) / ln2
+        ).alias("__shared_term"),
+        F.sum("__pa").alias("__massa"),
+        F.sum("__pb").alias("__massb"),
+    )
+    # pairs with completely disjoint vocabularies never meet in the
+    # equi-join: build the full pair spine from the tiny totals table
+    ta = totals.select(
+        F.col("__g").alias("source_a"), F.col("__n").alias("__sna")
+    )
+    tb = totals.select(
+        F.col("__g").alias("source_b"), F.col("__n").alias("__snb")
+    )
+    spine = ta.join(tb, F.col("source_a") < F.col("source_b"))
+    full = spine.join(shared, ["source_a", "source_b"], "left")
+    jsd = (
+        F.coalesce(F.col("__shared_term"), F.lit(0.0))
+        + (F.lit(1.0) - F.coalesce(F.col("__massa"), F.lit(0.0))) / 2
+        + (F.lit(1.0) - F.coalesce(F.col("__massb"), F.lit(0.0))) / 2
+    )
+    clamped = F.least(F.greatest(jsd, F.lit(0.0)), F.lit(1.0))
+    return full.select(
+        "source_a",
+        "source_b",
+        F.col("__sna").cast("long").alias("tokens_a"),
+        F.col("__snb").cast("long").alias("tokens_b"),
+        F.round(clamped, 6).alias("jsd"),
+        F.round(F.sqrt(clamped), 6).alias("jsd_distance"),
     )

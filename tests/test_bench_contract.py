@@ -89,3 +89,31 @@ def test_family_rollup_shape():
         f"{len(families)} families — the stdout rollup is sized for "
         "O(30) keys; merge related prefixes before adding more"
     )
+
+
+def test_registry_bench_coverage_is_deliberate():
+    """Every registry query has a bench row OR an explicit, named
+    BENCH_EXEMPT entry with a reason — the coverage gap can only be
+    deliberate.  Exemptions must be real registry names (no stale
+    entries) and must not ALSO be benched (no contradictions)."""
+    import __spark_entry__ as entrymod
+
+    registry = set(entrymod.all_queries())
+    benched = set(bench.BENCH_QUERIES) | set(bench.EXTRA_BENCH_NAMES)
+    exempt = set(bench.BENCH_EXEMPT)
+
+    stale = exempt - registry
+    assert not stale, f"BENCH_EXEMPT names not in the registry: {sorted(stale)}"
+    contradicted = exempt & benched
+    assert not contradicted, (
+        f"BENCH_EXEMPT names that ARE benched: {sorted(contradicted)}"
+    )
+    uncovered = registry - benched - exempt
+    assert not uncovered, (
+        f"registry queries with neither a bench row nor a named "
+        f"BENCH_EXEMPT reason: {sorted(uncovered)}"
+    )
+    for name, reason in bench.BENCH_EXEMPT.items():
+        assert isinstance(reason, str) and len(reason) > 20, (
+            f"BENCH_EXEMPT[{name}] needs a real reason"
+        )

@@ -6908,3 +6908,196 @@ def test_dataset_card_null_text_reported(spark):
     assert c["n_distinct_texts"] == 2
     assert c["exact_dup_rate"] == 0.5
     assert c["total_tokens"] == 4
+
+
+def test_holm_bonferroni_semantics(spark):
+    """Textbook Holm step-down: raw adjusted = p*(m-rank+1), running
+    max keeps monotonicity, clamp at 1; alpha validation fires."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    tests = spark.createDataFrame(
+        [("t1", 0.01), ("t2", 0.02), ("t3", 0.04), ("t4", 0.9)],
+        "test string, p double",
+    )
+    got = {
+        r["test"]: r
+        for r in stats.holm_bonferroni(tests, "test", "p").collect()
+    }
+    # raw: 0.01*4=0.04, 0.02*3=0.06, 0.04*2=0.08, 0.9*1=0.9
+    assert got["t1"]["p_adj"] == 0.04 and got["t1"]["reject"]
+    assert got["t2"]["p_adj"] == 0.06 and not got["t2"]["reject"]
+    assert got["t3"]["p_adj"] == 0.08
+    assert got["t4"]["p_adj"] == 0.9
+    assert got["t1"]["rank"] == 1 and got["t4"]["m"] == 4
+    # running max: a later small raw value cannot undercut an earlier one
+    mono = spark.createDataFrame(
+        [("a", 0.03), ("b", 0.031)], "test string, p double"
+    )
+    gm = {r["test"]: r["p_adj"]
+          for r in stats.holm_bonferroni(mono, "test", "p").collect()}
+    assert gm["a"] == 0.06 and gm["b"] == 0.06  # max(0.031*1, 0.06)
+    with _pytest.raises(ValueError):
+        stats.holm_bonferroni(tests, "test", "p", alpha=0.0)
+
+
+def test_bayes_ab_beta_semantics(spark):
+    """Beta(1,1) posteriors on hand counts: exact posterior means, the
+    normal-approx P(B>A) lands in the analytically-bracketed range,
+    identical arms give ~0.5, and prior validation fires."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    rows = [("A", 1)] * 2 + [("A", 0)] * 8 + [("B", 1)] * 5 + [("B", 0)] * 5
+    df = spark.createDataFrame(rows, "variant string, converted int")
+    r = stats.bayes_ab_beta(df, "variant", "converted", "A", "B").first()
+    assert r["n_a"] == 10 and r["n_b"] == 10
+    assert r["conv_a"] == 2 and r["conv_b"] == 5
+    assert r["rate_a"] == 0.25 and r["rate_b"] == 0.5  # Beta(3,9), Beta(6,6)
+    assert r["abs_lift"] == 0.25
+    # z = 0.25/sqrt(27/1872 + 36/1872) = 1.3627 -> Phi ~ 0.9135
+    assert 0.90 < r["prob_b_beats_a"] < 0.93
+    same = spark.createDataFrame(
+        [("A", 1), ("A", 0), ("B", 1), ("B", 0)],
+        "variant string, converted int",
+    )
+    rs = stats.bayes_ab_beta(same, "variant", "converted", "A", "B").first()
+    assert abs(rs["prob_b_beats_a"] - 0.5) < 1e-3
+    with _pytest.raises(ValueError):
+        stats.bayes_ab_beta(df, "variant", "converted", "A", "B",
+                            prior_alpha=0.0)
+
+
+def test_page_hinkley_semantics(spark):
+    """A 1.0->2.0 level shift at day 11: hand-computed PH crosses
+    lam=1.0 on day 12 (PH_11 = 10/11 < 1, PH_12 = 10/11 + 11/12 > 1);
+    a flat series never alarms; lam validation fires."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    rows = [
+        (f"2024-01-{d:02d} 00:00:00", 1.0 if d <= 10 else 2.0)
+        for d in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    r = stats.page_hinkley(df, "ts", "value", delta=0.0, lam=1.0).first()
+    assert r["n_days"] == 20 and r["drifted"] is True
+    assert str(r["alarm_day"]) == "2024-01-12"
+    assert str(r["ph_max_day"]) == "2024-01-20"  # monotone climb after shift
+    assert r["ph_max"] > 4.0
+
+    flat = spark.createDataFrame(
+        [(f"2024-01-{d:02d} 00:00:00", 3.0) for d in range(1, 11)],
+        "ts string, value double",
+    ).select(F.to_timestamp("ts").alias("ts"), "value")
+    rf = stats.page_hinkley(flat, "ts", "value", lam=1.0).first()
+    assert rf["drifted"] is False and rf["alarm_day"] is None
+    assert rf["ph_max"] == 0.0
+    with _pytest.raises(ValueError):
+        stats.page_hinkley(df, "ts", "value", lam=0.0)
+
+
+def test_anova_posthoc_semantics(spark):
+    """Two separated groups + one twin: the separated pairs reject
+    after Holm, the twin pair does not; guards fire."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    rows = (
+        [("a", 0.0), ("a", 2.0)] * 10
+        + [("b", 10.0), ("b", 12.0)] * 10
+        + [("c", 10.0), ("c", 12.0)] * 10
+    )
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        (r["group_a"], r["group_b"]): r
+        for r in stats.anova_posthoc(df, "g", "v").collect()
+    }
+    assert len(got) == 3
+    assert got[("a", "b")]["reject"] and got[("a", "c")]["reject"]
+    assert not got[("b", "c")]["reject"]
+    assert got[("b", "c")]["z"] == 0.0
+    assert got[("a", "b")]["mean_a"] == 1.0
+    assert got[("a", "b")]["mean_b"] == 11.0
+    assert got[("a", "b")]["p_adj"] <= got[("a", "b")]["p_value"] * 3 + 1e-9
+    with _pytest.raises(ValueError, match="max_groups"):
+        stats.anova_posthoc(df, "g", "v", max_groups=2)
+    one = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    with _pytest.raises(ValueError, match=">= 2 groups"):
+        stats.anova_posthoc(one, "g", "v")
+
+
+def test_bass_diffusion_fit_semantics(spark):
+    """The closed-form fit equals numpy's least squares on the same
+    daily adoption series, and the (m, p, q) inversion follows Bass's
+    identities; a two-day series (n <= 3) degenerates to NULLs."""
+    import numpy as np
+
+    from plda_spark.operators import events as ev_ops
+
+    nt = [40, 30, 15, 10, 5]
+    rows = []
+    uid = 0
+    for d, n in enumerate(nt, start=1):
+        for _ in range(n):
+            rows.append((uid, f"2024-01-{d:02d} 00:00:00"))
+            uid += 1
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    r = ev_ops.bass_diffusion_fit(ev).first()
+    assert r["n_days"] == 5 and r["adopters"] == 100
+
+    ntf = np.array(nt, dtype=float)
+    N = np.concatenate([[0.0], np.cumsum(ntf)[:-1]])
+    A = np.stack([np.ones_like(N), N, N * N], 1)
+    (a, b, c), *_ = np.linalg.lstsq(A, ntf, rcond=None)
+    m = (-b - np.sqrt(b * b - 4 * a * c)) / (2 * c)
+    assert abs(r["m"] - m) < 1e-3
+    assert abs(r["p"] - a / m) < 1e-5
+    assert abs(r["q"] - (-c * m)) < 1e-5
+    assert abs(r["peak_day"] - np.log((-c * m) / (a / m)) / (a / m - c * m)) < 1e-3
+
+    tiny = ev.where(F.to_date("ts") <= "2024-01-03")
+    rt = ev_ops.bass_diffusion_fit(tiny).first()
+    assert rt["m"] is None and rt["p"] is None and rt["peak_day"] is None
+
+
+def test_source_token_jsd_semantics(spark):
+    """Hand-computed JSD: mirrored 2/3-1/3 unigram mixes give
+    0.081704 bits; disjoint vocabularies give exactly 1.0; identical
+    sources give 0.0; the group guards fire."""
+    import pytest as _pytest
+
+    from plda_spark.operators import text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa bb", "s1"),
+            (2, "aa bb bb", "s2"),
+            (3, "cc dd", "s3"),
+            (4, "aa aa bb", "s4"),  # identical mix to s1
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in text.source_token_jsd(docs).collect()
+    }
+    assert len(got) == 6
+    assert got[("s1", "s2")]["jsd"] == 0.081704
+    assert got[("s1", "s3")]["jsd"] == 1.0  # disjoint vocabularies
+    assert got[("s1", "s4")]["jsd"] == 0.0  # identical mixes
+    assert got[("s1", "s2")]["tokens_a"] == 3
+    assert got[("s1", "s2")]["jsd_distance"] == round(0.081704 ** 0.5, 6)
+    with _pytest.raises(ValueError, match="max_groups"):
+        text.source_token_jsd(docs, max_groups=3)
+    one = docs.where(F.col("source") == "s1")
+    with _pytest.raises(ValueError, match=">= 2 groups"):
+        text.source_token_jsd(one)

@@ -1180,3 +1180,57 @@ def test_decision_stump_window_over_cells_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Window") == 2  # one physical node (tree+details)
     assert "TakeOrderedAndProject" in plan  # bounded argmin, no global sort
+
+
+def test_posthoc_one_corpus_aggregation_then_tiny_join(spark):
+    """stats_posthoc: the corpus collapses to |groups| moment rows in
+    ONE aggregation; everything after (pair join, Holm windows) runs
+    on the tiny group/pair frames — exactly one scan of events, no
+    Python eval."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_posthoc"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the eager localCheckpoint inside anova_posthoc already ran the
+    # single corpus aggregation; the returned plan rides the
+    # materialized |groups| rows — NO parquet scan survives
+    assert s["scans"] == 0
+    assert "Scan ExistingRDD" in plan
+
+
+def test_bass_and_page_hinkley_are_rollup_plans(spark):
+    """events_bass / stats_page_hinkley: one corpus aggregation to the
+    |days| rollup, windows only over that rollup, no joins of the
+    event table to itself, no Python eval."""
+    import __spark_entry__ as e
+
+    for name in ("events_bass", "stats_page_hinkley"):
+        s = plan_summary(
+            e.all_queries()[name](spark, "/root/testdata/sf0.001")
+        )
+        plan = s["plan"]
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # formatted plans name each node twice (tree + details), so 2
+        # occurrences == ONE physical parquet scan
+        assert s["scans"] == 2, name
+        assert s["sort_merge_joins"] == 0, name
+
+
+def test_source_jsd_joins_vocab_table_not_corpus(spark):
+    """text_source_jsd: the token-keyed pair join runs over the
+    (source, token) aggregation, so the documents table is scanned
+    once per side of the self-join at most — and the disjoint-mass
+    closed form means NO full-outer join appears anywhere."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["text_source_jsd"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FullOuter" not in plan
+    # only source + text are read from documents
+    assert all(sc.count(",") <= 1 for sc in s["read_schemas"])

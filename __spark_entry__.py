@@ -5979,6 +5979,74 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_source_jsd"] = text_source_jsd
 
+    def stats_gtest(spark, sf):
+        """Likelihood-ratio G-test of independence (operators/stats.py
+        g_test — Woolf 1957) between source and language: the
+        log-linear-model counterpart of stats_chi2_independence (same
+        contingency aggregation, additively decomposable statistic).
+        One (a, b) count aggregation + broadcast margins."""
+        from plda_spark.operators import stats
+
+        return stats.g_test(
+            load_table(spark, sf, "documents"), "source", "lang"
+        )
+
+    q["stats_gtest"] = stats_gtest
+
+    def stats_storey(spark, sf):
+        """Storey q-values (operators/stats.py storey_qvalues — Storey
+        & Tibshirani 2003) over the SAME one-vs-rest drift screen as
+        stats_bh_fdr: pi0 estimated at lambda = 0.5 scales the BH
+        step-up, buying back power when much of the family is truly
+        non-null.  |tests| rows end to end."""
+        from plda_spark.operators import stats
+
+        tests = stats.group_mean_shift_tests(
+            load_table(spark, sf, "events"), "event_type", "value"
+        )
+        return stats.storey_qvalues(tests, "group", "p_value")
+
+    q["stats_storey"] = stats_storey
+
+    def classify_pr_auc(spark, sf):
+        """Average precision / PR-AUC (operators/classify.py
+        pr_auc_report — Davis & Goadrich 2006) of the SAME sigmoid
+        score and purchase label as classify_auc: the
+        imbalance-honest twin of the ROC readout (baseline column =
+        prevalence, what a random scorer gets).  One per-distinct-
+        score aggregation + one descending cumulative window."""
+        from plda_spark.operators import classify
+
+        ev = load_table(spark, sf, "events").where(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        scored = ev.select(
+            F.round(
+                F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("value") / 100.0)),
+                3,
+            ).alias("score"),
+            (F.col("event_type") == "purchase").cast("int").alias("label"),
+        )
+        return classify.pr_auc_report(scored, "score", "label")
+
+    q["classify_pr_auc"] = classify_pr_auc
+
+    def classify_report(spark, sf):
+        """Per-class precision/recall/F1 + accuracy + macro-F1
+        (operators/classify.py classification_report) of the
+        stopword-lexicon language_id prediction against the labeled
+        document language — the per-class breakdown behind the single
+        kappa number of stats_cohens_kappa.  ONE (true, pred) count
+        aggregation; everything after runs on the |classes|² table."""
+        from plda_spark.operators import classify, text
+
+        docs = load_table(spark, sf, "documents")
+        pred = text.language_id(docs).select("doc_id", "pred_lang")
+        joined = docs.select("doc_id", "lang").join(pred, "doc_id")
+        return classify.classification_report(joined, "lang", "pred_lang")
+
+    q["classify_report"] = classify_report
+
     return q
 
 
@@ -13458,6 +13526,139 @@ SELECT sa AS source_a, sb AS source_b,
 FROM jv
 """.replace("__TOKS__", _SQL_TOKS)
 
+    # Same contingency/margin aggregation as the chi2 oracle; the
+    # observed-cells-only sum IS complete (empty cells contribute 0 to
+    # G); same Wilson-Hilferty upper tail as kruskal_wallis.
+    o["stats_gtest"] = """
+WITH cell AS (
+  SELECT source AS a, lang AS b, CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), ra AS (SELECT a, sum(o) AS ta FROM cell GROUP BY a),
+rb AS (SELECT b, sum(o) AS tb FROM cell GROUP BY b),
+tot AS (SELECT sum(o) AS n, count(DISTINCT a) AS na,
+               count(DISTINCT b) AS nb FROM cell),
+g AS (
+  SELECT n, na, nb,
+         greatest(2.0*sum(o*ln(o/(CAST(ta AS DOUBLE)*tb/n))), 0.0) AS gv
+  FROM cell JOIN ra USING (a) JOIN rb USING (b), tot
+  GROUP BY n, na, nb
+), d AS (
+  SELECT n, na, nb, CAST((na - 1)*(nb - 1) AS DOUBLE) AS dof, gv FROM g
+), z AS (
+  SELECT *, CASE WHEN dof > 0 AND gv > 0
+                 THEN (pow(gv/dof, 1.0/3.0) - (1.0 - 2.0/(9.0*dof)))
+                      /sqrt(2.0/(9.0*dof))
+                 ELSE 0.0 END AS zv
+  FROM d
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(zv)) AS tt FROM z),
+pr AS (
+  SELECT *, (exp(-zv*zv/2.0)/2.5066282746310002)
+    *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+       + tt*(-1.821255978 + tt*1.330274429))))) AS half
+  FROM ph
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b, CAST(dof AS BIGINT) AS dof,
+       round(gv, 6) AS g_stat,
+       round(least(greatest(CASE WHEN zv >= 0 THEN half
+                                 ELSE 1.0 - half END, 0.0), 1.0), 6)
+         AS p_value
+FROM pr
+"""
+
+    # Same drift-screen prefix as BH/BY; pi0 at lambda = 0.5 scales
+    # the step-up, floored at 1/m and capped at 1.
+    o["stats_storey"] = _bh_prefix + """), pi AS (
+  SELECT least(greatest(sum(CASE WHEN p > 0.5 THEN 1 ELSE 0 END)
+                        /(0.5*count(*)), 1.0/count(*)), 1.0) AS pi0
+  FROM ranked
+), mono AS (
+  SELECT ranked.*, pi0,
+         least(min(pi0 * p * m / rank) OVER (
+           ORDER BY rank DESC ROWS UNBOUNDED PRECEDING), 1.0) AS q
+  FROM ranked, pi
+)
+SELECT test, round(p, 6) AS p_value, rank, m, round(pi0, 6) AS pi0,
+       round(q, 6) AS q_value, q <= 0.05 AS reject
+FROM mono
+"""
+
+    # Same score/label construction as classify_auc; step AP over
+    # descending distinct thresholds with per-score tie grouping.
+    o["classify_pr_auc"] = """
+WITH base AS (
+  SELECT round(1/(1+exp(-value/100.0)), 3) AS p,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+), cells AS (
+  SELECT p AS v, sum(y) AS ca, sum(1-y) AS cb FROM base GROUP BY 1
+), cum AS (
+  SELECT ca,
+         sum(ca) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING) AS tp,
+         sum(ca + cb) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+           AS pred
+  FROM cells
+), tot AS (SELECT sum(ca) AS n_pos, sum(cb) AS n_neg FROM cells),
+terms AS (
+  SELECT n_pos, n_neg,
+         CASE WHEN n_pos > 0
+              THEN CAST(ca AS DOUBLE)/n_pos*(CAST(tp AS DOUBLE)/pred)
+         END AS term
+  FROM cum, tot
+), agg AS (SELECT n_pos, n_neg, sum(term) AS ap FROM terms GROUP BY 1, 2)
+SELECT CAST(n_pos + n_neg AS BIGINT) AS n,
+       CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+       round(CASE WHEN n_pos > 0 THEN ap END, 6) AS pr_auc,
+       round(CAST(n_pos AS DOUBLE)/(n_pos + n_neg), 6) AS baseline
+FROM agg
+"""
+
+    # Same lexicon argmax prediction as the kappa oracle; per-class
+    # margins/diagonal + the table-level accuracy/macro-F1 rollup.
+    o["classify_report"] = f"""
+WITH t AS (SELECT doc_id, lang, {_SQL_TOKS} AS toks FROM documents),
+h AS (SELECT doc_id, lang, {_kp_hits} FROM t),
+r AS (
+  SELECT lang AS a,
+         CASE WHEN list_max({_kp_arr}) = 0 THEN 'und'
+              ELSE {_kp_langs}[list_position({_kp_arr},
+                                             list_max({_kp_arr}))]
+         END AS b
+  FROM h WHERE lang IS NOT NULL
+), cell AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+tm AS (SELECT a AS label, sum(c) AS n_true FROM cell GROUP BY 1),
+pm AS (SELECT b AS label, sum(c) AS n_pred FROM cell GROUP BY 1),
+dg AS (SELECT a AS label, c AS tp FROM cell WHERE a = b),
+spine AS (
+  SELECT coalesce(tm.label, pm.label) AS label,
+         coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred
+  FROM tm FULL OUTER JOIN pm ON tm.label = pm.label
+), sp2 AS (
+  SELECT spine.label, n_true, n_pred, coalesce(tp, 0) AS tp
+  FROM spine LEFT JOIN dg ON spine.label = dg.label
+), scored AS (
+  SELECT label, n_true, n_pred, tp,
+         CASE WHEN n_pred > 0 THEN tp/CAST(n_pred AS DOUBLE) END AS prec,
+         CASE WHEN n_true > 0 THEN tp/CAST(n_true AS DOUBLE) END AS rec
+  FROM sp2
+), f AS (
+  SELECT *, CASE WHEN coalesce(prec, 0) + coalesce(rec, 0) > 0
+                 THEN 2*coalesce(prec, 0)*coalesce(rec, 0)
+                      /(coalesce(prec, 0) + coalesce(rec, 0))
+                 ELSE 0.0 END AS f1
+  FROM scored
+), tot AS (
+  SELECT sum(tp) AS tpsum, sum(n_true) AS nn, avg(f1) AS macro FROM f
+)
+SELECT label, CAST(n_true AS BIGINT) AS n_true,
+       CAST(n_pred AS BIGINT) AS n_pred, CAST(tp AS BIGINT) AS tp,
+       round(prec, 6) AS precision, round(rec, 6) AS recall,
+       round(f1, 6) AS f1,
+       round(tpsum/CAST(nn AS DOUBLE), 6) AS accuracy,
+       round(macro, 6) AS macro_f1
+FROM f, tot
+"""
+
     return o
 
 
@@ -13806,6 +14007,10 @@ EXTRA_QUERIES: list[str] = [
     "stats_posthoc",
     "events_bass",
     "text_source_jsd",
+    "stats_gtest",
+    "stats_storey",
+    "classify_pr_auc",
+    "classify_report",
 ]
 
 

@@ -437,6 +437,14 @@ BENCH_QUERIES = [
     "events_bass",
     # pairwise per-source token-distribution JSD
     "text_source_jsd",
+    # likelihood-ratio G-test of independence
+    "stats_gtest",
+    # Storey pi0-scaled q-values over the drift screen
+    "stats_storey",
+    # average precision / PR-AUC (imbalance-honest ROC twin)
+    "classify_pr_auc",
+    # per-class precision/recall/F1 + accuracy/macro-F1
+    "classify_report",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

@@ -28,7 +28,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report", "nb_eval", "roc_auc_report", "decision_stump"]
+__all__ = ["logreg_fit", "logreg_score", "logreg_score_col", "calibration_report", "lift_report", "nb_eval", "roc_auc_report", "decision_stump", "pr_auc_report", "classification_report"]
 
 
 def logreg_fit(
@@ -560,4 +560,168 @@ def decision_stump(
         F.round(
             (F.col("t1") - F.col("c1")) / nr2, 6
         ).alias("right_pos_rate"),
+    )
+
+
+def pr_auc_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    bins: int | None = None,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Precision-recall AUC (average precision, the sklearn/TREC
+    step-interpolation: ``AP = Σ_k (R_k − R_{k−1})·P_k`` over
+    descending score thresholds — Zhu 2004; Davis & Goadrich 2006 for
+    why PR beats ROC on imbalanced data): the metric to read INSTEAD
+    of ROC AUC when positives are rare (quality filtering, near-dup
+    flags, abuse detection), because ROC's false-positive rate is
+    diluted by the huge negative class while precision is not.
+
+    Ties are grouped per distinct score (one threshold per distinct
+    value, both engines replay the same grouping).  Returns ONE row
+    ``(n, n_pos, n_neg, pr_auc, baseline)`` rounded to 6 —
+    ``baseline`` is the positive prevalence (a random scorer's AP);
+    ``pr_auc`` is NULL when there are no positives.
+
+    Scale shape: the KS-family contract — ONE per-distinct-score
+    (positives, negatives) count aggregation through
+    ``stats._two_sample_per_value_counts`` (``max_distinct``
+    pre-check ENFORCED; pass ``bins=`` for continuous scores), then
+    one descending cumulative window over the |distinct scores|
+    rows."""
+    from pyspark.sql import Window
+
+    from plda_spark.operators.stats import _two_sample_per_value_counts
+
+    lab = F.col(label_col).cast("int")
+    base = df.where(
+        F.col(score_col).isNotNull() & lab.isNotNull()
+    ).select(
+        F.col(score_col).cast("double").alias("__p"), lab.alias("__y")
+    )
+    cells = _two_sample_per_value_counts(
+        base, "__y", "__p", 1, 0, bins, max_distinct, "pr_auc_report"
+    )
+    wd = Window.orderBy(F.col("v").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = cells.select(
+        "ca",
+        F.sum("ca").over(wd).alias("__tp"),
+        (F.sum("ca").over(wd) + F.sum("cb").over(wd)).alias("__pred"),
+    )
+    tot = cells.agg(
+        F.sum("ca").cast("long").alias("n_pos"),
+        F.sum("cb").cast("long").alias("n_neg"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "n_pos",
+        "n_neg",
+        # delta-recall at this threshold times precision at it; the
+        # n_pos > 0 gate keeps the all-negative degenerate case NULL
+        # instead of a division error under ANSI mode
+        F.when(
+            F.col("n_pos") > 0,
+            F.col("ca").cast("double")
+            / F.col("n_pos")
+            * (F.col("__tp").cast("double") / F.col("__pred")),
+        ).alias("__term"),
+    )
+    agg = terms.groupBy("n_pos", "n_neg").agg(
+        F.sum("__term").alias("__ap")
+    )
+    n = (F.col("n_pos") + F.col("n_neg")).cast("long")
+    ap = F.when(F.col("n_pos") > 0, F.col("__ap"))
+    return agg.select(
+        n.alias("n"),
+        "n_pos",
+        "n_neg",
+        F.round(ap, 6).alias("pr_auc"),
+        F.round(
+            F.col("n_pos").cast("double")
+            / (F.col("n_pos") + F.col("n_neg")),
+            6,
+        ).alias("baseline"),
+    )
+
+
+def classification_report(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class precision/recall/F1 plus the table-level accuracy and
+    macro-F1 (the standard multi-class evaluation readout; van
+    Rijsbergen 1979 for F) from a frame of (true label, predicted
+    label) pairs — the summary to run on :func:`nb_eval` or
+    :func:`knn_classify` outputs before trusting a labeler.
+
+    Returns one row per class that appears as a true OR predicted
+    label: ``(label, n_true, n_pred, tp, precision, recall, f1,
+    accuracy, macro_f1)`` rounded to 6 — ``accuracy``/``macro_f1``
+    are table-level and repeated per row (the :func:`benford_audit`
+    convention); precision/recall are NULL when their denominator is
+    0 and such classes contribute 0 to macro-F1 (the sklearn
+    zero-division=0 convention).
+
+    Scale shape: ONE (label, pred) count aggregation over the data —
+    the |classes|² confusion table is the only thing that survives;
+    margins and the macro rollup are tiny-frame joins on it."""
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("string").alias("__t"),
+        F.col(pred_col).cast("string").alias("__p"),
+    )
+    cell = base.groupBy("__t", "__p").agg(F.count(F.lit(1)).alias("c"))
+    true_m = cell.groupBy(F.col("__t").alias("label")).agg(
+        F.sum("c").alias("n_true")
+    )
+    pred_m = cell.groupBy(F.col("__p").alias("label")).agg(
+        F.sum("c").alias("n_pred")
+    )
+    diag = cell.where(F.col("__t") == F.col("__p")).select(
+        F.col("__t").alias("label"), F.col("c").alias("tp")
+    )
+    spine = true_m.join(pred_m, "label", "full_outer").join(
+        diag, "label", "left"
+    ).select(
+        "label",
+        F.coalesce("n_true", F.lit(0)).alias("n_true"),
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
+    )
+    prec = F.when(
+        F.col("n_pred") > 0, F.col("tp") / F.col("n_pred").cast("double")
+    )
+    rec = F.when(
+        F.col("n_true") > 0, F.col("tp") / F.col("n_true").cast("double")
+    )
+    f1 = F.when(
+        F.coalesce(prec, F.lit(0.0)) + F.coalesce(rec, F.lit(0.0)) > 0,
+        2 * F.coalesce(prec, F.lit(0.0)) * F.coalesce(rec, F.lit(0.0))
+        / (F.coalesce(prec, F.lit(0.0)) + F.coalesce(rec, F.lit(0.0))),
+    ).otherwise(F.lit(0.0))
+    scored = spine.select(
+        "label", "n_true", "n_pred", "tp",
+        prec.alias("__prec"), rec.alias("__rec"), f1.alias("__f1"),
+    )
+    tot = scored.agg(
+        F.sum("tp").alias("__tpsum"),
+        F.sum("n_true").alias("__n"),
+        F.avg("__f1").alias("__macro"),
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "label",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_pred").cast("long").alias("n_pred"),
+        F.col("tp").cast("long").alias("tp"),
+        F.round("__prec", 6).alias("precision"),
+        F.round("__rec", 6).alias("recall"),
+        F.round("__f1", 6).alias("f1"),
+        F.round(
+            F.col("__tpsum").cast("double") / F.col("__n"), 6
+        ).alias("accuracy"),
+        F.round("__macro", 6).alias("macro_f1"),
     )

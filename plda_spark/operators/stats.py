@@ -107,6 +107,8 @@ __all__ = [
     "bayes_ab_beta",
     "page_hinkley",
     "anova_posthoc",
+    "g_test",
+    "storey_qvalues",
 ]
 
 
@@ -5580,4 +5582,139 @@ def anova_posthoc(
             "p_adj",
             "reject",
         )
+    )
+
+
+def g_test(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+) -> DataFrame:
+    """Likelihood-ratio G-test of independence between two categorical
+    columns (Sokal & Rohlf's standard alternative to Pearson χ²;
+    Woolf 1957): ``G = 2·Σ o·ln(o/e)`` over the contingency table
+    with ``e = row_total·col_total/n`` — additively decomposable
+    across table partitions (the property Pearson χ² lacks) and the
+    statistic that log-linear model comparisons actually difference.
+    Empty cells contribute 0 to G exactly (lim x→0 of x·ln x), so the
+    observed-cells-only aggregation is complete, not an approximation.
+
+    Returns ONE row ``(n, n_a, n_b, dof, g_stat, p_value)`` rounded to
+    6; p via the shared Wilson-Hilferty cube-root chi-squared
+    approximation (the :func:`kruskal_wallis` convention).
+
+    Scale shape: identical to :func:`chi2_independence` — one (a, b)
+    count aggregation, two broadcast margin joins, scalar arithmetic
+    on the |R·C|-row contingency table."""
+    cell = df.groupBy(
+        F.col(col_a).alias("a"), F.col(col_b).alias("b")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    ra = cell.groupBy("a").agg(F.sum("o").alias("ta"))
+    rb = cell.groupBy("b").agg(F.sum("o").alias("tb"))
+    tot = cell.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct("a").alias("n_a"),
+        F.countDistinct("b").alias("n_b"),
+    )
+    joined = (
+        cell.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    o = F.col("o").cast("double")
+    e = F.col("ta").cast("double") * F.col("tb") / F.col("n")
+    g = F.lit(2.0) * F.sum(o * F.log(o / e))
+    agg = joined.groupBy("n", "n_a", "n_b").agg(g.alias("__g"))
+    dof = ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("double")
+    gv = F.greatest(F.col("__g"), F.lit(0.0))
+    staged = agg.select(
+        "n", "n_a", "n_b", dof.alias("__dof"), gv.alias("__gv")
+    )
+    nu = F.col("__dof")
+    z = F.when(
+        (nu > 0) & (F.col("__gv") > 0),
+        (
+            F.pow(F.col("__gv") / nu, F.lit(1.0 / 3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * nu))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * nu)),
+    ).otherwise(F.lit(0.0))
+    staged2 = staged.withColumn("__z", z)
+    half = _two_sided_normal_p(F.abs(F.col("__z"))) / F.lit(2.0)
+    p = F.when(F.col("__z") >= 0, half).otherwise(F.lit(1.0) - half)
+    return staged2.select(
+        "n",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.col("__dof").cast("long").alias("dof"),
+        F.round("__gv", 6).alias("g_stat"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def storey_qvalues(
+    tests: DataFrame,
+    test_col: str,
+    p_col: str,
+    lambda_: float = 0.5,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Storey's positive-FDR q-values (Storey 2002; Storey &
+    Tibshirani 2003 PNAS): estimate the null fraction
+    ``π₀ = #{p > λ} / ((1−λ)·m)`` (clamped to (0, 1]), then scale the
+    BH step-up by it — ``q_i = min_{j≥i} π₀·p_(j)·m/j``.  When many
+    tests are truly alternative (a drift sweep over a corpus that HAS
+    drifted), BH's implicit π₀ = 1 is conservative and Storey's
+    estimate buys back real power at the same FDR.
+
+    Returns ``(test, p_value, rank, m, pi0, q_value, reject)``.
+
+    Scale shape: |tests| rows end-to-end, exactly like
+    :func:`bh_fdr` — two ordered windows plus one broadcast scalar
+    (the π₀ aggregate); never point it at raw events."""
+    if not (0.0 < lambda_ < 1.0):
+        raise ValueError(f"lambda_ must be in (0, 1), got {lambda_}")
+    if not (0.0 < alpha < 1.0):
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    rk = Window.orderBy(F.col("__p").asc(), F.col("__test").asc())
+    staged = tests.select(
+        F.col(test_col).cast("string").alias("__test"),
+        F.col(p_col).cast("double").alias("__p"),
+    ).select(
+        "__test",
+        "__p",
+        F.row_number().over(rk).alias("__rank"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
+    )
+    pi0_agg = staged.agg(
+        F.least(
+            F.greatest(
+                F.sum((F.col("__p") > lambda_).cast("long"))
+                / (F.lit(1.0 - lambda_) * F.count(F.lit(1))),
+                # a sweep where every p <= lambda would estimate
+                # pi0 = 0 and zero every q-value; floor at 1/m (at
+                # least one test could be null), the standard clamp
+                F.lit(1.0) / F.count(F.lit(1)),
+            ),
+            F.lit(1.0),
+        ).alias("__pi0")
+    )
+    staged2 = staged.crossJoin(F.broadcast(pi0_agg))
+    qraw = F.col("__pi0") * F.col("__p") * F.col("__m") / F.col("__rank")
+    staged3 = staged2.withColumn("__qraw", qraw)
+    down = Window.orderBy(F.col("__rank").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    q = F.least(F.min("__qraw").over(down), F.lit(1.0))
+    staged4 = staged3.withColumn("__q", q)
+    return staged4.select(
+        F.col("__test").alias("test"),
+        F.round("__p", 6).alias("p_value"),
+        F.col("__rank").alias("rank"),
+        F.col("__m").alias("m"),
+        F.round("__pi0", 6).alias("pi0"),
+        F.round("__q", 6).alias("q_value"),
+        (F.col("__q") <= F.lit(alpha)).alias("reject"),
     )

@@ -7101,3 +7101,122 @@ def test_source_token_jsd_semantics(spark):
     one = docs.where(F.col("source") == "s1")
     with _pytest.raises(ValueError, match=">= 2 groups"):
         text.source_token_jsd(one)
+
+
+def test_g_test_semantics(spark):
+    """Hand-computed 2x2 G statistic; independent columns give G ~ 0;
+    empty-cell tables stay finite (observed-cells-only sum is exact)."""
+    import math
+
+    from plda_spark.operators import stats
+
+    # 2x2: [[30, 10], [10, 30]] -> strong association
+    rows = (
+        [("x", "u")] * 30 + [("x", "v")] * 10
+        + [("y", "u")] * 10 + [("y", "v")] * 30
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.g_test(df, "a", "b").first()
+    assert r["n"] == 80 and r["dof"] == 1
+    # G = 2*sum o*ln(o/e), e = 20 everywhere
+    want = 2 * (30 * math.log(1.5) * 2 + 10 * math.log(0.5) * 2)
+    assert abs(r["g_stat"] - round(want, 6)) < 1e-6
+    assert r["p_value"] < 0.001
+
+    indep = spark.createDataFrame(
+        [("x", "u")] * 20 + [("x", "v")] * 20
+        + [("y", "u")] * 20 + [("y", "v")] * 20,
+        "a string, b string",
+    )
+    ri = stats.g_test(indep, "a", "b").first()
+    assert ri["g_stat"] == 0.0 and ri["p_value"] >= 0.5
+
+
+def test_storey_qvalues_semantics(spark):
+    """pi0 is the fraction of p-values above lambda, scaled up; q
+    equals pi0 * BH q; a saturated-alternative family floors pi0 at
+    1/m; lambda validation fires."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    tests = spark.createDataFrame(
+        [("t1", 0.001), ("t2", 0.01), ("t3", 0.6), ("t4", 0.8)],
+        "test string, p double",
+    )
+    got = {
+        r["test"]: r
+        for r in stats.storey_qvalues(tests, "test", "p").collect()
+    }
+    # 2 of 4 above 0.5 -> pi0 = 2/(0.5*4) = 1.0
+    assert got["t1"]["pi0"] == 1.0
+    assert got["t1"]["q_value"] == round(0.001 * 4 / 1, 6)
+
+    low = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04)],
+        "test string, p double",
+    )
+    gl = {r["test"]: r for r in
+          stats.storey_qvalues(low, "test", "p").collect()}
+    assert gl["a"]["pi0"] == 0.25  # floor 1/m, not 0
+    # q = pi0 * BH q: a -> 0.25 * min(0.01*4/1, ...) = 0.25*0.04
+    assert gl["a"]["q_value"] == 0.01
+    assert gl["a"]["reject"]
+    with _pytest.raises(ValueError):
+        stats.storey_qvalues(tests, "test", "p", lambda_=1.0)
+
+
+def test_pr_auc_semantics(spark):
+    """A perfect scorer has AP = 1; a constant scorer has AP equal to
+    prevalence (one threshold, precision = baseline); the sklearn
+    step definition reproduces a hand-computed mixed case."""
+    from plda_spark.operators import classify
+
+    perfect = spark.createDataFrame(
+        [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "score double, label int"
+    )
+    rp = classify.pr_auc_report(perfect, "score", "label").first()
+    assert rp["pr_auc"] == 1.0 and rp["baseline"] == 0.5
+
+    const = spark.createDataFrame(
+        [(0.5, 1), (0.5, 0), (0.5, 0), (0.5, 0)], "score double, label int"
+    )
+    rc = classify.pr_auc_report(const, "score", "label").first()
+    assert rc["pr_auc"] == 0.25 and rc["baseline"] == 0.25
+
+    # scores desc: (0.9,1) (0.8,0) (0.7,1): thresholds ->
+    # t1: dR=1/2, P=1; t3: dR=1/2, P=2/3 -> AP = 1/2 + 1/3
+    mixed = spark.createDataFrame(
+        [(0.9, 1), (0.8, 0), (0.7, 1)], "score double, label int"
+    )
+    rm = classify.pr_auc_report(mixed, "score", "label").first()
+    assert abs(rm["pr_auc"] - (0.5 + 1 / 3)) < 1e-6
+
+
+def test_classification_report_semantics(spark):
+    """Hand-computed per-class P/R/F1 with a class that is predicted
+    but never true (NULL recall... precision defined, f1 via the
+    zero-division=0 convention) and the macro/accuracy rollups."""
+    from plda_spark.operators import classify
+
+    rows = [
+        ("a", "a"), ("a", "a"), ("a", "b"),
+        ("b", "b"), ("b", "c"),
+    ]
+    df = spark.createDataFrame(rows, "y string, yhat string")
+    got = {
+        r["label"]: r
+        for r in classify.classification_report(df, "y", "yhat").collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    assert got["a"]["precision"] == 1.0 and got["a"]["recall"] == round(2 / 3, 6)
+    assert got["a"]["f1"] == 0.8
+    assert got["b"]["n_true"] == 2 and got["b"]["n_pred"] == 2
+    assert got["b"]["precision"] == 0.5 and got["b"]["recall"] == 0.5
+    # class c: predicted once, never true -> precision 0, recall NULL,
+    # f1 0 by the zero-division convention
+    assert got["c"]["n_true"] == 0 and got["c"]["precision"] == 0.0
+    assert got["c"]["recall"] is None and got["c"]["f1"] == 0.0
+    assert got["a"]["accuracy"] == 0.6  # 3 of 5 on the diagonal
+    mac = round((0.8 + 0.5 + 0.0) / 3, 6)
+    assert got["a"]["macro_f1"] == mac

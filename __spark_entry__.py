@@ -6047,6 +6047,84 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["classify_report"] = classify_report
 
+    def stats_seasonal_strength(spark, sf):
+        """Strength-of-trend / strength-of-seasonality scalars
+        (operators/stats.py seasonality_strength — Wang-Smyth-Hyndman
+        2006) over the SAME daily event-count series as
+        stats_seasonal_decompose: the decomposition plot turned into
+        two monitorable numbers.  |days|-row windows + ONE moment
+        aggregation."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events")
+        daily = ev.groupBy(
+            F.to_date("ts").cast("string").alias("day")
+        ).agg(F.count(F.lit(1)).cast("long").alias("y"))
+        return stats.seasonality_strength(daily, ts_col="day", value_col="y")
+
+    q["stats_seasonal_strength"] = stats_seasonal_strength
+
+    def stats_hurst(spark, sf):
+        """Hurst exponent by rescaled-range analysis (operators/
+        stats.py hurst_exponent — Hurst 1951, Mandelbrot-Wallis 1969)
+        of the daily mean event value at block sizes 5/10/15: the
+        long-memory diagnostic behind capacity planning.  |days|-row
+        block windows + a |scales|-point closed-form fit."""
+        from plda_spark.operators import stats
+
+        return stats.hurst_exponent(
+            load_table(spark, sf, "events"), "ts", "value",
+            block_sizes=(5, 10, 15),
+        )
+
+    q["stats_hurst"] = stats_hurst
+
+    def stats_gpd_tail(spark, sf):
+        """Generalized-Pareto tail fit by probability-weighted moments
+        (operators/stats.py gpd_tail_fit — Hosking & Wallis 1987) of
+        event values exceeding the fixed threshold 250: the
+        peaks-over-threshold answer to how heavy the value tail is.
+        One value-keyed cell aggregation + one ordered |distinct|
+        window (max_distinct enforced)."""
+        from plda_spark.operators import stats
+
+        return stats.gpd_tail_fit(
+            load_table(spark, sf, "events"), "value", threshold=250.0
+        )
+
+    q["stats_gpd_tail"] = stats_gpd_tail
+
+    def stats_wilson_ci(spark, sf):
+        """Per-event-type conversion share with Wilson score intervals
+        (operators/stats.py wilson_ci_by_group — Wilson 1927; the
+        Brown-Cai-DasGupta recommendation): success = value > 100.
+        ONE group-keyed conditional aggregation; interval algebra on
+        |groups| rows."""
+        from plda_spark.operators import stats
+
+        ev = load_table(spark, sf, "events").select(
+            "event_type", (F.col("value") > 100).cast("int").alias("hit")
+        )
+        return stats.wilson_ci_by_group(ev, "event_type", "hit")
+
+    q["stats_wilson_ci"] = stats_wilson_ci
+
+    def ml_kmeans_fit(spark, sf):
+        """Distributed Lloyd k-means fit (operators/similarity.py
+        kmeans_fit — Lloyd 1957): k=4 deterministic lowest-id seeds,
+        2 assignment/update rounds over the embeddings table, final
+        per-cluster (n, wcss) readout.  Per round: ONE corpus assign
+        pass (JVM folds) + ONE posexplode mean aggregation reduced to
+        k*dim partials; centroids round-trip the driver rounded to 6
+        so both engines replay identical literals."""
+        from plda_spark.operators import similarity
+
+        return similarity.kmeans_fit(
+            load_table(spark, sf, "embeddings"), k=4, rounds=2
+        )
+
+    q["ml_kmeans_fit"] = ml_kmeans_fit
+
     return q
 
 
@@ -13659,6 +13737,205 @@ SELECT label, CAST(n_true AS BIGINT) AS n_true,
 FROM f, tot
 """
 
+    # The decomposition oracle as a CTE, then the Wang-Smyth-Hyndman
+    # variance-ratio identities on its usable (residual-defined) rows.
+    o["stats_seasonal_strength"] = (
+        "WITH dec AS (" + o["stats_seasonal_decompose"] + """),
+tot AS (SELECT count(*) AS n_days FROM dec),
+used AS (SELECT * FROM dec WHERE residual IS NOT NULL),
+m AS (
+  SELECT count(*) AS nu,
+         sum(residual) AS sr1, sum(residual*residual) AS sr2,
+         sum(y - seasonal) AS st1, sum((y - seasonal)*(y - seasonal)) AS st2,
+         sum(y - trend) AS ss1, sum((y - trend)*(y - trend)) AS ss2
+  FROM used
+), v AS (
+  SELECT nu,
+         CASE WHEN nu > 2 THEN (sr2 - sr1*sr1/nu)/(nu - 1) END AS vr,
+         CASE WHEN nu > 2 THEN (st2 - st1*st1/nu)/(nu - 1) END AS vt,
+         CASE WHEN nu > 2 THEN (ss2 - ss1*ss1/nu)/(nu - 1) END AS vs
+  FROM m
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, CAST(nu AS BIGINT) AS n_used,
+       round(CASE WHEN vt > 0 THEN greatest(1.0 - vr/vt, 0.0)
+                  WHEN vt IS NOT NULL THEN 0.0 END, 6)
+         AS trend_strength,
+       round(CASE WHEN vs > 0 THEN greatest(1.0 - vr/vs, 0.0)
+                  WHEN vs IS NOT NULL THEN 0.0 END, 6)
+         AS seasonal_strength
+FROM v, tot
+"""
+    )
+
+    # Same daily-mean series, same complete-blocks R/S per scale, same
+    # closed-form log-log fit.
+    _hu_sizes = (5, 10, 15)
+    _hu_ctes = []
+    for _n in _hu_sizes:
+        _hu_ctes.append(f"""blk{_n} AS (
+  SELECT CAST(floor(i/{_n}) AS BIGINT) AS b, i, x,
+         count(*) OVER (PARTITION BY floor(i/{_n})) AS bn
+  FROM seq
+), fb{_n} AS (SELECT b, i, x FROM blk{_n} WHERE bn = {_n}),
+bm{_n} AS (
+  SELECT b, i, x, avg(x) OVER (PARTITION BY b) AS mean FROM fb{_n}
+), cd{_n} AS (
+  SELECT b, x,
+         sum(x - mean) OVER (PARTITION BY b ORDER BY i
+           ROWS UNBOUNDED PRECEDING) AS cd
+  FROM bm{_n}
+), pb{_n} AS (
+  SELECT b, max(cd) - min(cd) AS r,
+         sqrt(greatest(avg(x*x) - avg(x)*avg(x), 0.0)) AS s
+  FROM cd{_n} GROUP BY b
+), rs{_n} AS (
+  SELECT CAST({_n} AS DOUBLE) AS nn, avg(r/s) AS rs, count(*) AS nb
+  FROM pb{_n} WHERE s > 0
+)""")
+    o["stats_hurst"] = (
+        """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, avg(CAST(value AS DOUBLE)) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+), seq AS (
+  SELECT d, x, row_number() OVER (ORDER BY d) - 1 AS i FROM daily
+), nd AS (SELECT count(*) AS n_days FROM daily),
+"""
+        + ",\n".join(_hu_ctes)
+        + """,
+pts AS (
+  SELECT ln(nn) AS lx, ln(rs) AS ly FROM (
+    SELECT * FROM rs5 UNION ALL SELECT * FROM rs10
+    UNION ALL SELECT * FROM rs15
+  ) WHERE nb > 0 AND rs > 0
+), agg AS (
+  SELECT count(*) AS k, sum(lx) AS sx, sum(ly) AS sy,
+         sum(lx*lx) AS sxx, sum(ly*ly) AS syy, sum(lx*ly) AS sxy
+  FROM pts
+), c AS (
+  SELECT k, CAST(k AS DOUBLE)*sxx - sx*sx AS dx,
+         CAST(k AS DOUBLE)*syy - sy*sy AS dy,
+         CAST(k AS DOUBLE)*sxy - sx*sy AS num
+  FROM agg
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_scales,
+       round(CASE WHEN k > 1 AND dx > 0 THEN num/dx END, 6) AS hurst,
+       round(CASE WHEN k > 1 AND dx > 0 AND dy > 0
+                  THEN num*num/(dx*dy) END, 6) AS r2
+FROM c, nd
+"""
+    )
+
+    # Same tie-folded PWM order statistics over distinct exceedances.
+    o["stats_gpd_tail"] = """
+WITH exc AS (
+  SELECT CAST(value AS DOUBLE) - 250.0 AS y FROM events
+  WHERE value IS NOT NULL AND CAST(value AS DOUBLE) > 250.0
+), cells AS (SELECT y, count(*) AS c FROM exc GROUP BY 1),
+st AS (
+  SELECT y, c,
+         coalesce(sum(c) OVER (ORDER BY y
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS le,
+         sum(c) OVER () AS n
+  FROM cells
+), tot AS (
+  SELECT max(n) AS n, sum(y*c) AS sy,
+         sum(y*(c*n - c*le - c*(c + 1)/2)) AS b1num
+  FROM st
+), b AS (
+  SELECT CAST(n AS BIGINT) AS n_exceed,
+         sy/n AS b0,
+         CASE WHEN n > 1 THEN b1num/(CAST(n AS DOUBLE)*(n - 1)) END AS b1
+  FROM tot
+)
+SELECT n_exceed, round(b0, 6) AS b0,
+       round(CASE WHEN abs(b0 - 2*b1) > 0
+                  THEN 2.0 - b0/(b0 - 2*b1) END, 6) AS xi,
+       round(CASE WHEN abs(b0 - 2*b1) > 0
+                  THEN 2*b0*b1/(b0 - 2*b1) END, 6) AS sigma
+FROM b
+"""
+
+    # Same conditional aggregation, same Wilson center/halfwidth.
+    o["stats_wilson_ci"] = """
+WITH per AS (
+  SELECT CAST(event_type AS VARCHAR) AS grp, count(*) AS n,
+         sum(CASE WHEN value > 100 THEN 1.0 ELSE 0.0 END) AS s
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+  GROUP BY 1
+), w AS (
+  SELECT grp, n, s, s/n AS p, 1.959964*1.959964 AS z2,
+         1.959964 AS z
+  FROM per
+), c AS (
+  SELECT grp, n, s, p,
+         (p + z2/(2*n))/(1.0 + z2/n) AS center,
+         z*sqrt(p*(1 - p)/n + z2/(4*n*n))/(1.0 + z2/n) AS half
+  FROM w
+)
+SELECT grp AS "group", CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS successes, round(p, 6) AS rate,
+       round(greatest(center - half, 0.0), 6) AS ci_low,
+       round(least(center + half, 1.0), 6) AS ci_high
+FROM c
+"""
+
+    # Lloyd rounds unrolled: same lowest-id rounded seeds, same
+    # squared-L2 (d2, cl) argmin, same rounded per-dim means, same
+    # empty-cluster carry-over, same final (n, wcss) readout.
+    _km_k, _km_rounds, _km_dim = 4, 2, 64
+    _km = [f"""e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c1 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl,
+         list_transform(v, x -> round(x, 6)) AS cent
+  FROM e ORDER BY vec_id LIMIT {_km_k}
+)"""]
+    for _r in range(1, _km_rounds + 1):
+        _km.append(f"""a{_r} AS (
+  SELECT e.vec_id, e.v, c.cl,
+         list_sum(list_transform(range(1, {_km_dim + 1}),
+             i -> (e.v[i] - c.cent[i])*(e.v[i] - c.cent[i]))) AS d2
+  FROM e CROSS JOIN c{_r} c
+), own{_r} AS (
+  SELECT vec_id, v, cl FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cl) AS rn
+    FROM a{_r}
+  ) WHERE rn = 1
+), m{_r} AS (
+  SELECT cl, idx, round(avg(el), 6) AS m
+  FROM (SELECT cl, unnest(v) AS el,
+               unnest(range(1, {_km_dim + 1})) AS idx
+        FROM own{_r})
+  GROUP BY 1, 2
+), c{_r + 1} AS (
+  SELECT p.cl, coalesce(nw.cent, p.cent) AS cent
+  FROM c{_r} p LEFT JOIN (
+    SELECT cl, list(m ORDER BY idx) AS cent FROM m{_r} GROUP BY cl
+  ) nw ON p.cl = nw.cl
+)""")
+    o["ml_kmeans_fit"] = (
+        "WITH " + ",\n".join(_km) + f""",
+af AS (
+  SELECT e.vec_id, c.cl,
+         list_sum(list_transform(range(1, {_km_dim + 1}),
+             i -> (e.v[i] - c.cent[i])*(e.v[i] - c.cent[i]))) AS d2
+  FROM e CROSS JOIN c{_km_rounds + 1} c
+), ownf AS (
+  SELECT vec_id, cl, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, cl) AS rn
+    FROM af
+  ) WHERE rn = 1
+)
+SELECT CAST(cl AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
+       round(sum(d2), 6) AS wcss
+FROM ownf GROUP BY cl
+"""
+    )
+
     return o
 
 
@@ -14011,6 +14288,11 @@ EXTRA_QUERIES: list[str] = [
     "stats_storey",
     "classify_pr_auc",
     "classify_report",
+    "stats_seasonal_strength",
+    "stats_hurst",
+    "stats_gpd_tail",
+    "stats_wilson_ci",
+    "ml_kmeans_fit",
 ]
 
 

@@ -445,6 +445,16 @@ BENCH_QUERIES = [
     "classify_pr_auc",
     # per-class precision/recall/F1 + accuracy/macro-F1
     "classify_report",
+    # strength-of-trend/seasonality scalars from the decomposition
+    "stats_seasonal_strength",
+    # rescaled-range Hurst exponent (long-memory diagnostic)
+    "stats_hurst",
+    # GPD peaks-over-threshold tail fit (PWM closed form)
+    "stats_gpd_tail",
+    # per-group Wilson score intervals
+    "stats_wilson_ci",
+    # distributed Lloyd k-means fit (2 rounds, deterministic seeds)
+    "ml_kmeans_fit",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

@@ -52,6 +52,7 @@ __all__ = [
     "sq8_topk",
     "mmr_rerank",
     "knn_classify",
+    "kmeans_fit",
 ]
 
 
@@ -1701,4 +1702,116 @@ def knn_classify(
         "predicted",
         "n_votes",
         (F.col("actual") == F.col("predicted")).alias("correct"),
+    )
+
+
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means (Lloyd 1957/1982) with a
+    DETERMINISTIC contract: initial centroids are the ``k``
+    lowest-id vectors (engine-replayable, no random restarts — swap
+    in k-center seeds upstream for quality), each of the fixed
+    ``rounds`` iterations assigns every vector to its nearest
+    centroid (squared-L2 left-fold, first-index tie-break — the
+    :func:`silhouette_simplified` convention) and recomputes
+    per-cluster per-dimension means; an emptied cluster keeps its
+    previous centroid.  Returns one row per cluster after a final
+    assignment pass: ``(cluster, n, wcss)`` rounded to 6 — feed the
+    same centroids to :func:`silhouette_simplified` for quality.
+
+    Scale shape: the k·dim centroid literals are budget-enforced
+    (≤ 20k, the MMR contract); per round, ONE corpus pass assigns
+    (JVM fold expressions) and ONE posexplode aggregation reduces to
+    k·dim partial means (map-side combined — the exchange carries
+    k·dim partials per partition, not n·dim rows), collected driver-
+    side as a bounded k·dim frame and ROUNDED to 6 decimals so both
+    engines replay identical next-round literals.  Rounds are a
+    driver loop with bounded collects (the max-coverage precedent),
+    never an unbounded iteration."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    init_rows = (
+        embeddings.select(
+            F.col(id_col).alias("__id"),
+            # HALF_UP rounding JVM-side (F.round), matching the SQL
+            # oracle's round() — python round() is banker's
+            F.transform(
+                F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
+            ).alias("__v"),
+        )
+        .orderBy("__id")
+        .limit(k)
+        .collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans_fit: corpus has only {len(init_rows)} vectors < k={k}"
+        )
+    cents = [[float(x) for x in r["__v"]] for r in init_rows]
+    dim = len(cents[0])
+    if k * dim > 20_000:
+        raise ValueError(
+            f"kmeans_fit: k*dim = {k * dim} literal centroid "
+            "coordinates > 20000 (the kcenter/MMR budget); reduce k or "
+            "project to fewer dimensions first."
+        )
+
+    def _assign(cent_rows):
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cent_rows]
+        )
+        d2s = F.transform(
+            cents_lit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("__v"),
+                    c,
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        staged = embeddings.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        ).withColumn("__d2s", d2s)
+        own = F.array_position(F.col("__d2s"), F.array_min("__d2s"))
+        return staged.select(
+            "__id",
+            "__v",
+            (own - 1).cast("int").alias("cluster"),
+            F.array_min("__d2s").alias("__d2"),
+        )
+
+    for _ in range(rounds):
+        assigned = _assign(cents)
+        means = (
+            assigned.select("cluster", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("m"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]  # emptied cluster keeps old
+        per_cluster: dict[int, dict[int, float]] = {}
+        for r in means:
+            per_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
+        for cl, dims in per_cluster.items():
+            new_cents[cl] = [float(dims[i]) for i in range(dim)]
+        cents = new_cents
+
+    final = _assign(cents)
+    return (
+        final.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("__d2"), 6).alias("wcss"),
+        )
     )

@@ -109,6 +109,10 @@ __all__ = [
     "anova_posthoc",
     "g_test",
     "storey_qvalues",
+    "seasonality_strength",
+    "hurst_exponent",
+    "gpd_tail_fit",
+    "wilson_ci_by_group",
 ]
 
 
@@ -5717,4 +5721,319 @@ def storey_qvalues(
         F.round("__pi0", 6).alias("pi0"),
         F.round("__q", 6).alias("q_value"),
         (F.col("__q") <= F.lit(alpha)).alias("reject"),
+    )
+
+
+def seasonality_strength(
+    daily: DataFrame,
+    ts_col: str = "day",
+    value_col: str = "y",
+    period: int = 7,
+    trend_window: int = 7,
+) -> DataFrame:
+    """Strength-of-trend and strength-of-seasonality scalars (Wang,
+    Smyth & Hyndman 2006; the FPP3 §4.3 features) computed from
+    :func:`seasonal_decompose`'s additive components:
+    ``F_T = max(0, 1 − Var(R)/Var(T+R))`` and
+    ``F_S = max(0, 1 − Var(R)/Var(S+R))`` — the two numbers that turn
+    a decomposition PLOT into a monitorable metric ("seasonality
+    strength jumped from 0.2 to 0.8 → a weekly batch job appeared").
+
+    Rows where the centered-MA trend is undefined (series edges) are
+    excluded, exactly as the decomposition leaves them NULL.  Returns
+    ONE row ``(n_days, n_used, trend_strength, seasonal_strength)``
+    rounded to 6; strengths are NULL when fewer than 3 usable rows or
+    a zero denominator variance.
+
+    Scale shape: rides the |days|-row decomposition (the caller's one
+    big aggregation produced the series) + ONE moment aggregation
+    over those rows."""
+    dec = seasonal_decompose(
+        daily, ts_col=ts_col, value_col=value_col,
+        period=period, trend_window=trend_window,
+    )
+    used = dec.where(F.col("residual").isNotNull())
+    r = F.col("residual").cast("double")
+    tr = F.col("y") - F.col("seasonal")   # trend + residual
+    sr = F.col("y") - F.col("trend")      # seasonal + residual
+    agg = dec.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    ).crossJoin(
+        F.broadcast(
+            used.agg(
+                F.count(F.lit(1)).alias("n_used"),
+                F.sum(r).alias("sr1"),
+                F.sum(r * r).alias("sr2"),
+                F.sum(tr).alias("st1"),
+                F.sum(tr * tr).alias("st2"),
+                F.sum(sr).alias("ss1"),
+                F.sum(sr * sr).alias("ss2"),
+            )
+        )
+    )
+    n = F.col("n_used").cast("double")
+    vr = F.when(n > 2, (F.col("sr2") - F.col("sr1") * F.col("sr1") / n) / (n - 1))
+    vt = F.when(n > 2, (F.col("st2") - F.col("st1") * F.col("st1") / n) / (n - 1))
+    vs = F.when(n > 2, (F.col("ss2") - F.col("ss1") * F.col("ss1") / n) / (n - 1))
+    # a zero component variance means the component carries no signal
+    # at all: strength 0 by convention (NULL only when n_used <= 2)
+    ft = F.when(vt > 0, F.greatest(F.lit(1.0) - vr / vt, F.lit(0.0))).when(
+        vt.isNotNull(), F.lit(0.0)
+    )
+    fs = F.when(vs > 0, F.greatest(F.lit(1.0) - vr / vs, F.lit(0.0))).when(
+        vs.isNotNull(), F.lit(0.0)
+    )
+    return agg.select(
+        "n_days",
+        F.col("n_used").cast("long").alias("n_used"),
+        F.round(ft, 6).alias("trend_strength"),
+        F.round(fs, 6).alias("seasonal_strength"),
+    )
+
+
+def hurst_exponent(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    block_sizes: Sequence[int] = (5, 10, 15),
+) -> DataFrame:
+    """Hurst exponent via rescaled-range (R/S) analysis over the
+    per-day mean series (Hurst 1951; Mandelbrot & Wallis 1969) — the
+    long-memory diagnostic: H ≈ 0.5 for a memoryless series, > 0.5
+    for trending/persistent metrics (load that stays high once high),
+    < 0.5 for mean-reverting ones.  The number that says whether
+    "7 bad days in a row" is alarming or expected.
+
+    For each block size n: the series splits into ⌊T/n⌋ COMPLETE
+    blocks; per block, R = range of the cumulative deviations from
+    the block mean and S = the population standard deviation; blocks
+    with S = 0 are skipped.  H is the closed-form OLS slope of
+    ``ln(mean R/S)`` on ``ln(n)`` over the block sizes that produced
+    at least one usable block.  Returns ONE row ``(n_days, n_scales,
+    hurst, r2)`` rounded to 6 — NULL when fewer than 2 usable scales.
+
+    Scale shape: the corpus collapses to |days| rows FIRST; each
+    block size costs two |days|-row windows (block-mean join +
+    within-block cumulative deviation) and a |blocks|-row rollup; the
+    final fit is one aggregation over |block_sizes| points."""
+    sizes = sorted(set(int(b) for b in block_sizes))
+    if len(sizes) < 2 or sizes[0] < 2:
+        raise ValueError(
+            f"need >= 2 distinct block sizes, all >= 2, got {block_sizes}"
+        )
+    day = F.to_date(F.col(ts_col))
+    daily = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
+    )
+    w = Window.orderBy("d")
+    seq = daily.withColumn("__i", F.row_number().over(w) - 1)
+    n_days = seq.agg(F.count(F.lit(1)).alias("n_days"))
+    per_scale = []
+    for nsz in sizes:
+        blk = seq.select(
+            F.floor(F.col("__i") / nsz).alias("b"),
+            "__i",
+            "x",
+        ).withColumn(
+            "__bn",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("b").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        ).where(F.col("__bn") == nsz)
+        bm = blk.withColumn(
+            "__mean",
+            F.avg("x").over(
+                Window.partitionBy("b").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        cum = bm.withColumn(
+            "__cd",
+            F.sum(F.col("x") - F.col("__mean")).over(
+                Window.partitionBy("b").orderBy("__i")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        per_block = cum.groupBy("b").agg(
+            (F.max("__cd") - F.min("__cd")).alias("__r"),
+            # population std; clamp the float-cancellation negative
+            F.sqrt(
+                F.greatest(
+                    F.avg(F.col("x") * F.col("x"))
+                    - F.avg("x") * F.avg("x"),
+                    F.lit(0.0),
+                )
+            ).alias("__s"),
+        )
+        rs = per_block.where(F.col("__s") > 0).agg(
+            F.avg(F.col("__r") / F.col("__s")).alias("__rs"),
+            F.count(F.lit(1)).alias("__nb"),
+        ).select(
+            F.lit(float(nsz)).alias("__n"),
+            "__rs",
+            "__nb",
+        )
+        per_scale.append(rs)
+    pts = per_scale[0]
+    for extra in per_scale[1:]:
+        pts = pts.unionAll(extra)
+    pts = pts.where((F.col("__nb") > 0) & (F.col("__rs") > 0)).select(
+        F.log("__n").alias("lx"), F.log("__rs").alias("ly")
+    )
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("ly") * F.col("ly")).alias("syy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    ).crossJoin(F.broadcast(n_days))
+    k = F.col("k").cast("double")
+    dx = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = k * F.col("syy") - F.col("sy") * F.col("sy")
+    num = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    h = F.when((F.col("k") > 1) & (dx > 0), num / dx)
+    r2 = F.when((F.col("k") > 1) & (dx > 0) & (dy > 0), num * num / (dx * dy))
+    return agg.select(
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("n_scales"),
+        F.round(h, 6).alias("hurst"),
+        F.round(r2, 6).alias("r2"),
+    )
+
+
+def gpd_tail_fit(
+    df: DataFrame,
+    value_col: str,
+    threshold: float,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Generalized-Pareto tail fit of the exceedances over a FIXED
+    threshold by probability-weighted moments (Hosking & Wallis 1987
+    — the closed-form peaks-over-threshold estimator): the
+    extreme-value answer to "how bad is the p99.99 latency really",
+    where empirical quantiles run out of data.  ``ξ`` (shape) > 0
+    means a heavy/polynomial tail, ≈ 0 exponential, < 0 bounded;
+    ``σ`` scales it.  ``ξ = 2 − b0/(b0 − 2·b1)``,
+    ``σ = 2·b0·b1/(b0 − 2·b1)`` from the first two PWMs of the
+    exceedances ``y = x − u``.
+
+    The threshold is an explicit caller-chosen constant (pick it from
+    a quantile sketch upstream) so the fit is deterministic and
+    engine-replayable — no approximate-quantile divergence.  Returns
+    ONE row ``(n_exceed, b0, xi, sigma)`` rounded to 6 — NULL ξ/σ on
+    a degenerate tail (b0 = 2·b1 or < 2 exceedances).
+
+    Scale shape: the b1 order statistic runs over DISTINCT exceedance
+    values with tie runs folded in closed form (the ks_test cell
+    contract, ``max_distinct`` ENFORCED) — one value-keyed count
+    aggregation + one ordered |distinct|-row window, never a raw-row
+    sort."""
+    v = F.col(value_col).cast("double")
+    exc = df.where(v.isNotNull() & (v > threshold)).select(
+        (v - F.lit(float(threshold))).alias("y")
+    )
+    ndv = exc.agg(F.approx_count_distinct("y").alias("__ndv")).first()["__ndv"]
+    if ndv > max_distinct:
+        raise ValueError(
+            f"gpd_tail_fit: ~{ndv} distinct exceedances > "
+            f"max_distinct={max_distinct}; raise the threshold (the "
+            "point of POT is a sparse tail) or quantize upstream."
+        )
+    cells = exc.groupBy("y").agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("y").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    staged = cells.select(
+        "y",
+        "c",
+        F.coalesce(F.sum("c").over(wc), F.lit(0)).alias("__le"),
+        F.sum("c").over(wall).alias("__n"),
+    )
+    tot = staged.agg(
+        F.max("__n").alias("n"),
+        F.sum(F.col("y") * F.col("c")).alias("__sy"),
+        # sum over ranks i (ascending, 1-based) of (n - i) * y_(i),
+        # tie runs folded: sum_{i in run} (n - i)
+        #   = c*n - c*le - c*(c+1)/2   with le = count before the run
+        F.sum(
+            F.col("y")
+            * (
+                F.col("c") * F.col("__n")
+                - F.col("c") * F.col("__le")
+                - F.col("c") * (F.col("c") + 1) / 2
+            )
+        ).alias("__b1num"),
+    )
+    n = F.col("n").cast("double")
+    b0 = F.col("__sy") / n
+    b1 = F.when(n > 1, F.col("__b1num") / (n * (n - 1)))
+    staged2 = tot.select(
+        F.col("n").cast("long").alias("n_exceed"),
+        b0.alias("__b0"),
+        b1.alias("__b1"),
+    )
+    den = F.col("__b0") - 2 * F.col("__b1")
+    xi = F.when(F.abs(den) > 0, F.lit(2.0) - F.col("__b0") / den)
+    sigma = F.when(F.abs(den) > 0, 2 * F.col("__b0") * F.col("__b1") / den)
+    return staged2.select(
+        "n_exceed",
+        F.round("__b0", 6).alias("b0"),
+        F.round(xi, 6).alias("xi"),
+        F.round(sigma, 6).alias("sigma"),
+    )
+
+
+def wilson_ci_by_group(
+    df: DataFrame,
+    group_col: str,
+    success_col: str,
+    z: float = 1.959964,
+) -> DataFrame:
+    """Per-group binomial proportion with the Wilson score interval
+    (Wilson 1927 — the interval Brown, Cai & DasGupta 2001 recommend
+    over the Wald default, which collapses at p near 0/1 and small
+    n): conversion / defect / dup-rate dashboards per segment, with
+    honest uncertainty at every group size.
+
+    ``success_col`` is 0/1 (castable); NULL groups/successes are
+    dropped.  Returns one row per group ``(group, n, successes, rate,
+    ci_low, ci_high)`` rounded to 6, bounds clamped to [0, 1].
+
+    Scale shape: ONE group-keyed conditional aggregation (map-side
+    combined); the interval algebra runs on |groups| rows."""
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    s = F.col(success_col).cast("double")
+    per = (
+        df.where(F.col(group_col).isNotNull() & s.isNotNull())
+        .groupBy(F.col(group_col).cast("string").alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).alias("__s"),
+        )
+    )
+    n = F.col("n").cast("double")
+    p = F.col("__s") / n
+    z2 = F.lit(float(z) * float(z))
+    denom = F.lit(1.0) + z2 / n
+    center = (p + z2 / (2 * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (1 - p) / n + z2 / (4 * n * n))
+        / denom
+    )
+    return per.select(
+        "group",
+        F.col("n").cast("long").alias("n"),
+        F.col("__s").cast("long").alias("successes"),
+        F.round(p, 6).alias("rate"),
+        F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("ci_low"),
+        F.round(F.least(center + half, F.lit(1.0)), 6).alias("ci_high"),
     )

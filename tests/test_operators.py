@@ -7220,3 +7220,127 @@ def test_classification_report_semantics(spark):
     assert got["a"]["accuracy"] == 0.6  # 3 of 5 on the diagonal
     mac = round((0.8 + 0.5 + 0.0) / 3, 6)
     assert got["a"]["macro_f1"] == mac
+
+
+def test_seasonality_strength_semantics(spark):
+    """A pure weekly sawtooth has seasonal strength ~1 and trend
+    strength ~0; a pure linear ramp has trend ~1 and seasonal ~0."""
+    from plda_spark.operators import stats
+
+    saw = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", float((d - 1) % 7)) for d in range(1, 29)],
+        "day string, y double",
+    )
+    r = stats.seasonality_strength(saw, ts_col="day", value_col="y").first()
+    assert r["n_days"] == 28
+    assert r["seasonal_strength"] > 0.99
+    assert r["trend_strength"] < 0.3
+
+    ramp = spark.createDataFrame(
+        [(f"2024-01-{d:02d}", float(d)) for d in range(1, 29)],
+        "day string, y double",
+    )
+    r2 = stats.seasonality_strength(ramp, ts_col="day", value_col="y").first()
+    assert r2["trend_strength"] > 0.99
+    assert r2["seasonal_strength"] < 0.3
+
+
+def test_hurst_exponent_semantics(spark):
+    """A strongly trending (persistent) series gives H near 1; block
+    sizes that don't fit are dropped; the guard fires."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    rows = [
+        (f"2024-0{1 + (d - 1) // 28}-{1 + (d - 1) % 28:02d} 00:00:00",
+         float(d))
+        for d in range(1, 46)
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    r = stats.hurst_exponent(df, "ts", "value", block_sizes=(5, 10, 15)).first()
+    assert r["n_days"] == 45 and r["n_scales"] == 3
+    assert r["hurst"] > 0.9  # linear ramp = maximal persistence
+    assert r["r2"] > 0.95
+    with _pytest.raises(ValueError, match="block sizes"):
+        stats.hurst_exponent(df, "ts", "value", block_sizes=(5,))
+
+
+def test_gpd_tail_fit_semantics(spark):
+    """Exceedances of an exact uniform grid: PWM closed forms are
+    hand-computable (uniform tail => xi = -1 ... bounded); the
+    max_distinct guard fires."""
+    import pytest as _pytest
+
+    from plda_spark.operators import stats
+
+    # exceedances y = 1..10 once each over threshold 0
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 11)], "value double"
+    )
+    r = stats.gpd_tail_fit(df, "value", threshold=0.0).first()
+    assert r["n_exceed"] == 10
+    assert r["b0"] == 5.5  # mean exceedance
+    # b1 = sum (n-i)*y_i / (n(n-1)) = 165/90
+    b0, b1 = 5.5, 165.0 / 90.0
+    xi = 2 - b0 / (b0 - 2 * b1)
+    sg = 2 * b0 * b1 / (b0 - 2 * b1)
+    assert abs(r["xi"] - xi) < 1e-6 and abs(r["sigma"] - sg) < 1e-6
+    with _pytest.raises(ValueError, match="max_distinct"):
+        stats.gpd_tail_fit(df, "value", threshold=0.0, max_distinct=5)
+
+
+def test_wilson_ci_by_group_semantics(spark):
+    """Wilson interval matches the textbook closed form, stays inside
+    [0, 1] at the boundaries, and contains the point estimate."""
+    import math
+
+    from plda_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 8 + [("a", 0)] * 2 + [("b", 1)] * 10 + [("c", 0)] * 5,
+        "g string, hit int",
+    )
+    got = {r["group"]: r for r in
+           stats.wilson_ci_by_group(df, "g", "hit").collect()}
+    z = 1.959964
+    p, n = 0.8, 10.0
+    den = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / den
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / den
+    assert got["a"]["rate"] == 0.8
+    assert abs(got["a"]["ci_low"] - (center - half)) < 1e-6
+    assert abs(got["a"]["ci_high"] - (center + half)) < 1e-6
+    # all-success group: upper bound clamps to 1, lower stays < 1
+    assert got["b"]["rate"] == 1.0 and got["b"]["ci_high"] == 1.0
+    assert got["b"]["ci_low"] < 1.0
+    assert got["c"]["rate"] == 0.0 and got["c"]["ci_low"] == 0.0
+
+
+def test_kmeans_fit_semantics(spark):
+    """Two well-separated planted blobs: 2-round Lloyd from lowest-id
+    seeds recovers the split exactly (each cluster gets its blob, wcss
+    equals the hand-computed within-blob spread); guards fire."""
+    import pytest as _pytest
+
+    from plda_spark.operators import similarity
+
+    rows = []
+    for i in range(10):
+        rows.append((i * 2, [0.0 + (i % 2) * 0.1, 0.0]))       # blob A
+        rows.append((i * 2 + 1, [10.0 + (i % 2) * 0.1, 10.0]))  # blob B
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["cluster"]: r for r in
+           similarity.kmeans_fit(emb, k=2, rounds=2).collect()}
+    assert len(got) == 2
+    assert got[0]["n"] == 10 and got[1]["n"] == 10
+    # within each blob: 5 points at x, 5 at x+0.1; centroid mean x+0.05
+    # -> wcss per blob = 20 * 0.05^2 ... per cluster 10 * 0.0025 = 0.025
+    assert abs(got[0]["wcss"] - 0.025) < 1e-4
+    assert abs(got[1]["wcss"] - 0.025) < 1e-4
+    with _pytest.raises(ValueError, match="k must be"):
+        similarity.kmeans_fit(emb, k=1)
+    with _pytest.raises(ValueError, match="vectors < k"):
+        similarity.kmeans_fit(emb.limit(1), k=2)

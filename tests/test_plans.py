@@ -1234,3 +1234,19 @@ def test_source_jsd_joins_vocab_table_not_corpus(spark):
     assert "FullOuter" not in plan
     # only source + text are read from documents
     assert all(sc.count(",") <= 1 for sc in s["read_schemas"])
+
+
+def test_kmeans_fit_final_pass_is_one_scan_no_python(spark):
+    """ml_kmeans_fit's returned frame is the final assignment pass:
+    one parquet scan (the fold-expression assign), one aggregation,
+    no Python eval anywhere — the per-round mean collects already ran
+    eagerly inside the operator."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["ml_kmeans_fit"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert s["scans"] == 2  # tree + details = ONE physical scan
+    assert s["sort_merge_joins"] == 0

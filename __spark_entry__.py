@@ -6125,6 +6125,43 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ml_kmeans_fit"] = ml_kmeans_fit
 
+    def stream_bayes(spark, sf):
+        """Streaming Bayesian A/B verdict end to end
+        (streaming/windows.py incremental_ab_ledger +
+        bayes_from_ledger): the same two-wave ledger build as
+        stream_abtest, read out as the Beta-Binomial posterior
+        P(B beats A) — the peeking-safe number a live dashboard shows
+        between micro-batches.  Hash-gated against the IDENTICAL
+        oracle as the batch stats_bayes_ab, which is the parity
+        claim."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 100)
+            ).cast("int").alias("converted"),
+        )
+        d = tempfile.mkdtemp(prefix="plda_bayes_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        schema = "event_id long, user_id long, converted int"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        windows.incremental_ab_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            user_col="user_id", success_col="converted",
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_ab_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            user_col="user_id", success_col="converted",
+        )
+        return windows.bayes_from_ledger(spark, state)
+
+    q["stream_bayes"] = stream_bayes
+
     return q
 
 
@@ -13936,6 +13973,11 @@ FROM ownf GROUP BY cl
 """
     )
 
+    # The ledger's per-user set-semantics fold equals a per-user max
+    # over ALL events, so the streaming Bayesian readout hash-checks
+    # against the IDENTICAL batch oracle.
+    o["stream_bayes"] = o["stats_bayes_ab"]
+
     return o
 
 
@@ -14293,6 +14335,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_gpd_tail",
     "stats_wilson_ci",
     "ml_kmeans_fit",
+    "stream_bayes",
 ]
 
 

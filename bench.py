@@ -455,6 +455,8 @@ BENCH_QUERIES = [
     "stats_wilson_ci",
     # distributed Lloyd k-means fit (2 rounds, deterministic seeds)
     "ml_kmeans_fit",
+    # streaming Bayesian A/B verdict from the conversion ledger
+    "stream_bayes",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

@@ -51,6 +51,7 @@ __all__ = [
     "incremental_ab_ledger",
     "abtest_from_ledger",
     "srm_from_ledger",
+    "bayes_from_ledger",
 ]
 
 
@@ -1422,4 +1423,49 @@ def srm_from_ledger(
         "variant",
         {variant_a: 1.0, variant_b: float(buckets - 1)},
         alpha=alpha,
+    )
+
+
+def bayes_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    variant_a: str = "A",
+    variant_b: str = "B",
+    buckets: int = 2,
+    prior_alpha: float = 1.0,
+    prior_beta: float = 1.0,
+    run_id_filter: str | None = None,
+) -> DataFrame:
+    """The Bayesian live verdict over the SAME
+    :func:`incremental_ab_ledger` state :func:`abtest_from_ledger`
+    reads: per-user ``max(converted)`` fold (set semantics),
+    deterministic md5 variant assignment, then the Beta-Binomial
+    posterior P(B beats A)
+    (:func:`~plda_spark.operators.stats.bayes_ab_beta`).  Because the
+    posterior probability — unlike the fixed-horizon z-test p-value —
+    carries no stopping-rule fine print, this is the readout a
+    continuously-refreshed dashboard can show between batches without
+    the peeking caveat the z verdict needs (pair with
+    :func:`srm_from_ledger` as the health gate either way).
+
+    One ledger aggregation + one conditional aggregation — the raw
+    event stream is never re-read."""
+    from plda_spark.operators.sampling import hash_bucket
+    from plda_spark.operators.stats import bayes_ab_beta
+
+    ledger = spark.read.parquet(state_path)
+    if run_id_filter is not None:
+        ledger = ledger.where(F.col("run_id") == run_id_filter)
+    per_user = ledger.groupBy("user").agg(
+        F.max("converted").alias("converted")
+    )
+    assigned = per_user.select(
+        F.when(hash_bucket(F.col("user"), buckets) == 0, variant_a)
+        .otherwise(variant_b)
+        .alias("variant"),
+        "converted",
+    )
+    return bayes_ab_beta(
+        assigned, "variant", "converted", variant_a, variant_b,
+        prior_alpha=prior_alpha, prior_beta=prior_beta,
     )

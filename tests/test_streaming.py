@@ -1130,3 +1130,46 @@ def test_srm_from_ledger_matches_designed_split(spark, tmp_path):
         assert r["p_value"] > 0.001
     with _pytest.raises(ValueError, match="buckets"):
         windows.srm_from_ledger(spark, state, buckets=1)
+
+
+def test_bayes_from_ledger_matches_batch(spark, tmp_path):
+    """The streaming Bayesian verdict folded from the ledger equals
+    bayes_ab_beta computed directly over all events' per-user maxima
+    (set semantics + pure-function assignment = exact batch parity)."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators.sampling import hash_bucket
+    from plda_spark.operators.stats import bayes_ab_beta
+    from plda_spark.streaming import windows
+
+    schema = "event_id long, user_id long, converted int"
+    rows_w1 = [(i, 200 + i % 40, int(i % 5 == 0)) for i in range(60)]
+    rows_w2 = [(100 + i, 200 + i % 55, int(i % 7 == 0)) for i in range(60)]
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(rows_w1, schema).write.mode("append").parquet(src)
+    windows.incremental_ab_ledger(
+        spark.readStream.schema(schema).parquet(src), state, ckpt,
+        user_col="user_id", success_col="converted",
+    )
+    spark.createDataFrame(rows_w2, schema).write.mode("append").parquet(src)
+    windows.incremental_ab_ledger(
+        spark.readStream.schema(schema).parquet(src), state, ckpt,
+        user_col="user_id", success_col="converted",
+    )
+    got = windows.bayes_from_ledger(spark, state).first()
+
+    all_ev = spark.createDataFrame(rows_w1 + rows_w2, schema)
+    per_user = all_ev.groupBy("user_id").agg(
+        F.max("converted").alias("converted")
+    )
+    assigned = per_user.select(
+        F.when(hash_bucket(F.col("user_id"), 2) == 0, "A")
+        .otherwise("B")
+        .alias("variant"),
+        "converted",
+    )
+    want = bayes_ab_beta(assigned, "variant", "converted", "A", "B").first()
+    assert got.asDict() == want.asDict()
+    assert 0.0 <= got["prob_b_beats_a"] <= 1.0

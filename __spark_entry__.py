@@ -6162,6 +6162,49 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_bayes"] = stream_bayes
 
+    def stats_dominant_period(spark, sf):
+        """ACF-argmax periodicity detection (operators/stats.py
+        dominant_period): the lag in 1..10 with the highest daily-mean
+        autocorrelation, gated on the Bartlett 1.96/sqrt(n) bound —
+        which period to hand seasonal_decompose.  Rides the |days|
+        rollup; the argmax is one pick over <= 10 rows."""
+        from plda_spark.operators import stats
+
+        return stats.dominant_period(
+            load_table(spark, sf, "events"), "ts", "value", max_lag=10
+        )
+
+    q["stats_dominant_period"] = stats_dominant_period
+
+    def events_burstiness(spark, sf):
+        """Goh-Barabási inter-event burstiness + memory coefficient
+        (operators/events.py interevent_burstiness — Goh & Barabási
+        2008): the two-number human-vs-scheduler temporal signature of
+        the event stream.  ONE user-keyed exchange feeds both lag
+        windows; one moment aggregation ends the plan."""
+        from plda_spark.operators import events as ev_ops
+
+        return ev_ops.interevent_burstiness(load_table(spark, sf, "events"))
+
+    q["events_burstiness"] = events_burstiness
+
+    def graph_centralization(spark, sf):
+        """Freeman degree centralization (operators/graph.py
+        degree_centralization — Freeman 1978) of the same synthetic
+        link graph as graph_degree_gini: 0 = regular, 1 = perfect
+        star.  One distinct-edge canonicalization + one stub count +
+        a |nodes|-row rollup."""
+        from plda_spark.operators import graph
+
+        orders = load_table(spark, sf, "orders")
+        e = orders.select(
+            (F.col("o_custkey") % 100).alias("src"),
+            (F.col("o_orderkey") % 100).alias("dst"),
+        )
+        return graph.degree_centralization(e)
+
+    q["graph_centralization"] = graph_centralization
+
     return q
 
 
@@ -13978,6 +14021,110 @@ FROM ownf GROUP BY cl
     # against the IDENTICAL batch oracle.
     o["stream_bayes"] = o["stats_bayes_ab"]
 
+    # The stats_acf machinery at lags 1..10 + the (acf desc, lag asc)
+    # argmax and the Bartlett bound.
+    o["stats_dominant_period"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, avg(CAST(value AS DOUBLE)) AS v
+  FROM events GROUP BY 1
+), mom AS (
+  SELECT max(m) AS m, sum((v - m)*(v - m)) AS ss FROM (
+    SELECT v, avg(v) OVER () AS m FROM daily
+  )
+), lagged AS (
+  SELECT d + to_days(CAST(lag AS INTEGER)) AS d, lag, v AS v_lag
+  FROM daily CROSS JOIN (SELECT unnest(range(1, 11)) AS lag)
+), pairs AS (
+  SELECT lagged.lag, daily.v, lagged.v_lag
+  FROM daily JOIN lagged USING (d)
+), acf AS (
+  SELECT lag,
+         round(CASE WHEN max(ss) > 0
+                    THEN sum((v - max_m)*(v_lag - max_m))/max(ss)
+                    ELSE 0.0 END, 6) AS acf
+  FROM (SELECT pairs.*, mom.m AS max_m, mom.ss FROM pairs CROSS JOIN mom)
+  GROUP BY lag
+), nd AS (
+  SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL
+), best AS (
+  SELECT lag, acf FROM acf ORDER BY acf DESC, lag ASC LIMIT 1
+)
+SELECT CAST(n_days AS BIGINT) AS n_days, CAST(lag AS BIGINT) AS best_lag,
+       acf AS best_acf,
+       round(1.96/sqrt(CAST(n_days AS DOUBLE)), 6) AS acf_threshold,
+       acf > 1.96/sqrt(CAST(n_days AS DOUBLE)) AS significant
+FROM best, nd
+"""
+
+    # Same integer-micros gaps (ties among equal timestamps permute
+    # equal values, so the gap multiset is order-invariant), same
+    # moment identities for B and the memory correlation.
+    o["events_burstiness"] = """
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) AS us FROM events
+  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), g AS (
+  SELECT u, us,
+         (us - lag(us) OVER (PARTITION BY u ORDER BY us)) / 1000000.0
+           AS gap
+  FROM base
+), gg AS (SELECT u, us, gap FROM g WHERE gap IS NOT NULL),
+p AS (
+  SELECT gap, lag(gap) OVER (PARTITION BY u ORDER BY us) AS prev FROM gg
+), agg AS (
+  SELECT count(*) AS n, sum(gap) AS s1, sum(gap*gap) AS s2,
+         sum(CASE WHEN prev IS NOT NULL THEN 1 ELSE 0 END) AS np,
+         sum(CASE WHEN prev IS NOT NULL THEN gap END) AS px,
+         sum(CASE WHEN prev IS NOT NULL THEN prev END) AS py,
+         sum(CASE WHEN prev IS NOT NULL THEN gap*gap END) AS pxx,
+         sum(CASE WHEN prev IS NOT NULL THEN prev*prev END) AS pyy,
+         sum(CASE WHEN prev IS NOT NULL THEN gap*prev END) AS pxy
+  FROM p
+), c AS (
+  SELECT n, s1/CAST(n AS DOUBLE) AS mu,
+         sqrt(greatest(CASE WHEN n > 1
+           THEN (s2 - s1*(s1/CAST(n AS DOUBLE)))/(n - 1) END, 0.0)) AS sd,
+         np, px, py, pxx, pyy, pxy
+  FROM agg
+), mm AS (
+  SELECT *, CAST(np AS DOUBLE)*pxx - px*px AS cxx,
+         CAST(np AS DOUBLE)*pyy - py*py AS cyy,
+         CAST(np AS DOUBLE)*pxy - px*py AS cxy
+  FROM c
+)
+SELECT CAST(n AS BIGINT) AS n_gaps, round(mu, 6) AS mean_s,
+       round(sd, 6) AS sd_s,
+       round(CASE WHEN sd + mu > 0 THEN (sd - mu)/(sd + mu) END, 6)
+         AS burstiness,
+       round(CASE WHEN np > 1 AND cxx > 0 AND cyy > 0
+                  THEN cxy/sqrt(cxx*cyy) END, 6) AS memory
+FROM mm
+"""
+
+    # Same canonical undirected edges, same stub degrees, same Freeman
+    # normalizer.
+    o["graph_centralization"] = """
+WITH e AS (
+  SELECT DISTINCT least(a0, b0) AS a, greatest(a0, b0) AS b
+  FROM (SELECT o_custkey % 100 AS a0, o_orderkey % 100 AS b0 FROM orders)
+  WHERE a0 <> b0 AND a0 IS NOT NULL AND b0 IS NOT NULL
+), stubs AS (
+  SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+), deg AS (SELECT node, count(*) AS d FROM stubs GROUP BY 1),
+m AS (SELECT count(*) AS n_edges FROM e),
+agg AS (
+  SELECT count(*) AS n, max(d) AS dmax, sum(d) AS sd FROM deg
+)
+SELECT CAST(n AS BIGINT) AS n_nodes, CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(dmax AS BIGINT) AS max_degree,
+       round(CASE WHEN n > 2
+                  THEN (CAST(n AS DOUBLE)*dmax - sd)
+                       /((CAST(n AS DOUBLE) - 1)*(CAST(n AS DOUBLE) - 2))
+             END, 6) AS centralization
+FROM agg, m
+"""
+
     return o
 
 
@@ -14336,6 +14483,9 @@ EXTRA_QUERIES: list[str] = [
     "stats_wilson_ci",
     "ml_kmeans_fit",
     "stream_bayes",
+    "stats_dominant_period",
+    "events_burstiness",
+    "graph_centralization",
 ]
 
 

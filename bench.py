@@ -457,6 +457,12 @@ BENCH_QUERIES = [
     "ml_kmeans_fit",
     # streaming Bayesian A/B verdict from the conversion ledger
     "stream_bayes",
+    # ACF-argmax dominant period with Bartlett gate
+    "stats_dominant_period",
+    # Goh-Barabasi inter-event burstiness + memory
+    "events_burstiness",
+    # Freeman degree centralization
+    "graph_centralization",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).
@@ -842,13 +848,16 @@ def main() -> None:
     # cell-join plan a 100 TB run would actually use.
     from plda_spark.operators import dedup as dedup_ops
 
+    # n_cells tracks ~sqrt(N) (32 for the 2k-vector sf0.1 table) so the
+    # per-cell candidate quadratic stays bounded — the tuning a real
+    # deployment uses, not the oracle rig's 8-cell exhaustive probe.
     record("sim_near_dup_scale",
         lambda: similarity.embedding_near_dup_pairs_blocked(
-            emb, dim=64, threshold=0.4, n_cells=8, n_probe=2,
+            emb, dim=64, threshold=0.4, n_cells=32, n_probe=2,
         ).write.format("noop").mode("overwrite").save())
     record("dedup_semantic_scale",
         lambda: dedup_ops.semantic_dedup(
-            emb, dim=64, threshold=0.4, n_cells=8, n_probe=2,
+            emb, dim=64, threshold=0.4, n_cells=32, n_probe=2,
         ).select("vec_id").write.format("noop").mode("overwrite").save())
 
     # BPE training: 5 merges over the documents word-frequency table

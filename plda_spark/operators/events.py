@@ -33,6 +33,7 @@ __all__ = [
     "item_item_cf",
     "retention_decay_fit",
     "bass_diffusion_fit",
+    "interevent_burstiness",
 ]
 
 
@@ -1555,4 +1556,78 @@ def bass_diffusion_fit(
         F.round("__p", 6).alias("p"),
         F.round("__q", 6).alias("q"),
         F.round(peak, 6).alias("peak_day"),
+    )
+
+
+def interevent_burstiness(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Goh-Barabási burstiness of per-user inter-event times (Goh &
+    Barabási 2008, EPL): over every consecutive same-user gap,
+    ``B = (σ − μ)/(σ + μ)`` — −1 for a metronome, 0 for a Poisson
+    process, → +1 for extreme burstiness — plus the memory
+    coefficient ``M`` (the Pearson correlation of consecutive gaps:
+    do long waits follow long waits?).  THE two-number
+    characterization of human/bot temporal signatures: organic users
+    are bursty with weak memory, schedulers are periodic (B ≈ −1),
+    naive replayed-traffic bots sit at Poisson.
+
+    Returns ONE row ``(n_gaps, mean_s, sd_s, burstiness, memory)``
+    rounded to 6 — ``memory`` NULL with < 2 consecutive-gap pairs or
+    zero variance.
+
+    Scale shape: ONE user-keyed exchange feeds both lag windows
+    (gap = lag(ts), then lag(gap) for the memory pairs — the second
+    window reuses the first's partitioning, no extra shuffle); one
+    moment aggregation ends the plan.  Gaps ride integer epoch-micros
+    (the funnel-latency convention), so both engines replay the exact
+    arithmetic."""
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = events.where(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    ).select(F.col(user_col).alias("u"), us.alias("__us"))
+    w = Window.partitionBy("u").orderBy("__us")
+    gaps = base.withColumn(
+        "__gap",
+        (F.col("__us") - F.lag("__us").over(w)) / F.lit(1_000_000.0),
+    ).where(F.col("__gap").isNotNull())
+    pairs = gaps.withColumn("__prev", F.lag("__gap").over(w))
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__gap").alias("s1"),
+        F.sum(F.col("__gap") * F.col("__gap")).alias("s2"),
+        F.sum((F.col("__prev").isNotNull()).cast("long")).alias("np"),
+        F.sum(F.when(F.col("__prev").isNotNull(), F.col("__gap"))).alias("px"),
+        F.sum(F.when(F.col("__prev").isNotNull(), F.col("__prev"))).alias("py"),
+        F.sum(
+            F.when(F.col("__prev").isNotNull(), F.col("__gap") * F.col("__gap"))
+        ).alias("pxx"),
+        F.sum(
+            F.when(F.col("__prev").isNotNull(), F.col("__prev") * F.col("__prev"))
+        ).alias("pyy"),
+        F.sum(
+            F.when(F.col("__prev").isNotNull(), F.col("__gap") * F.col("__prev"))
+        ).alias("pxy"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    var = F.when(n > 1, (F.col("s2") - F.col("s1") * mu) / (n - 1))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    b = F.when((sd + mu) > 0, (sd - mu) / (sd + mu))
+    np_ = F.col("np").cast("double")
+    cxx = np_ * F.col("pxx") - F.col("px") * F.col("px")
+    cyy = np_ * F.col("pyy") - F.col("py") * F.col("py")
+    cxy = np_ * F.col("pxy") - F.col("px") * F.col("py")
+    m = F.when((F.col("np") > 1) & (cxx > 0) & (cyy > 0),
+               cxy / F.sqrt(cxx * cyy))
+    return agg.select(
+        F.col("n").cast("long").alias("n_gaps"),
+        F.round(mu, 6).alias("mean_s"),
+        F.round(sd, 6).alias("sd_s"),
+        F.round(b, 6).alias("burstiness"),
+        F.round(m, 6).alias("memory"),
     )

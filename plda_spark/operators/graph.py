@@ -33,6 +33,7 @@ __all__ = [
     "clustering_coefficients",
     "reciprocity",
     "bfs_distances",
+    "degree_centralization",
 ]
 
 
@@ -961,3 +962,52 @@ def bfs_distances(
         if (r % 3 == 0) and r < max_hops:
             reached = reached.localCheckpoint(eager=True)
     return reached.localCheckpoint(eager=True)
+
+
+def degree_centralization(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Freeman degree centralization of the undirected graph (Freeman
+    1978/79, Social Networks): ``C = Σ_i (d_max − d_i) /
+    ((n−1)(n−2))`` — 0 for a regular graph (everyone equal), 1 for a
+    perfect star (one hub owns every edge).  The single number that
+    separates "a few hub domains dominate the link graph" from "links
+    spread evenly", complementing the degree Gini with the classic
+    sociometric normalization.
+
+    Edges are canonicalized undirected (self-loops dropped,
+    duplicates collapsed).  Returns ONE row ``(n_nodes, n_edges,
+    max_degree, centralization)`` rounded to 6 — NULL centralization
+    when n < 3 (the normalizer vanishes).
+
+    Scale shape: one distinct-edge canonicalization, one stub-count
+    aggregation (degrees), one |nodes|-row rollup."""
+    a, b = F.col(src_col), F.col(dst_col)
+    e = (
+        edges.where(a.isNotNull() & b.isNotNull() & (a != b))
+        .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .distinct()
+    )
+    stubs = e.select(F.col("a").alias("node")).unionAll(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = stubs.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    m = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    agg = deg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("d").alias("dmax"),
+        F.sum("d").alias("__sd"),
+    ).crossJoin(F.broadcast(m))
+    n = F.col("n").cast("double")
+    c = F.when(
+        F.col("n") > 2,
+        (n * F.col("dmax") - F.col("__sd")) / ((n - 1) * (n - 2)),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_nodes"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("dmax").cast("long").alias("max_degree"),
+        F.round(c, 6).alias("centralization"),
+    )

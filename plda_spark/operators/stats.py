@@ -113,6 +113,7 @@ __all__ = [
     "hurst_exponent",
     "gpd_tail_fit",
     "wilson_ci_by_group",
+    "dominant_period",
 ]
 
 
@@ -6036,4 +6037,51 @@ def wilson_ci_by_group(
         F.round(p, 6).alias("rate"),
         F.round(F.greatest(center - half, F.lit(0.0)), 6).alias("ci_low"),
         F.round(F.least(center + half, F.lit(1.0)), 6).alias("ci_high"),
+    )
+
+
+def dominant_period(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_lag: int = 14,
+) -> DataFrame:
+    """Dominant-period detection from the daily autocorrelation
+    function (:func:`acf_daily`): the lag in 1..``max_lag`` with the
+    highest ACF, gated on the standard Bartlett large-sample
+    significance bound ``|r| > 1.96/√n`` — the one-row answer to
+    "what period should I hand :func:`seasonal_decompose`?", and a
+    monitor for cadence changes (a weekly batch job appearing flips
+    ``best_lag`` to 7).
+
+    Returns ONE row ``(n_days, best_lag, best_acf, acf_threshold,
+    significant)`` rounded to 6 — ties break to the LOWEST lag (the
+    fundamental beats its harmonics).
+
+    Scale shape: everything rides :func:`acf_daily`'s |days|-row
+    rollup; the argmax is one ordered pick over ≤ ``max_lag`` rows."""
+    acf = acf_daily(df, ts_col, value_col, max_lag=max_lag)
+    day = F.to_date(F.col(ts_col))
+    nd = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .select(day.alias("d"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("n_days"))
+    )
+    w = Window.orderBy(F.col("acf").desc(), F.col("lag").asc())
+    best = (
+        acf.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col("lag").alias("best_lag"), F.col("acf").alias("best_acf"))
+    )
+    thr = F.lit(1.96) / F.sqrt(F.col("n_days").cast("double"))
+    return (
+        best.crossJoin(F.broadcast(nd))
+        .select(
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("best_lag").cast("long").alias("best_lag"),
+            "best_acf",
+            F.round(thr, 6).alias("acf_threshold"),
+            (F.col("best_acf") > thr).alias("significant"),
+        )
     )

@@ -7344,3 +7344,79 @@ def test_kmeans_fit_semantics(spark):
         similarity.kmeans_fit(emb, k=1)
     with _pytest.raises(ValueError, match="vectors < k"):
         similarity.kmeans_fit(emb.limit(1), k=2)
+
+
+def test_dominant_period_semantics(spark):
+    """A clean 3-day cycle in daily means yields best_lag == 3 (the
+    fundamental beats lag 6/9 only via the lowest-lag tie-break when
+    exactly periodic) and clears the Bartlett bound."""
+    from plda_spark.operators import stats
+
+    rows = []
+    for d in range(1, 31):
+        rows.append((f"2024-01-{d:02d} 00:00:00", float((d - 1) % 3 * 10)))
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    r = stats.dominant_period(df, "ts", "value", max_lag=10).first()
+    assert r["n_days"] == 30
+    assert r["best_lag"] == 3
+    assert r["significant"] is True
+    assert r["best_acf"] >= 0.9
+
+
+def test_interevent_burstiness_semantics(spark):
+    """A metronome user has B = -1 (sd 0) with memory NULL (zero
+    variance); an alternating short/long-gap user has positive memory
+    ... negative actually (short follows long): check sign and the
+    exact Goh-Barabasi identity on hand gaps."""
+    import math
+
+    from plda_spark.operators import events as ev_ops
+
+    # user 1: events every 60 s (metronome) -> gaps all 60
+    rows = [(1, f"2024-01-01 00:{m:02d}:00") for m in range(10)]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    r = ev_ops.interevent_burstiness(ev).first()
+    assert r["n_gaps"] == 9 and r["mean_s"] == 60.0 and r["sd_s"] == 0.0
+    assert r["burstiness"] == -1.0
+    assert r["memory"] is None  # zero variance in the pair series
+
+    # alternating 10 s / 100 s gaps: B from the exact sample moments,
+    # memory strongly negative (long follows short)
+    t, rows2 = 0, [(2, "2024-01-01 00:00:00")]
+    for i in range(8):
+        t += 10 if i % 2 == 0 else 100
+        rows2.append((2, f"2024-01-01 00:{t // 60:02d}:{t % 60:02d}"))
+    ev2 = spark.createDataFrame(rows2, "user_id long, ts string").select(
+        "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    r2 = ev_ops.interevent_burstiness(ev2).first()
+    gaps = [10, 100] * 4
+    mu = sum(gaps) / len(gaps)
+    sd = math.sqrt(sum((g - mu) ** 2 for g in gaps) / (len(gaps) - 1))
+    assert abs(r2["burstiness"] - (sd - mu) / (sd + mu)) < 1e-6
+    assert r2["memory"] < -0.9
+
+
+def test_degree_centralization_semantics(spark):
+    """A perfect star is exactly 1; a cycle (regular graph) is exactly
+    0; self-loops and duplicate edges are ignored."""
+    from plda_spark.operators import graph
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)] + [(0, 1), (2, 0)],  # dups + reverse
+        "src long, dst long",
+    )
+    r = graph.degree_centralization(star).first()
+    assert r["n_nodes"] == 6 and r["n_edges"] == 5
+    assert r["max_degree"] == 5 and r["centralization"] == 1.0
+
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)] + [(3, 3)],
+        "src long, dst long",
+    )
+    rc = graph.degree_centralization(cycle).first()
+    assert rc["centralization"] == 0.0 and rc["max_degree"] == 2

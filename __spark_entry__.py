@@ -6119,7 +6119,7 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         so both engines replay identical literals."""
         from plda_spark.operators import similarity
 
-        return similarity.kmeans_fit(
+        return similarity.kmeans_fit_exact(
             load_table(spark, sf, "embeddings"), k=4, rounds=2
         )
 

@@ -52,7 +52,7 @@ __all__ = [
     "sq8_topk",
     "mmr_rerank",
     "knn_classify",
-    "kmeans_fit",
+    "kmeans_fit_exact",
 ]
 
 
@@ -1705,15 +1705,17 @@ def knn_classify(
     )
 
 
-def kmeans_fit(
+def kmeans_fit_exact(
     embeddings: DataFrame,
     k: int = 4,
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Distributed Lloyd's k-means (Lloyd 1957/1982) with a
-    DETERMINISTIC contract: initial centroids are the ``k``
+    """Distributed Lloyd's k-means (Lloyd 1957/1982) with a fully
+    ENGINE-REPLAYABLE contract — the hash-checkable sibling of
+    :func:`kmeans_fit` (the production Arrow-partials fit, whose
+    numpy-seeded init no SQL oracle can replay): initial centroids are the ``k``
     lowest-id vectors (engine-replayable, no random restarts — swap
     in k-center seeds upstream for quality), each of the fixed
     ``rounds`` iterations assigns every vector to its nearest
@@ -1752,13 +1754,13 @@ def kmeans_fit(
     )
     if len(init_rows) < k:
         raise ValueError(
-            f"kmeans_fit: corpus has only {len(init_rows)} vectors < k={k}"
+            f"kmeans_fit_exact: corpus has only {len(init_rows)} vectors < k={k}"
         )
     cents = [[float(x) for x in r["__v"]] for r in init_rows]
     dim = len(cents[0])
     if k * dim > 20_000:
         raise ValueError(
-            f"kmeans_fit: k*dim = {k * dim} literal centroid "
+            f"kmeans_fit_exact: k*dim = {k * dim} literal centroid "
             "coordinates > 20000 (the kcenter/MMR budget); reduce k or "
             "project to fewer dimensions first."
         )

@@ -7333,7 +7333,7 @@ def test_kmeans_fit_semantics(spark):
         rows.append((i * 2 + 1, [10.0 + (i % 2) * 0.1, 10.0]))  # blob B
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = {r["cluster"]: r for r in
-           similarity.kmeans_fit(emb, k=2, rounds=2).collect()}
+           similarity.kmeans_fit_exact(emb, k=2, rounds=2).collect()}
     assert len(got) == 2
     assert got[0]["n"] == 10 and got[1]["n"] == 10
     # within each blob: 5 points at x, 5 at x+0.1; centroid mean x+0.05
@@ -7341,9 +7341,9 @@ def test_kmeans_fit_semantics(spark):
     assert abs(got[0]["wcss"] - 0.025) < 1e-4
     assert abs(got[1]["wcss"] - 0.025) < 1e-4
     with _pytest.raises(ValueError, match="k must be"):
-        similarity.kmeans_fit(emb, k=1)
+        similarity.kmeans_fit_exact(emb, k=1)
     with _pytest.raises(ValueError, match="vectors < k"):
-        similarity.kmeans_fit(emb.limit(1), k=2)
+        similarity.kmeans_fit_exact(emb.limit(1), k=2)
 
 
 def test_dominant_period_semantics(spark):

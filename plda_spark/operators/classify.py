@@ -606,16 +606,20 @@ def pr_auc_report(
     wd = Window.orderBy(F.col("v").desc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # totals ride windows over the SAME cell frame (a separate .agg
+    # branch would lazily recompute the cell aggregation — a second
+    # corpus scan for two numbers)
     cum = cells.select(
         "ca",
         F.sum("ca").over(wd).alias("__tp"),
         (F.sum("ca").over(wd) + F.sum("cb").over(wd)).alias("__pred"),
+        F.sum("ca").over(wall).cast("long").alias("n_pos"),
+        F.sum("cb").over(wall).cast("long").alias("n_neg"),
     )
-    tot = cells.agg(
-        F.sum("ca").cast("long").alias("n_pos"),
-        F.sum("cb").cast("long").alias("n_neg"),
-    )
-    terms = cum.crossJoin(F.broadcast(tot)).select(
+    terms = cum.select(
         "n_pos",
         "n_neg",
         # delta-recall at this threshold times precision at it; the
@@ -674,7 +678,12 @@ def classification_report(
         F.col(label_col).cast("string").alias("__t"),
         F.col(pred_col).cast("string").alias("__p"),
     )
-    cell = base.groupBy("__t", "__p").agg(F.count(F.lit(1)).alias("c"))
+    # the margins, diagonal, and rollup all branch off the confusion
+    # table; persist it (|classes|^2 rows, tiny) so the corpus-side
+    # aggregation runs ONCE, not once per branch
+    cell = base.groupBy("__t", "__p").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
     true_m = cell.groupBy(F.col("__t").alias("label")).agg(
         F.sum("c").alias("n_true")
     )

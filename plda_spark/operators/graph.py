@@ -982,24 +982,27 @@ def degree_centralization(
     max_degree, centralization)`` rounded to 6 — NULL centralization
     when n < 3 (the normalizer vanishes).
 
-    Scale shape: one distinct-edge canonicalization, one stub-count
-    aggregation (degrees), one |nodes|-row rollup."""
+    Scale shape: one distinct-edge canonicalization, ONE stub explode
+    + degree aggregation (each edge contributes both endpoints in the
+    same pass — a unionAll of two selects would lazily re-run the
+    distinct per branch), one |nodes|-row rollup; the edge count
+    falls out of the handshake identity Σd = 2m, so nothing is
+    scanned twice."""
     a, b = F.col(src_col), F.col(dst_col)
     e = (
         edges.where(a.isNotNull() & b.isNotNull() & (a != b))
         .select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .distinct()
     )
-    stubs = e.select(F.col("a").alias("node")).unionAll(
-        e.select(F.col("b").alias("node"))
+    stubs = e.select(
+        F.explode(F.array(F.col("a"), F.col("b"))).alias("node")
     )
     deg = stubs.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
-    m = e.agg(F.count(F.lit(1)).alias("n_edges"))
     agg = deg.agg(
         F.count(F.lit(1)).alias("n"),
         F.max("d").alias("dmax"),
         F.sum("d").alias("__sd"),
-    ).crossJoin(F.broadcast(m))
+    )
     n = F.col("n").cast("double")
     c = F.when(
         F.col("n") > 2,
@@ -1007,7 +1010,7 @@ def degree_centralization(
     )
     return agg.select(
         F.col("n").cast("long").alias("n_nodes"),
-        F.col("n_edges").cast("long").alias("n_edges"),
+        (F.col("__sd") / 2).cast("long").alias("n_edges"),
         F.col("dmax").cast("long").alias("max_degree"),
         F.round(c, 6).alias("centralization"),
     )

@@ -5608,28 +5608,31 @@ def g_test(
     6; p via the shared Wilson-Hilferty cube-root chi-squared
     approximation (the :func:`kruskal_wallis` convention).
 
-    Scale shape: identical to :func:`chi2_independence` — one (a, b)
-    count aggregation, two broadcast margin joins, scalar arithmetic
-    on the |R·C|-row contingency table."""
+    Scale shape: one (a, b) count aggregation collapses the data to
+    the |R·C|-row contingency table; margins and totals come from
+    window sums OVER THAT TABLE (not margin re-aggregations, which
+    would lazily re-scan the corpus once per branch), so the source is
+    scanned exactly ONCE; the global window is a single task over
+    contingency cells — small by the definition of a categorical
+    test."""
     cell = df.groupBy(
         F.col(col_a).alias("a"), F.col(col_b).alias("b")
     ).agg(F.count(F.lit(1)).alias("o"))
-    ra = cell.groupBy("a").agg(F.sum("o").alias("ta"))
-    rb = cell.groupBy("b").agg(F.sum("o").alias("tb"))
-    tot = cell.agg(
-        F.sum("o").alias("n"),
-        F.countDistinct("a").alias("n_a"),
-        F.countDistinct("b").alias("n_b"),
-    )
-    joined = (
-        cell.join(F.broadcast(ra), "a")
-        .join(F.broadcast(rb), "b")
-        .crossJoin(F.broadcast(tot))
+    wa = Window.partitionBy("a")
+    wb = Window.partitionBy("b")
+    wall = Window.partitionBy()
+    staged = cell.select(
+        "o",
+        F.sum("o").over(wa).alias("ta"),
+        F.sum("o").over(wb).alias("tb"),
+        F.sum("o").over(wall).alias("n"),
+        F.size(F.collect_set("a").over(wall)).alias("n_a"),
+        F.size(F.collect_set("b").over(wall)).alias("n_b"),
     )
     o = F.col("o").cast("double")
     e = F.col("ta").cast("double") * F.col("tb") / F.col("n")
     g = F.lit(2.0) * F.sum(o * F.log(o / e))
-    agg = joined.groupBy("n", "n_a", "n_b").agg(g.alias("__g"))
+    agg = staged.groupBy("n", "n_a", "n_b").agg(g.alias("__g"))
     dof = ((F.col("n_a") - 1) * (F.col("n_b") - 1)).cast("double")
     gv = F.greatest(F.col("__g"), F.lit(0.0))
     staged = agg.select(
@@ -5692,7 +5695,7 @@ def storey_qvalues(
         "__p",
         F.row_number().over(rk).alias("__rank"),
         F.count(F.lit(1)).over(Window.partitionBy()).alias("__m"),
-    )
+    ).persist()  # the pi0 aggregate branches off the ranked frame
     pi0_agg = staged.agg(
         F.least(
             F.greatest(
@@ -5749,10 +5752,12 @@ def seasonality_strength(
     Scale shape: rides the |days|-row decomposition (the caller's one
     big aggregation produced the series) + ONE moment aggregation
     over those rows."""
+    # the n_days count and the usable-row moments both branch off the
+    # decomposition; persist the |days|-row frame so it computes once
     dec = seasonal_decompose(
         daily, ts_col=ts_col, value_col=value_col,
         period=period, trend_window=trend_window,
-    )
+    ).persist()
     used = dec.where(F.col("residual").isNotNull())
     r = F.col("residual").cast("double")
     tr = F.col("y") - F.col("seasonal")   # trend + residual
@@ -5829,7 +5834,9 @@ def hurst_exponent(
         .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
     )
     w = Window.orderBy("d")
-    seq = daily.withColumn("__i", F.row_number().over(w) - 1)
+    # every block size branches off the indexed series; persist the
+    # |days|-row frame so the daily aggregation runs once, not per scale
+    seq = daily.withColumn("__i", F.row_number().over(w) - 1).persist()
     n_days = seq.agg(F.count(F.lit(1)).alias("n_days"))
     per_scale = []
     for nsz in sizes:

@@ -2009,7 +2009,11 @@ def source_token_jsd(
         )
     if k < 2:
         raise ValueError(f"source_token_jsd: need >= 2 groups, got {k}")
-    totals = tf.groupBy("__g").agg(F.sum("__tf").alias("__n"))
+    # the pair sides, the shared-term aggregation, and the spine all
+    # branch off these two frames; persist them (vocabulary-scale and
+    # |sources|-row) so the corpus explode runs ONCE, not per branch
+    tf = tf.persist()
+    totals = tf.groupBy("__g").agg(F.sum("__tf").alias("__n")).persist()
     probs = tf.join(totals, "__g").select(
         "__g",
         "__w",

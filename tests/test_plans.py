@@ -1250,3 +1250,28 @@ def test_kmeans_fit_final_pass_is_one_scan_no_python(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert s["scans"] == 2  # tree + details = ONE physical scan
     assert s["sort_merge_joins"] == 0
+
+
+def test_round9_scalar_readouts_are_single_scan_rollups(spark):
+    """The round-9 one-row diagnostics (G-test, GPD tail, Wilson CIs,
+    PR-AUC, burstiness, centralization) must stay one-parquet-scan
+    rollup plans with no Python eval — the corpus collapses at the
+    first aggregation and never comes back."""
+    import __spark_entry__ as e
+
+    for name in (
+        "stats_gtest",
+        "stats_gpd_tail",
+        "stats_wilson_ci",
+        "classify_pr_auc",
+        "events_burstiness",
+        "graph_centralization",
+    ):
+        s = plan_summary(
+            e.all_queries()[name](spark, "/root/testdata/sf0.001")
+        )
+        plan = s["plan"]
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        # formatted plans name each node twice: 2 == ONE physical scan
+        assert s["scans"] == 2, (name, s["scans"])

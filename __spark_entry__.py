@@ -14011,7 +14011,8 @@ af AS (
   ) WHERE rn = 1
 )
 SELECT CAST(cl AS INT) AS cluster, CAST(count(*) AS BIGINT) AS n,
-       round(sum(d2), 6) AS wcss
+       CAST(round(sum(CAST(round(d2, 9) AS DECIMAL(38,9))), 6) AS DOUBLE)
+         AS wcss
 FROM ownf GROUP BY cl
 """
     )
@@ -14052,9 +14053,11 @@ WITH daily AS (
 )
 SELECT CAST(n_days AS BIGINT) AS n_days, CAST(lag AS BIGINT) AS best_lag,
        acf AS best_acf,
-       round(1.96/sqrt(CAST(n_days AS DOUBLE)), 6) AS acf_threshold,
+       CASE WHEN n_days > 0
+            THEN round(1.96/sqrt(CAST(n_days AS DOUBLE)), 6) END
+         AS acf_threshold,
        acf > 1.96/sqrt(CAST(n_days AS DOUBLE)) AS significant
-FROM best, nd
+FROM nd LEFT JOIN best ON TRUE
 """
 
     # Same integer-micros gaps (ties among equal timestamps permute

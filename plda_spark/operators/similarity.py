@@ -1756,8 +1756,35 @@ def kmeans_fit_exact(
         raise ValueError(
             f"kmeans_fit_exact: corpus has only {len(init_rows)} vectors < k={k}"
         )
+    first = init_rows[0]["__v"]
+    if first is None or len(first) == 0:
+        raise ValueError(
+            "kmeans_fit_exact: first seed vector is NULL/empty — the "
+            "corpus has ragged or NULL-valued embedding arrays; filter "
+            "or pad them upstream."
+        )
+    dim = len(first)
+    # up-front dim contract (one bounded LIMIT-1 guard job): a vector
+    # of a different length, a NULL array, or a NULL element would
+    # otherwise surface rounds later as a bare KeyError/TypeError from
+    # the driver centroid rebuild
+    bad = (
+        embeddings.where(
+            F.col(vec_col).isNull()
+            | (F.size(vec_col) != dim)
+            | F.exists(vec_col, lambda x: x.isNull())
+        )
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError(
+            f"kmeans_fit_exact: corpus contains vectors that are not "
+            f"exactly dim={dim} non-NULL doubles (first seed's shape) — "
+            "the corpus has ragged or NULL-valued embedding arrays; "
+            "filter or pad them upstream."
+        )
     cents = [[float(x) for x in r["__v"]] for r in init_rows]
-    dim = len(cents[0])
     if k * dim > 20_000:
         raise ValueError(
             f"kmeans_fit_exact: k*dim = {k * dim} literal centroid "
@@ -1806,14 +1833,37 @@ def kmeans_fit_exact(
         for r in means:
             per_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["m"]
         for cl, dims in per_cluster.items():
-            new_cents[cl] = [float(dims[i]) for i in range(dim)]
+            rebuilt = []
+            for i in range(dim):
+                m_i = dims.get(i)
+                if m_i is None:
+                    # a ragged corpus (vector shorter than the seed dim)
+                    # or an all-NULL dimension would otherwise surface
+                    # as a bare KeyError/TypeError from the driver loop
+                    raise ValueError(
+                        "kmeans_fit_exact: cluster "
+                        f"{cl} has no mean for dimension {i} (expected "
+                        f"dim={dim} from the first seed) — the corpus "
+                        "has ragged or NULL-valued embedding arrays; "
+                        "filter or pad them upstream."
+                    )
+                rebuilt.append(float(m_i))
+            new_cents[cl] = rebuilt
         cents = new_cents
 
     final = _assign(cents)
+    # wcss hash stability: a raw double sum is order-of-accumulation
+    # dependent (partitioning changes which last-bit the 6-decimal
+    # rounding sees), so round each row's d2 to 9 decimals — the
+    # per-row fold order is identical in both engines, so the rounded
+    # operands agree exactly — and accumulate as DECIMAL (associative,
+    # partition-order invariant); both engines then sum identical
+    # exact operands and the gate cannot flake across SFs/partitionings
+    d2_exact = F.round(F.col("__d2"), 9).cast("decimal(38,9)")
     return (
         final.groupBy("cluster")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
-            F.round(F.sum("__d2"), 6).alias("wcss"),
+            F.round(F.sum(d2_exact), 6).cast("double").alias("wcss"),
         )
     )

@@ -5562,10 +5562,18 @@ def anova_posthoc(
             _two_sided_normal_p(F.abs(z)), F.lit(1.0)
         ).alias("__p"),
     )
+    # collision-free pair key: a bare "a|b" concat would let two
+    # DIFFERENT pairs collide when a group name itself contains "|"
+    # (("a|b","c") vs ("a","b|c")), fanning out the re-join with the
+    # wrong p_adj attached — length-prefixing group_a pins the split
+    # point so key equality implies pair equality
+    pair_key = F.concat_ws(
+        "|",
+        F.concat(F.length("group_a").cast("string"), F.lit(":"), F.col("group_a")),
+        F.col("group_b"),
+    )
     adjusted = holm_bonferroni(
-        scored.select(
-            F.concat_ws("|", "group_a", "group_b").alias("test"), "__p"
-        ),
+        scored.select(pair_key.alias("test"), "__p"),
         "test",
         "__p",
         alpha=alpha,
@@ -5573,7 +5581,7 @@ def anova_posthoc(
     return (
         scored.join(
             adjusted.select("test", "p_adj", "reject"),
-            F.concat_ws("|", "group_a", "group_b") == F.col("test"),
+            pair_key == F.col("test"),
         )
         .select(
             "group_a",
@@ -6079,11 +6087,25 @@ def dominant_period(
     best = (
         acf.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
-        .select(F.col("lag").alias("best_lag"), F.col("acf").alias("best_acf"))
+        .select(
+            F.lit(1).alias("__k"),
+            F.col("lag").alias("best_lag"),
+            F.col("acf").alias("best_acf"),
+        )
     )
-    thr = F.lit(1.96) / F.sqrt(F.col("n_days").cast("double"))
+    # n_days > 0 gate keeps thr NULL (not a div-by-zero artifact) on an
+    # all-NULL series; the count aggregate itself ALWAYS yields one row
+    thr = F.when(
+        F.col("n_days") > 0,
+        F.lit(1.96) / F.sqrt(F.col("n_days").cast("double")),
+    )
+    # nd (a global count — exactly one row by construction) DRIVES the
+    # join: a series too short for acf_daily to emit any lag rows still
+    # returns the documented ONE row, with NULL best_lag/best_acf,
+    # instead of silently returning zero rows
     return (
-        best.crossJoin(F.broadcast(nd))
+        nd.withColumn("__k", F.lit(1))
+        .join(F.broadcast(best), "__k", "left")
         .select(
             F.col("n_days").cast("long").alias("n_days"),
             F.col("best_lag").cast("long").alias("best_lag"),

@@ -1453,6 +1453,10 @@ def bayes_from_ledger(
     from plda_spark.operators.sampling import hash_bucket
     from plda_spark.operators.stats import bayes_ab_beta
 
+    # same guard as srm_from_ledger: buckets=1 would silently assign
+    # EVERY user to variant A and report a prior-only posterior for B
+    if buckets < 2:
+        raise ValueError(f"buckets must be >= 2, got {buckets}")
     ledger = spark.read.parquet(state_path)
     if run_id_filter is not None:
         ledger = ledger.where(F.col("run_id") == run_id_filter)

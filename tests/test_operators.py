@@ -7420,3 +7420,88 @@ def test_degree_centralization_semantics(spark):
     )
     rc = graph.degree_centralization(cycle).first()
     assert rc["centralization"] == 0.0 and rc["max_degree"] == 2
+
+
+def test_anova_posthoc_pipe_group_names_no_collision(spark):
+    """Group names containing '|' must not collide in the Holm re-join:
+    ('a|b','c') and ('a','b|c') are DIFFERENT pairs whose bare concat
+    keys both read 'a|b|c' — the length-prefixed key keeps every one of
+    the C(4,2) pairs exactly once, with no fan-out duplicates."""
+    from plda_spark.operators import stats
+
+    rows = []
+    for g in ("a", "a|b", "b|c", "c"):
+        for i in range(12):
+            rows.append((g, float(i % 3)))
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = stats.anova_posthoc(df, "g", "v").collect()
+    pairs = [(r["group_a"], r["group_b"]) for r in out]
+    assert len(pairs) == 6
+    assert len(set(pairs)) == 6
+    assert ("a", "b|c") in pairs and ("a|b", "c") in pairs
+    # identical distributions: nothing rejects, p_adj stays sane
+    assert all(not r["reject"] and 0.0 <= r["p_adj"] <= 1.0 for r in out)
+
+
+def test_dominant_period_degenerate_series_returns_one_row(spark):
+    """A one-day series gives acf_daily nothing to emit — the readout
+    must still be the documented ONE row (NULL best_lag/best_acf), not
+    an empty frame that breaks .first() callers."""
+    from plda_spark.operators import stats
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0), ("2024-01-01 06:00:00", 3.0)],
+        "ts string, value double",
+    ).select(F.to_timestamp("ts").alias("ts"), "value")
+    out = stats.dominant_period(df, "ts", "value").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 1
+    assert r["best_lag"] is None and r["best_acf"] is None
+    assert r["significant"] is None
+    # empty input: still one row, with a NULL (not div-by-zero) bound
+    empty = df.where(F.lit(False))
+    r0 = stats.dominant_period(empty, "ts", "value").collect()
+    assert len(r0) == 1 and r0[0]["n_days"] == 0
+    assert r0[0]["acf_threshold"] is None
+
+
+def test_kmeans_fit_exact_ragged_vectors_raise(spark):
+    """A cluster whose vectors are all shorter than the first seed's
+    dim (or an all-NULL dimension) must raise a named ValueError, not a
+    bare KeyError/TypeError from the driver centroid rebuild."""
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0, 0.0]), (1, [10.0, 10.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged or NULL"):
+        similarity.kmeans_fit_exact(emb, k=2, rounds=1)
+    emb_null = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, None]), (2, [10.0, None]),
+         (3, [0.1, 0.1])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged or NULL"):
+        similarity.kmeans_fit_exact(emb_null, k=2, rounds=1)
+
+
+def test_kmeans_fit_exact_wcss_partition_invariant(spark):
+    """The decimal wcss accumulation is order-invariant: 1 partition
+    and 32 partitions must produce BIT-IDENTICAL (cluster, n, wcss)
+    rows — the hash-gate property the raw double sum could flake on."""
+    rows = []
+    for i in range(64):
+        base = 0.0 if i % 2 == 0 else 7.0
+        rows.append((i, [base + (i % 7) * 0.123456789,
+                         base - (i % 5) * 0.987654321]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    one = sorted(
+        similarity.kmeans_fit_exact(emb.repartition(1), k=2, rounds=2)
+        .collect()
+    )
+    many = sorted(
+        similarity.kmeans_fit_exact(emb.repartition(32), k=2, rounds=2)
+        .collect()
+    )
+    assert one == many
+    assert all(r["wcss"] is not None for r in one)

@@ -1173,3 +1173,14 @@ def test_bayes_from_ledger_matches_batch(spark, tmp_path):
     want = bayes_ab_beta(assigned, "variant", "converted", "A", "B").first()
     assert got.asDict() == want.asDict()
     assert 0.0 <= got["prob_b_beats_a"] <= 1.0
+
+
+def test_bayes_from_ledger_rejects_buckets_lt_2(spark):
+    """buckets=1 would silently assign every user to A and report a
+    prior-only posterior for B — the guard raises before any read."""
+    import pytest
+
+    from plda_spark.streaming import windows
+
+    with pytest.raises(ValueError, match="buckets must be >= 2"):
+        windows.bayes_from_ledger(spark, "/nonexistent", buckets=1)

@@ -6162,6 +6162,50 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_bayes"] = stream_bayes
 
+    def stream_page_hinkley(spark, sf):
+        """Streaming Page-Hinkley drift monitor end to end
+        (streaming/windows.py incremental_daily_moments +
+        page_hinkley_from_ledger): the same planted level shift as
+        the batch stats_page_hinkley, ingested as two micro-batch
+        waves into the additive daily-moments ledger, read out
+        through the IDENTICAL shared window arithmetic
+        (stats.page_hinkley_over_daily).  Hash-gated against the same
+        oracle as the batch twin — the parity claim the KS/PSI ledger
+        twins established."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select(
+            "event_id",
+            "ts",
+            F.when(F.dayofmonth("ts") >= 20, F.col("value") * 1.5)
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
+        d = tempfile.mkdtemp(prefix="plda_ph_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        schema = spark.read.parquet(src).schema
+        windows.incremental_daily_moments(
+            spark.readStream.schema(schema).parquet(src), state, ckpt
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_daily_moments(
+            spark.readStream.schema(schema).parquet(src), state, ckpt
+        )
+        return windows.page_hinkley_from_ledger(
+            spark, state, delta=0.0, lam=5.0
+        ).select(
+            "n_days",
+            "ph_max",
+            F.col("ph_max_day").cast("string").alias("ph_max_day"),
+            F.col("alarm_day").cast("string").alias("alarm_day"),
+            "drifted",
+        )
+
+    q["stream_page_hinkley"] = stream_page_hinkley
+
     def stats_dominant_period(spark, sf):
         """ACF-argmax periodicity detection (operators/stats.py
         dominant_period): the lag in 1..10 with the highest daily-mean
@@ -14022,6 +14066,11 @@ FROM ownf GROUP BY cl
     # against the IDENTICAL batch oracle.
     o["stream_bayes"] = o["stats_bayes_ab"]
 
+    # The daily-moments ledger fold (sum of per-batch day sums / sum of
+    # counts) equals the batch daily mean, and the window arithmetic is
+    # literally shared (page_hinkley_over_daily) — identical oracle.
+    o["stream_page_hinkley"] = o["stats_page_hinkley"]
+
     # The stats_acf machinery at lags 1..10 + the (acf desc, lag asc)
     # argmax and the Bartlett bound.
     o["stats_dominant_period"] = """
@@ -14489,6 +14538,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_dominant_period",
     "events_burstiness",
     "graph_centralization",
+    "stream_page_hinkley",
 ]
 
 

@@ -32,6 +32,22 @@ end of the run and stamps the JSON:
   scheduler jitter) — the recorded numbers were taken inside a
   slowdown window and MUST NOT be used as a regression baseline.
 
+Absolute anchor (round 10): intra-run spread alone cannot see a host
+slowdown that depresses the WHOLE run uniformly — the round-9 capture
+self-certified "stable" (spread 0.15) while recording 1.3-6x inflated
+times for operators with zero code change (the judge's clean re-probe
+matched round-8 numbers).  So the bench now also compares its own q1
+probes against ``Q1_ANCHOR_SEC``, the best-known q1 min-of-two from
+prior STABLE sf0.1 recordings (~1.0 s; rounds 8-9 clean probes), and
+stamps ``env_degraded: true`` when the run's q1 MEDIAN exceeds
+``DEGRADED_FACTOR`` (1.5) x that anchor — a level-shifted run then
+flags itself even with zero internal spread.  The anchor is
+sf0.1-specific; at any other SF the stamp is ``null`` (no anchor).
+Probes are also DENSER now: ``record()`` re-probes q1 every
+``CALIBRATE_EVERY`` (40) recorded queries, so a slowdown window
+shorter than a third of the run can no longer slip between the three
+original probe points (~2 s per probe, ~8 probes per full run).
+
 Stdout budget (round 7): the driver captures only the LAST ~2000 BYTES
 of stdout — measured, not assumed: ``BENCH_r05.json`` and
 ``BENCH_r06.json`` both recorded a ``tail`` of exactly 2000 characters
@@ -457,6 +473,8 @@ BENCH_QUERIES = [
     "ml_kmeans_fit",
     # streaming Bayesian A/B verdict from the conversion ledger
     "stream_bayes",
+    # streaming Page-Hinkley drift monitor from the daily-moments ledger
+    "stream_page_hinkley",
     # ACF-argmax dominant period with Bartlett gate
     "stats_dominant_period",
     # Goh-Barabasi inter-event burstiness + memory
@@ -629,6 +647,40 @@ BENCH_EXEMPT = {
 # and any driver-side framing.
 STDOUT_BYTE_BUDGET = 1900
 
+# Best-known q1_pricing_summary min-of-two at sf0.1 from prior STABLE
+# recordings (round-8 detail and the round-9 clean re-probes both sit
+# at ~1.0-1.2 s).  Update ONLY from a run whose own probes were flat --
+# never from a capture stamped env_unstable or env_degraded.
+Q1_ANCHOR_SEC = 1.0
+Q1_ANCHOR_SF = 0.1
+DEGRADED_FACTOR = 1.5
+CALIBRATE_EVERY = 40  # re-probe q1 every N recorded queries
+
+
+def degraded_verdict(
+    calibration: dict[str, float],
+    sf: float,
+    anchor_sec: float = Q1_ANCHOR_SEC,
+    anchor_sf: float = Q1_ANCHOR_SF,
+    factor: float = DEGRADED_FACTOR,
+) -> bool | None:
+    """Absolute cross-round health stamp: True when this run's q1
+    probe MEDIAN exceeds ``factor`` x the best-known stable anchor --
+    i.e. the whole run is level-shifted and its numbers must not be
+    compared across rounds even if the intra-run spread looks flat.
+    Returns None (no verdict) when the run's SF differs from the
+    anchor's: the anchor is an absolute sf0.1 wall time."""
+    if not calibration or abs(sf - anchor_sf) > 1e-12:
+        return None
+    probes = sorted(calibration.values())
+    n = len(probes)
+    med = (
+        probes[n // 2]
+        if n % 2 == 1
+        else 0.5 * (probes[n // 2 - 1] + probes[n // 2])
+    )
+    return bool(med > factor * anchor_sec)
+
 
 def bench_family(name: str) -> str:
     """Family prefix a bench query rolls up under on stdout.
@@ -650,6 +702,7 @@ def format_stdout_payload(
     calibration: dict[str, float],
     spread: float,
     unstable: bool,
+    degraded: bool | None = None,
 ) -> str:
     """The ONE driver-captured stdout line, compact separators.
 
@@ -676,10 +729,12 @@ def format_stdout_payload(
             "queries": {k: round(v, 2) for k, v in sorted(families.items())},
             "sf": sf,
             "n_queries": len(timings),
-            # the three raw probe times live in BENCH_DETAIL.json; the
-            # stdout line carries only the derived verdict
+            # the raw probe times live in BENCH_DETAIL.json; the
+            # stdout line carries only the derived verdicts
             "calibration_spread": round(spread, 3),
             "env_unstable": unstable,
+            # absolute cross-round anchor verdict (null off-anchor-SF)
+            "env_degraded": degraded,
         },
         separators=(",", ":"),
     )
@@ -743,11 +798,17 @@ def main() -> None:
         lo, hi = min_max_of_two(run)
         timings[name] = lo
         minmax[name] = [lo, hi]
+        # dense calibration: re-probe q1 every CALIBRATE_EVERY recorded
+        # queries so a slowdown window shorter than a run third cannot
+        # slip between the start/mid/end probes (module doc, round 10)
+        if len(timings) % CALIBRATE_EVERY == 0:
+            calibrate(f"p{len(timings)}")
 
     # Fixed calibration probe: the same single-shuffle aggregate (q1),
-    # min-of-two, sampled at the start / midpoint / end of the run.  A
-    # host slowdown window anywhere in the bench shows up as spread
-    # between the three probes; the probe is NOT part of the totals.
+    # min-of-two, sampled at the start / midpoint / end of the run AND
+    # every CALIBRATE_EVERY queries via record().  A host slowdown
+    # window anywhere in the bench shows up as spread between the
+    # probes; the probe is NOT part of the totals.
     calibration: dict[str, float] = {}
 
     def run_q1() -> None:
@@ -991,6 +1052,11 @@ def main() -> None:
     # documented 2-4x host windows clear both bars at the driver's sf0.1
     # (q1 ~1.2 s) by an order of magnitude.
     unstable = spread > 0.20 and (max(probes) - min(probes)) > 0.25
+    # Absolute cross-round anchor (module doc, round 10): a uniformly
+    # level-shifted run has flat spread but an elevated q1 median —
+    # stamp it so the capture is never mistaken for a comparable
+    # baseline.  None (null) when sf != the anchor's sf0.1.
+    degraded = degraded_verdict(calibration, sf)
     # Full-fidelity detail (per-query [min, max] of the two runs, so a
     # slowdown window spanning one run but not the other stays visible
     # per query) goes to a sibling file with no size constraint; stdout
@@ -1009,11 +1075,17 @@ def main() -> None:
                 "calibration": {k: round(v, 3) for k, v in calibration.items()},
                 "calibration_spread": spread,
                 "env_unstable": unstable,
+                "q1_anchor_sec": Q1_ANCHOR_SEC,
+                "env_degraded": degraded,
             },
             fh,
             indent=1,
         )
-    print(format_stdout_payload(timings, sf, calibration, spread, unstable))
+    print(
+        format_stdout_payload(
+            timings, sf, calibration, spread, unstable, degraded
+        )
+    )
     spark.stop()
 
 

@@ -2665,6 +2665,20 @@ def acf_daily(
     daily = df.groupBy(day.alias("d")).agg(
         F.avg(F.col(value_col).cast("double")).alias("v")
     )
+    # |days| rows; the mean, moment, and both lag-pair branches below
+    # all reference this rollup — persisting it pins ONE corpus scan
+    # (before round 10 the four branches re-scanned the corpus 4x)
+    return acf_over_daily(daily.persist(), max_lag)
+
+
+def acf_over_daily(daily: DataFrame, max_lag: int = 7) -> DataFrame:
+    """The ACF arithmetic over an ALREADY-ROLLED-UP daily-mean frame
+    ``(d, v)`` — shared by :func:`acf_daily` (which builds and
+    persists the rollup) and :func:`dominant_period` (which extends
+    the same rollup with the day count so the Bartlett bound rides
+    the identical single corpus scan)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
     mean_row = daily.agg(F.avg("v").alias("__m"))
     mom = (
         daily.crossJoin(F.broadcast(mean_row))
@@ -5448,6 +5462,22 @@ def page_hinkley(
         .groupBy(day.alias("d"))
         .agg(F.avg(F.col(value_col).cast("double")).alias("x"))
     )
+    return page_hinkley_over_daily(daily, delta=delta, lam=lam)
+
+
+def page_hinkley_over_daily(
+    daily: DataFrame,
+    delta: float = 0.005,
+    lam: float = 0.5,
+) -> DataFrame:
+    """The Page-Hinkley window arithmetic over an ALREADY-ROLLED-UP
+    daily-mean frame ``(d, x)`` — shared verbatim by the batch
+    :func:`page_hinkley` (corpus → |days| aggregation) and the
+    streaming twin ``streaming/windows.py page_hinkley_from_ledger``
+    (daily-moments ledger fold), so the two readouts are the same
+    plan over different rollup sources (the KS/PSI-twin precedent)."""
+    if lam <= 0:
+        raise ValueError(f"lam must be > 0, got {lam}")
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
     staged = daily.withColumn(
         "__dev", F.col("x") - F.avg("x").over(w) - F.lit(float(delta))
@@ -6073,14 +6103,26 @@ def dominant_period(
     significant)`` rounded to 6 — ties break to the LOWEST lag (the
     fundamental beats its harmonics).
 
-    Scale shape: everything rides :func:`acf_daily`'s |days|-row
-    rollup; the argmax is one ordered pick over ≤ ``max_lag`` rows."""
-    acf = acf_daily(df, ts_col, value_col, max_lag=max_lag)
+    Scale shape: ONE corpus aggregation builds the |days| rollup
+    (persisted — the ACF's four branches AND the Bartlett day count
+    all ride it; before round 10 this plan re-scanned the corpus 5x);
+    the argmax is one ordered pick over ≤ ``max_lag`` rows."""
     day = F.to_date(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.groupBy(day.alias("d"))
+        .agg(
+            F.avg(v).alias("v"),
+            # rows whose ts AND value are both non-null — d is non-null
+            # iff ts is, so within a non-null day this counts non-null
+            # values (the distinct-day filter the Bartlett bound needs)
+            F.count(F.when(v.isNotNull(), F.lit(1))).alias("__nnz"),
+        )
+        .persist()
+    )
+    acf = acf_over_daily(daily.select("d", "v"), max_lag=max_lag)
     nd = (
-        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
-        .select(day.alias("d"))
-        .distinct()
+        daily.where(F.col("d").isNotNull() & (F.col("__nnz") > 0))
         .agg(F.count(F.lit(1)).alias("n_days"))
     )
     w = Window.orderBy(F.col("acf").desc(), F.col("lag").asc())

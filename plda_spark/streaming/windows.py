@@ -1473,3 +1473,82 @@ def bayes_from_ledger(
         assigned, "variant", "converted", variant_a, variant_b,
         prior_alpha=prior_alpha, prior_beta=prior_beta,
     )
+
+
+def incremental_daily_moments(
+    stream_events: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    timeout_s: float = 300.0,
+) -> None:
+    """Continuously maintain a mergeable DAILY-MOMENTS ledger over a
+    value stream — per micro-batch, one slim row per touched day
+    ``(d, s1, n)`` (sum and count of ``value_col``) — the input
+    :func:`page_hinkley_from_ledger` folds into the live drift
+    monitor without ever re-reading the stream.  Moments are additive
+    across batches (a day split over ten micro-batches sums exactly),
+    so this is the ADDITIVE-ledger family: each batch's rows are a
+    pure function of the batch and land as a dynamic overwrite of the
+    ``run_id/batch_id`` partition (crash replays rewrite identical
+    bytes), and readers must stay within ONE checkpoint generation
+    (:func:`_single_generation`) exactly like the decayed-counts
+    ledger.
+
+    Scale shape: one map-side-combined per-day aggregation per
+    micro-batch; |days-in-batch| slim rows appended; reads touch only
+    the ledger."""
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        token = _query_token(spark, checkpoint_path)
+        x = F.col(value_col).cast("double")
+        rows = (
+            batch.where(F.col(ts_col).isNotNull() & x.isNotNull())
+            .groupBy(F.to_date(F.col(ts_col)).alias("d"))
+            .agg(
+                F.sum(x).alias("s1"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        _overwrite_batch_partition(rows, state_path, token, batch_id)
+
+    q = (
+        stream_events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def page_hinkley_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    delta: float = 0.005,
+    lam: float = 0.5,
+    run_id_filter: str | None = None,
+) -> DataFrame:
+    """Streaming Page-Hinkley drift monitor over the
+    :func:`incremental_daily_moments` ledger — the canonical "did this
+    metric drift upward and stay there?" alarm
+    (``operators/stats.py page_hinkley``, Page 1954 / Gama et al.
+    2004) computed live from ledger rows instead of a corpus rescan:
+    fold the per-batch day moments to the daily mean
+    ``x = Σs1 / Σn`` (exact — moments are additive), then run the
+    IDENTICAL window arithmetic via
+    :func:`~plda_spark.operators.stats.page_hinkley_over_daily` (the
+    same shared-arithmetic parity contract as the KS/PSI ledger
+    twins).
+
+    One ledger aggregation (|days| rows) + four ordered windows over
+    that rollup — the raw event stream is never re-read.  Same
+    single-generation contract as :func:`decayed_counts_from_ledger`."""
+    from plda_spark.operators.stats import page_hinkley_over_daily
+
+    ledger = _single_generation(spark, state_path, run_id_filter)
+    daily = ledger.groupBy("d").agg(
+        (F.sum("s1") / F.sum("n").cast("double")).alias("x")
+    )
+    return page_hinkley_over_daily(daily, delta=delta, lam=lam)

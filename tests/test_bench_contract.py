@@ -33,7 +33,8 @@ def _worst_case_payload() -> str:
     timings = {name: 999.999 for name in _all_names()}
     calibration = {"start": 999.999, "mid": 999.999, "end": 999.999}
     return bench.format_stdout_payload(
-        timings, sf=0.1, calibration=calibration, spread=0.9999, unstable=True
+        timings, sf=0.1, calibration=calibration, spread=0.9999,
+        unstable=True, degraded=True,
     )
 
 
@@ -69,6 +70,7 @@ def test_stdout_line_parses_with_driver_contract_keys():
     )
     assert isinstance(payload["calibration_spread"], float)
     assert payload["env_unstable"] is True
+    assert payload["env_degraded"] is True
     # Detail must NOT ride stdout — that is what truncated r5: neither
     # the [min, max] map nor the raw calibration probes (both live in
     # BENCH_DETAIL.json, as does the flat per-query map).
@@ -117,3 +119,40 @@ def test_registry_bench_coverage_is_deliberate():
         assert isinstance(reason, str) and len(reason) > 20, (
             f"BENCH_EXEMPT[{name}] needs a real reason"
         )
+
+
+def test_degraded_verdict_anchor_logic():
+    """The round-10 absolute anchor: a run whose q1 probe MEDIAN
+    exceeds 1.5x the best-known stable anchor stamps env_degraded even
+    when its intra-run spread is flat (the round-9 failure mode: a
+    uniformly level-shifted 'stable' capture); off the anchor's SF the
+    verdict is None, and a single outlier probe does NOT flip it."""
+    a = bench.Q1_ANCHOR_SEC
+    # flat but uniformly level-shifted: spread ~0, median 2x anchor
+    shifted = {"start": 2.0 * a, "mid": 2.0 * a, "end": 2.0 * a}
+    assert bench.degraded_verdict(shifted, sf=0.1) is True
+    # healthy run at the anchor level
+    healthy = {"start": 1.0 * a, "mid": 1.1 * a, "end": 0.95 * a}
+    assert bench.degraded_verdict(healthy, sf=0.1) is False
+    # one outlier probe (a transient window the spread stamp already
+    # catches) must not flip the MEDIAN-based absolute verdict
+    outlier = {"start": 1.0 * a, "mid": 6.0 * a, "end": 1.05 * a}
+    assert bench.degraded_verdict(outlier, sf=0.1) is False
+    # exactly at the threshold: not degraded (strict >)
+    edge = {"start": 1.5 * a, "mid": 1.5 * a, "end": 1.5 * a}
+    assert bench.degraded_verdict(edge, sf=0.1) is False
+    # the anchor is an absolute sf0.1 wall time — no verdict elsewhere
+    assert bench.degraded_verdict(shifted, sf=0.01) is None
+    assert bench.degraded_verdict({}, sf=0.1) is None
+    # even-count probe lists take the midpoint average
+    four = {"a": 1.0 * a, "b": 1.4 * a, "c": 1.8 * a, "d": 10.0 * a}
+    assert bench.degraded_verdict(four, sf=0.1) is True
+
+
+def test_stdout_payload_carries_null_degraded_off_anchor_sf():
+    timings = {"q1_pricing_summary": 1.0}
+    line = bench.format_stdout_payload(
+        timings, sf=0.01, calibration={"start": 9.9}, spread=0.0,
+        unstable=False, degraded=bench.degraded_verdict({"start": 9.9}, 0.01),
+    )
+    assert json.loads(line)["env_degraded"] is None

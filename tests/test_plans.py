@@ -1275,3 +1275,72 @@ def test_round9_scalar_readouts_are_single_scan_rollups(spark):
         assert "ArrowEvalPython" not in plan, name
         # formatted plans name each node twice: 2 == ONE physical scan
         assert s["scans"] == 2, (name, s["scans"])
+
+
+def _physical_scan_ids(plan: str) -> set:
+    """Distinct parquet scan NODES: the formatted plan names each node
+    once in the tree and once in the details, and InMemoryRelation
+    details embed their cached child plan's text — so a raw substring
+    count over-counts persisted plans; the (n) node ids do not."""
+    import re
+
+    return set(re.findall(r"\((\d+)\) Scan parquet", plan))
+
+
+def test_hurst_branches_ride_the_persisted_daily_series(spark):
+    """stats_hurst: one parquet scan builds the |days| series; every
+    block-size branch reads the persisted frame (InMemoryTableScan),
+    never the corpus — and no Python eval."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_hurst"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(_physical_scan_ids(plan)) == 1  # ONE physical corpus scan
+    assert "InMemoryTableScan" in plan
+    assert s["sort_merge_joins"] == 0
+
+
+def test_storey_rides_persisted_ranked_frame(spark):
+    """stats_storey: the one-vs-rest screen's two corpus aggregations
+    (per-group + complement moments) are the ONLY parquet scans; the
+    pi0 branch reads the persisted ranked frame, not the corpus."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_storey"](spark, "/root/testdata/sf0.001")
+    )
+    plan = s["plan"]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(_physical_scan_ids(plan)) <= 2  # the screen's moment pair
+    assert "InMemoryTableScan" in plan
+    assert s["sort_merge_joins"] == 0
+
+
+def test_seasonality_and_dominant_period_are_rollup_first(spark):
+    """stats_seasonal_strength rides the persisted |days|
+    decomposition (bounded physical scans, persisted reuse visible);
+    stats_dominant_period collapses to ONE persisted |days| rollup
+    shared by the ACF branches and the Bartlett day count (round 10:
+    was 5 corpus scans)."""
+    import __spark_entry__ as e
+
+    s = plan_summary(
+        e.all_queries()["stats_seasonal_strength"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "BatchEvalPython" not in s["plan"]
+    assert "InMemoryTableScan" in s["plan"]
+    assert len(_physical_scan_ids(s["plan"])) <= 3  # decompose stages
+    s2 = plan_summary(
+        e.all_queries()["stats_dominant_period"](
+            spark, "/root/testdata/sf0.001"
+        )
+    )
+    assert "BatchEvalPython" not in s2["plan"]
+    assert len(_physical_scan_ids(s2["plan"])) == 1  # ONE corpus scan
+    assert "InMemoryTableScan" in s2["plan"]
+    assert s2["sort_merge_joins"] == 0

@@ -1184,3 +1184,85 @@ def test_bayes_from_ledger_rejects_buckets_lt_2(spark):
 
     with pytest.raises(ValueError, match="buckets must be >= 2"):
         windows.bayes_from_ledger(spark, "/nonexistent", buckets=1)
+
+
+def test_page_hinkley_from_ledger_matches_batch(spark, tmp_path):
+    """The streaming PH verdict folded from the daily-moments ledger
+    equals the batch page_hinkley over the same events — integer
+    values make the moment sums exact, so parity is bitwise, including
+    a day SPLIT across the two micro-batches."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import stats
+    from plda_spark.streaming import windows
+
+    schema = "event_id long, ts timestamp, value double"
+    rows_w1, rows_w2 = [], []
+    eid = 0
+    for d in range(1, 13):
+        level = 10.0 if d <= 6 else 30.0  # upward level shift mid-series
+        for k in range(6):
+            row = (eid, f"2024-02-{d:02d} 0{k}:00:00", level + k)
+            # split each day's events across BOTH waves
+            (rows_w1 if k % 2 == 0 else rows_w2).append(row)
+            eid += 1
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(
+            [(i, t, v) for i, t, v in rows], "event_id long, ts string, value double"
+        ).select(
+            "event_id", F.to_timestamp("ts").alias("ts"), "value"
+        ).write.mode("append").parquet(src)
+
+    write(rows_w1)
+    windows.incremental_daily_moments(
+        spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    write(rows_w2)
+    windows.incremental_daily_moments(
+        spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    got = windows.page_hinkley_from_ledger(spark, state, lam=5.0).first()
+
+    all_rows = rows_w1 + rows_w2
+    ev = spark.createDataFrame(
+        all_rows, "event_id long, ts string, value double"
+    ).select(F.to_timestamp("ts").alias("ts"), "value")
+    want = stats.page_hinkley(ev, "ts", "value", lam=5.0).first()
+    assert got.asDict() == want.asDict()
+    assert got["drifted"] is True and got["alarm_day"] is not None
+    assert got["n_days"] == 12
+
+
+def test_daily_moments_ledger_is_replay_idempotent(spark, tmp_path):
+    """A crash-replayed micro-batch overwrites its own run_id/batch_id
+    partition with identical bytes — re-running the SAME wave twice
+    must not change the PH readout."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.streaming import windows
+
+    schema = "event_id long, ts timestamp, value double"
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(i, f"2024-03-{(i % 5) + 1:02d} 00:00:00", float(i)) for i in range(50)],
+        "event_id long, ts string, value double",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "value").write.mode(
+        "append"
+    ).parquet(src)
+    windows.incremental_daily_moments(
+        spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    first = windows.page_hinkley_from_ledger(spark, state).first()
+    # same source, same checkpoint: availableNow finds nothing new; the
+    # ledger is unchanged
+    windows.incremental_daily_moments(
+        spark.readStream.schema(schema).parquet(src), state, ckpt
+    )
+    again = windows.page_hinkley_from_ledger(spark, state).first()
+    assert first.asDict() == again.asDict()

@@ -481,6 +481,13 @@ BENCH_QUERIES = [
     "events_burstiness",
     # Freeman degree centralization
     "graph_centralization",
+    # round-10 additions
+    "stats_mood_median",
+    "stats_cvm",
+    "stats_gev_maxima",
+    "text_heaps",
+    "classify_mcc",
+    "text_script_mix",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

@@ -734,3 +734,68 @@ def classification_report(
         ).alias("accuracy"),
         F.round("__macro", 6).alias("macro_f1"),
     )
+
+
+def matthews_corrcoef(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Matthews correlation coefficient, multiclass R_K form
+    (Matthews 1975; Gorodkin 2004) — the single-number classifier
+    summary that, unlike accuracy or F1, cannot be gamed by class
+    imbalance (predicting the majority class scores ~0, not ~0.9):
+    ``R_K = (c·s − Σ_k p_k·t_k) / √((s² − Σp²)(s² − Σt²))`` over the
+    confusion table, where ``c`` is the diagonal mass, ``s`` the
+    total, ``t_k``/``p_k`` the true/predicted margins — equal to the
+    binary MCC when K = 2.  Returns ONE row ``(n, k_classes, mcc)``
+    rounded to 6; ``mcc`` is NULL when either marginal is degenerate
+    (all-one-class truth or prediction — the 0/0 case sklearn
+    reports as 0; NULL states "undefined" honestly).
+
+    Scale shape: ONE (label, pred) count aggregation collapses the
+    corpus to the |classes|² confusion table (persisted — diagonal
+    and both margins branch off it), then scalar algebra on ≤
+    |classes| rows."""
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("string").alias("__t"),
+        F.col(pred_col).cast("string").alias("__p"),
+    )
+    cell = base.groupBy("__t", "__p").agg(
+        F.count(F.lit(1)).alias("c")
+    ).persist()
+    tm = cell.groupBy(F.col("__t").alias("k")).agg(
+        F.sum("c").alias("tk")
+    )
+    pm = cell.groupBy(F.col("__p").alias("k")).agg(
+        F.sum("c").alias("pk")
+    )
+    marg = tm.join(pm, "k", "full_outer").select(
+        "k",
+        F.coalesce(F.col("tk"), F.lit(0)).cast("double").alias("tk"),
+        F.coalesce(F.col("pk"), F.lit(0)).cast("double").alias("pk"),
+    )
+    marg_agg = marg.agg(
+        F.count(F.lit(1)).alias("k_classes"),
+        F.sum(F.col("tk") * F.col("pk")).alias("__tp_dot"),
+        F.sum(F.col("tk") * F.col("tk")).alias("__tt"),
+        F.sum(F.col("pk") * F.col("pk")).alias("__pp"),
+    )
+    tot = cell.agg(
+        F.sum("c").cast("double").alias("__s"),
+        F.sum(
+            F.when(F.col("__t") == F.col("__p"), F.col("c")).otherwise(0)
+        ).cast("double").alias("__c"),
+    )
+    joined = tot.crossJoin(F.broadcast(marg_agg))
+    s = F.col("__s")
+    num = F.col("__c") * s - F.col("__tp_dot")
+    den2 = (s * s - F.col("__pp")) * (s * s - F.col("__tt"))
+    mcc = F.when(den2 > 0, num / F.sqrt(den2))
+    return joined.select(
+        s.cast("long").alias("n"),
+        F.col("k_classes").cast("long").alias("k_classes"),
+        F.round(mcc, 6).alias("mcc"),
+    )

@@ -6156,3 +6156,336 @@ def dominant_period(
             (F.col("best_acf") > thr).alias("significant"),
         )
     )
+
+
+
+def mood_median_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Mood's median test (Brown & Mood 1951) — "do these k groups
+    share a common median?", the counting (not ranking) member of the
+    k-group location family: find the GRAND weighted median, classify
+    every observation as above vs at-or-below it, and Pearson-χ² the
+    resulting k×2 table with k−1 dof (Wilson-Hilferty tail through
+    the shared Φ polynomial, the :func:`kruskal_wallis` convention).
+    Less powerful than Kruskal-Wallis under normal-ish shifts but
+    far more robust to heavy tails and outliers — the right screen
+    for latency/size metrics.
+
+    The grand median is the LOWER weighted median (the smallest value
+    whose cumulative count reaches half of n — engine-replayable,
+    no interpolation).  Returns ONE row ``(k, n, grand_median,
+    n_above, chi2, dof, p_value)`` rounded to 6.
+
+    Scale shape: one (group, value) cell aggregation (map-side
+    combined) collapses the corpus; the median scan and the k×2 fold
+    are windows/rollups over those cells — the same single-task
+    |distinct values| contract as :func:`ks_test`, ENFORCED by the
+    ``max_distinct`` pre-check (quantize continuous columns
+    upstream)."""
+    v = F.col(value_col).cast("double")
+    # NULL values drop up front (the kruskal_wallis rationale: NULL
+    # ordering diverges across engines and would shift the median)
+    df = df.where(v.isNotNull() & F.col(group_col).isNotNull())
+    ndv = df.agg(F.approx_count_distinct(v).alias("__ndv")).first()["__ndv"]
+    if ndv > max_distinct:
+        raise ValueError(
+            f"mood_median_test: {value_col!r} has ~{ndv} distinct values "
+            f"> max_distinct={max_distinct}; quantize upstream (the "
+            "median scan is ONE task over the distinct values)."
+        )
+    # |cells| <= max_distinct x |groups| rows; the median scan, the
+    # per-group fold, and their rollups all branch off this frame --
+    # persist it so the corpus aggregation runs ONCE, not per branch
+    per = df.groupBy(
+        v.alias("v"), F.col(group_col).cast("string").alias("g")
+    ).agg(F.count(F.lit(1)).alias("c")).persist()
+    tv = per.groupBy("v").agg(F.sum("c").alias("t"))
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = tv.select(
+        "v", "t", F.sum("t").over(wcum).alias("cumt")
+    ).withColumn("__n", F.sum("t").over(Window.partitionBy()))
+    med = cum.where(
+        F.col("cumt") * 2 >= F.col("__n")
+    ).agg(F.min("v").alias("m"), F.max("__n").alias("n"))
+    cells = (
+        per.crossJoin(F.broadcast(med))
+        .groupBy("g")
+        .agg(
+            F.sum(F.when(F.col("v") > F.col("m"), F.col("c")).otherwise(0))
+            .alias("above"),
+            F.sum("c").alias("ng"),
+            F.max("m").alias("m"),
+            F.max("n").alias("n"),
+        )
+        .persist()  # |groups| rows, read by tot AND the chi2 fold
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("above").alias("tot_above"),
+        F.max("n").alias("n"),
+        F.max("m").alias("m"),
+    )
+    n = F.col("n").cast("double")
+    ta = F.col("tot_above").cast("double")
+    ng = F.col("ng").cast("double")
+    ea = ng * ta / n
+    eb = ng * (n - ta) / n
+    oa = F.col("above").cast("double")
+    ob = ng - oa
+    contrib = F.when(ea > 0, (oa - ea) * (oa - ea) / ea).otherwise(
+        F.lit(0.0)
+    ) + F.when(eb > 0, (ob - eb) * (ob - eb) / eb).otherwise(F.lit(0.0))
+    agg = (
+        cells.crossJoin(
+            F.broadcast(tot.select("k", "tot_above"))
+        )
+        .agg(
+            F.max("k").alias("k"),
+            F.max("n").alias("n"),
+            F.max("m").alias("m"),
+            F.max("tot_above").alias("tot_above"),
+            F.sum(contrib).alias("__chi2"),
+        )
+        .withColumn("__dof", (F.col("k") - 1).cast("double"))
+    )
+    # Wilson-Hilferty upper tail (the kruskal_wallis arithmetic)
+    nu = F.col("__dof")
+    h = F.col("__chi2")
+    z = F.when(
+        (nu > 0) & (h > 0),
+        (
+            F.pow(h / nu, F.lit(1.0 / 3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * nu))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * nu)),
+    ).otherwise(F.lit(0.0))
+    staged = agg.withColumn("__z", z)
+    half = _two_sided_normal_p(F.abs(F.col("__z"))) / F.lit(2.0)
+    p = F.when(F.col("__z") >= 0, half).otherwise(F.lit(1.0) - half)
+    return staged.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n"),
+        F.round("m", 6).alias("grand_median"),
+        F.col("tot_above").cast("long").alias("n_above"),
+        F.round("__chi2", 6).alias("chi2"),
+        F.col("__dof").cast("long").alias("dof"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion (Anderson 1962) — the
+    whole-distribution drift test that weights EVERY quantile, where
+    :func:`ks_test` sees only the single largest ECDF gap (KS is
+    blunt in the tails; CvM integrates the squared gap, catching
+    dispersed small shifts KS misses).  Computed on value cells via
+    the ECDF form ``T = (n·m/N²) Σ_v t_v (F_a(v) − F_b(v))²`` summed
+    over distinct values with combined multiplicity ``t_v`` (equal to
+    Anderson's rank formula when ties are absent; its natural
+    tie-weighted generalization otherwise — stated because the rank
+    form is ill-defined under ties).
+
+    The verdict compares T against the asymptotic α = 0.05 critical
+    value 0.461 (Anderson-Darling 1952 table for the limiting
+    ω²-distribution) — the limiting p itself is an infinite weighted-
+    χ² series no replayable SQL can evaluate, so like
+    :func:`ks_test`'s D-only variant the readout is (statistic,
+    threshold, reject).  Returns ONE row ``(n_a, n_b, t_stat,
+    critical_05, reject)`` rounded to 6.
+
+    Scale shape: one (group, value) cell aggregation collapses the
+    corpus; the two ECDFs are ordered windows over |distinct values|
+    rows — the :func:`ks_test` single-task contract, ENFORCED by the
+    same ``max_distinct`` pre-check."""
+    v = F.col(value_col).cast("double")
+    df = df.where(
+        v.isNotNull()
+        & F.col(group_col).cast("string").isin(str(group_a), str(group_b))
+    )
+    ndv = df.agg(F.approx_count_distinct(v).alias("__ndv")).first()["__ndv"]
+    if ndv > max_distinct:
+        raise ValueError(
+            f"cvm_two_sample: {value_col!r} has ~{ndv} distinct values > "
+            f"max_distinct={max_distinct}; quantize upstream (the ECDF "
+            "windows are ONE task over the distinct values)."
+        )
+    cells = df.groupBy(v.alias("v")).agg(
+        F.sum(
+            (F.col(group_col).cast("string") == str(group_a)).cast("long")
+        ).alias("ca"),
+        F.sum(
+            (F.col(group_col).cast("string") == str(group_b)).cast("long")
+        ).alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    staged = (
+        cells.withColumn("__cuma", F.sum("ca").over(wcum))
+        .withColumn("__cumb", F.sum("cb").over(wcum))
+        .withColumn("__na", F.sum("ca").over(wall))
+        .withColumn("__nb", F.sum("cb").over(wall))
+    )
+    fa = F.col("__cuma") / F.col("__na").cast("double")
+    fb = F.col("__cumb") / F.col("__nb").cast("double")
+    tv = (F.col("ca") + F.col("cb")).cast("double")
+    agg = staged.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.sum(tv * (fa - fb) * (fa - fb)).alias("__s"),
+    )
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    t_stat = n * m / ((n + m) * (n + m)) * F.col("__s")
+    crit = F.lit(0.461)
+    staged2 = agg.withColumn("__t", t_stat)
+    return staged2.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("__t", 6).alias("t_stat"),
+        F.round(crit, 6).alias("critical_05"),
+        (F.col("__t") > crit).alias("reject"),
+    )
+
+
+def _gamma1p(x):
+    """``Γ(1+x)`` for a column ``0 ≤ x ≤ 1`` — the Abramowitz-Stegun
+    6.1.36 polynomial (|ε| ≤ 3e-7, inside the 6-decimal output
+    rounding), pure replayable arithmetic like the Φ polynomial
+    (:func:`_two_sided_normal_p`)."""
+    return (
+        F.lit(1.0)
+        + x
+        * (
+            F.lit(-0.577191652)
+            + x
+            * (
+                F.lit(0.988205891)
+                + x
+                * (
+                    F.lit(-0.897056937)
+                    + x
+                    * (
+                        F.lit(0.918206857)
+                        + x
+                        * (
+                            F.lit(-0.756704078)
+                            + x
+                            * (
+                                F.lit(0.482199394)
+                                + x
+                                * (
+                                    F.lit(-0.193527818)
+                                    + x * F.lit(0.035868343)
+                                )
+                            )
+                        )
+                    )
+                )
+            )
+        )
+    )
+
+
+def gev_block_maxima_fit(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    return_period: int = 20,
+) -> DataFrame:
+    """Generalized-extreme-value fit to DAILY BLOCK MAXIMA by
+    probability-weighted moments (Hosking, Wallis & Wood 1985) — the
+    Fisher-Tippett sibling of :func:`gpd_tail_fit` (GPD models the
+    excesses over a high threshold; GEV models the per-block maxima —
+    "how bad is the worst value a typical day/month produces, and
+    what does a 1-in-``return_period``-block day look like?").
+
+    Closed-form PWM estimation: unbiased sample PWMs b0/b1/b2 over
+    the ORDERED block maxima, Hosking's ``k`` from the rational
+    approximation ``k = 7.8590c + 2.9554c²`` with
+    ``c = (2b1−b0)/(3b2−b0) − ln2/ln3``, then scale/location through
+    ``Γ(1+k)`` (the shared A&S polynomial, :func:`_gamma1p`; the
+    reflection ``Γ(1+k) = Γ(2+k)/(1+k)`` covers k < 0).  Reported
+    ``shape`` uses the modern ξ = −k sign convention (ξ > 0 =
+    heavy/Fréchet tail).  ``|k| < 1e-6`` degrades to the Gumbel PWM
+    fit (σ = (2b1−b0)/ln2, μ = b0 − γσ) — the k → 0 limit.  The
+    return level is the GEV quantile at non-exceedance 1 − 1/T.
+    Returns ONE row ``(n_blocks, shape, scale, location,
+    return_level, return_period)`` rounded to 6; needs ≥ 3 blocks
+    (NULLs otherwise).
+
+    Scale shape: the corpus collapses to |days| block maxima FIRST
+    (one aggregation); the order-statistic weights are one window
+    over that calendar-bounded rollup, then ONE moment aggregation —
+    weights within tied maxima permute freely but their SUMS are
+    permutation-invariant, so the estimate is engine-replayable."""
+    if return_period < 2:
+        raise ValueError(
+            f"return_period must be >= 2, got {return_period}"
+        )
+    day = F.to_date(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    maxima = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.max(v).alias("x"))
+    )
+    w = Window.orderBy("x", "d")
+    idx = maxima.select(
+        "x", (F.row_number().over(w) - 1).cast("double").alias("i")
+    )
+    n = F.col("n").cast("double")
+    agg = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("__s0"),
+        F.sum(F.col("i") * F.col("x")).alias("__s1"),
+        F.sum(F.col("i") * (F.col("i") - 1) * F.col("x")).alias("__s2"),
+    )
+    b0 = F.col("__s0") / n
+    b1 = F.col("__s1") / (n * (n - 1))
+    b2 = F.col("__s2") / (n * (n - 1) * (n - 2))
+    c = (2 * b1 - b0) / (3 * b2 - b0) - F.lit(0.6309297535714574)  # ln2/ln3
+    k = F.lit(7.8590) * c + F.lit(2.9554) * c * c
+    gamma1pk = F.when(
+        k >= 0, _gamma1p(k)
+    ).otherwise(_gamma1p(F.lit(1.0) + k) / (F.lit(1.0) + k))
+    sigma_gev = (
+        (2 * b1 - b0) * k / (gamma1pk * (F.lit(1.0) - F.pow(F.lit(2.0), -k)))
+    )
+    mu_gev = b0 + sigma_gev * (gamma1pk - F.lit(1.0)) / k
+    sigma_gum = (2 * b1 - b0) / F.lit(0.6931471805599453)  # ln 2
+    mu_gum = b0 - F.lit(0.5772156649015329) * sigma_gum  # Euler gamma
+    gumbel = F.abs(k) < 1e-6
+    shape = F.when(gumbel, F.lit(0.0)).otherwise(-k)  # xi = -k_hosking
+    sigma = F.when(gumbel, sigma_gum).otherwise(sigma_gev)
+    mu = F.when(gumbel, mu_gum).otherwise(mu_gev)
+    y = F.lit(-1.0) * F.log(
+        F.lit(1.0) - F.lit(1.0) / F.lit(float(return_period))
+    )  # -ln(p), p = 1 - 1/T
+    rl = F.when(
+        gumbel, mu - sigma * F.log(y)
+    ).otherwise(mu + sigma * (F.pow(y, -shape) - F.lit(1.0)) / shape)
+    few = F.col("n") < 3
+    staged = agg.select(
+        F.col("n").cast("long").alias("n_blocks"),
+        F.when(few, F.lit(None)).otherwise(F.round(shape, 6)).alias("shape"),
+        F.when(few, F.lit(None)).otherwise(F.round(sigma, 6)).alias("scale"),
+        F.when(few, F.lit(None)).otherwise(F.round(mu, 6)).alias("location"),
+        F.when(few, F.lit(None)).otherwise(F.round(rl, 6)).alias(
+            "return_level"
+        ),
+        F.lit(return_period).cast("long").alias("return_period"),
+    )
+    return staged

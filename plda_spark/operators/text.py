@@ -2072,3 +2072,185 @@ def source_token_jsd(
         F.round(clamped, 6).alias("jsd"),
         F.round(F.sqrt(clamped), 6).alias("jsd_distance"),
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 20,
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (Heaps 1978; Herdan 1960):
+    ``V(n) = K·n^β`` — how fast NEW word types appear as the corpus
+    grows.  Natural text lands at β ≈ 0.4-0.6; β drifting down means
+    the corpus is saturating (more-of-the-same scraping), β near 1
+    means unbounded novelty (OCR noise, ids, gibberish) — the growth
+    twin of the static :func:`zipf_fit` spectrum.
+
+    The growth curve is measured at ``buckets`` deterministic corpus
+    prefixes WITHOUT ordering the corpus: docs land in md5 buckets
+    (:func:`~plda_spark.operators.sampling.hash_bucket` — a random
+    but engine-replayable shuffle order, the standard convention
+    since Heaps curves are order-sensitive), each token's FIRST
+    bucket is ``min(bucket over docs containing it)``, so prefix k's
+    type count is just |tokens with first_bucket ≤ k| and its token
+    count the sum of bucket token totals ≤ k — cumulative distinct
+    WITHOUT per-prefix rescans.  Log-log least squares over the
+    ``buckets`` (n_k, V_k) points gives (K, β).  Returns ONE row
+    ``(n_tokens, n_types, k_coef, beta, r2)`` rounded to 6.
+
+    Scale shape: ONE (token → min-bucket, count) aggregation collapses
+    the corpus; both cumulative curves are windows over ≤ ``buckets``
+    rollup rows, then one closed-form OLS aggregate — the corpus is
+    scanned once, the curve never materializes more than
+    |vocabulary| + |buckets| rows."""
+    if buckets < 3:
+        raise ValueError(f"buckets must be >= 3, got {buckets}")
+    from plda_spark.operators.sampling import hash_bucket
+
+    toks = docs.select(
+        hash_bucket(F.col(id_col), buckets).alias("b"),
+        F.explode(tokens_col(text_col)).alias("tok"),
+    )
+    per_tok = toks.groupBy("tok").agg(F.min("b").alias("fb"))
+    new_types = per_tok.groupBy("fb").agg(
+        F.count(F.lit(1)).alias("nt")
+    )
+    # token MASS per bucket never needs the exploded tokens — size()
+    # on the array gives the identical count as a map-side-combined
+    # 20-row rollup with no shuffle, so the only heavy exchange in
+    # this plan is the one vocabulary-keyed min-bucket aggregation
+    tok_mass = docs.select(
+        hash_bucket(F.col(id_col), buckets).alias("b"),
+        F.size(tokens_col(text_col)).alias("__sz"),
+    ).groupBy("b").agg(F.sum("__sz").alias("nm"))
+    curve = (
+        tok_mass.join(new_types, tok_mass["b"] == new_types["fb"], "left")
+        .select(
+            "b",
+            "nm",
+            F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
+        )
+    )
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    pts = curve.select(
+        F.log(F.sum("nm").over(wcum).cast("double")).alias("x"),
+        F.log(F.sum("nt").over(wcum).cast("double")).alias("y"),
+        F.sum("nm").over(wcum).alias("cum_n"),
+        F.sum("nt").over(wcum).alias("cum_v"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx, sxy, syy = (
+        F.sum(F.col("x") * F.col("x")),
+        F.sum(F.col("x") * F.col("y")),
+        F.sum(F.col("y") * F.col("y")),
+    )
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - beta * sx) / n
+    r2 = F.pow(n * sxy - sx * sy, 2) / (
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pts.agg(
+        F.max("cum_n").cast("long").alias("n_tokens"),
+        F.max("cum_v").cast("long").alias("n_types"),
+        F.round(F.exp(intercept), 6).alias("k_coef"),
+        # + 0.0 folds IEEE negative zero (a saturating corpus rounds a
+        # tiny negative slope to -0.0 in one engine, +0.0 in the other)
+        (F.round(beta, 6) + F.lit(0.0)).alias("beta"),
+        (F.round(r2, 6) + F.lit(0.0)).alias("r2"),
+    )
+
+
+_SCRIPT_RANGES = [
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("cjk", "[぀-ヿ一-鿿가-힯]"),
+    ("arabic", "[؀-ۿ]"),
+    ("devanagari", "[ऀ-ॿ]"),
+]
+
+
+def script_mix(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    min_letters: int = 20,
+    purity_threshold: float = 0.9,
+) -> DataFrame:
+    """Per-group Unicode-script composition — the multilingual
+    curation signal :func:`lang_id`'s n-gram vote cannot give:
+    per-document letter counts in six major script blocks (Latin,
+    Cyrillic, Greek, CJK incl. kana/hangul, Arabic, Devanagari — by
+    literal codepoint-range character classes, identical semantics in
+    Java regex and RE2), rolled up per ``group_col`` into script
+    SHARES, the dominant script (largest share; ties break by the
+    fixed block order above, engine-replayable), and the share of
+    MIXED-SCRIPT documents (≥ ``min_letters`` script letters whose
+    top script holds < ``purity_threshold`` of them — the
+    mojibake/spam/wrong-language-contamination flag).
+
+    Returns one row per group: ``(group, n_docs, latin_share,
+    cyrillic_share, greek_share, cjk_share, arabic_share,
+    devanagari_share, dominant_script, mixed_doc_share)`` rounded to
+    6 (shares NULL for a group with zero script letters).
+
+    Scale shape: the per-doc counts are six JVM ``regexp_count``
+    expressions inside the scan projection (no explode, no shuffle of
+    text); ONE group-keyed aggregation of seven longs per doc ends
+    the plan."""
+    if min_letters < 1:
+        raise ValueError(f"min_letters must be >= 1, got {min_letters}")
+    if not (0.0 < purity_threshold <= 1.0):
+        raise ValueError(
+            f"purity_threshold must be in (0, 1], got {purity_threshold}"
+        )
+    t = F.col(text_col)
+    counts = [
+        F.when(
+            t.isNotNull(), F.regexp_count(t, F.lit(rng))
+        ).otherwise(F.lit(0)).cast("long").alias(f"__{name}")
+        for name, rng in _SCRIPT_RANGES
+    ]
+    per_doc = docs.select(F.col(group_col).alias("group"), *counts)
+    letters = sum(
+        (F.col(f"__{name}") for name, _ in _SCRIPT_RANGES), F.lit(0)
+    )
+    top = F.greatest(*[F.col(f"__{name}") for name, _ in _SCRIPT_RANGES])
+    mixed = (
+        (letters >= min_letters)
+        & (top.cast("double") < F.lit(float(purity_threshold)) * letters)
+    ).cast("long")
+    agg = per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum(f"__{name}").alias(f"__t_{name}")
+            for name, _ in _SCRIPT_RANGES
+        ],
+        F.sum(mixed).alias("__mixed"),
+    )
+    tot = sum(
+        (F.col(f"__t_{name}") for name, _ in _SCRIPT_RANGES), F.lit(0)
+    ).cast("double")
+    shares = [
+        F.round(
+            F.when(tot > 0, F.col(f"__t_{name}") / tot), 6
+        ).alias(f"{name}_share")
+        for name, _ in _SCRIPT_RANGES
+    ]
+    best = F.greatest(*[F.col(f"__t_{name}") for name, _ in _SCRIPT_RANGES])
+    dominant = F.when(tot <= 0, F.lit(None))
+    for name, _ in _SCRIPT_RANGES:
+        dominant = dominant.when(
+            F.col(f"__t_{name}") == best, F.lit(name)
+        )
+    return agg.select(
+        "group",
+        "n_docs",
+        *shares,
+        dominant.alias("dominant_script"),
+        F.round(
+            F.col("__mixed") / F.col("n_docs").cast("double"), 6
+        ).alias("mixed_doc_share"),
+    )

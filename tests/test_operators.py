@@ -7505,3 +7505,293 @@ def test_kmeans_fit_exact_wcss_partition_invariant(spark):
     )
     assert one == many
     assert all(r["wcss"] is not None for r in one)
+
+
+
+def test_mood_median_semantics(spark):
+    """Hand-computed Mood's median: two clearly shifted groups give a
+    large chi2 with dof 1 and p < 0.01; identical groups give chi2 0
+    and p ~= 1; the grand median follows the LOWER weighted-median
+    convention; the distinct-value guard fires."""
+    from plda_spark.operators import stats
+
+    rows = [("a", float(x)) for x in range(1, 11)] + [
+        ("b", float(x)) for x in range(11, 21)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = stats.mood_median_test(df, "g", "v").first()
+    assert r["k"] == 2 and r["n"] == 20 and r["dof"] == 1
+    # lower weighted median of 1..20 -> 10; above = 10 (all of b)
+    assert r["grand_median"] == 10.0 and r["n_above"] == 10
+    # a: 0 above vs e=5; b: 10 above vs e=5 -> chi2 = 4*(25/5) = 20
+    assert abs(r["chi2"] - 20.0) < 1e-9
+    assert r["p_value"] < 0.01
+
+    same = spark.createDataFrame(
+        [("a", float(x % 5)) for x in range(50)]
+        + [("b", float(x % 5)) for x in range(50)],
+        "g string, v double",
+    )
+    r2 = stats.mood_median_test(same, "g", "v").first()
+    assert r2["chi2"] == 0.0 and r2["p_value"] >= 0.5
+
+    with pytest.raises(ValueError, match="max_distinct"):
+        stats.mood_median_test(df, "g", "v", max_distinct=5)
+
+
+def test_cvm_two_sample_semantics(spark):
+    """Exact tie-weighted ECDF sum on a tiny hand case, a clear shift
+    rejects, identical samples give T = 0, and the guard fires."""
+    from plda_spark.operators import stats
+
+    # A = {1, 2}, B = {2, 3}: distinct v 1,2,3 with t_v 1,2,1
+    # F_a = .5, 1, 1 ; F_b = 0, .5, 1 -> sum = 1*.25 + 2*.25 + 0 = .75
+    # T = (2*2/16) * .75 = 0.1875
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    r = stats.cvm_two_sample(tiny, "g", "v", "a", "b").first()
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert abs(r["t_stat"] - 0.1875) < 1e-9
+    assert r["reject"] is False
+
+    shift = spark.createDataFrame(
+        [("a", float(x % 20)) for x in range(200)]
+        + [("b", float(x % 20) + 6.0) for x in range(200)],
+        "g string, v double",
+    )
+    r2 = stats.cvm_two_sample(shift, "g", "v", "a", "b").first()
+    assert r2["t_stat"] > 0.461 and r2["reject"] is True
+
+    same = spark.createDataFrame(
+        [("a", float(x % 7)) for x in range(100)]
+        + [("b", float(x % 7)) for x in range(100)],
+        "g string, v double",
+    )
+    r3 = stats.cvm_two_sample(same, "g", "v", "a", "b").first()
+    assert r3["t_stat"] == 0.0 and r3["reject"] is False
+
+    with pytest.raises(ValueError, match="max_distinct"):
+        stats.cvm_two_sample(shift, "g", "v", "a", "b", max_distinct=3)
+
+
+def test_gev_block_maxima_semantics(spark):
+    """PWM GEV fit: (1) a numpy replay of the exact same closed form
+    matches bit-close on arbitrary data; (2) Gumbel-grid maxima
+    (known mu=10, sigma=2) recover shape ~= 0 and the parameters;
+    (3) fewer than 3 blocks gives NULLs; (4) the guard fires."""
+    import math
+
+    from plda_spark.operators import stats
+
+    def fit_numpy(xs, T=20):
+        xs = sorted(xs)
+        n = len(xs)
+        b0 = sum(xs) / n
+        b1 = sum(i * x for i, x in enumerate(xs)) / (n * (n - 1))
+        b2 = sum(i * (i - 1) * x for i, x in enumerate(xs)) / (
+            n * (n - 1) * (n - 2)
+        )
+        c = (2 * b1 - b0) / (3 * b2 - b0) - math.log(2) / math.log(3)
+        k = 7.8590 * c + 2.9554 * c * c
+        if abs(k) < 1e-6:
+            sigma = (2 * b1 - b0) / math.log(2)
+            mu = b0 - 0.5772156649015329 * sigma
+            shape = 0.0
+        else:
+            g = math.gamma(1 + k)
+            sigma = (2 * b1 - b0) * k / (g * (1 - 2 ** (-k)))
+            mu = b0 + sigma * (g - 1) / k
+            shape = -k
+        y = -math.log(1 - 1 / T)
+        if shape == 0.0:
+            rl = mu - sigma * math.log(y)
+        else:
+            rl = mu + sigma * (y ** (-shape) - 1) / shape
+        return shape, sigma, mu, rl
+
+    # one event per day -> daily max == the value
+    def run(xs):
+        rows = [
+            (f"2024-{(d // 28) + 1:02d}-{(d % 28) + 1:02d} 00:00:00", x)
+            for d, x in enumerate(xs)
+        ]
+        df = spark.createDataFrame(rows, "ts string, value double").select(
+            F.to_timestamp("ts").alias("ts"), "value"
+        )
+        return stats.gev_block_maxima_fit(df, "ts", "value").first()
+
+    # Gumbel inverse-CDF grid: mu=10, sigma=2
+    grid = [(i + 0.5) / 60 for i in range(60)]
+    xs = [10.0 - 2.0 * math.log(-math.log(u)) for u in grid]
+    r = run(xs)
+    assert r["n_blocks"] == 60
+    assert abs(r["shape"]) < 0.08
+    assert abs(r["scale"] - 2.0) < 0.15
+    assert abs(r["location"] - 10.0) < 0.15
+    s, sg, m, rl = fit_numpy(xs)
+    assert abs(r["shape"] - s) < 2e-5   # A&S gamma poly vs math.gamma
+    assert abs(r["scale"] - sg) < 2e-4
+    assert abs(r["location"] - m) < 2e-4
+    assert abs(r["return_level"] - rl) < 2e-3
+
+    # heavy-tailed (Frechet-ish) synthetic: shape comes out positive
+    xs2 = [1.0 / (1.0 - u) ** 0.4 for u in grid]
+    r2 = run(xs2)
+    s2, *_ = fit_numpy(xs2)
+    assert r2["shape"] > 0.1 and abs(r2["shape"] - s2) < 2e-5
+
+    r3 = run([5.0, 6.0])
+    assert r3["n_blocks"] == 2 and r3["shape"] is None
+    assert r3["return_level"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="return_period"):
+        stats.gev_block_maxima_fit(
+            spark.createDataFrame([], "ts timestamp, value double"),
+            "ts", "value", return_period=1,
+        )
+
+
+def test_heaps_fit_semantics(spark):
+    """A pure-python replay of the bucketed Heaps curve (same md5
+    buckets, same tokens, same closed-form OLS) matches bit-close;
+    totals equal corpus totals; the guard fires."""
+    import hashlib
+    import math
+
+    docs = []
+    words = [f"w{i}" for i in range(40)]
+    for d in range(60):
+        # each doc reuses a sliding window of the vocab so later
+        # buckets add few new types (a saturating, Heaps-ish corpus)
+        toks = [words[(d + j) % 40] for j in range(10)] + ["common", "the"]
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    B = 8
+    got = text.heaps_fit(df, buckets=B).first()
+
+    def bucket(key):
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16) % B
+
+    first_bucket, mass = {}, {b: 0 for b in range(B)}
+    for d, txt in docs:
+        b = bucket(d)
+        for tok in txt.split():
+            if len(tok) < 2:
+                continue
+            mass[b] += 1
+            first_bucket[tok] = min(first_bucket.get(tok, B), b)
+    xs, ys = [], []
+    cum_n = cum_v = 0
+    for b in range(B):
+        if mass[b] == 0:
+            continue
+        cum_n += mass[b]
+        cum_v += sum(1 for t, fb in first_bucket.items() if fb == b)
+        xs.append(math.log(cum_n))
+        ys.append(math.log(cum_v))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    beta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    k = math.exp((sy - beta * sx) / n)
+    assert got["n_tokens"] == cum_n and got["n_types"] == cum_v
+    assert abs(got["beta"] - beta) < 1e-6
+    assert abs(got["k_coef"] - k) < 1e-4
+    assert 0.0 <= got["r2"] <= 1.0
+
+    with pytest.raises(ValueError, match="buckets"):
+        text.heaps_fit(df, buckets=2)
+
+
+def test_matthews_corrcoef_semantics(spark):
+    """Binary MCC equals the hand formula (TP·TN − FP·FN)/√(...);
+    perfect prediction gives 1, inverted gives -1, majority-class
+    spam gives ~0/NULL; multiclass matches a numpy Gorodkin replay."""
+    import math
+
+    from plda_spark.operators import classify
+
+    def mk(pairs):
+        return spark.createDataFrame(pairs, "y string, p string")
+
+    # TP=40 TN=30 FP=10 FN=20 (positive='1')
+    pairs = (
+        [("1", "1")] * 40 + [("0", "0")] * 30
+        + [("0", "1")] * 10 + [("1", "0")] * 20
+    )
+    r = classify.matthews_corrcoef(mk(pairs), "y", "p").first()
+    # (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    want = (40 * 30 - 10 * 20) / math.sqrt(50 * 60 * 40 * 50)
+    assert r["n"] == 100 and r["k_classes"] == 2
+    assert abs(r["mcc"] - want) < 1e-6
+
+    perfect = [("a", "a")] * 5 + [("b", "b")] * 7 + [("c", "c")] * 3
+    assert classify.matthews_corrcoef(mk(perfect), "y", "p").first()["mcc"] == 1.0
+
+    inverted = [("1", "0")] * 6 + [("0", "1")] * 6
+    assert (
+        classify.matthews_corrcoef(mk(inverted), "y", "p").first()["mcc"]
+        == -1.0
+    )
+
+    # degenerate: predictor always says '1' -> undefined (NULL)
+    lazy = [("1", "1")] * 9 + [("0", "1")] * 1
+    assert classify.matthews_corrcoef(mk(lazy), "y", "p").first()["mcc"] is None
+
+    # multiclass Gorodkin replay
+    import numpy as np
+
+    rng = [("a", "a")] * 8 + [("a", "b")] * 2 + [("b", "b")] * 5 + [
+        ("b", "c")
+    ] * 3 + [("c", "c")] * 4 + [("c", "a")] * 1
+    C = np.zeros((3, 3))
+    idx = {"a": 0, "b": 1, "c": 2}
+    for t, p in rng:
+        C[idx[t], idx[p]] += 1
+    s = C.sum()
+    c = np.trace(C)
+    t_k = C.sum(axis=1)
+    p_k = C.sum(axis=0)
+    want_rk = (c * s - (t_k * p_k).sum()) / math.sqrt(
+        (s * s - (p_k**2).sum()) * (s * s - (t_k**2).sum())
+    )
+    rk = classify.matthews_corrcoef(mk(rng), "y", "p").first()
+    assert rk["k_classes"] == 3
+    assert abs(rk["mcc"] - want_rk) < 1e-6
+
+
+def test_script_mix_semantics(spark):
+    """Known script compositions: pure-English groups read latin 1.0;
+    a Cyrillic group reads cyrillic-dominant; a half-Greek doc flags
+    as mixed; zero-letter docs give NULL shares; guards fire."""
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "hello world this is plain english text ok"),
+            (1, "en", "another purely english document right here"),
+            (2, "ru", "привет мир это русский текст для проверки"),
+            (3, "mix", "alpha beta gamma " + "αβγδεζηθικλμνξο" * 2),
+            (4, "num", "1234 5678 90 12"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["group"]: r for r in text.script_mix(docs, min_letters=10).collect()}
+    assert out["en"]["latin_share"] == 1.0
+    assert out["en"]["dominant_script"] == "latin"
+    assert out["en"]["mixed_doc_share"] == 0.0
+    assert out["ru"]["cyrillic_share"] == 1.0
+    assert out["ru"]["dominant_script"] == "cyrillic"
+    mix = out["mix"]
+    assert mix["greek_share"] is not None and mix["greek_share"] > 0.5
+    assert mix["dominant_script"] == "greek"
+    assert mix["mixed_doc_share"] == 1.0
+    num = out["num"]
+    assert num["latin_share"] is None and num["dominant_script"] is None
+    assert num["mixed_doc_share"] == 0.0
+
+    with pytest.raises(ValueError, match="purity_threshold"):
+        text.script_mix(docs, purity_threshold=1.5)

@@ -1344,3 +1344,32 @@ def test_seasonality_and_dominant_period_are_rollup_first(spark):
     assert len(_physical_scan_ids(s2["plan"])) == 1  # ONE corpus scan
     assert "InMemoryTableScan" in s2["plan"]
     assert s2["sort_merge_joins"] == 0
+
+
+def test_round10_new_ops_are_single_pass_rollups(spark):
+    """The round-10 additions stay rollup-first: mood/cvm/gev/script
+    collapse the corpus in ONE aggregation pass (mood's cell frame is
+    persisted for its median/fold branches); heaps has exactly the
+    designed two scans (the vocabulary min-bucket exchange + the
+    shuffle-free size() mass rollup); nothing evaluates Python."""
+    import __spark_entry__ as e
+
+    expected_scans = {
+        "stats_mood_median": 1,
+        "stats_cvm": 1,
+        "stats_gev_maxima": 1,
+        "text_script_mix": 1,
+        "text_heaps": 2,
+        "classify_mcc": 2,  # the label join's two corpus sides
+    }
+    for name, scans in expected_scans.items():
+        s = plan_summary(
+            e.all_queries()[name](spark, "/root/testdata/sf0.001")
+        )
+        plan = s["plan"]
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert len(_physical_scan_ids(plan)) <= scans, (
+            name,
+            sorted(_physical_scan_ids(plan)),
+        )

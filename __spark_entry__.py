@@ -3430,6 +3430,25 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_hist_psi"] = stats_hist_psi
 
+    def stats_hist_cvm(spark, sf):
+        """Cramér-von Mises drift between the same two DATE RANGES
+        from the histogram rollup alone (operators/stats.py
+        hist_cvm_ranges) — the integrated-squared-ECDF-gap member
+        completing the rollup drift triple next to stats_hist_ks (max
+        gap) and stats_hist_psi (magnitude).  Never re-reads the
+        event log."""
+        from plda_spark.operators import stats
+
+        sk = stats.hist_daily_sketches(
+            load_table(spark, sf, "events"), "value",
+            lo=0.0, hi=200.0, nbins=64,
+        )
+        return stats.hist_cvm_ranges(
+            sk, ("2024-01-01", "2024-01-10"), ("2024-01-20", "2024-01-31")
+        )
+
+    q["stats_hist_cvm"] = stats_hist_cvm
+
     def curation_winsorize(spark, sf):
         """Per-source winsorization of document lengths
         (operators/curation.py winsorize): n_chars clipped to each
@@ -3551,6 +3570,36 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return windows.hist_psi_from_ledger(spark, state, (0, 0), (1, 1))
 
     q["stream_hist_psi"] = stream_hist_psi
+
+    def stream_hist_cvm(spark, sf):
+        """Streaming integrated drift end to end (streaming/windows.py
+        incremental_hist_ledger + hist_cvm_from_ledger): the same
+        two-parity-micro-batch ledger as stream_hist_drift, folded to
+        the Cramér-von Mises T instead of KS/PSI — the third drift
+        alert off the identical append-only ledger, hash-gated
+        against the oracle's direct binned CvM over the parity
+        split."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select("event_id", "value")
+        d = tempfile.mkdtemp(prefix="plda_histcvm_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        schema = "event_id long, value double"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        windows.incremental_hist_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, nbins=64,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_hist_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, nbins=64,
+        )
+        return windows.hist_cvm_from_ledger(spark, state, (0, 0), (1, 1))
+
+    q["stream_hist_cvm"] = stream_hist_cvm
 
 
     def sample_neyman(spark, sf):
@@ -14534,6 +14583,82 @@ SELECT grp AS "group", CAST(n_docs AS BIGINT) AS n_docs, {_shares},
 FROM sc
 """
 
+
+    # Same merged range arrays, same binned ECDFs, same T/0.461 verdict
+    # as the cell-based stats_cvm (zero-count bins contribute 0 on both
+    # sides).
+    o["stats_hist_cvm"] = """
+WITH b AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(least(floor(CAST(value AS DOUBLE) / 3.125), 63) AS INTEGER)
+           AS bin
+  FROM events WHERE value >= 0 AND value < 200
+), g AS (
+  SELECT bin,
+         sum(CASE WHEN day BETWEEN '2024-01-01' AND '2024-01-10'
+                  THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN day BETWEEN '2024-01-20' AND '2024-01-31'
+                  THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bin
+), e AS (
+  SELECT ca, cb,
+         sum(ca) OVER (ORDER BY bin) / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY bin) / sum(cb) OVER () AS fb,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM g
+), agg AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         sum(CAST(ca + cb AS DOUBLE) * (fa - fb) * (fa - fb)) AS s
+  FROM e
+), t AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)
+           /((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             *(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * s AS tt
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(tt, 6) AS t_stat, round(0.461, 6) AS critical_05,
+       tt > 0.461 AS reject
+FROM t
+"""
+
+    # The ledger parity fold equals the direct binned CvM on the same
+    # event-id parity split (the stream_hist_drift argument).
+    o["stream_hist_cvm"] = """
+WITH b AS (
+  SELECT event_id % 2 AS g,
+         CAST(least(floor(CAST(value AS DOUBLE) / 3.125), 63) AS INTEGER)
+           AS bin
+  FROM events WHERE value >= 0 AND value < 200
+), g2 AS (
+  SELECT bin,
+         sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bin
+), e AS (
+  SELECT ca, cb,
+         sum(ca) OVER (ORDER BY bin) / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY bin) / sum(cb) OVER () AS fb,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM g2
+), agg AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         sum(CAST(ca + cb AS DOUBLE) * (fa - fb) * (fa - fb)) AS s
+  FROM e
+), t AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)
+           /((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             *(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * s AS tt
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(tt, 6) AS t_stat, round(0.461, 6) AS critical_05,
+       tt > 0.461 AS reject
+FROM t
+"""
+
     return o
 
 
@@ -14919,6 +15044,8 @@ EXTRA_QUERIES: list[str] = [
     "text_heaps",
     "classify_mcc",
     "text_script_mix",
+    "stats_hist_cvm",
+    "stream_hist_cvm",
 ]
 
 

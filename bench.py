@@ -488,6 +488,8 @@ BENCH_QUERIES = [
     "text_heaps",
     "classify_mcc",
     "text_script_mix",
+    "stats_hist_cvm",
+    "stream_hist_cvm",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

@@ -6489,3 +6489,84 @@ def gev_block_maxima_fit(
         F.lit(return_period).cast("long").alias("return_period"),
     )
     return staged
+
+
+def hist_cvm_ranges(
+    sketches: DataFrame,
+    range_a: tuple,
+    range_b: tuple,
+) -> DataFrame:
+    """Cramér-von Mises drift between two DATE RANGES computed from
+    the :func:`hist_daily_sketches` rollup ALONE — the binned
+    :func:`cvm_two_sample`, completing the rollup-only drift triple
+    (:func:`hist_ks_ranges` = largest ECDF gap, :func:`hist_psi_ranges`
+    = share-ratio magnitude, this = the INTEGRATED squared gap, which
+    catches dispersed small shifts KS's single max misses): merge each
+    range's day arrays (lossless), build both binned ECDFs, and sum
+    ``T = (n_a·n_b/N²) Σ_bin t_bin (F_a − F_b)²`` with combined bin
+    multiplicity ``t_bin`` (zero-count bins contribute 0, so the
+    binned sum equals the distinct-value form up to the bin-width
+    discretization the rollup already carries).  Verdict against the
+    asymptotic α = 0.05 critical value 0.461, the
+    :func:`cvm_two_sample` contract.
+
+    Returns ONE row ``(n_a, n_b, t_stat, critical_05, reject)``.
+    Scale shape: two filtered sums over the |days|-row rollup + array
+    expressions over ``nbins`` values — never touches the raw log."""
+    (a_lo, a_hi), (b_lo, b_hi) = range_a, range_b
+
+    def merged(lo, hi, alias):
+        return sketches.where(
+            (F.col("day") >= lo) & (F.col("day") <= hi)
+        ).agg(
+            F.aggregate(
+                F.collect_list("bin_counts"),
+                F.lit(None).cast("array<long>"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.zip_with(acc, x, lambda p, q: p + q)
+                ),
+            ).alias(alias)
+        )
+
+    both = merged(a_lo, a_hi, "ha").crossJoin(merged(b_lo, b_hi, "hb"))
+
+    def ecdf(col, n):
+        idx = F.sequence(F.lit(1), F.size(col))
+        pref = F.transform(
+            idx, lambda i: F.aggregate(
+                F.slice(col, 1, i), F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+        return F.transform(pref, lambda c: c / n)
+
+    na = F.aggregate("ha", F.lit(0).cast("long"), lambda a, x: a + x)
+    nb = F.aggregate("hb", F.lit(0).cast("long"), lambda a, x: a + x)
+    diff2 = F.zip_with(
+        ecdf(F.col("ha"), na),
+        ecdf(F.col("hb"), nb),
+        lambda x, y: (x - y) * (x - y),
+    )
+    tmass = F.zip_with(
+        F.col("ha"), F.col("hb"), lambda p, q: (p + q).cast("double")
+    )
+    s = F.aggregate(
+        F.zip_with(tmass, diff2, lambda t, d: t * d),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    staged = both.select(
+        na.alias("n_a"), nb.alias("n_b"), s.alias("__s")
+    )
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    t_stat = n * m / ((n + m) * (n + m)) * F.col("__s")
+    crit = F.lit(0.461)
+    staged2 = staged.withColumn("__t", t_stat)
+    return staged2.select(
+        "n_a",
+        "n_b",
+        F.round("__t", 6).alias("t_stat"),
+        F.round(crit, 6).alias("critical_05"),
+        (F.col("__t") > crit).alias("reject"),
+    )

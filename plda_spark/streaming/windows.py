@@ -1552,3 +1552,31 @@ def page_hinkley_from_ledger(
         (F.sum("s1") / F.sum("n").cast("double")).alias("x")
     )
     return page_hinkley_over_daily(daily, delta=delta, lam=lam)
+
+
+def hist_cvm_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    batches_a,
+    batches_b,
+    run_id_filter: str | None = None,
+) -> DataFrame:
+    """Cramér-von Mises drift between two BATCH-ID ranges of the
+    :func:`incremental_hist_ledger` — completing the ledger drift
+    triple next to :func:`hist_ks_from_ledger` (largest gap) and
+    :func:`hist_psi_from_ledger` (magnitude): the integrated squared
+    ECDF gap, delegating to ``operators/stats.py hist_cvm_ranges``
+    over the identical batch-id fold.  Touches only the ledger; same
+    single-generation contract."""
+    from plda_spark.operators.stats import hist_cvm_ranges
+
+    ledger = _single_generation(spark, state_path, run_id_filter).select(
+        F.col("batch_id").cast("string").alias("day"), "bin_counts"
+    )
+    padded = ledger.withColumn("day", F.lpad("day", 10, "0"))
+    fmt = lambda b: str(int(b)).zfill(10)
+    return hist_cvm_ranges(
+        padded,
+        (fmt(batches_a[0]), fmt(batches_a[1])),
+        (fmt(batches_b[0]), fmt(batches_b[1])),
+    )

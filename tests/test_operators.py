@@ -7795,3 +7795,41 @@ def test_script_mix_semantics(spark):
 
     with pytest.raises(ValueError, match="purity_threshold"):
         text.script_mix(docs, purity_threshold=1.5)
+
+
+def test_hist_cvm_ranges_semantics(spark):
+    """Hand-computed binned CvM over two date ranges: the merged
+    arrays, binned ECDFs, and T match the cell-based cvm_two_sample on
+    the identical already-binned values; disjoint ranges with equal
+    histograms give T = 0."""
+    from plda_spark.operators import stats
+
+    rows = []
+    # range A days: values all in bin 0 and 1; range B shifted up
+    for d in (1, 2):
+        rows += [(f"2024-01-0{d} 00:00:00", 1.0)] * 6
+        rows += [(f"2024-01-0{d} 00:00:00", 11.0)] * 4
+    for d in (8, 9):
+        rows += [(f"2024-01-0{d} 00:00:00", 11.0)] * 5
+        rows += [(f"2024-01-0{d} 00:00:00", 21.0)] * 5
+    ev = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    sk = stats.hist_daily_sketches(ev, "value", lo=0.0, hi=40.0, nbins=4)
+    got = stats.hist_cvm_ranges(
+        sk, ("2024-01-01", "2024-01-02"), ("2024-01-08", "2024-01-09")
+    ).first()
+    # same data quantized to bin ids through the cell-based test
+    binned = ev.select(
+        F.when(F.to_date("ts") <= "2024-01-02", "a").otherwise("b").alias("g"),
+        F.floor(F.col("value") / 10.0).cast("double").alias("v"),
+    )
+    want = stats.cvm_two_sample(binned, "g", "v", "a", "b").first()
+    assert got["n_a"] == want["n_a"] and got["n_b"] == want["n_b"]
+    assert abs(got["t_stat"] - want["t_stat"]) < 1e-9
+    assert got["reject"] == want["reject"]
+
+    same = stats.hist_cvm_ranges(
+        sk, ("2024-01-01", "2024-01-01"), ("2024-01-02", "2024-01-02")
+    ).first()
+    assert same["t_stat"] == 0.0 and same["reject"] is False

@@ -6384,6 +6384,37 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_script_mix"] = text_script_mix
 
+    def stats_friedman(spark, sf):
+        """Friedman rank test over daily blocks (operators/stats.py
+        friedman_daily — Friedman 1937): per-(day, event_type) means
+        ranked WITHIN their day, tie-corrected Q, chi2(k-1) via the
+        shared Wilson-Hilferty tail — the within-block screen that
+        removes day-level drift stats_kruskal_wallis would absorb.
+        Per-day partitioned rank windows over the |days|*k cell
+        frame; never a global sort."""
+        from plda_spark.operators import stats
+
+        return stats.friedman_daily(
+            load_table(spark, sf, "events"), "ts", "event_type", "value"
+        )
+
+    q["stats_friedman"] = stats_friedman
+
+    def stats_kpss(spark, sf):
+        """KPSS level-stationarity test (operators/stats.py
+        kpss_level_daily — Kwiatkowski-Phillips-Schmidt-Shin 1992)
+        over the daily mean event value: Bartlett long-run variance
+        at the published bandwidth rule, eta vs the 0.463 critical
+        value — the null-reversed companion of stats_trend.  |days|
+        rollup + static lag windows, one moment aggregation."""
+        from plda_spark.operators import stats
+
+        return stats.kpss_level_daily(
+            load_table(spark, sf, "events"), "ts", "value"
+        )
+
+    q["stats_kpss"] = stats_kpss
+
     return q
 
 
@@ -14659,6 +14690,189 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM t
 """
 
+
+    # Same complete-block filter, same average within-day ranks, same
+    # tie-corrected Q and WH/Phi tail.
+    o["stats_friedman"] = """
+WITH cells AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(event_type AS VARCHAR) AS g,
+         avg(CAST(value AS DOUBLE)) AS x
+  FROM events
+  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), kk AS (SELECT count(DISTINCT g) AS ka FROM cells),
+dc AS (SELECT d, count(*) AS kd FROM cells GROUP BY 1),
+complete AS (
+  SELECT cells.d, cells.g, cells.x
+  FROM cells JOIN dc USING (d) CROSS JOIN kk WHERE dc.kd = kk.ka
+), ranked AS (
+  SELECT d, g,
+         rank() OVER (PARTITION BY d ORDER BY x)
+           + (count(*) OVER (PARTITION BY d, x) - 1)/2.0 AS r,
+         CAST(count(*) OVER (PARTITION BY d, x) AS DOUBLE) AS t
+  FROM complete
+), per_g AS (SELECT g, sum(r) AS rj FROM ranked GROUP BY 1),
+ties AS (
+  SELECT sum(t*t - 1) AS tm,
+         count(*)/(SELECT CAST(ka AS DOUBLE) FROM kk) AS n
+  FROM ranked
+), agg AS (
+  SELECT count(*) AS k, max(n) AS n, sum(rj*rj) AS s, max(tm) AS tm
+  FROM per_g CROSS JOIN ties
+), calc AS (
+  SELECT k, n,
+         CASE WHEN (1.0 - tm/(n*CAST(k AS DOUBLE)
+                              *(CAST(k AS DOUBLE)*k - 1))) > 0
+              THEN greatest(
+                (12.0/(n*CAST(k AS DOUBLE)*(CAST(k AS DOUBLE) + 1))*s
+                 - 3.0*n*(CAST(k AS DOUBLE) + 1))
+                /(1.0 - tm/(n*CAST(k AS DOUBLE)
+                            *(CAST(k AS DOUBLE)*k - 1))), 0.0)
+              ELSE 0.0 END AS h,
+         CAST(k - 1 AS DOUBLE) AS nu
+  FROM agg), zc AS (
+  SELECT *, CASE WHEN nu > 0 AND h > 0
+              THEN (pow(h/nu, 1.0/3.0) - (1.0 - 2.0/(9.0*nu)))
+                   / sqrt(2.0/(9.0*nu))
+              ELSE 0.0 END AS z
+  FROM calc
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zc),
+pp AS (
+  SELECT *,
+         (2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))))/2.0 AS half
+  FROM ph
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_blocks,
+       round(h, 6) AS q_stat, CAST(nu AS BIGINT) AS dof,
+       round(least(greatest(CASE WHEN z >= 0 THEN half
+                                 ELSE 1.0 - half END, 0.0), 1.0), 6)
+         AS p_value
+FROM pp
+"""
+
+    # Same demeaned partial sums, same Bartlett long-run variance at
+    # the published bandwidth rule, same 0.463 verdict.
+    o["stats_kpss"] = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, avg(CAST(value AS DOUBLE)) AS x
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1
+), st AS (SELECT d, x - avg(x) OVER () AS e FROM daily),
+sp AS (
+  SELECT d, e,
+         sum(e) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS s,
+         lag(e, 1) OVER (ORDER BY d) AS e1,
+         lag(e, 2) OVER (ORDER BY d) AS e2,
+         lag(e, 3) OVER (ORDER BY d) AS e3,
+         lag(e, 4) OVER (ORDER BY d) AS e4,
+         lag(e, 5) OVER (ORDER BY d) AS e5,
+         lag(e, 6) OVER (ORDER BY d) AS e6,
+         lag(e, 7) OVER (ORDER BY d) AS e7,
+         lag(e, 8) OVER (ORDER BY d) AS e8,
+         lag(e, 9) OVER (ORDER BY d) AS e9,
+         lag(e, 10) OVER (ORDER BY d) AS e10,
+         lag(e, 11) OVER (ORDER BY d) AS e11,
+         lag(e, 12) OVER (ORDER BY d) AS e12,
+         lag(e, 13) OVER (ORDER BY d) AS e13,
+         lag(e, 14) OVER (ORDER BY d) AS e14,
+         lag(e, 15) OVER (ORDER BY d) AS e15,
+         lag(e, 16) OVER (ORDER BY d) AS e16,
+         lag(e, 17) OVER (ORDER BY d) AS e17,
+         lag(e, 18) OVER (ORDER BY d) AS e18,
+         lag(e, 19) OVER (ORDER BY d) AS e19,
+         lag(e, 20) OVER (ORDER BY d) AS e20,
+         lag(e, 21) OVER (ORDER BY d) AS e21,
+         lag(e, 22) OVER (ORDER BY d) AS e22,
+         lag(e, 23) OVER (ORDER BY d) AS e23,
+         lag(e, 24) OVER (ORDER BY d) AS e24,
+         lag(e, 25) OVER (ORDER BY d) AS e25,
+         lag(e, 26) OVER (ORDER BY d) AS e26,
+         lag(e, 27) OVER (ORDER BY d) AS e27,
+         lag(e, 28) OVER (ORDER BY d) AS e28,
+         lag(e, 29) OVER (ORDER BY d) AS e29,
+         lag(e, 30) OVER (ORDER BY d) AS e30
+  FROM st
+), agg AS (
+  SELECT count(*) AS n, sum(s*s) AS ss, sum(e*e) AS g0,
+         sum(e*e1) AS g1,
+         sum(e*e2) AS g2,
+         sum(e*e3) AS g3,
+         sum(e*e4) AS g4,
+         sum(e*e5) AS g5,
+         sum(e*e6) AS g6,
+         sum(e*e7) AS g7,
+         sum(e*e8) AS g8,
+         sum(e*e9) AS g9,
+         sum(e*e10) AS g10,
+         sum(e*e11) AS g11,
+         sum(e*e12) AS g12,
+         sum(e*e13) AS g13,
+         sum(e*e14) AS g14,
+         sum(e*e15) AS g15,
+         sum(e*e16) AS g16,
+         sum(e*e17) AS g17,
+         sum(e*e18) AS g18,
+         sum(e*e19) AS g19,
+         sum(e*e20) AS g20,
+         sum(e*e21) AS g21,
+         sum(e*e22) AS g22,
+         sum(e*e23) AS g23,
+         sum(e*e24) AS g24,
+         sum(e*e25) AS g25,
+         sum(e*e26) AS g26,
+         sum(e*e27) AS g27,
+         sum(e*e28) AS g28,
+         sum(e*e29) AS g29,
+         sum(e*e30) AS g30
+  FROM sp
+), bwc AS (
+  SELECT *, floor(4.0*pow(CAST(n AS DOUBLE)/100.0, 0.25)) AS bw FROM agg
+), lrvc AS (
+  SELECT *, g0/CAST(n AS DOUBLE)
+           + 2.0*greatest(0.0, 1.0 - 1.0/(bw + 1))*(coalesce(g1, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 2.0/(bw + 1))*(coalesce(g2, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 3.0/(bw + 1))*(coalesce(g3, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 4.0/(bw + 1))*(coalesce(g4, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 5.0/(bw + 1))*(coalesce(g5, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 6.0/(bw + 1))*(coalesce(g6, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 7.0/(bw + 1))*(coalesce(g7, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 8.0/(bw + 1))*(coalesce(g8, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 9.0/(bw + 1))*(coalesce(g9, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 10.0/(bw + 1))*(coalesce(g10, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 11.0/(bw + 1))*(coalesce(g11, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 12.0/(bw + 1))*(coalesce(g12, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 13.0/(bw + 1))*(coalesce(g13, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 14.0/(bw + 1))*(coalesce(g14, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 15.0/(bw + 1))*(coalesce(g15, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 16.0/(bw + 1))*(coalesce(g16, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 17.0/(bw + 1))*(coalesce(g17, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 18.0/(bw + 1))*(coalesce(g18, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 19.0/(bw + 1))*(coalesce(g19, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 20.0/(bw + 1))*(coalesce(g20, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 21.0/(bw + 1))*(coalesce(g21, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 22.0/(bw + 1))*(coalesce(g22, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 23.0/(bw + 1))*(coalesce(g23, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 24.0/(bw + 1))*(coalesce(g24, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 25.0/(bw + 1))*(coalesce(g25, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 26.0/(bw + 1))*(coalesce(g26, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 27.0/(bw + 1))*(coalesce(g27, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 28.0/(bw + 1))*(coalesce(g28, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 29.0/(bw + 1))*(coalesce(g29, 0.0)/CAST(n AS DOUBLE))
+           + 2.0*greatest(0.0, 1.0 - 30.0/(bw + 1))*(coalesce(g30, 0.0)/CAST(n AS DOUBLE)) AS lrv
+  FROM bwc
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(CASE WHEN n >= 3 AND lrv > 0
+                  THEN (ss/(CAST(n AS DOUBLE)*n))/lrv END, 6) AS eta,
+       CAST(bw AS BIGINT) AS bandwidth,
+       round(0.463, 6) AS critical_05,
+       CASE WHEN n >= 3 AND lrv > 0
+            THEN (ss/(CAST(n AS DOUBLE)*n))/lrv > 0.463 END
+         AS reject_stationarity
+FROM lrvc
+"""
+
     return o
 
 
@@ -15046,6 +15260,8 @@ EXTRA_QUERIES: list[str] = [
     "text_script_mix",
     "stats_hist_cvm",
     "stream_hist_cvm",
+    "stats_friedman",
+    "stats_kpss",
 ]
 
 

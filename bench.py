@@ -490,6 +490,8 @@ BENCH_QUERIES = [
     "text_script_mix",
     "stats_hist_cvm",
     "stream_hist_cvm",
+    "stats_friedman",
+    "stats_kpss",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

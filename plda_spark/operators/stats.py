@@ -6570,3 +6570,212 @@ def hist_cvm_ranges(
         F.round(crit, 6).alias("critical_05"),
         (F.col("__t") > crit).alias("reject"),
     )
+
+
+def friedman_daily(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    value_col: str,
+    max_groups: int = 100,
+) -> DataFrame:
+    """Friedman rank test over daily blocks (Friedman 1937) — "do
+    these k treatments differ, controlling for the day?": each
+    COMPLETE day (all k groups observed) is a block, the per-(day,
+    group) mean is ranked WITHIN its day (average ranks for ties),
+    and the tie-corrected statistic ``Q = [12/(nk(k+1)) Σ_j R_j² −
+    3n(k+1)] / [1 − Σ(t³−t)/(nk(k²−1))]`` is χ²(k−1) under the null
+    (Wilson-Hilferty tail through the shared Φ polynomial).  The
+    within-block design removes day-level drift that would swamp
+    :func:`kruskal_wallis` — the right screen when every group moves
+    with the daily level and the question is their RELATIVE order.
+
+    Incomplete days are DROPPED (the classical complete-block
+    requirement; a group missing one day would otherwise bias its
+    rank sum).  Returns ONE row ``(k, n_blocks, q_stat, dof,
+    p_value)`` rounded to 6.
+
+    Scale shape: one (day, group) mean aggregation collapses the
+    corpus; ranks are per-DAY windows (partitioned — never a global
+    sort) over the |days|·k cell frame (persisted: the completeness
+    filter, tie rollup, and rank sums all branch off it); the
+    ``max_groups`` pre-check bounds k."""
+    if max_groups < 2:
+        raise ValueError(f"max_groups must be >= 2, got {max_groups}")
+    day = F.to_date(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    cells = (
+        df.where(
+            F.col(ts_col).isNotNull()
+            & v.isNotNull()
+            & F.col(group_col).isNotNull()
+        )
+        .groupBy(day.alias("d"), F.col(group_col).cast("string").alias("g"))
+        .agg(F.avg(v).alias("x"))
+        .persist()
+    )
+    k_all = cells.select("g").distinct().count()
+    if k_all > max_groups:
+        raise ValueError(
+            f"friedman_daily: {k_all} groups > max_groups={max_groups}; "
+            "bucket or filter the grouping column upstream."
+        )
+    if k_all < 2:
+        raise ValueError(f"friedman_daily: need >= 2 groups, got {k_all}")
+    wday = Window.partitionBy("d")
+    complete = cells.withColumn(
+        "__kd", F.count(F.lit(1)).over(wday)
+    ).where(F.col("__kd") == k_all)
+    wrank = Window.partitionBy("d").orderBy("x")
+    wtie = Window.partitionBy("d", "x")
+    ranked = complete.select(
+        "d",
+        "g",
+        "x",
+        (
+            F.rank().over(wrank)
+            + (F.count(F.lit(1)).over(wtie) - 1) / F.lit(2.0)
+        ).alias("r"),
+        ((F.count(F.lit(1)).over(wtie)).cast("double")).alias("__t"),
+    )
+    per_g = ranked.groupBy("g").agg(F.sum("r").alias("rj"))
+    # tie mass: each (d, x) tie group of size t contributes t^3 - t;
+    # every row in the group carries __t, so sum (t*t - 1) per row
+    # equals sum over groups of t*(t^2 - 1) = t^3 - t
+    ties = ranked.agg(
+        F.sum(F.col("__t") * F.col("__t") - 1).alias("__tie_mass"),
+        (F.count(F.lit(1)) / F.lit(float(k_all))).alias("__n"),
+    )
+    agg = per_g.crossJoin(F.broadcast(ties)).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.max("__n").alias("n"),
+        F.sum(F.col("rj") * F.col("rj")).alias("__s"),
+        F.max("__tie_mass").alias("__tm"),
+    )
+    n = F.col("n")
+    kk = F.col("k").cast("double")
+    q_raw = (
+        F.lit(12.0) / (n * kk * (kk + 1)) * F.col("__s")
+        - F.lit(3.0) * n * (kk + 1)
+    )
+    corr = F.lit(1.0) - F.col("__tm") / (n * kk * (kk * kk - 1))
+    q = F.when(corr > 0, F.greatest(q_raw / corr, F.lit(0.0))).otherwise(
+        F.lit(0.0)
+    )
+    staged = agg.withColumn("__q", q).withColumn(
+        "__dof", (F.col("k") - 1).cast("double")
+    )
+    nu = F.col("__dof")
+    z = F.when(
+        (nu > 0) & (F.col("__q") > 0),
+        (
+            F.pow(F.col("__q") / nu, F.lit(1.0 / 3.0))
+            - (F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * nu))
+        )
+        / F.sqrt(F.lit(2.0) / (F.lit(9.0) * nu)),
+    ).otherwise(F.lit(0.0))
+    staged2 = staged.withColumn("__z", z)
+    half = _two_sided_normal_p(F.abs(F.col("__z"))) / F.lit(2.0)
+    p = F.when(F.col("__z") >= 0, half).otherwise(F.lit(1.0) - half)
+    return staged2.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("n").cast("long").alias("n_blocks"),
+        F.round("__q", 6).alias("q_stat"),
+        F.col("__dof").cast("long").alias("dof"),
+        F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_value"
+        ),
+    )
+
+
+def kpss_level_daily(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    max_bandwidth: int = 30,
+) -> DataFrame:
+    """KPSS level-stationarity test over the per-day mean
+    (Kwiatkowski, Phillips, Schmidt & Shin 1992) — the null-reversed
+    companion of the trend family: :func:`trend_tests` asks "is there
+    a trend?" (null = none), KPSS asks "is the level STATIONARY?"
+    (null = yes), so a series failing BOTH is the classic
+    unit-root/random-walk signature.  ``η = n⁻² Σ S_t² / σ̂²_lrv``
+    with ``S_t`` the partial sums of demeaned values and the
+    long-run variance Bartlett-weighted over the standard KPSS
+    bandwidth ``L = ⌊4(n/100)^¼⌋``: ``σ̂² = γ₀ + 2Σ_{l≤L}(1 −
+    l/(L+1))γ_l``.  The verdict compares η against the published 5%
+    critical value 0.463 (KPSS Table 1; the limiting distribution is
+    a Brownian-bridge functional with no replayable closed form, the
+    :func:`cvm_two_sample` convention).  Returns ONE row ``(n_days,
+    eta, bandwidth, critical_05, reject_stationarity)`` rounded to 6;
+    NULL eta when fewer than 3 days.
+
+    Scale shape: the corpus collapses to the |days| rollup FIRST
+    (one aggregation, persisted); the partial sums and every lagged
+    autocovariance are ``max_bandwidth`` ordered-window lag columns
+    over that calendar-bounded frame, with Bartlett weights clamped
+    to 0 beyond the data-driven L — one moment aggregation ends the
+    plan, no collect."""
+    if max_bandwidth < 1:
+        raise ValueError(
+            f"max_bandwidth must be >= 1, got {max_bandwidth}"
+        )
+    day = F.to_date(F.col(ts_col))
+    v = F.col(value_col).cast("double")
+    daily = (
+        df.where(F.col(ts_col).isNotNull() & v.isNotNull())
+        .groupBy(day.alias("d"))
+        .agg(F.avg(v).alias("x"))
+        .persist()
+    )
+    wall = Window.partitionBy()
+    wcum = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    word = Window.orderBy("d")
+    staged = daily.withColumn("__e", F.col("x") - F.avg("x").over(wall))
+    staged = staged.withColumn("__s", F.sum("__e").over(wcum))
+    lag_cols = [
+        (F.col("__e") * F.lag("__e", lag).over(word)).alias(f"__p{lag}")
+        for lag in range(1, max_bandwidth + 1)
+    ]
+    staged = staged.select("__e", "__s", *lag_cols)
+    agg = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__s") * F.col("__s")).alias("__ss"),
+        F.sum(F.col("__e") * F.col("__e")).alias("__g0"),
+        *[
+            F.sum(f"__p{lag}").alias(f"__g{lag}")
+            for lag in range(1, max_bandwidth + 1)
+        ],
+    )
+    n = F.col("n").cast("double")
+    bw = F.floor(
+        F.lit(4.0) * F.pow(n / F.lit(100.0), F.lit(0.25))
+    ).cast("double")
+    # Bartlett weights clamp to 0 beyond the data-driven L, so the
+    # static max_bandwidth lag columns reproduce the exact KPSS sum
+    # as long as L <= max_bandwidth (L = 30 needs ~80 years of days)
+    lrv = F.col("__g0") / n
+    lrv_terms = [
+        F.lit(2.0)
+        * F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - F.lit(float(lag)) / (bw + 1),
+        )
+        * (F.coalesce(F.col(f"__g{lag}"), F.lit(0.0)) / n)
+        for lag in range(1, max_bandwidth + 1)
+    ]
+    for term in lrv_terms:
+        lrv = lrv + term
+    eta = F.when(
+        (F.col("n") >= 3) & (lrv > 0),
+        (F.col("__ss") / (n * n)) / lrv,
+    )
+    crit = F.lit(0.463)
+    staged2 = agg.withColumn("__eta", eta).withColumn("__bw", bw)
+    return staged2.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.round("__eta", 6).alias("eta"),
+        F.col("__bw").cast("long").alias("bandwidth"),
+        F.round(crit, 6).alias("critical_05"),
+        (F.col("__eta") > crit).alias("reject_stationarity"),
+    )

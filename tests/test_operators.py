@@ -7833,3 +7833,107 @@ def test_hist_cvm_ranges_semantics(spark):
         sk, ("2024-01-01", "2024-01-01"), ("2024-01-02", "2024-01-02")
     ).first()
     assert same["t_stat"] == 0.0 and same["reject"] is False
+
+
+def test_friedman_daily_semantics(spark):
+    """A consistent within-day ordering across blocks maxes the rank
+    sums (Q = hand formula, small p); per-day random-ish but
+    level-shifted days still test only the RELATIVE order; incomplete
+    days are dropped; ties correct the denominator; guards fire."""
+    from plda_spark.operators import stats
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "ts string, g string, value double"
+        ).select(F.to_timestamp("ts").alias("ts"), "g", "value")
+
+    # 6 complete days, always a < b < c within the day, plus a huge
+    # day-level shift that must NOT matter
+    rows = []
+    for d in range(1, 7):
+        base = 1000.0 * d
+        rows += [
+            (f"2024-01-{d:02d} 00:00:00", "a", base + 1.0),
+            (f"2024-01-{d:02d} 00:00:00", "b", base + 2.0),
+            (f"2024-01-{d:02d} 00:00:00", "c", base + 3.0),
+        ]
+    # one incomplete day (only two groups) -> dropped
+    rows += [
+        ("2024-01-07 00:00:00", "a", 5.0),
+        ("2024-01-07 00:00:00", "b", 6.0),
+    ]
+    r = stats.friedman_daily(mk(rows), "ts", "g", "value").first()
+    assert r["k"] == 3 and r["n_blocks"] == 6 and r["dof"] == 2
+    # perfect ordering: R = (6, 12, 18); Q = 12/(6*3*4)*(36+144+324)
+    #                   - 3*6*4 = 84 - 72 = 12
+    assert abs(r["q_stat"] - 12.0) < 1e-9
+    assert r["p_value"] < 0.01
+
+    # all-tied days: Q undefined by ties -> correction <= 0 -> Q = 0
+    tied = []
+    for d in range(1, 5):
+        for g in ("a", "b"):
+            tied.append((f"2024-02-{d:02d} 00:00:00", g, 7.0))
+    rt = stats.friedman_daily(mk(tied), "ts", "g", "value").first()
+    assert rt["q_stat"] == 0.0
+
+    with pytest.raises(ValueError, match="max_groups"):
+        stats.friedman_daily(mk(rows), "ts", "g", "value", max_groups=2)
+
+
+def test_kpss_level_semantics(spark):
+    """A pure-python replay of the exact KPSS arithmetic matches
+    bit-close; a stationary oscillation accepts the null while a
+    random-walk-like cumulative series rejects it; bandwidth follows
+    the published rule."""
+    import math
+
+    from plda_spark.operators import stats
+
+    def kpss_numpy(xs):
+        n = len(xs)
+        m = sum(xs) / n
+        e = [x - m for x in xs]
+        s, ss = 0.0, 0.0
+        for v in e:
+            s += v
+            ss += s * s
+        L = int(math.floor(4.0 * (n / 100.0) ** 0.25))
+        g0 = sum(v * v for v in e) / n
+        lrv = g0
+        for lag in range(1, L + 1):
+            gl = sum(e[t] * e[t - lag] for t in range(lag, n)) / n
+            lrv += 2.0 * (1.0 - lag / (L + 1.0)) * gl
+        return (ss / (n * n)) / lrv, L
+
+    def run(xs):
+        rows = [
+            (f"2024-{(d // 28) + 1:02d}-{(d % 28) + 1:02d} 00:00:00", x)
+            for d, x in enumerate(xs)
+        ]
+        df = spark.createDataFrame(rows, "ts string, value double").select(
+            F.to_timestamp("ts").alias("ts"), "value"
+        )
+        return stats.kpss_level_daily(df, "ts", "value").first()
+
+    # stationary: deterministic oscillation around a level
+    xs = [10.0 + math.sin(0.7 * i) for i in range(80)]
+    r = run(xs)
+    want, L = kpss_numpy(xs)
+    assert r["n_days"] == 80 and r["bandwidth"] == L
+    assert abs(r["eta"] - want) < 1e-6
+    assert r["reject_stationarity"] is False
+
+    # random-walk-like: cumulative sum of a fixed drift + wiggle
+    acc, xs2 = 0.0, []
+    for i in range(80):
+        acc += 1.0 + 0.3 * math.sin(1.3 * i)
+        xs2.append(acc)
+    r2 = run(xs2)
+    want2, _ = kpss_numpy(xs2)
+    assert abs(r2["eta"] - want2) < 1e-6
+    assert r2["eta"] > 0.463 and r2["reject_stationarity"] is True
+
+    # degenerate: two days -> NULL eta
+    r3 = run([1.0, 2.0])
+    assert r3["n_days"] == 2 and r3["eta"] is None

@@ -1361,6 +1361,12 @@ def test_round10_new_ops_are_single_pass_rollups(spark):
         "text_script_mix": 1,
         "text_heaps": 2,
         "classify_mcc": 2,  # the label join's two corpus sides
+        "stats_friedman": 1,  # persisted |days|*k cell frame
+        "stats_kpss": 1,      # persisted |days| rollup + lag windows
+        # two RANGE-FILTERED scans (one per date range) — each pushes
+        # its own day predicate to the scan, which prunes better than
+        # one cached full scan would (the stats_hist_ks shape)
+        "stats_hist_cvm": 2,
     }
     for name, scans in expected_scans.items():
         s = plan_summary(

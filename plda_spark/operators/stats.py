@@ -6453,42 +6453,93 @@ def gev_block_maxima_fit(
         F.sum(F.col("i") * F.col("x")).alias("__s1"),
         F.sum(F.col("i") * (F.col("i") - 1) * F.col("x")).alias("__s2"),
     )
-    b0 = F.col("__s0") / n
-    b1 = F.col("__s1") / (n * (n - 1))
-    b2 = F.col("__s2") / (n * (n - 1) * (n - 2))
-    c = (2 * b1 - b0) / (3 * b2 - b0) - F.lit(0.6309297535714574)  # ln2/ln3
-    k = F.lit(7.8590) * c + F.lit(2.9554) * c * c
+    # The scalar algebra below is staged through lazy localCheckpoints
+    # of the ONE-row frame: Catalyst's CollapseProject otherwise
+    # re-inlines every intermediate, duplicating the Γ polynomial and
+    # the k rational into a >64 KB codegen method (janino refuses and
+    # Spark falls back to interpreted eval — measured 5-10 s on a
+    # 1-row frame).  Each barrier is a sub-100 ms job; the corpus-side
+    # work above is untouched, and the arithmetic (hence the oracle
+    # hash) is identical.
+    # staged columns evaluate EAGERLY (no lazy CASE short-circuit), so
+    # every division is guarded for the degenerate n < 3 / constant
+    # cases ANSI mode would otherwise turn into DIVIDE_BY_ZERO errors;
+    # the NULLs flow through to the few-blocks guard at the end
+    b0 = F.when(n > 0, F.col("__s0") / n)
+    b1 = F.when(n > 1, F.col("__s1") / (n * (n - 1)))
+    b2 = F.when(n > 2, F.col("__s2") / (n * (n - 1) * (n - 2)))
+    st1 = agg.select(
+        "n", b0.alias("b0"), b1.alias("b1"), b2.alias("b2")
+    ).localCheckpoint(eager=False)
+    b0c, b1c, b2c = F.col("b0"), F.col("b1"), F.col("b2")
+    cden = 3 * b2c - b0c
+    c = F.when(cden != 0, (2 * b1c - b0c) / cden) - F.lit(
+        0.6309297535714574
+    )  # ln2/ln3
+    st2 = st1.select(
+        "n", "b0", "b1",
+        (F.lit(7.8590) * c + F.lit(2.9554) * c * c).alias("k"),
+    ).localCheckpoint(eager=False)
+    k = F.col("k")
     gamma1pk = F.when(
         k >= 0, _gamma1p(k)
     ).otherwise(_gamma1p(F.lit(1.0) + k) / (F.lit(1.0) + k))
-    sigma_gev = (
-        (2 * b1 - b0) * k / (gamma1pk * (F.lit(1.0) - F.pow(F.lit(2.0), -k)))
+    st3 = st2.select(
+        "n", "b0", "k", gamma1pk.alias("gam"),
+        ((2 * F.col("b1") - F.col("b0")) / F.lit(0.6931471805599453))
+        .alias("sgum"),  # Gumbel-limit scale, (2b1 - b0)/ln 2
+        F.when(
+            F.abs(k) >= 1e-6,  # the Gumbel branch never reads sgev
+            (2 * F.col("b1") - F.col("b0"))
+            * k
+            / (gamma1pk * (F.lit(1.0) - F.pow(F.lit(2.0), -k))),
+        ).alias("sgev"),
+    ).localCheckpoint(eager=False)
+    gumbel = F.abs(F.col("k")) < 1e-6
+    shape = F.when(gumbel, F.lit(0.0)).otherwise(-F.col("k"))
+    sigma = F.when(gumbel, F.col("sgum")).otherwise(F.col("sgev"))
+    mu = F.when(
+        gumbel,
+        F.col("b0") - F.lit(0.5772156649015329) * F.col("sgum"),
+    ).otherwise(
+        F.col("b0")
+        + F.col("sgev") * (F.col("gam") - F.lit(1.0)) / F.col("k")
     )
-    mu_gev = b0 + sigma_gev * (gamma1pk - F.lit(1.0)) / k
-    sigma_gum = (2 * b1 - b0) / F.lit(0.6931471805599453)  # ln 2
-    mu_gum = b0 - F.lit(0.5772156649015329) * sigma_gum  # Euler gamma
-    gumbel = F.abs(k) < 1e-6
-    shape = F.when(gumbel, F.lit(0.0)).otherwise(-k)  # xi = -k_hosking
-    sigma = F.when(gumbel, sigma_gum).otherwise(sigma_gev)
-    mu = F.when(gumbel, mu_gum).otherwise(mu_gev)
+    st4 = st3.select(
+        "n",
+        gumbel.alias("gum"),
+        shape.alias("shape"),
+        sigma.alias("sigma"),
+        mu.alias("mu"),
+    ).localCheckpoint(eager=False)
     y = F.lit(-1.0) * F.log(
         F.lit(1.0) - F.lit(1.0) / F.lit(float(return_period))
     )  # -ln(p), p = 1 - 1/T
     rl = F.when(
-        gumbel, mu - sigma * F.log(y)
-    ).otherwise(mu + sigma * (F.pow(y, -shape) - F.lit(1.0)) / shape)
+        F.col("gum"), F.col("mu") - F.col("sigma") * F.log(y)
+    ).otherwise(
+        F.col("mu")
+        + F.col("sigma")
+        * (F.pow(y, -F.col("shape")) - F.lit(1.0))
+        / F.col("shape")
+    )
     few = F.col("n") < 3
-    staged = agg.select(
+    return st4.select(
         F.col("n").cast("long").alias("n_blocks"),
-        F.when(few, F.lit(None)).otherwise(F.round(shape, 6)).alias("shape"),
-        F.when(few, F.lit(None)).otherwise(F.round(sigma, 6)).alias("scale"),
-        F.when(few, F.lit(None)).otherwise(F.round(mu, 6)).alias("location"),
+        F.when(few, F.lit(None))
+        .otherwise(F.round("shape", 6))
+        .alias("shape"),
+        F.when(few, F.lit(None))
+        .otherwise(F.round("sigma", 6))
+        .alias("scale"),
+        F.when(few, F.lit(None)).otherwise(F.round("mu", 6)).alias(
+            "location"
+        ),
         F.when(few, F.lit(None)).otherwise(F.round(rl, 6)).alias(
             "return_level"
         ),
         F.lit(return_period).cast("long").alias("return_period"),
     )
-    return staged
 
 
 def hist_cvm_ranges(

@@ -156,3 +156,27 @@ def test_stdout_payload_carries_null_degraded_off_anchor_sf():
         unstable=False, degraded=bench.degraded_verdict({"start": 9.9}, 0.01),
     )
     assert json.loads(line)["env_degraded"] is None
+
+
+def test_unstable_verdict_tolerates_one_dense_probe_outlier():
+    """Dense probing (>= 5 probes): ONE elevated probe is a transient
+    shorter than an inter-probe stretch — not unstable; TWO elevated
+    probes are a sustained window — unstable; with < 5 probes the
+    original all-probe rule applies (one spike out of three IS a third
+    of the run)."""
+    flat = {f"p{i}": 1.1 for i in range(10)}
+    assert bench.unstable_verdict(flat) is False
+    one_spike = dict(flat, mid=1.9)
+    assert bench.unstable_verdict(one_spike) is False
+    two_spikes = dict(flat, mid=1.9, end=1.8)
+    assert bench.unstable_verdict(two_spikes) is True
+    # sustained level change across many probes: unstable
+    ramp = {f"p{i}": 1.0 + 0.08 * i for i in range(11)}
+    assert bench.unstable_verdict(ramp) is True
+    # small probe sets keep the strict round-5 rule
+    assert bench.unstable_verdict({"s": 1.0, "m": 1.9, "e": 1.0}) is True
+    # tiny-SF absolute floor: 30% relative but 0.09 s absolute — jitter
+    assert bench.unstable_verdict(
+        {f"p{i}": 0.3 for i in range(9)} | {"m": 0.39}
+    ) is False
+    assert bench.unstable_verdict({}) is False

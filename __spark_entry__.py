@@ -6415,6 +6415,62 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_kpss"] = stats_kpss
 
+    def source_fixed_width_roundtrip(spark, sf):
+        """Fixed-width (mainframe/copybook) text source round-trip
+        (sources/fixed_width.py): render an orders projection as
+        fixed character fields (JVM rpad concat, overlong-value guard),
+        read it back with the splittable substring/trim/cast reader,
+        and recover every value and type — the enterprise interchange
+        format a migration pipeline still has to ingest at scale."""
+        import tempfile
+
+        from plda_spark.sources import fixed_width as fw
+
+        orders = load_table(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+            F.to_date("o_orderdate").cast("string").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        spec = [
+            ("o_orderkey", 12, "long"),
+            ("o_custkey", 12, "long"),
+            ("o_orderstatus", 1, "string"),
+            ("o_totalprice", 12, "decimal(12,2)"),
+            ("o_orderdate", 10, "string"),
+            ("o_orderpriority", 15, "string"),
+        ]
+        tmp = tempfile.mkdtemp(prefix="plda_fw_")
+        fw.write_fixed_width(orders, f"{tmp}/orders", spec)
+        back = fw.read_fixed_width(spark, f"{tmp}/orders", spec)
+        # decimal -> double ONLY for the comparator (pandas renders
+        # Decimal('469912.40') vs DuckDB's 469912.4 differently even
+        # though the values are equal); the text round-trip itself is
+        # exact at decimal(12,2)
+        return back.withColumn(
+            "o_totalprice", F.col("o_totalprice").cast("double")
+        )
+
+    q["source_fixed_width_roundtrip"] = source_fixed_width_roundtrip
+
+    def stats_partial_corr(spark, sf):
+        """First-order partial correlation (operators/stats.py
+        partial_correlation — Yule 1907 / Fisher 1924): quantity vs
+        extended price CONTROLLING for discount, with the Fisher-z
+        significance through the shared Phi polynomial — the
+        confounder check the raw correlation matrix cannot give.
+        ONE ten-sum moment aggregation; scalar algebra after."""
+        from plda_spark.operators import stats
+
+        return stats.partial_correlation(
+            load_table(spark, sf, "lineitem"),
+            "l_quantity", "l_extendedprice", "l_discount",
+        )
+
+    q["stats_partial_corr"] = stats_partial_corr
+
     return q
 
 
@@ -14873,6 +14929,60 @@ SELECT CAST(n AS BIGINT) AS n_days,
 FROM lrvc
 """
 
+    # The fixed-width writer/reader seam is lossless for these fields:
+    # the oracle is the direct projection.
+    o["source_fixed_width_roundtrip"] = """
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE)
+         AS o_totalprice,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       o_orderpriority
+FROM orders
+"""
+
+    # Same complete-case ten-sum moments, same Yule recursion, same
+    # Fisher-z/Phi tail.
+    o["stats_partial_corr"] = """
+WITH base AS (
+  SELECT CAST(l_quantity AS DOUBLE) AS x,
+         CAST(l_extendedprice AS DOUBLE) AS y,
+         CAST(l_discount AS DOUBLE) AS z
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL
+), agg AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz,
+         sum(x*x) AS sxx, sum(y*y) AS syy, sum(z*z) AS szz,
+         sum(x*y) AS sxy, sum(x*z) AS sxz, sum(y*z) AS syz
+  FROM base
+), c AS (
+  SELECT n,
+         CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx)*(CAST(n AS DOUBLE)*syy - sy*sy) > 0 THEN (CAST(n AS DOUBLE)*sxy - sx*sy)/sqrt((CAST(n AS DOUBLE)*sxx - sx*sx)*(CAST(n AS DOUBLE)*syy - sy*sy)) END AS rxy,
+         CASE WHEN (CAST(n AS DOUBLE)*sxx - sx*sx)*(CAST(n AS DOUBLE)*szz - sz*sz) > 0 THEN (CAST(n AS DOUBLE)*sxz - sx*sz)/sqrt((CAST(n AS DOUBLE)*sxx - sx*sx)*(CAST(n AS DOUBLE)*szz - sz*sz)) END AS rxz,
+         CASE WHEN (CAST(n AS DOUBLE)*syy - sy*sy)*(CAST(n AS DOUBLE)*szz - sz*sz) > 0 THEN (CAST(n AS DOUBLE)*syz - sy*sz)/sqrt((CAST(n AS DOUBLE)*syy - sy*sy)*(CAST(n AS DOUBLE)*szz - sz*sz)) END AS ryz
+  FROM agg
+), pc AS (
+  SELECT *, CASE WHEN (1.0 - rxz*rxz)*(1.0 - ryz*ryz) > 0
+                 THEN (rxy - rxz*ryz)
+                      /sqrt((1.0 - rxz*rxz)*(1.0 - ryz*ryz)) END AS pr
+  FROM c
+), zz AS (
+  SELECT *, CASE WHEN n > 4 AND abs(pr) < 1
+                 THEN 0.5*ln((1.0 + pr)/(1.0 - pr))
+                      *sqrt(CAST(n AS DOUBLE) - 4) END AS z
+  FROM pc
+), ph AS (SELECT *, 1.0/(1.0 + 0.2316419*abs(z)) AS tt FROM zz)
+SELECT CAST(n AS BIGINT) AS n, round(rxy, 6) AS r_xy,
+       round(rxz, 6) AS r_xz, round(ryz, 6) AS r_yz,
+       round(pr, 6) AS partial_r, round(z, 6) AS z,
+       round(CASE WHEN z IS NOT NULL THEN least(
+         2.0*(exp(-z*z/2.0)/2.5066282746310002)
+           *(tt*(0.319381530 + tt*(-0.356563782 + tt*(1.781477937
+              + tt*(-1.821255978 + tt*1.330274429))))), 1.0) END, 6)
+         AS p_value
+FROM ph
+"""
+
     return o
 
 
@@ -15262,6 +15372,8 @@ EXTRA_QUERIES: list[str] = [
     "stream_hist_cvm",
     "stats_friedman",
     "stats_kpss",
+    "source_fixed_width_roundtrip",
+    "stats_partial_corr",
 ]
 
 

@@ -497,6 +497,8 @@ BENCH_QUERIES = [
     "stream_hist_cvm",
     "stats_friedman",
     "stats_kpss",
+    "source_fixed_width_roundtrip",
+    "stats_partial_corr",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

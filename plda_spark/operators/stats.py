@@ -6830,3 +6830,93 @@ def kpss_level_daily(
         F.round(crit, 6).alias("critical_05"),
         (F.col("__eta") > crit).alias("reject_stationarity"),
     )
+
+
+def partial_correlation(
+    df: DataFrame,
+    col_x: str,
+    col_y: str,
+    col_z: str,
+) -> DataFrame:
+    """First-order partial correlation of ``x`` and ``y`` CONTROLLING
+    for ``z`` (Yule 1907; the recursion Fisher 1924 standardized):
+    ``r_xy·z = (r_xy − r_xz·r_yz) / √((1 − r_xz²)(1 − r_yz²))`` — the
+    one-number answer to "does x relate to y, or do both just follow
+    z?", the confounder check :func:`correlation_matrix`'s raw
+    pairwise entries cannot give.  Significance via the Fisher
+    z-transform with one controlled variable, ``z = atanh(r)·√(n−4)``,
+    through the shared Φ polynomial.
+
+    Rows with ANY of the three NULL are dropped (complete-case — the
+    three marginal correlations must share one sample for the
+    recursion to hold).  Returns ONE row ``(n, r_xy, r_xz, r_yz,
+    partial_r, z, p_value)`` rounded to 6; NULL partial_r when either
+    control correlation is ±1 (z collinear with a margin — the
+    recursion divides by zero honestly), NULL z/p when n ≤ 4.
+
+    Scale shape: ONE ten-sum moment aggregation (map-side combined)
+    collapses the corpus; everything after is scalar algebra on the
+    1-row frame."""
+    x = F.col(col_x).cast("double")
+    y = F.col(col_y).cast("double")
+    z = F.col(col_z).cast("double")
+    base = df.where(x.isNotNull() & y.isNotNull() & z.isNotNull())
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+    )
+    n = F.col("n").cast("double")
+
+    def corr(sab, sa, sb, saa, sbb):
+        den2 = (n * F.col(saa) - F.col(sa) * F.col(sa)) * (
+            n * F.col(sbb) - F.col(sb) * F.col(sb)
+        )
+        return F.when(
+            den2 > 0,
+            (n * F.col(sab) - F.col(sa) * F.col(sb)) / F.sqrt(den2),
+        )
+
+    st = agg.select(
+        "n",
+        corr("sxy", "sx", "sy", "sxx", "syy").alias("rxy"),
+        corr("sxz", "sx", "sz", "sxx", "szz").alias("rxz"),
+        corr("syz", "sy", "sz", "syy", "szz").alias("ryz"),
+    )
+    pden2 = (F.lit(1.0) - F.col("rxz") * F.col("rxz")) * (
+        F.lit(1.0) - F.col("ryz") * F.col("ryz")
+    )
+    pr = F.when(
+        pden2 > 0,
+        (F.col("rxy") - F.col("rxz") * F.col("ryz")) / F.sqrt(pden2),
+    )
+    st2 = st.withColumn("pr", pr)
+    r = F.col("pr")
+    zstat = F.when(
+        (F.col("n") > 4) & (F.abs(r) < 1),
+        F.lit(0.5)
+        * F.log((F.lit(1.0) + r) / (F.lit(1.0) - r))
+        * F.sqrt(F.col("n").cast("double") - 4),
+    )
+    st3 = st2.withColumn("z", zstat)
+    # least() skips NULLs, so gate explicitly: no z, no p
+    p = F.when(
+        F.col("z").isNotNull(),
+        F.least(_two_sided_normal_p(F.abs(F.col("z"))), F.lit(1.0)),
+    )
+    return st3.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("rxy", 6).alias("r_xy"),
+        F.round("rxz", 6).alias("r_xz"),
+        F.round("ryz", 6).alias("r_yz"),
+        F.round("pr", 6).alias("partial_r"),
+        F.round("z", 6).alias("z"),
+        F.round(p, 6).alias("p_value"),
+    )

@@ -38,6 +38,7 @@ EXECUTES_ON_BUILD = {
     "graph_pagerank",   # eager power iteration (|V| scalar + checkpoints)
     "graph_ppr",        # same eager loop, personalized restart
     "events_markov_attribution",  # bounded transition-table collect + driver solve
+    "source_fixed_width_roundtrip",  # writes the fixed-width file it reads
 }
 
 STOCHASTIC_NO_ORACLE = {
@@ -81,7 +82,7 @@ def test_documented_counts_match_registry():
     n_total = len(entrymod.all_queries())
     n_extras = len(entrymod.EXTRA_QUERIES)
     n_oracles = len(entrymod.oracle_sql()) + len(entrymod.extra_oracle_sql())
-    documented = (329, 279, 326)  # keep in sync with README.md + SURVEY.md §2.3
+    documented = (331, 281, 328)  # keep in sync with README.md + SURVEY.md §2.3
     assert (n_total, n_extras, n_oracles) == documented, (
         f"registry has {(n_total, n_extras, n_oracles)} but README.md/"
         f"SURVEY.md document {documented} — update the docs and this pin"

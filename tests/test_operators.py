@@ -7937,3 +7937,68 @@ def test_kpss_level_semantics(spark):
     # degenerate: two days -> NULL eta
     r3 = run([1.0, 2.0])
     assert r3["n_days"] == 2 and r3["eta"] is None
+
+
+def test_partial_correlation_semantics(spark):
+    """x and y driven entirely by a common z: raw r_xy is high but
+    partial_r collapses toward 0; a direct x->y link survives the
+    control; a numpy replay of the identical recursion matches; the
+    collinear and tiny-n guards yield NULLs."""
+    import math
+    import numpy as np
+
+    from plda_spark.operators import stats
+
+    def replay(xs, ys, zs):
+        def r(a, b):
+            n = len(a)
+            sa, sb = sum(a), sum(b)
+            num = n * sum(u * v for u, v in zip(a, b)) - sa * sb
+            d2 = (n * sum(u * u for u in a) - sa * sa) * (
+                n * sum(v * v for v in b) - sb * sb
+            )
+            return num / math.sqrt(d2)
+
+        rxy, rxz, ryz = r(xs, ys), r(xs, zs), r(ys, zs)
+        return (rxy - rxz * ryz) / math.sqrt(
+            (1 - rxz**2) * (1 - ryz**2)
+        )
+
+    rng = np.random.default_rng(11)
+    zs = rng.normal(0, 1, 300)
+    noise1 = rng.normal(0, 0.3, 300)
+    noise2 = rng.normal(0, 0.3, 300)
+    # confounded: x and y both follow z
+    xs = 2 * zs + noise1
+    ys = -3 * zs + noise2
+    rows = [(float(a), float(b), float(c)) for a, b, c in zip(xs, ys, zs)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    got = stats.partial_correlation(df, "x", "y", "z").first()
+    assert got["n"] == 300
+    assert abs(got["r_xy"]) > 0.9  # raw correlation looks strong
+    assert abs(got["partial_r"]) < 0.2  # the control removes it
+    assert abs(got["partial_r"] - replay(xs, ys, zs)) < 1e-6
+
+    # direct link: y = x + small noise, z independent-ish
+    ys2 = xs + rng.normal(0, 0.1, 300)
+    rows2 = [(float(a), float(b), float(c)) for a, b, c in zip(xs, ys2, zs)]
+    got2 = stats.partial_correlation(
+        spark.createDataFrame(rows2, "x double, y double, z double"),
+        "x", "y", "z",
+    ).first()
+    assert got2["partial_r"] > 0.5 and got2["p_value"] < 0.01
+
+    # collinear control: z == x -> r_xz = 1 -> NULL partial
+    rows3 = [(float(a), float(b), float(a)) for a, b in zip(xs, ys)]
+    got3 = stats.partial_correlation(
+        spark.createDataFrame(rows3, "x double, y double, z double"),
+        "x", "y", "z",
+    ).first()
+    assert got3["partial_r"] is None
+
+    # n <= 4: NULL z/p
+    got4 = stats.partial_correlation(
+        spark.createDataFrame(rows[:4], "x double, y double, z double"),
+        "x", "y", "z",
+    ).first()
+    assert got4["z"] is None and got4["p_value"] is None

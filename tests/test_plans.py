@@ -1363,6 +1363,7 @@ def test_round10_new_ops_are_single_pass_rollups(spark):
         "classify_mcc": 2,  # the label join's two corpus sides
         "stats_friedman": 1,  # persisted |days|*k cell frame
         "stats_kpss": 1,      # persisted |days| rollup + lag windows
+        "stats_partial_corr": 1,  # ONE ten-sum moment aggregation
         # two RANGE-FILTERED scans (one per date range) — each pushes
         # its own day predicate to the scan, which prunes better than
         # one cached full scan would (the stats_hist_ks shape)

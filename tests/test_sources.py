@@ -893,3 +893,49 @@ def test_streamed_walk_is_record_bounded_and_parity_exact():
     assert [(h["warc-target-uri"], b) for h, b in got] == [
         (h["warc-target-uri"], b) for h, b in whole
     ]
+
+
+def test_fixed_width_roundtrip_and_guards(spark, tmp_path):
+    """Write -> read recovers every value and type; NULLs render as
+    spaces and read back NULL (non-string) / empty (string); an
+    overlong value raises BEFORE writing; short lines read leniently."""
+    import pytest
+
+    from plda_spark.sources import fixed_width as fw
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha", 12.5, "A"),
+            (2, "b", None, "BB"),
+            (3, "", 0.25, None),
+        ],
+        "id long, name string, score double, tag string",
+    )
+    spec = [
+        ("id", 6, "long"),
+        ("name", 8, "string"),
+        ("score", 10, "double"),
+        ("tag", 4, "string"),
+    ]
+    path = str(tmp_path / "fw")
+    fw.write_fixed_width(df, path, spec)
+    # raw layout: every line exactly 28 chars
+    raw = [r["value"] for r in spark.read.text(path).collect()]
+    assert all(len(line) == 28 for line in raw)
+    back = {r["id"]: r for r in fw.read_fixed_width(spark, path, spec).collect()}
+    assert back[1]["name"] == "alpha" and back[1]["score"] == 12.5
+    assert back[2]["score"] is None
+    assert back[3]["name"] == "" and back[3]["tag"] == ""  # no null marker
+    assert back[3]["score"] == 0.25
+
+    with pytest.raises(ValueError, match="length"):
+        fw.write_fixed_width(df, str(tmp_path / "fw2"), [
+            ("id", 6, "long"), ("name", 2, "string"),
+            ("score", 10, "double"), ("tag", 4, "string"),
+        ])
+    with pytest.raises(ValueError, match="duplicate"):
+        fw.read_fixed_width(spark, path, [("a", 1, "string"), ("a", 2, "string")])
+    # lenient short lines: extra trailing field reads as NULL/empty
+    wide = spec + [("extra", 5, "long")]
+    extra = fw.read_fixed_width(spark, path, wide).collect()
+    assert all(r["extra"] is None for r in extra)

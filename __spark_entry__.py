@@ -14802,6 +14802,9 @@ pp AS (
 )
 SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n_blocks,
        round(h, 6) AS q_stat, CAST(nu AS BIGINT) AS dof,
+       round(CASE WHEN n > 0 AND k > 1
+                  THEN h/(n*(CAST(k AS DOUBLE) - 1)) END, 6)
+         AS kendall_w,
        round(least(greatest(CASE WHEN z >= 0 THEN half
                                  ELSE 1.0 - half END, 0.0), 1.0), 6)
          AS p_value

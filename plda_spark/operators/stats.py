@@ -6644,7 +6644,11 @@ def friedman_daily(
     Incomplete days are DROPPED (the classical complete-block
     requirement; a group missing one day would otherwise bias its
     rank sum).  Returns ONE row ``(k, n_blocks, q_stat, dof,
-    p_value)`` rounded to 6.
+    kendall_w, p_value)`` rounded to 6 — ``kendall_w`` is Kendall &
+    Babington Smith's 1939 coefficient of concordance ``W =
+    Q/(n(k−1))`` in [0, 1], the EFFECT SIZE the χ² verdict lacks
+    (how consistently the blocks agree on the ordering, not just
+    whether they do).
 
     Scale shape: one (day, group) mean aggregation collapses the
     corpus; ranks are per-DAY windows (partitioned — never a global
@@ -6728,11 +6732,16 @@ def friedman_daily(
     staged2 = staged.withColumn("__z", z)
     half = _two_sided_normal_p(F.abs(F.col("__z"))) / F.lit(2.0)
     p = F.when(F.col("__z") >= 0, half).otherwise(F.lit(1.0) - half)
+    w_conc = F.when(
+        (n > 0) & (F.col("k") > 1),
+        F.col("__q") / (n * (F.col("k").cast("double") - 1)),
+    )
     return staged2.select(
         F.col("k").cast("long").alias("k"),
         F.col("n").cast("long").alias("n_blocks"),
         F.round("__q", 6).alias("q_stat"),
         F.col("__dof").cast("long").alias("dof"),
+        F.round(w_conc, 6).alias("kendall_w"),
         F.round(F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)), 6).alias(
             "p_value"
         ),

@@ -7868,6 +7868,8 @@ def test_friedman_daily_semantics(spark):
     #                   - 3*6*4 = 84 - 72 = 12
     assert abs(r["q_stat"] - 12.0) < 1e-9
     assert r["p_value"] < 0.01
+    # perfect concordance: W = Q/(n(k-1)) = 12/(6*2) = 1.0
+    assert r["kendall_w"] == 1.0
 
     # all-tied days: Q undefined by ties -> correction <= 0 -> Q = 0
     tied = []
@@ -7875,7 +7877,7 @@ def test_friedman_daily_semantics(spark):
         for g in ("a", "b"):
             tied.append((f"2024-02-{d:02d} 00:00:00", g, 7.0))
     rt = stats.friedman_daily(mk(tied), "ts", "g", "value").first()
-    assert rt["q_stat"] == 0.0
+    assert rt["q_stat"] == 0.0 and rt["kendall_w"] == 0.0
 
     with pytest.raises(ValueError, match="max_groups"):
         stats.friedman_daily(mk(rows), "ts", "g", "value", max_groups=2)

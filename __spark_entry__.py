@@ -14512,11 +14512,17 @@ WITH maxima AS (
          s1/(CAST(n AS DOUBLE)*(n - 1)) AS b1,
          s2/(CAST(n AS DOUBLE)*(n - 1)*(n - 2)) AS b2
   FROM agg
-), kc AS (
-  SELECT *, 7.8590*((2*b1 - b0)/(3*b2 - b0) - 0.6309297535714574)
-            + 2.9554*((2*b1 - b0)/(3*b2 - b0) - 0.6309297535714574)
-                    *((2*b1 - b0)/(3*b2 - b0) - 0.6309297535714574) AS kk
+), cc AS (
+  -- guard mirrors Spark's cden != 0 branch: a constant maxima series
+  -- has 3*b2 - b0 = 0 exactly, where an unguarded 0/0 would be NaN
+  -- here but NULL on the Spark side
+  SELECT *, CASE WHEN 3*b2 - b0 <> 0
+                 THEN (2*b1 - b0)/(3*b2 - b0) - 0.6309297535714574
+            END AS c
   FROM b
+), kc AS (
+  SELECT *, 7.8590*c + 2.9554*c*c AS kk
+  FROM cc
 ), g AS (
   SELECT *, CASE WHEN kk >= 0 THEN (1.0 + kk*(-0.577191652 + kk*(0.988205891 + kk*(-0.897056937 + kk*(0.918206857 + kk*(-0.756704078 + kk*(0.482199394 + kk*(-0.193527818 + kk*0.035868343))))))))
                  ELSE (1.0 + (1.0 + kk)*(-0.577191652 + (1.0 + kk)*(0.988205891 + (1.0 + kk)*(-0.897056937 + (1.0 + kk)*(0.918206857 + (1.0 + kk)*(-0.756704078 + (1.0 + kk)*(0.482199394 + (1.0 + kk)*(-0.193527818 + (1.0 + kk)*0.035868343))))))))/(1.0 + kk) END AS gam

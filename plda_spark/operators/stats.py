@@ -5659,13 +5659,31 @@ def g_test(
     wa = Window.partitionBy("a")
     wb = Window.partitionBy("b")
     wall = Window.partitionBy()
-    staged = cell.select(
+    # distinct-level counts WITHOUT materializing a collect_set per
+    # row: cells are already distinct (a, b) pairs, so |distinct a| =
+    # #{first row of each a-partition} — the row_number markers ride
+    # the SAME a-/b-keyed exchanges the margin sums need, and the
+    # global window then just sums 0/1 flags
+    marked = cell.select(
+        "a",
+        "b",
+        "o",
+        (
+            F.row_number().over(Window.partitionBy("a").orderBy("b"))
+            == 1
+        ).cast("long").alias("__fa"),
+        (
+            F.row_number().over(Window.partitionBy("b").orderBy("a"))
+            == 1
+        ).cast("long").alias("__fb"),
+    )
+    staged = marked.select(
         "o",
         F.sum("o").over(wa).alias("ta"),
         F.sum("o").over(wb).alias("tb"),
         F.sum("o").over(wall).alias("n"),
-        F.size(F.collect_set("a").over(wall)).alias("n_a"),
-        F.size(F.collect_set("b").over(wall)).alias("n_b"),
+        F.sum("__fa").over(wall).alias("n_a"),
+        F.sum("__fb").over(wall).alias("n_b"),
     )
     o = F.col("o").cast("double")
     e = F.col("ta").cast("double") * F.col("tb") / F.col("n")
@@ -6315,12 +6333,31 @@ def cvm_two_sample(
         v.isNotNull()
         & F.col(group_col).cast("string").isin(str(group_a), str(group_b))
     )
-    ndv = df.agg(F.approx_count_distinct(v).alias("__ndv")).first()["__ndv"]
+    pre = df.agg(
+        F.approx_count_distinct(v).alias("__ndv"),
+        F.sum(
+            (F.col(group_col).cast("string") == str(group_a)).cast("long")
+        ).alias("__na"),
+        F.sum(
+            (F.col(group_col).cast("string") == str(group_b)).cast("long")
+        ).alias("__nb"),
+    ).first()
+    ndv = pre["__ndv"]
     if ndv > max_distinct:
         raise ValueError(
             f"cvm_two_sample: {value_col!r} has ~{ndv} distinct values > "
             f"max_distinct={max_distinct}; quantize upstream (the ECDF "
             "windows are ONE task over the distinct values)."
+        )
+    # A zero-row group would make the ECDF division NULL and yield a
+    # silent (n, 0, NULL, 0.461, NULL) readout — raise loudly instead,
+    # matching the max_distinct degenerate-input convention.  The check
+    # rides the same pre-scan action, so no extra job.
+    if not pre["__na"] or not pre["__nb"]:
+        raise ValueError(
+            f"cvm_two_sample: empty group (n_a={pre['__na'] or 0}, "
+            f"n_b={pre['__nb'] or 0}); both {group_a!r} and {group_b!r} "
+            f"must match at least one non-null {value_col!r} row."
         )
     cells = df.groupBy(v.alias("v")).agg(
         F.sum(
@@ -6424,7 +6461,10 @@ def gev_block_maxima_fit(
     return level is the GEV quantile at non-exceedance 1 − 1/T.
     Returns ONE row ``(n_blocks, shape, scale, location,
     return_level, return_period)`` rounded to 6; needs ≥ 3 blocks
-    (NULLs otherwise).
+    (NULLs otherwise).  A CONSTANT maxima series also yields NULLs
+    even at n ≥ 3: ``3b2 − b0 = 0`` exactly, so the guarded ``c``
+    (and everything downstream) is NULL — a degenerate series has no
+    spread for the PWM moments to fit.
 
     Scale shape: the corpus collapses to |days| block maxima FIRST
     (one aggregation); the order-statistic weights are one window

@@ -2132,6 +2132,12 @@ def heaps_fit(
             F.coalesce(F.col("nt"), F.lit(0)).alias("nt"),
         )
     )
+    # Zero-mass buckets (all docs empty / token-free) are dropped on
+    # BOTH sides of the oracle gate: a log(0) point would be NULL yet
+    # still count toward the OLS n, skewing beta/r2 and breaking the
+    # cross-engine hash.  Drop them BEFORE the cumulative windows so
+    # the OLS point count equals the summed points.
+    curve = curve.where(F.col("nm").isNotNull() & (F.col("nm") > 0))
     wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
     pts = curve.select(
         F.log(F.sum("nm").over(wcum).cast("double")).alias("x"),

@@ -61,37 +61,58 @@ def write_fixed_width(
     width).  NULLs render as all-spaces (indistinguishable from an
     empty string by design — the format has no null marker; keep a
     sentinel column upstream if you need the distinction).  A value
-    longer than its field raises BEFORE any file is written (one
-    bounded max-length guard job): silent truncation is how
-    fixed-width pipelines corrupt ledgers, so it is never the
-    default."""
+    longer than its field fails the write with a named error — the
+    guard is ``raise_error`` INSIDE the write projection, so the same
+    scan that renders a value checks it: a separate pre-scan would
+    double the corpus read AND, for a non-deterministic input
+    (sampling, ``rand``, shuffling reads), could pass on one
+    evaluation while the re-computed write evaluation silently
+    truncates a longer value.  Spark's commit protocol only promotes
+    task files on success, so no committed output ever holds a
+    truncated value; note ``mode="overwrite"`` clears the target
+    before writing, so point a pipeline whose old output matters at a
+    fresh path."""
     _validate_spec(spec)
     rendered = [
         F.coalesce(F.col(name).cast("string"), F.lit("")).alias(name)
         for name, _w, _t in spec
     ]
     staged = df.select(*rendered)
-    # bounded guard: ONE max-length aggregation, fails fast and names
-    # the offending field before a single byte lands on disk
-    lens = staged.agg(
-        *[
-            F.max(F.length(F.col(name))).alias(name)
-            for name, _w, _t in spec
-        ]
-    ).first()
-    for name, width, _t in spec:
-        got = lens[name] or 0
-        if got > width:
-            raise ValueError(
-                f"fixed_width: field {name!r} has a value of length "
-                f"{got} > declared width {width}; widen the field or "
-                "truncate upstream (the writer never truncates "
-                "silently)."
+
+    def _guarded(name: str, width: int):
+        col = F.col(name)
+        return F.when(
+            F.length(col) <= width, F.rpad(col, width, " ")
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"fixed_width: field {name!r} has a value of "
+                        "length "
+                    ),
+                    F.length(col).cast("string"),
+                    F.lit(
+                        f" > declared width {width}; widen the field "
+                        "or truncate upstream (the writer never "
+                        "truncates silently)."
+                    ),
+                )
             )
+        )
+
     line = F.concat(
-        *[F.rpad(F.col(name), width, " ") for name, width, _t in spec]
+        *[_guarded(name, width) for name, width, _t in spec]
     ).alias("value")
-    staged.select(line).write.mode(mode).text(path)
+    try:
+        staged.select(line).write.mode(mode).text(path)
+    except Exception as exc:  # unwrap the raise_error guard
+        msg = str(exc)
+        if "fixed_width: field" in msg:
+            start = msg.index("fixed_width: field")
+            raise ValueError(
+                msg[start:].split(" SQLSTATE")[0].strip()
+            ) from exc
+        raise
 
 
 def read_fixed_width(

@@ -7575,6 +7575,15 @@ def test_cvm_two_sample_semantics(spark):
     with pytest.raises(ValueError, match="max_distinct"):
         stats.cvm_two_sample(shift, "g", "v", "a", "b", max_distinct=3)
 
+    # an empty group raises loudly instead of a silent NULL readout
+    with pytest.raises(ValueError, match="empty group"):
+        stats.cvm_two_sample(tiny, "g", "v", "a", "zzz")
+    only_null_b = spark.createDataFrame(
+        [("a", 1.0), ("b", None)], "g string, v double"
+    )
+    with pytest.raises(ValueError, match="empty group"):
+        stats.cvm_two_sample(only_null_b, "g", "v", "a", "b")
+
 
 def test_gev_block_maxima_semantics(spark):
     """PWM GEV fit: (1) a numpy replay of the exact same closed form
@@ -7646,6 +7655,15 @@ def test_gev_block_maxima_semantics(spark):
     assert r3["n_blocks"] == 2 and r3["shape"] is None
     assert r3["return_level"] is None
 
+    # constant maxima series: 3*b2 - b0 = 0 exactly, the guarded c is
+    # NULL, so everything downstream is NULL even at n >= 3 (the
+    # documented degenerate-spread case; the oracle SQL mirrors the
+    # guard so both engines agree on NULL rather than NaN)
+    r4 = run([7.0] * 10)
+    assert r4["n_blocks"] == 10
+    assert r4["shape"] is None and r4["scale"] is None
+    assert r4["location"] is None and r4["return_level"] is None
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="return_period"):
@@ -7706,6 +7724,26 @@ def test_heaps_fit_semantics(spark):
 
     with pytest.raises(ValueError, match="buckets"):
         text.heaps_fit(df, buckets=2)
+
+    # zero-mass buckets (docs with no countable tokens) are DROPPED
+    # from the curve, not counted as NULL log(0) points in the OLS n:
+    # a bucket holding ONLY token-free docs must leave the fit
+    # bit-identical to the corpus without that bucket
+    with_mass = [i for i in range(400) if bucket(i) != 0][:30]
+    no_mass = [i for i in range(400) if bucket(i) == 0][:5]
+    base = [(i, f"alpha{i % 7} beta gamma{i % 3} delta") for i in with_mass]
+    empties = [(i, "x . !") for i in no_mass]  # all tokens < MIN_LEN
+    ga = text.heaps_fit(
+        spark.createDataFrame(base, "doc_id long, text string"), buckets=B
+    ).first()
+    gb = text.heaps_fit(
+        spark.createDataFrame(base + empties, "doc_id long, text string"),
+        buckets=B,
+    ).first()
+    assert gb["n_tokens"] == ga["n_tokens"]
+    assert gb["n_types"] == ga["n_types"]
+    assert gb["beta"] == ga["beta"] and gb["r2"] == ga["r2"]
+    assert gb["beta"] is not None
 
 
 def test_matthews_corrcoef_semantics(spark):

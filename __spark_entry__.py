@@ -3449,6 +3449,25 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stats_hist_cvm"] = stats_hist_cvm
 
+    def stats_hist_ad(spark, sf):
+        """Anderson-Darling drift between the same two DATE RANGES
+        from the histogram rollup alone (operators/stats.py
+        hist_ad_ranges) — the TAIL-WEIGHTED member extending the
+        rollup drift family to a quartet next to stats_hist_ks (max
+        gap), stats_hist_cvm (integrated gap), and stats_hist_psi
+        (magnitude).  Never re-reads the event log."""
+        from plda_spark.operators import stats
+
+        sk = stats.hist_daily_sketches(
+            load_table(spark, sf, "events"), "value",
+            lo=0.0, hi=200.0, nbins=64,
+        )
+        return stats.hist_ad_ranges(
+            sk, ("2024-01-01", "2024-01-10"), ("2024-01-20", "2024-01-31")
+        )
+
+    q["stats_hist_ad"] = stats_hist_ad
+
     def curation_winsorize(spark, sf):
         """Per-source winsorization of document lengths
         (operators/curation.py winsorize): n_chars clipped to each
@@ -3600,6 +3619,36 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return windows.hist_cvm_from_ledger(spark, state, (0, 0), (1, 1))
 
     q["stream_hist_cvm"] = stream_hist_cvm
+
+    def stream_hist_ad(spark, sf):
+        """Streaming tail-weighted drift end to end
+        (streaming/windows.py incremental_hist_ledger +
+        hist_ad_from_ledger): the same two-parity-micro-batch ledger
+        as stream_hist_drift, folded to the Anderson-Darling A²
+        instead of KS/PSI/CvM — the fourth drift alert off the
+        identical append-only ledger, hash-gated against the oracle's
+        direct binned AD over the parity split."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select("event_id", "value")
+        d = tempfile.mkdtemp(prefix="plda_histad_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        schema = "event_id long, value double"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        windows.incremental_hist_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, nbins=64,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_hist_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, nbins=64,
+        )
+        return windows.hist_ad_from_ledger(spark, state, (0, 0), (1, 1))
+
+    q["stream_hist_ad"] = stream_hist_ad
 
 
     def sample_neyman(spark, sf):
@@ -6328,6 +6377,24 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stats_cvm"] = stats_cvm
+
+    def stats_ad(spark, sf):
+        """Two-sample Anderson-Darling test (operators/stats.py
+        ad_two_sample — Pettitt 1976; Scholz & Stephens 1987 k = 2)
+        between click and purchase value distributions: the
+        TAIL-WEIGHTED member completing the drift triple next to
+        stats_ks (largest gap) and stats_cvm (integrated gap) — the
+        1/(H(1−H)) pooled-ECDF weight catches tail-only shifts both
+        dilute.  Asymptotic 2.492 critical verdict; same guarded
+        distinct-value cell contract as the KS family."""
+        from plda_spark.operators import stats
+
+        return stats.ad_two_sample(
+            load_table(spark, sf, "events"),
+            "event_type", "value", "click", "purchase",
+        )
+
+    q["stats_ad"] = stats_ad
 
     def stats_gev_maxima(spark, sf):
         """GEV fit to daily block maxima by probability-weighted
@@ -14494,6 +14561,47 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM t
 """
 
+    # Same distinct-value cells, same tie-weighted ECDF sum with the
+    # pooled-ECDF AD weight, same H = 1 truncation of the largest value.
+    o["stats_ad"] = """
+WITH base AS (
+  SELECT CAST(value AS DOUBLE) AS v, CAST(event_type AS VARCHAR) AS g
+  FROM events
+  WHERE value IS NOT NULL AND event_type IN ('click', 'purchase')
+), cells AS (
+  SELECT v, sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS cb
+  FROM base GROUP BY 1
+), st AS (
+  SELECT ca, cb,
+         sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+         sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb,
+         sum(ca) OVER () AS na, sum(cb) OVER () AS nb
+  FROM cells
+), wt AS (
+  SELECT ca, cb, na, nb,
+         cuma/CAST(na AS DOUBLE) - cumb/CAST(nb AS DOUBLE) AS d,
+         CAST(cuma + cumb AS DOUBLE)/CAST(na + nb AS DOUBLE) AS h
+  FROM st
+), agg AS (
+  SELECT max(na) AS n_a, max(nb) AS n_b,
+         sum(CASE WHEN h < 1.0
+                  THEN CAST(ca + cb AS DOUBLE)*d*d/(h*(1.0 - h))
+                  ELSE 0.0 END) AS s
+  FROM wt
+), t AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)
+           /((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             *(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * s AS a2
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(a2, 6) AS a2_stat, round(2.492, 6) AS critical_05,
+       a2 > 2.492 AS reject
+FROM t
+"""
+
     # Same order-statistic PWMs, same Hosking rational k, same A&S
     # Gamma(1+x) polynomial (reflection for k < 0), same return level.
     o["stats_gev_maxima"] = """
@@ -14716,6 +14824,49 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM t
 """
 
+    # Same bin merge, same binned ECDFs plus the pooled one, same
+    # H-in-(0,1) masking of empty and final bins.
+    o["stats_hist_ad"] = """
+WITH b AS (
+  SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+         CAST(least(floor(CAST(value AS DOUBLE) / 3.125), 63) AS INTEGER)
+           AS bin
+  FROM events WHERE value >= 0 AND value < 200
+), g AS (
+  SELECT bin,
+         sum(CASE WHEN day BETWEEN '2024-01-01' AND '2024-01-10'
+                  THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN day BETWEEN '2024-01-20' AND '2024-01-31'
+                  THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bin
+), e AS (
+  SELECT ca, cb,
+         sum(ca) OVER (ORDER BY bin) / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY bin) / sum(cb) OVER () AS fb,
+         CAST(sum(ca + cb) OVER (ORDER BY bin) AS DOUBLE)
+           / sum(ca + cb) OVER () AS h,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM g
+), agg AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         sum(CASE WHEN h > 0.0 AND h < 1.0
+                  THEN CAST(ca + cb AS DOUBLE)*(fa - fb)*(fa - fb)
+                       /(h*(1.0 - h))
+                  ELSE 0.0 END) AS s
+  FROM e
+), t AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)
+           /((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             *(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * s AS a2
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(a2, 6) AS a2_stat, round(2.492, 6) AS critical_05,
+       a2 > 2.492 AS reject
+FROM t
+"""
+
     # The ledger parity fold equals the direct binned CvM on the same
     # event-id parity split (the stream_hist_drift argument).
     o["stream_hist_cvm"] = """
@@ -14749,6 +14900,47 @@ WITH b AS (
 SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
        round(tt, 6) AS t_stat, round(0.461, 6) AS critical_05,
        tt > 0.461 AS reject
+FROM t
+"""
+
+    # The ledger parity fold equals the direct binned AD on the same
+    # event-id parity split (the stream_hist_drift argument).
+    o["stream_hist_ad"] = """
+WITH b AS (
+  SELECT event_id % 2 AS g,
+         CAST(least(floor(CAST(value AS DOUBLE) / 3.125), 63) AS INTEGER)
+           AS bin
+  FROM events WHERE value >= 0 AND value < 200
+), g2 AS (
+  SELECT bin,
+         sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ca,
+         sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS cb
+  FROM b GROUP BY bin
+), e AS (
+  SELECT ca, cb,
+         sum(ca) OVER (ORDER BY bin) / sum(ca) OVER () AS fa,
+         sum(cb) OVER (ORDER BY bin) / sum(cb) OVER () AS fb,
+         CAST(sum(ca + cb) OVER (ORDER BY bin) AS DOUBLE)
+           / sum(ca + cb) OVER () AS h,
+         sum(ca) OVER () AS n_a, sum(cb) OVER () AS n_b
+  FROM g2
+), agg AS (
+  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+         sum(CASE WHEN h > 0.0 AND h < 1.0
+                  THEN CAST(ca + cb AS DOUBLE)*(fa - fb)*(fa - fb)
+                       /(h*(1.0 - h))
+                  ELSE 0.0 END) AS s
+  FROM e
+), t AS (
+  SELECT n_a, n_b,
+         CAST(n_a AS DOUBLE)*CAST(n_b AS DOUBLE)
+           /((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+             *(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * s AS a2
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       round(a2, 6) AS a2_stat, round(2.492, 6) AS critical_05,
+       a2 > 2.492 AS reject
 FROM t
 """
 
@@ -15383,6 +15575,10 @@ EXTRA_QUERIES: list[str] = [
     "stats_kpss",
     "source_fixed_width_roundtrip",
     "stats_partial_corr",
+    # round-11 additions
+    "stats_ad",
+    "stats_hist_ad",
+    "stream_hist_ad",
 ]
 
 

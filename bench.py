@@ -499,6 +499,10 @@ BENCH_QUERIES = [
     "stats_kpss",
     "source_fixed_width_roundtrip",
     "stats_partial_corr",
+    # round-11 additions:
+    "stats_ad",
+    "stats_hist_ad",
+    "stream_hist_ad",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

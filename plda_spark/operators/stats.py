@@ -6397,6 +6397,115 @@ def cvm_two_sample(
     )
 
 
+def ad_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    max_distinct: int = 100_000,
+) -> DataFrame:
+    """Two-sample Anderson-Darling test (Pettitt 1976; the k = 2
+    right-continuous case of Scholz & Stephens 1987) — the
+    TAIL-WEIGHTED member completing the drift triple next to
+    :func:`ks_test` (largest ECDF gap) and :func:`cvm_two_sample`
+    (integrated squared gap): the same integrated gap, but divided by
+    ``H(1−H)`` of the POOLED ECDF, which blows the weight up near the
+    distribution's extremes — the test that catches a tail-only shift
+    (latency p99 regressions, score-ceiling saturation) that KS and
+    CvM both dilute.
+
+    Computed on value cells via the ECDF form
+    ``A² = (n·m/N²) Σ_v t_v (F_a(v) − F_b(v))² / (H_v(1−H_v))``
+    summed over distinct values with combined multiplicity ``t_v``
+    and pooled ECDF ``H_v``, excluding the largest value (H = 1 —
+    the standard N−1 truncation; equal to Pettitt's rank formula
+    without ties and to Scholz-Stephens' discrete A²kN with them).
+    Verdict against the asymptotic α = 0.05 critical value 2.492
+    (Pettitt 1976: A²mn shares the one-sample A² limit law; same
+    statistic-threshold-reject readout as :func:`cvm_two_sample` —
+    the limiting p is an infinite weighted-χ² series no replayable
+    SQL can evaluate).  Returns ONE row ``(n_a, n_b, a2_stat,
+    critical_05, reject)`` rounded to 6.
+
+    Scale shape: one (group, value) cell aggregation collapses the
+    corpus; the ECDFs are ordered windows over |distinct values| rows
+    — the :func:`ks_test` single-task contract, ENFORCED by the same
+    ``max_distinct`` pre-check; an empty group raises like
+    :func:`cvm_two_sample`."""
+    v = F.col(value_col).cast("double")
+    df = df.where(
+        v.isNotNull()
+        & F.col(group_col).cast("string").isin(str(group_a), str(group_b))
+    )
+    pre = df.agg(
+        F.approx_count_distinct(v).alias("__ndv"),
+        F.sum(
+            (F.col(group_col).cast("string") == str(group_a)).cast("long")
+        ).alias("__na"),
+        F.sum(
+            (F.col(group_col).cast("string") == str(group_b)).cast("long")
+        ).alias("__nb"),
+    ).first()
+    if pre["__ndv"] > max_distinct:
+        raise ValueError(
+            f"ad_two_sample: {value_col!r} has ~{pre['__ndv']} distinct "
+            f"values > max_distinct={max_distinct}; quantize upstream "
+            "(the ECDF windows are ONE task over the distinct values)."
+        )
+    if not pre["__na"] or not pre["__nb"]:
+        raise ValueError(
+            f"ad_two_sample: empty group (n_a={pre['__na'] or 0}, "
+            f"n_b={pre['__nb'] or 0}); both {group_a!r} and {group_b!r} "
+            f"must match at least one non-null {value_col!r} row."
+        )
+    cells = df.groupBy(v.alias("v")).agg(
+        F.sum(
+            (F.col(group_col).cast("string") == str(group_a)).cast("long")
+        ).alias("ca"),
+        F.sum(
+            (F.col(group_col).cast("string") == str(group_b)).cast("long")
+        ).alias("cb"),
+    )
+    wcum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    staged = (
+        cells.withColumn("__cuma", F.sum("ca").over(wcum))
+        .withColumn("__cumb", F.sum("cb").over(wcum))
+        .withColumn("__na", F.sum("ca").over(wall))
+        .withColumn("__nb", F.sum("cb").over(wall))
+    )
+    fa = F.col("__cuma") / F.col("__na").cast("double")
+    fb = F.col("__cumb") / F.col("__nb").cast("double")
+    tv = (F.col("ca") + F.col("cb")).cast("double")
+    ntot = (F.col("__na") + F.col("__nb")).cast("double")
+    h = (F.col("__cuma") + F.col("__cumb")).cast("double") / ntot
+    # H = 1 at the largest distinct value by construction — the N−1
+    # truncation drops exactly that row; H > 0 everywhere else since
+    # every cell has t_v >= 1
+    term = F.when(
+        h < 1.0,
+        tv * (fa - fb) * (fa - fb) / (h * (F.lit(1.0) - h)),
+    ).otherwise(F.lit(0.0))
+    agg = staged.agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.sum(term).alias("__s"),
+    )
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    a2 = n * m / ((n + m) * (n + m)) * F.col("__s")
+    crit = F.lit(2.492)
+    staged2 = agg.withColumn("__a2", a2)
+    return staged2.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round("__a2", 6).alias("a2_stat"),
+        F.round(crit, 6).alias("critical_05"),
+        (F.col("__a2") > crit).alias("reject"),
+    )
+
+
 def _gamma1p(x):
     """``Γ(1+x)`` for a column ``0 ≤ x ≤ 1`` — the Abramowitz-Stegun
     6.1.36 polynomial (|ε| ≤ 3e-7, inside the 6-decimal output
@@ -6660,6 +6769,95 @@ def hist_cvm_ranges(
         F.round("__t", 6).alias("t_stat"),
         F.round(crit, 6).alias("critical_05"),
         (F.col("__t") > crit).alias("reject"),
+    )
+
+
+def hist_ad_ranges(
+    sketches: DataFrame,
+    range_a: tuple,
+    range_b: tuple,
+) -> DataFrame:
+    """Anderson-Darling drift between two DATE RANGES computed from
+    the :func:`hist_daily_sketches` rollup ALONE — the binned
+    :func:`ad_two_sample`, extending the rollup-only drift family to
+    a QUARTET (:func:`hist_ks_ranges` = largest ECDF gap,
+    :func:`hist_cvm_ranges` = integrated squared gap,
+    :func:`hist_psi_ranges` = share-ratio magnitude, this = the
+    TAIL-WEIGHTED integrated gap): merge each range's day arrays
+    (lossless), build both binned ECDFs plus the POOLED one, and sum
+    ``A² = (n_a·n_b/N²) Σ_bin t_bin (F_a − F_b)² / (H(1−H))`` over
+    bins with pooled mass and H < 1 (empty bins contribute 0; the
+    last nonempty bin is the standard N−1 truncation — equal to the
+    distinct-value form up to the bin-width discretization the rollup
+    already carries).  Verdict against the asymptotic α = 0.05
+    critical value 2.492, the :func:`ad_two_sample` contract.
+
+    Returns ONE row ``(n_a, n_b, a2_stat, critical_05, reject)``.
+    Scale shape: two filtered sums over the |days|-row rollup + array
+    expressions over ``nbins`` values — never touches the raw log."""
+    (a_lo, a_hi), (b_lo, b_hi) = range_a, range_b
+
+    def merged(lo, hi, alias):
+        return sketches.where(
+            (F.col("day") >= lo) & (F.col("day") <= hi)
+        ).agg(
+            F.aggregate(
+                F.collect_list("bin_counts"),
+                F.lit(None).cast("array<long>"),
+                lambda acc, x: F.when(acc.isNull(), x).otherwise(
+                    F.zip_with(acc, x, lambda p, q: p + q)
+                ),
+            ).alias(alias)
+        )
+
+    both = merged(a_lo, a_hi, "ha").crossJoin(merged(b_lo, b_hi, "hb"))
+
+    def prefix(col):
+        idx = F.sequence(F.lit(1), F.size(col))
+        return F.transform(
+            idx, lambda i: F.aggregate(
+                F.slice(col, 1, i), F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    na = F.aggregate("ha", F.lit(0).cast("long"), lambda a, x: a + x)
+    nb = F.aggregate("hb", F.lit(0).cast("long"), lambda a, x: a + x)
+    ntot = (na + nb).cast("double")
+    fa = F.transform(prefix(F.col("ha")), lambda c: c / na)
+    fb = F.transform(prefix(F.col("hb")), lambda c: c / nb)
+    hpool = F.transform(
+        F.zip_with(
+            prefix(F.col("ha")), prefix(F.col("hb")), lambda p, q: p + q
+        ),
+        lambda c: c / ntot,
+    )
+    diff2 = F.zip_with(fa, fb, lambda x, y: (x - y) * (x - y))
+    tmass = F.zip_with(
+        F.col("ha"), F.col("hb"), lambda p, q: (p + q).cast("double")
+    )
+    weighted = F.zip_with(
+        F.zip_with(tmass, diff2, lambda t, d: t * d),
+        hpool,
+        lambda td, h: F.when(
+            (h > 0.0) & (h < 1.0), td / (h * (F.lit(1.0) - h))
+        ).otherwise(F.lit(0.0)),
+    )
+    s = F.aggregate(weighted, F.lit(0.0), lambda acc, x: acc + x)
+    staged = both.select(
+        na.alias("n_a"), nb.alias("n_b"), s.alias("__s")
+    )
+    n = F.col("n_a").cast("double")
+    m = F.col("n_b").cast("double")
+    a2 = n * m / ((n + m) * (n + m)) * F.col("__s")
+    crit = F.lit(2.492)
+    staged2 = staged.withColumn("__a2", a2)
+    return staged2.select(
+        "n_a",
+        "n_b",
+        F.round("__a2", 6).alias("a2_stat"),
+        F.round(crit, 6).alias("critical_05"),
+        (F.col("__a2") > crit).alias("reject"),
     )
 
 

@@ -1580,3 +1580,33 @@ def hist_cvm_from_ledger(
         (fmt(batches_a[0]), fmt(batches_a[1])),
         (fmt(batches_b[0]), fmt(batches_b[1])),
     )
+
+
+def hist_ad_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    batches_a,
+    batches_b,
+    run_id_filter: str | None = None,
+) -> DataFrame:
+    """Anderson-Darling drift between two BATCH-ID ranges of the
+    :func:`incremental_hist_ledger` — the TAIL-WEIGHTED member of the
+    ledger drift family next to :func:`hist_ks_from_ledger` (largest
+    gap), :func:`hist_cvm_from_ledger` (integrated gap), and
+    :func:`hist_psi_from_ledger` (magnitude): delegates to
+    ``operators/stats.py hist_ad_ranges`` over the identical batch-id
+    fold, so a p99-only latency regression alerts even when the bulk
+    of the distribution is unmoved.  Touches only the ledger; same
+    single-generation contract."""
+    from plda_spark.operators.stats import hist_ad_ranges
+
+    ledger = _single_generation(spark, state_path, run_id_filter).select(
+        F.col("batch_id").cast("string").alias("day"), "bin_counts"
+    )
+    padded = ledger.withColumn("day", F.lpad("day", 10, "0"))
+    fmt = lambda b: str(int(b)).zfill(10)
+    return hist_ad_ranges(
+        padded,
+        (fmt(batches_a[0]), fmt(batches_a[1])),
+        (fmt(batches_b[0]), fmt(batches_b[1])),
+    )

@@ -7873,6 +7873,101 @@ def test_hist_cvm_ranges_semantics(spark):
     assert same["t_stat"] == 0.0 and same["reject"] is False
 
 
+def test_ad_two_sample_semantics(spark):
+    """Exact tie-weighted AD on a hand case (A = {1,2}, B = {2,3}
+    gives A² = 1 — verified against the Scholz-Stephens k = 2 discrete
+    formula by hand); a numpy replay of that published formula matches
+    bit-close on tied data; a TAIL-only spread with matched center
+    rejects; identical samples give 0; both guards fire."""
+    from plda_spark.operators import stats
+
+    tiny = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0)],
+        "g string, v double",
+    )
+    r = stats.ad_two_sample(tiny, "g", "v", "a", "b").first()
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    assert abs(r["a2_stat"] - 1.0) < 1e-9
+    assert r["critical_05"] == 2.492 and r["reject"] is False
+
+    # numpy replay of scipy's _anderson_ksamp_right (Scholz-Stephens
+    # 1987, right-continuous/no-midrank version) on heavily tied data
+    import numpy as np
+
+    def replay(xs, ys):
+        Z = np.sort(np.concatenate([xs, ys]))
+        N = len(Z)
+        Zstar = np.unique(Z)[:-1]
+        lj = np.searchsorted(Z, Zstar, "right") - np.searchsorted(
+            Z, Zstar, "left"
+        )
+        Bj = lj.cumsum()
+        A2 = 0.0
+        for s, ni in ((np.sort(xs), len(xs)), (np.sort(ys), len(ys))):
+            Mij = s.searchsorted(Zstar, side="right")
+            A2 += (
+                lj / N * (N * Mij - Bj * ni) ** 2 / (Bj * (N - Bj))
+            ).sum() / ni
+        return A2
+
+    rng = np.random.RandomState(7)
+    xs = np.round(rng.normal(0, 1, 300), 1)
+    ys = np.round(rng.normal(0.05, 1.6, 250), 1)
+    rows = [("a", float(x)) for x in xs] + [("b", float(y)) for y in ys]
+    df2 = spark.createDataFrame(rows, "g string, v double")
+    r2 = stats.ad_two_sample(df2, "g", "v", "a", "b").first()
+    assert abs(r2["a2_stat"] - replay(xs, ys)) < 1e-5
+    assert r2["reject"] is True
+
+    same = spark.createDataFrame(
+        [("a", float(x % 9)) for x in range(90)]
+        + [("b", float(x % 9)) for x in range(90)],
+        "g string, v double",
+    )
+    r3 = stats.ad_two_sample(same, "g", "v", "a", "b").first()
+    assert r3["a2_stat"] == 0.0 and r3["reject"] is False
+
+    with pytest.raises(ValueError, match="max_distinct"):
+        stats.ad_two_sample(df2, "g", "v", "a", "b", max_distinct=3)
+    with pytest.raises(ValueError, match="empty group"):
+        stats.ad_two_sample(tiny, "g", "v", "a", "zzz")
+
+
+def test_hist_ad_ranges_semantics(spark):
+    """The binned AD over two date ranges matches the cell-based
+    ad_two_sample on the identical already-binned values (the
+    hist_cvm_ranges parity design); equal histograms give 0."""
+    from plda_spark.operators import stats
+
+    rows = []
+    for d in (1, 2):
+        rows += [(f"2024-01-0{d} 00:00:00", 1.0)] * 6
+        rows += [(f"2024-01-0{d} 00:00:00", 11.0)] * 4
+    for d in (8, 9):
+        rows += [(f"2024-01-0{d} 00:00:00", 11.0)] * 5
+        rows += [(f"2024-01-0{d} 00:00:00", 21.0)] * 5
+    ev = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    sk = stats.hist_daily_sketches(ev, "value", lo=0.0, hi=40.0, nbins=4)
+    got = stats.hist_ad_ranges(
+        sk, ("2024-01-01", "2024-01-02"), ("2024-01-08", "2024-01-09")
+    ).first()
+    binned = ev.select(
+        F.when(F.to_date("ts") <= "2024-01-02", "a").otherwise("b").alias("g"),
+        F.floor(F.col("value") / 10.0).cast("double").alias("v"),
+    )
+    want = stats.ad_two_sample(binned, "g", "v", "a", "b").first()
+    assert got["n_a"] == want["n_a"] and got["n_b"] == want["n_b"]
+    assert abs(got["a2_stat"] - want["a2_stat"]) < 1e-9
+    assert got["reject"] == want["reject"]
+
+    same = stats.hist_ad_ranges(
+        sk, ("2024-01-01", "2024-01-01"), ("2024-01-02", "2024-01-02")
+    ).first()
+    assert same["a2_stat"] == 0.0 and same["reject"] is False
+
+
 def test_friedman_daily_semantics(spark):
     """A consistent within-day ordering across blocks maxes the rank
     sums (Q = hand formula, small p); per-day random-ish but

@@ -1380,3 +1380,28 @@ def test_round10_new_ops_are_single_pass_rollups(spark):
             name,
             sorted(_physical_scan_ids(plan)),
         )
+
+
+def test_round11_new_ops_are_single_pass_rollups(spark):
+    """The round-11 additions keep the drift-family plan shape:
+    ad_two_sample collapses the corpus in ONE cell aggregation (the
+    stats_cvm contract); hist_ad_ranges has exactly the two
+    range-filtered rollup scans of its KS/CvM siblings; nothing
+    evaluates Python."""
+    import __spark_entry__ as e
+
+    expected_scans = {
+        "stats_ad": 1,
+        "stats_hist_ad": 2,
+    }
+    for name, scans in expected_scans.items():
+        s = plan_summary(
+            e.all_queries()[name](spark, "/root/testdata/sf0.001")
+        )
+        plan = s["plan"]
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert len(_physical_scan_ids(plan)) <= scans, (
+            name,
+            sorted(_physical_scan_ids(plan)),
+        )

@@ -1311,3 +1311,46 @@ def test_hist_cvm_from_ledger_matches_batch(spark, tmp_path):
 
     same = windows.hist_cvm_from_ledger(spark, state, (0, 1), (0, 1)).first()
     assert same["t_stat"] == 0.0 and same["reject"] is False
+
+
+def test_hist_ad_from_ledger_matches_batch(spark, tmp_path):
+    """The AD fold over the histogram ledger equals ad_two_sample on
+    the identically-binned values (lossless bins, so binned == cell
+    form), a planted shift rejects, and self-comparison gives 0."""
+    from pyspark.sql import functions as F
+
+    from plda_spark.operators import stats
+
+    in_dir = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "event_id long, v double"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, schema)
+
+    a_rows = [(i, float(20 + 2 * (i % 7))) for i in range(300)]
+    b_rows = [(i + 1000, float(30 + 2 * (i % 7))) for i in range(300)]
+    mk(a_rows).write.mode("append").parquet(in_dir)
+    windows.incremental_hist_ledger(
+        spark.readStream.schema(schema).parquet(in_dir), state, ckpt,
+        "v", lo=0.0, hi=100.0, nbins=50)
+    mk(b_rows).write.mode("append").parquet(in_dir)
+    windows.incremental_hist_ledger(
+        spark.readStream.schema(schema).parquet(in_dir), state, ckpt,
+        "v", lo=0.0, hi=100.0, nbins=50)
+
+    r = windows.hist_ad_from_ledger(spark, state, (0, 0), (1, 1)).first()
+    assert (r["n_a"], r["n_b"]) == (300, 300)
+    lab = mk(a_rows).withColumn("g", F.lit("a")).union(
+        mk(b_rows).withColumn("g", F.lit("b"))
+    )
+    want = stats.ad_two_sample(
+        lab.withColumn("v", F.floor(F.col("v") / 2.0).cast("double")),
+        "g", "v", "a", "b",
+    ).first()
+    assert abs(r["a2_stat"] - want["a2_stat"]) < 1e-9
+    assert r["reject"] == want["reject"] and r["reject"] is True
+
+    same = windows.hist_ad_from_ledger(spark, state, (0, 1), (0, 1)).first()
+    assert same["a2_stat"] == 0.0 and same["reject"] is False

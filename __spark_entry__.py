@@ -47,6 +47,65 @@ _SQL_TOKS = (
     f"x -> length(x) >= {MIN_TOKEN_LEN})"
 )
 
+# Fixed byte-level-BPE merge table for the tok_byte_bpe gate query: a
+# deterministic constant shared by the Spark query and the DuckDB
+# replay oracle (training is iterative and cannot be replayed in SQL;
+# the trainer itself is parity-gated in pytest).  Plausible English
+# first merges in the GPT-2 remapped space (0x20 -> Ġ).
+_BBPE_MERGES = [
+    ("Ġ", "t"), ("h", "e"), ("i", "n"), ("r", "e"),
+    ("o", "n"), ("Ġt", "he"), ("e", "r"), ("Ġ", "a"),
+]
+
+
+def _bbpe_oracle_sql() -> str:
+    """DuckDB replay of byte_bpe_encode with the fixed merges: each
+    pretoken's symbols join into a chr(1)-delimited string (anchored
+    ends, chr(2) between pretokens so merges never cross), then each
+    merge is one global ``replace`` — string replace scans
+    left-to-right non-overlapping, exactly the BPE merge semantics.
+    Input is projected to printable ASCII so byte == char and the
+    only remapped symbol is space -> Ġ."""
+    s1, s2 = chr(1), chr(2)
+    expr = "sym"
+    for a, b in _BBPE_MERGES:
+        expr = f"replace({expr}, '{s1}{a}{s1}{s1}{b}{s1}', '{s1}{a}{b}{s1}')"
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g') AS txt
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         regexp_extract_all(txt,
+           ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+') AS pts
+  FROM d
+), s AS (
+  SELECT doc_id,
+         array_to_string(
+           list_transform(pts, pt ->
+             '{s1}' || array_to_string(
+               list_transform(range(0, length(pt)),
+                 i -> replace(substr(pt, CAST(i + 1 AS INTEGER), 1),
+                              ' ', 'Ġ')),
+               '{s1}{s1}') || '{s1}'),
+           '{s2}') AS sym
+  FROM p
+), m AS (
+  SELECT doc_id, {expr} AS ms FROM s
+), t AS (
+  SELECT doc_id,
+         list_filter(
+           flatten(list_transform(string_split(ms, '{s2}'),
+             seg -> string_split(trim(seg, '{s1}'), '{s1}{s1}'))),
+           x -> x <> '') AS toks
+  FROM m
+)
+SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+       md5(array_to_string(toks, ' ')) AS tokens_md5
+FROM t
+"""
+
 # Documents with planted duplicates, used by the near-dup operators so the
 # pair queries return non-trivial matches on the synthetic corpus:
 #   +100000: exact copies of every 10th doc;
@@ -6395,6 +6454,31 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["stats_ad"] = stats_ad
+
+    def tok_byte_bpe(spark, sf):
+        """Byte-level BPE encode (operators/byte_bpe.py — GPT-2
+        lineage, Radford et al. 2019) of the documents with the fixed
+        _BBPE_MERGES table: pretokens keep case and leading spaces,
+        the base alphabet is UTF-8 bytes through the GPT-2 remap, and
+        the merges replay in learned order as per-row JVM folds.
+        Input projected to printable ASCII so the DuckDB replay
+        oracle's byte == char simplification is exact; the trainer's
+        sequential-parity gate (incl. multi-byte UTF-8) is pytest.
+        ONE corpus scan, no shuffle, no Python in the row path."""
+        from plda_spark.operators import byte_bpe
+
+        docs = load_table(spark, sf, "documents").select(
+            "doc_id",
+            F.regexp_replace("text", "[^ -~]", "").alias("text"),
+        )
+        enc = byte_bpe.byte_bpe_encode(docs, _BBPE_MERGES)
+        return enc.select(
+            "doc_id",
+            "n_tokens",
+            F.md5(F.concat_ws(" ", "tokens")).alias("tokens_md5"),
+        )
+
+    q["tok_byte_bpe"] = tok_byte_bpe
 
     def stats_gev_maxima(spark, sf):
         """GEV fit to daily block maxima by probability-weighted
@@ -14602,6 +14686,11 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
 FROM t
 """
 
+    # chr(1)-delimited symbol strings + one replace per fixed merge
+    # (left-to-right non-overlapping == BPE semantics); see
+    # _bbpe_oracle_sql.
+    o["tok_byte_bpe"] = _bbpe_oracle_sql()
+
     # Same order-statistic PWMs, same Hosking rational k, same A&S
     # Gamma(1+x) polynomial (reflection for k < 0), same return level.
     o["stats_gev_maxima"] = """
@@ -15579,6 +15668,7 @@ EXTRA_QUERIES: list[str] = [
     "stats_ad",
     "stats_hist_ad",
     "stream_hist_ad",
+    "tok_byte_bpe",
 ]
 
 

@@ -503,6 +503,7 @@ BENCH_QUERIES = [
     "stats_ad",
     "stats_hist_ad",
     "stream_hist_ad",
+    "tok_byte_bpe",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).
@@ -608,6 +609,7 @@ EXTRA_BENCH_NAMES = [
     "lda_train_5it",
     "lda_train_5it_join",
     "bpe_train_5m",
+    "byte_bpe_train_5m",
     "unigram_train_120",
     "unigram_encode",
     "wordpiece_train_5m",
@@ -972,6 +974,13 @@ def main() -> None:
     from plda_spark.operators import bpe
 
     record("bpe_train_5m", lambda: bpe.bpe_train(docs, 5))
+
+    # Byte-level BPE: same 5-merge sweep cost over the (pretoken, n)
+    # frequency table — the GPT-2-lineage variant; encode cost is the
+    # registry row tok_byte_bpe.
+    from plda_spark.operators import byte_bpe
+
+    record("byte_bpe_train_5m", lambda: byte_bpe.byte_bpe_train(docs, 5))
 
     # Unigram-LM tokenizer: full train (seed + EM + prune) at a small
     # vocab, then a Viterbi encode pass over the corpus — the two

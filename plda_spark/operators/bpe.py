@@ -148,13 +148,34 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(_chars_col(F.col("word")).alias("syms"), "n")
     )
-    words = words.localCheckpoint(eager=False)
-    merges: list[tuple[str, str]] = []
-    since_ckpt = 0
     # Every multi-char symbol that can exist: END_OF_WORD plus the
     # concatenation of each accepted merge (single chars can never
     # collide with a >= 2-char concat).  Used by sweep-stop rule (c).
-    known: set[str] = {END_OF_WORD}
+    return _train_merges(
+        words, num_merges, min_count, checkpoint_every, batch_merges,
+        known={END_OF_WORD},
+    )
+
+
+def _train_merges(
+    words: DataFrame,
+    num_merges: int,
+    min_count: int,
+    checkpoint_every: int,
+    batch_merges: int,
+    known: set[str],
+) -> list[tuple[str, str]]:
+    """The batched merge-sweep loop shared by :func:`bpe_train` and
+    the byte-level variant (:mod:`.byte_bpe`): ``words`` is the
+    ``(syms array<string>, n long)`` frequency table; ``known`` seeds
+    the multi-char symbol universe for sweep-stop rule (c) (the
+    END_OF_WORD marker for word BPE, empty for byte BPE whose base
+    alphabet is all single chars).  See the module doc for the exact
+    sequential-parity argument."""
+    words = words.localCheckpoint(eager=False)
+    merges: list[tuple[str, str]] = []
+    since_ckpt = 0
+    known = set(known)
     while len(merges) < num_merges:
         want = min(batch_merges, num_merges - len(merges))
         # Collect a lookahead window past `want` so each candidate's

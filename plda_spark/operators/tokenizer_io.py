@@ -6,6 +6,9 @@ durable, engine-portable form.  This is that seam for all three trained
 families:
 
 - BPE (:mod:`.bpe`): the ordered merge list.
+- byte-level BPE (:mod:`.byte_bpe`): the ordered merge list over the
+  remapped byte alphabet — pass ``{"kind": "byte_bpe", "merges": [...]}``
+  since a bare merge list is indistinguishable from word-level BPE.
 - unigram-LM (:mod:`.unigram`): the ``(piece, logprob)`` vocabulary.
 - WordPiece (:mod:`.wordpiece`): merges + final vocab.
 
@@ -36,6 +39,9 @@ def _payload(tok) -> dict:
     if isinstance(tok, dict) and {"merges", "vocab"} <= set(tok):
         return {"kind": "wordpiece", "merges": [list(m) for m in tok["merges"]],
                 "vocab": list(tok["vocab"])}
+    if isinstance(tok, dict) and tok.get("kind") == "byte_bpe":
+        return {"kind": "byte_bpe",
+                "merges": [list(m) for m in tok["merges"]]}
     if isinstance(tok, dict) and "kind" in tok:
         return dict(tok)
     if isinstance(tok, list) and tok and isinstance(tok[0], (list, tuple)):
@@ -85,7 +91,7 @@ def load_tokenizer(spark: SparkSession, path: str) -> dict:
             f"tokenizer artifact {path} has format_version {v!r}; this "
             f"reader supports {_FORMAT_VERSION}"
         )
-    if doc["kind"] == "bpe":
+    if doc["kind"] in ("bpe", "byte_bpe"):
         doc["merges"] = [tuple(m) for m in doc["merges"]]
     elif doc["kind"] == "unigram":
         doc["vocab"] = [(p, float(lp)) for p, lp in doc["vocab"]]
@@ -110,6 +116,12 @@ def encode_with(
         from .bpe import bpe_encode
 
         return bpe_encode(docs, tok["merges"], text_col=text_col, id_col=id_col)
+    if kind == "byte_bpe":
+        from .byte_bpe import byte_bpe_encode
+
+        return byte_bpe_encode(
+            docs, tok["merges"], text_col=text_col, id_col=id_col
+        )
     if kind == "unigram":
         from .unigram import unigram_encode
 

@@ -1795,6 +1795,101 @@ def test_bpe_train_matches_reference(spark):
         assert enc[i] == (want_toks, len(want_toks)), (i, enc[i], want_toks)
 
 
+def test_byte_bpe_matches_reference(spark):
+    """Byte-level BPE (GPT-2 remap, case/space-preserving pretokens):
+    batched sweeps reproduce the sequential reference merge list
+    EXACTLY at batch sizes 1/4/16 across three merge counts, on a
+    corpus with multi-byte UTF-8 (accents + CJK — each becomes 2-3
+    remapped byte symbols); encode matches the reference re-apply."""
+    import re as _re
+    from collections import Counter
+
+    from plda_spark.operators import byte_bpe as bb
+
+    B2U = bb.bytes_to_unicode()
+    # the remap is the published bijection: 94+12+82 printable
+    # identity bytes, 68 escapes starting at U+0100
+    assert len(B2U) == 256 and len(set(B2U.values())) == 256
+    assert B2U[ord(" ")] == "Ġ" and B2U[ord("A")] == "A"
+    assert B2U[0] == "Ā"
+
+    def to_syms(pt):
+        return [B2U[b] for b in pt.encode("utf-8")]
+
+    def apply_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def ref_train(texts, num_merges, min_count=1):
+        wc = Counter(
+            pt for t in texts for pt in _re.findall(bb.PRETOKEN_RE, t)
+        )
+        vocab: dict = {}
+        for w, n in wc.items():
+            k = tuple(to_syms(w))
+            vocab[k] = vocab.get(k, 0) + n
+        merges = []
+        for _ in range(num_merges):
+            pc = Counter()
+            for syms, n in vocab.items():
+                for i in range(len(syms) - 1):
+                    pc[(syms[i], syms[i + 1])] += n
+            cands = sorted(
+                ((c, p) for p, c in pc.items() if c >= min_count),
+                key=lambda x: (-x[0], x[1]),
+            )
+            if not cands:
+                break
+            a, b = cands[0][1]
+            merges.append((a, b))
+            new: dict = {}
+            for syms, n in vocab.items():
+                k = tuple(apply_merge(list(syms), a, b))
+                new[k] = new.get(k, 0) + n
+            vocab = new
+        return merges
+
+    texts = [
+        "The low lower lowest, newer newest!",
+        "the new widow saw the éclair café 日本",
+        "newer lower slower widest 123 456",
+        "aaa aaaa abab low low low  spaced\tout\nlines",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    for m in (1, 4, 16):
+        for nm in (3, 10, 20):
+            got = bb.byte_bpe_train(df, nm, min_count=1, batch_merges=m)
+            assert got == ref_train(texts, nm), (m, nm, got)
+
+    merges = bb.byte_bpe_train(df, 12, min_count=1)
+    enc = {
+        r["doc_id"]: (r["tokens"], r["n_tokens"])
+        for r in bb.byte_bpe_encode(df, merges).collect()
+    }
+    for i, t in enumerate(texts):
+        syms = []
+        for pt in _re.findall(bb.PRETOKEN_RE, t):
+            s = to_syms(pt)
+            for a, b in merges:
+                s = apply_merge(s, a, b)
+            syms += s
+        assert enc[i] == (syms, len(syms)), (i, enc[i][0][:8], syms[:8])
+
+    # min_count respected + validation
+    assert bb.byte_bpe_train(df, 5, min_count=10**6) == []
+    with pytest.raises(ValueError):
+        bb.byte_bpe_train(df, 0)
+
+
 def test_bpe_early_stop_and_validation(spark):
     from plda_spark.operators import bpe
 

@@ -1393,6 +1393,7 @@ def test_round11_new_ops_are_single_pass_rollups(spark):
     expected_scans = {
         "stats_ad": 1,
         "stats_hist_ad": 2,
+        "tok_byte_bpe": 1,  # pure per-row JVM folds over one scan
     }
     for name, scans in expected_scans.items():
         s = plan_summary(

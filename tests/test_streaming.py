@@ -859,6 +859,25 @@ def test_tokenizer_encode_runs_on_streams(spark, tmp_path):
     }
     assert got == want
 
+    # byte-level BPE: the per-row JVM merge folds are equally
+    # stateless, so the same call runs on the stream with batch parity
+    from plda_spark.operators import byte_bpe as bb
+
+    bmerges = bb.byte_bpe_train(spark.read.parquet(src), num_merges=6)
+    benc = bb.byte_bpe_encode(
+        spark.readStream.schema(schema).parquet(src), bmerges
+    )
+    assert benc.isStreaming
+    bres = _run_stream(spark, benc, tmp_path, "bbpeenc")
+    bgot = {r["doc_id"]: tuple(r["tokens"]) for r in bres.collect()}
+    bwant = {
+        r["doc_id"]: tuple(r["tokens"])
+        for r in bb.byte_bpe_encode(
+            spark.read.parquet(src), bmerges
+        ).collect()
+    }
+    assert bgot == bwant
+
 
 def test_incremental_decayed_counts_matches_batch(spark, tmp_path):
     """Streaming decayed-counts ledger (append-only epoch-relative

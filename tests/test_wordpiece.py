@@ -204,6 +204,24 @@ def test_tokenizer_save_load_roundtrip_all_families(spark, tmp_path):
         unigram.unigram_encode(docs, uv)
     )
 
+    # byte-level BPE (explicit kind dict: a bare merge list would be
+    # indistinguishable from word-level BPE)
+    from plda_spark.operators import byte_bpe as bb
+
+    bmerges = bb.byte_bpe_train(docs, 8)
+    p = str(tmp_path / "tok_bbpe.json")
+    assert (
+        tokenizer_io.save_tokenizer(
+            spark, {"kind": "byte_bpe", "merges": bmerges}, p
+        )
+        == "byte_bpe"
+    )
+    loaded = tokenizer_io.load_tokenizer(spark, p)
+    assert loaded["merges"] == bmerges
+    assert rows(tokenizer_io.encode_with(docs, loaded)) == rows(
+        bb.byte_bpe_encode(docs, bmerges)
+    )
+
     # wordpiece
     wv = wp.wordpiece_train(docs, num_merges=8)
     p = str(tmp_path / "tok_wp.json")

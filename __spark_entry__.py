@@ -201,6 +201,94 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _qdigest_oracle_sql(
+    day_expr: str,
+    lo: float,
+    hi: float,
+    depth: int,
+    k: int,
+    qs: tuple,
+    day_lo: str,
+    day_hi: str,
+) -> str:
+    """DuckDB replay of qdigest_daily_sketches + qdigest_quantile_range
+    with the compression's ``depth`` levels UNROLLED as chained CTEs —
+    possible precisely because the q-digest is a deterministic pure
+    function of the multiset (integer counts, no sampling), the reason
+    it was chosen over KLL/t-digest for the rank-sketch ledger."""
+    nl = 2 ** depth
+    w = (hi - lo) / nl
+    stages = []
+    for lvl in range(depth, 0, -1):
+        lo_id, hi_id = 2 ** lvl, 2 ** (lvl + 1)
+        prev = f"c{lvl}"
+        stages.append(f"""f{lvl} AS MATERIALIZED (
+  SELECT day, id, cnt,
+         CASE WHEN id >= {lo_id} AND id < {hi_id} THEN id // 2
+              WHEN id >= {lo_id // 2} AND id < {hi_id // 2} THEN id
+         END AS fam
+  FROM {prev}
+), g{lvl} AS MATERIALIZED (
+  SELECT day, fam,
+         sum(CASE WHEN id <> fam THEN cnt ELSE 0 END) AS cc,
+         sum(CASE WHEN id = fam THEN cnt ELSE 0 END) AS pc
+  FROM f{lvl} WHERE fam IS NOT NULL GROUP BY day, fam
+), c{lvl - 1} AS MATERIALIZED (
+  SELECT day, id, cnt FROM f{lvl} WHERE fam IS NULL
+  UNION ALL
+  SELECT g.day, g.fam AS id, g.cc + g.pc AS cnt
+  FROM g{lvl} g JOIN thr USING (day) WHERE g.cc + g.pc <= thr.t
+  UNION ALL
+  SELECT f.day, f.id, f.cnt
+  FROM f{lvl} f
+  JOIN g{lvl} g ON f.day = g.day AND f.fam = g.fam
+  JOIN thr ON thr.day = f.day
+  WHERE g.cc + g.pc > thr.t
+)""")
+    qvals = ", ".join(f"({q})" for q in qs)
+    return f"""
+WITH base AS (
+  SELECT {day_expr} AS day, CAST(value AS DOUBLE) AS v
+  FROM events WHERE value >= {lo} AND value < {hi}
+), c{depth} AS MATERIALIZED (
+  SELECT day,
+         CAST({nl} + least(floor((v - {lo}) / {w!r}), {nl - 1}) AS BIGINT)
+           AS id,
+         count(*) AS cnt
+  FROM base GROUP BY 1, 2
+), thr AS MATERIALIZED (
+  SELECT day, CAST(floor(sum(cnt) / {float(k)!r}) AS BIGINT) AS t
+  FROM c{depth} GROUP BY day
+), {", ".join(stages)}, merged AS (
+  SELECT id, sum(cnt) AS cnt FROM c0
+  WHERE day >= '{day_lo}' AND day <= '{day_hi}'
+  GROUP BY id
+), geo AS (
+  SELECT cnt,
+         CAST(pow(2, {depth} - floor(log2(id))) AS BIGINT) AS span,
+         CAST((id - pow(2, floor(log2(id))))
+              * pow(2, {depth} - floor(log2(id))) AS BIGINT)
+           + CAST(pow(2, {depth} - floor(log2(id))) AS BIGINT) - 1
+           AS hi_leaf
+  FROM merged
+), cum AS (
+  SELECT hi_leaf,
+         sum(cnt) OVER (ORDER BY hi_leaf, span
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(cnt) OVER () AS n
+  FROM geo
+), qt AS (
+  SELECT q, min(hi_leaf) AS hl, max(n) AS n
+  FROM cum, (VALUES {qvals}) AS qv(q)
+  WHERE cum >= greatest(ceil(q * n), 1)
+  GROUP BY q
+)
+SELECT q, CAST(n AS BIGINT) AS n,
+       round({lo} + (hl + 1) * {w!r}, 6) AS est
+FROM qt ORDER BY q
+"""
+
+
 def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every implemented query, keyed by name (contract + extras).
 
@@ -6479,6 +6567,63 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["tok_byte_bpe"] = tok_byte_bpe
+
+    def stats_qdigest(spark, sf):
+        """Mergeable q-digest rank-sketch rollup + range-quantile
+        probe (operators/stats.py qdigest_daily_sketches /
+        qdigest_quantile_range — Shrivastava et al. 2004): per-day
+        digests over events.value, merged by count addition over a
+        date range, four quantiles read off the postorder walk with
+        the proven depth·N/k rank bound.  Deterministic (no
+        compaction coins), so the oracle replays the full sketch with
+        the compression levels unrolled.  ONE corpus aggregation;
+        compression + probes touch only the rollup."""
+        from plda_spark.operators import stats
+
+        sk = stats.qdigest_daily_sketches(
+            load_table(spark, sf, "events"), "value",
+            lo=0.0, hi=200.0, depth=10, k=32,
+        )
+        return stats.qdigest_quantile_range(
+            sk, [0.1, 0.5, 0.9, 0.99], lo=0.0, hi=200.0, depth=10,
+            start_day="2024-01-05", end_day="2024-01-25",
+        )
+
+    q["stats_qdigest"] = stats_qdigest
+
+    def stream_qdigest(spark, sf):
+        """Streaming rank-sketch ledger end to end
+        (streaming/windows.py incremental_qdigest_ledger +
+        qdigest_quantiles_from_ledger): the stream_hist_drift
+        two-parity-micro-batch rig, each batch appending ONE
+        deterministic q-digest row under the exactly-once
+        partition-overwrite contract; the two-batch quantile fold is
+        hash-gated against the oracle's direct unrolled replay over
+        the identical parity split."""
+        import tempfile
+
+        from plda_spark.streaming import windows
+
+        ev = load_table(spark, sf, "events").select("event_id", "value")
+        d = tempfile.mkdtemp(prefix="plda_qdigest_")
+        src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
+        schema = "event_id long, value double"
+        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        windows.incremental_qdigest_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, depth=10, k=32,
+        )
+        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        windows.incremental_qdigest_ledger(
+            spark.readStream.schema(schema).parquet(src), state, ckpt,
+            "value", lo=0.0, hi=200.0, depth=10, k=32,
+        )
+        return windows.qdigest_quantiles_from_ledger(
+            spark, state, (0, 1), [0.1, 0.5, 0.9, 0.99],
+            lo=0.0, hi=200.0, depth=10,
+        )
+
+    q["stream_qdigest"] = stream_qdigest
 
     def stats_gev_maxima(spark, sf):
         """GEV fit to daily block maxima by probability-weighted
@@ -14691,6 +14836,23 @@ FROM t
     # _bbpe_oracle_sql.
     o["tok_byte_bpe"] = _bbpe_oracle_sql()
 
+    # Full deterministic sketch replay with the 10 compression levels
+    # unrolled; see _qdigest_oracle_sql.
+    o["stats_qdigest"] = _qdigest_oracle_sql(
+        "CAST(CAST(ts AS DATE) AS VARCHAR)",
+        lo=0.0, hi=200.0, depth=10, k=32,
+        qs=(0.1, 0.5, 0.9, 0.99),
+        day_lo="2024-01-05", day_hi="2024-01-25",
+    )
+    # The ledger parity fold equals the direct per-parity-group replay
+    # (batch ids zero-padded, the hist-ledger convention).
+    o["stream_qdigest"] = _qdigest_oracle_sql(
+        "lpad(CAST(event_id % 2 AS VARCHAR), 10, '0')",
+        lo=0.0, hi=200.0, depth=10, k=32,
+        qs=(0.1, 0.5, 0.9, 0.99),
+        day_lo="0000000000", day_hi="0000000001",
+    )
+
     # Same order-statistic PWMs, same Hosking rational k, same A&S
     # Gamma(1+x) polynomial (reflection for k < 0), same return level.
     o["stats_gev_maxima"] = """
@@ -15669,6 +15831,8 @@ EXTRA_QUERIES: list[str] = [
     "stats_hist_ad",
     "stream_hist_ad",
     "tok_byte_bpe",
+    "stats_qdigest",
+    "stream_qdigest",
 ]
 
 

@@ -504,6 +504,8 @@ BENCH_QUERIES = [
     "stats_hist_ad",
     "stream_hist_ad",
     "tok_byte_bpe",
+    "stats_qdigest",
+    "stream_qdigest",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

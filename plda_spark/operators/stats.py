@@ -7167,3 +7167,224 @@ def partial_correlation(
         F.round("z", 6).alias("z"),
         F.round(p, 6).alias("p_value"),
     )
+
+
+def _qdigest_compress(
+    counts: DataFrame, depth: int, k: int
+) -> DataFrame:
+    """Level-synchronous q-digest compression (Shrivastava, Buragohain,
+    Agrawal & Suri 2004) of exact per-group leaf counts: ``counts`` is
+    ``(day, id, cnt)`` with heap-numbered LEAF ids in
+    ``[2^depth, 2^(depth+1))``; for each level from the leaves up, a
+    sibling pair and its parent collapse into the parent whenever
+    their combined count fits under the per-group threshold
+    ``⌊n/k⌋`` — counts only ever move to ANCESTORS, so a value's rank
+    estimate errs by at most the mass parked on its search path:
+    ≤ depth·n/k (the published log(σ)·n/k bound; the error-bound
+    pytest asserts it on adversarial shapes).  Deterministic: integer
+    counts, no sampling, order-independent — the same multiset always
+    compresses to the same digest, which is what makes the sketch
+    hash-gateable across engines and byte-stable under exactly-once
+    streaming replays.
+
+    Scale shape: ``depth`` rounds of (group, family) aggregation +
+    join over the ROLLUP frame (≤ |groups|·|present leaves| rows —
+    the corpus itself is touched only by the one leaf-count
+    aggregation upstream); lineage cut every few levels."""
+    # checkpoint BOTH inputs: every level joins thr, and without the
+    # cut each join would re-derive it from the corpus scan (the plan
+    # pin counts exactly one parquet scan for the whole build)
+    counts = counts.localCheckpoint(eager=False)
+    thr = counts.groupBy("day").agg(
+        F.floor(F.sum("cnt") / F.lit(float(k))).alias("t")
+    ).localCheckpoint(eager=False)
+    cur = counts
+    for lvl in range(depth, 0, -1):
+        lo_id, hi_id = 2 ** lvl, 2 ** (lvl + 1)
+        fam = (
+            F.when(
+                (F.col("id") >= lo_id) & (F.col("id") < hi_id),
+                F.floor(F.col("id") / 2).cast("long"),
+            ).when(
+                (F.col("id") >= lo_id // 2) & (F.col("id") < hi_id // 2),
+                F.col("id"),
+            )
+        )
+        f = cur.withColumn("fam", fam)
+        passthru = f.where(F.col("fam").isNull()).select("day", "id", "cnt")
+        g = (
+            f.where(F.col("fam").isNotNull())
+            .groupBy("day", "fam")
+            .agg(
+                F.sum(
+                    F.when(F.col("id") != F.col("fam"), F.col("cnt"))
+                    .otherwise(F.lit(0))
+                ).alias("cc"),
+                F.sum(
+                    F.when(F.col("id") == F.col("fam"), F.col("cnt"))
+                    .otherwise(F.lit(0))
+                ).alias("pc"),
+            )
+            .join(thr, "day")
+        )
+        pushed = g.where(F.col("cc") + F.col("pc") <= F.col("t")).select(
+            "day",
+            F.col("fam").alias("id"),
+            (F.col("cc") + F.col("pc")).alias("cnt"),
+        )
+        kept = (
+            f.where(F.col("fam").isNotNull())
+            .join(
+                g.where(F.col("cc") + F.col("pc") > F.col("t")).select(
+                    "day", "fam"
+                ),
+                ["day", "fam"],
+            )
+            .select("day", "id", "cnt")
+        )
+        cur = passthru.unionByName(pushed).unionByName(kept)
+        # cut lineage EVERY OTHER level: the accumulated
+        # union+join+case tree otherwise outgrows janino's 64 KB
+        # method limit by ~4 levels in (the GEV lesson, 52fe816) and
+        # Spark falls back to interpreted eval for the whole chain
+        if lvl % 2 == 0:
+            cur = cur.localCheckpoint(eager=False)
+    return cur
+
+
+def qdigest_daily_sketches(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    depth: int = 12,
+    k: int = 64,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-day Q-DIGEST rollup of ``value_col`` — the mergeable RANK
+    sketch next to the histogram ledger (:func:`hist_daily_sketches`):
+    the histogram's quantile error is one fixed bin width in VALUE
+    space, while the q-digest adapts its resolution to where the mass
+    is and carries a proven RANK bound (error ≤ depth·n/k per digest,
+    additive under merges) with a ledger row bounded by ~3k nodes
+    regardless of the value distribution.  Chosen over KLL/t-digest
+    deliberately: those need random compaction coins / centroid
+    heuristics, while the q-digest is a pure deterministic function of
+    the day's multiset — replayable in SQL (the extras oracle unrolls
+    the ``depth`` compression levels) and byte-stable under
+    exactly-once streaming replays.
+
+    Values quantize to ``2^depth`` leaves over the fixed ``[lo, hi)``
+    grid (out-of-range values dropped — the histogram-family range
+    contract), then compress (:func:`_qdigest_compress`).  Returns
+    ``(day, nodes: array<struct<id long, cnt long>>, n long)`` with
+    nodes sorted by id; ``n`` is the day's in-range row count (node
+    counts conserve mass exactly).
+
+    Scale shape: ONE map-side-combined (day, leaf) corpus aggregation;
+    compression and probes touch only the rollup."""
+    if depth < 2 or depth > 20:
+        raise ValueError(f"depth must be in [2, 20], got {depth}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    nleaves = 2 ** depth
+    w = (hi - lo) / nleaves
+    x = F.col(value_col).cast("double")
+    leaves = (
+        df.where((x >= lo) & (x < hi))
+        .select(
+            F.to_date(F.col(ts_col)).cast("string").alias("day"),
+            (
+                F.lit(nleaves)
+                + F.least(F.floor((x - lo) / w), F.lit(nleaves - 1))
+            ).cast("long").alias("id"),
+        )
+        .groupBy("day", "id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    comp = _qdigest_compress(leaves, depth, k)
+    return comp.groupBy("day").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("id"), F.col("cnt")))
+        ).alias("nodes"),
+        F.sum("cnt").alias("n"),
+    )
+
+
+def qdigest_quantile_range(
+    sketches: DataFrame,
+    qs: list,
+    lo: float,
+    hi: float,
+    depth: int = 12,
+    start_day: str | None = None,
+    end_day: str | None = None,
+) -> DataFrame:
+    """Quantile estimates over a day range from a
+    :func:`qdigest_daily_sketches` rollup: filter the rollup, sum node
+    counts by id (the q-digest merge — pure count addition), walk the
+    nodes in POSTORDER (upper leaf bound ascending, smaller span
+    first) accumulating counts, and report each ``q``'s value as the
+    upper edge of the first node whose cumulative count reaches
+    ``max(⌈q·N⌉, 1)``.  Rank error ≤ depth·N/k for the merged range
+    (per-day bounds are additive because counts only move to
+    ancestors).  Returns ``(q, n, est)`` rounded to 6, ``qs`` in
+    (0, 1].
+
+    Scale shape: the probe touches only the rollup — |days|·O(3k)
+    node rows, one ordered window over the merged ≤ O(3k·depth)
+    ids."""
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    filt = sketches
+    if start_day is not None:
+        filt = filt.where(F.col("day") >= start_day)
+    if end_day is not None:
+        filt = filt.where(F.col("day") <= end_day)
+    nleaves = 2 ** depth
+    wleaf = (hi - lo) / nleaves
+    merged = (
+        filt.select(F.explode("nodes").alias("nd"))
+        .select(F.col("nd.id").alias("id"), F.col("nd.cnt").alias("cnt"))
+        .groupBy("id")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    lvl = F.floor(F.log2("id"))
+    span = F.pow(F.lit(2.0), F.lit(depth) - lvl).cast("long")
+    lo_leaf = ((F.col("id") - F.pow(F.lit(2.0), lvl)) * span).cast("long")
+    geo = merged.select(
+        "cnt",
+        span.alias("span"),
+        (lo_leaf + span - 1).alias("hi_leaf"),
+    )
+    wcum = Window.orderBy("hi_leaf", "span").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    staged = geo.select(
+        "hi_leaf",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    expanded = staged.select(
+        "*",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    pick = (
+        expanded.where(
+            F.col("cum")
+            >= F.greatest(F.ceil(F.col("q") * F.col("n")), F.lit(1))
+        )
+        .groupBy("q")
+        .agg(F.min("hi_leaf").alias("hl"), F.max("n").alias("n"))
+    )
+    return pick.select(
+        "q",
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            F.lit(lo) + (F.col("hl") + 1) * F.lit(wleaf), 6
+        ).alias("est"),
+    ).orderBy("q")

@@ -1610,3 +1610,107 @@ def hist_ad_from_ledger(
         (fmt(batches_a[0]), fmt(batches_a[1])),
         (fmt(batches_b[0]), fmt(batches_b[1])),
     )
+
+
+def incremental_qdigest_ledger(
+    stream_events: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    depth: int = 12,
+    k: int = 64,
+    timeout_s: float = 300.0,
+) -> None:
+    """Continuously maintain a mergeable Q-DIGEST ledger over a value
+    stream — the RANK-sketch twin of :func:`incremental_hist_ledger`
+    (``operators/stats.py qdigest_daily_sketches``): where the
+    histogram ledger's quantile error is one fixed bin width, the
+    q-digest adapts resolution to the mass and carries the proven
+    ``depth·n/k`` rank bound with a row bounded by ~3k nodes.
+
+    Each micro-batch appends ONE row ``(nodes: array<struct<id long,
+    cnt long>>, n long)`` — the batch's own digest, a DETERMINISTIC
+    pure function of the batch multiset (no sampling — the reason
+    q-digest was chosen over KLL/t-digest), so the dynamic
+    ``run_id/batch_id`` partition overwrite makes crash-replays
+    rewrite identical bytes: the exactly-once ledger contract with no
+    markers.  Merging is count addition, so any batch-range fold's
+    rank error is the sum of the folded digests' bounds.
+
+    Scale shape: one map-side-combined (leaf) aggregation per batch +
+    ``depth`` rollup-frame compression rounds; probes touch only the
+    ledger."""
+    from plda_spark.operators.stats import _qdigest_compress
+
+    if depth < 2 or depth > 20:
+        raise ValueError(f"depth must be in [2, 20], got {depth}")
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if not hi > lo:
+        raise ValueError("hi must exceed lo")
+    nleaves = 2 ** depth
+    w = (hi - lo) / nleaves
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        token = _query_token(spark, checkpoint_path)
+        x = F.col(value_col).cast("double")
+        leaves = (
+            batch.where((x >= lo) & (x < hi))
+            .select(
+                F.lit("0").alias("day"),
+                (
+                    F.lit(nleaves)
+                    + F.least(F.floor((x - lo) / w), F.lit(nleaves - 1))
+                ).cast("long").alias("id"),
+            )
+            .groupBy("day", "id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        comp = _qdigest_compress(leaves, depth, k)
+        row = comp.agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("id"), F.col("cnt")))
+            ).alias("nodes"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("n"),
+        )
+        _overwrite_batch_partition(row, state_path, token, batch_id)
+
+    q = (
+        stream_events.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def qdigest_quantiles_from_ledger(
+    spark: SparkSession,
+    state_path: str,
+    batches,
+    qs: list,
+    lo: float,
+    hi: float,
+    depth: int = 12,
+    run_id_filter: str | None = None,
+) -> DataFrame:
+    """Quantile estimates over an inclusive BATCH-ID range of the
+    :func:`incremental_qdigest_ledger` — delegate to
+    ``operators/stats.py qdigest_quantile_range`` over the batch-id
+    fold (batch ids stand in for days, zero-padded so string order ==
+    numeric order).  Touches only the ledger; same single-generation
+    contract as the other ledgers."""
+    from plda_spark.operators.stats import qdigest_quantile_range
+
+    ledger = _single_generation(spark, state_path, run_id_filter).select(
+        F.lpad(F.col("batch_id").cast("string"), 10, "0").alias("day"),
+        "nodes",
+    )
+    fmt = lambda b: str(int(b)).zfill(10)
+    return qdigest_quantile_range(
+        ledger, qs, lo, hi, depth=depth,
+        start_day=fmt(batches[0]), end_day=fmt(batches[1]),
+    )

@@ -8232,3 +8232,152 @@ def test_partial_correlation_semantics(spark):
         "x", "y", "z",
     ).first()
     assert got4["z"] is None and got4["p_value"] is None
+
+
+def test_qdigest_sketch_matches_reference(spark):
+    """The level-synchronous q-digest compress (Shrivastava et al.
+    2004) is a deterministic pure function of the day's multiset: the
+    Spark rollup must match a pure-Python replay NODE FOR NODE, on
+    uniform, point-mass, and bimodal days; mass is conserved
+    exactly."""
+    import math
+    import random
+    from collections import Counter
+
+    from plda_spark.operators import stats
+
+    DEPTH, K, LO, HI = 10, 32, 0.0, 100.0
+    NL = 2 ** DEPTH
+    W = (HI - LO) / NL
+
+    def ref_sketch(values):
+        leaves = Counter(
+            NL + min(int((v - LO) / W), NL - 1) for v in values
+        )
+        n = sum(leaves.values())
+        t = math.floor(n / K)
+        cur = dict(leaves)
+        for lvl in range(DEPTH, 0, -1):
+            lo_id, hi_id = 2 ** lvl, 2 ** (lvl + 1)
+            fams, nxt = {}, {}
+            for i, c in cur.items():
+                if lo_id <= i < hi_id:
+                    fams.setdefault(i // 2, [0, 0])[0] += c
+                elif lo_id // 2 <= i < hi_id // 2:
+                    fams.setdefault(i, [0, 0])[1] += c
+                else:
+                    nxt[i] = nxt.get(i, 0) + c
+            for fam, (cc, pc) in fams.items():
+                if cc + pc <= t:
+                    nxt[fam] = nxt.get(fam, 0) + cc + pc
+                else:
+                    for i, c in cur.items():
+                        if (
+                            lo_id <= i < hi_id and i // 2 == fam
+                        ) or i == fam:
+                            nxt[i] = nxt.get(i, 0) + c
+            cur = nxt
+        return {i: c for i, c in cur.items() if c > 0}, n
+
+    rng = random.Random(11)
+    day_vals = {
+        "2024-01-01": [rng.uniform(0, 30) for _ in range(500)]
+        + [99.0] * 20,
+        "2024-01-02": [50.0] * 300
+        + [rng.uniform(80, 100) for _ in range(100)],
+        "2024-01-03": [rng.gauss(70, 5) for _ in range(400)],
+    }
+    rows = [
+        (d + " 12:00:00", float(v))
+        for d, vs in day_vals.items()
+        for v in vs
+        if 0 <= v < 100
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    sk = stats.qdigest_daily_sketches(
+        df, "value", LO, HI, depth=DEPTH, k=K
+    )
+    got = {
+        r["day"]: (
+            {nd["id"]: nd["cnt"] for nd in r["nodes"]}, r["n"]
+        )
+        for r in sk.collect()
+    }
+    for d, vs in day_vals.items():
+        vs2 = [v for v in vs if 0 <= v < 100]
+        want_nodes, want_n = ref_sketch(vs2)
+        assert got[d][1] == want_n == sum(got[d][0].values())
+        assert got[d][0] == want_nodes, d
+        # the size bound that makes it a SKETCH: O(3k) nodes per day
+        assert len(got[d][0]) <= 3 * K
+
+    with pytest.raises(ValueError, match="depth"):
+        stats.qdigest_daily_sketches(df, "value", LO, HI, depth=1)
+    with pytest.raises(ValueError, match="k must"):
+        stats.qdigest_daily_sketches(df, "value", LO, HI, k=1)
+    with pytest.raises(ValueError, match="quantiles"):
+        stats.qdigest_quantile_range(sk, [1.5], LO, HI, depth=DEPTH)
+
+
+def test_qdigest_quantile_rank_error_bound(spark):
+    """The published rank bound, asserted: every range-quantile
+    estimate's TRUE rank window (one leaf width of value slack) must
+    contain the target rank within depth·N/k — on adversarial shapes
+    (heavy point mass, skew, tail spike) and for a merged multi-day
+    range where the per-day bounds add."""
+    import math
+    import random
+
+    from plda_spark.operators import stats
+
+    DEPTH, K, LO, HI = 12, 128, 0.0, 100.0
+    W = (HI - LO) / 2 ** DEPTH
+    rng = random.Random(5)
+    day_vals = {
+        "2024-01-01": [12.5] * 2000
+        + [rng.uniform(0, 100) for _ in range(500)],
+        "2024-01-02": [rng.expovariate(0.1) for _ in range(2000)],
+        "2024-01-03": [99.9] * 50
+        + [rng.gauss(40, 2) for _ in range(1500)],
+    }
+    rows = [
+        (d + " 00:00:00", float(v))
+        for d, vs in day_vals.items()
+        for v in vs
+        if 0 <= v < 100
+    ]
+    df = spark.createDataFrame(rows, "ts string, value double").select(
+        F.to_timestamp("ts").alias("ts"), "value"
+    )
+    sk = stats.qdigest_daily_sketches(
+        df, "value", LO, HI, depth=DEPTH, k=K
+    ).localCheckpoint()
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+    for days in [("2024-01-01", "2024-01-01"), ("2024-01-01", "2024-01-03")]:
+        allv = sorted(
+            v
+            for d, vs in day_vals.items()
+            if days[0] <= d <= days[1]
+            for v in vs
+            if 0 <= v < 100
+        )
+        n = len(allv)
+        bound = DEPTH * n / K
+        est = {
+            r["q"]: (r["est"], r["n"])
+            for r in stats.qdigest_quantile_range(
+                sk, qs, LO, HI, depth=DEPTH,
+                start_day=days[0], end_day=days[1],
+            ).collect()
+        }
+        for q in qs:
+            e, got_n = est[q]
+            assert got_n == n
+            target = max(math.ceil(q * n), 1)
+            rank_lo = sum(1 for v in allv if v < e - W)
+            rank_hi = sum(1 for v in allv if v <= e)
+            assert rank_lo - bound <= target <= rank_hi + bound, (
+                days, q, e, target, rank_lo, rank_hi, bound
+            )

@@ -1394,6 +1394,9 @@ def test_round11_new_ops_are_single_pass_rollups(spark):
         "stats_ad": 1,
         "stats_hist_ad": 2,
         "tok_byte_bpe": 1,  # pure per-row JVM folds over one scan
+        # ONE leaf-count corpus aggregation; the compression rounds
+        # run over checkpoint-cut rollup RDDs, never the corpus
+        "stats_qdigest": 1,
     }
     for name, scans in expected_scans.items():
         s = plan_summary(

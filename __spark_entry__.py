@@ -289,6 +289,92 @@ FROM qt ORDER BY q
 """
 
 
+def _ladder_oracle_sql(k: int = 10, doublings: int = 4) -> str:
+    """DuckDB replay of dedup_longest_spans on the planted-dup corpus:
+    the same doubling digest ladder (level-j digest = md5 of the two
+    children's digests), per-level first-occurrence losers, and the
+    parent-not-a-loser maximal filter — all MATERIALIZED so the CTE
+    chain evaluates linearly."""
+    stages = []
+    for j in range(1, doublings + 1):
+        stages.append(f"""c{j} AS MATERIALIZED (
+  SELECT doc_id, CAST(idx // 2 AS INT) AS idx,
+         md5(min_by(dg, idx) || ' ' || max_by(dg, idx)) AS dg,
+         sum(nt) AS nt
+  FROM c{j - 1}
+  GROUP BY doc_id, idx // 2
+  HAVING count(*) = 2 AND sum(nt) = {k * 2 ** j}
+)""")
+    for j in range(0, doublings + 1):
+        stages.append(f"""l{j} AS MATERIALIZED (
+  SELECT doc_id, idx, nt FROM (
+    SELECT doc_id, idx, nt,
+           row_number() OVER (PARTITION BY dg
+                              ORDER BY doc_id, idx) AS rn
+    FROM c{j}
+  ) WHERE rn > 1
+)""")
+    for j in range(0, doublings + 1):
+        if j == doublings:
+            stages.append(
+                f"m{j} AS (SELECT doc_id, idx, nt FROM l{j})"
+            )
+        else:
+            stages.append(f"""m{j} AS (
+  SELECT l.doc_id, l.idx, l.nt FROM l{j} l
+  LEFT JOIN l{j + 1} p
+    ON p.doc_id = l.doc_id AND p.idx = l.idx // 2
+  WHERE p.doc_id IS NULL
+)""")
+    regions_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, nt FROM m{j}" for j in range(doublings + 1)
+    )
+    return f"""
+WITH {_SQL_DOCS_DUP},
+base AS (
+  SELECT doc_id, {_SQL_TOKS} AS toks FROM docs
+  WHERE len({_SQL_TOKS}) >= 1
+),
+c0 AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS idx,
+         md5(array_to_string(toks[(i-1)*{k}+1 : (i-1)*{k}+{k}], ' ')) AS dg,
+         len(toks[(i-1)*{k}+1 : (i-1)*{k}+{k}]) AS nt
+  FROM (
+    SELECT doc_id, toks,
+           unnest(range(1, CAST(ceil(len(toks) / {k}.0) AS INT) + 1)) AS i
+    FROM base
+  )
+),
+{", ".join(stages)},
+regions AS (
+  {regions_union}
+),
+rs AS (
+  SELECT doc_id, count(*) AS n_removed_regions,
+         max(nt) AS max_region_tokens
+  FROM regions GROUP BY doc_id
+),
+k0 AS (
+  SELECT c0.doc_id, count(*) AS n_spans,
+         sum(CASE WHEN l.doc_id IS NULL THEN 1 ELSE 0 END) AS n_kept,
+         md5(coalesce(string_agg(
+           CASE WHEN l.doc_id IS NULL THEN c0.dg END, ' '
+           ORDER BY c0.idx), '')) AS dedup_digest
+  FROM c0 LEFT JOIN l0 l
+    ON l.doc_id = c0.doc_id AND l.idx = c0.idx
+  GROUP BY c0.doc_id
+)
+SELECT k0.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       CAST(coalesce(rs.n_removed_regions, 0) AS BIGINT)
+         AS n_removed_regions,
+       CAST(coalesce(rs.max_region_tokens, 0) AS BIGINT)
+         AS max_region_tokens,
+       dedup_digest
+FROM k0 LEFT JOIN rs ON rs.doc_id = k0.doc_id
+"""
+
+
 def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Every implemented query, keyed by name (contract + extras).
 
@@ -1624,6 +1710,19 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.dedup_spans(_docs_with_dupes(spark, sf), span_tokens=10)
 
     q["dedup_spans"] = dedup_spans_q
+
+    def dedup_longest_spans_q(spark, sf):
+        """Longest-match substring dedup (operators/dedup.py
+        dedup_longest_spans): the doubling digest ladder over the
+        same planted-dup corpus — the full copies collapse to ONE
+        maximal removed region per doc (the largest aligned complete
+        block) instead of per-10-token-chunk decisions, while the
+        kept chunk set stays identical to dedup_spans."""
+        return dedup.dedup_longest_spans(
+            _docs_with_dupes(spark, sf), span_tokens=10, max_doublings=4
+        )
+
+    q["dedup_longest_spans"] = dedup_longest_spans_q
 
     def dedup_cross(spark, sf):
         """Cross-corpus near-dup dedup (operators.dedup.cross_dedup):
@@ -10682,6 +10781,10 @@ SELECT tot.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
 FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
 """
 
+    # Same doubling digest ladder, losers, and maximal filter; see
+    # _ladder_oracle_sql.
+    o["dedup_longest_spans"] = _ladder_oracle_sql(k=10, doublings=4)
+
     # Count-Min rollup merged over a day range, probed per distinct user.
     o["stats_cms_range"] = """
 WITH days AS (SELECT unnest(range(0, 4)) AS d),
@@ -15833,6 +15936,7 @@ EXTRA_QUERIES: list[str] = [
     "tok_byte_bpe",
     "stats_qdigest",
     "stream_qdigest",
+    "dedup_longest_spans",
 ]
 
 

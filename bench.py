@@ -506,6 +506,7 @@ BENCH_QUERIES = [
     "tok_byte_bpe",
     "stats_qdigest",
     "stream_qdigest",
+    "dedup_longest_spans",
     # round-9 additions: full registry coverage audit — every
     # registry query now has a bench row unless named in BENCH_EXEMPT
     # (tests/test_bench_contract.py pins registry == benched + exempt).

@@ -48,6 +48,7 @@ __all__ = [
     "decontaminate",
     "keep_best",
     "dedup_spans",
+    "dedup_longest_spans",
     "band_rows",
     "cross_dedup",
     "dedup_sentences",
@@ -949,6 +950,188 @@ def dedup_spans(
         .select("doc_id", "span_idx", "span", is_kept.alias("__kept"))
         .groupBy("doc_id")
         .agg(*out_cols)
+    )
+
+
+def dedup_longest_spans(
+    docs: DataFrame,
+    span_tokens: int = 20,
+    max_doublings: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Longest-match exact substring dedup via a DOUBLING DIGEST
+    LADDER: :func:`dedup_spans` decides duplication chunk by chunk
+    (fixed ``span_tokens`` granularity — Lee et al. 2022's unit), so a
+    near-verbatim 2k-token quote shows up as k/``span_tokens``
+    independent chunk decisions.  This pass additionally detects the
+    LARGEST aligned duplicated block: level ``j`` covers aligned spans
+    of ``span_tokens·2^j`` tokens whose digest is the md5 of its two
+    children's level-``j−1`` digests (equal texts ⟹ equal ladder
+    digests; the standard md5-collision-free assumption of every
+    dedup digest here) — so no level ever re-shuffles document text,
+    only (doc_id, idx, digest) rows that HALVE per level.
+
+    A span is a LOSER when an earlier occurrence (minimum
+    ``(doc_id, idx)``) of its digest exists corpus-wide; a loser is
+    MAXIMAL when its parent span is not itself a loser.  Every chunk
+    of a higher-level loser is provably a level-0 loser too (the
+    earlier block's aligned chunks occur earlier), so the KEPT chunk
+    set is identical to :func:`dedup_spans` — what the ladder adds is
+    the DECISION granularity: a duplicated 2k-token block reports as
+    ONE maximal region, not k-token shingles.  Aligned-model caveat
+    (documented, not hidden): duplicated blocks at non-aligned
+    offsets are caught at chunk granularity only, and adjacent
+    maximal losers at the same level are reported separately — the
+    full any-offset longest match is the suffix-array construction
+    Lee et al. use, deliberately out of scope.
+
+    Returns ``(doc_id, n_spans, n_kept, n_removed_regions,
+    max_region_tokens, dedup_digest)`` — level-0 chunk counts as in
+    :func:`dedup_spans`; ``dedup_digest`` here is the md5 of the KEPT
+    CHUNK DIGESTS joined by space (digest-of-digests, so the rebuild
+    never carries text); regions are the maximal losers.
+
+    Scale shape: one corpus scan into (doc_id, idx, digest) chunk
+    rows; each ladder level is one groupBy on a frame that halves;
+    loser detection is one hash aggregation per level on the digest
+    (high-cardinality, skew-free); the maximal filter is a narrow
+    anti-join per level.  Nothing after the first projection carries
+    text."""
+    if span_tokens < 1:
+        raise ValueError("span_tokens must be >= 1")
+    if max_doublings < 1 or max_doublings > 10:
+        raise ValueError(
+            f"max_doublings must be in [1, 10], got {max_doublings}"
+        )
+    k = int(span_tokens)
+    toks = tokens_col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), toks.alias("__toks")
+    ).where(F.size("__toks") >= 1)
+    n_spans = F.ceil(F.size("__toks") / F.lit(k)).cast("int")
+    chunks = base.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.slice("__toks", i * k + 1, k),
+            )
+        ).alias("idx", "__ctoks"),
+    ).select(
+        "doc_id",
+        "idx",
+        F.md5(F.array_join("__ctoks", " ")).alias("dg"),
+        F.size("__ctoks").alias("nt"),
+    )
+    chunks = chunks.localCheckpoint(eager=False)
+
+    def losers(frame):
+        first = frame.groupBy("dg").agg(
+            F.min(F.struct("doc_id", "idx")).alias("__f")
+        )
+        return (
+            frame.join(first, "dg")
+            .where(
+                (F.col("doc_id") != F.col("__f.doc_id"))
+                | (F.col("idx") != F.col("__f.idx"))
+            )
+            .select("doc_id", "idx", "nt")
+        )
+
+    level_frames = [chunks]
+    cur = chunks
+    for j in range(1, max_doublings + 1):
+        full = k * (2 ** j)
+        cur = (
+            cur.groupBy("doc_id", F.floor(F.col("idx") / 2).alias("idx"))
+            .agg(
+                F.count(F.lit(1)).alias("__c"),
+                F.min(F.struct("idx", "dg")).alias("__l"),
+                F.max(F.struct("idx", "dg")).alias("__r"),
+                F.sum("nt").alias("nt"),
+            )
+            .where((F.col("__c") == 2) & (F.col("nt") == full))
+            .select(
+                "doc_id",
+                F.col("idx").cast("int").alias("idx"),
+                F.md5(
+                    F.concat(F.col("__l.dg"), F.lit(" "), F.col("__r.dg"))
+                ).alias("dg"),
+                "nt",
+            )
+        )
+        cur = cur.localCheckpoint(eager=False)
+        level_frames.append(cur)
+
+    level_losers = [losers(f) for f in level_frames]
+    regions = None
+    for j in range(max_doublings, -1, -1):
+        lj = level_losers[j]
+        if j < max_doublings:
+            parents = level_losers[j + 1].select(
+                "doc_id", F.col("idx").alias("__pidx")
+            )
+            lj = lj.join(
+                parents,
+                (lj["doc_id"] == parents["doc_id"])
+                & (F.floor(lj["idx"] / 2) == parents["__pidx"]),
+                "left_anti",
+            )
+        lj = lj.select("doc_id", F.lit(j).alias("level"), "idx", "nt")
+        regions = lj if regions is None else regions.unionByName(lj)
+    region_stats = regions.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed_regions"),
+        F.max("nt").alias("max_region_tokens"),
+    )
+
+    l0 = level_losers[0].select(
+        "doc_id", "idx", F.lit(True).alias("__lost")
+    )
+    kept = (
+        chunks.join(l0, ["doc_id", "idx"], "left")
+        .select(
+            "doc_id",
+            "idx",
+            "dg",
+            F.coalesce(F.col("__lost"), F.lit(False)).alias("__lost"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((~F.col("__lost")).cast("long")).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    ~F.col("__lost"),
+                                    F.struct("idx", "dg"),
+                                )
+                            )
+                        ),
+                        lambda s: s["dg"],
+                    ),
+                    " ",
+                )
+            ).alias("dedup_digest"),
+        )
+    )
+    return (
+        kept.join(region_stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_kept",
+            F.coalesce("n_removed_regions", F.lit(0))
+            .cast("long")
+            .alias("n_removed_regions"),
+            F.coalesce("max_region_tokens", F.lit(0))
+            .cast("long")
+            .alias("max_region_tokens"),
+            "dedup_digest",
+        )
     )
 
 

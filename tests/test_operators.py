@@ -8381,3 +8381,64 @@ def test_qdigest_quantile_rank_error_bound(spark):
             assert rank_lo - bound <= target <= rank_hi + bound, (
                 days, q, e, target, rank_lo, rank_hi, bound
             )
+
+
+def test_dedup_longest_spans_collapses_blocks(spark):
+    """The doubling digest ladder reports a duplicated 2k-token block
+    as ONE maximal removed region (not two k-token chunk decisions), a
+    whole-document copy as one max-size region, and keeps the chunk
+    set identical to dedup_spans; guards fire."""
+    from plda_spark.operators import dedup
+
+    k = 4
+    w = lambda n, p: " ".join(f"{p}{i:02d}" for i in range(n))  # noqa: E731
+    doc0 = w(16, "aa")                     # chunks 0..3
+    block = " ".join(doc0.split()[0:8])    # 2k tokens = level-1 span 0
+    doc5 = block + " " + w(8, "zz")
+    doc9 = doc0                            # whole-doc copy (4k tokens)
+    df = spark.createDataFrame(
+        [(0, doc0), (5, doc5), (9, doc9)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_longest_spans(
+            df, span_tokens=k, max_doublings=3
+        ).collect()
+    }
+    # 2k-token quote: ONE region of 8 tokens — the verdict's test case
+    assert out[5]["n_removed_regions"] == 1
+    assert out[5]["max_region_tokens"] == 2 * k
+    assert out[5]["n_kept"] == 2
+    # whole-doc copy: ONE region of all 16 tokens
+    assert out[9]["n_removed_regions"] == 1
+    assert out[9]["max_region_tokens"] == 16
+    assert out[9]["n_kept"] == 0
+    assert out[0]["n_removed_regions"] == 0 and out[0]["n_kept"] == 4
+
+    # kept chunk set identical to dedup_spans (provable subset
+    # property: every chunk of a higher-level loser is a level-0
+    # loser)
+    ds = {
+        r["doc_id"]: r["n_kept"]
+        for r in dedup.dedup_spans(df, span_tokens=k).collect()
+    }
+    assert {d: out[d]["n_kept"] for d in out} == ds
+
+    # a non-aligned duplicate degrades to chunk decisions (documented
+    # aligned-model caveat), never a false whole-block region
+    doc7 = "xx00 " + block + " " + w(7, "yy")  # block shifted by 1
+    df2 = spark.createDataFrame(
+        [(0, doc0), (7, doc7)], "doc_id long, text string"
+    )
+    out2 = {
+        r["doc_id"]: r
+        for r in dedup.dedup_longest_spans(
+            df2, span_tokens=k, max_doublings=3
+        ).collect()
+    }
+    assert out2[7]["max_region_tokens"] <= k
+
+    with pytest.raises(ValueError, match="span_tokens"):
+        dedup.dedup_longest_spans(df, span_tokens=0)
+    with pytest.raises(ValueError, match="max_doublings"):
+        dedup.dedup_longest_spans(df, max_doublings=0)

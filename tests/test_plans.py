@@ -1397,6 +1397,9 @@ def test_round11_new_ops_are_single_pass_rollups(spark):
         # ONE leaf-count corpus aggregation; the compression rounds
         # run over checkpoint-cut rollup RDDs, never the corpus
         "stats_qdigest": 1,
+        # chunk digests checkpoint-cut after one scan; ladder levels,
+        # losers, and the maximal filter all ride digest-width rows
+        "dedup_longest_spans": 1,
     }
     for name, scans in expected_scans.items():
         s = plan_summary(

@@ -96,15 +96,15 @@ def _byte_syms(pt: Column) -> Column:
     """Pretoken → array of remapped chars, ONE per UTF-8 byte: encode
     to UTF-8, decode latin-1 (bijective bytes↔U+00–U+FF), translate
     the 68 non-printable bytes to their GPT-2 stand-ins, split to
-    chars.  All JVM expressions — no Python, no shuffle."""
+    chars.  All JVM expressions — no Python, no shuffle.  The split is
+    ``split(s, "")`` (one linear pass); the earlier per-index
+    ``substring(s, i, 1)`` re-walked the UTF8 string from the start
+    per character — O(len²) per pretoken."""
     matching, replace = _translate_pair()
     mapped = F.translate(
         F.decode(F.encode(pt, "UTF-8"), "ISO-8859-1"), matching, replace
     )
-    return F.transform(
-        F.sequence(F.lit(1), F.length(mapped)),
-        lambda i: F.substring(mapped, i, 1),
-    )
+    return F.split(mapped, "")
 
 
 def byte_bpe_train(

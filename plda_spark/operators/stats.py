@@ -7187,69 +7187,61 @@ def _qdigest_compress(
     hash-gateable across engines and byte-stable under exactly-once
     streaming replays.
 
-    Scale shape: ``depth`` rounds of (group, family) aggregation +
-    join over the ROLLUP frame (≤ |groups|·|present leaves| rows —
-    the corpus itself is touched only by the one leaf-count
-    aggregation upstream); lineage cut every few levels."""
-    # checkpoint BOTH inputs: every level joins thr, and without the
-    # cut each join would re-derive it from the corpus scan (the plan
-    # pin counts exactly one parquet scan for the whole build)
-    counts = counts.localCheckpoint(eager=False)
-    thr = counts.groupBy("day").agg(
-        F.floor(F.sum("cnt") / F.lit(float(k))).alias("t")
-    ).localCheckpoint(eager=False)
-    cur = counts
-    for lvl in range(depth, 0, -1):
-        lo_id, hi_id = 2 ** lvl, 2 ** (lvl + 1)
-        fam = (
-            F.when(
-                (F.col("id") >= lo_id) & (F.col("id") < hi_id),
-                F.floor(F.col("id") / 2).cast("long"),
-            ).when(
-                (F.col("id") >= lo_id // 2) & (F.col("id") < hi_id // 2),
-                F.col("id"),
-            )
+    Scale shape: the per-day leaf profile is BOUNDED at ``2^depth``
+    rows (≤ 4096 at the default depth 12; ≤ 1M at the capped depth
+    20) regardless of corpus size — the corpus is collapsed by the
+    one leaf-count aggregation upstream — so compression is a local
+    per-group algorithm: ONE ``applyInPandas`` group map runs all
+    ``depth`` levels in-process per day.  The earlier implementation
+    unrolled the levels as ~depth × (aggregate + join + union) Spark
+    rounds over the same rollup (≥ 24 sequential shuffle stages and a
+    janino-method-limit hazard); one grouped Arrow pass computes the
+    identical digest (integer arithmetic, no floats except the
+    threshold's float division kept bit-for-bit) in a single shuffle.
+    Pinned node-for-node against the pure-Python published algorithm
+    in tests/test_operators.py."""
+    import math
+
+    import pandas as pd
+
+    kf = float(k)
+
+    def compress(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        day = pdf["day"].iloc[0]
+        cur = dict(zip(pdf["id"].tolist(), pdf["cnt"].tolist()))
+        n = sum(cur.values())
+        # floor(sum/float(k)) — same float division as the SQL form
+        # (F.floor(sum/lit(float(k)))) so thresholds agree bit-for-bit
+        t = math.floor(n / kf)
+        for lvl in range(depth, 0, -1):
+            lo_id, hi_id = 1 << lvl, 1 << (lvl + 1)
+            fams: dict[int, list[int]] = {}
+            nxt: dict[int, int] = {}
+            for i, c in cur.items():
+                if lo_id <= i < hi_id:
+                    fams.setdefault(i >> 1, [0, 0])[0] += c
+                elif (lo_id >> 1) <= i < (hi_id >> 1):
+                    fams.setdefault(i, [0, 0])[1] += c
+                else:
+                    nxt[i] = nxt.get(i, 0) + c
+            for fam, (cc, pc) in fams.items():
+                if cc + pc <= t:
+                    nxt[fam] = nxt.get(fam, 0) + cc + pc
+                else:
+                    for i in (2 * fam, 2 * fam + 1):
+                        if lo_id <= i < hi_id and i in cur:
+                            nxt[i] = nxt.get(i, 0) + cur[i]
+                    if (lo_id >> 1) <= fam < (hi_id >> 1) and fam in cur:
+                        nxt[fam] = nxt.get(fam, 0) + cur[fam]
+            cur = nxt
+        ids = sorted(cur)
+        return pd.DataFrame(
+            {"day": [day] * len(ids), "id": ids, "cnt": [cur[i] for i in ids]}
         )
-        f = cur.withColumn("fam", fam)
-        passthru = f.where(F.col("fam").isNull()).select("day", "id", "cnt")
-        g = (
-            f.where(F.col("fam").isNotNull())
-            .groupBy("day", "fam")
-            .agg(
-                F.sum(
-                    F.when(F.col("id") != F.col("fam"), F.col("cnt"))
-                    .otherwise(F.lit(0))
-                ).alias("cc"),
-                F.sum(
-                    F.when(F.col("id") == F.col("fam"), F.col("cnt"))
-                    .otherwise(F.lit(0))
-                ).alias("pc"),
-            )
-            .join(thr, "day")
-        )
-        pushed = g.where(F.col("cc") + F.col("pc") <= F.col("t")).select(
-            "day",
-            F.col("fam").alias("id"),
-            (F.col("cc") + F.col("pc")).alias("cnt"),
-        )
-        kept = (
-            f.where(F.col("fam").isNotNull())
-            .join(
-                g.where(F.col("cc") + F.col("pc") > F.col("t")).select(
-                    "day", "fam"
-                ),
-                ["day", "fam"],
-            )
-            .select("day", "id", "cnt")
-        )
-        cur = passthru.unionByName(pushed).unionByName(kept)
-        # cut lineage EVERY OTHER level: the accumulated
-        # union+join+case tree otherwise outgrows janino's 64 KB
-        # method limit by ~4 levels in (the GEV lesson, 52fe816) and
-        # Spark falls back to interpreted eval for the whole chain
-        if lvl % 2 == 0:
-            cur = cur.localCheckpoint(eager=False)
-    return cur
+
+    return counts.groupBy("day").applyInPandas(
+        compress, schema="day string, id long, cnt long"
+    )
 
 
 def qdigest_daily_sketches(

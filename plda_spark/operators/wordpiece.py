@@ -81,7 +81,7 @@ def _join_pieces(a: str, b: str) -> str:
 
 def _merge_col(syms: Column, a: str, b: str) -> Column:
     """One merge pass: adjacent (a, b) → the joined symbol, left to
-    right, non-overlapping (same re-scan semantics as bpe._merge_col)."""
+    right, non-overlapping (same re-scan semantics as bpe._apply_all)."""
     ab = _join_pieces(a, b)
     return F.aggregate(
         syms,

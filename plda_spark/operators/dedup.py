@@ -627,10 +627,19 @@ def connected_components(
     Distributed min-label propagation with pointer jumping: each round
     (1) every node takes the min label over itself and its neighbours,
     (2) labels compress one hop (``l(v) ← l(l(v))``), so convergence is
-    O(log diameter) rounds, not O(diameter).  Each round is two
-    shuffle joins + a localCheckpoint (truncating lineage exactly like
-    the Gibbs loop in lda/train.py); state per round is one (node,
-    label) row per vertex — never the transitive closure.
+    O(log diameter) rounds, not O(diameter).  State per round is one
+    (node, label) row per vertex — never the transitive closure.
+
+    Round-11 plan shape: the edge operand is hash-partitioned on
+    ``src`` ONCE (and persisted pre-sorted), so the per-round
+    neighbour-min join never re-shuffles the edge table — only the
+    slim label vector moves; the propagated frame is lazily
+    localCheckpointed before the pointer-jump self-join so its two
+    branches share one computation instead of re-deriving the
+    neighbour-min join per branch; and convergence is detected by
+    carrying the previous label through the round (a filter-count on
+    the checkpointed result) instead of a separate join of the old and
+    new label vectors.
     """
     a = F.col(a_col)
     b = F.col(b_col)
@@ -638,6 +647,8 @@ def connected_components(
         pairs.select(a.alias("src"), b.alias("dst"))
         .unionAll(pairs.select(b.alias("src"), a.alias("dst")))
         .distinct()
+        .repartition("src")
+        .sortWithinPartitions("src")
         .persist()
     )
     labels = (
@@ -657,10 +668,12 @@ def connected_components(
             labels.join(nbr, "node", "left")
             .select(
                 "node",
+                F.col("label").alias("old"),
                 F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias(
                     "label"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
         # (2) pointer jumping: l(v) <- l(l(v))
         parents = prop.select(
@@ -668,22 +681,17 @@ def connected_components(
         )
         jumped = (
             prop.join(parents, prop["label"] == parents["p_node"], "left")
-            .select("node", F.coalesce("p_label", "label").alias("label"))
+            .select("node", "old", F.coalesce("p_label", "label").alias("label"))
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = new_labels.where(F.col("label") != F.col("old")).count()
         # NOTE: unpersist is a CacheManager call and a no-op for
         # localCheckpoint blocks; the old generation's blocks are freed
         # by the ContextCleaner once this reference drops (the same
         # reference-driven cleanup the training loop relies on).  Label
         # rows are slim (node, label), so at most a few transient
         # generations of a |V|-row table ride the block store.
-        labels = new_labels
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()

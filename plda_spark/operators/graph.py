@@ -432,7 +432,12 @@ def hits(
     (the Pregel shape shared with pagerank) + one 1-row sum broadcast
     each — no collect, no global sort; the edge list is lazily
     localCheckpointed once so iterations don't duplicate upstream
-    lineage."""
+    lineage.  Scores stay SPARSE through the iterations (only nodes
+    with in-/out-edges carry rows — a missing row contributes exactly
+    the 0.0 the dense zero-fill row did, and the normalizing sums are
+    unchanged because zero rows add nothing), so the per-half-step
+    |V|-row zero-fill joins of the earlier form are gone; the dense
+    zero-filled vector is reconstructed ONCE at the end."""
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
     # LAZY cuts (measured: eager was ~1.4 s slower here — hits runs as
@@ -452,24 +457,26 @@ def hits(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    hub = nodes.select("node", F.lit(1.0).alias("h"))
+    hub = None  # sparse (node, h); None = the all-ones initial vector
     auth = None
     for _ in range(n_iter):
-        ain = (
-            e.join(hub.select(F.col("node").alias("s"), "h"), "s")
-            .groupBy(F.col("d").alias("node"))
-            .agg(F.sum("h").alias("a_raw"))
-        )
+        if hub is None:
+            # first half-step with hub ≡ 1.0: the join degenerates to
+            # an in-degree count (sum of 1.0 per in-edge)
+            ain = (
+                e.groupBy(F.col("d").alias("node"))
+                .agg(F.count(F.lit(1)).cast("double").alias("a_raw"))
+            )
+        else:
+            ain = (
+                e.join(hub.select(F.col("node").alias("s"), "h"), "s")
+                .groupBy(F.col("d").alias("node"))
+                .agg(F.sum("h").alias("a_raw"))
+            )
         asum = ain.agg(F.sum("a_raw").alias("__t"))
         auth = (
-            nodes.join(ain, "node", "left")
-            .crossJoin(F.broadcast(asum))
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("__t")
-                ).alias("a"),
-            )
+            ain.crossJoin(F.broadcast(asum))
+            .select("node", (F.col("a_raw") / F.col("__t")).alias("a"))
         )
         hout = (
             e.join(auth.select(F.col("node").alias("d"), "a"), "d")
@@ -478,21 +485,16 @@ def hits(
         )
         hsum = hout.agg(F.sum("h_raw").alias("__t"))
         hub = (
-            nodes.join(hout, "node", "left")
-            .crossJoin(F.broadcast(hsum))
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("__t")
-                ).alias("h"),
-            )
+            hout.crossJoin(F.broadcast(hsum))
+            .select("node", (F.col("h_raw") / F.col("__t")).alias("h"))
         )
     return (
-        hub.join(auth, "node")
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
         .select(
             "node",
-            F.round("h", 6).alias("hub"),
-            F.round("a", 6).alias("authority"),
+            F.round(F.coalesce("h", F.lit(0.0)), 6).alias("hub"),
+            F.round(F.coalesce("a", F.lit(0.0)), 6).alias("authority"),
         )
     )
 

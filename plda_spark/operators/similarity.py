@@ -371,9 +371,13 @@ def embedding_near_dup_pairs_blocked(
             .collect()
         ]
     )
+    # lazy checkpoint: the self-join consumes `cells` on BOTH sides, and
+    # without the cut each side re-runs the whole Arrow assignment stage
+    # (the corpus crosses the Python boundary twice — guide §4); with it
+    # the assignment computes once and both branches read the blocks
     cells = ivf_assign(
         embeddings, _kmeans(sample, n_cells, seed), n_probe, id_col, vec_col
-    )
+    ).localCheckpoint(eager=False)
     a = cells.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), "cell")
     b = cells.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), "cell")
     return (
@@ -1468,8 +1472,13 @@ def mmr_rerank(
     # one EAGER cut: every greedy pass re-reads the candidate list
     # (k first()-passes against the same frame) — without it each pass
     # re-runs whatever retrieval stage produced the candidates
-    # (measured: the candidate scan dominated all k passes)
-    candidates = candidates.localCheckpoint(eager=True)
+    # (measured: the candidate scan dominated all k passes).  The list
+    # is re-ranker sized by contract (a retrieval stage's top-N,
+    # hundreds of rows — the k·dim literal cap makes the contract
+    # self-enforcing), so it collapses to ONE partition first: each of
+    # the k TakeOrdered passes then runs as a single task instead of
+    # launching a task per upstream partition
+    candidates = candidates.repartition(1).localCheckpoint(eager=True)
     seed = (
         candidates.select(id_col, vec_col, score_col)
         .orderBy(F.col(score_col).desc(), F.col(id_col).asc())

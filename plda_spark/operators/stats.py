@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -1059,15 +1059,33 @@ def bootstrap_ci(
         F.col(value_col).cast("double").alias("__x"),
         *[draws[b].alias(f"__u_{b}") for b in range(n_replicas)],
     )
+    # The inverse-CDF weight w = min{j : u < cs[j]} equals the COUNT of
+    # thresholds ≤ u (cs ascending), so one array-filter size replaces
+    # the ~|cs|-deep CASE chain — and staging w as a column means each
+    # replica's weight is computed once per row instead of being
+    # inlined (and codegen-duplicated) into both of its aggregate sums.
+    # Exact same integer-valued doubles; identical replica means.
+    cs_arr = F.array(*[F.lit(c) for c in cs])
+
+    def _w(b: int) -> Column:
+        u = F.col(f"__u_{b}")
+        # NULL u (NULL key) fell through the CASE chain to the default
+        # len(cs) — preserved explicitly here
+        return (
+            F.when(u.isNull(), F.lit(float(len(cs))))
+            .otherwise(
+                F.size(F.filter(cs_arr, lambda c: c <= u)).cast("double")
+            )
+            .alias(f"__w_{b}")
+        )
+
+    weighted = staged.select("__x", *[_w(b) for b in range(n_replicas)])
     aggs = []
     for b in range(n_replicas):
-        u = F.col(f"__u_{b}")
-        w = F.lit(len(cs)).cast("double")
-        for k in range(len(cs) - 1, -1, -1):
-            w = F.when(u < F.lit(cs[k]), F.lit(float(k))).otherwise(w)
+        w = F.col(f"__w_{b}")
         aggs.append(F.sum(w * F.col("__x")).alias(f"__wx_{b}"))
         aggs.append(F.sum(w).alias(f"__w_{b}"))
-    one = staged.agg(*aggs)
+    one = weighted.agg(*aggs)
     stack_expr = ", ".join(
         f"{b}, __wx_{b} / __w_{b}" for b in range(n_replicas)
     )

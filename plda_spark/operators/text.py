@@ -512,9 +512,10 @@ def lm_score_kn(
 
     Scale shape: identical to :func:`lm_score` — three map-side-combined
     count tables (bigram counts, per-context stats, per-continuation
-    stats) joined onto the doc-bigram stream on their natural keys; only
-    the two scalars N_bb and V touch the driver.  Entirely JVM-side and
-    SQL-expressible.
+    stats) joined onto the doc-bigram stream on their natural keys; the
+    scalars N_bb and V ride the plan as one broadcast 1-row aggregate
+    (nothing touches the driver and the whole function is lazy).
+    Entirely JVM-side and SQL-expressible.
     """
     if not (0.0 < discount < 1.0):
         raise ValueError("discount must be in (0, 1)")
@@ -546,10 +547,23 @@ def lm_score_kn(
         F.sum("c_ab").alias("ctx_a"), F.count(F.lit(1)).alias("n1p_a")
     )
     cont = bi.groupBy("b").agg(F.count(F.lit(1)).alias("n1p_b"))
-    n_bb = bi.count()
-    vocab_size = lm_docs.select(F.explode(t).alias("w")).distinct().count()
+    # N_bb and V ride the plan as one broadcast 1-row aggregate instead
+    # of eager .count() jobs at construction time (those were two full
+    # corpus scans per CALL, before any action ran — the lm_score V
+    # lesson from round 6); (count + count) cast to double is the same
+    # exact integer-valued double the Python float() produced
+    scalars = (
+        bi.agg(F.count(F.lit(1)).alias("__nbb"))
+        .crossJoin(
+            lm_docs.select(F.explode(t).alias("w"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("__v"))
+        )
+    )
 
-    pc = (F.coalesce(F.col("n1p_b"), F.lit(0)) + 1) / F.lit(float(n_bb + vocab_size))
+    pc = (F.coalesce(F.col("n1p_b"), F.lit(0)) + 1) / (
+        F.col("__nbb") + F.col("__v")
+    ).cast("double")
     d = F.lit(discount)
     p_kn = F.when(
         F.coalesce(F.col("ctx_a"), F.lit(0)) > 0,
@@ -564,6 +578,7 @@ def lm_score_kn(
         .join(bi, ["a", "b"], "left")
         .join(ctx, ["a"], "left")
         .join(cont, ["b"], "left")
+        .crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
@@ -1344,6 +1359,8 @@ def lm_score_kn3(
     N1+(·bc) = distinct left-extensions of (b,c); N1+(·b·) = distinct
     (a,c) around b; N1+(b··) = distinct c continuing some (·,b,c) —
     all from the TRIGRAM TYPE table, per the continuation-count rule.
+    The scalars N_bb and V ride the plan as one broadcast 1-row
+    aggregate (nothing touches the driver; the function is lazy).
 
     Returns ``(doc_id, n_trigrams, avg_logp, perplexity)`` (docs with
     <3 tokens absent), rounded for cross-engine hash stability.
@@ -1406,11 +1423,21 @@ def lm_score_kn3(
         .agg(F.count(F.lit(1)).alias("c_ab"))
     )
     cont = bi.groupBy("b").agg(F.count(F.lit(1)).alias("n1p_b"))
-    n_bb = bi.count()
-    vocab_size = lm_docs.select(F.explode(t).alias("w")).distinct().count()
+    # N_bb and V in-plan as one broadcast 1-row aggregate — same as
+    # lm_score_kn: the eager counts were two full corpus scans per call
+    scalars = (
+        bi.agg(F.count(F.lit(1)).alias("__nbb"))
+        .crossJoin(
+            lm_docs.select(F.explode(t).alias("w"))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("__v"))
+        )
+    )
 
     d = F.lit(discount)
-    pc = (F.coalesce(F.col("n1p_b"), F.lit(0)) + 1) / F.lit(float(n_bb + vocab_size))
+    pc = (F.coalesce(F.col("n1p_b"), F.lit(0)) + 1) / (
+        F.col("__nbb") + F.col("__v")
+    ).cast("double")
     p2 = F.when(
         F.coalesce(F.col("tot_mid_b"), F.lit(0)) > 0,
         (
@@ -1435,6 +1462,7 @@ def lm_score_kn3(
         .join(midb, ["b"], "left")
         # the order-2 continuation table keys on the PREDICTED word
         .join(cont.withColumnRenamed("b", "c"), ["c"], "left")
+        .crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_trigrams"),

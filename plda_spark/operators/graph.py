@@ -162,6 +162,7 @@ def triangles(
         e.select(F.col("a").alias("n")).unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # feeds both orientation sides
     )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
@@ -176,7 +177,11 @@ def triangles(
         )
         .localCheckpoint(eager=False)
     )
-    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # adj feeds BOTH intersection sides; the lazy cut stops the grouped
+    # adjacency build from running once per side
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs")).localCheckpoint(
+        eager=False
+    )
     au = adj.select("u", F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
     # Inner joins are exact: u always has an out-list (the edge itself
@@ -370,8 +375,17 @@ def link_prediction(
     nbrs = e.select(F.col("a").alias("n"), F.col("b").alias("m")).unionAll(
         e.select(F.col("b").alias("n"), F.col("a").alias("m"))
     )
-    deg = nbrs.groupBy("n").agg(F.count(F.lit(1)).alias("d"))
-    centered = nbrs.join(deg, "n").where(F.col("d") <= max_degree)
+    # deg feeds the center filter and both final support lookups (3
+    # consumers), centered feeds both wedge-join sides — lazy cuts so
+    # each aggregates once instead of per consumer
+    deg = nbrs.groupBy("n").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=False
+    )
+    centered = (
+        nbrs.join(deg, "n")
+        .where(F.col("d") <= max_degree)
+        .localCheckpoint(eager=False)
+    )
     left = centered.select(
         F.col("n").alias("w"), F.col("m").alias("u"), F.col("d").alias("dw")
     )
@@ -806,6 +820,7 @@ def clustering_coefficients(
         .unionAll(e.select(F.col("b").alias("n")))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
+        .localCheckpoint(eager=False)  # feeds da, db AND the final per-node join
     )
     da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
@@ -820,7 +835,12 @@ def clustering_coefficients(
         )
         .localCheckpoint(eager=False)
     )
-    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs"))
+    # lazy cuts: adj feeds both intersection sides, tri feeds the three
+    # corner projections — without them each consumer re-derives the
+    # grouped adjacency / the full triangle enumeration
+    adj = o.groupBy("u").agg(F.collect_list("v").alias("nbrs")).localCheckpoint(
+        eager=False
+    )
     au = adj.select("u", F.col("nbrs").alias("nu"))
     av = adj.select(F.col("u").alias("v"), F.col("nbrs").alias("nv"))
     tri = (
@@ -829,6 +849,7 @@ def clustering_coefficients(
         .select(
             "u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w")
         )
+        .localCheckpoint(eager=False)
     )
     corners = (
         tri.select(F.col("u").alias("n"))

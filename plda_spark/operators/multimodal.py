@@ -86,6 +86,38 @@ def attach_fake_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _fake_h_col(payload_col):
+    """JVM twin of :func:`_digest_mod_p`: md5(payload) → bigint mod P —
+    the same ``conv(substr(md5(x), 1, 15), 16, 10) % P`` construction
+    the SQL oracles and :func:`attach_fake_media` use."""
+    return (
+        F.conv(F.substring(F.md5(payload_col), 1, 15), 16, 10).cast("long")
+        % F.lit(_P)
+    )
+
+
+def _fake_features_col(hs_col, out_dim: int):
+    """JVM twin of :func:`_fake_decode`'s feature ramp over a STAGED
+    salted seed column ``hs = (h + salt·2654435761) % P``: feature d =
+    ``(hs · (2d+3)) % P`` as double — exact int64 math (hs < 2³¹,
+    2d+3 ≤ 129), identical bit-for-bit to the numpy path.
+
+    ``hs_col`` must be a staged column reference (not an inline md5
+    expression): a higher-order ``transform`` lambda re-evaluates its
+    body per element, which would md5 the payload ``out_dim`` times per
+    row (the Generate-inlining pathology measured elsewhere in this
+    repo).  The always-true ``hs >= 0`` guard (hs is a modulus of
+    non-negative ints) references the staged column a SECOND time so
+    CollapseProject keeps the md5 projection staged instead of inlining
+    a non-cheap single-reference alias into the lambda — the same
+    double-reference shape that keeps ``normalize_embeddings`` O(dim)."""
+    ramp = F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda d: ((hs_col * (d * 2 + 3)) % F.lit(_P)).cast("double"),
+    )
+    return F.when(hs_col >= 0, ramp)
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """Pure-stdlib PNG decoder: ``(height, width, channels)`` uint8.
 
@@ -231,23 +263,31 @@ def decode_image_features(
 ) -> DataFrame:
     """``(media_id, payload, …)`` → ``(media_id, features: array<float>)``.
 
-    Arrow-batched; one numpy pass per batch.  ``decode_backend='real'``
-    is the integration point for an actual image library.
+    ``decode_backend='real'`` (pure-stdlib PNG decode, Arrow-batched)
+    is the integration point for an actual image library; the fake
+    backend's md5-seeded integer ramp is pure JVM expressions — the
+    payload never crosses the Python boundary and its md5 is computed
+    once per row (guide §4.1: built-ins over any UDF form).
     """
     if decode_backend not in ("fake", "real"):
         raise ValueError("decode_backend must be 'fake' or 'real'")
 
+    if decode_backend == "fake":
+        staged = media.select(
+            "media_id", _fake_h_col(F.col("payload")).alias("__hs")
+        )
+        return staged.select(
+            "media_id", _fake_features_col(F.col("__hs"), out_dim).alias("features")
+        )
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_backend == "real":
-                # Pure-stdlib PNG decode + grayscale mean-pool (golden
-                # tested); JPEG/WebP would slot in here via Pillow.
-                feats = [
-                    _real_image_features(bytes(p), out_dim)
-                    for p in pdf["payload"]
-                ]
-            else:
-                feats = [_fake_decode(bytes(p), out_dim) for p in pdf["payload"]]
+            # Pure-stdlib PNG decode + grayscale mean-pool (golden
+            # tested); JPEG/WebP would slot in here via Pillow.
+            feats = [
+                _real_image_features(bytes(p), out_dim)
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return media.mapInPandas(fn, schema="media_id long, features array<double>")
@@ -259,47 +299,66 @@ def sample_video_frames(
     """Frame sampling plan: one output row per sampled frame index.
 
     Frame *indices* are exact JVM-side math (``sequence`` + explode);
-    frame *pixels* come from the decode backend (fake here).
+    frame *pixels* come from the decode backend (fake here).  The fake
+    backend is entirely JVM expressions: the payload's md5 seed is
+    staged ONCE per video before the frame explode — the payload used
+    to ride every exploded frame row through the Arrow boundary with
+    its md5 recomputed per frame (up to ⌈300/every_n⌉ times per clip).
     """
-    frames = media.where(F.col("media_type") == "video").select(
-        "media_id",
-        "payload",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
-        ).alias("frame_idx"),
-    )
+    vids = media.where(F.col("media_type") == "video")
+    idx_gen = F.explode(
+        F.sequence(
+            F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n)
+        )
+    ).alias("frame_idx")
+
+    if decode_backend == "fake":
+        base = vids.select(
+            "media_id", _fake_h_col(F.col("payload")).alias("__h"), "n_frames"
+        )
+        rows = base.select("media_id", "__h", idx_gen)
+        staged = rows.select(
+            "media_id",
+            "frame_idx",
+            (
+                (F.col("__h") + F.col("frame_idx").cast("long") * F.lit(2654435761))
+                % F.lit(_P)
+            ).alias("__hs"),
+        )
+        return staged.select(
+            "media_id",
+            "frame_idx",
+            _fake_features_col(F.col("__hs"), 16).alias("frame_features"),
+        )
+
+    frames = vids.select("media_id", "payload", idx_gen)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_backend == "real":
-                # The one modality still codec-gated: container demux +
-                # frame decode genuinely needs ffmpeg (no stdlib path —
-                # PNG/WAV decode for real via pure stdlib above, video
-                # cannot).  Probed at RUNTIME on the executor so the
-                # error states the actual environment, not a guess;
-                # wire a subprocess demuxer here once a build ships
-                # with ffmpeg (probe verified round 5: absent in this
-                # container).
-                import shutil as _sh
+            # The one modality still codec-gated: container demux +
+            # frame decode genuinely needs ffmpeg (no stdlib path —
+            # PNG/WAV decode for real via pure stdlib above, video
+            # cannot).  Probed at RUNTIME on the executor so the
+            # error states the actual environment, not a guess;
+            # wire a subprocess demuxer here once a build ships
+            # with ffmpeg (probe verified round 5: absent in this
+            # container).
+            import shutil as _sh
 
-                found = _sh.which("ffmpeg")
-                raise NotImplementedError(
-                    "real frame decode requires the ffmpeg binary on every "
-                    f"executor (PATH probe on this executor: "
-                    f"{found or 'NOT FOUND'}) — no stdlib demux path exists; "
-                    "use decode_backend='fake' (deterministic, oracle-"
-                    "verified plumbing) until the image/video toolchain is "
-                    "installed"
-                )
-            feats = [
-                _fake_decode(bytes(p), 16, salt=int(i))
-                for p, i in zip(pdf["payload"], pdf["frame_idx"])
-            ]
+            found = _sh.which("ffmpeg")
+            raise NotImplementedError(
+                "real frame decode requires the ffmpeg binary on every "
+                f"executor (PATH probe on this executor: "
+                f"{found or 'NOT FOUND'}) — no stdlib demux path exists; "
+                "use decode_backend='fake' (deterministic, oracle-"
+                "verified plumbing) until the image/video toolchain is "
+                "installed"
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "frame_idx": pdf["frame_idx"],
-                    "frame_features": feats,
+                    "frame_features": [],
                 }
             )
 
@@ -333,10 +392,40 @@ def extract_audio_windows(
         .otherwise(F.lit(0))
         .cast("int")
     )
-    wins = (
+    auds = (
         media.where(F.col("media_type") == "audio")
         .withColumn("__nw", n_win)
         .where(F.col("__nw") > 0)
+    )
+    if decode_backend == "fake":
+        # Pure JVM: the md5 seed is staged once per clip BEFORE the
+        # window explode (a clip fans out to ~n_frames·160/hop window
+        # rows — the payload used to ride every one of them through the
+        # Arrow boundary with its md5 recomputed per window).
+        base = auds.select(
+            "media_id", _fake_h_col(F.col("payload")).alias("__h"), "__nw"
+        )
+        rows = base.select(
+            "media_id",
+            "__h",
+            F.explode(F.sequence(F.lit(0), F.col("__nw") - 1)).alias("window_idx"),
+        )
+        staged = rows.select(
+            "media_id",
+            "window_idx",
+            (
+                (F.col("__h") + F.col("window_idx").cast("long") * F.lit(2654435761))
+                % F.lit(_P)
+            ).alias("__hs"),
+        )
+        return staged.select(
+            "media_id",
+            "window_idx",
+            _fake_features_col(F.col("__hs"), out_dim).alias("window_features"),
+        )
+
+    wins = (
+        auds
         .select(
             "media_id",
             "payload",
@@ -348,43 +437,30 @@ def extract_audio_windows(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_backend == "real":
-                # Pure-stdlib WAV decode; window i covers samples
-                # [i·hop, i·hop+win).  The JVM-side window plan came
-                # from the metadata duration — windows past the TRUE
-                # decoded length are dropped here, so inaccurate
-                # metadata can't fabricate feature rows.
-                ids, idxs, feats = [], [], []
-                cache: dict[int, np.ndarray] = {}
-                for mid, p, i in zip(
-                    pdf["media_id"], pdf["payload"], pdf["window_idx"]
-                ):
-                    key = int(mid)
-                    if key not in cache:
-                        cache[key], _sr = decode_wav(bytes(p))
-                    samples = cache[key]
-                    s = int(i) * hop
-                    if s + win > samples.shape[0]:
-                        continue
-                    ids.append(mid)
-                    idxs.append(i)
-                    feats.append(
-                        _pool_segments(np.abs(samples[s : s + win]), out_dim)
-                    )
-                yield pd.DataFrame(
-                    {"media_id": ids, "window_idx": idxs, "window_features": feats}
+            # Pure-stdlib WAV decode; window i covers samples
+            # [i·hop, i·hop+win).  The JVM-side window plan came
+            # from the metadata duration — windows past the TRUE
+            # decoded length are dropped here, so inaccurate
+            # metadata can't fabricate feature rows.
+            ids, idxs, feats = [], [], []
+            cache: dict[int, np.ndarray] = {}
+            for mid, p, i in zip(
+                pdf["media_id"], pdf["payload"], pdf["window_idx"]
+            ):
+                key = int(mid)
+                if key not in cache:
+                    cache[key], _sr = decode_wav(bytes(p))
+                samples = cache[key]
+                s = int(i) * hop
+                if s + win > samples.shape[0]:
+                    continue
+                ids.append(mid)
+                idxs.append(i)
+                feats.append(
+                    _pool_segments(np.abs(samples[s : s + win]), out_dim)
                 )
-                continue
-            feats = [
-                _fake_decode(bytes(p), out_dim, salt=int(i))
-                for p, i in zip(pdf["payload"], pdf["window_idx"])
-            ]
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "window_idx": pdf["window_idx"],
-                    "window_features": feats,
-                }
+                {"media_id": ids, "window_idx": idxs, "window_features": feats}
             )
 
     return wins.mapInPandas(
@@ -489,18 +565,24 @@ def decode_audio_features(
     if decode_backend not in ("fake", "real"):
         raise ValueError("decode_backend must be 'fake' or 'real'")
 
+    if decode_backend == "fake":
+        staged = media.select(
+            "media_id",
+            (
+                (_fake_h_col(F.col("payload")) + F.lit(_AUDIO_SALT * 2654435761))
+                % F.lit(_P)
+            ).alias("__hs"),
+        )
+        return staged.select(
+            "media_id", _fake_features_col(F.col("__hs"), out_dim).alias("features")
+        )
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_backend == "real":
-                feats = []
-                for p in pdf["payload"]:
-                    samples, _sr = decode_wav(bytes(p))
-                    feats.append(_pool_segments(np.abs(samples), out_dim))
-            else:
-                feats = [
-                    _fake_decode(bytes(p), out_dim, salt=_AUDIO_SALT)
-                    for p in pdf["payload"]
-                ]
+            feats = []
+            for p in pdf["payload"]:
+                samples, _sr = decode_wav(bytes(p))
+                feats.append(_pool_segments(np.abs(samples), out_dim))
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return media.mapInPandas(fn, schema="media_id long, features array<double>")

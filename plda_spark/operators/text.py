@@ -554,10 +554,14 @@ def lm_score_kn(
     # exact integer-valued double the Python float() produced
     scalars = (
         bi.agg(F.count(F.lit(1)).alias("__nbb"))
+        # the inner 1-row x 1-row attach is broadcast-hinted too, so it
+        # never plans as a CartesianProduct even with auto-broadcast off
         .crossJoin(
-            lm_docs.select(F.explode(t).alias("w"))
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("__v"))
+            F.broadcast(
+                lm_docs.select(F.explode(t).alias("w"))
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("__v"))
+            )
         )
     )
 
@@ -1427,10 +1431,14 @@ def lm_score_kn3(
     # lm_score_kn: the eager counts were two full corpus scans per call
     scalars = (
         bi.agg(F.count(F.lit(1)).alias("__nbb"))
+        # the inner 1-row x 1-row attach is broadcast-hinted too, so it
+        # never plans as a CartesianProduct even with auto-broadcast off
         .crossJoin(
-            lm_docs.select(F.explode(t).alias("w"))
-            .distinct()
-            .agg(F.count(F.lit(1)).alias("__v"))
+            F.broadcast(
+                lm_docs.select(F.explode(t).alias("w"))
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("__v"))
+            )
         )
     )
 

@@ -358,12 +358,46 @@ def test_cross_dedup_is_anti_join_no_corpus_broadcast(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def _non_scalar_nested_loop_joins(df):
+    """Unconditioned/cross joins in the optimized logical plan whose
+    BOTH sides can exceed one row — i.e. real nested-loop risk.  A join
+    against a 1-row global aggregate (``maxRows == 1``) is the standard
+    lazy scalar-attach idiom: it broadcasts one row and costs O(n), so
+    it is allowed; anything larger is reported."""
+    bad = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Join":
+            jt = node.joinType().toString()
+            cond = node.condition()
+            if jt == "Cross" or not cond.isDefined():
+                sides_scalar = []
+                for side in (node.left(), node.right()):
+                    mr = side.maxRows()
+                    sides_scalar.append(mr.isDefined() and int(mr.get()) <= 1)
+                if not any(sides_scalar):
+                    bad.append(node.nodeName())
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
 def test_lm_kn_count_tables_never_nested_loop(spark):
+    """The N_bb/V scalars ride the plan as a broadcast 1-ROW aggregate
+    (lazy scalar attach — round-11 optimization replacing two eager
+    .count() corpus scans per call); the pin now allows exactly that
+    shape while still refusing any nested-loop join whose both sides
+    can exceed one row."""
     import __spark_entry__ as e
 
-    df = e.all_queries()["text_lm_score_kn"](spark, "/root/testdata/sf0.001")
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    for name in ("text_lm_score_kn", "text_lm_score_kn3"):
+        df = e.all_queries()[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert _non_scalar_nested_loop_joins(df) == [], name
 
 
 def test_gopher_and_c4_are_pruned_scans(spark):
@@ -1119,12 +1153,19 @@ def test_textrank_iterates_over_checkpointed_edges(spark):
     assert s["scans"] == 0, s["scans"]
 
 
-def test_clustering_explodes_intersections_no_cartesian(spark):
+def test_clustering_explodes_intersections_no_cartesian(spark, monkeypatch):
     """clustering_coefficients must stay on the oriented-intersection
     core: explode (Generate) for corner attribution, equi-joins only,
-    no Python eval anywhere."""
+    no Python eval anywhere.  The round-11 lazy localCheckpoints hide
+    the triangle subplan from the final frame's plan, so checkpointing
+    is no-opped here to keep the WHOLE pipeline inspectable."""
+    import pyspark.sql.classic.dataframe as D
+
     import __spark_entry__ as e
 
+    monkeypatch.setattr(
+        D.DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
     s = plan_summary(
         e.all_queries()["graph_clustering"](spark, "/root/testdata/sf0.001")
     )

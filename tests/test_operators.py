@@ -629,6 +629,13 @@ def test_connected_components(spark):
     assert all(comp[n] == 1 for n in range(1, 8))
     assert all(comp[n] == 10 for n in (10, 11, 12))
     assert comp[20] == comp[21] == 20
+    # the driver union-find (default for bounded pair graphs) and the
+    # distributed rounds (forced with driver_max_edges=0) must agree
+    # row-for-row — the round-11 cutover's parity pin
+    dist = {r["doc_id"]: r["component"]
+            for r in dedup.connected_components(
+                df, driver_max_edges=0).collect()}
+    assert dist == comp
 
 
 def test_chunk_documents(spark):

@@ -4926,7 +4926,10 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(
                 F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
             )
-            .distinct()
+            # no .distinct() here: triangles() normalizes (least/
+            # greatest + distinct) as part of its contract, so the
+            # query-level dedup was a redundant full shuffle of the
+            # 1.2M-row edge list (round-11; result-identical)
         )
         return graph.triangles(edges)
 

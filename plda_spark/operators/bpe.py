@@ -93,6 +93,7 @@ def bpe_train(
     min_count: int = 2,
     checkpoint_every: int = 8,
     batch_merges: int = 8,
+    driver_max_words: int = 500_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` BPE merges from ``docs[text_col]``.
 
@@ -131,8 +132,54 @@ def bpe_train(
     # collide with a >= 2-char concat).  Used by sweep-stop rule (c).
     return _train_merges(
         words, num_merges, min_count, checkpoint_every, batch_merges,
+        driver_max_words=driver_max_words,
         known={END_OF_WORD},
     )
+
+
+def _train_merges_driver(
+    words: list, num_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """Driver-side twin of :func:`_train_merges` over a BOUNDED word
+    table: the PUBLISHED sequential loop itself — most-frequent pair by
+    (cnt desc, a asc, b asc), left-to-right non-overlapping replay —
+    which the batched distributed sweeps are proven bit-identical to
+    (module doc), so the two paths agree merge-for-merge by the same
+    argument; parity-pinned in tests against the sequential reference
+    and against the forced-distributed path."""
+    merges: list[tuple[str, str]] = []
+    while len(merges) < num_merges:
+        pc: dict = {}
+        for syms, n in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        best = None
+        for (a, b), cnt in pc.items():
+            if cnt < min_count:
+                continue
+            if (
+                best is None
+                or cnt > best[0]
+                or (cnt == best[0] and (a, b) < (best[1], best[2]))
+            ):
+                best = (cnt, a, b)
+        if best is None:
+            break  # no pair reaches min_count — sequential stop point
+        a, b = best[1], best[2]
+        merges.append((a, b))
+        ab = a + b
+        new_words = []
+        for syms, n in words:
+            acc: list[str] = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = ab
+                else:
+                    acc.append(x)
+            new_words.append((acc, n))
+        words = new_words
+    return merges
 
 
 def _train_merges(
@@ -142,6 +189,7 @@ def _train_merges(
     checkpoint_every: int,
     batch_merges: int,
     known: set[str],
+    driver_max_words: int = 500_000,
 ) -> list[tuple[str, str]]:
     """The batched merge-sweep loop shared by :func:`bpe_train` and
     the byte-level variant (:mod:`.byte_bpe`): ``words`` is the
@@ -149,8 +197,21 @@ def _train_merges(
     the multi-char symbol universe for sweep-stop rule (c) (the
     END_OF_WORD marker for word BPE, empty for byte BPE whose base
     alphabet is all single chars).  See the module doc for the exact
-    sequential-parity argument."""
-    words = words.localCheckpoint(eager=False)
+    sequential-parity argument.
+
+    A word table within ``driver_max_words`` rows (row-count-enforced
+    on the materialized checkpoint BEFORE any collect) runs the
+    sequential loop driver-side instead — each distributed sweep is
+    several scheduling-bound jobs over a vocab-sized frame, pure
+    overhead at that size; larger tables take the batched sweeps
+    unchanged."""
+    words = words.localCheckpoint(eager=True)
+    if words.count() <= driver_max_words:
+        return _train_merges_driver(
+            [(list(r["syms"]), int(r["n"])) for r in words.collect()],
+            num_merges,
+            min_count,
+        )
     merges: list[tuple[str, str]] = []
     since_ckpt = 0
     known = set(known)

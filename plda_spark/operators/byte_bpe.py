@@ -114,6 +114,7 @@ def byte_bpe_train(
     min_count: int = 2,
     checkpoint_every: int = 8,
     batch_merges: int = 8,
+    driver_max_words: int = 500_000,
 ) -> list[tuple[str, str]]:
     """Learn up to ``num_merges`` byte-level BPE merges from
     ``docs[text_col]``; returns the merge list in learned order (pairs
@@ -141,6 +142,7 @@ def byte_bpe_train(
     # the multi-char symbol universe is exactly the merge concats
     return _train_merges(
         words, num_merges, min_count, checkpoint_every, batch_merges,
+        driver_max_words=driver_max_words,
         known=set(),
     )
 

@@ -121,11 +121,67 @@ def _symbol_counts(words: DataFrame) -> DataFrame:
     )
 
 
+def _wordpiece_train_driver(
+    words: list, num_merges: int, min_count: int
+) -> dict:
+    """Driver-side twin of the distributed sweep loop over a BOUNDED
+    word-frequency table: same pair counts, same symbol counts, same
+    ``cnt/(ca·cb)`` double score, same (score desc, a asc, b asc)
+    argmax, same left-to-right non-overlapping merge replay — counts
+    are exact ints and the score division is one IEEE double op on
+    exactly-representable ints, so the merge sequence is bit-identical
+    to the distributed path (parity-pinned in tests)."""
+    merges: list[tuple[str, str]] = []
+    seen: dict = {}
+    for syms, n in words:
+        for s in syms:
+            seen[s] = None
+    vocab: list[str] = sorted(seen)
+    for _ in range(num_merges):
+        pc: dict = {}
+        sc: dict = {}
+        for syms, n in words:
+            for s in syms:
+                sc[s] = sc.get(s, 0) + n
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + n
+        best = None
+        for (a, b), cnt in pc.items():
+            if cnt < min_count:
+                continue
+            score = float(cnt) / (float(sc[a]) * float(sc[b]))
+            if (
+                best is None
+                or score > best[0]
+                or (score == best[0] and (a, b) < (best[1], best[2]))
+            ):
+                best = (score, a, b)
+        if best is None:
+            break  # no pair reaches min_count — sequential stop point
+        a, b = best[1], best[2]
+        merges.append((a, b))
+        ab = _join_pieces(a, b)
+        vocab.append(ab)
+        new_words = []
+        for syms, n in words:
+            acc: list[str] = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = ab
+                else:
+                    acc.append(x)
+            new_words.append((acc, n))
+        words = new_words
+    return {"merges": merges, "vocab": vocab}
+
+
 def wordpiece_train(
     docs: DataFrame,
     num_merges: int,
     text_col: str = "text",
     min_count: int = 2,
+    driver_max_words: int = 500_000,
 ) -> dict:
     """Learn a WordPiece vocabulary from ``docs[text_col]``.
 
@@ -154,6 +210,19 @@ def wordpiece_train(
     # (pair agg + one symbol agg per broadcast side); materializing the
     # vocab-sized table once per sweep beats re-running its lineage 3x.
     words = words.localCheckpoint(eager=True)
+    # The sweep loop is INHERENTLY sequential (one merge per sweep —
+    # scores are not monotone under merging), so against a bounded
+    # word-frequency table the distributed loop is ~4 scheduling-bound
+    # jobs per merge over a vocab-sized frame.  When the table fits
+    # the row-count guard (checked on the materialized checkpoint,
+    # BEFORE any collect — the knn/mmr/cc self-enforcing pattern), the
+    # loop runs driver-side instead; past the bound, the distributed
+    # sweeps below are the path, unchanged.
+    if words.count() <= driver_max_words:
+        rows = [
+            (list(r["syms"]), int(r["n"])) for r in words.collect()
+        ]
+        return _wordpiece_train_driver(rows, num_merges, min_count)
     alphabet = [
         r["sym"]
         for r in _symbol_counts(words).select("sym").orderBy("sym").collect()

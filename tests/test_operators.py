@@ -1736,7 +1736,7 @@ def test_bpe_train_matches_reference(spark):
         w for t in texts for w in _re.split(r"[^a-z0-9]+", t.lower()) if w
     )
     for n_merges in (1, 5, 12):
-        got = bpe.bpe_train(df, n_merges, checkpoint_every=3)
+        got = bpe.bpe_train(df, n_merges, checkpoint_every=3, driver_max_words=0)
         want = _ref_bpe(wc, n_merges)
         assert got == want, (n_merges, got, want)
 
@@ -1745,8 +1745,12 @@ def test_bpe_train_matches_reference(spark):
     # consecutive top pairs share symbols (the sweep must stop at the
     # first conflict, not skip past it)
     for m in (1, 2, 4, 16):
-        got = bpe.bpe_train(df, 12, checkpoint_every=3, batch_merges=m)
+        got = bpe.bpe_train(df, 12, checkpoint_every=3, batch_merges=m,
+                            driver_max_words=0)
         assert got == _ref_bpe(wc, 12), (m, got)
+    # the round-11 driver cutover (default for bounded word tables)
+    # must produce the same sequential merge list
+    assert bpe.bpe_train(df, 12, checkpoint_every=3) == _ref_bpe(wc, 12)
     adv = spark.createDataFrame(
         [(0, "aaaa aaab aaba abaa baaa aabb abab")],
         "doc_id bigint, text string",
@@ -1754,7 +1758,8 @@ def test_bpe_train_matches_reference(spark):
     adv_wc = {"aaaa": 1, "aaab": 1, "aaba": 1, "abaa": 1, "baaa": 1,
               "aabb": 1, "abab": 1}
     for m in (1, 3, 8):
-        got = bpe.bpe_train(adv, 10, min_count=1, batch_merges=m)
+        got = bpe.bpe_train(adv, 10, min_count=1, batch_merges=m,
+                            driver_max_words=0)
         assert got == _ref_bpe(adv_wc, 10, min_count=1), (m, got)
 
     # seeded-random tie-heavy corpus (3-letter alphabet => constant
@@ -1773,7 +1778,8 @@ def test_bpe_train_matches_reference(spark):
     )
     want = _ref_bpe(rnd_wc, 20, min_count=1)
     for m in (1, 4, 16):
-        got = bpe.bpe_train(rnd_df, 20, min_count=1, batch_merges=m)
+        got = bpe.bpe_train(rnd_df, 20, min_count=1, batch_merges=m,
+                            driver_max_words=0)
         assert got == want, (m, got, want)
 
     # symbol-collision regime: a 2-letter alphabet with long words makes
@@ -1791,7 +1797,8 @@ def test_bpe_train_matches_reference(spark):
     )
     want2 = _ref_bpe(col_wc, 30, min_count=1)
     for m in (4, 16):
-        got = bpe.bpe_train(col_df, 30, min_count=1, batch_merges=m)
+        got = bpe.bpe_train(col_df, 30, min_count=1, batch_merges=m,
+                            driver_max_words=0)
         assert got == want2, (m, got, want2)
 
     merges = bpe.bpe_train(df, 8)
@@ -1874,9 +1881,12 @@ def test_byte_bpe_matches_reference(spark):
     )
     for m in (1, 4, 16):
         for nm in (3, 10, 20):
-            got = bb.byte_bpe_train(df, nm, min_count=1, batch_merges=m)
+            got = bb.byte_bpe_train(df, nm, min_count=1, batch_merges=m,
+                                    driver_max_words=0)
             assert got == ref_train(texts, nm), (m, nm, got)
 
+    # driver-cutover path (default) must match the reference as well
+    assert bb.byte_bpe_train(df, 10, min_count=1) == ref_train(texts, 10)
     merges = bb.byte_bpe_train(df, 12, min_count=1)
     enc = {
         r["doc_id"]: (r["tokens"], r["n_tokens"])

@@ -55,6 +55,7 @@ from __future__ import annotations
 
 import json
 import math
+import os
 import time
 import re
 import uuid
@@ -366,6 +367,86 @@ def _bloom_pos_py(value, i: int, m_bits: int) -> int:
     return h % m_bits
 
 
+_FOOTER_SAFE_PHYSICAL = {"INT32", "INT64", "BOOLEAN"}
+_FOOTER_SAFE_LOGICAL = {"NONE", "INT"}
+
+
+def _footer_entries(cdir: str, stats_cols: list[str]) -> list[dict] | None:
+    """Driver-side manifest entries straight from the parquet FOOTERS of
+    a just-written local commit directory — row counts and integer
+    min/max stats the files already carry, so no Spark read-back job is
+    needed (the write-path analogue of Iceberg collecting stats at
+    write time).  Returns ``None`` — caller falls back to the read-back
+    aggregation job — whenever footer stats cannot be PROVEN identical
+    to that job's output: non-local paths, a requested stat column that
+    is nested, non-integer (string min/max may be writer-truncated,
+    float stats misorder NaN vs Spark, decimals/dates need logical
+    decoding), or any row group missing statistics.
+    """
+    local = re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/", cdir)
+    if not os.path.isdir(local):
+        return None
+    try:
+        import pyarrow.parquet as pq
+    except ImportError:
+        return None
+    entries: list[dict] = []
+    for fn in sorted(os.listdir(local)):
+        if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+            continue
+        fp = os.path.join(local, fn)
+        try:
+            md = pq.read_metadata(fp)
+        except Exception:
+            return None
+        if md.num_rows == 0:
+            # the read-back groupBy(input_file_name) emits no row for an
+            # empty file, so it never becomes a manifest entry
+            continue
+        leaves = {}
+        for i in range(md.num_columns):
+            col = md.schema.column(i)
+            leaves[col.path] = (i, col)
+        stats: dict[str, list] = {}
+        for c in stats_cols:
+            if c not in leaves:
+                if any(p.startswith(f"{c}.") for p in leaves):
+                    return None  # nested struct: let the Spark job order it
+                continue  # column absent from df: job path omits it too
+            idx, col = leaves[c]
+            if (
+                col.physical_type not in _FOOTER_SAFE_PHYSICAL
+                or getattr(col.logical_type, "type", "NONE")
+                not in _FOOTER_SAFE_LOGICAL
+            ):
+                return None
+            mins: list = []
+            maxs: list = []
+            for rg in range(md.num_row_groups):
+                cm = md.row_group(rg).column(idx)
+                st = cm.statistics
+                if st is None or st.null_count is None:
+                    return None
+                if cm.num_values - st.null_count > 0:
+                    if not st.has_min_max:
+                        return None
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            stats[c] = [
+                _json_safe(min(mins) if mins else None),
+                _json_safe(max(maxs) if maxs else None),
+            ]
+        entries.append(
+            {
+                "path": f"file://{fp}",
+                "rows": int(md.num_rows),
+                "bytes": os.path.getsize(fp),
+                "stats": stats,
+            }
+        )
+    return entries
+
+
 def _commit_files(
     spark: SparkSession,
     df: DataFrame,
@@ -380,13 +461,20 @@ def _commit_files(
     longs each — the point-lookup skipping index for keys whose ranges
     overlap everywhere; see :func:`snapshot_scan_point`).
 
-    The stats pass reads back ONLY the just-written commit directory
-    (one file-granular aggregation job over the commit, not the table) —
-    the post-pass equivalent of Iceberg's write-time stats collection;
-    each bloom column adds one more commit-local aggregation.
+    Stats come from the parquet FOOTERS driver-side when that is
+    provably exact (:func:`_footer_entries` — integer/bool stats, no
+    bloom columns); otherwise the stats pass reads back ONLY the
+    just-written commit directory (one file-granular aggregation job
+    over the commit, not the table) — the post-pass equivalent of
+    Iceberg's write-time stats collection; each bloom column adds one
+    more commit-local aggregation.
     """
     cdir = f"{_data_dir(path)}/{commit_id}"
     df.write.mode("overwrite").parquet(cdir)
+    if not bloom_cols:
+        entries = _footer_entries(cdir, stats_cols)
+        if entries is not None:
+            return entries
     back = spark.read.parquet(cdir)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     present = [c for c in stats_cols if c in back.columns]

@@ -1184,3 +1184,66 @@ def test_pure_append_chain_maintains_index(spark, tmp_path, monkeypatch):
     for _ in range(13):  # crosses version 112, the next trigger
         snap.snapshot_write(df, path, mode="append")
     assert snap._latest_version(fs, path) == 112
+
+
+def test_footer_stats_match_readback_job(spark, tmp_path):
+    """The driver-side parquet-footer stats fast path must be entry-for-
+    entry identical to the Spark read-back aggregation it replaces —
+    rows, bytes, and min/max over an int column with NULLs (including
+    one all-NULL file)."""
+    path = str(tmp_path / "tbl")
+    df = (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.when(F.col("id") % 3 == 0, F.col("id") * 7).alias("k"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"),
+        )
+        # partition 0 gets only k-NULL rows: an all-NULL stats file
+        .repartitionByRange(4, F.col("k").isNotNull().cast("int"), "id")
+    )
+    snap.snapshot_write(df, path, mode="overwrite", stats_cols=["k", "id"])
+    man = snap._read_manifest(snap._FS(spark, path), path, 0)
+    entries = man["files"]
+    assert entries, "commit produced no files"
+    cdir = entries[0]["path"].rsplit("/", 1)[0]
+
+    # independent read-back aggregation over the SAME files (the old path)
+    back = spark.read.parquet(cdir)
+    per_file = {
+        r["__f"]: r
+        for r in back.groupBy(F.input_file_name().alias("__f"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min("k").alias("kmin"),
+            F.max("k").alias("kmax"),
+            F.min("id").alias("imin"),
+            F.max("id").alias("imax"),
+        )
+        .collect()
+    }
+    assert len(per_file) == len(entries)
+
+    def norm(p):
+        import re as _re
+
+        return _re.sub(r"^[A-Za-z][A-Za-z0-9+.-]*:/+", "/", p)
+
+    by_tail = {norm(p): r for p, r in per_file.items()}
+    saw_null_file = False
+    for e in entries:
+        r = by_tail[norm(e["path"])]
+        assert e["rows"] == r["rows"]
+        assert e["stats"]["k"] == [r["kmin"], r["kmax"]]
+        assert e["stats"]["id"] == [r["imin"], r["imax"]]
+        import os as _os
+
+        assert e["bytes"] == _os.path.getsize(norm(e["path"]))
+        if r["kmin"] is None:
+            saw_null_file = True
+    assert saw_null_file, "test should cover an all-NULL stats file"
+
+    # string stats are NOT footer-safe: the fast path must decline
+    assert snap._footer_entries(cdir, ["s"]) is None
+    # and a float column likewise
+    assert snap._footer_entries(cdir, ["k", "missing"]) is not None  # absent col ok

@@ -922,16 +922,17 @@ def _resolve_join_exchange(config: TrainConfig, vocab_size: int,
 
 
 def _train_join(
-    corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
+    corpus: DataFrame, config: TrainConfig, resume_from: str | None = None,
+    total_tokens: int | None = None,
 ) -> TrainResult:
     """model_mode='join' driver loop — see the block comment above."""
     spark = corpus.sparkSession
     sc = spark.sparkContext
-    total_tokens: int | None = None
     if config.num_partitions:
         P = config.num_partitions
     else:
-        total_tokens = int(corpus.agg(F.sum("count")).collect()[0][0] or 0)
+        if total_tokens is None:
+            total_tokens = int(corpus.agg(F.sum("count")).collect()[0][0] or 0)
         P = _auto_partitions(total_tokens, sc.defaultParallelism)
 
     chunk_w = 0  # chunks exchange only; saved in checkpoints
@@ -1121,27 +1122,36 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
     run because shuffle gather order differs after the restart).
     """
     config.validate()
+    total_tokens: int | None = None
     if resume_from is None:
         # doc_id < 0 is the internal payload-row sentinel: a negative
         # user doc_id would be excluded from every sweep AND decoded as
         # count-payload garbage into the model.  One cheap columnar agg
-        # up front rejects it loudly.
-        min_id = corpus.agg(F.min("doc_id")).collect()[0][0]
+        # up front rejects it loudly — and the token total every
+        # non-resume path needs (auto partition sizing, join exchange
+        # resolution) rides the SAME aggregation, so the guard no
+        # longer costs a second full corpus pass.
+        guard = corpus.agg(
+            F.min("doc_id").alias("__min_id"), F.sum("count").alias("__tokens")
+        ).collect()[0]
+        min_id = guard["__min_id"]
+        total_tokens = int(guard["__tokens"] or 0)
         if min_id is not None and min_id < 0:
             raise ValueError(
                 f"doc_id must be >= 0 (got {min_id}); negative ids are "
                 "reserved for internal payload rows"
             )
     if config.model_mode == "join":
-        return _train_join(corpus, config, resume_from)
+        return _train_join(corpus, config, resume_from, total_tokens)
     spark = corpus.sparkSession
     sc = spark.sparkContext
     if config.num_partitions:
         P = config.num_partitions
     else:
-        total_tokens = int(
-            corpus.agg(F.sum("count")).collect()[0][0] or 0
-        )
+        if total_tokens is None:
+            total_tokens = int(
+                corpus.agg(F.sum("count")).collect()[0][0] or 0
+            )
         P = _auto_partitions(total_tokens, sc.defaultParallelism)
     if config.aggregate_mode == "shuffle" or (
         config.aggregate_mode == "auto" and P >= _SHUFFLE_AGG_MIN_PARTITIONS

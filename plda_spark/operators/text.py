@@ -231,10 +231,16 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     """Per-(doc, word) TF-IDF: ``tf = count / doc_len``, ``idf =
     ln((N + 1) / (df + 1)) + 1`` (smoothed, scikit-learn convention).
 
-    Two aggregations (term counts, document frequencies) + one driver
-    scalar (N); everything else is per-row arithmetic.  ``tfidf`` rounds
-    to 6 decimals: the value is a product/log of exact integer ratios,
-    so both engines compute identical doubles.
+    Two aggregations (term counts, document frequencies) + N attached as
+    a broadcast 1-row aggregate (round 11: it was an eager
+    ``countDistinct`` collect at construction time — a full corpus scan
+    job per *call*, before any action ran; in-plan it costs one
+    broadcast of 8 bytes and the whole function is lazy); everything
+    else is per-row arithmetic.  ``tfidf`` rounds to 6 decimals: the
+    value is a product/log of exact integer ratios, so both engines
+    compute identical doubles — the in-plan ``(N + 1)`` long-add +
+    double-cast yields the same double as the old driver-side
+    ``float(n_docs + 1)`` literal for any N < 2^53.
 
     Scale note: ``df_counts`` is vocabulary-sized (10^8+ rows on a web
     corpus), so it must NOT be broadcast — the join on ``word`` is a
@@ -247,11 +253,16 @@ def tf_idf(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> D
     tc = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tc"))
     doc_len = tc.groupBy("doc_id").agg(F.sum("tc").alias("doc_len"))
     df_counts = tc.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.countDistinct(id_col)).collect()[0][0]
-    idf = F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1
+    n_docs = docs.select(
+        F.countDistinct(id_col).alias("__tfidf_n")
+    )
+    idf = (
+        F.log((F.col("__tfidf_n") + 1).cast("double") / (F.col("df") + 1)) + 1
+    )
     return (
         tc.join(doc_len, "doc_id")
         .join(df_counts, "word")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "word",

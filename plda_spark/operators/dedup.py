@@ -72,10 +72,22 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-doc_id representative of every exact-text group."""
+    """Keep the min-doc_id representative of every exact-text group.
+
+    One shuffle of the doc table on the digest (window MIN per digest
+    partition; round-11 — the earlier groupBy + semi-join-back paid the
+    aggregation exchange and a second sort of the doc rows at scale for
+    the same min-id survivors; digest groups are duplicate-count sized,
+    so no window partition can be large)."""
+    from pyspark.sql import Window
+
     w_digest = docs.withColumn("__digest", F.md5(F.col(text_col)))
-    keep = w_digest.groupBy("__digest").agg(F.min(id_col).alias(id_col))
-    return w_digest.join(keep, ["__digest", id_col], "left_semi").drop("__digest")
+    keep = F.min(id_col).over(Window.partitionBy("__digest"))
+    return (
+        w_digest.withColumn("__keep", keep)
+        .where(F.col(id_col) == F.col("__keep"))
+        .drop("__digest", "__keep")
+    )
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -960,11 +972,13 @@ def dedup_spans(
 
     Scale shape: span construction is a per-row JVM array projection
     (no explode until the spans are one row each); first-occurrence
-    selection is ONE hash shuffle on the span digest (high-cardinality,
-    skew-free key) with a per-group min — no self-join, no window over
-    the corpus; the rebuild is one more shuffle back on ``doc_id``.
-    Both exchanges carry ``(digest, doc_id, span_idx)``-width rows, not
-    document text.
+    selection is ONE shuffle on the span digest (high-cardinality,
+    skew-free key) — a window MIN over the digest partition (round-11:
+    the earlier groupBy + join-back paid the aggregation exchange AND a
+    sort-merge self-join of the span table at scale for the same
+    min-(doc_id, span_idx) rows; digest groups are duplicate-count
+    sized, so no window partition can be large); the rebuild is one
+    more shuffle back on ``doc_id``.
     """
     if span_tokens < 1:
         raise ValueError("span_tokens must be >= 1")
@@ -983,10 +997,12 @@ def dedup_spans(
             )
         ).alias("span_idx", "span"),
     ).select("doc_id", "span_idx", "span", F.md5("span").alias("__digest"))
-    first = spans.groupBy("__digest").agg(
-        F.min(F.struct("doc_id", "span_idx")).alias("__first")
+    from pyspark.sql import Window
+
+    first = F.min(F.struct("doc_id", "span_idx")).over(
+        Window.partitionBy("__digest")
     )
-    # ONE pass over the joined spans: flag each span as kept/lost and
+    # ONE pass over the windowed spans: flag each span as kept/lost and
     # aggregate counts + the kept-text digest per doc together (no
     # second span scan, no left join, no null-patch columns — a doc
     # whose every span is owned elsewhere yields an empty kept list,
@@ -1013,7 +1029,7 @@ def dedup_spans(
     if return_text:
         out_cols.append(joined_text.alias("dedup_text"))
     return (
-        spans.join(first, "__digest")
+        spans.withColumn("__first", first)
         .select("doc_id", "span_idx", "span", is_kept.alias("__kept"))
         .groupBy("doc_id")
         .agg(*out_cols)
@@ -1094,11 +1110,15 @@ def dedup_longest_spans(
     chunks = chunks.localCheckpoint(eager=False)
 
     def losers(frame):
-        first = frame.groupBy("dg").agg(
-            F.min(F.struct("doc_id", "idx")).alias("__f")
-        )
+        # first occurrence per digest via a window MIN — ONE shuffle of
+        # the level frame instead of the groupBy + join-back pair
+        # (round-11; same min-(doc_id,idx) rows, digest groups are
+        # duplicate-count sized so no window partition can be large)
+        from pyspark.sql import Window
+
+        f = F.min(F.struct("doc_id", "idx")).over(Window.partitionBy("dg"))
         return (
-            frame.join(first, "dg")
+            frame.withColumn("__f", f)
             .where(
                 (F.col("doc_id") != F.col("__f.doc_id"))
                 | (F.col("idx") != F.col("__f.idx"))
@@ -1222,24 +1242,26 @@ def dedup_sentences(
 
     Scale shape: sentence split is per-row JVM work
     (:func:`plda_spark.operators.text.split_sentences`); the dedup is
-    ONE aggregation keyed on the md5 digest (map-side combined arg-min —
-    the full sentence text never rides the dedup shuffle) + one
-    digest-equi-join back; reassembly is the same sort_array
-    aggregation every span/boilerplate operator here uses.  No windows,
-    no global sort.
+    ONE shuffle of the sentence rows keyed on the md5 digest with a
+    window MIN per digest partition (round-11: the earlier groupBy +
+    join-back shuffled the sentence rows by digest for the join ANYWAY,
+    plus a separate aggregation exchange and join sort, for the same
+    min-(doc_id, sent_idx) survivors; digest groups are duplicate-count
+    sized, so no window partition can be large); reassembly is the same
+    sort_array aggregation every span/boilerplate operator here uses.
+    No global sort.
     """
+    from pyspark.sql import Window
+
     from plda_spark.operators.text import split_sentences
 
     sents = split_sentences(docs, text_col=text_col, id_col=id_col)
-    first = (
-        sents.select(F.md5(F.col("sentence")).alias("__digest"),
-                     F.struct("doc_id", "sent_idx").alias("__pos"))
-        .groupBy("__digest")
-        .agg(F.min("__pos").alias("__first"))
+    first = F.min(F.struct("doc_id", "sent_idx")).over(
+        Window.partitionBy("__digest")
     )
     kept = (
         sents.withColumn("__digest", F.md5(F.col("sentence")))
-        .join(first, "__digest")
+        .withColumn("__first", first)
         .where(
             (F.col("doc_id") == F.col("__first.doc_id"))
             & (F.col("sent_idx") == F.col("__first.sent_idx"))

@@ -521,6 +521,13 @@ def hits(
                 .groupBy(F.col("d").alias("node"))
                 .agg(F.sum("h").alias("a_raw"))
             )
+        # Per-half-step lazy lineage cut: ain/hout each feed BOTH the
+        # normalizing 1-row sum and the attach projection, and the next
+        # half-step embeds the result again — without the cut the plan
+        # tree QUADRUPLES per iteration (566 Exchange nodes at n_iter=3
+        # before; linear ~30 after), leaving correctness to runtime
+        # exchange reuse and paying the planner cost of the 4^n tree.
+        ain = ain.localCheckpoint(eager=False)
         asum = ain.agg(F.sum("a_raw").alias("__t"))
         auth = (
             ain.crossJoin(F.broadcast(asum))
@@ -531,6 +538,7 @@ def hits(
             .groupBy(F.col("s").alias("node"))
             .agg(F.sum("a").alias("h_raw"))
         )
+        hout = hout.localCheckpoint(eager=False)
         hsum = hout.agg(F.sum("h_raw").alias("__t"))
         hub = (
             hout.crossJoin(F.broadcast(hsum))

@@ -1453,3 +1453,21 @@ def test_round11_new_ops_are_single_pass_rollups(spark):
             name,
             sorted(_physical_scan_ids(plan)),
         )
+
+
+def test_hits_plan_stays_linear_in_iterations(spark):
+    """HITS cuts lineage after each half-step aggregation: without the
+    per-half-step localCheckpoint the auth/hub trees QUADRUPLE per
+    iteration (the 1-row normalizing sum and the attach each embed the
+    aggregate, and the next half-step embeds the result again) — at
+    n_iter=3 that was a 566-Exchange physical plan whose correctness
+    leaned entirely on runtime exchange reuse.  Pin the final plan to
+    the post-cut shape: a handful of exchanges over RDD leaves, and no
+    growth between n_iter=2 and n_iter=3."""
+    from plda_spark.operators import graph
+
+    e = spark.createDataFrame([(1, 3), (2, 3), (3, 4)], "src long, dst long")
+    n2 = plan_summary(graph.hits(e, n_iter=2))["exchanges"]
+    n3 = plan_summary(graph.hits(e, n_iter=3))["exchanges"]
+    assert n3 == n2, (n2, n3)
+    assert n3 <= 12, n3

@@ -36,6 +36,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("plan-capture")
     spark.sparkContext.setLogLevel("ERROR")
+    # PLAN_BCAST_THRESHOLD=-1 disables broadcast joins so the summary
+    # shows the at-scale join landscape AQE's local broadcasts mask.
+    bcast = os.environ.get("PLAN_BCAST_THRESHOLD")
+    if bcast is not None:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
     qs = entrymod.all_queries()
     if not names:
         names = sorted(qs)

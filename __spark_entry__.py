@@ -3793,12 +3793,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp(prefix="plda_histdrift_")
         src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
         schema = "event_id long, value double"
-        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        # ONE source scan stages both parity waves (exact-integer/
+        # multiset ledger partials — layout-insensitive); each wave
+        # then ARRIVES as a metadata-only file move (round 12)
+        deliver = windows.stage_parity_waves(ev, src)
+        deliver(0)
         windows.incremental_hist_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, nbins=64,
         )
-        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        deliver(1)
         windows.incremental_hist_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, nbins=64,
@@ -3822,12 +3826,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp(prefix="plda_histpsi_")
         src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
         schema = "event_id long, value double"
-        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        # ONE source scan stages both parity waves (exact-integer/
+        # multiset ledger partials — layout-insensitive); each wave
+        # then ARRIVES as a metadata-only file move (round 12)
+        deliver = windows.stage_parity_waves(ev, src)
+        deliver(0)
         windows.incremental_hist_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, nbins=64,
         )
-        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        deliver(1)
         windows.incremental_hist_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, nbins=64,
@@ -3852,12 +3860,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp(prefix="plda_histcvm_")
         src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
         schema = "event_id long, value double"
-        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        # ONE source scan stages both parity waves (exact-integer/
+        # multiset ledger partials — layout-insensitive); each wave
+        # then ARRIVES as a metadata-only file move (round 12)
+        deliver = windows.stage_parity_waves(ev, src)
+        deliver(0)
         windows.incremental_hist_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, nbins=64,
         )
-        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        deliver(1)
         windows.incremental_hist_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, nbins=64,
@@ -3882,12 +3894,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp(prefix="plda_histad_")
         src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
         schema = "event_id long, value double"
-        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        # ONE source scan stages both parity waves (exact-integer/
+        # multiset ledger partials — layout-insensitive); each wave
+        # then ARRIVES as a metadata-only file move (round 12)
+        deliver = windows.stage_parity_waves(ev, src)
+        deliver(0)
         windows.incremental_hist_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, nbins=64,
         )
-        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        deliver(1)
         windows.incremental_hist_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, nbins=64,
@@ -5421,12 +5437,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp(prefix="plda_abtest_")
         src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
         schema = "event_id long, user_id long, converted int"
-        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        # ONE source scan stages both parity waves (exact-integer/
+        # multiset ledger partials — layout-insensitive); each wave
+        # then ARRIVES as a metadata-only file move (round 12)
+        deliver = windows.stage_parity_waves(ev, src)
+        deliver(0)
         windows.incremental_ab_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             user_col="user_id", success_col="converted",
         )
-        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        deliver(1)
         windows.incremental_ab_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             user_col="user_id", success_col="converted",
@@ -5967,12 +5987,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp(prefix="plda_absrm_")
         src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
         schema = "event_id long, user_id long, converted int"
-        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        # ONE source scan stages both parity waves (exact-integer/
+        # multiset ledger partials — layout-insensitive); each wave
+        # then ARRIVES as a metadata-only file move (round 12)
+        deliver = windows.stage_parity_waves(ev, src)
+        deliver(0)
         windows.incremental_ab_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             user_col="user_id", success_col="converted",
         )
-        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        deliver(1)
         windows.incremental_ab_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             user_col="user_id", success_col="converted",
@@ -6495,12 +6519,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp(prefix="plda_bayes_")
         src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
         schema = "event_id long, user_id long, converted int"
-        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        # ONE source scan stages both parity waves (exact-integer/
+        # multiset ledger partials — layout-insensitive); each wave
+        # then ARRIVES as a metadata-only file move (round 12)
+        deliver = windows.stage_parity_waves(ev, src)
+        deliver(0)
         windows.incremental_ab_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             user_col="user_id", success_col="converted",
         )
-        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        deliver(1)
         windows.incremental_ab_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             user_col="user_id", success_col="converted",
@@ -6710,12 +6738,16 @@ def _all_query_defs() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = tempfile.mkdtemp(prefix="plda_qdigest_")
         src, state, ckpt = f"{d}/in", f"{d}/state", f"{d}/ckpt"
         schema = "event_id long, value double"
-        ev.where(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+        # ONE source scan stages both parity waves (exact-integer/
+        # multiset ledger partials — layout-insensitive); each wave
+        # then ARRIVES as a metadata-only file move (round 12)
+        deliver = windows.stage_parity_waves(ev, src)
+        deliver(0)
         windows.incremental_qdigest_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, depth=10, k=32,
         )
-        ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+        deliver(1)
         windows.incremental_qdigest_ledger(
             spark.readStream.schema(schema).parquet(src), state, ckpt,
             "value", lo=0.0, hi=200.0, depth=10, k=32,

@@ -43,7 +43,7 @@ from pyspark.sql import functions as F
 from . import kernel
 from .corpus import pack_docs
 from .model import LDAModel
-from .vocab import build_vocab, remap_words
+from .vocab import remap_words
 
 __all__ = ["TrainConfig", "TrainResult", "train", "train_documents"]
 
@@ -937,11 +937,26 @@ def _train_join(
 
     chunk_w = 0  # chunks exchange only; saved in checkpoints
     if resume_from is None:
-        vocab = build_vocab(corpus)
-        words = [r["word"] for r in vocab.orderBy("word_id").collect()]
+        # The sorted word list is collected to the driver regardless
+        # (API parity + checkpoint metadata), and word_id is BY
+        # CONTRACT the lexicographic rank — so collect the sorted
+        # distinct words directly and rebuild the (word, word_id)
+        # frame from the driver list (round 12): one distributed
+        # distinct+sort job instead of the build_vocab plan running
+        # once for this collect and AGAIN inside every consumer of the
+        # remap join.  The vocab is broadcast by remap_words either
+        # way, so the driver list is within the existing memory
+        # envelope; ids are identical (enumerate == rank).
+        words = [
+            r["word"]
+            for r in corpus.select("word").distinct().orderBy("word").collect()
+        ]
         V, K = len(words), config.num_topics
         if V == 0:
             raise ValueError("empty vocabulary")
+        vocab = spark.createDataFrame(
+            [(w, i) for i, w in enumerate(words)], "word string, word_id long"
+        )
         if total_tokens is None and config.join_exchange == "auto":
             total_tokens = int(corpus.agg(F.sum("count")).collect()[0][0] or 0)
         exch = _resolve_join_exchange(config, V, total_tokens or 0, P)
@@ -1014,16 +1029,33 @@ def _train_join(
         )
         df_z = z_ckpt
     _model_of = _join_model_df if exch == "words" else _chunk_model_df
-    m_ckpt = _model_of(df_z, K).localCheckpoint(eager=True)
+    # LAZY model checkpoint (the graph_hits lesson, round 12): the
+    # per-iteration n_k read below is a full pass over the model table,
+    # so it is the materializing action — ONE job per iteration now
+    # runs sweep → persist z blocks → model rebuild → persist model
+    # blocks → n_k collect, where the eager checkpoint previously split
+    # that into a materialization job plus a separate n_k job.  Values
+    # are unchanged (same kernel, same RNG streams, same payload
+    # decode); only the job boundary moves — broadcast≡join≡chunks
+    # bit-parity re-proven in tests/test_train.py after this change.
+    m_ckpt = _model_of(df_z, K).localCheckpoint(eager=False)
     model_df = _fresh_stats(m_ckpt)
     # chunks exchange: every pid receives every chunk — a cross join
     # whose BROADCAST side is the P-row pid table, so the model itself
     # only ever rides the shuffle.
     pids_df = spark.range(P).select(F.col("id").cast("int").alias("pid"))
+    # Generation awaiting release: with a lazy model checkpoint the
+    # sweep that CONSUMES generation g's blocks only runs inside
+    # generation g+1's first action (the n_k collect), so g may not be
+    # unpersisted at the bottom of its own iteration — it is parked
+    # here and released right after the next action completes.
+    pending: list = []
 
     for it in range(start_it, config.total_iterations):
         # n_k (the reference's global K-vector, model.cc:147-151): K numbers
         # — the ONLY model state that touches the driver per iteration.
+        # This collect is ALSO the action that materializes the lazily
+        # checkpointed (z, model) generation built last iteration.
         if exch == "words":
             nk_rows = (
                 model_df.select(F.posexplode("cnts").alias("t", "c"))
@@ -1046,6 +1078,16 @@ def _train_join(
                 nk_global, V, config.alpha, config.beta, config.seed, it,
                 config.compute_likelihood, chunk_w,
             )
+        # The n_k action above materialized this iteration's inputs, so
+        # the generation parked last iteration is no longer referenced.
+        for h in pending:
+            h.unpersist()
+        pending = []
+        if it == start_it:
+            # first action of the loop also materialized z-init — the
+            # corpus triples' setup checkpoint has no readers left
+            # (no-op on resume, where the corpus was never persisted)
+            corpus.unpersist()
         swept = (
             df_z.where(F.col("doc_id") >= 0)
             .groupby("pid")
@@ -1063,10 +1105,12 @@ def _train_join(
         # break the exponential squaring (the model would otherwise
         # inherit the corpus product and feed it back in).
         new_df_z = new_z_ckpt
-        # Eager model build: ONE job runs the sweep, persists its blocks,
-        # and materializes the next model table (old blocks still alive
-        # while it runs; unpersist only after).
-        new_m_ckpt = _model_of(new_df_z, K).localCheckpoint(eager=True)
+        # Lazy model build: no job is launched here — the NEXT
+        # iteration's n_k collect (or the final model read) runs sweep,
+        # z persistence, model rebuild, and model persistence as one
+        # job.  The old generation's blocks are exactly what that job
+        # reads, so they are parked in `pending`, not unpersisted.
+        new_m_ckpt = _model_of(new_df_z, K).localCheckpoint(eager=False)
         new_model_df = _fresh_stats(new_m_ckpt)
         if config.compute_likelihood:
             ll = (
@@ -1074,8 +1118,7 @@ def _train_join(
                 or 0.0
             )
             lls.append(float(ll))
-        z_ckpt.unpersist()
-        m_ckpt.unpersist()
+        pending = [z_ckpt, m_ckpt]
         z_ckpt, m_ckpt = new_z_ckpt, new_m_ckpt
         df_z, model_df = new_df_z, new_model_df
         if config.checkpoint_dir and (it + 1) % config.checkpoint_every == 0:
@@ -1098,6 +1141,11 @@ def _train_join(
         )
     if word_pid is not None:
         word_pid.unpersist()
+    # toPandas above materialized the final generation; release the
+    # parked one and the final z (the final MODEL stays persisted — the
+    # returned model_table reads it).
+    for h in pending:
+        h.unpersist()
     z_ckpt.unpersist()
     raw_model = LDAModel(nwk, words, config.alpha, config.beta)
     # model_table in the exact shape transform_model_df consumes
@@ -1124,6 +1172,19 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
     config.validate()
     total_tokens: int | None = None
     if resume_from is None:
+        # LAZY checkpoint on the corpus triples (round 12): three setup
+        # passes consume this frame — the guard/token aggregate below,
+        # build_vocab's distinct, and the remap+pack feeding z-init.
+        # When the triples arrive as doc_term_counts(tokenize(docs))
+        # (the train_documents path), each pass re-ran the full
+        # tokenize explode + count aggregation over the corpus; the
+        # checkpoint materializes it ONCE (the guard agg is the first
+        # action) and the other passes read the persisted blocks.  The
+        # blocks are released as soon as the initial assignments are
+        # materialized (z-init is the last reader).  Values are
+        # untouched — the same triples, same partition layout, feed
+        # every pass.
+        corpus = corpus.localCheckpoint(eager=False)
         # doc_id < 0 is the internal payload-row sentinel: a negative
         # user doc_id would be excluded from every sweep AND decoded as
         # count-payload garbage into the model.  One cheap columnar agg
@@ -1161,11 +1222,18 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
         agg_model = _aggregate_model
 
     if resume_from is None:
-        vocab = build_vocab(corpus)
-        words = [r["word"] for r in vocab.orderBy("word_id").collect()]
+        # same driver-list vocab rebuild as _train_join (one
+        # distinct+sort job; ids are the lexicographic rank either way)
+        words = [
+            r["word"]
+            for r in corpus.select("word").distinct().orderBy("word").collect()
+        ]
         V, K = len(words), config.num_topics
         if V == 0:
             raise ValueError("empty vocabulary")
+        vocab = spark.createDataFrame(
+            [(w, i) for i, w in enumerate(words)], "word string, word_id long"
+        )
 
         corpus_ids = remap_words(corpus, vocab).select("doc_id", "word_id", "count")
         packed = pack_docs(corpus_ids, P)
@@ -1180,6 +1248,9 @@ def train(corpus: DataFrame, config: TrainConfig, resume_from: str | None = None
         # no separate materialization job.
         df_z = df_z.localCheckpoint(eager=False)
         nwk, _ = agg_model(df_z, V, K)
+        # z-init just materialized — nothing reads the corpus triples
+        # again; release the setup checkpoint's blocks.
+        corpus.unpersist()
         accum = np.zeros((V, K), dtype=np.float64)
         lls: list[float] = []
         start_it = 0

@@ -466,19 +466,29 @@ def association_rules(
         raise ValueError(f"min_support must be >= 1, got {min_support}")
     if max_basket_items is not None and max_basket_items < 2:
         raise ValueError("max_basket_items must be >= 2")
+    # Lazy lineage cuts on the reused frames (the basket_cooccurrence /
+    # item_cf idiom, round 12): `baskets` feeds the size filter, the
+    # support aggregation, both self-join sides AND the n_users count;
+    # `item_supp` feeds the frequent filter and both support lookups;
+    # `pairs` is consumed twice by the directed union.  The lookups
+    # ride broadcast joins, which defeats exchange reuse, so without
+    # the cuts each consumer re-derived the whole upstream — the plan
+    # carried 86 Exchange nodes for what is one dedup + one support agg
+    # + one self-join.
     baskets = events.select(
         F.col(user_col).alias("user"), F.col(item_col).alias("item")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     if max_basket_items is not None:
         sizes = baskets.groupBy("user").agg(F.count(F.lit(1)).alias("__bsz"))
         baskets = baskets.join(
             sizes.filter(F.col("__bsz") <= max_basket_items).select("user"),
             "user",
-        )
+        ).localCheckpoint(eager=False)
     item_supp = (
         baskets.groupBy("item")
         .agg(F.count(F.lit(1)).alias("n_item"))
         .filter(F.col("n_item") >= min_support)
+        .localCheckpoint(eager=False)
     )
     frequent = baskets.join(F.broadcast(item_supp.select("item")), "item")
     a = frequent.select("user", F.col("item").alias("item_a"))
@@ -489,6 +499,7 @@ def association_rules(
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= min_support)
+        .localCheckpoint(eager=False)
     )
     directed = pairs.select(
         F.col("item_a").alias("antecedent"),

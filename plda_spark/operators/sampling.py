@@ -575,40 +575,48 @@ def kcenter_select(
         )
     selected: list[tuple] = [(0, seed[0], None)]
     centers: list[list[float]] = [[float(v) for v in seed[1]]]
+    # Incremental min-distance column (round 12): pass s only folds the
+    # distance to the ONE newly selected center and takes
+    # ``least(running_min, d_new)`` — O(n·dim) per pass instead of
+    # O(n·s·dim), and the expression tree carries dim literals per pass
+    # instead of s·dim (Catalyst analysis stays flat across passes).
+    # ``min`` over doubles is exact (no rounding), and each per-center
+    # fold is the SAME IEEE sequence as before, so the running min is
+    # bit-identical to the old ``array_min`` over all centers — same
+    # selections, same dist_sq curve (parity pinned in tests).  The
+    # running column rides a LAZY localCheckpoint whose materialization
+    # piggybacks the pass's own TakeOrdered job (an eager per-pass
+    # write was measured a wash in round 11; the lazy form adds no
+    # job), and each pass releases the previous pass's blocks.
+    cur = embeddings.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    )
+    prev_ckpt = None
+    mind_col = None
     for step in range(1, k):
-        cents_lit = F.array(
-            *[
-                F.array(*[F.lit(v) for v in c])
-                for c in centers
-            ]
+        c_lit = F.array(*[F.lit(v) for v in centers[-1]])
+        # left-fold sum of squared per-dim deltas to the NEW center
+        # (cast to double BEFORE arithmetic; (x-y)*(x-y) not pow, so an
+        # oracle can reproduce the exact IEEE sequence)
+        d_new = F.aggregate(
+            F.zip_with(
+                F.col("__vec"),
+                c_lit,
+                lambda x, y: (x.cast("double") - y)
+                * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        # min over current centers of the left-fold sum of squared
-        # per-dim deltas (cast to double BEFORE arithmetic; (x-y)*(x-y)
-        # not pow, so an oracle can reproduce the exact IEEE sequence)
-        dsq = F.array_min(
-            F.transform(
-                cents_lit,
-                lambda c: F.aggregate(
-                    F.zip_with(
-                        F.col(vec_col),
-                        c,
-                        lambda x, y: (x.cast("double") - y)
-                        * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-            )
-        )
-        far = (
-            embeddings.select(
-                F.col(id_col).alias("__id"),
-                F.col(vec_col).alias("__vec"),
-                dsq.alias("__dsq"),
-            )
-            .orderBy(F.col("__dsq").desc(), F.col("__id").asc())
-            .first()
-        )
+        mind_col = d_new if mind_col is None else F.least(F.col("__dsq"), d_new)
+        cur = cur.select(
+            "__id", "__vec", mind_col.alias("__dsq")
+        ).localCheckpoint(eager=False)
+        mind_col = F.col("__dsq")
+        far = cur.orderBy(F.col("__dsq").desc(), F.col("__id").asc()).first()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = cur
         if far["__dsq"] <= 0.0:
             # every remaining point coincides with a center (k exceeds
             # the number of DISTINCT vectors): the space is fully
@@ -618,6 +626,8 @@ def kcenter_select(
             break
         selected.append((step, far["__id"], float(far["__dsq"])))
         centers.append([float(v) for v in far["__vec"]])
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
     spark = embeddings.sparkSession
     # derive the id field's type from the INPUT schema — embeddings are
     # commonly keyed by string doc/url ids, not just longs

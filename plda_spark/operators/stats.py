@@ -4204,6 +4204,13 @@ def ab_srm_check(
         df.where(F.col(variant_col).isNotNull())
         .groupBy(F.col(variant_col).cast("string").alias("variant"))
         .agg(F.count(F.lit(1)).alias("o"))
+        # LAZY lineage cut (round 12): the unknown-variant guard below
+        # is an eager collect, so without the cut the returned query
+        # re-ran the full variant aggregation a SECOND time.  The guard
+        # materializes the checkpoint (|variants| slim rows persisted)
+        # and the returned plan reads those blocks — one corpus pass
+        # per readout instead of two.
+        .localCheckpoint(eager=False)
     )
     spark = df.sparkSession
     exp_df = spark.createDataFrame(

@@ -522,6 +522,51 @@ def open_sessions(spark: SparkSession, checkpoint_path: str, ntz: bool = False) 
     return _restore_ntz(out, ["session_start", "session_end"], ntz)
 
 
+def stage_parity_waves(
+    events: DataFrame, src_path: str, key_col: str = "event_id", waves: int = 2
+):
+    """Write every ``key_col % waves`` parity wave's files in ONE
+    source scan, staged under ``<src_path>_staged/__wave=<k>``; returns
+    ``deliver(wave)`` which MOVES (renames) wave ``k``'s files into
+    ``src_path`` — a micro-batch wave "arriving" without re-scanning
+    the source per wave (the two-wave ingest rigs previously paid one
+    full source scan PER wave; guide §1.2 "remove unnecessary passes").
+
+    Row-for-row the delivered files hold exactly the rows the old
+    ``where(key % waves == k)`` append wrote — only intra-wave file
+    layout/order differs, so this is ONLY for ledgers whose per-batch
+    partials are exact (integer counts/max, digests, q-digest
+    multiset folds); float-summing ledgers keep the per-wave scan.
+    Renames are metadata-only on a local filesystem; files are
+    prefixed ``w<k>-`` because tasks emit identical basenames into
+    every wave's staging directory."""
+    import os as _os
+
+    staging = src_path.rstrip("/") + "_staged"
+    (
+        events.withColumn(
+            "__wave", (F.col(key_col) % F.lit(waves)).cast("int")
+        )
+        .write.partitionBy("__wave")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+
+    def deliver(wave: int) -> None:
+        _os.makedirs(src_path, exist_ok=True)
+        wdir = _os.path.join(staging, f"__wave={wave}")
+        if not _os.path.isdir(wdir):
+            return  # empty wave: nothing arrived (matches an empty append)
+        for fn in sorted(_os.listdir(wdir)):
+            if fn.startswith(("_", ".")):
+                continue
+            _os.rename(
+                _os.path.join(wdir, fn), _os.path.join(src_path, f"w{wave}-{fn}")
+            )
+
+    return deliver
+
+
 def _query_token(spark: SparkSession, checkpoint_path: str) -> str:
     """This checkpoint generation's persistent streaming-query id (from
     the checkpoint's ``metadata`` file, written at query start — i.e.
@@ -1070,6 +1115,13 @@ def _single_generation(
     ledger = spark.read.parquet(state_path)
     if run_id is not None:
         return ledger.where(F.col("run_id") == run_id)
+    # LAZY lineage cut (round 12): the generation guard below is an
+    # eager collect, so without it the caller's readout re-scanned the
+    # ledger a second time; the guard materializes the checkpoint and
+    # the returned frame reads those blocks.  Ledgers are slim
+    # (per-batch sketch/partial rows), so the persisted footprint is
+    # batches-sized, never corpus-sized.
+    ledger = ledger.localCheckpoint(eager=False)
     runs = [r["run_id"] for r in ledger.select("run_id").distinct().collect()]
     if len(runs) > 1:
         raise ValueError(
